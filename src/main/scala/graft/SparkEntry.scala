@@ -1,13 +1,702 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.schema.ExportSchema
+import graft.transform.{ExportTransform, ValueFormat}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query has a deterministic total ORDER BY on both the Spark and
+  * DuckDB side. Floating-point aggregates use decimal accumulation
+  * (exact, order-independent) cast back to double so both engines produce
+  * bit-identical values regardless of partial-aggregation order.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    // long (spark.sql.legacy.parquet.nanosAsLong); convert to the same
+    // microsecond-truncated TimestampType DuckDB produces for ns input.
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    } else s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** sum(CAST(c AS DECIMAL(38,6))) cast back to double — the engine-portable
+    * exact sum. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(38,6)")).cast("double")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Region revenue rollup: 4-table join with broadcast dims. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q05_region_revenue")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- analytics over the star schema (SURVEY.md §2.3-§2.5) ----
+
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_top_customers" -> ((s, dir) => {
+      val c = broadcast(t(s, dir, "customer"))
+      t(s, dir, "orders")
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    }),
+
+    "q03_shipping_priority" -> ((s, dir) => {
+      val c = broadcast(t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    "q05_region_revenue" -> ((s, dir) => {
+      val nation = broadcast(t(s, dir, "nation"))
+      val region = broadcast(t(s, dir, "region"))
+      val supplier = broadcast(t(s, dir, "supplier"))
+      val customer = t(s, dir, "customer")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(supplier, col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "q10_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q11_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q12_window_topn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+
+    "q13_running_sum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"),
+          sum(col("l_extendedprice").cast("decimal(38,6)")).over(w)
+            .cast("double").as("running_rev"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))
+    }),
+
+    "q14_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    "q15_set_except" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+          .distinct())
+        .orderBy(col("nationkey"))
+    }),
+
+    "q16_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q17_highwater" -> ((s, dir) => {
+      // A2 high-water mark parity (reference: warehouse/redshift.go:342)
+      t(s, dir, "orders")
+        .agg(max(col("o_orderdate")).as("max_orderdate"),
+          min(col("o_orderdate")).as("min_orderdate"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- event-stream parity (SURVEY.md §2.2, §2.6, §2.8) ----
+
+    "q20_evt_hourly" -> ((s, dir) => {
+      Sessionize.tumblingAgg(t(s, dir, "events"), "ts", "hour")
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    "q21_evt_json" -> ((s, dir) => {
+      // CustomVars JSON extraction (reference: README.md:113-120)
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q22_evt_sessionize" -> ((s, dir) => {
+      Sessionize.sessionSummary(t(s, dir, "events"), "user_id", "ts",
+          "value", gapSeconds = 1800, tieCols = Seq("event_id"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    "q23_evt_highwater" -> ((s, dir) => {
+      t(s, dir, "events").agg(max(col("ts")).as("high_water"),
+        count(lit(1)).as("n"))
+    }),
+
+    "q24_evt_gofmt" -> ((s, dir) => {
+      // P6 Go RFC3339Micro trailing-zero trim (warehouse/warehouse.go:59-65)
+      t(s, dir, "events")
+        .select(col("event_id"),
+          ValueFormat.goRfc3339Micro(col("ts")).as("event_start_str"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q25_evt_export" -> ((s, dir) => {
+      // The hauser record transform end-to-end on the events table:
+      // case-insensitive schema match, custom-var spillover, live-order
+      // staged strings (reference: internal/service.go:72-119).
+      val renamed = t(s, dir, "events").select(
+        col("event_id").as("IndvId"), col("user_id").as("UserId"),
+        col("ts").as("EventStart"), col("event_type").as("EventType"),
+        col("value").as("evt_value_real"), col("props").as("evt_props_str"))
+      val schema = ExportSchema.reconcileWithExisting(
+        Seq("IndvId", "UserId", "EventStart", "EventType", "CustomVars"))
+      ExportTransform.toStagedStrings(renamed, schema, ValueFormat.Default)
+        .select(col("IndvId"), col("UserId"), col("EventStart"),
+          col("EventType"), col("CustomVars"))
+        .orderBy(col("IndvId").cast("long"))
+    }),
+
+    // ---- text analysis (extended scope, SURVEY.md §7.1 step 7) ----
+
+    "q30_doc_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_actual"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q31_doc_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.wordCount(col("text")).cast("long").as("n_words"),
+          round(TextAnalysis.meanWordLen(col("text")), 6).as("mean_word_len"),
+          round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q32_doc_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q33_doc_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q34_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDuplicateGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("keep_id"))
+    }),
+
+    "q35_dedup_drop" -> ((s, dir) => {
+      Dedup.dropExactDuplicates(t(s, dir, "documents"), "doc_id", "text")
+        .agg(count(lit(1)).as("n_unique"))
+    }),
+
+    "q36_jaccard_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id").as("a_id"), col("text").as("a_text"))
+      val b = d.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+      a.join(b, col("b_id") === col("a_id") + 1)
+        .select(col("a_id"), col("b_id"),
+          round(Dedup.jaccardTokens(col("a_text"), col("b_text")), 6).as("sim"),
+          round(Dedup.jaccardShingles(col("a_text"), col("b_text"), 3), 6)
+            .as("sim3"))
+        .orderBy(col("a_id"))
+    }),
+
+    "q37_dedup_minhash_lsh" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 16, bands = 4, shingleN = 3, threshold = 0.5, fast = false)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    "q38_dedup_simhash" -> ((s, dir) => {
+      // rows-only: xxhash64 is engine-private
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q39_dedup_minhash_fast" -> ((s, dir) => {
+      // rows-only: the seeded-FNV scale path of q37
+      GraftFunctions.register(s)
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 16, bands = 4, shingleN = 3, threshold = 0.5, fast = true)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ---- similarity search (extended scope) ----
+
+    "q40_knn_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 30), k = 5,
+          exact = true)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "q41_ann_lsh" -> ((s, dir) => {
+      // rows-only: approximate variant, codegen cosine kernel
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 30), k = 5,
+          planes = 8)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "q42_emb_neardup" -> ((s, dir) => {
+      // rows-only: embedding-cosine near-dup pairs via LSH buckets
+      GraftFunctions.register(s)
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", planes = 6, threshold = 0.9)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ---- multimodal plumbing (extended scope; decode kernel stubbed) ----
+
+    "q43_mm_features" -> ((s, dir) => {
+      val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      Multimodal.extractFeatures(media)
+        .select(col("doc_id"), col("modality"),
+          col("byte_len").cast("long").as("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q44_mm_frames" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(t(s, dir, "documents")), everyN = 10)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** DuckDB token-list fragment matching TextAnalysis.tokens. */
+  private val toksSql =
+    "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+  private val stopwordsSql = TextAnalysis.langProfiles.flatMap(_._2)
+    .distinct.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        |  COUNT(*) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 10""".stripMargin,
+
+    "q03_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "q05_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q10_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) sub
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+
+    "q13_running_sum" ->
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+
+    "q14_distinct_agg" ->
+      """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q15_set_except" ->
+      """SELECT nationkey FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT DISTINCT s_nationkey AS nationkey FROM supplier) sub
+        |ORDER BY nationkey""".stripMargin,
+
+    "q16_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q17_highwater" ->
+      """SELECT max(o_orderdate) AS max_orderdate,
+        |  min(o_orderdate) AS min_orderdate, COUNT(*) AS n
+        |FROM orders""".stripMargin,
+
+    "q20_evt_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q21_evt_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q22_evt_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM numbered GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q23_evt_highwater" ->
+      "SELECT max(ts) AS high_water, COUNT(*) AS n FROM events",
+
+    "q24_evt_gofmt" ->
+      """SELECT event_id,
+        |  regexp_replace(regexp_replace(
+        |    strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ'),
+        |    '(\.\d*?)0+Z$', '\1Z'), '\.Z$', 'Z') AS event_start_str
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q25_evt_export" ->
+      """SELECT CAST(event_id AS VARCHAR) AS IndvId,
+        |  CAST(user_id AS VARCHAR) AS UserId,
+        |  regexp_replace(regexp_replace(
+        |    strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ'),
+        |    '(\.\d*?)0+Z$', '\1Z'), '\.Z$', 'Z') AS EventStart,
+        |  event_type AS EventType,
+        |  '{"evt_value_real":"' || CAST(value AS VARCHAR)
+        |    || '","evt_props_str":"'
+        |    || replace(replace(props, '\', '\\'), '"', '\"')
+        |    || '"}' AS CustomVars
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q30_doc_tokens" ->
+      s"""SELECT doc_id, len($toksSql) AS n_tokens,
+         |  length(text) AS n_chars_actual
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_doc_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $toksSql AS tk FROM documents
+         |), stats AS (
+         |  SELECT doc_id, text, len(tk) AS n_words,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |      ELSE CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+         |        / CAST(len(tk) AS DOUBLE) END AS mean_word_len,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(tk,
+         |          t -> list_contains($stopwordsSql, lower(t)))) AS DOUBLE)
+         |        / CAST(len(tk) AS DOUBLE) END AS stopword_ratio,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(text,
+         |          '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) END AS punct_ratio
+         |  FROM base)
+         |SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+         |  round(stopword_ratio, 6) AS stopword_ratio,
+         |  round(punct_ratio, 6) AS punct_ratio,
+         |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         |    * (1.0 - punct_ratio) * (0.5 + stopword_ratio / 2.0), 6) AS quality
+         |FROM stats ORDER BY doc_id""".stripMargin,
+
+    "q32_doc_langid" -> {
+      val profiles = TextAnalysis.langProfiles
+      val scoreCols = profiles.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(tk, t -> list_contains($lst, lower(t)))) AS s_$lang"
+      }.mkString(",\n    ")
+      s"""WITH base AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |scored AS (SELECT doc_id,
+         |    $scoreCols
+         |  FROM base)
+         |SELECT doc_id,
+         |  CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |    WHEN s_es >= s_fr THEN 'es'
+         |    ELSE 'fr' END AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "q33_doc_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform($toksSql,
+         |        t -> CAST(length(t) AS BIGINT) * 31
+         |          + CAST(ascii(t) AS BIGINT) * 7
+         |          + CAST(ascii(reverse(t)) AS BIGINT))),
+         |    (a, b) -> (a * 131 + b) % 1000000007) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q34_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY text HAVING COUNT(*) > 1
+        |ORDER BY keep_id""".stripMargin,
+
+    "q35_dedup_drop" ->
+      "SELECT COUNT(*) AS n_unique FROM (SELECT DISTINCT text FROM documents) s",
+
+    "q36_jaccard_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS toks,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, toks,
+        |    list_distinct(CASE WHEN len(raw) < 3
+        |      THEN [array_to_string(raw, ' ')]
+        |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |            for i in range(0, len(raw) - 2)] END) AS tri
+        |  FROM tk)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0
+        |    THEN 0.0
+        |    ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)
+        |    END, 6) AS sim,
+        |  round(CASE WHEN len(list_distinct(list_concat(a.tri, b.tri))) = 0
+        |    THEN 0.0
+        |    ELSE CAST(len(list_intersect(a.tri, b.tri)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.tri, b.tri))) AS DOUBLE)
+        |    END, 6) AS sim3
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a_id""".stripMargin,
+
+    "q37_dedup_minhash_lsh" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, raw,
+        |    CASE WHEN len(raw) < 3 THEN [array_to_string(raw, ' ')]
+        |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |            for i in range(0, len(raw) - 2)] END AS shingles
+        |  FROM tk
+        |), sig AS (
+        |  SELECT doc_id, raw, shingles,
+        |    [list_min([md5(CAST(i AS VARCHAR) || '|' || s) for s in shingles])
+        |     for i in range(0, 16)] AS mh
+        |  FROM sh
+        |), banded AS (
+        |  SELECT doc_id, raw, shingles,
+        |    unnest([CAST(b AS VARCHAR) || '_'
+        |            || array_to_string(mh[b*4+1:b*4+4], '|')
+        |            for b in range(0, 4)]) AS bandkey
+        |  FROM sig
+        |), pairs AS (
+        |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+        |    l.shingles AS a_sh, r.shingles AS b_sh
+        |  FROM banded l JOIN banded r ON l.bandkey = r.bandkey
+        |  WHERE l.doc_id < r.doc_id
+        |), verified AS (
+        |  SELECT a_id, b_id,
+        |    round(CASE WHEN len(list_distinct(list_concat(a_sh, b_sh))) = 0
+        |      THEN 0.0
+        |      ELSE CAST(len(list_intersect(list_distinct(a_sh),
+        |            list_distinct(b_sh))) AS DOUBLE)
+        |        / CAST(len(list_distinct(list_concat(a_sh, b_sh))) AS DOUBLE)
+        |      END, 6) AS sim
+        |  FROM pairs)
+        |SELECT a_id, b_id, sim FROM verified WHERE sim >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q40_knn_brute" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 30
+        |), c AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |), p AS (
+        |  SELECT qid, cid,
+        |    list_sum(list_transform(list_zip(qv, cv),
+        |      z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)
+        |        AS DECIMAL(38,20)))) AS dot,
+        |    list_sum(list_transform(qv,
+        |      x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |        AS DECIMAL(38,20)))) AS nq,
+        |    list_sum(list_transform(cv,
+        |      x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |        AS DECIMAL(38,20)))) AS nc
+        |  FROM q, c WHERE qid <> cid
+        |), scored AS (
+        |  SELECT qid AS query_id, cid AS neighbor_id,
+        |    round(CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+        |      ELSE CAST(dot AS DOUBLE)
+        |        / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
+        |      END, 6) AS sim
+        |  FROM p
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS INT) AS rk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+
+    "q43_mm_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT doc_id, modality, CAST(n AS BIGINT) AS byte_len,
+        |  CAST(CASE WHEN modality IN ('image', 'video') THEN n % 640 + 1
+        |    ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN modality IN ('image', 'video') THEN n % 480 + 1
+        |    ELSE 0 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN modality = 'image' THEN 1
+        |    WHEN modality = 'video' THEN n % 30 + 1
+        |    WHEN modality = 'audio' THEN n % 16000 + 1
+        |    ELSE 0 END AS BIGINT) AS n_frames
+        |FROM m ORDER BY doc_id""".stripMargin
+  )
 }

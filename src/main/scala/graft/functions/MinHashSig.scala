@@ -1,0 +1,144 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash signature over a token array, computed in ONE pass per row.
+  *
+  * `minhash_sig(tokens, k, shingleN, useMd5)`:
+  * builds word `shingleN`-gram shingles from `tokens` (documents shorter
+  * than `shingleN` tokens yield a single whole-document shingle), then for
+  * each of `k` hash seeds takes the minimum of hash(seed + "|" + shingle).
+  *
+  *   - `useMd5 = true`  -> array<string> of lexicographic-min md5 hex
+  *     digests. Engine-portable: DuckDB's
+  *     `list_min([md5(i || '|' || s) for s in shingles])` computes the
+  *     identical signature, which makes the LSH dedup pipeline
+  *     oracle-checkable end to end.
+  *   - `useMd5 = false` -> array<long> via a seeded FNV-1a 64-bit hash —
+  *     the cheap scale path.
+  *
+  * Why a native expression instead of higher-order functions: nested HOFs
+  * re-evaluate their children per element after projection collapse
+  * (re-tokenizing the document for every shingle x seed — quadratic row
+  * cost); this expression is a flat O(k * |shingles|) loop.
+  */
+case class MinHashSig(tokens: Expression, kE: Expression, nE: Expression,
+                      md5E: Expression)
+    extends Expression with CodegenFallback {
+
+  private lazy val k: Int = kE.eval().asInstanceOf[Number].intValue()
+  private lazy val shingleN: Int = nE.eval().asInstanceOf[Number].intValue()
+  private lazy val useMd5: Boolean = md5E.eval().asInstanceOf[Boolean]
+
+  override def children: Seq[Expression] = Seq(tokens, kE, nE, md5E)
+  override def nullable: Boolean = tokens.nullable
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def dataType: DataType =
+    if (md5E.eval().asInstanceOf[Boolean]) ArrayType(StringType, containsNull = false)
+    else ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (tokens.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }) && kE.foldable && nE.foldable && md5E.foldable
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "minhash_sig expects (array<string>, int literal, int literal, bool literal)")
+  }
+
+  private def shingleStrings(toks: ArrayData): Array[String] = {
+    val n = toks.numElements()
+    val words = new Array[String](n)
+    var i = 0
+    while (i < n) { words(i) = toks.getUTF8String(i).toString; i += 1 }
+    if (n < shingleN) Array(words.mkString(" "))
+    else {
+      val out = new Array[String](n - shingleN + 1)
+      var j = 0
+      while (j <= n - shingleN) {
+        val sb = new java.lang.StringBuilder(words(j))
+        var m = 1
+        while (m < shingleN) { sb.append(' ').append(words(j + m)); m += 1 }
+        out(j) = sb.toString
+        j += 1
+      }
+      out
+    }
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: MessageDigest, s: String): String = {
+    val d = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Seeded FNV-1a 64-bit over the shingle's UTF-8 bytes. */
+  private def fnv64(seed: Int, s: String): Long = {
+    var h = 0xcbf29ce484222325L ^ (seed * 0x9e3779b97f4a7c15L)
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xff)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val t = tokens.eval(input)
+    if (t == null) return null
+    val shingles = shingleStrings(t.asInstanceOf[ArrayData])
+    if (useMd5) {
+      val md = MessageDigest.getInstance("MD5")
+      val mins = new Array[AnyRef](k)
+      var i = 0
+      while (i < k) {
+        val prefix = i.toString + "|"
+        var best: String = null
+        var j = 0
+        while (j < shingles.length) {
+          val h = md5Hex(md, prefix + shingles(j))
+          if (best == null || h.compareTo(best) < 0) best = h
+          j += 1
+        }
+        mins(i) = UTF8String.fromString(if (best == null) "" else best)
+        i += 1
+      }
+      new GenericArrayData(mins)
+    } else {
+      val mins = new Array[Long](k)
+      var i = 0
+      while (i < k) {
+        var best = Long.MaxValue
+        var j = 0
+        while (j < shingles.length) {
+          val h = fnv64(i, shingles(j))
+          if (h < best) best = h
+          j += 1
+        }
+        mins(i) = if (shingles.isEmpty) 0L else best
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(tokens = newChildren(0), kE = newChildren(1), nE = newChildren(2),
+      md5E = newChildren(3))
+}

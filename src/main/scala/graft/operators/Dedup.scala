@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact dedup,
+  * MinHash+LSH near-dup, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design (the point at 100 TB):
+  *   - exact dedup is a hash-groupBy on a digest, never on raw text — the
+  *     shuffle moves 16-byte keys + doc ids, not documents;
+  *   - MinHash/LSH turns the quadratic all-pairs problem into an equi-join
+  *     on (band index, band hash): signatures are computed map-side in one
+  *     pass, candidates materialize only inside identical buckets, and the
+  *     final Jaccard verify runs on the candidate set only;
+  *   - every step is a DataFrame op (groupBy / join on short keys), so AQE
+  *     handles skewed buckets and partial aggregation runs map-side.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: digest -> representative (min doc id) + count.
+    * Grouping on md5 keeps the shuffle narrow and is oracle-checkable. */
+  def exactDuplicateGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  /** Drop exact duplicates, keeping the min-id representative per text.
+    * Window-free formulation: an aggregate + semi-join back keeps the plan
+    * a pair of narrow shuffles on the digest key. */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = docs
+      .groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signature as array<string> of length k, using md5 hex-string
+    * minima over n-gram shingles. String-min MinHash is engine-portable
+    * (DuckDB computes the identical signature), which makes the whole LSH
+    * pipeline oracle-checkable. One native pass per row (see
+    * [[graft.functions.MinHashSig]]); requires GraftFunctions.register. */
+  def minhashSignature(text: Column, k: Int, shingleN: Int): Column =
+    graft.functions.GraftFunctions.minhash_sig(
+      TextAnalysis.tokens(text), k, shingleN, useMd5 = true)
+
+  /** Fast MinHash signature (array<long>) via a seeded FNV-1a 64-bit
+    * hash — the scale path, ~10x cheaper than md5. Not oracle-portable,
+    * verified by spec instead. */
+  def minhashSignatureFast(text: Column, k: Int, shingleN: Int): Column =
+    graft.functions.GraftFunctions.minhash_sig(
+      TextAnalysis.tokens(text), k, shingleN, useMd5 = false)
+
+  /** LSH band keys: the signature split into `bands` contiguous rows, each
+    * band rendered to one string key. Equal band key => candidate pair. */
+  def lshBandKeys(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws("_", b.cast("string"),
+        concat_ws("|", slice(sig, b * r + 1, lit(r)))))
+  }
+
+  /** Word-set Jaccard similarity of two texts (unigram token sets). */
+  def jaccardTokens(a: Column, b: Column): Column = {
+    val ta = array_distinct(TextAnalysis.tokens(a))
+    val tb = array_distinct(TextAnalysis.tokens(b))
+    val inter = size(array_intersect(ta, tb)).cast("double")
+    val uni = size(array_union(ta, tb)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Word n-gram Jaccard similarity of two texts. */
+  def jaccardShingles(a: Column, b: Column, n: Int): Column = {
+    val sa = array_distinct(TextAnalysis.shingles(a, n))
+    val sb = array_distinct(TextAnalysis.shingles(b, n))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = size(array_union(sa, sb)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs over `docs`, verified with
+    * exact token-set Jaccard >= threshold. Output: (a_id, b_id, sim) with
+    * a_id < b_id, one row per confirmed near-dup pair.
+    *
+    * Plan shape: scan -> map-side signature/bands -> explode(bands) ->
+    * shuffle on band key -> in-bucket self-join -> distinct pairs ->
+    * verify. No all-pairs product ever forms.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+                      threshold: Double = 0.5,
+                      fast: Boolean = true): DataFrame = {
+    val sig = if (fast) minhashSignatureFast(col(textCol), k, shingleN)
+              else minhashSignature(col(textCol), k, shingleN)
+    // Shingle sets and signatures are computed ONCE per document; the
+    // candidate join moves only (id, bandkey) pairs, and the Jaccard verify
+    // re-attaches the precomputed shingle arrays by id — never recomputing
+    // per candidate pair (that would be quadratic work at scale).
+    val prepared = docs.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"),
+      lshBandKeys(sig, k, bands).as("bandkeys"))
+    val banded = prepared
+      .select(col("id"), explode(col("bandkeys")).as("bandkey"))
+    val candidates = banded.select(col("bandkey"), col("id").as("a_id"))
+      .join(banded.select(col("bandkey"), col("id").as("b_id")), Seq("bandkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val shA = prepared.select(col("id").as("a_id"), col("sh").as("a_sh"))
+    val shB = prepared.select(col("id").as("b_id"), col("sh").as("b_sh"))
+    val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+    val uni = size(array_union(col("a_sh"), col("b_sh"))).cast("double")
+    candidates
+      .join(shA, Seq("a_id")).join(shB, Seq("b_id"))
+      .withColumn("sim", round(
+        when(uni === 0, lit(0.0)).otherwise(inter / uni), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+
+  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
+    * Map-side only; Hamming-close simhashes => near-dup candidates. */
+  def simhash64(text: Column): Column = {
+    import org.apache.spark.sql.functions.{call_function => cf}
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val bits = transform(sequence(lit(0), lit(63)), b =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(cf("shiftright", h, b).bitwiseAND(lit(1L)) === 1L,
+          lit(1L)).otherwise(lit(-1L))) > 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(sequence(lit(0), lit(63)), lit(0L),
+      (acc, b) => acc.bitwiseOR(
+        cf("shiftleft", element_at(bits, b.cast("int") + 1), b)))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, using the
+    * codegen'd cosine kernel over LSH-bucketed candidates (see
+    * [[Similarity.lshBuckets]]). */
+  def embeddingNearDupPairs(embs: DataFrame, idCol: String, vecCol: String,
+                            planes: Int = 12, threshold: Double = 0.95): DataFrame = {
+    val bucketed = embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      Similarity.lshBuckets(col(vecCol), planes).as("bucket"))
+    val l = bucketed.select(col("bucket"), col("id").as("a_id"), col("vec").as("a_vec"))
+    val r = bucketed.select(col("bucket"), col("id").as("b_id"), col("vec").as("b_vec"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", graft.functions.GraftFunctions.cosine_sim(col("a_vec"), col("b_vec")))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+      .distinct()
+  }
+}

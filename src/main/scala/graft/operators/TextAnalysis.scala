@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the large-scale training-data pipeline:
+  * tokenization, token counting, quality scoring, language ID, document
+  * fingerprinting. All are narrow per-row projections built from codegen'd
+  * built-ins / higher-order functions — no UDFs, no shuffles — so they
+  * pipeline inside one stage over an arbitrarily large `documents` scan.
+  *
+  * These extend the reference's record-level transform pipeline
+  * (reference: internal/service.go:72-119) into content analytics; each has
+  * a DuckDB-oracle query in [[graft.SparkEntry]] where SQL-expressible.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty tokens dropped (mirrors DuckDB
+    * `list_filter(regexp_split_to_array(t,'\s+'), x -> x <> '')`). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: count of maximal runs of letters / digits /
+    * single other non-space chars. */
+  def bpeTokenCount(text: Column): Column =
+    size(expr(s"regexp_extract_all(${text.toString}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+
+  /** Small multilingual stopword profiles for the n-gram/stopword language
+    * heuristic. Deterministic and tiny by design (a literal array per
+    * language — broadcast-free, constant-folded). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est", "que"))
+
+  /** Score for one language = number of tokens present in its profile. */
+  def langScore(toks: Column, profile: Seq[String]): Column =
+    size(filter(toks, t => array_contains(
+      array(profile.map(lit): _*), lower(t))))
+
+  /** Heuristic language ID: argmax over profile scores, ties broken by
+    * language code ascending, all-zero scores -> 'und'. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    // struct sort: (-score, lang) ascending => best first
+    val scored = array(langProfiles.map { case (lang, prof) =>
+      struct((-langScore(toks, prof)).as("neg"), lit(lang).as("lang"))
+    }: _*)
+    val best = array_min(scored)
+    when(best.getField("neg") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
+  private val punctPattern = "[^.,;:!?'\"()-]"
+
+  /** Quality statistics: word count, mean word length, stopword ratio,
+    * punctuation ratio — exact integer components, double ratios. */
+  def wordCount(text: Column): Column = tokenCount(text)
+
+  def meanWordLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks).cast("double"))
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val allStops = langProfiles.flatMap(_._2).distinct.sorted
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => array_contains(
+        array(allStops.map(lit): _*), lower(t)))).cast("double")
+        / size(toks).cast("double"))
+  }
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, punctPattern, "")).cast("double")
+        / length(text).cast("double"))
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with low
+    * punctuation noise and a sane stopword share. Same arithmetic shape on
+    * both engines -> bitwise-stable doubles. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punct = punctRatio(text)
+    val stop = stopwordRatio(text)
+    round(lenScore * (lit(1.0) - punct) * (lit(0.5) + stop / lit(2.0)), 6)
+  }
+
+  /** Rolling polynomial document fingerprint over the token stream:
+    * h = fold(tokens, 0, (h, t) -> (h*131 + tokHash(t)) mod 1e9+7) with a
+    * per-token hash from length/first/last code points. Left-fold order is
+    * identical in Spark `aggregate` and DuckDB `list_reduce`, making it
+    * oracle-checkable, unlike engine-private hash64s. */
+  def fingerprint(text: Column): Column = {
+    val p = lit(1000000007L)
+    val toks = tokens(text)
+    val tokHash = (t: Column) =>
+      length(t).cast("long") * 31L + ascii(t).cast("long") * 7L +
+        ascii(reverse(t)).cast("long")
+    aggregate(toks, lit(0L), (h, t) => (h * 131L + tokHash(t)) % p)
+  }
+
+  /** Word n-gram shingles as space-joined strings, for MinHash / Jaccard. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}
