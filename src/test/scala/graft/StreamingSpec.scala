@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+
+/** Structured Streaming front-door tests: static parquet driven through the
+  * streaming reader with AvailableNow/processAllAvailable (SURVEY.md §2.8). */
+class StreamingSpec extends SparkSpec {
+
+  private def eventsDir: (String, org.apache.spark.sql.types.StructType) = {
+    val s = spark
+    import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val df = Seq(
+      (0L, at(1), 1L, "click", 1.0),
+      (1L, at(2), 1L, "click", 2.0),
+      (2L, at(6), 2L, "view", 3.0),
+      (3L, at(62), 1L, "click", 4.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("graft-stream").toString
+    df.write.mode("overwrite").parquet(dir)
+    (dir, df.schema)
+  }
+
+  test("windowed aggregate with watermark over a streaming read") {
+    val (dir, schema) = eventsDir
+    val agg = EventStream.windowedAgg(
+      EventStream.readEvents(spark, dir, schema), "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("win_out")
+      .orderBy(col("window_start"), col("event_type")).collect()
+    // append mode emits only windows the watermark has passed:
+    // max ts = 01:02 => watermark 00:52 closes [00:00,00:05) and [00:05,00:10)
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_events") == 2)    // two clicks in minute 1-2
+    assert(rows(1).getAs[Long]("n_events") == 1)    // one view at minute 6
+  }
+
+  test("session_window sessionization over a streaming read") {
+    val (dir, schema) = eventsDir
+    val agg = EventStream.sessionAgg(
+      EventStream.readEvents(spark, dir, schema), "30 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess_out").collect()
+    // user 1's first session (minutes 1,2) closed by the watermark;
+    // the minute-62 event opens a still-unclosed session (not emitted)
+    val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.length == 1 && u1(0).getAs[Long]("n_events") == 2)
+  }
+
+  test("foreachBatch warehouse sink writes day-partitioned parquet") {
+    val (dir, schema) = eventsDir
+    val out = Files.createTempDirectory("graft-stream-wh").toString
+    val cp = Files.createTempDirectory("graft-stream-cp").toString
+    val agg = EventStream.windowedAgg(
+      EventStream.readEvents(spark, dir, schema), "5 minutes", "10 minutes")
+    val q = EventStream.writeToWarehouse(agg, s"$out/data", cp)
+    q.awaitTermination(60000)
+    val table = spark.read.parquet(s"$out/data")
+    assert(table.columns.contains("day"))
+    assert(table.count() == 2)
+  }
+}
