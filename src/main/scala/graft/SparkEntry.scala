@@ -271,6 +271,7 @@ object SparkEntry {
     }),
 
     "q36_jaccard_pairs" -> ((s, dir) => {
+      GraftFunctions.register(s)
       val d = t(s, dir, "documents")
       val a = d.select(col("doc_id").as("a_id"), col("text").as("a_text"))
       val b = d.select(col("doc_id").as("b_id"), col("text").as("b_text"))
@@ -307,6 +308,7 @@ object SparkEntry {
     // ---- similarity search (extended scope) ----
 
     "q40_knn_brute" -> ((s, dir) => {
+      GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 30), k = 5,
           exact = true)

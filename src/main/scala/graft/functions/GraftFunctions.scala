@@ -20,9 +20,19 @@ object GraftFunctions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_sig",
-      exprs => MinHashSig(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+      exprs => MinHashSig(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "hyperplane_lsh", exprs => HyperplaneLsh(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs(0), exprs(1)), "built-in")
     registered = true
   }
+
+  /** One-pass word n-gram shingles over a token array. */
+  def word_shingles(tokens: Column, n: Int): Column =
+    call_function("word_shingles", tokens,
+      org.apache.spark.sql.functions.lit(n))
 
   /** Codegen'd cosine similarity over two array<float> columns. */
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
@@ -32,5 +42,20 @@ object GraftFunctions {
     call_function("minhash_sig", tokens,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(shingleN),
-      org.apache.spark.sql.functions.lit(useMd5))
+      org.apache.spark.sql.functions.lit(useMd5),
+      org.apache.spark.sql.functions.lit(0))
+
+  /** One-pass MinHash LSH band keys (signature + banding fused). */
+  def minhash_bands(tokens: Column, k: Int, shingleN: Int, useMd5: Boolean,
+                    bands: Int): Column =
+    call_function("minhash_sig", tokens,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(shingleN),
+      org.apache.spark.sql.functions.lit(useMd5),
+      org.apache.spark.sql.functions.lit(bands))
+
+  /** Codegen'd random-hyperplane LSH bucket id (see [[HyperplaneLsh]]). */
+  def hyperplane_lsh(vec: Column, planes: Int): Column =
+    call_function("hyperplane_lsh", vec,
+      org.apache.spark.sql.functions.lit(planes))
 }

@@ -30,18 +30,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * cost); this expression is a flat O(k * |shingles|) loop.
   */
 case class MinHashSig(tokens: Expression, kE: Expression, nE: Expression,
-                      md5E: Expression)
+                      md5E: Expression, bandsE: Expression)
     extends Expression with CodegenFallback {
 
   private lazy val k: Int = kE.eval().asInstanceOf[Number].intValue()
   private lazy val shingleN: Int = nE.eval().asInstanceOf[Number].intValue()
   private lazy val useMd5: Boolean = md5E.eval().asInstanceOf[Boolean]
+  /** bands = 0 -> raw signature; bands > 0 -> LSH band-key strings
+    * "b_h1|h2|...", identical to slicing the signature into `bands`
+    * contiguous rows (still one pass — no 4x signature re-evaluation via
+    * slice expressions). */
+  private lazy val bands: Int = bandsE.eval().asInstanceOf[Number].intValue()
 
-  override def children: Seq[Expression] = Seq(tokens, kE, nE, md5E)
+  override def children: Seq[Expression] = Seq(tokens, kE, nE, md5E, bandsE)
   override def nullable: Boolean = tokens.nullable
   override def foldable: Boolean = children.forall(_.foldable)
   override def dataType: DataType =
-    if (md5E.eval().asInstanceOf[Boolean]) ArrayType(StringType, containsNull = false)
+    if (bandsE.eval().asInstanceOf[Number].intValue() > 0 ||
+        md5E.eval().asInstanceOf[Boolean])
+      ArrayType(StringType, containsNull = false)
     else ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes()
@@ -49,10 +56,10 @@ case class MinHashSig(tokens: Expression, kE: Expression, nE: Expression,
     val ok = (tokens.dataType match {
       case ArrayType(StringType, _) => true
       case _ => false
-    }) && kE.foldable && nE.foldable && md5E.foldable
+    }) && kE.foldable && nE.foldable && md5E.foldable && bandsE.foldable
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      "minhash_sig expects (array<string>, int literal, int literal, bool literal)")
+      "minhash_sig expects (array<string>, int, int, bool, int literals)")
   }
 
   private def shingleStrings(toks: ArrayData): Array[String] = {
@@ -98,15 +105,12 @@ case class MinHashSig(tokens: Expression, kE: Expression, nE: Expression,
     h
   }
 
-  override def eval(input: InternalRow): Any = {
-    val t = tokens.eval(input)
-    if (t == null) return null
-    val shingles = shingleStrings(t.asInstanceOf[ArrayData])
-    if (useMd5) {
-      val md = MessageDigest.getInstance("MD5")
-      val mins = new Array[AnyRef](k)
-      var i = 0
-      while (i < k) {
+  private def rawSignature(shingles: Array[String]): Array[String] = {
+    val md = if (useMd5) MessageDigest.getInstance("MD5") else null
+    val mins = new Array[String](k)
+    var i = 0
+    while (i < k) {
+      if (useMd5) {
         val prefix = i.toString + "|"
         var best: String = null
         var j = 0
@@ -115,14 +119,8 @@ case class MinHashSig(tokens: Expression, kE: Expression, nE: Expression,
           if (best == null || h.compareTo(best) < 0) best = h
           j += 1
         }
-        mins(i) = UTF8String.fromString(if (best == null) "" else best)
-        i += 1
-      }
-      new GenericArrayData(mins)
-    } else {
-      val mins = new Array[Long](k)
-      var i = 0
-      while (i < k) {
+        mins(i) = if (best == null) "" else best
+      } else {
         var best = Long.MaxValue
         var j = 0
         while (j < shingles.length) {
@@ -130,15 +128,45 @@ case class MinHashSig(tokens: Expression, kE: Expression, nE: Expression,
           if (h < best) best = h
           j += 1
         }
-        mins(i) = if (shingles.isEmpty) 0L else best
-        i += 1
+        mins(i) = String.valueOf(if (shingles.isEmpty) 0L else best)
       }
-      new GenericArrayData(mins)
+      i += 1
+    }
+    mins
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val t = tokens.eval(input)
+    if (t == null) return null
+    val shingles = shingleStrings(t.asInstanceOf[ArrayData])
+    val sig = rawSignature(shingles)
+    if (bands > 0) {
+      // band keys, matching Dedup.lshBandKeys: "b_h1|h2|...|hr"
+      val r = k / bands
+      val out = new Array[AnyRef](bands)
+      var b = 0
+      while (b < bands) {
+        val sb = new java.lang.StringBuilder
+        sb.append(b).append('_')
+        var m = 0
+        while (m < r) {
+          if (m > 0) sb.append('|')
+          sb.append(sig(b * r + m))
+          m += 1
+        }
+        out(b) = UTF8String.fromString(sb.toString)
+        b += 1
+      }
+      new GenericArrayData(out)
+    } else if (useMd5) {
+      new GenericArrayData(sig.map(UTF8String.fromString): Array[AnyRef])
+    } else {
+      new GenericArrayData(sig.map(java.lang.Long.parseLong))
     }
   }
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(tokens = newChildren(0), kE = newChildren(1), nE = newChildren(2),
-      md5E = newChildren(3))
+      md5E = newChildren(3), bandsE = newChildren(4))
 }

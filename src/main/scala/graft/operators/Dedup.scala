@@ -91,15 +91,22 @@ object Dedup {
                       k: Int = 16, bands: Int = 4, shingleN: Int = 3,
                       threshold: Double = 0.5,
                       fast: Boolean = true): DataFrame = {
-    val sig = if (fast) minhashSignatureFast(col(textCol), k, shingleN)
-              else minhashSignature(col(textCol), k, shingleN)
-    // Shingle sets and signatures are computed ONCE per document; the
-    // candidate join moves only (id, bandkey) pairs, and the Jaccard verify
-    // re-attaches the precomputed shingle arrays by id — never recomputing
-    // per candidate pair (that would be quadratic work at scale).
-    val prepared = docs.select(col(idCol).as("id"),
+    // Shingle sets and banded signatures are computed ONCE per document in
+    // a single native pass (signature + banding fused — slicing a signature
+    // column into bands would re-evaluate it per band); the candidate join
+    // moves only (id, bandkey) pairs, and the Jaccard verify re-attaches
+    // the precomputed shingle arrays by id — never recomputing per
+    // candidate pair (that would be quadratic work at scale).
+    // CPU-bound signature stage: small corpora arrive as one input split,
+    // so spread rows across the cluster first (at 100 TB the scan already
+    // has enough splits; the repartition is a no-op cost-wise).
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val spread = docs.repartition(parallelism, col(idCol))
+    val prepared = spread.select(col(idCol).as("id"),
       array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"),
-      lshBandKeys(sig, k, bands).as("bandkeys"))
+      graft.functions.GraftFunctions.minhash_bands(
+        TextAnalysis.tokens(col(textCol)), k, shingleN, !fast, bands)
+        .as("bandkeys"))
     val banded = prepared
       .select(col("id"), explode(col("bandkeys")).as("bandkey"))
     val candidates = banded.select(col("bandkey"), col("id").as("a_id"))

@@ -43,24 +43,10 @@ object Similarity {
       dsum(dot) / (sqrt(dsum(na)) * sqrt(dsum(nb))))
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1]:
-    * derived from xxhash64(plane, component). */
-  private def planeComponent(p: Column, j: Column): Column =
-    (xxhash64(lit("plane"), p, j) % 10000L).cast("double") / 10000.0
-
-  /** Sign-bit LSH bucket id from `planes` random hyperplanes. */
-  def lshBuckets(vec: Column, planes: Int): Column = {
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") * planeComponent(p, j)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L),
-      (acc, p) => acc.bitwiseOR(call_function("shiftleft",
-        element_at(bits, p.cast("int") + 1), p)))
-  }
+  /** Sign-bit LSH bucket id from `planes` deterministic random hyperplanes
+    * — one codegen'd pass per row (see [[graft.functions.HyperplaneLsh]]). */
+  def lshBuckets(vec: Column, planes: Int): Column =
+    GraftFunctions.hyperplane_lsh(vec, planes)
 
   /** Exact cosine top-k: for every query vector, the k nearest corpus
     * vectors (self-matches excluded). `queries` is expected to be small —
@@ -71,16 +57,37 @@ object Similarity {
                      exact: Boolean = false): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-    val simCol = if (exact) cosineExact(col("q_vec"), col("c_vec"))
-                 else GraftFunctions.cosine_sim(col("q_vec"), col("c_vec"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(simCol, 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"),
-        col("rk").cast("int").as("rk"))
+    if (!exact) {
+      val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim",
+          round(GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")), 6))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rk").cast("int").as("rk"))
+    } else {
+      // Two-phase: the codegen'd double kernel scans all pairs and keeps a
+      // generous candidate margin; the expensive decimal-exact
+      // (oracle-bitwise) cosine then re-scores only candidates. The two
+      // kernels differ merely in FP summation error (<1e-12), so a true
+      // top-k member cannot rank below k + margin in phase 1.
+      val margin = k + 15
+      val wf = Window.partitionBy(col("query_id"))
+        .orderBy(col("fsim").desc, col("neighbor_id").asc)
+      val candidates = c
+        .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("fsim", GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")))
+        .withColumn("frk", row_number().over(wf))
+        .filter(col("frk") <= margin)
+      candidates
+        .withColumn("sim", round(cosineExact(col("q_vec"), col("c_vec")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rk").cast("int").as("rk"))
+    }
   }
 
   /** LSH-bucketed approximate top-k: equi-join on bucket id, exact cosine

@@ -105,11 +105,10 @@ object TextAnalysis {
     aggregate(toks, lit(0L), (h, t) => (h * 131L + tokHash(t)) % p)
   }
 
-  /** Word n-gram shingles as space-joined strings, for MinHash / Jaccard. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** Word n-gram shingles as space-joined strings, for MinHash / Jaccard.
+    * One native pass per row (requires GraftFunctions.register on the
+    * session — the HOF formulation re-evaluates the token split per
+    * shingle, which is quadratic per row). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.word_shingles(tokens(text), n)
 }
