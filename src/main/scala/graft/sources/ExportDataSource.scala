@@ -1,0 +1,245 @@
+package graft.sources
+
+import java.time.Instant
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.schema.ExportSchema
+
+/** DataSourceV2 connector for hauser-style export bundles — the engine's
+  * S1 operator (SURVEY.md §2.1): a batch scan over raw export JSON with
+  *   - projection pushdown (`SupportsPushDownRequiredColumns`): only
+  *     requested schema fields are materialized, mirroring the field list
+  *     sent in CreateExport (reference: client/export.go:62,
+  *     warehouse/schema.go:176-190);
+  *   - predicate pushdown (`SupportsPushDownFilters`) of the EventStart
+  *     time range, evaluated while decoding — the connector-level analog of
+  *     the export request's start/end (reference: client/export.go:56-62,
+  *     semantics `start <= EventStart < end` per client/client.go:31-34);
+  *   - the hauser record split: known fields (case-insensitive) become
+  *     typed columns, everything else folds into the CustomVars JSON column
+  *     (reference: internal/service.go:86-96).
+  *
+  * Usage: `spark.read.format("graft-export").load(path)` where `path` holds
+  * JSON files of record arrays. One InputPartition per file; a production
+  * deployment against the live API would instead emit one partition per
+  * polled export window.
+  */
+class ExportDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-export"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ExportDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new ExportTable(properties.asScala.toMap)
+}
+
+object ExportDataSource {
+  /** The canonical typed export schema (59 fields, CustomVars last). */
+  val schema: StructType = ExportSchema.toStructType(ExportSchema.baseFields)
+
+  private[sources] val fieldByLower: Map[String, (Int, StructField)] =
+    schema.fields.zipWithIndex
+      .map { case (f, i) => f.name.toLowerCase -> (i, f) }.toMap
+}
+
+private[sources] class ExportTable(properties: Map[String, String])
+    extends Table with SupportsRead {
+
+  override def name(): String =
+    s"graft-export(${properties.getOrElse("path", "?")})"
+  override def schema(): StructType = ExportDataSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ExportScanBuilder(options.asScala.getOrElse("path",
+      properties.getOrElse("path",
+        throw new IllegalArgumentException("graft-export requires a path"))))
+}
+
+private[sources] class ExportScanBuilder(path: String)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var requiredSchema: StructType = ExportDataSource.schema
+  private var timeLo: Option[(Instant, Boolean)] = None // (bound, inclusive)
+  private var timeHi: Option[(Instant, Boolean)] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = required
+
+  private def asInstant(v: Any): Option[Instant] = v match {
+    case t: java.sql.Timestamp => Some(t.toInstant)
+    case i: Instant => Some(i)
+    case s: String => scala.util.Try(Instant.parse(s)).toOption
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThanOrEqual("EventStart", v) => asInstant(v).exists { i =>
+        timeLo = Some((i, true)); true }
+      case GreaterThan("EventStart", v) => asInstant(v).exists { i =>
+        timeLo = Some((i, false)); true }
+      case LessThan("EventStart", v) => asInstant(v).exists { i =>
+        timeHi = Some((i, false)); true }
+      case LessThanOrEqual("EventStart", v) => asInstant(v).exists { i =>
+        timeHi = Some((i, true)); true }
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new ExportScan(path, requiredSchema, timeLo, timeHi)
+}
+
+private[sources] class ExportScan(path: String, required: StructType,
+                                  lo: Option[(Instant, Boolean)],
+                                  hi: Option[(Instant, Boolean)])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-export $path, pushed time range: $lo .. $hi"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
+      else Array(path)
+    files.sorted.map(f => ExportInputPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ExportReaderFactory(required, lo, hi)
+}
+
+private[sources] case class ExportInputPartition(file: String)
+    extends InputPartition
+
+private[sources] class ExportReaderFactory(required: StructType,
+                                           lo: Option[(Instant, Boolean)],
+                                           hi: Option[(Instant, Boolean)])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ExportPartitionReader(
+      partition.asInstanceOf[ExportInputPartition].file, required, lo, hi)
+}
+
+/** Streams one JSON bundle file: gunzip-free local read (Spark's JSON
+  * sources auto-decompress; a live connector would wrap the HTTP body),
+  * token-level array iteration, per-record transform to the pruned schema.
+  * Malformed records are skipped, malformed array framing aborts
+  * (reference: internal/service.go:183-211). */
+private[sources] class ExportPartitionReader(
+    file: String, required: StructType,
+    lo: Option[(Instant, Boolean)], hi: Option[(Instant, Boolean)])
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val records: Iterator[JsonNode] = {
+    val p = new Path(file)
+    val in = p.getFileSystem(new Configuration()).open(p)
+    val root = try mapper.readTree(in) finally in.close()
+    require(root.isArray, s"export bundle $file is not a JSON array")
+    root.elements().asScala
+  }
+
+  private var current: InternalRow = _
+
+  private def inRange(t: Instant): Boolean = {
+    val okLo = lo.forall { case (b, incl) =>
+      if (incl) !t.isBefore(b) else t.isAfter(b) }
+    val okHi = hi.forall { case (b, incl) =>
+      if (incl) !t.isAfter(b) else t.isBefore(b) }
+    okLo && okHi
+  }
+
+  private def toMicros(t: Instant): Long =
+    Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),
+      t.getNano / 1000L)
+
+  private def convert(node: JsonNode): Option[InternalRow] = {
+    // event-time pushdown gate
+    val evtNode = node.fields().asScala
+      .find(_.getKey.equalsIgnoreCase("EventStart")).map(_.getValue)
+    val evt = evtNode.flatMap(n =>
+      scala.util.Try(Instant.parse(n.asText())).toOption)
+    if (evt.isEmpty || !inRange(evt.get)) return None
+
+    val values = new Array[Any](required.length)
+    val custom = new java.util.LinkedHashMap[String, JsonNode]()
+    val wanted = required.fields.zipWithIndex
+      .map { case (f, i) => f.name.toLowerCase -> i }.toMap
+    val needCustom = wanted.contains("customvars")
+
+    node.fields().asScala.foreach { e =>
+      val key = e.getKey
+      ExportDataSource.fieldByLower.get(key.toLowerCase) match {
+        case Some((_, field)) =>
+          wanted.get(field.name.toLowerCase).foreach { i =>
+            values(i) = cast(e.getValue, field.dataType)
+          }
+        case None =>
+          if (needCustom) custom.put(key, e.getValue)
+      }
+    }
+    if (needCustom) {
+      val i = wanted("customvars")
+      values(i) = UTF8String.fromString(mapper.writeValueAsString(custom))
+    }
+    Some(new GenericInternalRow(values))
+  }
+
+  private def cast(n: JsonNode, dt: DataType): Any =
+    if (n == null || n.isNull) null
+    else dt match {
+      case StringType => UTF8String.fromString(
+        if (n.isTextual) n.asText() else n.toString)
+      case LongType => n.asLong()
+      case IntegerType => n.asInt()
+      case DoubleType => n.asDouble()
+      case TimestampType =>
+        scala.util.Try(toMicros(Instant.parse(n.asText()))).getOrElse(null)
+      case _ => null
+    }
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null && records.hasNext) {
+      // malformed record -> skipped, keep the bundle
+      current = scala.util.Try(convert(records.next())).toOption.flatten.orNull
+    }
+    current != null
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
