@@ -107,8 +107,11 @@ object Dedup {
       graft.functions.GraftFunctions.minhash_bands(
         TextAnalysis.tokens(col(textCol)), k, shingleN, !fast, bands)
         .as("bandkeys"))
+    // explode_outer, not explode: the band array is never empty, and plain
+    // explode makes Catalyst infer a size(bandkeys)>0 scan filter that
+    // re-evaluates the whole signature a second time per row.
     val banded = prepared
-      .select(col("id"), explode(col("bandkeys")).as("bandkey"))
+      .select(col("id"), explode_outer(col("bandkeys")).as("bandkey"))
     val candidates = banded.select(col("bandkey"), col("id").as("a_id"))
       .join(banded.select(col("bandkey"), col("id").as("b_id")), Seq("bandkey"))
       .filter(col("a_id") < col("b_id"))

@@ -1,0 +1,46 @@
+package graft
+
+/** Physical-plan regression audit: the properties that make these queries
+  * survive a 100 TB scale-up must be visible in the executed plan —
+  * pushed filters, pruned read schemas, broadcast dimension joins, and no
+  * accidental quadratic recompute (inferred generator predicates). */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: shipdate predicate and column pruning reach the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"))
+    assert(!p.contains("l_orderkey")) // pruned: only 7 of 11 columns read
+  }
+
+  test("q02/q05: dimension joins broadcast, no shuffle join of small dims") {
+    assert(plan("q02_top_customers").contains("BroadcastHashJoin"))
+    val p5 = plan("q05_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p5).size >= 4)
+    assert(!p5.contains("CartesianProduct"))
+  }
+
+  test("q37: LSH join is an equi-join on band keys, no cartesian product") {
+    val p = plan("q37_dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // explode_outer keeps the inferred size()>0 predicate out of the scan:
+    // the signature must not be evaluated inside scan DataFilters
+    assert(!p.contains("DataFilters: [(size(minhashsig"))
+  }
+
+  test("q20: events aggregate reads only the three needed columns") {
+    val p = plan("q20_evt_hourly")
+    assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string,value:double>"))
+  }
+
+  test("q40: corpus scans once; queries are the broadcast side") {
+    val p = plan("q40_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin")) // intended: tiny query set x corpus
+    assert(!p.contains("CartesianProduct"))
+  }
+}
