@@ -38,6 +38,39 @@ trait DataExportSource {
   * malformed records are dropped, not fatal (PERMISSIVE/DROPMALFORMED,
   * SURVEY.md §7.4 trap 4).
   */
+/** DSv2-backed source: the same create/poll/fetch protocol served by the
+  * `graft-export` connector, so the time-range predicate and the projection
+  * are pushed INTO the scan by Catalyst rather than applied after it
+  * (S1's "custom DataSourceV2 TableProvider" path, SURVEY.md §2.1). */
+class Dsv2ExportSource(spark: SparkSession, bundleDir: String)
+    extends DataExportSource {
+
+  private case class Pending(start: Instant, end: Instant)
+  private val ops = scala.collection.concurrent.TrieMap[String, Pending]()
+  private val counter = new java.util.concurrent.atomic.AtomicLong()
+
+  override def createExport(start: Instant, end: Instant,
+                            fields: Seq[String]): String = {
+    // the field list is implicit: column pruning reaches the connector via
+    // SupportsPushDownRequiredColumns when downstream selects project
+    val id = s"op-${counter.incrementAndGet()}"
+    ops.put(id, Pending(start, end))
+    id
+  }
+
+  override def getExportProgress(operationId: String): (Int, Option[String]) =
+    if (ops.contains(operationId)) (100, Some(operationId))
+    else throw new IllegalArgumentException(s"unknown operation $operationId")
+
+  override def getExport(exportId: String): DataFrame = {
+    val p = ops.getOrElse(exportId,
+      throw new IllegalArgumentException(s"unknown export $exportId"))
+    spark.read.format("graft-export").load(bundleDir)
+      .filter(col("EventStart") >= lit(p.start.toString).cast("timestamp")
+        && col("EventStart") < lit(p.end.toString).cast("timestamp"))
+  }
+}
+
 class LocalFixtureSource(spark: SparkSession, fixturePath: String)
     extends DataExportSource {
 

@@ -92,13 +92,18 @@ object ExportTransform {
       if (f.isDbOnly) None else Some(f.sourceName.toLowerCase)).toSet
 
     // Custom vars: every input column not matched by the schema, original
-    // case preserved, serialized to one JSON object; {} when none.
+    // case preserved, serialized to one JSON object; {} when none. An input
+    // that already carries a folded CustomVars column (e.g. the graft-export
+    // DSv2 connector folds at scan time) passes it through instead.
     val customCols = df.columns.filterNot(c => schemaLower.contains(c.toLowerCase))
-    val customVars: Column =
-      if (customCols.isEmpty) lit("{}")
-      else to_json(map_filter(
+    val preFolded = df.columns.find(_.equalsIgnoreCase("CustomVars"))
+    val customVars: Column = preFolded match {
+      case Some(cv) => coalesce(col(cv).cast(StringType), lit("{}"))
+      case None if customCols.isEmpty => lit("{}")
+      case None => to_json(map_filter(
         map(customCols.flatMap(c => Seq(lit(c), col(c).cast(StringType))): _*),
         (_, v) => v.isNotNull))
+    }
 
     val staged = schema.map { f =>
       if (f.sourceName == "CustomVars") customVars.as(f.dbName)

@@ -125,6 +125,25 @@ class ServiceSpec extends SparkSpec {
     assert(wh.readTable().filter(col("UserId") === "999").count() == 0)
   }
 
+  test("DSv2-backed source drives the same pipeline (pushdown into the scan)") {
+    val tmp = Files.createTempDirectory("graft-e2e-dsv2")
+    writeFixture(tmp)
+    val storage = new HadoopStorage(tmp.resolve("stage").toString)
+    val wh = new ParquetWarehouse(spark, tmp.resolve("wh").toString)
+    val config = ServiceConfig(startTime = startTime,
+      exportDuration = Duration.ofHours(24))
+    val svc = new ExportService(spark, config,
+      new graft.sources.Dsv2ExportSource(spark, tmp.resolve("raw.json").toString),
+      storage, Some(wh),
+      pollInterval = Duration.ofMillis(1), now = () => frozenNow)
+    val bundles = svc.runUntilCaughtUp()
+    assert(bundles.size == 4)
+    assert(wh.readTable().count() == 6)
+    val row = wh.readTable().filter(col("UserId") === "100").collect()(0)
+    assert(row.getAs[String]("EventStart") == "2020-08-27T06:20:26.9Z")
+    assert(row.getAs[String]("CustomVars").contains("\"evt_foo_str\":\"v0\""))
+  }
+
   test("retry policy: 429/5xx retryable with exponential backoff, 4xx fatal") {
     import RetryPolicy._
     assert(retryInfo(Retryable(429, None)).isDefined)
