@@ -104,6 +104,26 @@ object SparkEntry {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    "q04_order_priority" -> ((s, dir) => {
+      // TPC-H Q4 shape: conditional semi-join + count per priority
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey")
+            && col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q06_forecast_revenue" -> ((s, dir) => {
+      // TPC-H Q6 shape: tight filter + single global aggregate
+      t(s, dir, "lineitem")
+        .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     "q10_semi_join" -> ((s, dir) => {
       t(s, dir, "customer")
         .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
@@ -168,6 +188,14 @@ object SparkEntry {
           col("l_linestatus").asc_nulls_first)
     }),
 
+    "q18_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     "q17_highwater" -> ((s, dir) => {
       // A2 high-water mark parity (reference: warehouse/redshift.go:342)
       t(s, dir, "orders")
@@ -224,6 +252,37 @@ object SparkEntry {
         .select(col("IndvId"), col("UserId"), col("EventStart"),
           col("EventType"), col("CustomVars"))
         .orderBy(col("IndvId").cast("long"))
+    }),
+
+    "q26_evt_props_agg" -> ((s, dir) => {
+      // aggregate over a JSON-extracted custom-var key
+      t(s, dir, "events")
+        .groupBy((get_json_object(col("props"), "$.k").cast("long") % 10)
+          .as("k_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+        .orderBy(col("k_bucket"))
+    }),
+
+    "q27_evt_minmax_by" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max_by(col("event_id"), col("ts")).as("last_event_id"),
+          min_by(col("event_id"), col("ts")).as("first_event_id"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q28_evt_moving_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, 0)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (sum(col("value").cast("decimal(38,6)")).over(w).cast("double")
+            / count(lit(1)).over(w)).as("moving_avg"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
     // ---- text analysis (extended scope, SURVEY.md §7.1 step 7) ----
@@ -332,6 +391,29 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    "q45_emb_centroid" -> ((s, dir) => {
+      // per-label mean embedding: vector aggregation via posexplode
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+          col("v").cast("double").cast("decimal(38,20)").as("vd"))
+        .groupBy(col("label"), col("pos"))
+        // round(9) absorbs the 1-ulp divergence of decimal->double
+        // conversion between engines
+        .agg(round(sum(col("vd")).cast("double") / count(lit(1)), 9)
+          .as("mean_val"), count(lit(1)).as("n_vecs"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
+    "q46_ann_ivf" -> ((s, dir) => {
+      // rows-only: IVF cell-probe ANN; seeds = first 8 vectors
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 30),
+          emb.filter(col("vec_id") < 8), k = 5)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // ---- multimodal plumbing (extended scope; decode kernel stubbed) ----
 
     "q43_mm_features" -> ((s, dir) => {
@@ -409,6 +491,21 @@ object SparkEntry {
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
 
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q06_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
     "q10_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -455,6 +552,43 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q18_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q26_evt_props_agg" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q27_evt_minmax_by" ->
+      """SELECT user_id, max_by(event_id, ts) AS last_event_id,
+        |  min_by(event_id, ts) AS first_event_id, COUNT(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q28_evt_moving_avg" ->
+      """SELECT user_id, ts, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w AS moving_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q45_emb_centroid" ->
+      """SELECT label, CAST(pos AS BIGINT) AS pos,
+        |  round(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE)
+        |    / COUNT(*), 9) AS mean_val,
+        |  COUNT(*) AS n_vecs
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |        generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings) u
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "q17_highwater" ->
       """SELECT max(o_orderdate) AS max_orderdate,

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook: makes graft's native expressions available
+  * to every session (Column API and plain SQL) via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — the idiomatic
+  * deployment for a cluster, where per-session GraftFunctions.register
+  * calls are not an option.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(tokens, k, n, md5, bands) - MinHash signature / LSH band keys"),
+      (exprs: Seq[Expression]) =>
+        MinHashSig(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4))))
+    e.injectFunction((FunctionIdentifier("hyperplane_lsh"),
+      info("hyperplane_lsh", "hyperplane_lsh(vec, planes) - sign-bit LSH bucket id"),
+      (exprs: Seq[Expression]) => HyperplaneLsh(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(tokens, n) - word n-gram shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs(0), exprs(1))))
+  }
+}

@@ -90,6 +90,41 @@ object Similarity {
     }
   }
 
+  /** IVF-style approximate top-k: corpus vectors are assigned to their
+    * nearest seed centroid (an inverted file of cells); a query searches
+    * only its own cell. Seeds are broadcast, assignment is map-side, and
+    * the candidate join is an equi-join on cell id — per-query work is the
+    * cell population. Recall tunable via seed count (and, in a production
+    * build, multi-probe of adjacent cells). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, seeds: DataFrame,
+              k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sd = seeds.select(col(idCol).as("cell_id"), col(vecCol).as("s_vec"))
+    def assign(df: DataFrame, id: String, vec: String): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("cell_sim").desc, col("cell_id").asc)
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .join(broadcast(sd))
+        .withColumn("cell_sim",
+          GraftFunctions.cosine_sim(col(vec), col("s_vec")))
+        .withColumn("cell_rk", row_number().over(w))
+        .filter(col("cell_rk") === 1)
+        .select(col(id), col(vec), col("cell_id"))
+    }
+    val c = assign(corpus, "neighbor_id", "c_vec")
+    val q = assign(queries, "query_id", "q_vec")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(
+        GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rk").cast("int").as("rk"))
+  }
+
   /** LSH-bucketed approximate top-k: equi-join on bucket id, exact cosine
     * re-rank within candidates. The scale path — per-query work is the
     * bucket population, not the corpus. */
