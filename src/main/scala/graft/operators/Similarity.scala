@@ -90,6 +90,33 @@ object Similarity {
     }
   }
 
+  /** Lloyd-style IVF centroid training over cosine assignment: seed with
+    * the first k vectors, then iterate (assign to nearest centroid ->
+    * re-average per cell with the [[graft.functions.VectorAvg]] typed
+    * Aggregator). Each iteration is one broadcast join + one hash
+    * aggregate; vectors never shuffle (only per-cell sum buffers do). */
+  def trainIvfCentroids(emb: DataFrame, k: Int, iters: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val vecAvg = org.apache.spark.sql.functions.udaf(graft.functions.VectorAvg)
+    var centroids = emb.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("c_vec"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cell_sim").desc, col("cell_id").asc)
+      val assigned = emb.select(col(idCol), col(vecCol))
+        .join(broadcast(centroids))
+        .withColumn("cell_sim",
+          GraftFunctions.cosine_sim(col(vecCol), col("c_vec")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+      centroids = assigned.groupBy(col("cell_id"))
+        .agg(vecAvg(col(vecCol)).as("c_vec"))
+        .localCheckpoint(true) // cut lineage across iterations
+    }
+    centroids
+  }
+
   /** IVF-style approximate top-k: corpus vectors are assigned to their
     * nearest seed centroid (an inverted file of cells); a query searches
     * only its own cell. Seeds are broadcast, assignment is map-side, and

@@ -60,6 +60,27 @@ class DataSourceSpec extends SparkSpec {
     assert(optimized.contains("EventStart"))
   }
 
+  test("gzipped bundles decompress transparently (S4)") {
+    // the wire format is gzipped JSON; Spark's JSON reader (used by
+    // LocalFixtureSource) auto-decompresses .gz
+    val dir = Files.createTempDirectory("graft-gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("bundle.json.gz")))
+    gz.write(
+      """[{"EventStart": "2020-08-27T06:00:00Z", "EventType": "click",
+        | "UserId": 1}]""".stripMargin.getBytes("UTF-8"))
+    gz.close()
+    val src = new graft.sources.LocalFixtureSource(spark,
+      dir.resolve("bundle.json.gz").toString)
+    val op = src.createExport(
+      java.time.Instant.parse("2020-08-27T00:00:00Z"),
+      java.time.Instant.parse("2020-08-28T00:00:00Z"),
+      Seq("EventStart", "EventType", "UserId"))
+    val df = src.getExport(src.getExportProgress(op)._2.get)
+    assert(df.count() == 1)
+    assert(df.collect()(0).getAs[String]("EventType") == "click")
+  }
+
   test("projection pushdown prunes the read schema") {
     val q = load.select("EventType", "UserId")
     val scan = q.queryExecution.executedPlan.collectLeaves().head.toString

@@ -150,6 +150,30 @@ class OperatorsSpec extends SparkSpec {
     assert(byKey((1L, 1L)) == 2 && byKey((1L, 2L)) == 1 && byKey((2L, 1L)) == 1)
   }
 
+  test("VectorAvg aggregator and IVF centroid training separate clusters") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(spark)
+    // two obvious clusters around (1,0) and (0,1)
+    val emb = Seq(
+      (0L, Array(1f, 0.1f)), (1L, Array(0.1f, 1f)),
+      (2L, Array(1f, 0f)), (3L, Array(0.9f, 0.2f)),
+      (4L, Array(0f, 1f)), (5L, Array(0.2f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(emb, k = 2, iters = 3)
+      .orderBy("cell_id").collect()
+    assert(cents.length == 2)
+    val c0 = cents(0).getSeq[Float](1)
+    val c1 = cents(1).getSeq[Float](1)
+    assert(c0(0) > c0(1))  // x-heavy cluster
+    assert(c1(1) > c1(0))  // y-heavy cluster
+    // vec_avg alone: mean of the x-cluster
+    val avg = org.apache.spark.sql.functions.udaf(graft.functions.VectorAvg)
+    val m = emb.filter($"vec_id".isin(0L, 2L, 3L))
+      .agg(avg($"embedding")).collect()(0).getSeq[Float](0)
+    assert(math.abs(m(0) - (1f + 1f + 0.9f) / 3) < 1e-6)
+  }
+
   test("multimodal feature extraction is deterministic over stub decoder") {
     val s = spark
     import s.implicits._
