@@ -21,7 +21,8 @@ final case class ServiceConfig(
     storageOnly: Boolean = false,
     saveAsJson: Boolean = false,
     groupFilesByDay: Boolean = false,
-    includeMobile: Boolean = false) {
+    includeMobile: Boolean = false,
+    useStartTime: Boolean = false) {
 
   require(!saveAsJson || storageOnly,
     "SaveAsJson requires StorageOnly (reference: config/config.go:247-249)")
@@ -91,12 +92,18 @@ class ExportService(spark: SparkSession, config: ServiceConfig,
   /** Startup: create-or-reconcile the export table; the reconciled schema
     * becomes the session IR driving the source field list, transform order
     * and CSV header (reference: internal/service.go:247-266, SURVEY.md §3.2). */
-  def init(): Unit = warehouse.foreach { wh =>
-    val created = wh.initExportTable(schema)
-    if (!created) {
-      val live = wh.getExportTableColumns()
-      schema = ExportSchema.reconcileWithExisting(live, config.includeMobile)
-      wh.applyExportSchema(schema)
+  def init(): Unit = {
+    // UseStartTime: discard the storage sync file so processing restarts
+    // from config.StartTime (reference: warehouse/localdisk.go:27-33)
+    if (config.useStartTime && config.storageOnly)
+      storage.deleteFile(StorageSyncPoint.SyncFileName)
+    warehouse.foreach { wh =>
+      val created = wh.initExportTable(schema)
+      if (!created) {
+        val live = wh.getExportTableColumns()
+        schema = ExportSchema.reconcileWithExisting(live, config.includeMobile)
+        wh.applyExportSchema(schema)
+      }
     }
   }
 

@@ -1,0 +1,117 @@
+package graft
+
+import java.time.{Duration, Instant}
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.schema.ExportSchema
+import graft.service.ConfigLoader
+import graft.transform.ExportTransform
+
+/** Property-based laws for the schema/transform/scheduler core
+  * (SURVEY.md §5: reconcile idempotence, arity preservation, alignment). */
+class PropertySpec extends AnyFunSuite {
+
+  def check(p: Prop, minSuccessful: Int = 100): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(minSuccessful), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val canonicalNames = ExportSchema.baseFields.map(_.dbName)
+
+  /** live column lists: mixtures of canonical names (random case), the
+    * legacy rename, and unknown user columns — in random order, no dups. */
+  private val liveColumnsGen: Gen[List[String]] = for {
+    canon <- Gen.someOf(canonicalNames)
+    cased <- Gen.sequence[List[String], String](canon.map(n =>
+      Gen.oneOf(n, n.toLowerCase, n.toUpperCase)).toList)
+    legacy <- Gen.oneOf(List.empty[String], List("PageAgent"))
+    unknown <- Gen.listOfN(2, Gen.alphaStr.suchThat(_.nonEmpty).map("X_" + _))
+    shuffled <- Gen.const(scala.util.Random.shuffle(
+      (cased ++ legacy ++ unknown).distinct))
+  } yield shuffled
+
+  test("reconcile is idempotent") {
+    check(Prop.forAll(liveColumnsGen) { live =>
+      val once = ExportSchema.reconcileWithExisting(live)
+      val twice = ExportSchema.reconcileWithExisting(once.map(_.dbName))
+      once.map(_.dbName) == twice.map(_.dbName)
+    })
+  }
+
+  test("reconcile preserves live order as a prefix and appends the rest") {
+    check(Prop.forAll(liveColumnsGen) { live =>
+      val rec = ExportSchema.reconcileWithExisting(live)
+      rec.take(live.size).map(_.dbName) == live
+    })
+  }
+
+  test("reconcile covers every canonical source field, appending none twice") {
+    check(Prop.forAll(liveColumnsGen) { live =>
+      val rec = ExportSchema.reconcileWithExisting(live)
+      val sources = rec.map(_.sourceName).filter(_.nonEmpty)
+      // full coverage as a set (a live table holding BOTH the legacy
+      // PageAgent and canonical PageUserAgent maps two columns to one
+      // source, as in the reference)
+      sources.toSet == canonicalNames.toSet &&
+        // and the appended tail itself never duplicates a live source
+        rec.drop(live.size).map(_.sourceName)
+          .forall(s => sources.count(_ == s) == 1)
+    })
+  }
+
+  test("nextEndTime is aligned, later than last, and within one window") {
+    val gen = for {
+      epoch <- Gen.choose(0L, 4102444800L) // 1970..2100
+      durHours <- Gen.oneOf(1L, 2L, 3L, 4L, 6L, 8L, 12L, 24L)
+    } yield (Instant.ofEpochSecond(epoch), Duration.ofHours(durHours))
+    check(Prop.forAll(gen) { case (last, dur) =>
+      val end = ExportTransform.nextEndTime(last, dur)
+      val n = dur.toMillis
+      end.toEpochMilli % n == 0 &&
+        end.isAfter(last) &&
+        !end.isAfter(last.plus(dur))
+    })
+  }
+
+  test("parseDuration round-trips hours/minutes/seconds combinations") {
+    val gen = for {
+      h <- Gen.choose(0, 48); m <- Gen.choose(0, 59); s <- Gen.choose(0, 59)
+      if h + m + s > 0
+    } yield (h, m, s)
+    check(Prop.forAll(gen) { case (h, m, s) =>
+      val lit = (if (h > 0) s"${h}h" else "") +
+        (if (m > 0) s"${m}m" else "") + (if (s > 0) s"${s}s" else "")
+      ConfigLoader.parseDuration(lit) ==
+        Duration.ofHours(h).plusMinutes(m).plusSeconds(s)
+    })
+  }
+}
+
+/** Spark-dependent properties (shared session). */
+class TransformPropertySpec extends SparkSpec {
+
+  def check(p: Prop, minSuccessful: Int = 100): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(minSuccessful), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("staged output arity and order always equal the reconciled schema") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("2020-08-27T06:00:00Z", "click", 7L, "x"))
+      .toDF("EventStart", "EventType", "UserId", "evt_a_str")
+    val liveGen = Gen.someOf(ExportSchema.baseFields.map(_.dbName))
+      .map(_.toList)
+    check(Prop.forAll(liveGen) { live =>
+      val schema = ExportSchema.reconcileWithExisting(live)
+      val out = ExportTransform.toStagedStrings(df, schema)
+      out.columns.toSeq == schema.map(_.dbName)
+    }, minSuccessful = 15)
+  }
+}

@@ -144,6 +144,50 @@ class ServiceSpec extends SparkSpec {
     assert(row.getAs[String]("CustomVars").contains("\"evt_foo_str\":\"v0\""))
   }
 
+  test("ConfigLoader: reference defaults, deprecations, constraint checks") {
+    val cfg = graft.service.ConfigLoader.parse(
+      """# hauser-style config
+        |StartTime = "2020-08-26T00:00:00Z"
+        |GroupFilesByDay = true
+        |StorageOnly = true
+        |SaveAsJson = true
+        |Backoff = "30s"
+        |""".stripMargin)
+    assert(cfg.effectiveDuration == Duration.ofHours(24)) // legacy alias
+    assert(cfg.exportDelay == Duration.ofHours(24))       // default
+    assert(cfg.backoffStepsMax == 8)                      // default
+    assert(cfg.saveAsJson && cfg.storageOnly)
+    // SaveAsJson without StorageOnly violates config/config.go:247-249
+    intercept[IllegalArgumentException] {
+      graft.service.ConfigLoader.parse("SaveAsJson = true")
+    }
+    // sub-15m or non-divisor durations are rejected (config.go:181-187)
+    intercept[IllegalArgumentException] {
+      graft.service.ConfigLoader.parse("ExportDuration = \"10m\"")
+    }
+    intercept[IllegalArgumentException] {
+      graft.service.ConfigLoader.parse("ExportDuration = \"7h\"")
+    }
+  }
+
+  test("UseStartTime resets the storage sync point at init") {
+    val tmp = Files.createTempDirectory("graft-usestart")
+    writeFixture(tmp)
+    val storage = new HadoopStorage(tmp.resolve("stage").toString)
+    StorageSyncPoint.write(storage, Instant.parse("2020-08-30T00:00:00Z"))
+    val config = ServiceConfig(startTime = startTime,
+      exportDuration = Duration.ofHours(24), storageOnly = true,
+      useStartTime = true)
+    val svc = new ExportService(spark, config,
+      new LocalFixtureSource(spark, tmp.resolve("raw.json").toString),
+      storage, None, pollInterval = Duration.ofMillis(1),
+      now = () => frozenNow)
+    val bundles = svc.runUntilCaughtUp()
+    // restarted from StartTime (08-27), not the stale sync (08-30)
+    assert(bundles.head.start == startTime)
+    assert(bundles.size == 4)
+  }
+
   test("retry policy: 429/5xx retryable with exponential backoff, 4xx fatal") {
     import RetryPolicy._
     assert(retryInfo(Retryable(429, None)).isDefined)
