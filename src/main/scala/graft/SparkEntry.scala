@@ -254,10 +254,24 @@ object SparkEntry {
         .orderBy(col("IndvId").cast("long"))
     }),
 
+    "q19_approx_distinct" -> ((s, dir) => {
+      // rows-only: HLL++ sketch counts are engine-specific by nature
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q26_evt_props_agg" -> ((s, dir) => {
-      // aggregate over a JSON-extracted custom-var key
+      // aggregate over a JSON-extracted custom-var key; from_json parses
+      // the document once (get_json_object re-parses per path — q21 keeps
+      // it as the JSON_EXTRACT_PATH_TEXT parity form)
       t(s, dir, "events")
-        .groupBy((get_json_object(col("props"), "$.k").cast("long") % 10)
+        .groupBy((from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType)))).getField("k") % 10)
           .as("k_bucket"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))

@@ -16,6 +16,14 @@ import org.apache.spark.sql.Row
   * [[graft.service.ExportService]] owns that gate. Streaming watermarks
   * here handle per-record lateness for the analytics aggregates.
   */
+/** Typed rows for the custom-state sessionizer. `ts` is the watermark
+  * column; `tsMicros` its long form for state arithmetic. */
+final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+                              tsMicros: Long, value: Double)
+final case class OpenSession(startTs: Long, lastTs: Long, n: Long, sum: Double)
+final case class SessionOut(user_id: Long, start_ts: Long, end_ts: Long,
+                            n_events: Long, sum_value: Double)
+
 object EventStream {
 
   /** Streaming source over an events directory (parquet files appearing
@@ -48,6 +56,54 @@ object EventStream {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the
+    * hand-rolled alternative to session_window for when session logic
+    * outgrows a gap rule (e.g. hauser-style "close on explicit end event").
+    * State per user is one open session summary; event-time timeout closes
+    * idle sessions when the watermark passes start + gap. */
+  def statefulSessions(events: org.apache.spark.sql.Dataset[SessionEvent],
+                       gapSeconds: Long,
+                       watermarkDelay: String): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import org.apache.spark.sql.{Encoders => E}
+    implicit val outEnc = E.product[SessionOut]
+    implicit val stateEnc = E.product[OpenSession]
+
+    def fn(userId: Long, evts: Iterator[SessionEvent],
+           state: GroupState[OpenSession]): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+      var open = state.getOption
+      evts.toSeq.sortBy(_.tsMicros).foreach { e =>
+        open match {
+          case Some(s) if e.tsMicros - s.lastTs > gapSeconds * 1000000L =>
+            out += SessionOut(userId, s.startTs, s.lastTs, s.n, s.sum)
+            open = Some(OpenSession(e.tsMicros, e.tsMicros, 1L, e.value))
+          case Some(s) =>
+            open = Some(OpenSession(s.startTs, e.tsMicros, s.n + 1,
+              s.sum + e.value))
+          case None =>
+            open = Some(OpenSession(e.tsMicros, e.tsMicros, 1L, e.value))
+        }
+      }
+      if (state.hasTimedOut) {
+        open.foreach(s =>
+          out += SessionOut(userId, s.startTs, s.lastTs, s.n, s.sum))
+        state.remove()
+      } else open.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastTs / 1000L + gapSeconds * 1000L)
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)(E.scalaLong)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 
   /** Micro-batch sink into a warehouse-style partitioned parquet table:
     * foreachBatch gives the batch-side exactly-once hook (idempotent by

@@ -174,6 +174,22 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(m(0) - (1f + 1f + 0.9f) / 3) < 1e-6)
   }
 
+  test("salted join returns the same rows as a plain join") {
+    val s = spark
+    import s.implicits._
+    // skewed fact: 90% of rows on key 1
+    val fact = ((1 to 90).map(i => (1L, i)) ++ (1 to 10).map(i => (2L, i)))
+      .toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "cold"), (3L, "unused")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k")).select("k", "v", "name")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val salted = graft.operators.Skew.saltedJoin(fact, dim, "k", salts = 8)
+      .select("k", "v", "name").collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.toSeq == plain.toSeq)
+    val profile = graft.operators.Skew.keyProfile(fact, "k").collect()
+    assert(profile(0).getLong(0) == 1L && profile(0).getDouble(2) == 0.9)
+  }
+
   test("multimodal feature extraction is deterministic over stub decoder") {
     val s = spark
     import s.implicits._

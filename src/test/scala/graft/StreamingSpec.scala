@@ -56,6 +56,34 @@ class StreamingSpec extends SparkSpec {
     assert(u1.length == 1 && u1(0).getAs[Long]("n_events") == 2)
   }
 
+  test("flatMapGroupsWithState sessionizer closes sessions on gap and timeout") {
+    val s = spark
+    import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    def us(min: Long) = at(min).getTime * 1000L
+    val df = Seq(
+      graft.streaming.SessionEvent(1L, at(1), us(1), 1.0),
+      graft.streaming.SessionEvent(1L, at(5), us(5), 2.0),
+      graft.streaming.SessionEvent(1L, at(90), us(90), 3.0),  // gap-close
+      graft.streaming.SessionEvent(2L, at(2), us(2), 4.0)
+    ).toDF()
+    val dir = Files.createTempDirectory("graft-fmgws").toString
+    df.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(df.schema).parquet(dir)
+      .as[graft.streaming.SessionEvent]
+    val out = graft.streaming.EventStream.statefulSessions(
+      stream, gapSeconds = 1800, watermarkDelay = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("fmgws_out").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("fmgws_out").collect()
+    // user 1's first session (minutes 1..5, 2 events) closed by the gap
+    val closed = rows.filter(r => r.getAs[Long]("user_id") == 1L)
+    assert(closed.exists(r => r.getAs[Long]("n_events") == 2L
+      && r.getAs[Double]("sum_value") == 3.0))
+  }
+
   test("foreachBatch warehouse sink writes day-partitioned parquet") {
     val (dir, schema) = eventsDir
     val out = Files.createTempDirectory("graft-stream-wh").toString
