@@ -305,6 +305,8 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long")
+            .as("n_bpe_tokens"),
           length(col("text")).cast("long").as("n_chars_actual"))
         .orderBy(col("doc_id"))
     }),
@@ -665,6 +667,8 @@ object SparkEntry {
 
     "q30_doc_tokens" ->
       s"""SELECT doc_id, len($toksSql) AS n_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0))
+         |    AS n_bpe_tokens,
          |  length(text) AS n_chars_actual
          |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -25,7 +25,8 @@ object TextAnalysis {
   /** BPE-ish subword proxy: count of maximal runs of letters / digits /
     * single other non-space chars. */
   def bpeTokenCount(text: Column): Column =
-    size(expr(s"regexp_extract_all(${text.toString}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+    size(call_function("regexp_extract_all", text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Small multilingual stopword profiles for the n-gram/stopword language
     * heuristic. Deterministic and tiny by design (a literal array per
