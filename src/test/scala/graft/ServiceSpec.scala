@@ -144,6 +144,36 @@ class ServiceSpec extends SparkSpec {
     assert(row.getAs[String]("CustomVars").contains("\"evt_foo_str\":\"v0\""))
   }
 
+  test("golden-file byte parity: staged CSV matches the pinned golden") {
+    // the reference's primary e2e style (byte-equality of every uploaded
+    // bundle against goldens, internal/service_test.go:179-191) — one
+    // pinned bundle covering Go timestamp trim, RFC4180 quote doubling,
+    // newline sanitization, empty cells, custom-var JSON
+    val tmp = Files.createTempDirectory("graft-golden")
+    val records = Seq(
+      """{"EventStart": "2020-08-27T06:20:26.900Z", "EventType": "click",
+        | "UserId": 100, "PageUrl": "https://x.test/a,b",
+        | "EventTargetText": "line1\nline2", "evt_foo_str": "bar"}"""
+        .stripMargin.replace("\n ", ""),
+      """{"EventStart": "2020-08-27T18:00:00Z", "EventType": "custom",
+        | "UserId": 200, "PageUrl": "https://y.test/q",
+        | "evt_price_real": 0.5}""".stripMargin.replace("\n ", ""))
+    Files.writeString(tmp.resolve("raw.json"), records.mkString("[", ",\n", "]"))
+    val storage = new HadoopStorage(tmp.resolve("stage").toString)
+    val config = ServiceConfig(startTime = startTime,
+      exportDuration = Duration.ofHours(24), storageOnly = true)
+    val svc = new ExportService(spark, config,
+      new LocalFixtureSource(spark, tmp.resolve("raw.json").toString),
+      storage, None, pollInterval = Duration.ofMillis(1),
+      now = () => frozenNow)
+    svc.runUntilCaughtUp()
+    val got = storage.readContent("1598486400.csv").get
+    val golden = new String(
+      getClass.getResourceAsStream("/golden/1598486400.csv").readAllBytes(),
+      "UTF-8")
+    assert(got.stripLineEnd == golden.stripLineEnd)
+  }
+
   test("ConfigLoader: reference defaults, deprecations, constraint checks") {
     val cfg = graft.service.ConfigLoader.parse(
       """# hauser-style config

@@ -84,6 +84,43 @@ class StreamingSpec extends SparkSpec {
       && r.getAs[Double]("sum_value") == 3.0))
   }
 
+  test("checkpoint resume: restart processes only new files, no duplicates") {
+    val s = spark
+    import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val schema = Seq((0L, at(0), 0L, "x", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value").schema
+    val src = Files.createTempDirectory("graft-resume-src").toString
+    val out = Files.createTempDirectory("graft-resume-out").toString
+    val cp = Files.createTempDirectory("graft-resume-cp").toString
+
+    def run(): Unit = {
+      val agg = EventStream.windowedAgg(
+        EventStream.readEvents(spark, src, schema), "5 minutes", "0 seconds")
+      val q = EventStream.writeToWarehouse(agg, s"$out/data", cp)
+      q.awaitTermination(60000)
+    }
+
+    Seq((0L, at(1), 1L, "click", 1.0), (1L, at(2), 1L, "click", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(src)
+    run()
+    // second batch arrives later, past the first window
+    Seq((2L, at(30), 1L, "view", 3.0), (3L, at(40), 1L, "view", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(src)
+    run() // restart from the SAME checkpoint
+    val table = spark.read.parquet(s"$out/data")
+      .groupBy("window_start", "event_type")
+      .agg(org.apache.spark.sql.functions.sum("n_events").as("n"))
+      .collect()
+    // window [00:00,00:05) x click must appear exactly once with n=2 —
+    // a rerun without checkpoint state would double-write it
+    val clicks = table.filter(_.getAs[String]("event_type") == "click")
+    assert(clicks.length == 1 && clicks(0).getAs[Long]("n") == 2L)
+  }
+
   test("foreachBatch warehouse sink writes day-partitioned parquet") {
     val (dir, schema) = eventsDir
     val out = Files.createTempDirectory("graft-stream-wh").toString
