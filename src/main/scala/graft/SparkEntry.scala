@@ -430,6 +430,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    "q47_asof_join" -> ((s, dir) => {
+      // point-in-time lookup: for each purchase, the user's latest click
+      // at or before it (operators.AsOfJoin — union+window, no range join)
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+          col("value").as("click_value"))
+      operators.AsOfJoin.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+          Seq("click_id", "click_value"))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- multimodal plumbing (extended scope; decode kernel stubbed) ----
 
     "q43_mm_features" -> ((s, dir) => {
@@ -834,6 +850,19 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+
+    "q47_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'
+        |), clicks AS (
+        |  SELECT event_id AS click_id, user_id, ts, value AS click_value
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT p.event_id, p.user_id, c.click_id, c.click_value
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q43_mm_features" ->
       """WITH m AS (

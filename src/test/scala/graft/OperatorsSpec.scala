@@ -174,6 +174,24 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(m(0) - (1f + 1f + 0.9f) / 3) < 1e-6)
   }
 
+  test("asofJoin picks the latest right row at-or-before each left row") {
+    val s = spark
+    import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val trades = Seq((1L, at(10), "t1"), (1L, at(30), "t2"), (2L, at(5), "t3"))
+      .toDF("k", "ts", "trade")
+    val quotes = Seq((1L, at(10), 100.0), (1L, at(20), 200.0),
+      (2L, at(9), 300.0)).toDF("k", "ts", "px")
+    val out = graft.operators.AsOfJoin
+      .asofJoin(trades, quotes, "k", "ts", "ts", Seq("px"))
+      .collect().map(r => r.getAs[String]("trade") ->
+        Option(r.getAs[Any]("px"))).toMap
+    assert(out("t1").contains(100.0))  // equal ts matches (<=)
+    assert(out("t2").contains(200.0))  // latest preceding, not first
+    assert(out("t3").isEmpty)          // nothing at or before
+  }
+
   test("salted join returns the same rows as a plain join") {
     val s = spark
     import s.implicits._
