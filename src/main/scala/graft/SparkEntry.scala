@@ -366,9 +366,10 @@ object SparkEntry {
     }),
 
     "q38_dedup_simhash" -> ((s, dir) => {
-      // rows-only: xxhash64 is engine-private
+      // portable md5-based SimHash — oracle-checkable hex signatures
+      GraftFunctions.register(s)
       t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .select(col("doc_id"), Dedup.simhashHex(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
     }),
 
@@ -817,6 +818,25 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT a_id, b_id, sim FROM verified WHERE sim >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q38_dedup_simhash" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_transform(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> ''), t -> md5(t)) AS hashes
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  array_to_string([
+        |    substr('0123456789abcdef', 1 + list_sum([
+        |      CASE WHEN list_sum([
+        |        CASE WHEN ((strpos('0123456789abcdef',
+        |            substr(h, jj + 1, 1)) - 1) >> b) & 1 = 1
+        |          THEN 1 ELSE -1 END
+        |        for h in hashes]) > 0 THEN (1 << b) ELSE 0 END
+        |      for b in range(0, 4)])::INT, 1)
+        |    for jj in range(0, 16)], '') AS simhash
+        |FROM tk ORDER BY doc_id""".stripMargin,
 
     "q40_knn_brute" ->
       """WITH q AS (

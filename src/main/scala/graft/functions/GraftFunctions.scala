@@ -26,8 +26,13 @@ object GraftFunctions {
       "hyperplane_lsh", exprs => HyperplaneLsh(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash_md5", exprs => SimHashMd5(exprs(0)), "built-in")
     registered = true
   }
+
+  /** Portable 64-bit SimHash (hex string) over a token array. */
+  def simhash_md5(tokens: Column): Column = call_function("simhash_md5", tokens)
 
   /** One-pass word n-gram shingles over a token array. */
   def word_shingles(tokens: Column, n: Int): Column =

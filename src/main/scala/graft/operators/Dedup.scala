@@ -129,6 +129,12 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("sim"))
   }
 
+  /** Portable 64-bit SimHash as a hex string (md5 token hashes, per-bit
+    * majority vote) — oracle-checkable; see
+    * [[graft.functions.SimHashMd5]]. Requires GraftFunctions.register. */
+  def simhashHex(text: Column): Column =
+    graft.functions.GraftFunctions.simhash_md5(TextAnalysis.tokens(text))
+
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
     * Map-side only; Hamming-close simhashes => near-dup candidates. */
   def simhash64(text: Column): Column = {

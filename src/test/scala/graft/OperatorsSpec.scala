@@ -86,6 +86,23 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("simhashHex matches an independent hand computation") {
+    GraftFunctions.register(spark)
+    val got = docsDf.filter(col("doc_id") === 4)
+      .select(Dedup.simhashHex(col("text"))).collect()(0).getString(0)
+    // independent reference computation
+    val md = MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](64)
+    "der hund und die katze sind nicht da".split(" ").foreach { t =>
+      val v = java.lang.Long.parseUnsignedLong(
+        md.digest(t.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString, 16)
+      (0 until 64).foreach(b => votes(b) += (if (((v >>> b) & 1) == 1) 1 else -1))
+    }
+    var out = 0L
+    (0 until 64).foreach(b => if (votes(b) > 0) out |= (1L << b))
+    assert(got == f"$out%016x")
+  }
+
   test("simhash of identical docs is identical; hamming reflects distance") {
     val sims = docsDf.select(col("doc_id"),
         Dedup.simhash64(col("text")).as("sh")).collect()
