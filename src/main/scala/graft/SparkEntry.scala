@@ -463,6 +463,7 @@ object SparkEntry {
     "q44_mm_frames" -> ((s, dir) => {
       Multimodal.sampleFrames(
           Multimodal.mediaFromDocuments(t(s, dir, "documents")), everyN = 10)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
         .orderBy(col("doc_id"), col("frame_idx"))
     })
   )
@@ -900,6 +901,14 @@ object SparkEntry {
         |    WHEN modality = 'video' THEN n % 30 + 1
         |    WHEN modality = 'audio' THEN n % 16000 + 1
         |    ELSE 0 END AS BIGINT) AS n_frames
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q44_mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        |  WHERE CAST(doc_id % 3 AS INT) = 2
+        |)
+        |SELECT doc_id, unnest(range(0, (n % 30) + 1, 10)) AS frame_idx
+        |FROM m ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
