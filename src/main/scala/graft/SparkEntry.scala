@@ -392,19 +392,20 @@ object SparkEntry {
     }),
 
     "q41_ann_lsh" -> ((s, dir) => {
-      // rows-only: approximate variant, codegen cosine kernel
+      // LSH-bucketed ANN with exact re-rank — oracle-checkable (portable
+      // md5-derived hyperplanes + decimal-exact cosine)
       GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 30), k = 5,
-          planes = 8)
+          planes = 8, exact = true)
         .orderBy(col("query_id"), col("rk"))
     }),
 
     "q42_emb_neardup" -> ((s, dir) => {
-      // rows-only: embedding-cosine near-dup pairs via LSH buckets
+      // embedding-cosine near-dup pairs via LSH buckets — oracle-checkable
       GraftFunctions.register(s)
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
-          "embedding", planes = 6, threshold = 0.9)
+          "embedding", planes = 6, threshold = 0.9, exact = true)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -423,11 +424,11 @@ object SparkEntry {
     }),
 
     "q46_ann_ivf" -> ((s, dir) => {
-      // rows-only: IVF cell-probe ANN; seeds = first 8 vectors
+      // IVF cell-probe ANN; seeds = first 8 vectors — oracle-checkable
       GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 30),
-          emb.filter(col("vec_id") < 8), k = 5)
+          emb.filter(col("vec_id") < 8), k = 5, exact = true)
         .orderBy(col("query_id"), col("rk"))
     }),
 
@@ -473,6 +474,47 @@ object SparkEntry {
   /** DuckDB token-list fragment matching TextAnalysis.tokens. */
   private val toksSql =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+  /** DuckDB decimal-exact cosine fragments matching Similarity.cosineExact
+    * (validated by q40). `dotSql(a,b)` etc. are column expressions. */
+  private def dotSql(a: String, b: String) =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |      z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)
+       |        AS DECIMAL(38,20))))""".stripMargin
+  private def normSql(a: String) =
+    s"""list_sum(list_transform($a,
+       |      x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |        AS DECIMAL(38,20))))""".stripMargin
+  private val cosSql =
+    """CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+      |      ELSE CAST(dot AS DOUBLE)
+      |        / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
+      |      END""".stripMargin
+
+  /** DuckDB hyperplane-LSH bucket CTEs matching
+    * functions.HyperplaneLsh (md5-derived components, sign-bit bucket).
+    * Emits CTE definitions `comp`, `elems`, `dots`, `buckets`. */
+  private def bucketCtes(planes: Int) =
+    s"""comp AS (
+       |  SELECT p.range AS p, j.range AS j,
+       |    list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+       |      (strpos('0123456789abcdef',
+       |        substr(md5('plane|' || p.range || '|' || j.range),
+       |          i + 1, 1)) - 1)
+       |      for i in range(0, 8)]) / 4294967296.0 * 2.0 - 1.0 AS c
+       |  FROM range(0, $planes) p, range(0, 64) j
+       |), elems AS (
+       |  SELECT vec_id, unnest(embedding) AS v,
+       |    generate_subscripts(embedding, 1) - 1 AS j
+       |  FROM embeddings
+       |), dots0 AS (
+       |  SELECT e.vec_id, c.p, SUM(CAST(e.v AS DOUBLE) * c.c) AS dot
+       |  FROM elems e JOIN comp c ON c.j = e.j GROUP BY 1, 2
+       |), buckets AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0
+       |    THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots0 GROUP BY 1
+       |)""".stripMargin
 
   private val stopwordsSql = TextAnalysis.langProfiles.flatMap(_._2)
     .distinct.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -884,6 +926,93 @@ object SparkEntry {
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q41_ann_lsh" ->
+      s"""WITH ${bucketCtes(8)},
+         |q AS (
+         |  SELECT e.vec_id AS qid, e.embedding AS qv, b.bucket
+         |  FROM embeddings e JOIN buckets b USING (vec_id)
+         |  WHERE e.vec_id < 30
+         |), c AS (
+         |  SELECT e.vec_id AS cid, e.embedding AS cv, b.bucket
+         |  FROM embeddings e JOIN buckets b USING (vec_id)
+         |), p AS (
+         |  SELECT qid, cid,
+         |    ${dotSql("qv", "cv")} AS dot,
+         |    ${normSql("qv")} AS nq,
+         |    ${normSql("cv")} AS nc
+         |  FROM q JOIN c USING (bucket) WHERE qid <> cid
+         |), scored AS (
+         |  SELECT qid AS query_id, cid AS neighbor_id,
+         |    round($cosSql, 6) AS sim
+         |  FROM p
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS INT) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin,
+
+    "q42_emb_neardup" ->
+      s"""WITH ${bucketCtes(6)},
+         |l AS (
+         |  SELECT e.vec_id AS a_id, e.embedding AS av, b.bucket
+         |  FROM embeddings e JOIN buckets b USING (vec_id)
+         |), r AS (
+         |  SELECT e.vec_id AS b_id, e.embedding AS bv, b.bucket
+         |  FROM embeddings e JOIN buckets b USING (vec_id)
+         |), p AS (
+         |  SELECT a_id, b_id,
+         |    ${dotSql("av", "bv")} AS dot,
+         |    ${normSql("av")} AS nq,
+         |    ${normSql("bv")} AS nc
+         |  FROM l JOIN r USING (bucket) WHERE a_id < b_id
+         |), scored AS (
+         |  SELECT DISTINCT a_id, b_id, round($cosSql, 6) AS sim FROM p)
+         |SELECT a_id, b_id, sim FROM scored WHERE sim >= 0.9
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q46_ann_ivf" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cell_id, embedding AS s_vec FROM embeddings
+         |  WHERE vec_id < 8
+         |), assign_all AS (
+         |  SELECT e.vec_id, s.cell_id,
+         |    ${dotSql("e.embedding", "s.s_vec")} AS dot,
+         |    ${normSql("e.embedding")} AS nq,
+         |    ${normSql("s.s_vec")} AS nc
+         |  FROM embeddings e, seeds s
+         |), assigned AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY round($cosSql, 9) DESC, cell_id) AS rn
+         |    FROM assign_all) sub
+         |  WHERE rn = 1
+         |), q AS (
+         |  SELECT a.cell_id, e.vec_id AS qid, e.embedding AS qv
+         |  FROM embeddings e JOIN assigned a USING (vec_id)
+         |  WHERE e.vec_id < 30
+         |), c AS (
+         |  SELECT a.cell_id, e.vec_id AS cid, e.embedding AS cv
+         |  FROM embeddings e JOIN assigned a USING (vec_id)
+         |), p AS (
+         |  SELECT qid, cid,
+         |    ${dotSql("qv", "cv")} AS dot,
+         |    ${normSql("qv")} AS nq,
+         |    ${normSql("cv")} AS nc
+         |  FROM q JOIN c USING (cell_id) WHERE qid <> cid
+         |), scored AS (
+         |  SELECT qid AS query_id, cid AS neighbor_id,
+         |    round($cosSql, 6) AS sim
+         |  FROM p
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS INT) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin,
 
     "q43_mm_features" ->
       """WITH m AS (

@@ -1,21 +1,30 @@
 package graft.functions
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
-/** Random-hyperplane LSH bucket id for a float vector, as one codegen'd
-  * pass: bit p of the result is the sign of dot(vec, plane_p), where
-  * component j of plane_p is a deterministic pseudo-random value in [-1, 1)
-  * derived from splitmix64(p, j). No stored model, reproducible everywhere.
+/** Random-hyperplane LSH bucket id for a float vector: bit p of the result
+  * is the sign of dot(vec, plane_p).
   *
-  * This is the map-side half of the scale path for similarity search /
-  * embedding near-dup: bucket ids shuffle as single longs; vectors only
-  * meet inside equal buckets.
+  * Engine-portable by construction, so LSH-bucketed similarity queries are
+  * oracle-checkable end to end:
+  *   - component j of plane p derives from md5: the first 8 hex chars of
+  *     md5("plane|p|j") as a uint32 v, mapped to v / 2^32 * 2 - 1 in
+  *     [-1, 1) — a DuckDB list comprehension reproduces it exactly;
+  *   - each product vec[j] * component is an IEEE double (identical on both
+  *     engines); the dot accumulates in double. Summation-order FP noise is
+  *     ~1e-16 while |dot| is O(0.1), so a cross-engine sign flip is
+  *     vanishingly unlikely (and only the sign feeds the bucket).
+  *
+  * The component matrix is computed once per expression instance and
+  * reused across rows (it depends only on (p, j)).
   */
 case class HyperplaneLsh(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
 
@@ -31,16 +40,33 @@ case class HyperplaneLsh(left: Expression, right: Expression)
       "hyperplane_lsh expects (array<float>, int literal)")
   }
 
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nPlanes, dim), { _ =>
+      Array.tabulate(nPlanes, dim)((p, j) => HyperplaneLsh.component(p, j))
+    })
+
   override def nullSafeEval(vecAny: Any, planesAny: Any): Any = {
     val vec = vecAny.asInstanceOf[ArrayData]
-    val planes = planesAny.asInstanceOf[Int]
-    HyperplaneLsh.bucketOf(vec, planes)
+    val nPlanes = planesAny.asInstanceOf[Int]
+    val n = vec.numElements()
+    val comp = planes(nPlanes, n)
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        dot += vec.getFloat(j).toDouble * comp(p)(j)
+        j += 1
+      }
+      if (dot >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (vec, planes) => {
-      s"${ev.value} = graft.functions.HyperplaneLsh.bucketOf($vec, $planes);"
-    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): HyperplaneLsh =
@@ -49,35 +75,13 @@ case class HyperplaneLsh(left: Expression, right: Expression)
 
 object HyperplaneLsh {
 
-  /** splitmix64 finalizer — the plane-component PRNG. */
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
-  /** Deterministic plane component in [-1, 1). */
+  /** Deterministic md5-derived plane component in [-1, 1): uint32 from the
+    * first 8 hex chars of md5("plane|p|j"), scaled. */
   def component(p: Int, j: Int): Double = {
-    val h = mix(p.toLong * 0x100000001b3L + j)
-    (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-  }
-
-  /** Sign-bit bucket over `planes` hyperplanes (called from codegen). */
-  def bucketOf(vec: ArrayData, planes: Int): Long = {
-    val n = vec.numElements()
-    var bucket = 0L
-    var p = 0
-    while (p < planes) {
-      var dot = 0.0
-      var j = 0
-      while (j < n) {
-        dot += vec.getFloat(j).toDouble * component(p, j)
-        j += 1
-      }
-      if (dot >= 0) bucket |= (1L << p)
-      p += 1
-    }
-    bucket
+    val md = MessageDigest.getInstance("MD5")
+    val d = md.digest(s"plane|$p|$j".getBytes("UTF-8"))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    v.toDouble / 4294967296.0 * 2.0 - 1.0
   }
 }

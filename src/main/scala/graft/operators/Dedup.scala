@@ -156,16 +156,29 @@ object Dedup {
     * codegen'd cosine kernel over LSH-bucketed candidates (see
     * [[Similarity.lshBuckets]]). */
   def embeddingNearDupPairs(embs: DataFrame, idCol: String, vecCol: String,
-                            planes: Int = 12, threshold: Double = 0.95): DataFrame = {
+                            planes: Int = 12, threshold: Double = 0.95,
+                            exact: Boolean = false): DataFrame = {
     val bucketed = embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
       Similarity.lshBuckets(col(vecCol), planes).as("bucket"))
     val l = bucketed.select(col("bucket"), col("id").as("a_id"), col("vec").as("a_vec"))
     val r = bucketed.select(col("bucket"), col("id").as("b_id"), col("vec").as("b_vec"))
-    l.join(r, Seq("bucket"))
+    val pairs = l.join(r, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("sim", graft.functions.GraftFunctions.cosine_sim(col("a_vec"), col("b_vec")))
+    val fast = graft.functions.GraftFunctions.cosine_sim(col("a_vec"), col("b_vec"))
+    val scored =
+      if (!exact) pairs.withColumn("sim", round(fast, 6))
+      else pairs
+        // two-phase: the codegen'd double kernel prefilters (its error vs
+        // the decimal-exact kernel is <1e-11, so a 1e-4 margin around the
+        // threshold cannot lose a true pair); the oracle-bitwise exact
+        // cosine re-scores only survivors
+        .withColumn("fsim", fast)
+        .filter(col("fsim") >= threshold - 1e-4)
+        .withColumn("sim",
+          round(Similarity.cosineExact(col("a_vec"), col("b_vec")), 6))
+    scored
       .filter(col("sim") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+      .select(col("a_id"), col("b_id"), col("sim"))
       .distinct()
   }
 }

@@ -125,28 +125,50 @@ object Similarity {
     * build, multi-probe of adjacent cells). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, seeds: DataFrame,
               k: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              exact: Boolean = false): DataFrame = {
     val sd = seeds.select(col(idCol).as("cell_id"), col(vecCol).as("s_vec"))
+    // two-phase everywhere in exact mode: the codegen'd kernel prunes to a
+    // small candidate margin (its error vs decimal-exact is <1e-11), the
+    // oracle-bitwise exact cosine decides only among survivors
     def assign(df: DataFrame, id: String, vec: String): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("cell_sim").desc, col("cell_id").asc)
-      df.select(col(idCol).as(id), col(vecCol).as(vec))
+      val wf = Window.partitionBy(col(id))
+        .orderBy(col("fsim").desc, col("cell_id").asc)
+      val prefiltered = df.select(col(idCol).as(id), col(vecCol).as(vec))
         .join(broadcast(sd))
-        .withColumn("cell_sim",
-          GraftFunctions.cosine_sim(col(vec), col("s_vec")))
-        .withColumn("cell_rk", row_number().over(w))
-        .filter(col("cell_rk") === 1)
-        .select(col(id), col(vec), col("cell_id"))
+        .withColumn("fsim", GraftFunctions.cosine_sim(col(vec), col("s_vec")))
+        .withColumn("frk", row_number().over(wf))
+      if (!exact)
+        prefiltered.filter(col("frk") === 1)
+          .select(col(id), col(vec), col("cell_id"))
+      else {
+        val w = Window.partitionBy(col(id))
+          .orderBy(col("cell_sim").desc, col("cell_id").asc)
+        prefiltered.filter(col("frk") <= 2)
+          .withColumn("cell_sim",
+            round(cosineExact(col(vec), col("s_vec")), 9))
+          .withColumn("cell_rk", row_number().over(w))
+          .filter(col("cell_rk") === 1)
+          .select(col(id), col(vec), col("cell_id"))
+      }
     }
     val c = assign(corpus, "neighbor_id", "c_vec")
     val q = assign(queries, "query_id", "q_vec")
+    val candidates = c.join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("fsim",
+        GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("fsim").desc, col("neighbor_id").asc)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), Seq("cell_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(
-        GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")), 6))
-      .withColumn("rk", row_number().over(w))
+    val scored =
+      if (!exact) candidates.withColumn("sim", round(col("fsim"), 6))
+      else candidates
+        .withColumn("frk", row_number().over(wf))
+        .filter(col("frk") <= k + 15)
+        .withColumn("sim", round(cosineExact(col("q_vec"), col("c_vec")), 6))
+    scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"),
         col("rk").cast("int").as("rk"))
@@ -157,15 +179,17 @@ object Similarity {
     * bucket population, not the corpus. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 10,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              exact: Boolean = false): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       lshBuckets(col(vecCol), planes).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       lshBuckets(col(vecCol), planes).as("bucket"))
+    val simCol = if (exact) cosineExact(col("q_vec"), col("c_vec"))
+                 else GraftFunctions.cosine_sim(col("q_vec"), col("c_vec"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(
-        GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")), 6))
+      .withColumn("sim", round(simCol, 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w))
