@@ -218,6 +218,26 @@ class ServiceSpec extends SparkSpec {
     assert(bundles.size == 4)
   }
 
+  test("multi-tenant: independent pipelines share one session (multi-hauser)") {
+    import graft.service.MultiTenant
+    def mkTenant(name: String): MultiTenant.Tenant = {
+      val tmp = Files.createTempDirectory(s"graft-mt-$name")
+      writeFixture(tmp)
+      MultiTenant.Tenant(name,
+        ServiceConfig(startTime = startTime,
+          exportDuration = Duration.ofHours(24)),
+        new LocalFixtureSource(spark, tmp.resolve("raw.json").toString),
+        new HadoopStorage(tmp.resolve("stage").toString),
+        Some(new ParquetWarehouse(spark, tmp.resolve("wh").toString)))
+    }
+    val results = MultiTenant.runAll(spark,
+      Seq(mkTenant("a"), mkTenant("b"), mkTenant("c")),
+      parallelism = 3, now = () => frozenNow)
+    assert(results.size == 3)
+    assert(results.values.forall(_.isRight))
+    assert(results.values.forall(_.toOption.get.size == 4))
+  }
+
   test("retry policy: 429/5xx retryable with exponential backoff, 4xx fatal") {
     import RetryPolicy._
     assert(retryInfo(Retryable(429, None)).isDefined)
