@@ -13,17 +13,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // best-of-N (default 2): the first run pays codegen/JIT/page-cache
-    // warm-up; the min is the stable figure for a per-round comparison.
+    // best-of-N (default 2) with INTERLEAVED passes: all queries run once,
+    // then all again, min per query. The first pass pays codegen/JIT/page-
+    // cache warm-up; interleaving keeps a bursty noisy-neighbor window from
+    // hitting every attempt of the same query.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val times = scala.collection.mutable.Map[String, Double]()
+    for (_ <- 1 to runs; name <- names) {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
     }
+    val results = names.map(n => n -> times(n)).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

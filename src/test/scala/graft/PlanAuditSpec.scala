@@ -38,6 +38,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string,value:double>"))
   }
 
+  test("q41/q46: ANN candidate joins are equi-joins on bucket/cell keys") {
+    for (q <- Seq("q41_ann_lsh", "q46_ann_ivf")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      // the bucket/cell equi-join must be a hash or sort-merge join, not a
+      // nested loop over the corpus
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+        || p.contains("ShuffledHashJoin"), q)
+    }
+  }
+
   test("q40: corpus scans once; queries are the broadcast side") {
     val p = plan("q40_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin")) // intended: tiny query set x corpus
