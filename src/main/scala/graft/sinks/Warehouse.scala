@@ -148,6 +148,29 @@ class ParquetWarehouse(spark: SparkSession, tablePath: String)
     } catch { case _: Exception => None }
   }
 
+  /** Partition-expiration TTL: drop day partitions older than
+    * `retentionDays` relative to `asOf` — the maintenance-job analog of
+    * BigQuery's table partition expiration
+    * (reference: warehouse/bigquery.go:213-226,343-351; SURVEY.md §4 notes
+    * the TTL needs a small job, not a Catalyst rule). Partition-dir deletes
+    * only; no data rewrite. */
+  def expirePartitions(retentionDays: Int, asOf: Instant): Int = {
+    val cutoff = asOf.atOffset(ZoneOffset.UTC).toLocalDate
+      .minusDays(retentionDays).toString
+    val base = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return 0
+    val expired = fs.listStatus(base)
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("day=") &&
+          p.getName.stripPrefix("day=") < cutoff
+      }
+    expired.foreach(p => fs.delete(p, true))
+    expired.length
+  }
+
   override def removeOrphanedRecords(syncPoint: Instant): Unit = {
     val orphaned = maxEventStart().exists(_.isAfter(syncPoint))
     if (orphaned) {

@@ -218,6 +218,18 @@ class ServiceSpec extends SparkSpec {
     assert(bundles.size == 4)
   }
 
+  test("partition TTL expires old day partitions without touching recent ones") {
+    val tmp = Files.createTempDirectory("graft-ttl")
+    val (svc, _, Some(wh)) = newService(tmp): @unchecked
+    svc.runUntilCaughtUp()
+    assert(wh.readTable().count() == 6) // days 08-27..29
+    val n = wh.expirePartitions(retentionDays = 3,
+      asOf = Instant.parse("2020-08-31T00:00:00Z")) // cutoff 08-28
+    assert(n == 1) // only day=2020-08-27 expired
+    assert(wh.readTable().count() == 4)
+    assert(wh.readTable().filter(col("day") === "2020-08-27").count() == 0)
+  }
+
   test("multi-tenant: independent pipelines share one session (multi-hauser)") {
     import graft.service.MultiTenant
     def mkTenant(name: String): MultiTenant.Tenant = {
