@@ -381,6 +381,34 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    "q48_doc_normalize" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalize(col("text")).as("norm_text"),
+          md5(TextAnalysis.normalize(col("text"))).as("norm_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q49_union_all" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"),
+          lit("customer").as("side"))
+        .unionByName(t(s, dir, "supplier")
+          .select(col("s_nationkey").as("nationkey"),
+            lit("supplier").as("side")))
+        .groupBy(col("nationkey"), col("side"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("nationkey"), col("side"))
+    }),
+
+    "q50_set_intersect" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .distinct()
+        .intersect(t(s, dir, "supplier")
+          .select(col("s_nationkey").as("nationkey")).distinct())
+        .orderBy(col("nationkey"))
+    }),
+
     // ---- similarity search (extended scope) ----
 
     "q40_knn_brute" -> ((s, dir) => {
@@ -926,6 +954,28 @@ object SparkEntry {
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q48_doc_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q49_union_all" ->
+      """SELECT nationkey, side, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+        |) u GROUP BY nationkey, side ORDER BY nationkey, side""".stripMargin,
+
+    "q50_set_intersect" ->
+      """SELECT nationkey FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT DISTINCT s_nationkey AS nationkey FROM supplier) s
+        |ORDER BY nationkey""".stripMargin,
 
     "q41_ann_lsh" ->
       s"""WITH ${bucketCtes(8)},

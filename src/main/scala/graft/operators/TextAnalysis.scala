@@ -106,6 +106,13 @@ object TextAnalysis {
     aggregate(toks, lit(0L), (h, t) => (h * 131L + tokHash(t)) % p)
   }
 
+  /** Text normalization for dedup/training pipelines: lowercase, strip
+    * punctuation to spaces, collapse whitespace runs, trim. Pure codegen'd
+    * regexp chain — engine-portable (DuckDB regexp_replace with 'g'). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** Word n-gram shingles as space-joined strings, for MinHash / Jaccard.
     * One native pass per row (requires GraftFunctions.register on the
     * session — the HOF formulation re-evaluates the token split per
