@@ -381,6 +381,19 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    "q51_percentiles" -> ((s, dir) => {
+      // exact interpolated percentiles (Spark percentile == DuckDB
+      // quantile_cont); the sketch-based approx path is q19
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("med_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q48_doc_normalize" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -954,6 +967,14 @@ object SparkEntry {
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q51_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q48_doc_normalize" ->
       """SELECT doc_id,

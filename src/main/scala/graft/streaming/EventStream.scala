@@ -105,6 +105,16 @@ object EventStream {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exact dedup: drop events whose id was already seen within
+    * the watermark horizon — the streaming half of the training-data dedup
+    * story (state stays bounded because expired keys age out with the
+    * watermark). */
+  def dedupedStream(events: DataFrame, idCol: String, tsCol: String,
+                    watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Micro-batch sink into a warehouse-style partitioned parquet table:
     * foreachBatch gives the batch-side exactly-once hook (idempotent by
     * batchId + dynamic partition overwrite). */

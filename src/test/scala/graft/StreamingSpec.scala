@@ -84,6 +84,28 @@ class StreamingSpec extends SparkSpec {
       && r.getAs[Double]("sum_value") == 3.0))
   }
 
+  test("streaming dedup drops repeated ids within the watermark") {
+    val s = spark
+    import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val df = Seq(
+      (0L, at(1), 1L, "click", 1.0),
+      (0L, at(2), 1L, "click", 1.0),   // duplicate event_id
+      (1L, at(3), 1L, "view", 2.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("graft-dedup-stream").toString
+    df.write.mode("overwrite").parquet(dir)
+    val deduped = EventStream.dedupedStream(
+      EventStream.readEvents(spark, dir, df.schema), "event_id", "ts",
+      "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id"))
+    assert(ids.sorted.toSeq == Seq(0L, 1L))
+  }
+
   test("checkpoint resume: restart processes only new files, no duplicates") {
     val s = spark
     import s.implicits._
