@@ -5,6 +5,7 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
+import com.fasterxml.jackson.core.JsonToken
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -94,16 +95,38 @@ private[sources] class ExportScanBuilder(path: String)
     case _ => None
   }
 
+  // Bounds are COMBINED, not overwritten: multiple pushed lower (upper)
+  // bounds keep the tightest one — the max lower / min upper, exclusive
+  // winning ties — because accepted filters are removed from post-scan
+  // evaluation and must all hold at the scan.
+  private def tightenLo(i: Instant, incl: Boolean): Unit =
+    timeLo = timeLo match {
+      case None => Some((i, incl))
+      case Some((b, bi)) =>
+        if (i.isAfter(b)) Some((i, incl))
+        else if (i.isBefore(b)) Some((b, bi))
+        else Some((b, bi && incl))
+    }
+
+  private def tightenHi(i: Instant, incl: Boolean): Unit =
+    timeHi = timeHi match {
+      case None => Some((i, incl))
+      case Some((b, bi)) =>
+        if (i.isBefore(b)) Some((i, incl))
+        else if (i.isAfter(b)) Some((b, bi))
+        else Some((b, bi && incl))
+    }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
       case GreaterThanOrEqual("EventStart", v) => asInstant(v).exists { i =>
-        timeLo = Some((i, true)); true }
+        tightenLo(i, incl = true); true }
       case GreaterThan("EventStart", v) => asInstant(v).exists { i =>
-        timeLo = Some((i, false)); true }
+        tightenLo(i, incl = false); true }
       case LessThan("EventStart", v) => asInstant(v).exists { i =>
-        timeHi = Some((i, false)); true }
+        tightenHi(i, incl = false); true }
       case LessThanOrEqual("EventStart", v) => asInstant(v).exists { i =>
-        timeHi = Some((i, true)); true }
+        tightenHi(i, incl = true); true }
       case _ => false
     }
     pushed = accepted
@@ -153,23 +176,33 @@ private[sources] class ExportReaderFactory(required: StructType,
       partition.asInstanceOf[ExportInputPartition].file, required, lo, hi)
 }
 
-/** Streams one JSON bundle file: gunzip-free local read (Spark's JSON
-  * sources auto-decompress; a live connector would wrap the HTTP body),
-  * token-level array iteration, per-record transform to the pruned schema.
-  * Malformed records are skipped, malformed array framing aborts
-  * (reference: internal/service.go:183-211). */
+/** Streams one JSON bundle file with a token-level Jackson parser: O(one
+  * record) executor memory regardless of bundle size, never the whole file.
+  * Matches the reference's `json.Decoder` loop (internal/service.go:183-211):
+  *   - array framing / JSON syntax errors abort the bundle (the reference
+  *     returns the decode error);
+  *   - a record that fails the TRANSFORM is skipped and the loop continues
+  *     (reference "Failed object transform, skipping record");
+  *   - non-object array elements are skipped too (lenient divergence: Go's
+  *     `Decode(&map)` would abort; a scalar element carries no record data
+  *     either way).
+  * `.gz` bundles are decompressed inline, as the live wire format is
+  * gzipped JSON (reference: client/export.go download Content-Encoding). */
 private[sources] class ExportPartitionReader(
     file: String, required: StructType,
     lo: Option[(Instant, Boolean)], hi: Option[(Instant, Boolean)])
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val records: Iterator[JsonNode] = {
+  private val parser = {
     val p = new Path(file)
-    val in = p.getFileSystem(new Configuration()).open(p)
-    val root = try mapper.readTree(in) finally in.close()
-    require(root.isArray, s"export bundle $file is not a JSON array")
-    root.elements().asScala
+    val raw: java.io.InputStream = p.getFileSystem(new Configuration()).open(p)
+    val in = if (file.endsWith(".gz"))
+      new java.util.zip.GZIPInputStream(raw) else raw
+    val jp = mapper.getFactory.createParser(in)
+    require(jp.nextToken() == JsonToken.START_ARRAY,
+      s"export bundle $file is not a JSON array")
+    jp
   }
 
   private var current: InternalRow = _
@@ -186,13 +219,21 @@ private[sources] class ExportPartitionReader(
     Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),
       t.getNano / 1000L)
 
+  private val timeGated = lo.isDefined || hi.isDefined
+
   private def convert(node: JsonNode): Option[InternalRow] = {
-    // event-time pushdown gate
-    val evtNode = node.fields().asScala
-      .find(_.getKey.equalsIgnoreCase("EventStart")).map(_.getValue)
-    val evt = evtNode.flatMap(n =>
-      scala.util.Try(Instant.parse(n.asText())).toOption)
-    if (evt.isEmpty || !inRange(evt.get)) return None
+    // Event-time pushdown gate — applied ONLY when a bound was actually
+    // pushed. Without a pushed filter, a record with an absent or
+    // unparseable EventStart is KEPT with a null field, matching the
+    // reference's empty-fill (internal/service.go transformExportJSONRecord
+    // fills missing fields rather than dropping the record).
+    if (timeGated) {
+      val evtNode = node.fields().asScala
+        .find(_.getKey.equalsIgnoreCase("EventStart")).map(_.getValue)
+      val evt = evtNode.flatMap(n =>
+        scala.util.Try(Instant.parse(n.asText())).toOption)
+      if (evt.isEmpty || !inRange(evt.get)) return None
+    }
 
     val values = new Array[Any](required.length)
     val custom = new java.util.LinkedHashMap[String, JsonNode]()
@@ -233,13 +274,21 @@ private[sources] class ExportPartitionReader(
 
   override def next(): Boolean = {
     current = null
-    while (current == null && records.hasNext) {
-      // malformed record -> skipped, keep the bundle
-      current = scala.util.Try(convert(records.next())).toOption.flatten.orNull
+    while (current == null) {
+      // JsonParseException here = bad framing -> abort the bundle
+      val tok = parser.nextToken()
+      if (tok == null || tok == JsonToken.END_ARRAY) return false
+      if (tok == JsonToken.START_OBJECT) {
+        // one record subtree in heap at a time; transform failure -> skip
+        val node = mapper.readTree[JsonNode](parser)
+        current = scala.util.Try(convert(node)).toOption.flatten.orNull
+      } else {
+        parser.skipChildren() // non-object element -> skip
+      }
     }
-    current != null
+    true
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = parser.close()
 }
