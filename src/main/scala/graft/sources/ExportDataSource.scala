@@ -53,8 +53,16 @@ class ExportDataSource extends TableProvider with DataSourceRegister {
 }
 
 object ExportDataSource {
-  /** The canonical typed export schema (59 fields, CustomVars last). */
-  val schema: StructType = ExportSchema.toStructType(ExportSchema.baseFields)
+  /** The canonical typed export schema (59 fields, CustomVars last), made
+    * fully nullable for the READ side: raw bundles may lack any field —
+    * including EventStart/EventType, which the warehouse DDL declares
+    * REQUIRED (reference: warehouse/bigquery.go:335-340) — and a scan that
+    * empty-fills (internal/service.go transformExportJSONRecord) must be
+    * allowed to emit the null. A non-nullable read schema makes Tungsten's
+    * UnsafeWriter dereference the null and crash the whole scan. */
+  val schema: StructType = StructType(
+    ExportSchema.toStructType(ExportSchema.baseFields)
+      .fields.map(_.copy(nullable = true)))
 
   private[sources] val fieldByLower: Map[String, (Int, StructField)] =
     schema.fields.zipWithIndex
@@ -197,12 +205,21 @@ private[sources] class ExportPartitionReader(
   private val parser = {
     val p = new Path(file)
     val raw: java.io.InputStream = p.getFileSystem(new Configuration()).open(p)
-    val in = if (file.endsWith(".gz"))
-      new java.util.zip.GZIPInputStream(raw) else raw
-    val jp = mapper.getFactory.createParser(in)
-    require(jp.nextToken() == JsonToken.START_ARRAY,
-      s"export bundle $file is not a JSON array")
-    jp
+    // Spark never calls close() on a reader whose constructor threw, so any
+    // init failure (bad gzip header, non-array framing, parser create) must
+    // release the Hadoop stream here or it leaks one handle per bad bundle.
+    try {
+      val in = if (file.endsWith(".gz"))
+        new java.util.zip.GZIPInputStream(raw) else raw
+      val jp = mapper.getFactory.createParser(in)
+      require(jp.nextToken() == JsonToken.START_ARRAY,
+        s"export bundle $file is not a JSON array")
+      jp
+    } catch {
+      case e: Throwable =>
+        try raw.close() catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   private var current: InternalRow = _

@@ -35,9 +35,16 @@ class DataSourceSpec extends SparkSpec {
     assert(load.schema.fieldNames.last == "CustomVars")
   }
 
-  test("reads records: case-insensitive fields, custom-var spillover, bad-record skip") {
-    val rows = load.orderBy("EventStart").collect()
-    assert(rows.length == 4) // the field-less record is dropped
+  test("reads records: case-insensitive fields, custom-var spillover, empty-fill") {
+    // The record with no known fields is KEPT with nulls + custom spillover:
+    // the reference's transform fills missing fields rather than dropping
+    // records (internal/service.go transformExportJSONRecord).
+    val all = load.collect()
+    assert(all.length == 5)
+    assert(all.count(_.isNullAt(all.head.fieldIndex("EventStart"))) == 1)
+    val rows = load.filter(col("EventStart").isNotNull)
+      .orderBy("EventStart").collect()
+    assert(rows.length == 4)
     val r0 = rows(0)
     assert(r0.getAs[Long]("UserId") == 7L)
     assert(r0.getAs[String]("CustomVars") == """{"evt_foo_str":"bar"}""")
@@ -81,11 +88,71 @@ class DataSourceSpec extends SparkSpec {
     assert(df.collect()(0).getAs[String]("EventType") == "click")
   }
 
+  test("two pushed bounds on the same side keep the tightest one") {
+    // Catalyst may push several lower bounds; accepted filters are removed
+    // from post-scan evaluation, so ALL must hold at the scan. The max
+    // lower bound wins (exclusive beating inclusive on ties).
+    val q = load.filter(col("EventStart") >= "2020-08-27" &&
+      col("EventStart") > "2020-08-28T00:00:00Z" &&
+      col("EventStart") <= "2020-08-30T23:00:00Z" &&
+      col("EventStart") < "2020-08-30T00:00:01Z")
+    val got = q.collect().map(_.getAs[Long]("UserId")).sorted.toSeq
+    assert(got == Seq(8L, 9L))
+  }
+
+  test("missing EventStart is dropped only under a pushed time filter") {
+    // timeGated path: a record with no parseable EventStart cannot satisfy
+    // a pushed bound, so it is excluded at the scan...
+    val gated = load.filter(col("EventStart") >= "2020-01-01").collect()
+    assert(gated.length == 4)
+    // ...but with no pushed filter the same record survives with a null.
+    assert(load.collect().length == 5)
+  }
+
+  test("non-object array elements are skipped; object records still decode") {
+    val dir = Files.createTempDirectory("graft-scalar")
+    Files.writeString(dir.resolve("b.json"),
+      """[42, {"EventStart": "2020-08-27T06:00:00Z", "EventType": "click",
+        | "UserId": 1}, "stray", [1,2], {"EventStart":
+        | "2020-08-27T07:00:00Z", "EventType": "load", "UserId": 2}]"""
+        .stripMargin)
+    val rows = spark.read.format("graft-export").load(dir.toString)
+      .orderBy("EventStart").collect()
+    assert(rows.map(_.getAs[Long]("UserId")).toSeq == Seq(1L, 2L))
+  }
+
+  test("bad array framing aborts the bundle") {
+    val dir = Files.createTempDirectory("graft-badframe")
+    Files.writeString(dir.resolve("b.json"),
+      """{"EventStart": "2020-08-27T06:00:00Z"}""")
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-export").load(dir.toString).collect()
+    }
+    assert(e.getMessage.contains("not a JSON array") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a JSON array")))
+  }
+
+  test("gzipped bundle decodes through the DSv2 streaming reader") {
+    val dir = Files.createTempDirectory("graft-dsv2-gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("b.json.gz")))
+    gz.write(
+      """[{"EventStart": "2020-08-27T06:00:00Z", "EventType": "click",
+        | "UserId": 11, "evt_k": "v"}]""".stripMargin.getBytes("UTF-8"))
+    gz.close()
+    val rows = spark.read.format("graft-export").load(dir.toString).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("UserId") == 11L)
+  }
+
   test("projection pushdown prunes the read schema") {
     val q = load.select("EventType", "UserId")
     val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
     assert(!scan.contains("PageUrl"))
-    assert(q.collect().map(_.getAs[String]("EventType")).sorted.toSeq ==
+    // 5 rows: 4 typed events + the empty-filled record (null EventType)
+    val types = q.collect().map(_.getAs[String]("EventType"))
+    assert(types.count(_ == null) == 1)
+    assert(types.filter(_ != null).sorted.toSeq ==
       Seq("click", "custom", "load", "navigate"))
   }
 }
