@@ -51,9 +51,50 @@ object CsvStage {
   /** JSON passthrough (SaveAsJson mode): the raw export saved as one JSON
     * array object, bypassing the CSV transform
     * (reference: internal/service.go:328-335; storage-only constraint
-    * enforced by config, config/config.go:247-249). */
-  def writeBundleJson(df: DataFrame, storage: Storage, name: String): String = {
-    val rows = df.toJSON.collect()
-    storage.saveContent(name, rows.mkString("[", ",", "]"))
+    * enforced by config, config/config.go:247-249).
+    *
+    * The rows are serialized DISTRIBUTED (`df.toJSON` written as text
+    * parts); the single-array framing is a driver-side streaming
+    * concatenation of the part files — O(one line) driver memory, never a
+    * collect. With `partitioned = true` the framing is skipped entirely and
+    * the bundle stays a JSON-lines prefix (the 100 TB path; loaders read
+    * the whole prefix). */
+  def writeBundleJson(df: DataFrame, storage: Storage, name: String,
+                      partitioned: Boolean = false): String = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = storage.getFileReference(s"_tmp_$name")
+    df.toJSON.write.mode("overwrite").text(tmp)
+    if (partitioned) tmp
+    else {
+      val tmpPath = new Path(tmp)
+      val fs = hadoopFs(tmpPath, conf)
+      // part order = partition order: the writer names parts by partition id
+      val parts = fs.listStatus(tmpPath).map(_.getPath)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val dest = new Path(storage.getFileReference(name))
+      fs.delete(dest, false)
+      val out = fs.create(dest, true)
+      try {
+        out.write('[')
+        var first = true
+        parts.foreach { p =>
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+            fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+          try {
+            var line = in.readLine()
+            while (line != null) {
+              if (!first) out.write(',')
+              out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              first = false
+              line = in.readLine()
+            }
+          } finally in.close()
+        }
+        out.write(']')
+      } finally out.close()
+      fs.delete(tmpPath, true)
+      dest.toString
+    }
   }
 }
