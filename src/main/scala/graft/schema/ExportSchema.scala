@@ -130,11 +130,19 @@ object ExportSchema {
 
   /** Ordered-prefix compatibility check: an existing schema is compatible iff
     * it is an ordered prefix of the target, name-matched case-insensitively
-    * (reference: warehouse/schema.go:135-145). */
+    * AND type-matched per ordinal (reference: warehouse/schema.go:135-145
+    * for the name prefix; warehouse/bigquery.go:163-194 enforces per-ordinal
+    * type equality — a retyped column must be rejected, not silently
+    * reconciled). `NullType` means "type unknown" (legacy name-only
+    * metadata, DB-only columns) and is compatible with anything. */
   def isCompatibleWith(existing: Seq[Field], target: Seq[Field]): Boolean =
     existing.size <= target.size &&
       existing.zip(target).forall { case (a, b) =>
-        a.dbName.equalsIgnoreCase(b.dbName) }
+        a.dbName.equalsIgnoreCase(b.dbName) &&
+          typeCompatible(a.dataType, b.dataType) }
+
+  private def typeCompatible(live: DataType, target: DataType): Boolean =
+    live == NullType || target == NullType || live == target
 
   /** Canonical fields missing from an existing schema, in canonical order
     * (reference: warehouse/schema.go:212-220; bigquery.go:266-285 uses the

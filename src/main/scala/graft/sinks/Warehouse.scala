@@ -64,34 +64,55 @@ class ParquetWarehouse(spark: SparkSession, tablePath: String)
   override def initExportTable(schema: Seq[Field]): Boolean = {
     if (storage.exists(ColumnsMeta)) false
     else {
-      writeColumns(schema.map(_.dbName))
+      writeColumns(schema)
       true
     }
   }
 
-  private def writeColumns(cols: Seq[String]): Unit = {
-    val json = cols.map(c => "\"" + c + "\"").mkString("[", ",", "]")
+  // _columns.json is the information_schema analog: ordered {name, type}
+  // objects (type = Spark catalogString). Legacy metadata was a bare name
+  // array — still readable, with types surfacing as NullType ("unknown").
+  private def writeColumns(fields: Seq[Field]): Unit = {
+    val json = fields.map(f =>
+      s"""{"name":"${f.dbName}","type":"${f.dataType.catalogString}"}""")
+      .mkString("[", ",", "]")
     storage.saveContent(ColumnsMeta, json)
     ()
   }
 
-  override def getExportTableColumns(): Seq[String] =
+  /** Live ordered columns WITH types — the type-aware reconciliation input
+    * (reference: warehouse/bigquery.go:163-194 reads the live table schema,
+    * not just names). */
+  def getExportTableFields(): Seq[Field] =
     storage.readContent(ColumnsMeta) match {
       case None => Seq.empty
-      case Some(json) =>
+      case Some(json) if json.trim.startsWith("[{") =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val arr = mapper.readTree(json)
+        (0 until arr.size).map { i =>
+          val n = arr.get(i)
+          val dt = scala.util.Try(
+            org.apache.spark.sql.types.DataType.fromDDL(
+              n.get("type").asText())).getOrElse(
+                org.apache.spark.sql.types.NullType)
+          Field(n.get("name").asText(), "", dt)
+        }
+      case Some(json) => // legacy bare-name array
         json.trim.stripPrefix("[").stripSuffix("]").split(",")
           .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
-          .toSeq
+          .toSeq.map(c => Field(c, "", org.apache.spark.sql.types.NullType))
     }
 
+  override def getExportTableColumns(): Seq[String] =
+    getExportTableFields().map(_.dbName)
+
   override def applyExportSchema(schema: Seq[Field]): Unit = {
-    val live = getExportTableColumns()
-    val target = schema.map(_.dbName)
-    require(ExportSchema.isCompatibleWith(
-      live.map(c => Field(c, "", org.apache.spark.sql.types.StringType)),
-      target.map(c => Field(c, "", org.apache.spark.sql.types.StringType))),
-      s"incompatible live schema: $live vs $target")
-    writeColumns(target)
+    val live = getExportTableFields()
+    require(ExportSchema.isCompatibleWith(live, schema),
+      s"incompatible live schema: ${live.map(f =>
+        s"${f.dbName}:${f.dataType.catalogString}")} vs ${schema.map(f =>
+        s"${f.dbName}:${f.dataType.catalogString}")}")
+    writeColumns(schema)
   }
 
   override def loadToWarehouse(csvRef: String, bundleStart: Instant,

@@ -74,6 +74,24 @@ class SchemaSpec extends AnyFunSuite {
     assert(ExportSchema.missingFields(target.take(10), target).size == 49)
   }
 
+  test("compatibility is type-aware: retype rejected, rename accepted, unknown passes") {
+    val target = ExportSchema.baseFields
+    // a live column whose type changed must be rejected per ordinal
+    // (reference: warehouse/bigquery.go:163-194)
+    val retyped = target.take(10).map(f =>
+      if (f.dbName == "EventStart") f.copy(dataType = StringType) else f)
+    assert(!ExportSchema.isCompatibleWith(retyped, target))
+    // a case-renamed column with the same type is fine (names match
+    // case-insensitively, schema.go:162-174)
+    val renamed = target.take(10).map(f =>
+      if (f.dbName == "PageId") f.copy(dbName = "PAGEID") else f)
+    assert(ExportSchema.isCompatibleWith(renamed, target))
+    // NullType = unknown (legacy name-only metadata) keeps the name-only
+    // behavior rather than rejecting every legacy table
+    val untyped = target.take(10).map(_.copy(dataType = NullType))
+    assert(ExportSchema.isCompatibleWith(untyped, target))
+  }
+
   test("source field list excludes CustomVars/DB-only, appends wildcards") {
     val rec = ExportSchema.reconcileWithExisting(Seq("CustomColumn"))
     val fields = ExportSchema.sourceFieldList(rec)

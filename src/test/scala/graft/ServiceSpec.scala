@@ -125,6 +125,37 @@ class ServiceSpec extends SparkSpec {
     assert(wh.readTable().filter(col("UserId") === "999").count() == 0)
   }
 
+  test("warehouse metadata is type-aware: retype rejected, legacy names upgraded") {
+    val tmp = Files.createTempDirectory("graft-e2e-types")
+    val wh = new graft.sinks.ParquetWarehouse(spark,
+      tmp.resolve("wh").toString)
+    val schema = graft.schema.ExportSchema.baseFields
+    assert(wh.initExportTable(schema))
+    // live metadata now carries types per ordinal
+    val live = wh.getExportTableFields()
+    assert(live.map(_.dbName) == schema.map(_.dbName))
+    assert(live.find(_.dbName == "EventStart")
+      .exists(_.dataType == org.apache.spark.sql.types.TimestampType))
+    // append-only evolution still works
+    wh.applyExportSchema(schema :+ graft.schema.Field("Extra", "Extra",
+      org.apache.spark.sql.types.StringType))
+    assert(wh.getExportTableColumns().last == "Extra")
+    // a retyped live column is rejected, not silently reconciled
+    val retyped = wh.getExportTableFields().map(f =>
+      if (f.dbName == "EventStart")
+        f.copy(dataType = org.apache.spark.sql.types.StringType) else f)
+    intercept[IllegalArgumentException] { wh.applyExportSchema(retyped) }
+    // legacy name-only metadata reads with unknown types and stays usable
+    val storage = new graft.sinks.HadoopStorage(tmp.resolve("wh").toString)
+    storage.saveContent("_columns.json", """["IndvId","UserId"]""")
+    val legacy = wh.getExportTableFields()
+    assert(legacy.map(_.dbName) == Seq("IndvId", "UserId"))
+    assert(legacy.forall(_.dataType == org.apache.spark.sql.types.NullType))
+    wh.applyExportSchema(schema) // name-prefix compatible -> upgrades format
+    assert(wh.getExportTableFields().head.dataType ==
+      org.apache.spark.sql.types.LongType) // IndvId, typed again
+  }
+
   test("DSv2-backed source drives the same pipeline (pushdown into the scan)") {
     val tmp = Files.createTempDirectory("graft-e2e-dsv2")
     writeFixture(tmp)
