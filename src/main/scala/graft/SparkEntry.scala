@@ -374,7 +374,8 @@ object SparkEntry {
     }),
 
     "q39_dedup_minhash_fast" -> ((s, dir) => {
-      // rows-only: the seeded-FNV scale path of q37
+      // the seeded-FNV scale path of q37; oracle = ground-truth all-pairs
+      // Jaccard (equality doubles as an LSH recall=1.0 check on this data)
       GraftFunctions.register(s)
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
           k = 16, bands = 4, shingleN = 3, threshold = 0.5, fast = true)
@@ -901,6 +902,35 @@ object SparkEntry {
         |      END, 6) AS sim
         |  FROM pairs)
         |SELECT a_id, b_id, sim FROM verified WHERE sim >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // Ground-truth oracle for the seeded-FNV fast path: DuckDB cannot
+    // replicate the FNV banding, but the path's exact-Jaccard verify means
+    // its confirmed pairs are a subset of the true all-pairs >= threshold
+    // set — and equality against that set is exactly "LSH recall 1.0 on
+    // this data". The same-corpus q37 (md5 banding, faithfully replicated
+    // in DuckDB) triangulates the pipeline itself.
+    "q39_dedup_minhash_fast" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(raw) < 3
+        |      THEN [array_to_string(raw, ' ')]
+        |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |            for i in range(0, len(raw) - 2)] END) AS shingles
+        |  FROM tk
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+        |        AS DOUBLE), 6) AS sim
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+        |        AS DOUBLE) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
 
     "q38_dedup_simhash" ->
