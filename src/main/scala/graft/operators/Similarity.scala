@@ -48,6 +48,26 @@ object Similarity {
   def lshBuckets(vec: Column, planes: Int): Column =
     GraftFunctions.hyperplane_lsh(vec, planes)
 
+  /** Per-query bounded top-k via the [[graft.functions.TopKAgg]] partial
+    * aggregate: the shuffle carries one ≤m-element heap per (partition,
+    * query) instead of every scored row. Expects columns (query_id,
+    * neighbor_id[, c_vec]); returns (query_id, hsim, neighbor_id, c_vec,
+    * hrk) with hrk = heap rank under (simKey desc, neighbor_id asc). */
+  private def partialTopK(scored: DataFrame, simKey: Column, m: Int,
+                          carryVec: Boolean): DataFrame = {
+    val agg = udaf(new graft.functions.TopKAgg(m))
+    val vecArg = if (carryVec) col("c_vec")
+                 else lit(null).cast("array<float>")
+    scored.groupBy(col("query_id"))
+      .agg(agg(simKey, col("neighbor_id"), vecArg).as("top"))
+      .select(col("query_id"), posexplode(col("top").getField("items")))
+      .select(col("query_id"),
+        col("col.sim").as("hsim"),
+        col("col.id").as("neighbor_id"),
+        col("col.vec").as("c_vec"),
+        (col("pos") + 1).cast("int").as("hrk"))
+  }
+
   /** Exact cosine top-k: for every query vector, the k nearest corpus
     * vectors (self-matches excluded). `queries` is expected to be small —
     * it is broadcast; the corpus is streamed once with no shuffle before
@@ -57,31 +77,33 @@ object Similarity {
                      exact: Boolean = false): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
     if (!exact) {
+      // one corpus pass; the partial top-k aggregate bounds the shuffle to
+      // ≤k rows per (partition, query) — the heap order (rounded sim desc,
+      // id asc) IS the output order, so no rank window at all
       val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
         .withColumn("sim",
           round(GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")), 6))
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= k)
-        .select(col("query_id"), col("neighbor_id"), col("sim"),
-          col("rk").cast("int").as("rk"))
+      partialTopK(scored, col("sim"), k, carryVec = false)
+        .select(col("query_id"), col("neighbor_id"),
+          col("hsim").as("sim"), col("hrk").as("rk"))
     } else {
-      // Two-phase: the codegen'd double kernel scans all pairs and keeps a
-      // generous candidate margin; the expensive decimal-exact
-      // (oracle-bitwise) cosine then re-scores only candidates. The two
-      // kernels differ merely in FP summation error (<1e-12), so a true
-      // top-k member cannot rank below k + margin in phase 1.
+      // Two-phase: the codegen'd double kernel scans all pairs and the
+      // bounded heap keeps a generous candidate margin per query; the
+      // expensive decimal-exact (oracle-bitwise) cosine then re-scores
+      // only candidates. The two kernels differ merely in FP summation
+      // error (<1e-12), so a true top-k member cannot rank below
+      // k + margin in phase 1. Candidate heaps carry c_vec, so phase 2
+      // never re-scans the corpus; the final rank window runs over
+      // |Q| x margin rows only.
       val margin = k + 15
-      val wf = Window.partitionBy(col("query_id"))
-        .orderBy(col("fsim").desc, col("neighbor_id").asc)
-      val candidates = c
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      val scored = c
         .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
         .withColumn("fsim", GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")))
-        .withColumn("frk", row_number().over(wf))
-        .filter(col("frk") <= margin)
-      candidates
+      partialTopK(scored, col("fsim"), margin, carryVec = true)
+        .join(broadcast(q), Seq("query_id"))
         .withColumn("sim", round(cosineExact(col("q_vec"), col("c_vec")), 6))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k)
@@ -158,20 +180,24 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("fsim",
         GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")))
-    val wf = Window.partitionBy(col("query_id"))
-      .orderBy(col("fsim").desc, col("neighbor_id").asc)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    val scored =
-      if (!exact) candidates.withColumn("sim", round(col("fsim"), 6))
-      else candidates
-        .withColumn("frk", row_number().over(wf))
-        .filter(col("frk") <= k + 15)
+    if (!exact)
+      partialTopK(candidates.withColumn("sim", round(col("fsim"), 6)),
+          col("sim"), k, carryVec = false)
+        .select(col("query_id"), col("neighbor_id"),
+          col("hsim").as("sim"), col("hrk").as("rk"))
+    else {
+      // bounded heap on the fast kernel, exact re-score of survivors only
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      partialTopK(candidates, col("fsim"), k + 15, carryVec = true)
+        .join(broadcast(q.select(col("query_id"), col("q_vec"))),
+          Seq("query_id"))
         .withColumn("sim", round(cosineExact(col("q_vec"), col("c_vec")), 6))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"),
-        col("rk").cast("int").as("rk"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rk").cast("int").as("rk"))
+    }
   }
 
   /** LSH-bucketed approximate top-k: equi-join on bucket id, exact cosine
@@ -190,11 +216,8 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(simCol, 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"),
-        col("rk").cast("int").as("rk"))
+    partialTopK(scored, col("sim"), k, carryVec = false)
+      .select(col("query_id"), col("neighbor_id"),
+        col("hsim").as("sim"), col("hrk").as("rk"))
   }
 }

@@ -54,4 +54,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin")) // intended: tiny query set x corpus
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q40/q41/q46: per-query top-k is a bounded partial aggregate, not a global window") {
+    // The heap aggregate must partial-aggregate map-side (ObjectHashAggregate
+    // with a partial topkagg) so the exchange carries ≤margin rows per
+    // (partition, query) instead of |Q| x |corpus| scored rows.
+    for (q <- Seq("q40_knn_brute", "q41_ann_lsh", "q46_ann_ivf")) {
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate"), q)
+      assert(p.toLowerCase.contains("partial_topkagg"), q)
+    }
+  }
 }
