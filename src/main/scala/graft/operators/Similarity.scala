@@ -141,19 +141,22 @@ object Similarity {
 
   /** IVF-style approximate top-k: corpus vectors are assigned to their
     * nearest seed centroid (an inverted file of cells); a query searches
-    * only its own cell. Seeds are broadcast, assignment is map-side, and
-    * the candidate join is an equi-join on cell id — per-query work is the
-    * cell population. Recall tunable via seed count (and, in a production
-    * build, multi-probe of adjacent cells). */
+    * its `nprobe` nearest cells (corpus vectors stay single-celled, so a
+    * (query, neighbor) pair occurs at most once and index size is
+    * unchanged — nprobe trades candidate reads for recall). Seeds are
+    * broadcast, assignment is map-side, and the candidate join is an
+    * equi-join on cell id — per-query work is nprobe cell populations. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, seeds: DataFrame,
               k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              exact: Boolean = false): DataFrame = {
+              exact: Boolean = false, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     val sd = seeds.select(col(idCol).as("cell_id"), col(vecCol).as("s_vec"))
     // two-phase everywhere in exact mode: the codegen'd kernel prunes to a
     // small candidate margin (its error vs decimal-exact is <1e-11), the
     // oracle-bitwise exact cosine decides only among survivors
-    def assign(df: DataFrame, id: String, vec: String): DataFrame = {
+    def assign(df: DataFrame, id: String, vec: String,
+               probes: Int): DataFrame = {
       val wf = Window.partitionBy(col(id))
         .orderBy(col("fsim").desc, col("cell_id").asc)
       val prefiltered = df.select(col(idCol).as(id), col(vecCol).as(vec))
@@ -161,21 +164,21 @@ object Similarity {
         .withColumn("fsim", GraftFunctions.cosine_sim(col(vec), col("s_vec")))
         .withColumn("frk", row_number().over(wf))
       if (!exact)
-        prefiltered.filter(col("frk") === 1)
+        prefiltered.filter(col("frk") <= probes)
           .select(col(id), col(vec), col("cell_id"))
       else {
         val w = Window.partitionBy(col(id))
           .orderBy(col("cell_sim").desc, col("cell_id").asc)
-        prefiltered.filter(col("frk") <= 2)
+        prefiltered.filter(col("frk") <= probes + 1)
           .withColumn("cell_sim",
             round(cosineExact(col(vec), col("s_vec")), 9))
           .withColumn("cell_rk", row_number().over(w))
-          .filter(col("cell_rk") === 1)
+          .filter(col("cell_rk") <= probes)
           .select(col(id), col(vec), col("cell_id"))
       }
     }
-    val c = assign(corpus, "neighbor_id", "c_vec")
-    val q = assign(queries, "query_id", "q_vec")
+    val c = assign(corpus, "neighbor_id", "c_vec", probes = 1)
+    val q = assign(queries, "query_id", "q_vec", probes = nprobe)
     val candidates = c.join(broadcast(q), Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("fsim",
@@ -190,8 +193,9 @@ object Similarity {
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id").asc)
       partialTopK(candidates, col("fsim"), k + 15, carryVec = true)
-        .join(broadcast(q.select(col("query_id"), col("q_vec"))),
-          Seq("query_id"))
+        // one row per query even under nprobe > 1 probed cells
+        .join(broadcast(q.select(col("query_id"), col("q_vec"))
+          .dropDuplicates("query_id")), Seq("query_id"))
         .withColumn("sim", round(cosineExact(col("q_vec"), col("c_vec")), 6))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k)
@@ -202,13 +206,34 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: equi-join on bucket id, exact cosine
     * re-rank within candidates. The scale path — per-query work is the
-    * bucket population, not the corpus. */
+    * bucket population, not the corpus.
+    *
+    * `probeBits = 1` turns on multi-probe: each QUERY additionally probes
+    * every bucket at Hamming distance 1 (one sign bit flipped — the
+    * buckets a near-neighbor most likely fell into when it landed just on
+    * the other side of one hyperplane). Probing multiplies per-query
+    * candidate reads by ~(planes+1) but leaves the corpus single-bucketed,
+    * so index size is unchanged and a (query, neighbor) pair still occurs
+    * at most once — recall rises without any dedup step. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 10,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              exact: Boolean = false): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      lshBuckets(col(vecCol), planes).as("bucket"))
+              exact: Boolean = false, probeBits: Int = 0): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 1, "probeBits must be 0 or 1")
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      lshBuckets(col(vecCol), planes).as("bucket0"))
+    val q =
+      if (probeBits == 0)
+        q0.select(col("query_id"), col("q_vec"),
+          col("bucket0").as("bucket"))
+      else {
+        import org.apache.spark.sql.functions.{call_function => cf}
+        q0.select(col("query_id"), col("q_vec"),
+          explode(concat(array(col("bucket0")),
+            transform(sequence(lit(0), lit(planes - 1)), i =>
+              col("bucket0").bitwiseXOR(cf("shiftleft", lit(1L), i)))))
+            .as("bucket"))
+      }
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       lshBuckets(col(vecCol), planes).as("bucket"))
     val simCol = if (exact) cosineExact(col("q_vec"), col("c_vec"))

@@ -191,6 +191,49 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(m(0) - (1f + 1f + 0.9f) / 3) < 1e-6)
   }
 
+  test("multi-probe LSH and IVF nprobe raise recall@k against brute force") {
+    GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    // Clustered fixture (the regime ANN is for): 10 well-separated centers,
+    // 20 members each with small noise. Deterministic seed.
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val emb = (0 until 200).map { i =>
+      val c = centers(i / 20)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+    val queries = emb.filter(col("vec_id") % 20 === 7) // one per cluster
+    val gt = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id")
+    val gtN = gt.count().toDouble
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("query_id", "neighbor_id").intersect(gt).count() / gtN
+
+    val single = recall(Similarity.lshTopK(emb, queries, k = 5, planes = 8))
+    val multi = recall(Similarity.lshTopK(emb, queries, k = 5, planes = 8,
+      probeBits = 1))
+    assert(multi >= single, s"multi-probe $multi < single-probe $single")
+    assert(multi >= 0.70, s"multi-probe recall@5 $multi below target")
+
+    val seeds = emb.filter(col("vec_id") % 20 === 0) // near-center seeds
+    val n1 = recall(Similarity.ivfTopK(emb, queries, seeds, k = 5))
+    val n3 = recall(Similarity.ivfTopK(emb, queries, seeds, k = 5,
+      nprobe = 3))
+    assert(n3 >= n1, s"nprobe=3 $n3 < nprobe=1 $n1")
+    assert(n3 >= 0.80, s"nprobe=3 recall@5 $n3 below target")
+    // nprobe multiplies probed cells, never duplicates a candidate pair
+    val dup = Similarity.ivfTopK(emb, queries, seeds, k = 5, nprobe = 3)
+      .groupBy("query_id", "neighbor_id").count()
+      .filter(col("count") > 1).count()
+    assert(dup == 0)
+    info(f"recall@5 lsh single=$single%.2f multi=$multi%.2f " +
+      f"ivf nprobe1=$n1%.2f nprobe3=$n3%.2f")
+  }
+
   test("asofJoin picks the latest right row at-or-before each left row") {
     val s = spark
     import s.implicits._
