@@ -28,8 +28,16 @@ object GraftFunctions {
       "word_shingles", exprs => WordShingles(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash_md5", exprs => SimHashMd5(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "cosine_exact", exprs => CosineExactDecimal(exprs(0), exprs(1)),
+      "built-in")
     registered = true
   }
+
+  /** Decimal-exact (oracle-bitwise) cosine as one native pass
+    * (see [[CosineExactDecimal]]). */
+  def cosine_exact(a: Column, b: Column): Column =
+    call_function("cosine_exact", a, b)
 
   /** Portable 64-bit SimHash (hex string) over a token array. */
   def simhash_md5(tokens: Column): Column = call_function("simhash_md5", tokens)

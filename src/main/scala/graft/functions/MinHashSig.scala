@@ -84,8 +84,7 @@ case class MinHashSig(tokens: Expression, kE: Expression, nE: Expression,
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  private def md5Hex(md: MessageDigest, s: String): String = {
-    val d = md.digest(s.getBytes("UTF-8"))
+  private def toHex(d: Array[Byte]): String = {
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -96,39 +95,66 @@ case class MinHashSig(tokens: Expression, kE: Expression, nE: Expression,
     new String(out)
   }
 
+  /** Unsigned byte order of md5 digests == lexicographic order of their
+    * hex strings, so minima can be chosen on raw digests and only the k
+    * winners hex-encoded. */
+  private def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
   /** Seeded FNV-1a 64-bit over the shingle's UTF-8 bytes. */
-  private def fnv64(seed: Int, s: String): Long = {
+  private def fnv64(seed: Int, bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L ^ (seed * 0x9e3779b97f4a7c15L)
-    val bytes = s.getBytes("UTF-8")
     var i = 0
     while (i < bytes.length) { h = (h ^ (bytes(i) & 0xff)) * 0x100000001b3L; i += 1 }
     h
   }
 
   private def rawSignature(shingles: Array[String]): Array[String] = {
+    // UTF-8 bytes once per shingle — NOT once per (seed, shingle); the
+    // digest streams seed prefix + shingle without concatenating strings,
+    // and two reusable 16-byte buffers make the k * |shingles| hash loop
+    // allocation-free (only the k winning digests are hex-encoded).
+    val bytes = new Array[Array[Byte]](shingles.length)
+    var j = 0
+    while (j < shingles.length) {
+      bytes(j) = shingles(j).getBytes("UTF-8"); j += 1
+    }
     val md = if (useMd5) MessageDigest.getInstance("MD5") else null
     val mins = new Array[String](k)
+    var cur = new Array[Byte](16)
+    var best = new Array[Byte](16)
     var i = 0
     while (i < k) {
       if (useMd5) {
-        val prefix = i.toString + "|"
-        var best: String = null
-        var j = 0
-        while (j < shingles.length) {
-          val h = md5Hex(md, prefix + shingles(j))
-          if (best == null || h.compareTo(best) < 0) best = h
+        val prefix = (i.toString + "|").getBytes("UTF-8")
+        var haveBest = false
+        j = 0
+        while (j < bytes.length) {
+          md.update(prefix)
+          md.update(bytes(j))
+          md.digest(cur, 0, 16)
+          if (!haveBest || lessUnsigned(cur, best)) {
+            val t = best; best = cur; cur = t; haveBest = true
+          }
           j += 1
         }
-        mins(i) = if (best == null) "" else best
+        mins(i) = if (!haveBest) "" else toHex(best)
       } else {
-        var best = Long.MaxValue
-        var j = 0
-        while (j < shingles.length) {
-          val h = fnv64(i, shingles(j))
-          if (h < best) best = h
+        var bestH = Long.MaxValue
+        j = 0
+        while (j < bytes.length) {
+          val h = fnv64(i, bytes(j))
+          if (h < bestH) bestH = h
           j += 1
         }
-        mins(i) = String.valueOf(if (shingles.isEmpty) 0L else best)
+        mins(i) = String.valueOf(if (bytes.isEmpty) 0L else bestH)
       }
       i += 1
     }

@@ -3,10 +3,12 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** One scored candidate inside a bounded top-k buffer. `vec` optionally
-  * carries the candidate's embedding so an exact re-scoring phase needs no
-  * second corpus scan. */
-final case class Scored(sim: Double, id: Long, vec: Array[Float])
+/** One scored candidate inside a bounded top-k buffer. Deliberately
+  * narrow: every scored row passes through the aggregate's input encoder,
+  * so carrying payload columns (e.g. the candidate vector) here costs a
+  * per-row copy of the payload — survivors re-attach payloads afterwards
+  * with a broadcast join of the tiny candidate set instead. */
+final case class Scored(sim: Double, id: Long)
 
 final case class TopKBuf(items: Seq[Scored])
 

@@ -26,8 +26,16 @@ import graft.functions.GraftFunctions
 object Similarity {
 
   /** Exact decimal-accumulated cosine — order-independent, engine-portable
-    * (matches a DuckDB oracle bit-for-bit); use for correctness paths. */
-  def cosineExact(a: Column, b: Column): Column = {
+    * (matches a DuckDB oracle bit-for-bit); use for correctness paths.
+    * One native pass ([[graft.functions.CosineExactDecimal]]); the HOF
+    * formulation below ([[cosineExactHof]]) defines the semantics and pins
+    * the native kernel in a differential spec. */
+  def cosineExact(a: Column, b: Column): Column =
+    GraftFunctions.cosine_exact(a, b)
+
+  /** Reference HOF formulation of [[cosineExact]] (interpreted, ~10x
+    * slower): kept as the executable spec of the decimal semantics. */
+  def cosineExactHof(a: Column, b: Column): Column = {
     val dec = "decimal(38,20)"
     def dsum(c: Column) = c.cast("double")
     val dot = aggregate(zip_with(a, b,
@@ -51,20 +59,20 @@ object Similarity {
   /** Per-query bounded top-k via the [[graft.functions.TopKAgg]] partial
     * aggregate: the shuffle carries one ≤m-element heap per (partition,
     * query) instead of every scored row. Expects columns (query_id,
-    * neighbor_id[, c_vec]); returns (query_id, hsim, neighbor_id, c_vec,
-    * hrk) with hrk = heap rank under (simKey desc, neighbor_id asc). */
-  private def partialTopK(scored: DataFrame, simKey: Column, m: Int,
-                          carryVec: Boolean): DataFrame = {
+    * neighbor_id); returns (query_id, hsim, neighbor_id, hrk) with hrk =
+    * heap rank under (simKey desc, neighbor_id asc). Payload columns are
+    * deliberately NOT threaded through the heap (each scored row pays the
+    * aggregate's input encoding) — re-attach them to the tiny survivor set
+    * with a broadcast join. */
+  private def partialTopK(scored: DataFrame, simKey: Column,
+                          m: Int): DataFrame = {
     val agg = udaf(new graft.functions.TopKAgg(m))
-    val vecArg = if (carryVec) col("c_vec")
-                 else lit(null).cast("array<float>")
     scored.groupBy(col("query_id"))
-      .agg(agg(simKey, col("neighbor_id"), vecArg).as("top"))
+      .agg(agg(simKey, col("neighbor_id")).as("top"))
       .select(col("query_id"), posexplode(col("top").getField("items")))
       .select(col("query_id"),
         col("col.sim").as("hsim"),
         col("col.id").as("neighbor_id"),
-        col("col.vec").as("c_vec"),
         (col("pos") + 1).cast("int").as("hrk"))
   }
 
@@ -84,7 +92,7 @@ object Similarity {
       val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
         .withColumn("sim",
           round(GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")), 6))
-      partialTopK(scored, col("sim"), k, carryVec = false)
+      partialTopK(scored, col("sim"), k)
         .select(col("query_id"), col("neighbor_id"),
           col("hsim").as("sim"), col("hrk").as("rk"))
     } else {
@@ -93,16 +101,17 @@ object Similarity {
       // expensive decimal-exact (oracle-bitwise) cosine then re-scores
       // only candidates. The two kernels differ merely in FP summation
       // error (<1e-12), so a true top-k member cannot rank below
-      // k + margin in phase 1. Candidate heaps carry c_vec, so phase 2
-      // never re-scans the corpus; the final rank window runs over
-      // |Q| x margin rows only.
+      // k + margin in phase 1. Survivor vectors re-attach via a broadcast
+      // join of the |Q| x margin candidate set; the final rank window runs
+      // over those rows only.
       val margin = k + 15
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id").asc)
       val scored = c
         .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
         .withColumn("fsim", GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")))
-      partialTopK(scored, col("fsim"), margin, carryVec = true)
+      c.join(broadcast(partialTopK(scored, col("fsim"), margin)),
+          Seq("neighbor_id"))
         .join(broadcast(q), Seq("query_id"))
         .withColumn("sim", round(cosineExact(col("q_vec"), col("c_vec")), 6))
         .withColumn("rk", row_number().over(w))
@@ -185,14 +194,19 @@ object Similarity {
         GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")))
     if (!exact)
       partialTopK(candidates.withColumn("sim", round(col("fsim"), 6)),
-          col("sim"), k, carryVec = false)
+          col("sim"), k)
         .select(col("query_id"), col("neighbor_id"),
           col("hsim").as("sim"), col("hrk").as("rk"))
     else {
-      // bounded heap on the fast kernel, exact re-score of survivors only
+      // bounded heap on the fast kernel, exact re-score of survivors only;
+      // survivor vectors re-attach via broadcast joins of the candidate
+      // set against the RAW corpus (re-deriving `c` would re-run the whole
+      // cell-assignment subtree a second time)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id").asc)
-      partialTopK(candidates, col("fsim"), k + 15, carryVec = true)
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+        .join(broadcast(partialTopK(candidates, col("fsim"), k + 15)),
+          Seq("neighbor_id"))
         // one row per query even under nprobe > 1 probed cells
         .join(broadcast(q.select(col("query_id"), col("q_vec"))
           .dropDuplicates("query_id")), Seq("query_id"))
@@ -241,7 +255,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(simCol, 6))
-    partialTopK(scored, col("sim"), k, carryVec = false)
+    partialTopK(scored, col("sim"), k)
       .select(col("query_id"), col("neighbor_id"),
         col("hsim").as("sim"), col("hrk").as("rk"))
   }

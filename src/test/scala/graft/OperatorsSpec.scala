@@ -191,6 +191,25 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(m(0) - (1f + 1f + 0.9f) / 3) < 1e-6)
   }
 
+  test("native cosine_exact equals the HOF decimal formulation bit-for-bit") {
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b"))
+    val pairs = a.join(b, col("b_id") === col("a_id") + 7)
+    val bad = pairs.select(col("a_id"), col("b_id"),
+      Similarity.cosineExact(col("a"), col("b")).as("native"),
+      Similarity.cosineExactHof(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof")) // bitwise double inequality
+      .collect()
+    bad.take(5).foreach(r => info(
+      s"a=${r.getLong(0)} b=${r.getLong(1)} native=${r.getDouble(2)} " +
+        s"(${java.lang.Double.doubleToLongBits(r.getDouble(2))}) " +
+        s"hof=${r.getDouble(3)} " +
+        s"(${java.lang.Double.doubleToLongBits(r.getDouble(3))})"))
+    assert(bad.isEmpty)
+  }
+
   test("multi-probe LSH and IVF nprobe raise recall@k against brute force") {
     GraftFunctions.register(spark)
     val s = spark
