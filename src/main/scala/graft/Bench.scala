@@ -31,7 +31,39 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // 10x-row scale probe: the same aggregation/join shapes over a 10x
+    // unionAll of the inputs, so regressions that sf0.1 hides (skew,
+    // spill, partial-agg breakdown) show up as a ratio far above ~10x.
+    val probe =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") == "0") ""
+      else {
+        import org.apache.spark.sql.functions._
+        def time(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val li10 = Seq.fill(10)(li).reduce(_ unionAll _)
+        val tAgg = time {
+          li10.groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(sum(col("l_quantity")), avg(col("l_extendedprice")),
+              count(lit(1))).count()
+        }
+        val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        val tJoin = time {
+          li10.join(o.hint("merge"),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_orderpriority")).agg(count(lit(1))).count()
+        }
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val ev10 = Seq.fill(10)(ev).reduce(_ unionAll _)
+        val tEvt = time {
+          ev10.groupBy(date_trunc("hour", col("ts")), col("event_type"))
+            .agg(count(lit(1))).count()
+        }
+        s""","scale_probe_10x":{"lineitem_agg":$tAgg,"lineitem_join":$tJoin,"events_hourly":$tEvt}"""
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probe}""")
     spark.stop()
   }
 }

@@ -30,6 +30,42 @@ object SparkEntry {
     } else s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** The shared fact-fact join+agg body of q52/q53 (SMJ forced so the
+    * variants differ ONLY in whether the join input partitioning comes
+    * from bucket layout or a per-query shuffle). */
+  private def factJoinAgg(li: DataFrame, o: DataFrame): DataFrame =
+    li.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Bucketed persisted copies of lineitem/orders, keyed by the join key
+    * with matching bucket counts (the BucketingSpec layout applied to the
+    * bench tables). Written once per (warehouse, sf dir); later runs —
+    * including the bench's best-of-N second pass — reuse the files. */
+  private def bucketedFacts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val specs = Seq(
+      (s"li_bkt_$tag", "lineitem", "l_orderkey"),
+      (s"o_bkt_$tag", "orders", "o_orderkey"))
+    specs.foreach { case (nm, src, key) =>
+      if (!s.catalog.tableExists(nm)) {
+        // the in-memory catalog forgets tables across JVMs: clear any
+        // stale directory, then (re)write the bucketed table
+        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+          .getPath
+        val p = new org.apache.hadoop.fs.Path(wh, nm)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        t(s, dir, src).write.bucketBy(32, key).sortBy(key)
+          .mode("overwrite").saveAsTable(nm)
+      }
+    }
+    (s.table(specs(0)._1), s.table(specs(1)._1))
+  }
+
   /** sum(CAST(c AS DECIMAL(38,6))) cast back to double — the engine-portable
     * exact sum. */
   private def dsum(c: Column): Column =
@@ -422,6 +458,22 @@ object SparkEntry {
           .select(col("s_nationkey").as("nationkey")).distinct())
         .orderBy(col("nationkey"))
     }),
+
+    // ---- bucketed co-located fact-fact join (SURVEY.md §2.3) ----
+    // q52 runs on a bucketed-by-orderkey persisted copy of both fact
+    // tables: the sort-merge join consumes bucket layout directly, no
+    // Exchange below the join. q53 is the identical query on the raw
+    // parquet (SMJ forced, both sides shuffle) — the bench delta IS the
+    // per-query cost of the shuffle that bucketing amortizes to write
+    // time. Results are bit-identical; both share one oracle query.
+
+    "q52_join_bucketed" -> ((s, dir) => {
+      val (li, o) = bucketedFacts(s, dir)
+      factJoinAgg(li, o)
+    }),
+
+    "q53_join_shuffled" -> ((s, dir) =>
+      factJoinAgg(t(s, dir, "lineitem"), t(s, dir, "orders"))),
 
     // ---- similarity search (extended scope) ----
 
@@ -1005,6 +1057,24 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q52/q53 are the same logical query (bucketed vs shuffled physical
+    // plan) — one oracle text, two entries
+    "q52_join_bucketed" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q53_join_shuffled" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q48_doc_normalize" ->
       """SELECT doc_id,

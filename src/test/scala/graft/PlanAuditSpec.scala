@@ -55,6 +55,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q52 joins bucket-to-bucket with no shuffle; q53 pays the Exchange") {
+    val p52 = plan("q52_join_bucketed")
+    assert(p52.contains("SortMergeJoin"))
+    val join52 = p52.substring(p52.indexOf("SortMergeJoin"))
+    assert(!join52.contains("Exchange hashpartitioning(l_orderkey") &&
+      !join52.contains("Exchange hashpartitioning(o_orderkey"),
+      s"unexpected shuffle below the bucketed join:\n$join52")
+    val p53 = plan("q53_join_shuffled")
+    val join53 = p53.substring(p53.indexOf("SortMergeJoin"))
+    assert(join53.contains("Exchange hashpartitioning"))
+  }
+
   test("q40/q41/q46: per-query top-k is a bounded partial aggregate, not a global window") {
     // The heap aggregate must partial-aggregate map-side (ObjectHashAggregate
     // with a partial topkagg) so the exchange carries ≤margin rows per
