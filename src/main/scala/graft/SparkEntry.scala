@@ -475,6 +475,58 @@ object SparkEntry {
     "q53_join_shuffled" -> ((s, dir) =>
       factJoinAgg(t(s, dir, "lineitem"), t(s, dir, "orders"))),
 
+    // ---- dedup clustering / PII / repetition / quantization ----
+
+    "q54_dedup_clusters" -> ((s, dir) => {
+      // connected components of the confirmed near-dup pair graph (the
+      // keep-one-representative step); pairs from the fast-FNV LSH path,
+      // whose confirmed set equals ground truth on this corpus (q39)
+      GraftFunctions.register(s)
+      val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id",
+        "text", k = 16, bands = 4, shingleN = 3, threshold = 0.5,
+        fast = true)
+      Dedup.nearDupClusters(pairs).orderBy(col("doc_id"))
+    }),
+
+    "q55_pii_redact" -> ((s, dir) => {
+      // deterministic PII injection (mirrored in the oracle) so the
+      // redaction regexes are exercised on every row
+      val withPii = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 ssn 123-45-"),
+          format_string("%04d", col("doc_id") % 10000)).as("text"))
+      withPii.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("redacted"),
+        TextAnalysis.piiCounts(col("text")).getField("n_email")
+          .as("n_email"),
+        TextAnalysis.piiCounts(col("text")).getField("n_ip").as("n_ip"),
+        TextAnalysis.piiCounts(col("text")).getField("n_ssn").as("n_ssn"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q56_doc_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signals
+      GraftFunctions.register(s)
+      val toks = TextAnalysis.tokens(col("text"))
+      val total = size(toks).cast("double")
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.dupNgramFrac(col("text"), 2).as("dup2"),
+        TextAnalysis.dupNgramFrac(col("text"), 3).as("dup3"),
+        when(total <= 0, lit(0.0)).otherwise(round(lit(1.0) -
+          size(array_distinct(toks)).cast("double") / total, 6))
+          .as("dup_word"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q57_vec_quantize" -> ((s, dir) => {
+      val q = Similarity.quantizeInt8(col("embedding"))
+      t(s, dir, "embeddings").select(col("vec_id"),
+        array_join(q.getField("codes"), ",").as("codes"),
+        q.getField("scale").as("scale"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- similarity search (extended scope) ----
 
     "q40_knn_brute" -> ((s, dir) => {
@@ -1075,6 +1127,102 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // ground-truth near-dup edges (the q39 CTE) -> transitive closure ->
+    // min reachable id per node = connected-component label
+    "q54_dedup_clusters" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(raw) < 3
+        |      THEN [array_to_string(raw, ' ')]
+        |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |            for i in range(0, len(raw) - 2)] END) AS shingles
+        |  FROM tk
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+        |          AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs
+        |), reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+        |)
+        |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+
+    "q55_pii_redact" ->
+      """WITH withpii AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com from 10.0.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-'
+        |      || format('{:04d}', doc_id % 10000) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT)
+        |    AS n_ip,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssn
+        |FROM withpii ORDER BY doc_id""".stripMargin,
+
+    "q56_doc_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, raw,
+        |    CASE WHEN len(raw) < 2 THEN [array_to_string(raw, ' ')]
+        |      ELSE [array_to_string(raw[i+1:i+2], ' ')
+        |            for i in range(0, len(raw) - 1)] END AS g2,
+        |    CASE WHEN len(raw) < 3 THEN [array_to_string(raw, ' ')]
+        |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |            for i in range(0, len(raw) - 2)] END AS g3
+        |  FROM tk
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN len(g2) <= 0 THEN 0.0 ELSE round(1.0 -
+        |    CAST(len(list_distinct(g2)) AS DOUBLE)
+        |      / CAST(len(g2) AS DOUBLE), 6) END AS dup2,
+        |  CASE WHEN len(g3) <= 0 THEN 0.0 ELSE round(1.0 -
+        |    CAST(len(list_distinct(g3)) AS DOUBLE)
+        |      / CAST(len(g3) AS DOUBLE), 6) END AS dup3,
+        |  CASE WHEN len(raw) <= 0 THEN 0.0 ELSE round(1.0 -
+        |    CAST(len(list_distinct(raw)) AS DOUBLE)
+        |      / CAST(len(raw) AS DOUBLE), 6) END AS dup_word
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q57_vec_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CASE WHEN amax = 0
+        |    THEN array_to_string(list_transform(embedding, x -> 0), ',')
+        |    ELSE array_to_string(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) / (amax / 127.0) + 0.5)
+        |        AS INT)), ',') END AS codes,
+        |  round(amax / 127.0, 9) AS scale
+        |FROM m ORDER BY vec_id""".stripMargin,
 
     "q48_doc_normalize" ->
       """SELECT doc_id,

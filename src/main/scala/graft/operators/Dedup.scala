@@ -129,6 +129,48 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("sim"))
   }
 
+  /** Near-duplicate CLUSTERS from confirmed pairs: the connected
+    * components of the pair graph, labeled by the component's min doc id —
+    * the step after pair finding that dedup actually needs (keep one
+    * representative per cluster, drop the rest).
+    *
+    * Distributed min-label propagation: every node starts labeled with its
+    * own id; each round every node takes the min of its label and its
+    * neighbors' labels, until a fixpoint. Rounds = component diameter —
+    * near-dup components are small dense clusters in practice, so a
+    * handful of rounds; each round is two narrow shuffles (join on id +
+    * groupBy min) over the EDGE set only, never the corpus, and lineage is
+    * cut per round (localCheckpoint) so plans stay flat. Same contract as
+    * GraphX/GraphFrames connected components, expressed in DataFrame ops.
+    *
+    * Input: (a_id, b_id) pairs (a_id < b_id). Output: (doc_id, cluster_id)
+    * for every document that appears in at least one pair. */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      // min neighbor label per node, then min with own label
+      val nbr = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") < col("old")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Portable 64-bit SimHash as a hex string (md5 token hashes, per-bit
     * majority vote) — oracle-checkable; see
     * [[graft.functions.SimHashMd5]]. Requires GraftFunctions.register. */

@@ -121,6 +121,25 @@ object Similarity {
     }
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    * q_j = floor(x_j / scale + 0.5) — 4x smaller vectors for ANN recall
+    * stages at 100 TB, with the full-precision corpus kept only for final
+    * re-ranking. floor(x + 0.5) is used instead of round() because both
+    * engines define it identically (round() half-away vs half-even differs
+    * between engines); all arithmetic is IEEE double, so the int codes are
+    * engine-portable and oracle-checkable. Zero vectors quantize to zeros
+    * with scale 0. */
+  def quantizeInt8(vec: Column): Column = {
+    val absMax = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = absMax / lit(127.0)
+    struct(
+      when(absMax === 0, transform(vec, _ => lit(0)))
+        .otherwise(transform(vec,
+          x => floor(x.cast("double") / scale + lit(0.5)).cast("int")))
+        .as("codes"),
+      round(scale, 9).as("scale"))
+  }
+
   /** Lloyd-style IVF centroid training over cosine assignment: seed with
     * the first k vectors, then iterate (assign to nearest centroid ->
     * re-average per cell with the [[graft.functions.VectorAvg]] typed

@@ -119,4 +119,43 @@ object TextAnalysis {
     * shingle, which is quadratic per row). */
   def shingles(text: Column, n: Int): Column =
     graft.functions.GraftFunctions.word_shingles(tokens(text), n)
+
+  // PII patterns chosen to behave identically under Java regex (Spark) and
+  // RE2 (DuckDB): plain character classes, bounded repetition, \b anchors.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val SsnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** PII redaction for training corpora: emails, IPv4 addresses and
+    * SSN-shaped numbers replaced with typed tags. Pure codegen'd
+    * regexp_replace chain, one pass per row, no shuffle. Redaction order
+    * matters (emails first, so an address inside a mailto URL is tagged
+    * before the IP pass sees it) — the oracle applies the same order. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      SsnPattern, "<SSN>")
+
+  /** Count of PII matches by class (before redaction). */
+  def piiCounts(text: Column): Column = struct(
+    size(call_function("regexp_extract_all", text, lit(EmailPattern),
+      lit(0))).as("n_email"),
+    size(call_function("regexp_extract_all", text, lit(Ipv4Pattern),
+      lit(0))).as("n_ip"),
+    size(call_function("regexp_extract_all", text, lit(SsnPattern),
+      lit(0))).as("n_ssn"))
+
+  /** Repetition signals (Gopher-style quality rules): the fraction of
+    * duplicated word n-grams in a document — high values indicate
+    * boilerplate/spam. dup_frac_n = 1 - distinct_ngrams / total_ngrams
+    * (0.0 for docs too short to form an n-gram). Map-side only. */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val sh = shingles(text, n)
+    val total = size(sh).cast("double")
+    when(total <= 0, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(sh)).cast("double") / total, 6))
+  }
 }

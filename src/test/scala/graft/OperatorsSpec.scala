@@ -191,6 +191,50 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(m(0) - (1f + 1f + 0.9f) / 3) < 1e-6)
   }
 
+  test("nearDupClusters labels connected components, including long chains") {
+    val s = spark
+    import s.implicits._
+    // components: chain 1-2-3-4-5 (diameter 4 -> several propagation
+    // rounds), pair {10,11}, triangle {20,21,22}; 99 is isolated (no pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a_id", "b_id")
+    val got = graft.operators.Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("quantizeInt8: symmetric int8 codes, zero-vector safe") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val q = df.select(col("vec_id"),
+      graft.operators.Similarity.quantizeInt8(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q.codes"), col("q.scale"))
+      .orderBy(col("vec_id")).collect()
+    assert(q(0).getSeq[Int](1) == Seq(127, -63, 32)) // floor(x/s + .5)
+    assert(math.abs(q(0).getDouble(2) - 1.0 / 127.0) < 1e-9)
+    assert(q(1).getSeq[Int](1) == Seq(0, 0, 0) && q(1).getDouble(2) == 0.0)
+  }
+
+  test("redactPii tags emails, IPs and SSNs; counts match") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("mail a.b+c@test.org or 192.168.0.1 ssn 123-45-6789 end")
+      .toDF("text")
+    val r = df.select(
+      graft.operators.TextAnalysis.redactPii(col("text")).as("red"),
+      graft.operators.TextAnalysis.piiCounts(col("text")).as("c"))
+      .collect()(0)
+    assert(r.getString(0) == "mail <EMAIL> or <IP> ssn <SSN> end")
+    val c = r.getStruct(1)
+    assert(c.getInt(0) == 1 && c.getInt(1) == 1 && c.getInt(2) == 1)
+  }
+
   test("native cosine_exact equals the HOF decimal formulation bit-for-bit") {
     GraftFunctions.register(spark)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
