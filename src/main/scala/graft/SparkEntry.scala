@@ -527,6 +527,15 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "q58_simhash_pairs" -> ((s, dir) => {
+      // block-banded SimHash candidates + exact Hamming verify
+      // (recall 1.0 for hamming <= 3 by pigeonhole over 4 blocks)
+      GraftFunctions.register(s)
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ---- similarity search (extended scope) ----
 
     "q40_knn_brute" -> ((s, dir) => {
@@ -1208,6 +1217,39 @@ object SparkEntry {
         |    CAST(len(list_distinct(raw)) AS DOUBLE)
         |      / CAST(len(raw) AS DOUBLE), 6) END AS dup_word
         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // all-pairs hamming <= 3 IS the banded result: 4-block banding has
+    // guaranteed recall at that threshold (pigeonhole), and the exact
+    // verify removes any extra candidates — the sets are equal by
+    // construction, so the oracle needs no banding replication
+    "q58_simhash_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_transform(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> ''), t -> md5(t)) AS hashes
+        |  FROM documents
+        |), sig AS (
+        |  SELECT doc_id,
+        |  array_to_string([
+        |    substr('0123456789abcdef', 1 + list_sum([
+        |      CASE WHEN list_sum([
+        |        CASE WHEN ((strpos('0123456789abcdef',
+        |            substr(h, jj + 1, 1)) - 1) >> b) & 1 = 1
+        |          THEN 1 ELSE -1 END
+        |        for h in hashes]) > 0 THEN (1 << b) ELSE 0 END
+        |      for b in range(0, 4)])::INT, 1)
+        |    for jj in range(0, 16)], '') AS simhash
+        |  FROM tk
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(list_sum([bit_count(xor(
+        |      strpos('0123456789abcdef', substr(a.simhash, i + 1, 1)) - 1,
+        |      strpos('0123456789abcdef', substr(b.simhash, i + 1, 1)) - 1))
+        |      for i in range(0, 16)]) AS BIGINT) AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |)
+        |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q57_vec_quantize" ->
       """WITH m AS (

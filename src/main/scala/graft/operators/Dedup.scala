@@ -177,6 +177,56 @@ object Dedup {
   def simhashHex(text: Column): Column =
     graft.functions.GraftFunctions.simhash_md5(TextAnalysis.tokens(text))
 
+  /** Hamming distance between two 16-hex-char simhash strings, computed
+    * digit-wise (bit_count of per-digit XOR) with engine-portable
+    * functions (locate/strpos + bit_count) so it oracle-checks. Cheap: 16
+    * digit reads, applied to candidate pairs only. */
+  def hammingHexStr(a: Column, b: Column): Column = {
+    val hex = lit("0123456789abcdef")
+    aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, i) => {
+      val da = (call_function("locate",
+        call_function("substring", a, i + 1, lit(1)), hex) - 1).cast("long")
+      val db = (call_function("locate",
+        call_function("substring", b, i + 1, lit(1)), hex) - 1).cast("long")
+      acc + call_function("bit_count", da.bitwiseXOR(db))
+    })
+  }
+
+  /** SimHash near-duplicate pairs: the 64-bit signature is split into 4
+    * contiguous 16-bit blocks (4 hex chars each); candidate pairs share at
+    * least one identical block, then verify with the exact Hamming
+    * distance. By pigeonhole, any pair within `maxHamming` <= 3 bits
+    * differs in at most 3 blocks, so block-equality candidates have
+    * RECALL 1.0 — no probabilistic miss, unlike MinHash banding. Plan
+    * shape matches the MinHash path: map-side signatures, equi-join on
+    * (block index, block value), exact verify on candidates only. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-block banding guarantees recall only for maxHamming <= 3")
+    val sig = docs.select(col(idCol).as("id"),
+      simhashHex(col(textCol)).as("sig"))
+    val banded = sig.select(col("id"),
+      explode_outer(transform(sequence(lit(0), lit(3)),
+        b => concat_ws("_", b.cast("string"),
+          call_function("substring", col("sig"), b * 4 + 1, lit(4)))))
+        .as("blockkey"))
+    val candidates = banded.select(col("blockkey"), col("id").as("a_id"))
+      .join(banded.select(col("blockkey"), col("id").as("b_id")),
+        Seq("blockkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    candidates
+      .join(sig.select(col("id").as("a_id"), col("sig").as("a_sig")),
+        Seq("a_id"))
+      .join(sig.select(col("id").as("b_id"), col("sig").as("b_sig")),
+        Seq("b_id"))
+      .withColumn("hamming", hammingHexStr(col("a_sig"), col("b_sig")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
     * Map-side only; Hamming-close simhashes => near-dup candidates. */
   def simhash64(text: Column): Column = {

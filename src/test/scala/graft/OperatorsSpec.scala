@@ -191,6 +191,25 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(m(0) - (1f + 1f + 0.9f) / 3) < 1e-6)
   }
 
+  test("simhashNearDupPairs finds near-identical docs with exact hamming") {
+    GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, longA), (2L, longA),            // identical -> hamming 0
+      (3L, longB),                          // one word off longA
+      (4L, "completely different content about databases and storage"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    // every returned pair respects the threshold
+    assert(pairs.forall(_._3 <= 3))
+    // the unrelated doc pairs with nothing
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("nearDupClusters labels connected components, including long chains") {
     val s = spark
     import s.implicits._
