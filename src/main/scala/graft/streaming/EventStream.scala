@@ -115,9 +115,25 @@ object EventStream {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** One micro-batch upsert, idempotent under replay: rows land in a
+    * (day, batch_id) partition and the write is a DYNAMIC partition
+    * overwrite, so a batch replayed after a checkpoint recovery rewrites
+    * exactly its own partitions instead of appending duplicates — the
+    * streaming analog of the batch service's idempotent day overwrite
+    * (T5). A plain mode("append") here would double rows on every
+    * replay. */
+  def upsertBatch(batch: DataFrame, batchId: Long, outPath: String): Unit = {
+    batch.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch.withColumn("day", to_date(col("window_start")))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("day", "batch_id")
+      .parquet(outPath)
+  }
+
   /** Micro-batch sink into a warehouse-style partitioned parquet table:
-    * foreachBatch gives the batch-side exactly-once hook (idempotent by
-    * batchId + dynamic partition overwrite). */
+    * foreachBatch + [[upsertBatch]] gives the batch-side exactly-once
+    * hook. */
   def writeToWarehouse(agg: DataFrame, outPath: String,
                        checkpoint: String): StreamingQuery =
     agg.writeStream
@@ -125,9 +141,7 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("day", to_date(col("window_start")))
-          .write.mode("append").partitionBy("day").parquet(outPath)
-        ()
+        upsertBatch(batch, batchId, outPath)
       }
       .start()
 }

@@ -143,6 +143,28 @@ class StreamingSpec extends SparkSpec {
     assert(clicks.length == 1 && clicks(0).getAs[Long]("n") == 2L)
   }
 
+  test("batch replay is idempotent: rewriting a batch never duplicates rows") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft-replay-out").toString
+    val batch = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "click", 2L, 3.0),
+      (java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "view", 1L, 1.0))
+      .toDF("window_start", "event_type", "n_events", "sum_value")
+    EventStream.upsertBatch(batch, 7L, s"$out/data")
+    // a foreachBatch replay after checkpoint recovery re-runs the SAME
+    // batchId with the same data — the (day, batch_id) dynamic overwrite
+    // must replace, not append
+    EventStream.upsertBatch(batch, 7L, s"$out/data")
+    val table = spark.read.parquet(s"$out/data")
+    assert(table.count() == 2)
+    // a different batch id lands alongside, untouched by the replay
+    EventStream.upsertBatch(batch.limit(1), 8L, s"$out/data")
+    assert(spark.read.parquet(s"$out/data").count() == 3)
+    EventStream.upsertBatch(batch.limit(1), 8L, s"$out/data")
+    assert(spark.read.parquet(s"$out/data").count() == 3)
+  }
+
   test("foreachBatch warehouse sink writes day-partitioned parquet") {
     val (dir, schema) = eventsDir
     val out = Files.createTempDirectory("graft-stream-wh").toString
