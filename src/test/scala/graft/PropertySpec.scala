@@ -63,6 +63,32 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("TopKAgg is arrival-order and partitioning independent") {
+    import graft.functions.{Scored, TopKAgg, TopKBuf}
+    val scoredGen = for {
+      n <- Gen.choose(0, 40)
+      ids <- Gen.pick(n, 0L until 200L)
+      sims <- Gen.listOfN(n, Gen.chooseNum(-1.0, 1.0))
+    } yield ids.toList.zip(sims).map { case (id, s) => Scored(s, id) }
+    val kGen = Gen.choose(1, 8)
+    check(Prop.forAll(scoredGen, kGen, Gen.choose(0L, 1000L)) {
+      (items, k, seed) =>
+      val agg = new TopKAgg(k)
+      def reduceAll(xs: Seq[Scored]): TopKBuf =
+        xs.foldLeft(agg.zero)(agg.reduce)
+      // ground truth: full sort under (sim desc, id asc), take k
+      val expect = items.sortBy(s => (-s.sim, s.id)).take(k)
+      // arbitrary shuffle + arbitrary 3-way partitioning, merged pairwise
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(items)
+      val (p1, rest) = shuffled.splitAt(shuffled.size / 3)
+      val (p2, p3) = rest.splitAt(rest.size / 2)
+      val merged = agg.merge(agg.merge(reduceAll(p1), reduceAll(p2)),
+        reduceAll(p3))
+      Prop(agg.finish(merged).items == expect) :| s"k=$k n=${items.size}"
+    })
+  }
+
   test("nextEndTime is aligned, later than last, and within one window") {
     val gen = for {
       epoch <- Gen.choose(0L, 4102444800L) // 1970..2100
