@@ -140,6 +140,52 @@ object Similarity {
       round(scale, 9).as("scale"))
   }
 
+  /** Brute-force top-k with an int8-quantized phase 1: both sides are
+    * quantized once ([[quantizeInt8]]) and candidates are scored on the
+    * 4x-smaller code arrays (the per-vector scales cancel in the cosine,
+    * so phase 1 is pure integer dot / norm arithmetic); the top
+    * `k + margin` per query re-rank with the full-precision codegen'd
+    * kernel. At 100 TB this is the memory-bandwidth play: the corpus scan
+    * that dominates brute-force search reads a quarter of the bytes, and
+    * only survivors touch float vectors. Quantization error bounds phase-1
+    * score error to ~1e-2, so `margin` trades recall for re-rank cost
+    * (spec asserts recall vs the exact search on a clustered fixture). */
+  def bruteForceTopKInt8(corpus: DataFrame, queries: DataFrame, k: Int,
+                         margin: Int = 32,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      quantizeInt8(col(vecCol)).getField("codes").as("q_codes"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      quantizeInt8(col(vecCol)).getField("codes").as("c_codes"))
+    val idot = aggregate(
+      zip_with(col("q_codes"), col("c_codes"),
+        (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, v) => acc + v).cast("double")
+    def inorm(codes: Column) = sqrt(aggregate(
+      transform(codes, x => (x * x).cast("long")),
+      lit(0L), (acc, v) => acc + v).cast("double"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("fsim",
+        when(inorm(col("q_codes")) === 0 || inorm(col("c_codes")) === 0,
+          lit(0.0))
+          .otherwise(idot / (inorm(col("q_codes")) * inorm(col("c_codes")))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(broadcast(partialTopK(scored, col("fsim"), k + margin)),
+        Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("q_vec"))),
+        Seq("query_id"))
+      .withColumn("sim",
+        round(GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("rk").cast("int").as("rk"))
+  }
+
   /** Lloyd-style IVF centroid training over cosine assignment: seed with
     * the first k vectors, then iterate (assign to nearest centroid ->
     * re-average per cell with the [[graft.functions.VectorAvg]] typed

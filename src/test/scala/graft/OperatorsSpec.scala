@@ -301,6 +301,11 @@ class OperatorsSpec extends SparkSpec {
     assert(multi >= single, s"multi-probe $multi < single-probe $single")
     assert(multi >= 0.70, s"multi-probe recall@5 $multi below target")
 
+    // int8-prefiltered brute force: phase 1 on quantized codes, exact
+    // re-rank — near-exact recall at a quarter of the scan bytes
+    val int8 = recall(Similarity.bruteForceTopKInt8(emb, queries, k = 5))
+    assert(int8 >= 0.9, s"int8-prefilter recall@5 $int8 below target")
+
     val seeds = emb.filter(col("vec_id") % 20 === 0) // near-center seeds
     val n1 = recall(Similarity.ivfTopK(emb, queries, seeds, k = 5))
     val n3 = recall(Similarity.ivfTopK(emb, queries, seeds, k = 5,
