@@ -204,8 +204,14 @@ object Dedup {
                           maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4-block banding guarantees recall only for maxHamming <= 3")
+    // (id, 16-char sig) is referenced three times (banding + both sides of
+    // the verify re-attach); materialize it once so the md5-per-token
+    // signature pass runs once over the corpus, not three times — the
+    // materialized index is ~24 bytes/doc, the natural artifact to persist
+    // at scale
     val sig = docs.select(col(idCol).as("id"),
       simhashHex(col(textCol)).as("sig"))
+      .localCheckpoint(true)
     val banded = sig.select(col("id"),
       explode_outer(transform(sequence(lit(0), lit(3)),
         b => concat_ws("_", b.cast("string"),
