@@ -29,5 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(tokens, n) - word n-gram shingles"),
       (exprs: Seq[Expression]) => WordShingles(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("simhash_md5"),
+      info("simhash_md5", "simhash_md5(tokens) - portable 64-bit SimHash hex"),
+      (exprs: Seq[Expression]) => SimHashMd5(exprs(0))))
+    e.injectFunction((FunctionIdentifier("cosine_exact"),
+      info("cosine_exact", "cosine_exact(a, b) - decimal-exact (oracle-bitwise) cosine"),
+      (exprs: Seq[Expression]) => CosineExactDecimal(exprs(0), exprs(1))))
   }
 }

@@ -102,11 +102,18 @@ object Dedup {
     // has enough splits; the repartition is a no-op cost-wise).
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val spread = docs.repartition(parallelism, col(idCol))
+    // materialized eagerly: the projection is referenced three times
+    // (banding + both verify re-attach sides) and Catalyst re-executes an
+    // uncached subtree per reference — without this, the shingle+signature
+    // pass (the query's dominant cost) runs three times over the corpus.
+    // The artifact is the (id, shingles, band keys) dedup index — the
+    // natural thing to persist at scale anyway.
     val prepared = spread.select(col(idCol).as("id"),
       array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"),
       graft.functions.GraftFunctions.minhash_bands(
         TextAnalysis.tokens(col(textCol)), k, shingleN, !fast, bands)
         .as("bandkeys"))
+      .localCheckpoint(true)
     // explode_outer, not explode: the band array is never empty, and plain
     // explode makes Catalyst infer a size(bandkeys)>0 scan filter that
     // re-evaluates the whole signature a second time per row.
