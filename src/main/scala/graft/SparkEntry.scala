@@ -527,6 +527,39 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "q59_evt_pivot" -> ((s, dir) => {
+      // pivot with an explicit value list (deterministic schema — an
+      // inferred list would need an extra distinct pass over the corpus)
+      t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .orderBy(col("day"))
+    }),
+
+    "q60_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q61_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    }),
+
     "q58_simhash_pairs" -> ((s, dir) => {
       // block-banded SimHash candidates + exact Hamming verify
       // (recall 1.0 for hamming <= 3 by pigeonhole over 4 blocks)
@@ -1217,6 +1250,40 @@ object SparkEntry {
         |    CAST(len(list_distinct(raw)) AS DOUBLE)
         |      / CAST(len(raw) AS DOUBLE), 6) END AS dup_word
         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // conditional aggregation == pivot with an explicit value list (both
+    // yield NULL for absent (day, type) combinations)
+    "q59_evt_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+        |    AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+        |    AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+        |    AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)
+        |    AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+        |    AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q60_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin,
+
+    "q61_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+        |        l_extendedprice, l_discount, l_tax
+        |      FROM lineitem WHERE l_orderkey < 1000)
+        |UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice,
+        |  l_discount, l_tax))
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     // all-pairs hamming <= 3 IS the banded result: 4-block banding has
     // guaranteed recall at that threshold (pigeonhole), and the exact
