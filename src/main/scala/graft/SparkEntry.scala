@@ -527,6 +527,37 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "q62_token_freq" -> ((s, dir) => {
+      // vocabulary building: corpus-wide token frequencies, top 50.
+      // explode -> two-stage count agg (map-side partial combine); the
+      // shuffle moves (token, partial count), never documents
+      t(s, dir, "documents")
+        .select(explode_outer(TextAnalysis.tokens(col("text")))
+          .as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    }),
+
+    "q63_hash_split" -> ((s, dir) => {
+      // reproducible train/val/test assignment by content-independent id
+      // hash — the large-pipeline idiom for deterministic, engine-portable
+      // splits (no rand(), no sampleBy: a retry or a different engine
+      // produces the identical split). 16 buckets on the first md5 hex
+      // char: 12/2/2 = 75%/12.5%/12.5%
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val split = when(bucket < lit("c"), lit("train"))
+        .when(bucket < lit("e"), lit("val"))
+        .otherwise(lit("test"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), split.as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))
+    }),
+
     "q59_evt_pivot" -> ((s, dir) => {
       // pivot with an explicit value list (deterministic schema — an
       // inferred list would need an extra distinct pass over the corpus)
@@ -1250,6 +1281,26 @@ object SparkEntry {
         |    CAST(len(list_distinct(raw)) AS DOUBLE)
         |      / CAST(len(raw) AS DOUBLE), 6) END AS dup_word
         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q62_token_freq" ->
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |        x -> x <> '')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "q63_hash_split" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+        |      THEN 'train'
+        |    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+        |      THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, COUNT(*) AS n, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     // conditional aggregation == pivot with an explicit value list (both
     // yield NULL for absent (day, type) combinations)
