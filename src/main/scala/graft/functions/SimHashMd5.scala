@@ -42,9 +42,11 @@ case class SimHashMd5(child: Expression)
     val n = toks.numElements()
     val votes = new Array[Int](64)
     val md = MessageDigest.getInstance("MD5")
+    val d = new Array[Byte](16) // reused across tokens — no per-token alloc
     var i = 0
     while (i < n) {
-      val d = md.digest(toks.getUTF8String(i).getBytes)
+      md.update(toks.getUTF8String(i).getBytes)
+      md.digest(d, 0, 16)
       // first 8 digest bytes = first 16 hex chars; hex char j (0-based from
       // the left) is the high/low nibble of byte j/2 and holds bits
       // 63-4j .. 60-4j
