@@ -118,6 +118,8 @@ class HttpClientSpec extends SparkSpec {
         s"""{"location":"$url/dl/$id"}""".getBytes("UTF-8"))
     })
 
+    @volatile var gzipDownloads = true
+
     server.createContext("/dl/", (ex: HttpExchange) => {
       record(ex)
       val id = ex.getRequestURI.getPath.stripPrefix("/dl/")
@@ -125,11 +127,14 @@ class HttpClientSpec extends SparkSpec {
       val selected = records
         .filter { case (t, _) => !t.isBefore(start) && t.isBefore(end) }
         .map(_._2)
-      val buf = new ByteArrayOutputStream()
-      val gz = new GZIPOutputStream(buf)
-      gz.write(selected.mkString("[", ",", "]").getBytes("UTF-8"))
-      gz.close()
-      respond(ex, 200, buf.toByteArray)
+      val body = selected.mkString("[", ",", "]").getBytes("UTF-8")
+      if (gzipDownloads) {
+        val buf = new ByteArrayOutputStream()
+        val gz = new GZIPOutputStream(buf)
+        gz.write(body)
+        gz.close()
+        respond(ex, 200, buf.toByteArray)
+      } else respond(ex, 200, body)
     })
 
     server.start()
@@ -222,6 +227,24 @@ class HttpClientSpec extends SparkSpec {
       client.createExport(Instant.parse("2020-08-27T00:00:00Z"),
         Instant.parse("2020-08-28T00:00:00Z"), Seq("EventStart"))
       assert(stub.createHeaderSeen.contains("c1"))
+    } finally stub.stop()
+  }
+
+  test("plain (non-gzip) downloads stage via the magic-byte sniff") {
+    val stub = new StubApi(fixtureRecords)
+    try {
+      stub.gzipDownloads = false
+      val tmp = Files.createTempDirectory("graft-http-plain")
+      val source = new HttpExportSource(spark,
+        new HttpExportClient(stub.url, Token), tmp.toString)
+      val op = source.createExport(
+        Instant.parse("2020-08-27T00:00:00Z"),
+        Instant.parse("2020-08-29T00:00:00Z"), Seq("EventStart"))
+      source.getExportProgress(op) // RUNNING
+      val df = source.getExport(source.getExportProgress(op)._2.get)
+      assert(df.count() == 2)
+      // staged without the .gz extension (sniffed as plain)
+      assert(Files.list(tmp).iterator().next().toString.endsWith(".json"))
     } finally stub.stop()
   }
 
