@@ -13,11 +13,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // best-of-N (default 2) with INTERLEAVED passes: all queries run once,
+    // best-of-N (default 3) with INTERLEAVED passes: all queries run once,
     // then all again, min per query. The first pass pays codegen/JIT/page-
     // cache warm-up; interleaving keeps a bursty noisy-neighbor window from
-    // hitting every attempt of the same query.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // hitting every attempt of the same query (observed host noise here is
+    // +-25% per pass — three passes bound the min much tighter).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
     val times = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to runs; name <- names) {
