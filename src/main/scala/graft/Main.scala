@@ -5,8 +5,8 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 import graft.service.{ConfigLoader, ExportService}
-import graft.sinks.{HadoopStorage, ParquetWarehouse}
-import graft.sources.{Dsv2ExportSource, LocalFixtureSource}
+import graft.sinks.{HadoopStorage, JdbcWarehouse, ParquetWarehouse}
+import graft.sources.{Dsv2ExportSource, HttpExportClient, HttpExportSource, LocalFixtureSource}
 
 /** CLI entry point — the reference's main.go:18-39 lifecycle: load config,
   * wire provider (source/storage/warehouse per core/core.go:18-51), run the
@@ -15,7 +15,11 @@ import graft.sources.{Dsv2ExportSource, LocalFixtureSource}
   * Usage: runMain graft.Main <config-file>
   * Config keys beyond ServiceConfig (see ConfigLoader): FixturePath (raw
   * export JSON), StageDir (staging storage), WarehouseDir (omit with
-  * StorageOnly), Source = "fixture" | "dsv2".
+  * StorageOnly), Source = "fixture" | "dsv2" | "http" (live client: ApiURL
+  * + FsApiToken, the latter falling back to the FS_API_TOKEN environment
+  * variable like the reference, config/config.go:152-155), and
+  * WarehouseJdbcUrl to load through the JDBC warehouse instead of the
+  * parquet one.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -30,6 +34,10 @@ object Main {
       throw new IllegalArgumentException(s"missing config key $k"))
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // embedding-safe: getOrCreate may hand us a caller's session — only
+    // stop what this main itself created
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
@@ -42,11 +50,21 @@ object Main {
 
     val source = kv.getOrElse("Source", "fixture") match {
       case "dsv2" => new Dsv2ExportSource(spark, need("FixturePath"))
+      case "http" =>
+        val token = kv.get("FsApiToken").orElse(sys.env.get("FS_API_TOKEN"))
+          .getOrElse(throw new IllegalArgumentException(
+            "Source=http needs FsApiToken (or the FS_API_TOKEN env var)"))
+        new HttpExportSource(spark,
+          new HttpExportClient(need("ApiURL"), token),
+          need("StageDir") + "/_downloads")
       case _ => new LocalFixtureSource(spark, need("FixturePath"))
     }
     val storage = new HadoopStorage(need("StageDir"))
     val warehouse = if (config.storageOnly) None
-      else Some(new ParquetWarehouse(spark, need("WarehouseDir")))
+      else kv.get("WarehouseJdbcUrl") match {
+        case Some(url) => Some(new JdbcWarehouse(spark, url))
+        case None => Some(new ParquetWarehouse(spark, need("WarehouseDir")))
+      }
 
     val svc = new ExportService(spark, config, source, storage, warehouse)
     // MaxBundles bounds one invocation (cron-style runs); default unlimited
@@ -55,6 +73,6 @@ object Main {
     bundles.foreach(b => println(
       s"[graft] bundle ${b.start} .. ${b.end}: ${b.records} records -> ${b.ref}"))
     println(s"[graft] caught up after ${bundles.size} bundles")
-    spark.stop()
+    if (!preExisting) spark.stop()
   }
 }
