@@ -31,8 +31,20 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "cosine_exact", exprs => CosineExactDecimal(exprs(0), exprs(1)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "nearest_cells",
+      exprs => NearestCells(exprs(0), exprs(1), exprs(2), exprs(3)),
+      "built-in")
     registered = true
   }
+
+  /** Map-side IVF cell assignment: `probes` nearest centroids of `vec`
+    * against a literal centroid array (see [[NearestCells]]). */
+  def nearest_cells(vec: Column, centroids: Column, probes: Int,
+                    exact: Boolean): Column =
+    call_function("nearest_cells", vec, centroids,
+      org.apache.spark.sql.functions.lit(probes),
+      org.apache.spark.sql.functions.lit(exact))
 
   /** Decimal-exact (oracle-bitwise) cosine as one native pass
     * (see [[CosineExactDecimal]]). */

@@ -186,11 +186,29 @@ object Similarity {
         col("rk").cast("int").as("rk"))
   }
 
+  /** The centroid set as a foldable literal Column — the "broadcast" of a
+    * by-definition-small model (k × dim floats, driver-collected once) that
+    * lets [[graft.functions.NearestCells]] assign cells as a pure
+    * projection. At 100 TB the corpus never shuffles for assignment; only
+    * the k×dim literal ships inside the serialized plan. */
+  private def centroidLiteral(seeds: DataFrame, idCol: String,
+                              vecCol: String): Column = {
+    val rows = seeds.select(col(idCol).cast("long"), col(vecCol)).collect()
+    require(rows.nonEmpty, "IVF needs at least one seed centroid")
+    val cents: Seq[(Long, Seq[Float])] =
+      rows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    typedlit(cents)
+  }
+
   /** Lloyd-style IVF centroid training over cosine assignment: seed with
     * the first k vectors, then iterate (assign to nearest centroid ->
     * re-average per cell with the [[graft.functions.VectorAvg]] typed
-    * Aggregator). Each iteration is one broadcast join + one hash
-    * aggregate; vectors never shuffle (only per-cell sum buffers do). */
+    * Aggregator). Assignment is a map-side argmax against the collected
+    * centroid literal ([[graft.functions.NearestCells]]) — each iteration
+    * is one projection + one hash aggregate; vectors never shuffle (only
+    * per-cell sum buffers do), and collecting the k centroids per round
+    * cuts lineage by construction (no checkpoint primitive needed: the k ×
+    * dim model is driver-resident between rounds, as Lloyd's requires). */
   def trainIvfCentroids(emb: DataFrame, k: Int, iters: Int,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
@@ -198,17 +216,13 @@ object Similarity {
     var centroids = emb.filter(col(idCol) < k)
       .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("c_vec"))
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("cell_sim").desc, col("cell_id").asc)
-      val assigned = emb.select(col(idCol), col(vecCol))
-        .join(broadcast(centroids))
-        .withColumn("cell_sim",
-          GraftFunctions.cosine_sim(col(vecCol), col("c_vec")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-      centroids = assigned.groupBy(col("cell_id"))
+      val centLit = centroidLiteral(centroids, "cell_id", "c_vec")
+      centroids = emb
+        .select(col(vecCol),
+          element_at(GraftFunctions.nearest_cells(col(vecCol), centLit,
+            probes = 1, exact = false), 1).as("cell_id"))
+        .groupBy(col("cell_id"))
         .agg(vecAvg(col(vecCol)).as("c_vec"))
-        .localCheckpoint(true) // cut lineage across iterations
     }
     centroids
   }
@@ -225,31 +239,21 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               exact: Boolean = false, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
-    val sd = seeds.select(col(idCol).as("cell_id"), col(vecCol).as("s_vec"))
-    // two-phase everywhere in exact mode: the codegen'd kernel prunes to a
-    // small candidate margin (its error vs decimal-exact is <1e-11), the
-    // oracle-bitwise exact cosine decides only among survivors
+    val centLit = centroidLiteral(seeds, idCol, vecCol)
+    // Map-side assignment ([[graft.functions.NearestCells]]): the two-phase
+    // exact semantics (fast-kernel top probes+1, decimal-exact re-rank) run
+    // inside the expression, so assignment is a projection — no corpus×k
+    // join, no per-vector window shuffle. The corpus flows scan → project →
+    // cell equi-join untouched.
     def assign(df: DataFrame, id: String, vec: String,
                probes: Int): DataFrame = {
-      val wf = Window.partitionBy(col(id))
-        .orderBy(col("fsim").desc, col("cell_id").asc)
-      val prefiltered = df.select(col(idCol).as(id), col(vecCol).as(vec))
-        .join(broadcast(sd))
-        .withColumn("fsim", GraftFunctions.cosine_sim(col(vec), col("s_vec")))
-        .withColumn("frk", row_number().over(wf))
-      if (!exact)
-        prefiltered.filter(col("frk") <= probes)
-          .select(col(id), col(vec), col("cell_id"))
-      else {
-        val w = Window.partitionBy(col(id))
-          .orderBy(col("cell_sim").desc, col("cell_id").asc)
-        prefiltered.filter(col("frk") <= probes + 1)
-          .withColumn("cell_sim",
-            round(cosineExact(col(vec), col("s_vec")), 9))
-          .withColumn("cell_rk", row_number().over(w))
-          .filter(col("cell_rk") <= probes)
-          .select(col(id), col(vec), col("cell_id"))
-      }
+      val base = df.select(col(idCol).as(id), col(vecCol).as(vec))
+      val cells =
+        GraftFunctions.nearest_cells(col(vec), centLit, probes, exact)
+      if (probes == 1)
+        base.select(col(id), col(vec), element_at(cells, 1).as("cell_id"))
+      else
+        base.select(col(id), col(vec), explode_outer(cells).as("cell_id"))
     }
     val c = assign(corpus, "neighbor_id", "c_vec", probes = 1)
     val q = assign(queries, "query_id", "q_vec", probes = nprobe)

@@ -321,6 +321,58 @@ class OperatorsSpec extends SparkSpec {
       f"ivf nprobe1=$n1%.2f nprobe3=$n3%.2f")
   }
 
+  test("map-side nearest_cells matches the join+window assignment bit-for-bit") {
+    // Differential pin for the NearestCells rewrite: the old corpus×seeds
+    // join + row_number window formulation is reproduced here as the
+    // executable spec; the map-side expression must choose identical cells
+    // for every vector, in fast mode and in decimal-exact mode.
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = emb.filter(col("vec_id") < 8)
+    val sd = seeds.select(col("vec_id").as("cell_id"),
+      col("embedding").as("s_vec"))
+
+    def oldAssign(probes: Int, exact: Boolean) = {
+      val wf = Window.partitionBy(col("vec_id"))
+        .orderBy(col("fsim").desc, col("cell_id").asc)
+      val pre = emb.select(col("vec_id"), col("embedding"))
+        .join(broadcast(sd))
+        .withColumn("fsim",
+          GraftFunctions.cosine_sim(col("embedding"), col("s_vec")))
+        .withColumn("frk", row_number().over(wf))
+      if (!exact) pre.filter(col("frk") <= probes)
+        .select(col("vec_id"), col("cell_id"))
+      else {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cell_sim").desc, col("cell_id").asc)
+        pre.filter(col("frk") <= probes + 1)
+          .withColumn("cell_sim",
+            round(GraftFunctions.cosine_exact(col("embedding"),
+              col("s_vec")), 9))
+          .withColumn("cell_rk", row_number().over(w))
+          .filter(col("cell_rk") <= probes)
+          .select(col("vec_id"), col("cell_id"))
+      }
+    }
+
+    def newAssign(probes: Int, exact: Boolean) = {
+      val rows = sd.collect()
+      val cents: Seq[(Long, Seq[Float])] =
+        rows.toSeq.map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      emb.select(col("vec_id"),
+        explode_outer(GraftFunctions.nearest_cells(col("embedding"),
+          typedlit(cents), probes, exact)).as("cell_id"))
+    }
+
+    for ((probes, exact) <- Seq((1, false), (1, true), (2, false), (3, true))) {
+      val old = oldAssign(probes, exact)
+      val neu = newAssign(probes, exact)
+      assert(old.exceptAll(neu).isEmpty && neu.exceptAll(old).isEmpty,
+        s"assignment diverged at probes=$probes exact=$exact")
+    }
+  }
+
   test("asofJoin picks the latest right row at-or-before each left row") {
     val s = spark
     import s.implicits._

@@ -49,6 +49,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q46: IVF cell assignment is map-side — no per-vector shuffle or window") {
+    // NearestCells makes assignment a projection: the only exchanges left
+    // key on query_id (bounded top-k aggregate / final re-rank over
+    // survivors), never on the corpus vector id.
+    val p = plan("q46_ann_ivf")
+    assert(!p.contains("hashpartitioning(neighbor_id"), p.take(2000))
+    assert(!p.contains("hashpartitioning(vec_id"), p.take(2000))
+    // non-exact path: no window operator anywhere — corpus flows scan →
+    // project(nearest_cells) → cell equi-join → partial top-k heap
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val np = graft.operators.Similarity
+      .ivfTopK(emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 30),
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!np.contains("Window"), np.take(2000))
+    assert(!np.contains("hashpartitioning(vec_id"), np.take(2000))
+    assert(!np.contains("hashpartitioning(neighbor_id"), np.take(2000))
+  }
+
   test("q40: corpus scans once; queries are the broadcast side") {
     val p = plan("q40_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin")) // intended: tiny query set x corpus
