@@ -19,13 +19,19 @@ object Bench {
     // hitting every attempt of the same query (observed host noise here is
     // +-25% per pass — three passes bound the min much tighter).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // optional regex subset (local iteration: time one query without the
+    // rest of the suite's JVM state in play)
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => filter.forall(f => n.matches(f)))
     val times = scala.collection.mutable.Map[String, Double]()
-    for (_ <- 1 to runs; name <- names) {
+    val verbose = sys.env.getOrElse("SPARK_GRAFT_BENCH_VERBOSE", "0") == "1"
+    for (pass <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
+      if (verbose) System.err.println(f"[bench] pass=$pass $name%-24s $dt%.3f")
       times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
     }
     val results = names.map(n => n -> times(n)).toMap

@@ -152,13 +152,26 @@ case class NearestCells(vec: Expression, centroids: Expression,
     val order = Array.range(0, m).sortBy(j => (-sims(j), cellIds(j)))
     val chosen: Array[Int] =
       if (!exactVal) order.take(p)
-      else order.take(math.min(probesVal + 1, m))
-        .map { j =>
-          val e = exactCosine(x, cellVecs(j))
-          (j, if (e == null) Double.NegativeInfinity else round9(e))
-        }
-        .sortBy { case (j, r) => (-r, cellIds(j)) }
-        .take(p).map(_._1)
+      else {
+        val cand = order.take(math.min(probesVal + 1, m))
+        // The decimal re-rank can only reorder candidates whose fast sims
+        // sit within the kernel's error window: with |fast - exact| < 1e-11
+        // and round-9 monotone (round9(a) > round9(b) whenever a-b > 1e-9),
+        // an adjacent fast gap > 1e-8 makes the decimal order provably
+        // identical — so the expensive BigDecimal pass runs only on the
+        // rare near-tie rows (duplicate vectors, quantized corpora).
+        val needExact = (0 until cand.length - 1).exists { r =>
+          sims(cand(r)) - sims(cand(r + 1)) <= 1e-8
+        } || cand.exists(j => cellVecs(j).length != x.numElements())
+        if (!needExact) cand.take(p)
+        else cand
+          .map { j =>
+            val e = exactCosine(x, cellVecs(j))
+            (j, if (e == null) Double.NegativeInfinity else round9(e))
+          }
+          .sortBy { case (j, r) => (-r, cellIds(j)) }
+          .take(p).map(_._1)
+      }
     new GenericArrayData(chosen.map(cellIds))
   }
 
