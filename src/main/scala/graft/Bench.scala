@@ -68,7 +68,25 @@ object Bench {
           ev10.groupBy(date_trunc("hour", col("ts")), col("event_type"))
             .agg(count(lit(1))).count()
         }
-        s""","scale_probe_10x":{"lineitem_agg":$tAgg,"lineitem_join":$tJoin,"events_hourly":$tEvt}"""
+        // bucketed vs shuffled at 10x rows: same SMJ body, partitioning
+        // from bucket layout instead of a per-query Exchange. The one-time
+        // bucketed write is NOT timed (amortized across every later join
+        // of the fact pair, the production trade bucketing makes).
+        val tJoinBkt = {
+          for ((nm, df, key) <- Seq(("li10_bkt", li10, "l_orderkey"),
+              ("o10_bkt", o, "o_orderkey"))) {
+            if (!spark.catalog.tableExists(nm))
+              df.write.bucketBy(32, key).sortBy(key)
+                .mode("overwrite").saveAsTable(nm)
+          }
+          time {
+            spark.table("li10_bkt")
+              .join(spark.table("o10_bkt").hint("merge"),
+                col("l_orderkey") === col("o_orderkey"))
+              .groupBy(col("o_orderpriority")).agg(count(lit(1))).count()
+          }
+        }
+        s""","scale_probe_10x":{"lineitem_agg":$tAgg,"lineitem_join":$tJoin,"lineitem_join_bucketed":$tJoinBkt,"events_hourly":$tEvt}"""
       }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probe}""")
     spark.stop()
