@@ -90,7 +90,9 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 16, bands: Int = 4, shingleN: Int = 3,
                       threshold: Double = 0.5,
-                      fast: Boolean = true): DataFrame = {
+                      fast: Boolean = true,
+                      materialize: Materializer = Materializer.Local)
+      : DataFrame = {
     // Shingle sets and banded signatures are computed ONCE per document in
     // a single native pass (signature + banding fused — slicing a signature
     // column into bands would re-evaluate it per band); the candidate join
@@ -107,13 +109,13 @@ object Dedup {
     // uncached subtree per reference — without this, the shingle+signature
     // pass (the query's dominant cost) runs three times over the corpus.
     // The artifact is the (id, shingles, band keys) dedup index — the
-    // natural thing to persist at scale anyway.
-    val prepared = spread.select(col(idCol).as("id"),
+    // natural thing to persist at scale anyway (Materializer.Persisted
+    // exports it; see [[Materializer]] for the executor-loss contract).
+    val prepared = materialize(spread.select(col(idCol).as("id"),
       array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"),
       graft.functions.GraftFunctions.minhash_bands(
         TextAnalysis.tokens(col(textCol)), k, shingleN, !fast, bands)
-        .as("bandkeys"))
-      .localCheckpoint(true)
+        .as("bandkeys")))
     // explode_outer, not explode: the band array is never empty, and plain
     // explode makes Catalyst infer a size(bandkeys)>0 scan filter that
     // re-evaluates the whole signature a second time per row.
@@ -147,30 +149,32 @@ object Dedup {
     * near-dup components are small dense clusters in practice, so a
     * handful of rounds; each round is two narrow shuffles (join on id +
     * groupBy min) over the EDGE set only, never the corpus, and lineage is
-    * cut per round (localCheckpoint) so plans stay flat. Same contract as
+    * cut per round via the [[Materializer]] (default executor-local;
+    * reliable checkpoint / parquet for preemptible fleets) so plans stay
+    * flat. Same contract as
     * GraphX/GraphFrames connected components, expressed in DataFrame ops.
     *
     * Input: (a_id, b_id) pairs (a_id < b_id). Output: (doc_id, cluster_id)
     * for every document that appears in at least one pair. */
-  def nearDupClusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+  def nearDupClusters(pairs: DataFrame,
+                      materialize: Materializer = Materializer.Local)
+      : DataFrame = {
+    val edges = materialize(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .distinct())
+    var labels = materialize(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     while (changed > 0) {
       // min neighbor label per node, then min with own label
       val nbr = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(nbr, Seq("id"), "left")
+      val next = materialize(labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"))
-        .localCheckpoint(true)
+            .as("label")))
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") < col("old")).count()
       labels = next
@@ -208,7 +212,9 @@ object Dedup {
     * shape matches the MinHash path: map-side signatures, equi-join on
     * (block index, block value), exact verify on candidates only. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3,
+                          materialize: Materializer = Materializer.Local)
+      : DataFrame = {
     require(maxHamming <= 3,
       "4-block banding guarantees recall only for maxHamming <= 3")
     // (id, 16-char sig) is referenced three times (banding + both sides of
@@ -216,9 +222,8 @@ object Dedup {
     // signature pass runs once over the corpus, not three times — the
     // materialized index is ~24 bytes/doc, the natural artifact to persist
     // at scale
-    val sig = docs.select(col(idCol).as("id"),
-      simhashHex(col(textCol)).as("sig"))
-      .localCheckpoint(true)
+    val sig = materialize(docs.select(col(idCol).as("id"),
+      simhashHex(col(textCol)).as("sig")))
     val banded = sig.select(col("id"),
       explode_outer(transform(sequence(lit(0), lit(3)),
         b => concat_ws("_", b.cast("string"),

@@ -321,6 +321,29 @@ class OperatorsSpec extends SparkSpec {
       f"ivf nprobe1=$n1%.2f nprobe3=$n3%.2f")
   }
 
+  test("dedup chain is materializer-agnostic: reliable/persisted == local") {
+    // The executor-loss story (Materializer scaladoc) must not change
+    // results: the same minhash pair-finding + clustering chain through
+    // reliable RDD checkpoint and parquet-persist matches the default
+    // localCheckpoint path row-for-row.
+    import graft.operators.Materializer
+    GraftFunctions.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mat").toString
+    spark.sparkContext.setCheckpointDir(s"$tmp/ckpt")
+    def chain(m: Materializer) = {
+      val pairs = Dedup.minhashLshPairs(docsDf, "doc_id", "text",
+        threshold = 0.3, materialize = m)
+      Dedup.nearDupClusters(pairs, materialize = m)
+        .orderBy("doc_id").collect().toSeq
+    }
+    val local = chain(Materializer.Local)
+    assert(local.nonEmpty)
+    assert(chain(Materializer.Reliable) == local)
+    assert(chain(Materializer.Persisted(s"$tmp/idx")) == local)
+    // persisted mode leaves the index artifact on disk (the export path)
+    assert(new java.io.File(s"$tmp/idx").listFiles().nonEmpty)
+  }
+
   test("map-side nearest_cells matches the join+window assignment bit-for-bit") {
     // Differential pin for the NearestCells rewrite: the old corpus×seeds
     // join + row_number window formulation is reproduced here as the
