@@ -238,6 +238,13 @@ private[sources] class ExportPartitionReader(
 
   private val timeGated = lo.isDefined || hi.isDefined
 
+  // hoisted out of convert(): this is the innermost loop of the scan, so
+  // the lowercased-name -> ordinal map and the customvars flag must not be
+  // rebuilt per record
+  private val wanted: Map[String, Int] = required.fields.zipWithIndex
+    .map { case (f, i) => f.name.toLowerCase -> i }.toMap
+  private val needCustom = wanted.contains("customvars")
+
   private def convert(node: JsonNode): Option[InternalRow] = {
     // Event-time pushdown gate — applied ONLY when a bound was actually
     // pushed. Without a pushed filter, a record with an absent or
@@ -253,10 +260,8 @@ private[sources] class ExportPartitionReader(
     }
 
     val values = new Array[Any](required.length)
-    val custom = new java.util.LinkedHashMap[String, JsonNode]()
-    val wanted = required.fields.zipWithIndex
-      .map { case (f, i) => f.name.toLowerCase -> i }.toMap
-    val needCustom = wanted.contains("customvars")
+    val custom = if (needCustom)
+      new java.util.LinkedHashMap[String, JsonNode]() else null
 
     node.fields().asScala.foreach { e =>
       val key = e.getKey
