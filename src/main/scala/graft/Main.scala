@@ -25,11 +25,9 @@ object Main {
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: graft.Main <config-file>")
     val text = Files.readString(Paths.get(args(0)))
-    val config = ConfigLoader.parse(text)
-    val kv = text.linesIterator.map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains("="))
-      .map { l => val Array(k, v) = l.split("=", 2)
-        k.trim -> v.trim.stripPrefix("\"").stripSuffix("\"") }.toMap
+    val (config, warnings) = ConfigLoader.parseWithWarnings(text)
+    warnings.foreach(w => println(s"[graft] $w"))
+    val kv = ConfigLoader.parseDoc(text)
     def need(k: String) = kv.getOrElse(k,
       throw new IllegalArgumentException(s"missing config key $k"))
 
@@ -55,7 +53,8 @@ object Main {
           .getOrElse(throw new IllegalArgumentException(
             "Source=http needs FsApiToken (or the FS_API_TOKEN env var)"))
         new HttpExportSource(spark,
-          new HttpExportClient(need("ApiURL"), token),
+          new HttpExportClient(
+            kv.getOrElse("ApiURL", ConfigLoader.DefaultApiUrl), token),
           need("StageDir") + "/_downloads")
       case _ => new LocalFixtureSource(spark, need("FixturePath"))
     }

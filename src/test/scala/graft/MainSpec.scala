@@ -40,4 +40,67 @@ class MainSpec extends SparkSpec {
     val wh = new graft.sinks.JdbcWarehouse(spark, url)
     assert(wh.lastSyncPoint().isDefined)
   }
+
+  test("TOML sections scope same-named keys; deprecations warn like the reference") {
+    import graft.service.ConfigLoader
+    // the reference config has Timeout/Bucket/ExportTable in several
+    // sections — they must land under distinct dotted keys, not collide
+    val doc = ConfigLoader.parseDoc(
+      """FilePrefix = "top"   # trailing comment
+        |[s3]
+        |Bucket = "stage-bucket"
+        |Timeout = "5m"
+        |[gcs]
+        |Bucket = "gcs-bucket"
+        |Timeout = "9m"
+        |[redshift]
+        |ExportTable = "fsexport"
+        |""".stripMargin)
+    assert(doc("FilePrefix") == "top")
+    assert(doc("s3.Timeout") == "5m" && doc("gcs.Timeout") == "9m")
+    assert(doc("s3.Bucket") == "stage-bucket" && doc("gcs.Bucket") == "gcs-bucket")
+    assert(doc("redshift.ExportTable") == "fsexport")
+
+    // deprecated Warehouse -> Provider mapping warns (config.go:206-223)
+    val (cfgW, warnW) = ConfigLoader.parseWithWarnings(
+      """StartTime = "2020-08-27T00:00:00Z"
+        |Warehouse = "local"
+        |""".stripMargin)
+    assert(warnW.exists(_.contains("\"Warehouse\" option is deprecated")))
+    // ...and the local provider forces StorageOnly with its own warning
+    assert(cfgW.storageOnly)
+    assert(warnW.exists(_.contains("only supports \"StorageOnly")))
+
+    // GroupFilesByDay deprecation warns only when ExportDuration is unset;
+    // an explicit duration wins silently (config.go:172-180)
+    val (cfgG, warnG) = ConfigLoader.parseWithWarnings(
+      """StartTime = "2020-08-27T00:00:00Z"
+        |GroupFilesByDay = true
+        |""".stripMargin)
+    assert(cfgG.effectiveDuration == java.time.Duration.ofHours(24))
+    assert(warnG.exists(_.contains("\"GroupFilesByDay\" option is deprecated")))
+    val (cfgD, warnD) = ConfigLoader.parseWithWarnings(
+      """StartTime = "2020-08-27T00:00:00Z"
+        |GroupFilesByDay = true
+        |ExportDuration = "1h"
+        |""".stripMargin)
+    assert(cfgD.effectiveDuration == java.time.Duration.ofHours(1))
+    assert(!warnD.exists(_.contains("GroupFilesByDay")))
+
+    // deprecated per-section S3Only raises the main-level StorageOnly
+    val (cfgS, _) = ConfigLoader.parseWithWarnings(
+      """StartTime = "2020-08-27T00:00:00Z"
+        |Provider = "aws"
+        |[s3]
+        |S3Only = true
+        |""".stripMargin)
+    assert(cfgS.storageOnly)
+
+    // StartTime default: 30 days before "now", with the INFO notice
+    val fixed = java.time.Instant.parse("2021-01-31T00:00:00Z")
+    val (cfgT, warnT) = ConfigLoader.parseWithWarnings(
+      "ExportDuration = \"1h\"", now = () => fixed)
+    assert(cfgT.startTime == java.time.Instant.parse("2021-01-01T00:00:00Z"))
+    assert(warnT.exists(_.contains("\"StartTime\" not set")))
+  }
 }
