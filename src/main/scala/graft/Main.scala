@@ -62,6 +62,12 @@ object Main {
     val warehouse = if (config.storageOnly) None
       else kv.get("WarehouseJdbcUrl") match {
         case Some(url) => Some(new JdbcWarehouse(spark, url))
+        // Provider = "gcp" selects the BigQuery-flavor recovery strategy
+        // (day-rewind + truncate-on-reload), like the reference's provider
+        // factory (core/core.go:18-51)
+        case None if kv.get("Provider").contains("gcp") =>
+          Some(new graft.sinks.BigQueryParquetWarehouse(spark,
+            need("WarehouseDir")))
         case None => Some(new ParquetWarehouse(spark, need("WarehouseDir")))
       }
 

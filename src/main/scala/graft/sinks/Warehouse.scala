@@ -54,7 +54,7 @@ class ParquetWarehouse(spark: SparkSession, tablePath: String)
   private val ColumnsMeta = "_columns.json"
   private val SyncTable = "_sync"
   private val dataPath = s"$tablePath/data"
-  private val syncPath = s"$tablePath/$SyncTable"
+  protected val syncPath = s"$tablePath/$SyncTable"
 
   spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -195,6 +195,9 @@ class ParquetWarehouse(spark: SparkSession, tablePath: String)
   override def removeOrphanedRecords(syncPoint: Instant): Unit = {
     val orphaned = maxEventStart().exists(_.isAfter(syncPoint))
     if (orphaned) {
+      // Redshift-flavor healing: partition-scoped DELETE WHERE. The
+      // BigQuery flavor ([[BigQueryParquetWarehouse]]) instead rewinds the
+      // sync point and truncates on reload.
       // Rewrite only the affected day partitions, keeping rows at or
       // before the sync point — a partition-scoped DELETE WHERE
       // (reference: redshift.go:284-294; Spark-native per SURVEY.md §2.5).
@@ -219,4 +222,47 @@ class ParquetWarehouse(spark: SparkSession, tablePath: String)
       healed.write.mode(SaveMode.Append).partitionBy("day").parquet(dataPath)
     }
   }
+}
+
+/** BigQuery-flavor recovery on the day-partitioned parquet warehouse —
+  * the reference's second exactly-once strategy, executable
+  * (reference: warehouse/bigquery.go:82-104 day-rewind LastSyncPoint,
+  * :147-151 WriteTruncate on the first bundle of the day, :392-405
+  * removeSyncPointsAfter).
+  *
+  * Partitioned tables take no row-wise DELETE, so when leftover records
+  * are found past the committed sync point (a load that crashed before
+  * its sync write), recovery REWINDS the sync point to the start of that
+  * day and removes later sync rows; the service then re-exports from the
+  * day boundary and the first bundle of the day loads with
+  * WriteTruncate ([[ParquetWarehouse.loadToWarehouse]] `truncateDay`),
+  * replacing the partition — cleanup happens on load, not at recovery
+  * time. [[removeOrphanedRecords]] is accordingly a no-op. */
+class BigQueryParquetWarehouse(spark: SparkSession, tablePath: String)
+    extends ParquetWarehouse(spark, tablePath) {
+
+  override def lastSyncPoint(): Option[Instant] =
+    super.lastSyncPoint().map { t =>
+      if (!maxEventStart().exists(_.isAfter(t))) t
+      else {
+        // leftover data past the sync point: rewind to the first instant
+        // of its day; the day's first reloaded bundle truncates the
+        // partition (reference: bigquery.go:95-103)
+        val dayStart = t.truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+        removeSyncPointsAfter(dayStart)
+        dayStart
+      }
+    }
+
+  /** Drop sync rows past the rewound point
+    * (reference: bigquery.go:392-405). */
+  private def removeSyncPointsAfter(t: Instant): Unit = {
+    val survivors = spark.read.parquet(syncPath)
+      .filter(col("BundleEndTime") <= lit(java.sql.Timestamp.from(t)))
+      .localCheckpoint(true) // Spark won't overwrite a path it reads from
+    survivors.write.mode(SaveMode.Overwrite).parquet(syncPath)
+  }
+
+  /** Cleanup occurs on load (WriteTruncate), never as a DELETE. */
+  override def removeOrphanedRecords(syncPoint: Instant): Unit = ()
 }

@@ -125,6 +125,66 @@ class ServiceSpec extends SparkSpec {
     assert(wh.readTable().filter(col("UserId") === "999").count() == 0)
   }
 
+  test("BigQuery-flavor crash recovery: day-rewind sync point, truncate-on-reload") {
+    // Mirrors "crash recovery" above, but healing happens the BigQuery way
+    // (reference: bigquery.go:82-104,147-151): no DELETE — the sync point
+    // rewinds to the day boundary and the day's first reloaded bundle
+    // WriteTruncates the partition.
+    val tmp = Files.createTempDirectory("graft-e2e-bq")
+    val fixture = writeFixture(tmp)
+    val storage = new HadoopStorage(tmp.resolve("stage").toString)
+    val wh = new graft.sinks.BigQueryParquetWarehouse(spark,
+      tmp.resolve("wh").toString)
+    val config = ServiceConfig(startTime = startTime,
+      exportDuration = Duration.ofHours(24))
+    def svc() = new ExportService(spark, config,
+      new LocalFixtureSource(spark, fixture), storage, Some(wh),
+      pollInterval = Duration.ofMillis(1), now = () => frozenNow)
+
+    // load day 1 only, then simulate a crashed day-2 load: rows landed in
+    // the 08-28 partition but the sync point was never written
+    svc().runUntilCaughtUp(maxBundles = 1)
+    assert(wh.lastSyncPoint()
+      .contains(Instant.parse("2020-08-28T00:00:00Z")))
+    val dayOne = wh.readTable().count()
+    val cols = wh.getExportTableColumns()
+    val orphan = ExportSchemaRow.blankRow(spark, cols,
+      "EventStart" -> "2020-08-28T09:00:00Z", "UserId" -> "999")
+      .withColumn("day", lit("2020-08-28"))
+    orphan.write.mode("append").partitionBy("day")
+      .parquet(tmp.resolve("wh").resolve("data").toString)
+
+    // the rewound sync point is the day boundary (here: unchanged, already
+    // midnight) and removeOrphanedRecords deletes nothing
+    wh.removeOrphanedRecords(Instant.parse("2020-08-28T00:00:00Z"))
+    assert(wh.readTable().filter(col("UserId") === "999").count() == 1)
+
+    // catch-up re-exports from the day boundary; the first bundle of the
+    // day truncates the partition, so the orphan vanishes without DELETE
+    val bundles = svc().runUntilCaughtUp()
+    assert(bundles.nonEmpty &&
+      bundles.head.start == Instant.parse("2020-08-28T00:00:00Z"))
+    assert(wh.readTable().filter(col("UserId") === "999").count() == 0)
+    assert(wh.readTable().count() == 6) // all fixture records, no dupes
+    assert(wh.lastSyncPoint()
+      .contains(Instant.parse("2020-08-31T00:00:00Z")))
+    assert(wh.readTable().count() >= dayOne)
+
+    // mid-day rewind: a sync point at 12:00 with leftover rows past it
+    // rewinds to the day start and drops the later sync row
+    wh.saveSyncPoint(Instant.parse("2020-08-31T12:00:00Z"))
+    val leftover = ExportSchemaRow.blankRow(spark, cols,
+      "EventStart" -> "2020-08-31T15:00:00Z", "UserId" -> "998")
+      .withColumn("day", lit("2020-08-31"))
+    leftover.write.mode("append").partitionBy("day")
+      .parquet(tmp.resolve("wh").resolve("data").toString)
+    assert(wh.lastSyncPoint()
+      .contains(Instant.parse("2020-08-31T00:00:00Z")))
+    // idempotent: the rewound point is stable across calls
+    assert(wh.lastSyncPoint()
+      .contains(Instant.parse("2020-08-31T00:00:00Z")))
+  }
+
   test("warehouse metadata is type-aware: retype rejected, legacy names upgraded") {
     val tmp = Files.createTempDirectory("graft-e2e-types")
     val wh = new graft.sinks.ParquetWarehouse(spark,
