@@ -71,13 +71,28 @@ object Main {
         case None => Some(new ParquetWarehouse(spark, need("WarehouseDir")))
       }
 
-    val svc = new ExportService(spark, config, source, storage, warehouse)
-    // MaxBundles bounds one invocation (cron-style runs); default unlimited
-    val maxBundles = kv.get("MaxBundles").map(_.toInt).getOrElse(Int.MaxValue)
-    val bundles = svc.runUntilCaughtUp(maxBundles)
-    bundles.foreach(b => println(
-      s"[graft] bundle ${b.start} .. ${b.end}: ${b.records} records -> ${b.ref}"))
-    println(s"[graft] caught up after ${bundles.size} bundles")
+    // Mode = "streaming" drains mature raw bundles through the Structured
+    // Streaming front door (Trigger.AvailableNow + foreachBatch into the
+    // same warehouse path) and commits the batch-equivalent sync point
+    if (kv.getOrElse("Mode", "batch") == "streaming") {
+      val wh = warehouse.getOrElse(throw new IllegalArgumentException(
+        "Mode=streaming loads a warehouse; unset StorageOnly"))
+      val committed = graft.streaming.StreamingService.runAvailableNow(
+        spark, config, need("FixturePath"), storage, wh,
+        need("StageDir") + "/_stream_ckpt")
+      committed match {
+        case Some(end) => println(s"[graft] streaming caught up, sync $end")
+        case None => println("[graft] streaming: no mature window yet")
+      }
+    } else {
+      val svc = new ExportService(spark, config, source, storage, warehouse)
+      // MaxBundles bounds one invocation (cron-style runs); default unlimited
+      val maxBundles = kv.get("MaxBundles").map(_.toInt).getOrElse(Int.MaxValue)
+      val bundles = svc.runUntilCaughtUp(maxBundles)
+      bundles.foreach(b => println(
+        s"[graft] bundle ${b.start} .. ${b.end}: ${b.records} records -> ${b.ref}"))
+      println(s"[graft] caught up after ${bundles.size} bundles")
+    }
     if (!preExisting) spark.stop()
   }
 }

@@ -41,6 +41,54 @@ class MainSpec extends SparkSpec {
     assert(wh.lastSyncPoint().isDefined)
   }
 
+  test("Mode=streaming drains the fixture dir and commits the batch loop's sync point") {
+    spark // materialize the shared session BEFORE Main so it embeds
+    val tmp = Files.createTempDirectory("graft-main-stream")
+    val rawDir = Files.createDirectories(tmp.resolve("rawdir"))
+    // recent dates so the real-clock maturity gate bounds both runs the
+    // same way: windows ending up to now-24h are mature in BOTH modes
+    val day0 = java.time.Instant.now()
+      .truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+      .minus(java.time.Duration.ofDays(4))
+    def at(plusHours: Long) = day0.plus(java.time.Duration.ofHours(plusHours))
+    val records = Seq(
+      s"""{"EventStart": "${at(6)}", "EventType": "click", "UserId": 100}""",
+      s"""{"EventStart": "${at(30)}", "EventType": "custom", "UserId": 101}""")
+    Files.writeString(rawDir.resolve("raw.json"),
+      records.mkString("[", ",\n", "]"))
+
+    def runMain(mode: String, fixture: String, whDir: String): Unit = {
+      val cfg = tmp.resolve(s"graft-$mode.toml")
+      Files.writeString(cfg,
+        s"""StartTime = "$day0"
+           |ExportDuration = "24h"
+           |ExportDelay = "24h"
+           |Mode = "$mode"
+           |FixturePath = "$fixture"
+           |StageDir = "${tmp.resolve(s"stage-$mode")}"
+           |WarehouseDir = "$whDir"
+           |""".stripMargin)
+      Main.main(Array(cfg.toString))
+    }
+    runMain("batch", rawDir.resolve("raw.json").toString,
+      tmp.resolve("wh-batch").toString)
+    runMain("streaming", rawDir.toString, tmp.resolve("wh-stream").toString)
+
+    val whB = new graft.sinks.ParquetWarehouse(spark,
+      tmp.resolve("wh-batch").toString)
+    val whS = new graft.sinks.ParquetWarehouse(spark,
+      tmp.resolve("wh-stream").toString)
+    // same committed sync point: the last mature window end
+    assert(whS.lastSyncPoint().isDefined)
+    assert(whS.lastSyncPoint() == whB.lastSyncPoint())
+    // same loaded records, same staged values
+    def rows(wh: graft.sinks.ParquetWarehouse) = wh.readTable()
+      .select("EventStart", "EventType", "UserId")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(whS) == rows(whB))
+    assert(rows(whS).size == 2)
+  }
+
   test("TOML sections scope same-named keys; deprecations warn like the reference") {
     import graft.service.ConfigLoader
     // the reference config has Timeout/Bucket/ExportTable in several
