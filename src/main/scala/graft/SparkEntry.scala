@@ -620,6 +620,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    "q64_ann_lsh_multiprobe" -> ((s, dir) => {
+      // multi-probe LSH (probeBits=1): each query additionally probes the
+      // planes buckets at Hamming distance 1 — the recall knob,
+      // correctness-pinned against the oracle's probe expansion
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 30), k = 5,
+          planes = 8, exact = true, probeBits = 1)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     "q42_emb_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup pairs via LSH buckets — oracle-checkable
       GraftFunctions.register(s)
@@ -1421,6 +1432,37 @@ object SparkEntry {
          |    ${normSql("qv")} AS nq,
          |    ${normSql("cv")} AS nc
          |  FROM q JOIN c USING (bucket) WHERE qid <> cid
+         |), scored AS (
+         |  SELECT qid AS query_id, cid AS neighbor_id,
+         |    round($cosSql, 6) AS sim
+         |  FROM p
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS INT) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin,
+
+    "q64_ann_lsh_multiprobe" ->
+      s"""WITH ${bucketCtes(8)},
+         |q AS (
+         |  SELECT e.vec_id AS qid, e.embedding AS qv, b.bucket AS bucket0
+         |  FROM embeddings e JOIN buckets b USING (vec_id)
+         |  WHERE e.vec_id < 30
+         |), qp AS (
+         |  SELECT DISTINCT qid, qv, CASE WHEN i.range < 0 THEN bucket0
+         |    ELSE xor(bucket0, CAST(pow(2, i.range) AS BIGINT)) END AS bucket
+         |  FROM q, range(-1, 8) i
+         |), c AS (
+         |  SELECT e.vec_id AS cid, e.embedding AS cv, b.bucket
+         |  FROM embeddings e JOIN buckets b USING (vec_id)
+         |), p AS (
+         |  SELECT qid, cid,
+         |    ${dotSql("qv", "cv")} AS dot,
+         |    ${normSql("qv")} AS nq,
+         |    ${normSql("cv")} AS nc
+         |  FROM qp JOIN c USING (bucket) WHERE qid <> cid
          |), scored AS (
          |  SELECT qid AS query_id, cid AS neighbor_id,
          |    round($cosSql, 6) AS sim
