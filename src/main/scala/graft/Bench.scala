@@ -26,14 +26,18 @@ object Bench {
       .filter(n => filter.forall(f => n.matches(f)))
     val times = scala.collection.mutable.Map[String, Double]()
     val verbose = sys.env.getOrElse("SPARK_GRAFT_BENCH_VERBOSE", "0") == "1"
-    for (pass <- 1 to runs; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (verbose) System.err.println(f"[bench] pass=$pass $name%-24s $dt%.3f")
-      times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
-    }
+    def runSuite(dir: String, nRuns: Int,
+                 acc: scala.collection.mutable.Map[String, Double]): Unit =
+      for (pass <- 1 to nRuns; name <- names) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, dir).count() } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (verbose)
+          System.err.println(f"[bench] $dir pass=$pass $name%-24s $dt%.3f")
+        acc(name) = math.min(acc.getOrElse(name, Double.MaxValue), dt)
+      }
+    runSuite(sfDir, runs, times)
     val results = names.map(n => n -> times(n)).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -43,7 +47,7 @@ object Bench {
     // spill, partial-agg breakdown) show up as a ratio far above ~10x.
     val probe =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") == "0") ""
-      else {
+      else try {
         import org.apache.spark.sql.functions._
         def time(f: => Unit): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -75,9 +79,18 @@ object Bench {
         val tJoinBkt = {
           for ((nm, df, key) <- Seq(("li10_bkt", li10, "l_orderkey"),
               ("o10_bkt", o, "o_orderkey"))) {
-            if (!spark.catalog.tableExists(nm))
+            if (!spark.catalog.tableExists(nm)) {
+              // the in-memory catalog forgets tables across JVMs: clear
+              // any stale directory or saveAsTable throws
+              // LOCATION_ALREADY_EXISTS
+              val wh = new java.net.URI(
+                spark.conf.get("spark.sql.warehouse.dir")).getPath
+              val p = new org.apache.hadoop.fs.Path(wh, nm)
+              p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .delete(p, true)
               df.write.bucketBy(32, key).sortBy(key)
                 .mode("overwrite").saveAsTable(nm)
+            }
           }
           time {
             spark.table("li10_bkt")
@@ -87,8 +100,32 @@ object Bench {
           }
         }
         s""","scale_probe_10x":{"lineitem_agg":$tAgg,"lineitem_join":$tJoin,"lineitem_join_bucketed":$tJoinBkt,"events_hourly":$tEvt}"""
-      }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probe}""")
+      } catch { case _: Throwable => "" } // never lose the main JSON line
+    // Large-scale pass: when a ScaleUp output exists (default
+    // .bench/sf1 — a 10x fact-scaled copy of sf0.1, see graft.ScaleUp),
+    // run the full suite against it and append its numbers — the
+    // sf1-class run that catches constant-factor cliffs the unionAll
+    // probe's three shapes miss. One timed pass by default: the JVM is
+    // already warm from the sf0.1 passes, and the one-time bucketed
+    // table write for the large dir is warmed untimed first. Guarded so
+    // a large-pass failure can never lose the main JSON line.
+    val largeDir = sys.env.getOrElse("SPARK_GRAFT_SF_LARGE_DIR",
+      new java.io.File(".bench/sf1").getAbsolutePath)
+    val largeRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_LARGE_RUNS", "1").toInt
+    val large =
+      if (largeRuns < 1 ||
+          !new java.io.File(s"$largeDir/lineitem.parquet").exists()) ""
+      else try {
+        // untimed warm-up: writes the large dir's bucketed tables once
+        try SparkEntry.queries("q52_join_bucketed")(spark, largeDir).count()
+        catch { case _: Throwable => () }
+        val lt = scala.collection.mutable.Map[String, Double]()
+        runSuite(largeDir, largeRuns, lt)
+        val lqs = names.map(n => s"\"" + n + "\":" + lt(n))
+          .mkString("{", ",", "}")
+        s""","sf_large":"$largeDir","total_large":${lt.values.sum},"queries_large":$lqs"""
+      } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probe$large}""")
     spark.stop()
   }
 }

@@ -35,8 +35,15 @@ object GraftFunctions {
       "nearest_cells",
       exprs => NearestCells(exprs(0), exprs(1), exprs(2), exprs(3)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "hex_hamming", exprs => HexHamming(exprs(0), exprs(1)), "built-in")
     registered = true
   }
+
+  /** Hamming distance between 16-hex-char simhashes as one native pass
+    * (see [[HexHamming]]). */
+  def hex_hamming(a: Column, b: Column): Column =
+    call_function("hex_hamming", a, b)
 
   /** Map-side IVF cell assignment: `probes` nearest centroids of `vec`
     * against a literal centroid array (see [[NearestCells]]). */

@@ -188,11 +188,20 @@ object Dedup {
   def simhashHex(text: Column): Column =
     graft.functions.GraftFunctions.simhash_md5(TextAnalysis.tokens(text))
 
-  /** Hamming distance between two 16-hex-char simhash strings, computed
-    * digit-wise (bit_count of per-digit XOR) with engine-portable
-    * functions (locate/strpos + bit_count) so it oracle-checks. Cheap: 16
-    * digit reads, applied to candidate pairs only. */
-  def hammingHexStr(a: Column, b: Column): Column = {
+  /** Hamming distance between two 16-hex-char simhash strings — one
+    * native pass ([[graft.functions.HexHamming]]); engine-portable
+    * semantics (digit-wise bit_count of XOR), so it oracle-checks.
+    * Applied to candidate pairs only; [[hammingHexStrHof]] below is the
+    * executable spec a differential test pins it against. Requires
+    * GraftFunctions.register. */
+  def hammingHexStr(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.hex_hamming(a, b)
+
+  /** Reference HOF formulation of [[hammingHexStr]] (interpreted —
+    * 16 locate/substring calls per pair): kept as the executable spec of
+    * the digit semantics, including the non-hex (-1) and past-the-end (0)
+    * edges. */
+  def hammingHexStrHof(a: Column, b: Column): Column = {
     val hex = lit("0123456789abcdef")
     aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, i) => {
       val da = (call_function("locate",

@@ -321,6 +321,27 @@ class OperatorsSpec extends SparkSpec {
       f"ivf nprobe1=$n1%.2f nprobe3=$n3%.2f")
   }
 
+  test("native hex_hamming matches the HOF digit semantics, edges included") {
+    GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    def hex(n: Int) = (0 until n).map(_ => "0123456789abcdef"(
+      rnd.nextInt(16))).mkString
+    val rows = (0 until 200).map(_ => (hex(16), hex(16))) ++ Seq(
+      (hex(16), hex(16).take(9)),       // short string -> digit 0 past end
+      ("deadbeefdeadbeef", "DEADBEEFDEADBEEF"), // non-hex (upper) -> -1
+      ("z" * 16, hex(16)),              // all non-hex
+      ("", ""))                         // both empty
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+        Dedup.hammingHexStr(col("a"), col("b")).as("native"),
+        Dedup.hammingHexStrHof(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof") ||
+        col("native").isNull =!= col("hof").isNull)
+    assert(diff.count() == 0)
+  }
+
   test("dedup chain is materializer-agnostic: reliable/persisted == local") {
     // The executor-loss story (Materializer scaladoc) must not change
     // results: the same minhash pair-finding + clustering chain through
