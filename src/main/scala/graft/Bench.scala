@@ -36,6 +36,13 @@ object Bench {
         if (verbose)
           System.err.println(f"[bench] $dir pass=$pass $name%-24s $dt%.3f")
         acc(name) = math.min(acc.getOrElse(name, Double.MaxValue), dt)
+        // drop the executor-storage blocks (localCheckpoint'd dedup/ANN
+        // indexes) the finished query pinned: queries are independent, and
+        // letting dead blocks pile up makes later queries absorb the GC /
+        // eviction pressure in suite mode (untimed, like a real pipeline's
+        // end-of-job unpersist)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     runSuite(sfDir, runs, times)
     val results = names.map(n => n -> times(n)).toMap

@@ -161,8 +161,13 @@ object SparkEntry {
     }),
 
     "q10_semi_join" -> ((s, dir) => {
+      // semi/anti joins only need key EXISTENCE: distinct the fact-side
+      // key first so the exchange carries one row per key (map-side
+      // partial dedup) instead of every order, and the collapsed side
+      // broadcasts again at scale — semantics unchanged
       t(s, dir, "customer")
-        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+            .distinct(),
           Seq("c_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
@@ -170,7 +175,8 @@ object SparkEntry {
 
     "q11_anti_join" -> ((s, dir) => {
       t(s, dir, "customer")
-        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+            .distinct(),
           Seq("c_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
