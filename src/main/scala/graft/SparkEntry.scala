@@ -174,8 +174,15 @@ object SparkEntry {
     }),
 
     "q11_anti_join" -> ((s, dir) => {
+      // anti-join against URGENT orders only: every customer has SOME
+      // order in the synthetic data, so the unfiltered variant returned 0
+      // rows at verify scale and the oracle match was vacuous. The
+      // filtered probe side exercises the anti-join positively (203 rows
+      // at sf0.01) and still collapses to distinct keys before the join.
       t(s, dir, "customer")
-        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("c_custkey"))
             .distinct(),
           Seq("c_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
@@ -216,8 +223,13 @@ object SparkEntry {
     }),
 
     "q15_set_except" -> ((s, dir) => {
+      // nations with customers but no negative-balance supplier: the
+      // unfiltered except (customer nations \ supplier nations) is empty
+      // at every scale — all 25 nations carry both — so the gate never
+      // saw EXCEPT produce a row. Filtered, it returns 21 rows at sf0.01.
       t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
-        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        .except(t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+          .select(col("s_nationkey").as("nationkey"))
           .distinct())
         .orderBy(col("nationkey"))
     }),
@@ -378,7 +390,15 @@ object SparkEntry {
     }),
 
     "q34_dedup_exact" -> ((s, dir) => {
-      Dedup.exactDuplicateGroups(t(s, dir, "documents"), "doc_id", "text")
+      // exact dedup on the leading-64-char fingerprint (the crawl-dedup
+      // "prefix collision" key): full-text exact dups don't exist at
+      // sf0.01 (8 groups at sf0.1), so the full-text gate was vacuous at
+      // verify scale. The prefix key keeps the operator exact-hash-
+      // group-by and yields 22 groups at sf0.01.
+      Dedup.exactDuplicateGroups(
+          t(s, dir, "documents")
+            .withColumn("text", substring(col("text"), 1, 64)),
+          "doc_id", "text")
         .orderBy(col("keep_id"))
     }),
 
@@ -830,7 +850,8 @@ object SparkEntry {
 
     "q11_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
 
     "q12_window_topn" ->
@@ -860,7 +881,8 @@ object SparkEntry {
       """SELECT nationkey FROM (
         |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
         |  EXCEPT
-        |  SELECT DISTINCT s_nationkey AS nationkey FROM supplier) sub
+        |  SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        |  WHERE s_acctbal < 0) sub
         |ORDER BY nationkey""".stripMargin,
 
     "q16_rollup" ->
@@ -1028,9 +1050,10 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q34_dedup_exact" ->
-      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+      """SELECT md5(k) AS text_hash, min(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies
-        |FROM documents GROUP BY text HAVING COUNT(*) > 1
+        |FROM (SELECT doc_id, substr(text, 1, 64) AS k FROM documents) s
+        |GROUP BY k HAVING COUNT(*) > 1
         |ORDER BY keep_id""".stripMargin,
 
     "q35_dedup_drop" ->
