@@ -22,22 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  def main(args: Array[String]): Unit = {
-    val src = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_SRC",
-      "/root/testdata/sf0.1")
-    val dest = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_DEST",
-      "/root/repo/.bench/sf1")
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_FACTOR", "10").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
+  /** Write the scaled copy of `src` to `dest`. Pulled out of main so the
+    * invariants (fact x factor, dims unscaled, per-replica key remap, FK
+    * consistency) are spec-testable on a small source dir. */
+  def run(spark: SparkSession, src: String, dest: String, factor: Int): Unit = {
     def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$dest/$name.parquet")
@@ -73,7 +61,24 @@ object ScaleUp {
 
     val emb = read("embeddings")
     write(scale(emb, Map("vec_id" -> maxKey(emb, "vec_id"))), "embeddings")
+  }
 
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_SRC",
+      "/root/testdata/sf0.1")
+    val dest = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_DEST",
+      "/root/repo/.bench/sf1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dest, factor)
     println(s"""{"scaleup":"$dest","factor":$factor,"src":"$src"}""")
     spark.stop()
   }
