@@ -87,6 +87,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(join53.contains("Exchange hashpartitioning"))
   }
 
+  test("q10/q11: semi/anti probe side collapses to distinct keys below the join") {
+    // existence joins only need each probe key once: the plan must show a
+    // key-only aggregate under the join so the exchange (or broadcast)
+    // carries one row per key instead of every order
+    for ((q, joinTag) <- Seq("q10_semi_join" -> "LeftSemi",
+        "q11_anti_join" -> "LeftAnti")) {
+      val p = plan(q)
+      assert(p.contains(joinTag), q)
+      assert(p.contains("HashAggregate(keys=[c_custkey"), q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
   test("q40/q41/q46: per-query top-k is a bounded partial aggregate, not a global window") {
     // The heap aggregate must partial-aggregate map-side (ObjectHashAggregate
     // with a partial topkagg) so the exchange carries ≤margin rows per
