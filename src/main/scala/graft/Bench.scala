@@ -31,7 +31,12 @@ object Bench {
       for (pass <- 1 to nRuns; name <- names) {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        try { fn(spark, dir).count() } catch { case _: Throwable => () }
+        // a failed query must be loud: its wall-clock would otherwise read
+        // as a suspiciously fast pass
+        try { fn(spark, dir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         if (verbose)
           System.err.println(f"[bench] $dir pass=$pass $name%-24s $dt%.3f")

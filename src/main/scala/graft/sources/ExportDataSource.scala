@@ -76,7 +76,8 @@ private[sources] class ExportTable(properties: Map[String, String])
     s"graft-export(${properties.getOrElse("path", "?")})"
   override def schema(): StructType = ExportDataSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ExportScanBuilder(options.asScala.getOrElse("path",
@@ -158,17 +159,102 @@ private[sources] class ExportScan(path: String, required: StructType,
     s"graft-export $path, pushed time range: $lo .. $hi"
 
   override def planInputPartitions(): Array[InputPartition] = {
+    ExportScan.listBundles(path)
+      .map(f => ExportInputPartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ExportReaderFactory(required, lo, hi)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ExportMicroBatchStream(path, required, lo, hi)
+}
+
+private[sources] object ExportScan {
+  /** Bundle files under `path` (or `path` itself), sorted for a stable
+    * partition order. */
+  def listBundles(path: String): Array[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
     val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
       else Array(path)
-    files.sorted.map(f => ExportInputPartition(f): InputPartition)
+    files.sorted
+  }
+}
+
+/** Streaming offset = the set of bundle files already delivered, stored as
+  * a sorted JSON array (canonical, so offset equality is string equality).
+  * The same strategy as Spark's own FileStreamSource seen-files log: bundle
+  * names carry no order contract, so a high-water mark over names or
+  * mtimes could silently skip a bundle that lands "in the past". Bundle
+  * counts are per-export-window (thousands), so the offset stays small; a
+  * live-API deployment would instead use the export window end time as a
+  * naturally monotonic offset. */
+private[sources] case class ExportOffset(files: Set[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    new ObjectMapper().writeValueAsString(files.toArray.sorted)
+}
+
+private[sources] object ExportOffset {
+  def fromJson(json: String): ExportOffset = {
+    val arr = new ObjectMapper().readTree(json)
+    ExportOffset(arr.elements().asScala.map(_.asText()).toSet)
+  }
+}
+
+/** Micro-batch front of the same connector: each batch is the set of
+  * bundle files that appeared since the last committed offset, read by the
+  * identical [[ExportPartitionReader]] — gzip sniff, token-streaming
+  * decode, CustomVars spillover, and the pushed EventStart range all
+  * behave exactly as in batch (S5/P4 parity across both execution modes).
+  * [[org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow]]
+  * pins the end offset once at query start so `Trigger.AvailableNow` runs
+  * drain-and-stop with a stable bound. */
+private[sources] class ExportMicroBatchStream(
+    path: String, required: StructType,
+    lo: Option[(Instant, Boolean)], hi: Option[(Instant, Boolean)])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private var availableNowEnd: Option[ExportOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(ExportOffset(ExportScan.listBundles(path).toSet))
+
+  override def initialOffset(): Offset = ExportOffset(Set.empty)
+
+  override def latestOffset(): Offset = availableNowEnd.getOrElse(
+    ExportOffset(ExportScan.listBundles(path).toSet))
+
+  // SupportsAdmissionControl (pulled in by SupportsTriggerAvailableNow):
+  // bundle admission is all-or-nothing per poll — a ReadLimit would split
+  // mid-window bundle sets for no gain at this partition granularity
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = latestOffset()
+
+  override def deserializeOffset(json: String): Offset =
+    ExportOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val done = start.asInstanceOf[ExportOffset].files
+    val now = end.asInstanceOf[ExportOffset].files
+    (now -- done).toArray.sorted
+      .map(f => ExportInputPartition(f): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ExportReaderFactory(required, lo, hi)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class ExportInputPartition(file: String)

@@ -30,12 +30,11 @@ import graft.transform.{ExportTransform, ValueFormat}
   *   - the committed sync point is THE SAME instant the batch loop would
   *     commit: the last mature window end (pinned by MainSpec).
   *
-  * The streaming source is Spark's multiLine JSON file stream over the
-  * raw bundle directory (one top-level array per file, the reference wire
-  * format); the declared schema covers the canonical + wildcard fields the
-  * fixture carries. Unknown-field spillover into CustomVars needs the
-  * token-streaming DSv2 connector, which is batch-only — the batch CLI
-  * path covers that.
+  * The streaming source is the SAME DSv2 connector the batch path scans
+  * with (`graft-export`, micro-batch capability): gzip bundle sniffing,
+  * token-streaming decode, unknown-field spillover into CustomVars, and
+  * EventStart range pushdown all behave identically in both execution
+  * modes — one connector, two front doors.
   */
 object StreamingService {
 
@@ -69,13 +68,12 @@ object StreamingService {
         ExportTransform.nextEndTime(syncEnd, dur).plus(config.exportDelay)))
       syncEnd = ExportTransform.nextEndTime(syncEnd, dur)
 
-    // file stream over raw bundles, gated to [lastSync, syncEnd)
-    val readSchema = ExportSchema.toStructType(
-      schema.filterNot(f => f.isDbOnly || f.sourceName == "CustomVars"))
+    // micro-batch stream over raw bundles through the DSv2 connector,
+    // gated to [lastSync, syncEnd) — the range predicate is pushed into
+    // the bundle decode exactly as in the batch scan
     val raw = spark.readStream
-      .schema(readSchema)
-      .option("multiLine", "true")
-      .json(rawDir)
+      .format("graft-export")
+      .load(rawDir)
       .filter(col("EventStart") >= lit(lastSync.toString).cast("timestamp")
         && col("EventStart") < lit(syncEnd.toString).cast("timestamp"))
     val staged = ExportTransform.toStagedStrings(raw, schema,
