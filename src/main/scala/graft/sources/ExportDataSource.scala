@@ -79,10 +79,21 @@ private[sources] class ExportTable(properties: Map[String, String])
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ExportScanBuilder(options.asScala.getOrElse("path",
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val b = new ExportScanBuilder(options.asScala.getOrElse("path",
       properties.getOrElse("path",
         throw new IllegalArgumentException("graft-export requires a path"))))
+    // Catalyst only pushes filters into BATCH scans (V2ScanRelationPushDown
+    // skips streaming relations), so the streaming front door takes the
+    // export window as source options instead — the Kafka startingOffsets
+    // idiom. Semantics match the reference request range:
+    // startTime <= EventStart < endTime (client/client.go:31-34).
+    Option(options.get("starttime")).foreach(s =>
+      b.seedLo(Instant.parse(s), incl = true))
+    Option(options.get("endtime")).foreach(s =>
+      b.seedHi(Instant.parse(s), incl = false))
+    b
+  }
 }
 
 private[sources] class ExportScanBuilder(path: String)
@@ -96,6 +107,11 @@ private[sources] class ExportScanBuilder(path: String)
 
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = required
+
+  private[sources] def seedLo(i: Instant, incl: Boolean): Unit =
+    tightenLo(i, incl)
+  private[sources] def seedHi(i: Instant, incl: Boolean): Unit =
+    tightenHi(i, incl)
 
   private def asInstant(v: Any): Option[Instant] = v match {
     case t: java.sql.Timestamp => Some(t.toInstant)

@@ -71,8 +71,13 @@ object StreamingService {
     // micro-batch stream over raw bundles through the DSv2 connector,
     // gated to [lastSync, syncEnd) — the range predicate is pushed into
     // the bundle decode exactly as in the batch scan
+    // the range rides as source OPTIONS (streaming scans get no filter
+    // pushdown from Catalyst); the post-scan filter restates the same
+    // bounds as a cheap semantic guard
     val raw = spark.readStream
       .format("graft-export")
+      .option("startTime", lastSync.toString)
+      .option("endTime", syncEnd.toString)
       .load(rawDir)
       .filter(col("EventStart") >= lit(lastSync.toString).cast("timestamp")
         && col("EventStart") < lit(syncEnd.toString).cast("timestamp"))

@@ -187,6 +187,34 @@ class DataSourceSpec extends SparkSpec {
     assert(drain().isEmpty)
   }
 
+  test("micro-batch stream gates the EventStart range at the scan (options)") {
+    // at 100 TB the streaming scan must gate records during decode, not
+    // after. Catalyst gives streaming scans no filter pushdown, so the
+    // window rides as startTime/endTime source options; the executed
+    // micro-batch plan's scan description must carry the bounds.
+    val cp = Files.createTempDirectory("graft-dsv2-push-cp")
+    val q = spark.readStream.format("graft-export")
+      .option("startTime", "2020-08-28T00:00:00Z")
+      .option("endTime", "2020-08-30T00:00:00Z")
+      .load(fixture)
+      .select("EventStart", "UserId")
+      .writeStream
+      .option("checkpointLocation", cp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("graft_push_probe")
+      .start()
+    q.awaitTermination()
+    val exec = q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    assert(exec.contains("pushed time range: Some((2020-08-28T00:00:00Z"),
+      exec.take(3000))
+    // and the gate worked: only the two in-range records arrived
+    val got = spark.table("graft_push_probe").collect()
+      .map(_.getAs[Long]("UserId")).sorted.toSeq
+    assert(got == Seq(8L, 9L))
+  }
+
   test("projection pushdown prunes the read schema") {
     val q = load.select("EventType", "UserId")
     val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
