@@ -657,6 +657,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    "q65_dedup_incremental" -> ((s, dir) => {
+      // incremental minhash dedup — the 100 TB operating mode: odd doc_ids
+      // are "today's batch", even doc_ids the persisted historical index;
+      // only pairs touching a new id form (old-vs-old never re-verifies).
+      // Same index parameters as q37, so pairs(q37) =
+      // pairs(even-only) ∪ this result.
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      Dedup.minhashLshPairsIncremental(
+          Dedup.minhashIndex(docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", k = 16, bands = 4, shingleN = 3, fast = false),
+          Dedup.minhashIndex(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", k = 16, bands = 4, shingleN = 3, fast = false),
+          threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     "q42_emb_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup pairs via LSH buckets — oracle-checkable.
       // threshold 0.4: the synthetic embeddings are near-orthogonal (max
@@ -1114,6 +1131,48 @@ object SparkEntry {
         |    l.shingles AS a_sh, r.shingles AS b_sh
         |  FROM banded l JOIN banded r ON l.bandkey = r.bandkey
         |  WHERE l.doc_id < r.doc_id
+        |), verified AS (
+        |  SELECT a_id, b_id,
+        |    round(CASE WHEN len(list_distinct(list_concat(a_sh, b_sh))) = 0
+        |      THEN 0.0
+        |      ELSE CAST(len(list_intersect(list_distinct(a_sh),
+        |            list_distinct(b_sh))) AS DOUBLE)
+        |        / CAST(len(list_distinct(list_concat(a_sh, b_sh))) AS DOUBLE)
+        |      END, 6) AS sim
+        |  FROM pairs)
+        |SELECT a_id, b_id, sim FROM verified WHERE sim >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // q37's pipeline restricted to pairs touching a "new" (odd) doc id —
+    // the incremental batch-vs-index contract: old-vs-old pairs never form
+    "q65_dedup_incremental" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, raw,
+        |    CASE WHEN len(raw) < 3 THEN [array_to_string(raw, ' ')]
+        |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |            for i in range(0, len(raw) - 2)] END AS shingles
+        |  FROM tk
+        |), sig AS (
+        |  SELECT doc_id, raw, shingles,
+        |    [list_min([md5(CAST(i AS VARCHAR) || '|' || s) for s in shingles])
+        |     for i in range(0, 16)] AS mh
+        |  FROM sh
+        |), banded AS (
+        |  SELECT doc_id, raw, shingles,
+        |    unnest([CAST(b AS VARCHAR) || '_'
+        |            || array_to_string(mh[b*4+1:b*4+4], '|')
+        |            for b in range(0, 4)]) AS bandkey
+        |  FROM sig
+        |), pairs AS (
+        |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+        |    l.shingles AS a_sh, r.shingles AS b_sh
+        |  FROM banded l JOIN banded r ON l.bandkey = r.bandkey
+        |  WHERE l.doc_id < r.doc_id
+        |    AND (l.doc_id % 2 = 1 OR r.doc_id % 2 = 1)
         |), verified AS (
         |  SELECT a_id, b_id,
         |    round(CASE WHEN len(list_distinct(list_concat(a_sh, b_sh))) = 0

@@ -102,8 +102,6 @@ object Dedup {
     // CPU-bound signature stage: small corpora arrive as one input split,
     // so spread rows across the cluster first (at 100 TB the scan already
     // has enough splits; the repartition is a no-op cost-wise).
-    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    val spread = docs.repartition(parallelism, col(idCol))
     // materialized eagerly: the projection is referenced three times
     // (banding + both verify re-attach sides) and Catalyst re-executes an
     // uncached subtree per reference — without this, the shingle+signature
@@ -111,11 +109,8 @@ object Dedup {
     // The artifact is the (id, shingles, band keys) dedup index — the
     // natural thing to persist at scale anyway (Materializer.Persisted
     // exports it; see [[Materializer]] for the executor-loss contract).
-    val prepared = materialize(spread.select(col(idCol).as("id"),
-      array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"),
-      graft.functions.GraftFunctions.minhash_bands(
-        TextAnalysis.tokens(col(textCol)), k, shingleN, !fast, bands)
-        .as("bandkeys")))
+    val prepared = materialize(
+      minhashIndex(docs, idCol, textCol, k, bands, shingleN, fast))
     // explode_outer, not explode: the band array is never empty, and plain
     // explode makes Catalyst infer a size(bandkeys)>0 scan filter that
     // re-evaluates the whole signature a second time per row.
@@ -128,6 +123,67 @@ object Dedup {
       .distinct()
     val shA = prepared.select(col("id").as("a_id"), col("sh").as("a_sh"))
     val shB = prepared.select(col("id").as("b_id"), col("sh").as("b_sh"))
+    val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+    val uni = size(array_union(col("a_sh"), col("b_sh"))).cast("double")
+    candidates
+      .join(shA, Seq("a_id")).join(shB, Seq("b_id"))
+      .withColumn("sim", round(
+        when(uni === 0, lit(0.0)).otherwise(inter / uni), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+
+  /** The `(id, sh, bandkeys)` minhash dedup index of a corpus: distinct
+    * shingle sets plus banded minhash keys, one map-side pass per
+    * document. Build it once, write it out (parquet — it IS the artifact
+    * [[Materializer.Persisted]] exports), and join every incoming batch
+    * against it with [[minhashLshPairsIncremental]] — the incremental
+    * form a 100 TB corpus actually runs: the historical corpus is never
+    * re-signatured, only its matching band buckets are touched. */
+  def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+                   fast: Boolean = true): DataFrame = {
+    // CPU-bound signature stage: small corpora arrive as one input split,
+    // so spread rows across the cluster first (at 100 TB the scan already
+    // has enough splits; the repartition is a no-op cost-wise).
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(parallelism, col(idCol)).select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"),
+      graft.functions.GraftFunctions.minhash_bands(
+        TextAnalysis.tokens(col(textCol)), k, shingleN, !fast, bands)
+        .as("bandkeys"))
+  }
+
+  /** Near-dup pairs of a NEW batch against an existing [[minhashIndex]]
+    * (plus within the batch itself): returns every pair with at least one
+    * new-side id — old-vs-old pairs never form, so the incremental run
+    * shuffles only the new batch's bands and the index buckets they hit.
+    * `newIndex` and `index` must share the index parameters (k, bands,
+    * shingleN, fast). Pair ids are canonical (`a_id < b_id`), so a daily
+    * pipeline can append the result to its confirmed-pair log and the new
+    * index rows to the persisted index. */
+  def minhashLshPairsIncremental(newIndex: DataFrame, index: DataFrame,
+                                 threshold: Double = 0.5,
+                                 materialize: Materializer =
+                                   Materializer.Local): DataFrame = {
+    val fresh = materialize(newIndex)
+    val all = fresh.unionByName(index)
+    val newBanded = fresh
+      .select(col("id"), explode_outer(col("bandkeys")).as("bandkey"))
+    val allBanded = all
+      .select(col("id"), explode_outer(col("bandkeys")).as("bandkey"))
+    // new side drives the join; dropping symmetric (new,new) duplicates
+    // via least/greatest canonicalization keeps old-vs-old out while
+    // keeping new-vs-old in both orientations
+    val candidates = newBanded.select(col("bandkey"), col("id").as("n_id"))
+      .join(allBanded.select(col("bandkey"), col("id").as("o_id")),
+        Seq("bandkey"))
+      .filter(col("n_id") =!= col("o_id"))
+      .select(least(col("n_id"), col("o_id")).as("a_id"),
+        greatest(col("n_id"), col("o_id")).as("b_id"))
+      .distinct()
+    val shA = all.select(col("id").as("a_id"), col("sh").as("a_sh"))
+    val shB = all.select(col("id").as("b_id"), col("sh").as("b_sh"))
     val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
     val uni = size(array_union(col("a_sh"), col("b_sh"))).cast("double")
     candidates

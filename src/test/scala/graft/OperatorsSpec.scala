@@ -365,6 +365,34 @@ class OperatorsSpec extends SparkSpec {
     assert(new java.io.File(s"$tmp/idx").listFiles().nonEmpty)
   }
 
+  test("incremental minhash dedup: old index + new batch equals the full run") {
+    // The 100 TB operating mode: the historical corpus is signatured once
+    // (minhashIndex, persisted), each new batch joins against it. Band
+    // keys and verify sims are per-document deterministic, so exactly:
+    //   pairs(full corpus) == pairs(old) ∪ incremental(new, index(old))
+    // with the two sides disjoint and every incremental pair touching a
+    // new id.
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val neu = docs.filter(col("doc_id") % 2 === 1)
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("sim"))).toSet
+    val th = 0.1
+    val full = toSet(Dedup.minhashLshPairs(docs, "doc_id", "text",
+      threshold = th))
+    val oldOnly = toSet(Dedup.minhashLshPairs(old, "doc_id", "text",
+      threshold = th))
+    val incr = toSet(Dedup.minhashLshPairsIncremental(
+      Dedup.minhashIndex(neu, "doc_id", "text"),
+      Dedup.minhashIndex(old, "doc_id", "text"), threshold = th))
+    assert(full.nonEmpty && incr.nonEmpty)
+    assert(incr.forall { case (a, b, _) => a % 2 == 1 || b % 2 == 1 })
+    assert((oldOnly & incr).isEmpty)
+    assert(oldOnly ++ incr == full)
+  }
+
   test("map-side nearest_cells matches the join+window assignment bit-for-bit") {
     // Differential pin for the NearestCells rewrite: the old corpus×seeds
     // join + row_number window formulation is reproduced here as the
