@@ -47,9 +47,15 @@ class ExportDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ExportDataSource.schema
 
+  // a user-supplied .schema(...) is honored as a projection: streaming
+  // scans get no column pruning from Catalyst (batch does), so declaring
+  // the needed subset up front is how a streaming reader avoids
+  // materializing all 59 fields per record
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new ExportTable(properties.asScala.toMap)
+    new ExportTable(schema, properties.asScala.toMap)
 }
 
 object ExportDataSource {
@@ -69,12 +75,13 @@ object ExportDataSource {
       .map { case (f, i) => f.name.toLowerCase -> (i, f) }.toMap
 }
 
-private[sources] class ExportTable(properties: Map[String, String])
+private[sources] class ExportTable(tableSchema: StructType,
+                                   properties: Map[String, String])
     extends Table with SupportsRead {
 
   override def name(): String =
     s"graft-export(${properties.getOrElse("path", "?")})"
-  override def schema(): StructType = ExportDataSource.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
@@ -82,7 +89,8 @@ private[sources] class ExportTable(properties: Map[String, String])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val b = new ExportScanBuilder(options.asScala.getOrElse("path",
       properties.getOrElse("path",
-        throw new IllegalArgumentException("graft-export requires a path"))))
+        throw new IllegalArgumentException("graft-export requires a path"))),
+      tableSchema)
     // Catalyst only pushes filters into BATCH scans (V2ScanRelationPushDown
     // skips streaming relations), so the streaming front door takes the
     // export window as source options instead — the Kafka startingOffsets
@@ -96,11 +104,12 @@ private[sources] class ExportTable(properties: Map[String, String])
   }
 }
 
-private[sources] class ExportScanBuilder(path: String)
+private[sources] class ExportScanBuilder(path: String,
+                                         tableSchema: StructType)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
-  private var requiredSchema: StructType = ExportDataSource.schema
+  private var requiredSchema: StructType = tableSchema
   private var timeLo: Option[(Instant, Boolean)] = None // (bound, inclusive)
   private var timeHi: Option[(Instant, Boolean)] = None
   private var pushed: Array[Filter] = Array.empty

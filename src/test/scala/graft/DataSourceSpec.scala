@@ -215,6 +215,35 @@ class DataSourceSpec extends SparkSpec {
     assert(got == Seq(8L, 9L))
   }
 
+  test("user-declared schema prunes the scan (the streaming pruning path)") {
+    // batch scans get pruneColumns from Catalyst; streaming scans don't —
+    // there, .schema(subset) is how a reader avoids materializing all 59
+    // fields per record (supportsExternalMetadata)
+    val subset = org.apache.spark.sql.types.StructType(
+      graft.sources.ExportDataSource.schema.fields
+        .filter(f => Set("EventStart", "UserId").contains(f.name)))
+    val cp = Files.createTempDirectory("graft-dsv2-schema-cp")
+    val got = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q = spark.readStream.format("graft-export").schema(subset)
+      .load(fixture)
+      .writeStream
+      .option("checkpointLocation", cp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= batch.collect(); ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(got.head.schema.fieldNames.toSet == Set("EventStart", "UserId"))
+    assert(got.map(_.getAs[Long]("UserId")).filter(_ != 0).sorted.toSeq ==
+      Seq(7L, 8L, 9L, 10L))
+    // and the executed plan's scan carries only the declared columns
+    val exec = q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    assert(!exec.contains("PageUrl"), exec.take(2000))
+  }
+
   test("projection pushdown prunes the read schema") {
     val q = load.select("EventType", "UserId")
     val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
