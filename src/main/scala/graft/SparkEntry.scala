@@ -657,6 +657,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    "q66_doc_pack" -> ((s, dir) => {
+      // pretraining sequence packing (concat-and-chunk at 2048 tokens):
+      // per-pack doc counts and token totals. The prefix sum underneath is
+      // the two-phase distributed form — no single-partition global window
+      TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text",
+          seqLen = 2048)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("pack_id"))
+    }),
+
     "q65_dedup_incremental" -> ((s, dir) => {
       // incremental minhash dedup — the 100 TB operating mode: odd doc_ids
       // are "today's batch", even doc_ids the persisted historical index;
@@ -1142,6 +1153,25 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT a_id, b_id, sim FROM verified WHERE sim >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // single-window global cumsum is fine for the ORACLE (DuckDB is
+    // single-node); the Spark side must match it with the distributed
+    // two-phase prefix sum
+    "q66_doc_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), cum AS (
+        |  SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM toks)
+        |SELECT CAST((c - n_tokens) // 2048 AS BIGINT) AS pack_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM cum GROUP BY 1 ORDER BY pack_id""".stripMargin,
 
     // q37's pipeline restricted to pairs touching a "new" (odd) doc id —
     // the incremental batch-vs-index contract: old-vs-old pairs never form

@@ -158,4 +158,57 @@ object TextAnalysis {
     when(total <= 0, lit(0.0)).otherwise(
       round(lit(1.0) - size(array_distinct(sh)).cast("double") / total, 6))
   }
+
+  /** Sequence packing (pretraining concat-and-chunk): documents are
+    * concatenated in `idCol` order and chunked every `seqLen` tokens; each
+    * doc is assigned the pack its first token lands in
+    * (`pack_id = start_offset / seqLen`, integer division over the running
+    * token prefix sum).
+    *
+    * The prefix sum is the scale-critical part: a bare
+    * `Window.orderBy(id)` has no partition key, so Spark funnels the whole
+    * corpus through ONE task — correct at sf0.1, dead at 100 TB. Instead,
+    * the classic two-phase distributed prefix sum: contiguous id-range
+    * buckets get a windowed cumsum in parallel, bucket TOTALS (one row per
+    * bucket) are prefix-summed and broadcast back, and each doc's global
+    * offset is `bucketOffset + withinBucketCum - tok`. The only full
+    * shuffle keys on `bucket` — `nBuckets` parallel window partitions —
+    * and the driver handles `nBuckets` scalars, never rows.
+    *
+    * Returns (id, n_tokens, pack_id). Deterministic integer math, so any
+    * engine ordering by the same id agrees exactly (oracle-checkable). */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    seqLen: Int, nBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0 && nBuckets > 0)
+    val ids = docs.agg(min(col(idCol)).cast("long"),
+      max(col(idCol)).cast("long")).collect()(0)
+    if (ids.isNullAt(0)) // empty corpus -> empty packing
+      return docs.select(col(idCol).as("id"), lit(0L).as("n_tokens"),
+        lit(0L).as("pack_id")).limit(0)
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val span = math.max(1L, (hi - lo) / nBuckets + 1)
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      // `div`, not `/`: Spark's / on longs yields double, and the bucket
+      // must stay an exact long (it keys the offset map lookup)
+      .withColumn("bucket", expr(s"(id - ${lo}L) div ${span}L"))
+    // phase 1: per-bucket totals, prefix-summed driver-side (tiny)
+    val totals = toks.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (b, t)) => (b, acc + t)
+    }.sliding(2).map { case Array((_, prev), (b, _)) => (b, prev) }
+      .toMap
+    val offCol = coalesce(element_at(
+      map(offsets.toSeq.sortBy(_._1).flatMap { case (b, o) =>
+        Seq(lit(b), lit(o)) }: _*), col("bucket")), lit(0L))
+    // phase 2: parallel within-bucket cumsum; global offset = bucket prefix
+    val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum", sum(col("n_tokens")).over(w) + offCol)
+      .select(col("id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div ${seqLen}L").as("pack_id"))
+  }
 }

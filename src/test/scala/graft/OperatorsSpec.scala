@@ -393,6 +393,29 @@ class OperatorsSpec extends SparkSpec {
     assert(oldOnly ++ incr == full)
   }
 
+  test("distributed sequence packing matches the naive global cumsum") {
+    // differential pin: the two-phase prefix sum (bucketed windows +
+    // broadcast bucket offsets) must equal a single global-window cumsum
+    // for every doc, across bucket counts that do and don't divide the
+    // id range evenly
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val naive = docs.select(col("doc_id").cast("long").as("id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("id"), col("n_tokens"),
+        expr("(cum - n_tokens) div 512L").as("pack_id"))
+      .orderBy("id").collect().toSeq
+    for (buckets <- Seq(1, 7, 64)) {
+      val got = TextAnalysis.packSequences(docs, "doc_id", "text",
+          seqLen = 512, nBuckets = buckets)
+        .orderBy("id").collect().toSeq
+      assert(got == naive, s"nBuckets=$buckets")
+    }
+  }
+
   test("map-side nearest_cells matches the join+window assignment bit-for-bit") {
     // Differential pin for the NearestCells rewrite: the old corpus×seeds
     // join + row_number window formulation is reproduced here as the

@@ -100,6 +100,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q66: the packing prefix sum never funnels through one partition") {
+    // the two-phase prefix sum must keep the window partitioned on the
+    // bucket key; a bare orderBy window would show a SinglePartition
+    // exchange — correct at sf0.1, dead at 100 TB
+    val p = plan("q66_doc_pack")
+    assert(p.contains("hashpartitioning(bucket"), p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+  }
+
   test("q40/q41/q46: per-query top-k is a bounded partial aggregate, not a global window") {
     // The heap aggregate must partial-aggregate map-side (ObjectHashAggregate
     // with a partial topkagg) so the exchange carries ≤margin rows per
