@@ -166,8 +166,14 @@ object Dedup {
                                  threshold: Double = 0.5,
                                  materialize: Materializer =
                                    Materializer.Local): DataFrame = {
+    // both sides pinned: `fresh` is referenced twice (its own banding +
+    // inside `all`) and `all` three times (banding + both verify re-attach
+    // sides) — Catalyst recomputes an uncached subtree per reference, and
+    // for a freshly-computed index that means re-signaturing. When `index`
+    // is what it should be at scale — a parquet-backed persisted artifact —
+    // its re-scan is already cheap and the materialize is a no-op cost.
     val fresh = materialize(newIndex)
-    val all = fresh.unionByName(index)
+    val all = materialize(fresh.unionByName(index))
     val newBanded = fresh
       .select(col("id"), explode_outer(col("bandkeys")).as("bandkey"))
     val allBanded = all
