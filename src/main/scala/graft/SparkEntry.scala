@@ -668,6 +668,36 @@ object SparkEntry {
         .orderBy(col("pack_id"))
     }),
 
+    "q67_doc_mix" -> ((s, dir) => {
+      // deterministic mixture rebalancing: downsample every language to
+      // the smallest language's share (the pretraining "uniform mixture"
+      // resample) by hash threshold, not rand()/sampleBy — a retry or a
+      // different engine keeps the identical document set. Keep rule:
+      // first 8 md5 hex chars of doc_id < lpad(hex(floor(p*2^32)))
+      // (lexicographic == numeric for fixed-width lowercase hex); p
+      // clamped to (2^32-1)/2^32 so the 8-digit pad never truncates.
+      // Threshold derivation is a tiny two-level aggregate broadcast back
+      // — no window, no shuffle of the corpus beyond the final group-by.
+      val docs = t(s, dir, "documents")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      val thr = counts.crossJoin(counts.agg(min(col("n_total")).as("minc")))
+        .withColumn("thr", lower(lpad(hex(least(
+          floor((col("minc").cast("double") / col("n_total").cast("double"))
+            * lit(4294967296L)).cast("long"),
+          lit(4294967295L))), 8, "0")))
+        .select(col("lang"), col("n_total"), col("thr"))
+      docs.join(broadcast(thr), Seq("lang"))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 8)
+          < col("thr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .join(thr.select(col("lang"), col("n_total")), Seq("lang"))
+        .select(col("lang"), col("n_total"), col("n_kept"), col("min_id"),
+          col("max_id"))
+        .orderBy(col("lang"))
+    }),
+
     "q65_dedup_incremental" -> ((s, dir) => {
       // incremental minhash dedup — the 100 TB operating mode: odd doc_ids
       // are "today's batch", even doc_ids the persisted historical index;
@@ -1153,6 +1183,27 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT a_id, b_id, sim FROM verified WHERE sim >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q67_doc_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total
+        |  FROM documents GROUP BY lang
+        |), m AS (SELECT MIN(n_total) AS minc FROM counts),
+        |thr AS (
+        |  SELECT lang, n_total,
+        |    lower(lpad(hex(LEAST(
+        |      CAST(FLOOR((CAST(minc AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |        * 4294967296) AS BIGINT),
+        |      4294967295)), 8, '0')) AS t
+        |  FROM counts, m
+        |), kept AS (
+        |  SELECT d.lang, d.doc_id FROM documents d JOIN thr USING (lang)
+        |  WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.t)
+        |SELECT lang, thr.n_total,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM kept JOIN thr USING (lang)
+        |GROUP BY lang, thr.n_total ORDER BY lang""".stripMargin,
 
     // single-window global cumsum is fine for the ORACLE (DuckDB is
     // single-node); the Spark side must match it with the distributed
