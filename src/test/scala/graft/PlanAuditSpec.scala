@@ -100,6 +100,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q65: incremental dedup stays a band-key equi-join, no cartesian") {
+    val p = plan("q65_dedup_incremental")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q67: mixture thresholds broadcast; corpus never windows or sorts globally") {
+    // SinglePartition exchanges DO appear — under the per-lang counts
+    // (5 rows) feeding min(n_total) — which is fine; the corpus path must
+    // be: scan -> broadcast threshold join -> partial-combined aggregate,
+    // with no window and no nested-loop/cartesian corpus join
+    val p = plan("q67_doc_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("partial_count"), p.take(2000))
+  }
+
   test("q66: the packing prefix sum never funnels through one partition") {
     // the two-phase prefix sum must keep the window partitioned on the
     // bucket key; a bare orderBy window would show a SinglePartition
