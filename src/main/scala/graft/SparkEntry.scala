@@ -668,6 +668,18 @@ object SparkEntry {
         .orderBy(col("pack_id"))
     }),
 
+    "q68_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: per-doc count of distinct 5-gram
+      // shingles shared with the "eval set" (doc_id < 10 here) — the
+      // pre-training overlap check. Eval shingles broadcast; the corpus
+      // side is map-side explode + broadcast join + partial count
+      val docs = t(s, dir, "documents")
+      TextAnalysis.contaminationOverlap(docs,
+          docs.filter(col("doc_id") < 10), "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), col("n_overlap"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q67_doc_mix" -> ((s, dir) => {
       // deterministic mixture rebalancing: downsample every language to
       // the smallest language's share (the pretraining "uniform mixture"
@@ -1183,6 +1195,29 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT a_id, b_id, sim FROM verified WHERE sim >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q68_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE
+        |      WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
+        |        x -> x <> '')) < 5
+        |      THEN [array_to_string(list_filter(
+        |        regexp_split_to_array(text, '\s+'), x -> x <> ''), ' ')]
+        |      ELSE [array_to_string(list_filter(
+        |          regexp_split_to_array(text, '\s+'), x -> x <> '')[i+1:i+5],
+        |          ' ')
+        |        for i in range(0, len(list_filter(
+        |          regexp_split_to_array(text, '\s+'), x -> x <> '')) - 4)]
+        |      END) AS shingles
+        |  FROM documents
+        |), ev AS (
+        |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 10
+        |), corpus AS (
+        |  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id >= 10)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |FROM corpus JOIN ev USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q67_doc_mix" ->
       """WITH counts AS (

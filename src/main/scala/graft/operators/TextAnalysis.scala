@@ -159,6 +159,35 @@ object TextAnalysis {
       round(lit(1.0) - size(array_distinct(sh)).cast("double") / total, 6))
   }
 
+  /** Benchmark decontamination: for every corpus document, the number of
+    * distinct word n-grams it shares with an evaluation set — the overlap
+    * check run before training to drop eval-contaminated documents.
+    * Returns (id, n_overlap) for contaminated docs only (overlap > 0),
+    * eval documents excluded from the corpus side by an anti-join on id.
+    *
+    * Scale shape: the eval set is small by definition, so its distinct
+    * shingle set broadcasts; the corpus side is explode -> broadcast hash
+    * join -> partial-combined count — map-side work only, no corpus
+    * shuffle beyond the per-doc count. */
+  def contaminationOverlap(corpus: DataFrame, evalDocs: DataFrame,
+                           idCol: String, textCol: String, n: Int)
+      : DataFrame = {
+    // explode_outer: shingles() is never empty, and plain explode makes
+    // Catalyst infer a size()>0 predicate that re-evaluates the shingle
+    // expression a second time per row
+    val evalShingles = evalDocs
+      .select(explode_outer(array_distinct(shingles(col(textCol), n)))
+        .as("sh"))
+      .distinct()
+    corpus
+      .join(evalDocs.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol).as("id"),
+        explode_outer(array_distinct(shingles(col(textCol), n))).as("sh"))
+      .join(broadcast(evalShingles), Seq("sh"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** Sequence packing (pretraining concat-and-chunk): documents are
     * concatenated in `idCol` order and chunked every `seqLen` tokens; each
     * doc is assigned the pack its first token lands in
