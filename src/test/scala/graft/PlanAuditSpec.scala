@@ -118,6 +118,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p.take(2000))
   }
 
+  test("q68: eval shingles broadcast; the corpus side never shuffle-joins") {
+    val p = plan("q68_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q66: the packing prefix sum never funnels through one partition") {
     // the two-phase prefix sum must keep the window partitioned on the
     // bucket key; a bare orderBy window would show a SinglePartition
