@@ -416,6 +416,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing handles sparse ids and empty buckets") {
+    // the real documents table is dense 0..N; sparse ids leave id-range
+    // buckets EMPTY, which the bucket-offset prefix map must skip without
+    // shifting later buckets
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(42)
+    val rows = Seq(3L, 10L, 11L, 997L, 1000L, 4999L, 5000L, 90001L)
+      .map(id => (id, Seq.fill(1 + rng.nextInt(40))("w").mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    val naive = df.select(col("doc_id").as("id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("id"), col("n_tokens"),
+        expr("(cum - n_tokens) div 16L").as("pack_id"))
+      .orderBy("id").collect().toSeq
+    for (buckets <- Seq(1, 5, 64, 1024)) {
+      val got = TextAnalysis.packSequences(df, "doc_id", "text",
+          seqLen = 16, nBuckets = buckets)
+        .orderBy("id").collect().toSeq
+      assert(got == naive, s"nBuckets=$buckets")
+    }
+  }
+
   test("map-side nearest_cells matches the join+window assignment bit-for-bit") {
     // Differential pin for the NearestCells rewrite: the old corpus×seeds
     // join + row_number window formulation is reproduced here as the
