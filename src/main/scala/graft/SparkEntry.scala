@@ -309,11 +309,23 @@ object SparkEntry {
     }),
 
     "q19_approx_distinct" -> ((s, dir) => {
-      // rows-only: HLL++ sketch counts are engine-specific by nature
+      // HLL++ estimates are engine-specific, but the documented error
+      // bound is not: emit exact distinct counts (engine-portable) plus
+      // booleans asserting each sketch landed within 3*rsd of exact. The
+      // oracle emits TRUE for the booleans, so a sketch drifting out of
+      // bound hash-mismatches instead of hiding behind `no_oracle`.
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+        .agg(
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          count_distinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey"), 0.05).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts"))
+            <= col("exact_parts") * lit(3 * 0.05)).as("parts_within_tol"),
+          (abs(col("ao") - col("exact_orders"))
+            <= col("exact_orders") * lit(3 * 0.01)).as("orders_within_tol"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -779,16 +791,39 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
-    // ---- multimodal plumbing (extended scope; decode kernel stubbed) ----
+    // ---- multimodal plumbing (image decode real via javax.imageio; ----
+    // ---- audio/video kernels stubbed — no JDK codec exists)         ----
 
     "q43_mm_features" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      // image rows: real PNG payloads decoded by javax.imageio — width/
+      // height/channels are read from actual pixels (byte_len is the PNG
+      // encoder's output size, not SQL-predictable, so it is not part of
+      // the oracle-checked projection). audio/video rows: stub kernel
+      // over the opaque text payload, as before.
       Multimodal.extractFeatures(media)
         .select(col("doc_id"), col("modality"),
-          col("byte_len").cast("long").as("byte_len"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
-          col("n_frames").cast("long").as("n_frames"))
+          col("n_frames").cast("long").as("n_frames"),
+          col("channels").cast("long").as("channels"),
+          col("decoded"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q69_mm_decode" -> ((s, dir) => {
+      // end-to-end pixel-exact decode: every document becomes a solid-
+      // colour PNG whose dimensions and colour are pure functions of
+      // doc_id, encoded with ImageIO.write in-cluster and decoded back
+      // with ImageIO.read — so the oracle predicts every feature, and a
+      // hash match proves the codec really ran over real pixels.
+      val media = Multimodal.imageMediaFromDocuments(t(s, dir, "documents"))
+      Multimodal.extractFeatures(media)
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("mean_red"), col("decoded"))
         .orderBy(col("doc_id"))
     }),
 
@@ -968,6 +1003,15 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q19_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_within_tol,
+        |  TRUE AS orders_within_tol
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q26_evt_props_agg" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
@@ -1751,16 +1795,30 @@ object SparkEntry {
         |      WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
         |    octet_length(encode(text)) AS n
         |  FROM documents)
-        |SELECT doc_id, modality, CAST(n AS BIGINT) AS byte_len,
-        |  CAST(CASE WHEN modality IN ('image', 'video') THEN n % 640 + 1
+        |SELECT doc_id, modality,
+        |  CAST(CASE WHEN modality = 'image' THEN doc_id % 64 + 1
+        |    WHEN modality = 'video' THEN n % 640 + 1
         |    ELSE 0 END AS BIGINT) AS width,
-        |  CAST(CASE WHEN modality IN ('image', 'video') THEN n % 480 + 1
+        |  CAST(CASE WHEN modality = 'image' THEN doc_id % 48 + 1
+        |    WHEN modality = 'video' THEN n % 480 + 1
         |    ELSE 0 END AS BIGINT) AS height,
         |  CAST(CASE WHEN modality = 'image' THEN 1
         |    WHEN modality = 'video' THEN n % 30 + 1
         |    WHEN modality = 'audio' THEN n % 16000 + 1
-        |    ELSE 0 END AS BIGINT) AS n_frames
+        |    ELSE 0 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN modality = 'image' THEN 3 ELSE 0
+        |    END AS BIGINT) AS channels,
+        |  modality = 'image' AS decoded
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q69_mm_decode" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 64 + 1 AS BIGINT) AS width,
+        |  CAST(doc_id % 48 + 1 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(doc_id % 256 AS BIGINT) AS mean_red,
+        |  TRUE AS decoded
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q44_mm_frames" ->
       """WITH m AS (

@@ -16,7 +16,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional regex subset for local iteration (the driver sets none)
+    val filter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER")
+    SparkEntry.queries
+      .filter { case (name, _) => filter.forall(name.matches) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

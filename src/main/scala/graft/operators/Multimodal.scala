@@ -1,32 +1,91 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque binary
   * columns with typed metadata, processed batch-at-a-time per partition.
   *
-  * The decode/feature-extraction kernels are STUBBED (no media libraries in
-  * this environment) behind [[FakeDecoder]], a deterministic fake — but the
-  * Spark-side contract is real and tested: schema, partition-parallel
-  * `mapPartitions` over a typed Dataset (the Scala analog of Python's
-  * `mapInPandas` batch UDF), and batch-shaped output rows. Swapping
-  * [[FakeDecoder]] for a JNI/codec-backed decoder changes no plan shape.
+  * Image decode is REAL: payloads are PNG/JPEG bytes decoded with the
+  * in-JDK `javax.imageio` (no external media libraries needed), and the
+  * extracted width/height/channels/mean-pixel features come from actual
+  * pixels. Audio/video decode remains STUBBED behind [[FakeDecoder]] (the
+  * JDK ships no audio/video codecs) — the Spark-side contract is identical
+  * either way: schema, partition-parallel `mapPartitions` over a typed
+  * Dataset (the Scala analog of Python's `mapInPandas` batch UDF), and
+  * batch-shaped output rows. A corrupt or non-image payload never fails the
+  * job: it falls back to the deterministic fake and is flagged
+  * `decoded = false`.
   */
 object Multimodal {
 
   /** A media payload row: opaque bytes + typed metadata. */
   case class MediaRow(doc_id: Long, modality: String, payload: Array[Byte])
 
-  /** Extracted feature row (what a real image/audio decoder would emit). */
+  /** Extracted feature row. For `decoded = true` image rows,
+    * width/height/channels/mean_red are read from real pixels; otherwise
+    * they come from the deterministic fake kernel (channels/mean_red 0). */
   case class MediaFeatures(doc_id: Long, modality: String, byte_len: Int,
                            width: Int, height: Int, n_frames: Int,
+                           channels: Int, mean_red: Long, decoded: Boolean,
                            checksum: Long)
 
-  /** Deterministic fake decode kernel — stands in for e.g. JPEG decode /
-    * audio resample. Derives "dimensions" from payload bytes so tests have
-    * stable expectations. A production build replaces only this object. */
+  /** Real image codec on the in-JDK `javax.imageio` readers (PNG/JPEG/BMP/
+    * GIF). Encode exists so fixtures can be generated deterministically
+    * in-cluster; decode is the production kernel. */
+  object ImageCodec {
+    // a temp-file cache per decode would dominate the per-row cost at
+    // scale; decode fully in-memory
+    ImageIO.setUseCache(false)
+
+    case class Decoded(width: Int, height: Int, channels: Int, meanRed: Long)
+
+    /** Solid-colour RGB PNG — byte-exact round-trip (PNG is lossless), so
+      * decoded features are a pure function of (width, height, rgb). */
+    def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream(256)
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Decode any payload `javax.imageio` has a reader for; None when the
+      * bytes are not a decodable image (corrupt row, wrong modality). */
+    def decode(payload: Array[Byte]): Option[Decoded] =
+      try {
+        val img = ImageIO.read(new ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sumRed = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sumRed += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+            y += 1
+          }
+          Some(Decoded(w, h, img.getColorModel.getNumComponents,
+            sumRed / (w.toLong * h)))
+        }
+      } catch { case _: Exception => None }
+  }
+
+  /** Deterministic fake kernel for the modalities the JDK cannot decode
+    * (audio/video) and for corrupt payloads. Derives "dimensions" from
+    * payload bytes so tests have stable expectations. */
   object FakeDecoder {
     def decode(payload: Array[Byte], modality: String): (Int, Int, Int) = {
       val n = payload.length
@@ -45,32 +104,70 @@ object Multimodal {
     }
   }
 
-  /** Build a media table from the documents fixture: text bytes stand in
-    * for the opaque payload (this environment ships no real media), with a
-    * modality assigned round-robin — the schema/partitioning shape a real
-    * ingest would produce. */
+  /** The deterministic fixture image for a document: dimensions and colour
+    * are pure functions of doc_id, so an oracle can predict every decoded
+    * feature without running the codec. */
+  private def pngFor(docId: Long): Array[Byte] = {
+    val w = (docId % 64).toInt + 1
+    val h = (docId % 48).toInt + 1
+    val r = (docId % 256).toInt
+    val g = (docId * 7 % 256).toInt
+    val b = (docId * 13 % 256).toInt
+    ImageCodec.encodePng(w, h, (r << 16) | (g << 8) | b)
+  }
+
+  /** Build a media table from the documents fixture with a modality
+    * assigned round-robin. Image rows carry REAL PNG payloads (generated
+    * in-cluster, deterministic per doc_id); audio/video rows carry the
+    * text bytes as an opaque stand-in payload (no JDK codec exists to
+    * decode them anyway). */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
-    val enc = Encoders.product[MediaRow]
+    implicit val enc = Encoders.product[MediaRow]
     docs.select(
       col("doc_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("modality"),
       col("text").cast(BinaryType).as("payload"))
       .as(enc)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          if (r.modality == "image") r.copy(payload = pngFor(r.doc_id)) else r
+        }
+      }
+  }
+
+  /** All-image media table: every document becomes a real PNG payload.
+    * The fixture for end-to-end pixel-exact decode checks. */
+  def imageMediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    docs.select(col("doc_id"), lit("image").as("modality"),
+        lit(Array.empty[Byte]).as("payload"))
+      .as(enc)
+      .mapPartitions(rows => rows.map(r => r.copy(payload = pngFor(r.doc_id))))
   }
 
   /** Partition-parallel decode/feature-extract: the batch-UDF analog.
-    * Runs the (stub) kernel once per row inside `mapPartitions`, so a real
-    * decoder can amortize per-batch init (model load, codec context) across
-    * the partition — the same contract as `mapInPandas`. */
+    * Image payloads go through the real `javax.imageio` kernel; a decode
+    * failure (corrupt bytes, unsupported format) falls back to the
+    * deterministic fake and is flagged `decoded = false` instead of
+    * failing the partition. Per-partition init amortizes across the batch,
+    * the same contract as `mapInPandas`. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions { rows =>
-      // per-partition init would go here (codec context, model handles)
       rows.map { r =>
-        val (w, h, f) = FakeDecoder.decode(r.payload, r.modality)
-        MediaFeatures(r.doc_id, r.modality, r.payload.length, w, h, f,
-          FakeDecoder.checksum(r.payload))
+        val real =
+          if (r.modality == "image") ImageCodec.decode(r.payload) else None
+        real match {
+          case Some(d) =>
+            MediaFeatures(r.doc_id, r.modality, r.payload.length,
+              d.width, d.height, 1, d.channels, d.meanRed, decoded = true,
+              FakeDecoder.checksum(r.payload))
+          case None =>
+            val (w, h, f) = FakeDecoder.decode(r.payload, r.modality)
+            MediaFeatures(r.doc_id, r.modality, r.payload.length, w, h, f,
+              0, 0L, decoded = false, FakeDecoder.checksum(r.payload))
+        }
       }
     }
   }

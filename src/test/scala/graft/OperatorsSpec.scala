@@ -529,17 +529,44 @@ class OperatorsSpec extends SparkSpec {
     assert(profile(0).getLong(0) == 1L && profile(0).getDouble(2) == 0.9)
   }
 
-  test("multimodal feature extraction is deterministic over stub decoder") {
+  test("multimodal features: real ImageIO decode for images, stub for video") {
     val s = spark
     import s.implicits._
-    val docs = Seq((0L, "abcd"), (1L, "efghij"), (2L, "xy"))
+    val docs = Seq((0L, "abcd"), (1L, "efghij"), (2L, "xy"), (3L, "pqrs"))
       .toDF("doc_id", "text")
     val feats = graft.operators.Multimodal.extractFeatures(
       graft.operators.Multimodal.mediaFromDocuments(docs)).collect()
+    // doc 0 -> image: payload is a real PNG; width/height/channels come
+    // from ImageIO-decoded pixels ((id%64)+1 x (id%48)+1 solid RGB)
     val f0 = feats.find(_.doc_id == 0L).get
-    assert(f0.modality == "image" && f0.byte_len == 4
-      && f0.width == 5 && f0.height == 5 && f0.n_frames == 1)
+    assert(f0.modality == "image" && f0.decoded
+      && f0.width == 1 && f0.height == 1 && f0.channels == 3
+      && f0.mean_red == 0L && f0.n_frames == 1)
+    val f3 = feats.find(_.doc_id == 3L).get
+    assert(f3.decoded && f3.width == 4 && f3.height == 4
+      && f3.mean_red == 3L) // solid colour red channel = id % 256
+    // doc 2 -> video: no JDK codec, deterministic stub over text bytes
     val f2 = feats.find(_.doc_id == 2L).get
-    assert(f2.modality == "video" && f2.n_frames == 3)
+    assert(f2.modality == "video" && f2.n_frames == 3 && !f2.decoded)
+  }
+
+  test("multimodal decode: corrupt image payload falls back, flagged") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal
+    val media = Seq(
+      Multimodal.MediaRow(10L, "image",
+        Multimodal.ImageCodec.encodePng(7, 5, 0x204060)),
+      Multimodal.MediaRow(11L, "image",
+        Array[Byte](1, 2, 3, 4))) // not a decodable image
+      .toDS()
+    val out = Multimodal.extractFeatures(media).collect()
+    val ok = out.find(_.doc_id == 10L).get
+    assert(ok.decoded && ok.width == 7 && ok.height == 5
+      && ok.channels == 3 && ok.mean_red == 0x20L)
+    // the corrupt row does not fail the partition: fake-kernel fallback
+    val bad = out.find(_.doc_id == 11L).get
+    assert(!bad.decoded && bad.width == 5 && bad.height == 5
+      && bad.channels == 0 && bad.byte_len == 4)
   }
 }
