@@ -5,7 +5,8 @@ import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -44,7 +45,7 @@ import org.apache.spark.sql.types._
   */
 case class NearestCells(vec: Expression, centroids: Expression,
                         probes: Expression, exact: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   override def children: Seq[Expression] = Seq(vec, centroids, probes, exact)
   override def nullable: Boolean = vec.nullable
@@ -142,8 +143,15 @@ case class NearestCells(vec: Expression, centroids: Expression,
 
   override def eval(input: InternalRow): Any = {
     val vAny = vec.eval(input)
-    if (vAny == null) return null
-    val x = vAny.asInstanceOf[ArrayData]
+    if (vAny == null) null else kernel(vAny.asInstanceOf[ArrayData])
+  }
+
+  /** The whole per-row kernel behind one monomorphic entry point, so
+    * generated code calls it directly on the unboxed child ArrayData —
+    * the projection stays inside WholeStageCodegen with no
+    * CodegenFallback row materialization on the ANN suite's hottest
+    * expression. */
+  def kernel(x: ArrayData): ArrayData = {
     val m = cellIds.length
     val sims = new Array[Double](m)
     var i = 0
@@ -173,6 +181,26 @@ case class NearestCells(vec: Expression, centroids: Expression,
           .take(p).map(_._1)
       }
     new GenericArrayData(chosen.map(cellIds))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    // Evaluate only the vec child in-line (centroids/probes/exact are
+    // foldable and live in the instance's lazy state); hand the raw
+    // ArrayData to the kernel via a reference object.
+    val ref = ctx.addReferenceObj("nearestCells", this,
+      classOf[NearestCells].getName)
+    val vecGen = vec.genCode(ctx)
+    val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+    ev.copy(code =
+      code"""
+        ${vecGen.code}
+        boolean ${ev.isNull} = ${vecGen.isNull};
+        $ad ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = $ref.kernel(($ad) ${vecGen.value});
+        }
+      """)
   }
 
   override protected def withNewChildrenInternal(

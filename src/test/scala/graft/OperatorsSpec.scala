@@ -495,6 +495,43 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("nearest_cells evaluates through codegen, identical to interpreted") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    // class-level contract: the hottest ANN projection is no longer a
+    // CodegenFallback (which would pay interpreted eval + row boxing)
+    assert(!classOf[CodegenFallback].isAssignableFrom(
+      classOf[graft.functions.NearestCells]))
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents: Seq[(Long, Seq[Float])] = emb.filter(col("vec_id") < 8)
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    def run(): Seq[String] =
+      emb.select(col("vec_id"),
+          GraftFunctions.nearest_cells(col("embedding"), typedlit(cents),
+            probes = 2, exact = true).as("cells"))
+        .collect().map(_.toString).sorted.toSeq
+    def withConf(factory: String, wsc: String)(body: => Seq[String]) = {
+      val conf = spark.conf
+      val prev = (conf.getOption("spark.sql.codegen.factoryMode"),
+        conf.getOption("spark.sql.codegen.wholeStage"))
+      try {
+        conf.set("spark.sql.codegen.factoryMode", factory)
+        conf.set("spark.sql.codegen.wholeStage", wsc)
+        body
+      } finally {
+        prev._1.fold(conf.unset("spark.sql.codegen.factoryMode"))(
+          conf.set("spark.sql.codegen.factoryMode", _))
+        prev._2.fold(conf.unset("spark.sql.codegen.wholeStage"))(
+          conf.set("spark.sql.codegen.wholeStage", _))
+      }
+    }
+    // CODEGEN_ONLY turns a broken doGenCode into a loud failure instead
+    // of a silent interpreted fallback
+    val gen = withConf("CODEGEN_ONLY", "true")(run())
+    val interp = withConf("NO_CODEGEN", "false")(run())
+    assert(gen.nonEmpty && gen == interp)
+  }
+
   test("asofJoin picks the latest right row at-or-before each left row") {
     val s = spark
     import s.implicits._
