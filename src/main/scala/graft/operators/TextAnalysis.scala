@@ -204,24 +204,53 @@ object TextAnalysis {
     * shuffle keys on `bucket` — `nBuckets` parallel window partitions —
     * and the driver handles `nBuckets` scalars, never rows.
     *
+    * Bucket boundaries are QUANTILES of the id distribution, not uniform
+    * id-range spans: snowflake-style ids clustered in a narrow band of a
+    * huge range would collapse uniform spans into one giant bucket — one
+    * window partition, the exact single-task funnel this design exists to
+    * avoid. Boundaries come from the same tiny driver-side pass
+    * (`percentile_approx`), and the packing output is provably invariant
+    * to where the boundaries fall: any monotone contiguous id-range
+    * partition produces the same global prefix sum.
+    *
     * Returns (id, n_tokens, pack_id). Deterministic integer math, so any
     * engine ordering by the same id agrees exactly (oracle-checkable). */
+  /** One tiny driver-side pass: corpus row count + the quantile bucket
+    * boundaries for [[packSequences]] (sorted, deduped — heavy id skew
+    * merges boundaries rather than emptying buckets). `private[graft]` so
+    * the balance property is testable directly. */
+  private[graft] def packBounds(docs: DataFrame, idCol: String,
+                                nBuckets: Int): (Long, Array[Long]) = {
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val aggRow = docs.agg(count(lit(1)),
+      percentile_approx(col(idCol).cast("long"),
+        typedlit(if (probs.isEmpty) Seq(0.5) else probs),
+        lit(10000))).collect()(0)
+    val n = aggRow.getLong(0)
+    val bounds: Array[Long] =
+      if (probs.isEmpty || n == 0L) Array.empty
+      else aggRow.getSeq[Long](1).toArray.distinct.sorted
+    (n, bounds)
+  }
+
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     seqLen: Int, nBuckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(seqLen > 0 && nBuckets > 0)
-    val ids = docs.agg(min(col(idCol)).cast("long"),
-      max(col(idCol)).cast("long")).collect()(0)
-    if (ids.isNullAt(0)) // empty corpus -> empty packing
+    val (nRows, bounds) = packBounds(docs, idCol, nBuckets)
+    if (nRows == 0L) // empty corpus -> empty packing
       return docs.select(col(idCol).as("id"), lit(0L).as("n_tokens"),
         lit(0L).as("pack_id")).limit(0)
-    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
-    val span = math.max(1L, (hi - lo) / nBuckets + 1)
+    // bucket = #boundaries at or below id — a contiguous monotone id-range
+    // partition whatever the id distribution; ~nBuckets/2 long compares
+    // per row, cheap next to tokenCount
+    val bucketOf: Column =
+      if (bounds.isEmpty) lit(0L)
+      else aggregate(typedlit(bounds.toSeq), lit(0L),
+        (acc, b) => acc + when(col("id") >= b, 1L).otherwise(0L))
     val toks = docs.select(col(idCol).cast("long").as("id"),
         tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      // `div`, not `/`: Spark's / on longs yields double, and the bucket
-      // must stay an exact long (it keys the offset map lookup)
-      .withColumn("bucket", expr(s"(id - ${lo}L) div ${span}L"))
+      .withColumn("bucket", bucketOf)
     // phase 1: per-bucket totals, prefix-summed driver-side (tiny)
     val totals = toks.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)

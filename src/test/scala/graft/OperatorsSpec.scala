@@ -443,6 +443,44 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing buckets stay balanced under clustered ids") {
+    // snowflake-style ids: three tight clusters in a ~2^62 id space.
+    // Uniform id-range spans would drop every row into one bucket (one
+    // window partition = the single-task funnel); quantile boundaries
+    // must keep the largest bucket near the mean.
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val clusters = Seq(1L << 20, 1L << 45, (1L << 61) + 12345L)
+    val ids = clusters.flatMap(base => (0 until 400).map(i =>
+      base + i * 3L + rng.nextInt(2)))
+      .distinct
+    val df = ids.map(id => (id, "w w w")).toDF("doc_id", "text")
+    val nBuckets = 16
+    val (n, bounds) = TextAnalysis.packBounds(df, "doc_id", nBuckets)
+    assert(n == ids.length)
+    // local replica of the row->bucket rule: #boundaries at or below id
+    val sizes = ids.groupBy(id => bounds.count(id >= _)).values.map(_.size)
+    val mean = ids.length.toDouble / (bounds.length + 1)
+    assert(bounds.length >= nBuckets / 2, s"only ${bounds.length} bounds")
+    assert(sizes.max <= 2 * mean,
+      s"max bucket ${sizes.max} vs mean $mean — skew-collapsed")
+    // and the packing itself still matches the naive single-window truth
+    import org.apache.spark.sql.expressions.Window
+    val naive = df.select(col("doc_id").as("id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("id"), col("n_tokens"),
+        expr("(cum - n_tokens) div 16L").as("pack_id"))
+      .orderBy("id").collect().toSeq
+    val got = TextAnalysis.packSequences(df, "doc_id", "text",
+        seqLen = 16, nBuckets = nBuckets)
+      .orderBy("id").collect().toSeq
+    assert(got == naive)
+  }
+
   test("map-side nearest_cells matches the join+window assignment bit-for-bit") {
     // Differential pin for the NearestCells rewrite: the old corpus×seeds
     // join + row_number window formulation is reproduced here as the
