@@ -739,6 +739,32 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    "q70_dedup_incr_fast" -> ((s, dir) => {
+      // q65's PRODUCTION shape: fast seeded-FNV signatures (~10x cheaper
+      // than md5) and a parquet-persisted historical index. The index is
+      // built once per corpus dir (untimed after the first pass, like
+      // q52's bucketed tables — a real pipeline already has yesterday's
+      // index on disk), so the timed body is what a daily run pays:
+      // signature the new batch and join it against on-disk buckets.
+      // Oracle = ground-truth all-pairs Jaccard restricted to pairs
+      // touching a new (odd) id — equality doubles as an LSH recall=1.0
+      // check, exactly as q39 pins the full fast path.
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val idxDir = new java.io.File(".bench/q70_index_" +
+        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val idxPath = s"$idxDir/mat_0"
+      if (!new java.io.File(s"$idxPath/_SUCCESS").exists())
+        graft.operators.Materializer.Persisted(idxDir)(
+          Dedup.minhashIndex(docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text", k = 16, bands = 4, shingleN = 3, fast = true))
+      Dedup.minhashLshPairsIncremental(
+          Dedup.minhashIndex(docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", k = 16, bands = 4, shingleN = 3, fast = true),
+          s.read.parquet(idxPath), threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     "q42_emb_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup pairs via LSH buckets — oracle-checkable.
       // threshold 0.4: the synthetic embeddings are near-orthogonal (max
@@ -1370,6 +1396,30 @@ object SparkEntry {
         |        AS DOUBLE), 6) AS sim
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+        |        AS DOUBLE) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q70_dedup_incr_fast" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(raw) < 3
+        |      THEN [array_to_string(raw, ' ')]
+        |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |            for i in range(0, len(raw) - 2)] END) AS shingles
+        |  FROM tk
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+        |        AS DOUBLE), 6) AS sim
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+        |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
         |    / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
         |        AS DOUBLE) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,

@@ -393,6 +393,37 @@ class OperatorsSpec extends SparkSpec {
     assert(oldOnly ++ incr == full)
   }
 
+  test("incremental dedup joins a persisted index read in a fresh session") {
+    // The daily-pipeline shape end-to-end: yesterday's run exported the
+    // index via Materializer.Persisted; today's run is a DIFFERENT
+    // session that knows nothing but the parquet path — reads it, and the
+    // incremental join over the on-disk index matches the all-in-memory
+    // run exactly (fast FNV signatures, the production mode).
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val neu = docs.filter(col("doc_id") % 2 === 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    graft.operators.Materializer.Persisted(tmp)(
+      Dedup.minhashIndex(old, "doc_id", "text", fast = true))
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("sim"))).toSet
+    val inMem = toSet(Dedup.minhashLshPairsIncremental(
+      Dedup.minhashIndex(neu, "doc_id", "text", fast = true),
+      Dedup.minhashIndex(old, "doc_id", "text", fast = true),
+      threshold = 0.1))
+    // fresh session state: separate registry/catalog/conf, same cluster
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2)
+    val docs2 = s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fromDisk = toSet(Dedup.minhashLshPairsIncremental(
+      Dedup.minhashIndex(docs2.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", fast = true),
+      s2.read.parquet(s"$tmp/mat_0"), threshold = 0.1))
+    assert(fromDisk.nonEmpty && fromDisk == inMem)
+  }
+
   test("distributed sequence packing matches the naive global cumsum") {
     // differential pin: the two-phase prefix sum (bucketed windows +
     // broadcast bucket offsets) must equal a single global-window cumsum
