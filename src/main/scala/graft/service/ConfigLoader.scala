@@ -19,20 +19,52 @@ object ConfigLoader {
   val DefaultApiUrl = "https://api.fullstory.com"
   val DefaultSegmentId = "everyone"
 
-  /** Parse a Go-style duration literal: "90s", "15m", "1h30m", "24h". */
+  /** Go `time.ParseDuration` grammar (the reference's config durations are
+    * parsed by it — config/config.go duration fields): an optional sign,
+    * then one or more `number unit` components where the number may be
+    * fractional ("1.5h", ".5s") and the unit is one of ns, us, µs, μs, ms,
+    * s, m, h. "0" (signed or not) is the only unit-less literal; "",
+    * bare numbers, unknown units ("1d"), and a lone sign/dot are rejected,
+    * exactly as Go rejects them. Components sum ("1h2m3s4ms5us6ns");
+    * fractions truncate at nanosecond granularity per component. */
   def parseDuration(s: String): Duration = {
-    val re = "(\\d+)(h|m|s)".r
-    val parts = re.findAllMatchIn(s.trim).toSeq
-    require(parts.nonEmpty && parts.map(_.matched).mkString == s.trim.replace(" ", ""),
-      s"invalid duration literal: $s")
-    parts.foldLeft(Duration.ZERO) { (acc, m) =>
-      val n = m.group(1).toLong
-      m.group(2) match {
-        case "h" => acc.plusHours(n)
-        case "m" => acc.plusMinutes(n)
-        case "s" => acc.plusSeconds(n)
-      }
+    def fail(): Nothing =
+      throw new IllegalArgumentException(s"invalid duration literal: $s")
+    val unitNanos = Map(
+      "ns" -> 1L, "us" -> 1000L, "µs" -> 1000L, "μs" -> 1000L,
+      "ms" -> 1000000L, "s" -> 1000000000L, "m" -> 60000000000L,
+      "h" -> 3600000000000L)
+    var rest = s
+    var neg = false
+    if (rest.nonEmpty && (rest.head == '-' || rest.head == '+')) {
+      neg = rest.head == '-'
+      rest = rest.tail
     }
+    if (rest == "0") return Duration.ZERO
+    if (rest.isEmpty) fail()
+    var totalNanos = 0L
+    while (rest.nonEmpty) {
+      val intPart = rest.takeWhile(_.isDigit)
+      var idx = intPart.length
+      var fracPart = ""
+      if (idx < rest.length && rest(idx) == '.') {
+        fracPart = rest.substring(idx + 1).takeWhile(_.isDigit)
+        idx += 1 + fracPart.length
+      }
+      if (intPart.isEmpty && fracPart.isEmpty) fail() // no digits before unit
+      val unit = rest.substring(idx)
+        .takeWhile(c => !c.isDigit && c != '.' && c != '-' && c != '+')
+      val nanosPerUnit = unitNanos.getOrElse(unit, fail())
+      val num = BigDecimal(
+        (if (intPart.isEmpty) "0" else intPart) +
+          (if (fracPart.isEmpty) "" else s".$fracPart"))
+      val add = (num * nanosPerUnit)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.DOWN)
+      if (!add.isValidLong || add.toLong > Long.MaxValue - totalNanos) fail()
+      totalNanos += add.toLong
+      rest = rest.substring(idx + unit.length)
+    }
+    Duration.ofNanos(if (neg) -totalNanos else totalNanos)
   }
 
   private def stripValue(v: String): String = {

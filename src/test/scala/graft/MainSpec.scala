@@ -151,4 +151,39 @@ class MainSpec extends SparkSpec {
     assert(cfgT.startTime == java.time.Instant.parse("2021-01-01T00:00:00Z"))
     assert(warnT.exists(_.contains("\"StartTime\" not set")))
   }
+
+  test("parseDuration mirrors Go time.ParseDuration") {
+    import graft.service.ConfigLoader.parseDuration
+    // the accept table from Go's own ParseDuration cases (expected nanos):
+    // a config copied from a real hauser deployment can use any of these
+    val ok: Seq[(String, Long)] = Seq(
+      "0" -> 0L, "-0" -> 0L, "+0" -> 0L,
+      "5s" -> 5000000000L, "30s" -> 30000000000L, "1478s" -> 1478000000000L,
+      "-5s" -> -5000000000L, "+5s" -> 5000000000L,
+      "5.0s" -> 5000000000L, "5.6s" -> 5600000000L, "5.s" -> 5000000000L,
+      ".5s" -> 500000000L, "1.00s" -> 1000000000L, "1.004s" -> 1004000000L,
+      "1.0040s" -> 1004000000L, "100.00100s" -> 100001000000L,
+      "10ns" -> 10L, "11us" -> 11000L, "12µs" -> 12000L, "12μs" -> 12000L,
+      "13ms" -> 13000000L, "14s" -> 14000000000L, "15m" -> 900000000000L,
+      "16h" -> 57600000000000L, "3h30m" -> 12600000000000L,
+      "10.5s4m" -> 250500000000L, "-2m3.4s" -> -123400000000L,
+      "1h2m3s4ms5us6ns" -> 3723004005006L,
+      "39h9m14.425s" -> 140954425000000L,
+      "52763797000ns" -> 52763797000L,
+      // truncation at nanosecond granularity, exactly as Go truncates
+      "0.3333333333333333333h" -> 1199999999999L,
+      "0.100000000000000000000h" -> 360000000000L,
+      "1.5h" -> 5400000000000L, "300ms" -> 300000000L)
+    for ((in, nanos) <- ok)
+      assert(parseDuration(in).toNanos == nanos, s"parseDuration($in)")
+    // and the reject table: bare numbers, lone signs/dots, unknown units,
+    // int64-nanosecond overflow
+    val bad = Seq("", "3", "-", "s", ".", "-.", ".s", "+.s", "1d",
+      "1.3.4s", "3000000h", "1h m", "-1h+30m")
+    for (in <- bad)
+      assert(
+        try { parseDuration(in); false }
+        catch { case _: IllegalArgumentException => true },
+        s"parseDuration($in) should be rejected")
+  }
 }
