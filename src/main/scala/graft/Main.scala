@@ -58,7 +58,20 @@ object Main {
           need("StageDir") + "/_downloads")
       case _ => new LocalFixtureSource(spark, need("FixturePath"))
     }
-    val storage = new HadoopStorage(need("StageDir"))
+    // provider-scoped storage timeout (reference: warehouse/s3.go:38-80
+    // bounds S3 I/O with `[s3] Timeout`; the gcs section accepts the same
+    // key): a hung object-store call fails the bundle after the bound and
+    // falls into the loop's backoff path instead of hanging the service
+    val baseStorage = new HadoopStorage(need("StageDir"))
+    val storageTimeout = kv.get("Provider") match {
+      case Some("aws") => kv.get("s3.Timeout")
+      case Some("gcp") => kv.get("gcs.Timeout")
+      case _ => None
+    }
+    val storage = storageTimeout
+      .map(t => new graft.sinks.TimeoutStorage(baseStorage,
+        ConfigLoader.parseDuration(t)))
+      .getOrElse(baseStorage)
     val warehouse = if (config.storageOnly) None
       else kv.get("WarehouseJdbcUrl") match {
         case Some(url) => Some(new JdbcWarehouse(spark, url))

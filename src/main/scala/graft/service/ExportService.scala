@@ -45,11 +45,16 @@ object RetryPolicy {
   final case class Retryable(status: Int, retryAfter: Option[Duration])
       extends RuntimeException(s"retryable: HTTP $status")
 
-  /** Retryable iff HTTP 429 or >= 500; Retry-After honored. */
+  /** Reference parity (internal/service.go:158-171): an HTTP status error
+    * is fatal iff it is neither 429 nor >= 500 (Retry-After honored when
+    * retryable); EVERY other failure — storage timeouts, connection
+    * resets — is retryable, backed off by the loop's Backoff * 2^step
+    * like the reference's BackoffOnError (internal/service.go:231-245). */
   def retryInfo(e: Throwable): Option[Duration] = e match {
-    case Retryable(status, after) if status == 429 || status >= 500 =>
-      Some(after.getOrElse(Duration.ZERO))
-    case _ => None
+    case Retryable(status, after) =>
+      if (status != 429 && status < 500) None
+      else Some(after.getOrElse(Duration.ZERO))
+    case _ => Some(Duration.ZERO)
   }
 
   /** backoff * 2^step, fatal past stepsMax. Returns the sleep to take, or

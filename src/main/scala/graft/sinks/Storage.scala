@@ -63,6 +63,44 @@ class HadoopStorage(baseUri: String,
   override def getFileReference(name: String): String = pathOf(name).toString
 }
 
+/** Bounds every storage I/O with the configured timeout — the reference
+  * wraps its S3 save/read/delete in `context.WithTimeout` from the
+  * `[s3] Timeout` config key (warehouse/s3.go:38-80; example-config
+  * `Timeout = "5m"`). A hung object-store call fails the bundle with an
+  * IOException after the bound instead of stalling the sync loop forever;
+  * the service loop's backoff/retry path then takes over.
+  * `getFileReference` is pure string work and stays unbounded. */
+class TimeoutStorage(inner: Storage, timeout: java.time.Duration)
+    extends Storage {
+
+  private def bounded[A](op: String, name: String)(body: => A): A = {
+    val task = new java.util.concurrent.FutureTask[A](() => body)
+    val t = new Thread(task, s"graft-storage-$op")
+    t.setDaemon(true)
+    t.start()
+    try task.get(timeout.toNanos, java.util.concurrent.TimeUnit.NANOSECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        task.cancel(true)
+        throw new java.io.IOException(
+          s"storage $op of $name timed out after $timeout")
+      case e: java.util.concurrent.ExecutionException =>
+        throw e.getCause
+    }
+  }
+
+  override def saveContent(name: String, content: String): String =
+    bounded("save", name)(inner.saveContent(name, content))
+  override def readContent(name: String): Option[String] =
+    bounded("read", name)(inner.readContent(name))
+  override def deleteFile(name: String): Unit =
+    bounded("delete", name)(inner.deleteFile(name))
+  override def exists(name: String): Boolean =
+    bounded("exists", name)(inner.exists(name))
+  override def getFileReference(name: String): String =
+    inner.getFileReference(name)
+}
+
 /** Storage-mode sync point: one RFC3339 timestamp in a well-known file
   * (reference: warehouse/warehouse.go:16,80-107 `.sync.hauser`). */
 object StorageSyncPoint {

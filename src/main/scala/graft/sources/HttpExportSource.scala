@@ -38,7 +38,7 @@ final case class ExportFailedError(details: String)
   * response raises [[RetryPolicy.Retryable]] — the StatusError analog
   * (client/client.go:95-130) — with the integer-seconds `Retry-After`
   * attached, so the service loop's existing backoff classification
-  * (`RetryPolicy.retryInfo`: retry 429/5xx, fatal otherwise) applies
+  * (`RetryPolicy.retryInfo`: a non-429 sub-500 status is fatal) applies
   * unchanged. The client itself never retries, exactly like the reference;
   * retrying is the service loop's job (internal/service.go:231-245).
   *

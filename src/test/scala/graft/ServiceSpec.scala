@@ -345,7 +345,11 @@ class ServiceSpec extends SparkSpec {
     import RetryPolicy._
     assert(retryInfo(Retryable(429, None)).isDefined)
     assert(retryInfo(Retryable(503, None)).isDefined)
-    assert(retryInfo(new RuntimeException("boom")).isEmpty)
+    // only a non-429 sub-500 HTTP status is fatal; any non-HTTP failure
+    // (storage timeout, connection reset) is retryable, like the
+    // reference's getRetryInfo (internal/service.go:158-171)
+    assert(retryInfo(Retryable(404, None)).isEmpty)
+    assert(retryInfo(new RuntimeException("boom")).isDefined)
     assert(nextBackoff(Retryable(500, None), 0, Duration.ofSeconds(30), 8)
       .contains(Duration.ofSeconds(30)))
     assert(nextBackoff(Retryable(500, None), 3, Duration.ofSeconds(30), 8)
@@ -355,6 +359,46 @@ class ServiceSpec extends SparkSpec {
     // Retry-After honored when longer than the computed backoff
     assert(nextBackoff(Retryable(429, Some(Duration.ofSeconds(120))), 0,
       Duration.ofSeconds(30), 8).contains(Duration.ofSeconds(120)))
+  }
+
+  test("storage timeout: a hung write fails the bundle, retries, then fatal") {
+    // reference semantics: `[s3] Timeout` bounds every storage I/O
+    // (warehouse/s3.go:38-80) — a hung upload must fail the bundle after
+    // the bound (not block the loop), be retried with backoff, and exit
+    // through the fatal path once BackoffStepsMax is exhausted
+    val tmp = Files.createTempDirectory("graft-e2e-timeout")
+    val fixture = writeFixture(tmp)
+    val saves = new java.util.concurrent.atomic.AtomicInteger(0)
+    // healthy staging paths (the bundle CSV is a distributed Spark write
+    // through getFileReference), but the sync-point saveContent — the
+    // object-store PUT — hangs forever
+    val real = new HadoopStorage(tmp.resolve("stage").toString)
+    val hung = new graft.sinks.Storage {
+      override def saveContent(name: String, content: String): String = {
+        saves.incrementAndGet()
+        Thread.sleep(600000) // a dead object store: never completes
+        "unreachable"
+      }
+      override def readContent(name: String) = real.readContent(name)
+      override def deleteFile(name: String): Unit = real.deleteFile(name)
+      override def exists(name: String): Boolean = real.exists(name)
+      override def getFileReference(name: String) = real.getFileReference(name)
+    }
+    val storage =
+      new graft.sinks.TimeoutStorage(hung, Duration.ofMillis(150))
+    val config = ServiceConfig(startTime = startTime,
+      exportDuration = Duration.ofHours(24), storageOnly = true,
+      backoff = Duration.ofMillis(1), backoffStepsMax = 2)
+    val svc = new ExportService(spark, config,
+      new LocalFixtureSource(spark, fixture), storage, None,
+      pollInterval = Duration.ofMillis(1), now = () => frozenNow)
+    val t0 = System.nanoTime()
+    val e = intercept[java.io.IOException](svc.runUntilCaughtUp())
+    assert(e.getMessage.contains("timed out"))
+    // initial attempt + 2 backed-off retries, each cut off at the bound
+    assert(saves.get() == 3)
+    // failed BY the timeout, not by waiting out the hang
+    assert((System.nanoTime() - t0) / 1e9 < 60)
   }
 }
 
