@@ -319,16 +319,20 @@ private[sources] class ExportPartitionReader(
     // Spark never calls close() on a reader whose constructor threw, so any
     // init failure (bad gzip header, non-array framing, parser create) must
     // release the Hadoop stream here or it leaks one handle per bad bundle.
+    // Closing the outermost stream built so far also ends the gzip
+    // Inflater's native buffer, not just the file handle.
+    var toClose: java.io.InputStream = raw
     try {
       val in = if (file.endsWith(".gz"))
         new java.util.zip.GZIPInputStream(raw) else raw
+      toClose = in
       val jp = mapper.getFactory.createParser(in)
       require(jp.nextToken() == JsonToken.START_ARRAY,
         s"export bundle $file is not a JSON array")
       jp
     } catch {
       case e: Throwable =>
-        try raw.close() catch { case _: Throwable => () }
+        try toClose.close() catch { case _: Throwable => () }
         throw e
     }
   }
