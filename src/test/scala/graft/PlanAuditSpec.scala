@@ -106,6 +106,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("q70: fast incremental dedup stays a band-key equi-join, no cartesian") {
+    // (the on-disk-index property itself is pinned by OperatorsSpec's
+    // fresh-session test — the Materializer checkpoint collapses the
+    // parquet scan into a LogicalRDD, so the path cannot appear here)
+    val p = plan("q70_dedup_incr_fast")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q67: mixture thresholds broadcast; corpus never windows or sorts globally") {
     // SinglePartition exchanges DO appear — under the per-lang counts
     // (5 rows) feeding min(n_total) — which is fine; the corpus path must
