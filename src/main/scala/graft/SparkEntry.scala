@@ -692,6 +692,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q71_boilerplate" -> ((s, dir) => {
+      // CCNet-style boilerplate: 3-gram passages occurring in >= 5 distinct
+      // docs are corpus boilerplate; per-doc fraction of such passages.
+      // One (shingle, count) shuffle; the Zipf head broadcasts back.
+      GraftFunctions.register(s)
+      TextAnalysis.boilerplateStats(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, minDf = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q73_doc_tfidf" -> ((s, dir) => {
+      // per-doc top-3 TF-IDF terms; integer rank key (tf desc, df asc,
+      // term asc) so no rank ever hangs on the last bit of ln()
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"),
+          "doc_id", "text", topN = 3)
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     "q67_doc_mix" -> ((s, dir) => {
       // deterministic mixture rebalancing: downsample every language to
       // the smallest language's share (the pretraining "uniform mixture"
@@ -1288,6 +1306,52 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
         |FROM corpus JOIN ev USING (s)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q71_boilerplate" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS raw
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(raw) < 3
+        |    THEN [array_to_string(raw, ' ')]
+        |    ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |          for i in range(0, len(raw) - 2)] END) AS shingles
+        |  FROM tk
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS sh FROM sh
+        |), freq AS (
+        |  SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) >= 5
+        |)
+        |SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(COUNT(f.sh) AS BIGINT) AS n_frequent,
+        |  round(CAST(COUNT(f.sh) AS DOUBLE) / COUNT(*), 6) AS bp_frac
+        |FROM ex e LEFT JOIN freq f USING (sh)
+        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+
+    "q73_doc_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |            x -> x <> '')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term
+        |), dft AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM terms
+        |  GROUP BY term
+        |), nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |ranked AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    round(CAST(t.tf AS DOUBLE) * ln(n / CAST(d.df AS DOUBLE)), 6)
+        |      AS tfidf,
+        |    CAST(row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS INT) AS rk
+        |  FROM terms t JOIN dft d USING (term), nd
+        |)
+        |SELECT doc_id, term, tf, df, tfidf, rk FROM ranked
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "q67_doc_mix" ->
       """WITH counts AS (

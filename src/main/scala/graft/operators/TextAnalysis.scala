@@ -188,6 +188,96 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** CCNet/RefinedWeb-style boilerplate signal: a word n-gram passage that
+    * occurs in at least `minDf` DISTINCT documents is corpus boilerplate
+    * (nav bars, license footers, templated spam); each document reports how
+    * much of it is made of such passages. Returns
+    * (doc_id, n_shingles, n_frequent, bp_frac) per document, where
+    * n_shingles counts the doc's distinct n-grams and bp_frac =
+    * n_frequent / n_shingles rounded to 6.
+    *
+    * Scale shape: the only corpus-wide shuffle is the document-frequency
+    * aggregate, and it moves partially-combined (shingle, count) pairs —
+    * never documents. The frequent set it yields is the HEAD of a Zipf
+    * distribution cut at `minDf`, small by construction, so it broadcasts
+    * and the per-doc count is a map-side broadcast join + partial count.
+    * The corpus is shingled twice (once per pass) — shingling is a narrow
+    * codegen'd projection, which at 100 TB is cheaper than materializing
+    * the exploded (doc, shingle) set the two passes share. With
+    * `hashKeys = true` the DF aggregate and broadcast key on
+    * `xxhash64(shingle)` — the shuffle and broadcast carry 8-byte longs
+    * instead of passage strings (the production default; the string form
+    * exists for engine-portable oracle checks, and a spec pins the two
+    * equal at test scale). */
+  def boilerplateStats(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minDf: Long = 5,
+                       hashKeys: Boolean = false): DataFrame = {
+    def keyed(c: Column): Column = if (hashKeys) xxhash64(c) else c
+    // generators can't nest inside expressions: explode, then key
+    val ex = docs
+      .select(col(idCol).as("doc_id"),
+        explode_outer(array_distinct(shingles(col(textCol), n))).as("sh0"))
+      .select(col("doc_id"), keyed(col("sh0")).as("sh"))
+    val frequent = ex.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("sh"), lit(1).as("is_freq"))
+    ex.join(broadcast(frequent), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_freq"), lit(0))).cast("long").as("n_frequent"))
+      .select(col("doc_id"), col("n_shingles"), col("n_frequent"),
+        round(col("n_frequent").cast("double")
+          / col("n_shingles").cast("double"), 6).as("bp_frac"))
+  }
+
+  /** Per-document top-`topN` TF-IDF terms — the relevance/keyword signal a
+    * corpus-quality pipeline attaches to every document. tf is the in-doc
+    * term count, df the number of documents containing the term, and
+    * tfidf = tf * ln(nDocs / df).
+    *
+    * Ranking is over the INTEGER key (tf desc, df asc, term asc) — "most
+    * frequent here, rarest corpus-wide" — rather than the double tfidf:
+    * ln() may differ by an ulp between engines, and a rank must never hang
+    * on the last bit of a double. The tfidf value itself is reported
+    * rounded to 6, where an ulp cannot show.
+    *
+    * Scale shape: per-doc term counts partially combine map-side; the df
+    * table is vocabulary-sized, so it joins back on the term key as a
+    * shuffle join (head terms like "the" are Zipf-skewed — AQE skew-join
+    * splits them; [[Skew.saltedJoin]] is the deterministic fallback). The
+    * top-N window partitions by doc_id: per-partition state is one
+    * document's vocabulary, bounded by doc length. `mat` pins the per-doc
+    * term counts so the df aggregate and the join-back don't recompute the
+    * tokenize+count subtree twice. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    topN: Int = 3,
+                    mat: Materializer = Materializer.Local): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN > 0)
+    val nDocs = docs.count()
+    if (nDocs == 0L)
+      return docs.select(col(idCol).as("doc_id"), lit("").as("term"),
+        lit(0L).as("tf"), lit(0L).as("df"), lit(0.0).as("tfidf"),
+        lit(0).as("rk")).limit(0)
+    val terms = mat(docs
+      .select(col(idCol).as("doc_id"),
+        explode_outer(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val dfTab = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    terms.join(dfTab, Seq("term"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf").cast("double") *
+          log(lit(nDocs.toDouble) / col("df").cast("double")), 6)
+          .as("tfidf"),
+        col("rk").cast("int").as("rk"))
+  }
+
   /** Sequence packing (pretraining concat-and-chunk): documents are
     * concatenated in `idCol` order and chunked every `seqLen` tokens; each
     * doc is assigned the pack its first token lands in

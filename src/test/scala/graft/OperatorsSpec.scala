@@ -424,6 +424,56 @@ class OperatorsSpec extends SparkSpec {
     assert(fromDisk.nonEmpty && fromDisk == inMem)
   }
 
+  test("boilerplateStats flags corpus-frequent passages; hash keys agree") {
+    // docs 0, 1, 3 share the longA/longB spine: every 3-gram common to
+    // all three has df >= 3 and is boilerplate at minDf = 3; doc 2 shares
+    // nothing. The exact dup pair (0, 3) must report identical stats.
+    val got = TextAnalysis.boilerplateStats(docsDf, "doc_id", "text",
+        n = 3, minDf = 3)
+      .orderBy("doc_id").collect()
+    assert(got.length == 5)
+    val byId = got.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byId(0L) == byId(3L))                  // exact dup: same stats
+    assert(byId(0L)._2 > 0 && byId(1L)._2 > 0)    // spine shingles frequent
+    assert(byId(2L)._2 == 0 && byId(2L)._3 == 0.0) // unique doc: none
+    assert(byId(4L)._2 == 0)
+    // longA vs longB differ in one token -> the 3 shingles spanning it are
+    // not shared by doc 1, so doc 0's frequent count is distinct - 3
+    assert(byId(0L)._2 == byId(0L)._1 - 3)
+    // production keying on xxhash64(shingle) must not change any row
+    val hashed = TextAnalysis.boilerplateStats(docsDf, "doc_id", "text",
+        n = 3, minDf = 3, hashKeys = true)
+      .orderBy("doc_id").collect()
+    assert(hashed.toSeq == got.toSeq)
+  }
+
+  test("tfidfTopTerms ranks by (tf desc, df asc, term) with exact values") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "apple apple banana"),
+      (1L, "banana cherry"),
+      (2L, "apple date date date")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", topN = 2)
+      .orderBy("doc_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getInt(5)))
+    val ln = (x: Double) => math.log(x)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got.toSeq == Seq(
+      (0L, "apple", 2L, 2L, r6(2 * ln(3.0 / 2)), 1),
+      (0L, "banana", 1L, 2L, r6(ln(3.0 / 2)), 2),
+      (1L, "cherry", 1L, 1L, r6(ln(3.0)), 1),   // df asc: rarer term first
+      (1L, "banana", 1L, 2L, r6(ln(3.0 / 2)), 2),
+      (2L, "date", 3L, 1L, r6(3 * ln(3.0)), 1),
+      (2L, "apple", 1L, 2L, r6(ln(3.0 / 2)), 2)))
+    // empty corpus -> empty result, schema intact
+    val empty = TextAnalysis.tfidfTopTerms(docs.limit(0), "doc_id", "text")
+    assert(empty.collect().isEmpty &&
+      empty.columns.toSeq == Seq("doc_id", "term", "tf", "df", "tfidf", "rk"))
+  }
+
   test("distributed sequence packing matches the naive global cumsum") {
     // differential pin: the two-phase prefix sum (bucketed windows +
     // broadcast bucket offsets) must equal a single global-window cumsum

@@ -144,6 +144,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p.take(2000))
   }
 
+  test("q71: the frequent-passage set broadcasts; corpus DF agg partial-combines") {
+    // the only corpus-wide exchange is the (shingle, count) aggregate;
+    // the Zipf head cut at minDf must come back as a broadcast, never a
+    // shuffle join against the exploded corpus
+    val p = plan("q71_boilerplate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("partial_count"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q73: the TF-IDF top-N window partitions per document, never globally") {
+    // per-doc rank state is one document's vocabulary; a global rank
+    // window would show a SinglePartition exchange
+    val p = plan("q73_doc_tfidf")
+    assert(p.contains("hashpartitioning(doc_id"), p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q40/q41/q46: per-query top-k is a bounded partial aggregate, not a global window") {
     // The heap aggregate must partial-aggregate map-side (ObjectHashAggregate
     // with a partial topkagg) so the exchange carries ≤margin rows per
