@@ -710,6 +710,57 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    "q72_ann_pq" -> ((s, dir) => {
+      // PQ-compressed ANN: 64-dim floats become m=8 codes; the corpus scan
+      // reads codes only. Approximate by nature, so the oracle gate is a
+      // recall floor against the exact brute-force top-k computed in the
+      // same job (the q19 pattern: the oracle emits TRUE, and a recall
+      // collapse becomes a hash mismatch, not a vacuous row).
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 30)
+      // the codebook is a persisted model artifact, trained once per corpus
+      // dir (the q70 pattern: a real pipeline has yesterday's model on
+      // disk) — the timed body is encode + ADC scan + recall check
+      val cbDir = new java.io.File(".bench/q72_cb_" +
+        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val cb: Array[Array[Array[Float]]] =
+        if (new java.io.File(s"$cbDir/_SUCCESS").exists()) {
+          s.read.parquet(cbDir).collect()
+            .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+            .groupBy(_._1).toArray.sortBy(_._1)
+            .map(_._2.sortBy(_._2).map(_._3))
+        } else {
+          val trained =
+            Similarity.trainPqCodebooks(emb, m = 8, ksub = 32, iters = 3)
+          val sess = s; import sess.implicits._
+          trained.zipWithIndex.flatMap { case (cbj, j) =>
+            cbj.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
+          }.toSeq.toDF("j", "c", "vec")
+            .withColumn("vec", col("vec").cast("array<float>"))
+            .coalesce(1).write.mode("overwrite").parquet(cbDir)
+          trained
+        }
+      val pq = Similarity.pqTopK(emb, qs, cb, k = 10)
+      val exact = Similarity.bruteForceTopK(emb, qs, k = 10)
+      // exact invariant: 10 results per query; approximate invariant: the
+      // 30-query recall@10 total stays >= 45 (observed 86-100; chance level
+      // for k=10 against this corpus is < 1) — both TRUE/constant in the
+      // oracle, so a recall collapse or a short result set hash-mismatches
+      val totalHits = pq.select(col("query_id"), col("neighbor_id"))
+        .join(exact.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("th"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(pq.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_results")), Seq("query_id"), "left")
+        .crossJoin(broadcast(totalHits))
+        .select(col("query_id"),
+          coalesce(col("n_results"), lit(0L)).cast("long").as("n_results"),
+          (col("th") >= 45).as("recall_floor_ok"))
+        .orderBy(col("query_id"))
+    }),
+
     "q67_doc_mix" -> ((s, dir) => {
       // deterministic mixture rebalancing: downsample every language to
       // the smallest language's share (the pretraining "uniform mixture"
@@ -1306,6 +1357,11 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
         |FROM corpus JOIN ev USING (s)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q72_ann_pq" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+        |  TRUE AS recall_floor_ok
+        |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
 
     "q71_boilerplate" ->
       """WITH tk AS (

@@ -35,5 +35,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cosine_exact"),
       info("cosine_exact", "cosine_exact(a, b) - decimal-exact (oracle-bitwise) cosine"),
       (exprs: Seq[Expression]) => CosineExactDecimal(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("nearest_cells"),
+      info("nearest_cells", "nearest_cells(vec, centroids, probes, exact) - map-side IVF cell assignment"),
+      (exprs: Seq[Expression]) =>
+        NearestCells(exprs(0), exprs(1), exprs(2), exprs(3))))
+    e.injectFunction((FunctionIdentifier("hex_hamming"),
+      info("hex_hamming", "hex_hamming(a, b) - Hamming distance of two hex simhashes"),
+      (exprs: Seq[Expression]) => HexHamming(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("pq_adc"),
+      info("pq_adc", "pq_adc(codes, luts, qnorm, nsq) - PQ asymmetric-distance cosine"),
+      (exprs: Seq[Expression]) =>
+        AdcCosine(exprs(0), exprs(1), exprs(2), exprs(3))))
   }
 }

@@ -37,6 +37,9 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(
       "hex_hamming", exprs => HexHamming(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "pq_adc",
+      exprs => AdcCosine(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     registered = true
   }
 
@@ -85,6 +88,11 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(shingleN),
       org.apache.spark.sql.functions.lit(useMd5),
       org.apache.spark.sql.functions.lit(bands))
+
+  /** One-pass ADC cosine for PQ search (see [[AdcCosine]]). */
+  def pq_adc(codes: Column, luts: Column, qnorm: Column,
+             nsq: Column): Column =
+    call_function("pq_adc", codes, luts, qnorm, nsq)
 
   /** Codegen'd random-hyperplane LSH bucket id (see [[HyperplaneLsh]]). */
   def hyperplane_lsh(vec: Column, planes: Int): Column =

@@ -153,6 +153,19 @@ case class NearestCells(vec: Expression, centroids: Expression,
     * expression. */
   def kernel(x: ArrayData): ArrayData = {
     val m = cellIds.length
+    // probes=1 fast path (IVF/PQ assignment, the by-far hottest shape):
+    // plain argmax scan — no score array, no boxed tuple sort. cellIds is
+    // ascending, so keeping the FIRST max ties id-asc exactly like the
+    // general (sim desc, cell_id asc) sort.
+    if (probesVal == 1 && !exactVal) {
+      var best = 0; var bestSim = fastCosine(x, 0); var i = 1
+      while (i < m) {
+        val s = fastCosine(x, i)
+        if (s > bestSim) { best = i; bestSim = s }
+        i += 1
+      }
+      return new GenericArrayData(Array(cellIds(best)))
+    }
     val sims = new Array[Double](m)
     var i = 0
     while (i < m) { sims(i) = fastCosine(x, i); i += 1 }

@@ -287,6 +287,117 @@ object Similarity {
     }
   }
 
+  /** Product-quantization codebooks: the embedding dimension is split into
+    * `m` contiguous subspaces and each subspace gets its own `ksub`-centroid
+    * codebook, trained with the same Lloyd loop as IVF
+    * ([[trainIvfCentroids]], cosine assignment via the codegen'd
+    * [[graft.functions.NearestCells]]). The model is m × ksub × (dim/m)
+    * floats — driver-resident by construction, exactly like the IVF
+    * centroid model, and small enough to serialize into any plan as a
+    * literal. Returns codebooks(j)(c) = centroid c of subspace j, densely
+    * renumbered 0..ksub-1 (Lloyd cells that lose every member drop out). */
+  def trainPqCodebooks(emb: DataFrame, m: Int, ksub: Int, iters: Int,
+                       idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[Array[Float]]] = {
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).toArray.map { j =>
+      trainIvfCentroids(
+          emb.select(col(idCol),
+            slice(col(vecCol), j * sub + 1, sub).as(vecCol)),
+          ksub, iters, idCol, vecCol)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).map(_._2)
+    }
+  }
+
+  /** PQ-compressed approximate top-k (asymmetric distance): every corpus
+    * vector is encoded map-side to `m` byte-sized codes (its nearest
+    * centroid per subspace — dim floats become m small ints, a 16-32×
+    * memory cut), and a query scores a code word WITHOUT reconstructing it:
+    * cosine decomposes over the subspace blocks as
+    *   cos(q, recon(codes)) = Σ_j lut_j[code_j] / (|q| · sqrt(Σ_j nsq_j[code_j]))
+    * where lut_j[c] = dot(q_j, cb_j[c]) is a per-query lookup table (m ×
+    * ksub doubles, built once per query row) and nsq_j[c] = |cb_j[c]|² is a
+    * static model table. The scan over the corpus therefore reads ONLY the
+    * code column — at 100 TB the float vectors stay in cold storage and the
+    * hot ANN loop touches m bytes per vector plus table lookups.
+    *
+    * Plan shape mirrors [[bruteForceTopK]]: queries (with their LUTs)
+    * broadcast, the corpus streams once with no shuffle, and the bounded
+    * [[graft.functions.TopKAgg]] heap caps the exchange at k rows per
+    * (partition, query). Returns (query_id, neighbor_id, sim, rk) with sim
+    * the ADC cosine rounded to 6. Approximate by nature — gate on recall
+    * against [[bruteForceTopK]], not on exact neighbor sets. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             codebooks: Array[Array[Array[Float]]], k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             mat: Materializer = Materializer.Local): DataFrame = {
+    val m = codebooks.length
+    require(m > 0 && codebooks.forall(_.nonEmpty), "empty PQ codebook")
+    val sub = codebooks(0)(0).length
+    def centLit(j: Int): Column = typedlit(codebooks(j).zipWithIndex.map {
+      case (v, i) => (i.toLong, v.toSeq) }.toSeq)
+    // encode: one codegen'd argmax per subspace — a pure projection
+    val codes = array((0 until m).map { j =>
+      element_at(GraftFunctions.nearest_cells(
+        slice(col("c_vec"), j * sub + 1, sub), centLit(j),
+        probes = 1, exact = false), 1)
+    }: _*)
+    // The encoded corpus is the PQ INDEX — m longs per vector — and it
+    // must be pinned before the nested-loop scan: inside whole-stage
+    // codegen the BNLJ defers the streamed side's projection into its
+    // inner loop, so an unpinned encode re-runs once per (row, query)
+    // PAIR (measured 10× the whole query at sf0.1). Pinning also matches
+    // the operating mode: a pipeline encodes once, persists the index
+    // (`Materializer.Persisted`), and every search scans codes only.
+    val c = mat(corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .select(col("neighbor_id"), codes.as("codes")))
+    val nsqLit = typedlit(codebooks.map(_.map(v =>
+      v.map(x => x.toDouble * x.toDouble).sum).toSeq).toSeq)
+    val cbLit = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val dotd = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val qsubs = array((0 until m).map(j =>
+      slice(col("q_vec"), j * sub + 1, sub)): _*)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("luts", zip_with(qsubs, cbLit,
+        (qs, cb) => transform(cb, cent => dotd(qs, cent))))
+      .withColumn("qnorm", sqrt(dotd(col("q_vec"), col("q_vec"))))
+      .select(col("query_id"), col("luts"), col("qnorm"))
+    // native one-pass ADC ([[graft.functions.AdcCosine]]): the HOF
+    // formulation ([[adcCosineHof]]) re-evaluates the 8-argmax encode child
+    // once per subspace element after projection collapse — quadratic in m
+    // on the hottest scan (measured 10× on the sf0.1 bench)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("fsim", GraftFunctions.pq_adc(col("codes"), col("luts"),
+        col("qnorm"), nsqLit))
+    partialTopK(scored, col("fsim"), k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("hsim"), 6).as("sim"), col("hrk").as("rk"))
+  }
+
+  /** Reference HOF formulation of the ADC cosine (executable spec of
+    * [[graft.functions.AdcCosine]]'s semantics, pinned by a differential
+    * test — not for hot paths: projection collapse re-evaluates the code
+    * children per element). */
+  private[graft] def adcCosineHof(codes: Column, luts: Column,
+                                  qnorm: Column, nsq: Column): Column = {
+    val dot = aggregate(zip_with(codes, luts,
+      (cd, lut) => coalesce(element_at(lut, (cd + 1).cast("int")), lit(0.0))),
+      lit(0.0), (acc, v) => acc + v)
+    val rn = aggregate(zip_with(codes, nsq,
+      (cd, ns) => coalesce(element_at(ns, (cd + 1).cast("int")), lit(0.0))),
+      lit(0.0), (acc, v) => acc + v)
+    when(qnorm === 0 || rn === 0, lit(0.0))
+      .otherwise(dot / (qnorm * sqrt(rn)))
+  }
+
   /** LSH-bucketed approximate top-k: equi-join on bucket id, exact cosine
     * re-rank within candidates. The scale path — per-query work is the
     * bucket population, not the corpus.

@@ -321,6 +321,66 @@ class OperatorsSpec extends SparkSpec {
       f"ivf nprobe1=$n1%.2f nprobe3=$n3%.2f")
   }
 
+  test("PQ codebooks compress the corpus and keep clustered recall") {
+    GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    // same clustered regime as the LSH/IVF recall test
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian()))
+    val emb = (0 until 200).map { i =>
+      val c = centers(i / 20)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+    val queries = emb.filter(col("vec_id") % 20 === 7)
+    val cb = Similarity.trainPqCodebooks(emb, m = 4, ksub = 8, iters = 3)
+    assert(cb.length == 4 && cb.forall(_.forall(_.length == 4)))
+    assert(cb.forall(_.length <= 8))
+    val pq = Similarity.pqTopK(emb, queries, cb, k = 5)
+    // k rows per query, ranks 1..k
+    val perQ = pq.groupBy("query_id").count().collect()
+    assert(perQ.length == 10 && perQ.forall(_.getLong(1) == 5))
+    // all members of a cluster encode to (nearly) the same code word, so
+    // ADC cannot order WITHIN a cluster — the guarantee PQ actually makes
+    // is retrieving the right region: neighbors from the query's cluster
+    val sameCluster = pq
+      .filter(expr("neighbor_id div 20 = query_id div 20")).count().toDouble
+    val frac = sameCluster / (10 * 5)
+    assert(frac >= 0.9,
+      s"PQ same-cluster fraction $frac below target on clustered data")
+    info(f"PQ same-cluster@5 = $frac%.2f (m=4, ksub=8)")
+    // dimension must split evenly into subspaces
+    intercept[IllegalArgumentException] {
+      Similarity.trainPqCodebooks(emb, m = 3, ksub = 4, iters = 1)
+    }
+  }
+
+  test("native pq_adc equals the HOF ADC formulation bit-for-bit") {
+    GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val m = 4; val ksub = 8
+    val rows = (0 until 50).map { i =>
+      (i.toLong,
+        Seq.fill(m)(rnd.nextInt(ksub).toLong),
+        Seq.fill(m)(Seq.fill(ksub)(rnd.nextGaussian())),
+        if (i == 0) 0.0 else math.abs(rnd.nextGaussian()) + 0.1) // row 0: zero-guard
+    }
+    val df = rows.toDF("id", "codes", "luts", "qnorm")
+    val nsq = typedlit(Seq.fill(m)(Seq.fill(ksub)(math.abs(rnd.nextGaussian()))))
+    val got = df.select(col("id"),
+        graft.functions.GraftFunctions
+          .pq_adc(col("codes"), col("luts"), col("qnorm"), nsq).as("a"),
+        Similarity.adcCosineHof(col("codes"), col("luts"), col("qnorm"), nsq)
+          .as("b"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(1) == r.getDouble(2), r.getLong(0)))
+  }
+
   test("native hex_hamming matches the HOF digit semantics, edges included") {
     GraftFunctions.register(spark)
     val s = spark

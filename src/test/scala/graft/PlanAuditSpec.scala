@@ -163,6 +163,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q72: PQ encode is a projection; the corpus never shuffles before the heap") {
+    // codes come from per-subspace nearest_cells against foldable codebook
+    // literals — assignment must be map-side (no corpus-keyed exchange),
+    // and the ADC scan must end in the bounded partial top-k heap
+    val p = plan("q72_ann_pq")
+    assert(!p.contains("hashpartitioning(neighbor_id"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(p.toLowerCase.contains("partial_topkagg"), p.take(2000))
+  }
+
   test("q40/q41/q46: per-query top-k is a bounded partial aggregate, not a global window") {
     // The heap aggregate must partial-aggregate map-side (ObjectHashAggregate
     // with a partial topkagg) so the exchange carries ≤margin rows per
