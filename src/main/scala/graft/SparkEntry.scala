@@ -761,6 +761,17 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "q74_doc_stratified" -> ((s, dir) => {
+      // exact-count per-language sample (the "same-size eval slice per
+      // language" ask): two-phase candidate trim, so only ~margin*n rows
+      // per group ever reach the rank window — the naive per-group window
+      // is the skew cliff at 100 TB (one language can be half the corpus)
+      graft.operators.Sampling.stratifiedSample(
+          t(s, dir, "documents"), "lang", "doc_id", n = 20)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     "q67_doc_mix" -> ((s, dir) => {
       // deterministic mixture rebalancing: downsample every language to
       // the smallest language's share (the pretraining "uniform mixture"
@@ -1362,6 +1373,14 @@ object SparkEntry {
       """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
         |  TRUE AS recall_floor_ok
         |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
+
+    "q74_doc_stratified" ->
+      """SELECT lang, doc_id, CAST(rk AS INT) AS rk FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+        |    AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
 
     "q71_boilerplate" ->
       """WITH tk AS (

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data pipelines.
+  *
+  * [[stratifiedSample]] complements the hash-THRESHOLD downsampling of the
+  * mixture-rebalance query (q67): thresholds give each row an independent
+  * keep decision (proportional share, no exact guarantee); stratified
+  * sampling returns EXACTLY `n` rows per group — the "same-size eval slice
+  * per language/source" ask — and stays engine-portable (md5 rank order,
+  * no rand()), so a retry, a different engine, or a different partitioning
+  * returns the identical document set.
+  */
+object Sampling {
+
+  /** First 8 md5 hex chars of the id — the uniform, engine-portable rank
+    * key (lexicographic == numeric for fixed-width lowercase hex). */
+  private def hashKey(idCol: String): Column =
+    substring(md5(col(idCol).cast("string")), 1, 8)
+
+  /** Exact-count stratified sample: for every group, the `n` rows with the
+    * smallest (md5(id), id) rank — min(n, |group|) rows when a group is
+    * smaller. Returns the input columns plus `rk` (1-based rank within the
+    * group).
+    *
+    * Scale shape: the naive formulation is one rank window over the whole
+    * corpus partitioned by group — group sizes are Zipf (one language can
+    * be half of 100 TB), so that window is the skew cliff. Instead, a
+    * two-phase trim: a tiny per-group count derives a candidate hash
+    * threshold `p = margin·n / |group|` (clamped to 1), the corpus takes a
+    * map-side `hash < p·2³²` filter against the broadcast thresholds —
+    * candidates are ~margin·n rows per group regardless of group size —
+    * and only candidates pay the rank window. A per-group candidate
+    * recount (tiny) PROVES sufficiency: any group whose candidate set
+    * somehow fell below `n` (hash-variance tail, probability ~e^{-margin·n}
+    * ) is re-ranked over its full population, so the result is exactly the
+    * true top-n by construction, not with high probability. */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                       n: Int, margin: Double = 4.0): DataFrame = {
+    require(n > 0 && margin >= 1.0)
+    val h = hashKey(idCol)
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_total"))
+    // candidate keep-probability per group, as a fixed-width hex threshold
+    // (the q67 derivation: lexicographic compare == numeric compare)
+    val thr = counts.withColumn("thr", lower(lpad(hex(least(
+        ceil(lit(margin * n) / col("n_total") * lit(4294967296.0))
+          .cast("long"),
+        lit(4294967295L))), 8, "0")))
+      .select(col(groupCol), col("thr"))
+    val cands = df.join(broadcast(thr), Seq(groupCol))
+      .filter(h <= col("thr"))
+      .drop("thr")
+    // sufficiency proof: a group with < n candidates re-ranks over its
+    // full population (tiny driver list; empty in practice)
+    val short = cands.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_cand"))
+      .join(counts, Seq(groupCol))
+      .filter(col("n_cand") < least(lit(n.toLong), col("n_total")))
+      .select(col(groupCol)).collect().map(_.get(0))
+    val pool =
+      if (short.isEmpty) cands
+      else cands.filter(!col(groupCol).isin(short: _*))
+        .unionByName(df.filter(col(groupCol).isin(short: _*)))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(h.asc, col(idCol).asc)
+    pool.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= n)
+  }
+}

@@ -381,6 +381,37 @@ class OperatorsSpec extends SparkSpec {
     got.foreach(r => assert(r.getDouble(1) == r.getDouble(2), r.getLong(0)))
   }
 
+  test("stratified sample equals the naive per-group rank, small groups kept whole") {
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    import s.implicits._
+    // skewed groups: 'big' 200 rows, 'mid' 17, 'tiny' 3 (< n)
+    val rows = (0 until 200).map(i => (i.toLong, "big")) ++
+      (200 until 217).map(i => (i.toLong, "mid")) ++
+      (217 until 220).map(i => (i.toLong, "tiny"))
+    val df = rows.toDF("doc_id", "lang")
+    val n = 5
+    val got = graft.operators.Sampling
+      .stratifiedSample(df, "lang", "doc_id", n)
+      .select("lang", "doc_id", "rk").orderBy("lang", "rk").collect().toSeq
+    val h = substring(md5(col("doc_id").cast("string")), 1, 8)
+    val naive = df.withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc))
+        .cast("int"))
+      .filter(col("rk") <= n)
+      .select("lang", "doc_id", "rk").orderBy("lang", "rk").collect().toSeq
+    assert(got == naive)
+    assert(got.count(_.getString(0) == "big") == 5)
+    assert(got.count(_.getString(0) == "tiny") == 3) // whole group, rk 1..3
+    // margin 1.0 expects exactly n candidates per group, so hash variance
+    // leaves groups short about half the time — whichever path runs, the
+    // sufficiency fallback must keep the result identical
+    val tight = graft.operators.Sampling
+      .stratifiedSample(df, "lang", "doc_id", n, margin = 1.0)
+      .select("lang", "doc_id", "rk").orderBy("lang", "rk").collect().toSeq
+    assert(tight == naive)
+  }
+
   test("native hex_hamming matches the HOF digit semantics, edges included") {
     GraftFunctions.register(spark)
     val s = spark

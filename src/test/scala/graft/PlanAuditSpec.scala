@@ -174,6 +174,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.toLowerCase.contains("partial_topkagg"), p.take(2000))
   }
 
+  test("q74: sampling thresholds broadcast; only candidates reach the rank window") {
+    // the corpus pays a map-side hash filter against broadcast thresholds;
+    // the rank window must partition by the group key over candidates only
+    val p = plan("q74_doc_stratified")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("hashpartitioning(lang"), p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q40/q41/q46: per-query top-k is a bounded partial aggregate, not a global window") {
     // The heap aggregate must partial-aggregate map-side (ObjectHashAggregate
     // with a partial topkagg) so the exchange carries ≤margin rows per
