@@ -526,6 +526,23 @@ object SparkEntry {
       Dedup.nearDupClusters(pairs).orderBy(col("doc_id"))
     }),
 
+    "q75_dedup_keep_best" -> ((s, dir) => {
+      // the SELECTION step a dedup pipeline ends with: per near-dup
+      // cluster keep the best-quality member (ties: lowest id); singleton
+      // docs cluster as themselves. Composition of the LSH pair generator,
+      // the label-propagation components, and the quality scorer. The
+      // argmax is two partial-combined aggregates (max quality per
+      // cluster, then min id among the maxima) — no cluster-partitioned
+      // window, so a million-member spam cluster can't funnel one task.
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 16,
+        bands = 4, shingleN = 3, threshold = 0.5, fast = true)
+      Dedup.keepBest(docs, pairs, "doc_id",
+          TextAnalysis.qualityScore(col("text")))
+        .orderBy(col("cluster_id"))
+    }),
+
     "q55_pii_redact" -> ((s, dir) => {
       // deterministic PII injection (mirrored in the oracle) so the
       // redaction regexes are exercised on every row
@@ -1684,6 +1701,63 @@ object SparkEntry {
         |)
         |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
         |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+
+    "q75_dedup_keep_best" ->
+      s"""WITH RECURSIVE tk AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+         |      AS raw
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(raw) < 3
+         |      THEN [array_to_string(raw, ' ')]
+         |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+         |            for i in range(0, len(raw) - 2)] END) AS shingles
+         |  FROM tk
+         |), prs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+         |          AS DOUBLE) >= 0.5
+         |), edges AS (
+         |  SELECT a_id AS s, b_id AS d FROM prs
+         |  UNION SELECT b_id, a_id FROM prs
+         |), reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+         |), clu AS (
+         |  SELECT s AS doc_id, least(s, min(d)) AS cl
+         |  FROM reach GROUP BY s
+         |), qual AS (
+         |  SELECT d.doc_id, round(
+         |    least(CAST(length(d.text) AS DOUBLE) / 500.0, 1.0)
+         |    * (1.0 - CASE WHEN length(d.text) = 0 THEN 0.0
+         |        ELSE CAST(length(regexp_replace(d.text,
+         |            '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+         |          / CAST(length(d.text) AS DOUBLE) END)
+         |    * (0.5 + (CASE WHEN len(t.raw) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(t.raw,
+         |            t2 -> list_contains($stopwordsSql, lower(t2)))) AS DOUBLE)
+         |          / CAST(len(t.raw) AS DOUBLE) END) / 2.0), 6) AS q
+         |  FROM documents d JOIN tk t USING (doc_id)
+         |), lab AS (
+         |  SELECT d.doc_id, COALESCE(c.cl, d.doc_id) AS cluster_id, qu.q
+         |  FROM documents d LEFT JOIN clu c USING (doc_id)
+         |  JOIN qual qu USING (doc_id)
+         |), best AS (
+         |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    MAX(q) AS best_q
+         |  FROM lab GROUP BY cluster_id
+         |)
+         |SELECT b.cluster_id, MIN(l.doc_id) AS kept_id, b.n_members,
+         |  b.best_q
+         |FROM lab l JOIN best b
+         |  ON l.cluster_id = b.cluster_id AND l.q = b.best_q
+         |GROUP BY b.cluster_id, b.n_members, b.best_q
+         |ORDER BY b.cluster_id""".stripMargin,
 
     "q55_pii_redact" ->
       """WITH withpii AS (

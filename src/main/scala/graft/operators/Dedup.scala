@@ -244,6 +244,38 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The SELECTION step a dedup pipeline ends with: per near-dup cluster
+    * keep the best member by `score` (ties: lowest id); documents in no
+    * pair cluster as themselves. Returns one row per cluster:
+    * (cluster_id, kept_id, n_members, best_q).
+    *
+    * The argmax is two partial-combined aggregates — max score per
+    * cluster, then min id among the maxima — rather than a
+    * cluster-partitioned rank window: cluster sizes are adversarial at
+    * scale (a boilerplate spam cluster can hold millions of members), and
+    * a window would funnel the largest cluster through one task. `score`
+    * must be deterministic per row (it is evaluated on both sides of the
+    * self-join). */
+  def keepBest(docs: DataFrame, pairs: DataFrame, idCol: String,
+               score: Column,
+               materialize: Materializer = Materializer.Local): DataFrame = {
+    val clusters = nearDupClusters(pairs, materialize)
+      .withColumnRenamed("doc_id", "kb_id")
+    val labeled = docs
+      .join(clusters, col(idCol) === col("kb_id"), "left")
+      .select(col(idCol).as("kb_id2"),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        score.as("q"))
+    val best = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("q")).as("best_q"))
+    labeled.join(best, Seq("cluster_id"))
+      .filter(col("q") === col("best_q"))
+      .groupBy(col("cluster_id"), col("n_members"), col("best_q"))
+      .agg(min(col("kb_id2")).as("kept_id"))
+      .select(col("cluster_id"), col("kept_id"), col("n_members"),
+        col("best_q"))
+  }
+
   /** Portable 64-bit SimHash as a hex string (md5 token hashes, per-bit
     * majority vote) — oracle-checkable; see
     * [[graft.functions.SimHashMd5]]. Requires GraftFunctions.register. */

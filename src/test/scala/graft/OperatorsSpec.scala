@@ -381,6 +381,31 @@ class OperatorsSpec extends SparkSpec {
     got.foreach(r => assert(r.getDouble(1) == r.getDouble(2), r.getLong(0)))
   }
 
+  test("keepBest selects the top-scored member per cluster, singletons keep themselves") {
+    val s = spark
+    import s.implicits._
+    // pairs: {0,1,3} chained; {2} and {4} singletons (no pairs)
+    val pairs = Seq((0L, 1L), (1L, 3L)).toDF("a_id", "b_id")
+    // scores: doc 1 wins its cluster; 0 and 3 tie below it
+    val scores = Map(0L -> 0.5, 1L -> 0.9, 2L -> 0.1, 3L -> 0.5, 4L -> 0.7)
+    val scoreCol = element_at(
+      typedlit(scores.map { case (k, v) => (k.toString, v) }),
+      col("doc_id").cast("string"))
+    val got = Dedup.keepBest(docsDf, pairs, "doc_id", scoreCol)
+      .orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (0L, 1L, 3L, 0.9),   // cluster {0,1,3}: doc 1 has the best score
+      (2L, 2L, 1L, 0.1),   // singletons keep themselves
+      (4L, 4L, 1L, 0.7)))
+    // tie-break: equal scores keep the lowest id
+    val flat = Dedup.keepBest(docsDf, pairs, "doc_id", lit(1.0))
+      .orderBy("cluster_id").collect()
+    assert(flat.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 0L), (2L, 2L), (4L, 4L)))
+  }
+
   test("stratified sample equals the naive per-group rank, small groups kept whole") {
     import org.apache.spark.sql.expressions.Window
     val s = spark
