@@ -51,9 +51,12 @@ object Sampling {
           .cast("long"),
         lit(4294967295L))), 8, "0")))
       .select(col(groupCol), col("thr"))
-    val cands = df.join(broadcast(thr), Seq(groupCol))
+    // null-safe join: a null group is a group like any other (the naive
+    // window formulation keeps it; a plain equi-join would drop it)
+    val cands = df.join(broadcast(thr.withColumnRenamed(groupCol, "s_grp")),
+        col(groupCol) <=> col("s_grp"))
       .filter(h <= col("thr"))
-      .drop("thr")
+      .drop("thr", "s_grp")
     // sufficiency proof: a group with < n candidates re-ranks over its
     // full population (tiny driver list; empty in practice)
     val short = cands.groupBy(col(groupCol))
@@ -61,10 +64,12 @@ object Sampling {
       .join(counts, Seq(groupCol))
       .filter(col("n_cand") < least(lit(n.toLong), col("n_total")))
       .select(col(groupCol)).collect().map(_.get(0))
+    // null-safe membership (isin never matches a null group)
+    val isShort = short.foldLeft(lit(false))((acc, v) =>
+      acc || (col(groupCol) <=> lit(v)))
     val pool =
       if (short.isEmpty) cands
-      else cands.filter(!col(groupCol).isin(short: _*))
-        .unionByName(df.filter(col(groupCol).isin(short: _*)))
+      else cands.filter(!isShort).unionByName(df.filter(isShort))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(h.asc, col(idCol).asc)
     pool.withColumn("rk", row_number().over(w).cast("int"))

@@ -435,6 +435,14 @@ class OperatorsSpec extends SparkSpec {
       .stratifiedSample(df, "lang", "doc_id", n, margin = 1.0)
       .select("lang", "doc_id", "rk").orderBy("lang", "rk").collect().toSeq
     assert(tight == naive)
+    // a null group is a group like any other (an equi-join would drop it)
+    val withNull = df.unionByName(
+      (300 until 310).map(i => (i.toLong, null.asInstanceOf[String]))
+        .toDF("doc_id", "lang"))
+    val gotNull = graft.operators.Sampling
+      .stratifiedSample(withNull, "lang", "doc_id", n, margin = 1.0)
+    assert(gotNull.filter(col("lang").isNull).count() == n)
+    assert(gotNull.count() == naive.size + n)
   }
 
   test("native hex_hamming matches the HOF digit semantics, edges included") {
