@@ -115,6 +115,56 @@ class PropertySpec extends AnyFunSuite {
         Duration.ofHours(h).plusMinutes(m).plusSeconds(s)
     })
   }
+
+  test("AdcCosine kernel matches the reference fold, edges included") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val gen = for {
+      m <- Gen.choose(1, 6); ksub <- Gen.choose(1, 8)
+      // -1 and ksub are deliberately OUT of range: a model/codes mismatch
+      // must contribute nothing, never throw
+      codes <- Gen.listOfN(m, Gen.choose(-1, ksub))
+      luts <- Gen.listOfN(m, Gen.listOfN(ksub, Gen.choose(-5.0, 5.0)))
+      nsq <- Gen.listOfN(m, Gen.listOfN(ksub, Gen.choose(0.0, 5.0)))
+      qn <- Gen.oneOf(Gen.const(0.0), Gen.choose(0.1, 3.0))
+    } yield (codes, luts, nsq, qn)
+    check(Prop.forAll(gen) { case (codes, luts, nsq, qn) =>
+      val tab = ArrayType(ArrayType(DoubleType))
+      val e = graft.functions.AdcCosine(
+        Literal.create(codes.map(_.toLong), ArrayType(LongType)),
+        Literal.create(luts, tab),
+        Literal.create(qn, DoubleType),
+        Literal.create(nsq, tab))
+      val got = e.kernel(
+        new GenericArrayData(codes.map(_.toLong).toArray),
+        new GenericArrayData(luts.map(l =>
+          new GenericArrayData(l.toArray)).toArray),
+        qn)
+      val dot = codes.zip(luts).map { case (c, l) =>
+        if (c >= 0 && c < l.length) l(c) else 0.0 }.sum
+      val rn = codes.zip(nsq).map { case (c, n) =>
+        if (c >= 0 && c < n.length) n(c) else 0.0 }.sum
+      val want = if (qn == 0.0 || rn == 0.0) 0.0
+                 else dot / (qn * math.sqrt(rn))
+      got == want
+    })
+  }
+
+  test("stratified-sample threshold always admits the whole group when it is small") {
+    // the hex threshold derivation (the q67/q74 keep rule): groups at or
+    // below margin*n must produce the max threshold, keeping every row
+    val gen = for {
+      n <- Gen.choose(1, 100); total <- Gen.choose(1L, 1000000L)
+      margin <- Gen.choose(1.0, 8.0)
+    } yield (n, total, margin)
+    check(Prop.forAll(gen) { case (n, total, margin) =>
+      val thr = math.min(
+        math.ceil(margin * n / total * 4294967296.0).toLong, 4294967295L)
+      val hex = f"$thr%08x"
+      (total > margin * n || hex == "ffffffff") && hex.length == 8
+    })
+  }
 }
 
 /** Spark-dependent properties (shared session). */

@@ -106,6 +106,52 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sorted.toSeq == Seq(0L, 1L))
   }
 
+  test("text analysis and content dedup compose unchanged over a streaming corpus") {
+    // the text operators are narrow codegen'd projections, so the SAME
+    // Column expressions run on a streaming DataFrame with no operator
+    // changes; content-digest dedup bounds its state with the watermark.
+    // Differential pin: streaming output == the batch run of the same
+    // expressions over the kept documents.
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val longA = "the quick brown fox jumps over the lazy dog while owls watch"
+    val df = Seq(
+      (0L, at(1), longA),
+      (1L, at(2), "der hund und die katze sind nicht da"),
+      (2L, at(3), longA),                      // exact dup of 0 -> dropped
+      (3L, at(4), "el perro y el gato que es un dia")
+    ).toDF("doc_id", "ts", "text")
+    val dir = Files.createTempDirectory("graft-doc-stream").toString
+    df.write.mode("overwrite").parquet(dir)
+    def analyze(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("digest", md5(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("digest")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.langId(col("text")).as("lang_pred"),
+        graft.operators.TextAnalysis.qualityScore(col("text")).as("q"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val q = analyze(spark.readStream.schema(df.schema).parquet(dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("doc_pipe_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("doc_pipe_out").orderBy("doc_id").collect().toSeq
+    // exactly one of the identical pair {0, 2} survives (which one depends
+    // on partition order — both analyze identically), plus 1 and 3
+    val kept = got.map(_.getLong(0)).toSet
+    assert(got.size == 3 && (kept - 0L - 2L) == Set(1L, 3L) &&
+      kept.intersect(Set(0L, 2L)).size == 1)
+    // differential vs batch, on the id-independent analysis columns
+    def exId(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(1), r.getDouble(2), r.getInt(3))).sortBy(_._1)
+    val batch = analyze(df.filter(col("doc_id") =!= 2))
+      .orderBy("doc_id").collect().toSeq
+    assert(exId(got) == exId(batch))
+  }
+
   test("checkpoint resume: restart processes only new files, no duplicates") {
     val s = spark
     import s.implicits._
