@@ -914,23 +914,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
-    // ---- multimodal plumbing (image decode real via javax.imageio; ----
-    // ---- audio/video kernels stubbed — no JDK codec exists)         ----
+    // ---- multimodal plumbing (image decode real via javax.imageio, ----
+    // ---- audio real via javax.sound.sampled; video kernel stubbed  ----
+    // ---- — the JDK ships no video codec)                           ----
 
     "q43_mm_features" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
       // image rows: real PNG payloads decoded by javax.imageio — width/
-      // height/channels are read from actual pixels (byte_len is the PNG
-      // encoder's output size, not SQL-predictable, so it is not part of
-      // the oracle-checked projection). audio/video rows: stub kernel
-      // over the opaque text payload, as before.
+      // height/channels/mean_red read from actual pixels. audio rows: real
+      // WAV payloads decoded by javax.sound.sampled — sample rate/samples/
+      // mean |amplitude| read from actual PCM frames. video rows: stub
+      // kernel over the opaque text payload (no JDK video codec exists).
+      // byte_len is encoder output size, not SQL-predictable, so it is
+      // not part of the oracle-checked projection.
       Multimodal.extractFeatures(media)
         .select(col("doc_id"), col("modality"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"),
           col("channels").cast("long").as("channels"),
-          col("decoded"))
+          col("mean_red"), col("decoded"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2060,18 +2063,23 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, modality,
         |  CAST(CASE WHEN modality = 'image' THEN doc_id % 64 + 1
+        |    WHEN modality = 'audio' THEN 8000 + (doc_id % 2) * 8000
         |    WHEN modality = 'video' THEN n % 640 + 1
         |    ELSE 0 END AS BIGINT) AS width,
         |  CAST(CASE WHEN modality = 'image' THEN doc_id % 48 + 1
         |    WHEN modality = 'video' THEN n % 480 + 1
         |    ELSE 0 END AS BIGINT) AS height,
         |  CAST(CASE WHEN modality = 'image' THEN 1
+        |    WHEN modality = 'audio' THEN doc_id % 500 + 50
         |    WHEN modality = 'video' THEN n % 30 + 1
-        |    WHEN modality = 'audio' THEN n % 16000 + 1
         |    ELSE 0 END AS BIGINT) AS n_frames,
-        |  CAST(CASE WHEN modality = 'image' THEN 3 ELSE 0
+        |  CAST(CASE WHEN modality = 'image' THEN 3
+        |    WHEN modality = 'audio' THEN 1 ELSE 0
         |    END AS BIGINT) AS channels,
-        |  modality = 'image' AS decoded
+        |  CAST(CASE WHEN modality = 'image' THEN doc_id % 256
+        |    WHEN modality = 'audio' THEN doc_id % 1000
+        |    ELSE 0 END AS BIGINT) AS mean_red,
+        |  modality IN ('image', 'audio') AS decoded
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q69_mm_decode" ->

@@ -809,7 +809,7 @@ class OperatorsSpec extends SparkSpec {
     assert(profile(0).getLong(0) == 1L && profile(0).getDouble(2) == 0.9)
   }
 
-  test("multimodal features: real ImageIO decode for images, stub for video") {
+  test("multimodal features: real ImageIO/WAV decode, stub only for video") {
     val s = spark
     import s.implicits._
     val docs = Seq((0L, "abcd"), (1L, "efghij"), (2L, "xy"), (3L, "pqrs"))
@@ -825,9 +825,31 @@ class OperatorsSpec extends SparkSpec {
     val f3 = feats.find(_.doc_id == 3L).get
     assert(f3.decoded && f3.width == 4 && f3.height == 4
       && f3.mean_red == 3L) // solid colour red channel = id % 256
+    // doc 1 -> audio: payload is a real WAV; sample rate/samples/mean
+    // |amplitude| come from javax.sound.sampled-decoded PCM frames
+    val f1 = feats.find(_.doc_id == 1L).get
+    assert(f1.modality == "audio" && f1.decoded
+      && f1.width == 16000      // sample rate: 8000 + (1 % 2) * 8000
+      && f1.n_frames == 51      // samples: 1 % 500 + 50
+      && f1.channels == 1
+      && f1.mean_red == 1L)     // constant amplitude = id % 1000
     // doc 2 -> video: no JDK codec, deterministic stub over text bytes
     val f2 = feats.find(_.doc_id == 2L).get
     assert(f2.modality == "video" && f2.n_frames == 3 && !f2.decoded)
+  }
+
+  test("multimodal decode: corrupt audio payload falls back, flagged") {
+    val s = spark
+    import s.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders
+      .product[graft.operators.Multimodal.MediaRow]
+    val media = Seq(
+      graft.operators.Multimodal.MediaRow(7L, "audio",
+        Array[Byte](1, 2, 3, 4)))                 // not a WAV
+      .toDS()
+    val f = graft.operators.Multimodal.extractFeatures(media).collect()(0)
+    assert(!f.decoded && f.channels == 0 && f.mean_red == 0L
+      && f.n_frames == 4 % 16000 + 1)             // audio stub: (n%16000)+1
   }
 
   test("multimodal decode: corrupt image payload falls back, flagged") {
