@@ -789,6 +789,15 @@ object SparkEntry {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    "q76_doc_surprisal" -> ((s, dir) => {
+      // unigram LM surprisal (perplexity proxy) from the corpus's own
+      // token counts; decimal-accumulated per-doc sum keeps the double
+      // arithmetic order-independent across engines
+      TextAnalysis.unigramSurprisal(t(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q67_doc_mix" -> ((s, dir) => {
       // deterministic mixture rebalancing: downsample every language to
       // the smallest language's share (the pretraining "uniform mixture"
@@ -1401,6 +1410,26 @@ object SparkEntry {
         |    AS rk
         |  FROM documents)
         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+    "q76_doc_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents
+        |), terms AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY doc_id, term
+        |), freq AS (
+        |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM terms
+        |  GROUP BY term
+        |), n AS (SELECT CAST(SUM(tf) AS DOUBLE) AS nt FROM terms)
+        |SELECT t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(CAST(CAST(t.tf AS DOUBLE) * ln(nt / CAST(f.cnt
+        |      AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(SUM(t.tf) AS DOUBLE), 6) AS surprisal
+        |FROM terms t JOIN freq f USING (term), n
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "q71_boilerplate" ->
       """WITH tk AS (

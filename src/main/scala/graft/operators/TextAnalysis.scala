@@ -278,6 +278,45 @@ object TextAnalysis {
         col("rk").cast("int").as("rk"))
   }
 
+  /** Unigram language-model surprisal — the perplexity-proxy quality
+    * signal (CCNet-style): score(doc) = mean over tokens of
+    * -ln p(token), with p from the corpus's own unigram counts. Gibberish
+    * and rare-token spam score high; formulaic boilerplate scores low.
+    * Returns (doc_id, n_tokens, surprisal) with surprisal rounded to 6.
+    *
+    * Cross-engine determinism: the per-term contributions
+    * tf · ln(N / count) are doubles, so the per-doc SUM is made
+    * order-independent by accumulating in DECIMAL(38,6) (the house dsum
+    * rule) before the final divide — partial-aggregation order can never
+    * flip a bit. Scale shape mirrors [[tfidfTopTerms]]: per-doc tf
+    * partial-combines, the corpus frequency table joins back on the term
+    * key (Zipf head → AQE skew-join), and the only driver-side scalar is
+    * the total token count. `mat` pins the per-doc term counts so the
+    * frequency aggregate and the join-back share one computation. */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                       mat: Materializer = Materializer.Local): DataFrame = {
+    val terms = mat(docs
+      .select(col(idCol).as("doc_id"),
+        explode_outer(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val freq = terms.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val nTotRow = terms.agg(sum(col("tf"))).collect()(0)
+    val nTot: Double =
+      if (nTotRow.isNullAt(0)) 0.0 else nTotRow.getLong(0).toDouble
+    if (nTot == 0.0)
+      return docs.select(col(idCol).as("doc_id"), lit(0L).as("n_tokens"),
+        lit(0.0).as("surprisal")).limit(0)
+    terms.join(freq, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        round(
+          sum((col("tf").cast("double") *
+            log(lit(nTot) / col("cnt").cast("double")))
+            .cast("decimal(38,6)")).cast("double")
+            / sum(col("tf")).cast("double"), 6).as("surprisal"))
+  }
+
   /** Sequence packing (pretraining concat-and-chunk): documents are
     * concatenated in `idCol` order and chunked every `seqLen` tokens; each
     * doc is assigned the pack its first token lands in

@@ -381,6 +381,30 @@ class OperatorsSpec extends SparkSpec {
     got.foreach(r => assert(r.getDouble(1) == r.getDouble(2), r.getLong(0)))
   }
 
+  test("unigramSurprisal matches hand computation; rare tokens score higher") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    // corpus: N=5, count(a)=2, count(b)=2, count(c)=1
+    val got = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP) // decimal(38,6) accum
+    val ln = math.log _
+    // mirror the engine exactly: decimal-exact SUM, then DOUBLE division
+    val s0 = r6((d6(2 * ln(5.0 / 2)) + d6(ln(5.0 / 2))).toDouble / 3.0)
+    val s1 = r6((d6(ln(5.0 / 2)) + d6(ln(5.0 / 1))).toDouble / 2.0)
+    assert(got == Seq((0L, 3L, s0), (1L, 2L, s1)))
+    assert(s1 > s0) // the doc with the rare token is more surprising
+    // empty corpus -> empty result, schema intact
+    val empty = TextAnalysis.unigramSurprisal(docs.limit(0), "doc_id", "text")
+    assert(empty.collect().isEmpty &&
+      empty.columns.toSeq == Seq("doc_id", "n_tokens", "surprisal"))
+  }
+
   test("keepBest selects the top-scored member per cluster, singletons keep themselves") {
     val s = spark
     import s.implicits._

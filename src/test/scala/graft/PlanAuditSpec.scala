@@ -184,6 +184,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q76: surprisal aggregates partial-combine; no window, no cartesian") {
+    val p = plan("q76_doc_surprisal")
+    assert(p.contains("partial_sum"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q40/q41/q46: per-query top-k is a bounded partial aggregate, not a global window") {
     // The heap aggregate must partial-aggregate map-side (ObjectHashAggregate
     // with a partial topkagg) so the exchange carries ≤margin rows per
