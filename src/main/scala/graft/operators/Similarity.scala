@@ -331,21 +331,48 @@ object Similarity {
     * (partition, query). Returns (query_id, neighbor_id, sim, rk) with sim
     * the ADC cosine rounded to 6. Approximate by nature — gate on recall
     * against [[bruteForceTopK]], not on exact neighbor sets. */
+  /** PQ code word for a vector column: one codegen'd argmax per subspace
+    * — a pure projection. */
+  private def pqCodesCol(vecCol: Column,
+                         codebooks: Array[Array[Array[Float]]]): Column = {
+    val sub = codebooks(0)(0).length
+    def centLit(j: Int): Column = typedlit(codebooks(j).zipWithIndex.map {
+      case (v, i) => (i.toLong, v.toSeq) }.toSeq)
+    array(codebooks.indices.map { j =>
+      element_at(GraftFunctions.nearest_cells(
+        slice(vecCol, j * sub + 1, sub), centLit(j),
+        probes = 1, exact = false), 1)
+    }: _*)
+  }
+
+  /** Per-query ADC lookup tables: (luts, qnorm) columns for a query
+    * vector. */
+  private def pqQuerySide(vecCol: Column,
+                          codebooks: Array[Array[Array[Float]]])
+      : (Column, Column) = {
+    val sub = codebooks(0)(0).length
+    val cbLit = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val dotd = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val qsubs = array(codebooks.indices.map(j =>
+      slice(vecCol, j * sub + 1, sub)): _*)
+    (zip_with(qsubs, cbLit,
+      (qs, cb) => transform(cb, cent => dotd(qs, cent))),
+      sqrt(dotd(vecCol, vecCol)))
+  }
+
+  /** |codebook_j[c]|² model table as a foldable literal. */
+  private def pqNsqLit(codebooks: Array[Array[Array[Float]]]): Column =
+    typedlit(codebooks.map(_.map(v =>
+      v.map(x => x.toDouble * x.toDouble).sum).toSeq).toSeq)
+
   def pqTopK(corpus: DataFrame, queries: DataFrame,
              codebooks: Array[Array[Array[Float]]], k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding",
              mat: Materializer = Materializer.Local): DataFrame = {
-    val m = codebooks.length
-    require(m > 0 && codebooks.forall(_.nonEmpty), "empty PQ codebook")
-    val sub = codebooks(0)(0).length
-    def centLit(j: Int): Column = typedlit(codebooks(j).zipWithIndex.map {
-      case (v, i) => (i.toLong, v.toSeq) }.toSeq)
-    // encode: one codegen'd argmax per subspace — a pure projection
-    val codes = array((0 until m).map { j =>
-      element_at(GraftFunctions.nearest_cells(
-        slice(col("c_vec"), j * sub + 1, sub), centLit(j),
-        probes = 1, exact = false), 1)
-    }: _*)
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "empty PQ codebook")
     // The encoded corpus is the PQ INDEX — m longs per vector — and it
     // must be pinned before the nested-loop scan: inside whole-stage
     // codegen the BNLJ defers the streamed side's projection into its
@@ -355,20 +382,14 @@ object Similarity {
     // (`Materializer.Persisted`), and every search scans codes only.
     val c = mat(corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .select(col("neighbor_id"), codes.as("codes")))
-    val nsqLit = typedlit(codebooks.map(_.map(v =>
-      v.map(x => x.toDouble * x.toDouble).sum).toSeq).toSeq)
-    val cbLit = typedlit(codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    val dotd = (a: Column, b: Column) => aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val qsubs = array((0 until m).map(j =>
-      slice(col("q_vec"), j * sub + 1, sub)): _*)
+      .select(col("neighbor_id"),
+        pqCodesCol(col("c_vec"), codebooks).as("codes")))
+    val nsqLit = pqNsqLit(codebooks)
+    val (lutsCol, qnormCol) = pqQuerySide(col("q_vec"), codebooks)
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("luts", zip_with(qsubs, cbLit,
-        (qs, cb) => transform(cb, cent => dotd(qs, cent))))
-      .withColumn("qnorm", sqrt(dotd(col("q_vec"), col("q_vec"))))
+      .withColumn("luts", lutsCol)
+      .withColumn("qnorm", qnormCol)
       .select(col("query_id"), col("luts"), col("qnorm"))
     // native one-pass ADC ([[graft.functions.AdcCosine]]): the HOF
     // formulation ([[adcCosineHof]]) re-evaluates the 8-argmax encode child
@@ -377,6 +398,48 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("fsim", GraftFunctions.pq_adc(col("codes"), col("luts"),
         col("qnorm"), nsqLit))
+    partialTopK(scored, col("fsim"), k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("hsim"), 6).as("sim"), col("hrk").as("rk"))
+  }
+
+  /** IVF-PQ: the production large-scale ANN architecture (coarse inverted
+    * file × product quantization, the FAISS IVFPQ shape). The index is one
+    * row per corpus vector — (cell_id, m PQ codes), ~8 + m bytes — built
+    * in a single map-side projection and pinned via `mat` (persist it with
+    * `Materializer.Persisted` and every later search touches neither the
+    * float vectors nor the assignment kernels). A query probes its
+    * `nprobe` nearest coarse cells (an equi-join on cell id, so per-query
+    * work is the probed cells' population, not the corpus) and scores
+    * candidates with the native one-pass ADC kernel against its lookup
+    * tables. Recall knobs: nprobe (coarse) × codebook size (fine). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, seeds: DataFrame,
+                codebooks: Array[Array[Array[Float]]], k: Int,
+                nprobe: Int = 1,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                mat: Materializer = Materializer.Local): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "empty PQ codebook")
+    val centLit = centroidLiteral(seeds, idCol, vecCol)
+    val c = mat(corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .select(col("neighbor_id"),
+        element_at(GraftFunctions.nearest_cells(col("c_vec"), centLit,
+          probes = 1, exact = false), 1).as("cell_id"),
+        pqCodesCol(col("c_vec"), codebooks).as("codes")))
+    val (lutsCol, qnormCol) = pqQuerySide(col("q_vec"), codebooks)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("luts", lutsCol)
+      .withColumn("qnorm", qnormCol)
+      .select(col("query_id"), col("luts"), col("qnorm"),
+        explode_outer(GraftFunctions.nearest_cells(col("q_vec"), centLit,
+          probes = nprobe, exact = false)).as("cell_id"))
+    val scored = c.join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("fsim", GraftFunctions.pq_adc(col("codes"), col("luts"),
+        col("qnorm"), pqNsqLit(codebooks)))
     partialTopK(scored, col("fsim"), k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("hsim"), 6).as("sim"), col("hrk").as("rk"))

@@ -356,6 +356,20 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.trainPqCodebooks(emb, m = 3, ksub = 4, iters = 1)
     }
+    // IVF-PQ: coarse pruning on top of the same codebooks — same
+    // right-region guarantee, and raising nprobe can only add candidates
+    val seeds = emb.filter(col("vec_id") % 20 === 0)
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, seeds, cb, k = 5,
+      nprobe = 3)
+    val sameCell = ivfpq
+      .filter(expr("neighbor_id div 20 = query_id div 20")).count().toDouble
+    assert(sameCell / ivfpq.count() >= 0.9,
+      s"IVF-PQ same-cluster fraction ${sameCell / ivfpq.count()} low")
+    val n1 = Similarity.ivfPqTopK(emb, queries, seeds, cb, k = 5).count()
+    assert(ivfpq.count() >= n1) // nprobe=3 candidate pool is a superset
+    // a (query, neighbor) pair never duplicates under multi-probe
+    assert(ivfpq.groupBy("query_id", "neighbor_id").count()
+      .filter(col("count") > 1).count() == 0)
   }
 
   test("native pq_adc equals the HOF ADC formulation bit-for-bit") {

@@ -184,6 +184,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q77: IVF-PQ candidates come from a cell equi-join, never the whole corpus") {
+    // the coarse index must turn the scan into an equi-join on cell_id —
+    // no nested loop over the corpus, no corpus-keyed exchange
+    val p = plan("q77_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("hashpartitioning(neighbor_id"), p.take(2000))
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(p.toLowerCase.contains("partial_topkagg"), p.take(2000))
+  }
+
   test("q76: surprisal aggregates partial-combine; no window, no cartesian") {
     val p = plan("q76_doc_surprisal")
     assert(p.contains("partial_sum"), p.take(2000))
