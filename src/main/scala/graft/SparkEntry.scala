@@ -821,6 +821,30 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "q78_corpus_card" -> ((s, dir) => {
+      // the dataset-datasheet aggregate a corpus release ships with: per
+      // source, doc/token counts, decimal-exact mean quality, and the
+      // dominant language via the two-step argmax (max count per source,
+      // then min lang among maxima — no per-source rank window)
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("source"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      val bySrc = base.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("n_tokens"),
+        round(sum(col("q").cast("decimal(38,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_quality"))
+      val lc = base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val mx = lc.groupBy(col("source")).agg(max(col("n")).as("mxn"))
+      val top = lc.join(mx, Seq("source")).filter(col("n") === col("mxn"))
+        .groupBy(col("source"))
+        .agg(min(col("lang")).as("top_lang"),
+          max(col("mxn")).cast("long").as("top_lang_n"))
+      bySrc.join(top, Seq("source")).orderBy(col("source"))
+    }),
+
     "q76_doc_surprisal" -> ((s, dir) => {
       // unigram LM surprisal (perplexity proxy) from the corpus's own
       // token counts; decimal-accumulated per-doc sum keeps the double
@@ -1447,6 +1471,42 @@ object SparkEntry {
       """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
         |  TRUE AS recall_floor_ok
         |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
+
+    "q78_corpus_card" ->
+      s"""WITH base AS (
+         |  SELECT source, lang,
+         |    CAST(len($toksSql) AS BIGINT) AS toks,
+         |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         |      * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+         |          ELSE CAST(length(regexp_replace(text,
+         |              '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+         |            / CAST(length(text) AS DOUBLE) END)
+         |      * (0.5 + (CASE WHEN len($toksSql) = 0 THEN 0.0
+         |          ELSE CAST(len(list_filter($toksSql,
+         |              t -> list_contains($stopwordsSql, lower(t))))
+         |              AS DOUBLE)
+         |            / CAST(len($toksSql) AS DOUBLE) END) / 2.0), 6) AS q
+         |  FROM documents
+         |), bysrc AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         |    round(CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE)
+         |      / COUNT(*), 6) AS mean_quality
+         |  FROM base GROUP BY source
+         |), lc AS (
+         |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM base GROUP BY source, lang
+         |), mx AS (SELECT source, MAX(n) AS mxn FROM lc GROUP BY source),
+         |top AS (
+         |  SELECT l.source, MIN(l.lang) AS top_lang,
+         |    CAST(MAX(l.n) AS BIGINT) AS top_lang_n
+         |  FROM lc l JOIN mx USING (source) WHERE l.n = mxn
+         |  GROUP BY l.source
+         |)
+         |SELECT b.source, b.n_docs, b.n_tokens, b.mean_quality,
+         |  t2.top_lang, t2.top_lang_n
+         |FROM bysrc b JOIN top t2 USING (source)
+         |ORDER BY b.source""".stripMargin,
 
     "q76_doc_surprisal" ->
       """WITH toks AS (

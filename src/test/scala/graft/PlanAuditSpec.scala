@@ -194,6 +194,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.toLowerCase.contains("partial_topkagg"), p.take(2000))
   }
 
+  test("q78: the corpus card is pure partial-combined aggregation, no rank window") {
+    val p = plan("q78_corpus_card")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q76: surprisal aggregates partial-combine; no window, no cartesian") {
     val p = plan("q76_doc_surprisal")
     assert(p.contains("partial_sum"), p.take(2000))
