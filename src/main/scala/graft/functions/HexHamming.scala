@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * short-string and non-hex edges.
   */
 case class HexHamming(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -55,9 +55,12 @@ case class HexHamming(left: Expression, right: Expression)
         s.substringSQL(i + 1, 1).toString).toLong
     }
 
-  override def nullSafeEval(aAny: Any, bAny: Any): Any = {
-    val a = aAny.asInstanceOf[UTF8String]
-    val b = bAny.asInstanceOf[UTF8String]
+  override def nullSafeEval(aAny: Any, bAny: Any): Any =
+    kernel(aAny.asInstanceOf[UTF8String], bAny.asInstanceOf[UTF8String])
+
+  /** Whole per-row kernel behind one monomorphic entry point — generated
+    * code calls it directly on the unboxed child UTF8Strings. */
+  def kernel(a: UTF8String, b: UTF8String): Long = {
     val aAscii = a.numBytes() == a.numChars()
     val bAscii = b.numBytes() == b.numChars()
     var acc = 0L
@@ -68,6 +71,13 @@ case class HexHamming(left: Expression, right: Expression)
       i += 1
     }
     acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hexHamming", this,
+      classOf[HexHamming].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.kernel($a, $b);")
   }
 
   override protected def withNewChildrenInternal(

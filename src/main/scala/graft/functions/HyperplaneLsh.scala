@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * reused across rows (it depends only on (p, j)).
   */
 case class HyperplaneLsh(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -48,9 +48,12 @@ case class HyperplaneLsh(left: Expression, right: Expression)
       Array.tabulate(nPlanes, dim)((p, j) => HyperplaneLsh.component(p, j))
     })
 
-  override def nullSafeEval(vecAny: Any, planesAny: Any): Any = {
-    val vec = vecAny.asInstanceOf[ArrayData]
-    val nPlanes = planesAny.asInstanceOf[Int]
+  override def nullSafeEval(vecAny: Any, planesAny: Any): Any =
+    kernel(vecAny.asInstanceOf[ArrayData], planesAny.asInstanceOf[Int])
+
+  /** Whole per-row kernel behind one monomorphic entry point — generated
+    * code calls it directly on the unboxed child values. */
+  def kernel(vec: ArrayData, nPlanes: Int): Long = {
     val n = vec.numElements()
     val comp = planes(nPlanes, n)
     var bucket = 0L
@@ -66,6 +69,15 @@ case class HyperplaneLsh(left: Expression, right: Expression)
       p += 1
     }
     bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneLsh", this,
+      classOf[HyperplaneLsh].getName)
+    val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+    nullSafeCodeGen(ctx, ev, (vec, np) =>
+      s"${ev.value} = $ref.kernel(($ad) $vec, (int) $np);")
   }
 
   override protected def withNewChildrenInternal(

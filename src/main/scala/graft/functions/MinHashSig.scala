@@ -4,7 +4,8 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,7 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class MinHashSig(tokens: Expression, kE: Expression, nE: Expression,
                       md5E: Expression, bandsE: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   private lazy val k: Int = kE.eval().asInstanceOf[Number].intValue()
   private lazy val shingleN: Int = nE.eval().asInstanceOf[Number].intValue()
@@ -164,7 +165,14 @@ case class MinHashSig(tokens: Expression, kE: Expression, nE: Expression,
   override def eval(input: InternalRow): Any = {
     val t = tokens.eval(input)
     if (t == null) return null
-    val shingles = shingleStrings(t.asInstanceOf[ArrayData])
+    kernel(t.asInstanceOf[ArrayData])
+  }
+
+  /** Whole per-row kernel behind one monomorphic entry point — generated
+    * code calls it directly on the unboxed tokens ArrayData (the other
+    * four children are foldable instance state). */
+  def kernel(toks: ArrayData): ArrayData = {
+    val shingles = shingleStrings(toks)
     val sig = rawSignature(shingles)
     if (bands > 0) {
       // band keys, matching Dedup.lshBandKeys: "b_h1|h2|...|hr"
@@ -189,6 +197,25 @@ case class MinHashSig(tokens: Expression, kE: Expression, nE: Expression,
     } else {
       new GenericArrayData(sig.map(java.lang.Long.parseLong))
     }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    // evaluate only the tokens child in-line (k/n/md5/bands are foldable
+    // and live in the instance's lazy state)
+    val ref = ctx.addReferenceObj("minHashSig", this,
+      classOf[MinHashSig].getName)
+    val toksGen = tokens.genCode(ctx)
+    val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+    ev.copy(code =
+      code"""
+        ${toksGen.code}
+        boolean ${ev.isNull} = ${toksGen.isNull};
+        $ad ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = $ref.kernel(($ad) ${toksGen.value});
+        }
+      """)
   }
 
   override protected def withNewChildrenInternal(

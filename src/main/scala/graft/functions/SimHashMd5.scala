@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * One flat pass per row: O(|tokens| * 16 digit reads).
   */
 case class SimHashMd5(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
@@ -37,8 +37,12 @@ case class SimHashMd5(child: Expression)
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
-  override def nullSafeEval(toksAny: Any): Any = {
-    val toks = toksAny.asInstanceOf[ArrayData]
+  override def nullSafeEval(toksAny: Any): Any =
+    kernel(toksAny.asInstanceOf[ArrayData])
+
+  /** Whole per-row kernel behind one monomorphic entry point — generated
+    * code calls it directly on the unboxed child ArrayData. */
+  def kernel(toks: ArrayData): UTF8String = {
     val n = toks.numElements()
     val votes = new Array[Int](64)
     val md = MessageDigest.getInstance("MD5")
@@ -78,6 +82,15 @@ case class SimHashMd5(child: Expression)
       j += 1
     }
     UTF8String.fromString(new String(out))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHashMd5", this,
+      classOf[SimHashMd5].getName)
+    val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+    nullSafeCodeGen(ctx, ev, toks =>
+      s"${ev.value} = $ref.kernel(($ad) $toks);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =

@@ -1,8 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,10 +13,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Same semantics as the higher-order-function formulation
   * (transform(sequence, i -> concat_ws(slice(...)))) and the DuckDB oracle's
   * list comprehension — but without the per-element child re-evaluation that
-  * makes nested HOFs quadratic per row.
+  * makes nested HOFs quadratic per row. Codegen'd via the kernel-reference
+  * pattern ([[NearestCells]]) so the shingling projection — the first step
+  * of every dedup/boilerplate scan — stays inside WholeStageCodegen.
   */
 case class WordShingles(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -34,8 +35,12 @@ case class WordShingles(left: Expression, right: Expression)
 
   private lazy val shingleN: Int = right.eval().asInstanceOf[Number].intValue()
 
-  override def nullSafeEval(toksAny: Any, nAny: Any): Any = {
-    val toks = toksAny.asInstanceOf[ArrayData]
+  override def nullSafeEval(toksAny: Any, nAny: Any): Any =
+    kernel(toksAny.asInstanceOf[ArrayData])
+
+  /** Whole per-row kernel behind one monomorphic entry point — generated
+    * code calls it directly on the unboxed child ArrayData. */
+  def kernel(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     val words = new Array[String](n)
     var i = 0
@@ -54,6 +59,15 @@ case class WordShingles(left: Expression, right: Expression)
       }
       new GenericArrayData(out)
     }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this,
+      classOf[WordShingles].getName)
+    val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+    nullSafeCodeGen(ctx, ev, (toks, _) =>
+      s"${ev.value} = $ref.kernel(($ad) $toks);")
   }
 
   override protected def withNewChildrenInternal(
