@@ -223,6 +223,24 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("nearDupClusters converges in O(log diameter) rounds on a 10k chain") {
+    val s = spark
+    import s.implicits._
+    // the adversarial drift chain: doc_i pairs only with doc_{i+1}, so
+    // diameter = n-1; plain min-label propagation needs ~n rounds, the
+    // pointer-jumping loop must stay logarithmic
+    val n = 10000
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("a_id", "b_id")
+    val (labels, rounds) =
+      graft.operators.Dedup.nearDupClustersWithRounds(pairs)
+    val maxRounds = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt
+    assert(rounds <= maxRounds, s"rounds=$rounds > bound=$maxRounds")
+    val distinctLabels = labels.select("cluster_id").distinct().collect()
+    assert(distinctLabels.length == 1 && distinctLabels(0).getLong(0) == 1L)
+    assert(labels.count() == n.toLong)
+  }
+
   test("quantizeInt8: symmetric int8 codes, zero-vector safe") {
     val s = spark
     import s.implicits._
