@@ -77,9 +77,23 @@ object SparkEntry {
     * + recall check, never training. */
   private def pqCodebookFor(s: SparkSession, dir: String,
                             emb: DataFrame): Array[Array[Array[Float]]] = {
-    val cbDir = new java.io.File(".bench/q72_cb_" +
-      java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
-    if (new java.io.File(s"$cbDir/_SUCCESS").exists()) {
+    // cache key = md5 of the absolute path (collision-resistant, unlike
+    // the 32-bit String.hashCode), and a sidecar row-count fingerprint
+    // guards validity: regenerated data under the same dir retrains
+    // instead of silently reusing a stale codebook (which would surface
+    // only as a confusing recall-gate failure)
+    val abs = new java.io.File(dir).getAbsolutePath
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+    val cbDir = new java.io.File(s".bench/q72_cb_$key").getAbsolutePath
+    val nRows = emb.count()
+    val metaFile = new java.io.File(s"$cbDir.rows")
+    val cacheValid = new java.io.File(s"$cbDir/_SUCCESS").exists() &&
+      metaFile.exists() &&
+      scala.util.Try(new String(java.nio.file.Files
+        .readAllBytes(metaFile.toPath), "UTF-8").trim.toLong)
+        .toOption.contains(nRows)
+    if (cacheValid) {
       s.read.parquet(cbDir).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
         .groupBy(_._1).toArray.sortBy(_._1)
@@ -93,6 +107,8 @@ object SparkEntry {
       }.toSeq.toDF("j", "c", "vec")
         .withColumn("vec", col("vec").cast("array<float>"))
         .coalesce(1).write.mode("overwrite").parquet(cbDir)
+      java.nio.file.Files.write(metaFile.toPath,
+        nRows.toString.getBytes("UTF-8"))
       trained
     }
   }

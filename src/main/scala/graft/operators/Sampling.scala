@@ -58,11 +58,18 @@ object Sampling {
       .filter(h <= col("thr"))
       .drop("thr", "s_grp")
     // sufficiency proof: a group with < n candidates re-ranks over its
-    // full population (tiny driver list; empty in practice)
-    val short = cands.groupBy(col(groupCol))
+    // full population (tiny driver list; empty in practice). Derived from
+    // `counts` LEFT-joined with candidate counts: a group whose candidate
+    // set is EMPTY (hash-variance tail) has no candidate row at all, and an
+    // inner join would silently drop it from the output instead of
+    // re-ranking it. Null-safe join so a null group is handled like any
+    // other.
+    val candCounts = cands.groupBy(col(groupCol).as("c_grp"))
       .agg(count(lit(1)).as("n_cand"))
-      .join(counts, Seq(groupCol))
-      .filter(col("n_cand") < least(lit(n.toLong), col("n_total")))
+    val short = counts
+      .join(candCounts, col(groupCol) <=> col("c_grp"), "left")
+      .filter(coalesce(col("n_cand"), lit(0L)) <
+        least(lit(n.toLong), col("n_total")))
       .select(col(groupCol)).collect().map(_.get(0))
     // null-safe membership (isin never matches a null group)
     val isShort = short.foldLeft(lit(false))((acc, v) =>

@@ -201,11 +201,16 @@ object Similarity {
   }
 
   /** Lloyd-style IVF centroid training over cosine assignment: seed with
-    * the first k vectors, then iterate (assign to nearest centroid ->
-    * re-average per cell with the [[graft.functions.VectorAvg]] typed
-    * Aggregator). Assignment is a map-side argmax against the collected
-    * centroid literal ([[graft.functions.NearestCells]]) — each iteration
-    * is one projection + one hash aggregate; vectors never shuffle (only
+    * the k vectors of smallest (md5(id), id) — a deterministic
+    * hash-order sample that works for ANY id space (sparse hashes,
+    * snowflakes; seeding by `id < k` would pick an empty or skewed seed
+    * set there) and plans as TakeOrderedAndProject (per-partition top-k,
+    * driver merge — no global sort). Then iterate (assign to nearest
+    * centroid -> re-average per cell with the
+    * [[graft.functions.VectorAvg]] typed Aggregator). Assignment is a
+    * map-side argmax against the collected centroid literal
+    * ([[graft.functions.NearestCells]]) — each iteration is one
+    * projection + one hash aggregate; vectors never shuffle (only
     * per-cell sum buffers do), and collecting the k centroids per round
     * cuts lineage by construction (no checkpoint primitive needed: the k ×
     * dim model is driver-resident between rounds, as Lloyd's requires). */
@@ -213,7 +218,9 @@ object Similarity {
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
     val vecAvg = org.apache.spark.sql.functions.udaf(graft.functions.VectorAvg)
-    var centroids = emb.filter(col(idCol) < k)
+    var centroids = emb
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+      .limit(k)
       .select(col(idCol).cast("long").as("cell_id"), col(vecCol).as("c_vec"))
     for (_ <- 1 to iters) {
       val centLit = centroidLiteral(centroids, "cell_id", "c_vec")

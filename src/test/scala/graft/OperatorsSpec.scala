@@ -191,6 +191,25 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(m(0) - (1f + 1f + 0.9f) / 3) < 1e-6)
   }
 
+  test("IVF training works on sparse/snowflake ids (hash-order seeding)") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(spark)
+    // snowflake-style sparse ids: seeding by `id < k` would select an
+    // EMPTY seed set here; hash-order seeding must still train k cells
+    val emb = Seq(
+      (913847561203L, Array(1f, 0.1f)), (7039581247790L, Array(0.1f, 1f)),
+      (55511234987L, Array(1f, 0f)), (8123001247332L, Array(0.9f, 0.2f)),
+      (661200999137L, Array(0f, 1f)), (4298771003456L, Array(0.2f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(emb, k = 2, iters = 4)
+      .collect()
+    assert(cents.length == 2)
+    val vs = cents.map(_.getSeq[Float](1))
+    // the two obvious clusters separate regardless of the id space
+    assert(vs.count(v => v(0) > v(1)) == 1 && vs.count(v => v(1) > v(0)) == 1)
+  }
+
   test("simhashNearDupPairs finds near-identical docs with exact hamming") {
     GraftFunctions.register(spark)
     val s = spark
@@ -499,6 +518,29 @@ class OperatorsSpec extends SparkSpec {
       .stratifiedSample(withNull, "lang", "doc_id", n, margin = 1.0)
     assert(gotNull.filter(col("lang").isNull).count() == n)
     assert(gotNull.count() == naive.size + n)
+  }
+
+  test("stratifiedSample keeps groups whose candidate set is empty") {
+    val s = spark
+    import s.implicits._
+    // deterministically force zero candidates: pick ids whose md5 prefix
+    // is >= 0x80000000 (top half), then ask for n=1 at margin=1.0 from a
+    // 100-member group — the threshold is ~0x028f5c29, so no member
+    // passes the trim and the group exists only via the re-rank fallback
+    val dig = java.security.MessageDigest.getInstance("MD5")
+    def h8(id: Long): String = {
+      val d = dig.digest(id.toString.getBytes("UTF-8"))
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val highIds = Iterator.from(0).map(_.toLong)
+      .filter(id => h8(id) >= "80000000").take(100).toSeq
+    val df = highIds.map(id => (id, "hi"))
+      .toDF("doc_id", "lang")
+    val got = graft.operators.Sampling
+      .stratifiedSample(df, "lang", "doc_id", 1, margin = 1.0)
+      .select("doc_id").collect()
+    val want = highIds.minBy(id => (h8(id), id))
+    assert(got.length == 1 && got(0).getLong(0) == want)
   }
 
   test("native hex_hamming matches the HOF digit semantics, edges included") {

@@ -109,9 +109,15 @@ class StreamingSpec extends SparkSpec {
   test("text analysis and content dedup compose unchanged over a streaming corpus") {
     // the text operators are narrow codegen'd projections, so the SAME
     // Column expressions run on a streaming DataFrame with no operator
-    // changes; content-digest dedup bounds its state with the watermark.
-    // Differential pin: streaming output == the batch run of the same
-    // expressions over the kept documents.
+    // changes; content-digest dedup uses dropDuplicatesWithinWatermark so
+    // the digest state is actually watermark-bounded (plain
+    // dropDuplicates("digest") without the event-time column in the subset
+    // keeps UNBOUNDED state — the watermark only bounds dropDuplicates
+    // when the subset includes the event-time column). Batch Spark rejects
+    // the within-watermark form, so the batch differential side uses plain
+    // dropDuplicates — same kept set here. Differential pin: streaming
+    // output == the batch run of the same expressions over the kept
+    // documents.
     val s = spark
     import s.implicits._
     graft.functions.GraftFunctions.register(spark)
@@ -126,14 +132,17 @@ class StreamingSpec extends SparkSpec {
     ).toDF("doc_id", "ts", "text")
     val dir = Files.createTempDirectory("graft-doc-stream").toString
     df.write.mode("overwrite").parquet(dir)
-    def analyze(d: org.apache.spark.sql.DataFrame) = d
-      .withColumn("digest", md5(col("text")))
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicates("digest")
-      .select(col("doc_id"),
+    def analyze(d: org.apache.spark.sql.DataFrame) = {
+      val digested = d.withColumn("digest", md5(col("text")))
+      val deduped =
+        if (d.isStreaming) digested.withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("digest")
+        else digested.dropDuplicates("digest")
+      deduped.select(col("doc_id"),
         graft.operators.TextAnalysis.langId(col("text")).as("lang_pred"),
         graft.operators.TextAnalysis.qualityScore(col("text")).as("q"),
         graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    }
     val q = analyze(spark.readStream.schema(df.schema).parquet(dir))
       .writeStream.outputMode("append")
       .format("memory").queryName("doc_pipe_out").start()
