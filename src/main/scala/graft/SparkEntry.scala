@@ -761,6 +761,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q79_span_dedup" -> ((s, dir) => {
+      // Lee-et-al substring-level dedup: 6-token spans occurring >= 2
+      // times anywhere are cut (keeper = first occurrence), overlapping
+      // cuts merge, only affected docs are rewritten. One corpus-wide
+      // (span, count) partial-combined shuffle; rewrite is a map-side HOF
+      // over affected docs only.
+      GraftFunctions.register(s)
+      TextAnalysis.spanDedup(t(s, dir, "documents"),
+          "doc_id", "text", n = 6, minOcc = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     "q73_doc_tfidf" -> ((s, dir) => {
       // per-doc top-3 TF-IDF terms; integer rank key (tf desc, df asc,
       // term asc) so no rank ever hangs on the last bit of ln()
@@ -1566,6 +1578,76 @@ object SparkEntry {
         |  round(CAST(COUNT(f.sh) AS DOUBLE) / COUNT(*), 6) AS bp_frac
         |FROM ex e LEFT JOIN freq f USING (sh)
         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+
+    "q79_span_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS raw
+        |  FROM documents
+        |), occ AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(raw[i+1:i+6], ' ') AS sh,
+        |    CAST(len(raw) AS BIGINT) AS n_toks
+        |  FROM tk, unnest(range(0, greatest(len(raw) - 5, 1))) AS t(i)
+        |), freq AS (
+        |  SELECT sh FROM occ GROUP BY sh HAVING COUNT(*) >= 2
+        |), flg AS (
+        |  SELECT o.doc_id, o.pos, o.sh, o.n_toks
+        |  FROM occ o JOIN freq USING (sh)
+        |), kdoc AS (
+        |  SELECT sh, MIN(doc_id) AS k_doc FROM flg GROUP BY sh
+        |), kpos AS (
+        |  SELECT f.sh, k.k_doc, MIN(f.pos) AS k_pos
+        |  FROM flg f JOIN kdoc k USING (sh)
+        |  WHERE f.doc_id = k.k_doc GROUP BY f.sh, k.k_doc
+        |), cut AS (
+        |  SELECT DISTINCT f.doc_id, f.pos, f.n_toks
+        |  FROM flg f JOIN kpos k USING (sh)
+        |  WHERE NOT (f.doc_id = k.k_doc AND f.pos = k.k_pos)
+        |), iv AS (
+        |  SELECT doc_id, pos, LEAST(pos + 5, n_toks - 1) AS iend FROM cut
+        |), sp2 AS (
+        |  SELECT doc_id, pos, iend,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM (
+        |    SELECT doc_id, pos, iend,
+        |      CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |        THEN 1 ELSE 0 END AS brk
+        |    FROM (
+        |      SELECT doc_id, pos, iend,
+        |        MAX(iend) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS prev_end
+        |      FROM iv))
+        |), spans AS (
+        |  SELECT doc_id, grp, MIN(pos) AS s, MAX(iend) AS e
+        |  FROM sp2 GROUP BY doc_id, grp
+        |), perdoc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut_spans,
+        |    CAST(SUM(e - s + 1) AS BIGINT) AS n_tokens_cut,
+        |    string_agg(CAST(s AS VARCHAR) || ':' || CAST(e AS VARCHAR),
+        |      ',' ORDER BY s) AS spans_str
+        |  FROM spans GROUP BY doc_id
+        |), toksql AS (
+        |  SELECT tk.doc_id, CAST(i - 1 AS BIGINT) AS tpos, raw[i] AS tok
+        |  FROM tk, unnest(range(1, len(raw) + 1)) AS t(i)
+        |  WHERE tk.doc_id IN (SELECT doc_id FROM perdoc)
+        |), kept AS (
+        |  SELECT t.doc_id, t.tpos, t.tok
+        |  FROM toksql t LEFT JOIN spans s
+        |    ON t.doc_id = s.doc_id AND t.tpos BETWEEN s.s AND s.e
+        |  WHERE s.doc_id IS NULL
+        |), clean AS (
+        |  SELECT doc_id,
+        |    array_to_string(list(tok ORDER BY tpos), ' ') AS clean_text
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT p.doc_id, p.n_cut_spans, p.n_tokens_cut, p.spans_str,
+        |  COALESCE(c.clean_text, '') AS clean_text
+        |FROM perdoc p LEFT JOIN clean c USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
 
     "q73_doc_tfidf" ->
       """WITH terms AS (

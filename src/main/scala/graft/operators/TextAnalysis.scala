@@ -398,4 +398,101 @@ object TextAnalysis {
       .select(col("id"), col("n_tokens"),
         expr(s"(cum - n_tokens) div ${seqLen}L").as("pack_id"))
   }
+
+  /** Exact substring-level (span) deduplication — the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" operator
+    * class, at word-token granularity: any `n`-token span occurring at
+    * least `minOcc` times in the corpus (across OR within documents) is a
+    * duplicated span; every occurrence except the canonical first one
+    * (min doc id, then min position) is cut from its document. Returns,
+    * for AFFECTED documents only (untouched docs pass through a real
+    * pipeline unmodified — and unscanned in the rewrite phase):
+    * (doc_id, n_cut_spans, n_tokens_cut, spans_str, clean_text), where
+    * spans_str lists the merged cut intervals "start:end" (0-based token
+    * positions, inclusive) and clean_text is the document with cut tokens
+    * removed.
+    *
+    * Semantics pinned down: (1) occurrence counting is positional —
+    * a span repeated inside one document counts every occurrence;
+    * (2) overlapping/adjacent cut occurrences merge into maximal
+    * intervals before counting/cutting (gaps-and-islands), so
+    * n_cut_spans counts maximal runs; (3) the keeper occurrence's tokens
+    * survive only if no OTHER cut interval covers them (interval merge
+    * runs after keeper exclusion, per document).
+    *
+    * Scale shape (the whole point at 100 TB): the corpus-wide work is one
+    * partial-combined (shingle, count) aggregate — the q71 skeleton — and
+    * the duplicated-span set is the Zipf head above `minOcc`, orders of
+    * magnitude smaller than the corpus. The keeper argmin is two narrow
+    * aggregates on the span key (no per-span window — a hyper-frequent
+    * span would funnel one task). Interval merge windows partition by
+    * doc_id with per-partition state bounded by a document's own cut
+    * count, and the text rewrite — the only per-token work — runs ONLY
+    * over affected documents, as a map-side HOF filter against each
+    * document's own (tiny) merged span list. No token-level corpus
+    * explode, no cartesian anything. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 6, minOcc: Long = 2,
+                mat: Materializer = Materializer.Local): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0 && minOcc >= 2)
+    // positional span occurrences: (doc_id, pos, span); word_shingles
+    // emits the whole short doc as its single "span" for len < n, and the
+    // interval end below clamps to the doc's last token either way
+    val occ = mat(docs.select(col(idCol).as("doc_id"),
+      posexplode_outer(shingles(col(textCol), n))
+        .as(Seq("pos", "sh"))))
+    val freq = occ.groupBy(col("sh"))
+      .agg(count(lit(1)).as("occ_cnt"))
+      .filter(col("occ_cnt") >= minOcc)
+      .select(col("sh"))
+    // flagged = occurrences of duplicated spans (Zipf head -> broadcast)
+    val flagged = mat(occ.join(broadcast(freq), Seq("sh")))
+    // canonical keeper per span, via two partial-combined argmin steps
+    // (min doc, then min pos within it) instead of a per-span window
+    val kDoc = flagged.groupBy(col("sh")).agg(min(col("doc_id")).as("k_doc"))
+    val kPos = flagged.join(kDoc, Seq("sh"))
+      .filter(col("doc_id") === col("k_doc"))
+      .groupBy(col("sh"), col("k_doc")).agg(min(col("pos")).as("k_pos"))
+    val cut = flagged.join(kPos, Seq("sh"))
+      .filter(!(col("doc_id") === col("k_doc") &&
+        col("pos") === col("k_pos")))
+      .select(col("doc_id"), col("pos")).distinct()
+    // cut intervals [pos, min(pos+n-1, len-1)], merged per doc
+    // (gaps-and-islands: a new island starts when pos clears the running
+    // max end by more than 1 — overlapping AND adjacent runs merge)
+    val lens = docs.select(col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).cast("long").as("n_toks"))
+    val iv = cut.join(lens, Seq("doc_id"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        least(col("pos") + lit(n - 1), col("n_toks") - 1).as("iend"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val spans = iv
+      .withColumn("prev_end", max(col("iend")).over(wPrev))
+      .withColumn("brk",
+        when(col("prev_end").isNull ||
+          col("pos") > col("prev_end") + 1, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("iend")).as("e"))
+    val perDoc = spans.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_cut_spans"),
+      sum(col("e") - col("s") + 1).cast("long").as("n_tokens_cut"),
+      array_sort(collect_list(struct(col("s"), col("e")))).as("sps"))
+    // rewrite ONLY affected docs: HOF filter of the token array against
+    // the doc's own merged span list (map-side; O(len * n_spans) per doc)
+    docs.join(perDoc.withColumnRenamed("doc_id", "pd_id"),
+        col(idCol) === col("pd_id"))
+      .select(col("pd_id").as("doc_id"), col("n_cut_spans"),
+        col("n_tokens_cut"),
+        array_join(transform(col("sps"), sp => concat_ws(":",
+          sp.getField("s").cast("string"), sp.getField("e").cast("string"))),
+          ",").as("spans_str"),
+        array_join(filter(tokens(col(textCol)), (t, i) =>
+          !exists(col("sps"), sp =>
+            i.cast("long") >= sp.getField("s") &&
+              i.cast("long") <= sp.getField("e"))), " ").as("clean_text"))
+  }
 }

@@ -260,6 +260,30 @@ class OperatorsSpec extends SparkSpec {
     assert(labels.count() == n.toLong)
   }
 
+  test("spanDedup cuts non-keeper duplicated spans, merging overlaps (hand-computed)") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(spark)
+    // doc 1 repeats its own 6-token prefix at position 9; doc 3 repeats it
+    // again. 3-gram spans "a b c".."d e f" each occur 3 times; keepers are
+    // doc 1 positions 0..3, so doc 1 cuts its second run and doc 3 cuts
+    // its prefix — four overlapping 3-token intervals each, which MUST
+    // merge into one maximal span per doc.
+    val docs = Seq(
+      (1L, "a b c d e f x y z a b c d e f"),
+      (2L, "p q r s t u v"),
+      (3L, "a b c d e f m n")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .spanDedup(docs, "doc_id", "text", n = 3, minOcc = 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 6L, "9:14", "a b c d e f x y z"),
+      (3L, 1L, 6L, "0:5", "m n")))
+  }
+
   test("quantizeInt8: symmetric int8 codes, zero-vector safe") {
     val s = spark
     import s.implicits._

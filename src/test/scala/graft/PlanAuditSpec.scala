@@ -154,6 +154,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q79: span dedup — frequent spans broadcast, intervals merge per doc, no cartesian") {
+    // corpus-wide work is one partial-combined (span, count) aggregate;
+    // the duplicated-span set comes back as a broadcast; the interval
+    // merge window partitions by doc_id (never a global window)
+    val p = plan("q79_span_dedup")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("partial_count"), p.take(2000))
+    assert(p.contains("hashpartitioning(doc_id"), p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q73: the TF-IDF top-N window partitions per document, never globally") {
     // per-doc rank state is one document's vocabulary; a global rank
     // window would show a SinglePartition exchange
