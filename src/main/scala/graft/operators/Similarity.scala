@@ -420,21 +420,43 @@ object Similarity {
     * work is the probed cells' population, not the corpus) and scores
     * candidates with the native one-pass ADC kernel against its lookup
     * tables. Recall knobs: nprobe (coarse) × codebook size (fine). */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, seeds: DataFrame,
-                codebooks: Array[Array[Array[Float]]], k: Int,
-                nprobe: Int = 1,
-                idCol: String = "vec_id", vecCol: String = "embedding",
-                mat: Materializer = Materializer.Local): DataFrame = {
-    require(nprobe >= 1, "nprobe must be >= 1")
+  /** The IVF-PQ INDEX of a corpus — one row per vector,
+    * (neighbor_id, cell_id, codes), ~8 + m bytes each — built in a single
+    * map-side projection (coarse cell + PQ codes, both codegen'd argmax
+    * against foldable literals). This is the durable artifact a 100 TB
+    * pipeline builds once and persists (parquet via
+    * [[Materializer.Persisted]]); every later [[ivfPqSearch]] reads
+    * (cell_id, codes) off disk and touches neither the float vectors nor
+    * the assignment kernels. */
+  def ivfPqIndex(corpus: DataFrame, seeds: DataFrame,
+                 codebooks: Array[Array[Array[Float]]],
+                 idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
       "empty PQ codebook")
     val centLit = centroidLiteral(seeds, idCol, vecCol)
-    val c = mat(corpus
+    corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .select(col("neighbor_id"),
         element_at(GraftFunctions.nearest_cells(col("c_vec"), centLit,
           probes = 1, exact = false), 1).as("cell_id"),
-        pqCodesCol(col("c_vec"), codebooks).as("codes")))
+        pqCodesCol(col("c_vec"), codebooks).as("codes"))
+  }
+
+  /** Search an [[ivfPqIndex]] (in-memory or parquet-loaded): each query
+    * probes its `nprobe` nearest coarse cells via a cell-id equi-join and
+    * scores candidates with the native one-pass ADC kernel. The index side
+    * is scan → equi-join → heap: per-query work is the probed cells'
+    * code words, never the corpus. */
+  def ivfPqSearch(index: DataFrame, queries: DataFrame, seeds: DataFrame,
+                  codebooks: Array[Array[Array[Float]]], k: Int,
+                  nprobe: Int = 1,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "empty PQ codebook")
+    val centLit = centroidLiteral(seeds, idCol, vecCol)
     val (lutsCol, qnormCol) = pqQuerySide(col("q_vec"), codebooks)
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
@@ -443,7 +465,7 @@ object Similarity {
       .select(col("query_id"), col("luts"), col("qnorm"),
         explode_outer(GraftFunctions.nearest_cells(col("q_vec"), centLit,
           probes = nprobe, exact = false)).as("cell_id"))
-    val scored = c.join(broadcast(q), Seq("cell_id"))
+    val scored = index.join(broadcast(q), Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("fsim", GraftFunctions.pq_adc(col("codes"), col("luts"),
         col("qnorm"), pqNsqLit(codebooks)))
@@ -451,6 +473,14 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(col("hsim"), 6).as("sim"), col("hrk").as("rk"))
   }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, seeds: DataFrame,
+                codebooks: Array[Array[Array[Float]]], k: Int,
+                nprobe: Int = 1,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                mat: Materializer = Materializer.Local): DataFrame =
+    ivfPqSearch(mat(ivfPqIndex(corpus, seeds, codebooks, idCol, vecCol)),
+      queries, seeds, codebooks, k, nprobe, idCol, vecCol)
 
   /** Reference HOF formulation of the ADC cosine (executable spec of
     * [[graft.functions.AdcCosine]]'s semantics, pinned by a differential

@@ -670,6 +670,38 @@ class OperatorsSpec extends SparkSpec {
     assert(fromDisk.nonEmpty && fromDisk == inMem)
   }
 
+  test("IVF-PQ search reads a persisted index in a fresh session (parquet feeds the cell join)") {
+    // The ANN twin of the q70 pattern: yesterday's run persisted the
+    // (cell_id, codes) index; today's search is a DIFFERENT session that
+    // knows only the parquet path — results must match the all-in-memory
+    // run exactly, and the plan must show the parquet scan feeding the
+    // cell equi-join (no float-vector scan, no encode at search time).
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = emb.filter(col("vec_id") < 4)
+    val qs = emb.filter(col("vec_id") < 6)
+    val cb = Similarity.trainPqCodebooks(emb, m = 8, ksub = 16, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    graft.operators.Materializer.Persisted(tmp)(
+      Similarity.ivfPqIndex(emb, seeds, cb))
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inMem = toSet(
+      Similarity.ivfPqTopK(emb, qs, seeds, cb, k = 5, nprobe = 2))
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2)
+    val emb2 = s2.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val fromDisk = Similarity.ivfPqSearch(
+      s2.read.parquet(s"$tmp/mat_0"), emb2.filter(col("vec_id") < 6),
+      emb2.filter(col("vec_id") < 4), cb, k = 5, nprobe = 2)
+    val p = fromDisk.queryExecution.executedPlan.toString
+    assert(p.contains("Scan parquet"), p.take(2000))
+    assert(!p.contains("nearestcells(codes"), p.take(2000)) // no re-encode
+    assert(p.contains("cell_id"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(toSet(fromDisk).nonEmpty && toSet(fromDisk) == inMem)
+  }
+
   test("boilerplateStats flags corpus-frequent passages; hash keys agree") {
     // docs 0, 1, 3 share the longA/longB spine: every 3-gram common to
     // all three has df >= 3 and is boilerplate at minDf = 3; doc 2 shares
