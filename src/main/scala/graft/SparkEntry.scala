@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
 import graft.schema.ExportSchema
 import graft.transform.{ExportTransform, ValueFormat}
 
@@ -770,6 +770,24 @@ object SparkEntry {
       GraftFunctions.register(s)
       TextAnalysis.spanDedup(t(s, dir, "documents"),
           "doc_id", "text", n = 6, minOcc = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q80_bpe_tokens" -> ((s, dir) => {
+      // REAL BPE token counts (Sennrich merges applied in rank order by
+      // the native one-pass expression) under the fixed fixture merge
+      // table — a pretrained-model artifact shipped as a plan literal,
+      // exactly how a production tokenizer deploys. The oracle replays
+      // the identical algebra in DuckDB as a replace() chain, so every
+      // count is exact, not gated. Corpus-trained tables come from
+      // Bpe.train (spec-pinned); tokenization itself is a map-side
+      // projection either way.
+      GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_words"),
+          Bpe.tokenCount(col("text"), Bpe.FixtureMerges).cast("long")
+            .as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1674,6 +1692,25 @@ object SparkEntry {
         |  COALESCE(c.clean_text, '') AS clean_text
         |FROM perdoc p LEFT JOIN clean c USING (doc_id)
         |ORDER BY p.doc_id""".stripMargin,
+
+    "q80_bpe_tokens" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+         |      AS raw
+         |  FROM documents
+         |), w AS (
+         |  SELECT doc_id, unnest(raw) AS word FROM tk
+         |), cnt AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(${graft.operators.Bpe.replaySqlTokenCount("word",
+                  graft.operators.Bpe.FixtureMerges)}) AS BIGINT) AS n_bpe
+         |  FROM w GROUP BY doc_id
+         |)
+         |SELECT tk.doc_id, CAST(len(tk.raw) AS BIGINT) AS n_words,
+         |  COALESCE(cnt.n_bpe, 0) AS n_bpe_tokens
+         |FROM tk LEFT JOIN cnt USING (doc_id)
+         |ORDER BY tk.doc_id""".stripMargin,
 
     "q73_doc_tfidf" ->
       """WITH terms AS (

@@ -40,8 +40,15 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "pq_adc",
       exprs => AdcCosine(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bpe_encode", exprs => BpeEncode(exprs(0), exprs(1)), "built-in")
     registered = true
   }
+
+  /** One-pass BPE subword tokenization of a token array against a
+    * foldable merge-table literal (see [[BpeEncode]]). */
+  def bpe_encode(tokens: Column, merges: Column): Column =
+    call_function("bpe_encode", tokens, merges)
 
   /** Hamming distance between 16-hex-char simhashes as one native pass
     * (see [[HexHamming]]). */

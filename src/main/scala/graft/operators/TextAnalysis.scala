@@ -23,10 +23,18 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword proxy: count of maximal runs of letters / digits /
-    * single other non-space chars. */
+    * single other non-space chars. Kept for model-free pipelines (q30
+    * pins these semantics); with a trained merge table use the REAL
+    * tokenizer overload below ([[graft.operators.Bpe]], q80). */
   def bpeTokenCount(text: Column): Column =
     size(call_function("regexp_extract_all", text,
       lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Real BPE token count under a trained merge table (the
+    * [[graft.operators.Bpe]] native tokenizer; requires
+    * GraftFunctions.register). */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    Bpe.tokenCount(text, merges)
 
   /** Small multilingual stopword profiles for the n-gram/stopword language
     * heuristic. Deterministic and tiny by design (a literal array per

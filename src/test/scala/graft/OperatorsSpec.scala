@@ -702,6 +702,63 @@ class OperatorsSpec extends SparkSpec {
     assert(toSet(fromDisk).nonEmpty && toSet(fromDisk) == inMem)
   }
 
+  test("Bpe.train learns merges by frequency with lexicographic tie-break") {
+    val s = spark
+    import s.implicits._
+    // words: aa x3, ab x1, b x1 -> pair (a,a) count 3 beats (a,b) count 1;
+    // after both merges no pairs remain, so training stops at 2 even when
+    // asked for 3
+    val docs = Seq("aa ab aa", "aa b").toDF("text")
+    assert(graft.operators.Bpe.train(docs, "text", nMerges = 3) ==
+      Seq(("a", "a"), ("a", "b")))
+    // exact tie on counts -> lexicographic (left, right) ascending wins
+    val tied = Seq("ab cd ab cd").toDF("text")
+    assert(graft.operators.Bpe.train(tied, "text", nMerges = 1) ==
+      Seq(("a", "b")))
+  }
+
+  test("native bpe_encode matches the reference encoder; roundtrip + fixpoint hold") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = graft.operators.Bpe.train(docs, "text", nMerges = 30)
+    assert(merges.size == 30)
+    val enc = docs.select(col("text"),
+      graft.operators.Bpe.encode(col("text"), merges).as("sub"))
+      .collect()
+    val mergeSet = merges.toSet
+    enc.foreach { r =>
+      val words = r.getString(0).split("\\s+").filter(_.nonEmpty)
+      val subs = r.getSeq[String](1)
+      // differential: native kernel == driver-side executable spec
+      val ref = words.flatMap(w =>
+        graft.operators.Bpe.encodeWordReference(w, merges))
+      assert(subs == ref.toSeq)
+      // roundtrip: subwords concatenate back to the original words
+      assert(subs.mkString == words.mkString)
+      // fixpoint within each word: no adjacent emitted pair is mergeable
+      var i = 0
+      for (w <- words) {
+        val k = graft.operators.Bpe.encodeWordReference(w, merges).length
+        val wordSubs = subs.slice(i, i + k)
+        wordSubs.sliding(2).foreach {
+          case Seq(a, b) => assert(!mergeSet.contains((a, b)),
+            s"mergeable pair ($a,$b) left in $w")
+          case _ => ()
+        }
+        i += k
+      }
+    }
+    // fixture-table chained merges segment whole known words
+    val one = Seq("table value join order group").toDF("text")
+      .select(graft.operators.Bpe.encode(col("text"),
+        graft.operators.Bpe.FixtureMerges))
+      .collect()(0).getSeq[String](0)
+    assert(one == Seq("table", "value", "join", "ord", "er", "g", "ro",
+      "u", "p"))
+  }
+
   test("boilerplateStats flags corpus-frequent passages; hash keys agree") {
     // docs 0, 1, 3 share the longA/longB spine: every 3-gram common to
     // all three has df >= 3 and is boilerplate at minDf = 3; doc 2 shares
