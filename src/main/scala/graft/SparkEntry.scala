@@ -791,6 +791,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q81_image_neardup" -> ((s, dir) => {
+      // perceptual-hash image dedup: REAL PNG decode (javax.imageio) ->
+      // area-averaged 9x8 dHash -> the simhash banded-Hamming machinery.
+      // The gradient fixture encodes its own dHash bits as pixel steps,
+      // so the oracle predicts every bit arithmetically while Spark
+      // recovers them from actual pixels; doc_id % 100 == 99 rows carry
+      // undecodable bytes and must be flagged out, not hashed.
+      GraftFunctions.register(s)
+      val media = Multimodal.dhashMediaFromDocuments(t(s, dir, "documents"))
+      val hashes = Multimodal.extractImageHashes(media).toDF()
+      Dedup.imageNearDupPairs(hashes, maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     "q73_doc_tfidf" -> ((s, dir) => {
       // per-doc top-3 TF-IDF terms; integer rank key (tf desc, df asc,
       // term asc) so no rank ever hangs on the last bit of ln()
@@ -1711,6 +1725,39 @@ object SparkEntry {
          |  COALESCE(cnt.n_bpe, 0) AS n_bpe_tokens
          |FROM tk LEFT JOIN cnt USING (doc_id)
          |ORDER BY tk.doc_id""".stripMargin,
+
+    "q81_image_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 100 <> 99
+        |), bits AS (
+        |  SELECT doc_id, CAST(j AS BIGINT) AS j,
+        |    CAST((
+        |      CASE WHEN ((doc_id % 25) * 37 + j * 11) % 64 < 32
+        |        THEN 1 ELSE 0 END
+        |      + CASE WHEN ((doc_id // 25) % 3) >= 1
+        |          AND j = (doc_id * 13) % 64 THEN 1 ELSE 0 END
+        |      + CASE WHEN ((doc_id // 25) % 3) = 2
+        |          AND j = (doc_id * 29 + 7) % 64 THEN 1 ELSE 0 END
+        |    ) % 2 AS BIGINT) AS bit
+        |  FROM ids, unnest(range(0, 64)) AS t(j)
+        |), blocks AS (
+        |  SELECT doc_id, j // 16 AS b, SUM(bit << (15 - (j % 16))) AS v
+        |  FROM bits GROUP BY doc_id, j // 16
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+        |  FROM blocks l JOIN blocks r
+        |    ON l.b = r.b AND l.v = r.v AND l.doc_id < r.doc_id
+        |), ham AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bits ba ON ba.doc_id = c.a_id
+        |  JOIN bits bb ON bb.doc_id = c.b_id AND bb.j = ba.j
+        |  GROUP BY c.a_id, c.b_id
+        |)
+        |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q73_doc_tfidf" ->
       """WITH terms AS (

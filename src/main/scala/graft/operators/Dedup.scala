@@ -342,8 +342,6 @@ object Dedup {
                           maxHamming: Int = 3,
                           materialize: Materializer = Materializer.Local)
       : DataFrame = {
-    require(maxHamming <= 3,
-      "4-block banding guarantees recall only for maxHamming <= 3")
     // (id, 16-char sig) is referenced three times (banding + both sides of
     // the verify re-attach); materialize it once so the md5-per-token
     // signature pass runs once over the corpus, not three times — the
@@ -351,6 +349,19 @@ object Dedup {
     // at scale
     val sig = materialize(docs.select(col(idCol).as("id"),
       simhashHex(col(textCol)).as("sig")))
+    bandedHammingPairs(sig, maxHamming)
+  }
+
+  /** The banded-Hamming pair search shared by SimHash text dedup and
+    * perceptual-hash image dedup: `sig` is (id, 16-hex-char 64-bit
+    * signature); the signature splits into 4 contiguous 16-bit blocks
+    * (4 hex chars), candidate pairs share at least one identical block,
+    * then the exact native Hamming verify runs on candidates only. By
+    * pigeonhole, any pair within `maxHamming` <= 3 differs in at most 3
+    * blocks, so recall is 1.0 — no probabilistic miss. */
+  def bandedHammingPairs(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-block banding guarantees recall only for maxHamming <= 3")
     val banded = sig.select(col("id"),
       explode_outer(transform(sequence(lit(0), lit(3)),
         b => concat_ws("_", b.cast("string"),
@@ -370,6 +381,20 @@ object Dedup {
       .withColumn("hamming", hammingHexStr(col("a_sig"), col("b_sig")))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Image near-duplicate pairs over a perceptual-hash table
+    * ([[Multimodal.extractImageHashes]] output): corrupt rows
+    * (`decoded = false`) are excluded, then the dHash strings go through
+    * the same banded-Hamming search as SimHash text dedup — decode and
+    * hashing are map-side `mapPartitions` work, the pair search shuffles
+    * 8-byte signatures + ids only. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+                        materialize: Materializer = Materializer.Local)
+      : DataFrame = {
+    val sig = materialize(hashes.filter(col("decoded"))
+      .select(col("doc_id").as("id"), col("dhash").as("sig")))
+    bandedHammingPairs(sig, maxHamming)
   }
 
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.

@@ -68,6 +68,12 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** The raw `BufferedImage` for a payload; None when the bytes are not
+      * a decodable image (corrupt row, wrong modality). */
+    def readImage(payload: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+
     /** Decode any payload `javax.imageio` has a reader for; None when the
       * bytes are not a decodable image (corrupt row, wrong modality). */
     def decode(payload: Array[Byte]): Option[Decoded] =
@@ -252,6 +258,157 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual near-dup signature: the image is area-averaged down to a
+    * 9x8 grayscale grid and bit j = y*8+x is 1 iff gray[y][x+1] >
+    * gray[y][x] (horizontal gradient sign). Output is a 16-hex-char
+    * string in the [[graft.functions.HexHamming]]/simhash format — hex
+    * char c holds bits 4c..4c+3 (bit 4c as the nibble MSB) — so the
+    * whole simhash banded-Hamming candidate machinery applies unchanged.
+    * Integer block-average + integer compare: deterministic across JVMs,
+    * and invariant to integer upscaling (an 18x16 copy of a 9x8 image
+    * hashes identically — the property that makes dHash a NEAR-dup
+    * signature, pinned by spec). */
+  def dHashHex(img: BufferedImage): String = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val g = Array.ofDim[Long](8, 9)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9
+        val x1 = math.max((cx + 1) * w / 9, x0 + 1)
+        val y0 = cy * h / 8
+        val y1 = math.max((cy + 1) * h / 8, y0 + 1)
+        var sum = 0L
+        var cnt = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        g(cy)(cx) = sum / (3L * cnt)
+        cx += 1
+      }
+      cy += 1
+    }
+    val hex = "0123456789abcdef"
+    val out = new java.lang.StringBuilder(16)
+    var c = 0
+    while (c < 16) {
+      var nib = 0
+      var t = 0
+      while (t < 4) {
+        val j = 4 * c + t
+        val y = j / 8
+        val x = j % 8
+        if (g(y)(x + 1) > g(y)(x)) nib |= 8 >> t
+        t += 1
+      }
+      out.append(hex.charAt(nib))
+      c += 1
+    }
+    out.toString
+  }
+
+  /** An image-hash row: 16-hex dHash + decode flag (corrupt payloads are
+    * flagged, never hashed — the banding step must exclude them). */
+  case class ImageHash(doc_id: Long, dhash: String, decoded: Boolean)
+
+  /** Partition-parallel perceptual hashing: real `javax.imageio` decode,
+    * then [[dHashHex]] over the pixels. The (doc_id, dhash) output is the
+    * image dedup index — 8 bytes of signature per image, the artifact a
+    * 100 TB media pipeline persists. */
+  def extractImageHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        ImageCodec.readImage(r.payload) match {
+          case Some(img) => ImageHash(r.doc_id, dHashHex(img), decoded = true)
+          case None      => ImageHash(r.doc_id, "", decoded = false)
+        }
+      }
+    }
+  }
+
+  /** The 64 dHash bits of the gradient fixture image for a document —
+    * pure integer arithmetic on doc_id (so an oracle predicts every bit
+    * without running the codec): group g = id % 25 picks a base gradient
+    * pattern ((g*37 + j*11) % 64 < 32; the offset map is bijective mod
+    * 64, so distinct groups stay far in Hamming distance), and
+    * (id/25) % 3 flips 0, 1 or 2 bits at id-derived positions — in-group
+    * pairs land at Hamming 0..4, straddling the maxHamming=3 gate. */
+  private[graft] def fixtureDHashBits(docId: Long): Array[Int] = {
+    val g = docId % 25
+    val nf = (docId / 25) % 3
+    val f1 = (docId * 13) % 64
+    val f2 = (docId * 29 + 7) % 64
+    (0 until 64).map { j =>
+      val base = if ((g * 37 + j * 11) % 64 < 32) 1 else 0
+      val flip1 = if (nf >= 1 && j == f1) 1 else 0
+      val flip2 = if (nf == 2 && j == f2) 1 else 0
+      (base + flip1 + flip2) % 2
+    }.toArray
+  }
+
+  /** The gradient fixture PNG: a 9x8 grayscale ramp whose horizontal
+    * steps ENCODE [[fixtureDHashBits]] (start 128, step +-8 per bit), so
+    * the real decode + [[dHashHex]] provably recovers the formula bits.
+    * Odd ids are written at 18x16 (every pixel 2x2-duplicated) to
+    * exercise the downsample path — same hash by construction. */
+  private[graft] def gradientPngFor(docId: Long): Array[Byte] = {
+    val bits = fixtureDHashBits(docId)
+    val gray = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      gray(y)(0) = 128
+      var x = 0
+      while (x < 8) {
+        gray(y)(x + 1) = gray(y)(x) + (if (bits(y * 8 + x) == 1) 8 else -8)
+        x += 1
+      }
+      y += 1
+    }
+    val scale = if (docId % 2 == 1) 2 else 1
+    val img = new BufferedImage(9 * scale, 8 * scale,
+      BufferedImage.TYPE_INT_RGB)
+    var py = 0
+    while (py < 8 * scale) {
+      var px = 0
+      while (px < 9 * scale) {
+        val v = gray(py / scale)(px / scale)
+        img.setRGB(px, py, (v << 16) | (v << 8) | v)
+        px += 1
+      }
+      py += 1
+    }
+    val out = new ByteArrayOutputStream(512)
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Image-dedup fixture table: real gradient PNG payloads per document
+    * (oracle-predictable dHash), with every doc_id % 100 == 99 row
+    * carrying undecodable text bytes — the corrupt rows the hash step
+    * must flag and the dedup step must exclude. */
+  def dhashMediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    docs.select(col("doc_id"), lit("image").as("modality"),
+        col("text").cast(BinaryType).as("payload"))
+      .as(enc)
+      .mapPartitions(rows => rows.map { r =>
+        if (r.doc_id % 100 == 99) r
+        else r.copy(payload = gradientPngFor(r.doc_id))
+      })
   }
 
   /** Frame sampling for video payloads: emit one row per sampled frame

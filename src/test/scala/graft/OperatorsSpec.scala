@@ -702,6 +702,58 @@ class OperatorsSpec extends SparkSpec {
     assert(toSet(fromDisk).nonEmpty && toSet(fromDisk) == inMem)
   }
 
+  test("dHash: known-gradient image hashes to hand-computed hex; upscale-invariant") {
+    import graft.operators.Multimodal
+    // all-ascending rows -> every bit 1 -> ffff...f; all-descending -> 0
+    val asc = Multimodal.ImageCodec.readImage({
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val v = 64 + x * 8
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }).get
+    assert(Multimodal.dHashHex(asc) == "ffffffffffffffff")
+    // fixture generator: decode recovers exactly the formula bits, and
+    // the 18x16 odd-id variant hashes identically to its 9x8 bits
+    for (id <- Seq(0L, 1L, 26L, 51L, 77L)) {
+      val img = Multimodal.ImageCodec.readImage(
+        Multimodal.gradientPngFor(id)).get
+      val bits = Multimodal.fixtureDHashBits(id)
+      val expect = (0 until 16).map { c =>
+        val nib = (0 until 4).map(t => bits(4 * c + t) << (3 - t)).sum
+        "0123456789abcdef".charAt(nib)
+      }.mkString
+      assert(Multimodal.dHashHex(img) == expect, s"id=$id")
+    }
+  }
+
+  test("imageNearDupPairs: corrupt rows excluded; hamming gate hand-checked") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(spark)
+    import graft.operators.Multimodal
+    // ids 0 and 75 share a base pattern with zero flips (hamming 0);
+    // id 25 flips one bit off the same base (hamming 1 to both);
+    // id 3 is a different base (far); id 199 is corrupt (text payload)
+    val docs = Seq(0L, 75L, 25L, 3L, 199L)
+      .map(id => (id, "not a png")).toDF("doc_id", "text")
+    val hashes = Multimodal.extractImageHashes(
+      Multimodal.dhashMediaFromDocuments(docs)).toDF()
+    val flags = hashes.collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flags(199L) == false && flags.count(_._2) == 4)
+    val pairs = Dedup.imageNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 75L)) == 0L)
+    assert(pairs((0L, 25L)) == 1L && pairs((25L, 75L)) == 1L)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.keySet.exists(p => p._1 == 199L || p._2 == 199L))
+  }
+
   test("Bpe.train learns merges by frequency with lexicographic tie-break") {
     val s = spark
     import s.implicits._

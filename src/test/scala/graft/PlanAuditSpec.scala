@@ -167,6 +167,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("q81: image near-dup candidates come from the block equi-join, no cartesian") {
+    // decode + dHash are mapPartitions projections; the pair search must
+    // be the banded equi-join on block keys with the native Hamming
+    // verify on candidates only
+    val p = plan("q81_image_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("blockkey"), p.take(2000))
+  }
+
   test("q73: the TF-IDF top-N window partitions per document, never globally") {
     // per-doc rank state is one document's vocabulary; a global rank
     // window would show a SinglePartition exchange
