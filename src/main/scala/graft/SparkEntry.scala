@@ -1727,19 +1727,20 @@ object SparkEntry {
          |ORDER BY tk.doc_id""".stripMargin,
 
     "q81_image_neardup" ->
-      """WITH ids AS (
+      """WITH m AS (
+        |  SELECT greatest(COUNT(*) // 20, 1) AS ng FROM documents
+        |), ids AS (
         |  SELECT doc_id FROM documents WHERE doc_id % 100 <> 99
         |), bits AS (
         |  SELECT doc_id, CAST(j AS BIGINT) AS j,
         |    CAST((
-        |      CASE WHEN ((doc_id % 25) * 37 + j * 11) % 64 < 32
-        |        THEN 1 ELSE 0 END
-        |      + CASE WHEN ((doc_id // 25) % 3) >= 1
+        |      ((doc_id % ng) % (53 + j)) % 2
+        |      + CASE WHEN ((doc_id // ng) % 3) >= 1
         |          AND j = (doc_id * 13) % 64 THEN 1 ELSE 0 END
-        |      + CASE WHEN ((doc_id // 25) % 3) = 2
+        |      + CASE WHEN ((doc_id // ng) % 3) = 2
         |          AND j = (doc_id * 29 + 7) % 64 THEN 1 ELSE 0 END
         |    ) % 2 AS BIGINT) AS bit
-        |  FROM ids, unnest(range(0, 64)) AS t(j)
+        |  FROM ids, m, unnest(range(0, 64)) AS t(j)
         |), blocks AS (
         |  SELECT doc_id, j // 16 AS b, SUM(bit << (15 - (j % 16))) AS v
         |  FROM bits GROUP BY doc_id, j // 16

@@ -341,19 +341,25 @@ object Multimodal {
   }
 
   /** The 64 dHash bits of the gradient fixture image for a document —
-    * pure integer arithmetic on doc_id (so an oracle predicts every bit
-    * without running the codec): group g = id % 25 picks a base gradient
-    * pattern ((g*37 + j*11) % 64 < 32; the offset map is bijective mod
-    * 64, so distinct groups stay far in Hamming distance), and
-    * (id/25) % 3 flips 0, 1 or 2 bits at id-derived positions — in-group
-    * pairs land at Hamming 0..4, straddling the maxHamming=3 gate. */
-  private[graft] def fixtureDHashBits(docId: Long): Array[Int] = {
-    val g = docId % 25
-    val nf = (docId / 25) % 3
+    * pure integer arithmetic on (doc_id, nGroups) (so an oracle predicts
+    * every bit without running the codec): group g = id % nGroups picks a
+    * base gradient pattern bit_j = (g % (53+j)) % 2 — the modulus varies
+    * per bit position, so distinct groups get effectively distinct
+    * 64-bit patterns at ANY group count (a fixed-modulus linear formula
+    * collapses to <= modulus patterns, which at corpus scale merges
+    * groups into giant quadratic-pair clusters) — and (id/nGroups) % 3
+    * flips 0, 1 or 2 bits at id-derived positions, so in-group pairs
+    * land at Hamming 0..4, straddling the maxHamming=3 gate. nGroups
+    * scales with the corpus (~20 docs per group), keeping the pair
+    * output LINEAR in corpus size. */
+  private[graft] def fixtureDHashBits(docId: Long,
+                                      nGroups: Long): Array[Int] = {
+    val g = docId % nGroups
+    val nf = (docId / nGroups) % 3
     val f1 = (docId * 13) % 64
     val f2 = (docId * 29 + 7) % 64
     (0 until 64).map { j =>
-      val base = if ((g * 37 + j * 11) % 64 < 32) 1 else 0
+      val base = ((g % (53 + j)) % 2).toInt
       val flip1 = if (nf >= 1 && j == f1) 1 else 0
       val flip2 = if (nf == 2 && j == f2) 1 else 0
       (base + flip1 + flip2) % 2
@@ -365,8 +371,9 @@ object Multimodal {
     * the real decode + [[dHashHex]] provably recovers the formula bits.
     * Odd ids are written at 18x16 (every pixel 2x2-duplicated) to
     * exercise the downsample path — same hash by construction. */
-  private[graft] def gradientPngFor(docId: Long): Array[Byte] = {
-    val bits = fixtureDHashBits(docId)
+  private[graft] def gradientPngFor(docId: Long,
+                                    nGroups: Long): Array[Byte] = {
+    val bits = fixtureDHashBits(docId, nGroups)
     val gray = Array.ofDim[Int](8, 9)
     var y = 0
     while (y < 8) {
@@ -399,15 +406,20 @@ object Multimodal {
   /** Image-dedup fixture table: real gradient PNG payloads per document
     * (oracle-predictable dHash), with every doc_id % 100 == 99 row
     * carrying undecodable text bytes — the corrupt rows the hash step
-    * must flag and the dedup step must exclude. */
-  def dhashMediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    * must flag and the dedup step must exclude. `nGroups` defaults to
+    * ~20 docs per near-dup group (corpus-derived, so cluster sizes — and
+    * with them the pair output — stay CONSTANT as the corpus scales
+    * instead of growing quadratic pair counts). */
+  def dhashMediaFromDocuments(docs: DataFrame,
+                              nGroups: Long = 0L): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
+    val ng = if (nGroups > 0) nGroups else math.max(docs.count() / 20, 1L)
     docs.select(col("doc_id"), lit("image").as("modality"),
         col("text").cast(BinaryType).as("payload"))
       .as(enc)
       .mapPartitions(rows => rows.map { r =>
         if (r.doc_id % 100 == 99) r
-        else r.copy(payload = gradientPngFor(r.doc_id))
+        else r.copy(payload = gradientPngFor(r.doc_id, ng))
       })
   }
 

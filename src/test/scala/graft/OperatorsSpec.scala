@@ -721,8 +721,8 @@ class OperatorsSpec extends SparkSpec {
     // the 18x16 odd-id variant hashes identically to its 9x8 bits
     for (id <- Seq(0L, 1L, 26L, 51L, 77L)) {
       val img = Multimodal.ImageCodec.readImage(
-        Multimodal.gradientPngFor(id)).get
-      val bits = Multimodal.fixtureDHashBits(id)
+        Multimodal.gradientPngFor(id, 25L)).get
+      val bits = Multimodal.fixtureDHashBits(id, 25L)
       val expect = (0 until 16).map { c =>
         val nib = (0 until 4).map(t => bits(4 * c + t) << (3 - t)).sum
         "0123456789abcdef".charAt(nib)
@@ -742,7 +742,7 @@ class OperatorsSpec extends SparkSpec {
     val docs = Seq(0L, 75L, 25L, 3L, 199L)
       .map(id => (id, "not a png")).toDF("doc_id", "text")
     val hashes = Multimodal.extractImageHashes(
-      Multimodal.dhashMediaFromDocuments(docs)).toDF()
+      Multimodal.dhashMediaFromDocuments(docs, nGroups = 25L)).toDF()
     val flags = hashes.collect()
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(flags(199L) == false && flags.count(_._2) == 4)
