@@ -438,18 +438,26 @@ object TextAnalysis {
     * count, and the text rewrite — the only per-token work — runs ONLY
     * over affected documents, as a map-side HOF filter against each
     * document's own (tiny) merged span list. No token-level corpus
-    * explode, no cartesian anything. */
+    * explode, no cartesian anything. With `hashKeys = true` every
+    * span-keyed shuffle and join carries `xxhash64(span)` — 8-byte longs
+    * instead of n-word passage strings (the production default at scale;
+    * the string form exists for engine-portable oracle checks, and a
+    * spec pins the two equal at test scale — the q71 hashKeys
+    * contract). */
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
                 n: Int = 6, minOcc: Long = 2,
+                hashKeys: Boolean = false,
                 mat: Materializer = Materializer.Local): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n > 0 && minOcc >= 2)
+    def keyed(c: Column): Column = if (hashKeys) xxhash64(c) else c
     // positional span occurrences: (doc_id, pos, span); word_shingles
     // emits the whole short doc as its single "span" for len < n, and the
     // interval end below clamps to the doc's last token either way
     val occ = mat(docs.select(col(idCol).as("doc_id"),
       posexplode_outer(shingles(col(textCol), n))
-        .as(Seq("pos", "sh"))))
+        .as(Seq("pos", "sh0")))
+      .select(col("doc_id"), col("pos"), keyed(col("sh0")).as("sh")))
     val freq = occ.groupBy(col("sh"))
       .agg(count(lit(1)).as("occ_cnt"))
       .filter(col("occ_cnt") >= minOcc)

@@ -284,6 +284,18 @@ class OperatorsSpec extends SparkSpec {
       (3L, 1L, 6L, "0:5", "m n")))
   }
 
+  test("spanDedup hashKeys (8-byte shuffle keys) matches the string-key form") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(hk: Boolean) = graft.operators.TextAnalysis
+      .spanDedup(docs, "doc_id", "text", n = 6, minOcc = 2, hashKeys = hk)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4))).toSet
+    val strKeys = run(false)
+    assert(strKeys.nonEmpty && run(true) == strKeys)
+  }
+
   test("quantizeInt8: symmetric int8 codes, zero-vector safe") {
     val s = spark
     import s.implicits._
