@@ -805,6 +805,46 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    "q82_image_neardup_incr" -> ((s, dir) => {
+      // q81's PRODUCTION operating mode (the q70 pattern in the image
+      // domain): even-id images form the historical hash index, persisted
+      // as parquet once per corpus dir (untimed after the first pass);
+      // the timed body decodes + hashes ONLY the odd-id new batch and
+      // joins its blocks against the on-disk index — the historical
+      // corpus is never re-decoded. Old-vs-old pairs never form.
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val media = Multimodal.dhashMediaFromDocuments(docs)
+      val abs = new java.io.File(dir).getAbsolutePath
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(abs.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+      val idxDir = new java.io.File(s".bench/q82_index_$key").getAbsolutePath
+      val idxPath = s"$idxDir/mat_0"
+      val nRows = docs.count()
+      val metaFile = new java.io.File(s"$idxDir.rows")
+      val idxValid = new java.io.File(s"$idxPath/_SUCCESS").exists() &&
+        metaFile.exists() &&
+        scala.util.Try(new String(java.nio.file.Files
+          .readAllBytes(metaFile.toPath), "UTF-8").trim.toLong)
+          .toOption.contains(nRows)
+      if (!idxValid) {
+        graft.operators.Materializer.Persisted(idxDir)(
+          Multimodal.extractImageHashes(
+              media.filter(_.doc_id % 2 == 0)).toDF()
+            .filter(col("decoded"))
+            .select(col("doc_id").as("id"), col("dhash").as("sig")))
+        java.nio.file.Files.write(metaFile.toPath,
+          nRows.toString.getBytes("UTF-8"))
+      }
+      val newSig = Multimodal.extractImageHashes(
+          media.filter(_.doc_id % 2 == 1)).toDF()
+        .filter(col("decoded"))
+        .select(col("doc_id").as("id"), col("dhash").as("sig"))
+      Dedup.bandedHammingPairsIncremental(newSig, s.read.parquet(idxPath),
+          maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     "q73_doc_tfidf" -> ((s, dir) => {
       // per-doc top-3 TF-IDF terms; integer rank key (tf desc, df asc,
       // term asc) so no rank ever hangs on the last bit of ln()
@@ -1748,6 +1788,41 @@ object SparkEntry {
         |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
         |  FROM blocks l JOIN blocks r
         |    ON l.b = r.b AND l.v = r.v AND l.doc_id < r.doc_id
+        |), ham AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bits ba ON ba.doc_id = c.a_id
+        |  JOIN bits bb ON bb.doc_id = c.b_id AND bb.j = ba.j
+        |  GROUP BY c.a_id, c.b_id
+        |)
+        |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q82_image_neardup_incr" ->
+      """WITH m AS (
+        |  SELECT greatest(COUNT(*) // 20, 1) AS ng FROM documents
+        |), ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 100 <> 99
+        |), bits AS (
+        |  SELECT doc_id, CAST(j AS BIGINT) AS j,
+        |    CAST((
+        |      ((doc_id % ng) % (53 + j)) % 2
+        |      + CASE WHEN ((doc_id // ng) % 3) >= 1
+        |          AND j = (doc_id * 13) % 64 THEN 1 ELSE 0 END
+        |      + CASE WHEN ((doc_id // ng) % 3) = 2
+        |          AND j = (doc_id * 29 + 7) % 64 THEN 1 ELSE 0 END
+        |    ) % 2 AS BIGINT) AS bit
+        |  FROM ids, m, unnest(range(0, 64)) AS t(j)
+        |), blocks AS (
+        |  SELECT doc_id, j // 16 AS b, SUM(bit << (15 - (j % 16))) AS v
+        |  FROM bits GROUP BY doc_id, j // 16
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+        |  FROM blocks l JOIN blocks r
+        |    ON l.b = r.b AND l.v = r.v AND l.doc_id < r.doc_id
+        |  WHERE l.doc_id % 2 = 1 OR r.doc_id % 2 = 1
         |), ham AS (
         |  SELECT c.a_id, c.b_id,
         |    CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)

@@ -405,6 +405,46 @@ object Dedup {
     bandedHammingPairs(sig, maxHamming)
   }
 
+  /** Incremental banded-Hamming pairs: a NEW batch of (id, sig) rows
+    * against an existing signature index (plus within the batch itself)
+    * — every returned pair touches at least one new id; old-vs-old pairs
+    * never form, so a daily run shuffles only the new batch's blocks and
+    * the index buckets they hit, and the historical corpus is never
+    * re-decoded or re-hashed. The image twin of
+    * [[minhashLshPairsIncremental]]: persist
+    * [[Multimodal.extractImageHashes]] output once
+    * ([[Materializer.Persisted]] — ~24 bytes/image), hash only each
+    * day's new images, append confirmed pairs and the new index rows. */
+  def bandedHammingPairsIncremental(newSig: DataFrame, sig: DataFrame,
+                                    maxHamming: Int = 3,
+                                    materialize: Materializer =
+                                      Materializer.Local): DataFrame = {
+    require(maxHamming <= 3,
+      "4-block banding guarantees recall only for maxHamming <= 3")
+    val fresh = materialize(newSig)
+    val all = materialize(fresh.unionByName(sig))
+    def banded(df: DataFrame): DataFrame = df.select(col("id"),
+      explode_outer(transform(sequence(lit(0), lit(3)),
+        b => concat_ws("_", b.cast("string"),
+          call_function("substring", col("sig"), b * 4 + 1, lit(4)))))
+        .as("blockkey"))
+    val candidates = banded(fresh).select(col("blockkey"), col("id").as("n_id"))
+      .join(banded(all).select(col("blockkey"), col("id").as("o_id")),
+        Seq("blockkey"))
+      .filter(col("n_id") =!= col("o_id"))
+      .select(least(col("n_id"), col("o_id")).as("a_id"),
+        greatest(col("n_id"), col("o_id")).as("b_id"))
+      .distinct()
+    candidates
+      .join(all.select(col("id").as("a_id"), col("sig").as("a_sig")),
+        Seq("a_id"))
+      .join(all.select(col("id").as("b_id"), col("sig").as("b_sig")),
+        Seq("b_id"))
+      .withColumn("hamming", hammingHexStr(col("a_sig"), col("b_sig")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
     * Map-side only; Hamming-close simhashes => near-dup candidates. */
   def simhash64(text: Column): Column = {

@@ -766,6 +766,37 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 199L || p._2 == 199L))
   }
 
+  test("incremental image dedup: full == old ∪ incremental, index from disk in a fresh session") {
+    GraftFunctions.register(spark)
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sig = Multimodal.extractImageHashes(
+        Multimodal.dhashMediaFromDocuments(docs)).toDF()
+      .filter(col("decoded"))
+      .select(col("doc_id").as("id"), col("dhash").as("sig"))
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = toSet(Dedup.bandedHammingPairs(sig))
+    val oldOnly = toSet(Dedup.bandedHammingPairs(sig.filter(col("id") % 2 === 0)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_imgidx").toString
+    graft.operators.Materializer.Persisted(tmp)(
+      sig.filter(col("id") % 2 === 0))
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2)
+    val docs2 = s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val newSig = Multimodal.extractImageHashes(
+        Multimodal.dhashMediaFromDocuments(docs2)
+          .filter(_.doc_id % 2 == 1)).toDF()
+      .filter(col("decoded"))
+      .select(col("doc_id").as("id"), col("dhash").as("sig"))
+    val inc = toSet(Dedup.bandedHammingPairsIncremental(
+      newSig, s2.read.parquet(s"$tmp/mat_0")))
+    // exact algebra: the incremental run finds precisely the pairs the
+    // full run finds beyond the historical-only ones, and nothing twice
+    assert(inc.nonEmpty && oldOnly.intersect(inc).isEmpty)
+    assert(oldOnly ++ inc == full)
+  }
+
   test("Bpe.train learns merges by frequency with lexicographic tie-break") {
     val s = spark
     import s.implicits._
