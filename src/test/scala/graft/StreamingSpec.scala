@@ -141,7 +141,11 @@ class StreamingSpec extends SparkSpec {
       deduped.select(col("doc_id"),
         graft.operators.TextAnalysis.langId(col("text")).as("lang_pred"),
         graft.operators.TextAnalysis.qualityScore(col("text")).as("q"),
-        graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        // the native BPE tokenizer is a stateless projection, so it runs
+        // on a streaming frame unchanged — part of the differential
+        graft.operators.Bpe.tokenCount(col("text"),
+          graft.operators.Bpe.FixtureMerges).as("n_bpe"))
     }
     val q = analyze(spark.readStream.schema(df.schema).parquet(dir))
       .writeStream.outputMode("append")
@@ -155,7 +159,8 @@ class StreamingSpec extends SparkSpec {
       kept.intersect(Set(0L, 2L)).size == 1)
     // differential vs batch, on the id-independent analysis columns
     def exId(rows: Seq[org.apache.spark.sql.Row]) =
-      rows.map(r => (r.getString(1), r.getDouble(2), r.getInt(3))).sortBy(_._1)
+      rows.map(r => (r.getString(1), r.getDouble(2), r.getInt(3),
+        r.getInt(4))).sortBy(_._1)
     val batch = analyze(df.filter(col("doc_id") =!= 2))
       .orderBy("doc_id").collect().toSeq
     assert(exId(got) == exId(batch))
