@@ -451,13 +451,18 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(n > 0 && minOcc >= 2)
     def keyed(c: Column): Column = if (hashKeys) xxhash64(c) else c
-    // positional span occurrences: (doc_id, pos, span); word_shingles
-    // emits the whole short doc as its single "span" for len < n, and the
-    // interval end below clamps to the doc's last token either way
+    // positional span occurrences: (doc_id, pos, span, doc token count);
+    // word_shingles emits the whole short doc as its single "span" for
+    // len < n, and the interval end below clamps to the doc's last token
+    // either way. n_toks rides along from the same projection so the
+    // interval step needs NO corpus-wide length join later (only cut
+    // occurrences — a tiny set — ever carry it through a shuffle).
     val occ = mat(docs.select(col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).cast("long").as("n_toks"),
       posexplode_outer(shingles(col(textCol), n))
         .as(Seq("pos", "sh0")))
-      .select(col("doc_id"), col("pos"), keyed(col("sh0")).as("sh")))
+      .select(col("doc_id"), col("n_toks"), col("pos"),
+        keyed(col("sh0")).as("sh")))
     val freq = occ.groupBy(col("sh"))
       .agg(count(lit(1)).as("occ_cnt"))
       .filter(col("occ_cnt") >= minOcc)
@@ -473,13 +478,11 @@ object TextAnalysis {
     val cut = flagged.join(kPos, Seq("sh"))
       .filter(!(col("doc_id") === col("k_doc") &&
         col("pos") === col("k_pos")))
-      .select(col("doc_id"), col("pos")).distinct()
+      .select(col("doc_id"), col("pos"), col("n_toks")).distinct()
     // cut intervals [pos, min(pos+n-1, len-1)], merged per doc
     // (gaps-and-islands: a new island starts when pos clears the running
     // max end by more than 1 — overlapping AND adjacent runs merge)
-    val lens = docs.select(col(idCol).as("doc_id"),
-      tokenCount(col(textCol)).cast("long").as("n_toks"))
-    val iv = cut.join(lens, Seq("doc_id"))
+    val iv = cut
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         least(col("pos") + lit(n - 1), col("n_toks") - 1).as("iend"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
