@@ -482,6 +482,37 @@ object Similarity {
     ivfPqSearch(mat(ivfPqIndex(corpus, seeds, codebooks, idCol, vecCol)),
       queries, seeds, codebooks, k, nprobe, idCol, vecCol)
 
+  /** IVF-PQ with the standard production REFINE step (the FAISS
+    * IVFPQR recipe): the ADC scan retrieves `k * refine` candidates per
+    * query from the compressed index, then an exact cosine re-rank
+    * touches the FLOAT vectors for only those candidate rows — an
+    * equi-join on neighbor id against the cold float store, k·refine·|Q|
+    * rows, never a corpus scan. Quantization error that reorders or
+    * drops true neighbors near the ADC cut is repaired at the cost of
+    * one bounded id-join; recall is >= the unrefined search's by
+    * construction (spec-pinned). */
+  def ivfPqSearchRefined(index: DataFrame, queries: DataFrame,
+                         seeds: DataFrame,
+                         codebooks: Array[Array[Array[Float]]],
+                         corpus: DataFrame, k: Int,
+                         nprobe: Int = 1, refine: Int = 4,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(refine >= 1, "refine must be >= 1")
+    val adc = ivfPqSearch(index, queries, seeds, codebooks, k * refine,
+      nprobe, idCol, vecCol)
+    val scored = adc.select(col("query_id"), col("neighbor_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec"))), Seq("query_id"))
+      .withColumn("sim",
+        round(GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")), 6))
+    partialTopK(scored, col("sim"), k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("hsim").as("sim"), col("hrk").as("rk"))
+  }
+
   /** Reference HOF formulation of the ADC cosine (executable spec of
     * [[graft.functions.AdcCosine]]'s semantics, pinned by a differential
     * test — not for hot paths: projection collapse re-evaluates the code
