@@ -190,4 +190,43 @@ class TransformPropertySpec extends SparkSpec {
       out.columns.toSeq == schema.map(_.dbName)
     }, minSuccessful = 15)
   }
+
+  test("BPE reference encoder: lossless roundtrip and merge-set fixpoint for any word") {
+    // a corpus-trained table is well-formed by construction; against it,
+    // encoding ANY word (in or out of the training vocabulary) must
+    // concatenate back to the word, and leave no adjacent mergeable pair
+    val merges = graft.operators.Bpe.FixtureMerges
+    val mergeSet = merges.toSet
+    val wordGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    check(Prop.forAll(wordGen) { w =>
+      val subs = graft.operators.Bpe.encodeWordReference(w, merges)
+      subs.mkString == w &&
+        subs.sliding(2).forall {
+          case Seq(a, b) => !mergeSet.contains((a, b))
+          case _         => true
+        }
+    })
+  }
+
+  test("dHash fixture: generated pixels always decode back to the formula bits") {
+    // for ANY (doc id, group count), writing the gradient PNG and running
+    // the real decode + dHash kernel recovers exactly the formula's 64
+    // bits — the generator/kernel pair can never drift apart
+    import graft.operators.Multimodal
+    val gen = for {
+      id <- Gen.chooseNum(0L, 1000000L)
+      ng <- Gen.chooseNum(1L, 500L)
+    } yield (id, ng)
+    check(Prop.forAll(gen) { case (id, ng) =>
+      val img = Multimodal.ImageCodec.readImage(
+        Multimodal.gradientPngFor(id, ng)).get
+      val bits = Multimodal.fixtureDHashBits(id, ng)
+      val expect = (0 until 16).map { c =>
+        val nib = (0 until 4).map(t => bits(4 * c + t) << (3 - t)).sum
+        "0123456789abcdef".charAt(nib)
+      }.mkString
+      Multimodal.dHashHex(img) == expect
+    }, minSuccessful = 50)
+  }
 }
