@@ -177,6 +177,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("blockkey"), p.take(2000))
   }
 
+  test("q80: BPE tokenization is one map-side projection — no shuffle before the sort") {
+    // the merge table is a foldable literal inside the plan; the only
+    // exchange allowed is the final orderBy's range partitioning
+    val p = plan("q80_bpe_tokens")
+    assert(p.contains("bpeencode") || p.toLowerCase.contains("bpe_encode"),
+      p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q82: incremental image dedup pairs via the block equi-join, no cartesian") {
+    // (the parquet-index-from-disk behavior itself is pinned in
+    // OperatorsSpec's fresh-session test; the Materializer's
+    // localCheckpoint hides the scan node from this executed plan)
+    val p = plan("q82_image_neardup_incr")
+    assert(p.contains("blockkey"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q73: the TF-IDF top-N window partitions per document, never globally") {
     // per-doc rank state is one document's vocabulary; a global rank
     // window would show a SinglePartition exchange
