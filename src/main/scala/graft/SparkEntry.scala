@@ -845,6 +845,46 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    "q83_bpe_trained" -> ((s, dir) => {
+      // CORPUS-TRAINED BPE end to end: Bpe.train learns 50 merges from
+      // this corpus at runtime (distributed word counts + bounded driver
+      // loop), then the native tokenizer encodes every document. The
+      // merge table is runtime data, so counts aren't SQL-replayable;
+      // the gate is the q19/q72 pattern — per-doc booleans the oracle
+      // pins TRUE: lossless roundtrip (subwords concatenate back to the
+      // words), merge-set fixpoint (no adjacent emitted pair is still
+      // mergeable — the defining property of a completed BPE encode),
+      // and count bounds (n_words <= n_bpe <= non-space chars). A
+      // broken trainer or encoder flips a boolean and hash-mismatches.
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.train(docs, "text", nMerges = 50)
+      val mergeKeys = merges.map { case (a, b) => a + " " + b }
+      val mergesLit = typedlit(merges.map(p => Seq(p._1, p._2)))
+      val words = TextAnalysis.tokens(col("text"))
+      // per-word encode: BPE never merges across words, so the fixpoint
+      // property (no adjacent mergeable pair) holds per WORD — a flat
+      // whole-doc subword list has coincidental cross-word adjacencies.
+      // Subwords contain no spaces, so "a b" pair keys are unambiguous.
+      val perWord = transform(words,
+        w => GraftFunctions.bpe_encode(array(w), mergesLit))
+      docs.select(col("doc_id"), words.as("w"), perWord.as("pw"))
+        .select(col("doc_id"), col("w"), col("pw"),
+          flatten(col("pw")).as("sub"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_words"),
+          (array_join(col("sub"), "") === array_join(col("w"), "") &&
+            !exists(col("pw"), ws => exists(
+              zip_with(ws,
+                slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+                (x, y) => concat_ws(" ", x, y)),
+              p => array_contains(typedlit(mergeKeys), p))) &&
+            size(col("sub")) >= size(col("w")) &&
+            size(col("sub")) <= length(array_join(col("w"), "")))
+            .as("bpe_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q73_doc_tfidf" -> ((s, dir) => {
       // per-doc top-3 TF-IDF terms; integer rank key (tf desc, df asc,
       // term asc) so no rank ever hangs on the last bit of ln()
@@ -1834,6 +1874,13 @@ object SparkEntry {
         |)
         |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 3
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q83_bpe_trained" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS BIGINT) AS n_words,
+        |  TRUE AS bpe_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q73_doc_tfidf" ->
       """WITH terms AS (
