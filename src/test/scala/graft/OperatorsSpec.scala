@@ -797,6 +797,25 @@ class OperatorsSpec extends SparkSpec {
     assert(oldOnly ++ inc == full)
   }
 
+  test("bandedHammingPairsIncremental serves text simhash signatures too") {
+    // the shared 64-bit banded-Hamming machinery is signature-agnostic:
+    // the same incremental path that joins image dHashes joins text
+    // simhashes — full == old ∪ incremental on the simhash index
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sig = docs.select(col("doc_id").as("id"),
+      Dedup.simhashHex(col("text")).as("sig")).localCheckpoint(true)
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = toSet(Dedup.bandedHammingPairs(sig))
+    val oldOnly = toSet(
+      Dedup.bandedHammingPairs(sig.filter(col("id") % 2 === 0)))
+    val inc = toSet(Dedup.bandedHammingPairsIncremental(
+      sig.filter(col("id") % 2 === 1), sig.filter(col("id") % 2 === 0)))
+    assert(inc.nonEmpty && oldOnly.intersect(inc).isEmpty)
+    assert(oldOnly ++ inc == full)
+  }
+
   test("Bpe.train learns merges by frequency with lexicographic tie-break") {
     val s = spark
     import s.implicits._
