@@ -454,13 +454,19 @@ object TextAnalysis {
     // positional span occurrences: (doc_id, pos, span, doc token count);
     // word_shingles emits the whole short doc as its single "span" for
     // len < n, and the interval end below clamps to the doc's last token
-    // either way. n_toks rides along from the same projection so the
-    // interval step needs NO corpus-wide length join later (only cut
-    // occurrences — a tiny set — ever carry it through a shuffle).
-    val occ = mat(docs.select(col(idCol).as("doc_id"),
-      tokenCount(col(textCol)).cast("long").as("n_toks"),
-      posexplode_outer(shingles(col(textCol), n))
-        .as(Seq("pos", "sh0")))
+    // either way. n_toks rides along so the interval step needs NO
+    // corpus-wide length join later (only cut occurrences — a tiny set —
+    // ever carry it through a shuffle), and it is computed in the
+    // projection BELOW the generate: an expression alongside posexplode
+    // lands in the Project ABOVE the Generate, re-evaluated once per
+    // exploded row — O(len²) per doc (measured 2.5x on this query).
+    val occ = mat(docs
+      .select(col(idCol).as("doc_id"),
+        tokenCount(col(textCol)).cast("long").as("n_toks"),
+        col(textCol).as("sd_text"))
+      .select(col("doc_id"), col("n_toks"),
+        posexplode_outer(shingles(col("sd_text"), n))
+          .as(Seq("pos", "sh0")))
       .select(col("doc_id"), col("n_toks"), col("pos"),
         keyed(col("sh0")).as("sh")))
     val freq = occ.groupBy(col("sh"))
