@@ -166,6 +166,34 @@ class StreamingSpec extends SparkSpec {
     assert(exId(got) == exId(batch))
   }
 
+  test("image perceptual hashing composes over a streaming media source") {
+    // extractImageHashes is a stateless mapPartitions kernel, so the SAME
+    // operator runs on a streaming Dataset[MediaRow] with no changes —
+    // the multimodal pipeline's streaming face. Differential pin:
+    // streaming hashes == batch hashes, corrupt rows flagged not dropped.
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Multimodal
+    val docs = Seq((0L, "x"), (25L, "x"), (75L, "x"), (199L, "corrupt"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.dhashMediaFromDocuments(docs, nGroups = 25L)
+    val dir = Files.createTempDirectory("graft-media-stream").toString
+    media.toDF().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(media.schema).parquet(dir)
+      .as[Multimodal.MediaRow]
+    val q = Multimodal.extractImageHashes(stream).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("media_hash_out").start()
+    q.processAllAvailable(); q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    val got = key(spark.table("media_hash_out"))
+    val batch = key(Multimodal.extractImageHashes(media).toDF())
+    assert(got == batch && got.size == 4)
+    assert(got.count(!_._3) == 1) // the corrupt row is flagged, not lost
+  }
+
   test("checkpoint resume: restart processes only new files, no duplicates") {
     val s = spark
     import s.implicits._
