@@ -885,6 +885,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q84_image_clusters" -> ((s, dir) => {
+      // the image-dedup loop closed end to end: real decode -> dHash ->
+      // banded-Hamming pairs (q81) -> connected components via the same
+      // pointer-jumping label propagation as text dedup. One cluster id
+      // per image that has at least one near-dup — the keep-one-
+      // representative step for a media corpus.
+      GraftFunctions.register(s)
+      val media = Multimodal.dhashMediaFromDocuments(t(s, dir, "documents"))
+      val hashes = Multimodal.extractImageHashes(media).toDF()
+      val pairs = Dedup.imageNearDupPairs(hashes, maxHamming = 3)
+      Dedup.nearDupClusters(pairs).orderBy(col("doc_id"))
+    }),
+
     "q73_doc_tfidf" -> ((s, dir) => {
       // per-doc top-3 TF-IDF terms; integer rank key (tf desc, df asc,
       // term asc) so no rank ever hangs on the last bit of ln()
@@ -1881,6 +1894,46 @@ object SparkEntry {
         |    x -> x <> '')) AS BIGINT) AS n_words,
         |  TRUE AS bpe_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q84_image_clusters" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT greatest(COUNT(*) // 20, 1) AS ng FROM documents
+        |), ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 100 <> 99
+        |), bits AS (
+        |  SELECT doc_id, CAST(j AS BIGINT) AS j,
+        |    CAST((
+        |      ((doc_id % ng) % (53 + j)) % 2
+        |      + CASE WHEN ((doc_id // ng) % 3) >= 1
+        |          AND j = (doc_id * 13) % 64 THEN 1 ELSE 0 END
+        |      + CASE WHEN ((doc_id // ng) % 3) = 2
+        |          AND j = (doc_id * 29 + 7) % 64 THEN 1 ELSE 0 END
+        |    ) % 2 AS BIGINT) AS bit
+        |  FROM ids, m, unnest(range(0, 64)) AS t(j)
+        |), blocks AS (
+        |  SELECT doc_id, j // 16 AS b, SUM(bit << (15 - (j % 16))) AS v
+        |  FROM bits GROUP BY doc_id, j // 16
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+        |  FROM blocks l JOIN blocks r
+        |    ON l.b = r.b AND l.v = r.v AND l.doc_id < r.doc_id
+        |), pairs AS (
+        |  SELECT c.a_id, c.b_id
+        |  FROM cand c
+        |  JOIN bits ba ON ba.doc_id = c.a_id
+        |  JOIN bits bb ON bb.doc_id = c.b_id AND bb.j = ba.j
+        |  GROUP BY c.a_id, c.b_id
+        |  HAVING SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 3
+        |), edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs
+        |), reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+        |)
+        |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
 
     "q73_doc_tfidf" ->
       """WITH terms AS (
