@@ -898,6 +898,73 @@ object SparkEntry {
       Dedup.nearDupClusters(pairs).orderBy(col("doc_id"))
     }),
 
+    "q85_semdedup" -> ((s, dir) => {
+      // SemDeDup (greedy keep-lowest-id per LSH bucket): one aggregate
+      // over the q42 pair stream — which vectors a semantic dedup pass
+      // would DROP, and on whose account. threshold 0.4 for the same
+      // reason as q42 (synthetic embeddings are near-orthogonal; the
+      // positive path must be exercised at verify scale)
+      GraftFunctions.register(s)
+      Dedup.semanticDedupDrops(t(s, dir, "embeddings"), "vec_id",
+          "embedding", planes = 6, threshold = 0.4, exact = true)
+        .select(col("id").as("vec_id"), col("dup_of"), col("n_earlier"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "q86_doc_chunk" -> ((s, dir) => {
+      // RAG/context chunking: 64-token windows every 48 tokens —
+      // zero-shuffle map-side windowing (plan-pinned)
+      TextAnalysis.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          chunkLen = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    "q87_bigram_surprisal" -> ((s, dir) => {
+      // bigram-LM fluency scoring (add-0.5 smoothing) — the stronger
+      // cousin of q76's unigram rarity; DECIMAL accumulation keeps the
+      // per-doc ln-sum order-independent
+      TextAnalysis.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text",
+          alpha = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q88_dsir_resample" -> ((s, dir) => {
+      // DSIR data selection: 100 docs that look most like the src0 slice
+      // under unigram importance weights + deterministic hash-Gumbel
+      // resampling (Xie et al. 2023; no rand(), engine-portable)
+      val docs = t(s, dir, "documents")
+      operators.Sampling.dsirResample(docs,
+          docs.filter(col("source") === "src0"), "doc_id", "text",
+          n = 100, alpha = 0.5)
+        .select(col("rk"), col("id").as("doc_id"), col("logw"), col("score"))
+        .orderBy(col("rk"))
+    }),
+
+    "q89_hard_negatives" -> ((s, dir) => {
+      // contrastive hard-negative mining: 5 nearest DIFFERENT-label
+      // neighbors per query — the label-mismatch predicate rides the
+      // broadcast join map-side; same bounded-heap shape as q40
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegativesTopK(emb, emb.filter(col("vec_id") < 30),
+          k = 5, exact = true)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "q90_decontaminate_bloom" -> ((s, dir) => {
+      // q68's decontamination at eval-set scales where the exact shingle
+      // set can't broadcast: distributed bloom build -> map-side
+      // might_contain prefilter -> shuffle-join verify on the surviving
+      // sliver. Same answer as q68 (bloom has no false negatives; the
+      // verify join kills false positives) — same oracle SQL.
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      TextAnalysis.contaminationOverlapBloom(docs,
+          docs.filter(col("doc_id") < 10), "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), col("n_overlap"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q73_doc_tfidf" -> ((s, dir) => {
       // per-doc top-3 TF-IDF terms; integer rank key (tf desc, df asc,
       // term asc) so no rank ever hangs on the last bit of ln()
@@ -1934,6 +2001,162 @@ object SparkEntry {
         |)
         |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
         |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+
+    "q85_semdedup" ->
+      s"""WITH ${bucketCtes(6)},
+         |l AS (
+         |  SELECT e.vec_id AS a_id, e.embedding AS av, b.bucket
+         |  FROM embeddings e JOIN buckets b USING (vec_id)
+         |), r AS (
+         |  SELECT e.vec_id AS b_id, e.embedding AS bv, b.bucket
+         |  FROM embeddings e JOIN buckets b USING (vec_id)
+         |), p AS (
+         |  SELECT a_id, b_id,
+         |    ${dotSql("av", "bv")} AS dot,
+         |    ${normSql("av")} AS nq,
+         |    ${normSql("bv")} AS nc
+         |  FROM l JOIN r USING (bucket) WHERE a_id < b_id
+         |), scored AS (
+         |  SELECT DISTINCT a_id, b_id, round($cosSql, 6) AS sim FROM p)
+         |SELECT b_id AS vec_id, MIN(a_id) AS dup_of,
+         |  CAST(COUNT(*) AS BIGINT) AS n_earlier
+         |FROM scored WHERE sim >= 0.4
+         |GROUP BY b_id ORDER BY vec_id""".stripMargin,
+
+    "q86_doc_chunk" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents
+         |), st AS (
+         |  SELECT doc_id, tk, unnest(range(0, len(tk), 48)) AS s
+         |  FROM base)
+         |SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id,
+         |  CAST(least(64, len(tk) - s) AS BIGINT) AS n_tokens,
+         |  array_to_string(tk[CAST(s + 1 AS INT):CAST(s + 64 AS INT)], ' ')
+         |    AS chunk_text
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q87_bigram_surprisal" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents
+         |), bi AS (
+         |  SELECT doc_id, tk[CAST(i + 1 AS INT)] AS w1,
+         |    tk[CAST(i + 2 AS INT)] AS w2
+         |  FROM (SELECT doc_id, tk,
+         |          unnest(range(0, greatest(len(tk) - 1, 0))) AS i
+         |        FROM base)
+         |), tf AS (
+         |  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM bi GROUP BY 1, 2, 3
+         |), c2 AS (SELECT w1, w2, SUM(tf) AS c2 FROM tf GROUP BY 1, 2),
+         |c1 AS (SELECT w1, SUM(tf) AS c1 FROM tf GROUP BY 1),
+         |v AS (
+         |  SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vs
+         |  FROM (SELECT unnest(tk) AS t FROM base)
+         |), sc AS (
+         |  SELECT doc_id, tf,
+         |    ln((CAST(c2 AS DOUBLE) + 0.5) / (CAST(c1 AS DOUBLE) + 0.5 * vs))
+         |      AS lp
+         |  FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+         |), agg AS (
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         |    round(-CAST(SUM(CAST(CAST(tf AS DOUBLE) * lp AS DECIMAL(38,6)))
+         |        AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6) AS surprisal
+         |  FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(a.surprisal, 0.0) AS surprisal
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q88_dsir_resample" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents
+         |), tf AS (
+         |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS t FROM base)
+         |  GROUP BY doc_id, t
+         |), raw AS (SELECT t, SUM(tf) AS c_raw FROM tf GROUP BY t),
+         |tgt AS (
+         |  SELECT t, SUM(tf) AS c_tgt FROM tf
+         |  JOIN documents USING (doc_id) WHERE source = 'src0' GROUP BY t
+         |), sc AS (
+         |  SELECT (SELECT CAST(SUM(c_raw) AS DOUBLE) FROM raw) AS n_raw,
+         |    (SELECT CAST(COUNT(*) AS DOUBLE) FROM raw) AS v_raw,
+         |    (SELECT CAST(COALESCE(SUM(c_tgt), 0) AS DOUBLE) FROM tgt)
+         |      AS n_tgt,
+         |    (SELECT CAST(COUNT(*) AS DOUBLE) FROM tgt) AS v_tgt
+         |), lr AS (
+         |  SELECT r.t,
+         |    ln((CAST(COALESCE(g.c_tgt, 0) AS DOUBLE) + 0.5)
+         |        / (n_tgt + 0.5 * v_tgt))
+         |      - ln((CAST(r.c_raw AS DOUBLE) + 0.5) / (n_raw + 0.5 * v_raw))
+         |      AS lratio
+         |  FROM raw r LEFT JOIN tgt g USING (t), sc
+         |), lw AS (
+         |  SELECT doc_id,
+         |    round(CAST(SUM(CAST(CAST(tf AS DOUBLE) * lratio
+         |      AS DECIMAL(38,6))) AS DOUBLE), 6) AS logw
+         |  FROM tf JOIN lr USING (t) GROUP BY doc_id
+         |), su AS (
+         |  SELECT doc_id, logw,
+         |    round(logw - ln(-ln(
+         |      (CAST(list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+         |        (strpos('0123456789abcdef',
+         |          substr(md5(CAST(doc_id AS VARCHAR)), i + 1, 1)) - 1)
+         |        for i in range(0, 8)]) AS DOUBLE) + 1.0) / 4294967297.0)), 6)
+         |      AS score
+         |  FROM lw)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+         |    AS rk,
+         |  doc_id, logw, score
+         |FROM su ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q89_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qv, label AS ql
+         |  FROM embeddings WHERE vec_id < 30
+         |), c AS (
+         |  SELECT vec_id AS cid, embedding AS cv, label AS cl
+         |  FROM embeddings
+         |), p AS (
+         |  SELECT qid, cid,
+         |    ${dotSql("qv", "cv")} AS dot,
+         |    ${normSql("qv")} AS nq,
+         |    ${normSql("cv")} AS nc
+         |  FROM q, c WHERE qid <> cid AND ql IS DISTINCT FROM cl
+         |), scored AS (
+         |  SELECT qid AS query_id, cid AS neighbor_id,
+         |    round($cosSql, 6) AS sim
+         |  FROM p
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS INT) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin,
+
+    "q90_decontaminate_bloom" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE
+        |      WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
+        |        x -> x <> '')) < 5
+        |      THEN [array_to_string(list_filter(
+        |        regexp_split_to_array(text, '\s+'), x -> x <> ''), ' ')]
+        |      ELSE [array_to_string(list_filter(
+        |          regexp_split_to_array(text, '\s+'), x -> x <> '')[i+1:i+5],
+        |          ' ')
+        |        for i in range(0, len(list_filter(
+        |          regexp_split_to_array(text, '\s+'), x -> x <> '')) - 4)]
+        |      END) AS shingles
+        |  FROM documents
+        |), ev AS (
+        |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 10
+        |), corpus AS (
+        |  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id >= 10)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |FROM corpus JOIN ev USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q73_doc_tfidf" ->
       """WITH terms AS (

@@ -42,6 +42,20 @@ object GraftFunctions {
       exprs => AdcCosine(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     reg.createOrReplaceTempFunction(
       "bpe_encode", exprs => BpeEncode(exprs(0), exprs(1)), "built-in")
+    // Spark's OWN runtime-filter bloom expressions (catalyst internal,
+    // not exposed as SQL functions): registered here so the 100 TB
+    // decontamination path can build an eval-set bloom DISTRIBUTEDLY
+    // (one binary scalar to the driver) and probe it map-side — the
+    // exact same machinery InjectRuntimeFilter uses for join pruning.
+    reg.createOrReplaceTempFunction(
+      "bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
     registered = true
   }
 
@@ -105,4 +119,17 @@ object GraftFunctions {
   def hyperplane_lsh(vec: Column, planes: Int): Column =
     call_function("hyperplane_lsh", vec,
       org.apache.spark.sql.functions.lit(planes))
+
+  /** Distributed bloom-filter build over a LONG column (feed it
+    * `xxhash64(...)`): Spark's own `BloomFilterAggregate`, yielding the
+    * serialized filter as one binary scalar. */
+  def bloom_agg(hashed: Column, expectedItems: Long, numBits: Long): Column =
+    call_function("bloom_agg", hashed,
+      org.apache.spark.sql.functions.lit(expectedItems),
+      org.apache.spark.sql.functions.lit(numBits))
+
+  /** Map-side bloom probe (`BloomFilterMightContain`): `bloom` must be a
+    * foldable binary literal; `hashed` the same `xxhash64` used at build. */
+  def bloom_might_contain(bloom: Column, hashed: Column): Column =
+    call_function("bloom_might_contain", bloom, hashed)
 }

@@ -491,4 +491,25 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("sim"))
       .distinct()
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication over an embedding column. A vector is dropped iff a
+    * LOWER-id vector shares its LSH bucket with cosine >= `threshold`
+    * (greedy keep-lowest-id inside each ε-ball; the hyperplane bucket
+    * plays the paper's k-means-cluster role — both are "only compare
+    * within a cell" scopes). Built on [[embeddingNearDupPairs]], so
+    * candidates come from the single bucket equi-join and the verdict
+    * adds ONE partial-combined aggregate (min + count) over the pair
+    * stream — no window, no iteration, no transitive closure (the
+    * published algorithm is per-ball greedy, not connected-components,
+    * so a chain a~b~c with a≁c keeps a AND c). Returns one row per
+    * dropped vector: (id, dup_of = smallest earlier near-dup,
+    * n_earlier = how many earlier near-dups it has). */
+  def semanticDedupDrops(embs: DataFrame, idCol: String, vecCol: String,
+                         planes: Int = 12, threshold: Double = 0.95,
+                         exact: Boolean = false): DataFrame =
+    embeddingNearDupPairs(embs, idCol, vecCol, planes, threshold, exact)
+      .groupBy(col("b_id"))
+      .agg(min(col("a_id")).as("dup_of"), count(lit(1)).as("n_earlier"))
+      .select(col("b_id").as("id"), col("dup_of"), col("n_earlier"))
 }

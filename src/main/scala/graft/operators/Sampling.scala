@@ -82,4 +82,70 @@ object Sampling {
     pool.withColumn("rk", row_number().over(w).cast("int"))
       .filter(col("rk") <= n)
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): pick the `n` raw-corpus documents that look most
+    * like a target domain. Per-doc importance weight
+    * `log w(d) = Σ_t tf_t(d)·(ln p_target(t) − ln p_raw(t))` under add-α
+    * unigram LMs trained on the target slice and the full corpus; the
+    * paper's Gumbel-top-k resample is made deterministic and
+    * engine-portable by deriving each doc's Gumbel noise
+    * `g = −ln(−ln u)` from a md5-uniform `u` (the q63 idiom — no
+    * rand(), identical selection on retry or on another engine).
+    * Selected = top `n` by (log w + g), tie-broken by id.
+    *
+    * Scale shape: per-doc term tf partial-combines once
+    * ([[Materializer]]-pinned; the two LM count tables and the join-back
+    * all share it); both LMs are aggregates of that table (the target LM
+    * filters it by the broadcast target-id set — the corpus is NOT
+    * re-tokenized); the join-back keys on the term (Zipf head → AQE
+    * skew-join). The per-doc weight sum accumulates in DECIMAL(38,6)
+    * so partial-agg order can never flip a bit, and the final top-n is
+    * a bounded sort, not a global window. Driver scalars: two LM
+    * totals + two vocab sizes.
+    *
+    * `target` must be a subset of `df` rows (same id space). Returns
+    * (rk, id, logw, score) for the selected docs. */
+  def dsirResample(df: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, n: Int, alpha: Double = 0.5,
+                   mat: Materializer = Materializer.Local): DataFrame = {
+    require(n > 0)
+    val tf = mat(df
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf")))
+    val targetIds = target.select(col(idCol).as("id"))
+    val tgtTf = tf.join(broadcast(targetIds), Seq("id"))
+    val rawLm = tf.groupBy(col("t")).agg(sum(col("tf")).as("c_raw"))
+    val tgtLm = tgtTf.groupBy(col("t")).agg(sum(col("tf")).as("c_tgt"))
+    def scalars(lm: DataFrame, c: String): (Double, Double) = {
+      val r = lm.agg(coalesce(sum(col(c)), lit(0L)),
+        count(lit(1))).collect()(0)
+      (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    }
+    val (nRaw, vRaw) = scalars(rawLm, "c_raw")
+    val (nTgt, vTgt) = scalars(tgtLm, "c_tgt")
+    // ln p_target(t) - ln p_raw(t); a term absent from the target LM
+    // still scores via the smoothing mass (c_tgt -> 0)
+    val lr = rawLm.join(tgtLm, Seq("t"), "left")
+      .withColumn("lratio",
+        log((coalesce(col("c_tgt"), lit(0L)).cast("double") + lit(alpha)) /
+          lit(nTgt + alpha * vTgt)) -
+        log((col("c_raw").cast("double") + lit(alpha)) /
+          lit(nRaw + alpha * vRaw)))
+      .select(col("t"), col("lratio"))
+    val u = (conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4294967297.0)
+    val logw = tf.join(lr, Seq("t"))
+      .groupBy(col("id"))
+      .agg(round(sum((col("tf").cast("double") * col("lratio"))
+        .cast("decimal(38,6)")).cast("double"), 6).as("logw"))
+    logw
+      .withColumn("score", round(col("logw") - log(-log(u)), 6))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(n)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("id").asc)).cast("int"))
+      .select(col("rk"), col("id"), col("logw"), col("score"))
+  }
 }

@@ -121,6 +121,52 @@ object Similarity {
     }
   }
 
+  /** Hard-negative mining for contrastive / embedding training: for each
+    * query vector, the k nearest corpus vectors whose `labelCol` DIFFERS
+    * from the query's (the "hard negatives" — close in embedding space,
+    * wrong class). Same scale shape as [[bruteForceTopK]]: queries
+    * broadcast, corpus streamed once, the label-mismatch predicate rides
+    * the broadcast join (map-side — mismatching pairs never materialize),
+    * and the bounded [[graft.functions.TopKAgg]] heap caps the shuffle at
+    * ≤k rows per (partition, query). `exact = true` re-scores the
+    * candidate margin with the decimal-exact cosine (oracle-bitwise). */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        labelCol: String = "label",
+                        exact: Boolean = false): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      col(labelCol).as("c_label"))
+    val joinCond = col("query_id") =!= col("neighbor_id") &&
+      !(col("q_label") <=> col("c_label"))
+    if (!exact) {
+      val scored = c.join(broadcast(q), joinCond)
+        .withColumn("sim",
+          round(GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")), 6))
+      partialTopK(scored, col("sim"), k)
+        .select(col("query_id"), col("neighbor_id"),
+          col("hsim").as("sim"), col("hrk").as("rk"))
+    } else {
+      // two-phase exact (see bruteForceTopK): fast-kernel heap with a
+      // candidate margin, decimal-exact re-score on survivors only
+      val margin = k + 15
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      val scored = c.join(broadcast(q), joinCond)
+        .withColumn("fsim", GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")))
+      c.join(broadcast(partialTopK(scored, col("fsim"), margin)),
+          Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("sim", round(cosineExact(col("q_vec"), col("c_vec")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("sim"),
+          col("rk").cast("int").as("rk"))
+    }
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|x| / 127,
     * q_j = floor(x_j / scale + 0.5) — 4x smaller vectors for ANN recall
     * stages at 100 TB, with the full-precision corpus kept only for final

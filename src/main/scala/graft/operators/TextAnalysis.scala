@@ -196,6 +196,47 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** [[contaminationOverlap]] for eval sets too big to broadcast
+    * exactly: the eval shingle set is folded DISTRIBUTEDLY into a bloom
+    * filter (Spark's own `BloomFilterAggregate` — one binary scalar
+    * reaches the driver, never the shingles), the corpus's exploded
+    * shingles take a map-side `might_contain` probe (drops ~everything;
+    * false-positive rate is the bits/items trade), and only the
+    * surviving sliver pays a SHUFFLE equi-join against the eval
+    * shingles for exactness. No false negatives in a bloom + exact
+    * verify on survivors ⇒ the result is IDENTICAL to
+    * [[contaminationOverlap]] (same oracle), but nothing is broadcast
+    * and the only corpus-wide shuffle carries the post-bloom sliver.
+    * This mirrors Spark's InjectRuntimeFilter join-pruning machinery,
+    * applied at the operator level. */
+  def contaminationOverlapBloom(corpus: DataFrame, evalDocs: DataFrame,
+                                idCol: String, textCol: String, n: Int,
+                                expectedItems: Long = 1L << 20,
+                                numBits: Long = 1L << 23): DataFrame = {
+    val evalShingles = evalDocs
+      .select(explode_outer(array_distinct(shingles(col(textCol), n)))
+        .as("sh"))
+      .distinct()
+    val bloomRow = evalShingles
+      .agg(graft.functions.GraftFunctions.bloom_agg(xxhash64(col("sh")),
+        expectedItems, numBits)).collect()(0)
+    val corpusShingles = corpus
+      .join(evalDocs.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol).as("id"),
+        explode_outer(array_distinct(shingles(col(textCol), n))).as("sh"))
+    // empty eval set -> null filter -> exact result is empty either way
+    if (bloomRow.isNullAt(0))
+      return corpusShingles.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_overlap")).limit(0)
+    val bloom = bloomRow.getAs[Array[Byte]](0)
+    corpusShingles
+      .filter(graft.functions.GraftFunctions.bloom_might_contain(lit(bloom),
+        xxhash64(col("sh"))))
+      .join(evalShingles, Seq("sh"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** CCNet/RefinedWeb-style boilerplate signal: a word n-gram passage that
     * occurs in at least `minDf` DISTINCT documents is corpus boilerplate
     * (nav bars, license footers, templated spam); each document reports how
@@ -519,5 +560,93 @@ object TextAnalysis {
           !exists(col("sps"), sp =>
             i.cast("long") >= sp.getField("s") &&
               i.cast("long") <= sp.getField("e"))), " ").as("clean_text"))
+  }
+
+  /** Overlapping token-window chunking (RAG / context-window prep):
+    * windows of `chunkLen` whitespace tokens starting every `stride`
+    * tokens (`stride < chunkLen` ⇒ `chunkLen - stride` tokens of
+    * overlap). The last window may be short; a doc shorter than one
+    * window yields a single short chunk; an empty doc yields none.
+    *
+    * Scale shape: split → per-doc start sequence → explode → slice is
+    * entirely map-side — ZERO shuffles; the chunk table inherits the
+    * corpus scan's partitioning, so chunk-then-embed pipelines (chunks
+    * feeding [[graft.operators.Similarity]]) start from a narrow
+    * lineage. The start sequence is computed once per doc BELOW the
+    * generate (the q79 generate-projection lesson: expressions placed
+    * alongside a posexplode re-evaluate per emitted row).
+    *
+    * Returns (doc_id, chunk_id, n_tokens, chunk_text). Deterministic
+    * integer windowing over the shared token definition — the DuckDB
+    * oracle replays it exactly (q86). */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     chunkLen: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkLen > 0 && stride > 0)
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0),
+          greatest(size(col("tk")) - 1, lit(0)), lit(stride))).as("start"))
+      .filter(col("start") < size(col("tk")))
+      .select(col("doc_id"),
+        (col("start") / lit(stride)).cast("long").as("chunk_id"),
+        least(lit(chunkLen), size(col("tk")) - col("start"))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("tk"), col("start") + 1, lit(chunkLen)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Per-document bigram-LM surprisal under add-α smoothing — the
+    * stronger cousin of [[unigramSurprisal]] (fluency, not just rarity):
+    * p(w₂|w₁) = (c(w₁,w₂)+α) / (c(w₁)+α·V) with corpus-trained bigram
+    * counts and V = |unigram vocabulary|; per-doc surprisal =
+    * −Σ tf·ln p / Σ tf over its bigrams. Docs with < 2 tokens emit
+    * (0, 0.0).
+    *
+    * Scale shape mirrors [[unigramSurprisal]]: per-doc bigram tf
+    * partial-combines once ([[Materializer]]-pinned so the two global
+    * count tables and the join-back share it); c₂/c₁ join back on the
+    * bigram/first-token keys (Zipf head → AQE skew-join); the driver
+    * holds two scalars (V, nothing else). The per-doc ln-sum
+    * accumulates in DECIMAL(38,6) (house dsum rule) so partial-agg
+    * order can never flip a bit. */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                      alpha: Double = 0.5,
+                      mat: Materializer = Materializer.Local): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("tk"))
+    val vocabSize: Double = base
+      .select(explode(col("tk")).as("t")).agg(countDistinct(col("t")))
+      .collect()(0).getLong(0).toDouble
+    // per-doc bigram counts; zip_with over the two (n-1)-length slices
+    // is map-side (guarded for n < 2 docs, which contribute no bigrams)
+    val tf = mat(base
+      .select(col("doc_id"),
+        explode(when(size(col("tk")) >= 2,
+          zip_with(
+            slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(1))),
+            slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(1))),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("bg"))
+      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("tf")))
+    val c2 = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
+    val c1 = tf.groupBy(col("w1")).agg(sum(col("tf")).as("c1"))
+    val scored = tf.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("lp",
+        log((col("c2").cast("double") + lit(alpha)) /
+          (col("c1").cast("double") + lit(alpha * vocabSize))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        round(-sum((col("tf").cast("double") * col("lp"))
+            .cast("decimal(38,6)")).cast("double")
+          / sum(col("tf")).cast("double"), 6).as("surprisal"))
+    // docs with no bigrams surface with (0, 0.0) instead of vanishing
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
   }
 }

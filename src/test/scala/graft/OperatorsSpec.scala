@@ -1224,4 +1224,127 @@ class OperatorsSpec extends SparkSpec {
     assert(!bad.decoded && bad.width == 5 && bad.height == 5
       && bad.channels == 0 && bad.byte_len == 4)
   }
+
+  test("semanticDedupDrops: greedy keep-lowest-id, non-dups survive") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(spark)
+    val embs = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f)),
+      (11L, Seq(1.0f, 0.0f, 0.0f)),  // dup of 10 -> dropped on 10's account
+      (12L, Seq(1.0f, 0.0f, 0.0f)),  // dup of 10 and 11
+      (13L, Seq(0.0f, 1.0f, 0.0f))   // orthogonal: survives any bucket
+    ).toDF("vec_id", "embedding")
+    val drops = Dedup.semanticDedupDrops(embs, "vec_id", "embedding",
+        planes = 4, threshold = 0.9, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(drops == Set((11L, 10L, 1L), (12L, 10L, 2L)))
+  }
+
+  test("chunkDocuments: overlap, short tail, sub-window and empty docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (1L, "a b"),                           // shorter than one window
+      (2L, "   ")                            // no tokens -> no chunks
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+        chunkLen = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r.toSeq == Seq(
+      (0L, 0L, 4L, "t0 t1 t2 t3"),
+      (0L, 1L, 4L, "t3 t4 t5 t6"),
+      (0L, 2L, 4L, "t6 t7 t8 t9"),
+      (0L, 3L, 1L, "t9"),
+      (1L, 0L, 2L, "a b")))
+  }
+
+  test("bigramSurprisal matches hand computation; short docs emit zero") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "a b a b"), (1L, "a b"), (2L, "z"))
+      .toDF("doc_id", "text")
+    // bigrams: doc0 (a,b)x2 (b,a)x1; doc1 (a,b)x1. c2(a,b)=3, c2(b,a)=1;
+    // c1(a)=3, c1(b)=1; V = |{a,b,z}| = 3, alpha = 0.5
+    val got = TextAnalysis.bigramSurprisal(docs, "doc_id", "text",
+        alpha = 0.5)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP) // decimal(38,6) accum
+    val ln = math.log _
+    val lpAB = ln((3 + 0.5) / (3 + 0.5 * 3))  // p(b|a)
+    val lpBA = ln((1 + 0.5) / (1 + 0.5 * 3))  // p(a|b)
+    val s0 = r6(-(d6(2 * lpAB) + d6(1 * lpBA)).toDouble / 3.0)
+    val s1 = r6(-d6(1 * lpAB).toDouble / 1.0)
+    assert(got == Seq((0L, 3L, s0), (1L, 1L, s1), (2L, 0L, 0.0)))
+  }
+
+  test("dsirResample: deterministic, exact-n, target-like docs weigh more") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 40L).map { i =>
+      val txt = if (i % 2 == 0) "alpha alpha beta" else "gamma delta beta"
+      (i, txt, if (i < 10 && i % 2 == 0) "tgt" else "other")
+    }.toDF("doc_id", "text", "source")
+    val target = docs.filter(col("source") === "tgt")
+    def run() = graft.operators.Sampling
+      .dsirResample(docs, target, "doc_id", "text", n = 10)
+    val r1 = run().collect().map(x =>
+      (x.getInt(0), x.getLong(1), x.getDouble(2), x.getDouble(3))).toSeq
+    assert(r1.size == 10 && r1.map(_._1) == (1 to 10))
+    assert(r1 == run().collect().map(x =>
+      (x.getInt(0), x.getLong(1), x.getDouble(2), x.getDouble(3))).toSeq)
+    // importance weights: every alpha-doc (target-like) outweighs every
+    // gamma-doc — check via a full-corpus selection (n = 40)
+    val all = graft.operators.Sampling
+      .dsirResample(docs, target, "doc_id", "text", n = 40)
+      .collect().map(x => x.getLong(1) -> x.getDouble(2)).toMap
+    val evenMin = (0L until 40L by 2).map(all).min
+    val oddMax = (1L until 40L by 2).map(all).max
+    assert(evenMin > oddMax)
+  }
+
+  test("hardNegativesTopK never returns a same-label neighbor") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(spark)
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.99f, 0.14f), 0),  // nearest overall but same label
+      (2L, Seq(0.9f, 0.43f), 1),   // nearest different-label
+      (3L, Seq(0.0f, 1.0f), 1),
+      (4L, Seq(-1.0f, 0.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    for (exact <- Seq(true, false)) {
+      val r = Similarity.hardNegativesTopK(embs,
+          embs.filter(col("vec_id") === 0), k = 2, exact = exact)
+        .orderBy("rk").collect()
+        .map(x => (x.getLong(x.fieldIndex("neighbor_id")),
+          x.getInt(x.fieldIndex("rk"))))
+      assert(r.toSeq == Seq((2L, 1), (3L, 2)), s"exact=$exact")
+    }
+  }
+
+  test("contaminationOverlapBloom equals the exact broadcast form") {
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ev = docs.filter(col("doc_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = rows(TextAnalysis
+      .contaminationOverlap(docs, ev, "doc_id", "text", n = 5))
+    val bloom = rows(TextAnalysis
+      .contaminationOverlapBloom(docs, ev, "doc_id", "text", n = 5))
+    assert(exact.nonEmpty && exact == bloom)
+    // empty eval set: both paths agree on the empty result
+    val none = docs.filter(col("doc_id") < 0)
+    assert(TextAnalysis.contaminationOverlapBloom(docs, none,
+      "doc_id", "text", n = 5).collect().isEmpty)
+  }
 }

@@ -262,4 +262,48 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.toLowerCase.contains("partial_topkagg"), q)
     }
   }
+
+  test("q85: semantic dedup pairs come from the bucket equi-join; verdict is one aggregate") {
+    val p = plan("q85_semdedup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("q86: chunking is pure map-side — no exchange except the output sort") {
+    // split -> start sequence -> explode -> slice must pipeline in one
+    // stage; any hashpartitioning exchange means the windowing shuffled
+    val p = plan("q86_doc_chunk")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q87/q88: LM scoring partial-combines; no global window over the corpus") {
+    for (q <- Seq("q87_bigram_surprisal", "q88_dsir_resample")) {
+      val p = plan(q)
+      assert(p.contains("partial_sum") || p.contains("partial_count"), q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+    // q88's final selection is a bounded TakeOrdered, not a global sort
+    // feeding a window over the whole corpus
+    val p88 = plan("q88_dsir_resample")
+    assert(p88.contains("TakeOrderedAndProject"), p88.take(2000))
+  }
+
+  test("q89: hard negatives — corpus scans once into the bounded heap") {
+    val p = plan("q89_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin")) // tiny query set x corpus
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.toLowerCase.contains("partial_topkagg"), p.take(2000))
+  }
+
+  test("q90: bloom probe is a map-side filter ahead of the verify join") {
+    val p = plan("q90_decontaminate_bloom")
+    // BloomFilterMightContain prints as its prettyName `might_contain`
+    assert(p.toLowerCase.contains("might_contain"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
