@@ -125,6 +125,11 @@ object Sampling {
     }
     val (nRaw, vRaw) = scalars(rawLm, "c_raw")
     val (nTgt, vTgt) = scalars(tgtLm, "c_tgt")
+    // an empty target slice has no LM to resample toward: return the
+    // empty selection (schema intact) instead of ln(x/0) noise
+    if (nTgt == 0.0)
+      return df.select(lit(0).as("rk"), col(idCol).as("id"),
+        lit(0.0).as("logw"), lit(0.0).as("score")).limit(0)
     // ln p_target(t) - ln p_raw(t); a term absent from the target LM
     // still scores via the smoothing mass (c_tgt -> 0)
     val lr = rawLm.join(tgtLm, Seq("t"), "left")

@@ -1261,6 +1261,49 @@ class OperatorsSpec extends SparkSpec {
       (1L, 0L, 2L, "a b")))
   }
 
+  test("chunkDocuments covers every token exactly per stride math (randomized)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val lens = (0L until 50L).map(i => i -> rnd.nextInt(150)).toMap
+    val docs = lens.toSeq.map { case (i, n) =>
+      (i, (0 until n).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val (cl, st) = (16, 12)
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text", cl, st)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).groupBy(_._1)
+    for ((i, n) <- lens) {
+      val chunks = out.getOrElse(i, Array.empty).sortBy(_._2)
+      if (n == 0) assert(chunks.isEmpty, s"doc $i")
+      else {
+        val starts = (0 until n by st).toSeq
+        assert(chunks.map(_._2).toSeq == starts.indices.map(_.toLong),
+          s"doc $i chunk ids")
+        for ((c, start) <- chunks.zip(starts)) {
+          val expected = (start until math.min(start + cl, n))
+            .map(j => s"w$j")
+          assert(c._3 == expected.size && c._4 == expected.mkString(" "),
+            s"doc $i start $start")
+        }
+        // coverage: the union of windows is exactly [0, n)
+        val covered = chunks.zip(starts)
+          .flatMap { case (c, s0) => s0 until (s0 + c._3.toInt) }.toSet
+        assert(covered == (0 until n).toSet, s"doc $i coverage")
+      }
+    }
+  }
+
+  test("dsirResample with an empty target returns empty, schema intact") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "a b", "x")).toDF("doc_id", "text", "source")
+    val r = graft.operators.Sampling.dsirResample(docs,
+      docs.filter(col("source") === "nope"), "doc_id", "text", n = 5)
+    assert(r.collect().isEmpty &&
+      r.columns.toSeq == Seq("rk", "id", "logw", "score"))
+  }
+
   test("bigramSurprisal matches hand computation; short docs emit zero") {
     val s = spark
     import s.implicits._
