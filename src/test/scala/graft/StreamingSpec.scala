@@ -166,6 +166,35 @@ class StreamingSpec extends SparkSpec {
     assert(exId(got) == exId(batch))
   }
 
+  test("token-window chunking composes unchanged over a streaming corpus") {
+    // chunkDocuments is split -> explode -> slice, all stateless
+    // projections, so the SAME operator runs on a streaming frame with
+    // no changes. Differential pin: streaming chunks == batch chunks.
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "x y"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-chunk-stream").toString
+    df.write.mode("overwrite").parquet(dir)
+    val q = graft.operators.TextAnalysis
+      .chunkDocuments(spark.readStream.schema(df.schema).parquet(dir),
+        "doc_id", "text", chunkLen = 5, stride = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chunk_stream_out").start()
+    q.processAllAvailable(); q.stop()
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id", "chunk_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+    val got = rows(spark.table("chunk_stream_out"))
+    val batch = rows(graft.operators.TextAnalysis
+      .chunkDocuments(df, "doc_id", "text", chunkLen = 5, stride = 3))
+    assert(got.nonEmpty && got == batch)
+  }
+
   test("image perceptual hashing composes over a streaming media source") {
     // extractImageHashes is a stateless mapPartitions kernel, so the SAME
     // operator runs on a streaming Dataset[MediaRow] with no changes —
