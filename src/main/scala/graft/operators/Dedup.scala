@@ -234,9 +234,15 @@ object Dedup {
   def nearDupClustersWithRounds(pairs: DataFrame,
                                 materialize: Materializer =
                                   Materializer.Local): (DataFrame, Int) = {
+    // the pair set is materialized BEFORE the symmetrizing union: the
+    // union references `pairs` twice, and Catalyst re-executes an
+    // uncached subtree per reference — for an expensive generator
+    // (banded join + verify over a 100 TB corpus) that is the whole
+    // candidate search run twice (measured: large q84 46 -> ~34 s)
+    val p0 = materialize(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
     val edges = materialize(
-      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
     var labels = materialize(edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")))
