@@ -965,6 +965,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q91_quality_classifier" -> ((s, dir) => {
+      // classifier-based quality filtering (the GPT-3/LLaMA data-recipe
+      // step, distillation flavor): logistic regression over q31-style
+      // features, trained IN-QUERY by full-batch GD as
+      // decimal-accumulated aggregates (32 corpus scans, driver holds 5
+      // doubles), then a map-side scoring projection. The label is the
+      // composite q31 quality heuristic thresholded at 0.3 — the
+      // oracle-checkable stand-in for "distill an expensive judgment
+      // into a cheap linear model" (the trained classifier reaches ~99%
+      // agreement, so it genuinely learns the target, and the label
+      // stays engine-portable). Fully deterministic — the oracle
+      // RE-TRAINS via an unrolled CTE chain and must land on identical
+      // weights, so a diverged gradient anywhere is a hash mismatch.
+      val docs = t(s, dir, "documents")
+      val label = (TextAnalysis.qualityScore(col("text")) >= 0.3)
+      val w = operators.QualityClassifier.trainLogReg(docs, "text",
+        label.cast("double"), iters = 32, eta = 8.0)
+      operators.QualityClassifier.score(docs, "doc_id", "text", w,
+          extra = Seq(label.as("is_hq")))
+        .select(col("id").as("doc_id"), col("p"), col("pred"), col("is_hq"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q73_doc_tfidf" -> ((s, dir) => {
       // per-doc top-3 TF-IDF terms; integer rank key (tf desc, df asc,
       // term asc) so no rank ever hangs on the last bit of ln()
@@ -1321,6 +1344,59 @@ object SparkEntry {
 
   private val stopwordsSql = TextAnalysis.langProfiles.flatMap(_._2)
     .distinct.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Unrolled full-batch-GD CTE chain for q91 (w0..w{iters}): each step
+    * is one decimal-accumulated gradient aggregate replaying
+    * QualityClassifier.trainLogReg's arithmetic op-for-op, so the oracle
+    * RE-TRAINS the classifier and must land on identical weights. */
+  private def q91Ctes(iters: Int, eta: Double): String = {
+    val enSql = TextAnalysis.langProfiles.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val feats =
+      s"""f0 AS (
+         |  SELECT doc_id,
+         |    1.0 AS x0,
+         |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS x1,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(text,
+         |          '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) END AS x2,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(tk,
+         |          t -> list_contains($stopwordsSql, lower(t)))) AS DOUBLE)
+         |        / CAST(len(tk) AS DOUBLE) END AS x3,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(tk,
+         |          t -> list_contains($enSql, lower(t)))) AS DOUBLE)
+         |        / CAST(len(tk) AS DOUBLE) END AS x4
+         |  FROM (SELECT doc_id, text, $toksSql AS tk FROM documents)
+         |), feats AS MATERIALIZED (
+         |  SELECT *, CASE WHEN round(x1 * (1.0 - x2) * (0.5 + x3 / 2.0),
+         |    6) >= 0.3 THEN 1.0 ELSE 0.0 END AS y
+         |  FROM f0
+         |), nr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feats),
+         |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+         |  0.0 AS w4)""".stripMargin
+    // one CTE per GD step, referencing the previous level exactly ONCE
+    // (a separate gradient CTE would reference w{i-1} twice and DuckDB
+    // inlines multiply-referenced CTEs — exponential planning by level);
+    // GROUP BY the single weight row lets the update mix the gradient
+    // aggregates with the carried weights, and MATERIALIZED pins each
+    // level to one evaluation
+    val steps = (1 to iters).map { i =>
+      val dotW = (0 to 4).map(j => s"w.w$j * f.x$j").mkString(" + ")
+      val ws = (0 to 4).map(j =>
+        s"""w.w$j - $eta * (CAST(SUM(CAST(f.x$j
+           |      * (1.0 / (1.0 + exp(-($dotW))) - f.y)
+           |      AS DECIMAL(38,6))) AS DOUBLE) / MAX(nr.n)) AS w$j"""
+          .stripMargin).mkString(",\n    ")
+      s"""w$i AS MATERIALIZED (
+         |  SELECT $ws
+         |  FROM feats f CROSS JOIN w${i - 1} w CROSS JOIN nr
+         |  GROUP BY w.w0, w.w1, w.w2, w.w3, w.w4)""".stripMargin
+    }.mkString(",\n")
+    feats + ",\n" + steps
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -2157,6 +2233,17 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
         |FROM corpus JOIN ev USING (s)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q91_quality_classifier" ->
+      s"""WITH ${q91Ctes(32, 8.0)},
+         |scored AS (
+         |  SELECT f.doc_id,
+         |    round(1.0 / (1.0 + exp(-(${(0 to 4)
+            .map(j => s"w.w$j * f.x$j").mkString(" + ")}))), 6) AS p,
+         |    f.y
+         |  FROM feats f CROSS JOIN w32 w)
+         |SELECT doc_id, p, p >= 0.5 AS pred, y = 1.0 AS is_hq
+         |FROM scored ORDER BY doc_id""".stripMargin,
 
     "q73_doc_tfidf" ->
       """WITH terms AS (

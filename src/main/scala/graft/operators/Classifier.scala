@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier-based quality filtering — the "train a small classifier,
+  * score the corpus" step of large-scale training-data pipelines (the
+  * GPT-3/LLaMA data recipe): logistic regression over cheap per-doc text
+  * features, trained with FULL-BATCH gradient descent expressed as plain
+  * DataFrame aggregations. No MLlib, no UDFs: each iteration is ONE
+  * partial-combined aggregate over the corpus (map-side feature compute +
+  * decimal-accumulated gradient sums), the driver holds only the weight
+  * vector (|features| doubles), and scoring is a map-side projection
+  * against the weights as plan literals.
+  *
+  * Determinism contract (the house rules): every per-doc gradient term is
+  * cast to DECIMAL(38,6) before SUM, so partial-aggregation order can
+  * never flip a bit; weights derive from those exact sums by scalar
+  * double arithmetic replayed identically in the DuckDB oracle's unrolled
+  * CTE chain (q91). A fixed iteration count and zero-initialized weights
+  * make the whole training run engine-portable — the oracle re-trains and
+  * must land on the same weights to the last rounded digit.
+  *
+  * 100 TB shape: batch GD is T corpus scans for T iterations — each scan
+  * is embarrassingly parallel and shuffle-free (the aggregate moves
+  * |features|+1 decimal partials per partition). That is the honest cost
+  * of full-batch training; T is small (≤ ~20) because the feature space
+  * is tiny and convex.
+  */
+object QualityClassifier {
+
+  /** The feature vector: [bias, length score, punct ratio, stopword
+    * ratio, English-profile hit ratio] — every component mirrors a
+    * fragment already pinned by the q31/q32 oracles. */
+  def features(text: Column): Seq[Column] = {
+    val toks = TextAnalysis.tokens(text)
+    val enProfile = TextAnalysis.langProfiles.toMap.apply("en")
+    val enRatio = when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => array_contains(
+        array(enProfile.map(lit): _*), lower(t)))).cast("double")
+        / size(toks).cast("double"))
+    Seq(
+      lit(1.0),
+      least(length(text).cast("double") / lit(500.0), lit(1.0)),
+      TextAnalysis.punctRatio(text),
+      TextAnalysis.stopwordRatio(text),
+      enRatio)
+  }
+
+  /** σ(z) = 1/(1+e^{-z}) with the exact op order the oracle replays. */
+  private def sigmoid(z: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-z))
+
+  private def dot(w: Array[Double], xs: Seq[Column]): Column =
+    xs.zipWithIndex.map { case (x, j) => lit(w(j)) * x }
+      .reduceLeft(_ + _)
+
+  /** Full-batch GD training: returns the weight vector after `iters`
+    * steps of w_j ← w_j − eta · (Σ x_j·(σ(w·x)−y)) / n, gradient sums
+    * decimal-accumulated. `label` must be 0.0/1.0. */
+  def trainLogReg(docs: DataFrame, textCol: String, label: Column,
+                  iters: Int = 8, eta: Double = 1.0): Array[Double] = {
+    val xs = features(col(textCol))
+    val base = docs.select((xs :+ label.cast("double").as("y"))
+      .zipWithIndex.map { case (c, j) =>
+        if (j < xs.size) c.as(s"x$j") else c }: _*)
+    val n = base.count().toDouble
+    val w = Array.fill(xs.size)(0.0)
+    if (n == 0) return w
+    for (_ <- 0 until iters) {
+      val d = sigmoid(dot(w, xs.indices.map(j => col(s"x$j")))) - col("y")
+      val gradRow = base.agg(
+        sum((col("x0") * d).cast("decimal(38,6)")).cast("double"),
+        xs.indices.drop(1).map(j =>
+          sum((col(s"x$j") * d).cast("decimal(38,6)")).cast("double")): _*)
+        .collect()(0)
+      for (j <- xs.indices)
+        w(j) = w(j) - eta * (gradRow.getDouble(j) / n)
+    }
+    w
+  }
+
+  /** Score every document against a trained weight vector: map-side
+    * projection, weights as plan literals. Returns
+    * (id, p quality probability, [extra...], pred); `extra` columns pass
+    * through the projection (e.g. the ground-truth label for a gate). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            w: Array[Double], extra: Seq[Column] = Nil): DataFrame =
+    docs.select(Seq(col(idCol).as("id"),
+      round(sigmoid(dot(w, features(col(textCol)))), 6).as("p")) ++ extra: _*)
+      .withColumn("pred", col("p") >= 0.5)
+}

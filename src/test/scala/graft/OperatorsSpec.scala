@@ -1373,6 +1373,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("trainLogReg learns a separable rule and is run-to-run deterministic") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.QualityClassifier
+    // long docs (len >= 500 -> x1 = 1.0) labeled 1, short ones 0: linearly
+    // separable in the length feature
+    val docs = (0L until 40L).map { i =>
+      val txt = if (i % 2 == 0) ("word " * 120).trim else "tiny text"
+      (i, txt, i % 2 == 0)
+    }.toDF("doc_id", "text", "y")
+    def train() = QualityClassifier.trainLogReg(docs, "text",
+      col("y").cast("double"), iters = 16, eta = 8.0)
+    val w = train()
+    assert(w.sameElements(train())) // bit-identical retrain
+    val scored = QualityClassifier.score(docs, "doc_id", "text", w,
+        extra = Seq(col("y")))
+      .collect().map(r => (r.getBoolean(r.fieldIndex("pred")),
+        r.getBoolean(r.fieldIndex("y"))))
+    assert(scored.forall { case (pred, y) => pred == y })
+  }
+
   test("contaminationOverlapBloom equals the exact broadcast form") {
     GraftFunctions.register(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -300,6 +300,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.toLowerCase.contains("partial_topkagg"), p.take(2000))
   }
 
+  test("q91: classifier scoring is a pure projection against weight literals") {
+    // training happens in driver-side aggregate collects before this plan
+    // exists; the returned scoring query must be map-side only
+    val p = plan("q91_quality_classifier")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q90: bloom probe is a map-side filter ahead of the verify join") {
     val p = plan("q90_decontaminate_bloom")
     // BloomFilterMightContain prints as its prettyName `might_contain`
