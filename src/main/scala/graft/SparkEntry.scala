@@ -988,6 +988,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q92_chunk_retrieval" -> ((s, dir) => {
+      // the RAG indexing loop closed IN-ENGINE: chunk (q86) -> embed
+      // (feature-hashing, md5-portable) -> exact cosine top-3 per query
+      // chunk. Model-free baseline wired through the same interface a
+      // real embedding column would use; queries = the chunks of docs
+      // 0-2 against the whole chunk corpus.
+      GraftFunctions.register(s)
+      val chunks = TextAnalysis.chunkDocuments(t(s, dir, "documents"),
+          "doc_id", "text", chunkLen = 64, stride = 48)
+        .select((col("doc_id") * 1000 + col("chunk_id")).cast("long")
+          .as("vec_id"), TextAnalysis.tokens(col("chunk_text")).as("toks"))
+      val vecs = Similarity.hashEmbeddings(chunks, "vec_id", "toks",
+        dim = 32).withColumnRenamed("id", "vec_id")
+      Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 3000),
+          k = 3, exact = true)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     "q73_doc_tfidf" -> ((s, dir) => {
       // per-doc top-3 TF-IDF terms; integer rank key (tf desc, df asc,
       // term asc) so no rank ever hangs on the last bit of ln()
@@ -2244,6 +2262,48 @@ object SparkEntry {
          |  FROM feats f CROSS JOIN w32 w)
          |SELECT doc_id, p, p >= 0.5 AS pred, y = 1.0 AS is_hq
          |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q92_chunk_retrieval" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents
+         |), st AS (
+         |  SELECT doc_id, tk, unnest(range(0, len(tk), 48)) AS s
+         |  FROM base
+         |), ck AS (
+         |  SELECT doc_id * 1000 + s // 48 AS vec_id,
+         |    tk[CAST(s + 1 AS INT):CAST(s + 64 AS INT)] AS ctk
+         |  FROM st
+         |), bk AS (
+         |  SELECT vec_id, list_transform(ctk, t ->
+         |    CAST(list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+         |      (strpos('0123456789abcdef', substr(md5(t), i + 1, 1)) - 1)
+         |      for i in range(0, 8)]) % 32 AS BIGINT)) AS bl
+         |  FROM ck
+         |), vec AS (
+         |  SELECT vec_id, [CAST(len(list_filter(bl, b -> b = i)) AS DOUBLE)
+         |    for i in range(0, 32)] AS embedding
+         |  FROM bk
+         |), q AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM vec
+         |  WHERE vec_id < 3000
+         |), c AS (SELECT vec_id AS cid, embedding AS cv FROM vec),
+         |p AS (
+         |  SELECT qid, cid,
+         |    ${dotSql("qv", "cv")} AS dot,
+         |    ${normSql("qv")} AS nq,
+         |    ${normSql("cv")} AS nc
+         |  FROM q, c WHERE qid <> cid
+         |), scored AS (
+         |  SELECT qid AS query_id, cid AS neighbor_id,
+         |    round($cosSql, 6) AS sim
+         |  FROM p
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS INT) AS rk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 3
+         |ORDER BY query_id, rk""".stripMargin,
 
     "q73_doc_tfidf" ->
       """WITH terms AS (

@@ -121,6 +121,36 @@ object Similarity {
     }
   }
 
+  /** Feature-hashing "embeddings" (the hashing trick, Weinberger et al.
+    * 2009 — also the DSIR paper's hashed n-gram features): dim-bucket
+    * token-count vectors under an md5-portable bucket hash. Model-free
+    * and engine-portable, so they plug into every ANN operator here as a
+    * drop-in baseline wherever a real model-embedding column would go
+    * (q92 composes them with chunking + exact top-k into the full
+    * chunk→embed→retrieve loop). One narrow shuffle keyed by the row id
+    * (explode → partial-combined bucket counts → map assembly); md5 runs
+    * once per token. Rows whose token array is empty/null are dropped
+    * (no content to embed). Counts ≤ 2²⁴ are exact in the float32
+    * output. */
+  def hashEmbeddings(df: DataFrame, idCol: String, toksCol: String,
+                     dim: Int): DataFrame = {
+    require(dim > 0)
+    val bucket = pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10)
+      .cast("long"), lit(dim.toLong))
+    val counts = df
+      .select(col(idCol).as("id"), explode_outer(col(toksCol)).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy(col("id"), bucket.as("b"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    counts.groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+        .as("m"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0.0))
+            .cast("float")).as("embedding"))
+  }
+
   /** Hard-negative mining for contrastive / embedding training: for each
     * query vector, the k nearest corpus vectors whose `labelCol` DIFFERS
     * from the query's (the "hard negatives" — close in embedding space,

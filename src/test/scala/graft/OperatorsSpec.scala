@@ -1373,6 +1373,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hashEmbeddings: md5-bucket counts match a hand computation") {
+    val s = spark
+    import s.implicits._
+    val dim = 8
+    def md5hex(x: String) = MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(t: String) = (BigInt(md5hex(t).take(8), 16) % dim).toInt
+    val toks = Seq("alpha", "beta", "alpha", "gamma")
+    val df = Seq((7L, toks)).toDF("vec_id", "toks")
+    val got = Similarity.hashEmbeddings(df, "vec_id", "toks", dim)
+      .collect()(0)
+    assert(got.getLong(0) == 7L)
+    val expected = Array.fill(dim)(0f)
+    toks.foreach(t => expected(bucket(t)) += 1f)
+    assert(got.getSeq[Float](1).toArray.sameElements(expected))
+    // empty-token rows have no content to embed and are dropped
+    val empty = Similarity.hashEmbeddings(
+      Seq((1L, Seq.empty[String])).toDF("vec_id", "toks"),
+      "vec_id", "toks", dim)
+    assert(empty.collect().isEmpty)
+  }
+
   test("trainLogReg learns a separable rule and is run-to-run deterministic") {
     val s = spark
     import s.implicits._

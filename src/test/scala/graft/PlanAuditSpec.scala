@@ -309,6 +309,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q92: chunk retrieval ends in the bounded heap, no cartesian") {
+    val p = plan("q92_chunk_retrieval")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.toLowerCase.contains("partial_topkagg"), p.take(2000))
+  }
+
   test("q90: bloom probe is a map-side filter ahead of the verify join") {
     val p = plan("q90_decontaminate_bloom")
     // BloomFilterMightContain prints as its prettyName `might_contain`
