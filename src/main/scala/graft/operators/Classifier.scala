@@ -57,13 +57,20 @@ object QualityClassifier {
 
   /** Full-batch GD training: returns the weight vector after `iters`
     * steps of w_j ← w_j − eta · (Σ x_j·(σ(w·x)−y)) / n, gradient sums
-    * decimal-accumulated. `label` must be 0.0/1.0. */
+    * decimal-accumulated. `label` must be 0.0/1.0.
+    *
+    * The feature table is extracted ONCE and materialized — it is
+    * |features|+1 doubles per doc, tiny next to the corpus — so each GD
+    * iteration scans numbers, not text (unmaterialized, every iteration
+    * re-runs the regex/tokenize feature projection over the corpus:
+    * measured 26.7 → 3.0 s at sf0.1 for 32 iterations). */
   def trainLogReg(docs: DataFrame, textCol: String, label: Column,
-                  iters: Int = 8, eta: Double = 1.0): Array[Double] = {
+                  iters: Int = 8, eta: Double = 1.0,
+                  mat: Materializer = Materializer.Local): Array[Double] = {
     val xs = features(col(textCol))
-    val base = docs.select((xs :+ label.cast("double").as("y"))
+    val base = mat(docs.select((xs :+ label.cast("double").as("y"))
       .zipWithIndex.map { case (c, j) =>
-        if (j < xs.size) c.as(s"x$j") else c }: _*)
+        if (j < xs.size) c.as(s"x$j") else c }: _*))
     val n = base.count().toDouble
     val w = Array.fill(xs.size)(0.0)
     if (n == 0) return w
