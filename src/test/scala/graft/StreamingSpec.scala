@@ -166,6 +166,56 @@ class StreamingSpec extends SparkSpec {
     assert(exId(got) == exId(batch))
   }
 
+  test("streaming incremental minhash dedup == the batch pair set") {
+    // the q70 production path's streaming face: each micro-batch is
+    // signatured ONCE, joined against the accumulated parquet index via
+    // minhashLshPairsIncremental inside foreachBatch, then appended to
+    // the index. Old-vs-old pairs never form, so the union of per-batch
+    // pair outputs must equal the full-batch pair set regardless of how
+    // the stream was batched — the differential this test pins.
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Dedup
+    val longA = "the quick brown fox jumps over the lazy dog while " +
+      "seven silent owls watch from the tall oak tree at midnight"
+    val longB = longA.replace("dog", "cat") // near-dup of longA
+    val batch1 = Seq((0L, longA), (1L, "completely different words here"))
+    val batch2 = Seq((2L, longB), (3L, longA), (4L, "der hund und die katze"))
+    val root = Files.createTempDirectory("graft-incr-stream")
+    val srcDir = root.resolve("src").toString
+    val idxDir = root.resolve("idx").toString
+    val pairsDir = root.resolve("pairs").toString
+    batch1.toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    batch2.toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val schema = batch1.toDF("doc_id", "text").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val bIdx = Dedup.minhashIndex(batch, "doc_id", "text",
+            k = 16, bands = 4, shingleN = 3, fast = true)
+          val old =
+            if (new java.io.File(idxDir).exists) spark.read.parquet(idxDir)
+            else bIdx.limit(0)
+          Dedup.minhashLshPairsIncremental(bIdx, old, threshold = 0.5)
+            .write.mode("append").parquet(pairsDir)
+          bIdx.write.mode("append").parquet(idxDir)
+          ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    val streamed = pairSet(spark.read.parquet(pairsDir))
+    val full = pairSet(Dedup.minhashLshPairs(
+      (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text",
+      k = 16, bands = 4, shingleN = 3, threshold = 0.5, fast = true))
+    assert(streamed.nonEmpty && streamed == full)
+  }
+
   test("token-window chunking composes unchanged over a streaming corpus") {
     // chunkDocuments is split -> explode -> slice, all stateless
     // projections, so the SAME operator runs on a streaming frame with
