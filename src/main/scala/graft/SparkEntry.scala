@@ -1006,6 +1006,42 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    "q93_temperature_mix" -> ((s, dir) => {
+      // temperature-flattened language mixture (the multilingual
+      // pretraining idiom, mT5/XLM-R τ-sampling): sampling weight
+      // w_i ∝ n_i^τ with τ = 0.5 flattens the Zipf head and boosts tail
+      // languages; target size M = half the corpus; per-language keep
+      // probability p_i = M·w_i/n_i realized by the same deterministic
+      // md5-hash threshold as q67 (no rand(); retry/engine-stable).
+      // τ = 0.5 deliberately uses sqrt (IEEE-exact in both engines, no
+      // pow() libm drift) and the weight denominator accumulates in
+      // DECIMAL(38,6) so partial-agg order can't flip a bit.
+      val docs = t(s, dir, "documents")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      val tot = counts.agg(sum(col("n_total")).as("n_corpus"),
+        sum(sqrt(col("n_total").cast("double")).cast("decimal(38,6)"))
+          .cast("double").as("sw"))
+      val thr = counts.crossJoin(tot)
+        .withColumn("p",
+          floor(col("n_corpus") / 2).cast("double")
+            * sqrt(col("n_total").cast("double")) / col("sw")
+            / col("n_total").cast("double"))
+        .withColumn("thr", lower(lpad(hex(least(
+          floor(col("p") * lit(4294967296L)).cast("long"),
+          lit(4294967295L))), 8, "0")))
+        .withColumn("w",
+          round(sqrt(col("n_total").cast("double")) / col("sw"), 6))
+        .select(col("lang"), col("n_total"), col("w"), col("thr"))
+      docs.join(broadcast(thr), Seq("lang"))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 8)
+          < col("thr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))
+        .join(thr.select(col("lang"), col("n_total"), col("w")), Seq("lang"))
+        .select(col("lang"), col("n_total"), col("w"), col("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
     "q73_doc_tfidf" -> ((s, dir) => {
       // per-doc top-3 TF-IDF terms; integer rank key (tf desc, df asc,
       // term asc) so no rank ever hangs on the last bit of ln()
@@ -2304,6 +2340,31 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 3
          |ORDER BY query_id, rk""".stripMargin,
+
+    "q93_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total
+        |  FROM documents GROUP BY lang
+        |), tot AS (
+        |  SELECT SUM(n_total) AS n_corpus,
+        |    CAST(SUM(CAST(sqrt(CAST(n_total AS DOUBLE)) AS DECIMAL(38,6)))
+        |      AS DOUBLE) AS sw
+        |  FROM counts
+        |), thr AS (
+        |  SELECT lang, n_total,
+        |    round(sqrt(CAST(n_total AS DOUBLE)) / sw, 6) AS w,
+        |    lower(lpad(hex(LEAST(CAST(FLOOR(
+        |      (CAST(FLOOR(n_corpus / 2) AS DOUBLE)
+        |        * sqrt(CAST(n_total AS DOUBLE)) / sw
+        |        / CAST(n_total AS DOUBLE)) * 4294967296) AS BIGINT),
+        |      4294967295)), 8, '0')) AS t
+        |  FROM counts, tot
+        |), kept AS (
+        |  SELECT d.lang FROM documents d JOIN thr USING (lang)
+        |  WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.t)
+        |SELECT k.lang, t.n_total, t.w, CAST(COUNT(*) AS BIGINT) AS n_kept
+        |FROM kept k JOIN thr t USING (lang)
+        |GROUP BY k.lang, t.n_total, t.w ORDER BY k.lang""".stripMargin,
 
     "q73_doc_tfidf" ->
       """WITH terms AS (

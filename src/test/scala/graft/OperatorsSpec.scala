@@ -1373,6 +1373,19 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix flattens the head: kept shares move toward uniform") {
+    val r = SparkEntry.queries("q93_temperature_mix")(spark,
+        "/root/testdata/sf0.01")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(3)))
+    val nTot = r.map(_._2).sum.toDouble
+    val nKept = r.map(_._3).sum.toDouble
+    // the dominant language's share must SHRINK, the rarest's must GROW
+    val head = r.maxBy(_._2)
+    val tail = r.minBy(_._2)
+    assert(head._3 / nKept < head._2 / nTot, s"head $head")
+    assert(tail._3 / nKept > tail._2 / nTot, s"tail $tail")
+  }
+
   test("hashEmbeddings: md5-bucket counts match a hand computation") {
     val s = spark
     import s.implicits._

@@ -309,6 +309,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q93: mixture thresholds broadcast; the corpus never windows") {
+    val p = plan("q93_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("Exchange SinglePartition") ||
+      p.contains("partial_"), p.take(2000))
+  }
+
   test("q92: chunk retrieval ends in the bounded heap, no cartesian") {
     val p = plan("q92_chunk_retrieval")
     assert(!p.contains("CartesianProduct"), p.take(2000))
