@@ -1042,6 +1042,22 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "q94_semantic_decontaminate" -> ((s, dir) => {
+      // embedding-space decontamination: the paraphrase-robust
+      // complement of q68/q90's shingle overlap — corpus vectors whose
+      // cosine vs ANY eval vector (vec_id < 30) clears 0.35, with the
+      // best-matching eval item. Threshold 0.35 for the q42 reason
+      // (near-orthogonal synthetic embeddings; the positive path must
+      // be exercised at verify scale: 34 raw hits at sf0.01).
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticContamination(emb, emb.filter(col("vec_id") < 30),
+          "vec_id", "embedding", threshold = 0.35, exact = true)
+        .select(col("id").as("vec_id"), col("n_hits"), col("best_eval"),
+          col("sim"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q73_doc_tfidf" -> ((s, dir) => {
       // per-doc top-3 TF-IDF terms; integer rank key (tf desc, df asc,
       // term asc) so no rank ever hangs on the last bit of ln()
@@ -2365,6 +2381,30 @@ object SparkEntry {
         |SELECT k.lang, t.n_total, t.w, CAST(COUNT(*) AS BIGINT) AS n_kept
         |FROM kept k JOIN thr t USING (lang)
         |GROUP BY k.lang, t.n_total, t.w ORDER BY k.lang""".stripMargin,
+
+    "q94_semantic_decontaminate" ->
+      s"""WITH e AS (
+         |  SELECT vec_id AS e_id, embedding AS ev FROM embeddings
+         |  WHERE vec_id < 30
+         |), c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+         |p AS (
+         |  SELECT cid, e_id,
+         |    ${dotSql("cv", "ev")} AS dot,
+         |    ${normSql("cv")} AS nq,
+         |    ${normSql("ev")} AS nc
+         |  FROM c, e WHERE cid <> e_id
+         |), scored AS (
+         |  SELECT cid, e_id, round($cosSql, 6) AS sim FROM p
+         |), hits AS (SELECT * FROM scored WHERE sim >= 0.35),
+         |m AS (
+         |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_hits, MAX(sim) AS sim
+         |  FROM hits GROUP BY cid
+         |), b AS (
+         |  SELECT h.cid, MIN(h.e_id) AS best_eval
+         |  FROM hits h JOIN m ON h.cid = m.cid AND h.sim = m.sim
+         |  GROUP BY h.cid)
+         |SELECT m.cid AS vec_id, m.n_hits, b.best_eval, m.sim
+         |FROM m JOIN b ON m.cid = b.cid ORDER BY vec_id""".stripMargin,
 
     "q73_doc_tfidf" ->
       """WITH terms AS (

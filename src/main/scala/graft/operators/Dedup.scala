@@ -498,6 +498,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Embedding-space decontamination — the paraphrase-robust
+    * complement of the shingle-overlap check (q68/q90): a rephrased or
+    * translated eval item shares no 5-grams with its source but still
+    * sits next to it in embedding space. Flags every corpus vector
+    * whose cosine against ANY eval vector clears `threshold`, with the
+    * best-matching eval item attached. Eval sets are small by nature →
+    * broadcast; the corpus streams once per pass with the codegen'd
+    * kernel as prefilter and (under `exact`) the decimal-exact cosine
+    * re-scoring survivors only (the q40/q42 two-phase pattern); the
+    * verdict is two partial-combined argmax aggregates — no window, so
+    * a pathological corpus item matching the whole eval set still can't
+    * funnel one task. Pairs sharing an id are excluded. Returns
+    * (id, n_hits, best_eval, sim). */
+  def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double,
+                            exact: Boolean = false): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val e = evalSet.select(col(idCol).as("e_id"), col(vecCol).as("e_vec"))
+    val fast = graft.functions.GraftFunctions.cosine_sim(col("vec"),
+      col("e_vec"))
+    val joined = c.join(broadcast(e), col("id") =!= col("e_id"))
+    val scored =
+      if (!exact) joined.withColumn("sim", round(fast, 6))
+      else joined.withColumn("fsim", fast)
+        .filter(col("fsim") >= threshold - 1e-4)
+        .withColumn("sim",
+          round(Similarity.cosineExact(col("vec"), col("e_vec")), 6))
+    val hits = scored.filter(col("sim") >= threshold)
+    val agg1 = hits.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("sim")).as("sim"))
+    hits.join(agg1.select(col("id"), col("sim")), Seq("id", "sim"))
+      .groupBy(col("id"))
+      .agg(min(col("e_id")).as("best_eval"))
+      .join(agg1, Seq("id"))
+      .select(col("id"), col("n_hits"), col("best_eval"), col("sim"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication over an embedding column. A vector is dropped iff a
     * LOWER-id vector shares its LSH bucket with cosine >= `threshold`

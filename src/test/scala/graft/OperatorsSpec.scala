@@ -1373,6 +1373,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("semanticContamination flags cosine hits with the best eval match") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(spark)
+    // eval items 0 and 1 (same direction); corpus items 10 and 11 are
+    // scalar multiples -> cosine 1.0 against BOTH (best = min e_id);
+    // 12 is orthogonal and must be absent
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f)),
+      (10L, Seq(2.0f, 0.0f)),
+      (11L, Seq(0.9f, 0.0f)),
+      (12L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val evalSet = embs.filter(col("vec_id") < 2)
+    val r = Dedup.semanticContamination(embs, evalSet, "vec_id",
+        "embedding", threshold = 0.95, exact = true)
+      .filter(col("id") >= 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toSet
+    assert(r == Set((10L, 2L, 0L, 1.0), (11L, 2L, 0L, 1.0)))
+  }
+
   test("temperature mix flattens the head: kept shares move toward uniform") {
     val r = SparkEntry.queries("q93_temperature_mix")(spark,
         "/root/testdata/sf0.01")

@@ -309,6 +309,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q94: semantic decontamination broadcasts the eval set, no window") {
+    val p = plan("q94_semantic_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("q93: mixture thresholds broadcast; the corpus never windows") {
     val p = plan("q93_temperature_mix")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
