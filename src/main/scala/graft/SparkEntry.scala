@@ -1362,6 +1362,76 @@ object SparkEntry {
           Multimodal.mediaFromDocuments(t(s, dir, "documents")), everyN = 10)
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    "q95_shard_plan" -> ((s, dir) => {
+      // the training-data writer's manifest: deterministic md5 shard
+      // assignment (the q63 idiom — no rand(), identical shards on retry
+      // or on another engine) + per-shard row/byte/source totals and the
+      // key range each sorted shard file will span. One partial-combined
+      // aggregation; the actual file write is Sharding.writeShards (spec
+      // covers the round trip — a manifest row per written directory).
+      operators.Sharding.shardStats(t(s, dir, "documents"), "doc_id",
+          nShards = 16, sizeCol = "n_chars", srcCol = "source")
+        .orderBy(col("shard"))
+    }),
+
+    "q96_quantile_sketch" -> ((s, dir) => {
+      // the sketch family at 100 TB: per-type KLL quantile sketch
+      // (approx_percentile) alongside q19's HLL distinct. Sketch outputs
+      // are engine-private, so the q19 gate pattern applies: emit exact,
+      // portable values plus booleans asserting each sketch landed inside
+      // its documented error bound — the oracle emits TRUE, and a sketch
+      // drifting out of bound hash-mismatches instead of hiding. The
+      // quantile gate checks RANK (share of values <= the sketch's p50 /
+      // p95) — the only thing a KLL sketch actually promises; tolerance
+      // = 0.02 + 2/n for the value-at-rank discretization of small types.
+      val ev = t(s, dir, "events")
+      val sk = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("au"),
+        percentile_approx(col("value"), array(lit(0.5), lit(0.95)),
+          lit(10000)).as("ap"))
+      val ranks = ev
+        .join(broadcast(sk.select(col("event_type"), col("ap"))),
+          Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(avg((col("value") <= col("ap")(0)).cast("double")).as("r50"),
+          avg((col("value") <= col("ap")(1)).cast("double")).as("r95"))
+      val tol = lit(0.02) + lit(2.0) / col("n_events").cast("double")
+      sk.join(ranks, Seq("event_type"))
+        .select(col("event_type"), col("n_events"), col("n_users"),
+          (abs(col("au") - col("n_users"))
+            <= col("n_users") * lit(3 * 0.02)).as("users_within_tol"),
+          (abs(col("r50") - lit(0.5)) <= tol).as("p50_rank_ok"),
+          (abs(col("r95") - lit(0.95)) <= tol).as("p95_rank_ok"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q97_source_cap" -> ((s, dir) => {
+      // RefinedWeb-style per-domain cap with quality priority: at most 50
+      // docs per source, keeping the HIGHEST-quality ones (q31's portable
+      // score). The bounded TopKAgg heap makes this a partial-combined
+      // aggregation — never a corpus-wide per-domain window (one domain
+      // can be half of 100 TB; the heap exchange is ≤50 rows per
+      // partition-group regardless).
+      operators.Sampling.cappedByScore(t(s, dir, "documents"), "source",
+          "doc_id", TextAnalysis.qualityScore(col("text")), n = 50)
+        .select(col("source"), col("doc_id"), col("score"), col("rk"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
+    "q98_cdc_chunks" -> ((s, dir) => {
+      // content-defined chunking + chunk-digest dup counts (the
+      // storage-dedup primitive, LBFS/FastCDC cut-point shape with an
+      // engine-portable md5-window boundary rule). Zero shuffle until the
+      // digest dup-count exchange; boundaries are map-side HOFs.
+      TextAnalysis.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+          w = 8)
+        .select(col("id").as("doc_id"), col("chunk_id"), col("start_pos"),
+          col("chunk_len"), col("digest"), col("n_dups"))
+        .orderBy(col("doc_id"), col("chunk_id"))
     })
   )
 
@@ -3078,6 +3148,85 @@ object SparkEntry {
         |  WHERE CAST(doc_id % 3 AS INT) = 2
         |)
         |SELECT doc_id, unnest(range(0, (n % 30) + 1, 10)) AS frame_idx
-        |FROM m ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q95_shard_plan" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars, source,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS shard_key,
+        |    CAST(list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+        |      (strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), i + 1, 1)) - 1)
+        |      for i in range(0, 8)]) AS BIGINT) % 16 AS shard
+        |  FROM documents)
+        |SELECT CAST(shard AS INT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  MIN(shard_key) AS first_key, MAX(shard_key) AS last_key
+        |FROM k GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q96_quantile_sketch" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  TRUE AS users_within_tol,
+        |  TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q97_source_cap" ->
+      s"""WITH stats AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(text,
+         |          '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(tk,
+         |          t -> list_contains($stopwordsSql, lower(t)))) AS DOUBLE)
+         |        / CAST(len(tk) AS DOUBLE) END AS stopword_ratio,
+         |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score
+         |  FROM (SELECT doc_id, source, text, $toksSql AS tk
+         |        FROM documents)
+         |), q AS (
+         |  SELECT doc_id, source,
+         |    round(len_score * (1.0 - punct_ratio)
+         |      * (0.5 + stopword_ratio / 2.0), 6) AS score
+         |  FROM stats
+         |), r AS (
+         |  SELECT source, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY score DESC, doc_id) AS INT) AS rk
+         |  FROM q)
+         |SELECT source, doc_id, score, rk FROM r
+         |WHERE rk <= 50 ORDER BY source, rk""".stripMargin,
+
+    "q98_cdc_chunks" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(1, greatest(len(text) - 7, 1) + 1)) AS i
+        |  FROM documents
+        |), trig AS (
+        |  SELECT doc_id, i + 8 AS st FROM pos
+        |  WHERE substr(md5(substr(text, CAST(i AS INT), 8)), 1, 1) = '0'
+        |    AND i + 8 <= len(text)
+        |), starts AS (
+        |  SELECT doc_id, 1 AS st FROM documents
+        |  UNION SELECT doc_id, CAST(st AS INT) AS st FROM trig
+        |), seq AS (
+        |  SELECT doc_id, st,
+        |    lead(st) OVER (PARTITION BY doc_id ORDER BY st) AS nxt,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st)
+        |      AS INT) AS chunk_id
+        |  FROM starts
+        |), ch AS (
+        |  SELECT s.doc_id, chunk_id, CAST(st AS INT) AS start_pos,
+        |    CAST(COALESCE(nxt, len(d.text) + 1) - st AS INT) AS chunk_len,
+        |    md5(substr(d.text, CAST(st AS INT),
+        |      CAST(COALESCE(nxt, len(d.text) + 1) - st AS INT))) AS digest
+        |  FROM seq s JOIN documents d USING (doc_id)
+        |)
+        |SELECT doc_id, chunk_id, start_pos, chunk_len, digest,
+        |  CAST(COUNT(*) OVER (PARTITION BY digest) AS BIGINT) AS n_dups
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

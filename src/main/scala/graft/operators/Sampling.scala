@@ -153,4 +153,34 @@ object Sampling {
         Window.orderBy(col("score").desc, col("id").asc)).cast("int"))
       .select(col("rk"), col("id"), col("logw"), col("score"))
   }
+
+  /** Per-group cap keeping the BEST rows — the RefinedWeb-style per-domain
+    * cap with quality priority: for every group, the `n` rows with the
+    * highest `score` (ties broken by smallest id). [[stratifiedSample]]
+    * answers "a same-size UNIFORM slice per group"; this answers "at most
+    * `n` docs per domain, and make them the best ones".
+    *
+    * Scale shape: the naive per-group `row_number` window shuffles every
+    * row of a Zipf-skewed corpus into per-domain partitions (one domain
+    * can be half of 100 TB). Instead the bounded
+    * [[graft.functions.TopKAgg]] heap partial-aggregates map-side: the
+    * exchange moves one ≤n-element buffer per (partition, group), never
+    * the corpus. The heap's total order (score desc, id asc) makes the
+    * kept set unique and merge-order-independent, and the finished
+    * buffer's position IS the rank — no window anywhere.
+    *
+    * Returns (group, id, score, rk), rk 1-based best-first. */
+  def cappedByScore(df: DataFrame, groupCol: String, idCol: String,
+                    score: Column, n: Int): DataFrame = {
+    require(n > 0)
+    val agg = udaf(new graft.functions.TopKAgg(n))
+    df.select(col(groupCol), score.as("s"),
+        col(idCol).cast("long").as("i"))
+      .groupBy(col(groupCol))
+      .agg(agg(col("s"), col("i")).as("top"))
+      .select(col(groupCol), posexplode(col("top").getField("items")))
+      .select(col(groupCol), col("col.id").as(idCol),
+        col("col.sim").as("score"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
 }

@@ -649,4 +649,48 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
   }
+
+  /** Content-defined chunking (the storage-dedup primitive — the
+    * LBFS/FastCDC cut-point idea): chunk boundaries derive from the
+    * CONTENT, so an insertion shifts only the chunks around the edit
+    * instead of re-aligning every fixed-width block downstream — which is
+    * what makes chunk-digest dedup effective on crawl snapshots that
+    * differ by a few edits. Position i (1-based) triggers a cut AFTER the
+    * w-char window starting there iff the first md5 nibble of that window
+    * is '0' (p = 1/16, expected chunk ≈ w + 16 chars). md5-over-window
+    * replaces the usual gear/Rabin rolling hash so the boundary rule is
+    * engine-portable (the oracle replays it with a position lateral in
+    * SQL); a native rolling-gear expression would be the drop-in
+    * production swap with identical plumbing. No min/max chunk clamps:
+    * those need a sequential scan that no SQL engine can replay.
+    *
+    * Scale shape: starts/chunks are pure map-side higher-order functions
+    * over a per-row positions array — the corpus is scanned once with ZERO
+    * shuffle until the final digest-duplicate count (a hash exchange on
+    * the 16-byte digest, the exact exchange chunk-dedup must pay).
+    * Returns (id, chunk_id, start_pos, chunk_len, digest, n_dups). */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                w: Int = 8): DataFrame = {
+    require(w > 0)
+    val txt = col(textCol)
+    val len = length(txt)
+    val positions = sequence(lit(1), greatest(len - lit(w - 1), lit(1)))
+    val trig = filter(positions, i =>
+      (substring(md5(txt.substr(i, lit(w))), 1, 1) === "0") &&
+        (i + lit(w) <= len))
+    val starts = array_sort(array_distinct(
+      concat(array(lit(1)), transform(trig, i => i + lit(w)))))
+    val nexts = concat(slice(starts, lit(2), size(starts)),
+      array(len + lit(1)))
+    val pairs = zip_with(starts, nexts,
+      (st, en) => struct(st.as("s"), en.as("e")))
+    df.select(col(idCol).as("id"), txt.as("_t"), posexplode(pairs))
+      .select(col("id"), (col("pos") + 1).cast("int").as("chunk_id"),
+        col("col.s").cast("int").as("start_pos"),
+        (col("col.e") - col("col.s")).cast("int").as("chunk_len"),
+        md5(col("_t").substr(col("col.s"),
+          col("col.e") - col("col.s"))).as("digest"))
+      .withColumn("n_dups", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))))
+  }
 }

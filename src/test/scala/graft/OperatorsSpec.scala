@@ -1469,4 +1469,101 @@ class OperatorsSpec extends SparkSpec {
     assert(TextAnalysis.contaminationOverlapBloom(docs, none,
       "doc_id", "text", n = 5).collect().isEmpty)
   }
+
+  test("writeShards round trip: balanced, sorted, lossless") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("shards_").toString
+    try {
+      graft.operators.Sharding.writeShards(docs, "doc_id", 16, out)
+      val back = spark.read.parquet(out)
+      // lossless: every doc lands in exactly one shard
+      assert(back.count() == docs.count())
+      assert(back.select("doc_id").distinct().count() == docs.count())
+      // manifest rows describe exactly the written directories
+      val stats = graft.operators.Sharding
+        .shardStats(docs, "doc_id", 16, "n_chars", "source")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val perDir = back.groupBy("shard").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(perDir == stats)
+      // uniform md5 keys balance the shards (no straggler file)
+      val mean = docs.count().toDouble / 16
+      assert(perDir.values.max <= mean * 1.5 && perDir.values.min >= mean * 0.5)
+      // within a shard file, rows are sorted by (shard_key, doc_id)
+      val one = spark.read
+        .parquet(s"$out/shard=3")
+        .select("shard_key", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(one == one.sorted)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("cappedByScore matches the window formulation; small groups intact") {
+    val s = spark
+    import s.implicits._
+    // group a: 4 docs (cap 2 keeps best 2); b: 1 doc (under cap);
+    // tie in a broken by smaller id
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.5), ("a", 3L, 0.9), ("a", 4L, 0.1),
+      ("b", 9L, 0.2)
+    ).toDF("src", "id", "q")
+    val got = graft.operators.Sampling
+      .cappedByScore(df, "src", "id", col("q"), n = 2)
+      .orderBy("src", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(got == Seq(("a", 1L, 1), ("a", 3L, 2), ("b", 9L, 1)))
+    // differential vs the naive window on the real corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val capped = graft.operators.Sampling.cappedByScore(
+      docs, "source", "doc_id", TextAnalysis.qualityScore(col("text")), 50)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("q").desc, col("doc_id").asc)
+    val naive = docs
+      .select(col("source"), col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 50)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "doc_id", "rk").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(keys(capped) == keys(naive))
+  }
+
+  test("cdcChunks tiles each text exactly and counts duplicate chunks") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, longA), (1L, longA),              // identical -> all chunks dup
+      (2L, longB), (3L, ""), (4L, "abc")     // empty + shorter-than-window
+    ).toDF("doc_id", "text")
+    val ch = TextAnalysis.cdcChunks(df, "doc_id", "text", w = 8)
+      .orderBy("id", "chunk_id").collect()
+    val texts = Map(0L -> longA, 1L -> longA, 2L -> longB, 3L -> "", 4L -> "abc")
+    // per doc: chunks start at 1, abut (start+len = next start), cover len
+    for ((id, rows) <- ch.groupBy(_.getLong(0))) {
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.head.getInt(2) == 1)
+      val ends = sorted.map(r => r.getInt(2) + r.getInt(3))
+      assert(sorted.tail.map(_.getInt(2)).sameElements(ends.init))
+      assert(ends.last == texts(id).length + 1)
+      // digest really is the md5 of the chunk substring
+      for (r <- sorted) {
+        val sub = texts(id).substring(r.getInt(2) - 1,
+          r.getInt(2) - 1 + r.getInt(3))
+        val md = MessageDigest.getInstance("MD5").digest(sub.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        assert(r.getString(4) == md)
+      }
+    }
+    // identical docs chunk identically, and each shared digest counts both
+    val c0 = ch.filter(_.getLong(0) == 0L).map(r => (r.getInt(2), r.getString(4)))
+    val c1 = ch.filter(_.getLong(0) == 1L).map(r => (r.getInt(2), r.getString(4)))
+    assert(c0.sameElements(c1) && c0.length > 1)
+    assert(ch.filter(_.getLong(0) == 0L).forall(_.getLong(5) >= 2L))
+    // content-defined: docs 0 and 2 share the "...lazy " prefix; the first
+    // cut happens at the same content position in both
+    val s2 = ch.filter(_.getLong(0) == 2L).map(r => (r.getInt(2), r.getString(4)))
+    assert(c0.head == s2.head)
+  }
 }

@@ -337,4 +337,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.toLowerCase.contains("might_contain"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("q95: shard manifest is one partial-combined aggregation, no window") {
+    val p = plan("q95_shard_plan")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("partial_"), p.take(2000)) // map-side combine ran
+    // manifest reads only the three needed columns
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string," +
+      "n_chars:bigint>"), p.take(3000))
+  }
+
+  test("q97: per-source cap is the bounded heap — no per-domain window") {
+    val p = plan("q97_source_cap")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.toLowerCase.contains("partial_topkagg"), p.take(2000))
+  }
+
+  test("q98: CDC chunking shuffles only for the digest dup-count window") {
+    val p = plan("q98_cdc_chunks")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // exactly one hash exchange (on digest); the chunker itself is
+    // map-side HOFs over the scan
+    assert("Exchange hashpartitioning\\(digest".r.findAllIn(p).size == 1,
+      p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.take(3000))
+  }
 }
