@@ -1426,7 +1426,9 @@ object SparkEntry {
       // content-defined chunking + chunk-digest dup counts (the
       // storage-dedup primitive, LBFS/FastCDC cut-point shape with an
       // engine-portable md5-window boundary rule). Zero shuffle until the
-      // digest dup-count exchange; boundaries are map-side HOFs.
+      // digest dup-count exchange; the cut scan is one codegen'd kernel
+      // pass per row (CdcPairs).
+      GraftFunctions.register(s)
       TextAnalysis.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
           w = 8)
         .select(col("id").as("doc_id"), col("chunk_id"), col("start_pos"),

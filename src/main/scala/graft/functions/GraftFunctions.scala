@@ -42,6 +42,8 @@ object GraftFunctions {
       exprs => AdcCosine(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     reg.createOrReplaceTempFunction(
       "bpe_encode", exprs => BpeEncode(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "cdc_pairs", exprs => CdcPairs(exprs(0), exprs(1)), "built-in")
     // Spark's OWN runtime-filter bloom expressions (catalyst internal,
     // not exposed as SQL functions): registered here so the 100 TB
     // decontamination path can build an eval-set bloom DISTRIBUTEDLY
@@ -89,6 +91,11 @@ object GraftFunctions {
   def word_shingles(tokens: Column, n: Int): Column =
     call_function("word_shingles", tokens,
       org.apache.spark.sql.functions.lit(n))
+
+  /** Codegen'd content-defined chunk [start,end) pairs (see
+    * [[CdcPairs]]). */
+  def cdc_pairs(text: Column, w: Int): Column =
+    call_function("cdc_pairs", text, org.apache.spark.sql.functions.lit(w))
 
   /** Codegen'd cosine similarity over two array<float> columns. */
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

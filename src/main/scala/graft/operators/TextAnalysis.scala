@@ -664,30 +664,23 @@ object TextAnalysis {
     * production swap with identical plumbing. No min/max chunk clamps:
     * those need a sequential scan that no SQL engine can replay.
     *
-    * Scale shape: starts/chunks are pure map-side higher-order functions
-    * over a per-row positions array — the corpus is scanned once with ZERO
-    * shuffle until the final digest-duplicate count (a hash exchange on
-    * the 16-byte digest, the exact exchange chunk-dedup must pay).
+    * Scale shape: the cut scan is ONE codegen'd kernel pass per row
+    * ([[graft.functions.CdcPairs]] — the HOF formulation pays an
+    * interpreted md5-per-position and re-evaluates the whole scan on
+    * every reference after projection collapse); the corpus is scanned
+    * once with ZERO shuffle until the final digest-duplicate count (a
+    * hash exchange on the 16-byte digest, the exact exchange chunk-dedup
+    * must pay). Requires GraftFunctions.register on the session.
     * Returns (id, chunk_id, start_pos, chunk_len, digest, n_dups). */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
                 w: Int = 8): DataFrame = {
     require(w > 0)
     val txt = col(textCol)
-    val len = length(txt)
-    val positions = sequence(lit(1), greatest(len - lit(w - 1), lit(1)))
-    val trig = filter(positions, i =>
-      (substring(md5(txt.substr(i, lit(w))), 1, 1) === "0") &&
-        (i + lit(w) <= len))
-    val starts = array_sort(array_distinct(
-      concat(array(lit(1)), transform(trig, i => i + lit(w)))))
-    val nexts = concat(slice(starts, lit(2), size(starts)),
-      array(len + lit(1)))
-    val pairs = zip_with(starts, nexts,
-      (st, en) => struct(st.as("s"), en.as("e")))
-    df.select(col(idCol).as("id"), txt.as("_t"), posexplode(pairs))
+    df.select(col(idCol).as("id"), txt.as("_t"),
+        posexplode(graft.functions.GraftFunctions.cdc_pairs(txt, w)))
       .select(col("id"), (col("pos") + 1).cast("int").as("chunk_id"),
-        col("col.s").cast("int").as("start_pos"),
-        (col("col.e") - col("col.s")).cast("int").as("chunk_len"),
+        col("col.s").as("start_pos"),
+        (col("col.e") - col("col.s")).as("chunk_len"),
         md5(col("_t").substr(col("col.s"),
           col("col.e") - col("col.s"))).as("digest"))
       .withColumn("n_dups", count(lit(1)).over(

@@ -1531,6 +1531,7 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("cdcChunks tiles each text exactly and counts duplicate chunks") {
+    GraftFunctions.register(spark)
     val s = spark
     import s.implicits._
     val df = Seq(

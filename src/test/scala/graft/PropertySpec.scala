@@ -151,6 +151,43 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("CdcPairs kernel matches a per-window md5 reference, tiles exactly") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val gen = for {
+      w <- Gen.choose(1, 12)
+      // mostly ASCII, some multibyte to force the codepoint slow path
+      s <- Gen.oneOf(
+        Gen.listOf(Gen.alphaNumChar).map(_.mkString),
+        Gen.listOf(Gen.oneOf('a', 'b', ' ', 'é', 'ß', '中')).map(_.mkString))
+    } yield (w, s)
+    check(Prop.forAll(gen) { case (w, s) =>
+      val e = graft.functions.CdcPairs(Literal(s),
+        Literal(w))
+      val got = e.kernel(UTF8String.fromString(s))
+      val pairs = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2); (r.getInt(0), r.getInt(1))
+      }
+      // reference: substr-by-codepoint + md5 per window
+      val cps = s.codePoints().toArray
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val cuts = (1 to math.max(cps.length - w + 1, 1)).filter { i =>
+        if (cps.length == 0) false
+        else {
+          val win = new String(cps, i - 1, math.min(w, cps.length - (i - 1)))
+          val d = md.digest(win.getBytes("UTF-8"))
+          ((d(0) >> 4) & 0xf) == 0 && i + w <= cps.length
+        }
+      }.map(_ + w)
+      val starts = 1 +: cuts
+      val want = starts.zip(starts.drop(1) :+ (cps.length + 1))
+      pairs == want &&
+        // tiling invariant: abutting, covering [1, len+1)
+        pairs.head._1 == 1 && pairs.last._2 == cps.length + 1 &&
+        pairs.zip(pairs.drop(1)).forall { case (a, b) => a._2 == b._1 }
+    })
+  }
+
   test("stratified-sample threshold always admits the whole group when it is small") {
     // the hex threshold derivation (the q67/q74 keep rule): groups at or
     // below margin*n must produce the max threshold, keeping every row
