@@ -1434,6 +1434,22 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("chunk_id"), col("start_pos"),
           col("chunk_len"), col("digest"), col("n_dups"))
         .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    "q99_pack_bpe" -> ((s, dir) => {
+      // q66's sequence packing priced in REAL BPE tokens (q80's native
+      // tokenizer under the fixture merge table) instead of whitespace
+      // words — what a production pre-tokenized pipeline actually packs
+      // by. Same two-phase distributed prefix sum; only the per-doc
+      // counter changes, and the oracle replays both the merge algebra
+      // and the packing algebra exactly.
+      GraftFunctions.register(s)
+      TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text",
+          seqLen = 2048, counter = Some(
+            Bpe.tokenCount(col("text"), Bpe.FixtureMerges)))
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("pack_id"))
     })
   )
 
@@ -3229,6 +3245,32 @@ object SparkEntry {
         |)
         |SELECT doc_id, chunk_id, start_pos, chunk_len, digest,
         |  CAST(COUNT(*) OVER (PARTITION BY digest) AS BIGINT) AS n_dups
-        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q99_pack_bpe" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+         |      AS raw
+         |  FROM documents
+         |), w AS (
+         |  SELECT doc_id, unnest(raw) AS word FROM tk
+         |), cnt AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(${graft.operators.Bpe.replaySqlTokenCount("word",
+                  graft.operators.Bpe.FixtureMerges)}) AS BIGINT) AS n_bpe
+         |  FROM w GROUP BY doc_id
+         |), toks AS (
+         |  SELECT tk.doc_id, COALESCE(cnt.n_bpe, 0) AS n_tokens
+         |  FROM tk LEFT JOIN cnt USING (doc_id)
+         |), cum AS (
+         |  SELECT doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM toks)
+         |SELECT CAST((c - n_tokens) // 2048 AS BIGINT) AS pack_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM cum GROUP BY 1 ORDER BY pack_id""".stripMargin
   )
 }

@@ -412,7 +412,8 @@ object TextAnalysis {
   }
 
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    seqLen: Int, nBuckets: Int = 64): DataFrame = {
+                    seqLen: Int, nBuckets: Int = 64,
+                    counter: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(seqLen > 0 && nBuckets > 0)
     val (nRows, bounds) = packBounds(docs, idCol, nBuckets)
@@ -426,8 +427,12 @@ object TextAnalysis {
       if (bounds.isEmpty) lit(0L)
       else aggregate(typedlit(bounds.toSeq), lit(0L),
         (acc, b) => acc + when(col("id") >= b, 1L).otherwise(0L))
+    // the pack currency defaults to whitespace tokens; a caller can swap
+    // in any per-doc counter (e.g. real BPE token counts — q99) without
+    // touching the prefix-sum machinery
     val toks = docs.select(col(idCol).cast("long").as("id"),
-        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        counter.getOrElse(tokenCount(col(textCol)))
+          .cast("long").as("n_tokens"))
       .withColumn("bucket", bucketOf)
     // phase 1: per-bucket totals, prefix-summed driver-side (tiny)
     val totals = toks.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("t"))
