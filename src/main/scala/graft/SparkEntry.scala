@@ -1450,6 +1450,31 @@ object SparkEntry {
         .groupBy(col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
         .orderBy(col("pack_id"))
+    }),
+
+    "q100_event_context" -> ((s, dir) => {
+      // sequence-model training examples from the event log: per-user
+      // time-ordered (3-event context -> next event) windows, aggregated
+      // to the context->next distribution a behavioral-cloning /
+      // next-event model trains on. The lag window partitions by
+      // user_id — per-user state is bounded and users are many, so the
+      // exchange spreads evenly (the per-entity window that IS the right
+      // shape at 100 TB, unlike a corpus-global window); the trigram
+      // distribution then partial-combines.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("p1", lag(col("event_type"), 1).over(w))
+        .withColumn("p2", lag(col("event_type"), 2).over(w))
+        .withColumn("p3", lag(col("event_type"), 3).over(w))
+        .filter(col("p3").isNotNull)
+        .groupBy(col("p3"), col("p2"), col("p1"),
+          col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("p3"), col("p2"), col("p1"), col("next_type"))
     })
   )
 
@@ -3271,6 +3296,20 @@ object SparkEntry {
          |SELECT CAST((c - n_tokens) // 2048 AS BIGINT) AS pack_id,
          |  CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-         |FROM cum GROUP BY 1 ORDER BY pack_id""".stripMargin
+         |FROM cum GROUP BY 1 ORDER BY pack_id""".stripMargin,
+
+    "q100_event_context" ->
+      """WITH lagged AS (
+        |  SELECT event_type AS next_type,
+        |    lag(event_type, 1) OVER w AS p1,
+        |    lag(event_type, 2) OVER w AS p2,
+        |    lag(event_type, 3) OVER w AS p3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT p3, p2, p1, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lagged WHERE p3 IS NOT NULL
+        |GROUP BY p3, p2, p1, next_type
+        |ORDER BY p3, p2, p1, next_type""".stripMargin
   )
 }
