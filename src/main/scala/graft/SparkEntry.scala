@@ -1475,6 +1475,53 @@ object SparkEntry {
           col("event_type").as("next_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("p3"), col("p2"), col("p1"), col("next_type"))
+    }),
+
+    "q101_funnel" -> ((s, dir) => {
+      // ordered funnel over the behavioral event log (the reference's
+      // export feeds exactly this class of warehouse query): users who
+      // viewed, then clicked strictly after their first view, then
+      // purchased strictly after that click. Each stage is one
+      // aggregation + an equi-join on user_id — every exchange keys on
+      // the same column so the shuffles line up (and AQE can reuse the
+      // exchange); no per-user window, no event-sequence explosion.
+      val ev = t(s, dir, "events")
+      def stage(typ: String, prev: DataFrame, prevTs: String,
+                out: String): DataFrame =
+        ev.filter(col("event_type") === typ)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts") > col(prevTs))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = stage("click", s1, "t1", "t2")
+      val s3 = stage("purchase", s2, "t2", "t3")
+      def cnt(df: DataFrame, idx: Int, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+            col("n_users"))
+      cnt(s1, 1, "view").unionByName(cnt(s2, 2, "click"))
+        .unionByName(cnt(s3, 3, "purchase"))
+        .orderBy(col("stage_idx"))
+    }),
+
+    "q102_retention" -> ((s, dir) => {
+      // cohort retention matrix: users bucketed by first-active day,
+      // counted on each later active day within the first week. Two
+      // aggregations + one join, all keyed on user_id; the matrix
+      // partial-combines. The (user, day) distinct is the only extra
+      // exchange — exactly the dedup a retention query must pay.
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      ev.join(first, Seq("user_id"))
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+        .filter(col("day_offset") <= 7)
+        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd")
+          .as("cohort_day"), col("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
     })
   )
 
@@ -3310,6 +3357,43 @@ object SparkEntry {
         |SELECT p3, p2, p1, next_type, CAST(COUNT(*) AS BIGINT) AS n
         |FROM lagged WHERE p3 IS NOT NULL
         |GROUP BY p3, p2, p1, next_type
-        |ORDER BY p3, p2, p1, next_type""".stripMargin
+        |ORDER BY p3, p2, p1, next_type""".stripMargin,
+
+    "q101_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |  GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |  GROUP BY e.user_id
+        |)
+        |SELECT stage_idx, stage, n_users FROM (
+        |  SELECT 1 AS stage_idx, 'view' AS stage,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'click',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s3))
+        |ORDER BY stage_idx""".stripMargin,
+
+    "q102_retention" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), f AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id
+        |)
+        |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(datediff('day', f.cohort_day, d.day) AS INT) AS day_offset,
+        |  CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM d JOIN f USING (user_id)
+        |WHERE datediff('day', f.cohort_day, d.day) <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
