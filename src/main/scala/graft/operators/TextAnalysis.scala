@@ -678,17 +678,21 @@ object TextAnalysis {
     * must pay). Requires GraftFunctions.register on the session.
     * Returns (id, chunk_id, start_pos, chunk_len, digest, n_dups). */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
-                w: Int = 8): DataFrame = {
+                w: Int = 8, dupCounts: Boolean = true): DataFrame = {
     require(w > 0)
     val txt = col(textCol)
-    df.select(col(idCol).as("id"), txt.as("_t"),
+    val chunks = df.select(col(idCol).as("id"), txt.as("_t"),
         posexplode(graft.functions.GraftFunctions.cdc_pairs(txt, w)))
       .select(col("id"), (col("pos") + 1).cast("int").as("chunk_id"),
         col("col.s").as("start_pos"),
         (col("col.e") - col("col.s")).as("chunk_len"),
         md5(col("_t").substr(col("col.s"),
           col("col.e") - col("col.s"))).as("digest"))
-      .withColumn("n_dups", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))))
+    // dupCounts=false is the pure map-side chunker — stateless, so it
+    // composes unchanged over a streaming frame (StreamingSpec pins the
+    // differential); the dup-count window is the batch/index-side step
+    if (!dupCounts) chunks
+    else chunks.withColumn("n_dups", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))))
   }
 }

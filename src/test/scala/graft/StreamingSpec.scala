@@ -245,6 +245,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == batch)
   }
 
+  test("content-defined chunking composes unchanged over a streaming corpus") {
+    // the CdcPairs cut scan + digest projection is stateless map-side
+    // work, so the dupCounts=false form runs on a streaming frame as-is;
+    // only the corpus-wide dup-count window belongs to the batch side.
+    graft.functions.GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (1L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (2L, ""), (3L, "abc")
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-cdc-stream").toString
+    df.write.mode("overwrite").parquet(dir)
+    val q = graft.operators.TextAnalysis
+      .cdcChunks(spark.readStream.schema(df.schema).parquet(dir),
+        "doc_id", "text", w = 8, dupCounts = false)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdc_stream_out").start()
+    q.processAllAvailable(); q.stop()
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id", "chunk_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getString(4))).toSeq
+    val got = rows(spark.table("cdc_stream_out"))
+    val batch = rows(graft.operators.TextAnalysis
+      .cdcChunks(df, "doc_id", "text", w = 8, dupCounts = false))
+    assert(got.nonEmpty && got == batch)
+  }
+
   test("image perceptual hashing composes over a streaming media source") {
     // extractImageHashes is a stateless mapPartitions kernel, so the SAME
     // operator runs on a streaming Dataset[MediaRow] with no changes —
