@@ -1522,6 +1522,27 @@ object SparkEntry {
           .as("cohort_day"), col("day_offset"))
         .agg(count_distinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    "q103_attribution" -> ((s, dir) => {
+      // last-touch attribution: every purchase credits the user's most
+      // recent preceding non-purchase event (ties on ts broken by max
+      // event_id — the asofJoin rightTieBreak, so the credit is
+      // deterministic under retries). The as-of composition is ONE
+      // shuffle on user_id + a per-user carry-forward window — never an
+      // inequality join (which plans as a per-key cross product: a
+      // power user's touch history x their purchases at 100 TB).
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_type").as("touch_type"), col("event_id"))
+      operators.AsOfJoin.asofJoin(purchases, touches, "user_id",
+          "ts", "ts", Seq("touch_type"), rightTieBreak = Some("event_id"))
+        .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy(col("touch_type"))
     })
   )
 
@@ -3394,6 +3415,27 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
         |FROM d JOIN f USING (user_id)
         |WHERE datediff('day', f.cohort_day, d.day) <= 7
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the oracle may use the inequality join + rank window (DuckDB is
+    // single-node); the Spark side must match it with the one-shuffle
+    // as-of carry-forward
+    "q103_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'purchase'
+        |), tch AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE event_type <> 'purchase'
+        |), j AS (
+        |  SELECT p.event_id AS pid, tch.event_type AS touch,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY tch.ts DESC, tch.event_id DESC) AS rn
+        |  FROM p JOIN tch ON tch.user_id = p.user_id AND tch.ts <= p.ts
+        |), best AS (SELECT pid, touch FROM j WHERE rn = 1)
+        |SELECT COALESCE(best.touch, 'none') AS touch_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases
+        |FROM p LEFT JOIN best ON best.pid = p.event_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1470,6 +1470,27 @@ class OperatorsSpec extends SparkSpec {
       "doc_id", "text", n = 5).collect().isEmpty)
   }
 
+  test("asofJoin rightTieBreak picks max id among equal-ts right rows") {
+    val s = spark
+    import s.implicits._
+    // user 1: two touches at the SAME instant (ids 5, 9) before the
+    // purchase at t=10 — the credit must go to id 9's type, always;
+    // user 2: purchase with no preceding touch -> null carried value
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 200L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, 7L, "a", 5L), (1L, 7L, "b", 9L),
+        (1L, 12L, "c", 11L))
+      .toDF("user_id", "ts", "touch_type", "event_id")
+      .select(col("user_id"), col("ts"), col("touch_type"), col("event_id"))
+    val got = graft.operators.AsOfJoin.asofJoin(
+        left, right.select("user_id", "ts", "touch_type", "event_id"),
+        "user_id", "ts", "ts", Seq("touch_type"),
+        rightTieBreak = Some("event_id"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toSeq
+    assert(got == Seq((1L, Some("b")), (2L, None)))
+  }
+
   test("writeShards round trip: balanced, sorted, lossless") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = java.nio.file.Files.createTempDirectory("shards_").toString
