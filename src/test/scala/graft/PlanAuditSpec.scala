@@ -338,6 +338,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q100-q103: event analytics never single-partition or cartesian") {
+    for (q <- Seq("q100_event_context", "q101_funnel", "q102_retention",
+        "q103_attribution")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
+      // a single-partition exchange is legitimate only after a map-side
+      // partial aggregate (scalar totals like the funnel's stage counts);
+      // a corpus-global window/sort would surface without one
+      assert(!p.contains("Exchange SinglePartition") || p.contains("partial_"),
+        s"$q: ${p.take(1500)}")
+    }
+    // the funnel is pure keyed aggregation — no window operator at all
+    assert(!plan("q101_funnel").contains("Window"))
+    // attribution's one window partitions by the join key, never globally
+    val p103 = plan("q103_attribution")
+    assert(p103.contains("Window"), p103.take(1500))
+  }
+
   test("q95: shard manifest is one partial-combined aggregation, no window") {
     val p = plan("q95_shard_plan")
     assert(!p.contains("Window"), p.take(2000))
