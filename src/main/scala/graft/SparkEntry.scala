@@ -1543,6 +1543,32 @@ object SparkEntry {
         .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
         .agg(count(lit(1)).as("n_purchases"))
         .orderBy(col("touch_type"))
+    }),
+
+    "q104_error_spikes" -> ((s, dir) => {
+      // operational anomaly detection on the event stream: days whose
+      // error rate exceeds 2x the trailing-7-day mean rate. The corpus
+      // collapses to one row per day FIRST (partial-combined counts —
+      // the only full-data pass), so the trailing window runs over a
+      // driver-scale day series; rates compare through DECIMAL(38,18)
+      // cross-products (rate > 2*mean <=> errs*prior_events >
+      // 2*events*prior_errs) — no double division on either engine.
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_errors"))
+      val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+      daily
+        .withColumn("prior_events", sum(col("n_events")).over(w))
+        .withColumn("prior_errors", sum(col("n_errors")).over(w))
+        .filter(col("prior_events").isNotNull)
+        .select(col("day"), col("n_events"), col("n_errors"),
+          (col("n_errors").cast("decimal(38,18)") * col("prior_events")
+            > col("n_events").cast("decimal(38,18)") * col("prior_errors")
+              * lit(2)).as("spike"))
+        .orderBy(col("day"))
     })
   )
 
@@ -3436,6 +3462,26 @@ object SparkEntry {
         |SELECT COALESCE(best.touch, 'none') AS touch_type,
         |  CAST(COUNT(*) AS BIGINT) AS n_purchases
         |FROM p LEFT JOIN best ON best.pid = p.event_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q104_error_spikes" ->
+      """WITH daily AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_errors
+        |  FROM events GROUP BY 1
+        |), trail AS (
+        |  SELECT day, n_events, n_errors,
+        |    SUM(n_events) OVER w AS prior_events,
+        |    SUM(n_errors) OVER w AS prior_errors
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT day, n_events, n_errors,
+        |  (CAST(n_errors AS DECIMAL(38,18)) * prior_events
+        |    > CAST(n_events AS DECIMAL(38,18)) * prior_errors * 2) AS spike
+        |FROM trail WHERE prior_events IS NOT NULL
+        |ORDER BY day""".stripMargin
   )
 }
