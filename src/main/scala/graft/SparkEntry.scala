@@ -82,10 +82,8 @@ object SparkEntry {
     // guards validity: regenerated data under the same dir retrains
     // instead of silently reusing a stale codebook (which would surface
     // only as a confusing recall-gate failure)
-    val abs = new java.io.File(dir).getAbsolutePath
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
-    val cbDir = new java.io.File(s".bench/q72_cb_$key").getAbsolutePath
+    val cbDir = new java.io.File(
+      s".bench/q72_cb_${corpusKey(dir)}").getAbsolutePath
     val nRows = emb.count()
     val metaFile = new java.io.File(s"$cbDir.rows")
     val cacheValid = new java.io.File(s"$cbDir/_SUCCESS").exists() &&
@@ -111,6 +109,37 @@ object SparkEntry {
         nRows.toString.getBytes("UTF-8"))
       trained
     }
+  }
+
+  /** Collision-resistant per-corpus key for `.bench` artifact dirs — md5 of
+    * the absolute path (String.hashCode is 32-bit and collides across real
+    * corpus paths). */
+  private def corpusKey(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
+  }
+
+  /** Build-or-reuse a persisted parquet index artifact. A row-count sidecar
+    * guards staleness: regenerated data under the same dir rebuilds the
+    * index instead of silently searching a stale one (which would surface
+    * only as a confusing recall/oracle failure). Returns the parquet path
+    * of the materialized index. */
+  private def ensurePersistedIndex(idxDir: String, nRows: Long)
+                                  (build: => DataFrame): String = {
+    val idxPath = s"$idxDir/mat_0"
+    val metaFile = new java.io.File(s"$idxDir.rows")
+    val valid = new java.io.File(s"$idxPath/_SUCCESS").exists() &&
+      metaFile.exists() &&
+      scala.util.Try(new String(java.nio.file.Files
+        .readAllBytes(metaFile.toPath), "UTF-8").trim.toLong)
+        .toOption.contains(nRows)
+    if (!valid) {
+      graft.operators.Materializer.Persisted(idxDir)(build)
+      java.nio.file.Files.write(metaFile.toPath,
+        nRows.toString.getBytes("UTF-8"))
+    }
+    idxPath
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -815,26 +844,13 @@ object SparkEntry {
       GraftFunctions.register(s)
       val docs = t(s, dir, "documents")
       val media = Multimodal.dhashMediaFromDocuments(docs)
-      val abs = new java.io.File(dir).getAbsolutePath
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(abs.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
-      val idxDir = new java.io.File(s".bench/q82_index_$key").getAbsolutePath
-      val idxPath = s"$idxDir/mat_0"
-      val nRows = docs.count()
-      val metaFile = new java.io.File(s"$idxDir.rows")
-      val idxValid = new java.io.File(s"$idxPath/_SUCCESS").exists() &&
-        metaFile.exists() &&
-        scala.util.Try(new String(java.nio.file.Files
-          .readAllBytes(metaFile.toPath), "UTF-8").trim.toLong)
-          .toOption.contains(nRows)
-      if (!idxValid) {
-        graft.operators.Materializer.Persisted(idxDir)(
-          Multimodal.extractImageHashes(
-              media.filter(_.doc_id % 2 == 0)).toDF()
-            .filter(col("decoded"))
-            .select(col("doc_id").as("id"), col("dhash").as("sig")))
-        java.nio.file.Files.write(metaFile.toPath,
-          nRows.toString.getBytes("UTF-8"))
+      val idxDir = new java.io.File(
+        s".bench/q82_index_${corpusKey(dir)}").getAbsolutePath
+      val idxPath = ensurePersistedIndex(idxDir, docs.count()) {
+        Multimodal.extractImageHashes(
+            media.filter(_.doc_id % 2 == 0)).toDF()
+          .filter(col("decoded"))
+          .select(col("doc_id").as("id"), col("dhash").as("sig"))
       }
       val newSig = Multimodal.extractImageHashes(
           media.filter(_.doc_id % 2 == 1)).toDF()
@@ -1122,26 +1138,10 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") < 30)
       val cb = pqCodebookFor(s, dir, emb)
       val seeds = emb.filter(col("vec_id") < 8)
-      val abs = new java.io.File(dir).getAbsolutePath
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(abs.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(16)
-      val idxDir = new java.io.File(s".bench/q77_index_$key").getAbsolutePath
-      val idxPath = s"$idxDir/mat_0"
-      // row-count sidecar: regenerated data under the same dir rebuilds
-      // the index instead of silently searching a stale one (the
-      // pqCodebookFor guard, applied to the index artifact)
-      val nRows = emb.count()
-      val metaFile = new java.io.File(s"$idxDir.rows")
-      val idxValid = new java.io.File(s"$idxPath/_SUCCESS").exists() &&
-        metaFile.exists() &&
-        scala.util.Try(new String(java.nio.file.Files
-          .readAllBytes(metaFile.toPath), "UTF-8").trim.toLong)
-          .toOption.contains(nRows)
-      if (!idxValid) {
-        graft.operators.Materializer.Persisted(idxDir)(
-          Similarity.ivfPqIndex(emb, seeds, cb))
-        java.nio.file.Files.write(metaFile.toPath,
-          nRows.toString.getBytes("UTF-8"))
+      val idxDir = new java.io.File(
+        s".bench/q77_index_${corpusKey(dir)}").getAbsolutePath
+      val idxPath = ensurePersistedIndex(idxDir, emb.count()) {
+        Similarity.ivfPqIndex(emb, seeds, cb)
       }
       val pq = Similarity.ivfPqSearch(s.read.parquet(idxPath), qs, seeds,
         cb, k = 10, nprobe = 3)
@@ -1252,13 +1252,12 @@ object SparkEntry {
       // check, exactly as q39 pins the full fast path.
       GraftFunctions.register(s)
       val docs = t(s, dir, "documents")
-      val idxDir = new java.io.File(".bench/q70_index_" +
-        java.lang.Integer.toHexString(dir.hashCode)).getAbsolutePath
-      val idxPath = s"$idxDir/mat_0"
-      if (!new java.io.File(s"$idxPath/_SUCCESS").exists())
-        graft.operators.Materializer.Persisted(idxDir)(
-          Dedup.minhashIndex(docs.filter(col("doc_id") % 2 === 0),
-            "doc_id", "text", k = 16, bands = 4, shingleN = 3, fast = true))
+      val idxDir = new java.io.File(
+        s".bench/q70_index_${corpusKey(dir)}").getAbsolutePath
+      val idxPath = ensurePersistedIndex(idxDir, docs.count()) {
+        Dedup.minhashIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", k = 16, bands = 4, shingleN = 3, fast = true)
+      }
       Dedup.minhashLshPairsIncremental(
           Dedup.minhashIndex(docs.filter(col("doc_id") % 2 === 1),
             "doc_id", "text", k = 16, bands = 4, shingleN = 3, fast = true),
@@ -1324,13 +1323,14 @@ object SparkEntry {
 
     "q43_mm_features" -> ((s, dir) => {
       val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
-      // image rows: real PNG payloads decoded by javax.imageio — width/
-      // height/channels/mean_red read from actual pixels. audio rows: real
-      // WAV payloads decoded by javax.sound.sampled — sample rate/samples/
-      // mean |amplitude| read from actual PCM frames. video rows: stub
-      // kernel over the opaque text payload (no JDK video codec exists).
-      // byte_len is encoder output size, not SQL-predictable, so it is
-      // not part of the oracle-checked projection.
+      // ALL THREE decodes are real: image rows are PNG payloads decoded by
+      // javax.imageio (features from actual pixels); audio rows are WAV
+      // payloads decoded by javax.sound.sampled (features from actual PCM
+      // frames); video rows are raw-DIB AVI payloads decoded by the
+      // VideoCodec RIFF walk (dims from the avih header, mean red from the
+      // actual frame pixels — DIB is lossless, so the oracle predicts the
+      // exact value). byte_len is encoder output size, not SQL-predictable,
+      // so it is not part of the oracle-checked projection.
       Multimodal.extractFeatures(media)
         .select(col("doc_id"), col("modality"),
           col("width").cast("long").as("width"),
@@ -1358,9 +1358,14 @@ object SparkEntry {
     }),
 
     "q44_mm_frames" -> ((s, dir) => {
+      // REAL frame sampling: every third frame of each video row's AVI is
+      // decoded (RIFF walk + raw-DIB pixels) and emits (frame_idx,
+      // mean_red) — the oracle predicts both from the fixture formula
+      // because DIB frames are lossless.
       Multimodal.sampleFrames(
-          Multimodal.mediaFromDocuments(t(s, dir, "documents")), everyN = 10)
-        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+          Multimodal.mediaFromDocuments(t(s, dir, "documents")), everyN = 3)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("mean_red"))
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
@@ -3246,28 +3251,26 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT doc_id,
         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-        |      WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |    octet_length(encode(text)) AS n
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS modality
         |  FROM documents)
         |SELECT doc_id, modality,
         |  CAST(CASE WHEN modality = 'image' THEN doc_id % 64 + 1
         |    WHEN modality = 'audio' THEN 8000 + (doc_id % 2) * 8000
-        |    WHEN modality = 'video' THEN n % 640 + 1
-        |    ELSE 0 END AS BIGINT) AS width,
+        |    ELSE doc_id % 16 + 2 END AS BIGINT) AS width,
         |  CAST(CASE WHEN modality = 'image' THEN doc_id % 48 + 1
-        |    WHEN modality = 'video' THEN n % 480 + 1
-        |    ELSE 0 END AS BIGINT) AS height,
+        |    WHEN modality = 'audio' THEN 0
+        |    ELSE doc_id % 12 + 2 END AS BIGINT) AS height,
         |  CAST(CASE WHEN modality = 'image' THEN 1
         |    WHEN modality = 'audio' THEN doc_id % 500 + 50
-        |    WHEN modality = 'video' THEN n % 30 + 1
-        |    ELSE 0 END AS BIGINT) AS n_frames,
-        |  CAST(CASE WHEN modality = 'image' THEN 3
-        |    WHEN modality = 'audio' THEN 1 ELSE 0
+        |    ELSE doc_id % 12 + 1 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN modality = 'audio' THEN 1 ELSE 3
         |    END AS BIGINT) AS channels,
         |  CAST(CASE WHEN modality = 'image' THEN doc_id % 256
         |    WHEN modality = 'audio' THEN doc_id % 1000
-        |    ELSE 0 END AS BIGINT) AS mean_red,
-        |  modality IN ('image', 'audio') AS decoded
+        |    ELSE list_sum([(doc_id * 31 + f * 17) % 256
+        |      for f in range(0, CAST(doc_id % 12 + 1 AS INT))])
+        |      // (doc_id % 12 + 1) END AS BIGINT) AS mean_red,
+        |  TRUE AS decoded
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "q69_mm_decode" ->
@@ -3281,10 +3284,13 @@ object SparkEntry {
 
     "q44_mm_frames" ->
       """WITH m AS (
-        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
-        |  WHERE CAST(doc_id % 3 AS INT) = 2
+        |  SELECT doc_id FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
         |)
-        |SELECT doc_id, unnest(range(0, (n % 30) + 1, 10)) AS frame_idx
+        |SELECT doc_id,
+        |  unnest(range(0, CAST(doc_id % 12 + 1 AS BIGINT), 3)) AS frame_idx,
+        |  CAST((doc_id * 31 +
+        |    unnest(range(0, CAST(doc_id % 12 + 1 AS BIGINT), 3)) * 17) % 256
+        |    AS BIGINT) AS mean_red
         |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q95_shard_plan" ->

@@ -1162,7 +1162,7 @@ class OperatorsSpec extends SparkSpec {
     assert(profile(0).getLong(0) == 1L && profile(0).getDouble(2) == 0.9)
   }
 
-  test("multimodal features: real ImageIO/WAV decode, stub only for video") {
+  test("multimodal features: real ImageIO/WAV/AVI decode for all modalities") {
     val s = spark
     import s.implicits._
     val docs = Seq((0L, "abcd"), (1L, "efghij"), (2L, "xy"), (3L, "pqrs"))
@@ -1186,9 +1186,56 @@ class OperatorsSpec extends SparkSpec {
       && f1.n_frames == 51      // samples: 1 % 500 + 50
       && f1.channels == 1
       && f1.mean_red == 1L)     // constant amplitude = id % 1000
-    // doc 2 -> video: no JDK codec, deterministic stub over text bytes
+    // doc 2 -> video: payload is a real raw-DIB AVI; dims/frame count come
+    // from the RIFF header walk and mean red from the decoded frame
+    // pixels: 3 frames (2%12+1) of 4x4 (2%16+2 x 2%12+2), frame reds
+    // (2*31 + f*17) % 256 = 62, 79, 96 -> mean (62+79+96)/3 = 79
     val f2 = feats.find(_.doc_id == 2L).get
-    assert(f2.modality == "video" && f2.n_frames == 3 && !f2.decoded)
+    assert(f2.modality == "video" && f2.decoded
+      && f2.width == 4 && f2.height == 4 && f2.n_frames == 3
+      && f2.channels == 3 && f2.mean_red == 79L)
+  }
+
+  test("multimodal decode: corrupt video payload falls back, flagged") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal
+    implicit val enc = org.apache.spark.sql.Encoders
+      .product[Multimodal.MediaRow]
+    val media = Seq(
+      Multimodal.MediaRow(12L, "video",
+        "not an avi at all".getBytes("UTF-8")),
+      // a RIFF header with a truncated body must not crash the walk
+      Multimodal.MediaRow(13L, "video",
+        "RIFF   AVI ".getBytes("ISO-8859-1")))
+      .toDS()
+    val out = Multimodal.extractFeatures(media).collect()
+    assert(out.forall(f => !f.decoded && f.channels == 0))
+  }
+
+  test("video codec: MJPEG frames decode through the ImageIO JPEG reader") {
+    // grayscale solid frames survive JPEG's DCT exactly (constant blocks
+    // quantize losslessly), so even the lossy path is value-checkable
+    import graft.operators.Multimodal.VideoCodec
+    val avi = VideoCodec.encodeAvi(16, 16,
+      Array(0x505050, 0xa0a0a0), mjpeg = true)
+    val d = VideoCodec.decode(avi).get
+    assert(d.width == 16 && d.height == 16 && d.nFrames == 2)
+    assert(math.abs(d.meanRed - 0x78L) <= 2) // (0x50+0xa0)/2, jpeg tolerance
+  }
+
+  test("video frame sampling: real per-frame decode, stride and means") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal
+    // doc 5 -> video fixture: 6 frames (5%12+1), reds (5*31+f*17)%256
+    val docs = Seq((5L, "anything")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(docs), everyN = 2)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
+    assert(frames.map(_.getLong(2)).toSeq ==
+      Seq(155L, (155L + 34) % 256, (155L + 68) % 256))
   }
 
   test("multimodal decode: corrupt audio payload falls back, flagged") {
