@@ -1574,6 +1574,26 @@ object SparkEntry {
             > col("n_events").cast("decimal(38,18)") * col("prior_errors")
               * lit(2)).as("spike"))
         .orderBy(col("day"))
+    }),
+
+    "q105_fuzzy_join" -> ((s, dir) => {
+      // cross-TABLE record linkage: documents from sources src0-src9 (the
+      // "crawl") fuzzy-joined to documents from src10-src19 (the
+      // "reference corpus") by MinHash-banded blocking + exact shingle-
+      // Jaccard verify. The two sides are independent tables with their
+      // own id spaces — pairs are NOT canonicalized, and at scale the
+      // right side is the reference corpus's PERSISTED minhash index
+      // (the q70 artifact), so linking never re-signatures it.
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val srcNum = expr("int(substring(source, 4))")
+      Dedup.fuzzyJoin(
+          Dedup.minhashIndex(docs.filter(srcNum < 10),
+            "doc_id", "text", k = 16, bands = 4, shingleN = 3, fast = false),
+          Dedup.minhashIndex(docs.filter(srcNum >= 10),
+            "doc_id", "text", k = 16, bands = 4, shingleN = 3, fast = false),
+          threshold = 0.3)
+        .orderBy(col("left_id"), col("right_id"))
     })
   )
 
@@ -3488,6 +3508,47 @@ object SparkEntry {
         |  (CAST(n_errors AS DECIMAL(38,18)) * prior_events
         |    > CAST(n_events AS DECIMAL(38,18)) * prior_errors * 2) AS spike
         |FROM trail WHERE prior_events IS NOT NULL
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    // q37's md5 minhash algebra over two DISJOINT source slices, joined
+    // across slices with no canonicalization — record linkage, not dedup
+    "q105_fuzzy_join" ->
+      """WITH tk AS (
+        |  SELECT doc_id, CAST(substr(source, 4) AS INT) AS src_num,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, src_num,
+        |    CASE WHEN len(raw) < 3 THEN [array_to_string(raw, ' ')]
+        |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |            for i in range(0, len(raw) - 2)] END AS shingles
+        |  FROM tk
+        |), sig AS (
+        |  SELECT doc_id, src_num, shingles,
+        |    [list_min([md5(CAST(i AS VARCHAR) || '|' || s) for s in shingles])
+        |     for i in range(0, 16)] AS mh
+        |  FROM sh
+        |), banded AS (
+        |  SELECT doc_id, src_num, shingles,
+        |    unnest([CAST(b AS VARCHAR) || '_'
+        |            || array_to_string(mh[b*4+1:b*4+4], '|')
+        |            for b in range(0, 4)]) AS bandkey
+        |  FROM sig
+        |), pairs AS (
+        |  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+        |    l.shingles AS l_sh, r.shingles AS r_sh
+        |  FROM banded l JOIN banded r ON l.bandkey = r.bandkey
+        |  WHERE l.src_num < 10 AND r.src_num >= 10
+        |), verified AS (
+        |  SELECT left_id, right_id,
+        |    round(CASE WHEN len(list_distinct(list_concat(l_sh, r_sh))) = 0
+        |      THEN 0.0
+        |      ELSE CAST(len(list_intersect(list_distinct(l_sh),
+        |            list_distinct(r_sh))) AS DOUBLE)
+        |        / CAST(len(list_distinct(list_concat(l_sh, r_sh))) AS DOUBLE)
+        |      END, 6) AS sim
+        |  FROM pairs)
+        |SELECT left_id, right_id, sim FROM verified WHERE sim >= 0.3
+        |ORDER BY left_id, right_id""".stripMargin
   )
 }

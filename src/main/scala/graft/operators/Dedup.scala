@@ -200,6 +200,53 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("sim"))
   }
 
+  /** Cross-TABLE fuzzy join (record linkage / entity resolution): rows of
+    * a LEFT table matched to rows of a RIGHT table by text similarity —
+    * the blocking formulation of a similarity join (the classic
+    * Fellegi-Sunter blocking step realized with MinHash bands). Unlike the
+    * self-dedup family, the two sides are DIFFERENT tables with
+    * independent id spaces (crawl docs vs a licensed corpus, product
+    * titles vs a catalog), so pairs are NOT canonicalized: output is one
+    * (left_id, right_id, sim) row per linked pair.
+    *
+    * Both inputs are [[minhashIndex]] artifacts and must share
+    * (k, bands, shingleN, fast) — at scale one side is typically the
+    * persisted parquet index of the reference corpus, so a new table
+    * links against it without the reference ever being re-signatured.
+    * Plan shape: band-key equi-join (candidates form only inside
+    * identical buckets — no cross product), distinct pairs, then exact
+    * shingle-Jaccard verify on candidates only, re-attaching each side's
+    * precomputed shingle set by id. */
+  def fuzzyJoin(leftIndex: DataFrame, rightIndex: DataFrame,
+                threshold: Double = 0.5,
+                materialize: Materializer = Materializer.Local): DataFrame = {
+    // both sides pinned: each index is referenced twice (banding + its
+    // verify re-attach side) and Catalyst re-executes an uncached subtree
+    // per reference — for freshly-built indexes that is the whole
+    // signature pass run twice
+    val li = materialize(leftIndex)
+    val ri = materialize(rightIndex)
+    val lBanded = li
+      .select(col("id"), explode_outer(col("bandkeys")).as("bandkey"))
+    val rBanded = ri
+      .select(col("id"), explode_outer(col("bandkeys")).as("bandkey"))
+    val candidates = lBanded.select(col("bandkey"), col("id").as("left_id"))
+      .join(rBanded.select(col("bandkey"), col("id").as("right_id")),
+        Seq("bandkey"))
+      .select(col("left_id"), col("right_id"))
+      .distinct()
+    val shL = li.select(col("id").as("left_id"), col("sh").as("l_sh"))
+    val shR = ri.select(col("id").as("right_id"), col("sh").as("r_sh"))
+    val inter = size(array_intersect(col("l_sh"), col("r_sh"))).cast("double")
+    val uni = size(array_union(col("l_sh"), col("r_sh"))).cast("double")
+    candidates
+      .join(shL, Seq("left_id")).join(shR, Seq("right_id"))
+      .withColumn("sim", round(
+        when(uni === 0, lit(0.0)).otherwise(inter / uni), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("left_id"), col("right_id"), col("sim"))
+  }
+
   /** Near-duplicate CLUSTERS from confirmed pairs: the connected
     * components of the pair graph, labeled by the component's min doc id —
     * the step after pair finding that dedup actually needs (keep one

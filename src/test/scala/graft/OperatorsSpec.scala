@@ -651,6 +651,35 @@ class OperatorsSpec extends SparkSpec {
     assert(oldOnly ++ incr == full)
   }
 
+  test("fuzzyJoin links across tables only, keeps both orientations distinct") {
+    // record linkage: pairs form ONLY across the two tables — same-side
+    // near-dups (left 1~2, right 10~11) must never appear, and ids are not
+    // canonicalized (left_id always from the left table)
+    GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val a = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    val b = "completely different words about deep sea fish and coral reefs"
+    val left = Seq((1L, a), (2L, a + " extra"), (3L, b))
+      .toDF("doc_id", "text")
+    val right = Seq((10L, a), (11L, a + " extra"), (12L, "unrelated entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyJoin(
+        Dedup.minhashIndex(left, "doc_id", "text"),
+        Dedup.minhashIndex(right, "doc_id", "text"), threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"),
+        r.getAs[Double]("sim")))
+    // exact cross-table dup at sim 1.0, both directions of the near-dup
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 10L)) && pairs.contains((2L, 11L)))
+    assert(out.find(p => p._1 == 1L && p._2 == 10L).get._3 == 1.0)
+    // left ids only on the left, right ids only on the right, no same-side
+    assert(out.forall(p => p._1 < 10L && p._2 >= 10L))
+    // the unrelated right row links to nothing
+    assert(!pairs.exists(_._2 == 12L))
+  }
+
   test("incremental dedup joins a persisted index read in a fresh session") {
     // The daily-pipeline shape end-to-end: yesterday's run exported the
     // index via Materializer.Persisted; today's run is a DIFFERENT

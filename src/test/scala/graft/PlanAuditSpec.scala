@@ -100,6 +100,12 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q105: cross-table fuzzy join blocks on band keys, no cartesian") {
+    val p = plan("q105_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q65: incremental dedup stays a band-key equi-join, no cartesian") {
     val p = plan("q65_dedup_incremental")
     assert(!p.contains("CartesianProduct"), p.take(2000))
