@@ -1594,6 +1594,18 @@ object SparkEntry {
             "doc_id", "text", k = 16, bands = 4, shingleN = 3, fast = false),
           threshold = 0.3)
         .orderBy(col("left_id"), col("right_id"))
+    }),
+
+    "q106_heavy_hitters" -> ((s, dir) => {
+      // frequent-items primitive with a count-min cross-check: exact
+      // (token, count) heavy hitters at share >= 0.2%, each estimate
+      // checked against the CM sketch's two documented guarantees (never
+      // undercounts; overcount <= eps*N w.p. 1-delta). The oracle replays
+      // the exact counts and pins both booleans TRUE — the q19/q96
+      // sketch-gate pattern.
+      operators.TextAnalysis.heavyHitters(t(s, dir, "documents"), "text",
+          minShare = 0.002, eps = 1e-4, confidence = 0.99)
+        .orderBy(col("token"))
     })
   )
 
@@ -3549,6 +3561,18 @@ object SparkEntry {
         |      END, 6) AS sim
         |  FROM pairs)
         |SELECT left_id, right_id, sim FROM verified WHERE sim >= 0.3
-        |ORDER BY left_id, right_id""".stripMargin
+        |ORDER BY left_id, right_id""".stripMargin,
+
+    "q106_heavy_hitters" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS token
+        |  FROM documents
+        |), tot AS (SELECT COUNT(*) AS n FROM tk)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |  TRUE AS est_ge_exact, TRUE AS est_within_bound
+        |FROM tk, tot GROUP BY token, tot.n
+        |HAVING CAST(COUNT(*) AS DOUBLE) >= 0.002 * n
+        |ORDER BY token""".stripMargin
   )
 }

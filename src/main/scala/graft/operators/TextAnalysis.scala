@@ -695,4 +695,53 @@ object TextAnalysis {
     else chunks.withColumn("n_dups", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))))
   }
+
+  /** Heavy hitters over the corpus token stream, with a count-min sketch
+    * cross-check — the streaming-scale frequent-items primitive (vocabulary
+    * pruning, hot-key detection, stopword discovery). Exact counts come
+    * from one partial-combined (token, count) aggregate; in the same job
+    * Spark's distributed `count_min_sketch` aggregate folds every token
+    * into an eps x delta CM sketch (one small binary to the driver — the
+    * sketch, not the data), and each heavy hitter's estimate is checked
+    * against the sketch's two documented guarantees: estimates never
+    * undercount, and overcount is <= eps*N with probability 1-delta. The
+    * q19/q96 gate pattern: the oracle replays the exact counts and pins
+    * the guarantee booleans TRUE, so sketch drift hash-mismatches instead
+    * of hiding behind approximation.
+    *
+    * Output: (token, n_occurrences, est_ge_exact, est_within_bound) for
+    * every token with share >= minShare; the result is driver-bounded by
+    * construction (at most 1/minShare rows can clear the threshold).
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, minShare: Double,
+                   eps: Double = 1e-4, confidence: Double = 0.99,
+                   seed: Int = 42): DataFrame = {
+    require(minShare > 0 && minShare <= 1)
+    val toks = docs.select(explode(tokens(col(textCol))).as("token"))
+    // one pass: total count + the distributed CM sketch (binary scalar)
+    val row = toks.agg(count(lit(1)).as("n"),
+        count_min_sketch(col("token"), lit(eps), lit(confidence),
+          lit(seed)).as("sk")).head()
+    val nTotal = row.getAs[Long]("n")
+    val skBytes = row.getAs[Array[Byte]]("sk")
+    val bound = math.ceil(eps * nTotal).toLong
+    val hh = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences").cast("double") >= lit(minShare) * nTotal)
+    val sess = docs.sparkSession
+    import sess.implicits._
+    // the sketch ships once per task in the closure; the probe runs where
+    // the heavy-hitter rows live (<= 1/minShare of them, but no collect)
+    hh.select(col("token"), col("n_occurrences"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(skBytes))
+        it.map { case (tok, exact) =>
+          val est = cms.estimateCount(tok)
+          (tok, exact, est >= exact, est <= exact + bound)
+        }
+      }
+      .toDF("token", "n_occurrences", "est_ge_exact", "est_within_bound")
+  }
 }

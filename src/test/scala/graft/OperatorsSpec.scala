@@ -680,6 +680,23 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(_._2 == 12L))
   }
 
+  test("heavyHitters: exact counts at the share threshold, sketch gates hold") {
+    val s = spark
+    import s.implicits._
+    // 20 tokens total: "hot" x 10 (50%), "warm" x 6 (30%), "a".."d" x 1
+    val docs = Seq(
+      (1L, "hot hot hot hot hot warm warm warm a b"),
+      (2L, "hot hot hot hot hot warm warm warm c d"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .heavyHitters(docs, "text", minShare = 0.25)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getBoolean(2), r.getBoolean(3))).sortBy(_._1)
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      Seq(("hot", 10L), ("warm", 6L)))        // singletons below 25% share
+    assert(out.forall(t => t._3 && t._4))     // CM guarantees hold
+  }
+
   test("incremental dedup joins a persisted index read in a fresh session") {
     // The daily-pipeline shape end-to-end: yesterday's run exported the
     // index via Materializer.Persisted; today's run is a DIFFERENT
