@@ -1606,6 +1606,29 @@ object SparkEntry {
       operators.TextAnalysis.heavyHitters(t(s, dir, "documents"), "text",
           minShare = 0.002, eps = 1e-4, confidence = 0.99)
         .orderBy(col("token"))
+    }),
+
+    "q107_pagerank" -> ((s, dir) => {
+      // link-graph centrality as a quality prior (the original web-scale
+      // PageRank use): customers and suppliers are nodes, a purchase is
+      // an (undirected -> symmetrized) edge; 5 fixed iterations of
+      // Graph.pageRank. Per iteration: contributions are per-edge DOUBLE
+      // divisions accumulated in DECIMAL(38,20) (aggregation order can't
+      // flip a bit), ranks re-quantized with round(.,12) — so the DuckDB
+      // oracle's unrolled 5-CTE replay (the q91 pattern) lands on
+      // identical bits.
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("p"))
+        .distinct()
+      val edges = base.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(base.select(col("p").as("src"), col("c").as("dst")))
+      operators.Graph.pageRank(edges, iters = 5)
+        .orderBy(col("node"))
     })
   )
 
@@ -3573,6 +3596,36 @@ object SparkEntry {
         |  TRUE AS est_ge_exact, TRUE AS est_within_bound
         |FROM tk, tot GROUP BY token, tot.n
         |HAVING CAST(COUNT(*) AS DOUBLE) >= 0.002 * n
-        |ORDER BY token""".stripMargin
+        |ORDER BY token""".stripMargin,
+
+    // the q91 pattern: DuckDB RE-RUNS all 5 PageRank iterations through an
+    // unrolled MATERIALIZED CTE chain and must land on identical bits —
+    // per-edge double division, DECIMAL(38,20) contribution sums,
+    // round(.,12) re-quantization each iteration
+    "q107_pagerank" -> {
+      val iter = (k: Int) =>
+        s"""r$k AS MATERIALIZED (
+           |  SELECT n.node,
+           |    round(CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+           |      * CAST(COALESCE(s.c, 0) AS DOUBLE), 12) AS r
+           |  FROM r${k - 1} n LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      SUM(CAST(r.r / d.d AS DECIMAL(38,20))) AS c
+           |    FROM edges e
+           |    JOIN r${k - 1} r ON r.node = e.src
+           |    JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS p
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS MATERIALIZED (
+         |  SELECT c AS src, p AS dst FROM base
+         |  UNION ALL SELECT p AS src, c AS dst FROM base),
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+         |r0 AS MATERIALIZED (
+         |  SELECT src AS node, CAST(1.0 AS DOUBLE) AS r FROM deg),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, r AS rank FROM r5 ORDER BY node""".stripMargin
+    }
   )
 }

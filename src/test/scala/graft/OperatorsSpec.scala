@@ -680,6 +680,26 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(_._2 == 12L))
   }
 
+  test("pageRank: fixpoints, mass conservation, hub dominance") {
+    val s = spark
+    import s.implicits._
+    // two-node symmetric graph: rank 1.0 is the exact fixpoint of
+    // r' = 0.15 + 0.85 * r_other / 1, so 5 iterations stay at exactly 1.0
+    val two = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r2 = graft.operators.Graph.pageRank(two, iters = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(r2 == Map("a" -> 1.0, "b" -> 1.0))
+    // symmetrized star: the hub outranks every leaf, and total mass stays
+    // ~N (teleport injects what damping removes — unnormalized ranks)
+    val leaves = (1 to 9).map(i => s"l$i")
+    val star = (leaves.map(l => ("hub", l)) ++ leaves.map(l => (l, "hub")))
+      .toDF("src", "dst")
+    val rs = graft.operators.Graph.pageRank(star, iters = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(leaves.forall(l => rs("hub") > rs(l) * 5))
+    assert(math.abs(rs.values.sum - 10.0) < 1e-6)
+  }
+
   test("heavyHitters: exact counts at the share threshold, sketch gates hold") {
     val s = spark
     import s.implicits._
