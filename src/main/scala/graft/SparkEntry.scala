@@ -1627,8 +1627,48 @@ object SparkEntry {
         .distinct()
       val edges = base.select(col("c").as("src"), col("p").as("dst"))
         .unionByName(base.select(col("p").as("src"), col("c").as("dst")))
-      operators.Graph.pageRank(edges, iters = 5)
+      // broadcastRanks: this is an ENTITY graph — the node set is
+      // customers + suppliers (dimension-scale even at 100 TB), so the
+      // rank table broadcasts and the big edge table never shuffles
+      // distinctEdges=false: `base` is distinct and the two union arms
+      // cannot collide (prefixes differ), so the dedup shuffle is skipped
+      operators.Graph.pageRank(edges, iters = 5, broadcastRanks = true,
+          distinctEdges = false)
         .orderBy(col("node"))
+    }),
+
+    "q108_clusters_incr" -> ((s, dir) => {
+      // the FULL incremental dedup pipeline in one query — q70's persisted
+      // pair-index story completed with persisted CLUSTER LABELS: the
+      // historical (even-id) corpus's minhash index AND its cluster-label
+      // table live on disk (untimed after the first pass); the timed body
+      // is exactly what a daily run pays — signature the odd-id batch,
+      // band-join it against the on-disk index, and merge the confirmed
+      // new pairs into the on-disk labels by graph contraction (CC runs
+      // over the contracted batch-sized graph, never the historical one).
+      // Oracle = q54's ground-truth recursive closure over the FULL
+      // corpus: incremental == full recompute, by construction.
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+      val key = corpusKey(dir)
+      val idxDir = new java.io.File(s".bench/q108_index_$key").getAbsolutePath
+      val nRows = docs.count()
+      val idxPath = ensurePersistedIndex(idxDir, nRows) {
+        Dedup.minhashIndex(evens, "doc_id", "text",
+          k = 16, bands = 4, shingleN = 3, fast = true)
+      }
+      val labDir = new java.io.File(s".bench/q108_labels_$key").getAbsolutePath
+      val labPath = ensurePersistedIndex(labDir, nRows) {
+        Dedup.nearDupClusters(Dedup.minhashLshPairs(evens, "doc_id", "text",
+          k = 16, bands = 4, shingleN = 3, threshold = 0.5, fast = true))
+      }
+      val newPairs = Dedup.minhashLshPairsIncremental(
+        Dedup.minhashIndex(docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", k = 16, bands = 4, shingleN = 3, fast = true),
+        s.read.parquet(idxPath), threshold = 0.5)
+      Dedup.nearDupClustersIncremental(s.read.parquet(labPath), newPairs)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3626,6 +3666,37 @@ object SparkEntry {
          |  SELECT src AS node, CAST(1.0 AS DOUBLE) AS r FROM deg),
          |${(1 to 5).map(iter).mkString(",\n")}
          |SELECT node, r AS rank FROM r5 ORDER BY node""".stripMargin
-    }
+    },
+
+    // q54's ground-truth closure over the FULL corpus: the incremental
+    // label update must land on exactly the full recompute's clusters
+    "q108_clusters_incr" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(raw) < 3
+        |      THEN [array_to_string(raw, ' ')]
+        |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |            for i in range(0, len(raw) - 2)] END) AS shingles
+        |  FROM tk
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+        |          AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs
+        |), reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+        |)
+        |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
   )
 }

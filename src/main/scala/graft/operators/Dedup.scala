@@ -329,6 +329,66 @@ object Dedup {
       rounds)
   }
 
+  /** INCREMENTAL connected components — the daily operating mode of the
+    * clustering stage, completing the q70 story (incremental pair finding
+    * against a persisted index) with incremental cluster maintenance
+    * against persisted labels: yesterday's (doc_id, cluster_id) table plus
+    * today's new pairs, WITHOUT re-clustering the historical graph.
+    *
+    * Graph contraction: each new pair's endpoints project to their current
+    * cluster representative (label if present, self otherwise — one left
+    * join against the label table), then [[nearDupClusters]] runs on the
+    * CONTRACTED edge set — proportional to today's batch, not the corpus.
+    * The result composes back over the old labels with one more join.
+    *
+    * Exactly equal to re-running CC on the full pair set: every stored
+    * label is its cluster's MIN member id, so the contracted component's
+    * min over representatives is the min over all member ids — the same
+    * label the full recompute lands on (spec-pinned differential).
+    * Clusters only ever merge; a representative's own label can change,
+    * and the compose join re-labels its whole old cluster through it.
+    *
+    * Output: (doc_id, cluster_id) for every doc in `labels` or touching a
+    * new pair — the new label table to persist for tomorrow. */
+  def nearDupClustersIncremental(labels: DataFrame, newPairs: DataFrame,
+                                 materialize: Materializer =
+                                   Materializer.Local): DataFrame = {
+    val lab = materialize(labels.select(col("doc_id").as("l_id"),
+      col("cluster_id").as("l_cl")))
+    // contract today's edges through yesterday's labels (self when absent)
+    val contracted = newPairs
+      .join(lab.withColumnRenamed("l_id", "a_id")
+        .withColumnRenamed("l_cl", "a_cl"), Seq("a_id"), "left")
+      .join(lab.withColumnRenamed("l_id", "b_id")
+        .withColumnRenamed("l_cl", "b_cl"), Seq("b_id"), "left")
+      .select(coalesce(col("a_cl"), col("a_id")).as("ra"),
+        coalesce(col("b_cl"), col("b_id")).as("rb"))
+      .filter(col("ra") =!= col("rb"))
+      .select(least(col("ra"), col("rb")).as("a_id"),
+        greatest(col("ra"), col("rb")).as("b_id"))
+    // CC over the contracted graph: rep -> merged-component min id
+    val merged = materialize(
+      nearDupClusters(contracted, materialize)
+        .select(col("doc_id").as("rep"), col("cluster_id").as("new_cl")))
+    // compose: old docs re-label through their (possibly merged) rep;
+    // docs only in new pairs pick up their rep's merged label directly
+    val oldRelabeled = lab
+      .join(merged.withColumnRenamed("rep", "l_cl"), Seq("l_cl"), "left")
+      .select(col("l_id").as("doc_id"),
+        coalesce(col("new_cl"), col("l_cl")).as("cluster_id"))
+    val newDocs = newPairs
+      .select(col("a_id").as("doc_id"))
+      .union(newPairs.select(col("b_id").as("doc_id")))
+      .distinct()
+      .join(lab.withColumnRenamed("l_id", "doc_id"), Seq("doc_id"),
+        "left_anti")
+    val newLabeled = newDocs
+      .join(merged.withColumnRenamed("rep", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_cl"), col("doc_id")).as("cluster_id"))
+    oldRelabeled.unionByName(newLabeled)
+  }
+
   /** The SELECTION step a dedup pipeline ends with: per near-dup cluster
     * keep the best member by `score` (ties: lowest id); documents in no
     * pair cluster as themselves. Returns one row per cluster:

@@ -31,18 +31,36 @@ object Graph {
     * count). Fixed iteration count — centrality priors want a
     * deterministic, replayable result, not a convergence race. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+               broadcastRanks: Boolean = false,
+               distinctEdges: Boolean = true,
                materialize: Materializer = Materializer.Local): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1)
-    val e = materialize(edges.select(col("src"), col("dst")).distinct())
-    val deg = materialize(e.groupBy(col("src")).agg(count(lit(1)).as("d")))
+    // distinctEdges=false skips the dedup shuffle when the caller's edge
+    // set is distinct by construction (a duplicated edge double-counts
+    // its contribution, so only skip when provably safe)
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (distinctEdges) e0.distinct() else e0
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // degree is loop-invariant: attach it to the edge set ONCE, so each
+    // iteration pays one equi-join instead of two (at 100 TB the edge
+    // table is the big operand — halving its joins halves the loop's
+    // shuffle volume)
+    val ed = materialize(e.join(deg, Seq("src")))
     // every node has outdegree >= 1, so `deg` IS the node table
     var ranks = materialize(
-      deg.select(col("src").as("node"), lit(1.0).as("r")))
+      ed.select(col("src").as("node")).distinct()
+        .withColumn("r", lit(1.0)))
+    // broadcastRanks: when the node set is dimension-scale (an entity
+    // graph — customers x suppliers, domains x hosts) the rank table
+    // broadcasts and the EDGE TABLE NEVER SHUFFLES: contributions
+    // partial-combine map-side on top of the edge scan, so each iteration
+    // moves only (node, partial-sum) rows. For corpus-scale node sets
+    // (document graphs) leave it false — ranks shuffle-join instead.
+    def rankSide(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
     var i = 0
     while (i < iters) {
-      val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
+      val contribs = ed
+        .join(rankSide(ranks.withColumnRenamed("node", "src")), Seq("src"))
         .select(col("dst").as("node"),
           (col("r") / col("d")).cast("decimal(38,20)").as("contrib"))
         .groupBy(col("node"))

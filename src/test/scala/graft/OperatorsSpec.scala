@@ -680,6 +680,45 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(_._2 == 12L))
   }
 
+  test("nearDupClustersIncremental: merges, joins, untouched clusters, new-only") {
+    val s = spark
+    import s.implicits._
+    // yesterday: clusters {1,3} -> 1, {2,8} -> 2, {5,6} -> 5
+    val labels = Seq((1L, 1L), (3L, 1L), (2L, 2L), (8L, 2L), (5L, 5L),
+      (6L, 5L)).toDF("doc_id", "cluster_id")
+    // today: (3,8) merges clusters 1 and 2; new doc 9 joins via 8; an
+    // internal (1,3) edge is a no-op; (10,11) is a brand-new cluster
+    val newPairs = Seq((3L, 8L), (8L, 9L), (1L, 3L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val out = graft.operators.Dedup
+      .nearDupClustersIncremental(labels, newPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 3L -> 1L, 2L -> 1L, 8L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("incremental clustering equals the full recompute on the corpus") {
+    // the q108 contract: persisted labels + incremental pairs == CC over
+    // the full pair set (possible because every stored label is its
+    // cluster's min member id — contraction preserves the component min)
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toMap
+    val th = 0.3
+    val full = toMap(Dedup.nearDupClusters(
+      Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = th)))
+    val labels = Dedup.nearDupClusters(
+      Dedup.minhashLshPairs(evens, "doc_id", "text", threshold = th))
+    val incr = toMap(Dedup.nearDupClustersIncremental(labels,
+      Dedup.minhashLshPairsIncremental(
+        Dedup.minhashIndex(odds, "doc_id", "text"),
+        Dedup.minhashIndex(evens, "doc_id", "text"), threshold = th)))
+    assert(full.nonEmpty && incr == full)
+  }
+
   test("pageRank: fixpoints, mass conservation, hub dominance") {
     val s = spark
     import s.implicits._
