@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.operators.{Bpe, Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Multimodal, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.schema.ExportSchema
 import graft.transform.{ExportTransform, ValueFormat}
 
@@ -1669,6 +1669,60 @@ object SparkEntry {
         s.read.parquet(idxPath), threshold = 0.5)
       Dedup.nearDupClustersIncremental(s.read.parquet(labPath), newPairs)
         .orderBy(col("doc_id"))
+    }),
+
+    "q109_interval_join" -> ((s, dir) => {
+      // interval join via bin bucketing: every event within ±10 min of an
+      // error by the same user (incident-context extraction). A raw
+      // ts-BETWEEN join plans as a per-key cross product — a power user's
+      // events × errors — so RangeJoin routes candidates through a
+      // (user_id, time-bin) equi-join (bin 1200 s = the window span, so an
+      // interval spans ≤ 2 bins) and the exact containment is a residual
+      // filter. Pairs-per-bin bound the work, not pairs-per-user.
+      val ev = t(s, dir, "events")
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          col("ts").as("err_ts"),
+          (col("ts") - expr("INTERVAL 600 SECONDS")).as("w_start"),
+          (col("ts") + expr("INTERVAL 600 SECONDS")).as("w_end"))
+      operators.RangeJoin.intervalJoin(
+          ev.select(col("user_id"), col("event_id"), col("ts")),
+          errs, "user_id", "ts", "w_start", "w_end", binSeconds = 1200)
+        .filter(col("event_id") =!= col("err_id"))
+        .select(col("user_id"), col("event_id"), col("err_id"),
+          abs(unix_micros(col("ts")) - unix_micros(col("err_ts")))
+            .as("gap_us"))
+        .orderBy(col("user_id"), col("event_id"), col("err_id"))
+    }),
+
+    "q110_filter_funnel" -> ((s, dir) => {
+      // C4/RefinedWeb-style cleaning-funnel report: per-stage survivor and
+      // drop counts for the cascade blocklist → lang → length → quality.
+      // ONE corpus scan (each stage is a conditional-sum column of a single
+      // partial-combined aggregate), not one count job per stage.
+      Sampling.filterFunnel(t(s, dir, "documents"), Seq(
+        "blocklist" -> !col("source").isin("src17", "src18", "src19"),
+        "lang_en" -> (col("lang") === "en"),
+        "min_len" -> (col("n_chars") >= 200),
+        "quality" -> (TextAnalysis.qualityScore(col("text")) >= 0.3)))
+        .orderBy(col("stage_id"))
+    }),
+
+    "q111_range_window" -> ((s, dir) => {
+      // trailing 1-hour per-user activity via a RANGE window frame (frame
+      // bounds in event-time units, not row counts — the time-based
+      // sibling of q28's rows frame). The sum accumulates in
+      // DECIMAL(38,6) so partial order can't flip a bit.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+        .rangeBetween(-3600, 0)
+      t(s, dir, "events")
+        .withColumn("ts_s", col("ts").cast("long"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(38,6)")).over(w)
+            .cast("double").as("sum_1h"))
+        .orderBy(col("user_id"), col("event_id"))
     })
   )
 
@@ -3697,6 +3751,63 @@ object SparkEntry {
         |  SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
         |)
         |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
-        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
+        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+
+    "q109_interval_join" ->
+      """SELECT e.user_id, e.event_id, r.event_id AS err_id,
+        |  abs(epoch_us(e.ts) - epoch_us(r.ts)) AS gap_us
+        |FROM events e JOIN events r
+        |  ON e.user_id = r.user_id AND r.event_type = 'error'
+        | AND e.ts BETWEEN r.ts - INTERVAL 600 SECOND
+        |              AND r.ts + INTERVAL 600 SECOND
+        | AND e.event_id <> r.event_id
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q110_filter_funnel" ->
+      s"""WITH stats AS (
+         |  SELECT doc_id, source, lang, n_chars,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(text,
+         |          '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(tk,
+         |          t -> list_contains($stopwordsSql, lower(t)))) AS DOUBLE)
+         |        / CAST(len(tk) AS DOUBLE) END AS stopword_ratio,
+         |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score
+         |  FROM (SELECT doc_id, source, lang, n_chars, text, $toksSql AS tk
+         |        FROM documents)
+         |), b AS (
+         |  SELECT source NOT IN ('src17', 'src18', 'src19') AS b1,
+         |    lang = 'en' AS b2, n_chars >= 200 AS b3,
+         |    round(len_score * (1.0 - punct_ratio)
+         |      * (0.5 + stopword_ratio / 2.0), 6) >= 0.3 AS b4
+         |  FROM stats
+         |), c AS (
+         |  SELECT count(*) AS s0,
+         |    count(*) FILTER (b1) AS s1,
+         |    count(*) FILTER (b1 AND b2) AS s2,
+         |    count(*) FILTER (b1 AND b2 AND b3) AS s3,
+         |    count(*) FILTER (b1 AND b2 AND b3 AND b4) AS s4
+         |  FROM b
+         |)
+         |SELECT * FROM (
+         |  SELECT 0 AS stage_id, 'total' AS stage, s0 AS surviving,
+         |    CAST(0 AS BIGINT) AS dropped FROM c
+         |  UNION ALL SELECT 1, 'blocklist', s1, s0 - s1 FROM c
+         |  UNION ALL SELECT 2, 'lang_en', s2, s1 - s2 FROM c
+         |  UNION ALL SELECT 3, 'min_len', s3, s2 - s3 FROM c
+         |  UNION ALL SELECT 4, 'quality', s4, s3 - s4 FROM c)
+         |ORDER BY stage_id""".stripMargin,
+
+    "q111_range_window" ->
+      """SELECT user_id, event_id, ts,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM (SELECT user_id, event_id, ts, value,
+        |        CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin
   )
 }

@@ -154,6 +154,39 @@ object Sampling {
       .select(col("rk"), col("id"), col("logw"), col("score"))
   }
 
+  /** Cascaded-filter retention accounting — the C4/RefinedWeb cleaning
+    * funnel report: each stage is a named predicate applied ON TOP of all
+    * earlier stages, and the output is one row per stage with the surviving
+    * row count and the rows that stage removed (stage 0 = the unfiltered
+    * total). Pipelines publish exactly this table in data cards and use it
+    * to spot a filter that suddenly eats the corpus.
+    *
+    * Scale shape: the naive form runs one `count` job per stage — k full
+    * scans, k× the 100 TB read. Here every stage predicate becomes one
+    * conditional-sum column of a SINGLE partial-combined aggregate (one
+    * scan, map-side combine, a 1-row exchange), and the per-stage rows are
+    * exploded from that 1-row result on the driver side of the plan. */
+  def filterFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty)
+    // stage i condition = conjunction of predicates 1..i
+    val cascaded = stages.scanLeft(lit(true)) {
+      case (acc, (_, c)) => acc && c
+    }.tail
+    val aggs = count(lit(1)).as("__s0") +:
+      cascaded.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"__s${i + 1}")
+      }
+    val totals = df.agg(aggs.head, aggs.tail: _*)
+    val names = "total" +: stages.map(_._1)
+    val rows = names.zipWithIndex.map { case (nm, i) =>
+      struct(lit(i).as("stage_id"), lit(nm).as("stage"),
+        col(s"__s$i").as("surviving"),
+        (if (i == 0) lit(0L)
+         else col(s"__s${i - 1}") - col(s"__s$i")).as("dropped"))
+    }
+    totals.select(explode(array(rows: _*)).as("f")).select("f.*")
+  }
+
   /** Per-group cap keeping the BEST rows — the RefinedWeb-style per-domain
     * cap with quality priority: for every group, the `n` rows with the
     * highest `score` (ties broken by smallest id). [[stratifiedSample]]
