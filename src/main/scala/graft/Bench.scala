@@ -80,8 +80,16 @@ object Bench {
               col("l_orderkey") === col("o_orderkey"))
             .groupBy(col("o_orderpriority")).agg(count(lit(1))).count()
         }
-        val ev = spark.read.parquet(s"$sfDir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // same ts normalization as SparkEntry.t: nanos-as-long or NTZ
+        val evRaw = spark.read.parquet(s"$sfDir/events.parquet")
+        val ev = evRaw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            evRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            evRaw.withColumn("ts",
+              col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          case _ => evRaw
+        }
         val ev10 = Seq.fill(10)(ev).reduce(_ unionAll _)
         val tEvt = time {
           ev10.groupBy(date_trunc("hour", col("ts")), col("event_type"))

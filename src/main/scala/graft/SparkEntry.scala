@@ -18,15 +18,23 @@ import graft.transform.{ExportTransform, ValueFormat}
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    // long (spark.sql.legacy.parquet.nanosAsLong); convert to the same
-    // microsecond-truncated TimestampType DuckDB produces for ns input.
+    // events.ts arrives in whatever physical type the generator chose for
+    // this round — TIMESTAMP(NANOS) (Spark reads it only as a long, via
+    // spark.sql.legacy.parquet.nanosAsLong) or TIMESTAMP(MICROS) without
+    // the UTC flag (Spark reads TIMESTAMP_NTZ). Normalize both to the
+    // session-UTC TimestampType DuckDB produces, so every downstream
+    // epoch cast / window / interval op sees one type across rounds.
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$dir/$name.parquet")
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
   }
 
