@@ -1731,6 +1731,64 @@ object SparkEntry {
           sum(col("value").cast("decimal(38,6)")).over(w)
             .cast("double").as("sum_1h"))
         .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "q112_gopher_rules" -> ((s, dir) => {
+      // Gopher quality rules (Rae et al. 2021): word-count bounds, mean
+      // word length in [3,10], >= 2 stopwords, 80% alphabetic words,
+      // bounded symbol share — all in INTEGER arithmetic (no double ratio
+      // ever forms), one map-side codegen'd projection, no shuffle. The
+      // cheapest gate of the cleaning cascade, so it runs first at 100 TB.
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+          minWords = 50L, maxWords = 100000L)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q113_url_dedup" -> ((s, dir) => {
+      // canonical-URL dedup: the crawl corpus' messy fetch URLs (scheme/
+      // host case, default ports, trailing slashes, utm tracking params,
+      // fragments — derived deterministically per doc_id, 4 variants per
+      // canonical page) collapse through the REAL RFC3986-subset
+      // canonicalizer (operators.Urls — a pure regexp Column chain, no
+      // UDF); the oracle predicts each canonical arithmetically from the
+      // fixture derivation, so Spark must recover it exactly. One
+      // partial-combined shuffle on the canonical key.
+      val g = expr("doc_id div 4")
+      val base = concat(lit("www.site"), (g % 20).cast("string"),
+        lit(".example.com"))
+      val pageQ = concat(lit("?page="), (g % 3).cast("string"))
+      val messy = when(col("doc_id") % 4 === 0,
+          concat(lit("https://"), base, lit(":443/docs/"),
+            g.cast("string"), pageQ))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("HTTPS://"), upper(base), lit("/docs/"),
+            g.cast("string"), lit("/"), pageQ))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://"), base, lit("/docs/"), g.cast("string"),
+            lit("?utm_source=feed&page="), (g % 3).cast("string"),
+            lit("&utm_campaign=c")))
+        .otherwise(
+          concat(lit("https://"), base, lit("/docs/"), g.cast("string"),
+            pageQ, lit("#sec-2")))
+      operators.Urls.canonicalDedup(
+          t(s, dir, "documents").select(col("doc_id"), messy.as("url")),
+          "doc_id", "url")
+        .orderBy(col("canonical_url"))
+    }),
+
+    "q114_audio_neardup" -> ((s, dir) => {
+      // audio fingerprint dedup: REAL WAV decode (javax.sound.sampled) ->
+      // 65-window energy envelope -> 64-bit gradient hash -> the shared
+      // banded-Hamming machinery. The envelope fixture encodes the SAME
+      // bit formula as q81's gradient PNGs (amplitude steps instead of
+      // pixel steps), so the two modalities share one oracle algebra;
+      // doc_id % 100 == 99 rows carry undecodable bytes and must be
+      // flagged out, not hashed.
+      GraftFunctions.register(s)
+      val media = Multimodal.ahashMediaFromDocuments(t(s, dir, "documents"))
+      val hashes = Multimodal.extractAudioHashes(media).toDF()
+      Dedup.audioNearDupPairs(hashes, maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id"))
     })
   )
 
@@ -3816,6 +3874,84 @@ object SparkEntry {
         |        CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
         |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q112_gopher_rules" ->
+      s"""WITH st AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform($toksSql,
+         |      t -> length(t))), 0) AS BIGINT) AS word_chars,
+         |    CAST(len(list_filter($toksSql, t -> list_contains(
+         |      ['the','and','of','to','is','in','that','it'],
+         |      lower(t)))) AS BIGINT) AS stop_cnt,
+         |    CAST(len(list_filter($toksSql,
+         |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
+         |      AS alpha_words,
+         |    CAST(length(text) - length(replace(text, '#', ''))
+         |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
+         |      AS symbol_cnt
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_words, word_chars, stop_cnt, alpha_words,
+         |  symbol_cnt,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END
+         |    + CASE WHEN word_chars >= 3 * n_words
+         |        AND word_chars <= 10 * n_words THEN 0 ELSE 1 END
+         |    + CASE WHEN stop_cnt >= 2 THEN 0 ELSE 1 END
+         |    + CASE WHEN 5 * alpha_words >= 4 * n_words THEN 0 ELSE 1 END
+         |    + CASE WHEN 10 * symbol_cnt <= n_words THEN 0 ELSE 1 END
+         |    AS BIGINT) AS n_fail,
+         |  (CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END
+         |    + CASE WHEN word_chars >= 3 * n_words
+         |        AND word_chars <= 10 * n_words THEN 0 ELSE 1 END
+         |    + CASE WHEN stop_cnt >= 2 THEN 0 ELSE 1 END
+         |    + CASE WHEN 5 * alpha_words >= 4 * n_words THEN 0 ELSE 1 END
+         |    + CASE WHEN 10 * symbol_cnt <= n_words THEN 0 ELSE 1 END)
+         |    = 0 AS keep
+         |FROM st ORDER BY doc_id""".stripMargin,
+
+    "q113_url_dedup" ->
+      """SELECT 'https://www.site' || CAST((doc_id // 4) % 20 AS VARCHAR)
+        |    || '.example.com/docs/' || CAST(doc_id // 4 AS VARCHAR)
+        |    || '?page=' || CAST((doc_id // 4) % 3 AS VARCHAR)
+        |    AS canonical_url,
+        |  min(doc_id) AS keeper_id, COUNT(*) AS n_variants
+        |FROM documents
+        |GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+
+    "q114_audio_neardup" ->
+      """WITH m AS (
+        |  SELECT greatest(COUNT(*) // 20, 1) AS ng FROM documents
+        |), ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 100 <> 99
+        |), bits AS (
+        |  SELECT doc_id, CAST(j AS BIGINT) AS j,
+        |    CAST((
+        |      ((doc_id % ng) % (53 + j)) % 2
+        |      + CASE WHEN ((doc_id // ng) % 3) >= 1
+        |          AND j = (doc_id * 13) % 64 THEN 1 ELSE 0 END
+        |      + CASE WHEN ((doc_id // ng) % 3) = 2
+        |          AND j = (doc_id * 29 + 7) % 64 THEN 1 ELSE 0 END
+        |    ) % 2 AS BIGINT) AS bit
+        |  FROM ids, m, unnest(range(0, 64)) AS t(j)
+        |), blocks AS (
+        |  SELECT doc_id, j // 16 AS b, SUM(bit << (15 - (j % 16))) AS v
+        |  FROM bits GROUP BY doc_id, j // 16
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+        |  FROM blocks l JOIN blocks r
+        |    ON l.b = r.b AND l.v = r.v AND l.doc_id < r.doc_id
+        |), ham AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bits ba ON ba.doc_id = c.a_id
+        |  JOIN bits bb ON bb.doc_id = c.b_id AND bb.j = ba.j
+        |  GROUP BY c.a_id, c.b_id
+        |)
+        |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY a_id, b_id""".stripMargin
   )
 }

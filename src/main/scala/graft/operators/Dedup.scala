@@ -518,6 +518,20 @@ object Dedup {
     bandedHammingPairs(sig, maxHamming)
   }
 
+  /** Audio near-duplicate pairs over an envelope-hash table
+    * ([[Multimodal.extractAudioHashes]] output): the audio twin of
+    * [[imageNearDupPairs]] — corrupt rows excluded, then the 64-bit
+    * envelope fingerprints go through the shared banded-Hamming search.
+    * Decode + hashing are map-side; the pair search shuffles 8-byte
+    * signatures + ids only, never PCM. */
+  def audioNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+                        materialize: Materializer = Materializer.Local)
+      : DataFrame = {
+    val sig = materialize(hashes.filter(col("decoded"))
+      .select(col("doc_id").as("id"), col("ahash").as("sig")))
+    bandedHammingPairs(sig, maxHamming)
+  }
+
   /** Incremental banded-Hamming pairs: a NEW batch of (id, sig) rows
     * against an existing signature index (plus within the batch itself)
     * — every returned pair touches at least one new id; old-vs-old pairs

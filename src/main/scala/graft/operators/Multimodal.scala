@@ -701,6 +701,159 @@ object Multimodal {
       })
   }
 
+  /** Mean |amplitude| per window over a decoded audio payload, with
+    * dHash-style proportional window boundaries (`w·n/N .. (w+1)·n/N`) so
+    * any sample count maps onto the fixed grid. REAL decode: the payload
+    * goes through `javax.sound.sampled` (any container the JDK reads),
+    * is converted to signed 16-bit PCM, and the means come from actual
+    * samples. None when the bytes are not decodable audio. */
+  def decodeEnvelope(payload: Array[Byte], nWindows: Int)
+      : Option[Array[Long]] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val ais =
+        AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val target = new AudioFormat(fmt.getSampleRate, 16,
+        fmt.getChannels, true, false)
+      val pcm = AudioSystem.getAudioInputStream(target, ais)
+      val bytes = pcm.readAllBytes()
+      val n = bytes.length / 2
+      if (n < nWindows) None
+      else {
+        val env = new Array[Long](nWindows)
+        var w = 0
+        while (w < nWindows) {
+          val i0 = (w.toLong * n / nWindows).toInt
+          val i1 = math.max(((w + 1).toLong * n / nWindows).toInt, i0 + 1)
+          var sum = 0L
+          var i = i0
+          while (i < i1) {
+            val s =
+              ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+            sum += math.abs(s.toInt)
+            i += 1
+          }
+          env(w) = sum / (i1 - i0)
+          w += 1
+        }
+        Some(env)
+      }
+    } catch { case _: Exception => None }
+
+  /** 64-bit energy-envelope fingerprint as 16 hex chars: bit j set iff
+    * window j+1 is louder than window j over a 65-window envelope — the
+    * 1-D audio analog of [[dHashHex]] (gradient of the loudness curve,
+    * invariant to global gain offsets and container re-encodes). Same
+    * signature shape as the image dHash, so the banded-Hamming candidate
+    * machinery is shared verbatim. */
+  def envHashHex(env: Array[Long]): String = {
+    require(env.length == 65, s"need 65 windows, got ${env.length}")
+    val hex = "0123456789abcdef"
+    val out = new java.lang.StringBuilder(16)
+    var c = 0
+    while (c < 16) {
+      var nib = 0
+      var t = 0
+      while (t < 4) {
+        val j = 4 * c + t
+        if (env(j + 1) > env(j)) nib |= 8 >> t
+        t += 1
+      }
+      out.append(hex.charAt(nib))
+      c += 1
+    }
+    out.toString
+  }
+
+  /** An audio-hash row: 16-hex envelope hash + decode flag (corrupt
+    * payloads are flagged, never hashed — the banding step must exclude
+    * them). The audio twin of [[ImageHash]]. */
+  case class AudioHash(doc_id: Long, ahash: String, decoded: Boolean)
+
+  /** Partition-parallel audio fingerprinting: real `javax.sound.sampled`
+    * decode, 65-window envelope, [[envHashHex]]. The (doc_id, ahash)
+    * output is the audio dedup index — 8 bytes of signature per clip. */
+  def extractAudioHashes(media: Dataset[MediaRow]): Dataset[AudioHash] = {
+    implicit val enc = Encoders.product[AudioHash]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decodeEnvelope(r.payload, 65) match {
+          case Some(env) => AudioHash(r.doc_id, envHashHex(env),
+            decoded = true)
+          case None => AudioHash(r.doc_id, "", decoded = false)
+        }
+      }
+    }
+  }
+
+  /** 16-bit mono PCM WAV from an explicit per-sample amplitude array —
+    * the variable-amplitude sibling of [[AudioCodec.encodeWav]] (lossless
+    * container, so the decoded envelope is a pure function of the
+    * samples). */
+  private[graft] def encodeWavSamples(sampleRate: Int,
+                                      samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
+      samples.length.toLong)
+    val out = new ByteArrayOutputStream(pcm.length + 64)
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** The envelope fixture WAV: 65 windows x 40 constant-amplitude samples
+    * whose window-to-window steps ENCODE [[fixtureDHashBits]] (start 1000,
+    * step +-8 per bit — amplitudes stay in [488, 1512], and a constant
+    * window's mean |amplitude| IS the amplitude), so the real decode +
+    * [[envHashHex]] provably recovers the formula bits — the audio twin
+    * of [[gradientPngFor]], sharing its bit formula so the two modalities
+    * share one oracle algebra. */
+  private[graft] def envelopeWavFor(docId: Long,
+                                    nGroups: Long): Array[Byte] = {
+    val bits = fixtureDHashBits(docId, nGroups)
+    val perWindow = 40
+    val samples = new Array[Short](65 * perWindow)
+    var amp = 1000
+    var w = 0
+    while (w < 65) {
+      var i = 0
+      while (i < perWindow) {
+        samples(w * perWindow + i) = amp.toShort
+        i += 1
+      }
+      if (w < 64) amp += (if (bits(w) == 1) 8 else -8)
+      w += 1
+    }
+    encodeWavSamples(8000, samples)
+  }
+
+  /** Audio-dedup fixture table: real envelope WAV payloads per document
+    * (oracle-predictable hash), with every doc_id % 100 == 99 row carrying
+    * undecodable text bytes — mirrors [[dhashMediaFromDocuments]] exactly,
+    * including the corpus-derived ~20-docs-per-group sizing that keeps the
+    * pair output linear in corpus size. */
+  def ahashMediaFromDocuments(docs: DataFrame,
+                              nGroups: Long = 0L): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    val ng = if (nGroups > 0) nGroups else math.max(docs.count() / 20, 1L)
+    docs.select(col("doc_id"), lit("audio").as("modality"),
+        col("text").cast(BinaryType).as("payload"))
+      .as(enc)
+      .mapPartitions(rows => rows.map { r =>
+        if (r.doc_id % 100 == 99) r
+        else r.copy(payload = envelopeWavFor(r.doc_id, ng))
+      })
+  }
+
   /** Frame sampling for video payloads: REAL decode (RIFF walk + per-frame
     * DIB/JPEG pixels), one output row per sampled frame carrying the
     * frame's mean red — the 1->N generator shape a video pipeline feeds to

@@ -744,4 +744,49 @@ object TextAnalysis {
       }
       .toDF("token", "n_occurrences", "est_ge_exact", "est_within_bound")
   }
+
+  /** Gopher-style document quality rules (Rae et al. 2021, table A1 —
+    * public heuristics): word-count bounds, mean-word-length bounds,
+    * minimum stopword evidence, alphabetic-word share, symbol share.
+    * Every rule is evaluated in INTEGER arithmetic (mean-word-length
+    * bounds become `3·n ≤ chars ≤ 10·n`, the 80% alpha share becomes
+    * `5·alpha ≥ 4·n`) so the verdict is bit-exact across engines — no
+    * double ratio ever forms. One map-side projection per doc: no
+    * shuffle, no UDF, the whole filter stays inside WholeStageCodegen,
+    * which is what lets it run as the first gate of a 100 TB cleaning
+    * cascade (cheapest filter first, everything downstream sees fewer
+    * rows). Returns per-doc rule components + `n_fail`/`keep`. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50L, maxWords: Long = 100000L):
+      DataFrame = {
+    val toks = tokens(col(textCol))
+    val stops = langProfiles.toMap.apply("en")
+    val nWords = size(toks).cast("long")
+    val wordChars =
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val stopCnt = size(filter(toks, t => array_contains(
+      array(stops.map(lit): _*), lower(t)))).cast("long")
+    val alphaWords =
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    // Gopher's symbol-to-word ratio counts '#' and ellipsis marks
+    val symbolCnt =
+      ((length(col(textCol)) - length(regexp_replace(col(textCol),
+          "#", ""))).cast("long")
+        + size(call_function("regexp_extract_all", col(textCol),
+            lit("\\.\\.\\."), lit(0))).cast("long"))
+    docs.select(col(idCol), nWords.as("n_words"),
+        wordChars.as("word_chars"), stopCnt.as("stop_cnt"),
+        alphaWords.as("alpha_words"), symbolCnt.as("symbol_cnt"))
+      .withColumn("n_fail",
+        (when(col("n_words").between(minWords, maxWords), 0L).otherwise(1L)
+          + when(col("word_chars") >= lit(3L) * col("n_words") &&
+              col("word_chars") <= lit(10L) * col("n_words"), 0L)
+              .otherwise(1L)
+          + when(col("stop_cnt") >= 2L, 0L).otherwise(1L)
+          + when(lit(5L) * col("alpha_words") >= lit(4L) * col("n_words"),
+              0L).otherwise(1L)
+          + when(lit(10L) * col("symbol_cnt") <= col("n_words"), 0L)
+              .otherwise(1L)).cast("long"))
+      .withColumn("keep", col("n_fail") === 0L)
+  }
 }

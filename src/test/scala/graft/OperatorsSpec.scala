@@ -1740,4 +1740,93 @@ class OperatorsSpec extends SparkSpec {
     val s2 = ch.filter(_.getLong(0) == 2L).map(r => (r.getInt(2), r.getString(4)))
     assert(c0.head == s2.head)
   }
+
+  test("gopherRules: integer-exact components and verdicts, hand-computed") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      // 60 stopwords, mean len 3 (boundary: word_chars == 3*n) -> keep
+      10L -> Seq.fill(30)("the and").mkString(" "),
+      // 10 short non-stop words -> fails words/mean-len/stopword rules
+      11L -> Seq.fill(10)("zz").mkString(" "),
+      // 2 stopwords + 48 11-char words: word_chars 534 > 10*50 -> one fail
+      12L -> ("the the " + Seq.fill(48)("abcdefghijk").mkString(" ")),
+      // 58 stopwords + 6 '#' + one '...': symbol rule 10*7 > 65 and
+      // mean-len 183 < 3*65 fail; stopword/alpha/word-count pass
+      13L -> (Seq.fill(58)("the").mkString(" ") + " # # # # # # ...")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    assert(rows(10L) == ((60L, 180L, 60L, 60L, 0L, 0L, true)))
+    assert(rows(11L) == ((10L, 20L, 0L, 10L, 0L, 3L, false)))
+    assert(rows(12L) == ((50L, 534L, 2L, 50L, 0L, 1L, false)))
+    assert(rows(13L) == ((65L, 183L, 58L, 58L, 7L, 2L, false)))
+  }
+
+  test("URL canonicalizer: RFC3986-subset normalizations hand-checked") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Urls
+    val cases = Seq(
+      // scheme+host lowercased, path case preserved, default port and
+      // trailing slash stripped
+      "HTTP://ExAmple.COM:80/Path/" -> "http://example.com/Path",
+      "https://example.com:443/" -> "https://example.com/",
+      // empty path -> root
+      "https://example.com" -> "https://example.com/",
+      // non-default port kept
+      "http://example.com:8080/a" -> "http://example.com:8080/a",
+      // tracking-only query dropped entirely
+      "https://example.com/a?utm_source=x" -> "https://example.com/a",
+      // tracking stripped around a real param; fragment dropped
+      "https://example.com/a?utm_source=x&b=1&gclid=z#f" ->
+        "https://example.com/a?b=1",
+      "https://example.com/a?b=1&utm_campaign=c" ->
+        "https://example.com/a?b=1",
+      // trailing slash before a query
+      "https://example.com/a/?b=1" -> "https://example.com/a?b=1",
+      // not a URL: passes through untouched
+      "not a url" -> "not a url")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Urls.canonical(col("url")).as("canon"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((in, want) <- cases) assert(got(in) == want, s"url=$in")
+  }
+
+  test("audio envelope hash: fixture WAV decodes to formula bits; corrupt flagged; pairs gate") {
+    GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal
+    // the envelope fixture and the gradient-PNG fixture share one bit
+    // formula: real WAV decode + envHashHex must recover it exactly
+    for (id <- Seq(0L, 1L, 26L, 51L, 77L)) {
+      val env = Multimodal.decodeEnvelope(
+        Multimodal.envelopeWavFor(id, 25L), 65).get
+      val bits = Multimodal.fixtureDHashBits(id, 25L)
+      val expect = (0 until 16).map { c =>
+        val nib = (0 until 4).map(t => bits(4 * c + t) << (3 - t)).sum
+        "0123456789abcdef".charAt(nib)
+      }.mkString
+      assert(Multimodal.envHashHex(env) == expect, s"id=$id")
+    }
+    // same cluster geometry as the image test: 0/75 hamming 0, 25 one
+    // flip away, 3 a different base, 199 corrupt text bytes
+    val docs = Seq(0L, 75L, 25L, 3L, 199L)
+      .map(id => (id, "not a wav")).toDF("doc_id", "text")
+    val hashes = Multimodal.extractAudioHashes(
+      Multimodal.ahashMediaFromDocuments(docs, nGroups = 25L)).toDF()
+    val flags = hashes.collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flags(199L) == false && flags.count(_._2) == 4)
+    val pairs = Dedup.audioNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 75L)) == 0L)
+    assert(pairs((0L, 25L)) == 1L && pairs((25L, 75L)) == 1L)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.keySet.exists(p => p._1 == 199L || p._2 == 199L))
+  }
 }

@@ -393,4 +393,35 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       p.take(3000))
   }
+
+  test("q112: Gopher rules are one map-side projection — no shuffle before the sort") {
+    // every rule is integer arithmetic over the scan; the only exchange
+    // allowed is the final orderBy's range partitioning
+    val p = plan("q112_gopher_rules")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("q113: URL dedup shuffles once, on the canonical key, partial-combined") {
+    val p = plan("q113_url_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("Exchange hashpartitioning\\(canonical_url".r.findAllIn(p)
+      .size == 1, p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.take(3000))
+    // canonicalization happens below the partial aggregate (map-side)
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      p.take(2000))
+  }
+
+  test("q114: audio near-dup candidates come from the block equi-join, no cartesian") {
+    // decode + envelope hash are mapPartitions projections; the pair
+    // search must be the banded equi-join on block keys with the native
+    // Hamming verify on candidates only — q81's plan shape, audio domain
+    val p = plan("q114_audio_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("blockkey"), p.take(2000))
+  }
 }

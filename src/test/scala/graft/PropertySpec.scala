@@ -266,4 +266,26 @@ class TransformPropertySpec extends SparkSpec {
       Multimodal.dHashHex(img) == expect
     }, minSuccessful = 50)
   }
+
+  test("envelope-WAV fixture: decoded audio always hashes to the formula bits") {
+    // the audio twin of the dHash fixture property: for ANY (doc id,
+    // group count), encoding the envelope WAV and running the real
+    // javax.sound.sampled decode + envHashHex recovers exactly the
+    // formula's 64 bits — generator and kernel can never drift apart
+    import graft.operators.Multimodal
+    val gen = for {
+      id <- Gen.chooseNum(0L, 1000000L)
+      ng <- Gen.chooseNum(1L, 500L)
+    } yield (id, ng)
+    check(Prop.forAll(gen) { case (id, ng) =>
+      val env = Multimodal.decodeEnvelope(
+        Multimodal.envelopeWavFor(id, ng), 65).get
+      val bits = Multimodal.fixtureDHashBits(id, ng)
+      val expect = (0 until 16).map { c =>
+        val nib = (0 until 4).map(t => bits(4 * c + t) << (3 - t)).sum
+        "0123456789abcdef".charAt(nib)
+      }.mkString
+      Multimodal.envHashHex(env) == expect
+    }, minSuccessful = 50)
+  }
 }
