@@ -1789,6 +1789,32 @@ object SparkEntry {
       val hashes = Multimodal.extractAudioHashes(media).toDF()
       Dedup.audioNearDupPairs(hashes, maxHamming = 3)
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    "q115_snapshot_diff" -> ((s, dir) => {
+      // corpus version diff: snapshot OLD (doc_id % 7 <> 3) vs snapshot
+      // NEW (doc_id % 11 <> 5, every doc_id % 5 == 0 body edited) —
+      // added/removed/modified/unchanged by content md5. Hashes form
+      // map-side; the full-outer join shuffles (id, hash) only, never
+      // document bodies.
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 3)
+      val newSnap = docs.filter(col("doc_id") % 11 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      operators.SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q116_emb_whiten" -> ((s, dir) => {
+      // per-dimension standardization of the embedding corpus: one
+      // partial-combined aggregate -> d stat rows broadcast back over the
+      // element stream (the corpus shuffles once for the stats, never for
+      // the transform). Moments in DECIMAL(38,20), z-scores in one fixed
+      // IEEE op order -> oracle-exact.
+      Similarity.whiten(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("vec_id"), col("pos"))
     })
   )
 
@@ -3952,6 +3978,47 @@ object SparkEntry {
         |  GROUP BY c.a_id, c.b_id
         |)
         |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 3
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q115_snapshot_diff" ->
+      """WITH old_snap AS (
+        |  SELECT doc_id, md5(text) AS old_hash FROM documents
+        |  WHERE doc_id % 7 <> 3
+        |), new_snap AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |        ELSE text END) AS new_hash
+        |  FROM documents WHERE doc_id % 11 <> 5
+        |)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.old_hash IS NULL THEN 'added'
+        |       WHEN n.new_hash IS NULL THEN 'removed'
+        |       WHEN o.old_hash = n.new_hash THEN 'unchanged'
+        |       ELSE 'modified' END AS status,
+        |  o.old_hash, n.new_hash
+        |FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q116_emb_whiten" ->
+      """WITH el AS (
+        |  SELECT vec_id, CAST(pos AS BIGINT) AS pos, CAST(v AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS pos
+        |        FROM embeddings) u
+        |), st AS (
+        |  SELECT pos,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*)
+        |      AS mean,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*)
+        |      AS ex2
+        |  FROM el GROUP BY pos
+        |), s2 AS (
+        |  SELECT pos, mean, sqrt(ex2 - mean * mean) AS std FROM st
+        |)
+        |SELECT el.vec_id, el.pos,
+        |  CASE WHEN s2.std = 0 THEN 0.0
+        |       ELSE round((el.x - s2.mean) / s2.std, 9) END AS z
+        |FROM el JOIN s2 USING (pos)
+        |ORDER BY vec_id, pos""".stripMargin
   )
 }

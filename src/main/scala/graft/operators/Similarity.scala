@@ -216,6 +216,36 @@ object Similarity {
       round(scale, 9).as("scale"))
   }
 
+  /** Per-dimension standardization of an embedding corpus (whitening
+    * without rotation — the feature-scaling pass before clustering /
+    * ANN / linear probes whenever dimensions carry different scales).
+    * Shape at 100 TB: ONE partial-combined aggregate produces d stat
+    * rows (d = vector dim), which broadcast back onto the element
+    * stream — the corpus shuffles once for the stats and never for the
+    * transform. Moments accumulate in DECIMAL(38,20) (exact, order-
+    * independent), the z-score itself is IEEE double with one fixed op
+    * order, so the output is oracle-exact; constant dimensions
+    * (std = 0) standardize to 0. Returns (id, pos, z) rows. */
+  def whiten(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val el = emb
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos0", "v")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"),
+        col("v").cast("double").as("x"))
+    val stats = el.groupBy(col("pos"))
+      .agg(
+        (sum(col("x").cast("decimal(38,20)")).cast("double")
+          / count(lit(1))).as("mean"),
+        (sum((col("x") * col("x")).cast("decimal(38,20)")).cast("double")
+          / count(lit(1))).as("ex2"))
+      .select(col("pos"), col("mean"),
+        sqrt(col("ex2") - col("mean") * col("mean")).as("std"))
+    el.join(broadcast(stats), Seq("pos"))
+      .select(col(idCol), col("pos"),
+        when(col("std") === 0, lit(0.0))
+          .otherwise(round((col("x") - col("mean")) / col("std"), 9))
+          .as("z"))
+  }
+
   /** Brute-force top-k with an int8-quantized phase 1: both sides are
     * quantized once ([[quantizeInt8]]) and candidates are scored on the
     * 4x-smaller code arrays (the per-vector scales cancel in the cosine,

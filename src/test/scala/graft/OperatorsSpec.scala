@@ -1829,4 +1829,36 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
     assert(!pairs.keySet.exists(p => p._1 == 199L || p._2 == 199L))
   }
+
+  test("snapshot diff: added/removed/modified/unchanged classified by content hash") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.SnapshotDiff
+    val oldSnap = Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("doc_id", "text")
+    val newSnap = Seq(2L -> "b", 3L -> "cX", 4L -> "d").toDF("doc_id", "text")
+    val got = SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.isNullAt(2), r.isNullAt(3)))).toMap
+    assert(got(1L) == (("removed", false, true)))
+    assert(got(2L) == (("unchanged", false, false)))
+    assert(got(3L) == (("modified", false, false)))
+    assert(got(4L) == (("added", true, false)))
+  }
+
+  test("whiten: hand-computed z-scores; constant dimension maps to zero") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    // dim 1: {1,3} -> mean 2, std 1; dim 2: {2,4} -> mean 3, std 1;
+    // dim 3 constant -> std 0 -> z = 0
+    val emb = Seq(
+      (10L, Seq(1.0f, 2.0f, 7.0f)),
+      (11L, Seq(3.0f, 4.0f, 7.0f))).toDF("vec_id", "embedding")
+    val z = Similarity.whiten(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(z((10L, 1L)) == -1.0 && z((11L, 1L)) == 1.0)
+    assert(z((10L, 2L)) == -1.0 && z((11L, 2L)) == 1.0)
+    assert(z((10L, 3L)) == 0.0 && z((11L, 3L)) == 0.0)
+  }
 }

@@ -415,6 +415,27 @@ class PlanAuditSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q115: snapshot diff joins 16-byte hashes, never document bodies") {
+    // md5 is computed below each side's exchange, so the full-outer
+    // sort-merge shuffles (id, hash) pairs only
+    val p = plan("q115_snapshot_diff")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("FullOuter"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      p.take(3000))
+  }
+
+  test("q116: whitening aggregates once, stats broadcast back over the element stream") {
+    val p = plan("q116_emb_whiten")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the only hash exchange is the per-dimension stats aggregate
+    assert("Exchange hashpartitioning\\(pos".r.findAllIn(p).size == 1,
+      p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.take(3000))
+  }
+
   test("q114: audio near-dup candidates come from the block equi-join, no cartesian") {
     // decode + envelope hash are mapPartitions projections; the pair
     // search must be the banded equi-join on block keys with the native
