@@ -1815,6 +1815,19 @@ object SparkEntry {
       // IEEE op order -> oracle-exact.
       Similarity.whiten(t(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy(col("vec_id"), col("pos"))
+    }),
+
+    "q117_token_drift" -> ((s, dir) => {
+      // token-distribution drift between source slices (src0-9 vs the
+      // rest): per-token KL contribution under add-1 unigram LMs over the
+      // union vocab — the between-snapshot data-drift monitor. One
+      // (token, conditional-count) shuffle; totals are 3 driver scalars;
+      // selection by integer count gate, never a double order-by.
+      val sliceA = col("source").isin(
+        (0 until 10).map(i => s"src$i"): _*)
+      TextAnalysis.tokenDrift(t(s, dir, "documents"), "text", sliceA,
+          minCount = 10L)
+        .orderBy(col("token"))
     })
   )
 
@@ -4019,6 +4032,30 @@ object SparkEntry {
         |  CASE WHEN s2.std = 0 THEN 0.0
         |       ELSE round((el.x - s2.mean) / s2.std, 9) END AS z
         |FROM el JOIN s2 USING (pos)
-        |ORDER BY vec_id, pos""".stripMargin
+        |ORDER BY vec_id, pos""".stripMargin,
+
+    "q117_token_drift" ->
+      s"""WITH tk AS (
+         |  SELECT CASE WHEN source IN ('src0','src1','src2','src3','src4',
+         |      'src5','src6','src7','src8','src9') THEN 1 ELSE 0 END
+         |      AS in_a,
+         |    unnest($toksSql) AS token
+         |  FROM documents
+         |), cnt AS (
+         |  SELECT token, CAST(SUM(in_a) AS BIGINT) AS n_a,
+         |    CAST(SUM(1 - in_a) AS BIGINT) AS n_b
+         |  FROM tk GROUP BY token
+         |), tot AS (
+         |  SELECT CAST(SUM(n_a) AS BIGINT) AS na,
+         |    CAST(SUM(n_b) AS BIGINT) AS nb, COUNT(*) AS v FROM cnt
+         |)
+         |SELECT token, n_a, n_b,
+         |  round((CAST(n_a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+         |    * ln((CAST(n_a + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+         |        / (CAST(n_b + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))),
+         |    6) AS kl_term
+         |FROM cnt, tot
+         |WHERE n_a + n_b >= 10
+         |ORDER BY token""".stripMargin
   )
 }

@@ -745,6 +745,45 @@ object TextAnalysis {
       .toDF("token", "n_occurrences", "est_ge_exact", "est_within_bound")
   }
 
+  /** Token-distribution drift between two corpus slices — the
+    * data-drift monitor an iterated pipeline runs between crawl
+    * snapshots / source mixes: per-token KL contribution
+    * `p_a · ln(p_a / p_b)` under add-1-smoothed unigram distributions
+    * over the union vocabulary (summing the column gives
+    * KL(A ‖ smoothed B); the per-token rows ARE the drift report —
+    * which tokens grew or vanished).
+    *
+    * Scale shape: ONE partial-combined (token, slice-conditional count)
+    * aggregate — the in-slice flag rides the explode map-side, so the
+    * shuffle carries (token, n_a, n_b), never per-occurrence rows; the
+    * three totals are one scalar aggregate (driver holds 3 numbers);
+    * probabilities and the ln-term are a map-side projection against
+    * total literals. Selection is an INTEGER count gate (`n_a + n_b >=
+    * minCount`), never an order-by on the double — engine-stable output.
+    * Probabilities are exact-rational doubles with one fixed op order;
+    * round(6) absorbs libm ln's last ulp (the q76 convention). */
+  def tokenDrift(docs: DataFrame, textCol: String, sliceA: Column,
+                 minCount: Long = 50L): DataFrame = {
+    val toks = docs.select(
+      when(sliceA, lit(1L)).otherwise(lit(0L)).as("in_a"),
+      explode(tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy(col("token")).agg(
+      sum(col("in_a")).as("n_a"),
+      sum(lit(1L) - col("in_a")).as("n_b"))
+    val tot = counts
+      .agg(sum(col("n_a")), sum(col("n_b")), count(lit(1))).collect()(0)
+    if (tot.isNullAt(0))
+      return counts.select(col("token"), col("n_a"), col("n_b"),
+        lit(0.0).as("kl_term")).limit(0)
+    val naV = (tot.getLong(0) + tot.getLong(2)).toDouble
+    val nbV = (tot.getLong(1) + tot.getLong(2)).toDouble
+    val pa = (col("n_a") + 1L).cast("double") / lit(naV)
+    val pb = (col("n_b") + 1L).cast("double") / lit(nbV)
+    counts.filter(col("n_a") + col("n_b") >= minCount)
+      .select(col("token"), col("n_a"), col("n_b"),
+        round(pa * log(pa / pb), 6).as("kl_term"))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021, table A1 —
     * public heuristics): word-count bounds, mean-word-length bounds,
     * minimum stopword evidence, alphabetic-word share, symbol share.

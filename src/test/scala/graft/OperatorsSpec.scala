@@ -1845,6 +1845,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got(4L) == (("added", true, false)))
   }
 
+  test("tokenDrift: hand-computed KL contributions under add-1 smoothing") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextAnalysis
+    // slice A: "x x y" (3 tokens), slice B: "x z" (2); union vocab 3.
+    // pa(x)=3/6, pb(x)=2/5; pa(y)=2/6, pb(y)=1/5; pa(z)=1/6, pb(z)=2/5
+    val docs = Seq(("a", "x x y"), ("b", "x z")).toDF("source", "text")
+    val got = TextAnalysis.tokenDrift(docs, "text",
+        col("source") === "a", minCount = 1L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def kl(pa: Double, pb: Double) =
+      BigDecimal(pa * math.log(pa / pb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("x") == ((2L, 1L, kl(3.0 / 6, 2.0 / 5))))
+    assert(got("y") == ((1L, 0L, kl(2.0 / 6, 1.0 / 5))))
+    assert(got("z") == ((0L, 1L, kl(1.0 / 6, 2.0 / 5))))
+  }
+
   test("whiten: hand-computed z-scores; constant dimension maps to zero") {
     val s = spark
     import s.implicits._

@@ -436,6 +436,20 @@ class PlanAuditSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("q117: token drift shuffles (token, counts) once; ln-term is a projection") {
+    val p = plan("q117_token_drift")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    // one hash exchange on token; totals are literals baked into the
+    // projection (computed in a separate tiny scalar job), no join back
+    assert("Exchange hashpartitioning\\(token".r.findAllIn(p).size == 1,
+      p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
   test("q114: audio near-dup candidates come from the block equi-join, no cartesian") {
     // decode + envelope hash are mapPartitions projections; the pair
     // search must be the banded equi-join on block keys with the native
