@@ -216,6 +216,63 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == full)
   }
 
+  test("crawl cleaning gate (URL canonical dedup + Gopher rules) composes over a stream") {
+    // the canonicalizer and every Gopher rule are stateless codegen'd
+    // projections, so they run on a streaming frame unchanged; canonical-
+    // URL dedup becomes dropDuplicatesWithinWatermark on the canonical
+    // key — watermark-bounded state, the streaming form of q113's
+    // keep-first semantics. Differential pin vs the batch run.
+    val s = spark
+    import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val body = Seq.fill(30)("the and").mkString(" ")
+    val df = Seq(
+      (0L, at(1), "https://example.com/a?utm_source=x", body),
+      (1L, at(2), "HTTPS://EXAMPLE.com:443/a", body),        // dup of 0
+      (2L, at(3), "https://example.com/b", "zz zz"),          // fails rules
+      (3L, at(4), "https://example.com/a#frag", body)         // dup of 0
+    ).toDF("doc_id", "ts", "url", "text")
+    val dir = Files.createTempDirectory("graft-url-stream").toString
+    df.write.mode("overwrite").parquet(dir)
+    def gate(d: org.apache.spark.sql.DataFrame) = {
+      val canon = d.withColumn("canonical_url",
+        graft.operators.Urls.canonical(col("url")))
+      val deduped =
+        if (d.isStreaming) canon.withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("canonical_url")
+        else canon.dropDuplicates("canonical_url")
+      // the struct key threads (doc_id, canonical_url) through the rule
+      // projection without a stream-stream self-join back
+      graft.operators.TextAnalysis.gopherRules(
+          deduped.select(struct(col("doc_id"), col("canonical_url"))
+            .as("key"), col("text")), "key", "text")
+        .select(col("key.doc_id").as("doc_id"),
+          col("key.canonical_url").as("canonical_url"),
+          col("n_words"), col("word_chars"), col("stop_cnt"),
+          col("alpha_words"), col("symbol_cnt"), col("n_fail"), col("keep"))
+    }
+    val q = gate(spark.readStream.schema(df.schema).parquet(dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("url_gate_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("url_gate_out").collect().toSeq
+    // one of {0,1,3} (same canonical) survives plus 2; the keeper's rule
+    // verdict is keep=true, doc 2 fails
+    assert(got.size == 2)
+    val byKeep = got.map(r => r.getBoolean(8) -> r.getLong(0)).toMap
+    assert(Set(0L, 1L, 3L).contains(byKeep(true)) && byKeep(false) == 2L)
+    assert(got.map(_.getString(1)).toSet ==
+      Set("https://example.com/a", "https://example.com/b"))
+    // differential: batch over any single representative of the dup set
+    // produces the same rule columns for the survivor
+    def key(rows: Seq[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8)))).toMap
+    val batch = gate(df.filter(col("doc_id").isin(0L, 2L))).collect().toSeq
+    assert(key(got) == key(batch))
+  }
+
   test("token-window chunking composes unchanged over a streaming corpus") {
     // chunkDocuments is split -> explode -> slice, all stateless
     // projections, so the SAME operator runs on a streaming frame with
