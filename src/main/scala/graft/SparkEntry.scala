@@ -1828,6 +1828,21 @@ object SparkEntry {
       TextAnalysis.tokenDrift(t(s, dir, "documents"), "text", sliceA,
           minCount = 10L)
         .orderBy(col("token"))
+    }),
+
+    "q118_video_neardup" -> ((s, dir) => {
+      // video key-frame dedup completes the near-dup trio: REAL AVI
+      // first-frame decode (RIFF walk, raw-DIB pixels) -> the SAME dHash
+      // kernel as still images -> the shared banded-Hamming machinery.
+      // Frame 0 of the fixture encodes the q81/q114 bit formula as pixel
+      // steps (raw-DIB is lossless), so all three modalities verify
+      // against one oracle algebra; doc_id % 100 == 99 rows carry
+      // undecodable bytes and must be flagged out, not hashed.
+      GraftFunctions.register(s)
+      val media = Multimodal.vhashMediaFromDocuments(t(s, dir, "documents"))
+      val hashes = Multimodal.extractVideoHashes(media).toDF()
+      Dedup.videoNearDupPairs(hashes, maxHamming = 3)
+        .orderBy(col("a_id"), col("b_id"))
     })
   )
 
@@ -4056,6 +4071,40 @@ object SparkEntry {
          |    6) AS kl_term
          |FROM cnt, tot
          |WHERE n_a + n_b >= 10
-         |ORDER BY token""".stripMargin
+         |ORDER BY token""".stripMargin,
+
+    "q118_video_neardup" ->
+      """WITH m AS (
+        |  SELECT greatest(COUNT(*) // 20, 1) AS ng FROM documents
+        |), ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 100 <> 99
+        |), bits AS (
+        |  SELECT doc_id, CAST(j AS BIGINT) AS j,
+        |    CAST((
+        |      ((doc_id % ng) % (53 + j)) % 2
+        |      + CASE WHEN ((doc_id // ng) % 3) >= 1
+        |          AND j = (doc_id * 13) % 64 THEN 1 ELSE 0 END
+        |      + CASE WHEN ((doc_id // ng) % 3) = 2
+        |          AND j = (doc_id * 29 + 7) % 64 THEN 1 ELSE 0 END
+        |    ) % 2 AS BIGINT) AS bit
+        |  FROM ids, m, unnest(range(0, 64)) AS t(j)
+        |), blocks AS (
+        |  SELECT doc_id, j // 16 AS b, SUM(bit << (15 - (j % 16))) AS v
+        |  FROM bits GROUP BY doc_id, j // 16
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+        |  FROM blocks l JOIN blocks r
+        |    ON l.b = r.b AND l.v = r.v AND l.doc_id < r.doc_id
+        |), ham AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bits ba ON ba.doc_id = c.a_id
+        |  JOIN bits bb ON bb.doc_id = c.b_id AND bb.j = ba.j
+        |  GROUP BY c.a_id, c.b_id
+        |)
+        |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY a_id, b_id""".stripMargin
   )
 }

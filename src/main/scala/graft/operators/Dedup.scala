@@ -532,6 +532,20 @@ object Dedup {
     bandedHammingPairs(sig, maxHamming)
   }
 
+  /** Video near-duplicate pairs over a first-frame perceptual-hash table
+    * ([[Multimodal.extractVideoHashes]] output) — completes the
+    * near-dup trio: text SimHash, image dHash, audio envelope hash and
+    * video key-frame dHash all ride the SAME banded-Hamming search.
+    * Decode + hashing are map-side; the pair search shuffles 8-byte
+    * signatures + ids only, never frames. */
+  def videoNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+                        materialize: Materializer = Materializer.Local)
+      : DataFrame = {
+    val sig = materialize(hashes.filter(col("decoded"))
+      .select(col("doc_id").as("id"), col("vhash").as("sig")))
+    bandedHammingPairs(sig, maxHamming)
+  }
+
   /** Incremental banded-Hamming pairs: a NEW batch of (id, sig) rows
     * against an existing signature index (plus within the batch itself)
     * — every returned pair touches at least one new id; old-vs-old pairs

@@ -272,6 +272,125 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** A standards-conformant AVI from EXPLICIT per-frame pixel arrays
+      * (row-major, top-down RGB ints) — the general sibling of
+      * [[encodeAvi]]'s solid-colour frames, used by fixtures that need
+      * structured first-frame content (raw-DIB is lossless, so decoded
+      * pixels equal encoded pixels exactly). */
+    def encodeAviFrames(width: Int, height: Int,
+                        frames: Array[Array[Int]]): Array[Byte] = {
+      require(frames.nonEmpty && frames.forall(_.length == width * height))
+      val solid = encodeAvi(width, height, Array.fill(frames.length)(0))
+      // rebuild with pixel frames: reuse the header by re-encoding movi
+      val rowBytes = (width * 3 + 3) & ~3
+      def dib(frame: Array[Int]): Array[Byte] = {
+        val body = new Array[Byte](rowBytes * height)
+        var by = 0
+        while (by < height) {
+          val iy = height - 1 - by // DIB rows are bottom-up
+          var x = 0
+          while (x < width) {
+            val rgb = frame(iy * width + x)
+            val o = by * rowBytes + x * 3
+            body(o) = (rgb & 0xff).toByte
+            body(o + 1) = ((rgb >> 8) & 0xff).toByte
+            body(o + 2) = ((rgb >> 16) & 0xff).toByte
+            x += 1
+          }
+          by += 1
+        }
+        body
+      }
+      // locate the solid movi LIST and splice in our frames (frame sizes
+      // are identical — same w/h/count — so offsets are unchanged)
+      val out = solid.clone()
+      var off = 12
+      var moviBody = -1
+      while (moviBody < 0 && off + 8 <= out.length) {
+        val fourcc = new String(out, off, 4, "US-ASCII")
+        val size = le32(out, off + 4)
+        if (fourcc == "LIST" &&
+            new String(out, off + 8, 4, "US-ASCII") == "movi")
+          moviBody = off + 12
+        else off += 8 + size + (size & 1)
+      }
+      require(moviBody > 0, "movi LIST not found in own encoding")
+      var p = moviBody
+      var fi = 0
+      while (fi < frames.length) {
+        // each frame chunk: '00db' size body
+        val size = le32(out, p + 4)
+        val body = dib(frames(fi))
+        require(size == body.length)
+        System.arraycopy(body, 0, out, p + 8, body.length)
+        p += 8 + size + (size & 1)
+        fi += 1
+      }
+      out
+    }
+
+    /** Decode the FIRST video frame to a BufferedImage (raw-DIB `..db`
+      * bottom-up BGR or MJPEG `..dc` via ImageIO) — the input to
+      * perceptual hashing, where one frame is the standard key-frame
+      * approximation. None when the bytes are not decodable AVI. */
+    def firstFrameImage(payload: Array[Byte]): Option[BufferedImage] =
+      try {
+        if (payload.length < 24 ||
+            new String(payload, 0, 4, "US-ASCII") != "RIFF" ||
+            new String(payload, 8, 4, "US-ASCII") != "AVI ") None
+        else {
+          var width = 0
+          var height = 0
+          var img: BufferedImage = null
+          var bad = false
+          def walk(off0: Int, end: Int): Unit = {
+            var off = off0
+            while (!bad && img == null && off + 8 <= end) {
+              val fourcc = new String(payload, off, 4, "US-ASCII")
+              val size = le32(payload, off + 4)
+              if (size < 0 || off + 8 + size > end) { bad = true }
+              else {
+                if (fourcc == "LIST") walk(off + 12, off + 8 + size)
+                else if (fourcc == "avih" && size >= 40) {
+                  width = le32(payload, off + 8 + 32)
+                  height = le32(payload, off + 8 + 36)
+                } else if (fourcc.endsWith("db")) {
+                  val rowBytes = (width * 3 + 3) & ~3
+                  if (width <= 0 || height <= 0 ||
+                      size < rowBytes * height) { bad = true }
+                  else {
+                    val bi = new BufferedImage(width, height,
+                      BufferedImage.TYPE_INT_RGB)
+                    var by = 0
+                    while (by < height) {
+                      val iy = height - 1 - by
+                      var x = 0
+                      while (x < width) {
+                        val o = off + 8 + by * rowBytes + x * 3
+                        val rgb = ((payload(o + 2) & 0xff) << 16) |
+                          ((payload(o + 1) & 0xff) << 8) |
+                          (payload(o) & 0xff)
+                        bi.setRGB(x, iy, rgb)
+                        x += 1
+                      }
+                      by += 1
+                    }
+                    img = bi
+                  }
+                } else if (fourcc.endsWith("dc")) {
+                  val bi = ImageIO.read(
+                    new ByteArrayInputStream(payload, off + 8, size))
+                  if (bi == null) bad = true else img = bi
+                }
+                off += 8 + size + (size & 1)
+              }
+            }
+          }
+          walk(12, payload.length)
+          if (bad || img == null) None else Some(img)
+        }
+      } catch { case _: Exception => None }
+
     private def sumRedDib(data: Array[Byte], off: Int, len: Int,
                           width: Int, height: Int): Option[Long] = {
       val rowBytes = (width * 3 + 3) & ~3
@@ -851,6 +970,73 @@ object Multimodal {
       .mapPartitions(rows => rows.map { r =>
         if (r.doc_id % 100 == 99) r
         else r.copy(payload = envelopeWavFor(r.doc_id, ng))
+      })
+  }
+
+  /** A video-hash row: 16-hex first-frame dHash + decode flag — the video
+    * twin of [[ImageHash]]/[[AudioHash]]. */
+  case class VideoHash(doc_id: Long, vhash: String, decoded: Boolean)
+
+  /** Partition-parallel video fingerprinting: REAL first-frame decode
+    * (RIFF walk + raw-DIB/MJPEG pixels via [[VideoCodec.firstFrameImage]])
+    * then the SAME [[dHashHex]] kernel as still images — key-frame
+    * perceptual hashing, the standard video dedup approximation. The
+    * (doc_id, vhash) output is the video dedup index. */
+  def extractVideoHashes(media: Dataset[MediaRow]): Dataset[VideoHash] = {
+    implicit val enc = Encoders.product[VideoHash]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        VideoCodec.firstFrameImage(r.payload) match {
+          case Some(img) => VideoHash(r.doc_id, dHashHex(img),
+            decoded = true)
+          case None => VideoHash(r.doc_id, "", decoded = false)
+        }
+      }
+    }
+  }
+
+  /** The gradient fixture AVI: frame 0 is the SAME 9x8 grayscale ramp as
+    * [[gradientPngFor]] (raw-DIB, lossless — decoded pixels equal encoded
+    * pixels), frame 1 a solid frame so the container is a real multi-frame
+    * video; [[VideoCodec.firstFrameImage]] + [[dHashHex]] provably
+    * recovers [[fixtureDHashBits]], so all three modalities share one
+    * oracle algebra. */
+  private[graft] def gradientAviFor(docId: Long,
+                                    nGroups: Long): Array[Byte] = {
+    val bits = fixtureDHashBits(docId, nGroups)
+    val gray = Array.ofDim[Int](8, 9)
+    var y = 0
+    while (y < 8) {
+      gray(y)(0) = 128
+      var x = 0
+      while (x < 8) {
+        gray(y)(x + 1) = gray(y)(x) + (if (bits(y * 8 + x) == 1) 8 else -8)
+        x += 1
+      }
+      y += 1
+    }
+    val frame0 = Array.tabulate(8 * 9) { i =>
+      val v = gray(i / 9)(i % 9)
+      (v << 16) | (v << 8) | v
+    }
+    val frame1 = Array.fill(8 * 9)(((docId % 256).toInt << 16) | 0x4040)
+    VideoCodec.encodeAviFrames(9, 8, Array(frame0, frame1))
+  }
+
+  /** Video-dedup fixture table: real gradient AVI payloads per document,
+    * every doc_id % 100 == 99 row carrying undecodable text bytes —
+    * mirrors [[dhashMediaFromDocuments]]/[[ahashMediaFromDocuments]],
+    * same corpus-derived ~20-docs-per-group sizing. */
+  def vhashMediaFromDocuments(docs: DataFrame,
+                              nGroups: Long = 0L): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    val ng = if (nGroups > 0) nGroups else math.max(docs.count() / 20, 1L)
+    docs.select(col("doc_id"), lit("video").as("modality"),
+        col("text").cast(BinaryType).as("payload"))
+      .as(enc)
+      .mapPartitions(rows => rows.map { r =>
+        if (r.doc_id % 100 == 99) r
+        else r.copy(payload = gradientAviFor(r.doc_id, ng))
       })
   }
 

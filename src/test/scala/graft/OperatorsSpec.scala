@@ -1830,6 +1830,43 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 199L || p._2 == 199L))
   }
 
+  test("video first-frame hash: fixture AVI decodes to formula bits; corrupt flagged; pairs gate") {
+    GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal
+    // frame 0 carries the shared bit formula as raw-DIB pixel steps:
+    // real RIFF walk + dHash recovers it exactly
+    for (id <- Seq(0L, 1L, 26L, 51L, 77L)) {
+      val img = Multimodal.VideoCodec.firstFrameImage(
+        Multimodal.gradientAviFor(id, 25L)).get
+      val bits = Multimodal.fixtureDHashBits(id, 25L)
+      val expect = (0 until 16).map { c =>
+        val nib = (0 until 4).map(t => bits(4 * c + t) << (3 - t)).sum
+        "0123456789abcdef".charAt(nib)
+      }.mkString
+      assert(Multimodal.dHashHex(img) == expect, s"id=$id")
+    }
+    // the full container still decodes as a 2-frame video
+    val dec = Multimodal.VideoCodec.decode(
+      Multimodal.gradientAviFor(5L, 25L)).get
+    assert(dec.width == 9 && dec.height == 8 && dec.nFrames == 2)
+    // same cluster geometry as the image/audio tests
+    val docs = Seq(0L, 75L, 25L, 3L, 199L)
+      .map(id => (id, "not an avi")).toDF("doc_id", "text")
+    val hashes = Multimodal.extractVideoHashes(
+      Multimodal.vhashMediaFromDocuments(docs, nGroups = 25L)).toDF()
+    val flags = hashes.collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flags(199L) == false && flags.count(_._2) == 4)
+    val pairs = Dedup.videoNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 75L)) == 0L)
+    assert(pairs((0L, 25L)) == 1L && pairs((25L, 75L)) == 1L)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.keySet.exists(p => p._1 == 199L || p._2 == 199L))
+  }
+
   test("snapshot diff: added/removed/modified/unchanged classified by content hash") {
     val s = spark
     import s.implicits._

@@ -459,4 +459,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(p.contains("blockkey"), p.take(2000))
   }
+
+  test("q118: video near-dup candidates come from the block equi-join, no cartesian") {
+    val p = plan("q118_video_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("blockkey"), p.take(2000))
+  }
 }

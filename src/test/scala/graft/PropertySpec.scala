@@ -288,4 +288,24 @@ class TransformPropertySpec extends SparkSpec {
       Multimodal.envHashHex(env) == expect
     }, minSuccessful = 50)
   }
+
+  test("gradient-AVI fixture: decoded first frames always hash to the formula bits") {
+    // the video member of the fixture-drift family: real RIFF walk +
+    // raw-DIB pixel decode + dHash recovers exactly the formula's bits
+    import graft.operators.Multimodal
+    val gen = for {
+      id <- Gen.chooseNum(0L, 1000000L)
+      ng <- Gen.chooseNum(1L, 500L)
+    } yield (id, ng)
+    check(Prop.forAll(gen) { case (id, ng) =>
+      val img = Multimodal.VideoCodec.firstFrameImage(
+        Multimodal.gradientAviFor(id, ng)).get
+      val bits = Multimodal.fixtureDHashBits(id, ng)
+      val expect = (0 until 16).map { c =>
+        val nib = (0 until 4).map(t => bits(4 * c + t) << (3 - t)).sum
+        "0123456789abcdef".charAt(nib)
+      }.mkString
+      Multimodal.dHashHex(img) == expect
+    }, minSuccessful = 50)
+  }
 }
