@@ -39,7 +39,10 @@ object Graph {
     // set is distinct by construction (a duplicated edge double-counts
     // its contribution, so only skip when provably safe)
     val e0 = edges.select(col("src"), col("dst"))
-    val e = if (distinctEdges) e0.distinct() else e0
+    // materialize the edge set BEFORE it fans out to degree + join: both
+    // consumers would otherwise re-run the caller's (possibly expensive)
+    // edge-building plan — the q84 double-reference lesson
+    val e = materialize(if (distinctEdges) e0.distinct() else e0)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     // degree is loop-invariant: attach it to the edge set ONCE, so each
     // iteration pays one equi-join instead of two (at 100 TB the edge
