@@ -355,8 +355,12 @@ object Dedup {
                                    Materializer.Local): DataFrame = {
     val lab = materialize(labels.select(col("doc_id").as("l_id"),
       col("cluster_id").as("l_cl")))
+    // materialize the caller's pair plan BEFORE it fans out (contraction
+    // + the two newDocs union arms would re-run the incremental band-join
+    // + verify three times — the q84/pageRank double-reference lesson)
+    val np = materialize(newPairs.select(col("a_id"), col("b_id")))
     // contract today's edges through yesterday's labels (self when absent)
-    val contracted = newPairs
+    val contracted = np
       .join(lab.withColumnRenamed("l_id", "a_id")
         .withColumnRenamed("l_cl", "a_cl"), Seq("a_id"), "left")
       .join(lab.withColumnRenamed("l_id", "b_id")
@@ -376,9 +380,9 @@ object Dedup {
       .join(merged.withColumnRenamed("rep", "l_cl"), Seq("l_cl"), "left")
       .select(col("l_id").as("doc_id"),
         coalesce(col("new_cl"), col("l_cl")).as("cluster_id"))
-    val newDocs = newPairs
+    val newDocs = np
       .select(col("a_id").as("doc_id"))
-      .union(newPairs.select(col("b_id").as("doc_id")))
+      .union(np.select(col("b_id").as("doc_id")))
       .distinct()
       .join(lab.withColumnRenamed("l_id", "doc_id"), Seq("doc_id"),
         "left_anti")
