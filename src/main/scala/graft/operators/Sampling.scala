@@ -39,7 +39,9 @@ object Sampling {
     * ) is re-ranked over its full population, so the result is exactly the
     * true top-n by construction, not with high probability. */
   def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
-                       n: Int, margin: Double = 4.0): DataFrame = {
+                       n: Int, margin: Double = 4.0,
+                       materialize: Materializer = Materializer.Local)
+      : DataFrame = {
     require(n > 0 && margin >= 1.0)
     val h = hashKey(idCol)
     val counts = df.groupBy(col(groupCol))
@@ -53,10 +55,14 @@ object Sampling {
       .select(col(groupCol), col("thr"))
     // null-safe join: a null group is a group like any other (the naive
     // window formulation keeps it; a plain equi-join would drop it)
-    val cands = df.join(broadcast(thr.withColumnRenamed(groupCol, "s_grp")),
-        col(groupCol) <=> col("s_grp"))
-      .filter(h <= col("thr"))
-      .drop("thr", "s_grp")
+    // materialized: the candidate set (~margin·n rows per group) feeds
+    // both the sufficiency recount ACTION and the pool — unmaterialized,
+    // the corpus scan behind it runs twice
+    val cands = materialize(
+      df.join(broadcast(thr.withColumnRenamed(groupCol, "s_grp")),
+          col(groupCol) <=> col("s_grp"))
+        .filter(h <= col("thr"))
+        .drop("thr", "s_grp"))
     // sufficiency proof: a group with < n candidates re-ranks over its
     // full population (tiny driver list; empty in practice). Derived from
     // `counts` LEFT-joined with candidate counts: a group whose candidate
