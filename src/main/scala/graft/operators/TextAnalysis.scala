@@ -763,13 +763,17 @@ object TextAnalysis {
     * Probabilities are exact-rational doubles with one fixed op order;
     * round(6) absorbs libm ln's last ulp (the q76 convention). */
   def tokenDrift(docs: DataFrame, textCol: String, sliceA: Column,
-                 minCount: Long = 50L): DataFrame = {
+                 minCount: Long = 50L,
+                 mat: Materializer = Materializer.Local): DataFrame = {
     val toks = docs.select(
       when(sliceA, lit(1L)).otherwise(lit(0L)).as("in_a"),
       explode(tokens(col(textCol))).as("token"))
-    val counts = toks.groupBy(col("token")).agg(
+    // materialized: the vocabulary-sized count table feeds both the
+    // totals ACTION and the output projection — unmaterialized, the
+    // corpus token aggregation runs twice
+    val counts = mat(toks.groupBy(col("token")).agg(
       sum(col("in_a")).as("n_a"),
-      sum(lit(1L) - col("in_a")).as("n_b"))
+      sum(lit(1L) - col("in_a")).as("n_b")))
     val tot = counts
       .agg(sum(col("n_a")), sum(col("n_b")), count(lit(1))).collect()(0)
     if (tot.isNullAt(0))
