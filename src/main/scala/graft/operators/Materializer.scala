@@ -35,6 +35,14 @@ object Materializer {
     override def apply(df: DataFrame): DataFrame = df.localCheckpoint(true)
   }
 
+  /** No-op: leave the intermediate as a lazy plan. For callers composing
+    * their own caching — and for plan audits, where a checkpoint would
+    * hide the subplan under scrutiny from the executed plan. Multiply-
+    * referenced intermediates RE-EXECUTE per reference in this mode. */
+  case object Passthrough extends Materializer {
+    override def apply(df: DataFrame): DataFrame = df
+  }
+
   /** Eager reliable checkpoint to `SparkContext.setCheckpointDir`. */
   case object Reliable extends Materializer {
     override def apply(df: DataFrame): DataFrame = {
