@@ -835,7 +835,11 @@ object Multimodal {
       val fmt = ais.getFormat
       val target = new AudioFormat(fmt.getSampleRate, 16,
         fmt.getChannels, true, false)
-      val pcm = AudioSystem.getAudioInputStream(target, ais)
+      // skip the conversion stream when frames are already target-form
+      // (16-bit signed LE) — AudioSystem inserts a byte-copying wrapper
+      // even for identical formats, and at 100 TB the decode IS the cost
+      val pcm = if (fmt.matches(target)) ais
+        else AudioSystem.getAudioInputStream(target, ais)
       val bytes = pcm.readAllBytes()
       val n = bytes.length / 2
       if (n < nWindows) None
@@ -909,24 +913,45 @@ object Multimodal {
   /** 16-bit mono PCM WAV from an explicit per-sample amplitude array —
     * the variable-amplitude sibling of [[AudioCodec.encodeWav]] (lossless
     * container, so the decoded envelope is a pure function of the
-    * samples). */
+    * samples). Writes the canonical 44-byte RIFF/WAVE header directly —
+    * fixture generation is per-row work too, and the AudioSystem
+    * stream-writer path costs more than the whole decode; the REAL
+    * `javax.sound.sampled` decode still validates every byte of it
+    * (spec + scalacheck property pin generator/kernel agreement). */
   private[graft] def encodeWavSamples(sampleRate: Int,
                                       samples: Array[Short]): Array[Byte] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
-      AudioInputStream, AudioSystem}
-    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
-    val pcm = new Array[Byte](samples.length * 2)
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def fourcc(off: Int, s: String): Unit = {
+      var i = 0
+      while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    fourcc(0, "RIFF"); le32(4, 36 + dataLen); fourcc(8, "WAVE")
+    fourcc(12, "fmt "); le32(16, 16)
+    le16(20, 1) // PCM
+    le16(22, 1) // mono
+    le32(24, sampleRate)
+    le32(28, sampleRate * 2) // byte rate
+    le16(32, 2) // block align
+    le16(34, 16) // bits per sample
+    fourcc(36, "data"); le32(40, dataLen)
     var i = 0
     while (i < samples.length) {
-      pcm(2 * i) = (samples(i) & 0xff).toByte
-      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      out(44 + 2 * i) = (samples(i) & 0xff).toByte
+      out(44 + 2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
       i += 1
     }
-    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
-      samples.length.toLong)
-    val out = new ByteArrayOutputStream(pcm.length + 64)
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    out
   }
 
   /** The envelope fixture WAV: 65 windows x 40 constant-amplitude samples
