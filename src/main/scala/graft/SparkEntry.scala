@@ -1843,6 +1843,26 @@ object SparkEntry {
       val hashes = Multimodal.extractVideoHashes(media).toDF()
       Dedup.videoNearDupPairs(hashes, maxHamming = 3)
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    "q119_salted_join" -> ((s, dir) => {
+      // explicit skew salting with EXACT join semantics: the event fact
+      // side takes a deterministic row-hash salt, the user dimension
+      // explodes `salts` ways, and the join key becomes (key, salt) —
+      // each hot key spreads over 8 reducers. The oracle is the PLAIN
+      // join aggregate: salting must change the shuffle layout and
+      // nothing else.
+      val ev = t(s, dir, "events")
+      val dim = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      operators.Skew.saltedJoin(
+          ev.select(col("user_id"), col("event_id"), col("value")),
+          dim, "user_id", salts = 8)
+        .groupBy(col("user_id"), col("n_events"))
+        .agg(count(lit(1)).as("n_joined"),
+          sum(col("value").cast("decimal(38,6)")).cast("double")
+            .as("sum_value"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -4105,6 +4125,16 @@ object SparkEntry {
         |  GROUP BY c.a_id, c.b_id
         |)
         |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 3
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q119_salted_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+        |)
+        |SELECT e.user_id, d.n_events, COUNT(*) AS n_joined,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY e.user_id, d.n_events
+        |ORDER BY e.user_id""".stripMargin
   )
 }

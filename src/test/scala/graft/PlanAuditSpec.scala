@@ -480,6 +480,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("blockkey"), p.take(2000))
   }
 
+  test("q119: the salt reaches the join exchange — hot keys spread across reducers") {
+    val p = plan("q119_salted_join")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the join must key on (user_id, __salt), not user_id alone — that
+    // compound key IS the skew mitigation. At fixture scale the exploded
+    // dim broadcasts (so the compound key shows in the BHJ keys); at real
+    // scale the same compound key becomes the SMJ exchange key
+    assert("(BroadcastHashJoin|SortMergeJoin) \\[user_id[^\\]]*__salt"
+      .r.findAllIn(p).nonEmpty, p.take(3000))
+  }
+
   test("q118: video near-dup candidates come from the block equi-join, no cartesian") {
     val p = plan("q118_video_neardup")
     assert(!p.contains("CartesianProduct"), p.take(2000))
