@@ -119,6 +119,34 @@ object SparkEntry {
     }
   }
 
+  /** The messy-URL fixture column (q113/q120): per doc_id, one of four
+    * fetch-URL variants of the same canonical page (explicit default
+    * port, upper-case scheme+host+trailing slash, utm tracking params,
+    * fragment) — groups of 4 consecutive ids share a canonical, hosts
+    * cycle over 20 sites, a real `?page=` param survives
+    * canonicalization. The oracle predicts canonical/host/domain
+    * arithmetically from this derivation; Spark must recover them
+    * through the real parser. */
+  private def messyUrlCol: org.apache.spark.sql.Column = {
+    val g = expr("doc_id div 4")
+    val base = concat(lit("www.site"), (g % 20).cast("string"),
+      lit(".example.com"))
+    val pageQ = concat(lit("?page="), (g % 3).cast("string"))
+    when(col("doc_id") % 4 === 0,
+        concat(lit("https://"), base, lit(":443/docs/"),
+          g.cast("string"), pageQ))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://"), upper(base), lit("/docs/"),
+          g.cast("string"), lit("/"), pageQ))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://"), base, lit("/docs/"), g.cast("string"),
+          lit("?utm_source=feed&page="), (g % 3).cast("string"),
+          lit("&utm_campaign=c")))
+      .otherwise(
+        concat(lit("https://"), base, lit("/docs/"), g.cast("string"),
+          pageQ, lit("#sec-2")))
+  }
+
   /** Collision-resistant per-corpus key for `.bench` artifact dirs — md5 of
     * the absolute path (String.hashCode is 32-bit and collides across real
     * corpus paths). */
@@ -1753,25 +1781,9 @@ object SparkEntry {
       // UDF); the oracle predicts each canonical arithmetically from the
       // fixture derivation, so Spark must recover it exactly. One
       // partial-combined shuffle on the canonical key.
-      val g = expr("doc_id div 4")
-      val base = concat(lit("www.site"), (g % 20).cast("string"),
-        lit(".example.com"))
-      val pageQ = concat(lit("?page="), (g % 3).cast("string"))
-      val messy = when(col("doc_id") % 4 === 0,
-          concat(lit("https://"), base, lit(":443/docs/"),
-            g.cast("string"), pageQ))
-        .when(col("doc_id") % 4 === 1,
-          concat(lit("HTTPS://"), upper(base), lit("/docs/"),
-            g.cast("string"), lit("/"), pageQ))
-        .when(col("doc_id") % 4 === 2,
-          concat(lit("https://"), base, lit("/docs/"), g.cast("string"),
-            lit("?utm_source=feed&page="), (g % 3).cast("string"),
-            lit("&utm_campaign=c")))
-        .otherwise(
-          concat(lit("https://"), base, lit("/docs/"), g.cast("string"),
-            pageQ, lit("#sec-2")))
       operators.Urls.canonicalDedup(
-          t(s, dir, "documents").select(col("doc_id"), messy.as("url")),
+          t(s, dir, "documents").select(col("doc_id"),
+            messyUrlCol.as("url")),
           "doc_id", "url")
         .orderBy(col("canonical_url"))
     }),
@@ -1863,6 +1875,43 @@ object SparkEntry {
           sum(col("value").cast("decimal(38,6)")).cast("double")
             .as("sum_value"))
         .orderBy(col("user_id"))
+    }),
+
+    "q120_domain_stats" -> ((s, dir) => {
+      // per-domain crawl statistics — the granularity blocklists, caps
+      // and quality priors are kept at: registrable domain (host minus
+      // www.) through the REAL parser over the messy fetch URLs, with
+      // per-domain page counts, distinct canonical pages, and corpus
+      // mass. One partial-combined shuffle on the domain key.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), messyUrlCol.as("url"))
+      docs.select(operators.Urls.domain(col("url")).as("domain"),
+          operators.Urls.canonical(col("url")).as("canonical_url"),
+          col("n_chars"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_pages"),
+          countDistinct(col("canonical_url")).as("n_canonical"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("domain"))
+    }),
+
+    "q121_winsorized_mean" -> ((s, dir) => {
+      // robust per-type value statistics: exact p05/p95 (one tiny per-type
+      // percentile aggregate, broadcast back), values clipped to the
+      // fences map-side, mean in DECIMAL(38,6) — outlier-robust metric
+      // aggregation without a UDF or a second full sort.
+      val ev = t(s, dir, "events")
+      val fences = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+      ev.join(broadcast(fences), Seq("event_type"))
+        .select(col("event_type"),
+          least(greatest(col("value"), col("lo")), col("hi")).as("w"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("w").cast("decimal(38,6)")).cast("double")
+            / count(lit(1)), 9).as("winsorized_mean"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -4135,6 +4184,30 @@ object SparkEntry {
         |  CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events e JOIN dim d ON e.user_id = d.user_id
         |GROUP BY e.user_id, d.n_events
-        |ORDER BY e.user_id""".stripMargin
+        |ORDER BY e.user_id""".stripMargin,
+
+    "q120_domain_stats" ->
+      """SELECT 'site' || CAST((doc_id // 4) % 20 AS VARCHAR)
+        |    || '.example.com' AS domain,
+        |  COUNT(*) AS n_pages,
+        |  CAST(COUNT(DISTINCT doc_id // 4) AS BIGINT) AS n_canonical,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY 1 ORDER BY domain""".stripMargin,
+
+    "q121_winsorized_mean" ->
+      """WITH fences AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(
+        |      least(greatest(e.value, f.lo), f.hi) AS DECIMAL(38,6)))
+        |    AS DOUBLE) / COUNT(*), 9) AS winsorized_mean
+        |FROM events e JOIN fences f USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin
   )
 }

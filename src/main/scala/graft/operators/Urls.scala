@@ -26,17 +26,28 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
+  /** Lowercased host of a URL column, default port stripped (scheme-aware:
+    * `:80` for http, `:443` for https). Empty string for non-URLs. */
+  def host(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+  }
+
+  /** Registrable-domain approximation: [[host]] minus a leading `www.` —
+    * the grouping key of per-domain crawl statistics (blocklists, caps,
+    * quality priors are all kept at this granularity). */
+  def domain(url: Column): Column =
+    regexp_replace(host(url), "^www\\.", "")
+
   /** Canonical form of a URL column. Non-URL strings (no `scheme://`) pass
     * through lowercase-scheme parsing unchanged enough to stay stable:
     * they canonicalize to themselves minus fragment/tracking junk. */
   def canonical(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostPort = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    // default-port strip is scheme-aware
-    val host = when(scheme === "http",
-        regexp_replace(hostPort, ":80$", ""))
-      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
-      .otherwise(hostPort)
+    val host = Urls.host(url)
     // everything after authority: path + query + fragment
     val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
     val noFragment = regexp_replace(rest, "#.*$", "")

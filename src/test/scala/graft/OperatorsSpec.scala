@@ -1794,6 +1794,18 @@ class OperatorsSpec extends SparkSpec {
       .select(col("url"), Urls.canonical(col("url")).as("canon"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     for ((in, want) <- cases) assert(got(in) == want, s"url=$in")
+    // host/domain extraction: lowercased, default port stripped, www cut
+    val hd = Seq(
+      "HTTP://WWW.ExAmple.COM:80/x" -> (("www.example.com", "example.com")),
+      "https://sub.example.com:8443/x" ->
+        (("sub.example.com:8443", "sub.example.com:8443")),
+      "not a url" -> (("", "")))
+    val gotHd = hd.map(_._1).toDF("url")
+      .select(col("url"), Urls.host(col("url")).as("h"),
+        Urls.domain(col("url")).as("d"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1),
+        r.getString(2)))).toMap
+    for ((in, want) <- hd) assert(gotHd(in) == want, s"url=$in")
   }
 
   test("audio envelope hash: fixture WAV decodes to formula bits; corrupt flagged; pairs gate") {

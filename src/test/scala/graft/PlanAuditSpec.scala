@@ -491,6 +491,27 @@ class PlanAuditSpec extends SparkSpec {
       .r.findAllIn(p).nonEmpty, p.take(3000))
   }
 
+  test("q120: domain stats shuffle on the domain key only — parsing rides the scan") {
+    val p = plan("q120_domain_stats")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    // every hash exchange keys on domain (the count-distinct two-phase
+    // plan may add one domain+canonical exchange, never a wider one)
+    val ex = "Exchange hashpartitioning\\(domain".r.findAllIn(p).size
+    assert(ex >= 1 &&
+      ex == "Exchange hashpartitioning".r.findAllIn(p).size, p.take(3000))
+  }
+
+  test("q121: winsorized mean — fences broadcast back, values clip map-side") {
+    val p = plan("q121_winsorized_mean")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+  }
+
   test("q118: video near-dup candidates come from the block equi-join, no cartesian") {
     val p = plan("q118_video_neardup")
     assert(!p.contains("CartesianProduct"), p.take(2000))
