@@ -1912,6 +1912,30 @@ object SparkEntry {
           round(sum(col("w").cast("decimal(38,6)")).cast("double")
             / count(lit(1)), 9).as("winsorized_mean"))
         .orderBy(col("event_type"))
+    }),
+
+    "q122_temporal_split" -> ((s, dir) => {
+      // temporal train/test split with a leakage guard — eval hygiene
+      // for behavioral models: events split at a time cutoff, then each
+      // split reports how much of it comes from users who ALSO appear on
+      // the other side (the leaked population a user-disjoint protocol
+      // must exclude). One user-keyed aggregate builds the per-user
+      // presence table; it broadcasts back (users are entity-scale) and
+      // the verdict is one partial-combined aggregate per split.
+      val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00"))
+      val tagged = t(s, dir, "events")
+        .withColumn("split",
+          when(col("ts") < cutoff, lit("train")).otherwise(lit("test")))
+      val us = tagged.groupBy(col("user_id")).agg(
+        max(col("split") === "train").as("in_tr"),
+        max(col("split") === "test").as("in_te"))
+      tagged.join(broadcast(us), Seq("user_id"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(when(!(col("in_tr") && col("in_te")), 1L).otherwise(0L))
+            .as("n_clean_events"))
+        .orderBy(col("split"))
     })
   )
 
@@ -4208,6 +4232,25 @@ object SparkEntry {
         |    AS DOUBLE) / COUNT(*), 9) AS winsorized_mean
         |FROM events e JOIN fences f USING (event_type)
         |GROUP BY e.event_type
-        |ORDER BY e.event_type""".stripMargin
+        |ORDER BY e.event_type""".stripMargin,
+
+    "q122_temporal_split" ->
+      """WITH tagged AS (
+        |  SELECT user_id,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00'
+        |      THEN 'train' ELSE 'test' END AS split
+        |  FROM events
+        |), us AS (
+        |  SELECT user_id,
+        |    bool_or(split = 'train') AS in_tr,
+        |    bool_or(split = 'test') AS in_te
+        |  FROM tagged GROUP BY user_id
+        |)
+        |SELECT t.split, COUNT(*) AS n_events,
+        |  CAST(COUNT(DISTINCT t.user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN NOT (u.in_tr AND u.in_te) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clean_events
+        |FROM tagged t JOIN us u USING (user_id)
+        |GROUP BY t.split ORDER BY t.split""".stripMargin
   )
 }

@@ -512,6 +512,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p.take(2000))
   }
 
+  test("q122: temporal split — user presence broadcasts back, no cartesian") {
+    val p = plan("q122_temporal_split")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("q118: video near-dup candidates come from the block equi-join, no cartesian") {
     val p = plan("q118_video_neardup")
     assert(!p.contains("CartesianProduct"), p.take(2000))
