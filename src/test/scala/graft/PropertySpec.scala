@@ -308,4 +308,59 @@ class TransformPropertySpec extends SparkSpec {
       Multimodal.dHashHex(img) == expect
     }, minSuccessful = 50)
   }
+
+  test("URL canonicalization is idempotent and diff-of-self is all-unchanged") {
+    // canonical(canonical(u)) == canonical(u): a canonicalizer that moves
+    // on re-application would make incremental crawls re-dedup endlessly
+    import graft.operators.{SnapshotDiff, Urls}
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      "HTTP://ExAmple.COM:80/Path/",
+      "https://example.com:443/",
+      "https://example.com",
+      "http://example.com:8080/a",
+      "https://example.com/a?utm_source=x",
+      "https://example.com/a?utm_source=x&b=1&gclid=z#f",
+      "https://example.com/a/?b=1",
+      "not a url").toDF("url")
+    val twice = urls.select(Urls.canonical(col("url")).as("c1"))
+      .select(col("c1"), Urls.canonical(col("c1")).as("c2"))
+      .collect()
+    for (r <- twice) assert(r.getString(0) == r.getString(1),
+      s"not idempotent: ${r.getString(0)}")
+    // SnapshotDiff of a corpus against itself: everything 'unchanged'
+    val docs = Seq(1L -> "a", 2L -> "b").toDF("doc_id", "text")
+    val d = SnapshotDiff.diff(docs, docs, "doc_id", "text").collect()
+    assert(d.length == 2 && d.forall(_.getString(1) == "unchanged"))
+  }
+
+  test("token drift sums to a non-negative KL divergence") {
+    // Gibbs' inequality: with add-1 smoothing over the union vocab both
+    // slices are proper distributions, so Σ p_a·ln(p_a/p_b) >= 0 for ANY
+    // corpus split — a sign error in the probability algebra flips this
+    import graft.operators.{Materializer, TextAnalysis}
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val words = Vector("x", "y", "z", "w", "v")
+    val gen = Gen.listOfN(12, for {
+      n <- Gen.chooseNum(1, 8)
+      ws <- Gen.listOfN(n, Gen.oneOf(words))
+      a <- Gen.oneOf(true, false)
+    } yield (a, ws.mkString(" ")))
+    check(Prop.forAll(gen) { rows =>
+      // need both slices non-empty for two proper distributions
+      if (!rows.exists(_._1) || !rows.exists(!_._1)) true
+      else {
+        val df = rows.toDF("in_a", "text")
+        val kl = TextAnalysis.tokenDrift(df, "text", col("in_a"),
+            minCount = 1L, mat = Materializer.Passthrough)
+          .agg(org.apache.spark.sql.functions.sum(col("kl_term")))
+          .collect()(0).getDouble(0)
+        kl >= -1e-9
+      }
+    }, minSuccessful = 30)
+  }
 }
