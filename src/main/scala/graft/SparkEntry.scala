@@ -1936,6 +1936,20 @@ object SparkEntry {
           sum(when(!(col("in_tr") && col("in_te")), 1L).otherwise(0L))
             .as("n_clean_events"))
         .orderBy(col("split"))
+    }),
+
+    "q123_kmv_overlap" -> ((s, dir) => {
+      // corpus-overlap monitoring without a corpus join: one bounded KMV
+      // sketch (k smallest distinct md5 shingle hashes, partial-combined
+      // KMinStringsAgg — the shuffle moves p*k strings, never the shingle
+      // stream) per language slice, pairwise Jaccard estimated from the
+      // sketches alone. The oracle replicates the sketch algebra exactly
+      // (same md5, same lexicographic k-min, same merged-k intersection
+      // count), so the estimate is hash-checked, not tolerance-gated.
+      GraftFunctions.register(s)
+      operators.Overlap.sliceOverlap(t(s, dir, "documents"), "lang", "text",
+          shingleN = 3, k = 256)
+        .orderBy(col("slice_a"), col("slice_b"))
     })
   )
 
@@ -4251,6 +4265,47 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN NOT (u.in_tr AND u.in_te) THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_clean_events
         |FROM tagged t JOIN us u USING (user_id)
-        |GROUP BY t.split ORDER BY t.split""".stripMargin
+        |GROUP BY t.split ORDER BY t.split""".stripMargin,
+
+    "q123_kmv_overlap" ->
+      """WITH tk AS (
+        |  SELECT lang,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
+        |  FROM documents
+        |), sh AS (
+        |  SELECT lang, CASE WHEN len(raw) < 3 THEN [array_to_string(raw, ' ')]
+        |    ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |          for i in range(0, len(raw) - 2)] END AS shingles
+        |  FROM tk
+        |), hs AS (
+        |  SELECT DISTINCT lang, md5(s) AS h
+        |  FROM (SELECT lang, unnest(shingles) AS s FROM sh)
+        |), rk AS (
+        |  SELECT lang, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        |  FROM hs
+        |), sk AS (
+        |  SELECT lang, list(h ORDER BY h) AS hs
+        |  FROM rk WHERE rn <= 256 GROUP BY lang
+        |), pairs AS (
+        |  SELECT a.lang AS slice_a, b.lang AS slice_b,
+        |    a.hs AS a_hs, b.hs AS b_hs
+        |  FROM sk a JOIN sk b ON a.lang < b.lang
+        |), m AS (
+        |  SELECT slice_a, slice_b, a_hs, b_hs,
+        |    list_sort(list_distinct(a_hs || b_hs))[1:256] AS merged
+        |  FROM pairs
+        |), c AS (
+        |  SELECT slice_a, slice_b, len(merged) AS l_used,
+        |    len([x for x in merged
+        |         if list_contains(a_hs, x) AND list_contains(b_hs, x)])
+        |      AS n_shared
+        |  FROM m
+        |)
+        |SELECT slice_a, slice_b,
+        |  CAST(l_used AS BIGINT) AS l_used,
+        |  CAST(n_shared AS BIGINT) AS n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / l_used, 6) AS jaccard_est
+        |FROM c ORDER BY slice_a, slice_b""".stripMargin
   )
 }

@@ -1929,4 +1929,35 @@ class OperatorsSpec extends SparkSpec {
     assert(z((10L, 2L)) == -1.0 && z((11L, 2L)) == 1.0)
     assert(z((10L, 3L)) == 0.0 && z((11L, 3L)) == 0.0)
   }
+
+  test("kmvOverlap: estimate is EXACT when k covers the union; k bounds it") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Overlap
+    GraftFunctions.register(spark)
+    // A shingles {a b c, b c d}; B shingles {a b c, b c x}:
+    // union 3, intersection 1 -> exact Jaccard 1/3 once k >= 3
+    val docs = Seq(("A", "a b c d"), ("B", "a b c x")).toDF("slice", "text")
+    val r = Overlap.sliceOverlap(docs, "slice", "text", shingleN = 3, k = 8)
+      .collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "A" && r(0).getString(1) == "B")
+    assert(r(0).getLong(2) == 3L && r(0).getLong(3) == 1L)
+    assert(r(0).getDouble(4) == 0.333333)
+    // k=1 truncates the merged sketch to one hash
+    val r1 = Overlap.sliceOverlap(docs, "slice", "text", 3, 1).collect()(0)
+    assert(r1.getLong(2) == 1L)
+  }
+
+  test("KMinStringsAgg dedupes, bounds at k, and is merge-order invariant") {
+    val agg = new graft.functions.KMinStringsAgg(3)
+    val b = Seq("d", "b", "b", "a", "c", "e").foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(b) == Seq("a", "b", "c"))
+    val x = Seq("c", "a").foldLeft(agg.zero)(agg.reduce)
+    val y = Seq("b", "a", "d").foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(x, y)) == Seq("a", "b", "c"))
+    assert(agg.finish(agg.merge(x, y)) == agg.finish(agg.merge(y, x)))
+    // warm-buffer fast path: a candidate above the current max is a no-op
+    assert(agg.reduce(b, "zzz") eq b)
+  }
 }

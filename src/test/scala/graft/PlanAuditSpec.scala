@@ -525,4 +525,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(p.contains("blockkey"), p.take(2000))
   }
+
+  test("q123: KMV sketch — shingles/md5 ride the scan, ONE partial-combined exchange") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // sketch path (what touches the corpus): exactly one hash exchange on
+    // the slice key, with a map-side partial KMinStringsAgg below it
+    val ps = graft.operators.Overlap
+      .kmvSketch(docs, "lang", "text", 3, 256)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(ps).size == 1, ps.take(3000))
+    assert(ps.contains("partial_kminstringsagg"), ps.take(3000))
+    // full query through Passthrough (a checkpoint would hide the
+    // subplan): the pairwise stage touches only the tiny sketch rows —
+    // no sort-merge join anywhere, corpus never joins
+    val pq = graft.operators.Overlap
+      .sliceOverlap(docs, "lang", "text", 3, 256,
+        graft.operators.Materializer.Passthrough)
+      .orderBy(col("slice_a"), col("slice_b"))
+      .queryExecution.executedPlan.toString
+    assert(!pq.contains("SortMergeJoin"), pq.take(3000))
+    assert(!pq.contains("CartesianProduct"), pq.take(3000))
+  }
 }
