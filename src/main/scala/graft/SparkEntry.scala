@@ -1950,6 +1950,33 @@ object SparkEntry {
       operators.Overlap.sliceOverlap(t(s, dir, "documents"), "lang", "text",
           shingleN = 3, k = 256)
         .orderBy(col("slice_a"), col("slice_b"))
+    }),
+
+    "q124_markov_chain" -> ((s, dir) => {
+      // first-order behavioral Markov chain over the event log: per-user
+      // streams ordered by (ts, event_id), adjacent prev->next transition
+      // counts, row-normalized into probabilities. The lag window
+      // partitions on user_id (entity-bounded state — the scalable window
+      // shape); after the partial-combined count the table is |types|^2
+      // rows, so the normalizing row-total window is over a tiny frame.
+      // Probability is an exact small-int division, rounded — the count
+      // columns, not the float, carry the hash check's weight.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy(col("prev_type"))
+      pairs
+        .select(col("prev_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / sum(col("n")).over(wp), 6)
+            .as("p"))
+        .orderBy(col("prev_type"), col("next_type"))
     })
   )
 
@@ -4306,6 +4333,21 @@ object SparkEntry {
         |  CAST(l_used AS BIGINT) AS l_used,
         |  CAST(n_shared AS BIGINT) AS n_shared,
         |  round(CAST(n_shared AS DOUBLE) / l_used, 6) AS jaccard_est
-        |FROM c ORDER BY slice_a, slice_b""".stripMargin
+        |FROM c ORDER BY slice_a, slice_b""".stripMargin,
+
+    "q124_markov_chain" ->
+      """WITH seq AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lead(event_type)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events
+        |), c AS (
+        |  SELECT event_type AS prev_type, next_type, COUNT(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6)
+        |    AS p
+        |FROM c ORDER BY prev_type, next_type""".stripMargin
   )
 }

@@ -548,4 +548,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pq.contains("SortMergeJoin"), pq.take(3000))
     assert(!pq.contains("CartesianProduct"), pq.take(3000))
   }
+
+  test("q124: markov lag window partitions on user_id; no global window") {
+    val p = plan("q124_markov_chain")
+    // the only windows: lead() partitioned by user_id (entity-bounded)
+    // and the row-total over the tiny (prev_type) count table — never a
+    // SinglePartition window over the event stream
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
