@@ -1977,6 +1977,17 @@ object SparkEntry {
           round(col("n").cast("double") / sum(col("n")).over(wp), 6)
             .as("p"))
         .orderBy(col("prev_type"), col("next_type"))
+    }),
+
+    "q125_token_pmi" -> ((s, dir) => {
+      // PMI collocations over the corpus: adjacent-bigram pointwise
+      // mutual information with positional marginals, gated by the
+      // integer bigram count — the multi-word-unit detector feeding
+      // phrase-aware vocab/dedup. Bigrams form map-side; one (w1,w2)
+      // partial-combined exchange; marginals reduce the count table.
+      operators.TextAnalysis.pmiCollocations(
+          t(s, dir, "documents"), "text", minCount = 5L)
+        .orderBy(col("w1"), col("w2"))
     })
   )
 
@@ -4348,6 +4359,33 @@ object SparkEntry {
         |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
         |  round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6)
         |    AS p
-        |FROM c ORDER BY prev_type, next_type""".stripMargin
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+
+    "q125_token_pmi" ->
+      """WITH tk AS (
+        |  SELECT
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
+        |  FROM documents
+        |), bg AS (
+        |  SELECT unnest(raw[1:len(raw)-1]) AS w1,
+        |         unnest(raw[2:len(raw)]) AS w2
+        |  FROM tk WHERE len(raw) >= 2
+        |), c AS (
+        |  SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2
+        |), ca AS (
+        |  SELECT w1, SUM(c_ab) AS c_a FROM c GROUP BY 1
+        |), cb AS (
+        |  SELECT w2, SUM(c_ab) AS c_b FROM c GROUP BY 1
+        |), n AS (
+        |  SELECT CAST(SUM(c_ab) AS DOUBLE) AS n_total FROM c
+        |)
+        |SELECT c.w1, c.w2, CAST(c_ab AS BIGINT) AS c_ab,
+        |  CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+        |  round(ln((CAST(c_ab AS DOUBLE) * n_total) /
+        |    (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))), 6) AS pmi
+        |FROM c
+        |JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN n
+        |WHERE c_ab >= 5
+        |ORDER BY c.w1, c.w2""".stripMargin
   )
 }

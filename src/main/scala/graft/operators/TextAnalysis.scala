@@ -832,4 +832,46 @@ object TextAnalysis {
               .otherwise(1L)).cast("long"))
       .withColumn("keep", col("n_fail") === 0L)
   }
+
+  /** PMI collocation mining (Church & Hanks 1990): adjacent-bigram
+    * pointwise mutual information over the corpus, the classic detector
+    * for multi-word units ("new york", "machine learning") that
+    * tokenizers, vocab builders and phrase-aware dedup all consume.
+    *
+    * Probabilities live on the bigram event space with positional
+    * marginals: p(a,b) = c_ab/N, p(a,·) = Σ_b c_ab/N, p(·,b) = Σ_a c_ab/N
+    * over N = total bigrams — self-consistent without a separate token
+    * count, and exactly replicable in SQL. Selection is by the INTEGER
+    * `c_ab >= minCount` gate (never an order-by on the float); the ln
+    * term is a projection whose round(6) absorbs libm ulps.
+    *
+    * Scale shape: bigrams form map-side (zip_with over two token-slice
+    * views — no self-join of token positions), partial-combine into ONE
+    * (w1,w2) exchange; the two positional marginals reduce that count
+    * table (not the corpus); the frequency gate shrinks the head BEFORE
+    * the marginal join-backs; N is one driver scalar baked into the
+    * projection. The count table is referenced three ways, so it is
+    * materialized once ([[Materializer]]). */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long,
+                      mat: Materializer = Materializer.Local): DataFrame = {
+    val base = docs.select(tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val c = mat(base
+      .select(explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c_ab")))
+    val nTotal = c.agg(sum(col("c_ab"))).collect()(0).getLong(0).toDouble
+    val ca = c.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val cb = c.groupBy(col("w2")).agg(sum(col("c_ab")).as("c_b"))
+    c.filter(col("c_ab") >= minCount)
+      .join(ca, Seq("w1")).join(cb, Seq("w2"))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        col("c_a"), col("c_b"),
+        round(log((col("c_ab").cast("double") * lit(nTotal)) /
+          (col("c_a").cast("double") * col("c_b").cast("double"))), 6)
+          .as("pmi"))
+  }
 }

@@ -1960,4 +1960,22 @@ class OperatorsSpec extends SparkSpec {
     // warm-buffer fast path: a candidate above the current max is a no-op
     assert(agg.reduce(b, "zzz") eq b)
   }
+
+  test("pmiCollocations: hand-computed contingency PMI") {
+    val s = spark
+    import s.implicits._
+    // bigrams: "a b a b" -> (a,b),(b,a),(a,b); "b a" -> (b,a)
+    // c(a,b)=2, c(b,a)=2, marginals all 2, N=4:
+    // pmi = ln(2*4 / (2*2)) = ln 2 for both
+    val docs = Seq("a b a b", "b a").toDF("text")
+    val got = TextAnalysis.pmiCollocations(docs, "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("a", "b")) == ((2L, 2L, 2L, ln2)))
+    assert(got(("b", "a")) == ((2L, 2L, 2L, ln2)))
+    // the integer gate drops below-threshold bigrams entirely
+    assert(TextAnalysis.pmiCollocations(docs, "text", 3L).count() == 0)
+  }
 }

@@ -558,4 +558,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("q125: PMI — bigrams form map-side, marginals join as equi-joins") {
+    import org.apache.spark.sql.functions.col
+    // audit through Passthrough: the Local checkpoint would hide the
+    // bigram-count subplan. zip_with rides the scan projection (no
+    // token-position self-join); every join is an equi-join on w1/w2.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.TextAnalysis
+      .pmiCollocations(docs, "text", 5L,
+        graft.operators.Materializer.Passthrough)
+      .orderBy(col("w1"), col("w2"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("zip_with"), p.take(3000))
+  }
 }
