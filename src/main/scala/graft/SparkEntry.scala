@@ -1988,6 +1988,39 @@ object SparkEntry {
       operators.TextAnalysis.pmiCollocations(
           t(s, dir, "documents"), "text", minCount = 5L)
         .orderBy(col("w1"), col("w2"))
+    }),
+
+    "q126_hll_mergeable" -> ((s, dir) => {
+      // mergeable distinct-count sketches — the incremental form of
+      // q120's n_canonical: each ingest batch (doc_id parity here)
+      // builds its own per-domain Datasketches HLL sketch (a
+      // persistable binary artifact), and the corpus-wide answer is a
+      // sketch UNION — old batches are never rescanned. The estimate
+      // is engine-specific, so the hash-checked output is the q19
+      // contract: exact distinct + a boolean pinning the union
+      // estimate within 3*rsd(lgK=12) of exact. The deliberate second
+      // (exact) pass exists only for that gate.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), messyUrlCol.as("url"))
+        .select(col("doc_id"),
+          operators.Urls.domain(col("url")).as("domain"),
+          operators.Urls.canonical(col("url")).as("canonical_url"))
+      val sketches = docs
+        .groupBy(col("domain"), (col("doc_id") % 2).as("batch"))
+        .agg(hll_sketch_agg(col("canonical_url"), 12).as("sk"))
+      val merged = sketches.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_batches"),
+          hll_sketch_estimate(hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
+            .as("est"))
+      val exact = docs.groupBy(col("domain"))
+        .agg(countDistinct(col("canonical_url")).as("exact_urls"))
+      val tol = 3.0 * 1.04 / math.sqrt((1 << 12).toDouble)
+      exact.join(merged, Seq("domain"))
+        .select(col("domain"), col("exact_urls"), col("n_batches"),
+          (abs(col("est") - col("exact_urls")).cast("double")
+            <= greatest(lit(1.0), col("exact_urls") * lit(tol)))
+            .as("within_tol"))
+        .orderBy(col("domain"))
     })
   )
 
@@ -4386,6 +4419,15 @@ object SparkEntry {
         |FROM c
         |JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN n
         |WHERE c_ab >= 5
-        |ORDER BY c.w1, c.w2""".stripMargin
+        |ORDER BY c.w1, c.w2""".stripMargin,
+
+    "q126_hll_mergeable" ->
+      """SELECT 'site' || CAST((doc_id // 4) % 20 AS VARCHAR)
+        |    || '.example.com' AS domain,
+        |  CAST(COUNT(DISTINCT doc_id // 4) AS BIGINT) AS exact_urls,
+        |  CAST(COUNT(DISTINCT doc_id % 2) AS BIGINT) AS n_batches,
+        |  TRUE AS within_tol
+        |FROM documents
+        |GROUP BY 1 ORDER BY domain""".stripMargin
   )
 }

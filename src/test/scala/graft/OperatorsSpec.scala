@@ -1978,4 +1978,21 @@ class OperatorsSpec extends SparkSpec {
     // the integer gate drops below-threshold bigrams entirely
     assert(TextAnalysis.pmiCollocations(docs, "text", 3L).count() == 0)
   }
+
+  test("HLL sketch union: merged per-batch sketches answer exactly at small n") {
+    val s = spark
+    import s.implicits._
+    // batch 0 sees {u1,u2,u3}, batch 1 sees {u2,u3,u4}: the union
+    // sketch must estimate 4 — at this cardinality the Datasketches
+    // HLL is in exact (sparse) mode, so the estimate IS the answer and
+    // pins that union-of-sketches == sketch-of-union
+    val rows = Seq((0, "u1"), (0, "u2"), (0, "u3"), (1, "u2"), (1, "u3"),
+      (1, "u4"), (1, "u4")).toDF("batch", "url")
+    val sk = rows.groupBy(col("batch"))
+      .agg(hll_sketch_agg(col("url"), 12).as("sk"))
+    val est = sk.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), allowDifferentLgConfigK = false)))
+      .collect()(0).getLong(0)
+    assert(est == 4L)
+  }
 }
