@@ -2021,6 +2021,22 @@ object SparkEntry {
             <= greatest(lit(1.0), col("exact_urls") * lit(tol)))
             .as("within_tol"))
         .orderBy(col("domain"))
+    }),
+
+    "q127_zorder_layout" -> ((s, dir) => {
+      // Z-order layout planning (the OPTIMIZE ZORDER BY analog): events
+      // clustered on the Morton curve of (user bucket, hour-of-day), 16
+      // equal-width Z-range shards, per-shard min/max of BOTH dims — the
+      // file statistics a layout writer persists for scan pruning. The
+      // interleave is one codegen'd shift/mask projection riding the
+      // scan; the only exchange is the shard-stats aggregate. Each shard
+      // pins both dims to a <=64-cell span, which is the pruning story a
+      // single-column sort cannot give.
+      val ev = t(s, dir, "events")
+        .select((col("user_id") % 256).as("ub"), hour(col("ts")).as("hb"))
+      operators.Layout.zorderShardStats(ev, "ub", "hb",
+          bits = 8, nShards = 16)
+        .orderBy(col("shard"))
     })
   )
 
@@ -4428,6 +4444,18 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT doc_id % 2) AS BIGINT) AS n_batches,
         |  TRUE AS within_tol
         |FROM documents
-        |GROUP BY 1 ORDER BY domain""".stripMargin
+        |GROUP BY 1 ORDER BY domain""".stripMargin,
+
+    "q127_zorder_layout" ->
+      s"""WITH d AS (
+        |  SELECT user_id % 256 AS x, hour(ts) AS y FROM events
+        |), z AS (
+        |  SELECT x, y, ${operators.Layout.zorderSql("x", "y", 8)} AS z
+        |  FROM d
+        |)
+        |SELECT z >> 12 AS shard, COUNT(*) AS n_rows,
+        |  MIN(x) AS x_min, MAX(x) AS x_max,
+        |  MIN(y) AS y_min, MAX(y) AS y_max
+        |FROM z GROUP BY 1 ORDER BY shard""".stripMargin
   )
 }

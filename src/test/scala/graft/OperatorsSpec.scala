@@ -1995,4 +1995,26 @@ class OperatorsSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(est == 4L)
   }
+
+  test("zorder: hand-computed Morton interleave; shards bound both dims") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Layout
+    // x=0b11, y=0b01: x bits at even positions, y bits at odd ->
+    // z = 1<<0 + 1<<2 + 1<<1 = 7; and (x=2,y=3) -> 0b1110 = 14
+    val got = Seq((3, 1), (2, 3)).toDF("x", "y")
+      .select(Layout.zorder(col("x"), col("y"), 2).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(7L, 14L))
+    // locality: fixing the top 4 z-bits (16 shards over 8-bit dims)
+    // pins each dim to a 64-cell span inside every shard
+    val xs = (0 until 256 by 3).map(i => (i, (i * 7) % 24))
+    val stats = Layout.zorderShardStats(xs.toDF("x", "y"), "x", "y", 8, 16)
+      .collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      assert(r.getAs[Int]("x_max") - r.getAs[Int]("x_min") < 64, r.toString)
+      assert(r.getAs[Int]("y_max") - r.getAs[Int]("y_min") < 64, r.toString)
+    }
+  }
 }

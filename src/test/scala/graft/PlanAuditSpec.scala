@@ -574,4 +574,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(p.contains("zip_with"), p.take(3000))
   }
+
+  test("q127: z-order interleave rides the scan; one shard-stats exchange") {
+    val p = plan("q127_zorder_layout")
+    // pure shift/mask arithmetic in a projection (no UDF, no join, no
+    // generate); the only hash exchange is the shard-stats aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Generate"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
 }
