@@ -2037,6 +2037,48 @@ object SparkEntry {
       operators.Layout.zorderShardStats(ev, "ub", "hb",
           bits = 8, nShards = 16)
         .orderBy(col("shard"))
+    }),
+
+    "q128_ivfpq_append" -> ((s, dir) => {
+      // incremental ANN index APPEND — the q70 incremental-dedup pattern
+      // applied to IVF-PQ: new vectors (vec_id % 10 == 9) arrive after
+      // the historical index was built and persisted; the append encodes
+      // ONLY the new rows under the frozen codebook/seed model (no
+      // retraining, history never re-scanned or re-encoded) and the
+      // search runs over disk-index UNION fresh-codes. Per-row encoding
+      // is deterministic under a frozen model, so the unioned index is
+      // row-identical to a full rebuild (OperatorsSpec pins it); the
+      // oracle gate is the q77 contract: exact per-query counts + a
+      // recall floor vs in-job brute force.
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val hist = emb.filter(col("vec_id") % 10 =!= 9)
+      val fresh = emb.filter(col("vec_id") % 10 === 9)
+      val qs = emb.filter(col("vec_id") < 30)
+      val cb = pqCodebookFor(s, dir, emb)
+      val seeds = emb.filter(col("vec_id") < 8)
+      val idxDir = new java.io.File(
+        s".bench/q128_hist_${corpusKey(dir)}").getAbsolutePath
+      val idxPath = ensurePersistedIndex(idxDir, hist.count()) {
+        Similarity.ivfPqIndex(hist, seeds, cb)
+      }
+      val index = s.read.parquet(idxPath)
+        .unionByName(Similarity.ivfPqIndex(fresh, seeds, cb))
+      val pq = Similarity.ivfPqSearch(index, qs, seeds, cb,
+        k = 10, nprobe = 3)
+      val exact = Similarity.bruteForceTopK(emb, qs, k = 10)
+      val totalHits = pq.select(col("query_id"), col("neighbor_id"))
+        .join(exact.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("th"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(pq.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_results")), Seq("query_id"), "left")
+        .crossJoin(broadcast(totalHits))
+        .select(col("query_id"),
+          coalesce(col("n_results"), lit(0L)).cast("long").as("n_results"),
+          (col("th") >= 35).as("recall_floor_ok")) // q77's observed band
+        .orderBy(col("query_id"))
     })
   )
 
@@ -4456,6 +4498,11 @@ object SparkEntry {
         |SELECT z >> 12 AS shard, COUNT(*) AS n_rows,
         |  MIN(x) AS x_min, MAX(x) AS x_max,
         |  MIN(y) AS y_min, MAX(y) AS y_max
-        |FROM z GROUP BY 1 ORDER BY shard""".stripMargin
+        |FROM z GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "q128_ivfpq_append" ->
+      """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+        |  TRUE AS recall_floor_ok
+        |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin
   )
 }

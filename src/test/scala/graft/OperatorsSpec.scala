@@ -2017,4 +2017,31 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getAs[Int]("y_max") - r.getAs[Int]("y_min") < 64, r.toString)
     }
   }
+
+  test("IVF-PQ append: disk-index UNION fresh codes == full rebuild, search-identical") {
+    // the q128 invariant: encoding is deterministic under a frozen
+    // codebook/seed model, so appending newly-encoded rows to the
+    // persisted historical index yields a row-identical index — and
+    // therefore an identical search result — to rebuilding from scratch
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val hist = emb.filter(col("vec_id") % 10 =!= 9)
+    val fresh = emb.filter(col("vec_id") % 10 === 9)
+    val seeds = emb.filter(col("vec_id") < 4)
+    val qs = emb.filter(col("vec_id") < 6)
+    val cb = Similarity.trainPqCodebooks(emb, m = 8, ksub = 16, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_append").toString
+    graft.operators.Materializer.Persisted(tmp)(
+      Similarity.ivfPqIndex(hist, seeds, cb))
+    val appended = spark.read.parquet(s"$tmp/mat_0")
+      .unionByName(Similarity.ivfPqIndex(fresh, seeds, cb))
+    val full = Similarity.ivfPqIndex(emb, seeds, cb)
+    def idxSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    assert(idxSet(appended) == idxSet(full) && idxSet(full).size == 500)
+    def res(idx: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqSearch(idx, qs, seeds, cb, k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(res(appended).nonEmpty && res(appended) == res(full))
+  }
 }
