@@ -2079,6 +2079,65 @@ object SparkEntry {
           coalesce(col("n_results"), lit(0L)).cast("long").as("n_results"),
           (col("th") >= 35).as("recall_floor_ok")) // q77's observed band
         .orderBy(col("query_id"))
+    }),
+
+    "q129_integrity_audit" -> ((s, dir) => {
+      // referential-integrity audit across the star schema — the
+      // data-quality gate an ingest pipeline runs before publishing a
+      // snapshot: orphan counts per FK edge via left_anti joins. Small
+      // parents (nation) broadcast; the lineitem->orders edge is a
+      // keyed shuffle anti-join (the scale path). Each edge is one
+      // aggregate; the verdict unions four 1-row frames.
+      def audit(name: String, idx: Int, child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String,
+                bcast: Boolean): DataFrame = {
+        val p = parent.select(col(parentKey).as(childKey)).distinct()
+        val orphans = child
+          .join(if (bcast) broadcast(p) else p, Seq(childKey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        child.agg(count(lit(1)).as("n_child_rows"))
+          .crossJoin(orphans)
+          .select(lit(idx).as("check_idx"), lit(name).as("fk_edge"),
+            col("n_child_rows"), col("n_orphans"),
+            (col("n_orphans") === 0L).as("ok"))
+      }
+      audit("lineitem.l_orderkey->orders", 1,
+          t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
+          "l_orderkey", bcast = false)
+        .unionByName(audit("orders.o_custkey->customer", 2,
+          t(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+          "c_custkey", t(s, dir, "customer"), "c_custkey", bcast = false))
+        .unionByName(audit("customer.c_nationkey->nation", 3,
+          t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey"),
+          "c_nationkey", bcast = true))
+        .unionByName(audit("supplier.s_nationkey->nation", 4,
+          t(s, dir, "supplier"), "s_nationkey",
+          t(s, dir, "nation").withColumnRenamed("n_nationkey", "s_nationkey"),
+          "s_nationkey", bcast = true))
+        .orderBy(col("check_idx"))
+    }),
+
+    "q130_k_anonymity" -> ((s, dir) => {
+      // k-anonymity audit over quasi-identifiers — the privacy gate for
+      // releasing behavioral data: rows whose (event_type, hour,
+      // value-bucket) tuple occurs fewer than k=5 times are
+      // re-identifiable and must be suppressed or generalized. One
+      // partial-combined tuple count, then a per-type rollup of risky
+      // tuples/rows — the corpus shuffles once on the tuple key.
+      val k = 5L
+      t(s, dir, "events")
+        .select(col("event_type"), hour(col("ts")).as("hb"),
+          floor(col("value") / 10.0).cast("long").as("vb"))
+        .groupBy(col("event_type"), col("hb"), col("vb"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_tuples"),
+          sum(when(col("n") < k, 1L).otherwise(0L)).as("n_risky_tuples"),
+          sum(when(col("n") < k, col("n")).otherwise(0L))
+            .as("n_risky_rows"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -4503,6 +4562,47 @@ object SparkEntry {
     "q128_ivfpq_append" ->
       """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
         |  TRUE AS recall_floor_ok
-        |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin
+        |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
+
+    "q129_integrity_audit" ->
+      """SELECT * FROM (
+        |  SELECT 1 AS check_idx, 'lineitem.l_orderkey->orders' AS fk_edge,
+        |    COUNT(*) AS n_child_rows,
+        |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orphans,
+        |    SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS ok
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 2, 'orders.o_custkey->customer', COUNT(*),
+        |    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 3, 'customer.c_nationkey->nation', COUNT(*),
+        |    CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) = 0
+        |  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  UNION ALL
+        |  SELECT 4, 'supplier.s_nationkey->nation', COUNT(*),
+        |    CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) = 0
+        |  FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |) ORDER BY check_idx""".stripMargin,
+
+    "q130_k_anonymity" ->
+      """WITH tuples AS (
+        |  SELECT event_type, hour(ts) AS hb,
+        |    CAST(floor(value / 10.0) AS BIGINT) AS vb, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2, 3
+        |)
+        |SELECT event_type, COUNT(*) AS n_tuples,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky_tuples,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_risky_rows
+        |FROM tuples GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

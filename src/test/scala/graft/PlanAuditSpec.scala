@@ -584,4 +584,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Generate"), p.take(3000))
     assert(p.contains("HashAggregate"), p.take(3000))
   }
+
+  test("q129: orphan checks are anti-joins; small parents broadcast") {
+    val p = plan("q129_integrity_audit")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    // nation-parent edges must broadcast (tiny dim); the only
+    // nested-loop joins are the 1-row scalar-aggregate crossJoins
+    assert("BroadcastHashJoin.*LeftAnti".r.findAllIn(p).nonEmpty, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q130: k-anonymity — corpus shuffles once on the tuple key, no join") {
+    val p = plan("q130_k_anonymity")
+    assert(!p.contains("Join"), p.take(3000))
+    // tuple count + per-type rollup: two hash exchanges max, no window
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
 }
