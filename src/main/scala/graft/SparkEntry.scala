@@ -2138,6 +2138,53 @@ object SparkEntry {
           sum(when(col("n") < k, col("n")).otherwise(0L))
             .as("n_risky_rows"))
         .orderBy(col("event_type"))
+    }),
+
+    "q131_mad_outliers" -> ((s, dir) => {
+      // robust anomaly detection: per-type median/MAD (the
+      // outlier-resistant spread measure) and the count of |x - med| >
+      // 3.5*MAD rows — the metric-drift monitor q121's winsorizing
+      // complements. Exact medians mean a deliberate multi-pass over the
+      // stream (median -> MAD -> count; the whiten/heavyHitters
+      // precedent): each pass is one tiny per-type aggregate broadcast
+      // back, the corpus never shuffles.
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("value"), col("med"),
+          abs(col("value") - col("med")).as("adev"))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(max(col("med")), 9).as("med"),
+          round(max(col("mad")), 9).as("mad"),
+          sum(when(abs(col("value") - col("med"))
+            > lit(3.5) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q132_event_paths" -> ((s, dir) => {
+      // order-2 user-journey mining: the most frequent 3-step
+      // event-type paths (the funnel-discovery complement of q124's
+      // transition matrix). Two leads over the same user-partitioned
+      // window (one sort, entity-bounded state), then a partial-combined
+      // path count with an INTEGER support gate — no float ordering.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e1"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .withColumn("e3", lead(col("e1"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 10)
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
     })
   )
 
@@ -4603,6 +4650,39 @@ object SparkEntry {
         |    AS n_risky_tuples,
         |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
         |    AS n_risky_rows
-        |FROM tuples GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM tuples GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q131_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type
+        |), dev AS (
+        |  SELECT e.event_type, e.value, m.med,
+        |    abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type
+        |)
+        |SELECT d.event_type, COUNT(*) AS n,
+        |  round(MAX(d.med), 9) AS med, round(MAX(a.mad), 9) AS mad,
+        |  CAST(SUM(CASE WHEN abs(d.value - d.med) > 3.5 * a.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad a USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    "q132_event_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events
+        |)
+        |SELECT e1, e2, e3, COUNT(*) AS n
+        |FROM seq WHERE e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 10
+        |ORDER BY n DESC, e1, e2, e3""".stripMargin
   )
 }

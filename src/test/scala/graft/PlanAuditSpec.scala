@@ -601,4 +601,21 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(3000))
     assert(!p.contains("Window"), p.take(3000))
   }
+
+  test("q131: MAD passes broadcast the per-type stats back; no window, no cartesian") {
+    val p = plan("q131_mad_outliers")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q132: path mining — one user-partitioned sort serves both leads") {
+    val p = plan("q132_event_paths")
+    // both lead() columns ride ONE window over (user_id; ts, event_id):
+    // exactly one user-keyed exchange, no SinglePartition window
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
 }

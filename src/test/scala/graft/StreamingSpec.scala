@@ -431,4 +431,46 @@ class StreamingSpec extends SparkSpec {
     assert(table.columns.contains("day"))
     assert(table.count() == 2)
   }
+
+  test("streaming KMV sketch update == the batch sketch (order-invariant merge)") {
+    // q123's monitoring face: the per-slice KMV sketch is an algebraic
+    // aggregate (bounded KMinStringsAgg buffer), so maintaining it over
+    // a document stream in complete mode must converge to EXACTLY the
+    // batch sketch — the merge is order/batching-invariant by the
+    // aggregator's sorted-set semantics. That is what makes the sketch a
+    // maintainable artifact (today's stream vs yesterday's snapshot)
+    // rather than a batch-only summary.
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog"),
+      ("en", "the quick brown cat naps under the old tree"),
+      ("de", "der hund und die katze sind nicht da heute")
+    ).toDF("lang", "text")
+    val dir = Files.createTempDirectory("graft-kmv-stream").toString
+    // two files -> at least two micro-batches with maxFilesPerTrigger=1
+    df.filter(col("lang") === "en").repartition(1)
+      .write.mode("overwrite").parquet(dir)
+    df.filter(col("lang") === "de").repartition(1)
+      .write.mode("append").parquet(dir)
+    def sketch(d: org.apache.spark.sql.DataFrame) = {
+      val kmin = udaf(new graft.functions.KMinStringsAgg(4))
+      d.select(col("lang").as("slice"),
+          explode(graft.operators.TextAnalysis.shingles(col("text"), 3))
+            .as("sh"))
+        .select(col("slice"), md5(col("sh")).as("h"))
+        .groupBy(col("slice")).agg(kmin(col("h")).as("hs"))
+    }
+    val q = sketch(spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_out").start()
+    q.processAllAvailable(); q.stop()
+    def toMap(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val streamed = toMap(spark.table("kmv_out").collect().toSeq)
+    val batch = toMap(sketch(df).collect().toSeq)
+    assert(streamed == batch && batch("en").size == 4)
+  }
 }
