@@ -2185,6 +2185,67 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .filter(col("n") >= 10)
         .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+    }),
+
+    "q133_html_extract" -> ((s, dir) => {
+      // HTML main-content extraction over a messy-markup fixture (the
+      // messyUrlCol pattern, applied to crawl HTML): each document is
+      // wrapped in deterministic template markup — title, style/script
+      // blocks whose CONTENTS must drop, nav and footer boilerplate —
+      // and Spark must recover title/main/visible text through the real
+      // regex pipeline. The oracle builds the identical HTML in SQL and
+      // runs the identical RE2-compatible pipeline. All projections
+      // ride the scan; the query has no join and no aggregate.
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p{color:red}</style></head><body>" +
+          "<nav><a href=\"/\">home</a> <a href=\"/about\">about</a></nav>" +
+          "<div id=\"main\"><p>"),
+        col("text"),
+        lit("</p></div><footer>(c) 2024 example</footer>" +
+          "<script>var x=1;</script></body></html>"))
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("html", html)
+        .select(col("doc_id"),
+          TextAnalysis.htmlTitle(col("html")).as("title"),
+          (TextAnalysis.htmlParagraphs(col("html")) === col("text"))
+            .as("recovered"),
+          length(TextAnalysis.htmlParagraphs(col("html"))).cast("long")
+            .as("main_len"),
+          length(TextAnalysis.stripHtml(col("html"))).cast("long")
+            .as("full_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q134_domain_prior" -> ((s, dir) => {
+      // per-domain quality prior with Bayesian shrinkage: small domains
+      // pull toward the corpus mean with prior strength m=20
+      // (mean_shrunk = (n*mean_d + m*mean_g)/(n+m)) — the stabilized
+      // per-domain score blocklists and sampling weights actually use,
+      // where a 3-page domain's raw mean is noise. One domain-keyed
+      // partial-combined aggregate; the global mean is a 1-row
+      // broadcast; means accumulate in DECIMAL(38,6) (house dsum rule)
+      // and the shrinkage arithmetic runs in one fixed double op order.
+      val docs = t(s, dir, "documents")
+        .select(operators.Urls.domain(messyUrlCol).as("domain"),
+          col("n_chars"))
+      val per = docs.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("decimal(38,6)")).as("s"))
+        .withColumn("mean_chars",
+          col("s").cast("double") / col("n_docs").cast("double"))
+      val g = docs.agg(count(lit(1)).as("gn"),
+        sum(col("n_chars").cast("decimal(38,6)")).as("gs"))
+        .select((col("gs").cast("double") / col("gn").cast("double"))
+          .as("mean_g"))
+      per.crossJoin(broadcast(g))
+        .select(col("domain"), col("n_docs"),
+          round(col("mean_chars"), 6).as("mean_chars"),
+          round((col("n_docs").cast("double") * col("mean_chars")
+              + lit(20.0) * col("mean_g"))
+            / (col("n_docs").cast("double") + lit(20.0)), 6)
+            .as("mean_shrunk"))
+        .orderBy(col("domain"))
     })
   )
 
@@ -4683,6 +4744,55 @@ object SparkEntry {
         |SELECT e1, e2, e3, COUNT(*) AS n
         |FROM seq WHERE e3 IS NOT NULL
         |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 10
-        |ORDER BY n DESC, e1, e2, e3""".stripMargin
+        |ORDER BY n DESC, e1, e2, e3""".stripMargin,
+
+    "q133_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style>p{color:red}</style></head><body>' ||
+        |    '<nav><a href="/">home</a> <a href="/about">about</a></nav>' ||
+        |    '<div id="main"><p>' || text ||
+        |    '</p></div><footer>(c) 2024 example</footer>' ||
+        |    '<script>var x=1;</script></body></html>' AS html
+        |  FROM documents
+        |), x AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract(html, '(?s)<title>(.*?)</title>', 1) AS title,
+        |    array_to_string(
+        |      regexp_extract_all(html, '(?s)<p>(.*?)</p>', 1), ' ') AS main,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(html,
+        |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS full_text
+        |  FROM h
+        |)
+        |SELECT doc_id, title, main = text AS recovered,
+        |  CAST(length(main) AS BIGINT) AS main_len,
+        |  CAST(length(full_text) AS BIGINT) AS full_len
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    "q134_domain_prior" ->
+      """WITH d AS (
+        |  SELECT 'site' || CAST((doc_id // 4) % 20 AS VARCHAR)
+        |      || '.example.com' AS domain,
+        |    n_chars
+        |  FROM documents
+        |), per AS (
+        |  SELECT domain, COUNT(*) AS n_docs,
+        |    SUM(CAST(n_chars AS DECIMAL(38,6))) AS s
+        |  FROM d GROUP BY domain
+        |), g AS (
+        |  SELECT CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean_g FROM d
+        |)
+        |SELECT domain, n_docs,
+        |  round(CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_chars,
+        |  round((CAST(n_docs AS DOUBLE)
+        |      * (CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |    + 20.0 * mean_g) / (CAST(n_docs AS DOUBLE) + 20.0), 6)
+        |    AS mean_shrunk
+        |FROM per CROSS JOIN g ORDER BY domain""".stripMargin
   )
 }

@@ -833,6 +833,33 @@ object TextAnalysis {
       .withColumn("keep", col("n_fail") === 0L)
   }
 
+  // HTML extraction (the crawl-pipeline text-recovery step). All three
+  // are codegen'd regexp projections that ride the scan, written in the
+  // common subset of Java regex and RE2 (inline (?s), non-greedy .*?,
+  // NO backreferences — RE2 has none, hence the separate script/style
+  // passes) so a SQL oracle can run the identical pipeline.
+
+  /** Visible text of an HTML document: script/style blocks drop WITH
+    * their contents (the classic strip-tags trap), remaining tags become
+    * spaces, whitespace collapses. */
+  def stripHtml(html: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      html,
+      "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " "),
+      "<[^>]*>", " "), "\\s+", " "))
+
+  /** `<title>` contents (first match; empty string when absent). */
+  def htmlTitle(html: Column): Column =
+    regexp_extract(html, "(?s)<title>(.*?)</title>", 1)
+
+  /** Main-content proxy: the concatenated `<p>` block texts — the
+    * boilerplate-free payload under the fixture's (and most template
+    * engines') paragraph markup. */
+  def htmlParagraphs(html: Column): Column =
+    array_join(regexp_extract_all(html, lit("(?s)<p>(.*?)</p>"), lit(1)),
+      " ")
+
   /** PMI collocation mining (Church & Hanks 1990): adjacent-bigram
     * pointwise mutual information over the corpus, the classic detector
     * for multi-word units ("new york", "machine learning") that

@@ -2044,4 +2044,23 @@ class OperatorsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(res(appended).nonEmpty && res(appended) == res(full))
   }
+
+  test("HTML extraction: script/style contents drop, paragraphs join, title") {
+    val s = spark
+    import s.implicits._
+    val html = "<html><head><title>My Page</title>" +
+      "<style type=\"text/css\">body{x:1}</style></head>" +
+      "<body><nav>menu</nav><p>first para</p><script>var hidden=1;" +
+      "</script><p>second\npara</p></body></html>"
+    val r = Seq(html).toDF("h").select(
+      TextAnalysis.htmlTitle(col("h")).as("t"),
+      TextAnalysis.htmlParagraphs(col("h")).as("m"),
+      TextAnalysis.stripHtml(col("h")).as("f")).collect()(0)
+    assert(r.getString(0) == "My Page")
+    // both <p> blocks, in order, internal newline preserved
+    assert(r.getString(1) == "first para second\npara")
+    // script/style CONTENTS are gone (not just the tags), whitespace
+    // collapsed — the strip-tags trap the operator must not fall into
+    assert(r.getString(2) == "My Page menu first para second para")
+  }
 }

@@ -618,4 +618,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p.take(3000))
     assert(!p.contains("Join"), p.take(3000))
   }
+
+  test("q133: HTML extraction is a pure projection riding the scan") {
+    val p = plan("q133_html_extract")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(!p.contains("Generate"), p.take(3000))
+  }
+
+  test("q134: shrinkage — one domain exchange, global mean broadcast") {
+    val p = plan("q134_domain_prior")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
 }
