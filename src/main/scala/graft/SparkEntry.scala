@@ -2246,6 +2246,60 @@ object SparkEntry {
             / (col("n_docs").cast("double") + lit(20.0)), 6)
             .as("mean_shrunk"))
         .orderBy(col("domain"))
+    }),
+
+    "q135_group_topk" -> ((s, dir) => {
+      // group-wise top-k WITHOUT a window: the 3 longest documents per
+      // source via the bounded TopKAgg heap — each partition ships <=3
+      // candidates per source instead of sorting every row of every
+      // group (the per-group window cliff when a hot group holds a
+      // million rows). Heap order (score desc, doc_id asc) makes ranks
+      // deterministic.
+      operators.TopK.groupTopK(
+          t(s, dir, "documents")
+            .select(col("source"), col("doc_id"), col("n_chars")),
+          "source", col("n_chars").cast("double"), "doc_id", k = 3)
+        .orderBy(col("source"), col("rk"))
+    }),
+
+    "q136_window_zoo" -> ((s, dir) => {
+      // the ranking/distribution window-function surface in one
+      // oracle-checked query: ntile, percent_rank, cume_dist, lag with
+      // a default, first/last value over an explicit running frame —
+      // all on ONE user-partitioned total order (ts, event_id), so one
+      // sort serves every function and state stays entity-bounded.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 9).as("prank"),
+          round(cume_dist().over(w), 9).as("cdist"),
+          lag(col("value"), 1, -1.0).over(w).as("prev_value"),
+          first(col("event_id")).over(wr).as("first_id"),
+          last(col("event_id")).over(wr).as("last_id_so_far"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "q137_setops_all" -> ((s, dir) => {
+      // multiset set-ops (ALL variants — q15 covers the distinct forms):
+      // the event-type multiset of even event_ids INTERSECT ALL / EXCEPT
+      // ALL the odd ones, summarized per type. Spark plans both as keyed
+      // count-compare aggregates — no sort, no window.
+      val ev = t(s, dir, "events")
+      val a = ev.filter(col("event_id") % 2 === 0).select(col("event_type"))
+      val b = ev.filter(col("event_id") % 2 === 1).select(col("event_type"))
+      a.intersectAll(b).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), col("event_type"), col("n"))
+        .unionByName(
+          a.exceptAll(b).groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(lit("except_all").as("op"), col("event_type"),
+              col("n")))
+        .orderBy(col("op"), col("event_type"))
     })
   )
 
@@ -4793,6 +4847,47 @@ object SparkEntry {
         |      * (CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE))
         |    + 20.0 * mean_g) / (CAST(n_docs AS DOUBLE) + 20.0), 6)
         |    AS mean_shrunk
-        |FROM per CROSS JOIN g ORDER BY domain""".stripMargin
+        |FROM per CROSS JOIN g ORDER BY domain""".stripMargin,
+
+    "q135_group_topk" ->
+      """SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS score,
+        |  CAST(rk AS INTEGER) AS rk
+        |FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents
+        |)
+        |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    "q136_window_zoo" ->
+      """SELECT user_id, event_id,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 9) AS prank,
+        |  round(cume_dist() OVER w, 9) AS cdist,
+        |  lag(value, 1, -1.0) OVER w AS prev_value,
+        |  first_value(event_id) OVER wr AS first_id,
+        |  last_value(event_id) OVER wr AS last_id_so_far
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  wr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q137_setops_all" ->
+      """WITH a AS (
+        |  SELECT event_type FROM events WHERE event_id % 2 = 0
+        |), b AS (
+        |  SELECT event_type FROM events WHERE event_id % 2 = 1
+        |)
+        |SELECT * FROM (
+        |  SELECT 'intersect_all' AS op, event_type, COUNT(*) AS n
+        |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |  GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'except_all', event_type, COUNT(*)
+        |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |  GROUP BY 2
+        |) ORDER BY op, event_type""".stripMargin
   )
 }

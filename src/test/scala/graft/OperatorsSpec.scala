@@ -2063,4 +2063,18 @@ class OperatorsSpec extends SparkSpec {
     // collapsed — the strip-tags trap the operator must not fall into
     assert(r.getString(2) == "My Page menu first para second para")
   }
+
+  test("groupTopK: bounded heap matches the window semantics, ties by id asc") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0), ("a", 4L, 5.0),
+      ("b", 5L, 1.0)).toDF("g", "id", "v")
+    val got = graft.operators.TopK.groupTopK(df, "g", col("v"), "id", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    // a: 30.0 tie between ids 2,3 -> id asc wins rank 1; b keeps its
+    // single row even though k=2
+    assert(got == Seq(("a", 2L, 1), ("a", 3L, 2), ("b", 5L, 1)))
+  }
 }

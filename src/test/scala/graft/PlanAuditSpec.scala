@@ -632,4 +632,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("Window"), p.take(3000))
   }
+
+  test("q135: group top-k runs on the bounded heap, not a window sort") {
+    val p = plan("q135_group_topk")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_topkagg"), p.take(3000))
+  }
+
+  test("q136: one user-keyed sort serves the whole window zoo") {
+    val p = plan("q136_window_zoo")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
+
+  test("q137: multiset set-ops plan without cartesian products") {
+    val p = plan("q137_setops_all")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
 }
