@@ -2300,6 +2300,56 @@ object SparkEntry {
             .select(lit("except_all").as("op"), col("event_type"),
               col("n")))
         .orderBy(col("op"), col("event_type"))
+    }),
+
+    "q138_bm25" -> ((s, dir) => {
+      // BM25 lexical retrieval (the Lucene k1/b formulation): top 20
+      // documents for a 3-term query. The exploded token stream is
+      // trimmed to the broadcast query-term set MAP-SIDE, so the one
+      // (doc, term) exchange carries only matching postings — scoring a
+      // 10-term query over 100 TB shuffles 10 terms' postings, not the
+      // corpus. df is a ≤|query|-row broadcast; N/avgdl ride a 1-row
+      // broadcast cross join; the top-N is a bounded TakeOrdered.
+      operators.Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "join", "window"), k1 = 1.2, b = 0.75, topN = 20)
+        .orderBy(col("rk"))
+    }),
+
+    "q139_sparse_cosine" -> ((s, dir) => {
+      // all-pairs sparse cosine over tf-weighted 4-gram shingles through
+      // the INVERTED INDEX (the Elsayed/Lin/Oard pairwise-similarity
+      // shape): per-term partial products group-sum to the full dot
+      // product, so pairs form only where a shared shingle exists — no
+      // all-pairs product, recall 1.0 (given the df cap) where LSH
+      // would sample. The df cap drops the Zipf head from the
+      // similarity space BEFORE the pair join — the lever that bounds
+      // per-term fanout at 100 TB.
+      GraftFunctions.register(s)
+      operators.Retrieval.sparseCosinePairs(t(s, dir, "documents"),
+          "doc_id", "text", maxDf = 1000L, threshold = 0.3, shingleN = 4)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    "q140_rrf_fusion" -> ((s, dir) => {
+      // hybrid retrieval: the lexical BM25 ranking and the dense
+      // exact-cosine ranking for the SAME query (id 0 plays the query —
+      // its text supplies the terms, its embedding the vector; the two
+      // tables share the id space) merged by reciprocal-rank fusion,
+      // the calibration-free way production RAG stacks combine
+      // retrievers. Both inputs are top-k lists, so the fusion itself
+      // is one tiny partial-combined sum — the heavy work stays inside
+      // the retrievers.
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = operators.Retrieval.bm25(docs, "doc_id", "text",
+          Seq("merge", "sort", "hash"), topN = 30)
+        .select(col("doc_id"), col("rk"))
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0), k = 30, exact = true)
+        .select(col("neighbor_id").as("doc_id"), col("rk"))
+      operators.Retrieval.rrfFuse(Seq(lex, dense), c = 60, topN = 10)
+        .orderBy(col("rk"))
     })
   )
 
@@ -4888,6 +4938,136 @@ object SparkEntry {
         |  SELECT 'except_all', event_type, COUNT(*)
         |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
         |  GROUP BY 2
-        |) ORDER BY op, event_type""".stripMargin
+        |) ORDER BY op, event_type""".stripMargin,
+
+    "q138_bm25" -> bm25Sql("'spark', 'join', 'window'", 20),
+
+    "q139_sparse_cosine" ->
+      """WITH raws AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS raw
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(raw) < 4
+        |    THEN [array_to_string(raw, ' ')]
+        |    ELSE [array_to_string(raw[i+1:i+4], ' ')
+        |          for i in range(0, len(raw) - 3)] END AS grams
+        |  FROM raws
+        |), tf AS (
+        |  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(grams) AS t FROM sh)
+        |  GROUP BY 1, 2
+        |), kept AS (
+        |  SELECT tf.* FROM tf JOIN (
+        |    SELECT t FROM tf GROUP BY 1 HAVING COUNT(*) <= 1000) d USING (t)
+        |), nrm AS (
+        |  SELECT doc_id,
+        |    sqrt(CAST(SUM(CAST(tf * tf AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+        |  FROM kept GROUP BY 1
+        |), w AS (
+        |  SELECT t, kept.doc_id, tf / nrm AS w
+        |  FROM kept JOIN nrm USING (doc_id)
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared,
+        |  round(CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,20))) AS DOUBLE), 6)
+        |    AS sim
+        |FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING round(CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,20))) AS DOUBLE),
+        |    6) >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q140_rrf_fusion" ->
+      s"""WITH lex AS (
+        |  SELECT doc_id, rk FROM (${bm25Sql("'merge', 'sort', 'hash'", 30)})
+        |), dense AS (
+        |  SELECT doc_id, rk FROM (
+        |    WITH q AS (
+        |      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+        |    ), c AS (
+        |      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |      WHERE vec_id <> 0
+        |    ), p AS (
+        |      SELECT cid,
+        |        list_sum(list_transform(list_zip(qv, cv),
+        |          z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)
+        |            AS DECIMAL(38,20)))) AS dot,
+        |        list_sum(list_transform(qv,
+        |          x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |            AS DECIMAL(38,20)))) AS nq,
+        |        list_sum(list_transform(cv,
+        |          x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |            AS DECIMAL(38,20)))) AS nc
+        |      FROM q, c
+        |    ), scored AS (
+        |      SELECT cid AS doc_id,
+        |        round(CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+        |          ELSE CAST(dot AS DOUBLE)
+        |            / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
+        |          END, 6) AS sim
+        |      FROM p)
+        |    SELECT doc_id,
+        |      CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS INT)
+        |        AS rk
+        |    FROM scored ORDER BY sim DESC, doc_id LIMIT 30)
+        |), u AS (
+        |  SELECT doc_id,
+        |    CAST(1.0 / (60.0 + CAST(rk AS DOUBLE)) AS DECIMAL(38,20)) AS s
+        |  FROM lex
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CAST(1.0 / (60.0 + CAST(rk AS DOUBLE)) AS DECIMAL(38,20)) AS s
+        |  FROM dense
+        |), agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_lists,
+        |    round(CAST(SUM(s) AS DOUBLE), 9) AS score
+        |  FROM u GROUP BY 1
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |    AS INTEGER) AS rk,
+        |  doc_id, n_lists, score
+        |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   )
+
+  /** DuckDB BM25 (Lucene k1=1.2/b=0.75 formulation) over `documents` for a
+    * literal term list — the exact algebra of [[operators.Retrieval.bm25]]
+    * (same op order; ln ulps absorbed by round(6)). */
+  private def bm25Sql(termsInList: String, topN: Int): String =
+    s"""WITH dl AS (
+       |  SELECT doc_id,
+       |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |      x -> x <> '')) AS dl
+       |  FROM documents
+       |), stats AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM dl
+       |), tf AS (
+       |  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM (
+       |    SELECT doc_id,
+       |      unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |        x -> x <> '')) AS t
+       |    FROM documents)
+       |  WHERE t IN ($termsInList)
+       |  GROUP BY 1, 2
+       |), df AS (
+       |  SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+       |), scored AS (
+       |  SELECT tf.doc_id,
+       |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |      * (tf * 2.2 / (tf + 1.2
+       |        * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl))) AS s
+       |  FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+       |), agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
+       |    round(CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE), 6) AS score
+       |  FROM scored GROUP BY 1
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+       |    AS INTEGER) AS rk,
+       |  doc_id, n_terms, score
+       |FROM agg ORDER BY score DESC, doc_id LIMIT $topN""".stripMargin
 }

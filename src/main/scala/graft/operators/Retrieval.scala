@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sparse-lexical retrieval over the document corpus: BM25 scoring,
+  * inverted-index all-pairs cosine, and reciprocal-rank fusion — the
+  * term-space complement of the dense [[Similarity]] stack (a production
+  * RAG/selection pipeline runs BOTH and fuses the rankings; see
+  * reference behavior scope in SURVEY.md §2 LLM-pipeline extensions).
+  *
+  * Scale design: every operator here keys its one corpus shuffle on the
+  * TERM (or the (doc, term) pair), never on raw text; query-dependent
+  * work is trimmed map-side against a broadcast term set BEFORE any
+  * exchange, so scoring a 10-term query over 100 TB shuffles only the
+  * postings of 10 terms.
+  */
+object Retrieval {
+
+  /** BM25 document scores for one bag-of-terms query (Robertson et al.;
+    * the Lucene `k1`/`b` formulation with the always-positive idf
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`): the lexical ranking function
+    * retrieval pipelines default to. Returns the `topN` documents by
+    * (rounded score desc, doc_id asc) as (rk, doc_id, n_terms, score).
+    *
+    * Scale shape: the exploded token stream is filtered to the BROADCAST
+    * query-term set map-side, so the single (doc_id, term) partial-combined
+    * exchange carries only matching postings — query-sized, not
+    * corpus-sized. df comes from one tiny aggregate of that tf table
+    * (≤ |query| rows, broadcast back); N and the average document length
+    * are a 1-row aggregate over the map-side `size(tokens)` projection
+    * (the corpus is NOT exploded a second time) attached via a 1-row
+    * broadcast cross join. Per-term scores are IEEE doubles in one fixed
+    * op order (ln ulps absorbed by round(6)); the per-doc sum accumulates
+    * in DECIMAL(38,6) so partial-agg order can never flip a bit; the
+    * final top-N is a bounded TakeOrdered, not a window. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           topN: Int = 10,
+           mat: Materializer = Materializer.Local): DataFrame = {
+    require(queryTerms.nonEmpty && topN > 0)
+    val toks = TextAnalysis.tokens(col(textCol))
+    // one corpus pass: doc length for every doc (zero-token docs count
+    // toward N and avgdl, exactly as the oracle's array_length does)
+    val dl = mat(docs.select(col(idCol).as("doc_id"),
+      size(toks).as("dl"),
+      explode_outer(filter(toks, t => t.isInCollection(queryTerms)))
+        .as("t")))
+    val stats = dl.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+          .as("avgdl"))
+    val tf = dl.filter(col("t").isNotNull)
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+      / (col("df") + lit(0.5)))
+    val tfn = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b)
+        + lit(b) * col("dl").cast("double") / col("avgdl")))
+    tf.join(broadcast(df), Seq("t"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * tfn).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        round(sum(col("s").cast("decimal(38,6)")).cast("double"), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topN)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+      .select(col("rk"), col("doc_id"), col("n_terms"), col("score"))
+  }
+
+  /** All-pairs document cosine similarity over L2-normalized TF vectors,
+    * computed through the inverted index (the Elsayed/Lin/Oard MapReduce
+    * pairwise-similarity shape, a.k.a. DISCO): per-term partial products
+    * `w_a(t)·w_b(t)` group-sum to the full dot product, so candidate
+    * pairs form ONLY where a shared term exists — no all-pairs product,
+    * no LSH miss (recall 1.0 above the threshold given the df cap).
+    *
+    * `maxDf` is the prefix-filter: terms in more than `maxDf` documents
+    * (the Zipf head — stopwords) are dropped from the similarity space
+    * BEFORE the pair join, which is what bounds per-term fanout at scale
+    * (a term in every document would otherwise generate the full n²
+    * pair set by itself). The cosine is over the REMAINING terms — the
+    * operator's contract, matching what Lucene's similarity with a
+    * stopword list computes; the oracle applies the identical cap.
+    *
+    * `shingleN > 1` runs the same algebra over word n-gram shingles
+    * instead of unigrams — the similarity space span-level dedup and
+    * plagiarism detection use (rarer terms, sharper cosines, smaller
+    * per-term fanout).
+    *
+    * Per-doc norms accumulate in DECIMAL(38,20); partial products are
+    * IEEE doubles summed in DECIMAL(38,20) per pair, one fixed op order,
+    * round(6). Returns (a_id, b_id, n_shared, sim) for pairs with
+    * sim >= threshold, a_id < b_id. */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDf: Long, threshold: Double, shingleN: Int = 1,
+                        mat: Materializer = Materializer.Local): DataFrame = {
+    val terms =
+      if (shingleN <= 1) TextAnalysis.tokens(col(textCol))
+      else TextAnalysis.shingles(col(textCol), shingleN)
+    // (doc, term, tf) — one partial-combined exchange; pinned: the norm
+    // aggregate, df filter, and both join sides all read it
+    val tf = mat(docs
+      .select(col(idCol).as("doc_id"), explode_outer(terms).as("t"))
+      .filter(col("t").isNotNull)
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf")))
+    val kept = tf.join(
+      broadcast(tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("t"))),
+      Seq("t"))
+    // L2 norm over the KEPT terms only (the capped similarity space)
+    val norms = kept.groupBy(col("doc_id"))
+      .agg(sqrt(sum((col("tf") * col("tf")).cast("decimal(38,20)"))
+        .cast("double")).as("nrm"))
+    val w = mat(kept.join(norms, Seq("doc_id"))
+      .select(col("t"), col("doc_id"), (col("tf") / col("nrm")).as("w")))
+    w.select(col("t"), col("doc_id").as("a_id"), col("w").as("a_w"))
+      .join(w.select(col("t"), col("doc_id").as("b_id"), col("w").as("b_w")),
+        Seq("t"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).cast("long").as("n_shared"),
+        round(sum((col("a_w") * col("b_w")).cast("decimal(38,20)"))
+          .cast("double"), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): merge any number of
+    * (doc_id, rk) rankings into one by `score = Σ 1/(c + rk)`, the
+    * standard way a pipeline combines lexical (BM25) and dense
+    * (embedding-ANN) retrieval without score calibration. Input frames
+    * need only (doc_id, rk); a doc absent from a ranking contributes
+    * nothing (the canonical skip-missing convention). Returns the fused
+    * top-`topN` as (rk, doc_id, n_lists, score).
+    *
+    * Scale shape: rankings are top-k lists — tiny by construction — so
+    * the union + one partial-combined sum is driver-negligible at any
+    * corpus size; the heavy lifting already happened inside the
+    * retrievers. The fused score is a sum of exact binary fractions only
+    * when c+rk is a power of two, so it accumulates in DECIMAL(38,20)
+    * with one division order and rounds to 9. */
+  def rrfFuse(rankings: Seq[DataFrame], c: Int = 60, topN: Int = 10)
+      : DataFrame = {
+    require(rankings.nonEmpty && topN > 0)
+    val all = rankings.map(_.select(col("doc_id"),
+      (lit(1.0) / (lit(c.toDouble) + col("rk").cast("double"))).as("s")))
+      .reduce(_ unionByName _)
+    all.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_lists"),
+        round(sum(col("s").cast("decimal(38,20)")).cast("double"), 9)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topN)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+      .select(col("rk"), col("doc_id"), col("n_lists"), col("score"))
+  }
+}

@@ -2077,4 +2077,64 @@ class OperatorsSpec extends SparkSpec {
     // single row even though k=2
     assert(got == Seq(("a", 2L, 1), ("a", 3L, 2), ("b", 5L, 1)))
   }
+
+  test("bm25: scores match a hand computation of the Lucene formulation") {
+    val s = spark
+    import s.implicits._
+    // corpus: N=3, dl = 3,2,1; avgdl = 2. Query = (x, y).
+    val df = Seq((1L, "x x y"), (2L, "x z"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Retrieval
+      .bm25(df, "doc_id", "text", Seq("x", "y"), k1 = 1.2, b = 0.75,
+        topN = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSeq
+    def idf(dfreq: Double) = math.log(1.0 + (3.0 - dfreq + 0.5) / (dfreq + 0.5))
+    def tfn(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.0))
+    def r6(x: Double) =
+      BigDecimal(BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: x tf=2 df=2, y tf=1 df=1; doc 2: x tf=1
+    val s1 = r6(r6(idf(2.0) * tfn(2.0, 3.0)) + r6(idf(1.0) * tfn(1.0, 3.0)))
+    val s2 = r6(idf(2.0) * tfn(1.0, 2.0))
+    assert(got == Seq((1, 1L, 2, s1), (2, 2L, 1, s2)))
+  }
+
+  test("sparseCosinePairs: identical docs hit 1.0, df cap drops the stopword") {
+    val s = spark
+    import s.implicits._
+    // 'the' appears in all 4 docs -> dropped by maxDf=3; docs 1/2 are
+    // identical over the remaining terms -> sim 1.0; doc 4 shares
+    // nothing that survives the cap
+    val df = Seq((1L, "the alpha beta"), (2L, "the alpha beta"),
+      (3L, "the alpha gamma"), (4L, "the delta")).toDF("doc_id", "text")
+    val got = graft.operators.Retrieval
+      .sparseCosinePairs(df, "doc_id", "text", maxDf = 3L, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    // (1,2): both vectors (alpha,beta)/sqrt2 -> sim 1.0, 2 shared terms
+    // (1,3)/(2,3): share alpha only -> 0.5 * 1 = 0.5
+    assert(got == Seq((1L, 2L, 2L, 1.0), (1L, 3L, 1L, 0.5),
+      (2L, 3L, 1L, 0.5)))
+  }
+
+  test("rrfFuse: fused score sums 1/(c+rk) across lists, missing docs skip") {
+    val s = spark
+    import s.implicits._
+    val l1 = Seq((10L, 1), (20L, 2)).toDF("doc_id", "rk")
+    val l2 = Seq((20L, 1), (30L, 2)).toDF("doc_id", "rk")
+    val got = graft.operators.Retrieval.rrfFuse(Seq(l1, l2), c = 60,
+        topN = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSeq
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s20 = r9(1.0 / 61.0 + 1.0 / 62.0)
+    val s10 = r9(1.0 / 61.0)
+    val s30 = r9(1.0 / 62.0)
+    // doc 20 is in both lists and wins; 10 beats 30 (rank 1 vs 2)
+    assert(got == Seq((1, 20L, 2, s20), (2, 10L, 1, s10),
+      (3, 30L, 1, s30)))
+  }
 }

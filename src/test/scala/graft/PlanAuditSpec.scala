@@ -651,4 +651,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("Window"), p.take(3000))
   }
+
+  test("q138: BM25 — df and corpus stats broadcast; top-N is a TakeOrdered") {
+    val p = plan("q138_bm25")
+    // df join-back and the 1-row stats attach as broadcasts, never a
+    // shuffle join; the top-N is a bounded TakeOrdered, not a global sort
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("CartesianProduct"), p.take(3000)) // the 1-row stats attach
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("q139: sparse cosine pairs form via the term equi-join, no cartesian") {
+    val p = plan("q139_sparse_cosine")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q140: fusion inputs stay top-k lists; no corpus-wide window join") {
+    val p = plan("q140_rrf_fusion")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the dense retriever's bounded heap does the corpus-side top-k
+    assert(p.contains("partial_topkagg"), p.take(3000))
+  }
 }
