@@ -2350,6 +2350,46 @@ object SparkEntry {
         .select(col("neighbor_id").as("doc_id"), col("rk"))
       operators.Retrieval.rrfFuse(Seq(lex, dense), c = 60, topN = 10)
         .orderBy(col("rk"))
+    }),
+
+    "q141_edit_join" -> ((s, dir) => {
+      // edit-distance similarity join via PassJoin segment blocking —
+      // character-level record linkage with NO all-pairs product: the
+      // q113-style deterministic fixture derives a short string per doc
+      // (groups of 10 share an md5 base; variants apply one substitution
+      // / deletion / insertion, or two substitutions that must NOT
+      // match at maxDist=1), the real operator finds all pairs within
+      // Levenshtein 1, and the oracle brute-forces the SAME fixture —
+      // a genuine differential, not a replay of the blocking.
+      val docs = t(s, dir, "documents")
+      val base = substring(
+        md5(floor(col("doc_id") / 10).cast("long").cast("string")), 1, 12)
+      val pos = (col("doc_id") % 7 + 2).cast("int")
+      val m = (col("doc_id") % 5).cast("int")
+      val str = when(m === 0, base)
+        .when(m === 1, concat(
+          call_function("substring", base, lit(1), pos - 1), lit("z"),
+          call_function("substring", base, pos + 1, lit(12))))
+        .when(m === 2, call_function("substring", base, lit(1), lit(11)))
+        .when(m === 3, concat(base, lit("q")))
+        .otherwise(concat(lit("zz"),
+          call_function("substring", base, lit(3), lit(10))))
+      operators.EditJoin.editDistancePairs(
+          docs.select(col("doc_id").as("id"), str.as("str")),
+          "id", "str", maxDist = 1)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    "q142_emb_outliers" -> ((s, dir) => {
+      // embedding-space cleaning gate: vectors whose distance to the
+      // corpus centroid exceeds the exact p99 fence — the prune that
+      // keeps encoder failures out of ANN indexes and clusterings. One
+      // per-dim centroid aggregate broadcast back, map-side DECIMAL
+      // distances, one tiny percentile fence — the corpus never joins
+      // itself.
+      Similarity.centroidOutliers(t(s, dir, "embeddings"),
+          "vec_id", "embedding", pct = 0.99)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -5028,7 +5068,56 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
         |    AS INTEGER) AS rk,
         |  doc_id, n_lists, score
-        |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+        |FROM agg ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q141_edit_join" ->
+      """WITH f AS (
+        |  SELECT doc_id AS id,
+        |    CASE CAST(doc_id % 5 AS INTEGER)
+        |      WHEN 0 THEN base
+        |      WHEN 1 THEN substring(base, 1, pos - 1) || 'z'
+        |        || substring(base, pos + 1, 12)
+        |      WHEN 2 THEN substring(base, 1, 11)
+        |      WHEN 3 THEN base || 'q'
+        |      ELSE 'zz' || substring(base, 3, 10) END AS str
+        |  FROM (
+        |    SELECT doc_id,
+        |      substring(md5(CAST(CAST(floor(doc_id / 10) AS BIGINT)
+        |        AS VARCHAR)), 1, 12) AS base,
+        |      CAST(doc_id % 7 + 2 AS INTEGER) AS pos
+        |    FROM documents)
+        |)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  CAST(levenshtein(a.str, b.str) AS INTEGER) AS dist
+        |FROM f a JOIN f b ON a.id < b.id
+        |WHERE abs(len(a.str) - len(b.str)) <= 1
+        |  AND levenshtein(a.str, b.str) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q142_emb_outliers" ->
+      """WITH el AS (
+        |  SELECT vec_id, pos, CAST(v AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS pos
+        |        FROM embeddings) u
+        |), centroid AS (
+        |  SELECT pos,
+        |    round(CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE)
+        |      / COUNT(*), 9) AS c
+        |  FROM el GROUP BY pos
+        |), dist AS (
+        |  SELECT vec_id,
+        |    round(sqrt(CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,20)))
+        |      AS DOUBLE)), 6) AS dist
+        |  FROM el JOIN centroid USING (pos)
+        |  GROUP BY vec_id
+        |), fence AS (
+        |  SELECT quantile_cont(dist, 0.99) AS fence FROM dist
+        |)
+        |SELECT vec_id, dist, round(fence, 6) AS fence
+        |FROM dist CROSS JOIN fence
+        |WHERE dist > fence
+        |ORDER BY vec_id""".stripMargin
   )
 
   /** DuckDB BM25 (Lucene k1=1.2/b=0.75 formulation) over `documents` for a

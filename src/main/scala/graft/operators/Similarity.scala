@@ -676,4 +676,40 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         col("hsim").as("sim"), col("hrk").as("rk"))
   }
+
+  /** Embedding outlier detection — the vector-space cleaning gate: flag
+    * vectors whose Euclidean distance to the corpus centroid exceeds the
+    * exact `pct` distance quantile (garbage embeddings — encoder
+    * failures, empty inputs, wrong-modality rows — land far from the
+    * data manifold, and a pretraining pipeline prunes them before ANN
+    * indexing or clustering).
+    *
+    * Scale shape: the centroid is ONE per-dimension partial-combined
+    * aggregate (d rows, DECIMAL(38,20) accumulation, round(9) so both
+    * engines share bit-identical centroid values), broadcast back over
+    * the element stream; distances are map-side DECIMAL-accumulated
+    * sums; the fence is one tiny percentile aggregate over n doubles
+    * broadcast back (exact here for oracle parity — at 100 TB swap in
+    * `approx_percentile`, the one documented estimator substitution).
+    * The corpus never joins itself. Returns (id, dist, fence) for
+    * flagged rows. */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                       pct: Double = 0.99): DataFrame = {
+    val el = emb
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos0", "v")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"),
+        col("v").cast("double").as("x"))
+    val centroid = el.groupBy(col("pos"))
+      .agg(round(sum(col("x").cast("decimal(38,20)")).cast("double")
+        / count(lit(1)), 9).as("c"))
+    val dist = el.join(broadcast(centroid), Seq("pos"))
+      .groupBy(col(idCol))
+      .agg(round(sqrt(sum(((col("x") - col("c")) * (col("x") - col("c")))
+        .cast("decimal(38,20)")).cast("double")), 6).as("dist"))
+    val fence = dist.agg(
+      expr(s"percentile(dist, ${pct})").as("fence"))
+    dist.crossJoin(broadcast(fence))
+      .filter(col("dist") > col("fence"))
+      .select(col(idCol), col("dist"), round(col("fence"), 6).as("fence"))
+  }
 }

@@ -2137,4 +2137,75 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((1, 20L, 2, s20), (2, 10L, 1, s10),
       (3, 30L, 1, s30)))
   }
+
+  test("editDistancePairs: finds sub/ins/del pairs, rejects distance 2") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "abcdef"),  // base
+      (2L, "abXdef"),  // substitution -> dist 1
+      (3L, "abcdefg"), // insertion -> dist 1
+      (4L, "abcde"),   // deletion -> dist 1
+      (5L, "aXcdXf"),  // two substitutions vs 1 -> dist 2: excluded
+      (6L, "zzzzzz")   // unrelated
+    ).toDF("id", "str")
+    val got = graft.operators.EditJoin
+      .editDistancePairs(df, "id", "str", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // (2,3)/(2,4)/(3,4) differ by 2 edits; only the base pairs survive
+    assert(got == Seq((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1)))
+  }
+
+  test("editDistancePairs: recall 1.0 vs brute force on a mutation corpus") {
+    val s = spark
+    import s.implicits._
+    // deterministic corpus of md5-derived strings with seeded mutations —
+    // the blocking must find EVERY pair a brute-force O(n^2) scan finds
+    def md5s(x: Int) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(10)
+    val rows = (0 until 120).map { i =>
+      val base = md5s(i / 4)
+      val v = i % 4 match {
+        case 0 => base
+        case 1 => base.updated(i % base.length, 'z').mkString
+        case 2 => base.drop(1)
+        case 3 => base + "q"
+      }
+      (i.toLong, v)
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ai, as) <- rows; (bi, bs) <- rows
+      if ai < bi && lev(as, bs) <= 1
+    } yield (ai, bi)).toSet
+    val got = graft.operators.EditJoin
+      .editDistancePairs(rows.toDF("id", "str"), "id", "str", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty) // the fixture really exercises the operator
+  }
+
+  test("centroidOutliers: the far vector is flagged against the p-fence") {
+    val s = spark
+    import s.implicits._
+    // 9 vectors near the origin, one far away; pct=0.9 over 10 values
+    // interpolates the fence between the 9th and 10th distance, so
+    // exactly the far vector crosses it
+    val vecs = (1 to 9).map(i => (i.toLong, Seq(0.001f * i, 0.0f))) :+
+      (10L, Seq(100.0f, 100.0f))
+    val got = graft.operators.Similarity
+      .centroidOutliers(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", pct = 0.9)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(10L))
+  }
 }

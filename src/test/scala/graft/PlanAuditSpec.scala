@@ -675,4 +675,20 @@ class PlanAuditSpec extends SparkSpec {
     // the dense retriever's bounded heap does the corpus-side top-k
     assert(p.contains("partial_topkagg"), p.take(3000))
   }
+
+  test("q141: edit-join candidates form on the segment equi-join") {
+    val p = plan("q141_edit_join")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q142: outlier gate broadcasts centroid + fence; corpus never self-joins") {
+    val p = plan("q142_emb_outliers")
+    // per-dim centroid attaches as a broadcast; the 1-row fence as a
+    // broadcast nested loop — never a corpus-by-corpus join
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
 }
