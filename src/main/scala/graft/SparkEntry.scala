@@ -2390,6 +2390,19 @@ object SparkEntry {
       Similarity.centroidOutliers(t(s, dir, "embeddings"),
           "vec_id", "embedding", pct = 0.99)
         .orderBy(col("vec_id"))
+    }),
+
+    "q143_weighted_sample" -> ((s, dir) => {
+      // weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+      // A-ES, Gumbel-key form): 25 docs per language, length-weighted,
+      // fully deterministic (md5-derived uniforms — a retry or another
+      // engine draws the identical sample). The per-group top-n rides
+      // the bounded TopKAgg heap, so a language holding half the corpus
+      // still can't funnel one task. Complements q74 (uniform exact-n)
+      // and q88 (global importance resample).
+      Sampling.weightedSample(t(s, dir, "documents"), "lang", "doc_id",
+          col("n_chars").cast("double"), n = 25)
+        .orderBy(col("lang"), col("rk"))
     })
   )
 
@@ -5117,7 +5130,25 @@ object SparkEntry {
         |SELECT vec_id, dist, round(fence, 6) AS fence
         |FROM dist CROSS JOIN fence
         |WHERE dist > fence
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    "q143_weighted_sample" ->
+      """WITH sc AS (
+        |  SELECT lang, doc_id,
+        |    round(ln(CAST(n_chars AS DOUBLE)) - ln(-ln(
+        |      (CAST(list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+        |        (strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)), i + 1, 1)) - 1)
+        |        for i in range(0, 8)]) AS DOUBLE) + 1.0) / 4294967297.0)),
+        |      6) AS score
+        |  FROM documents
+        |)
+        |SELECT lang, doc_id, score, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT lang, doc_id, score,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY score DESC, doc_id ASC) AS rk
+        |  FROM sc)
+        |WHERE rk <= 25 ORDER BY lang, rk""".stripMargin
   )
 
   /** DuckDB BM25 (Lucene k1=1.2/b=0.75 formulation) over `documents` for a

@@ -193,6 +193,33 @@ object Sampling {
     totals.select(explode(array(rows: _*)).as("f")).select("f.*")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    * algorithm A-ES, in its Gumbel-key form): per group, `n` rows drawn
+    * with probability proportional to `weight` — "sample 100k docs per
+    * language, length/quality-weighted" — made deterministic and
+    * engine-portable by deriving each row's uniform from md5(id) (the
+    * q63/q88 idiom: no rand(), a retry or another engine selects the
+    * identical rows). Key = ln(w) + Gumbel(u) = ln(w) − ln(−ln(u));
+    * top-n keys per group IS the without-replacement weighted draw
+    * (Efraimidis–Spirakis Thm 1 via the exponential-races argument).
+    *
+    * Scale shape: keys are one map-side projection; the per-group top-n
+    * rides the bounded [[graft.functions.TopKAgg]] heap (the q135
+    * machinery) — each partition ships ≤n candidates per group, no
+    * group-partitioned window, so a group holding half of 100 TB still
+    * can't funnel one task. Keys round(6) so ranking never hangs on a
+    * libm ulp; ties break by id. Returns (group, id, score, rk). */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+                     weight: Column, n: Int): DataFrame = {
+    require(n > 0)
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4294967297.0)
+    val key = round(log(weight) - log(-log(u)), 6)
+    TopK.groupTopK(
+      df.select(col(groupCol), col(idCol), key.as("aes_key")),
+      groupCol, col("aes_key"), idCol, n)
+  }
+
   /** Per-group cap keeping the BEST rows — the RefinedWeb-style per-domain
     * cap with quality priority: for every group, the `n` rows with the
     * highest `score` (ties broken by smallest id). [[stratifiedSample]]

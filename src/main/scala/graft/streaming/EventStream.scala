@@ -115,6 +115,32 @@ object EventStream {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-STREAM interval join: rows of `right` that land within
+    * `[l.ts, l.ts + window]` of a `left` row with the same key — the
+    * click→conversion / impression→purchase correlation shape, run with
+    * BOTH sides unbounded. Watermarks on both inputs plus the time-range
+    * join condition are exactly what lets Spark bound the join state:
+    * each side buffers only rows younger than watermark + window, and
+    * older state ages out (an equi-join without the time bound would
+    * buffer both streams forever). Output columns are prefixed l_/r_.
+    *
+    * Same semantics as the batch interval join (q109's one-sided window
+    * with `[t, t+window]` bounds) — StreamingSpec pins the streaming
+    * result equal to the static BETWEEN join over the same data. */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+                          keyCol: String, tsCol: String,
+                          window: String, watermarkDelay: String)
+      : DataFrame = {
+    val l = left.withWatermark(tsCol, watermarkDelay)
+      .select((left.columns.map(c => col(c).as(s"l_$c"))).toSeq: _*)
+    val r = right.withWatermark(tsCol, watermarkDelay)
+      .select((right.columns.map(c => col(c).as(s"r_$c"))).toSeq: _*)
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $window"))
+  }
+
   /** One micro-batch upsert, idempotent under replay: rows land in a
     * (day, batch_id) partition and the write is a DYNAMIC partition
     * overwrite, so a batch replayed after a checkpoint recovery rewrites

@@ -2208,4 +2208,24 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(10L))
   }
+
+  test("weightedSample: draws follow the weights; repeat runs are identical") {
+    val s = spark
+    import s.implicits._
+    // 100 heavy (w=1000) + 100 light (w=0.1) rows in one group: Gumbel
+    // noise (stddev ~1.3) cannot bridge the ln-weight gap of 9.2, so a
+    // 20-row draw picks (deterministically) only heavy rows
+    val rows = (0 until 100).map(i => ("g", i.toLong, 1000.0)) ++
+      (100 until 200).map(i => ("g", i.toLong, 0.1))
+    val df = rows.toDF("grp", "id", "w")
+    val got = graft.operators.Sampling
+      .weightedSample(df, "grp", "id", col("w"), n = 20)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.length == 20 && got.forall(_._1 < 100L))
+    // determinism: a second run draws the identical sample
+    val again = graft.operators.Sampling
+      .weightedSample(df, "grp", "id", col("w"), n = 20)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq.sorted == again.toSeq.sorted)
+  }
 }

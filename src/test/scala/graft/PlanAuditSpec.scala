@@ -691,4 +691,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
+
+  test("q143: weighted sample rides the bounded heap, not a group window") {
+    val p = plan("q143_weighted_sample")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("partial_topkagg"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
 }

@@ -473,4 +473,41 @@ class StreamingSpec extends SparkSpec {
     val batch = toMap(sketch(df).collect().toSeq)
     assert(streamed == batch && batch("en").size == 4)
   }
+
+  test("stream-stream interval join matches the static BETWEEN join") {
+    val s = spark
+    import s.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    // clicks (left) and purchases (right): purchase within 10 min of a
+    // click by the same user correlates; user 2's purchase is too late,
+    // user 3 has no click
+    val clicks = Seq((1L, at(1), 100L), (1L, at(30), 101L),
+      (2L, at(5), 102L)).toDF("user_id", "ts", "click_id")
+    val buys = Seq((1L, at(4), 900L), (1L, at(35), 901L),
+      (2L, at(40), 902L), (3L, at(6), 903L)).toDF("user_id", "ts", "buy_id")
+    val cd = Files.createTempDirectory("graft-ssj-c").toString
+    val bd = Files.createTempDirectory("graft-ssj-b").toString
+    clicks.write.mode("overwrite").parquet(cd)
+    buys.write.mode("overwrite").parquet(bd)
+    val joined = EventStream.intervalJoinStreams(
+      spark.readStream.schema(clicks.schema).parquet(cd),
+      spark.readStream.schema(buys.schema).parquet(bd),
+      "user_id", "ts", "10 minutes", "5 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    q.processAllAvailable(); q.stop()
+    def pairs(rows: Seq[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("l_click_id"), r.getAs[Long]("r_buy_id")))
+      .sorted
+    val streamed = pairs(spark.table("ssj_out").collect().toSeq)
+    // static truth: plain BETWEEN join over the same frames
+    val static = clicks.alias("c").join(buys.alias("b"),
+        expr("c.user_id = b.user_id AND b.ts >= c.ts " +
+          "AND b.ts <= c.ts + INTERVAL 10 minutes"))
+      .select(col("c.click_id"), col("b.buy_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == static)
+    assert(static == Seq((100L, 900L), (101L, 901L)))
+  }
 }
