@@ -2403,6 +2403,160 @@ object SparkEntry {
       Sampling.weightedSample(t(s, dir, "documents"), "lang", "doc_id",
           col("n_chars").cast("double"), n = 25)
         .orderBy(col("lang"), col("rk"))
+    }),
+
+    "q144_retrieval_eval" -> ((s, dir) => {
+      // offline ranking-quality certification (TREC methodology): the
+      // exact-cosine retrieval run for 8 label-bearing queries is scored
+      // against label-match relevance — recall@10, MRR, nDCG@10 per
+      // query. The run is top-k and qrels are an eval set, so every
+      // metric join is eval-set-sized regardless of corpus size: this is
+      // the gate an index/tokenizer change must pass before swap-in.
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val run = Similarity.bruteForceTopK(emb, queries, k = 10,
+          exact = true)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rk"))
+      val qrels = queries
+        .select(col("vec_id").as("query_id"), col("label").as("ql"))
+        .join(emb.select(col("vec_id").as("doc_id"), col("label")),
+          col("ql") === col("label"))
+        .filter(col("query_id") =!= col("doc_id"))
+        .select(col("query_id"), col("doc_id"), lit(1.0).as("rel"))
+      operators.Retrieval.rankingMetrics(run, qrels, k = 10)
+        .orderBy(col("query_id"))
+    }),
+
+    "q145_triangles" -> ((s, dir) => {
+      // triangle census of the co-purchase part graph (parts appearing
+      // together in >= 2 orders — the support gate that keeps random
+      // co-occurrence out of the edge set): count + global clustering
+      // coefficient via degree-ordered orientation (node-iterator++), so
+      // no hub node can explode the wedge join. The oracle counts the
+      // same triangles with the orientation-free id-ordered 3-way join.
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2)
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      operators.Graph.triangleStats(edges)
+    }),
+
+    "q146_gapfill" -> ((s, dir) => {
+      // hourly event series per type, densified: a missing hour becomes
+      // an explicit n=0 row with the linearly interpolated level — what
+      // monitoring/forecast consumers need instead of silently absent
+      // buckets. The spine explodes off a tiny per-key extent aggregate;
+      // windows are per-type (calendar-bounded state).
+      operators.TimeSeries.gapFillHourly(t(s, dir, "events"),
+          "event_type", "ts", "value")
+        .orderBy(col("key"), col("hour"))
+    }),
+
+    "q147_ab_test" -> ((s, dir) => {
+      // two-proportion z-test over a deterministic 50/50 user split (the
+      // q63 md5 idiom — no rand(), a retry or another engine assigns the
+      // identical arms): does arm A's high-value-purchase conversion
+      // (a purchase with value >= 200 — every user purchases SOMETHING,
+      // so raw purchase saturates at 100%) differ from arm B's? One
+      // user-keyed aggregate then one global conditional aggregate —
+      // the readout an experimentation pipeline publishes.
+      val ev = t(s, dir, "events")
+      val units = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase"
+            && col("value") >= 200, 1).otherwise(0))
+          .as("converted"))
+        .withColumn("arm",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+            lit("A")).otherwise(lit("B")))
+      operators.Stats.abZTest(units, "arm", "converted")
+    }),
+
+    "q148_profile" -> ((s, dir) => {
+      // one-pass per-column data profile of `orders` (null counts, EXACT
+      // distincts via a single Expand scan, native-order min/max rendered
+      // portably) — the pre-publish data-quality card of §2's warehouse
+      // loads.
+      operators.Stats.columnProfile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"),
+        (name, c) => name match {
+          case "o_orderdate" => date_format(c, "yyyy-MM-dd HH:mm:ss")
+          case "o_totalprice" =>
+            round(c, 2).cast("decimal(18,2)").cast("string")
+          case _ => c.cast("string")
+        })
+    }),
+
+    "q149_scd2" -> ((s, dir) => {
+      // SCD2 history build from the event changelog: per user, the
+      // event_type state stream collapses to validity intervals
+      // (valid_from/valid_to/is_current/version) — the type-2 dimension
+      // shape the reference's warehouse loads land. Entity-bounded
+      // windows on one user-keyed exchange; ties broken by event_id so
+      // replays are bit-identical.
+      operators.TimeSeries.scd2History(t(s, dir, "events"),
+          "user_id", "ts", "event_type", "event_id")
+        .orderBy(col("user_id"), col("version"))
+    }),
+
+    "q150_containment" -> ((s, dir) => {
+      // directional containment dedup (Broder): |A ∩ B| / |A| over
+      // 3-gram shingle sets through the inverted index — catches partial
+      // copies (doc-inside-doc) that symmetric Jaccard under-scores.
+      // maxDf drops corpus-frequent shingles BEFORE the pair join; the
+      // ratio is an exact integer quotient, so nothing float-sensitive
+      // crosses engines.
+      GraftFunctions.register(s)
+      operators.Retrieval.containmentPairs(t(s, dir, "documents"),
+          "doc_id", "text", shingleN = 3, maxDf = 50, threshold = 0.8)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    "q151_silhouette" -> ((s, dir) => {
+      // clustering-quality audit: simplified (centroid-based) silhouette
+      // per embedding label — the per-cluster cohesion/separation score
+      // a pipeline publishes for a clustering or labeling run. Centroids
+      // are one tiny per-(label,dim) aggregate assembled into a single
+      // broadcast row; every distance computes map-side against it; the
+      // corpus never shuffles.
+      Similarity.simplifiedSilhouette(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label")
+        .orderBy(col("label"))
+    }),
+
+    "q152_histogram" -> ((s, dir) => {
+      // equi-depth histogram boundaries (exact interior deciles) for the
+      // three numeric lineitem measures, all in ONE scan — the
+      // distribution card that turns q148's min/max profile into
+      // something a skew/pricing analysis can read.
+      operators.Stats.equiDepthHistogram(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), buckets = 10)
+    }),
+
+    "q153_kcore" -> ((s, dir) => {
+      // 3-core of the support>=2 co-purchase graph after 10 explicit
+      // peel rounds (fixpoint at this sf by the duckdb probe; the round
+      // count is a deterministic parameter, not a convergence race) —
+      // the dense-subgraph extractor that isolates clique-ish structure
+      // the q145 census only counts.
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2)
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      operators.Graph.kCore(edges, k = 3, rounds = 10)
+        .orderBy(col("node"))
     })
   )
 
@@ -5148,8 +5302,366 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY score DESC, doc_id ASC) AS rk
         |  FROM sc)
-        |WHERE rk <= 25 ORDER BY lang, rk""".stripMargin
+        |WHERE rk <= 25 ORDER BY lang, rk""".stripMargin,
+
+    "q144_retrieval_eval" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 8
+        |), c AS (
+        |  SELECT vec_id AS cid, embedding AS cv, label FROM embeddings
+        |), p AS (
+        |  SELECT qid, cid,
+        |    list_sum(list_transform(list_zip(qv, cv),
+        |      z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)
+        |        AS DECIMAL(38,20)))) AS dot,
+        |    list_sum(list_transform(qv,
+        |      x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |        AS DECIMAL(38,20)))) AS nq,
+        |    list_sum(list_transform(cv,
+        |      x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |        AS DECIMAL(38,20)))) AS nc
+        |  FROM q, c WHERE qid <> cid
+        |), scored AS (
+        |  SELECT qid AS query_id, cid AS doc_id,
+        |    round(CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+        |      ELSE CAST(dot AS DOUBLE)
+        |        / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
+        |      END, 6) AS sim
+        |  FROM p
+        |), run AS (
+        |  SELECT query_id, doc_id, rk FROM (
+        |    SELECT query_id, doc_id,
+        |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, doc_id) AS INT) AS rk
+        |    FROM scored)
+        |  WHERE rk <= 10
+        |), qrels AS (
+        |  SELECT q.qid AS query_id, c.cid AS doc_id,
+        |    CAST(1.0 AS DOUBLE) AS rel
+        |  FROM q JOIN c ON q.ql = c.label AND q.qid <> c.cid
+        |), hits AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |    CAST(SUM(CAST(rel / (ln(CAST(rk AS DOUBLE) + 1.0) / ln(2.0))
+        |      AS DECIMAL(38,20))) AS DOUBLE) AS dcg,
+        |    min(CASE WHEN rel > 0 THEN rk END) AS first_rel
+        |  FROM run JOIN qrels USING (query_id, doc_id)
+        |  GROUP BY 1
+        |), ideal AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel,
+        |    CAST(list_sum(list_transform(
+        |      list_slice(list_sort(list(CAST(rel AS DOUBLE)), 'DESC'),
+        |        1, 10),
+        |      (r, i) -> CAST(r / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0))
+        |        AS DECIMAL(38,20)))) AS DOUBLE) AS idcg
+        |  FROM qrels GROUP BY 1
+        |)
+        |SELECT i.query_id, i.n_rel, coalesce(h.n_hits, 0) AS n_hits,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+        |    / CAST(i.n_rel AS DOUBLE), 6) AS recall,
+        |  round(coalesce(1.0 / CAST(h.first_rel AS DOUBLE), 0.0), 6)
+        |    AS mrr,
+        |  round(coalesce(h.dcg, 0.0) / i.idcg, 6) AS ndcg
+        |FROM ideal i LEFT JOIN hits h USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+
+    "q145_triangles" ->
+      """WITH e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), deg AS (
+        |  SELECT n, count(*) AS d
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        |  GROUP BY 1
+        |), tri AS (
+        |  SELECT count(*) AS t
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |    JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+        |    CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        |  FROM deg
+        |)
+        |SELECT n_nodes, n_edges, n_wedges,
+        |  CAST(t AS BIGINT) AS n_triangles,
+        |  round(3.0 * CAST(t AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)
+        |    AS global_cc
+        |FROM s, tri""".stripMargin,
+
+    "q146_gapfill" ->
+      """WITH base AS (
+        |  SELECT event_type AS key, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE), 6) AS v
+        |  FROM events GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT key,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM (SELECT key, min(hour) AS h0, max(hour) AS h1
+        |        FROM base GROUP BY 1)
+        |), j AS (
+        |  SELECT s.key, s.hour, b.n, b.v
+        |  FROM spine s LEFT JOIN base b USING (key, hour)
+        |), w AS (
+        |  SELECT key, hour, n, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY key
+        |      ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+        |      OVER (PARTITION BY key ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY key
+        |      ORDER BY hour
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+        |      OVER (PARTITION BY key ORDER BY hour
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j
+        |)
+        |SELECT key, hour, coalesce(n, 0) AS n,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |    ELSE round(pv + (nv - pv) * (epoch(hour) - epoch(ph))
+        |      / (epoch(nh) - epoch(ph)), 6) END AS level,
+        |  (v IS NULL) AS filled
+        |FROM w ORDER BY key, hour""".stripMargin,
+
+    "q147_ab_test" ->
+      """WITH units AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 200
+        |      THEN 1 ELSE 0 END) AS converted,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN arm <> 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_a,
+        |    CAST(SUM(CASE WHEN arm <> 'A' THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_b
+        |  FROM units
+        |)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,
+        |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,
+        |  round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt(CAST(conv_a + conv_b AS DOUBLE)
+        |        / CAST(n_a + n_b AS DOUBLE)
+        |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+        |        / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))),
+        |    6) AS z
+        |FROM a""".stripMargin,
+
+    "q148_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_null,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS max_s
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*),
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |    CAST(min(o_custkey) AS VARCHAR),
+        |    CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*),
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |    min(o_orderstatus), max(o_orderstatus)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*),
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |    CAST(CAST(round(min(o_totalprice), 2) AS DECIMAL(18,2))
+        |      AS VARCHAR),
+        |    CAST(CAST(round(max(o_totalprice), 2) AS DECIMAL(18,2))
+        |      AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*),
+        |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        |    strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |    strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*),
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |    min(o_orderpriority), max(o_orderpriority)
+        |  FROM orders
+        |) ORDER BY col_name""".stripMargin,
+
+    "q149_scd2" ->
+      """WITH m AS (
+        |  SELECT user_id, event_type AS state, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_state
+        |  FROM events
+        |), ch AS (
+        |  SELECT user_id, state, ts AS valid_from, event_id
+        |  FROM m WHERE prev_state IS NULL OR prev_state <> state
+        |)
+        |SELECT user_id, state, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from, event_id) AS valid_to,
+        |  (lead(valid_from) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from, event_id) IS NULL) AS is_current,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY valid_from, event_id) AS INT) AS version
+        |FROM ch ORDER BY user_id, version""".stripMargin,
+
+    "q150_containment" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS raw
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, t FROM (
+        |    SELECT doc_id,
+        |      unnest(CASE WHEN len(raw) < 3
+        |        THEN [array_to_string(raw, ' ')]
+        |        ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |              for i in range(0, len(raw) - 2)] END) AS t
+        |    FROM tk)
+        |), kept AS (
+        |  SELECT sh.doc_id, sh.t FROM sh
+        |  JOIN (SELECT t FROM sh GROUP BY t HAVING count(*) <= 50) f
+        |    USING (t)
+        |), sz AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+        |  FROM kept GROUP BY 1
+        |), shared AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM kept a JOIN kept b ON a.t = b.t AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / CAST(sz AS DOUBLE), 6)
+        |    AS containment
+        |FROM shared JOIN sz ON sz.doc_id = shared.a_id
+        |WHERE round(CAST(n_shared AS DOUBLE) / CAST(sz AS DOUBLE), 6)
+        |  >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q151_silhouette" ->
+      """WITH el AS (
+        |  SELECT vec_id, plabel, pos, CAST(v AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, label AS plabel, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS pos
+        |        FROM embeddings) u
+        |), cent AS (
+        |  SELECT plabel AS clabel, pos,
+        |    round(CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE)
+        |      / COUNT(*), 9) AS c
+        |  FROM el GROUP BY 1, 2
+        |), dist AS (
+        |  SELECT e.vec_id, e.plabel, c.clabel,
+        |    round(sqrt(CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(38,20)))
+        |      AS DOUBLE)), 6) AS d
+        |  FROM el e JOIN cent c USING (pos)
+        |  GROUP BY 1, 2, 3
+        |), ab AS (
+        |  SELECT vec_id, plabel,
+        |    max(CASE WHEN clabel = plabel THEN d END) AS a,
+        |    min(CASE WHEN clabel <> plabel THEN d END) AS b
+        |  FROM dist GROUP BY 1, 2
+        |), s AS (
+        |  SELECT plabel, CASE WHEN greatest(a, b) = 0 THEN 0.0
+        |    ELSE round((b - a) / greatest(a, b), 6) END AS s
+        |  FROM ab
+        |)
+        |SELECT plabel AS label, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS mean_sil
+        |FROM s GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q152_histogram" ->
+      """WITH a AS (
+        |  SELECT
+        |    quantile_cont(l_quantity,
+        |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q1,
+        |    quantile_cont(l_extendedprice,
+        |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q2,
+        |    quantile_cont(l_discount,
+        |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q3
+        |  FROM lineitem
+        |)
+        |SELECT col_name, pct, boundary FROM (
+        |  SELECT 'l_quantity' AS col_name, CAST(10 * i AS INT) AS pct,
+        |    round(q1[i], 6) AS boundary
+        |  FROM a, range(1, 10) t(i)
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', CAST(10 * i AS INT), round(q2[i], 6)
+        |  FROM a, range(1, 10) t(i)
+        |  UNION ALL
+        |  SELECT 'l_discount', CAST(10 * i AS INT), round(q3[i], 6)
+        |  FROM a, range(1, 10) t(i)
+        |) ORDER BY col_name, pct""".stripMargin,
+
+    "q153_kcore" -> kcoreSql(k = 3, rounds = 10)
   )
+
+  /** DuckDB replay of [[operators.Graph.kCore]] over the support>=2
+    * co-purchase part graph: `rounds` unrolled peel rounds (degree CTE,
+    * keep-set, two keyed semi-joins), exactly the operator's sequence. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED: each CTE is referenced several times per round;
+    // inlining would re-expand the whole prefix per reference
+    // (exponential in `rounds`)
+    val sb = new StringBuilder
+    sb ++= """WITH e0 AS MATERIALIZED (
+             |  SELECT a.l_partkey AS u, b.l_partkey AS v
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2
+             |)""".stripMargin
+    for (i <- 0 until rounds) {
+      sb ++= s""",
+                |d$i AS (
+                |  SELECT n, count(*) AS d
+                |  FROM (SELECT u AS n FROM e$i UNION ALL
+                |        SELECT v AS n FROM e$i)
+                |  GROUP BY 1
+                |),
+                |k$i AS MATERIALIZED (SELECT n FROM d$i WHERE d >= $k),
+                |e${i + 1} AS MATERIALIZED (
+                |  SELECT u, v FROM e$i
+                |  JOIN k$i ku ON e$i.u = ku.n
+                |  JOIN k$i kv ON e$i.v = kv.n
+                |)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+              |FROM (SELECT u AS node FROM e$rounds UNION ALL
+              |      SELECT v AS node FROM e$rounds)
+              |GROUP BY 1 ORDER BY node""".stripMargin
+    sb.toString
+  }
 
   /** DuckDB BM25 (Lucene k1=1.2/b=0.75 formulation) over `documents` for a
     * literal term list — the exact algebra of [[operators.Retrieval.bm25]]

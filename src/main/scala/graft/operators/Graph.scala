@@ -77,4 +77,100 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank"))
   }
+
+  /** Triangle census of an undirected graph — the structural statistic
+    * curation pipelines read off co-occurrence graphs (co-purchase,
+    * co-citation, doc-link): triangle count and global clustering
+    * coefficient `3·triangles / wedges` say whether the graph is
+    * community-shaped or noise-shaped. Returns ONE row
+    * (n_nodes, n_edges, n_wedges, n_triangles, global_cc).
+    *
+    * Scale shape (Suri & Vassilvitskii 2011, node-iterator++): each edge
+    * is oriented from its lower-(degree, id) endpoint to the higher, so
+    * every node's OUT-degree is O(√m) regardless of hub size — the wedge
+    * self-join `a→b1, a→b2` cannot explode on a celebrity node the way
+    * the naive neighbor join does. Each triangle forms exactly once (its
+    * corners meet in one orientation order), confirmed by one equi-join
+    * of wedges against oriented edges; every shuffle carries 2-3 node
+    * ids. Wedge totals come from the tiny degree table, never from
+    * materialized wedges.
+    *
+    * Input: any (src, dst) edge list; self-loops dropped, duplicate /
+    * reversed edges collapsed. */
+  def triangleStats(edges: DataFrame,
+                    materialize: Materializer = Materializer.Local)
+      : DataFrame = {
+    val e = materialize(edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+    val deg = materialize(
+      e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d")))
+    // orient low-(degree, id) -> high-(degree, id); struct compare gives
+    // the lexicographic (d, n) total order
+    val du = deg.select(col("n").as("u"), struct(col("d"), col("n")).as("ku"))
+    val dv = deg.select(col("n").as("v"), struct(col("d"), col("n")).as("kv"))
+    val oriented = materialize(e.join(du, Seq("u")).join(dv, Seq("v"))
+      .select(
+        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("a"),
+        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("b"),
+        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku"))
+          .as("kb")))
+    // wedges once each (kb1 < kb2); the closing edge b1-b2 must itself be
+    // oriented b1->b2 (both orders agree), so the check is one equi-join
+    val w1 = oriented.select(col("a"), col("b").as("b1"), col("kb").as("k1"))
+    val w2 = oriented.select(col("a"), col("b").as("b2"), col("kb").as("k2"))
+    val tri = w1.join(w2, Seq("a")).filter(col("k1") < col("k2"))
+      .join(oriented.select(col("a").as("b1"), col("b").as("b2")),
+        Seq("b1", "b2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    // integer-exact: d*(d-1) is even per node, so `div` loses nothing
+    val sums = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(d) div 2").as("n_edges"),
+      expr("sum(d * (d - 1) div 2)").as("n_wedges"))
+    sums.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles").cast("double") /
+          col("n_wedges").cast("double"), 6).as("global_cc"))
+  }
+
+  /** k-core peeling (Seidman 1983): `rounds` rounds of "drop every node
+    * with degree < k, with its edges" over an undirected graph — the
+    * dense-subgraph extractor curation uses to isolate template-spam /
+    * link-farm cliques that survive triangle- or component-level
+    * screens. Returns the surviving (node, core_deg) with the node's
+    * degree inside the surviving subgraph.
+    *
+    * The round count is an EXPLICIT parameter (not a convergence race):
+    * a replay or another engine runs the identical peel sequence, and a
+    * caller wanting the true k-core picks rounds ≥ the peel depth
+    * (degeneracy ordering peels in O(span) rounds; each round is one
+    * degree aggregate + two keyed semi-joins, edge-set-only shuffles,
+    * lineage cut per round via [[Materializer]]). */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+            materialize: Materializer = Materializer.Local): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var e = materialize(edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+    var i = 0
+    while (i < rounds) {
+      val deg = e.select(col("u").as("n"))
+        .unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("n"))
+      e = materialize(
+        e.join(keep.withColumnRenamed("n", "u"), Seq("u"))
+          .join(keep.withColumnRenamed("n", "v"), Seq("v"))
+          .select(col("u"), col("v")))
+      i += 1
+    }
+    e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+  }
 }

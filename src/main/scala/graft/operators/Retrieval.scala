@@ -146,6 +146,106 @@ object Retrieval {
     * retrievers. The fused score is a sum of exact binary fractions only
     * when c+rk is a power of two, so it accumulates in DECIMAL(38,20)
     * with one division order and rounds to 9. */
+  /** Offline ranking-quality evaluation — recall@k, MRR and nDCG@k per
+    * query — of a retrieval `run` (query_id, doc_id, rk) against graded
+    * relevance labels `qrels` (query_id, doc_id, rel > 0). This is how a
+    * pipeline certifies an index/tokenizer/fusion change before swapping
+    * it into production retrieval (TREC methodology; nDCG per
+    * Järvelin & Kekäläinen 2002, linear-gain form `rel / log2(rank+1)`).
+    *
+    * Scale shape: the run is top-k per query by construction and qrels
+    * are a curated eval set — both bounded — so the (query_id, doc_id)
+    * equi-join, the per-query DCG aggregate and the ideal-DCG
+    * computation (per-query rel list sorted desc, sliced to k, map-side
+    * HOF sum) are eval-set-sized no matter how big the corpus behind the
+    * run was. Numeric portability: discounts are IEEE `ln(x)/ln(2)` in
+    * one op order; per-query sums accumulate in DECIMAL(38,20) and
+    * round(6).
+    *
+    * Returns (query_id, n_rel, n_hits, recall, mrr, ndcg) with
+    * recall = hits@k / n_rel, mrr = 1/first-relevant-rank (0 when none),
+    * ndcg = DCG@k / IDCG@k. Queries present in qrels but absent from the
+    * run score 0 (the run failed them — they must count). */
+  def rankingMetrics(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k > 0)
+    val disc = (r: Column) => log(2.0, r.cast("double") + lit(1.0))
+    // graded gains of the retrieved-and-relevant rows
+    val hits = run.filter(col("rk") <= k)
+      .join(qrels.select(col("query_id"), col("doc_id"),
+        col("rel").cast("double").as("rel")),
+        Seq("query_id", "doc_id"))
+    val perQ = hits.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("long").as("n_hits"),
+        sum((col("rel") / disc(col("rk"))).cast("decimal(38,20)"))
+          .cast("double").as("dcg"),
+        min(when(col("rel") > 0, col("rk"))).as("first_rel"))
+    // ideal DCG from the qrels alone: per-query rel list sorted desc,
+    // sliced to k, discounted map-side (aggregate HOF — no second shuffle)
+    val ideal = qrels.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("long").as("n_rel"),
+        slice(sort_array(collect_list(col("rel").cast("double")),
+          asc = false), 1, k).as("rels"))
+      .select(col("query_id"), col("n_rel"),
+        aggregate(zip_with(col("rels"),
+            sequence(lit(1), size(col("rels"))),
+            (r, i) => (r / disc(i)).cast("decimal(38,20)")),
+          lit(0).cast("decimal(38,20)"),
+          (acc, v) => (acc + v).cast("decimal(38,20)"))
+          .cast("double").as("idcg"))
+    ideal.join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_rel").cast("double"), 6).as("recall"),
+        round(coalesce(lit(1.0) / col("first_rel").cast("double"),
+          lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("dcg"), lit(0.0)) /
+          col("idcg"), 6).as("ndcg"))
+  }
+
+  /** Directional set-containment pairs (Broder 1997's containment
+    * `|A ∩ B| / |A|` over word `shingleN`-gram shingle SETS): detects
+    * partial copies — quotation, wrapper pages, doc-inside-doc — that
+    * symmetric Jaccard/cosine under-scores (a short doc fully contained
+    * in a long one has low Jaccard but containment 1.0). Emits
+    * (a_id, b_id, n_shared, containment) for ORDERED pairs a≠b with
+    * containment(a in b) >= threshold.
+    *
+    * Scale shape is the inverted-index discipline of
+    * [[sparseCosinePairs]]: distinct (doc, shingle) rows form map-side;
+    * one partial-combined exchange keys on the shingle; the `maxDf`
+    * prefix filter drops corpus-frequent shingles BEFORE the pair join,
+    * bounding per-shingle fanout; candidate pairs exist only where a
+    * shared shingle survives, so recall is 1.0 for thresholds above
+    * maxDf-droppable mass — no all-pairs product. Containment is an
+    * exact integer ratio (n_shared / |A|), so there is no float algebra
+    * to replicate at all. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, maxDf: Long, threshold: Double,
+                       mat: Materializer = Materializer.Local): DataFrame = {
+    val sh = mat(docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(
+          TextAnalysis.shingles(col(textCol), shingleN))).as("t")))
+    val kept = sh.join(
+      broadcast(sh.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("t"))),
+      Seq("t"))
+    // |A| over the KEPT shingles (the capped similarity space — the
+    // denominator must live in the same space as the intersection)
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shared = kept.select(col("t"), col("doc_id").as("a_id"))
+      .join(kept.select(col("t"), col("doc_id").as("b_id")), Seq("t"))
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared.join(sizes.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
+      .select(col("a_id"), col("b_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("sz").cast("double"), 6)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], c: Int = 60, topN: Int = 10)
       : DataFrame = {
     require(rankings.nonEmpty && topN > 0)

@@ -712,4 +712,64 @@ object Similarity {
       .filter(col("dist") > col("fence"))
       .select(col(idCol), col("dist"), round(col("fence"), 6).as("fence"))
   }
+
+  /** Simplified (centroid-based) silhouette per cluster label — the
+    * clustering-quality audit an embedding pipeline publishes for a
+    * labeling / clustering run: per point, `a` = distance to its own
+    * cluster centroid, `b` = distance to the nearest OTHER centroid,
+    * `s = (b - a) / max(a, b)` (Rousseeuw 1987 in the centroid
+    * approximation — the O(n·k) form; the exact O(n²) silhouette is the
+    * documented substitution where n is eval-set-sized). Returns one row
+    * per label: (label, n, mean_sil).
+    *
+    * Scale shape: centroids are ONE per-(label, dim) partial-combined
+    * aggregate (k·d rows, DECIMAL accumulation, round(9) for
+    * engine-identical values), assembled into a single broadcast row;
+    * every distance then computes MAP-SIDE via decimal-accumulated HOFs
+    * against that k-vector literal — the corpus never shuffles; the only
+    * corpus-wide exchange is the final per-label partial-combined mean
+    * (k rows). Distances round(6) before the a/b comparison so the
+    * ranking can never hinge on a cross-engine ulp. */
+  def simplifiedSilhouette(emb: DataFrame, idCol: String, vecCol: String,
+                           labelCol: String): DataFrame = {
+    val dec = "decimal(38,20)"
+    val el = emb
+      .select(col(labelCol).as("clabel"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("clabel"), col("pos"), col("v").cast("double").as("x"))
+    val cent = el.groupBy(col("clabel"), col("pos"))
+      .agg(round(sum(col("x").cast(dec)).cast("double")
+        / count(lit(1)), 9).as("c"))
+    val cvecs = cent.groupBy(col("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val all = cvecs.agg(collect_list(struct(col("clabel"), col("cv")))
+      .as("cents"))
+    val d2 = (v: Column, cv: Column) =>
+      round(sqrt(aggregate(zip_with(v, cv,
+        (x, c) => ((x.cast("double") - c) * (x.cast("double") - c))
+          .cast(dec)),
+        lit(0).cast(dec), (acc, x) => (acc + x).cast(dec))
+        .cast("double")), 6)
+    val dists = emb.crossJoin(broadcast(all))
+      .select(col(idCol), col(labelCol).as("plabel"),
+        transform(col("cents"), ct =>
+          struct(ct.getField("clabel").as("clabel"),
+            d2(col(vecCol), ct.getField("cv")).as("d"))).as("ds"))
+    val s = dists.select(col("plabel"),
+      element_at(filter(col("ds"),
+        x => x.getField("clabel") === col("plabel")), 1)
+        .getField("d").as("a"),
+      array_min(transform(filter(col("ds"),
+        x => x.getField("clabel") =!= col("plabel")),
+        x => x.getField("d"))).as("b"))
+      .select(col("plabel"),
+        when(greatest(col("a"), col("b")) === 0, lit(0.0))
+          .otherwise(round((col("b") - col("a"))
+            / greatest(col("a"), col("b")), 6)).as("s"))
+    s.groupBy(col("plabel").as("label"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s").cast("decimal(38,6)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("mean_sil"))
+  }
 }

@@ -2228,4 +2228,174 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getInt(3)))
     assert(got.toSeq.sorted == again.toSeq.sorted)
   }
+
+  test("triangleStats: hand-computed census; dup/reversed/self edges collapse") {
+    val s = spark
+    import s.implicits._
+    // triangles {1,2,3} and {3,4,5}; degrees 2,2,4,2,2 -> wedges 10,
+    // cc = 3*2/10 = 0.6. Noise: a self loop, a duplicate, a reversal.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (2L, 1L), (1L, 2L), (4L, 4L)).toDF("src", "dst")
+    val r = graft.operators.Graph.triangleStats(edges).collect()(0)
+    assert(r.getLong(0) == 5L)   // n_nodes
+    assert(r.getLong(1) == 6L)   // n_edges
+    assert(r.getLong(2) == 10L)  // n_wedges
+    assert(r.getLong(3) == 2L)   // n_triangles
+    assert(math.abs(r.getDouble(4) - 0.6) < 1e-9)
+  }
+
+  test("rankingMetrics: hand-computed recall/MRR/nDCG incl. a zero-hit query") {
+    val s = spark
+    import s.implicits._
+    // q1: run = a(rel 2, rk1), b(rel 0, rk2), c(rel 1, rk3); qrels also
+    // hold unretrieved d(rel 3). q2: its one relevant doc never retrieved.
+    val run = Seq((1L, "a", 1), (1L, "b", 2), (1L, "c", 3), (2L, "x", 1))
+      .toDF("query_id", "doc_id", "rk")
+    val qrels = Seq((1L, "a", 2.0), (1L, "c", 1.0), (1L, "d", 3.0),
+      (2L, "y", 1.0)).toDF("query_id", "doc_id", "rel")
+    val got = graft.operators.Retrieval.rankingMetrics(run, qrels, k = 3)
+      .orderBy(col("query_id")).collect()
+    val ln2 = math.log(2.0)
+    val dcg = 2.0 / (math.log(2.0) / ln2) + 1.0 / (math.log(4.0) / ln2)
+    val idcg = 3.0 / (math.log(2.0) / ln2) + 2.0 / (math.log(3.0) / ln2) +
+      1.0 / (math.log(4.0) / ln2)
+    val r1 = got(0)
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 2L)
+    assert(math.abs(r1.getDouble(3) - 2.0 / 3.0) < 1e-6)  // recall
+    assert(r1.getDouble(4) == 1.0)                        // mrr
+    assert(math.abs(r1.getDouble(5) - dcg / idcg) < 1e-6) // ndcg
+    val r2 = got(1)
+    assert(r2.getLong(2) == 0L && r2.getDouble(3) == 0.0 &&
+      r2.getDouble(4) == 0.0 && r2.getDouble(5) == 0.0)
+  }
+
+  test("gapFillHourly: interior gaps interpolate linearly, known buckets keep their mean") {
+    val s = spark
+    import s.implicits._
+    val ts = (h: Int, m: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hour 0: two points (8, 12) -> mean 10; hours 1-2 empty; hour 3: 40.
+    // Linear fill: h1 = 20, h2 = 30.
+    val pts = Seq(("k", ts(0, 10), 8.0), ("k", ts(0, 50), 12.0),
+      ("k", ts(3, 0), 40.0)).toDF("k", "ts", "v")
+    val got = graft.operators.TimeSeries.gapFillHourly(pts, "k", "ts", "v")
+      .orderBy(col("hour")).collect()
+    assert(got.length == 4)
+    assert(got.map(_.getLong(2)).toSeq == Seq(2L, 0L, 0L, 1L))
+    assert(got.map(_.getDouble(3)).toSeq == Seq(10.0, 20.0, 30.0, 40.0))
+    assert(got.map(_.getBoolean(4)).toSeq ==
+      Seq(false, true, true, false))
+  }
+
+  test("scd2History: state runs collapse; same-ts ties break on the tie column") {
+    val s = spark
+    import s.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1: A,A,B,A -> three intervals; u2: two SAME-ts rows where the tie
+    // column orders B before A, so history is B then A
+    val rows = Seq(
+      (1L, ts(1), "A", 10L), (1L, ts(2), "A", 11L),
+      (1L, ts(3), "B", 12L), (1L, ts(4), "A", 13L),
+      (2L, ts(5), "A", 21L), (2L, ts(5), "B", 20L))
+      .toDF("user_id", "ts", "state", "eid")
+    val got = graft.operators.TimeSeries
+      .scd2History(rows, "user_id", "ts", "state", "eid")
+      .orderBy(col("user_id"), col("version")).collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "A"), (1L, "B"), (1L, "A"), (2L, "B"), (2L, "A")))
+    // interval chaining: each valid_to equals the next valid_from
+    assert(got(0).getTimestamp(3) == got(1).getTimestamp(2))
+    assert(got(1).getTimestamp(3) == got(2).getTimestamp(2))
+    assert(got(2).isNullAt(3) && got(2).getBoolean(4))
+    // u2 ties: eid 20 (B) precedes eid 21 (A) at the same timestamp
+    assert(got(3).getString(1) == "B" && !got(3).getBoolean(4))
+    assert(got(4).getBoolean(4))
+  }
+
+  test("abZTest: hand-computed pooled z") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("A", 1), ("A", 0), ("B", 0), ("B", 0))
+      .toDF("arm", "converted")
+    val r = graft.operators.Stats.abZTest(df, "arm", "converted")
+      .collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 0L)
+    // z = (0.5 - 0) / sqrt(0.25 * 0.75 * (1/2 + 1/2)) = 1.154701
+    assert(math.abs(r.getDouble(6) - 1.154701) < 1e-6)
+  }
+
+  test("columnProfile: null counts, exact distincts, native-order min/max") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some(2L), "b"), (Some(10L), "a"), (None, "a"))
+      .toDF("x", "y")
+    val got = graft.operators.Stats.columnProfile(df, Seq("x", "y"),
+      (_, c) => c.cast("string")).collect()
+    val x = got(0); val y = got(1)
+    assert(x.getString(0) == "x" && x.getLong(1) == 3L)
+    assert(x.getLong(2) == 1L && x.getLong(3) == 2L)
+    // native numeric order: min 2 < 10 (string order would flip)
+    assert(x.getString(4) == "2" && x.getString(5) == "10")
+    assert(y.getLong(2) == 0L && y.getLong(3) == 2L &&
+      y.getString(4) == "a" && y.getString(5) == "b")
+  }
+
+  test("containmentPairs: directional — short-in-long scores 1.0, reverse 0.6") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e f g"),
+      (3L, "q r s t u v")).toDF("doc_id", "text")
+    val got = graft.operators.Retrieval
+      .containmentPairs(docs, "doc_id", "text", shingleN = 3,
+        maxDf = 100, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // doc1 (3 shingles) fully inside doc2 (5 shingles): 1 in 2 = 3/3,
+    // 2 in 1 = 3/5 = 0.6 < threshold; doc3 shares nothing
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simplifiedSilhouette: tight well-separated clusters score near 1") {
+    val s = spark
+    import s.implicits._
+    // label 0 near the origin, label 1 ten units away: a ~= 0.1,
+    // b ~= 10 -> s ~= 0.99; hand values: (0.990099 + 0.989899) / 2
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f), 0), (2L, Seq(0.2f, 0.0f), 0),
+      (3L, Seq(10.0f, 0.0f), 1), (4L, Seq(10.2f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity
+      .simplifiedSilhouette(vecs, "vec_id", "embedding", "label")
+      .orderBy(col("label")).collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(2L, 2L))
+    got.foreach(r => assert(math.abs(r.getDouble(2) - 0.989999) < 1e-6))
+  }
+
+  test("equiDepthHistogram: exact interpolated deciles of 1..100") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val got = graft.operators.Stats
+      .equiDepthHistogram(df, Seq("x"), buckets = 10)
+      .collect().map(r => (r.getInt(1), r.getDouble(2)))
+    assert(got.length == 9)
+    // boundary at q: v[(n-1)q] interpolated -> 10.9, 20.8, ... 50.5 ...
+    assert(got.head == ((10, 10.9)))
+    assert(got(4) == ((50, 50.5)))
+    assert(got.last == ((90, 90.1)))
+  }
+
+  test("kCore: pendant peels off, the triangle survives; a chain dissolves") {
+    val s = spark
+    import s.implicits._
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+      .toDF("src", "dst")
+    val got = graft.operators.Graph.kCore(tri, k = 2, rounds = 2)
+      .orderBy(col("node")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(graft.operators.Graph.kCore(chain, k = 2, rounds = 3)
+      .count() == 0L)
+  }
 }

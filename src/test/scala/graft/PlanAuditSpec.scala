@@ -698,4 +698,67 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_topkagg"), p.take(3000))
     assert(!p.contains("Join"), p.take(3000))
   }
+
+  test("q145: triangle census — data joins are equi-joins, no cartesian") {
+    val p = plan("q145_triangles")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the only nested-loop join is the 1-row x 1-row scalar cross of the
+    // two summary aggregates (the q142 pattern); wedge + closing joins
+    // must be keyed
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      p.take(3000))
+    assert(p.contains("SortMergeJoin [b1") ||
+      p.contains("ShuffledHashJoin [b1"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q146/q149: time-series windows are key-partitioned, never global") {
+    for (q <- Seq("q146_gapfill", "q149_scd2")) {
+      val p = plan(q)
+      // a window without partitioning would collapse the corpus to one
+      // task — the cliff this family is designed around
+      assert(!p.contains("Window [") ||
+        !p.contains("windowspecdefinition()"), q)
+      assert(!p.contains("SinglePartition"), q + "\n" + p.take(3000))
+    }
+  }
+
+  test("q147/q148: experiment + profile are pure aggregation plans — no joins") {
+    for (q <- Seq("q147_ab_test", "q148_profile")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), q + "\n" + p.take(3000))
+      assert(!p.contains("CartesianProduct"), q)
+    }
+    // the profile's exact multi-distinct compiles to ONE scan + Expand
+    val pr = plan("q148_profile")
+    assert(pr.contains("Expand"), pr.take(3000))
+    assert("Scan parquet".r.findAllIn(pr).size == 1, pr.take(3000))
+  }
+
+  test("q150: containment pairs form on the shingle equi-join, df cap broadcast") {
+    val p = plan("q150_containment")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q151: silhouette — distances map-side vs one broadcast row; corpus never shuffle-joins") {
+    val p = plan("q151_silhouette")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q152: histogram — one scan, one multi-percentile aggregate, no joins") {
+    val p = plan("q152_histogram")
+    assert(!p.contains("Join"), p.take(3000))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("q153: k-core peels with keyed joins only") {
+    val p = plan("q153_kcore")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
 }
