@@ -2557,6 +2557,49 @@ object SparkEntry {
         .select(col("pa").as("src"), col("pb").as("dst"))
       operators.Graph.kCore(edges, k = 3, rounds = 10)
         .orderBy(col("node"))
+    }),
+
+    "q154_label_prop" -> ((s, dir) => {
+      // semi-supervised label propagation: 20% of parts carry their
+      // brand as a seed; 3 majority-vote rounds spread labels over the
+      // support>=2 co-purchase graph (min-label tie-break, immutable
+      // seeds) — metadata back-fill from graph neighborhoods, fully
+      // deterministic and replayable.
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2)
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      val seeds = t(s, dir, "part")
+        .filter(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey").as("node"), col("p_brand").as("label"))
+      operators.Graph.labelPropagation(edges, seeds, rounds = 3)
+        .orderBy(col("node"))
+    }),
+
+    "q155_ctfidf" -> ((s, dir) => {
+      // c-TF-IDF cluster naming (the BERTopic scoring): each source's
+      // 5 most characteristic terms — one corpus-wide (class, term)
+      // exchange, vocab-sized everything after.
+      TextAnalysis.cTfIdf(t(s, dir, "documents"), "source", "text",
+          topK = 5)
+        .orderBy(col("class"), col("rk"))
+    }),
+
+    "q156_psi_drift" -> ((s, dir) => {
+      // PSI drift of the event value distribution, first half of the
+      // month (reference) vs the rest (current): reference-decile bins
+      // broadcast, slices bucketed map-side, add-one smoothing — the
+      // model-monitoring readout between corpus snapshots.
+      val ev = t(s, dir, "events")
+      val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      operators.Stats.psiDrift(
+        ev.filter(col("ts") < cutoff),
+        ev.filter(col("ts") >= cutoff), "value", buckets = 10)
     })
   )
 
@@ -5622,8 +5665,145 @@ object SparkEntry {
         |  FROM a, range(1, 10) t(i)
         |) ORDER BY col_name, pct""".stripMargin,
 
-    "q153_kcore" -> kcoreSql(k = 3, rounds = 10)
+    "q153_kcore" -> kcoreSql(k = 3, rounds = 10),
+
+    "q154_label_prop" -> labelPropSql(rounds = 3),
+
+    "q155_ctfidf" ->
+      """WITH tf AS (
+        |  SELECT class, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT source AS class,
+        |          unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |            x -> x <> '')) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), f AS (
+        |  SELECT t, SUM(tf) AS f FROM tf GROUP BY 1
+        |), a AS (
+        |  SELECT CAST(SUM(mass) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS avg_mass
+        |  FROM (SELECT class, SUM(tf) AS mass FROM tf GROUP BY 1)
+        |), w AS (
+        |  SELECT class, t AS term, tf,
+        |    round(CAST(tf AS DOUBLE)
+        |      * ln(1.0 + avg_mass / CAST(f AS DOUBLE)), 6) AS w
+        |  FROM tf JOIN f USING (t) CROSS JOIN a
+        |)
+        |SELECT class, term, tf, w, CAST(rk AS INT) AS rk FROM (
+        |  SELECT class, term, tf, w,
+        |    row_number() OVER (PARTITION BY class
+        |      ORDER BY w DESC, term) AS rk
+        |  FROM w)
+        |WHERE rk <= 5 ORDER BY class, rk""".stripMargin,
+
+    "q156_psi_drift" ->
+      """WITH ref AS (
+        |  SELECT value FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        |), cur AS (
+        |  SELECT value FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |), bs AS (
+        |  SELECT list_transform(quantile_cont(value,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    b -> round(b, 6)) AS bs
+        |  FROM ref
+        |), rb AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_ref
+        |  FROM (SELECT list_sum(list_transform(bs,
+        |          b -> CASE WHEN value > b THEN 1 ELSE 0 END)) AS bucket
+        |        FROM ref CROSS JOIN bs)
+        |  GROUP BY 1
+        |), cb AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_cur
+        |  FROM (SELECT list_sum(list_transform(bs,
+        |          b -> CASE WHEN value > b THEN 1 ELSE 0 END)) AS bucket
+        |        FROM cur CROSS JOIN bs)
+        |  GROUP BY 1
+        |), spine AS (
+        |  SELECT i AS bucket FROM range(0, 10) t(i)
+        |), per AS (
+        |  SELECT bucket, coalesce(n_ref, 0) AS n_ref,
+        |    coalesce(n_cur, 0) AS n_cur
+        |  FROM spine LEFT JOIN rb USING (bucket)
+        |  LEFT JOIN cb USING (bucket)
+        |), tot AS (
+        |  SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM per
+        |), sc AS (
+        |  SELECT bucket, n_ref, n_cur,
+        |    round(CAST(n_ref + 1 AS DOUBLE)
+        |      / CAST(t_ref + 10 AS DOUBLE), 9) AS p_ref,
+        |    round(CAST(n_cur + 1 AS DOUBLE)
+        |      / CAST(t_cur + 10 AS DOUBLE), 9) AS p_cur
+        |  FROM per CROSS JOIN tot
+        |), sc2 AS (
+        |  SELECT bucket, n_ref, n_cur, p_ref, p_cur,
+        |    round((p_cur - p_ref) * ln(p_cur / p_ref), 9) AS contrib
+        |  FROM sc
+        |), psi AS (
+        |  SELECT round(CAST(SUM(CAST(contrib AS DECIMAL(38,9)))
+        |    AS DOUBLE), 6) AS psi
+        |  FROM sc2
+        |)
+        |SELECT CAST(bucket AS INT) AS bucket, n_ref, n_cur,
+        |  p_ref, p_cur, contrib, psi
+        |FROM sc2 CROSS JOIN psi ORDER BY bucket""".stripMargin
   )
+
+  /** DuckDB replay of [[operators.Graph.labelPropagation]] over the
+    * support>=2 co-purchase graph with 20%-of-parts brand seeds:
+    * `rounds` unrolled majority-vote rounds (MATERIALIZED — the same
+    * inlining-blowup guard as [[kcoreSql]]). */
+  private def labelPropSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e0 AS MATERIALIZED (
+             |  SELECT a.l_partkey AS u, b.l_partkey AS v
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2
+             |),
+             |sym AS MATERIALIZED (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT u AS src, v AS dst FROM e0
+             |    UNION ALL SELECT v, u FROM e0)
+             |  WHERE src <> dst
+             |),
+             |seeds AS (
+             |  SELECT p_partkey AS node, p_brand AS seed FROM part
+             |  WHERE p_partkey % 5 = 0
+             |),
+             |l0 AS MATERIALIZED (
+             |  SELECT n.node, s.seed, s.seed AS lab
+             |  FROM (SELECT DISTINCT src AS node FROM sym) n
+             |  LEFT JOIN seeds s USING (node)
+             |)""".stripMargin
+    for (i <- 0 until rounds) {
+      sb ++= s""",
+                |c${i + 1} AS (
+                |  SELECT s.dst AS node, l.lab, count(*) AS c
+                |  FROM sym s JOIN l$i l ON s.src = l.node
+                |  WHERE l.lab IS NOT NULL GROUP BY 1, 2
+                |),
+                |w${i + 1} AS (
+                |  SELECT node, lab FROM (
+                |    SELECT node, lab, row_number() OVER (
+                |      PARTITION BY node ORDER BY c DESC, lab) AS rk
+                |    FROM c${i + 1})
+                |  WHERE rk = 1
+                |),
+                |l${i + 1} AS MATERIALIZED (
+                |  SELECT l.node, l.seed,
+                |    CASE WHEN l.seed IS NOT NULL THEN l.seed
+                |         ELSE coalesce(w.lab, l.lab) END AS lab
+                |  FROM l$i l LEFT JOIN w${i + 1} w USING (node)
+                |)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT node, lab AS label FROM l$rounds
+              |WHERE lab IS NOT NULL ORDER BY node""".stripMargin
+    sb.toString
+  }
 
   /** DuckDB replay of [[operators.Graph.kCore]] over the support>=2
     * co-purchase part graph: `rounds` unrolled peel rounds (degree CTE,

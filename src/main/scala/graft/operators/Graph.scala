@@ -173,4 +173,57 @@ object Graph {
     e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
   }
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002 in its
+    * majority-vote form): seed labels spread over an undirected graph
+    * for `rounds` rounds — how curation back-fills metadata (brand,
+    * topic, quality tier) onto unlabeled corpus members from their
+    * graph neighborhoods. Deterministic by construction: seeds are
+    * immutable, an unlabeled node takes the MODE of its neighbors'
+    * current labels (ties broken by smallest label; nodes with no
+    * labeled neighbor keep their state), and the round count is an
+    * explicit parameter — a replay or another engine produces the
+    * identical labeling.
+    *
+    * Scale shape: per round ONE edge-keyed join of the label table, one
+    * (node, label) partial-combined count, one node-partitioned
+    * row_number over the per-node candidate labels (bounded by a node's
+    * distinct neighbor labels, never corpus-wide), one left join back.
+    * Edge set symmetrized + deduped once up front; lineage cut per
+    * round. Returns (node, label) for nodes labeled after `rounds`. */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame, rounds: Int,
+                       materialize: Materializer = Materializer.Local)
+      : DataFrame = {
+    require(rounds >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col("src"), col("dst"))
+    val sym = materialize(
+      e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
+    val nodes = sym.select(col("src").as("node")).distinct()
+    var lab = materialize(nodes
+      .join(seeds.select(col("node"), col("label").as("seed")),
+        Seq("node"), "left")
+      .select(col("node"), col("seed"), col("seed").as("lab")))
+    var i = 0
+    while (i < rounds) {
+      val cnt = sym
+        .join(lab.select(col("node").as("src"), col("lab")), Seq("src"))
+        .filter(col("lab").isNotNull)
+        .groupBy(col("dst").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val win = cnt.withColumn("rk", row_number().over(
+          Window.partitionBy(col("node"))
+            .orderBy(col("c").desc, col("lab").asc)))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("lab").as("wlab"))
+      lab = materialize(lab.join(win, Seq("node"), "left")
+        .select(col("node"), col("seed"),
+          when(col("seed").isNotNull, col("seed"))
+            .otherwise(coalesce(col("wlab"), col("lab"))).as("lab")))
+      i += 1
+    }
+    lab.filter(col("lab").isNotNull)
+      .select(col("node"), col("lab").as("label"))
+  }
 }

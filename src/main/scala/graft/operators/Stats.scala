@@ -101,4 +101,63 @@ object Stats {
     one.select(explode(rows).as("p")).select(col("p.*"))
       .orderBy(col("col_name"), col("pct"))
   }
+
+  /** Population Stability Index between a reference and a current slice
+    * of a numeric column — the standard model-monitoring drift score
+    * (PSI = Σ (q_i − p_i)·ln(q_i/p_i); < 0.1 stable, > 0.25 shifted).
+    * Bins are the reference slice's exact `buckets`-quantile boundaries
+    * (round(6) so both engines bucket identically); fractions are
+    * add-one smoothed `(c + 1) / (n + buckets)` so an empty current
+    * bucket cannot produce ln(0). Returns one row per bucket
+    * (bucket, n_ref, n_cur, p_ref, p_cur, contrib, psi) with the total
+    * repeated per row, ordered by bucket.
+    *
+    * Scale shape: boundaries are one tiny percentile aggregate over the
+    * reference (broadcast; swap approx_percentile at 100 TB — the
+    * documented estimator substitution); each slice then bucketes
+    * MAP-SIDE via an aggregate HOF against that broadcast array and
+    * partial-combines to `buckets` rows; everything after is
+    * buckets-sized. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valCol: String,
+               buckets: Int = 10,
+               mat: Materializer = Materializer.Local): DataFrame = {
+    require(buckets >= 2)
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = ref.agg(
+      expr(s"transform(percentile($valCol, array(${qs.mkString(", ")}))," +
+        " b -> round(b, 6))").as("bs"))
+    def bucketed(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(bounds))
+        .select(aggregate(col("bs"), lit(0),
+          (acc, b) => acc + when(col(valCol) > b, 1).otherwise(0))
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    val spine = bounds.select(explode(sequence(lit(0), lit(buckets - 1)))
+      .as("bucket"))
+    val r = bucketed(ref).withColumnRenamed("c", "n_ref")
+    val c = bucketed(cur).withColumnRenamed("c", "n_cur")
+    // pinned: `per` feeds both the totals and the per-bucket output —
+    // unpinned, each reference would re-run both slice scans
+    val per = mat(spine
+      .join(r, Seq("bucket"), "left").join(c, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur")))
+    val tot = per.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"))
+    val scored = mat(per.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round((col("n_ref") + 1).cast("double")
+          / (col("t_ref") + buckets).cast("double"), 9).as("p_ref"),
+        round((col("n_cur") + 1).cast("double")
+          / (col("t_cur") + buckets).cast("double"), 9).as("p_cur"))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        col("p_ref"), col("p_cur"),
+        round((col("p_cur") - col("p_ref"))
+          * log(col("p_cur") / col("p_ref")), 9).as("contrib")))
+    val psi = scored.agg(
+      round(sum(col("contrib").cast("decimal(38,9)")).cast("double"), 6)
+        .as("psi"))
+    scored.crossJoin(broadcast(psi)).orderBy(col("bucket"))
+  }
 }

@@ -901,4 +901,45 @@ object TextAnalysis {
           (col("c_a").cast("double") * col("c_b").cast("double"))), 6)
           .as("pmi"))
   }
+
+  /** Class-based TF-IDF (the BERTopic c-TF-IDF, Grootendorst 2022):
+    * treats each CLASS (topic cluster, source, language) as one merged
+    * document and scores terms by `tf(t,c) · ln(1 + A / f(t))` with
+    * `A` = average token mass per class and `f(t)` = the term's corpus
+    * frequency — the standard way a pipeline names what a cluster is
+    * about. Returns the `topK` terms per class as
+    * (class, term, tf, w, rk), ranked by (w desc, term asc).
+    *
+    * Scale shape: ONE corpus-wide partial-combined (class, term)
+    * exchange; `f(t)` is a term-keyed aggregate OF THAT TABLE (vocab-
+    * sized, never re-reads the corpus) joined back on the term key; `A`
+    * is a 1-row broadcast. The final window partitions by class over
+    * the vocabulary-bounded (class, term) table — bounded by vocab ×
+    * classes, not by corpus rows. Weights are IEEE doubles in one op
+    * order, round(6); ranking ties break on the term string. */
+  def cTfIdf(docs: DataFrame, classCol: String, textCol: String,
+             topK: Int, mat: Materializer = Materializer.Local)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK > 0)
+    val tf = mat(docs
+      .select(col(classCol).as("class"),
+        explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("class"), col("t"))
+      .agg(count(lit(1)).as("tf")))
+    val f = tf.groupBy(col("t")).agg(sum(col("tf")).as("f"))
+    val a = tf.groupBy(col("class")).agg(sum(col("tf")).as("mass"))
+      .agg((sum(col("mass")).cast("double")
+        / count(lit(1)).cast("double")).as("avg_mass"))
+    val w = tf.join(f, Seq("t")).crossJoin(broadcast(a))
+      .select(col("class"), col("t").as("term"), col("tf"),
+        round(col("tf").cast("double") *
+          log(lit(1.0) + col("avg_mass") / col("f").cast("double")), 6)
+          .as("w"))
+    w.withColumn("rk", row_number().over(
+        Window.partitionBy(col("class"))
+          .orderBy(col("w").desc, col("term").asc)).cast("int"))
+      .filter(col("rk") <= topK)
+      .select(col("class"), col("term"), col("tf"), col("w"), col("rk"))
+  }
 }

@@ -2398,4 +2398,54 @@ class OperatorsSpec extends SparkSpec {
     assert(graft.operators.Graph.kCore(chain, k = 2, rounds = 3)
       .count() == 0L)
   }
+
+  test("labelPropagation: labels meet mid-path; min-label tie-break; seeds immutable") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5 seeded A at 1, B at 5: round 1 labels 2<-A and
+    // 4<-B (3 has no labeled neighbor yet); round 2 gives 3 the
+    // tie {A, B} -> min -> A. Seed 5 stays B though its only
+    // neighbor says B anyway.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq((1L, "A"), (5L, "B")).toDF("node", "label")
+    val got = graft.operators.Graph
+      .labelPropagation(edges, seeds, rounds = 2)
+      .orderBy(col("node")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B")))
+    // after ONE round node 3 is still unlabeled
+    assert(graft.operators.Graph
+      .labelPropagation(edges, seeds, rounds = 1).count() == 4L)
+  }
+
+  test("cTfIdf: hand-computed class keyword weights") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(("X", "apple apple banana"), ("Y", "cherry banana"))
+      .toDF("source", "text")
+    val got = graft.operators.TextAnalysis
+      .cTfIdf(docs, "source", "text", topK = 1)
+      .orderBy(col("class")).collect()
+    // masses X=3, Y=2, A=2.5; w(X,apple)=2*ln(1+2.5/2)=1.62186,
+    // w(Y,cherry)=ln(1+2.5/1)=1.252763
+    assert(got.map(_.getString(1)).toSeq == Seq("apple", "cherry"))
+    assert(math.abs(got(0).getDouble(3) - 2.0 * math.log(2.25)) < 1e-6)
+    assert(math.abs(got(1).getDouble(3) - math.log(3.5)) < 1e-6)
+  }
+
+  test("psiDrift: identical slices score 0; a hard shift crosses 0.25") {
+    val s = spark
+    import s.implicits._
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val same = (1 to 100).map(_.toDouble).toDF("v")
+    val shifted = (51 to 150).map(_.toDouble).toDF("v")
+    val psi0 = graft.operators.Stats.psiDrift(ref, same, "v")
+      .collect()(0).getDouble(6)
+    assert(psi0 == 0.0)
+    val psi1 = graft.operators.Stats.psiDrift(ref, shifted, "v")
+      .collect()(0).getDouble(6)
+    assert(psi1 > 0.25)
+  }
 }

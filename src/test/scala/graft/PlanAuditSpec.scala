@@ -761,4 +761,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(!p.contains("Window"), p.take(3000))
   }
+
+  test("q154: label propagation — keyed joins, node-partitioned vote window") {
+    val p = plan("q154_label_prop")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("SinglePartition, ENSURE_REQUIREMENTS"),
+      p.take(3000))
+  }
+
+  test("q155: c-TF-IDF — one corpus exchange, vocab-sized ranking") {
+    // audited through Materializer.Passthrough so the checkpoint does
+    // not hide the corpus subplan (the q84 audit precedent)
+    import org.apache.spark.sql.functions.col
+    val p = graft.operators.TextAnalysis
+      .cTfIdf(spark.read.parquet(s"$dir/documents.parquet"),
+        "source", "text", topK = 5,
+        mat = graft.operators.Materializer.Passthrough)
+      .orderBy(col("class"), col("rk"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the only nested-loop join is the 1-row avg-mass broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      p.take(3000))
+  }
+
+  test("q156: PSI — slices bucket map-side; everything after is buckets-sized") {
+    val p = plan("q156_psi_drift")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
 }
