@@ -2600,6 +2600,26 @@ object SparkEntry {
       operators.Stats.psiDrift(
         ev.filter(col("ts") < cutoff),
         ev.filter(col("ts") >= cutoff), "value", buckets = 10)
+    }),
+
+    "q157_theilsen" -> ((s, dir) => {
+      // Theil–Sen robust ingest-volume trend per event type: median of
+      // all pairwise hourly slopes (bursts can't fool it the way they
+      // fool least squares). The pair set is quadratic in HOURS —
+      // calendar-bounded, independent of corpus size.
+      operators.TimeSeries.theilSenTrend(t(s, dir, "events"),
+          "event_type", "ts")
+        .orderBy(col("key"))
+    }),
+
+    "q158_seasonal" -> ((s, dir) => {
+      // calendar-seasonal anomaly scan: each (type, hour-of-day) slot
+      // learns its own mean/sigma from exact integer sums; hours beyond
+      // 3 sigma OF THEIR SLOT are flagged — "is 3 AM traffic weird for
+      // 3 AM". Profile is types x 24 rows, broadcast back.
+      operators.TimeSeries.seasonalAnomalies(t(s, dir, "events"),
+          "event_type", "ts", z = 3.0)
+        .orderBy(col("key"), col("hour"))
     })
   )
 
@@ -5747,7 +5767,62 @@ object SparkEntry {
         |)
         |SELECT CAST(bucket AS INT) AS bucket, n_ref, n_cur,
         |  p_ref, p_cur, contrib, psi
-        |FROM sc2 CROSS JOIN psi ORDER BY bucket""".stripMargin
+        |FROM sc2 CROSS JOIN psi ORDER BY bucket""".stripMargin,
+
+    "q157_theilsen" ->
+      """WITH abs0 AS MATERIALIZED (
+        |  SELECT key, xa, CAST(count(*) AS BIGINT) AS y
+        |  FROM (SELECT event_type AS key,
+        |          CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600
+        |            AS xa
+        |        FROM events)
+        |  GROUP BY 1, 2
+        |), base AS MATERIALIZED (
+        |  SELECT a.key AS key, a.xa - m.x0 AS x, a.y AS y
+        |  FROM abs0 a JOIN (SELECT key, min(xa) AS x0 FROM abs0
+        |                    GROUP BY 1) m
+        |    ON a.key = m.key
+        |), slopes AS (
+        |  SELECT a.key,
+        |    round(CAST(b.y - a.y AS DOUBLE)
+        |      / CAST(b.x - a.x AS DOUBLE), 9) AS m
+        |  FROM base a JOIN base b ON a.key = b.key AND a.x < b.x
+        |), sl AS (
+        |  SELECT key, round(quantile_cont(m, 0.5), 6) AS slope
+        |  FROM slopes GROUP BY 1
+        |)
+        |SELECT base.key AS key, CAST(count(*) AS BIGINT) AS n_hours,
+        |  any_value(slope) AS slope,
+        |  round(quantile_cont(y - slope * x, 0.5), 6) AS intercept
+        |FROM base JOIN sl ON base.key = sl.key
+        |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    "q158_seasonal" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT event_type AS key, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), b2 AS (
+        |  SELECT key, hour, n, CAST(hour(hour) AS INT) AS hod FROM base
+        |), prof AS (
+        |  SELECT key, hod, count(*) AS cnt, sum(n) AS s,
+        |    sum(n * n) AS ss
+        |  FROM b2 GROUP BY 1, 2
+        |), p2 AS (
+        |  SELECT key, hod,
+        |    round(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE), 9) AS mean_n,
+        |    round(sqrt((CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(cnt AS DOUBLE))
+        |      / CAST(cnt AS DOUBLE)), 6) AS sd_n
+        |  FROM prof
+        |)
+        |SELECT key, hour, n, hod, mean_n, sd_n,
+        |  round((CAST(n AS DOUBLE) - mean_n) / sd_n, 6) AS zscore
+        |FROM b2 JOIN p2 USING (key, hod)
+        |WHERE sd_n > 0
+        |  AND abs(CAST(n AS DOUBLE) - mean_n) > 3.0 * sd_n
+        |ORDER BY key, hour""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.labelPropagation]] over the

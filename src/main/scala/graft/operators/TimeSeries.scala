@@ -89,4 +89,96 @@ object TimeSeries {
         col(tsCol).as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"), col("version"))
   }
+
+  /** Theil–Sen robust trend per key over the hourly activity series:
+    * slope = the MEDIAN of all pairwise slopes (Theil 1950 / Sen 1968 —
+    * up to ~29% corrupted hours cannot move it, unlike least squares),
+    * intercept = median(y − slope·x). The trend monitor a pipeline runs
+    * over ingest volumes: "is this source growing, shrinking, or did one
+    * burst just fool the regression?".
+    *
+    * Scale shape: the pairwise slope set is quadratic in HOURS — a
+    * calendar-bounded number independent of corpus size — never in
+    * corpus rows; the raw stream partial-combines to (key, hour, n)
+    * first, and the pair join is per-key time-bounded. Slopes are
+    * integer-count differences over integer-hour gaps (round(9));
+    * medians are the exact q51-pinned percentile; slope round(6) before
+    * the intercept pass so both engines subtract identical bits.
+    * Returns (key, n_hours, slope, intercept). */
+  def theilSenTrend(points: DataFrame, keyCol: String, tsCol: String,
+                    mat: Materializer = Materializer.Local): DataFrame = {
+    // pinned: the hourly table feeds both pair sides and the intercept
+    // pass — unpinned, the corpus aggregation would run three times
+    val abs0 = mat(points
+      .groupBy(col(keyCol).as("key"),
+        date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("key"),
+        (unix_timestamp(col("hour")) / 3600L).cast("long").as("xa"),
+        col("n").cast("long").as("y")))
+    // x rebased to each key's series start so the intercept reads as
+    // the level AT THE START, not at epoch 0 (all downstream references
+    // are cheap projections over the pinned hourly table)
+    val base = abs0
+      .join(broadcast(abs0.groupBy(col("key"))
+        .agg(min(col("xa")).as("x0"))), Seq("key"))
+      .select(col("key"), (col("xa") - col("x0")).as("x"), col("y"))
+    val a = base.select(col("key"), col("x").as("x1"), col("y").as("y1"))
+    val b = base.select(col("key"), col("x").as("x2"), col("y").as("y2"))
+    val slopes = a.join(b, Seq("key")).filter(col("x1") < col("x2"))
+      .select(col("key"),
+        round((col("y2") - col("y1")).cast("double")
+          / (col("x2") - col("x1")).cast("double"), 9).as("m"))
+    val slope = slopes.groupBy(col("key"))
+      .agg(round(expr("percentile(m, 0.5)"), 6).as("slope"))
+    base.join(broadcast(slope), Seq("key"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).cast("long").as("n_hours"),
+        first(col("slope")).as("slope"),
+        round(expr("percentile(y - slope * x, 0.5)"), 6).as("intercept"))
+  }
+
+  /** Calendar-seasonal anomaly detection: each (key, hour-of-day) slot
+    * learns its own mean/σ from the hourly counts, and hours deviating
+    * more than `z` standard deviations from their slot profile are
+    * flagged — the "is 3 AM traffic weird FOR 3 AM" monitor that a flat
+    * threshold can't express. Returns flagged
+    * (key, hour, n, hod, mean_n, sd_n, zscore).
+    *
+    * Scale shape: hourly counts partial-combine from the raw stream
+    * (the corpus's only exchange); the profile table is key×24 rows
+    * computed from EXACT integer sums (sum, sum-of-squares), broadcast
+    * back over the hourly table. Variance from exact longs in one
+    * double op order, round(6); population σ (the profile is the whole
+    * window, not a sample). */
+  def seasonalAnomalies(points: DataFrame, keyCol: String, tsCol: String,
+                        z: Double = 3.0,
+                        mat: Materializer = Materializer.Local)
+      : DataFrame = {
+    // pinned: the hourly table feeds the profile AND the flag join
+    val base = mat(points
+      .groupBy(col(keyCol).as("key"),
+        date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hod", hour(col("hour")).cast("int")))
+    val prof = base.groupBy(col("key"), col("hod"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+      .select(col("key"), col("hod"), col("cnt"),
+        round(col("s").cast("double") / col("cnt").cast("double"), 9)
+          .as("mean_n"),
+        round(sqrt(
+          (col("ss").cast("double")
+            - col("s").cast("double") * col("s").cast("double")
+              / col("cnt").cast("double"))
+            / col("cnt").cast("double")), 6).as("sd_n"))
+    base.join(broadcast(prof), Seq("key", "hod"))
+      .filter(col("sd_n") > 0 &&
+        abs(col("n").cast("double") - col("mean_n"))
+          > lit(z) * col("sd_n"))
+      .select(col("key"), col("hour"), col("n"), col("hod"),
+        col("mean_n"), col("sd_n"),
+        round((col("n").cast("double") - col("mean_n")) / col("sd_n"), 6)
+          .as("zscore"))
+  }
 }

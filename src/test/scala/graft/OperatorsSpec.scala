@@ -2448,4 +2448,39 @@ class OperatorsSpec extends SparkSpec {
       .collect()(0).getDouble(6)
     assert(psi1 > 0.25)
   }
+
+  test("theilSenTrend: a burst hour cannot move the median slope") {
+    val s = spark
+    import s.implicits._
+    // hourly counts 2h+3 (slope 2, intercept 3) except hour 5 bursts to
+    // 53 rows: least squares would bend, the pairwise median must not
+    val rows = (0 until 10).flatMap { h =>
+      val n = if (h == 5) 53 else 2 * h + 3
+      (0 until n).map(i =>
+        ("k", java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:15:00")))
+    }
+    val got = graft.operators.TimeSeries
+      .theilSenTrend(rows.toDF("k", "ts"), "k", "ts").collect()(0)
+    assert(got.getLong(1) == 10L)
+    assert(got.getDouble(2) == 2.0)
+    assert(got.getDouble(3) == 3.0)
+  }
+
+  test("seasonalAnomalies: only the burst day of its slot is flagged") {
+    val s = spark
+    import s.implicits._
+    // 20 days of the 03:00 slot: 19 quiet days (1 event) and one 100x
+    // burst -> mean 5.95, sigma ~21.6, burst z ~4.35, quiet z ~0.23
+    val rows = (0 until 20).flatMap { d =>
+      val n = if (d == 19) 100 else 1
+      (0 until n).map(_ =>
+        ("k", java.sql.Timestamp.valueOf(f"2024-03-${d + 1}%02d 03:10:00")))
+    }
+    val got = graft.operators.TimeSeries
+      .seasonalAnomalies(rows.toDF("k", "ts"), "k", "ts", z = 3.0)
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(2) == 100L && got(0).getInt(3) == 3)
+    assert(got(0).getDouble(6) > 4.0)
+  }
 }

@@ -792,4 +792,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("Window"), p.take(3000))
   }
+
+  test("q157/q158: time-series monitors — keyed pair join / broadcast profile") {
+    for (q <- Seq("q157_theilsen", "q158_seasonal")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q + "\n" + p.take(3000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+      assert(!p.contains("Window"), q)
+    }
+    assert(plan("q158_seasonal").contains("BroadcastHashJoin"))
+  }
 }
