@@ -2620,6 +2620,72 @@ object SparkEntry {
       operators.TimeSeries.seasonalAnomalies(t(s, dir, "events"),
           "event_type", "ts", z = 3.0)
         .orderBy(col("key"), col("hour"))
+    }),
+
+    "q159_cusum" -> ((s, dir) => {
+      // CUSUM level-shift scan per event type: the sequential
+      // max(0, S + z - k) recurrence, computed as a prefix-sum +
+      // prefix-min window identity over EXACT decimals — catches
+      // sustained drifts the per-hour 3-sigma gate (q158) never trips.
+      operators.TimeSeries.cusumChangepoints(t(s, dir, "events"),
+          "event_type", "ts", slack = 0.5, threshold = 4.0)
+        .orderBy(col("key"), col("hour"))
+    }),
+
+    "q160_active_users" -> ((s, dir) => {
+      // DAU / trailing-7-day WAU / stickiness per day: user-days fan
+      // out map-side to the days they cover (bounded explode), then one
+      // (user, day) distinct — no per-day rescan, no range self-join.
+      operators.TimeSeries.activeUsers(t(s, dir, "events"), "ts",
+          "user_id", window = 7)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"), col("stickiness"))
+        .orderBy(col("day"))
+    }),
+
+    "q161_linkpred" -> ((s, dir) => {
+      // Adamic-Adar link prediction over the support>=2 co-purchase
+      // part graph (q145's edge set): non-edges scored by
+      // sum 1/ln(deg) over common neighbors; candidates form only
+      // through wedges, hub centers capped (maxDegree).
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cm"))
+        .filter(col("cm") >= 2)
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      operators.Graph.adamicAdar(edges, maxDegree = 64, topN = 100)
+    }),
+
+    "q162_auc" -> ((s, dir) => {
+      // rank-sum (Mann-Whitney) ROC AUC of a per-vector score against
+      // a binary label — the threshold-free gate readout: score = the
+      // vector's first component, positive = even cluster label. Bins
+      // partial-combine; the prefix window rides the bounded bin table.
+      val emb = t(s, dir, "embeddings")
+      operators.Stats.aucRankSum(
+        emb.select(element_at(col("embedding"), 1).as("score"),
+          (col("label") % 2 === 0).as("pos")),
+        "score", "pos")
+    }),
+
+    "q163_basket_lift" -> ((s, dir) => {
+      // pairwise association rules over order baskets: support /
+      // directional confidence / lift, minCount >= 3, top 100 by lift.
+      // Pair fanout is basket-size-bounded; item counts broadcast.
+      operators.Stats.associationLift(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minCount = 3, topN = 100)
+    }),
+
+    "q164_rfm" -> ((s, dir) => {
+      // RFM lifecycle segmentation: per-customer recency / frequency /
+      // monetary scored 1-5 against exact population quintile fences
+      // (broadcast, assigned map-side), rolled up to segment cells.
+      operators.Stats.rfmSegments(t(s, dir, "orders"), "o_custkey",
+        "o_orderdate", "o_totalprice")
     })
   )
 
@@ -5822,7 +5888,204 @@ object SparkEntry {
         |FROM b2 JOIN p2 USING (key, hod)
         |WHERE sd_n > 0
         |  AND abs(CAST(n AS DOUBLE) - mean_n) > 3.0 * sd_n
-        |ORDER BY key, hour""".stripMargin
+        |ORDER BY key, hour""".stripMargin,
+
+    "q159_cusum" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT event_type AS key, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), prof AS (
+        |  SELECT key, count(*) AS cnt, sum(n) AS s, sum(n * n) AS ss
+        |  FROM base GROUP BY 1
+        |), p2 AS (
+        |  SELECT key,
+        |    round(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE), 9) AS mean_n,
+        |    round(sqrt((CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(cnt AS DOUBLE))
+        |      / CAST(cnt AS DOUBLE)), 6) AS sd_n
+        |  FROM prof
+        |), z AS (
+        |  SELECT key, hour, n,
+        |    CAST(round((CAST(n AS DOUBLE) - mean_n) / sd_n, 6)
+        |      AS DECIMAL(38,6)) AS z
+        |  FROM base JOIN p2 USING (key) WHERE sd_n > 0
+        |), m AS (
+        |  SELECT key, hour, n, z,
+        |    sum(z - CAST(0.5 AS DECIMAL(38,6))) OVER w AS m_up,
+        |    sum(-z - CAST(0.5 AS DECIMAL(38,6))) OVER w AS m_dn
+        |  FROM z
+        |  WINDOW w AS (PARTITION BY key ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), s AS (
+        |  SELECT key, hour, n, z,
+        |    m_up - least(min(m_up) OVER w, 0) AS s_plus,
+        |    m_dn - least(min(m_dn) OVER w, 0) AS s_minus
+        |  FROM m
+        |  WINDOW w AS (PARTITION BY key ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT key, hour, n, round(CAST(z AS DOUBLE), 6) AS z,
+        |  round(CAST(s_plus AS DOUBLE), 6) AS s_plus,
+        |  round(CAST(s_minus AS DOUBLE), 6) AS s_minus,
+        |  s_plus > 4.0 AS shift_up, s_minus > 4.0 AS shift_down
+        |FROM s ORDER BY key, hour""".stripMargin,
+
+    "q160_active_users" ->
+      """WITH ud AS MATERIALIZED (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |  FROM events
+        |), dau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+        |), cov AS (
+        |  SELECT DISTINCT u, day + CAST(g.i AS INT) AS day
+        |  FROM ud, unnest(generate_series(0, 6)) AS g(i)
+        |), wau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS wau FROM cov GROUP BY 1
+        |)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau,
+        |  round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6)
+        |    AS stickiness
+        |FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
+
+    "q161_linkpred" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), adj AS MATERIALIZED (
+        |  SELECT u AS w, v AS nb FROM e
+        |  UNION ALL SELECT v, u FROM e
+        |), deg AS (
+        |  SELECT w, count(*) AS d FROM adj GROUP BY 1
+        |), centers AS MATERIALIZED (
+        |  SELECT adj.w, adj.nb,
+        |    CAST(round(1.0 / ln(CAST(d AS DOUBLE)), 9)
+        |      AS DECIMAL(38,9)) AS wt
+        |  FROM adj JOIN deg USING (w)
+        |  WHERE d <= 64 AND d >= 2
+        |), scored AS (
+        |  SELECT a.nb AS u, b.nb AS v,
+        |    round(CAST(sum(a.wt) AS DOUBLE), 6) AS score
+        |  FROM centers a JOIN centers b
+        |    ON a.w = b.w AND a.nb < b.nb
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s.u, s.v, s.score FROM scored s
+        |LEFT JOIN e ON e.u = s.u AND e.v = s.v
+        |WHERE e.u IS NULL
+        |ORDER BY s.score DESC, s.u, s.v LIMIT 100""".stripMargin,
+
+    "q162_auc" ->
+      """WITH b AS (
+        |  SELECT round(CAST(embedding[1] AS DOUBLE), 6) AS s,
+        |    sum(CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END) AS np,
+        |    sum(CASE WHEN label % 2 = 0 THEN 0 ELSE 1 END) AS nn
+        |  FROM embeddings GROUP BY 1
+        |), w AS (
+        |  SELECT np, nn,
+        |    coalesce(sum(nn) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below
+        |  FROM b
+        |)
+        |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  round(CAST(sum(2 * np * below + np * nn) AS DOUBLE)
+        |    / (2.0 * CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE)),
+        |    6) AS auc
+        |FROM w""".stripMargin,
+
+    "q163_basket_lift" ->
+      """WITH bi AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem
+        |), nb AS (
+        |  SELECT count(DISTINCT bk) AS n_baskets FROM bi
+        |), items AS (
+        |  SELECT it, count(*) AS n_item FROM bi GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.it AS item_a, b.it AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |)
+        |SELECT item_a, item_b, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6)
+        |    AS support,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6)
+        |    AS conf_ab,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(ib.n_item AS DOUBLE), 6)
+        |    AS conf_ba,
+        |  round(CAST(n_baskets AS DOUBLE) * CAST(n_ab AS DOUBLE)
+        |    / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)), 6)
+        |    AS lift
+        |FROM pairs
+        |JOIN items ia ON ia.it = item_a
+        |JOIN items ib ON ib.it = item_b, nb
+        |ORDER BY lift DESC, item_a, item_b LIMIT 100""".stripMargin,
+
+    "q164_rfm" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT o_custkey AS cust, max(o_orderdate) AS last_d,
+        |    CAST(count(*) AS BIGINT) AS f,
+        |    sum(CAST(o_totalprice AS DECIMAL(38,6))) AS m
+        |  FROM orders GROUP BY 1
+        |), rfm AS MATERIALIZED (
+        |  SELECT cust,
+        |    CAST(date_diff('day', CAST(last_d AS DATE),
+        |      CAST((SELECT max(last_d) FROM per) AS DATE)) AS BIGINT)
+        |      AS r,
+        |    f, CAST(m AS DOUBLE) AS md, m
+        |  FROM per
+        |), fen AS (
+        |  SELECT
+        |    round(quantile_cont(CAST(r AS DOUBLE), 0.2), 6) AS r1,
+        |    round(quantile_cont(CAST(r AS DOUBLE), 0.4), 6) AS r2,
+        |    round(quantile_cont(CAST(r AS DOUBLE), 0.6), 6) AS r3,
+        |    round(quantile_cont(CAST(r AS DOUBLE), 0.8), 6) AS r4,
+        |    round(quantile_cont(CAST(f AS DOUBLE), 0.2), 6) AS f1,
+        |    round(quantile_cont(CAST(f AS DOUBLE), 0.4), 6) AS f2,
+        |    round(quantile_cont(CAST(f AS DOUBLE), 0.6), 6) AS f3,
+        |    round(quantile_cont(CAST(f AS DOUBLE), 0.8), 6) AS f4,
+        |    round(quantile_cont(md, 0.2), 6) AS m1,
+        |    round(quantile_cont(md, 0.4), 6) AS m2,
+        |    round(quantile_cont(md, 0.6), 6) AS m3,
+        |    round(quantile_cont(md, 0.8), 6) AS m4
+        |  FROM rfm
+        |), scoredc AS (
+        |  SELECT
+        |    CAST(6 - (1
+        |      + (CASE WHEN CAST(r AS DOUBLE) > r1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(r AS DOUBLE) > r2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(r AS DOUBLE) > r3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(r AS DOUBLE) > r4 THEN 1 ELSE 0 END))
+        |      AS INT) AS r_score,
+        |    CAST(1
+        |      + (CASE WHEN CAST(f AS DOUBLE) > f1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(f AS DOUBLE) > f2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(f AS DOUBLE) > f3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(f AS DOUBLE) > f4 THEN 1 ELSE 0 END)
+        |      AS INT) AS f_score,
+        |    CAST(1
+        |      + (CASE WHEN md > m1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN md > m2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN md > m3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN md > m4 THEN 1 ELSE 0 END)
+        |      AS INT) AS m_score,
+        |    m
+        |  FROM rfm, fen
+        |)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS avg_m
+        |FROM scoredc GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.labelPropagation]] over the

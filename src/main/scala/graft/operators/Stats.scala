@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Decision-grade summary statistics over the corpus: the two-sample
@@ -159,5 +160,143 @@ object Stats {
       round(sum(col("contrib").cast("decimal(38,9)")).cast("double"), 6)
         .as("psi"))
     scored.crossJoin(broadcast(psi)).orderBy(col("bucket"))
+  }
+
+  /** ROC AUC by rank-sum (Mann–Whitney): the threshold-free readout a
+    * quality-classifier gate (q91) is actually approved on. Scores are
+    * binned to round(6) — the grid that bounds the ranking table
+    * regardless of corpus size — and per-bin (n_pos, n_neg) counts
+    * partial-combine from the corpus in its ONLY exchange. Over the
+    * ordered bin table, AUC = Σ_b [pos_b·negBelow_b + pos_b·neg_b/2]
+    * / (P·N) — the tie-aware trapezoid — computed entirely in integer
+    * arithmetic (the ½ via a doubled numerator) with ONE double
+    * division at the end, round(6). The prefix window runs over the
+    * bounded bin table, never the corpus. Returns one row
+    * (n_pos, n_neg, auc). */
+  def aucRankSum(df: DataFrame, scoreCol: String, labelCol: String)
+      : DataFrame = {
+    val bins = df.groupBy(
+        round(col(scoreCol).cast("double"), 6).as("s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val num = bins
+      .withColumn("below", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(sum(lit(2L) * col("np") * col("below")
+          + col("np") * col("nn")).as("num2"),
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+    num.select(col("n_pos"), col("n_neg"),
+      round(col("num2").cast("double")
+        / (lit(2.0) * col("n_pos").cast("double")
+          * col("n_neg").cast("double")), 6).as("auc"))
+  }
+
+  /** RFM customer segmentation — the classic lifecycle grid: per
+    * customer, Recency (days since last order, vs the corpus's max
+    * order date), Frequency (order count) and Monetary (DECIMAL(38,6)
+    * revenue sum) are each scored 1–5 against the population's exact
+    * quintile fences, and customers aggregate into (r, f, m) segment
+    * cells. Returns (r_score, f_score, m_score, n_customers, avg_m).
+    *
+    * Scale shape: one customer-keyed aggregate (the only corpus-sized
+    * exchange), a 1-row max-date broadcast, one tiny quintile-fence
+    * aggregate broadcast back, scores assigned MAP-SIDE via an
+    * aggregate HOF over the fence arrays (the q156 bucket idiom —
+    * `score = 1 + Σ(v > fence)`, deterministic under ties), then a
+    * ≤125-row segment rollup. Exact percentile fences round(6);
+    * approx_percentile is the documented 100 TB substitution. */
+  def rfmSegments(orders: DataFrame, custCol: String, dateCol: String,
+                  amountCol: String,
+                  mat: Materializer = Materializer.Local): DataFrame = {
+    // pinned: the per-customer table feeds the fences AND the scoring
+    val per = mat(orders
+      .groupBy(col(custCol).as("cust"))
+      .agg(max(col(dateCol)).as("last_d"),
+        count(lit(1)).as("f"),
+        sum(col(amountCol).cast("decimal(38,6)")).as("m")))
+    val refd = per.agg(max(col("last_d")).as("ref_d"))
+    val rfm = per.crossJoin(broadcast(refd))
+      .select(col("cust"),
+        datediff(col("ref_d"), col("last_d")).cast("long").as("r"),
+        col("f"), col("m").cast("double").as("md"), col("m"))
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    def fences(c: String) =
+      expr(s"transform(percentile($c, array(${qs.mkString(", ")}))," +
+        " b -> round(b, 6))")
+    val fen = rfm.agg(fences("r").as("rf"), fences("f").as("ff"),
+      fences("md").as("mf"))
+    def bucket(v: Column, fs: Column): Column =
+      aggregate(fs, lit(1),
+        (acc, b) => acc + when(v > b, 1).otherwise(0))
+    rfm.crossJoin(broadcast(fen))
+      .select(
+        // recent = small r = high score: invert the ascending bucket
+        (lit(6) - bucket(col("r").cast("double"), col("rf")))
+          .as("r_score"),
+        bucket(col("f").cast("double"), col("ff")).as("f_score"),
+        bucket(col("md"), col("mf")).as("m_score"), col("m"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        // exact DECIMAL sum, ONE double division (decimal/decimal
+        // division scale rules are engine-specific — don't rely on them)
+        round(sum(col("m")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("avg_m"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  /** Market-basket association rules (Agrawal & Srikant 1994, the
+    * pairwise core): item pairs co-occurring in at least `minCount`
+    * baskets, scored by support `n_ab/N`, both directional confidences
+    * `n_ab/n_a`, `n_ab/n_b`, and lift `N·n_ab/(n_a·n_b)` — the
+    * cross-sell / co-curation signal read off order logs. Returns the
+    * top `topN` pairs (item_a, item_b, n_ab, support, conf_ab,
+    * conf_ba, lift), item_a < item_b, ordered (lift desc, item_a,
+    * item_b).
+    *
+    * Scale shape: baskets dedupe to DISTINCT (basket, item) first, so
+    * pair fanout is quadratic in BASKET SIZE (bounded by the order
+    * format, never by corpus rows); the pair self-join is a
+    * basket-keyed equi-join; `minCount` gates before the item-count
+    * join-backs, and the item-frequency table is dimension-scale →
+    * broadcast. N is a 1-row broadcast. All ratios are exact-integer
+    * quotients evaluated once in double, round(6); topN rides
+    * TakeOrdered. */
+  def associationLift(baskets: DataFrame, basketCol: String,
+                      itemCol: String, minCount: Long, topN: Int,
+                      mat: Materializer = Materializer.Local)
+      : DataFrame = {
+    // pinned: the distinct basket-item table feeds N, item counts, and
+    // both pair sides
+    val bi = mat(baskets
+      .select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct())
+    val n = bi.agg(count_distinct(col("bk")).as("n_baskets"))
+    val items = bi.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
+    val a = bi.select(col("bk"), col("it").as("item_a"))
+    val b = bi.select(col("bk"), col("it").as("item_b"))
+    val pairs = a.join(b, Seq("bk"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val scored = pairs
+      .join(broadcast(items.select(col("it").as("item_a"),
+        col("n_item").as("n_a"))), Seq("item_a"))
+      .join(broadcast(items.select(col("it").as("item_b"),
+        col("n_item").as("n_b"))), Seq("item_b"))
+      .crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        round(col("n_ab").cast("double")
+          / col("n_baskets").cast("double"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+          .as("conf_ab"),
+        round(col("n_ab").cast("double") / col("n_b").cast("double"), 6)
+          .as("conf_ba"),
+        round(col("n_baskets").cast("double") * col("n_ab").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("lift"))
+    scored.orderBy(col("lift").desc, col("item_a"), col("item_b"))
+      .limit(topN)
   }
 }

@@ -181,4 +181,106 @@ object TimeSeries {
         round((col("n").cast("double") - col("mean_n")) / col("sd_n"), 6)
           .as("zscore"))
   }
+
+  /** CUSUM level-shift detection (Page 1954) over the hourly count
+    * series per key: the sequential recurrence
+    * `S⁺_t = max(0, S⁺_{t-1} + z_t − slack)` (and its mirror for
+    * downward shifts) flags SUSTAINED drifts that per-hour z-scores
+    * (q158) miss — ten consecutive +1σ hours never trip a 3σ gate but
+    * drive S⁺ to 10·(1−slack). Returns the full scored series
+    * (key, hour, n, z, s_plus, s_minus, shift_up, shift_down).
+    *
+    * The recurrence LOOKS inherently sequential, but the running-max
+    * identity `S⁺_t = M_t − min(0, min_{i≤t} M_i)` with
+    * `M_t = Σ_{j≤t}(z_j − slack)` turns it into a prefix SUM plus a
+    * prefix MIN — two ordinary window aggregates both engines run over
+    * one per-key ordered frame. z-scores round(6) then accumulate as
+    * DECIMAL(38,6), so the prefix sum is EXACT and evaluation order
+    * (Spark's running frame vs DuckDB's segment tree) cannot flip a
+    * bit.
+    *
+    * Scale shape: the raw stream partial-combines to (key, hour, n) —
+    * its only exchange; the per-key profile is exact integer sums
+    * broadcast back (the q158 idiom); windows are key-partitioned and
+    * calendar-bounded. Constant series (σ = 0) carry no shift signal
+    * and are dropped. */
+  def cusumChangepoints(points: DataFrame, keyCol: String, tsCol: String,
+                        slack: Double = 0.5, threshold: Double = 4.0,
+                        mat: Materializer = Materializer.Local)
+      : DataFrame = {
+    // pinned: the hourly table feeds the profile AND the scored series
+    val base = mat(points
+      .groupBy(col(keyCol).as("key"),
+        date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n")))
+    val prof = base.groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+      .select(col("key"),
+        round(col("s").cast("double") / col("cnt").cast("double"), 9)
+          .as("mean_n"),
+        round(sqrt(
+          (col("ss").cast("double")
+            - col("s").cast("double") * col("s").cast("double")
+              / col("cnt").cast("double"))
+            / col("cnt").cast("double")), 6).as("sd_n"))
+    val w = Window.partitionBy(col("key")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val k = lit(slack).cast("decimal(38,6)")
+    val scored = base.join(broadcast(prof), Seq("key"))
+      .filter(col("sd_n") > 0)
+      .withColumn("z",
+        round((col("n").cast("double") - col("mean_n")) / col("sd_n"), 6)
+          .cast("decimal(38,6)"))
+      .withColumn("m_up", sum(col("z") - k).over(w))
+      .withColumn("m_dn", sum(-col("z") - k).over(w))
+      .withColumn("s_plus",
+        col("m_up") - least(min(col("m_up")).over(w), lit(0)))
+      .withColumn("s_minus",
+        col("m_dn") - least(min(col("m_dn")).over(w), lit(0)))
+    // round(·, 6) AFTER the double cast: decimal→double casting is not
+    // correctly rounded in every engine (scaled-multiply vs divide can
+    // differ in the last ulp) — re-rounding lands both on the same bits
+    scored.select(col("key"), col("hour"), col("n"),
+      round(col("z").cast("double"), 6).as("z"),
+      round(col("s_plus").cast("double"), 6).as("s_plus"),
+      round(col("s_minus").cast("double"), 6).as("s_minus"),
+      (col("s_plus") > threshold).as("shift_up"),
+      (col("s_minus") > threshold).as("shift_down"))
+  }
+
+  /** Rolling active-user engagement series: per calendar day, DAU
+    * (distinct users that day), WAU over a trailing `window`-day range
+    * (distinct users in [day − window + 1, day]), and the DAU/WAU
+    * stickiness ratio — the standard product-health readout. Returns
+    * (day, dau, wau, stickiness) for each day observed in the stream.
+    *
+    * Scale shape: the raw stream first collapses to DISTINCT
+    * (user, day) — bounded by users × days, the only corpus-sized
+    * exchange. The trailing window is NOT a per-day rescan: each
+    * user-day row fans out map-side to the `window` future days it
+    * covers (a bounded explode), then one (user, day) distinct +
+    * per-day count. No window function, no range self-join; every
+    * aggregate partial-combines. */
+  def activeUsers(events: DataFrame, tsCol: String, userCol: String,
+                  window: Int = 7,
+                  mat: Materializer = Materializer.Local): DataFrame = {
+    require(window >= 1)
+    // pinned: the user-day table feeds DAU, the fan-out, and the spine
+    val ud = mat(events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct())
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("u"), explode(sequence(col("day"),
+        date_add(col("day"), window - 1))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    // the spine is the observed-day set: fan-out days past the stream's
+    // end carry partial windows and are clipped by the inner join
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+  }
 }

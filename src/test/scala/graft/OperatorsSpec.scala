@@ -2483,4 +2483,135 @@ class OperatorsSpec extends SparkSpec {
     assert(got(0).getLong(2) == 100L && got(0).getInt(3) == 3)
     assert(got(0).getDouble(6) > 4.0)
   }
+
+  test("cusumChangepoints: window identity == the sequential recurrence") {
+    val s = spark
+    import s.implicits._
+    // 20 quiet hours at ~level 5 then 10 hours one notch up: per-hour z
+    // never trips a 3-sigma gate, but the CUSUM accumulates the shift
+    val rows = (0 until 30).flatMap { h =>
+      val n = if (h >= 20) 7 else if (h % 2 == 0) 4 else 6
+      (0 until n).map(_ =>
+        ("k", java.sql.Timestamp.valueOf(f"2024-03-01 00:00:00")
+          .toInstant.plusSeconds(h * 3600L))).map { case (k, i) =>
+        (k, java.sql.Timestamp.from(i))
+      }
+    }
+    val got = graft.operators.TimeSeries
+      .cusumChangepoints(rows.toDF("k", "ts"), "k", "ts",
+        slack = 0.5, threshold = 4.0)
+      .orderBy(col("hour")).collect()
+    assert(got.length == 30)
+    // replay Page's recurrence S <- max(0, S + z - k) sequentially over
+    // the returned z column; the prefix-sum/prefix-min window form must
+    // land on identical values
+    var sp = BigDecimal(0); var sm = BigDecimal(0)
+    val k = BigDecimal("0.5")
+    for (r <- got) {
+      val z = BigDecimal(r.getDouble(3).toString)
+      sp = (sp + z - k).max(0)
+      sm = (sm - z - k).max(0)
+      assert(math.abs(r.getDouble(4) - sp.toDouble) < 1e-9, r)
+      assert(math.abs(r.getDouble(5) - sm.toDouble) < 1e-9, r)
+    }
+    // the sustained one-notch shift is flagged upward, never downward
+    assert(got.exists(_.getBoolean(6)))
+    assert(!got.exists(_.getBoolean(7)))
+  }
+
+  test("activeUsers: trailing window covers earlier days, stickiness exact") {
+    val s = spark
+    import s.implicits._
+    def ts(d: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$d%02d 10:00:00")
+    // user 1 on days 1 and 5, user 2 on day 1 only
+    val rows = Seq((1L, ts(1)), (1L, ts(1)), (1L, ts(5)), (2L, ts(1)))
+    val got = graft.operators.TimeSeries
+      .activeUsers(rows.toDF("u", "ts"), "ts", "u", window = 7)
+      .orderBy(col("day"))
+      .collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 2L
+      && got(0).getDouble(3) == 1.0)
+    // day 5: only user 1 active that day, but both fall in [Feb 28, Mar 5]
+    assert(got(1).getLong(1) == 1L && got(1).getLong(2) == 2L
+      && got(1).getDouble(3) == 0.5)
+  }
+
+  test("adamicAdar: path wedges score 1/ln(2); hub centers are capped") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4: non-edges (1,3) and (2,4) each share one degree-2
+    // center -> score 1/ln(2); plus a hub 0 joined to 5 spokes that the
+    // maxDegree=3 cap must exclude (its spokes would otherwise pair up)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val hub = (10L to 14L).map(sp => (0L, sp))
+    val got = graft.operators.Graph
+      .adamicAdar((path ++ hub).toDF("src", "dst"), maxDegree = 3,
+        topN = 10)
+      .collect()
+    assert(got.length == 2)
+    val w = BigDecimal(1.0 / math.log(2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (r <- got) assert(r.getDouble(2) == w, r)
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 3L), (2L, 4L)))
+  }
+
+  test("aucRankSum: tie-aware hand-computed AUC") {
+    val s = spark
+    import s.implicits._
+    // pos scores {0.9, 0.8}, neg {0.8, 0.7}: 0.9 beats both negs, 0.8
+    // beats 0.7 and ties 0.8 -> (2 + 1 + 0.5) / 4 = 0.875
+    val rows = Seq((0.9, true), (0.8, true), (0.8, false), (0.7, false))
+    val got = graft.operators.Stats
+      .aucRankSum(rows.toDF("score", "pos"), "score", "pos").collect()(0)
+    assert(got.getLong(0) == 2L && got.getLong(1) == 2L)
+    assert(got.getDouble(2) == 0.875)
+  }
+
+  test("rfmSegments: 5 separable customers land on the 5 diagonal cells") {
+    val s = spark
+    import s.implicits._
+    // customer i: i orders of 100*i each, last order on day i -> most
+    // recent + most frequent + highest spend is customer 5 across all
+    // three axes; exact quintile fences separate the 5 distinct values
+    val rows = (1 to 5).flatMap { i =>
+      (1 to i).map(j =>
+        (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-$i%02d 12:00:00"),
+          100.0 * i))
+    }
+    val got = graft.operators.Stats
+      .rfmSegments(rows.toDF("c", "d", "amt"), "c", "d", "amt")
+      .collect()
+    assert(got.length == 5)
+    for (r <- got) {
+      val sc = r.getInt(0)
+      assert(r.getInt(1) == sc && r.getInt(2) == sc)
+      assert(r.getLong(3) == 1L)
+      // segment (i,i,i) holds customer i: total spend i * 100 * i
+      assert(r.getDouble(4) == 100.0 * sc * sc)
+    }
+  }
+
+  test("associationLift: hand-computed support/confidence/lift") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, "A"), (1L, "B"), (1L, "C"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (4L, "C"))
+    val got = graft.operators.Stats
+      .associationLift(rows.toDF("bk", "it"), "bk", "it",
+        minCount = 2, topN = 10)
+      .collect()
+    // only (A,B) clears minCount=2: n_ab=3, N=4, n_A=3, n_B=3
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.75)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0)
+    assert(r.getDouble(6) == BigDecimal(4.0 * 3 / 9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }

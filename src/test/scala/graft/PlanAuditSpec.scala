@@ -802,4 +802,39 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(plan("q158_seasonal").contains("BroadcastHashJoin"))
   }
+
+  test("q159/q160: cusum + active users — keyed windows, no pair joins") {
+    val p9 = plan("q159_cusum")
+    assert(!p9.contains("CartesianProduct") && !p9.contains("SortMergeJoin"),
+      p9.take(3000))
+    // profile joins back as a broadcast; the windows are key-partitioned
+    assert(p9.contains("BroadcastHashJoin"))
+    assert(!p9.contains("Window [") ||
+      !p9.contains("windowspecdefinition()"), "global window")
+    val p0 = plan("q160_active_users")
+    assert(!p0.contains("CartesianProduct"))
+    assert(!p0.contains("Window"), "active users must not use a window")
+  }
+
+  test("q161/q163: wedge and pair joins are keyed equi-joins, dims broadcast") {
+    for (q <- Seq("q161_linkpred", "q163_basket_lift")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      // the only nested-loop is the 1-row scalar broadcast (q163's N)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"), q)
+    }
+    assert(plan("q163_basket_lift").contains("BroadcastHashJoin"))
+  }
+
+  test("q162/q164: AUC bins and RFM fences — corpus never self-joins") {
+    val p2 = plan("q162_auc")
+    assert(!p2.contains("CartesianProduct")
+      && !p2.contains("SortMergeJoin") && !p2.contains("BroadcastHashJoin"),
+      "AUC is aggregation-only\n" + p2.take(2000))
+    val p4 = plan("q164_rfm")
+    assert(!p4.contains("CartesianProduct")
+      && !p4.contains("SortMergeJoin"), p4.take(2000))
+    assert(!p4.contains("Window"), "fences assign map-side, not by ntile")
+  }
 }
