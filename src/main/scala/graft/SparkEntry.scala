@@ -2686,6 +2686,72 @@ object SparkEntry {
       // (broadcast, assigned map-side), rolled up to segment cells.
       operators.Stats.rfmSegments(t(s, dir, "orders"), "o_custkey",
         "o_orderdate", "o_totalprice")
+    }),
+
+    "q165_kappa" -> ((s, dir) => {
+      // chance-corrected agreement between two heuristic labelers over
+      // the same docs (quality >= 0.3 vs langid == 'en'): the
+      // labeling-pipeline consistency readout. One contingency-table
+      // exchange; everything after is labels^2-sized.
+      val docs = t(s, dir, "documents")
+      operators.Stats.cohenKappa(
+        docs.select(
+          (TextAnalysis.qualityScore(col("text")) >= 0.3).as("a"),
+          (TextAnalysis.langId(col("text")) === "en").as("b")),
+        "a", "b")
+    }),
+
+    "q166_calibration" -> ((s, dir) => {
+      // calibration audit of the q91-style trained quality classifier:
+      // reliability bins + ECE + Brier — does p=0.8 MEAN 80%? The
+      // oracle re-trains the 8-step GD via the unrolled CTE chain and
+      // replays the identical bin algebra.
+      val docs = t(s, dir, "documents")
+      val label = (TextAnalysis.qualityScore(col("text")) >= 0.3)
+      val w = operators.QualityClassifier.trainLogReg(docs, "text",
+        label.cast("double"), iters = 8, eta = 8.0)
+      val scored = operators.QualityClassifier.score(docs, "doc_id",
+        "text", w, extra = Seq(label.as("is_hq")))
+      operators.Stats.calibration(scored, "p", "is_hq", bins = 10)
+    }),
+
+    "q167_gini" -> ((s, dir) => {
+      // Gini concentration of corpus mass over per-doc length: the
+      // inequality monitor ("is half the corpus one source's boiler-
+      // plate?"). Exact integer trapezoid over the bounded length
+      // histogram.
+      operators.Stats.giniConcentration(t(s, dir, "documents"),
+        "n_chars")
+    }),
+
+    "q168_km_retention" -> ((s, dir) => {
+      // Kaplan-Meier retention over (user, event-type) engagement
+      // streams: lifetime = days from first to last occurrence, units
+      // still active in the final week are CENSORED (not churned) —
+      // the right-censoring correction naive retention curves miss.
+      val ev = t(s, dir, "events")
+      operators.TimeSeries.kaplanMeierRetention(
+        ev.select(concat_ws(":", col("user_id"), col("event_type"))
+          .as("unit"), col("ts")),
+        "unit", "ts", censorDays = 7)
+        .orderBy(col("t_days"))
+    }),
+
+    "q169_stl" -> ((s, dir) => {
+      // additive trend/seasonal/residual decomposition of the hourly
+      // event series per type: centered 24h moving average, per-slot
+      // seasonal means of the detrended series, residual remainder.
+      operators.TimeSeries.stlDecompose(t(s, dir, "events"),
+          "event_type", "ts")
+        .orderBy(col("key"), col("hour"))
+    }),
+
+    "q170_benford" -> ((s, dir) => {
+      // Benford first-digit audit of order totals: observed leading-
+      // digit shares vs log10(1 + 1/d) with the chi-square statistic —
+      // the fabricated-data smoke test. Digit extraction rides the
+      // scan via the DECIMAL string rendering (no log10 boundary ulp).
+      operators.Stats.benfordAudit(t(s, dir, "orders"), "o_totalprice")
     })
   )
 
@@ -6085,7 +6151,212 @@ object SparkEntry {
         |  round(CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         |    AS avg_m
         |FROM scoredc GROUP BY 1, 2, 3
-        |ORDER BY r_score, f_score, m_score""".stripMargin
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
+
+    "q165_kappa" -> {
+      val profiles = TextAnalysis.langProfiles
+      val scoreCols = profiles.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(tk, t -> list_contains($lst, lower(t)))) AS s_$lang"
+      }.mkString(",\n    ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $toksSql AS tk FROM documents
+         |), st AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(tk,
+         |          t -> list_contains($stopwordsSql, lower(t)))) AS DOUBLE)
+         |        / CAST(len(tk) AS DOUBLE) END AS stopword_ratio,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(text,
+         |          '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+         |    $scoreCols
+         |  FROM base
+         |), lab AS (
+         |  SELECT
+         |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         |      * (1.0 - punct_ratio) * (0.5 + stopword_ratio / 2.0), 6)
+         |      >= 0.3 AS a,
+         |    (CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0
+         |        THEN 'und'
+         |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+         |        THEN 'de'
+         |      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |      WHEN s_es >= s_fr THEN 'es'
+         |      ELSE 'fr' END) = 'en' AS b
+         |  FROM st
+         |), ct AS MATERIALIZED (
+         |  SELECT a, b, count(*) AS c FROM lab GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+         |      AS agree
+         |  FROM ct
+         |), ma AS (SELECT a AS cls, sum(c) AS n_a FROM ct GROUP BY 1),
+         |mb AS (SELECT b AS cls, sum(c) AS n_b FROM ct GROUP BY 1),
+         |ch AS (
+         |  SELECT CAST(sum(n_a * n_b) AS BIGINT) AS sum_ab
+         |  FROM ma JOIN mb USING (cls)
+         |), pp AS (
+         |  SELECT n,
+         |    round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 9) AS p_o,
+         |    round(CAST(sum_ab AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS p_e
+         |  FROM tot, ch
+         |)
+         |SELECT n, p_o, p_e,
+         |  round((p_o - p_e) / (1.0 - p_e), 6) AS kappa
+         |FROM pp""".stripMargin
+    },
+
+    "q166_calibration" ->
+      s"""WITH ${q91Ctes(8, 8.0)},
+         |scored AS (
+         |  SELECT round(1.0 / (1.0 + exp(-(${(0 to 4)
+            .map(j => s"w.w$j * f.x$j").mkString(" + ")}))), 6) AS p,
+         |    f.y
+         |  FROM feats f CROSS JOIN w8 w
+         |), per AS MATERIALIZED (
+         |  SELECT CAST(least(floor(p * 10), 9) AS INT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(p AS DECIMAL(38,6))) AS pm,
+         |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS pos,
+         |    sum(CAST((p - y) * (p - y) AS DECIMAL(38,12))) AS se
+         |  FROM scored GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS nt, sum(se) AS se_t FROM per
+         |), sc AS MATERIALIZED (
+         |  SELECT bucket, n,
+         |    round(CAST(pm AS DOUBLE) / CAST(n AS DOUBLE), 6) AS conf,
+         |    round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc,
+         |    nt, se_t
+         |  FROM per, tot
+         |), sc2 AS MATERIALIZED (
+         |  SELECT *,
+         |    round((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+         |      * abs(acc - conf), 9) AS contrib
+         |  FROM sc
+         |), ee AS (
+         |  SELECT
+         |    round(CAST(sum(CAST(contrib AS DECIMAL(38,9))) AS DOUBLE), 6)
+         |      AS ece,
+         |    round(CAST(max(se_t) AS DOUBLE) / CAST(max(nt) AS DOUBLE), 6)
+         |      AS brier
+         |  FROM sc2
+         |)
+         |SELECT bucket, n, conf, acc, contrib, ece, brier
+         |FROM sc2, ee ORDER BY bucket""".stripMargin,
+
+    "q167_gini" ->
+      """WITH hist AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c
+        |  FROM documents GROUP BY 1
+        |), h2 AS (
+        |  SELECT v, c, c * v AS m,
+        |    coalesce(sum(c * v) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS mb
+        |  FROM hist
+        |)
+        |SELECT CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(m) AS BIGINT) AS total_mass,
+        |  round(1.0 - CAST(sum(CAST(c AS DECIMAL(19,0))
+        |      * CAST(2 * mb + m AS DECIMAL(19,0))) AS DOUBLE)
+        |    / (CAST(sum(c) AS DOUBLE) * CAST(sum(m) AS DOUBLE)), 6)
+        |    AS gini
+        |FROM h2""".stripMargin,
+
+    "q168_km_retention" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT user_id, event_type, CAST(min(ts) AS DATE) AS d0,
+        |    CAST(max(ts) AS DATE) AS d1
+        |  FROM events GROUP BY 1, 2
+        |), lt0 AS (
+        |  SELECT CAST(date_diff('day', d0, d1) AS BIGINT) AS t,
+        |    date_diff('day', d1, (SELECT max(d1) FROM per)) < 7
+        |      AS censored
+        |  FROM per
+        |), byt AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d_churn
+        |  FROM lt0 GROUP BY 1
+        |), risk AS (
+        |  SELECT t, d_churn,
+        |    CAST(sum(n_t) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        |  FROM byt
+        |), f AS (
+        |  SELECT t, n_risk, d_churn,
+        |    CASE WHEN d_churn < n_risk THEN
+        |      CAST(round(ln(1.0 - CAST(d_churn AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)), 9) AS DECIMAL(38,9))
+        |    ELSE CAST(0 AS DECIMAL(38,9)) END AS lnf
+        |  FROM risk WHERE d_churn > 0
+        |)
+        |SELECT t AS t_days, n_risk, d_churn,
+        |  CASE WHEN d_churn = n_risk THEN 0.0
+        |    ELSE round(exp(CAST(sum(lnf) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE)), 6) END AS survival
+        |FROM f ORDER BY t_days""".stripMargin,
+
+    "q169_stl" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT event_type AS key, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), wnd AS (
+        |  SELECT key, hour, n,
+        |    count(*) OVER w AS wn, sum(n) OVER w AS ws
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY key ORDER BY hour
+        |    ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+        |), detr AS MATERIALIZED (
+        |  SELECT key, hour, n,
+        |    round(CAST(ws AS DOUBLE) / 24.0, 6) AS trend,
+        |    CAST(hour(hour) AS INT) AS hod,
+        |    CAST(n AS DOUBLE) - round(CAST(ws AS DOUBLE) / 24.0, 6)
+        |      AS detr
+        |  FROM wnd WHERE wn = 24
+        |), seas AS (
+        |  SELECT key, hod,
+        |    round(CAST(sum(CAST(detr AS DECIMAL(38,6))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE), 6) AS seasonal
+        |  FROM detr GROUP BY 1, 2
+        |)
+        |SELECT d.key, d.hour, d.n, d.trend, se.seasonal,
+        |  round(CAST(d.n AS DOUBLE) - d.trend - se.seasonal, 6) AS resid
+        |FROM detr d JOIN seas se ON d.key = se.key AND d.hod = se.hod
+        |ORDER BY d.key, d.hour""".stripMargin,
+
+    "q170_benford" ->
+      """WITH obs AS (
+        |  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+        |), tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+        |sc AS MATERIALIZED (
+        |  SELECT digit, n_obs,
+        |    round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 9)
+        |      AS share,
+        |    round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 9)
+        |      AS expected,
+        |    n
+        |  FROM obs, tot
+        |), sc2 AS MATERIALIZED (
+        |  SELECT *,
+        |    round((share - expected) * (share - expected) / expected
+        |      * CAST(n AS DOUBLE), 9) AS contrib
+        |  FROM sc
+        |), ch AS (
+        |  SELECT round(CAST(sum(CAST(contrib AS DECIMAL(38,9)))
+        |    AS DOUBLE), 6) AS chi2
+        |  FROM sc2
+        |)
+        |SELECT digit, n_obs, share, expected, contrib, chi2
+        |FROM sc2, ch ORDER BY digit""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.labelPropagation]] over the

@@ -299,4 +299,171 @@ object Stats {
     scored.orderBy(col("lift").desc, col("item_a"), col("item_b"))
       .limit(topN)
   }
+
+  /** Cohen's kappa (Cohen 1960) between two labelers over the same
+    * rows — the chance-corrected agreement score a labeling pipeline
+    * certifies annotator (or heuristic-vs-model) consistency with:
+    * `κ = (p_o − p_e) / (1 − p_e)` with observed agreement `p_o` and
+    * the marginal-product chance agreement `p_e`. Works for any label
+    * arity. Returns one row (n, p_o, p_e, kappa).
+    *
+    * Scale shape: ONE (a, b) partial-combined count — the corpus's
+    * only exchange; everything after runs on the labels² contingency
+    * table (marginal joins, integer Σ n_a·n_b). p_o/p_e are exact
+    * integer quotients evaluated once in double (round 9), kappa one
+    * further op, round(6). */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String,
+                 mat: Materializer = Materializer.Local): DataFrame = {
+    // pinned: the contingency table feeds totals, agreement, and both
+    // marginals
+    val ct = mat(df
+      .groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("c")))
+    val tot = ct.agg(sum(col("c")).as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(0L))
+        .as("agree"))
+    val ma = ct.groupBy(col("a").as("cls")).agg(sum(col("c")).as("n_a"))
+    val mb = ct.groupBy(col("b").as("cls")).agg(sum(col("c")).as("n_b"))
+    val chance = ma.join(mb, Seq("cls"))
+      .agg(sum(col("n_a") * col("n_b")).as("sum_ab"))
+    tot.crossJoin(broadcast(chance))
+      .select(col("n"), col("agree"), col("sum_ab"))
+      .select(col("n"),
+        round(col("agree").cast("double") / col("n").cast("double"), 9)
+          .as("p_o"),
+        round(col("sum_ab").cast("double")
+          / (col("n").cast("double") * col("n").cast("double")), 9)
+          .as("p_e"))
+      .select(col("n"), col("p_o"), col("p_e"),
+        round((col("p_o") - col("p_e")) / (lit(1.0) - col("p_e")), 6)
+          .as("kappa"))
+  }
+
+  /** Calibration audit of a probabilistic classifier — reliability
+    * bins, Expected Calibration Error, and the Brier score: the gate
+    * that says whether a score of 0.8 MEANS 80% (classifier-filtered
+    * corpora inherit every miscalibration as selection bias). Returns
+    * one row per non-empty bin (bucket, n, conf, acc, contrib) with
+    * ece and brier repeated, ordered by bucket.
+    *
+    * Scale shape: ONE partial-combined pass bins the corpus
+    * (bucket = floor(p·bins) clamped — map-side), accumulating per-bin
+    * count, DECIMAL(38,6) confidence mass, positive count and
+    * DECIMAL(38,12) squared error; everything after is bins-sized.
+    * Probabilities round(6) first so both engines bin identical
+    * values; ECE contributions round(9) sum in DECIMAL. */
+  def calibration(df: DataFrame, probCol: String, labelCol: String,
+                  bins: Int = 10,
+                  mat: Materializer = Materializer.Local): DataFrame = {
+    require(bins >= 2)
+    val rows = df.select(
+      round(col(probCol).cast("double"), 6).as("p"),
+      col(labelCol).cast("double").as("y"))
+    // pinned: the bin table feeds the totals AND the output rows
+    val per = mat(rows
+      .withColumn("bucket",
+        least(floor(col("p") * bins), lit(bins - 1)).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p").cast("decimal(38,6)")).as("pm"),
+        sum(col("y").cast("long")).as("pos"),
+        sum(((col("p") - col("y")) * (col("p") - col("y")))
+          .cast("decimal(38,12)")).as("se")))
+    val tot = per.agg(sum(col("n")).as("nt"), sum(col("se")).as("set"))
+    val scored = mat(per.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"),
+        round(col("pm").cast("double") / col("n").cast("double"), 6)
+          .as("conf"),
+        round(col("pos").cast("double") / col("n").cast("double"), 6)
+          .as("acc"),
+        col("nt"), col("set"))
+      .withColumn("contrib",
+        round((col("n").cast("double") / col("nt").cast("double"))
+          * abs(col("acc") - col("conf")), 9)))
+    val ece = scored.agg(
+      round(sum(col("contrib").cast("decimal(38,9)")).cast("double"), 6)
+        .as("ece"),
+      round(first(col("set")).cast("double")
+        / first(col("nt")).cast("double"), 6).as("brier"))
+    scored.select(col("bucket"), col("n"), col("conf"), col("acc"),
+        col("contrib"))
+      .crossJoin(broadcast(ece))
+      .orderBy(col("bucket"))
+  }
+
+  /** Gini concentration of a non-negative per-row mass (doc length,
+    * domain bytes, spend) — the corpus-inequality monitor: G = 0 when
+    * every row carries equal mass, → 1 when one row holds it all. Uses
+    * the grouped-data trapezoid form over the VALUE histogram:
+    * `G = 1 − Σ_i c_i·(2·M_{i−1} + m_i) / (N·M)` with counts c_i and
+    * mass m_i = c_i·v_i per ascending distinct value — entirely exact
+    * integer arithmetic until one final double division, round(6).
+    * Returns one row (n, total_mass, gini).
+    *
+    * Scale shape: the corpus partial-combines to the distinct-value
+    * histogram in its only exchange (values are integral masses —
+    * lengths, counts, cents — so the histogram is grid-bounded, the
+    * q162 contract); the prefix window rides that bounded table. */
+  def giniConcentration(df: DataFrame, valCol: String): DataFrame = {
+    val hist = df.groupBy(col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("m", col("c") * col("v"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("mb", coalesce(sum(col("m")).over(w), lit(0L)))
+      // the c·(2M+m) products exceed 64 bits at full corpus scale —
+      // multiply and accumulate in DECIMAL(38,0)
+      .agg(sum(col("c")).as("n"), sum(col("m")).as("total_mass"),
+        sum(col("c").cast("decimal(19,0)")
+          * (lit(2L) * col("mb") + col("m")).cast("decimal(19,0)"))
+          .as("num"))
+      .select(col("n"), col("total_mass"),
+        round(lit(1.0) - col("num").cast("double")
+          / (col("n").cast("double") * col("total_mass").cast("double")),
+          6).as("gini"))
+  }
+
+  /** Benford first-digit audit (Newcomb 1881 / Benford 1938): observed
+    * leading-significant-digit shares of a positive amount column vs
+    * the Benford expectation `log10(1 + 1/d)`, with the χ² statistic —
+    * the fabricated-data / broken-generator smoke test finance and
+    * data-quality pipelines run. Returns one row per digit 1–9
+    * (digit, n_obs, share, expected, contrib) with chi2 repeated.
+    *
+    * Scale shape: the leading digit extracts MAP-SIDE from the
+    * DECIMAL(18,2) STRING rendering (both engines print plain decimal
+    * digits — no log10-at-a-power-boundary ulp trap, no engine float
+    * formatting), then one 9-row partial-combined count; everything
+    * after is digit-table-sized. χ² terms one double op order,
+    * round(6). */
+  def benfordAudit(df: DataFrame, amountCol: String): DataFrame = {
+    val obs = df
+      .filter(col(amountCol) >= 1)
+      .select(substring(col(amountCol).cast("decimal(18,2)")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).as("n"))
+    val scored = obs.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n").cast("double"), 9)
+          .as("share"),
+        // ln(1+1/d)/ln(10), NOT a native log10: base-10 log and
+        // ln-quotient can differ in the last ulp between libms — pin
+        // the one op order the oracle replays
+        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+          / log(lit(10.0)), 9).as("expected"), col("n"))
+      .withColumn("contrib",
+        round((col("share") - col("expected"))
+          * (col("share") - col("expected"))
+          / col("expected") * col("n").cast("double"), 9))
+    val chi2 = scored.agg(
+      round(sum(col("contrib").cast("decimal(38,9)")).cast("double"), 6)
+        .as("chi2"))
+    scored.select(col("digit"), col("n_obs"), col("share"),
+        col("expected"), col("contrib"))
+      .crossJoin(broadcast(chi2))
+      .orderBy(col("digit"))
+  }
 }

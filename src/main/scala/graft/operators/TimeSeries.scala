@@ -283,4 +283,109 @@ object TimeSeries {
         round(col("dau").cast("double") / col("wau").cast("double"), 6)
           .as("stickiness"))
   }
+
+  /** Kaplan–Meier retention curve (Kaplan & Meier 1958) over user
+    * lifetimes: per user, lifetime = days between first and last
+    * activity; users whose last activity falls within `censorDays` of
+    * the stream's end are CENSORED (still alive as far as the data can
+    * tell — treating them as churned biases the curve down, the
+    * classic retention mistake). At each churn lifetime t:
+    * `S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)` with d_i churns at t_i and
+    * n_i users still at risk. Returns one row per churn lifetime
+    * (t_days, n_risk, d_churn, survival), survival round(6).
+    *
+    * Scale shape: the stream partial-combines to per-user
+    * (first, last) — the only corpus exchange; lifetimes collapse to
+    * the calendar-bounded (t, churned) histogram, and at-risk counts
+    * are suffix sums over that bounded table. The product is the
+    * exp(Σ ln) identity: per-step factors ln(1 − d/n) round(9)
+    * accumulate in DECIMAL(38,9) (order-proof), one exp at the end,
+    * round(6). */
+  def kaplanMeierRetention(events: DataFrame, userCol: String,
+                           tsCol: String, censorDays: Int = 7,
+                           mat: Materializer = Materializer.Local)
+      : DataFrame = {
+    val per = events
+      .groupBy(col(userCol).as("u"))
+      .agg(to_date(min(col(tsCol))).as("d0"),
+        to_date(max(col(tsCol))).as("d1"))
+    // pinned: the lifetime histogram feeds the churn rows AND the
+    // at-risk suffix sums
+    val lt = mat(per
+      .crossJoin(broadcast(per.agg(max(col("d1")).as("dmax"))))
+      .select(datediff(col("d1"), col("d0")).cast("long").as("t"),
+        (datediff(col("dmax"), col("d1")) < censorDays).as("censored"))
+      .groupBy(col("t"), col("censored"))
+      .agg(count(lit(1)).as("c")))
+    val wRisk = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wSurv = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byT = lt.groupBy(col("t"))
+      .agg(sum(col("c")).as("n_t"),
+        sum(when(!col("censored"), col("c")).otherwise(0L)).as("d_churn"))
+    // d = n can only happen on the LAST churn row (nobody outlives it);
+    // its factor is 0, so survival pins to 0.0 instead of ln(0) = -inf
+    byT
+      .withColumn("n_risk", sum(col("n_t")).over(wRisk))
+      .filter(col("d_churn") > 0)
+      .withColumn("lnf",
+        when(col("d_churn") < col("n_risk"),
+          round(log(lit(1.0)
+            - col("d_churn").cast("double")
+              / col("n_risk").cast("double")), 9).cast("decimal(38,9)"))
+          .otherwise(lit(0).cast("decimal(38,9)")))
+      .withColumn("survival",
+        when(col("d_churn") === col("n_risk"), lit(0.0))
+          .otherwise(
+            round(exp(sum(col("lnf")).over(wSurv).cast("double")), 6)))
+      .select(col("t").as("t_days"), col("n_risk"), col("d_churn"),
+        col("survival"))
+  }
+
+  /** Additive seasonal-trend decomposition (the STL shape, one-pass
+    * form) of the hourly count series per key:
+    * trend = the CENTERED 24-hour moving average (emitted only where
+    * the full 24-term window exists), seasonal = the per-(key,
+    * hour-of-day) mean of the detrended series, residual = the rest —
+    * the monitoring decomposition that separates "traffic is growing"
+    * from "it's 3 AM" from "something broke". Returns
+    * (key, hour, n, trend, seasonal, resid) for fully-windowed hours.
+    *
+    * Scale shape: the stream partial-combines to (key, hour, n); the
+    * moving average is a key-partitioned window over EXACT integer
+    * sums (÷ 24.0 once, round(6)); the seasonal profile is a key×24
+    * aggregate of DECIMAL(38,6)-cast detrended values broadcast back.
+    * Residual = n − trend − seasonal in one pinned op order,
+    * round(6). */
+  def stlDecompose(points: DataFrame, keyCol: String, tsCol: String,
+                   mat: Materializer = Materializer.Local): DataFrame = {
+    val period = 24
+    val half = period / 2
+    val base = points
+      .groupBy(col(keyCol).as("key"),
+        date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("key")).orderBy(col("hour"))
+      .rowsBetween(-half, half - 1)
+    // pinned: the detrended table feeds the seasonal profile AND the
+    // residual join
+    val detr = mat(base
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("ws", sum(col("n")).over(w))
+      .filter(col("wn") === period)
+      .select(col("key"), col("hour"), col("n"),
+        round(col("ws").cast("double") / lit(period.toDouble), 6)
+          .as("trend"))
+      .withColumn("hod", hour(col("hour")).cast("int"))
+      .withColumn("detr", col("n").cast("double") - col("trend")))
+    val seas = detr.groupBy(col("key"), col("hod"))
+      .agg(round(sum(col("detr").cast("decimal(38,6)")).cast("double")
+        / count(lit(1)).cast("double"), 6).as("seasonal"))
+    detr.join(broadcast(seas), Seq("key", "hod"))
+      .select(col("key"), col("hour"), col("n"), col("trend"),
+        col("seasonal"),
+        round(col("n").cast("double") - col("trend") - col("seasonal"), 6)
+          .as("resid"))
+  }
 }

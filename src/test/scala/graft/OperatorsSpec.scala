@@ -2595,6 +2595,113 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("cohenKappa: textbook 2x2 contingency") {
+    val s = spark
+    import s.implicits._
+    // 20 yes/yes, 15 no/no, 10 yes/no, 5 no/yes: p_o = 0.7,
+    // p_e = 0.6*0.5 + 0.4*0.5 = 0.5 -> kappa = 0.4
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(15)((false, false)) ++
+      Seq.fill(10)((true, false)) ++ Seq.fill(5)((false, true))
+    val got = graft.operators.Stats
+      .cohenKappa(rows.toDF("a", "b"), "a", "b").collect()(0)
+    assert(got.getLong(0) == 50L)
+    assert(got.getDouble(1) == 0.7 && got.getDouble(2) == 0.5)
+    assert(got.getDouble(3) == 0.4)
+  }
+
+  test("calibration: hand-computed bins, ECE and Brier") {
+    val s = spark
+    import s.implicits._
+    // bin 8: conf 0.8, acc 0.5 -> |gap| 0.3 on half the mass;
+    // bin 2: conf 0.2, acc 0.0 -> |gap| 0.2 on the other half
+    val rows = Seq((0.8, true), (0.8, false), (0.2, false), (0.2, false))
+    val got = graft.operators.Stats
+      .calibration(rows.toDF("p", "y"), "p", "y", bins = 10)
+      .orderBy(col("bucket")).collect()
+    assert(got.length == 2)
+    assert(got(0).getInt(0) == 2 && got(0).getDouble(2) == 0.2
+      && got(0).getDouble(3) == 0.0)
+    assert(got(1).getInt(0) == 8 && got(1).getDouble(2) == 0.8
+      && got(1).getDouble(3) == 0.5)
+    // ece = 0.5*0.3 + 0.5*0.2 = 0.25; brier = (0.04+0.64+0.04+0.04)/4
+    assert(got(0).getDouble(5) == 0.25)
+    assert(got(0).getDouble(6) == 0.19)
+  }
+
+  test("giniConcentration: equal mass -> 0, single holder -> 1 - 1/n") {
+    val s = spark
+    import s.implicits._
+    val eq = graft.operators.Stats
+      .giniConcentration(Seq(5L, 5L, 5L, 5L).toDF("v"), "v")
+      .collect()(0)
+    assert(eq.getLong(0) == 4L && eq.getLong(1) == 20L
+      && eq.getDouble(2) == 0.0)
+    val one = graft.operators.Stats
+      .giniConcentration(Seq(0L, 0L, 0L, 10L).toDF("v"), "v")
+      .collect()(0)
+    assert(one.getDouble(2) == 0.75)
+  }
+
+  test("kaplanMeierRetention: censored units stay at risk, never churn") {
+    val s = spark
+    import s.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 09:00:00")
+    // stream ends day 30; u1 t=10 churned, u2 t=20 churned, u3/u4 still
+    // active in the last week -> censored (at risk, no churn rows)
+    val rows = Seq((1L, ts(1)), (1L, ts(11)), (2L, ts(1)), (2L, ts(21)),
+      (3L, ts(5)), (3L, ts(28)), (4L, ts(1)), (4L, ts(30)))
+    val got = graft.operators.TimeSeries
+      .kaplanMeierRetention(rows.toDF("u", "ts"), "u", "ts",
+        censorDays = 7)
+      .orderBy(col("t_days")).collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(0) == 10L && got(0).getLong(1) == 4L
+      && got(0).getLong(2) == 1L && got(0).getDouble(3) == 0.75)
+    assert(got(1).getLong(0) == 20L && got(1).getLong(1) == 3L
+      && got(1).getLong(2) == 1L && got(1).getDouble(3) == 0.5)
+  }
+
+  test("stlDecompose: pure 24h-periodic series decomposes with 0 residual") {
+    val s = spark
+    import s.implicits._
+    // 48 hours at level 10 with a +5 spike every day at 03:00: every
+    // full 24h window averages 245/24, the seasonal profile absorbs
+    // the spike, residuals vanish
+    val rows = (0 until 48).flatMap { h =>
+      val n = if (h % 24 == 3) 15 else 10
+      (0 until n).map(_ => ("k",
+        java.sql.Timestamp.from(java.time.Instant
+          .parse("2024-03-01T00:30:00Z").plusSeconds(h * 3600L))))
+    }
+    val got = graft.operators.TimeSeries
+      .stlDecompose(rows.toDF("k", "ts"), "k", "ts")
+      .orderBy(col("hour")).collect()
+    assert(got.length == 25) // hours 12..36 carry a full 24-term window
+    val trend = BigDecimal(245.0 / 24)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (r <- got) {
+      assert(r.getDouble(3) == trend, r)
+      assert(r.getDouble(5) == 0.0, r)
+    }
+    val spike = got.filter(_.getLong(2) == 15L)
+    assert(spike.length == 1
+      && spike(0).getDouble(4) == math.rint((15 - trend) * 1e6) / 1e6)
+  }
+
+  test("benfordAudit: digit extraction and the Benford expectation") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(123.45, 150.0, 234.5, 987.0, 1.99).toDF("amt")
+    val got = graft.operators.Stats.benfordAudit(rows, "amt")
+      .orderBy(col("digit")).collect()
+    assert(got.map(r => (r.getInt(0), r.getLong(1))).toSeq
+      == Seq((1, 3L), (2, 1L), (9, 1L)))
+    val exp1 = BigDecimal(math.log(2.0) / math.log(10.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getDouble(3) == exp1)
+    assert(got(0).getDouble(5) > 0.0) // chi2 of a 5-row sample is not 0
+  }
+
   test("associationLift: hand-computed support/confidence/lift") {
     val s = spark
     import s.implicits._

@@ -837,4 +837,23 @@ class PlanAuditSpec extends SparkSpec {
       && !p4.contains("SortMergeJoin"), p4.take(2000))
     assert(!p4.contains("Window"), "fences assign map-side, not by ntile")
   }
+
+  test("q165/q167/q170: kappa, gini, benford — corpus aggregates, no SMJ") {
+    for (q <- Seq("q165_kappa", "q167_gini", "q170_benford")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("SortMergeJoin"), q + ": bounded tables only")
+    }
+  }
+
+  test("q168/q169: KM + STL — key-partitioned corpus exchange, seasonal broadcast") {
+    val p8 = plan("q168_km_retention")
+    assert(!p8.contains("CartesianProduct")
+      && !p8.contains("SortMergeJoin"), p8.take(2000))
+    val p9 = plan("q169_stl")
+    assert(!p9.contains("CartesianProduct"), p9.take(2000))
+    // the seasonal profile (key x 24) joins back as a broadcast
+    assert(p9.contains("BroadcastHashJoin"))
+    assert(!p9.contains("SortMergeJoin"))
+  }
 }
