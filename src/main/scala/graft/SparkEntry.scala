@@ -2752,6 +2752,65 @@ object SparkEntry {
       // the fabricated-data smoke test. Digit extraction rides the
       // scan via the DECIMAL string rendering (no log10 boundary ulp).
       operators.Stats.benfordAudit(t(s, dir, "orders"), "o_totalprice")
+    }),
+
+    "q171_bfs_hops" -> ((s, dir) => {
+      // multi-source BFS over the support>=2 co-purchase graph: min hop
+      // distance from the seed parts (key % 101 == 0) out to 3 hops —
+      // the "everything within k links of a known-bad node" expansion.
+      // Per round one edge-keyed join + one partial-combined min.
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cm"))
+        .filter(col("cm") >= 2)
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      val nodes = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node"))).distinct()
+      operators.Graph.bfsHops(edges,
+          nodes.filter(col("node") % 101 === 0), maxHops = 3)
+        .orderBy(col("node"))
+    }),
+
+    "q172_bloom_join" -> ((s, dir) => {
+      // bloom-pruned selective join: part filtered to p_size = 1 (~2%
+      // of the dim) builds a distributed bloom over its keys; lineitem
+      // rows drop MAP-SIDE before the join shuffle. Result == the plain
+      // join (no false negatives; the join kills false positives) —
+      // the oracle is the unpruned join.
+      functions.GraftFunctions.register(s)
+      val li = t(s, dir, "lineitem")
+      val dim = t(s, dir, "part").filter(col("p_size") === 1)
+      operators.Skew.bloomPrunedJoin(li, dim, "l_partkey", "p_partkey")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double"), 6).as("revenue"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "q173_merge_upsert" -> ((s, dir) => {
+      // changelog compaction (batch MERGE): the customer snapshot folded
+      // with an order-derived change stream — latest (date, orderkey)
+      // event per customer wins, orderkey % 97 events are deletes. One
+      // key exchange, partial-combined max_by, no per-key window sort.
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val ch = t(s, dir, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        concat(lit("upd#"), col("o_orderkey").cast("string"))
+          .as("c_name"),
+        col("o_totalprice").as("c_acctbal"),
+        // NTZ -> session-UTC timestamp -> epoch seconds (= DuckDB epoch)
+        col("o_orderdate").cast("timestamp").cast("long").as("ts"),
+        col("o_orderkey").as("tie"),
+        when(col("o_orderkey") % 97 === 0, "D").otherwise("U").as("op"))
+      operators.SnapshotDiff.applyChangelog(cust, ch, "c_custkey",
+          "ts", "tie", "op", Seq("c_name", "c_acctbal"))
+        .orderBy(col("c_custkey"))
     })
   )
 
@@ -6356,8 +6415,81 @@ object SparkEntry {
         |  FROM sc2
         |)
         |SELECT digit, n_obs, share, expected, contrib, chi2
-        |FROM sc2, ch ORDER BY digit""".stripMargin
+        |FROM sc2, ch ORDER BY digit""".stripMargin,
+
+    "q171_bfs_hops" -> bfsSql(3),
+
+    "q172_bloom_join" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+        |    AS DOUBLE), 6) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+
+    "q173_merge_upsert" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS k,
+        |    concat('upd#', CAST(o_orderkey AS VARCHAR)) AS c_name,
+        |    o_totalprice AS c_acctbal,
+        |    CAST(epoch(o_orderdate) AS BIGINT) AS o_ts,
+        |    o_orderkey AS o_tie,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders
+        |), u AS (
+        |  SELECT c_custkey AS k, c_name, c_acctbal,
+        |    CAST(-9223372036854775807 - 1 AS BIGINT) AS o_ts,
+        |    CAST(-9223372036854775807 - 1 AS BIGINT) AS o_tie,
+        |    'U' AS op
+        |  FROM customer
+        |  UNION ALL SELECT * FROM ch
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY k
+        |    ORDER BY o_ts DESC, o_tie DESC) AS rk
+        |  FROM u
+        |)
+        |SELECT k AS c_custkey, c_name, c_acctbal
+        |FROM r WHERE rk = 1 AND op = 'U'
+        |ORDER BY c_custkey""".stripMargin
   )
+
+  /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2
+    * co-purchase graph, seeds = nodes with key % 101 == 0: `rounds`
+    * unrolled min-union rounds (MATERIALIZED — the [[labelPropSql]]
+    * inlining-blowup guard). */
+  private def bfsSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e0 AS MATERIALIZED (
+             |  SELECT a.l_partkey AS u, b.l_partkey AS v
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2
+             |),
+             |sym AS MATERIALIZED (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT u AS src, v AS dst FROM e0
+             |    UNION ALL SELECT v, u FROM e0)
+             |),
+             |d0 AS MATERIALIZED (
+             |  SELECT DISTINCT src AS node, 0 AS hops
+             |  FROM sym WHERE src % 101 = 0
+             |)""".stripMargin
+    for (i <- 1 to rounds)
+      sb ++= s""",
+               |d$i AS MATERIALIZED (
+               |  SELECT node, min(hops) AS hops FROM (
+               |    SELECT node, hops FROM d${i - 1}
+               |    UNION ALL
+               |    SELECT s.dst AS node, d.hops + 1 AS hops
+               |    FROM sym s JOIN d${i - 1} d ON s.src = d.node)
+               |  GROUP BY 1
+               |)""".stripMargin
+    sb ++= s"""
+              |SELECT node, CAST(hops AS INT) AS hops
+              |FROM d$rounds ORDER BY node""".stripMargin
+    sb.toString
+  }
 
   /** DuckDB replay of [[operators.Graph.labelPropagation]] over the
     * support>=2 co-purchase graph with 20%-of-parts brand seeds:

@@ -274,4 +274,41 @@ object Graph {
       .join(e, Seq("u", "v"), "left_anti")
     scored.orderBy(col("score").desc, col("u"), col("v")).limit(topN)
   }
+
+  /** Multi-source BFS: minimum hop distance from a seed set, out to
+    * `maxHops` — the neighborhood-expansion primitive behind "everything
+    * within 2 links of a known-spam domain" blocklists and
+    * related-entity candidate pools. Returns (node, hops) for every
+    * node reached within `maxHops` (seeds at 0); unreached nodes are
+    * absent.
+    *
+    * Scale shape: per round ONE edge-keyed equi-join of the current
+    * distance table against the symmetrized edge set and one
+    * partial-combined min — the [[pageRank]] shuffle discipline; the
+    * edge set never widens and lineage is cut per round. An explicit
+    * round count, not a convergence race: a replay runs the identical
+    * sequence (the [[kCore]] contract). Joining the FULL distance table
+    * (not a frontier delta) keeps each round idempotent and
+    * oracle-replayable; with min-combine the re-derived closer labels
+    * collapse for free. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+              materialize: Materializer = Materializer.Local): DataFrame = {
+    require(maxHops >= 1)
+    val e0 = edges.select(col("src"), col("dst"))
+    val sym = materialize(
+      e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
+    var dist = materialize(seeds.select(col("node")).distinct()
+      .withColumn("hops", lit(0)))
+    var i = 0
+    while (i < maxHops) {
+      val frontier = sym
+        .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("hops") + lit(1)).as("hops"))
+      dist = materialize(dist.unionAll(frontier)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops")))
+      i += 1
+    }
+    dist
+  }
 }

@@ -2702,6 +2702,51 @@ class OperatorsSpec extends SparkSpec {
     assert(got(0).getDouble(5) > 0.0) // chi2 of a 5-row sample is not 0
   }
 
+  test("bfsHops: min distance from multiple seeds, horizon respected") {
+    val s = spark
+    import s.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val one = graft.operators.Graph
+      .bfsHops(path, Seq(1L).toDF("node"), maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // node 5 is 4 hops out -> beyond the horizon, absent
+    assert(one == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    val two = graft.operators.Graph
+      .bfsHops(path, Seq(1L, 5L).toDF("node"), maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // two sources: each node takes the MIN over both
+    assert(two == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0))
+  }
+
+  test("bloomPrunedJoin: exactly the plain join, pruning included") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val fact = (1L to 200L).map(i => (i, i % 10)).toDF("fk", "grp")
+    val dim = Seq((3L, "x"), (7L, "y"), (500L, "z")).toDF("dk", "tag")
+    val got = graft.operators.Skew
+      .bloomPrunedJoin(fact, dim, "fk", "dk")
+      .select(col("fk"), col("tag")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((3L, "x"), (7L, "y")))
+  }
+
+  test("applyChangelog: latest event wins, deletes remove, inserts add") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val ch = Seq(
+      (2L, "b2", 10L, 1L, "U"),
+      (2L, "b3", 10L, 2L, "U"), // same ts: the tie column must decide
+      (3L, "gone", 5L, 1L, "D"),
+      (4L, "d", 1L, 1L, "U"))   // insert of a key the base lacks
+      .toDF("k", "v", "ts", "tie", "op")
+    val got = graft.operators.SnapshotDiff
+      .applyChangelog(base, ch, "k", "ts", "tie", "op", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "a", 2L -> "b3", 4L -> "d"))
+  }
+
   test("associationLift: hand-computed support/confidence/lift") {
     val s = spark
     import s.implicits._

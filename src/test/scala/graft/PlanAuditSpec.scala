@@ -856,4 +856,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p9.contains("BroadcastHashJoin"))
     assert(!p9.contains("SortMergeJoin"))
   }
+
+  test("q171/q173: BFS rounds and merge are keyed joins/aggregates only") {
+    for (q <- Seq("q171_bfs_hops", "q173_merge_upsert")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+    // the merge winner is a partial-combined max_by, never a window sort
+    assert(!plan("q173_merge_upsert").contains("Window"))
+  }
+
+  test("q172: the bloom probe filters the fact side BELOW the join") {
+    val p = plan("q172_bloom_join")
+    assert(p.contains("might_contain"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+    // the pruned fact stream must reach the join through the bloom
+    // Filter, not the other way around: the Filter sits under the join
+    val joinIdx = p.indexOf("Join")
+    val probeIdx = p.indexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      "probe should appear below (after) the join node in the plan tree")
+  }
 }
