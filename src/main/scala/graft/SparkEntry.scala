@@ -2811,6 +2811,58 @@ object SparkEntry {
       operators.SnapshotDiff.applyChangelog(cust, ch, "c_custkey",
           "ts", "tie", "op", Seq("c_name", "c_acctbal"))
         .orderBy(col("c_custkey"))
+    }),
+
+    "q174_ppr" -> ((s, dir) => {
+      // personalized PageRank on q107's customer-supplier graph:
+      // teleport only to the seed customers (key % 131 == 0), so rank
+      // reads as proximity-to-seeds — the related-entity score. Same
+      // DECIMAL(38,20)/round(12) bit discipline as q107; the oracle
+      // replays 5 unrolled rounds.
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("p"))
+        .distinct()
+      val edges = base.select(col("c").as("src"), col("p").as("dst"))
+        .unionAll(base.select(col("p").as("src"), col("c").as("dst")))
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_custkey") % 131 === 0)
+        .select(concat(lit("c"), col("c_custkey")).as("node"))
+      operators.Graph.personalizedPageRank(edges, seeds, iters = 5)
+        .orderBy(col("node"))
+    }),
+
+    "q175_weighted_median" -> ((s, dir) => {
+      // mass-weighted quartiles of doc length per source: "half this
+      // source's BYTES sit in docs shorter than X" — integer-exact
+      // (100·cumw >= p·W), no interpolation; the histogram bounds
+      // every post-shuffle step.
+      operators.Stats.weightedQuantiles(t(s, dir, "documents"),
+          "source", "n_chars", "n_chars", Seq(25, 50, 75))
+        .orderBy(col("key"), col("pct"))
+    }),
+
+    "q176_contingency" -> ((s, dir) => {
+      // chi-square independence + mutual information between event type
+      // and hour-of-day in ONE contingency pass: the dependence probe
+      // ("is type just a proxy for time?") behind leakage audits.
+      val ev = t(s, dir, "events")
+      operators.Stats.contingencyStats(
+        ev.select(col("event_type").as("a"),
+          hour(col("ts")).cast("int").as("b")),
+        "a", "b")
+    }),
+
+    "q177_pct_rank" -> ((s, dir) => {
+      // percentile-rank (midrank) normalization of doc length over the
+      // bounded value histogram — the scale-free transform for blending
+      // heterogeneous quality signals; the corpus never sorts globally.
+      operators.Stats.percentileRanks(t(s, dir, "documents"), "n_chars")
+        .orderBy(col("v"))
     })
   )
 
@@ -6450,7 +6502,117 @@ object SparkEntry {
         |)
         |SELECT k AS c_custkey, c_name, c_acctbal
         |FROM r WHERE rk = 1 AND op = 'U'
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q174_ppr" -> {
+      val iter = (k: Int) =>
+        s"""r$k AS MATERIALIZED (
+           |  SELECT n.node,
+           |    round(CAST(0.15 AS DOUBLE) * CAST(n.seed AS DOUBLE)
+           |      + CAST(0.85 AS DOUBLE)
+           |      * CAST(COALESCE(s.c, 0) AS DOUBLE), 12) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      SUM(CAST(r.r / d.d AS DECIMAL(38,20))) AS c
+           |    FROM edges e
+           |    JOIN r${k - 1} r ON r.node = e.src
+           |    JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS p
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS MATERIALIZED (
+         |  SELECT c AS src, p AS dst FROM base
+         |  UNION ALL SELECT p AS src, c AS dst FROM base),
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS node,
+         |    CASE WHEN src IN (SELECT 'c' || c_custkey FROM customer
+         |      WHERE c_custkey % 131 = 0) THEN 1 ELSE 0 END AS seed
+         |  FROM deg),
+         |r0 AS MATERIALIZED (
+         |  SELECT node, CAST(seed AS DOUBLE) AS r FROM nodes),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, r AS rank FROM r5 ORDER BY node""".stripMargin
+    },
+
+    "q175_weighted_median" ->
+      """WITH hist AS MATERIALIZED (
+        |  SELECT source AS key, CAST(n_chars AS BIGINT) AS v,
+        |    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS wv
+        |  FROM documents GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT key, v,
+        |    sum(wv) OVER (PARTITION BY key ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(wv) OVER (PARTITION BY key) AS tw
+        |  FROM hist
+        |), pts AS (
+        |  SELECT key, v, cw, tw, p.pct
+        |  FROM cum, (SELECT unnest([25, 50, 75]) AS pct) p
+        |)
+        |SELECT key, CAST(pct AS INT) AS pct,
+        |  CAST(min(v) AS BIGINT) AS value
+        |FROM pts WHERE 100 * cw >= pct * tw
+        |GROUP BY 1, 2 ORDER BY key, pct""".stripMargin,
+
+    "q176_contingency" ->
+      """WITH ct AS MATERIALIZED (
+        |  SELECT event_type AS a, CAST(CAST(hour(ts) AS INT) AS VARCHAR)
+        |      AS b,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct),
+        |ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM ct GROUP BY 1),
+        |mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM ct GROUP BY 1),
+        |dofs AS (
+        |  SELECT CAST(((SELECT count(*) FROM ma) - 1)
+        |    * ((SELECT count(*) FROM mb) - 1) AS BIGINT) AS dof
+        |), cells AS MATERIALIZED (
+        |  SELECT
+        |    round((CAST(c AS DOUBLE) - e) * (CAST(c AS DOUBLE) - e) / e,
+        |      9) AS chi_t,
+        |    round(e, 9) AS e_t,
+        |    round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(CAST(c AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+        |          AS DOUBLE)
+        |        / CAST(CAST(ra AS DECIMAL(19,0)) * CAST(cb AS DECIMAL(19,0))
+        |          AS DOUBLE)), 9) AS mi_t
+        |  FROM (
+        |    SELECT ct.c, ma.ra, mb.cb, tot.n,
+        |      CAST(CAST(ma.ra AS DECIMAL(19,0))
+        |          * CAST(mb.cb AS DECIMAL(19,0)) AS DOUBLE)
+        |        / CAST(tot.n AS DOUBLE) AS e
+        |    FROM ct JOIN ma USING (a) JOIN mb USING (b), tot)
+        |), sums AS (
+        |  SELECT
+        |    CAST(sum(CAST(chi_t AS DECIMAL(38,9))) AS DOUBLE) AS chi_o,
+        |    CAST(sum(CAST(e_t AS DECIMAL(38,9))) AS DOUBLE) AS e_o,
+        |    round(CAST(sum(CAST(mi_t AS DECIMAL(38,9))) AS DOUBLE), 6)
+        |      AS mi
+        |  FROM cells
+        |)
+        |SELECT n, dof,
+        |  round(chi_o + (CAST(n AS DOUBLE) - e_o), 6) AS chi2, mi
+        |FROM tot, dofs, sums""".stripMargin,
+
+    "q177_pct_rank" ->
+      """WITH hist AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT v, c,
+        |    coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS below,
+        |    (SELECT sum(c) FROM hist) AS n
+        |  FROM hist
+        |)
+        |SELECT v, c,
+        |  round((CAST(below AS DOUBLE) + 0.5 * CAST(c AS DOUBLE))
+        |    / CAST(n AS DOUBLE), 6) AS pct_rank
+        |FROM w ORDER BY v""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

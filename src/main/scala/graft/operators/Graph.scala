@@ -275,6 +275,51 @@ object Graph {
     scored.orderBy(col("score").desc, col("u"), col("v")).limit(topN)
   }
 
+  /** Personalized PageRank (the topic-sensitive variant, Haveliwala
+    * 2002): teleport mass flows ONLY to the seed set, so rank measures
+    * proximity to the seeds rather than global centrality — the
+    * related-entity / recommendation score read off co-occurrence
+    * graphs. Same contract as [[pageRank]]: symmetrized input with
+    * out-degree >= 1 everywhere, fixed iterations, unnormalized ranks
+    * (seeds init 1, others 0; teleport `1 − damping` per seed);
+    * identical numeric-portability discipline (per-edge double
+    * division, DECIMAL(38,20) accumulation, round(., 12) per
+    * iteration) so the oracle's unrolled replay lands on the same
+    * bits. Returns (node, rank) for every node. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int, damping: Double = 0.85,
+                           materialize: Materializer = Materializer.Local)
+      : DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1)
+    val e = materialize(edges.select(col("src"), col("dst")).distinct())
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val ed = materialize(e.join(deg, Seq("src")))
+    // node table with the seed indicator attached once (loop-invariant)
+    val nodes = materialize(ed.select(col("src").as("node")).distinct()
+      .join(seeds.select(col("node")).distinct()
+        .withColumn("s", lit(1)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("s"), lit(0)).as("seed")))
+    var ranks = materialize(
+      nodes.select(col("node"), col("seed").cast("double").as("r")))
+    var i = 0
+    while (i < iters) {
+      val contribs = ed
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          (col("r") / col("d")).cast("decimal(38,20)").as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("c"))
+      ranks = materialize(nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(1.0 - damping) * col("seed").cast("double")
+            + lit(damping) * coalesce(col("c"), lit(0)).cast("double"),
+            12).as("r")))
+      i += 1
+    }
+    ranks.select(col("node"), col("r").as("rank"))
+  }
+
   /** Multi-source BFS: minimum hop distance from a seed set, out to
     * `maxHops` — the neighborhood-expansion primitive behind "everything
     * within 2 links of a known-spam domain" blocklists and

@@ -425,6 +425,125 @@ object Stats {
           6).as("gini"))
   }
 
+  /** Contingency-table dependence readout: Pearson's χ² independence
+    * statistic AND mutual information (nats) between two categorical
+    * columns in one pass — "does event type depend on hour of day?" is
+    * the schema-drift / feature-leakage probe a pipeline audit runs.
+    * Returns one row (n, dof, chi2, mi).
+    *
+    * Scale shape: ONE (a, b) partial-combined count is the corpus's
+    * only exchange; marginals are aggregates OF the contingency table
+    * and broadcast back. Expected counts and MI terms use exact-integer
+    * products lifted through DECIMAL(38,0) (row·col marginal products
+    * overflow 64 bits at corpus scale) with ONE pinned double op order
+    * per cell, contributions round(9), DECIMAL(38,9) totals,
+    * round(6). */
+  def contingencyStats(df: DataFrame, aCol: String, bCol: String,
+                       mat: Materializer = Materializer.Local)
+      : DataFrame = {
+    // pinned: the contingency table feeds totals, marginals, and cells
+    val ct = mat(df
+      .groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("c")))
+    val tot = ct.agg(sum(col("c")).as("n"))
+    val ma = ct.groupBy(col("a"))
+      .agg(sum(col("c")).as("ra"))
+    val mb = ct.groupBy(col("b"))
+      .agg(sum(col("c")).as("cb"))
+    val dof = ma.agg(count(lit(1)).as("ka"))
+      .crossJoin(mb.agg(count(lit(1)).as("kb")))
+      .select(((col("ka") - 1) * (col("kb") - 1)).as("dof"))
+    val cells = ct
+      .join(broadcast(ma), Seq("a")).join(broadcast(mb), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e",
+        (col("ra").cast("decimal(19,0)") * col("cb").cast("decimal(19,0)"))
+          .cast("double") / col("n").cast("double"))
+      .select(
+        round((col("c").cast("double") - col("e"))
+          * (col("c").cast("double") - col("e")) / col("e"), 9)
+          .as("chi_t"),
+        round(col("e"), 9).as("e_t"),
+        round((col("c").cast("double") / col("n").cast("double"))
+          * log((col("c").cast("decimal(19,0)")
+              * col("n").cast("decimal(19,0)")).cast("double")
+            / (col("ra").cast("decimal(19,0)")
+              * col("cb").cast("decimal(19,0)")).cast("double")), 9)
+          .as("mi_t"))
+    // cells ABSENT from the contingency table (observed 0) still carry
+    // chi-square mass (0−e)²/e = e, and Σe over ALL cells is exactly n:
+    // the zero-cell total is n − Σ_observed e. (Their MI terms are 0.)
+    val sums = cells.agg(
+      sum(col("chi_t").cast("decimal(38,9)")).cast("double").as("chi_o"),
+      sum(col("e_t").cast("decimal(38,9)")).cast("double").as("e_o"),
+      round(sum(col("mi_t").cast("decimal(38,9)")).cast("double"), 6)
+        .as("mi"))
+    tot.crossJoin(broadcast(dof)).crossJoin(broadcast(sums))
+      .select(col("n"), col("dof"),
+        round(col("chi_o") + (col("n").cast("double") - col("e_o")), 6)
+          .as("chi2"),
+        col("mi"))
+  }
+
+  /** Exact weighted quantiles per group over an integral value grid:
+    * the value v*(p) at which the cumulative WEIGHT reaches p% of the
+    * group's total — e.g. "half the corpus BYTES sit in docs shorter
+    * than X" (mass-weighted, where the unweighted median answers a
+    * different question). Returns (key, pct, value) per requested
+    * integer percent, smallest v with `100·cumw ≥ p·W` — entirely
+    * integer arithmetic, no interpolation to replicate. Values and
+    * weights must be integral (lengths, counts, cents — the q162 grid
+    * contract bounding the histogram).
+    *
+    * Scale shape: the corpus partial-combines to the per-(key, value)
+    * weight histogram in its only exchange; cumulative sums ride a
+    * key-partitioned window over that bounded table; the percent
+    * fan-out is a bins×|percents| explode. */
+  def weightedQuantiles(df: DataFrame, keyCol: String, valCol: String,
+                        wCol: String, percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100))
+    val hist = df.groupBy(col(keyCol).as("key"),
+        col(valCol).cast("long").as("v"))
+      .agg(sum(col(wCol).cast("long")).as("wv"))
+    val wc = Window.partitionBy(col("key")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("key"))
+    hist
+      .withColumn("cw", sum(col("wv")).over(wc))
+      .withColumn("tw", sum(col("wv")).over(wt))
+      .select(col("key"), col("v"), col("cw"), col("tw"),
+        explode(array(percents.map(lit): _*)).as("pct"))
+      .filter(lit(100L) * col("cw") >= col("pct").cast("long") * col("tw"))
+      .groupBy(col("key"), col("pct"))
+      .agg(min(col("v")).as("value"))
+  }
+
+  /** Percentile-rank normalization of an integral value column: each
+    * distinct value's midrank share `(below + c/2) / n` — the
+    * scale-free transform that makes heterogeneous quality signals
+    * comparable before blending (q140's fusion consumes ranks for the
+    * same reason). Returns (v, c, pct_rank), pct_rank round(6).
+    *
+    * Scale shape: one partial-combined histogram exchange (the q162
+    * grid contract bounds it); the prefix window rides the bounded
+    * histogram, and the corpus-side application is a broadcast join of
+    * this table — never a corpus window. */
+  def percentileRanks(df: DataFrame, valCol: String): DataFrame = {
+    val hist = df.groupBy(col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = hist.agg(sum(col("c")).as("n"))
+    hist
+      .withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("c"),
+        round((col("below").cast("double")
+          + lit(0.5) * col("c").cast("double"))
+          / col("n").cast("double"), 6).as("pct_rank"))
+  }
+
   /** Benford first-digit audit (Newcomb 1881 / Benford 1938): observed
     * leading-significant-digit shares of a positive amount column vs
     * the Benford expectation `log10(1 + 1/d)`, with the χ² statistic —

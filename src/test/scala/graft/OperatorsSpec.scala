@@ -2747,6 +2747,66 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map(1L -> "a", 2L -> "b3", 4L -> "d"))
   }
 
+  test("personalizedPageRank: teleport mass stays near the seeds") {
+    val s = spark
+    import s.implicits._
+    // symmetrized path 1-2-3, seed {1}: after one round node 2 holds
+    // the forwarded seed mass, node 3 none yet; deeper rounds decay
+    // with distance
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val r1 = graft.operators.Graph
+      .personalizedPageRank(edges, Seq(1L).toDF("node"), iters = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(r1 == Map(1L -> 0.15, 2L -> 0.85, 3L -> 0.0))
+    val r3 = graft.operators.Graph
+      .personalizedPageRank(edges, Seq(1L).toDF("node"), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(r3(1L) > r3(2L) * 0 && r3(2L) > r3(3L) && r3(3L) > 0.0)
+  }
+
+  test("weightedQuantiles: mass-weighted, not row-weighted") {
+    val s = spark
+    import s.implicits._
+    // values 1..4 with weights 1,1,1,7: half the MASS sits at value 4
+    // even though the row median is 2.5
+    val rows = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 7L))
+      .map { case (v, w) => ("k", v, w) }.toDF("g", "v", "w")
+    val got = graft.operators.Stats
+      .weightedQuantiles(rows, "g", "v", "w", Seq(25, 50, 75))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(got == Map(25 -> 3L, 50 -> 4L, 75 -> 4L))
+  }
+
+  test("contingencyStats: zero for independence, n and ln(2) for a 2x2 lock") {
+    val s = spark
+    import s.implicits._
+    val indep = Seq.fill(20)(("x", "0")) ++ Seq.fill(20)(("x", "1")) ++
+      Seq.fill(10)(("y", "0")) ++ Seq.fill(10)(("y", "1"))
+    val gi = graft.operators.Stats
+      .contingencyStats(indep.toDF("a", "b"), "a", "b").collect()(0)
+    assert(gi.getLong(0) == 60L && gi.getLong(1) == 1L)
+    assert(gi.getDouble(2) == 0.0 && gi.getDouble(3) == 0.0)
+    // perfect dependence: chi2 = n, MI = ln 2
+    val dep = Seq.fill(30)(("x", "0")) ++ Seq.fill(30)(("y", "1"))
+    val gd = graft.operators.Stats
+      .contingencyStats(dep.toDF("a", "b"), "a", "b").collect()(0)
+    assert(gd.getDouble(2) == 60.0)
+    assert(gd.getDouble(3) == BigDecimal(math.log(2.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("percentileRanks: midrank shares over the value histogram") {
+    val s = spark
+    import s.implicits._
+    val got = graft.operators.Stats
+      .percentileRanks(Seq(1L, 1L, 2L, 3L).toDF("v"), "v")
+      .orderBy(col("v")).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 0.25), (2L, 0.625), (3L, 0.875)))
+  }
+
   test("associationLift: hand-computed support/confidence/lift") {
     val s = spark
     import s.implicits._

@@ -878,4 +878,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(joinIdx >= 0 && probeIdx > joinIdx,
       "probe should appear below (after) the join node in the plan tree")
   }
+
+  test("q174-q177: PPR rounds keyed; histogram stats never sort the corpus") {
+    for (q <- Seq("q174_ppr", "q175_weighted_median", "q176_contingency",
+        "q177_pct_rank")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("SortMergeJoin"), q + ": bounded/broadcast only")
+    }
+    // the contingency marginals join back as broadcasts
+    assert(plan("q176_contingency").contains("BroadcastHashJoin"))
+  }
 }
