@@ -2863,6 +2863,32 @@ object SparkEntry {
       // heterogeneous quality signals; the corpus never sorts globally.
       operators.Stats.percentileRanks(t(s, dir, "documents"), "n_chars")
         .orderBy(col("v"))
+    }),
+
+    "q178_pareto" -> ((s, dir) => {
+      // 2-D Pareto frontier over (length, quality): "the best-quality
+      // doc at every length budget" — domination decided against a
+      // broadcast suffix-max grid, never a pairwise join; the oracle
+      // brute-forces NOT EXISTS dominance over the same points (a
+      // genuine differential, the q141 pattern).
+      val docs = t(s, dir, "documents")
+      operators.TopK.paretoFrontier(docs, "doc_id", col("n_chars"),
+          TextAnalysis.qualityScore(col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q179_novelty" -> ((s, dir) => {
+      // per-doc 3-gram novelty vs the src0 reference slice: fraction of
+      // a doc's distinct shingles the reference has never seen — the
+      // diversity-aware sampling signal; reference set broadcast, swap
+      // the q90 bloom prefilter when it outgrows broadcast.
+      functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      TextAnalysis.noveltyVsReference(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -6612,7 +6638,65 @@ object SparkEntry {
         |SELECT v, c,
         |  round((CAST(below AS DOUBLE) + 0.5 * CAST(c AS DOUBLE))
         |    / CAST(n AS DOUBLE), 6) AS pct_rank
-        |FROM w ORDER BY v""".stripMargin
+        |FROM w ORDER BY v""".stripMargin,
+
+    "q178_pareto" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, n_chars, $toksSql AS tk FROM documents
+         |), st AS (
+         |  SELECT doc_id, n_chars, text,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(tk,
+         |          t -> list_contains($stopwordsSql, lower(t)))) AS DOUBLE)
+         |        / CAST(len(tk) AS DOUBLE) END AS stopword_ratio,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(text,
+         |          '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) END AS punct_ratio
+         |  FROM base
+         |), q AS MATERIALIZED (
+         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+         |    round(round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         |      * (1.0 - punct_ratio) * (0.5 + stopword_ratio / 2.0), 6),
+         |      6) AS y
+         |  FROM st
+         |)
+         |SELECT d.doc_id, d.x, d.y FROM q d
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM q o
+         |  WHERE (o.x > d.x AND o.y >= d.y)
+         |     OR (o.x >= d.x AND o.y > d.y))
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q179_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS raw
+        |  FROM documents
+        |), sh AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    list_distinct(CASE WHEN len(raw) < 3
+        |      THEN [array_to_string(raw, ' ')]
+        |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |            for i in range(0, len(raw) - 2)] END) AS shingles
+        |  FROM tk
+        |), ref AS MATERIALIZED (
+        |  SELECT DISTINCT unnest(shingles) AS g FROM sh
+        |  WHERE source = 'src0'
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS g FROM sh
+        |  WHERE source <> 'src0'
+        |), per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+        |    CAST(sum(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_known
+        |  FROM ex LEFT JOIN ref r USING (g) GROUP BY 1
+        |)
+        |SELECT doc_id, n_sh, n_known,
+        |  round(1.0 - CAST(n_known AS DOUBLE) / CAST(n_sh AS DOUBLE), 6)
+        |    AS novelty
+        |FROM per ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

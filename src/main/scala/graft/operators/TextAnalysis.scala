@@ -196,6 +196,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Per-doc n-gram NOVELTY against a reference slice: the fraction of
+    * a document's distinct word n-grams that the reference corpus has
+    * never seen — the diversity-aware sampling signal ("prefer docs
+    * that add new content") that is the per-doc ratio complement of
+    * [[contaminationOverlap]]'s absolute counts. Returns
+    * (id, n_sh, n_known, novelty) for every non-reference doc,
+    * novelty = 1 − n_known/n_sh round(6).
+    *
+    * Scale shape: same as [[contaminationOverlap]] — reference shingles
+    * distinct + broadcast, corpus side explode → LEFT broadcast join →
+    * one per-doc partial-combined count; swap the broadcast for the
+    * [[contaminationOverlapBloom]] prefilter when the reference slice
+    * outgrows broadcast. */
+  def noveltyVsReference(corpus: DataFrame, ref: DataFrame,
+                         idCol: String, textCol: String, n: Int)
+      : DataFrame = {
+    val refShingles = ref
+      .select(explode_outer(array_distinct(shingles(col(textCol), n)))
+        .as("sh"))
+      .distinct()
+      .withColumn("known", lit(1L))
+    corpus
+      .select(col(idCol).as("id"),
+        explode_outer(array_distinct(shingles(col(textCol), n))).as("sh"))
+      .join(broadcast(refShingles), Seq("sh"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("known"), lit(0L))).as("n_known"))
+      .select(col("id"), col("n_sh"), col("n_known"),
+        round(lit(1.0) - col("n_known").cast("double")
+          / col("n_sh").cast("double"), 6).as("novelty"))
+  }
+
   /** [[contaminationOverlap]] for eval sets too big to broadcast
     * exactly: the eval shingle set is folded DISTRIBUTEDLY into a bloom
     * filter (Spark's own `BloomFilterAggregate` — one binary scalar

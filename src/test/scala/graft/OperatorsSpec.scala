@@ -2807,6 +2807,37 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((1L, 0.25), (2L, 0.625), (3L, 0.875)))
   }
 
+  test("paretoFrontier: dominance with ties, no pairwise join semantics") {
+    val s = spark
+    import s.implicits._
+    // (10, .5) dominated by (20, .5); (20, .5) and its exact twin both
+    // survive; (15, .9) survives (nothing longer is better); (20, .4)
+    // dominated by (20, .5)
+    val rows = Seq((1L, 10L, 0.5), (2L, 20L, 0.5), (3L, 20L, 0.5),
+      (4L, 15L, 0.9), (5L, 20L, 0.4), (6L, 30L, 0.1))
+      .toDF("id", "x", "y")
+    val got = graft.operators.TopK
+      .paretoFrontier(rows, "id", col("x"), col("y"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L, 4L, 6L))
+  }
+
+  test("noveltyVsReference: known shingles subtract, unseen docs score 1") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    // doc 1 shares shingle "a b c" with the reference (its other
+    // shingle "b c x" is novel); doc 2 shares nothing
+    val corpus = Seq((1L, "a b c x"), (2L, "q r s t"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .noveltyVsReference(corpus, ref, "doc_id", "text", n = 3)
+      .orderBy(col("id")).collect()
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 1L
+      && got(0).getDouble(3) == 0.5)
+    assert(got(1).getLong(2) == 0L && got(1).getDouble(3) == 1.0)
+  }
+
   test("associationLift: hand-computed support/confidence/lift") {
     val s = spark
     import s.implicits._

@@ -889,4 +889,14 @@ class PlanAuditSpec extends SparkSpec {
     // the contingency marginals join back as broadcasts
     assert(plan("q176_contingency").contains("BroadcastHashJoin"))
   }
+
+  test("q178/q179: frontier grid and reference set join as broadcasts") {
+    for (q <- Seq("q178_pareto", "q179_novelty")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("SortMergeJoin"),
+        q + ": dominance/novelty must not pair-join the corpus")
+      assert(p.contains("BroadcastHashJoin"), q)
+    }
+  }
 }
