@@ -2889,6 +2889,53 @@ object SparkEntry {
           docs.filter(col("source") === "src0"), "doc_id", "text", n = 3)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    "q180_vocab_growth" -> ((s, dir) => {
+      // Heaps'-law vocabulary growth over 10 deterministic ingest
+      // batches: new types, cumulative vocab, running type-token ratio
+      // — "is the crawl still adding content or repeating itself".
+      TextAnalysis.vocabGrowth(t(s, dir, "documents"), "doc_id",
+          "text", batches = 10)
+        .orderBy(col("batch"))
+    }),
+
+    "q181_zipf" -> ((s, dir) => {
+      // Zipf rank-frequency least-squares fit over the vocabulary:
+      // natural text sits near slope -1; template/ID corpora don't.
+      // All regression sums in exact DECIMAL over the bounded vocab.
+      TextAnalysis.zipfFit(t(s, dir, "documents"), "text")
+    }),
+
+    "q182_burstiness" -> ((s, dir) => {
+      // Goh-Barabasi burstiness of each user's inter-event gaps:
+      // -1 metronome, 0 Poisson, ->1 bursts — the organic-vs-scheduler
+      // behavioral fingerprint. One entity-keyed exchange.
+      operators.TimeSeries.interEventBurstiness(t(s, dir, "events"),
+          "user_id", "ts")
+        .orderBy(col("entity"))
+    }),
+
+    "q183_scorecard" -> ((s, dir) => {
+      // the end-to-end curation verdict per doc: quality (q31), 3-gram
+      // repetition (q56), language (q32) and length percentile rank
+      // (q177, broadcast join-back) fold into one keep/drop decision —
+      // the headline composition of the per-doc signal family.
+      functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val pr = operators.Stats.percentileRanks(docs, "n_chars")
+        .select(col("v").as("n_chars_v"), col("pct_rank").as("len_pr"))
+      val scored = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.dupNgramFrac(col("text"), 3).as("dup3"),
+        (TextAnalysis.langId(col("text")) === "en").as("is_en"),
+        col("n_chars").cast("long").as("n_chars_v"))
+      scored.join(broadcast(pr), Seq("n_chars_v"))
+        .select(col("doc_id"), col("quality"), col("dup3"), col("is_en"),
+          col("len_pr"),
+          (col("quality") >= 0.25 && col("dup3") <= 0.2 && col("is_en")
+            && col("len_pr") >= 0.02 && col("len_pr") <= 0.98).as("keep"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -6696,7 +6743,157 @@ object SparkEntry {
         |SELECT doc_id, n_sh, n_known,
         |  round(1.0 - CAST(n_known AS DOUBLE) / CAST(n_sh AS DOUBLE), 6)
         |    AS novelty
-        |FROM per ORDER BY doc_id""".stripMargin
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    "q180_vocab_growth" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+         |tb AS MATERIALIZED (
+         |  SELECT CAST((10 * doc_id) // (mx + 1) AS INT) AS batch,
+         |    unnest(tk) AS token
+         |  FROM (SELECT doc_id, $toksSql AS tk FROM documents), mx
+         |), vol AS (
+         |  SELECT batch, CAST(count(*) AS BIGINT) AS n_tokens
+         |  FROM tb GROUP BY 1
+         |), nw AS (
+         |  SELECT batch, CAST(count(*) AS BIGINT) AS new_types
+         |  FROM (SELECT token, min(batch) AS batch FROM tb GROUP BY 1)
+         |  GROUP BY 1
+         |), j AS (
+         |  SELECT v.batch, v.n_tokens,
+         |    coalesce(nw.new_types, 0) AS new_types
+         |  FROM vol v LEFT JOIN nw USING (batch)
+         |), c AS (
+         |  SELECT batch, n_tokens, new_types,
+         |    CAST(sum(new_types) OVER w AS BIGINT) AS vocab_cum,
+         |    CAST(sum(n_tokens) OVER w AS BIGINT) AS tok_cum
+         |  FROM j WINDOW w AS (ORDER BY batch
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT batch, n_tokens, new_types, vocab_cum,
+         |  round(CAST(vocab_cum AS DOUBLE) / CAST(tok_cum AS DOUBLE), 6)
+         |    AS ttr
+         |FROM c ORDER BY batch""".stripMargin,
+
+    "q181_zipf" ->
+      s"""WITH vocab AS MATERIALIZED (
+         |  SELECT token, count(*) AS c
+         |  FROM (SELECT unnest(tk) AS token
+         |        FROM (SELECT $toksSql AS tk FROM documents))
+         |  GROUP BY 1
+         |), r AS (
+         |  SELECT
+         |    CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC,
+         |      token ASC) AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+         |    CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+         |  FROM vocab
+         |), s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+         |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+         |  FROM r
+         |), m AS (
+         |  SELECT n, sx, sy,
+         |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS m
+         |  FROM s
+         |)
+         |SELECT n AS n_types, round(m, 6) AS slope,
+         |  round((CAST(sy AS DOUBLE) - m * CAST(sx AS DOUBLE))
+         |    / CAST(n AS DOUBLE), 6) AS intercept
+         |FROM m""".stripMargin,
+
+    "q182_burstiness" ->
+      """WITH e AS (
+        |  SELECT user_id AS entity, epoch_us(ts) // 1000000 AS es, ts
+        |  FROM events
+        |), g AS (
+        |  SELECT entity,
+        |    es - lag(es) OVER (PARTITION BY entity ORDER BY ts) AS g
+        |  FROM e
+        |), agg AS (
+        |  SELECT entity, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(g) AS BIGINT) AS s, CAST(sum(g * g) AS BIGINT) AS ss
+        |  FROM g WHERE g IS NOT NULL GROUP BY 1
+        |), m AS (
+        |  SELECT entity, n_gaps,
+        |    round(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE), 3)
+        |      AS mean_gap_s,
+        |    CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+        |    sqrt((CAST(ss AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |        / CAST(n_gaps AS DOUBLE))
+        |      / CAST(n_gaps AS DOUBLE)) AS sigma
+        |  FROM agg
+        |)
+        |SELECT entity, n_gaps, mean_gap_s,
+        |  CASE WHEN sigma + mu = 0.0 THEN -1.0
+        |    ELSE round((sigma - mu) / (sigma + mu), 6) END AS burstiness
+        |FROM m ORDER BY entity""".stripMargin,
+
+    "q183_scorecard" -> {
+      val profiles = TextAnalysis.langProfiles
+      val scoreCols = profiles.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(raw, t -> list_contains($lst, lower(t)))) AS s_$lang"
+      }.mkString(",\n    ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, text, n_chars,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+         |      AS raw
+         |  FROM documents
+         |), st AS (
+         |  SELECT doc_id, text, n_chars, raw,
+         |    CASE WHEN len(raw) < 3 THEN [array_to_string(raw, ' ')]
+         |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+         |            for i in range(0, len(raw) - 2)] END AS g3,
+         |    CASE WHEN len(raw) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(raw,
+         |          t -> list_contains($stopwordsSql, lower(t)))) AS DOUBLE)
+         |        / CAST(len(raw) AS DOUBLE) END AS stopword_ratio,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(text,
+         |          '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+         |    $scoreCols
+         |  FROM tk
+         |), scored AS MATERIALIZED (
+         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS v,
+         |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         |      * (1.0 - punct_ratio) * (0.5 + stopword_ratio / 2.0), 6)
+         |      AS quality,
+         |    CASE WHEN len(g3) <= 0 THEN 0.0 ELSE round(1.0 -
+         |      CAST(len(list_distinct(g3)) AS DOUBLE)
+         |        / CAST(len(g3) AS DOUBLE), 6) END AS dup3,
+         |    (CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0
+         |        THEN 'und'
+         |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+         |        THEN 'de'
+         |      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |      WHEN s_es >= s_fr THEN 'es'
+         |      ELSE 'fr' END) = 'en' AS is_en
+         |  FROM st
+         |), hist AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY 1
+         |), w AS (
+         |  SELECT v,
+         |    coalesce(sum(c) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS below,
+         |    c, (SELECT sum(c) FROM hist) AS n
+         |  FROM hist
+         |), pr AS (
+         |  SELECT v,
+         |    round((CAST(below AS DOUBLE) + 0.5 * CAST(c AS DOUBLE))
+         |      / CAST(n AS DOUBLE), 6) AS len_pr
+         |  FROM w
+         |)
+         |SELECT doc_id, quality, dup3, is_en, len_pr,
+         |  (quality >= 0.25 AND dup3 <= 0.2 AND is_en
+         |    AND len_pr >= 0.02 AND len_pr <= 0.98) AS keep
+         |FROM scored JOIN pr USING (v)
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

@@ -196,6 +196,93 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Vocabulary-growth curve (the Heaps'-law diagnostic): per ingest
+    * batch, token volume, NEW types (tokens first seen in that batch),
+    * the cumulative vocabulary, and the running type-token ratio — the
+    * "is this corpus still adding content or just repeating itself"
+    * readout a crawl pipeline tracks per snapshot. Batches derive
+    * deterministically from the id: `b = floor(batches·id/(max+1))`.
+    * Returns (batch, n_tokens, new_types, vocab_cum, ttr) per batch,
+    * ttr round(6).
+    *
+    * Scale shape: the corpus explodes once to (token, batch) and
+    * partial-combines twice — min-batch per type (the first-seen
+    * reduction; the vocab table is Heaps-bounded) and token counts per
+    * batch; everything after runs on the `batches`-row table. */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  batches: Int,
+                  mat: Materializer = Materializer.Local): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batches >= 2)
+    val mx = docs.agg(max(col(idCol)).as("mx"))
+    // pinned: the (token, batch) explode feeds both reductions.
+    // INTEGER division (div), not floor-of-double: an id past 2^53
+    // would misround the double quotient, engine-specifically
+    val tb = mat(docs.crossJoin(broadcast(mx))
+      .select(expr(s"CAST(($batches * $idCol) div (mx + 1) AS INT)")
+        .as("batch"),
+        explode_outer(tokens(col(textCol))).as("token")))
+    val vol = tb.groupBy(col("batch")).agg(count(lit(1)).as("n_tokens"))
+    val nw = tb.groupBy(col("token")).agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("batch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vol.join(nw, Seq("batch"), "left")
+      .select(col("batch"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("vocab_cum", sum(col("new_types")).over(w))
+      .withColumn("tok_cum", sum(col("n_tokens")).over(w))
+      .select(col("batch"), col("n_tokens"), col("new_types"),
+        col("vocab_cum"),
+        round(col("vocab_cum").cast("double")
+          / col("tok_cum").cast("double"), 6).as("ttr"))
+  }
+
+  /** Zipf rank-frequency fit: least-squares slope/intercept of
+    * ln(freq) against ln(rank) over the corpus vocabulary — natural
+    * text sits near slope −1; a corpus of templates or ID strings does
+    * not, making the slope a cheap corpus-health scalar. Rank is the
+    * deterministic (freq desc, token asc) order. Returns one row
+    * (n_types, slope, intercept), round(6).
+    *
+    * Scale shape: one (token, count) partial-combined exchange builds
+    * the Heaps-bounded vocab table; the rank window and the 5 DECIMAL
+    * regression sums (ln terms round(9)) run over that table, never
+    * the corpus. */
+  def zipfFit(docs: DataFrame, textCol: String,
+              mat: Materializer = Materializer.Local): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = mat(docs
+      .select(explode_outer(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c")))
+    val ranked = vocab
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("token").asc)))
+      .select(
+        // DECIMAL(18,9): the (18,9)x(18,9) product is (37,18) — exact,
+        // below the 38 cap, so neither engine's precision-loss rules
+        // fire (a (38,9) product WOULD truncate, engine-specifically)
+        round(log(col("rk").cast("double")), 9).cast("decimal(18,9)")
+          .as("x"),
+        round(log(col("c").cast("double")), 9).cast("decimal(18,9)")
+          .as("y"))
+    val sums = ranked.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    sums.select(col("n").as("n_types"),
+        ((col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+          .as("m"),
+        col("sx"), col("sy"))
+      .select(col("n_types"), round(col("m"), 6).as("slope"),
+        round((col("sy").cast("double") - col("m")
+          * col("sx").cast("double")) / col("n_types").cast("double"), 6)
+          .as("intercept"))
+  }
+
   /** Per-doc n-gram NOVELTY against a reference slice: the fraction of
     * a document's distinct word n-grams that the reference corpus has
     * never seen — the diversity-aware sampling signal ("prefer docs

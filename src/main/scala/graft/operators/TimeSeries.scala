@@ -343,6 +343,49 @@ object TimeSeries {
         col("survival"))
   }
 
+  /** Inter-event burstiness per entity (Goh & Barabási 2008):
+    * `B = (σ − µ)/(σ + µ)` over the entity's inter-event gaps — −1 for
+    * a metronome, 0 for a Poisson process, → 1 for heavy bursts. The
+    * behavioral fingerprint separating organic users from schedulers
+    * and scrapers. Returns (entity, n_gaps, mean_gap_s, burstiness),
+    * gaps measured in whole seconds, mean round(3), B round(6);
+    * entities with fewer than 2 events are absent, zero-variance
+    * entities (σ + µ = 0 can only mean all-zero gaps) pin B to −1.
+    *
+    * Scale shape: ONE entity-keyed exchange; the gap lag rides an
+    * entity-partitioned window (entity-bounded state), then mean/σ
+    * come from exact integer sums partial-combined per entity — one
+    * double op order, no second pass. */
+  def interEventBurstiness(events: DataFrame, entityCol: String,
+                           tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col("entity")).orderBy(col("ts"))
+    val gaps = events
+      .select(col(entityCol).as("entity"), col(tsCol).as("ts"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("entity"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev")))
+          .as("g"))
+    gaps.groupBy(col("entity"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("s"),
+        sum(col("g") * col("g")).as("ss"))
+      .select(col("entity"), col("n_gaps"),
+        round(col("s").cast("double") / col("n_gaps").cast("double"), 3)
+          .as("mean_gap_s"),
+        col("s"), col("ss"))
+      .withColumn("mu",
+        col("s").cast("double") / col("n_gaps").cast("double"))
+      .withColumn("sigma", sqrt(
+        (col("ss").cast("double")
+          - col("s").cast("double") * col("s").cast("double")
+            / col("n_gaps").cast("double"))
+          / col("n_gaps").cast("double")))
+      .select(col("entity"), col("n_gaps"), col("mean_gap_s"),
+        when(col("sigma") + col("mu") === 0.0, lit(-1.0))
+          .otherwise(round((col("sigma") - col("mu"))
+            / (col("sigma") + col("mu")), 6)).as("burstiness"))
+  }
+
   /** Additive seasonal-trend decomposition (the STL shape, one-pass
     * form) of the hourly count series per key:
     * trend = the CENTERED 24-hour moving average (emitted only where

@@ -2838,6 +2838,61 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1).getLong(2) == 0L && got(1).getDouble(3) == 1.0)
   }
 
+  test("vocabGrowth: new types land in their first batch, TTR runs") {
+    val s = spark
+    import s.implicits._
+    // ids 0..3 with max 3 -> 2 batches of 2 docs: batch 0 brings
+    // {a, b, c}, batch 1 adds only {d}
+    val docs = Seq((0L, "a b"), (1L, "b c"), (2L, "a d"), (3L, "d a"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .vocabGrowth(docs, "doc_id", "text", batches = 2)
+      .orderBy(col("batch")).collect()
+    assert(got.length == 2)
+    assert(got(0).getInt(0) == 0 && got(0).getLong(1) == 4L
+      && got(0).getLong(2) == 3L && got(0).getLong(3) == 3L
+      && got(0).getDouble(4) == 0.75)
+    assert(got(1).getLong(1) == 4L && got(1).getLong(2) == 1L
+      && got(1).getLong(3) == 4L && got(1).getDouble(4) == 0.5)
+  }
+
+  test("zipfFit: an exact power law recovers its exponent") {
+    val s = spark
+    import s.implicits._
+    // frequencies 16, 8, 4, 2, 1 over ranks 1..5 under base 2:
+    // ln f = ln 16 - (ln 2 / ln 2) ... slope in ln-ln space is
+    // log2-linear with slope -ln(2)/... construct f = 2^(5-rank):
+    // ln f = (5 - rank) ln 2, ln rank is NOT linear in rank, so use
+    // f = 1/rank scaled: freq r = 60 / r for r in 1..5 -> ln f =
+    // ln 60 - ln r -> slope exactly -1
+    val words = Seq("a" -> 60, "b" -> 30, "c" -> 20, "d" -> 15, "e" -> 12)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .mkString(" ")
+    val got = graft.operators.TextAnalysis
+      .zipfFit(Seq((1L, text)).toDF("doc_id", "text"), "text")
+      .collect()(0)
+    assert(got.getLong(0) == 5L)
+    assert(math.abs(got.getDouble(1) - (-1.0)) < 1e-6, got)
+  }
+
+  test("interEventBurstiness: metronome pins to -1, bursts go positive") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-03-01T00:00:00Z").plusSeconds(sec))
+    // user 1: perfectly regular (sigma 0 -> B = -1); user 2: two
+    // near-simultaneous bursts far apart (sigma >> mu -> B > 0)
+    val rows = (0 until 5).map(i => (1L, ts(i * 60))) ++
+      Seq((2L, ts(0)), (2L, ts(1)), (2L, ts(3600)), (2L, ts(3601)))
+    val got = graft.operators.TimeSeries
+      .interEventBurstiness(rows.toDF("u", "ts"), "u", "ts")
+      .orderBy(col("entity")).collect()
+    assert(got(0).getLong(1) == 4L && got(0).getDouble(3) == -1.0)
+    // gaps (1, 3599, 1): sigma/mu ~ 1.41 -> B ~ +0.17, clearly bursty
+    // against the metronome's -1
+    assert(got(1).getLong(1) == 3L && got(1).getDouble(3) > 0.1)
+  }
+
   test("associationLift: hand-computed support/confidence/lift") {
     val s = spark
     import s.implicits._

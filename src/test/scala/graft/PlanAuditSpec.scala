@@ -890,6 +890,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q176_contingency").contains("BroadcastHashJoin"))
   }
 
+  test("q180-q183: vocab/zipf/burstiness/scorecard — bounded-table tails") {
+    for (q <- Seq("q180_vocab_growth", "q181_zipf", "q182_burstiness",
+        "q183_scorecard")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("SortMergeJoin"), q)
+    }
+    // the percentile-rank table joins back as a broadcast
+    assert(plan("q183_scorecard").contains("BroadcastHashJoin"))
+  }
+
   test("q178/q179: frontier grid and reference set join as broadcasts") {
     for (q <- Seq("q178_pareto", "q179_novelty")) {
       val p = plan(q)
