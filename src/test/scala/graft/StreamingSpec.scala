@@ -510,4 +510,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == static)
     assert(static == Seq((100L, 900L), (101L, 901L)))
   }
+
+  test("streaming DAU/WAU == batch activeUsers (complete-mode aggregate)") {
+    // the q160 engagement series maintained over a stream: the same
+    // map-side day fan-out (explode to the covered days) feeds a
+    // distinct-user count per (covered day) — expressed as the
+    // approx-free two-level aggregate (distinct (user, day) first, then
+    // count) in COMPLETE output mode, the maintainable form of the
+    // batch operator. Differential: the streaming table must equal the
+    // batch activeUsers rows for every day the stream has fully covered.
+    val s = spark
+    import s.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 10:00:00")
+    val df = Seq((1L, ts(1)), (1L, ts(1)), (1L, ts(5)), (2L, ts(1)),
+      (3L, ts(3)), (2L, ts(5))).toDF("u", "ts")
+    val dir = Files.createTempDirectory("graft-au-stream").toString
+    df.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(df.schema).parquet(dir)
+    // two stacked aggregations need complete mode; state is bounded by
+    // users x days (the same cardinality the batch operator shuffles)
+    val wau = stream
+      .select(col("u"), explode(sequence(to_date(col("ts")),
+        date_add(to_date(col("ts")), 6))).as("day"))
+      .groupBy(col("u"), col("day")).agg(count(lit(1)).as("k"))
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    // stacked aggregations trip the global-watermark heuristic even
+    // though THIS query has no watermark and complete mode recomputes
+    // from full state each batch — nothing can be late or dropped.
+    // Scope the opt-out to this query and restore after.
+    val ck = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = spark.conf.getOption(ck)
+    spark.conf.set(ck, "false")
+    try {
+      val h = wau.writeStream.outputMode("complete")
+        .format("memory").queryName("au_out").start()
+      h.processAllAvailable(); h.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(ck, v)
+      case None => spark.conf.unset(ck)
+    }
+    val streamed = spark.table("au_out").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    val batch = graft.operators.TimeSeries
+      .activeUsers(df, "ts", "u", window = 7)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(2))).toMap
+    // every day the batch operator reports must carry the identical WAU
+    for ((d, w) <- batch) assert(streamed.get(d).contains(w), d)
+  }
 }
