@@ -2936,6 +2936,32 @@ object SparkEntry {
           (col("quality") >= 0.25 && col("dup3") <= 0.2 && col("is_en")
             && col("len_pr") >= 0.02 && col("len_pr") <= 0.98).as("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q184_rake" -> ((s, dir) => {
+      // RAKE keyword extraction: each doc's top stopword-free phrase
+      // scored by sum of word degree/frequency — doc-level metadata
+      // enrichment (q155 names clusters; this names documents). All
+      // aggregates and the rank window key on the doc id.
+      TextAnalysis.rakeKeywords(t(s, dir, "documents"), "doc_id",
+          "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q185_fd_audit" -> ((s, dir) => {
+      // functional-dependency audit over the order lines: does the
+      // order determine its supplier / part its supplier? The
+      // schema-contract probe before trusting a column as a join key.
+      operators.Stats.fdAudit(t(s, dir, "lineitem"),
+        Seq("l_orderkey" -> "l_suppkey", "l_partkey" -> "l_suppkey",
+          "l_orderkey" -> "l_shipdate"))
+    }),
+
+    "q186_corr_matrix" -> ((s, dir) => {
+      // exact Pearson correlation matrix over the lineitem measures in
+      // ONE pass: DECIMAL-lifted sums, pinned double algebra per pair.
+      operators.Stats.correlationMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     })
   )
 
@@ -6893,6 +6919,121 @@ object SparkEntry {
          |    AND len_pr >= 0.02 AND len_pr <= 0.98) AS keep
          |FROM scored JOIN pr USING (v)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "q184_rake" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |      x -> x <> '') AS raw
+         |  FROM documents
+         |), mk AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(raw,
+         |      t -> CASE WHEN list_contains($stopwordsSql, t)
+         |        THEN '|' ELSE t END), ' ') AS s
+         |  FROM tk
+         |), ph0 AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(list_transform(
+         |      regexp_split_to_array(s, ' *\\| *'), x -> trim(x)),
+         |      x -> x <> '')) AS phrase
+         |  FROM mk
+         |), ph AS MATERIALIZED (
+         |  SELECT doc_id, phrase FROM ph0
+         |  WHERE len(regexp_split_to_array(phrase, ' ')) <= 4
+         |), pw AS (
+         |  SELECT doc_id, phrase,
+         |    len(regexp_split_to_array(phrase, ' ')) AS plen,
+         |    unnest(regexp_split_to_array(phrase, ' ')) AS word
+         |  FROM ph
+         |), ws AS MATERIALIZED (
+         |  SELECT doc_id, word,
+         |    round(CAST(sum(plen) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+         |      9) AS wscore
+         |  FROM pw GROUP BY 1, 2
+         |), pd AS (
+         |  SELECT doc_id, phrase,
+         |    unnest(regexp_split_to_array(phrase, ' ')) AS word
+         |  FROM (SELECT DISTINCT doc_id, phrase FROM ph)
+         |), ps AS (
+         |  SELECT p.doc_id, p.phrase,
+         |    round(CAST(sum(CAST(w.wscore AS DECIMAL(18,9))) AS DOUBLE),
+         |      6) AS score
+         |  FROM pd p JOIN ws w
+         |    ON p.doc_id = w.doc_id AND p.word = w.word
+         |  GROUP BY 1, 2
+         |), r AS (
+         |  SELECT doc_id, phrase, score, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, phrase ASC) AS rk
+         |  FROM ps
+         |)
+         |SELECT doc_id, phrase, score FROM r WHERE rk = 1
+         |ORDER BY doc_id""".stripMargin,
+
+    "q185_fd_audit" ->
+      """WITH r1 AS (
+        |  SELECT 'l_orderkey->l_suppkey' AS fd,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bad_keys,
+        |    CAST(sum(CASE WHEN nd > 1 THEN nr ELSE 0 END) AS BIGINT)
+        |      AS bad_rows
+        |  FROM (SELECT l_orderkey, count(*) AS nr,
+        |          count(DISTINCT l_suppkey) AS nd
+        |        FROM lineitem GROUP BY 1)
+        |), r2 AS (
+        |  SELECT 'l_partkey->l_suppkey' AS fd,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bad_keys,
+        |    CAST(sum(CASE WHEN nd > 1 THEN nr ELSE 0 END) AS BIGINT)
+        |      AS bad_rows
+        |  FROM (SELECT l_partkey, count(*) AS nr,
+        |          count(DISTINCT l_suppkey) AS nd
+        |        FROM lineitem GROUP BY 1)
+        |), r3 AS (
+        |  SELECT 'l_orderkey->l_shipdate' AS fd,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bad_keys,
+        |    CAST(sum(CASE WHEN nd > 1 THEN nr ELSE 0 END) AS BIGINT)
+        |      AS bad_rows
+        |  FROM (SELECT l_orderkey, count(*) AS nr,
+        |          count(DISTINCT l_shipdate) AS nd
+        |        FROM lineitem GROUP BY 1)
+        |)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |UNION ALL SELECT * FROM r3
+        |ORDER BY fd""".stripMargin,
+
+    "q186_corr_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def d(c: String) = s"CAST($c AS DECIMAL(19,6))"
+      val sums =
+        (cs.map(c => s"sum(${d(c)}) AS s_$c") ++
+          cs.map(c => s"sum(${d(c)} * ${d(c)}) AS ss_$c") ++
+          cs.combinations(2).map { case Seq(a, b) =>
+            s"sum(${d(a)} * ${d(b)}) AS sp_${a}__$b"
+          }).mkString(",\n    ")
+      val pairs = cs.combinations(2).map { case Seq(a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  round((CAST(n AS DOUBLE) * CAST(sp_${a}__$b AS DOUBLE)
+           |      - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+           |    / sqrt((CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)
+           |        - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+           |      * (CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE)
+           |        - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6)
+           |    AS r
+           |  FROM one""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH one AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    $sums
+         |  FROM lineitem
+         |)
+         |$pairs
+         |ORDER BY col_a, col_b""".stripMargin
     }
   )
 

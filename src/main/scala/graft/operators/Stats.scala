@@ -544,6 +544,64 @@ object Stats {
           / col("n").cast("double"), 6).as("pct_rank"))
   }
 
+  /** Functional-dependency audit: for each candidate rule A → B, how
+    * many A-keys map to MORE than one B (and how many rows sit under
+    * them) — the schema-contract probe ("does order determine
+    * customer? does part determine supplier?") run before a pipeline
+    * trusts a column as a join key or dedup anchor. Returns one row
+    * per rule (fd, n_keys, bad_keys, bad_rows), ordered by fd.
+    *
+    * Scale shape: one determinant-keyed partial-combined aggregate per
+    * rule (count + exact distinct of the dependent), then a 1-row
+    * rollup; rules union at the end — the corpus never joins. */
+  def fdAudit(df: DataFrame, fds: Seq[(String, String)]): DataFrame = {
+    require(fds.nonEmpty)
+    fds.map { case (det, dep) =>
+      df.groupBy(col(det))
+        .agg(count(lit(1)).as("nr"), count_distinct(col(dep)).as("nd"))
+        .agg(lit(s"$det->$dep").as("fd"),
+          count(lit(1)).as("n_keys"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("bad_keys"),
+          sum(when(col("nd") > 1, col("nr")).otherwise(0L))
+            .as("bad_rows"))
+    }.reduce(_ unionAll _).orderBy(col("fd"))
+  }
+
+  /** Exact Pearson correlation matrix over numeric columns in ONE
+    * corpus pass: all Σx, Σx² and pairwise Σxy accumulate as
+    * DECIMAL(19,6)-lifted exact sums — width ≥ 19 forces an int128
+    * representation in engines that would otherwise propagate int64
+    * column statistics through the product (observed DuckDB overflow
+    * at width ≤ 18), and the capped (38,11)/(38,12) product scales
+    * stay exact because the measures carry ≤ 2 real decimals (6 + 6
+    * nominal, ≤ 4 actual) — then each pair's
+    * r = (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) evaluates in one
+    * pinned double order, round(6). Returns (col_a, col_b, r) for
+    * a < b, ordered. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2)
+    def d(c: String) = col(c).cast("decimal(19,6)")
+    val aggs =
+      (count(lit(1)).as("n") +:
+        cols.map(c => sum(d(c)).as(s"s_$c"))) ++
+        cols.map(c => sum(d(c) * d(c)).as(s"ss_$c")) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          sum(d(a) * d(b)).as(s"sp_${a}__$b")
+        }.toSeq
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val nd = col("n").cast("double")
+    val rows = array(cols.combinations(2).map { case Seq(a, b) =>
+      def v(name: String) = col(name).cast("double")
+      val num = nd * v(s"sp_${a}__$b") - v(s"s_$a") * v(s"s_$b")
+      val den = sqrt((nd * v(s"ss_$a") - v(s"s_$a") * v(s"s_$a"))
+        * (nd * v(s"ss_$b") - v(s"s_$b") * v(s"s_$b")))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        round(num / den, 6).as("r"))
+    }.toSeq: _*)
+    one.select(explode(rows).as("p")).select(col("p.*"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
   /** Benford first-digit audit (Newcomb 1881 / Benford 1938): observed
     * leading-significant-digit shares of a positive amount column vs
     * the Benford expectation `log10(1 + 1/d)`, with the χ² statistic —

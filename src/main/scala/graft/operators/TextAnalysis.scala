@@ -196,6 +196,59 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010): each document's top
+    * keyphrase. Candidate phrases are the maximal stopword-free token
+    * runs (≤ 4 words); each word scores degree/frequency over the
+    * doc's phrase occurrences (degree = Σ phrase lengths it appears
+    * in, frequency = occurrence count); a phrase scores the sum of its
+    * word scores; the (score desc, phrase asc) winner per doc is
+    * emitted. The doc-level metadata-enrichment complement of q155's
+    * corpus-level c-TF-IDF naming. Returns (idCol, phrase, score),
+    * word scores round(9), phrase scores round(6).
+    *
+    * Scale shape: phrase splitting is a pure string projection (tokens
+    * → stopwords replaced by a delimiter → re-split; the identical
+    * rebuild runs in the oracle); every aggregate and the final rank
+    * window key on the DOC id, so state is doc-bounded and the corpus
+    * shuffles (doc, word)/(doc, phrase) rows only. */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+                   mat: Materializer = Materializer.Local): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = langProfiles.flatMap(_._2).toSeq.distinct
+    val marked = concat_ws(" ",
+      transform(tokens(lower(col(textCol))),
+        t => when(array_contains(array(stop.map(lit): _*), t), lit("|"))
+          .otherwise(t)))
+    val phrases = docs.select(col(idCol).as("id"),
+      explode_outer(filter(
+        transform(split(marked, " *\\| *"), x => trim(x)),
+        x => x =!= lit(""))).as("phrase"))
+      .filter(size(split(col("phrase"), " ")) <= 4)
+    // pinned: phrase occurrences feed the word stats AND the distinct
+    // phrase set
+    val ph = mat(phrases)
+    val pw = ph.select(col("id"), col("phrase"),
+      size(split(col("phrase"), " ")).as("plen"),
+      explode(split(col("phrase"), " ")).as("word"))
+    val ws = pw.groupBy(col("id"), col("word"))
+      .agg(round(sum(col("plen")).cast("double")
+        / count(lit(1)).cast("double"), 9).as("wscore"))
+    // identical phrase strings score identically: score the DISTINCT
+    // phrase set (word multiplicity within a phrase still counts)
+    val pd = ph.select(col("id"), col("phrase")).distinct()
+      .select(col("id"), col("phrase"),
+        explode(split(col("phrase"), " ")).as("word"))
+    val ps = pd.join(ws, Seq("id", "word"))
+      .groupBy(col("id"), col("phrase"))
+      .agg(round(sum(col("wscore").cast("decimal(18,9)")).cast("double"),
+        6).as("score"))
+    ps.withColumn("rk", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("score").desc, col("phrase").asc)))
+      .filter(col("rk") === 1)
+      .select(col("id").as(idCol), col("phrase"), col("score"))
+  }
+
   /** Vocabulary-growth curve (the Heaps'-law diagnostic): per ingest
     * batch, token volume, NEW types (tokens first seen in that batch),
     * the cumulative vocabulary, and the running type-token ratio — the

@@ -2893,6 +2893,46 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1).getLong(1) == 3L && got(1).getDouble(3) > 0.1)
   }
 
+  test("rakeKeywords: degree/frequency scoring picks the dense phrase") {
+    val s = spark
+    import s.implicits._
+    // stopwords 'and'/'the' split the runs; phrases: "red apple",
+    // "red apple pie", "sky". red/apple: freq 2, deg 2+3=5 -> 2.5;
+    // pie: 3/1 = 3; sky: 1 -> "red apple pie" wins at 2.5+2.5+3 = 8
+    val docs = Seq((1L, "red apple and red apple pie and the sky"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .rakeKeywords(docs, "doc_id", "text").collect()
+    assert(got.length == 1)
+    assert(got(0).getString(1) == "red apple pie")
+    assert(got(0).getDouble(2) == 8.0)
+  }
+
+  test("fdAudit: violating keys and their row mass") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("k", "v")
+    val got = graft.operators.Stats.fdAudit(df, Seq("k" -> "v"))
+      .collect()(0)
+    assert(got.getString(0) == "k->v")
+    assert(got.getLong(1) == 2L && got.getLong(2) == 1L
+      && got.getLong(3) == 3L)
+  }
+
+  test("correlationMatrix: perfect linear relations hit +/- 1") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0))
+      .toDF("x", "y", "z")
+    val got = graft.operators.Stats
+      .correlationMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getDouble(2))).toMap
+    assert(got(("x", "y")) == 1.0)
+    assert(got(("x", "z")) == -1.0 && got(("y", "z")) == -1.0)
+  }
+
   test("associationLift: hand-computed support/confidence/lift") {
     val s = spark
     import s.implicits._

@@ -901,6 +901,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q183_scorecard").contains("BroadcastHashJoin"))
   }
 
+  test("q184-q186: RAKE keys on the doc id; FD/corr are pure aggregates") {
+    val p4 = plan("q184_rake")
+    assert(!p4.contains("CartesianProduct"), p4.take(2000))
+    val p5 = plan("q185_fd_audit")
+    assert(!p5.contains("CartesianProduct")
+      && !p5.contains("SortMergeJoin")
+      && !p5.contains("BroadcastHashJoin"), "FD audit joins nothing")
+    val p6 = plan("q186_corr_matrix")
+    assert(!p6.contains("Exchange hashpartitioning"),
+      "one global aggregate, no keyed shuffle\n" + p6.take(2000))
+  }
+
   test("q178/q179: frontier grid and reference set join as broadcasts") {
     for (q <- Seq("q178_pareto", "q179_novelty")) {
       val p = plan(q)
