@@ -2770,8 +2770,10 @@ object SparkEntry {
         .select(col("pa").as("src"), col("pb").as("dst"))
       val nodes = edges.select(col("src").as("node"))
         .unionAll(edges.select(col("dst").as("node"))).distinct()
+      // part graph: the distance table is dimension-scale -> broadcast
       operators.Graph.bfsHops(edges,
-          nodes.filter(col("node") % 101 === 0), maxHops = 3)
+          nodes.filter(col("node") % 101 === 0), maxHops = 3,
+          broadcastDist = true)
         .orderBy(col("node"))
     }),
 
@@ -2832,7 +2834,11 @@ object SparkEntry {
       val seeds = t(s, dir, "customer")
         .filter(col("c_custkey") % 131 === 0)
         .select(concat(lit("c"), col("c_custkey")).as("node"))
-      operators.Graph.personalizedPageRank(edges, seeds, iters = 5)
+      // entity graph (customers + suppliers): ranks broadcast, edges
+      // never shuffle; base is distinct and the union arms can't
+      // collide (prefixes differ), so the dedup shuffle is skipped
+      operators.Graph.personalizedPageRank(edges, seeds, iters = 5,
+          broadcastRanks = true, distinctEdges = false)
         .orderBy(col("node"))
     }),
 

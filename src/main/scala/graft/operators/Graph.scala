@@ -288,10 +288,13 @@ object Graph {
     * bits. Returns (node, rank) for every node. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iters: Int, damping: Double = 0.85,
+                           broadcastRanks: Boolean = false,
+                           distinctEdges: Boolean = true,
                            materialize: Materializer = Materializer.Local)
       : DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1)
-    val e = materialize(edges.select(col("src"), col("dst")).distinct())
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = materialize(if (distinctEdges) e0.distinct() else e0)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val ed = materialize(e.join(deg, Seq("src")))
     // node table with the seed indicator attached once (loop-invariant)
@@ -301,10 +304,15 @@ object Graph {
       .select(col("node"), coalesce(col("s"), lit(0)).as("seed")))
     var ranks = materialize(
       nodes.select(col("node"), col("seed").cast("double").as("r")))
+    // entity graphs (dimension-scale node sets): broadcast the rank
+    // table each round so the EDGE TABLE NEVER SHUFFLES — the q107
+    // trade, identical values either way
+    def rankSide(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
     var i = 0
     while (i < iters) {
       val contribs = ed
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(rankSide(ranks.withColumnRenamed("node", "src")),
+          Seq("src"))
         .select(col("dst").as("node"),
           (col("r") / col("d")).cast("decimal(38,20)").as("contrib"))
         .groupBy(col("node"))
@@ -337,6 +345,7 @@ object Graph {
     * oracle-replayable; with min-combine the re-derived closer labels
     * collapse for free. */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+              broadcastDist: Boolean = false,
               materialize: Materializer = Materializer.Local): DataFrame = {
     require(maxHops >= 1)
     val e0 = edges.select(col("src"), col("dst"))
@@ -345,10 +354,13 @@ object Graph {
         .filter(col("src") =!= col("dst")).distinct())
     var dist = materialize(seeds.select(col("node")).distinct()
       .withColumn("hops", lit(0)))
+    // entity graphs: broadcast the (node, hops) table so the edge set
+    // never shuffles in the expansion join — identical values
+    def distSide(df: DataFrame) = if (broadcastDist) broadcast(df) else df
     var i = 0
     while (i < maxHops) {
       val frontier = sym
-        .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .join(distSide(dist.withColumnRenamed("node", "src")), Seq("src"))
         .select(col("dst").as("node"), (col("hops") + lit(1)).as("hops"))
       dist = materialize(dist.unionAll(frontier)
         .groupBy(col("node")).agg(min(col("hops")).as("hops")))
