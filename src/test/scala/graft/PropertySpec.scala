@@ -214,6 +214,54 @@ class TransformPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("paretoFrontier equals the brute-force dominance scan") {
+    val s = spark
+    import s.implicits._
+    val ptsGen = Gen.listOfN(40, for {
+      x <- Gen.choose(0L, 12L)
+      y <- Gen.choose(0, 8).map(_ / 8.0)
+    } yield (x, y))
+    check(Prop.forAll(ptsGen) { pts =>
+      val rows = pts.zipWithIndex.map { case ((x, y), i) =>
+        (i.toLong, x, y) }
+      val got = graft.operators.TopK
+        .paretoFrontier(rows.toDF("id", "x", "y"), "id",
+          org.apache.spark.sql.functions.col("x"),
+          org.apache.spark.sql.functions.col("y"))
+        .collect().map(_.getLong(0)).toSet
+      val brute = rows.filter { case (_, x, y) =>
+        !rows.exists { case (_, ox, oy) =>
+          (ox > x && oy >= y) || (ox >= x && oy > y) }
+      }.map(_._1).toSet
+      got == brute
+    }, minSuccessful = 15)
+  }
+
+  test("weightedQuantiles matches the sequential cumulative-weight scan") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.nonEmptyListOf(for {
+      v <- Gen.choose(1L, 15L)
+      w <- Gen.choose(1L, 9L)
+    } yield (v, w))
+    check(Prop.forAll(gen, Gen.oneOf(25, 50, 75, 90)) { (vw, p) =>
+      val rows = vw.map { case (v, w) => ("k", v, w) }
+      val got = graft.operators.Stats
+        .weightedQuantiles(rows.toDF("g", "v", "w"), "g", "v", "w",
+          Seq(p))
+        .collect()(0).getLong(2)
+      // sequential truth: smallest v whose cumulative weight reaches
+      // p% of the total
+      val hist = vw.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy(_._1)
+      val total = hist.map(_._2).sum
+      val expected = hist.scanLeft((0L, 0L)) { case ((_, c), (v, w)) =>
+        (v, c + w) }.drop(1)
+        .find { case (_, cw) => 100L * cw >= p * total }.get._1
+      got == expected
+    }, minSuccessful = 20)
+  }
+
   test("staged output arity and order always equal the reconciled schema") {
     val s = spark
     import s.implicits._
