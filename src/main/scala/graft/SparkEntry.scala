@@ -3001,6 +3001,44 @@ object SparkEntry {
       // ONE pass: DECIMAL-lifted sums, pinned double algebra per pair.
       operators.Stats.correlationMatrix(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    }),
+
+    "q187_conv_lag" -> ((s, dir) => {
+      // time-to-convert distribution: each click's NEXT purchase by the
+      // same user within 1h, as a FORWARD as-of join (the backward
+      // asofJoin on negated epoch micros — one user-keyed shuffle +
+      // carry-forward window, never an inequality join), then exact
+      // lag percentiles. Deterministic next-purchase pick via the
+      // event-id tie-break.
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"),
+          (-unix_micros(col("ts"))).as("nts"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), (-unix_micros(col("ts"))).as("nts"),
+          unix_micros(col("ts")).as("pts"))
+      val joined = operators.AsOfJoin.asofJoin(clicks, purchases,
+        "user_id", "nts", "nts", Seq("pts"),
+        rightTieBreak = Some("pts"))
+      val lags = joined
+        .select((col("pts") - (-col("nts"))).as("lag_us"))
+        .filter(col("lag_us").isNotNull && col("lag_us") <= 3600000000L)
+        .select(expr("lag_us div 1000000").as("lag_s"))
+      lags.agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(lag_s, 0.25)"), 6).as("p25"),
+        round(expr("percentile(lag_s, 0.5)"), 6).as("p50"),
+        round(expr("percentile(lag_s, 0.75)"), 6).as("p75"),
+        round(expr("percentile(lag_s, 0.9)"), 6).as("p90"))
+    }),
+
+    "q188_fisher" -> ((s, dir) => {
+      // Fisher class-separation of the labeled embedding space: one
+      // between/within scatter scalar — "do these cluster labels
+      // actually separate" (the global complement of q151's per-point
+      // silhouette). One (label, dim) exchange of exact DECIMAL sums.
+      operators.Similarity.fisherSeparation(t(s, dir, "embeddings"),
+        "label", "embedding")
     })
   )
 
@@ -7073,7 +7111,74 @@ object SparkEntry {
          |)
          |$pairs
          |ORDER BY col_a, col_b""".stripMargin
-    }
+    },
+
+    "q187_conv_lag" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, epoch_us(ts) AS pts
+        |  FROM events WHERE event_type = 'purchase'
+        |), m AS (
+        |  SELECT c.click_id, c.cts, min(p.pts) AS npts
+        |  FROM c JOIN p ON c.user_id = p.user_id AND p.pts >= c.cts
+        |  GROUP BY 1, 2
+        |), l AS (
+        |  SELECT (npts - cts) // 1000000 AS lag_s
+        |  FROM m WHERE npts - cts <= 3600000000
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  round(quantile_cont(CAST(lag_s AS DOUBLE), 0.25), 6) AS p25,
+        |  round(quantile_cont(CAST(lag_s AS DOUBLE), 0.5), 6) AS p50,
+        |  round(quantile_cont(CAST(lag_s AS DOUBLE), 0.75), 6) AS p75,
+        |  round(quantile_cont(CAST(lag_s AS DOUBLE), 0.9), 6) AS p90
+        |FROM l""".stripMargin,
+
+    "q188_fisher" ->
+      """WITH cell AS MATERIALIZED (
+        |  SELECT label, u.pos,
+        |    CAST(count(*) AS BIGINT) AS n_c,
+        |    sum(CAST(round(CAST(u.x AS DOUBLE), 6) AS DECIMAL(15,6)))
+        |      AS s_c,
+        |    sum(CAST(round(CAST(u.x AS DOUBLE), 6) AS DECIMAL(15,6))
+        |      * CAST(round(CAST(u.x AS DOUBLE), 6) AS DECIMAL(15,6)))
+        |      AS ss_c
+        |  FROM (SELECT label, g.i AS pos, embedding[g.i] AS x
+        |        FROM embeddings,
+        |          unnest(generate_series(1, len(embedding))) AS g(i))
+        |    AS u
+        |  GROUP BY 1, 2
+        |), dim AS (
+        |  SELECT pos, CAST(sum(n_c) AS BIGINT) AS n_t, sum(s_c) AS s_t
+        |  FROM cell GROUP BY 1
+        |), scat AS (
+        |  SELECT
+        |    round(CAST(n_c AS DOUBLE)
+        |      * (CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+        |        - CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+        |      * (CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+        |        - CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)), 9) AS bt,
+        |    round(CAST(ss_c AS DOUBLE)
+        |      - CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE)
+        |        / CAST(n_c AS DOUBLE), 9) AS wt
+        |  FROM cell JOIN dim USING (pos)
+        |), ks AS (
+        |  SELECT CAST(count(DISTINCT label) AS INT) AS n_classes,
+        |    CAST(max(pos) AS INT) AS n_dims
+        |  FROM cell
+        |), tot AS (
+        |  SELECT
+        |    round(CAST(sum(CAST(bt AS DECIMAL(38,9))) AS DOUBLE), 6)
+        |      AS between_s,
+        |    round(CAST(sum(CAST(wt AS DECIMAL(38,9))) AS DOUBLE), 6)
+        |      AS within_s
+        |  FROM scat
+        |)
+        |SELECT n_classes, n_dims, between_s AS "between",
+        |  within_s AS "within",
+        |  round(between_s / within_s, 6) AS fisher
+        |FROM ks, tot""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

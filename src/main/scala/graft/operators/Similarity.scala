@@ -772,4 +772,57 @@ object Similarity {
         round(sum(col("s").cast("decimal(38,6)")).cast("double")
           / count(lit(1)).cast("double"), 6).as("mean_sil"))
   }
+
+  /** Fisher class-separation of a labeled embedding space: the ratio of
+    * between-class to within-class scatter summed over dimensions,
+    * `J = Σ_d Σ_c n_c(µ_cd − µ_d)² / Σ_d Σ_c (Σx² − (Σx)²/n_c)` — the
+    * one-scalar "do these labels separate in this space" diagnostic
+    * that complements [[simplifiedSilhouette]]'s per-point view.
+    * Returns one row (n_classes, n_dims, between, within, fisher),
+    * scatters round(6).
+    *
+    * Scale shape: components round(6) on entry (DECIMAL(15,6), so the
+    * squared products stay exact and int64-safe in every engine), ONE
+    * (label, dim) partial-combined exchange of exact sums; everything
+    * after runs on the labels×dims table with per-cell double algebra
+    * round(9) re-summed in DECIMAL. */
+  def fisherSeparation(emb: DataFrame, labelCol: String, vecCol: String,
+                       mat: Materializer = Materializer.Local)
+      : DataFrame = {
+    val x6 = round(col("x").cast("double"), 6).cast("decimal(15,6)")
+    // pinned: the (label, dim) cell table feeds the dim totals, the
+    // scatter projection AND the k/d driver scalars — unpinned, the
+    // corpus explode would run four times
+    val cell = mat(emb
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"), x6.as("x"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_c"), sum(col("x")).as("s_c"),
+        sum(col("x") * col("x")).as("ss_c")))
+    val dim = cell.groupBy(col("pos"))
+      .agg(sum(col("n_c")).as("n_t"), sum(col("s_c")).as("s_t"))
+    val scat = cell.join(broadcast(dim), Seq("pos"))
+      .select(
+        round(col("n_c").cast("double")
+          * (col("s_c").cast("double") / col("n_c").cast("double")
+            - col("s_t").cast("double") / col("n_t").cast("double"))
+          * (col("s_c").cast("double") / col("n_c").cast("double")
+            - col("s_t").cast("double") / col("n_t").cast("double")), 9)
+          .as("bt"),
+        round(col("ss_c").cast("double")
+          - col("s_c").cast("double") * col("s_c").cast("double")
+            / col("n_c").cast("double"), 9).as("wt"),
+        col("label"), col("pos"))
+    val k = cell.select(col("label")).distinct().count()
+    val d = cell.agg(max(col("pos"))).collect()(0).getInt(0) + 1
+    scat.agg(
+        round(sum(col("bt").cast("decimal(38,9)")).cast("double"), 6)
+          .as("between"),
+        round(sum(col("wt").cast("decimal(38,9)")).cast("double"), 6)
+          .as("within"))
+      .select(lit(k).as("n_classes"), lit(d).as("n_dims"),
+        col("between"), col("within"),
+        round(col("between") / col("within"), 6).as("fisher"))
+  }
 }

@@ -2933,6 +2933,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got(("x", "z")) == -1.0 && got(("y", "z")) == -1.0)
   }
 
+  test("fisherSeparation: separated clusters dwarf overlapping ones") {
+    val s = spark
+    import s.implicits._
+    def v(a: Double, b: Double) = Array(a.toFloat, b.toFloat)
+    // two tight, far-apart clusters -> big between, tiny within
+    val sep = Seq((0, v(0, 0)), (0, v(0.1, 0)), (1, v(10, 10)),
+      (1, v(10.1, 10))).toDF("label", "embedding")
+    val fs = graft.operators.Similarity
+      .fisherSeparation(sep, "label", "embedding").collect()(0)
+    assert(fs.getLong(0) == 2L && fs.getInt(1) == 2)
+    assert(fs.getDouble(4) > 1000.0)
+    // identical distributions -> between ~ 0
+    val mix = Seq((0, v(0, 0)), (0, v(1, 1)), (1, v(0, 0)),
+      (1, v(1, 1))).toDF("label", "embedding")
+    val fm = graft.operators.Similarity
+      .fisherSeparation(mix, "label", "embedding").collect()(0)
+    assert(fm.getDouble(2) == 0.0)
+  }
+
   test("associationLift: hand-computed support/confidence/lift") {
     val s = spark
     import s.implicits._

@@ -913,6 +913,18 @@ class PlanAuditSpec extends SparkSpec {
       "one global aggregate, no keyed shuffle\n" + p6.take(2000))
   }
 
+  test("q187/q188: forward as-of rides one user shuffle; fisher one cell exchange") {
+    val p7 = plan("q187_conv_lag")
+    assert(!p7.contains("CartesianProduct")
+      && !p7.contains("BroadcastNestedLoopJoin"),
+      "the next-purchase match must not be an inequality join\n"
+        + p7.take(2000))
+    val p8 = plan("q188_fisher")
+    assert(!p8.contains("CartesianProduct")
+      && !p8.contains("SortMergeJoin"), p8.take(2000))
+    assert(p8.contains("BroadcastHashJoin"))
+  }
+
   test("q178/q179: frontier grid and reference set join as broadcasts") {
     for (q <- Seq("q178_pareto", "q179_novelty")) {
       val p = plan(q)
