@@ -13,7 +13,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft", null, name, usage, "")
+    // the full 11-arg constructor is the only non-deprecated way to
+    // carry a usage string; "built-in" is the one registry-accepted
+    // source tag for JVM expressions
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "",
+      "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("cosine_sim"),

@@ -367,7 +367,7 @@ private[sources] class ExportPartitionReader(
     // reference's empty-fill (internal/service.go transformExportJSONRecord
     // fills missing fields rather than dropping the record).
     if (timeGated) {
-      val evtNode = node.fields().asScala
+      val evtNode = node.properties().asScala
         .find(_.getKey.equalsIgnoreCase("EventStart")).map(_.getValue)
       val evt = evtNode.flatMap(n =>
         scala.util.Try(Instant.parse(n.asText())).toOption)
@@ -378,7 +378,7 @@ private[sources] class ExportPartitionReader(
     val custom = if (needCustom)
       new java.util.LinkedHashMap[String, JsonNode]() else null
 
-    node.fields().asScala.foreach { e =>
+    node.properties().asScala.foreach { e =>
       val key = e.getKey
       ExportDataSource.fieldByLower.get(key.toLowerCase) match {
         case Some((_, field)) =>

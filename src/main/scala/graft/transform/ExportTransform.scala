@@ -101,7 +101,8 @@ object ExportTransform {
       case Some(cv) => coalesce(col(cv).cast(StringType), lit("{}"))
       case None if customCols.isEmpty => lit("{}")
       case None => to_json(map_filter(
-        map(customCols.flatMap(c => Seq(lit(c), col(c).cast(StringType))): _*),
+        map(customCols.toIndexedSeq
+          .flatMap(c => Seq(lit(c), col(c).cast(StringType))): _*),
         (_, v) => v.isNotNull))
     }
 
@@ -129,7 +130,8 @@ object ExportTransform {
       if (customCols.isEmpty)
         map().cast(MapType(StringType, StringType))
       else map_filter(
-        map(customCols.flatMap(c => Seq(lit(c), col(c).cast(StringType))): _*),
+        map(customCols.toIndexedSeq
+          .flatMap(c => Seq(lit(c), col(c).cast(StringType))): _*),
         (_, v) => v.isNotNull)
 
     val cols = schema.map { f =>
