@@ -3039,6 +3039,47 @@ object SparkEntry {
       // silhouette). One (label, dim) exchange of exact DECIMAL sums.
       operators.Similarity.fisherSeparation(t(s, dir, "embeddings"),
         "label", "embedding")
+    }),
+
+    "q189_langid_eval" -> ((s, dir) => {
+      // langid confusion matrix against the GROUND-TRUTH lang column —
+      // real model evaluation, not a self-consistency check: per
+      // (actual, predicted) counts and per-actual recall; zh has no
+      // profile, so its misclassification pattern is part of the pin.
+      val docs = t(s, dir, "documents")
+      val pred = docs.select(col("lang").as("actual"),
+        TextAnalysis.langId(col("text")).as("predicted"))
+      val cm = pred.groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cm.groupBy(col("actual"))
+        .agg(sum(col("n")).as("n_actual"))
+      cm.join(broadcast(tot), Seq("actual"))
+        .select(col("actual"), col("predicted"), col("n"),
+          round(col("n").cast("double")
+            / col("n_actual").cast("double"), 6).as("share"))
+        .orderBy(col("actual"), col("predicted"))
+    }),
+
+    "q190_dup_matrix" -> ((s, dir) => {
+      // cross-source duplication matrix: which sources copy from which
+      // — q37's MinHash+LSH near-dup pairs rolled up to unordered
+      // source pairs (the curation readout deciding which feeds to
+      // de-prioritize). Pair generation is the pinned band-key
+      // equi-join; the source attach is two broadcast id->source maps.
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, threshold = 0.5, fast = false)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(broadcast(src.select(col("doc_id").as("a_id"),
+          col("source").as("src_a"))), Seq("a_id"))
+        .join(broadcast(src.select(col("doc_id").as("b_id"),
+          col("source").as("src_b"))), Seq("b_id"))
+        .groupBy(least(col("src_a"), col("src_b")).as("s1"),
+          greatest(col("src_a"), col("src_b")).as("s2"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("s1"), col("s2"))
     })
   )
 
@@ -7178,7 +7219,88 @@ object SparkEntry {
         |SELECT n_classes, n_dims, between_s AS "between",
         |  within_s AS "within",
         |  round(between_s / within_s, 6) AS fisher
-        |FROM ks, tot""".stripMargin
+        |FROM ks, tot""".stripMargin,
+
+    "q189_langid_eval" -> {
+      val profiles = TextAnalysis.langProfiles
+      val scoreCols = profiles.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(tk, t -> list_contains($lst, lower(t)))) AS s_$lang"
+      }.mkString(",\n    ")
+      s"""WITH base AS (
+         |  SELECT lang AS actual, $toksSql AS tk FROM documents
+         |), scored AS (
+         |  SELECT actual, $scoreCols FROM base
+         |), pred AS (
+         |  SELECT actual,
+         |    CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0
+         |      THEN 'und'
+         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+         |      THEN 'de'
+         |    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |    WHEN s_es >= s_fr THEN 'es'
+         |    ELSE 'fr' END AS predicted
+         |  FROM scored
+         |), cm AS MATERIALIZED (
+         |  SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+         |  FROM pred GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT actual, CAST(sum(n) AS BIGINT) AS n_actual
+         |  FROM cm GROUP BY 1
+         |)
+         |SELECT cm.actual, cm.predicted, cm.n,
+         |  round(CAST(cm.n AS DOUBLE) / CAST(tot.n_actual AS DOUBLE), 6)
+         |    AS share
+         |FROM cm JOIN tot USING (actual)
+         |ORDER BY actual, predicted""".stripMargin
+    },
+
+    "q190_dup_matrix" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, raw,
+        |    CASE WHEN len(raw) < 3 THEN [array_to_string(raw, ' ')]
+        |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |            for i in range(0, len(raw) - 2)] END AS shingles
+        |  FROM tk
+        |), sig AS (
+        |  SELECT doc_id, shingles,
+        |    [list_min([md5(CAST(i AS VARCHAR) || '|' || s) for s in shingles])
+        |     for i in range(0, 16)] AS mh
+        |  FROM sh
+        |), banded AS (
+        |  SELECT doc_id, shingles,
+        |    unnest([CAST(b AS VARCHAR) || '_'
+        |            || array_to_string(mh[b*4+1:b*4+4], '|')
+        |            for b in range(0, 4)]) AS bandkey
+        |  FROM sig
+        |), pairs AS (
+        |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+        |    l.shingles AS a_sh, r.shingles AS b_sh
+        |  FROM banded l JOIN banded r ON l.bandkey = r.bandkey
+        |  WHERE l.doc_id < r.doc_id
+        |), verified AS (
+        |  SELECT a_id, b_id
+        |  FROM pairs
+        |  WHERE round(CASE
+        |    WHEN len(list_distinct(list_concat(a_sh, b_sh))) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(list_distinct(a_sh),
+        |          list_distinct(b_sh))) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a_sh, b_sh)))
+        |        AS DOUBLE)
+        |    END, 6) >= 0.5
+        |)
+        |SELECT least(sa.source, sb.source) AS s1,
+        |  greatest(sa.source, sb.source) AS s2,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM verified v
+        |JOIN documents sa ON sa.doc_id = v.a_id
+        |JOIN documents sb ON sb.doc_id = v.b_id
+        |GROUP BY 1, 2
+        |ORDER BY s1, s2""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

@@ -925,6 +925,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p8.contains("BroadcastHashJoin"))
   }
 
+  test("q189/q190: eval rollups broadcast; dup matrix keeps the band equi-join") {
+    val p9 = plan("q189_langid_eval")
+    assert(!p9.contains("CartesianProduct")
+      && !p9.contains("SortMergeJoin"), p9.take(2000))
+    assert(p9.contains("BroadcastHashJoin"))
+    val p0 = plan("q190_dup_matrix")
+    assert(!p0.contains("CartesianProduct"), "pairs must form on band keys")
+    assert(p0.contains("BroadcastHashJoin"), "id->source maps broadcast")
+  }
+
   test("q178/q179: frontier grid and reference set join as broadcasts") {
     for (q <- Seq("q178_pareto", "q179_novelty")) {
       val p = plan(q)
