@@ -3080,6 +3080,28 @@ object SparkEntry {
           greatest(col("src_a"), col("src_b")).as("s2"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("s1"), col("s2"))
+    }),
+
+    "q191_session_stats" -> ((s, dir) => {
+      // the corpus-level engagement card over q22's sessionization:
+      // session count, bounce rate (1-event sessions), exact p50/p90
+      // duration and events-per-session — the rollup a product
+      // dashboard publishes; one user-keyed session pass then a 5-number
+      // global aggregate.
+      val ss = Sessionize.sessionSummary(t(s, dir, "events"), "user_id",
+        "ts", "value", gapSeconds = 1800, tieCols = Seq("event_id"))
+      ss.select(
+          (unix_timestamp(col("session_end"))
+            - unix_timestamp(col("session_start"))).as("dur_s"),
+          col("n_events"))
+        .agg(count(lit(1)).as("n_sessions"),
+          round(sum(when(col("n_events") === 1, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double"), 6)
+            .as("bounce_rate"),
+          round(expr("percentile(dur_s, 0.5)"), 6).as("p50_dur_s"),
+          round(expr("percentile(dur_s, 0.9)"), 6).as("p90_dur_s"),
+          round(sum(col("n_events")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("avg_events"))
     })
   )
 
@@ -7300,7 +7322,38 @@ object SparkEntry {
         |JOIN documents sa ON sa.doc_id = v.a_id
         |JOIN documents sb ON sb.doc_id = v.b_id
         |GROUP BY 1, 2
-        |ORDER BY s1, s2""".stripMargin
+        |ORDER BY s1, s2""".stripMargin,
+
+    "q191_session_stats" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged
+        |), sess AS (
+        |  SELECT user_id, session_seq,
+        |    epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000
+        |      AS dur_s,
+        |    count(*) AS n_events
+        |  FROM numbered GROUP BY 1, 2
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |  round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS bounce_rate,
+        |  round(quantile_cont(CAST(dur_s AS DOUBLE), 0.5), 6)
+        |    AS p50_dur_s,
+        |  round(quantile_cont(CAST(dur_s AS DOUBLE), 0.9), 6)
+        |    AS p90_dur_s,
+        |  round(CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+        |    6) AS avg_events
+        |FROM sess""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

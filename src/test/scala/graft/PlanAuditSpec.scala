@@ -935,6 +935,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p0.contains("BroadcastHashJoin"), "id->source maps broadcast")
   }
 
+  test("q191: session rollup — one user exchange, no joins") {
+    val p = plan("q191_session_stats")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      p.take(2000))
+    assert(!p.contains("Window [count"), "sessions number per user only")
+  }
+
   test("q178/q179: frontier grid and reference set join as broadcasts") {
     for (q <- Seq("q178_pareto", "q179_novelty")) {
       val p = plan(q)
