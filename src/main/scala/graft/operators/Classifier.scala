@@ -97,3 +97,126 @@ object QualityClassifier {
       round(sigmoid(dot(w, features(col(textCol)))), 6).as("p")) ++ extra: _*)
       .withColumn("pred", col("p") >= 0.5)
 }
+
+/** Multinomial Naive Bayes over token counts, trained AND evaluated
+  * in-query — the fastText-class text categorizer a data pipeline trains
+  * on a labeled slice to route/filter the rest of the corpus (language,
+  * domain, quality tier). Like [[QualityClassifier]], no MLlib and no
+  * UDFs: training is counting (the one model family whose "fit" is
+  * exactly one partial-combined aggregate), the model is a vocab-bounded
+  * (token, per-class count) table plus k scalar priors, and scoring is a
+  * token-keyed join + per-doc sum.
+  *
+  * Smoothing is add-1: p(t|c) = (count(c,t)+1) / (tokens(c)+V). The
+  * per-doc log-likelihood telescopes into
+  * `lnPrior(c) − n_tok·ln(tokens(c)+V) + Σ_t ln(count(c,t)+1)`, so
+  * out-of-vocab tokens and zero-count (token, class) cells contribute
+  * ln(1)=0 and the score needs ONLY the matched vocab rows — the inner
+  * token join IS the whole scoring pass.
+  *
+  * Determinism contract: ln terms round(9) and accumulate in
+  * DECIMAL(38,9) (partial-agg order can never flip a bit); the k scalar
+  * constants are Math.log of exact integers rounded to 9 (the house
+  * libm-ulp absorption); final scores round(6); argmax ties resolve to
+  * the lexicographically smallest class via an explicit CASE chain —
+  * never an engine-specific max_by.
+  *
+  * 100 TB shape: one (token → k counts) exchange bounded by the Zipf
+  * vocabulary, one token-keyed scoring join (AQE skew-join handles the
+  * head), one per-doc partial-combined sum; no window, no cross join,
+  * driver holds 3k+2 scalars. Train/test assignment is the q63 md5
+  * idiom — deterministic, retry- and engine-stable.
+  */
+object NaiveBayes {
+
+  /** The q63 deterministic split: first md5 hex char of the id below
+    * `hexMax` ⇒ train ('c' = 12/16 = 75%). */
+  def isTrain(id: Column, hexMax: String = "c"): Column =
+    substring(md5(id.cast("string")), 1, 1) < lit(hexMax)
+
+  /** Train on the md5-split train slice of `docs` and return the test
+    * slice's confusion matrix (actual, predicted, n, share-of-actual) —
+    * the model-evaluation readout (q189's shape, but for a TRAINED
+    * model rather than the fixed heuristic). Class labels are
+    * discovered from the train slice (driver-bounded: k strings).
+    *
+    * The corpus is deliberately scanned per phase (train counts, test
+    * scoring) — the whiten/heavyHitters multi-pass precedent: caching a
+    * corpus-scale token explode would cost more than the second scan.
+    * The vocab-bounded model table IS materialized (`mat`): it feeds
+    * both the V count (a driver action) and the scoring join. */
+  def confusionMatrix(docs: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, trainHexMax: String = "c",
+                      mat: Materializer = Materializer.Local): DataFrame = {
+    val base = docs.select(col(idCol).as("nb_id"),
+      col(labelCol).as("actual"),
+      TextAnalysis.tokens(lower(col(textCol))).as("tk"),
+      isTrain(col(idCol), trainHexMax).as("is_train"))
+    val train = base.where(col("is_train"))
+
+    // per-class scalars: doc count (prior) + token mass (denominator)
+    val stats = train
+      .groupBy(col("actual"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("tk"))).as("n_toks"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(stats.nonEmpty, "naive bayes: empty train slice")
+    val labels = stats.map(_._1)
+    val nDocs = stats.map(_._2).sum
+
+    // the model: one vocab-bounded (token, c_0..c_{k-1}) aggregate
+    val cntAggs = labels.zipWithIndex.map { case (l, i) =>
+      sum(when(col("actual") === lit(l), 1L).otherwise(0L)).as(s"c_$i")
+    }.toIndexedSeq
+    val cnt = mat(train
+      .select(col("actual"), explode(col("tk")).as("token"))
+      .groupBy(col("token"))
+      .agg(cntAggs.head, cntAggs.tail: _*))
+    val vocabV = cnt.count()
+
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lnPrior = stats.map(s => r9(math.log(s._2.toDouble)
+      - math.log(nDocs.toDouble)))
+    val lnDenom = stats.map(s => r9(math.log((s._3 + vocabV).toDouble)))
+
+    // scoring: matched-vocab ln sums per (doc, class), decimal-exact
+    val test = base.where(!col("is_train"))
+    val sumAggs = labels.indices.map { i =>
+      sum(round(log(col(s"c_$i") + lit(1L)), 9).cast("decimal(38,9)"))
+        .as(s"s_$i")
+    }.toIndexedSeq
+    val contrib = test
+      .select(col("nb_id"), explode(col("tk")).as("token"))
+      .join(cnt, Seq("token"))
+      .groupBy(col("nb_id"))
+      .agg(sumAggs.head, sumAggs.tail: _*)
+    val scored = test
+      .select(col("nb_id"), col("actual"), size(col("tk")).as("n_tok"))
+      .join(contrib, Seq("nb_id"), "left")
+      .select(Seq(col("actual")) ++ labels.indices.map { i =>
+        round(lit(lnPrior(i))
+          - col("n_tok").cast("double") * lit(lnDenom(i))
+          + coalesce(col(s"s_$i").cast("double"), lit(0.0)), 6)
+          .as(s"score_$i")
+      }: _*)
+
+    // argmax with the smallest-label tie: first score equal to the max
+    val pred = if (labels.size == 1) lit(labels.head) else {
+      val mx = greatest(labels.indices.map(i => col(s"score_$i")): _*)
+      labels.indices.init.foldRight(lit(labels.last): Column) { (i, rest) =>
+        when(col(s"score_$i") === mx, lit(labels(i))).otherwise(rest)
+      }
+    }
+    val cm = scored.select(col("actual"), pred.as("predicted"))
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cm.groupBy(col("actual")).agg(sum(col("n")).as("n_actual"))
+    cm.join(broadcast(tot), Seq("actual"))
+      .select(col("actual"), col("predicted"), col("n"),
+        round(col("n").cast("double") / col("n_actual").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("actual"), col("predicted"))
+  }
+}

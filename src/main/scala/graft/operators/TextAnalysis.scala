@@ -1115,4 +1115,90 @@ object TextAnalysis {
       .filter(col("rk") <= topK)
       .select(col("class"), col("term"), col("tf"), col("w"), col("rk"))
   }
+
+  /** Sentence count for readability: maximal runs of non-terminator
+    * characters containing at least one non-space — i.e. `[.!?]+`-
+    * delimited segments with blank segments dropped — floored at 1 so a
+    * fragment without terminal punctuation still counts as one
+    * sentence. Pure regexp projection (Java-regex ∩ RE2 subset, the
+    * q133 contract, so the oracle replays it verbatim). */
+  def sentenceCount(text: Column): Column =
+    greatest(size(call_function("regexp_extract_all", text,
+      lit("[^.!?]*[^.!?\\s][^.!?]*"), lit(0))), lit(1))
+
+  /** Syllable proxy for readability: vowel-group runs `[aeiouy]+` over
+    * the lowercased text (the standard programmatic approximation;
+    * counting per-word floors would need a per-word loop for ~1% of the
+    * signal). */
+  def syllableCount(text: Column): Column =
+    size(call_function("regexp_extract_all", lower(text),
+      lit("[aeiouy]+"), lit(0)))
+
+  /** Flesch–Kincaid grade level per document —
+    * `0.39·(words/sentences) + 11.8·(syllables/words) − 15.59` — the
+    * classic readability quality signal (a C4-era filter: garbage
+    * strings and keyword stuffing land far outside the human band).
+    * Integer counts feed ONE pinned double op order, round(6); words
+    * floored at 1 so empty docs score the formula's constant floor
+    * rather than NULL. Zero shuffle: rides the scan. */
+  def fkGrade(text: Column): Column = {
+    val words = greatest(tokenCount(text), lit(1)).cast("double")
+    val sents = sentenceCount(text).cast("double")
+    val sylls = syllableCount(text).cast("double")
+    round(lit(0.39) * (words / sents) + lit(11.8) * (sylls / words)
+      - lit(15.59), 6)
+  }
+
+  /** Per-group readability rollup: doc count, mean FK grade (per-doc
+    * grades round(6) first, then DECIMAL(38,6)-accumulated — the house
+    * dsum rule), min/max. One partial-combined exchange on the group
+    * key. */
+  def readabilityBySource(docs: DataFrame, groupCol: String,
+                          textCol: String): DataFrame =
+    docs.select(col(groupCol).as("grp"), fkGrade(col(textCol)).as("fk"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("fk").cast("decimal(38,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_fk"),
+        min(col("fk")).as("min_fk"), max(col("fk")).as("max_fk"))
+      .orderBy(col("grp"))
+
+  /** Distinct-n lexical diversity (Li et al. 2016) per group: the share
+    * of n-gram OCCURRENCES that are distinct types — distinct-1 and
+    * distinct-2 — the template/degenerate-text detector at corpus
+    * granularity (a bot feed repeats its bigrams; organic text does
+    * not). Group-level, not per-doc: distincts are counted over the
+    * group's pooled token stream.
+    *
+    * Scale shape: tokens explode map-side with the group key; ONE
+    * (group, gram) partial-combined count per n feeds both the type
+    * and occurrence totals (vocab-bounded aggregate of an aggregate);
+    * the two n-gram tables join on the group key (group-cardinality
+    * rows). Exact integer quotients, one double division, round(6). */
+  def distinctNgramDiversity(docs: DataFrame, groupCol: String,
+                             textCol: String): DataFrame = {
+    def grams(n: Int): DataFrame = {
+      val tk = tokens(col(textCol))
+      val g = if (n == 1) explode(tk)
+        else explode(filter(
+          transform(tk, (_, i) =>
+            array_join(slice(tk, i + lit(1), lit(n)), " ")),
+          (_, i) => i <= size(tk) - n))
+      docs.select(col(groupCol).as("grp"), g.as("gram"))
+        .groupBy(col("grp"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as(s"types_$n"), sum(col("c")).as(s"occ_$n"))
+    }
+    grams(1).join(grams(2), Seq("grp"), "left")
+      .select(col("grp"), col("types_1"), col("occ_1"),
+        round(col("types_1").cast("double") / col("occ_1").cast("double"),
+          6).as("distinct_1"),
+        coalesce(col("types_2"), lit(0L)).as("types_2"),
+        coalesce(col("occ_2"), lit(0L)).as("occ_2"),
+        when(coalesce(col("occ_2"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(col("types_2").cast("double")
+            / col("occ_2").cast("double"), 6)).as("distinct_2"))
+      .orderBy(col("grp"))
+  }
 }
