@@ -3102,6 +3102,72 @@ object SparkEntry {
           round(expr("percentile(dur_s, 0.9)"), 6).as("p90_dur_s"),
           round(sum(col("n_events")).cast("double")
             / count(lit(1)).cast("double"), 6).as("avg_events"))
+    }),
+
+    "q192_nb_langid" -> ((s, dir) => {
+      // multinomial Naive Bayes language classifier trained IN-QUERY on
+      // the q63 md5 train split and evaluated on the held-out 25% — the
+      // fastText-class categorizer step of a curation pipeline (q189
+      // evaluates a FIXED heuristic; this trains the model first).
+      // Training is one vocab-bounded (token, per-class count)
+      // aggregate; scoring is a token-keyed join + per-doc decimal ln
+      // sums; argmax via an explicit smallest-label-tie CASE chain.
+      operators.NaiveBayes.confusionMatrix(t(s, dir, "documents"),
+        "doc_id", "text", "lang")
+    }),
+
+    "q193_readability" -> ((s, dir) => {
+      // Flesch–Kincaid grade readability rollup per source — the
+      // classic readability quality gate (keyword stuffing and garbage
+      // strings land far outside the human band). Counts are pure
+      // regexp projections riding the scan; per-doc grades round(6)
+      // then DECIMAL-accumulate into the per-source mean.
+      TextAnalysis.readabilityBySource(t(s, dir, "documents"),
+        "source", "text")
+    }),
+
+    "q194_lex_diversity" -> ((s, dir) => {
+      // distinct-1/distinct-2 lexical diversity per source (Li et al.
+      // 2016): the share of n-gram occurrences that are distinct types
+      // over each source's pooled token stream — the template/bot-feed
+      // detector at corpus granularity. One (group, gram) partial-
+      // combined exchange per n; exact integer quotients.
+      TextAnalysis.distinctNgramDiversity(t(s, dir, "documents"),
+        "source", "text")
+    }),
+
+    "q195_dp_release" -> ((s, dir) => {
+      // ε-DP histogram release (ε=1, Laplace 1/ε, sensitivity 1): the
+      // per-type event counts as a privacy-preserving publication. The
+      // noise draw is the deterministic salted-md5 inverse-CDF (q143's
+      // uniform idiom) so retries, replays and the oracle draw the
+      // identical noise; only the noisy column is released.
+      operators.Stats.dpNoisyCounts(t(s, dir, "events"), "event_type",
+        epsilon = 1.0)
+    }),
+
+    "q196_ewma_hourly" -> ((s, dir) => {
+      // trailing 24h exponentially-weighted hourly volume per event type
+      // (α=½ truncated + renormalized): the dashboard smoother / drift
+      // alarm level. Powers-of-two weights make the whole computation
+      // exact integer arithmetic with ONE double division — no float
+      // recurrence, no evaluation-order sensitivity.
+      operators.TimeSeries.ewmaHourly(t(s, dir, "events"), "event_type",
+        "ts", window = 24)
+    }),
+
+    "q197_l_diversity" -> ((s, dir) => {
+      // l-diversity audit (l=3) over q130's quasi-identifier tuples with
+      // user_id as the sensitive attribute: a k-anonymous tuple still
+      // leaks if nearly all its rows belong to one user. Same one-tuple-
+      // exchange shape as q130; exact distincts (approx_count_distinct
+      // is the documented 100 TB substitution).
+      operators.Stats.lDiversityAudit(
+        t(s, dir, "events")
+          .select(col("event_type"), hour(col("ts")).as("hb"),
+            floor(col("value") / 10.0).cast("long").as("vb"),
+            col("user_id")),
+        Seq("event_type", "hb", "vb"), "user_id", l = 3)
     })
   )
 
@@ -7353,7 +7419,193 @@ object SparkEntry {
         |    AS p90_dur_s,
         |  round(CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE),
         |    6) AS avg_events
-        |FROM sess""".stripMargin
+        |FROM sess""".stripMargin,
+
+    // DuckDB re-trains the multinomial NB through the identical count/ln
+    // algebra (labels hardcoded to the fixture's langs in ascending order
+    // — the Spark side discovers the same set from the train slice).
+    "q192_nb_langid" -> {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val cntCols = langs.zipWithIndex.map { case (l, i) =>
+        s"sum(CASE WHEN actual = '$l' THEN 1 ELSE 0 END) AS c_$i"
+      }.mkString(",\n    ")
+      val sCols = langs.indices.map { i =>
+        s"sum(CAST(round(ln(CAST(c.c_$i + 1 AS DOUBLE)), 9) AS DECIMAL(38,9))) AS s_$i"
+      }.mkString(",\n    ")
+      val scoreCols = langs.zipWithIndex.map { case (l, i) =>
+        s"""round((SELECT lnprior FROM consts WHERE actual = '$l')
+           |      - CAST(len(te.tk) AS DOUBLE)
+           |        * (SELECT lnden FROM consts WHERE actual = '$l')
+           |      + coalesce(CAST(s_$i AS DOUBLE), 0.0), 6) AS score_$i""".stripMargin
+      }.mkString(",\n    ")
+      val predCase = langs.zipWithIndex.init.map { case (l, i) =>
+        s"WHEN score_$i = g THEN '$l'"
+      }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT doc_id, lang AS actual,
+         |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |      x -> x <> '') AS tk,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS is_train
+         |  FROM documents
+         |), tr AS (SELECT * FROM base WHERE is_train
+         |), stats AS MATERIALIZED (
+         |  SELECT actual, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(tk)) AS BIGINT) AS n_toks
+         |  FROM tr GROUP BY 1
+         |), cnt AS MATERIALIZED (
+         |  SELECT token,
+         |    $cntCols
+         |  FROM (SELECT actual, unnest(tk) AS token FROM tr)
+         |  GROUP BY 1
+         |), consts AS MATERIALIZED (
+         |  SELECT s.actual,
+         |    round(ln(CAST(s.n_docs AS DOUBLE))
+         |      - ln(CAST(t.n AS DOUBLE)), 9) AS lnprior,
+         |    round(ln(CAST(s.n_toks + v.v AS DOUBLE)), 9) AS lnden
+         |  FROM stats s,
+         |    (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM stats) t,
+         |    (SELECT count(*) AS v FROM cnt) v
+         |), contrib AS MATERIALIZED (
+         |  SELECT b.doc_id,
+         |    $sCols
+         |  FROM (SELECT doc_id, unnest(tk) AS token
+         |        FROM base WHERE NOT is_train) b
+         |  JOIN cnt c USING (token) GROUP BY 1
+         |), scored AS (
+         |  SELECT te.actual,
+         |    $scoreCols
+         |  FROM (SELECT * FROM base WHERE NOT is_train) te
+         |  LEFT JOIN contrib ON contrib.doc_id = te.doc_id
+         |), pred AS (
+         |  SELECT actual, $predCase AS predicted
+         |  FROM (SELECT *, greatest(${langs.indices
+                  .map(i => s"score_$i").mkString(", ")}) AS g
+         |        FROM scored)
+         |), cm AS MATERIALIZED (
+         |  SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+         |  FROM pred GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT actual, CAST(sum(n) AS BIGINT) AS n_actual
+         |  FROM cm GROUP BY 1
+         |)
+         |SELECT cm.actual, cm.predicted, cm.n,
+         |  round(CAST(cm.n AS DOUBLE) / CAST(tot.n_actual AS DOUBLE), 6)
+         |    AS share
+         |FROM cm JOIN tot USING (actual)
+         |ORDER BY actual, predicted""".stripMargin
+    },
+
+    "q193_readability" ->
+      """WITH g AS (
+        |  SELECT grp,
+        |    round(0.39 * (words / sents) + 11.8 * (sylls / words)
+        |      - 15.59, 6) AS fk
+        |  FROM (
+        |    SELECT source AS grp,
+        |      CAST(greatest(len(list_filter(
+        |        regexp_split_to_array(text, '\s+'), x -> x <> '')), 1)
+        |        AS DOUBLE) AS words,
+        |      CAST(greatest(len(regexp_extract_all(text,
+        |        '[^.!?]*[^.!?\s][^.!?]*')), 1) AS DOUBLE) AS sents,
+        |      CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |        AS DOUBLE) AS sylls
+        |    FROM documents)
+        |)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(CAST(fk AS DECIMAL(38,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_fk,
+        |  min(fk) AS min_fk, max(fk) AS max_fk
+        |FROM g GROUP BY grp ORDER BY grp""".stripMargin,
+
+    "q194_lex_diversity" ->
+      """WITH tk AS MATERIALIZED (
+        |  SELECT source AS grp,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS raw
+        |  FROM documents
+        |), u AS MATERIALIZED (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS types_1,
+        |    CAST(sum(c) AS BIGINT) AS occ_1
+        |  FROM (SELECT grp, gram, count(*) AS c
+        |        FROM (SELECT grp, unnest(raw) AS gram FROM tk)
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), b AS MATERIALIZED (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS types_2,
+        |    CAST(sum(c) AS BIGINT) AS occ_2
+        |  FROM (SELECT grp, gram, count(*) AS c
+        |        FROM (SELECT grp,
+        |                unnest([array_to_string(raw[i+1:i+2], ' ')
+        |                        for i in range(0, len(raw) - 1)]) AS gram
+        |              FROM tk)
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1
+        |)
+        |SELECT u.grp, u.types_1, u.occ_1,
+        |  round(CAST(u.types_1 AS DOUBLE) / CAST(u.occ_1 AS DOUBLE), 6)
+        |    AS distinct_1,
+        |  coalesce(b.types_2, 0) AS types_2,
+        |  coalesce(b.occ_2, 0) AS occ_2,
+        |  CASE WHEN coalesce(b.occ_2, 0) = 0 THEN 0.0
+        |    ELSE round(CAST(b.types_2 AS DOUBLE) / CAST(b.occ_2 AS DOUBLE),
+        |      6) END AS distinct_2
+        |FROM u LEFT JOIN b ON u.grp = b.grp
+        |ORDER BY u.grp""".stripMargin,
+
+    "q195_dp_release" ->
+      """WITH cnt AS (
+        |  SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1
+        |), uu AS (
+        |  SELECT grp, n,
+        |    (CAST(list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+        |      (strpos('0123456789abcdef',
+        |        substr(md5('dp|' || grp), i + 1, 1)) - 1)
+        |      for i in range(0, 8)]) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+        |  FROM cnt
+        |)
+        |SELECT grp,
+        |  round(n + round(-1.0 * sign(u - 0.5)
+        |    * ln(1.0 - 2.0 * abs(u - 0.5)), 9), 6) AS released_n
+        |FROM uu ORDER BY grp""".stripMargin,
+
+    "q196_ewma_hourly" ->
+      """WITH hourly AS MATERIALIZED (
+        |  SELECT event_type AS key, date_trunc('hour', ts) AS hour,
+        |    epoch_us(date_trunc('hour', ts)) // 1000000 AS eh,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3
+        |), terms AS (
+        |  SELECT key AS akey, eh + k * 3600 AS teh,
+        |    n * CAST(round(pow(2, 24 - k)) AS BIGINT) AS num_t,
+        |    CAST(round(pow(2, 24 - k)) AS BIGINT) AS den_t
+        |  FROM (SELECT key, eh, n, unnest(range(0, 25)) AS k FROM hourly)
+        |), agg AS (
+        |  SELECT akey, teh, CAST(sum(num_t) AS BIGINT) AS num,
+        |    CAST(sum(den_t) AS BIGINT) AS den
+        |  FROM terms GROUP BY 1, 2
+        |)
+        |SELECT h.key, strftime(h.hour, '%Y-%m-%d %H:00') AS hour, h.n,
+        |  round(CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE), 6) AS ewma
+        |FROM hourly h JOIN agg a ON a.akey = h.key AND a.teh = h.eh
+        |ORDER BY h.key, hour""".stripMargin,
+
+    "q197_l_diversity" ->
+      """WITH tup AS (
+        |  SELECT event_type,
+        |    CAST(extract(hour FROM ts) AS INTEGER) AS hb,
+        |    CAST(floor(value / 10.0) AS BIGINT) AS vb,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS ndist
+        |  FROM events GROUP BY 1, 2, 3
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_tuples,
+        |  CAST(sum(CASE WHEN ndist < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_div_tuples,
+        |  CAST(sum(CASE WHEN ndist < 3 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_risky_rows,
+        |  min(ndist) AS min_diversity
+        |FROM tup GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

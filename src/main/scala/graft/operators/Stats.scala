@@ -643,4 +643,61 @@ object Stats {
       .crossJoin(broadcast(chi2))
       .orderBy(col("digit"))
   }
+
+  /** Differentially-private histogram release: per-group counts plus
+    * Laplace(1/ε) noise — the ε-DP mechanism for publishing usage
+    * statistics over sensitive behavioral data (Dwork et al. 2006;
+    * sensitivity 1 for a count histogram over disjoint groups).
+    *
+    * The noise draw is DETERMINISTIC and engine-portable: the uniform
+    * comes from the group key's salted md5 (the q63/q143 idiom —
+    * `u = (hex8 + 0.5)/2^32 ∈ (0,1)`, never exactly 0.5 so the inverse
+    * CDF `−b·sign(u−½)·ln(1−2|u−½|)` never hits ln(0)), noise round(9)
+    * (libm-ulp absorption), release round(6). A retry, a replay, or the
+    * DuckDB oracle draws the identical noise — which is what makes the
+    * mechanism TESTABLE; a production deployment would swap the salt
+    * for a secret per-release value (same plan, different literal).
+    *
+    * Scale shape: one partial-combined count exchange; the noise is a
+    * projection over the group-cardinality result. Only the noisy
+    * column is released. */
+  def dpNoisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
+                    salt: String = "dp"): DataFrame = {
+    require(epsilon > 0)
+    val cnt = df.groupBy(col(groupCol).as("grp")).agg(count(lit(1)).as("n"))
+    val u = (conv(substring(md5(concat_ws("|", lit(salt), col("grp"))),
+      1, 8), 16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
+    val cu = u - lit(0.5)
+    val noise = round(lit(-1.0 / epsilon) * signum(cu)
+      * log(lit(1.0) - lit(2.0) * abs(cu)), 9)
+    cnt.select(col("grp"), round(col("n") + noise, 6).as("released_n"))
+      .orderBy(col("grp"))
+  }
+
+  /** l-diversity audit — the companion gate to the q130 k-anonymity
+    * check: a quasi-identifier tuple can be k-anonymous yet still leak
+    * if every row under it shares one SENSITIVE value (Machanavajjhala
+    * et al. 2007). Per leading-QI class: tuple count, tuples whose
+    * distinct-sensitive count is below `l`, rows under them, and the
+    * worst (minimum) diversity observed.
+    *
+    * Scale shape: q130's — one partial-combined (QI-tuple) exchange
+    * carrying (count, exact distinct of the sensitive column), then a
+    * tiny per-class rollup; the corpus never joins. At 100 TB swap the
+    * exact distinct for approx_count_distinct (the documented estimator
+    * substitution) if the sensitive domain per tuple is huge. */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String], sensCol: String,
+                      l: Int): DataFrame = {
+    require(qiCols.nonEmpty && l > 0)
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), count_distinct(col(sensCol)).as("ndist"))
+      .groupBy(col(qiCols.head))
+      .agg(count(lit(1)).as("n_tuples"),
+        sum(when(col("ndist") < l, 1L).otherwise(0L))
+          .as("n_low_div_tuples"),
+        sum(when(col("ndist") < l, col("n")).otherwise(0L))
+          .as("n_risky_rows"),
+        min(col("ndist")).as("min_diversity"))
+      .orderBy(col(qiCols.head))
+  }
 }

@@ -431,4 +431,53 @@ object TimeSeries {
         round(col("n").cast("double") - col("trend") - col("seasonal"), 6)
           .as("resid"))
   }
+
+  /** Trailing exponentially-weighted moving average of hourly event
+    * volume — the operational smoother behind "current level" dashboards
+    * and drift alarms (the recursive `s_t = αx_t + (1−α)s_{t−1}` with
+    * α = ½, truncated at `window` hours and renormalized over the
+    * weight mass actually present, so series edges and gaps stay
+    * well-defined).
+    *
+    * The arithmetic is EXACT integers end-to-end: with α = ½ the weights
+    * are powers of two, so each hour's numerator contribution is
+    * `n · 2^(window−k)` (a long), the denominator the matching power
+    * sum, and the EWMA is ONE double division, round(6) — no float
+    * accumulation to drift between engines and no recursive window
+    * (a prefix recurrence over doubles would pin evaluation order; this
+    * shape partial-combines freely).
+    *
+    * Scale shape: the corpus collapses to the calendar-bounded hourly
+    * table first (the q104/q157 discipline — its one full-data pass);
+    * each hourly row then fans out MAP-SIDE to the `window` target
+    * hours it influences (bounded explode, the q160 shape), one
+    * (key, hour) partial-combined sum, one join back to attach the
+    * actual hour's count. */
+  def ewmaHourly(events: DataFrame, keyCol: String, tsCol: String,
+                 window: Int = 24,
+                 mat: Materializer = Materializer.Local): DataFrame = {
+    require(window >= 1 && window <= 62, "2^window must fit a long")
+    val hourly = mat(events
+      .groupBy(col(keyCol).as("key"), date_trunc("hour", col(tsCol))
+        .as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("eh", unix_timestamp(col("hour"))))
+    val pw = round(pow(lit(2.0), lit(window) - col("k"))).cast("long")
+    val terms = hourly
+      .select(col("key"), col("eh"), col("n"),
+        explode(sequence(lit(0), lit(window))).as("k"))
+      .select(col("key").as("akey"),
+        (col("eh") + col("k") * lit(3600L)).as("teh"),
+        (col("n") * pw).as("num_t"), pw.as("den_t"))
+    val agg = terms.groupBy(col("akey"), col("teh"))
+      .agg(sum(col("num_t")).as("num"), sum(col("den_t")).as("den"))
+    hourly
+      .join(agg, col("key") === col("akey") && col("eh") === col("teh"))
+      .select(col("key"),
+        date_format(col("hour"), "yyyy-MM-dd HH:00").as("hour"),
+        col("n"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("ewma"))
+      .orderBy(col("key"), col("hour"))
+  }
 }

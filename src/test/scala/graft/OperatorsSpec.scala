@@ -2971,4 +2971,158 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(6) == BigDecimal(4.0 * 3 / 9)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("naiveBayes: disjoint vocabularies classify the held-out slice " +
+    "perfectly") {
+    val s = spark
+    import s.implicits._
+    // two classes with disjoint vocab — any train/test split must yield a
+    // diagonal confusion matrix (shares 1.0)
+    val docs = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, "alpha beta gamma alpha", "x")
+      else (i, "delta epsilon zeta delta", "y")
+    }.toDF("doc_id", "text", "lab")
+    val cm = graft.operators.NaiveBayes
+      .confusionMatrix(docs, "doc_id", "text", "lab")
+      .collect()
+    assert(cm.nonEmpty)
+    cm.foreach { r =>
+      assert(r.getString(0) == r.getString(1))
+      assert(r.getDouble(3) == 1.0)
+    }
+    // both classes appear in the held-out slice of this fixture
+    assert(cm.map(_.getString(0)).toSet == Set("x", "y"))
+  }
+
+  test("naiveBayes: out-of-vocab test doc falls back to the prior " +
+    "argmax with the smallest-label tie") {
+    val s = spark
+    import s.implicits._
+    // build the fixture AROUND the md5 split: exactly 2 train docs per
+    // class (equal priors) with equal token masses, and ONE held-out doc
+    // whose tokens were never seen in training -> every class score
+    // reduces to the identical lnPrior - n_tok*lnDenom -> tie -> the
+    // smallest label 'x' wins
+    def hex1(id: Long): Char = {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%02x".format(d(0)).charAt(0)
+    }
+    val ids = (0L to 300L)
+    val trainIds = ids.filter(hex1(_) < 'c').take(4)
+    val testId = ids.find(hex1(_) >= 'c').get
+    val docs = (trainIds.zipWithIndex.map { case (id, i) =>
+      if (i % 2 == 0) (id, "alpha beta", "x") else (id, "delta zeta", "y")
+    } :+ ((testId, "omega omega", "y"))).toDF("doc_id", "text", "lab")
+    val cm = graft.operators.NaiveBayes
+      .confusionMatrix(docs, "doc_id", "text", "lab")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cm == Map(("y", "x") -> 1L))
+  }
+
+  test("fkGrade: hand-computed Flesch-Kincaid on a known sentence") {
+    val s = spark
+    import s.implicits._
+    // "Hello world. This is fun!": words=5, sentences=2, vowel groups in
+    // lowercase = e,o | o | i | i | u = 6
+    // fk = 0.39*(5/2) + 11.8*(6/5) - 15.59 = 0.975 + 14.16 - 15.59
+    val df = Seq(("s1", "Hello world. This is fun!")).toDF("source", "text")
+    val got = graft.operators.TextAnalysis
+      .readabilityBySource(df, "source", "text").collect()(0)
+    val expect = BigDecimal(0.39 * (5.0 / 2.0) + 11.8 * (6.0 / 5.0) - 15.59)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(1) == 1L)
+    assert(got.getDouble(2) == expect)
+    assert(got.getDouble(3) == expect && got.getDouble(4) == expect)
+    // empty doc: words floor 1, sentences floor 1, syllables 0
+    val empty = Seq(("s1", "")).toDF("source", "text")
+    val g2 = graft.operators.TextAnalysis
+      .readabilityBySource(empty, "source", "text").collect()(0)
+    assert(g2.getDouble(2) == BigDecimal(0.39 + 0.0 - 15.59)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("dpNoisyCounts: deterministic Laplace noise matching the " +
+    "hand-computed inverse CDF") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 100).map(i => Tuple1(if (i < 70) "a" else "b"))
+      .toDF("g")
+    val run1 = graft.operators.Stats.dpNoisyCounts(df, "g", epsilon = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val run2 = graft.operators.Stats.dpNoisyCounts(df, "g", epsilon = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(run1 == run2) // retry-stable
+    // replay the draw for group "a" (count 70) in plain Scala
+    def released(grp: String, n: Long): Double = {
+      val d = MessageDigest.getInstance("MD5")
+        .digest(s"dp|$grp".getBytes("UTF-8"))
+      val hex8 = d.take(4).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex8, 16).toDouble + 0.5) /
+        4294967296.0
+      val cu = u - 0.5
+      val noise = BigDecimal(-1.0 * math.signum(cu)
+        * math.log(1.0 - 2.0 * math.abs(cu)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      BigDecimal(n + noise).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    assert(run1("a") == released("a", 70L))
+    assert(run1("b") == released("b", 30L))
+    assert(run1("a") != 70.0) // noise actually applied
+  }
+
+  test("ewmaHourly: exact powers-of-two weighting, renormalized at the " +
+    "series edge") {
+    val s = spark
+    import s.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 11:30:00")
+    val rows = Seq.fill(2)(("A", t0)) ++ Seq.fill(4)(("A", t1))
+    val got = graft.operators.TimeSeries
+      .ewmaHourly(rows.toDF("k", "ts"), "k", "ts", window = 24)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // first hour: only itself in the window -> ewma = own count
+    assert(got("2024-01-01 10:00") == ((2L, 2.0)))
+    // second hour: (4*2^24 + 2*2^23) / (2^24 + 2^23) = 10/3
+    assert(got("2024-01-01 11:00") == ((4L,
+      BigDecimal(10.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)))
+  }
+
+  test("lDiversityAudit: low-diversity tuples counted with their rows") {
+    val s = spark
+    import s.implicits._
+    // tuple (x,1): 3 rows, 1 distinct user -> risky at l=3
+    // tuple (x,2): 3 rows, 3 distinct users -> fine
+    val df = Seq(("x", 1, 10L), ("x", 1, 10L), ("x", 1, 10L),
+      ("x", 2, 1L), ("x", 2, 2L), ("x", 2, 3L)).toDF("a", "b", "u")
+    val got = graft.operators.Stats
+      .lDiversityAudit(df, Seq("a", "b"), "u", l = 3).collect()(0)
+    assert(got.getString(0) == "x")
+    assert(got.getLong(1) == 2L)      // tuples
+    assert(got.getLong(2) == 1L)      // low-diversity tuples
+    assert(got.getLong(3) == 3L)      // rows at risk
+    assert(got.getLong(4) == 1L)      // worst diversity
+  }
+
+  test("distinctNgramDiversity: hand-computed type/occurrence ratios") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", "aa aa bb"),      // uni: 2 types / 3 occ; bi: {aa aa, aa bb} 2/2
+      ("b", "x y x y"),       // uni: 2/4; bi: {x y, y x, x y} 2/3
+      ("c", "solo")           // uni: 1/1; bi: none -> 0
+    ).toDF("source", "text")
+    val got = graft.operators.TextAnalysis
+      .distinctNgramDiversity(df, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(got("a") == ((2L, 3L, 0.666667, 2L, 2L, 1.0)))
+    assert(got("b") == ((2L, 4L, 0.5, 2L, 3L, 0.666667)))
+    assert(got("c") == ((1L, 1L, 1.0, 0L, 0L, 0.0)))
+  }
 }

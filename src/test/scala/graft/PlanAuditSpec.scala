@@ -951,4 +951,37 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("BroadcastHashJoin"), q)
     }
   }
+
+  test("q192: NB scoring joins on the token key; no window, no cartesian") {
+    val p = plan("q192_nb_langid")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Window"), "argmax is a CASE chain, never a window")
+  }
+
+  test("q193/q194: readability rides the scan; diversity has no joins " +
+    "beyond the group-key merge") {
+    val p3 = plan("q193_readability")
+    assert(!p3.contains("Join") && !p3.contains("Window"), p3.take(2000))
+    val p4 = plan("q194_lex_diversity")
+    assert(!p4.contains("CartesianProduct") && !p4.contains("Window"),
+      p4.take(2000))
+  }
+
+  test("q195/q197: privacy audits are aggregation-only — no join, " +
+    "no window") {
+    for (q <- Seq("q195_dp_release", "q197_l_diversity")) {
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("Window"),
+        q + "\n" + p.take(2000))
+    }
+  }
+
+  test("q196: EWMA joins only on the calendar-bounded (key, hour) key") {
+    val p = plan("q196_ewma_hourly")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Window"),
+      "the recurrence must be the fan-out sum, not a prefix window")
+  }
 }
