@@ -3168,6 +3168,48 @@ object SparkEntry {
             floor(col("value") / 10.0).cast("long").as("vb"),
             col("user_id")),
         Seq("event_type", "hb", "vb"), "user_id", l = 3)
+    }),
+
+    "q198_pca_top_component" -> ((s, dir) => {
+      // top principal component of the embedding space by power
+      // iteration — the big-data PCA decomposition: one corpus pass
+      // builds the d² second-moment cells (partial-combined pair
+      // stream), the driver runs the O(d²·iters) eigen step on decimal-
+      // exact arithmetic, and the eigenvector lands as a d-row table to
+      // project against map-side. Fixed 5 iterations, sign pinned by
+      // the max-|component| normalization.
+      Similarity.pcaTopComponent(t(s, dir, "embeddings"), "vec_id",
+        "embedding", iters = 5)
+    }),
+
+    "q199_kcenter_coreset" -> ((s, dir) => {
+      // Gonzalez greedy k-center coreset (k=5): diversity-first data
+      // selection — each pick is the point farthest (decimal-exact
+      // squared euclidean, round(6), ties to lowest id) from everything
+      // already kept. k bounded TakeOrdered passes; centers ride as
+      // plan literals.
+      Similarity.kCenterCoreset(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 5)
+    }),
+
+    "q200_tokenizer_fertility" -> ((s, dir) => {
+      // tokenizer fertility per language — BPE tokens per whitespace
+      // word under the fixture merge table: the multilingual tokenizer-
+      // equity metric (a language with fertility 2× pays 2× the context
+      // budget per word). Map-side native tokenizer, one lang-keyed
+      // aggregate.
+      GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nw"),
+          Bpe.tokenCount(col("text"), Bpe.FixtureMerges).cast("long")
+            .as("nb"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+          sum(col("nb")).as("n_bpe_tokens"),
+          round(sum(col("nb")).cast("double")
+            / sum(col("nw")).cast("double"), 6).as("fertility"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -7605,7 +7647,115 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN ndist < 3 THEN n ELSE 0 END) AS BIGINT)
         |    AS n_risky_rows,
         |  min(ndist) AS min_diversity
-        |FROM tup GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM tup GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // DuckDB replays the full power iteration: decimal-exact moment
+    // cells, covariance round(12), per-round matrix-vector products as
+    // DECIMAL(38,12) sums of round(c·w, 12), normalization by the signed
+    // max-|component| (tie: lowest index) — the q91/q107 unrolled-round
+    // contract for a driver-resident model.
+    "q198_pca_top_component" -> {
+      val d = 64
+      val iters = 5
+      val sb = new StringBuilder
+      sb ++= s"""WITH cells AS MATERIALIZED (
+         |  SELECT vec_id, i.range AS i,
+         |    CAST(embedding[i.range + 1] AS DOUBLE) AS x
+         |  FROM embeddings, range(0, $d) i
+         |), mu AS MATERIALIZED (
+         |  SELECT i, round(CAST(sum(CAST(x AS DECIMAL(38,20))) AS DOUBLE)
+         |    / count(*), 12) AS mu
+         |  FROM cells GROUP BY i
+         |), m AS MATERIALIZED (
+         |  SELECT a.i AS i, b.i AS j,
+         |    round(CAST(sum(CAST(a.x * b.x AS DECIMAL(38,20))) AS DOUBLE)
+         |      / count(*), 12) AS m
+         |  FROM cells a JOIN cells b ON a.vec_id = b.vec_id
+         |  GROUP BY 1, 2
+         |), c AS MATERIALIZED (
+         |  SELECT m.i, m.j, round(m.m - mi.mu * mj.mu, 12) AS c
+         |  FROM m JOIN mu mi ON mi.i = m.i JOIN mu mj ON mj.i = m.j
+         |), w0 AS (SELECT range AS i, 1.0 AS w FROM range(0, $d))
+         |""".stripMargin
+      for (t <- 1 to iters) {
+        sb ++= s""", r$t AS MATERIALIZED (
+         |  SELECT c.i,
+         |    CAST(sum(CAST(round(c.c * w.w, 12) AS DECIMAL(38,12)))
+         |      AS DOUBLE) AS raw
+         |  FROM c JOIN w${t - 1} w ON w.i = c.j GROUP BY 1
+         |), s$t AS (
+         |  SELECT raw AS s FROM r$t ORDER BY abs(raw) DESC, i ASC LIMIT 1
+         |), w$t AS (SELECT i, raw / (SELECT s FROM s$t) AS w FROM r$t)
+         |""".stripMargin
+      }
+      sb ++= s"SELECT CAST(i AS INTEGER) AS i, round(w, 6) AS loading" +
+        s" FROM w$iters ORDER BY i"
+      sb.toString
+    },
+
+    // unrolled Gonzalez rounds: each center is the argmax of the running
+    // least squared distance (decimal-exact terms, round(6), ties to the
+    // lowest id) — identical algebra to the Spark literal-center passes.
+    "q199_kcenter_coreset" -> {
+      def dist(a: String, b: String) =
+        s"""round(CAST(list_sum(list_transform(list_zip($a, $b),
+           |    z -> CAST((CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+           |      * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))
+           |      AS DECIMAL(38,20)))) AS DOUBLE), 6)""".stripMargin
+      val k = 5
+      val sb = new StringBuilder
+      sb ++= s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM embeddings
+         |), c0 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1
+         |), m1 AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding,
+         |    ${dist("e.embedding", "c.embedding")} AS md
+         |  FROM e, c0 c
+         |)""".stripMargin
+      for (r <- 1 until k) {
+        sb ++= s"""
+         |, c$r AS (SELECT vec_id, embedding, md FROM m$r
+         |    ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+        if (r < k - 1)
+          sb ++= s"""
+         |, m${r + 1} AS MATERIALIZED (
+         |  SELECT m.vec_id, m.embedding,
+         |    least(m.md, ${dist("m.embedding", "c.embedding")}) AS md
+         |  FROM m$r m, c$r c
+         |)""".stripMargin
+      }
+      sb ++= s"""
+         |SELECT CAST(0 AS INTEGER) AS rk,
+         |  (SELECT vec_id FROM c0) AS id, CAST(0.0 AS DOUBLE) AS dist
+         |""".stripMargin
+      for (r <- 1 until k)
+        sb ++= s"""UNION ALL SELECT CAST($r AS INTEGER), vec_id, md FROM c$r
+         |""".stripMargin
+      sb ++= "ORDER BY rk"
+      sb.toString
+    },
+
+    "q200_tokenizer_fertility" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+         |      AS raw
+         |  FROM documents
+         |), w AS (
+         |  SELECT doc_id, unnest(raw) AS word FROM tk
+         |), cnt AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(${graft.operators.Bpe.replaySqlTokenCount("word",
+                  graft.operators.Bpe.FixtureMerges)}) AS BIGINT) AS n_bpe
+         |  FROM w GROUP BY doc_id
+         |)
+         |SELECT tk.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(tk.raw)) AS BIGINT) AS n_words,
+         |  CAST(sum(COALESCE(cnt.n_bpe, 0)) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(sum(COALESCE(cnt.n_bpe, 0)) AS DOUBLE)
+         |    / CAST(sum(len(tk.raw)) AS DOUBLE), 6) AS fertility
+         |FROM tk LEFT JOIN cnt USING (doc_id)
+         |GROUP BY 1 ORDER BY lang""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

@@ -825,4 +825,121 @@ object Similarity {
         col("between"), col("within"),
         round(col("between") / col("within"), 6).as("fisher"))
   }
+
+  /** Top principal component of the embedding space by power iteration —
+    * the spectral readout behind dimension reduction, drift direction
+    * analysis ("what single direction explains the most variance") and
+    * whitening diagnostics. The classic big-data PCA decomposition: ONE
+    * corpus pass builds the d×d second-moment matrix (a (dim_i, dim_j)
+    * pair stream that partial-combines to d² cells — the shuffle carries
+    * partitions×d² partials, never the corpus), the driver holds the d²
+    * covariance cells and runs the O(d²·iters) power iteration, and the
+    * eigenvector returns as a d-row table (project the corpus with one
+    * map-side dot product against it).
+    *
+    * Determinism contract: moments and means are DECIMAL(38,20)-
+    * accumulated (the q40 dot-product cast), covariance cells round(12);
+    * each iteration's matrix-vector products round(12) into
+    * DECIMAL(38,12)-exact sums (driver BigDecimal mirrors the oracle's
+    * decimal SUM bit for bit); normalization divides by the SIGNED
+    * component of maximum |value| (tie: lowest index) — one IEEE
+    * division, which also pins the eigenvector's sign. No convergence
+    * test: a fixed `iters` makes the run replayable (the kCore/q91
+    * explicit-round contract).
+    *
+    * 100 TB note: the d² map-side fan-out costs CPU ×d² per row; for
+    * very large d build the same cells with an array-buffer Aggregator
+    * (the VectorAvg pattern) — identical result, one buffer per
+    * partition instead of exploded rows. */
+  def pcaTopComponent(emb: DataFrame, idCol: String, vecCol: String,
+                      iters: Int = 5,
+                      mat: Materializer = Materializer.Local): DataFrame = {
+    val spark = emb.sparkSession
+    val dec = "decimal(38,20)"
+    val cells = mat(emb
+      .select(col(idCol).as("pid"), posexplode(col(vecCol))
+        .as(Seq("i", "xf")))
+      .select(col("pid"), col("i"), col("xf").cast("double").as("x")))
+    val muRows = cells.groupBy(col("i"))
+      .agg(round(sum(col("x").cast(dec)).cast("double")
+        / count(lit(1)), 12).as("mu"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val d = muRows.size
+    val b = cells.select(col("pid").as("pid2"), col("i").as("j"),
+      col("x").as("y"))
+    val mRows = cells.join(b, col("pid") === col("pid2"))
+      .groupBy(col("i"), col("j"))
+      .agg(round(sum((col("x") * col("y")).cast(dec)).cast("double")
+        / count(lit(1)), 12).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    // Spark round semantics for driver-side math (BigDecimal.valueOf =
+    // shortest-repr decimal of the double, HALF_UP — what Column.round
+    // does), so the oracle's round() replays these steps exactly
+    def r(x: Double, s: Int): Double =
+      BigDecimal.valueOf(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val cov = Array.tabulate(d, d)((i, j) =>
+      r(mRows((i, j)) - muRows(i) * muRows(j), 12))
+    var w = Array.fill(d)(1.0)
+    for (_ <- 0 until iters) {
+      val raw = Array.tabulate(d) { i =>
+        var acc = BigDecimal(0).setScale(12)
+        var j = 0
+        while (j < d) {
+          acc = acc + BigDecimal.valueOf(r(cov(i)(j) * w(j), 12))
+          j += 1
+        }
+        acc.toDouble
+      }
+      val imax = raw.indices.minBy(i => (-math.abs(raw(i)), i))
+      val scale = raw(imax)
+      require(scale != 0.0, "pca: degenerate (zero) iterate")
+      w = raw.map(_ / scale)
+    }
+    import spark.implicits._
+    w.zipWithIndex.map { case (x, i) => (i, r(x, 6)) }.toSeq
+      .toDF("i", "loading").orderBy(col("i"))
+  }
+
+  /** Gonzalez greedy k-center coreset over the embedding space — the
+    * diversity-first data-selection step (each pick is the point
+    * farthest from everything already kept, a 2-approximation of the
+    * k-center optimum): seeds coverage-maximizing fine-tuning subsets
+    * and probe sets. k corpus passes by construction (the honest cost
+    * of the greedy — centers so far are plan literals each pass, the
+    * argmax is one TakeOrdered, the driver holds k vectors).
+    *
+    * Distances are squared euclidean, DECIMAL(38,20)-exact per term
+    * (float subtraction and squaring are exact in double), round(6)
+    * BEFORE the min over centers and the (dist desc, id asc) argmax —
+    * nothing ever ranks on an unpinned ulp. Returns (rk, id,
+    * dist_at_pick) with dist 0.0 for the seed (= lowest id). */
+  def kCenterCoreset(emb: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = emb.sparkSession
+    val dec = "decimal(38,20)"
+    def sqDist(v: Column, center: Seq[Float]): Column =
+      round(aggregate(zip_with(v, typedlit(center),
+        (x, c) => ((x.cast("double") - c.cast("double"))
+          * (x.cast("double") - c.cast("double"))).cast(dec)),
+        lit(0).cast(dec), (acc, t) => (acc + t).cast(dec))
+        .cast("double"), 6)
+    val seed = emb.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(1).collect()(0)
+    var centers = Vector((seed.getLong(0), seed.getSeq[Float](1), 0.0))
+    for (_ <- 1 until k) {
+      val ds = centers.map(c => sqDist(col(vecCol), c._2))
+      val minD = if (ds.size == 1) ds.head else least(ds: _*)
+      val next = emb.select(col(idCol), col(vecCol), minD.as("md"))
+        .orderBy(col("md").desc, col(idCol).asc).limit(1).collect()(0)
+      centers = centers :+
+        ((next.getLong(0), next.getSeq[Float](1), next.getDouble(2)))
+    }
+    import spark.implicits._
+    centers.zipWithIndex
+      .map { case ((id, _, dist), rk) => (rk, id, dist) }
+      .toDF("rk", "id", "dist").orderBy(col("rk"))
+  }
 }

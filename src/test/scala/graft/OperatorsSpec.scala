@@ -3108,6 +3108,36 @@ class OperatorsSpec extends SparkSpec {
     assert(got.getLong(4) == 1L)      // worst diversity
   }
 
+  test("pcaTopComponent: recovers the dominant axis of a rank-1 cloud") {
+    val s = spark
+    import s.implicits._
+    // points along (1, 0.1): covariance is rank-1 with eigenvector
+    // (1, 0.1); max-|component| normalization pins loading_0 = 1.0
+    val df = Seq((1L, Array(1f, 0.1f)), (2L, Array(2f, 0.2f)),
+      (3L, Array(-1f, -0.1f)), (4L, Array(-2f, -0.2f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .pcaTopComponent(df, "vec_id", "embedding", iters = 5)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got(0) == 1.0)
+    assert(math.abs(got(1) - 0.1) < 1e-4)
+  }
+
+  test("kCenterCoreset: greedy farthest-first picks in order") {
+    val s = spark
+    import s.implicits._
+    def v(x: Double) = Array(x.toFloat, 0f)
+    val df = Seq((1L, v(0)), (2L, v(10)), (3L, v(1)), (4L, v(5)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .kCenterCoreset(df, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // seed = lowest id (pos 0); then pos 10 (d2=100); then pos 5
+    // (min(25,25)=25); then pos 1 (d2=1)
+    assert(got.toSeq == Seq((0, 1L, 0.0), (1, 2L, 100.0),
+      (2, 4L, 25.0), (3, 3L, 1.0)))
+  }
+
   test("distinctNgramDiversity: hand-computed type/occurrence ratios") {
     val s = spark
     import s.implicits._

@@ -984,4 +984,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"),
       "the recurrence must be the fan-out sum, not a prefix window")
   }
+
+  test("q200: fertility is a map-side tokenize + one lang aggregate") {
+    val p = plan("q200_tokenizer_fertility")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
+  }
 }
