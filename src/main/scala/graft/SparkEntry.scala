@@ -3210,6 +3210,50 @@ object SparkEntry {
           round(sum(col("nb")).cast("double")
             / sum(col("nw")).cast("double"), 6).as("fertility"))
         .orderBy(col("lang"))
+    }),
+
+    "q201_setjoin_exact" -> ((s, dir) => {
+      // EXACT all-pairs Jaccard join (AllPairs/PPJoin prefix filter):
+      // every shingle-set pair with J >= 0.5, recall 1.0 GUARANTEED —
+      // the exact counterpart to q37's LSH banding (which trades recall
+      // for speed). Candidates form only where two docs share one of
+      // their rarest shingles; the oracle BRUTE-FORCES the n² space, so
+      // this is a genuine recall differential, not a blocking replay.
+      GraftFunctions.register(s)
+      Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"), "doc_id",
+          "text", shingleN = 3, thetaNum = 1, thetaDen = 2)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    "q202_weighted_paths" -> ((s, dir) => {
+      // Bellman-Ford cheapest-cost reach from the seed parts over the
+      // co-purchase graph, 3 relaxation rounds; edge cost = 1000000 div
+      // support (strong ties are cheap) — the cost-aware sibling of
+      // q171's hop BFS, all integer min-plus arithmetic.
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cm"))
+        .filter(col("cm") >= 2)
+        .select(col("pa").as("src"), col("pb").as("dst"),
+          floor(lit(1000000L) / col("cm")).cast("long").as("cost"))
+      val nodes = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node"))).distinct()
+      operators.Graph.weightedShortestPaths(edges,
+          nodes.filter(col("node") % 101 === 0), rounds = 3,
+          broadcastDist = true)
+        .orderBy(col("node"))
+    }),
+
+    "q203_nb_crossval" -> ((s, dir) => {
+      // 4-fold cross-validated accuracy of the q192 NB classifier (md5
+      // hex-quartile folds): whether the single-split accuracy is split
+      // luck. Four one-aggregate trainings; output is fold-sized.
+      operators.NaiveBayes.crossValAccuracy(t(s, dir, "documents"),
+        "doc_id", "text", "lang")
     })
   )
 
@@ -7466,64 +7510,9 @@ object SparkEntry {
     // DuckDB re-trains the multinomial NB through the identical count/ln
     // algebra (labels hardcoded to the fixture's langs in ascending order
     // — the Spark side discovers the same set from the train slice).
-    "q192_nb_langid" -> {
-      val langs = Seq("de", "en", "es", "fr", "zh")
-      val cntCols = langs.zipWithIndex.map { case (l, i) =>
-        s"sum(CASE WHEN actual = '$l' THEN 1 ELSE 0 END) AS c_$i"
-      }.mkString(",\n    ")
-      val sCols = langs.indices.map { i =>
-        s"sum(CAST(round(ln(CAST(c.c_$i + 1 AS DOUBLE)), 9) AS DECIMAL(38,9))) AS s_$i"
-      }.mkString(",\n    ")
-      val scoreCols = langs.zipWithIndex.map { case (l, i) =>
-        s"""round((SELECT lnprior FROM consts WHERE actual = '$l')
-           |      - CAST(len(te.tk) AS DOUBLE)
-           |        * (SELECT lnden FROM consts WHERE actual = '$l')
-           |      + coalesce(CAST(s_$i AS DOUBLE), 0.0), 6) AS score_$i""".stripMargin
-      }.mkString(",\n    ")
-      val predCase = langs.zipWithIndex.init.map { case (l, i) =>
-        s"WHEN score_$i = g THEN '$l'"
-      }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
-      s"""WITH base AS MATERIALIZED (
-         |  SELECT doc_id, lang AS actual,
-         |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
-         |      x -> x <> '') AS tk,
-         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS is_train
-         |  FROM documents
-         |), tr AS (SELECT * FROM base WHERE is_train
-         |), stats AS MATERIALIZED (
-         |  SELECT actual, CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(len(tk)) AS BIGINT) AS n_toks
-         |  FROM tr GROUP BY 1
-         |), cnt AS MATERIALIZED (
-         |  SELECT token,
-         |    $cntCols
-         |  FROM (SELECT actual, unnest(tk) AS token FROM tr)
-         |  GROUP BY 1
-         |), consts AS MATERIALIZED (
-         |  SELECT s.actual,
-         |    round(ln(CAST(s.n_docs AS DOUBLE))
-         |      - ln(CAST(t.n AS DOUBLE)), 9) AS lnprior,
-         |    round(ln(CAST(s.n_toks + v.v AS DOUBLE)), 9) AS lnden
-         |  FROM stats s,
-         |    (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM stats) t,
-         |    (SELECT count(*) AS v FROM cnt) v
-         |), contrib AS MATERIALIZED (
-         |  SELECT b.doc_id,
-         |    $sCols
-         |  FROM (SELECT doc_id, unnest(tk) AS token
-         |        FROM base WHERE NOT is_train) b
-         |  JOIN cnt c USING (token) GROUP BY 1
-         |), scored AS (
-         |  SELECT te.actual,
-         |    $scoreCols
-         |  FROM (SELECT * FROM base WHERE NOT is_train) te
-         |  LEFT JOIN contrib ON contrib.doc_id = te.doc_id
-         |), pred AS (
-         |  SELECT actual, $predCase AS predicted
-         |  FROM (SELECT *, greatest(${langs.indices
-                  .map(i => s"score_$i").mkString(", ")}) AS g
-         |        FROM scored)
-         |), cm AS MATERIALIZED (
+    "q192_nb_langid" ->
+      s"""${nbChainSql("substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'")}
+         |, cm AS MATERIALIZED (
          |  SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
          |  FROM pred GROUP BY 1, 2
          |), tot AS (
@@ -7534,8 +7523,7 @@ object SparkEntry {
          |  round(CAST(cm.n AS DOUBLE) / CAST(tot.n_actual AS DOUBLE), 6)
          |    AS share
          |FROM cm JOIN tot USING (actual)
-         |ORDER BY actual, predicted""".stripMargin
-    },
+         |ORDER BY actual, predicted""".stripMargin,
 
     "q193_readability" ->
       """WITH g AS (
@@ -7755,13 +7743,166 @@ object SparkEntry {
          |  round(CAST(sum(COALESCE(cnt.n_bpe, 0)) AS DOUBLE)
          |    / CAST(sum(len(tk.raw)) AS DOUBLE), 6) AS fertility
          |FROM tk LEFT JOIN cnt USING (doc_id)
-         |GROUP BY 1 ORDER BY lang""".stripMargin
+         |GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // brute-force n² differential (the q141/q178 pattern): DuckDB scores
+    // EVERY pair exactly; the Spark side must recover the identical set
+    // through the prefix filter — a genuine recall-1.0 check.
+    "q201_setjoin_exact" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS raw
+        |  FROM documents
+        |), sh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(raw) < 3
+        |      THEN [array_to_string(raw, ' ')]
+        |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |            for i in range(0, len(raw) - 2)] END) AS sh
+        |  FROM tk
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(list_distinct(list_concat(a.sh, b.sh))) AS uni
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT a_id, b_id,
+        |  round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS jaccard
+        |FROM pairs WHERE inter * 2 >= 1 * uni
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q202_weighted_paths" -> wspSql(3),
+
+    "q203_nb_crossval" -> {
+      val bounds = Seq(("0", "3"), ("4", "7"), ("8", "b"), ("c", "f"))
+      bounds.zipWithIndex.map { case ((lo, hi), f) =>
+        val h = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+        val chain = nbChainSql(s"NOT ($h >= '$lo' AND $h <= '$hi')")
+        s"""SELECT * FROM (
+           |$chain
+           |SELECT CAST($f AS INTEGER) AS fold,
+           |  CAST(count(*) AS BIGINT) AS n_test,
+           |  CAST(sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_correct,
+           |  round(CAST(sum(CASE WHEN actual = predicted THEN 1 ELSE 0
+           |      END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           |    AS accuracy
+           |FROM pred
+           |)""".stripMargin
+      }.mkString("", "\nUNION ALL ", "\nORDER BY fold")
+    }
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2
     * co-purchase graph, seeds = nodes with key % 101 == 0: `rounds`
     * unrolled min-union rounds (MATERIALIZED — the [[labelPropSql]]
     * inlining-blowup guard). */
+  /** DuckDB replay of the [[operators.NaiveBayes]] training + scoring
+    * chain (labels = the fixture's langs ascending): CTEs `base` →
+    * `pred(actual, predicted)` with train membership given by
+    * `trainPred`. q192 appends the confusion rollup; q203 wraps one
+    * chain per fold. */
+  private def nbChainSql(trainPred: String): String = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val cntCols = langs.zipWithIndex.map { case (l, i) =>
+      s"sum(CASE WHEN actual = '$l' THEN 1 ELSE 0 END) AS c_$i"
+    }.mkString(",\n    ")
+    val sCols = langs.indices.map { i =>
+      s"sum(CAST(round(ln(CAST(c.c_$i + 1 AS DOUBLE)), 9) AS DECIMAL(38,9))) AS s_$i"
+    }.mkString(",\n    ")
+    val scoreCols = langs.zipWithIndex.map { case (l, i) =>
+      s"""round((SELECT lnprior FROM consts WHERE actual = '$l')
+         |      - CAST(len(te.tk) AS DOUBLE)
+         |        * (SELECT lnden FROM consts WHERE actual = '$l')
+         |      + coalesce(CAST(s_$i AS DOUBLE), 0.0), 6) AS score_$i""".stripMargin
+    }.mkString(",\n    ")
+    val predCase = langs.zipWithIndex.init.map { case (l, i) =>
+      s"WHEN score_$i = g THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, lang AS actual,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> x <> '') AS tk,
+       |    $trainPred AS is_train
+       |  FROM documents
+       |), tr AS (SELECT * FROM base WHERE is_train
+       |), stats AS MATERIALIZED (
+       |  SELECT actual, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(tk)) AS BIGINT) AS n_toks
+       |  FROM tr GROUP BY 1
+       |), cnt AS MATERIALIZED (
+       |  SELECT token,
+       |    $cntCols
+       |  FROM (SELECT actual, unnest(tk) AS token FROM tr)
+       |  GROUP BY 1
+       |), consts AS MATERIALIZED (
+       |  SELECT s.actual,
+       |    round(ln(CAST(s.n_docs AS DOUBLE))
+       |      - ln(CAST(t.n AS DOUBLE)), 9) AS lnprior,
+       |    round(ln(CAST(s.n_toks + v.v AS DOUBLE)), 9) AS lnden
+       |  FROM stats s,
+       |    (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM stats) t,
+       |    (SELECT count(*) AS v FROM cnt) v
+       |), contrib AS MATERIALIZED (
+       |  SELECT b.doc_id,
+       |    $sCols
+       |  FROM (SELECT doc_id, unnest(tk) AS token
+       |        FROM base WHERE NOT is_train) b
+       |  JOIN cnt c USING (token) GROUP BY 1
+       |), scored AS (
+       |  SELECT te.actual,
+       |    $scoreCols
+       |  FROM (SELECT * FROM base WHERE NOT is_train) te
+       |  LEFT JOIN contrib ON contrib.doc_id = te.doc_id
+       |), pred AS (
+       |  SELECT actual, $predCase AS predicted
+       |  FROM (SELECT *, greatest(${langs.indices
+                .map(i => s"score_$i").mkString(", ")}) AS g
+       |        FROM scored)
+       |)""".stripMargin
+  }
+
+  /** DuckDB replay of [[operators.Graph.weightedShortestPaths]] over the
+    * support>=2 co-purchase graph with cost = 1000000 // support, seeds
+    * = nodes with key % 101 == 0: unrolled min-plus relaxation rounds
+    * (all BIGINT arithmetic). */
+  private def wspSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e0 AS MATERIALIZED (
+             |  SELECT a.l_partkey AS u, b.l_partkey AS v,
+             |    1000000 // count(*) AS cost
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2
+             |),
+             |sym AS MATERIALIZED (
+             |  SELECT src, dst, CAST(min(cost) AS BIGINT) AS cost FROM (
+             |    SELECT u AS src, v AS dst, cost FROM e0
+             |    UNION ALL SELECT v, u, cost FROM e0)
+             |  GROUP BY 1, 2
+             |),
+             |d0 AS MATERIALIZED (
+             |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS cost
+             |  FROM sym WHERE src % 101 = 0
+             |)""".stripMargin
+    for (i <- 1 to rounds)
+      sb ++= s""",
+               |d$i AS MATERIALIZED (
+               |  SELECT node, min(cost) AS cost FROM (
+               |    SELECT node, cost FROM d${i - 1}
+               |    UNION ALL
+               |    SELECT s.dst AS node, d.cost + s.cost AS cost
+               |    FROM sym s JOIN d${i - 1} d ON s.src = d.node)
+               |  GROUP BY 1
+               |)""".stripMargin
+    sb ++= s"""
+              |SELECT node, cost
+              |FROM d$rounds ORDER BY node""".stripMargin
+    sb.toString
+  }
+
   private def bfsSql(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH e0 AS MATERIALIZED (

@@ -147,11 +147,21 @@ object NaiveBayes {
     * both the V count (a driver action) and the scoring join. */
   def confusionMatrix(docs: DataFrame, idCol: String, textCol: String,
                       labelCol: String, trainHexMax: String = "c",
-                      mat: Materializer = Materializer.Local): DataFrame = {
+                      mat: Materializer = Materializer.Local): DataFrame =
+    confusionMatrixWithSplit(docs, idCol, textCol, labelCol,
+      isTrain(col(idCol), trainHexMax), mat)
+
+  /** [[confusionMatrix]] with an arbitrary train-membership predicate —
+    * the hook k-fold cross-validation plugs its fold complements into. */
+  def confusionMatrixWithSplit(docs: DataFrame, idCol: String,
+                               textCol: String, labelCol: String,
+                               trainPred: Column,
+                               mat: Materializer = Materializer.Local)
+      : DataFrame = {
     val base = docs.select(col(idCol).as("nb_id"),
       col(labelCol).as("actual"),
       TextAnalysis.tokens(lower(col(textCol))).as("tk"),
-      isTrain(col(idCol), trainHexMax).as("is_train"))
+      trainPred.as("is_train"))
     val train = base.where(col("is_train"))
 
     // per-class scalars: doc count (prior) + token mass (denominator)
@@ -218,5 +228,30 @@ object NaiveBayes {
         round(col("n").cast("double") / col("n_actual").cast("double"), 6)
           .as("share"))
       .orderBy(col("actual"), col("predicted"))
+  }
+
+  /** 4-fold cross-validated accuracy — the model-selection readout that
+    * tells you whether q192's single-split number is split luck. Folds
+    * are the q63 md5 hex quartiles ('0'–'3', '4'–'7', '8'–'b', 'c'–'f'),
+    * so fold membership is deterministic, engine-portable, and disjoint
+    * by construction; each fold trains on the other three (4 trainings,
+    * each the one-aggregate NB fit). Returns
+    * (fold, n_test, n_correct, accuracy). */
+  def crossValAccuracy(docs: DataFrame, idCol: String, textCol: String,
+                       labelCol: String,
+                       mat: Materializer = Materializer.Local): DataFrame = {
+    val h = substring(md5(col(idCol).cast("string")), 1, 1)
+    val bounds = Seq(("0", "3"), ("4", "7"), ("8", "b"), ("c", "f"))
+    bounds.zipWithIndex.map { case ((lo, hi), f) =>
+      val isTest = h >= lit(lo) && h <= lit(hi)
+      confusionMatrixWithSplit(docs, idCol, textCol, labelCol, !isTest,
+          mat)
+        .agg(sum(col("n")).as("n_test"),
+          sum(when(col("actual") === col("predicted"), col("n"))
+            .otherwise(0L)).as("n_correct"))
+        .select(lit(f).as("fold"), col("n_test"), col("n_correct"),
+          round(col("n_correct").cast("double")
+            / col("n_test").cast("double"), 6).as("accuracy"))
+    }.reduce(_ unionAll _).orderBy(col("fold"))
   }
 }

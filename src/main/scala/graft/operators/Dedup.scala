@@ -695,4 +695,66 @@ object Dedup {
       .groupBy(col("b_id"))
       .agg(min(col("a_id")).as("dup_of"), count(lit(1)).as("n_earlier"))
       .select(col("b_id").as("id"), col("dup_of"), col("n_earlier"))
+
+  /** EXACT all-pairs Jaccard similarity join via prefix filtering (the
+    * AllPairs / PPJoin family — Bayardo et al. WWW 2007, Xiao et al.
+    * WWW 2008): every pair with shingle-set Jaccard >= num/den, recall
+    * 1.0 GUARANTEED — the exact counterpart to [[minhashLshPairs]]'
+    * probabilistic banding (LSH trades recall for speed; prefix
+    * filtering keeps recall and still never forms the n² product).
+    *
+    * The filter: order each set by global shingle rarity (df asc,
+    * shingle asc — attached per token by one vocab join, sorted per doc
+    * with array_sort over (df, s) structs: no global rank window); two
+    * sets with Jaccard >= t MUST share a shingle within their first
+    * `|s| − ⌈t·|s|⌉ + 1` rarest elements (pigeonhole), so candidates
+    * form on a prefix-shingle equi-join — rare shingles lead the
+    * prefixes, which is what bounds per-key fanout (the Zipf head sits
+    * at the END of the order and almost never enters a prefix).
+    *
+    * Every threshold comparison is exact integer arithmetic
+    * (`den·inter >= num·union`; ⌈t·n⌉ = (num·n + den − 1) div den) —
+    * nothing ranks or gates on a float. The reported jaccard is the
+    * one double quotient, round(6).
+    *
+    * Scale shape: one vocab-keyed df join (AQE skew-join for the head),
+    * one per-doc sort, one prefix equi-join + distinct, verify touches
+    * candidates only via two id-keyed joins. */
+  def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
+                               textCol: String, shingleN: Int,
+                               thetaNum: Int, thetaDen: Int,
+                               mat: Materializer = Materializer.Local)
+      : DataFrame = {
+    require(thetaNum > 0 && thetaDen >= thetaNum)
+    val sets = mat(docs.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.shingles(col(textCol), shingleN))
+        .as("sh")))
+    val tok = sets.select(col("id"), explode(col("sh")).as("s"))
+    val dfTab = tok.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val sorted = tok.join(dfTab, Seq("s"))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("s")))),
+        x => x.getField("s")).as("ssh"), count(lit(1)).as("n"))
+    val prefLen = (col("n")
+      - floor((lit(thetaNum) * col("n") + lit(thetaDen - 1))
+        / lit(thetaDen)).cast("long") + lit(1L)).cast("int")
+    val pref = sorted.select(col("id"),
+      explode(slice(col("ssh"), lit(1), prefLen)).as("s"))
+    val cands = pref.select(col("id").as("a_id"), col("s"))
+      .join(pref.select(col("id").as("b_id"), col("s")), Seq("s"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val verified = cands
+      .join(sets.select(col("id").as("a_id"), col("sh").as("a_sh")),
+        Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("sh").as("b_sh")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"),
+        size(array_union(col("a_sh"), col("b_sh"))).as("uni"))
+      .filter(col("inter") * lit(thetaDen) >= lit(thetaNum) * col("uni"))
+    verified.select(col("a_id"), col("b_id"),
+      round(col("inter").cast("double") / col("uni").cast("double"), 6)
+        .as("jaccard"))
+  }
 }

@@ -368,4 +368,47 @@ object Graph {
     }
     dist
   }
+
+  /** Bellman–Ford weighted shortest paths from a seed set, EXPLICIT
+    * round count — the cost-aware sibling of [[bfsHops]] ("cheapest way
+    * to reach each entity within k relaxations": trust propagation,
+    * routing cost, related-entity scoring where edge strength matters).
+    * `edges` carries (src, dst, cost); costs must be non-negative LONGS
+    * (integer min-plus arithmetic is exact and engine-portable — derive
+    * integer costs like `1000000 div support` rather than float
+    * weights). Parallel edges collapse to their min cost; the graph is
+    * treated as undirected.
+    *
+    * Scale shape: per round ONE edge-keyed equi-join + one
+    * partial-combined min (the bfsHops/pageRank shuffle discipline),
+    * lineage cut per round; `broadcastDist` keeps the edge set
+    * un-shuffled for dimension-scale distance tables. A fixed `rounds`
+    * makes the run replayable (the kCore contract) — rounds = k bounds
+    * path length, the usual operational semantics ("within 3 links"). */
+  def weightedShortestPaths(edges: DataFrame, seeds: DataFrame,
+                            rounds: Int, broadcastDist: Boolean = false,
+                            materialize: Materializer = Materializer.Local)
+      : DataFrame = {
+    require(rounds >= 1)
+    val e0 = edges.select(col("src"), col("dst"), col("cost").cast("long"))
+    val sym = materialize(
+      e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst"),
+          col("cost")))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(min(col("cost")).as("cost")))
+    var dist = materialize(seeds.select(col("node")).distinct()
+      .withColumn("cost", lit(0L)))
+    def distSide(df: DataFrame) = if (broadcastDist) broadcast(df) else df
+    var i = 0
+    while (i < rounds) {
+      val frontier = sym
+        .join(distSide(dist.select(col("node").as("src"),
+          col("cost").as("dc"))), Seq("src"))
+        .select(col("dst").as("node"), (col("dc") + col("cost")).as("cost"))
+      dist = materialize(dist.unionAll(frontier)
+        .groupBy(col("node")).agg(min(col("cost")).as("cost")))
+      i += 1
+    }
+    dist
+  }
 }

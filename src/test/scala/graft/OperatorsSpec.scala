@@ -3138,6 +3138,73 @@ class OperatorsSpec extends SparkSpec {
       (2, 4L, 25.0), (3, 3L, 1.0)))
   }
 
+  test("weightedShortestPaths: min-plus relaxation over a weighted chain") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L))
+      .toDF("src", "dst", "cost")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val got = graft.operators.Graph
+      .weightedShortestPaths(edges, seeds, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // direct 1->3 costs 10; via 2 costs 6 — two rounds find it
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 6L))
+    // one round only sees the direct edge
+    val one = graft.operators.Graph
+      .weightedShortestPaths(edges, seeds, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(3L) == 10L)
+  }
+
+  test("prefixFilterJaccardPairs: recall 1.0 against the brute-forced " +
+    "pair set") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(s)
+    // 40 docs: 8 clusters of near-dup template docs + drifted tails
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (0L until 40L).map { i =>
+      val cl = (i % 8).toInt
+      val base = (0 until 8).map(j => words((cl + j) % 10))
+      val drift = if (i < 16) base
+        else base.updated((i % 5).toInt, words(((i + cl) % 10).toInt))
+      (i, drift.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJaccardPairs(df, "doc_id", "text",
+        shingleN = 3, thetaNum = 1, thetaDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force the same shingle algebra in Scala
+    def sh(t: String): Set[String] = {
+      val tk = t.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < 3) Set(tk.mkString(" "))
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val expect = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      inter = sh(ta).intersect(sh(tb)).size
+      uni = sh(ta).union(sh(tb)).size
+      if inter * 2 >= uni
+    } yield (a, b)).toSet
+    assert(expect.nonEmpty && got == expect)
+  }
+
+  test("crossValAccuracy: disjoint vocabularies score 1.0 on every fold") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 80L).map { i =>
+      if (i % 2 == 0) (i, "alpha beta gamma", "x")
+      else (i, "delta epsilon zeta", "y")
+    }.toDF("doc_id", "text", "lab")
+    val got = graft.operators.NaiveBayes
+      .crossValAccuracy(docs, "doc_id", "text", "lab")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(got.map(_._2).sum == 80L) // folds partition the corpus
+    got.foreach { case (_, _, acc) => assert(acc == 1.0) }
+  }
+
   test("distinctNgramDiversity: hand-computed type/occurrence ratios") {
     val s = spark
     import s.implicits._

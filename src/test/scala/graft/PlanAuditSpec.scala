@@ -989,4 +989,19 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q200_tokenizer_fertility")
     assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
   }
+
+  test("q201: prefix-filter candidates form on a shingle equi-join — " +
+    "no cartesian, no window") {
+    val p = plan("q201_setjoin_exact")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Window"),
+      "rarity order is array_sort over (df, s), never a rank window")
+  }
+
+  test("q202: weighted relaxation rounds keep keyed equi-joins only") {
+    val p = plan("q202_weighted_paths")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
 }
