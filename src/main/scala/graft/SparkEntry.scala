@@ -3254,6 +3254,45 @@ object SparkEntry {
       // luck. Four one-aggregate trainings; output is fold-sized.
       operators.NaiveBayes.crossValAccuracy(t(s, dir, "documents"),
         "doc_id", "text", "lang")
+    }),
+
+    "q204_rm3_retrieval" -> ((s, dir) => {
+      // pseudo-relevance-feedback retrieval (RM3): BM25 for the 2-term
+      // base query, top-5 docs feed back their 3 most frequent
+      // non-query terms (integer tf rank — never a float weight), and
+      // the expanded query reruns BM25 — the classic recall lever of a
+      // lexical stack. Both passes ride q138's broadcast-trim shape.
+      val docs = t(s, dir, "documents")
+      val expanded = operators.Retrieval.rm3ExpandTerms(docs, "doc_id",
+        "text", Seq("spark", "join"), fbDocs = 5, fbTerms = 3)
+      operators.Retrieval.bm25(docs, "doc_id", "text", expanded,
+          topN = 20)
+        .orderBy(col("rk"))
+    }),
+
+    "q205_freq_triples" -> ((s, dir) => {
+      // Apriori level-3: frequent co-purchase triples via the candidate
+      // prune (a triple is only counted if all three sub-pairs are
+      // frequent) — the step beyond q163's pairwise rules; support
+      // verified exactly on the basket join restricted to candidates.
+      operators.Stats.frequentTriples(
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minCount = 2, topN = 50)
+    }),
+
+    "q206_join_card" -> ((s, dir) => {
+      // join-cardinality estimation audit over two FK edges of the star
+      // schema: the textbook uniformity estimate n_a*n_b/max(d_a,d_b)
+      // vs the EXACT join size from the key-count product sum (no join
+      // of row-scale tables ever runs) — the skew diagnostic behind
+      // every cost-based plan choice.
+      val li = t(s, dir, "lineitem")
+      operators.Stats.joinCardinalityAudit(li, "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey", "lineitem->orders")
+        .unionAll(operators.Stats.joinCardinalityAudit(li, "l_partkey",
+          t(s, dir, "part"), "p_partkey", "lineitem->part"))
+        .orderBy(col("edge"))
     })
   )
 
@@ -7791,6 +7830,95 @@ object SparkEntry {
            |FROM pred
            |)""".stripMargin
       }.mkString("", "\nUNION ALL ", "\nORDER BY fold")
+    },
+
+    // two nested BM25 chains (the inner WITHs shadow; the expanded term
+    // set rides the outer CTE scope) — run 1 with the literal base
+    // query, expansion by integer tf rank over the feedback docs, run 2
+    // with `t IN (SELECT t FROM allq)`.
+    "q204_rm3_retrieval" -> {
+      val baseList = "'spark', 'join'"
+      s"""WITH q0 AS (SELECT unnest([$baseList]) AS t),
+         |run1 AS MATERIALIZED (
+         |  SELECT * FROM (
+         |${bm25Sql(baseList, 5)}
+         |  )
+         |), expt AS MATERIALIZED (
+         |  SELECT t FROM (
+         |    SELECT x.t, CAST(count(*) AS BIGINT) AS tf
+         |    FROM (
+         |      SELECT doc_id,
+         |        unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+         |          x -> x <> '')) AS t
+         |      FROM documents) x
+         |    JOIN run1 ON run1.doc_id = x.doc_id
+         |    WHERE x.t NOT IN (SELECT t FROM q0)
+         |    GROUP BY 1
+         |    ORDER BY tf DESC, t ASC LIMIT 3)
+         |), allq AS MATERIALIZED (
+         |  SELECT t FROM q0 UNION ALL SELECT t FROM expt
+         |)
+         |SELECT * FROM (
+         |${bm25Sql("SELECT t FROM allq", 20)}
+         |)""".stripMargin
+    },
+
+    "q205_freq_triples" ->
+      """WITH bi AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem
+        |), fp AS MATERIALIZED (
+        |  SELECT a.it AS i1, b.it AS i2
+        |  FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), cand AS MATERIALIZED (
+        |  SELECT p.i1, p.i2, q.i2 AS i3
+        |  FROM fp p JOIN fp q ON p.i1 = q.i1 AND p.i2 < q.i2
+        |  WHERE EXISTS (SELECT 1 FROM fp c
+        |                WHERE c.i1 = p.i2 AND c.i2 = q.i2)
+        |), sup AS (
+        |  SELECT a.it AS i1, b.it AS i2, c.it AS i3,
+        |    CAST(count(*) AS BIGINT) AS support
+        |  FROM bi a
+        |  JOIN bi b ON a.bk = b.bk AND a.it < b.it
+        |  JOIN bi c ON a.bk = c.bk AND b.it < c.it
+        |  JOIN cand ON cand.i1 = a.it AND cand.i2 = b.it
+        |    AND cand.i3 = c.it
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |)
+        |SELECT i1, i2, i3, support FROM sup
+        |ORDER BY support DESC, i1, i2, i3 LIMIT 50""".stripMargin,
+
+    "q206_join_card" -> {
+      def edge(lt: String, lk: String, rt: String, rk: String,
+               label: String) =
+        s"""SELECT '$label' AS edge,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $lt) AS n_l,
+           |  (SELECT CAST(count(DISTINCT $lk) AS BIGINT) FROM $lt) AS d_l,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $rt) AS n_r,
+           |  (SELECT CAST(count(DISTINCT $rk) AS BIGINT) FROM $rt) AS d_r,
+           |  round(CAST((SELECT count(*) FROM $lt) AS DOUBLE)
+           |      * CAST((SELECT count(*) FROM $rt) AS DOUBLE)
+           |    / CAST(greatest(
+           |        (SELECT count(DISTINCT $lk) FROM $lt),
+           |        (SELECT count(DISTINCT $rk) FROM $rt)) AS DOUBLE), 6)
+           |    AS est,
+           |  (SELECT CAST(coalesce(sum(cl * cr), 0) AS BIGINT) FROM
+           |    (SELECT $lk AS k, count(*) AS cl FROM $lt GROUP BY 1) l
+           |    JOIN
+           |    (SELECT $rk AS k, count(*) AS cr FROM $rt GROUP BY 1) r
+           |    ON l.k = r.k) AS n_join""".stripMargin
+      s"""WITH base AS (
+         |${edge("lineitem", "l_orderkey", "orders", "o_orderkey",
+                "lineitem->orders")}
+         |UNION ALL
+         |${edge("lineitem", "l_partkey", "part", "p_partkey",
+                "lineitem->part")}
+         |)
+         |SELECT edge, n_l, d_l, n_r, d_r, est, n_join,
+         |  CASE WHEN n_join = 0 THEN CAST(0.0 AS DOUBLE)
+         |    ELSE round(est / CAST(n_join AS DOUBLE), 6) END AS ratio
+         |FROM base ORDER BY edge""".stripMargin
     }
   )
 

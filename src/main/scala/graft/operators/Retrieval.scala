@@ -263,4 +263,34 @@ object Retrieval {
           .orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
       .select(col("rk"), col("doc_id"), col("n_lists"), col("score"))
   }
+
+  /** Pseudo-relevance-feedback query expansion (the RM3 recipe, Lavrenko
+    * & Croft 2001 as deployed in Anserini/Indri): run the base query,
+    * take the top `fbDocs` results as presumed-relevant, add their
+    * `fbTerms` most frequent non-query terms, and return the expanded
+    * term list for a second [[bm25]] pass — the classic +5-10% recall
+    * lever a lexical retrieval stack applies before reranking.
+    *
+    * Deterministic end-to-end: feedback docs come from bm25's pinned
+    * (score desc, id asc) ranking; expansion terms rank on the INTEGER
+    * (tf desc, term asc) key — never on a float weight. Two driver
+    * actions, both bounded (fbDocs ids, fbTerms strings); the term
+    * count pass explodes ONLY the feedback docs. */
+  def rm3ExpandTerms(docs: DataFrame, idCol: String, textCol: String,
+                     baseQuery: Seq[String], fbDocs: Int = 5,
+                     fbTerms: Int = 3,
+                     mat: Materializer = Materializer.Local)
+      : Seq[String] = {
+    require(fbDocs > 0 && fbTerms > 0)
+    val run1 = bm25(docs, idCol, textCol, baseQuery, topN = fbDocs,
+      mat = mat)
+    val ids = run1.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val exp = docs.filter(col(idCol).isInCollection(ids))
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .filter(!col("t").isInCollection(baseQuery))
+      .groupBy(col("t")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("t").asc).limit(fbTerms)
+      .collect().map(_.getString(0)).toSeq
+    baseQuery ++ exp
+  }
 }

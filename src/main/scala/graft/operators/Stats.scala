@@ -686,6 +686,81 @@ object Stats {
     * tiny per-class rollup; the corpus never joins. At 100 TB swap the
     * exact distinct for approx_count_distinct (the documented estimator
     * substitution) if the sensitive domain per tuple is huge. */
+  /** Frequent triples by the Apriori candidate prune (Agrawal & Srikant
+    * 1994, one level above [[associationLift]]'s pairs): a triple can
+    * only be frequent if ALL THREE of its sub-pairs are, so candidates
+    * form by extending frequent pairs that share their first item and
+    * semi-joining the closing pair — the prune that keeps level-3
+    * candidate counts near the true frequent-set size instead of
+    * |items|³. Support is then verified exactly with a three-way
+    * basket-keyed join restricted to candidate items.
+    *
+    * Scale shape: the distinct (basket, item) table is the only
+    * corpus-scale input; pair counts partial-combine on basket-bounded
+    * fanout (the q163 contract); candidate generation runs over the
+    * frequent-pair table (tiny by minCount construction) and broadcasts
+    * back as a semi-join filter. Returns (i1, i2, i3, support),
+    * (support desc, items asc), topN. */
+  def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
+                      minCount: Long, topN: Int,
+                      mat: Materializer = Materializer.Local): DataFrame = {
+    require(minCount >= 1 && topN > 0)
+    val bi = mat(df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct())
+    val pairs = bi.select(col("bk"), col("it").as("i1"))
+      .join(bi.select(col("bk"), col("it").as("i2")), Seq("bk"))
+      .filter(col("i1") < col("i2"))
+      .groupBy(col("i1"), col("i2")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val fp = mat(pairs.select(col("i1"), col("i2")))
+    // extend (a,b) with (a,c), b < c; Apriori-close on (b,c)
+    val cands = fp
+      .join(fp.select(col("i1"), col("i2").as("i3")), Seq("i1"))
+      .filter(col("i2") < col("i3"))
+      .join(fp.select(col("i1").as("i2"), col("i2").as("i3")),
+        Seq("i2", "i3"), "left_semi")
+    val t = bi.select(col("bk"), col("it").as("i1"))
+      .join(bi.select(col("bk"), col("it").as("i2")), Seq("bk"))
+      .join(bi.select(col("bk"), col("it").as("i3")), Seq("bk"))
+      .filter(col("i1") < col("i2") && col("i2") < col("i3"))
+      .join(broadcast(cands), Seq("i1", "i2", "i3"), "left_semi")
+      .groupBy(col("i1"), col("i2"), col("i3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minCount)
+    t.orderBy(col("support").desc, col("i1"), col("i2"), col("i3"))
+      .limit(topN)
+  }
+
+  /** Join-cardinality estimation audit — the optimizer diagnostic run
+    * before trusting a join plan: per FK edge, both sides' row and
+    * EXACT distinct-key counts, the textbook uniformity estimate
+    * `|A⋈B| ≈ n_a·n_b / max(d_a, d_b)` (what every cost-based planner
+    * assumes), the exact join cardinality from the key-count product
+    * sum (Σ_k c_a(k)·c_b(k) — computed WITHOUT running the join), and
+    * the estimate/actual ratio: a ratio far from 1 means skew the
+    * planner will mis-cost. Two per-side aggregates + one key-count
+    * equi-join per edge; nothing row-scale crosses the wire. */
+  def joinCardinalityAudit(left: DataFrame, leftKey: String,
+                           right: DataFrame, rightKey: String,
+                           label: String): DataFrame = {
+    val l = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("cl"))
+    val r = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cr"))
+    val ls = l.agg(sum(col("cl")).as("n_l"), count(lit(1)).as("d_l"))
+    val rs = r.agg(sum(col("cr")).as("n_r"), count(lit(1)).as("d_r"))
+    val ex = l.join(r, Seq("k"))
+      .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).as("n_join"))
+    ls.crossJoin(broadcast(rs)).crossJoin(broadcast(ex))
+      .select(lit(label).as("edge"), col("n_l"), col("d_l"), col("n_r"),
+        col("d_r"),
+        round(col("n_l").cast("double") * col("n_r").cast("double")
+          / greatest(col("d_l"), col("d_r")).cast("double"), 6).as("est"),
+        col("n_join"))
+      .select(col("*"),
+        when(col("n_join") === 0L, lit(0.0))
+          .otherwise(round(col("est") / col("n_join").cast("double"), 6))
+          .as("ratio"))
+  }
+
   def lDiversityAudit(df: DataFrame, qiCols: Seq[String], sensCol: String,
                       l: Int): DataFrame = {
     require(qiCols.nonEmpty && l > 0)

@@ -3205,6 +3205,58 @@ class OperatorsSpec extends SparkSpec {
     got.foreach { case (_, _, acc) => assert(acc == 1.0) }
   }
 
+  test("rm3ExpandTerms: expansion adds the feedback docs' top non-query " +
+    "terms in tf order") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(s)
+    // docs about "spark": the feedback set shares "shuffle shuffle
+    // partition"; "zebra" appears only in a non-matching doc
+    val df = Seq(
+      (1L, "spark shuffle shuffle partition"),
+      (2L, "spark shuffle partition partition"),
+      (3L, "zebra yak unrelated words here")).toDF("doc_id", "text")
+    val got = graft.operators.Retrieval
+      .rm3ExpandTerms(df, "doc_id", "text", Seq("spark"),
+        fbDocs = 2, fbTerms = 2)
+    // tf over docs 1,2: shuffle=3, partition=3 -> tie breaks on term asc
+    assert(got == Seq("spark", "partition", "shuffle"))
+  }
+
+  test("frequentTriples: Apriori prune keeps exactly the supported " +
+    "triple") {
+    val s = spark
+    import s.implicits._
+    // baskets: {A,B,C} x2, {A,B,D} x1 -> pairs AB(3) AC(2) BC(2) AD BD
+    // (1 each); triple ABC support 2; ABD support 1 (and pair AD is
+    // infrequent anyway)
+    val rows = Seq((1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (2L, "C"),
+      (3L, "A"), (3L, "B"), (3L, "D"))
+    val got = graft.operators.Stats
+      .frequentTriples(rows.toDF("bk", "it"), "bk", "it",
+        minCount = 2, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(("A", "B", "C", 2L)))
+  }
+
+  test("joinCardinalityAudit: exact product-sum cardinality and the " +
+    "uniformity estimate") {
+    val s = spark
+    import s.implicits._
+    // left: key 1 x3, key 2 x1; right: key 1 x2, key 3 x1
+    val l = Seq(1L, 1L, 1L, 2L).toDF("k")
+    val r = Seq(1L, 1L, 3L).toDF("j")
+    val got = graft.operators.Stats
+      .joinCardinalityAudit(l, "k", r, "j", "e").collect()(0)
+    assert(got.getLong(1) == 4L && got.getLong(2) == 2L) // n_l, d_l
+    assert(got.getLong(3) == 3L && got.getLong(4) == 2L) // n_r, d_r
+    assert(got.getDouble(5) == 6.0)   // 4*3 / max(2,2)
+    assert(got.getLong(6) == 6L)      // 3*2 exact
+    assert(got.getDouble(7) == 1.0)   // estimate happens to be exact
+  }
+
   test("distinctNgramDiversity: hand-computed type/occurrence ratios") {
     val s = spark
     import s.implicits._

@@ -1004,4 +1004,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct")
       && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("q204/q205/q206: PRF retrieval, Apriori and the cardinality " +
+    "audit never form a row-scale cross product") {
+    for (q <- Seq("q204_rm3_retrieval", "q205_freq_triples")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q + "\n" + p.take(2000))
+    }
+    val p6 = plan("q206_join_card")
+    // the only cross joins combine 1-row aggregate frames
+    assert(!p6.contains("CartesianProduct"), p6.take(2000))
+    assert(!p6.contains("SortMergeJoin")
+      || p6.contains("BroadcastHashJoin"), p6.take(2000))
+  }
 }
