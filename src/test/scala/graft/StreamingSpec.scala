@@ -474,6 +474,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch("en").size == 4)
   }
 
+  test("streaming DP release == the batch noisy counts (deterministic " +
+    "noise over a complete-mode aggregate)") {
+    // q195's monitoring face: the Laplace noise is a pure projection of
+    // the group key, so maintaining the release over a stream (complete-
+    // mode count + map-side noise) must produce EXACTLY the batch
+    // release once the stream drains — which is what lets a privacy
+    // dashboard publish continuously without a separate batch job.
+    val s = spark
+    import s.implicits._
+    val df = (1 to 40).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val dir = Files.createTempDirectory("graft-dp-stream").toString
+    df.filter(col("id") <= 20).repartition(1)
+      .write.mode("overwrite").parquet(dir)
+    df.filter(col("id") > 20).repartition(1)
+      .write.mode("append").parquet(dir)
+    val q = graft.operators.Stats
+      .dpNoisyCounts(spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir), "g", epsilon = 1.0)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dp_out").start()
+    q.processAllAvailable(); q.stop()
+    def toMap(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val streamed = toMap(spark.table("dp_out").collect().toSeq)
+    val batch = toMap(graft.operators.Stats
+      .dpNoisyCounts(df, "g", epsilon = 1.0).collect().toSeq)
+    assert(streamed == batch && batch.size == 2)
+  }
+
   test("stream-stream interval join matches the static BETWEEN join") {
     val s = spark
     import s.implicits._
