@@ -3293,6 +3293,74 @@ object SparkEntry {
         .unionAll(operators.Stats.joinCardinalityAudit(li, "l_partkey",
           t(s, dir, "part"), "p_partkey", "lineitem->part"))
         .orderBy(col("edge"))
+    }),
+
+    "q207_neighborhood_fn" -> ((s, dir) => {
+      // per-node 1-/2-ball sizes over the co-purchase graph with a
+      // mergeable HLL 2-ball estimate gated within 3·rsd (the HyperBall
+      // shape: a node's r-ball sketch is the UNION of its neighbors'
+      // (r−1)-ball sketches — at 100 TB only the sketch path runs; the
+      // exact distinct here exists for the q126-style gate).
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cm"))
+        .filter(col("cm") >= 2)
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      operators.Graph.neighborhoodFunction(edges, lgK = 12)
+    }),
+
+    "q208_snippets" -> ((s, dir) => {
+      // retrieval snippet generation: for q138's BM25 top-10, an
+      // 8-token window opening 3 tokens before the first query-term hit
+      // — the last mile of a lexical retrieval stack. Position find and
+      // slice are map-side array ops over the 10 result docs only.
+      val docs = t(s, dir, "documents")
+      val terms = Seq("spark", "join", "window")
+      val run = operators.Retrieval.bm25(docs, "doc_id", "text", terms,
+        topN = 10)
+      val pos = least(terms.map(tm =>
+        nullif(array_position(col("tk"), lit(tm)), lit(0L))): _*)
+      val snips = docs
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("tk"), pos.as("p"))
+        .select(col("doc_id"),
+          array_join(slice(col("tk"),
+            greatest(col("p") - lit(3L), lit(1L)).cast("int"), lit(8)),
+            " ").as("snippet"))
+      run.join(snips, Seq("doc_id"))
+        .select(col("rk"), col("doc_id"), col("score"), col("snippet"))
+        .orderBy(col("rk"))
+    }),
+
+    "q209_lsh_recall_cert" -> ((s, dir) => {
+      // the engine certifies its OWN LSH: q37's MinHash banding measured
+      // against q201's exact prefix-filter join as ground truth —
+      // precision/recall of the probabilistic dedup path computed
+      // in-engine on real data (the offline gate an LSH config change
+      // must pass). Both pair sets are bounded; the rollup is 3 scalars.
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val exact = operators.Materializer.Local(
+        Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, thetaNum = 1, thetaDen = 2)
+          .select(col("a_id"), col("b_id")))
+      val lsh = operators.Materializer.Local(
+        Dedup.minhashLshPairs(docs, "doc_id", "text", k = 16, bands = 4,
+          shingleN = 3, threshold = 0.5, fast = false)
+          .select(col("a_id"), col("b_id")))
+      val common = exact.join(lsh, Seq("a_id", "b_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+        .crossJoin(broadcast(common.agg(count(lit(1)).as("n_common"))))
+        .select(col("n_exact"), col("n_lsh"), col("n_common"),
+          round(col("n_common").cast("double")
+            / col("n_lsh").cast("double"), 6).as("precision"),
+          round(col("n_common").cast("double")
+            / col("n_exact").cast("double"), 6).as("recall"))
     })
   )
 
@@ -7919,7 +7987,133 @@ object SparkEntry {
          |  CASE WHEN n_join = 0 THEN CAST(0.0 AS DOUBLE)
          |    ELSE round(est / CAST(n_join AS DOUBLE), 6) END AS ratio
          |FROM base ORDER BY edge""".stripMargin
-    }
+    },
+
+    // exact ball sizes; the sketch estimate is engine-specific, so the
+    // hash-checked column is the q19/q126 gate boolean (oracle: TRUE)
+    "q207_neighborhood_fn" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sym AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT u AS src, v AS dst FROM e0
+        |    UNION ALL SELECT v, u FROM e0)
+        |  WHERE src <> dst
+        |), m1 AS MATERIALIZED (
+        |  SELECT src AS node, dst AS member FROM sym
+        |  UNION ALL SELECT DISTINCT src, src FROM sym
+        |), b1 AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n1 FROM m1 GROUP BY 1
+        |), m2 AS (
+        |  SELECT DISTINCT node, member FROM (
+        |    SELECT node, member FROM m1
+        |    UNION ALL
+        |    SELECT s.src AS node, m.member
+        |    FROM sym s JOIN m1 m ON m.node = s.dst)
+        |), b2 AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n2 FROM m2 GROUP BY 1
+        |)
+        |SELECT b1.node, b1.n1, b2.n2, TRUE AS within_tol
+        |FROM b1 JOIN b2 USING (node) ORDER BY node""".stripMargin,
+
+    "q208_snippets" -> {
+      s"""WITH tk AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+         |      AS raw
+         |  FROM documents
+         |), run AS MATERIALIZED (
+         |  SELECT * FROM (
+         |${bm25Sql("'spark', 'join', 'window'", 10)}
+         |  )
+         |), sn AS (
+         |  SELECT doc_id,
+         |    array_to_string(
+         |      raw[greatest(p - 3, 1) : greatest(p - 3, 1) + 7], ' ')
+         |      AS snippet
+         |  FROM (
+         |    SELECT doc_id, raw,
+         |      least(nullif(list_position(raw, 'spark'), 0),
+         |            nullif(list_position(raw, 'join'), 0),
+         |            nullif(list_position(raw, 'window'), 0)) AS p
+         |    FROM tk)
+         |)
+         |SELECT run.rk, run.doc_id, run.score, sn.snippet
+         |FROM run JOIN sn USING (doc_id) ORDER BY rk""".stripMargin
+    },
+
+    // ground truth = the brute-forced exact pair set (q201's oracle);
+    // LSH = q190's banding chain; the rollup certifies q37's config
+    "q209_lsh_recall_cert" ->
+      """WITH tk AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS raw
+        |  FROM documents
+        |), shd AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(raw) < 3
+        |      THEN [array_to_string(raw, ' ')]
+        |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |            for i in range(0, len(raw) - 2)] END) AS sh
+        |  FROM tk
+        |), exactp AS MATERIALIZED (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM shd a JOIN shd b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 2
+        |    >= len(list_distinct(list_concat(a.sh, b.sh)))
+        |), shn AS MATERIALIZED (
+        |  SELECT doc_id, raw,
+        |    CASE WHEN len(raw) < 3 THEN [array_to_string(raw, ' ')]
+        |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |            for i in range(0, len(raw) - 2)] END AS shingles
+        |  FROM tk
+        |), sig AS (
+        |  SELECT doc_id, shingles,
+        |    [list_min([md5(CAST(i AS VARCHAR) || '|' || s)
+        |      for s in shingles])
+        |     for i in range(0, 16)] AS mh
+        |  FROM shn
+        |), banded AS (
+        |  SELECT doc_id, shingles,
+        |    unnest([CAST(b AS VARCHAR) || '_'
+        |            || array_to_string(mh[b*4+1:b*4+4], '|')
+        |            for b in range(0, 4)]) AS bandkey
+        |  FROM sig
+        |), pairs AS (
+        |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+        |    l.shingles AS a_sh, r.shingles AS b_sh
+        |  FROM banded l JOIN banded r ON l.bandkey = r.bandkey
+        |  WHERE l.doc_id < r.doc_id
+        |), verified AS MATERIALIZED (
+        |  SELECT a_id, b_id
+        |  FROM pairs
+        |  WHERE round(CASE
+        |    WHEN len(list_distinct(list_concat(a_sh, b_sh))) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(list_distinct(a_sh),
+        |          list_distinct(b_sh))) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a_sh, b_sh)))
+        |        AS DOUBLE)
+        |    END, 6) >= 0.5
+        |)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM exactp) AS n_exact,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM verified) AS n_lsh,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM exactp e
+        |     JOIN verified v ON e.a_id = v.a_id AND e.b_id = v.b_id)
+        |    AS n_common,
+        |  round(CAST((SELECT count(*) FROM exactp e JOIN verified v
+        |      ON e.a_id = v.a_id AND e.b_id = v.b_id) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM verified) AS DOUBLE), 6)
+        |    AS precision,
+        |  round(CAST((SELECT count(*) FROM exactp e JOIN verified v
+        |      ON e.a_id = v.a_id AND e.b_id = v.b_id) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM exactp) AS DOUBLE), 6)
+        |    AS recall""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

@@ -385,6 +385,59 @@ object Graph {
     * un-shuffled for dimension-scale distance tables. A fixed `rounds`
     * makes the run replayable (the kCore contract) — rounds = k bounds
     * path length, the usual operational semantics ("within 3 links"). */
+  /** Per-node neighborhood function — exact 1-ball and 2-ball sizes
+    * plus a MERGEABLE Datasketches-HLL estimate of the 2-ball, gated
+    * within tolerance (the HyperBall shape, Boldi & Vigna 2013: a
+    * node's r-ball sketch is the union of its neighbors' (r−1)-ball
+    * sketches — union is the only operation, so the whole computation
+    * partial-combines and the per-node state is one lgK-bounded sketch
+    * instead of a member set). The "blast radius" profile behind
+    * blocklist sizing and influence triage.
+    *
+    * At 100 TB only the sketch path runs (per round: one edge-keyed
+    * join + one union-aggregate exchange); the EXACT ball-2 membership
+    * distinct here exists for the correctness gate (the q126 contract:
+    * estimates are engine-specific, so the hash-checked columns are the
+    * exact counts + a boolean pinning the estimate within
+    * 3·rsd(lgK)). Returns (node, n1, n2, within_tol). */
+  def neighborhoodFunction(edges: DataFrame, lgK: Int = 12,
+                           materialize: Materializer = Materializer.Local)
+      : DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+    val sym = materialize(
+      e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
+    val m1 = materialize(
+      sym.select(col("src").as("node"), col("dst").as("member"))
+        .unionAll(sym.select(col("src").as("node"),
+          col("src").as("member")).distinct()))
+    val ball1 = materialize(m1.groupBy(col("node"))
+      .agg(count(lit(1)).as("n1"),
+        hll_sketch_agg(col("member"), lgK).as("sk1")))
+    val contrib = sym.select(col("src").as("node"), col("dst").as("nb"))
+      .join(ball1.select(col("node").as("nb"), col("sk1")), Seq("nb"))
+      .select(col("node"), col("sk1"))
+      .unionAll(ball1.select(col("node"), col("sk1")))
+    val est2 = contrib.groupBy(col("node"))
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sk1"), allowDifferentLgConfigK = false))
+        .as("est2"))
+    val m2 = m1.unionAll(
+        sym.join(m1.select(col("node").as("dst"), col("member")),
+          Seq("dst"))
+          .select(col("src").as("node"), col("member")))
+      .distinct()
+    val ball2 = m2.groupBy(col("node")).agg(count(lit(1)).as("n2"))
+    val tol = 3.0 * 1.04 / math.sqrt((1 << lgK).toDouble)
+    ball1.select(col("node"), col("n1"))
+      .join(ball2, Seq("node"))
+      .join(est2, Seq("node"))
+      .select(col("node"), col("n1"), col("n2"),
+        (abs(col("est2") - col("n2")).cast("double")
+          <= greatest(lit(1.0), col("n2") * lit(tol))).as("within_tol"))
+      .orderBy(col("node"))
+  }
+
   def weightedShortestPaths(edges: DataFrame, seeds: DataFrame,
                             rounds: Int, broadcastDist: Boolean = false,
                             materialize: Materializer = Materializer.Local)

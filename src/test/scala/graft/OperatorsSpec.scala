@@ -3257,6 +3257,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got.getDouble(7) == 1.0)   // estimate happens to be exact
   }
 
+  test("neighborhoodFunction: exact ball sizes on a chain, estimate " +
+    "within the gate") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = graft.operators.Graph.neighborhoodFunction(edges)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toMap
+    assert(got(1L) == ((2L, 3L, true)))  // {1,2}, {1,2,3}
+    assert(got(2L) == ((3L, 4L, true)))  // {1,2,3}, all
+    assert(got(3L) == ((3L, 4L, true)))
+    assert(got(4L) == ((2L, 3L, true)))
+  }
+
   test("distinctNgramDiversity: hand-computed type/occurrence ratios") {
     val s = spark
     import s.implicits._

@@ -1017,4 +1017,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p6.contains("SortMergeJoin")
       || p6.contains("BroadcastHashJoin"), p6.take(2000))
   }
+
+  test("q207/q209: neighborhood sketch and recall certification stay " +
+    "on keyed joins") {
+    for (q <- Seq("q207_neighborhood_fn", "q209_lsh_recall_cert")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q + "\n" + p.take(2000))
+    }
+  }
 }
