@@ -3361,6 +3361,99 @@ object SparkEntry {
             / col("n_lsh").cast("double"), 6).as("precision"),
           round(col("n_common").cast("double")
             / col("n_exact").cast("double"), 6).as("recall"))
+    }),
+
+    "q210_card_incremental" -> ((s, dir) => {
+      // q78's corpus card computed through the INCREMENTAL path: each
+      // ingest batch (doc_id % 4) contributes one partial-stats row per
+      // (source [, lang]) — decimal quality sums, token/doc counts,
+      // language counts — and the release card is a pure MERGE of the
+      // partials (the q126 sketch pattern for exact statistics: old
+      // batches are never rescanned). The oracle is the DIRECT
+      // computation — merge must be lossless by construction.
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("source"), col("lang"),
+        (col("doc_id") % 4).as("batch"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      val part = base.groupBy(col("source"), col("batch")).agg(
+        count(lit(1)).as("n"), sum(col("toks")).as("tk"),
+        sum(col("q").cast("decimal(38,6)")).as("qsum"))
+      val partLang = base.groupBy(col("source"), col("batch"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val bySrc = part.groupBy(col("source")).agg(
+        sum(col("n")).as("n_docs"),
+        sum(col("tk")).cast("long").as("n_tokens"),
+        round(sum(col("qsum")).cast("double") / sum(col("n")), 6)
+          .as("mean_quality"))
+      val lc = partLang.groupBy(col("source"), col("lang"))
+        .agg(sum(col("n")).as("n"))
+      val mx = lc.groupBy(col("source")).agg(max(col("n")).as("mxn"))
+      val top = lc.join(mx, Seq("source")).filter(col("n") === col("mxn"))
+        .groupBy(col("source"))
+        .agg(min(col("lang")).as("top_lang"),
+          max(col("mxn")).cast("long").as("top_lang_n"))
+      bySrc.join(top, Seq("source")).orderBy(col("source"))
+    }),
+
+    "q211_trending_terms" -> ((s, dir) => {
+      // trending terms between ingest batches (doc_id parity as the
+      // old/new slice): add-1-smoothed share ratio
+      // ((c1+1)·(T0+V)) / ((c0+1)·(T1+V)) — exact integer products, ONE
+      // double division, round(6) — gated on c1 >= 5, top 15 movers.
+      // One (token, batch-flag) partial-combined exchange; totals and V
+      // ride a 1-row broadcast.
+      val docs = t(s, dir, "documents")
+      val tok = docs.select((col("doc_id") % 2).as("b"),
+        explode(TextAnalysis.tokens(col("text"))).as("tk"))
+      val counts = tok.groupBy(col("tk")).agg(
+        sum(when(col("b") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("b") === 1, 1L).otherwise(0L)).as("c1"))
+      val cM = operators.Materializer.Local(counts)
+      val tot = cM.agg(sum(col("c0")).as("t0"), sum(col("c1")).as("t1"),
+        count(lit(1)).as("v"))
+      cM.crossJoin(broadcast(tot))
+        .filter(col("c1") >= 5L)
+        .select(col("tk").as("token"), col("c0"), col("c1"),
+          round(((col("c1") + lit(1L)) * (col("t0") + col("v")))
+            .cast("double")
+            / ((col("c0") + lit(1L)) * (col("t1") + col("v")))
+              .cast("double"), 6).as("ratio"))
+        .orderBy(col("ratio").desc, col("token").asc)
+        .limit(15)
+    }),
+
+    "q212_multitouch_attribution" -> ((s, dir) => {
+      // time-decay multi-touch attribution: every purchase credits ALL
+      // touches in its trailing hour with hyperbolic decay
+      // w = 1800/(1800+Δt) (rational — no libm pow), shares normalized
+      // per purchase by the decimal-exact weight mass; credit rolls up
+      // per touch type. The pair stream rides the q109 (key, time-bin)
+      // interval join — never a raw BETWEEN cross product.
+      val ev = t(s, dir, "events")
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("w_start"),
+          col("ts").as("w_end"))
+      val pairs = operators.RangeJoin.intervalJoin(touches, purchases,
+          "user_id", "ts", "w_start", "w_end", binSeconds = 3600L)
+        .select(col("event_type"), col("pid"),
+          round(lit(1800.0) / (lit(1800.0)
+            + (unix_timestamp(col("w_end")) - unix_timestamp(col("ts")))
+              .cast("double")), 6).as("w"))
+      val pairsM = operators.Materializer.Local(pairs)
+      val pw = pairsM.groupBy(col("pid"))
+        .agg(sum(col("w").cast("decimal(38,6)")).as("wsum"))
+      pairsM.join(pw, Seq("pid"))
+        .select(col("event_type"),
+          round(col("w") / col("wsum").cast("double"), 6).as("share"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum(col("share").cast("decimal(38,6)")).cast("double"), 6)
+            .as("credit"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -3863,41 +3956,12 @@ object SparkEntry {
         |  TRUE AS recall_floor_ok
         |FROM embeddings WHERE vec_id < 30 ORDER BY query_id""".stripMargin,
 
-    "q78_corpus_card" ->
-      s"""WITH base AS (
-         |  SELECT source, lang,
-         |    CAST(len($toksSql) AS BIGINT) AS toks,
-         |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-         |      * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
-         |          ELSE CAST(length(regexp_replace(text,
-         |              '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
-         |            / CAST(length(text) AS DOUBLE) END)
-         |      * (0.5 + (CASE WHEN len($toksSql) = 0 THEN 0.0
-         |          ELSE CAST(len(list_filter($toksSql,
-         |              t -> list_contains($stopwordsSql, lower(t))))
-         |              AS DOUBLE)
-         |            / CAST(len($toksSql) AS DOUBLE) END) / 2.0), 6) AS q
-         |  FROM documents
-         |), bysrc AS (
-         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
-         |    round(CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE)
-         |      / COUNT(*), 6) AS mean_quality
-         |  FROM base GROUP BY source
-         |), lc AS (
-         |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
-         |  FROM base GROUP BY source, lang
-         |), mx AS (SELECT source, MAX(n) AS mxn FROM lc GROUP BY source),
-         |top AS (
-         |  SELECT l.source, MIN(l.lang) AS top_lang,
-         |    CAST(MAX(l.n) AS BIGINT) AS top_lang_n
-         |  FROM lc l JOIN mx USING (source) WHERE l.n = mxn
-         |  GROUP BY l.source
-         |)
-         |SELECT b.source, b.n_docs, b.n_tokens, b.mean_quality,
-         |  t2.top_lang, t2.top_lang_n
-         |FROM bysrc b JOIN top t2 USING (source)
-         |ORDER BY b.source""".stripMargin,
+    "q78_corpus_card" -> corpusCardSql,
+
+    // the INCREMENTAL card must land on the direct computation exactly
+    // (decimal partials and per-(source,lang) counts merge losslessly),
+    // so the oracle IS q78's direct-path SQL
+    "q210_card_incremental" -> corpusCardSql,
 
     "q76_doc_surprisal" ->
       """WITH toks AS (
@@ -8113,13 +8177,97 @@ object SparkEntry {
         |  round(CAST((SELECT count(*) FROM exactp e JOIN verified v
         |      ON e.a_id = v.a_id AND e.b_id = v.b_id) AS DOUBLE)
         |    / CAST((SELECT count(*) FROM exactp) AS DOUBLE), 6)
-        |    AS recall""".stripMargin
+        |    AS recall""".stripMargin,
+
+    "q211_trending_terms" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id % 2 AS b, unnest($toksSql) AS tk FROM documents
+         |), counts AS MATERIALIZED (
+         |  SELECT tk,
+         |    CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         |    CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+         |  FROM tok GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(c0) AS BIGINT) AS t0,
+         |    CAST(sum(c1) AS BIGINT) AS t1,
+         |    CAST(count(*) AS BIGINT) AS v
+         |  FROM counts
+         |)
+         |SELECT tk AS token, c0, c1,
+         |  round(CAST((c1 + 1) * (t0 + v) AS DOUBLE)
+         |    / CAST((c0 + 1) * (t1 + v) AS DOUBLE), 6) AS ratio
+         |FROM counts, tot WHERE c1 >= 5
+         |ORDER BY ratio DESC, token ASC LIMIT 15""".stripMargin,
+
+    "q212_multitouch_attribution" ->
+      """WITH tch AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type <> 'purchase'
+        |), pur AS (
+        |  SELECT user_id, event_id AS pid, ts AS pts FROM events
+        |  WHERE event_type = 'purchase'
+        |), pairs AS MATERIALIZED (
+        |  SELECT t.event_type, p.pid,
+        |    round(CAST(1800.0 AS DOUBLE) / (CAST(1800.0 AS DOUBLE)
+        |      + CAST(epoch_us(p.pts) // 1000000
+        |          - epoch_us(t.ts) // 1000000 AS DOUBLE)), 6) AS w
+        |  FROM tch t JOIN pur p ON t.user_id = p.user_id
+        |    AND t.ts >= p.pts - INTERVAL 1 HOUR AND t.ts <= p.pts
+        |), pw AS (
+        |  SELECT pid, sum(CAST(w AS DECIMAL(38,6))) AS wsum
+        |  FROM pairs GROUP BY 1
+        |), sh AS (
+        |  SELECT event_type, round(w / CAST(wsum AS DOUBLE), 6) AS share
+        |  FROM pairs JOIN pw USING (pid)
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |  round(CAST(sum(CAST(share AS DECIMAL(38,6))) AS DOUBLE), 6)
+        |    AS credit
+        |FROM sh GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2
     * co-purchase graph, seeds = nodes with key % 101 == 0: `rounds`
     * unrolled min-union rounds (MATERIALIZED — the [[labelPropSql]]
     * inlining-blowup guard). */
+  /** Direct-path corpus-card SQL (q78) — also the oracle for q210's
+    * incremental/merged computation, which must reproduce it exactly. */
+  private lazy val corpusCardSql: String =
+    s"""WITH base AS (
+       |  SELECT source, lang,
+       |    CAST(len($toksSql) AS BIGINT) AS toks,
+       |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+       |      * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+       |          ELSE CAST(length(regexp_replace(text,
+       |              '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+       |            / CAST(length(text) AS DOUBLE) END)
+       |      * (0.5 + (CASE WHEN len($toksSql) = 0 THEN 0.0
+       |          ELSE CAST(len(list_filter($toksSql,
+       |              t -> list_contains($stopwordsSql, lower(t))))
+       |              AS DOUBLE)
+       |            / CAST(len($toksSql) AS DOUBLE) END) / 2.0), 6) AS q
+       |  FROM documents
+       |), bysrc AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |    round(CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE)
+       |      / COUNT(*), 6) AS mean_quality
+       |  FROM base GROUP BY source
+       |), lc AS (
+       |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM base GROUP BY source, lang
+       |), mx AS (SELECT source, MAX(n) AS mxn FROM lc GROUP BY source),
+       |top AS (
+       |  SELECT l.source, MIN(l.lang) AS top_lang,
+       |    CAST(MAX(l.n) AS BIGINT) AS top_lang_n
+       |  FROM lc l JOIN mx USING (source) WHERE l.n = mxn
+       |  GROUP BY l.source
+       |)
+       |SELECT b.source, b.n_docs, b.n_tokens, b.mean_quality,
+       |  t2.top_lang, t2.top_lang_n
+       |FROM bysrc b JOIN top t2 USING (source)
+       |ORDER BY b.source""".stripMargin
+
   /** DuckDB replay of the [[operators.NaiveBayes]] training + scoring
     * chain (labels = the fixture's langs ascending): CTEs `base` →
     * `pred(actual, predicted)` with train membership given by

@@ -1025,4 +1025,18 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), q + "\n" + p.take(2000))
     }
   }
+
+  test("q210/q211/q212: incremental card, trending and attribution " +
+    "avoid windows and row-scale cross products") {
+    for (q <- Seq("q210_card_incremental", "q211_trending_terms")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+        q + "\n" + p.take(2000))
+    }
+    val p2 = plan("q212_multitouch_attribution")
+    assert(!p2.contains("CartesianProduct")
+      && !p2.contains("BroadcastNestedLoopJoin"),
+      "the touch-purchase pairing must ride the bin equi-join\n"
+        + p2.take(2000))
+  }
 }
