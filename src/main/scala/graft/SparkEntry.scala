@@ -3454,6 +3454,55 @@ object SparkEntry {
           round(sum(col("share").cast("decimal(38,6)")).cast("double"), 6)
             .as("credit"))
         .orderBy(col("event_type"))
+    }),
+
+    "q213_budget_select" -> ((s, dir) => {
+      // token-budget curation: fill a 10k-token training budget with the
+      // best-quality docs — global greedy by (quality desc, id) realized
+      // as the q66 two-phase bucketed prefix sum (no global sort, no
+      // single-partition window); per-source rollup of what made the cut.
+      val docs = t(s, dir, "documents")
+      val sel = Sampling.budgetSelect(docs, "doc_id",
+        TextAnalysis.tokenCount(col("text")),
+        TextAnalysis.qualityScore(col("text")), budget = 10000L)
+      docs.select(col("doc_id").as("id"), col("source"))
+        .join(sel, Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
+          sum(when(col("selected"), col("w")).otherwise(0L))
+            .as("tokens_selected"))
+        .orderBy(col("source"))
+    }),
+
+    "q214_golden_record" -> ((s, dir) => {
+      // golden-record entity resolution (the MDM survivorship step):
+      // near-dup clusters (q54's pair graph + pointer-jumping CC) roll
+      // up to one canonical record each — representative = lowest id,
+      // dominant source by the two-step argmax, member/token mass. The
+      // readout a dedup pipeline hands to curation: what each duplicate
+      // family is, who contributes it, and which copy to keep.
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 16,
+        bands = 4, shingleN = 3, threshold = 0.5, fast = true)
+      val clusters = Dedup.nearDupClusters(pairs)
+      val mem = clusters.join(
+        docs.select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks")),
+        Seq("doc_id"))
+      val agg1 = mem.groupBy(col("cluster_id")).agg(
+        count(lit(1)).as("n_members"), min(col("doc_id")).as("rep_id"),
+        sum(col("toks")).as("n_tokens"))
+      val sc = mem.groupBy(col("cluster_id"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val mx = sc.groupBy(col("cluster_id")).agg(max(col("n")).as("mxn"))
+      val top = sc.join(mx, Seq("cluster_id"))
+        .filter(col("n") === col("mxn"))
+        .groupBy(col("cluster_id"))
+        .agg(min(col("source")).as("top_source"),
+          max(col("mxn")).as("n_top_source"))
+      agg1.join(top, Seq("cluster_id")).orderBy(col("cluster_id"))
     })
   )
 
@@ -8223,7 +8272,88 @@ object SparkEntry {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
         |  round(CAST(sum(CAST(share AS DECIMAL(38,6))) AS DOUBLE), 6)
         |    AS credit
-        |FROM sh GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM sh GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // the oracle runs the ONE global window the Spark side must avoid —
+    // fine single-node, and it pins the bucketed two-phase prefix sum
+    "q213_budget_select" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS w,
+         |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         |      * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+         |          ELSE CAST(length(regexp_replace(text,
+         |              '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+         |            / CAST(length(text) AS DOUBLE) END)
+         |      * (0.5 + (CASE WHEN len($toksSql) = 0 THEN 0.0
+         |          ELSE CAST(len(list_filter($toksSql,
+         |              t -> list_contains($stopwordsSql, lower(t))))
+         |              AS DOUBLE)
+         |            / CAST(len($toksSql) AS DOUBLE) END) / 2.0), 6) AS s
+         |  FROM documents
+         |), cum AS (
+         |  SELECT source, w,
+         |    CAST(sum(w) OVER (ORDER BY s DESC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM base
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN cum - w < 10000 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_selected,
+         |  CAST(sum(CASE WHEN cum - w < 10000 THEN w ELSE 0 END)
+         |    AS BIGINT) AS tokens_selected
+         |FROM cum GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q214_golden_record" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(raw) < 3
+        |      THEN [array_to_string(raw, ' ')]
+        |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |            for i in range(0, len(raw) - 2)] END) AS shingles
+        |  FROM tk
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+        |          AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs
+        |), reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+        |), cl AS MATERIALIZED (
+        |  SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+        |  FROM reach GROUP BY s
+        |), mem AS MATERIALIZED (
+        |  SELECT cl.cluster_id, d.doc_id, d.source,
+        |    CAST(len(list_filter(regexp_split_to_array(d.text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS toks
+        |  FROM cl JOIN documents d USING (doc_id)
+        |), a1 AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |    min(doc_id) AS rep_id, CAST(sum(toks) AS BIGINT) AS n_tokens
+        |  FROM mem GROUP BY 1
+        |), sc AS MATERIALIZED (
+        |  SELECT cluster_id, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM mem GROUP BY 1, 2
+        |), mx AS (SELECT cluster_id, max(n) AS mxn FROM sc GROUP BY 1),
+        |top AS (
+        |  SELECT sc.cluster_id, min(sc.source) AS top_source,
+        |    CAST(max(sc.n) AS BIGINT) AS n_top_source
+        |  FROM sc JOIN mx USING (cluster_id) WHERE sc.n = mxn
+        |  GROUP BY 1
+        |)
+        |SELECT a1.cluster_id, a1.n_members, a1.rep_id, a1.n_tokens,
+        |  top.top_source, top.n_top_source
+        |FROM a1 JOIN top USING (cluster_id)
+        |ORDER BY cluster_id""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

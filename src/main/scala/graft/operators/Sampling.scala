@@ -249,4 +249,59 @@ object Sampling {
         col("col.sim").as("score"),
         (col("pos") + 1).cast("int").as("rk"))
   }
+
+  /** Token-budget greedy selection — "fill an N-token training budget
+    * with the best-scored documents": docs rank by (score desc, id asc)
+    * and the selected set is the maximal prefix whose PRECEDING
+    * cumulative weight stays under `budget` (so the doc that crosses
+    * the line is included — the usual knapsack-relaxation greedy, which
+    * is optimal for this fractional objective up to one document).
+    *
+    * The global prefix sum is the q66 two-phase shape generalized to a
+    * score order: approximate score-quantile boundaries bucket the
+    * corpus into contiguous ranges of the order (boundaries affect
+    * PARTITIONING only — the per-bucket offsets re-align the exact
+    * cumulative, so estimator noise can never change the result), each
+    * bucket runs a local (k, id) window, and the driver prefix-sums
+    * nBuckets totals. No single-partition window, no global sort.
+    * Returns per-doc (id, w, s, selected). */
+  def budgetSelect(docs: DataFrame, idCol: String, weight: Column,
+                   score: Column, budget: Long, nBuckets: Int = 64)
+      : DataFrame = {
+    require(budget >= 0 && nBuckets > 0)
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      weight.cast("long").as("w"), score.cast("double").as("s"))
+      .withColumn("k1", -col("s"))
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val aggRow = base.agg(count(lit(1)),
+      percentile_approx(col("k1"),
+        typedlit(if (probs.isEmpty) Seq(0.5) else probs),
+        lit(10000))).collect()(0)
+    if (aggRow.getLong(0) == 0L)
+      return base.select(col("id"), col("w"), col("s"),
+        lit(false).as("selected")).limit(0)
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else aggRow.getSeq[Double](1).toArray.distinct.sorted
+    val bucketOf: Column =
+      if (bounds.isEmpty) lit(0L)
+      else aggregate(typedlit(bounds.toSeq), lit(0L),
+        (acc, b) => acc + when(col("k1") >= b, 1L).otherwise(0L))
+    val bk = base.withColumn("bucket", bucketOf)
+    val totals = bk.groupBy(col("bucket")).agg(sum(col("w")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (b, t)) => (b, acc + t)
+    }.sliding(2).map { case Array((_, prev), (b, _)) => (b, prev) }
+      .toMap
+    val offCol = coalesce(element_at(
+      map(offsets.toSeq.sortBy(_._1).flatMap { case (b, o) =>
+        Seq(lit(b), lit(o)) }: _*), col("bucket")), lit(0L))
+    val win = Window.partitionBy(col("bucket"))
+      .orderBy(col("k1"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bk.withColumn("cum", sum(col("w")).over(win) + offCol)
+      .select(col("id"), col("w"), col("s"),
+        (col("cum") - col("w") < budget).as("selected"))
+  }
 }

@@ -3272,6 +3272,29 @@ class OperatorsSpec extends SparkSpec {
     assert(got(4L) == ((2L, 3L, true)))
   }
 
+  test("budgetSelect: greedy prefix by (score desc, id), boundary doc " +
+    "included") {
+    val s = spark
+    import s.implicits._
+    // order by score desc, id: 3(w=4), 1(w=4), 2(w=4), 4(w=4)
+    // budget 9: cum_prev 0,4,8,12 -> selected 3,1,2 (2 crosses), not 4
+    val df = Seq((1L, 4L, 0.8), (2L, 4L, 0.5), (3L, 4L, 0.9),
+      (4L, 4L, 0.1)).toDF("doc_id", "w", "s")
+    val got = graft.operators.Sampling
+      .budgetSelect(df, "doc_id", col("w"), col("s"), budget = 9L,
+        nBuckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false))
+    // ties on score order by id: equal scores, budget covers first two
+    val ties = Seq((10L, 5L, 0.5), (11L, 5L, 0.5), (12L, 5L, 0.5))
+      .toDF("doc_id", "w", "s")
+    val g2 = graft.operators.Sampling
+      .budgetSelect(ties, "doc_id", col("w"), col("s"), budget = 10L,
+        nBuckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(g2 == Map(10L -> true, 11L -> true, 12L -> false))
+  }
+
   test("distinctNgramDiversity: hand-computed type/occurrence ratios") {
     val s = spark
     import s.implicits._

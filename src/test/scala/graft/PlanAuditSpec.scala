@@ -1039,4 +1039,15 @@ class PlanAuditSpec extends SparkSpec {
       "the touch-purchase pairing must ride the bin equi-join\n"
         + p2.take(2000))
   }
+
+  test("q213: budget selection's prefix sum is bucket-partitioned, " +
+    "never a single-partition window") {
+    val p = plan("q213_budget_select")
+    assert(p.contains("Window"), "the within-bucket cumsum must exist")
+    assert(p.contains("], [bucket#"),
+      "the prefix-sum window must partition by bucket\n" + p.take(3000))
+    assert(!p.contains("SinglePartition"),
+      "the q66 two-phase contract\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
