@@ -266,12 +266,18 @@ object Sampling {
     * nBuckets totals. No single-partition window, no global sort.
     * Returns per-doc (id, w, s, selected). */
   def budgetSelect(docs: DataFrame, idCol: String, weight: Column,
-                   score: Column, budget: Long, nBuckets: Int = 64)
-      : DataFrame = {
+                   score: Column, budget: Long, nBuckets: Int = 64,
+                   mat: Materializer = Materializer.Local): DataFrame = {
     require(budget >= 0 && nBuckets > 0)
-    val base = docs.select(col(idCol).cast("long").as("id"),
+    // materialize the narrow (id, w, s) table ONCE: it feeds three
+    // consumers (quantile bounds, bucket totals, the final window), and
+    // unmaterialized the bucket-assignment HOF re-evaluates the caller's
+    // score expression per boundary element after projection collapse
+    // (the q98 trap — measured 20.6 s -> ~1 s at sf0.1 for a regex-heavy
+    // quality score)
+    val base = mat(docs.select(col(idCol).cast("long").as("id"),
       weight.cast("long").as("w"), score.cast("double").as("s"))
-      .withColumn("k1", -col("s"))
+      .withColumn("k1", -col("s")))
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
     val aggRow = base.agg(count(lit(1)),
       percentile_approx(col("k1"),
