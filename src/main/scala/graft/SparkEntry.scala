@@ -3503,7 +3503,83 @@ object SparkEntry {
         .agg(min(col("source")).as("top_source"),
           max(col("mxn")).as("n_top_source"))
       agg1.join(top, Seq("cluster_id")).orderBy(col("cluster_id"))
-    })
+    }),
+
+    "q215_cms_mergeable" -> ((s, dir) => {
+      // mergeable Count-Min frequency sketches — the third incremental
+      // sketch next to q126 (HLL: distincts) and q123 (KMV: overlap):
+      // each ingest batch (doc_id parity) builds a depth×width count
+      // matrix; corpus-wide point estimates read the cell-wise SUM of
+      // batch sketches, so old batches are never rescanned. Unlike
+      // q106's binary-sketch gate, the md5-derived bucket hashes make
+      // the estimate itself engine-portable: the hash-checked output
+      // carries the actual OVERCOUNT per heavy token (width 32 is
+      // deliberately small so collisions are real at this vocab and the
+      // est >= exact invariant is exercised, not vacuous).
+      val toks = t(s, dir, "documents")
+        .select((col("doc_id") % 2).as("batch"),
+          explode(operators.TextAnalysis.tokens(col("text"))).as("token"))
+      operators.Stats.cmsHeavyHitters(toks, "token", "batch",
+        depth = 3, width = 32, minShare = 0.002)
+    }),
+
+    "q216_group_ols" -> ((s, dir) =>
+      // per-segment OLS from sufficient statistics: price-on-quantity
+      // slope/intercept/R² per return flag in ONE partial-combined
+      // aggregate — regression-per-group as pure algebra (no per-group
+      // iteration or model state; q186's decimal-exact sum discipline,
+      // one pinned double op order, round(6)).
+      operators.Stats.groupOls(t(s, dir, "lineitem"), "l_returnflag",
+        "l_quantity", "l_extendedprice")),
+
+    "q217_ks_drift" -> ((s, dir) => {
+      // exact two-sample Kolmogorov–Smirnov drift gate on the event
+      // value distribution, first half of the month vs the rest — the
+      // bin-free companion to q156's PSI (same split): values discretize
+      // map-side to cent-scaled longs, both samples partial-combine to
+      // ONE distinct-value histogram, and the CDF walk + argmax ride
+      // that bounded table (the q177 contract).
+      val ev = t(s, dir, "events")
+      val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      val scaled = ev.select(
+        floor(col("value") * lit(100)).cast("long").as("sv"), col("ts"))
+      operators.Stats.ksDrift(
+        scaled.filter(col("ts") < cutoff).select(col("sv")),
+        scaled.filter(col("ts") >= cutoff).select(col("sv")), "sv")
+    }),
+
+    "q218_grid_density" -> ((s, dir) => {
+      // grid-density clustering of the embedding space's first two
+      // components — the scalable DBSCAN shape: eps-cells count
+      // map-side, dense cells (>= 6 points) merge via 8-neighbor CC
+      // (pointer-jumping, the q54 machinery on the density-bounded cell
+      // graph), everything else is noise. The density readout over a
+      // corpus no point-to-point join could survive: one cell aggregate
+      // + a broadcast label join back. cluster_id = min member vec_id;
+      // the noise row is cluster_id = -1.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"),
+        element_at(col("embedding"), 1).as("x"),
+        element_at(col("embedding"), 2).as("y"))
+      val asg = operators.Similarity.gridDensityClusters(
+        emb, "vec_id", "x", "y", eps = 0.03, minPts = 6L)
+      asg.groupBy(coalesce(col("ck"), lit(-1L)).as("g"))
+        .agg(min(col("pid")).as("rep"),
+          countDistinct(col("cx"), col("cy")).as("n_cells"),
+          count(lit(1)).as("n_points"))
+        .select(when(col("g") === lit(-1L), lit(-1L))
+            .otherwise(col("rep")).as("cluster_id"),
+          col("n_cells"), col("n_points"))
+        .orderBy(col("cluster_id"))
+    }),
+
+    "q219_partition_audit" -> ((s, dir) =>
+      // partition-load audit before committing a shuffle/bucket layout:
+      // hash-simulate user_id into 8 partitions and report per-partition
+      // row/key mass + load ratio vs uniform — the "how bad is the worst
+      // task" scout (q119 salts what this flags). One key-keyed
+      // partial-combined count; assignment rides the bounded key table.
+      operators.Skew.partitionSkewAudit(t(s, dir, "events"), "user_id",
+        nParts = 8))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -8353,7 +8429,170 @@ object SparkEntry {
         |SELECT a1.cluster_id, a1.n_members, a1.rep_id, a1.n_tokens,
         |  top.top_source, top.n_top_source
         |FROM a1 JOIN top USING (cluster_id)
-        |ORDER BY cluster_id""".stripMargin
+        |ORDER BY cluster_id""".stripMargin,
+
+    "q215_cms_mergeable" -> {
+      // CMS bucket of token under depth hash i: first 8 md5 hex digits
+      // of "i|token" as an integer, % width — mirrors Stats.cmsHeavyHitters
+      def bkt(tok: String) =
+        s"""list_sum([CAST(round(pow(16, 7 - j)) AS BIGINT) *
+           |      (strpos('0123456789abcdef',
+           |        substr(md5(CAST(i AS VARCHAR) || '|' || $tok),
+           |          j + 1, 1)) - 1)
+           |      for j in range(0, 8)]) % 32""".stripMargin
+      s"""WITH tk AS (
+         |  SELECT doc_id % 2 AS batch,
+         |    unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+         |      x -> x <> '')) AS token
+         |  FROM documents
+         |), tc AS MATERIALIZED (
+         |  SELECT batch, token, COUNT(*) AS c FROM tk GROUP BY 1, 2
+         |), cells AS (
+         |  SELECT batch, i AS depth,
+         |    ${bkt("token")} AS bucket, c
+         |  FROM tc CROSS JOIN range(0, 3) t(i)
+         |), sk AS MATERIALIZED (
+         |  SELECT depth, bucket, CAST(SUM(c) AS BIGINT) AS cell
+         |  FROM cells GROUP BY 1, 2
+         |), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM tc),
+         |cand AS (
+         |  SELECT token, CAST(SUM(c) AS BIGINT) AS exact_cnt
+         |  FROM tc GROUP BY 1
+         |), cd AS (
+         |  SELECT token, exact_cnt, i AS depth,
+         |    ${bkt("token")} AS bucket
+         |  FROM cand CROSS JOIN range(0, 3) t(i)
+         |), est AS (
+         |  SELECT cd.token, MAX(cd.exact_cnt) AS exact_cnt,
+         |    MIN(sk.cell) AS cms_est
+         |  FROM cd JOIN sk ON sk.depth = cd.depth AND sk.bucket = cd.bucket
+         |  GROUP BY cd.token
+         |)
+         |SELECT token, exact_cnt, cms_est,
+         |  CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+         |FROM est, tot
+         |WHERE CAST(cms_est AS DOUBLE) >= 0.002 * CAST(n_total AS DOUBLE)
+         |ORDER BY cms_est DESC, token""".stripMargin
+    },
+
+    "q216_group_ols" ->
+      """WITH one AS (
+        |  SELECT l_returnflag AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,6))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,6))
+        |      * CAST(l_quantity AS DECIMAL(19,6))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+        |      * CAST(l_extendedprice AS DECIMAL(19,6))) AS syy,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,6))
+        |      * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxy
+        |  FROM lineitem GROUP BY 1
+        |), v AS (
+        |  SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
+        |  FROM one
+        |)
+        |SELECT grp, n,
+        |  CASE WHEN varx = 0 THEN NULL
+        |    ELSE round(cov / varx, 6) END AS slope,
+        |  CASE WHEN varx = 0 THEN NULL
+        |    ELSE round((syd - (cov / varx) * sxd) / nd, 6) END AS intercept,
+        |  CASE WHEN varx = 0 OR vary = 0 THEN NULL
+        |    ELSE round(cov * cov / (varx * vary), 6) END AS r2
+        |FROM v ORDER BY grp""".stripMargin,
+
+    "q217_ks_drift" ->
+      """WITH e AS (
+        |  SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END AS is_ref
+        |  FROM events
+        |), h AS MATERIALIZED (
+        |  SELECT v, CAST(SUM(is_ref) AS BIGINT) AS ca,
+        |    CAST(SUM(1 - is_ref) AS BIGINT) AS cb
+        |  FROM e GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS n_ref,
+        |    CAST(SUM(cb) AS BIGINT) AS n_cur FROM h
+        |), d AS MATERIALIZED (
+        |  SELECT v, n_ref, n_cur,
+        |    round(abs(
+        |      CAST(SUM(ca) OVER (ORDER BY v) AS DOUBLE)
+        |        / CAST(n_ref AS DOUBLE)
+        |      - CAST(SUM(cb) OVER (ORDER BY v) AS DOUBLE)
+        |        / CAST(n_cur AS DOUBLE)), 9) AS dd
+        |  FROM h, t
+        |), m AS (SELECT MAX(dd) AS ks FROM d)
+        |SELECT n_ref, n_cur, ks, CAST(MIN(v) AS BIGINT) AS ks_at
+        |FROM d, m WHERE d.dd = m.ks
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q218_grid_density" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT vec_id,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.03) AS BIGINT) AS cx,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.03) AS BIGINT) AS cy
+        |  FROM embeddings
+        |), cells AS (
+        |  SELECT cx, cy, COUNT(*) AS n,
+        |    (cx + 1048576) * 2097152 + (cy + 1048576) AS k
+        |  FROM p GROUP BY 1, 2
+        |), dense AS (SELECT * FROM cells WHERE n >= 6),
+        |e0 AS (
+        |  SELECT d1.k AS a, d2.k AS b FROM dense d1 JOIN dense d2
+        |  ON abs(d1.cx - d2.cx) <= 1 AND abs(d1.cy - d2.cy) <= 1
+        |    AND d1.k < d2.k
+        |), edges AS (
+        |  SELECT a AS s, b AS d FROM e0
+        |  UNION SELECT b, a FROM e0
+        |), reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+        |), lab AS (SELECT s AS k, least(s, MIN(d)) AS ck
+        |  FROM reach GROUP BY s
+        |), dl AS (
+        |  SELECT d.cx, d.cy, COALESCE(l.ck, d.k) AS ck
+        |  FROM dense d LEFT JOIN lab l ON l.k = d.k
+        |), asg AS (
+        |  SELECT p.vec_id AS pid, p.cx, p.cy, dl.ck
+        |  FROM p LEFT JOIN dl ON dl.cx = p.cx AND dl.cy = p.cy
+        |), g AS (
+        |  SELECT COALESCE(ck, -1) AS g, MIN(pid) AS rep,
+        |    CAST(COUNT(DISTINCT (cx + 1048576) * 2097152 + (cy + 1048576))
+        |      AS BIGINT) AS n_cells,
+        |    CAST(COUNT(*) AS BIGINT) AS n_points
+        |  FROM asg GROUP BY 1
+        |)
+        |SELECT CASE WHEN g = -1 THEN -1 ELSE rep END AS cluster_id,
+        |  n_cells, n_points
+        |FROM g ORDER BY cluster_id""".stripMargin,
+
+    "q219_partition_audit" ->
+      """WITH kc AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS n
+        |  FROM events GROUP BY 1
+        |), pk AS (
+        |  SELECT n, list_sum([CAST(round(pow(16, 7 - j)) AS BIGINT) *
+        |    (strpos('0123456789abcdef', substr(md5(k), j + 1, 1)) - 1)
+        |    for j in range(0, 8)]) % 8 AS part
+        |  FROM kc
+        |), parts AS (
+        |  SELECT part, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys
+        |  FROM pk GROUP BY 1
+        |), tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total FROM parts)
+        |SELECT r.part, COALESCE(p.n_rows, 0) AS n_rows,
+        |  COALESCE(p.n_keys, 0) AS n_keys,
+        |  round(CAST(COALESCE(p.n_rows, 0) AS DOUBLE)
+        |    / (CAST(n_total AS DOUBLE) / 8.0), 6) AS load_ratio
+        |FROM range(0, 8) r(part) LEFT JOIN parts p ON p.part = r.part, tot
+        |ORDER BY r.part""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

@@ -954,4 +954,69 @@ object Similarity {
       .map { case ((id, _, dist), rk) => (rk, id, dist) }
       .toDF("rk", "id", "dist").orderBy(col("rk"))
   }
+
+  /** Grid-density clustering over a 2-D projection of the embedding
+    * space — the scalable DBSCAN shape (Gunawan 2013 grid variant):
+    * points bucket into eps-sized grid cells map-side; cells holding
+    * >= minPts points are DENSE; dense cells that are 8-neighbors merge
+    * into one cluster via connected components; points in non-dense
+    * cells are noise. This trades DBSCAN's per-point radius query (a
+    * quadratic all-pairs at scale) for one cell-count aggregate plus a
+    * CC over the DENSE-CELL graph — whose size is corpus-density-
+    * bounded, not corpus-bounded. Cluster density questions ("are the
+    * near-dup embeddings one blob or many?") get answered without any
+    * point-to-point join.
+    *
+    * Returns one row per point: (pid, cx, cy, ck) where ck is the
+    * cluster's min dense-cell key, NULL for noise. Deterministic: cell
+    * assignment is pure floor arithmetic, the CC label is the min
+    * encoded cell key ([[Dedup.nearDupClusters]] pointer-jumping, O(log
+    * diameter) rounds), and isolated dense cells self-label.
+    *
+    * Scale shape: ONE (cx, cy) partial-combined count is the only
+    * exchange that sees the corpus; the dense-cell graph (8-offset
+    * explode + coordinate equi-join — never a cartesian) and the CC
+    * rounds ride the bounded cell table, and the per-point labeling is
+    * a broadcast join of that table back onto the stream. */
+  def gridDensityClusters(points: DataFrame, idCol: String, xCol: String,
+                          yCol: String, eps: Double, minPts: Long,
+                          mat: Materializer = Materializer.Local)
+      : DataFrame = {
+    require(eps > 0 && minPts >= 1)
+    // encoded cell key: (cx + 2^20) * 2^21 + (cy + 2^20) — collision-free
+    // for |cx|,|cy| < 2^20, ordered lexicographically by (cx, cy)
+    val B = 1L << 20
+    val M = 1L << 21
+    val withCell = points.select(col(idCol).as("pid"),
+      floor(col(xCol).cast("double") / lit(eps)).cast("long").as("cx"),
+      floor(col(yCol).cast("double") / lit(eps)).cast("long").as("cy"))
+    val cells = mat(withCell.groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k", (col("cx") + lit(B)) * lit(M) + (col("cy") + lit(B))))
+    val dense = cells.filter(col("n") >= lit(minPts))
+    val offsets = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1),
+      (0, 1), (1, -1), (1, 0), (1, 1))
+    val probe = dense
+      .select(col("k").as("a_key"), col("cx"), col("cy"),
+        explode(array(offsets.map { case (dx, dy) =>
+          struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)).as("o"))
+      .select(col("a_key"), (col("cx") + col("o.dx")).as("ncx"),
+        (col("cy") + col("o.dy")).as("ncy"))
+    val pairs = probe.join(
+        dense.select(col("k").as("b_key"), col("cx").as("ncx"),
+          col("cy").as("ncy")),
+        Seq("ncx", "ncy"))
+      .filter(col("a_key") < col("b_key"))
+      .select(col("a_key").as("a_id"), col("b_key").as("b_id"))
+      .distinct()
+    val cc = Dedup.nearDupClusters(pairs, mat)
+    // both sides are density-bounded; the checkpointed label table has
+    // no stats, so pick the broadcast explicitly
+    val denseLab = dense
+      .join(broadcast(cc.withColumnRenamed("doc_id", "k")), Seq("k"), "left")
+      .select(col("cx"), col("cy"),
+        coalesce(col("cluster_id"), col("k")).as("ck"))
+    withCell.join(broadcast(denseLab), Seq("cx", "cy"), "left")
+      .select(col("pid"), col("cx"), col("cy"), col("ck"))
+  }
 }

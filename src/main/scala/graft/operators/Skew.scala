@@ -62,4 +62,50 @@ object Skew {
         lit(bloom), xxhash64(col(factKey))))
       .join(dim, col(factKey) === col(dimKey))
   }
+
+  /** Partition-load audit for a candidate shuffle key: simulate hashing
+    * the key into nParts partitions (md5-derived bucket — an
+    * engine-portable stand-in for the partitioner hash; what matters is
+    * that SAME KEY → SAME PARTITION, so co-located key mass adds up
+    * exactly) and report each partition's row and key mass plus its
+    * load ratio vs the uniform ideal. [[keyProfile]] answers "which
+    * keys are heavy"; this answers the operational question one level
+    * up — "if I shuffle/bucket on this key at this width, how bad is
+    * the worst task". Run it BEFORE committing a join/bucketing layout;
+    * a max load_ratio of 5 means the stage runs at 5× the uniform
+    * wall-clock no matter how many executors are added, and the key
+    * needs salting ([[saltedJoin]]) or AQE skew splitting.
+    *
+    * Returns (part, n_rows, n_keys, load_ratio) — nParts rows (empty
+    * partitions included, ratio 0), load_ratio = n_rows / (total /
+    * nParts), round(6).
+    *
+    * Scale shape: ONE key-keyed partial-combined count sees the corpus;
+    * partition assignment is a map-side projection on the bounded key
+    * table, the nParts rollup is trivial, and the ideal-load scalar
+    * joins back as a 1-row broadcast. */
+  def partitionSkewAudit(df: DataFrame, key: String, nParts: Int)
+      : DataFrame = {
+    require(nParts >= 1)
+    val keyCounts = df.groupBy(col(key).cast("string").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        pmod(conv(substring(md5(col("k")), 1, 8), 16, 10).cast("long"),
+          lit(nParts.toLong)).as("part"))
+    val parts = keyCounts.groupBy(col("part"))
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val all = (0L until nParts.toLong).toDF("part")
+    val tot = parts.agg(sum(col("n_rows")).as("n_total"))
+    all.join(parts, Seq("part"), "left")
+      .select(col("part"), coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_keys"), lit(0L)).as("n_keys"))
+      .crossJoin(broadcast(tot))
+      .select(col("part"), col("n_rows"), col("n_keys"),
+        round(col("n_rows").cast("double")
+          / (col("n_total").cast("double") / lit(nParts.toDouble)), 6)
+          .as("load_ratio"))
+      .orderBy(col("part"))
+  }
 }

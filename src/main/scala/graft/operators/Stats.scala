@@ -775,4 +775,155 @@ object Stats {
         min(col("ndist")).as("min_diversity"))
       .orderBy(col(qiCols.head))
   }
+
+  /** Mergeable Count-Min sketch (Cormode & Muthukrishnan 2005) heavy
+    * hitters: each ingest batch builds a fixed-size depth×width count
+    * matrix (the third mergeable-sketch artifact next to q126's HLL and
+    * q123's KMV — HLL answers "how many distinct", KMV "how much
+    * overlap", CMS "how often does THIS item occur"); the corpus-wide
+    * sketch is a cell-wise SUM of batch sketches — old batches are
+    * never rescanned. Point estimates `min over depths of
+    * cell[d][h_d(x)]` carry the classic one-sided guarantee
+    * est ≥ exact, est ≤ exact + εN w.p. 1−δ; with the md5-derived
+    * bucket hashes both engines replay the estimate bit-exactly, so
+    * the hash-checked output includes the OVERCOUNT itself, not a
+    * tolerance boolean. Returns tokens whose ESTIMATE clears
+    * minShare·N (the sketch-side selection a real monitor performs —
+    * no exact pass needed to pick candidates), with exact counts
+    * attached for the audit: (token, exact_cnt, cms_est, overcount),
+    * ordered est desc, token.
+    *
+    * Scale shape: occurrences partial-combine to a (batch, token)
+    * count table BEFORE the depth fan-out (incrementing cells per
+    * occurrence and per pre-counted token is arithmetically identical,
+    * so the d× explode rides the vocab-bounded table, not the raw
+    * stream); the merged sketch is depth·width rows — broadcast to
+    * both the estimate join and the N scalar. The corpus never joins
+    * or sorts. */
+  def cmsHeavyHitters(toks: DataFrame, tokenCol: String, batchCol: String,
+                      depth: Int, width: Int, minShare: Double,
+                      mat: Materializer = Materializer.Local): DataFrame = {
+    require(depth >= 1 && width >= 2 && minShare > 0)
+    // first 8 md5 hex digits of "d|token" → value in [0, 16^8) → % width,
+    // one struct array per token so each md5 evaluates exactly once
+    def depthBuckets(t: Column): Column =
+      explode(array((0 until depth).map(d =>
+        struct(lit(d).as("depth"),
+          pmod(conv(substring(md5(concat(lit(s"$d|"), t)), 1, 8), 16, 10)
+            .cast("long"), lit(width.toLong)).as("bucket"))): _*))
+    // (batch, token) counts feed the sketch cells, the N scalar AND the
+    // candidate estimates — pinned once, the corpus scans exactly once
+    val tc = mat(toks.groupBy(col(batchCol).as("batch"),
+        col(tokenCol).as("token"))
+      .agg(count(lit(1)).as("c")))
+    val cells = tc.select(col("batch"), col("c"),
+        depthBuckets(col("token")).as("db"))
+      .select(col("batch"), col("c"), col("db.depth").as("depth"),
+        col("db.bucket").as("bucket"))
+    // per-batch sketches exist as the persistable artifact; the merge
+    // (cell-wise sum across batches) is what the estimate reads
+    val merged = cells.groupBy(col("depth"), col("bucket"))
+      .agg(sum(col("c")).as("cell"))
+    val tot = tc.agg(sum(col("c")).as("n_total"))
+    val est = tc.groupBy(col("token")).agg(sum(col("c")).as("exact_cnt"))
+      .select(col("token"), col("exact_cnt"),
+        depthBuckets(col("token")).as("db"))
+      .select(col("token"), col("exact_cnt"), col("db.depth").as("depth"),
+        col("db.bucket").as("bucket"))
+      .join(broadcast(merged), Seq("depth", "bucket"))
+      .groupBy(col("token"))
+      .agg(max(col("exact_cnt")).as("exact_cnt"),
+        min(col("cell")).as("cms_est"))
+    est.crossJoin(broadcast(tot))
+      .filter(col("cms_est").cast("double")
+        >= lit(minShare) * col("n_total").cast("double"))
+      .select(col("token"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("cms_est").desc, col("token"))
+  }
+
+  /** Per-group ordinary least squares via sufficient statistics: for
+    * each group, slope/intercept/R² of y on x from the six
+    * partial-combined sums (n, Σx, Σy, Σx², Σy², Σxy) — the
+    * "regression per segment" readout (price sensitivity per flag,
+    * quality-vs-length per source) computed WITHOUT per-group
+    * iteration, model state, or a second pass: closed-form OLS is an
+    * aggregate, and at 100 TB that is the only shape that survives.
+    * Sums lift through DECIMAL(19,6) exactly as q186's correlation
+    * matrix (width ≥ 19 forces int128 in engines that propagate int64
+    * column statistics); the final slope/intercept/R² are one pinned
+    * double op order, round(6). Returns
+    * (group, n, slope, intercept, r2) ordered by group; groups with a
+    * degenerate x-variance emit NULL slope/intercept/r2 rather than a
+    * division artifact. */
+  def groupOls(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    def d(c: String) = col(c).cast("decimal(19,6)")
+    val agg = df.groupBy(col(groupCol).as("grp")).agg(
+      count(lit(1)).as("n"),
+      sum(d(xCol)).as("sx"), sum(d(yCol)).as("sy"),
+      sum(d(xCol) * d(xCol)).as("sxx"),
+      sum(d(yCol) * d(yCol)).as("syy"),
+      sum(d(xCol) * d(yCol)).as("sxy"))
+    def v(name: String) = col(name).cast("double")
+    val nd = col("n").cast("double")
+    val varX = nd * v("sxx") - v("sx") * v("sx")
+    val varY = nd * v("syy") - v("sy") * v("sy")
+    val cov = nd * v("sxy") - v("sx") * v("sy")
+    val slope = cov / varX
+    agg.select(col("grp"), col("n"),
+        when(varX === lit(0.0), lit(null).cast("double"))
+          .otherwise(round(slope, 6)).as("slope"),
+        when(varX === lit(0.0), lit(null).cast("double"))
+          .otherwise(round((v("sy") - slope * v("sx")) / nd, 6))
+          .as("intercept"),
+        when(varX === lit(0.0) || varY === lit(0.0),
+            lit(null).cast("double"))
+          .otherwise(round(cov * cov / (varX * varY), 6)).as("r2"))
+      .orderBy(col("grp"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic over an integral
+    * value column: `max over v of |F_ref(v) − F_cur(v)|` — the
+    * distribution-level drift gate next to q156's PSI (PSI reads
+    * binned share shifts and needs a bin design; KS is bin-free and
+    * catches shape changes PSI's deciles smooth away). Returns ONE row
+    * (n_ref, n_cur, ks, ks_at): the statistic round(9) and the
+    * smallest value attaining it.
+    *
+    * Scale shape: both samples partial-combine to a per-distinct-value
+    * count histogram in ONE union-aggregate exchange (the q177
+    * bounded-histogram contract — CDF steps only move at distinct
+    * values of either sample, so the histogram is the exact sufficient
+    * statistic); the prefix window and the two-row argmax ride that
+    * bounded table, and the corpus is never sorted or joined. */
+  def ksDrift(ref: DataFrame, cur: DataFrame, valCol: String,
+              mat: Materializer = Materializer.Local): DataFrame = {
+    val tagged = ref.select(col(valCol).cast("long").as("v"),
+        lit(1L).as("is_ref"))
+      .unionAll(cur.select(col(valCol).cast("long").as("v"),
+        lit(0L).as("is_ref")))
+    // the bounded histogram is the last plan node that sees the corpus;
+    // it feeds the totals, the CDF window and the argmax — pinned once
+    val hist = mat(tagged.groupBy(col("v"))
+      .agg(sum(col("is_ref")).as("ca"),
+        sum(lit(1L) - col("is_ref")).as("cb")))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("ca")).as("n_ref"), sum(col("cb")).as("n_cur"))
+    val diffs = hist
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("n_ref"), col("n_cur"),
+        round(abs(col("cum_a").cast("double") / col("n_ref").cast("double")
+          - col("cum_b").cast("double") / col("n_cur").cast("double")), 9)
+          .as("d"))
+    val mx = diffs.agg(max(col("d")).as("ks"))
+    diffs.crossJoin(broadcast(mx))
+      .filter(col("d") === col("ks"))
+      .groupBy(col("n_ref"), col("n_cur"), col("ks"))
+      .agg(min(col("v")).as("ks_at"))
+      .select(col("n_ref"), col("n_cur"), col("ks"), col("ks_at"))
+  }
 }

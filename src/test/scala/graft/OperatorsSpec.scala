@@ -3312,4 +3312,137 @@ class OperatorsSpec extends SparkSpec {
     assert(got("b") == ((2L, 4L, 0.5, 2L, 3L, 0.666667)))
     assert(got("c") == ((1L, 1L, 1.0, 0L, 0L, 0.0)))
   }
+
+  /** The CMS bucket Stats.cmsHeavyHitters derives: first 8 md5 hex
+    * digits of "depth|token" as an integer, mod width. */
+  private def cmsBucket(depth: Int, token: String, width: Int): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"$depth|$token".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16) % width
+  }
+
+  test("cmsHeavyHitters: batch sketches merge to corpus counts; " +
+    "collisions overcount exactly by the colliding mass") {
+    val s = spark
+    import s.implicits._
+    // "a" split across batches (mergeability), "b" in one batch
+    val toks = (Seq.fill(5)((0L, "a")) ++ Seq.fill(3)((1L, "a")) ++
+      Seq.fill(2)((0L, "b"))).toDF("batch", "token")
+    // wide sketch: no collisions (verified below) -> est == exact
+    assert((0 until 3).forall(d =>
+      cmsBucket(d, "a", 32) != cmsBucket(d, "b", 32)))
+    val wide = graft.operators.Stats
+      .cmsHeavyHitters(toks, "token", "batch",
+        depth = 3, width = 32, minShare = 0.01)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(wide("a") == ((8L, 8L, 0L)))
+    assert(wide("b") == ((2L, 2L, 0L)))
+    // narrow sketch: predict the estimate from the bucket map — when
+    // the two tokens collide at a depth the cell carries both masses
+    val w2 = 2
+    def cell(d: Int, tok: String): Long =
+      Seq("a" -> 8L, "b" -> 2L)
+        .filter { case (t, _) => cmsBucket(d, t, w2) == cmsBucket(d, tok, w2) }
+        .map(_._2).sum
+    val expected = Map(
+      "a" -> (0 until 1).map(d => cell(d, "a")).min,
+      "b" -> (0 until 1).map(d => cell(d, "b")).min)
+    val narrow = graft.operators.Stats
+      .cmsHeavyHitters(toks, "token", "batch",
+        depth = 1, width = w2, minShare = 0.01)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(narrow("a") == expected("a"))
+    assert(narrow("b") == expected("b"))
+    // the one-sided guarantee: never undercounts
+    assert(narrow("a") >= 8L && narrow("b") >= 2L)
+  }
+
+  test("groupOls: exact line recovered; degenerate variances -> NULL") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("g1", 1.0, 3.0), ("g1", 2.0, 5.0), ("g1", 3.0, 7.0), // y = 2x+1
+      ("g2", 1.0, 1.0), ("g2", 2.0, 1.0), ("g2", 3.0, 1.0), // flat y
+      ("g3", 2.0, 1.0), ("g3", 2.0, 5.0)                    // x constant
+    ).toDF("g", "x", "y")
+    val got = graft.operators.Stats.groupOls(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4)))).toMap
+    assert(got("g1") == ((3L, Some(2.0), Some(1.0), Some(1.0))))
+    // flat y: slope/intercept defined (0, 1), r2 NULL (varY = 0)
+    assert(got("g2") == ((3L, Some(0.0), Some(1.0), None)))
+    // constant x: nothing is identifiable
+    assert(got("g3") == ((2L, None, None, None)))
+  }
+
+  test("ksDrift: hand-computed CDF gap, smallest attaining value; " +
+    "identical samples -> 0") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val cur = Seq(3L, 4L, 5L, 6L).toDF("v")
+    val r = graft.operators.Stats.ksDrift(ref, cur, "v").collect()(0)
+    // |F_ref - F_cur|: v=1: .25, v=2: .5, v=3: .5, v=4: .5, v=5: .25
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 0.5 && r.getLong(3) == 2L)
+    val same = graft.operators.Stats.ksDrift(ref, ref, "v").collect()(0)
+    assert(same.getDouble(2) == 0.0 && same.getLong(3) == 1L)
+  }
+
+  test("gridDensityClusters: adjacent dense cells merge, isolated dense " +
+    "cell self-labels, sparse cells are noise") {
+    val s = spark
+    import s.implicits._
+    // eps=0.05 cells: (0,0) and (1,0) dense and 8-adjacent -> one
+    // cluster; (10,10) dense but isolated -> its own cluster; (5,5)
+    // holds one point -> noise
+    val pts = Seq(
+      (1L, 0.01, 0.01), (2L, 0.02, 0.02), (3L, 0.03, 0.01),   // cell (0,0)
+      (4L, 0.06, 0.01), (5L, 0.07, 0.02), (6L, 0.09, 0.01),   // cell (1,0)
+      (7L, 0.51, 0.51), (8L, 0.52, 0.52), (9L, 0.53, 0.51),   // cell (10,10)
+      (10L, 0.26, 0.26)                                        // cell (5,5)
+    ).toDF("vec_id", "x", "y")
+    val asg = graft.operators.Similarity
+      .gridDensityClusters(pts, "vec_id", "x", "y", eps = 0.05, minPts = 3L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val key00 = (0L + (1L << 20)) * (1L << 21) + (0L + (1L << 20))
+    val key1010 = (10L + (1L << 20)) * (1L << 21) + (10L + (1L << 20))
+    // cells (0,0) and (1,0) merge under the min key = key of (0,0)
+    for (id <- 1L to 6L) assert(asg(id) == Some(key00), s"id $id")
+    // the isolated dense cell keeps its own key as the label
+    for (id <- 7L to 9L) assert(asg(id) == Some(key1010), s"id $id")
+    assert(asg(10L).isEmpty, "sparse cell must be noise")
+  }
+
+  test("partitionSkewAudit: same key lands in one partition; empty " +
+    "partitions report zero; ratios against the uniform ideal") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("k")
+    val nParts = 4
+    def part(k: String): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % nParts
+    }
+    val got = graft.operators.Skew.partitionSkewAudit(df, "k", nParts)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size == nParts, "every partition reports, empty included")
+    val expRows = Map("a" -> 4L, "b" -> 2L, "c" -> 1L)
+      .groupBy { case (k, _) => part(k) }
+      .map { case (p, m) => p -> m.values.sum }
+    for (p <- 0L until nParts.toLong) {
+      val rows = expRows.getOrElse(p, 0L)
+      assert(got(p)._1 == rows, s"part $p rows")
+      assert(got(p)._3 == math.rint(rows / (7.0 / nParts) * 1e6) / 1e6,
+        s"part $p ratio")
+    }
+    assert(got.values.map(_._1).sum == 7L)
+    assert(got.values.map(_._2).sum == 3L)
+  }
 }

@@ -1050,4 +1050,39 @@ class PlanAuditSpec extends SparkSpec {
       "the q66 two-phase contract\n" + p.take(3000))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q215/q216/q217: sketch joins broadcast; OLS is one aggregate; " +
+    "the KS walk never sorts or shuffle-joins the corpus") {
+    // q215: the merged sketch (depth*width rows) reaches the estimate
+    // join as a broadcast; nothing sort-merge-joins
+    val p215 = plan("q215_cms_mergeable")
+    assert(p215.contains("BroadcastHashJoin"), p215.take(2000))
+    assert(!p215.contains("CartesianProduct")
+      && !p215.contains("SortMergeJoin"), p215.take(2000))
+    // q216: regression-per-group is a pure partial-combined aggregate —
+    // no join of any kind, no window
+    val p216 = plan("q216_group_ols")
+    assert(!p216.contains("Join") && !p216.contains("Window"),
+      p216.take(2000))
+    assert(p216.contains("partial"), "map-side combine\n" + p216.take(2000))
+    // q217: the CDF window and argmax ride the bounded histogram (post-
+    // checkpoint), and the corpus reaches it through one aggregate
+    val p217 = plan("q217_ks_drift")
+    assert(!p217.contains("CartesianProduct")
+      && !p217.contains("SortMergeJoin"), p217.take(2000))
+  }
+
+  test("q218/q219: density labels broadcast back to the stream; the " +
+    "partition audit never shuffles the corpus") {
+    // q218: the dense-cell label table reaches the per-point join as a
+    // broadcast; the 8-neighbor adjacency is an equi-join, not a cross
+    val p218 = plan("q218_grid_density")
+    assert(p218.contains("BroadcastHashJoin"), p218.take(2000))
+    assert(!p218.contains("CartesianProduct")
+      && !p218.contains("SortMergeJoin"), p218.take(2000))
+    // q219: one key aggregate; the totals join back broadcast
+    val p219 = plan("q219_partition_audit")
+    assert(!p219.contains("CartesianProduct")
+      && !p219.contains("SortMergeJoin"), p219.take(2000))
+  }
 }
