@@ -738,11 +738,32 @@ object Dedup {
     val prefLen = (col("n")
       - floor((lit(thetaNum) * col("n") + lit(thetaDen - 1))
         / lit(thetaDen)).cast("long") + lit(1L)).cast("int")
-    val pref = sorted.select(col("id"),
-      explode(slice(col("ssh"), lit(1), prefLen)).as("s"))
-    val cands = pref.select(col("id").as("a_id"), col("s"))
-      .join(pref.select(col("id").as("b_id"), col("s")), Seq("s"))
+    // prefix positions ride along for the PPJoin positional filter
+    val pref = sorted.select(col("id"), col("n"),
+        posexplode(slice(col("ssh"), lit(1), prefLen)))
+      .select(col("id"), col("n"), col("pos").cast("long").as("p"),
+        col("col").as("s"))
+    // two more exact integer prunes BEFORE the distinct + verify joins
+    // (Xiao et al.'s length and positional filters — both are provably
+    // lossless given the shared global token order):
+    //   length: J >= num/den forces den*min(|a|,|b|) >= num*max(|a|,|b|)
+    //   positional: a shared prefix token at (pa, pb) caps the overlap
+    //     at 1 + min(na-pa-1, nb-pb-1), which must clear the PPJoin
+    //     overlap threshold ceil(num*(na+nb)/(num+den)); the FIRST
+    //     common token always satisfies this for a true pair, so
+    //     keeping a pair when ANY occurrence passes loses nothing
+    val cands = pref
+      .select(col("id").as("a_id"), col("n").as("na"),
+        col("p").as("pa"), col("s"))
+      .join(pref.select(col("id").as("b_id"), col("n").as("nb"),
+        col("p").as("pb"), col("s")), Seq("s"))
       .filter(col("a_id") < col("b_id"))
+      .filter(lit(thetaDen.toLong) * least(col("na"), col("nb"))
+        >= lit(thetaNum.toLong) * greatest(col("na"), col("nb")))
+      .filter((lit(1L) + least(col("na") - col("pa") - lit(1L),
+          col("nb") - col("pb") - lit(1L)))
+        * lit((thetaNum + thetaDen).toLong)
+        >= lit(thetaNum.toLong) * (col("na") + col("nb")))
       .select(col("a_id"), col("b_id")).distinct()
     val verified = cands
       .join(sets.select(col("id").as("a_id"), col("sh").as("a_sh")),
