@@ -3579,7 +3579,23 @@ object SparkEntry {
       // task" scout (q119 salts what this flags). One key-keyed
       // partial-combined count; assignment rides the bounded key table.
       operators.Skew.partitionSkewAudit(t(s, dir, "events"), "user_id",
-        nParts = 8))
+        nParts = 8)),
+
+    "q220_residual_outliers" -> ((s, dir) => {
+      // regression-residual anomaly gate: per source, fit
+      // n_chars ~ tokens (R² ≈ 0.99 on this corpus) from q216's
+      // sufficient statistics and flag docs breaking their source's
+      // trend by > 2·RMSE — formatting anomalies (minified/duplicated
+      // whitespace, binary-ish payloads) found as one aggregate + one
+      // broadcast scoring join; no model state, no second fit pass.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        operators.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("toks"),
+        col("n_chars"))
+      operators.Stats.olsResidualOutliers(d, "source", "toks", "n_chars",
+          keepCols = Seq("doc_id"), kSigma = 2.0)
+        .orderBy(col("doc_id"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -8592,7 +8608,51 @@ object SparkEntry {
         |  round(CAST(COALESCE(p.n_rows, 0) AS DOUBLE)
         |    / (CAST(n_total AS DOUBLE) / 8.0), 6) AS load_ratio
         |FROM range(0, 8) r(part) LEFT JOIN parts p ON p.part = r.part, tot
-        |ORDER BY r.part""".stripMargin
+        |ORDER BY r.part""".stripMargin,
+
+    "q220_residual_outliers" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($toksSql) AS BIGINT) AS toks, n_chars
+         |  FROM documents
+         |), one AS (
+         |  SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(CAST(toks AS DECIMAL(19,6))) AS sx,
+         |    SUM(CAST(n_chars AS DECIMAL(19,6))) AS sy,
+         |    SUM(CAST(toks AS DECIMAL(19,6))
+         |      * CAST(toks AS DECIMAL(19,6))) AS sxx,
+         |    SUM(CAST(n_chars AS DECIMAL(19,6))
+         |      * CAST(n_chars AS DECIMAL(19,6))) AS syy,
+         |    SUM(CAST(toks AS DECIMAL(19,6))
+         |      * CAST(n_chars AS DECIMAL(19,6))) AS sxy
+         |  FROM d GROUP BY 1
+         |), v AS (
+         |  SELECT grp, CAST(n AS DOUBLE) AS nd,
+         |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         |    CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
+         |  FROM one
+         |), c AS (
+         |  SELECT grp, cov / varx AS b,
+         |    (syd - (cov / varx) * sxd) / nd AS a,
+         |    sqrt(greatest(0.0,
+         |      (syyd - ((syd - (cov / varx) * sxd) / nd) * syd
+         |        - (cov / varx) * sxyd) / nd)) AS rmse
+         |  FROM v WHERE varx <> 0
+         |), scored AS (
+         |  SELECT d.doc_id, d.source AS grp, d.toks, d.n_chars,
+         |    CAST(d.n_chars AS DOUBLE) - (c.a + c.b * CAST(d.toks AS DOUBLE))
+         |      AS resid, c.rmse
+         |  FROM d JOIN c ON c.grp = d.source
+         |  WHERE c.rmse > 0
+         |)
+         |SELECT doc_id, grp, toks, n_chars, round(resid, 6) AS resid,
+         |  round(abs(resid) / rmse, 6) AS z
+         |FROM scored WHERE abs(resid) > 2.0 * rmse
+         |ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

@@ -883,6 +883,60 @@ object Stats {
       .orderBy(col("grp"))
   }
 
+  /** Regression-residual outlier detection on top of [[groupOls]]'s
+    * sufficient statistics: fit y ~ x per group from the six
+    * partial-combined sums, derive the residual RMSE from the SAME sums
+    * (SSE = Σy² − a·Σy − b·Σxy, the normal-equation identity — no
+    * second pass), broadcast the per-group (a, b, rmse) table back and
+    * flag rows with |y − (a + b·x)| > k·rmse. The "this row breaks its
+    * group's trend" gate (docs whose chars-per-token relationship is
+    * anomalous, orders priced off their quantity curve) — anomaly
+    * detection as one aggregate + one map-side broadcast join, no
+    * model state, no iteration.
+    *
+    * Groups with zero x-variance or a perfect fit (rmse = 0) flag
+    * nothing. The flag compares UNROUNDED doubles with one pinned op
+    * order on both engines; the reported resid/z are round(6).
+    *
+    * Scale shape: the corpus is scanned once into the pinned narrow
+    * base (it feeds the aggregate AND the scoring join); coefficients
+    * are one group-keyed partial-combined aggregate, group-table-sized;
+    * scoring is a broadcast join + projection. */
+  def olsResidualOutliers(df: DataFrame, groupCol: String, xCol: String,
+                          yCol: String, keepCols: Seq[String],
+                          kSigma: Double,
+                          mat: Materializer = Materializer.Local)
+      : DataFrame = {
+    require(kSigma > 0)
+    def d(c: String) = col(c).cast("decimal(19,6)")
+    val base = mat(df.select(col(groupCol).as("grp") +: keepCols.map(col)
+      ++: Seq(col(xCol), col(yCol)): _*))
+    val agg = base.groupBy(col("grp")).agg(
+      count(lit(1)).as("n"), sum(d(xCol)).as("sx"), sum(d(yCol)).as("sy"),
+      sum(d(xCol) * d(xCol)).as("sxx"),
+      sum(d(yCol) * d(yCol)).as("syy"),
+      sum(d(xCol) * d(yCol)).as("sxy"))
+    def v(c: String) = col(c).cast("double")
+    val nd = col("n").cast("double")
+    val varX = nd * v("sxx") - v("sx") * v("sx")
+    val cov = nd * v("sxy") - v("sx") * v("sy")
+    val slope = cov / varX
+    val icept = (v("sy") - slope * v("sx")) / nd
+    val coef = agg.filter(varX =!= lit(0.0))
+      .select(col("grp"), slope.as("b"), icept.as("a"),
+        sqrt(greatest(lit(0.0),
+          (v("syy") - icept * v("sy") - slope * v("sxy")) / nd))
+          .as("rmse"))
+      .filter(col("rmse") > lit(0.0))
+    base.join(broadcast(coef), Seq("grp"))
+      .withColumn("resid", col(yCol).cast("double")
+        - (col("a") + col("b") * col(xCol).cast("double")))
+      .filter(abs(col("resid")) > lit(kSigma) * col("rmse"))
+      .select(keepCols.map(col) ++: Seq(col("grp"), col(xCol), col(yCol),
+        round(col("resid"), 6).as("resid"),
+        round(abs(col("resid")) / col("rmse"), 6).as("z")): _*)
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic over an integral
     * value column: `max over v of |F_ref(v) − F_cur(v)|` — the
     * distribution-level drift gate next to q156's PSI (PSI reads

@@ -3392,6 +3392,24 @@ class OperatorsSpec extends SparkSpec {
     assert(same.getDouble(2) == 0.0 && same.getLong(3) == 1L)
   }
 
+  test("olsResidualOutliers: the gross outlier off a tight line is the " +
+    "only flagged row; perfect-fit groups flag nothing") {
+    val s = spark
+    import s.implicits._
+    // 20 points exactly on y = 3x + 2, one gross outlier
+    val line = (1 to 20).map(i => ("g", i.toDouble, 3.0 * i + 2.0))
+    val df = (line :+ (("g", 21.0, 500.0)) :+
+      (("perfect", 1.0, 5.0)) :+ (("perfect", 2.0, 6.0))).toDF("g", "x", "y")
+    val got = graft.operators.Stats
+      .olsResidualOutliers(df, "g", "x", "y", keepCols = Seq(), kSigma = 2.0)
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getString(0) == "g" && got(0).getDouble(1) == 21.0)
+    assert(got(0).getDouble(4) > 2.0, "z of the outlier clears k")
+    // the perfect-fit group (rmse = 0) contributes no flags — verified
+    // by the single-row result above
+  }
+
   test("gridDensityClusters: adjacent dense cells merge, isolated dense " +
     "cell self-labels, sparse cells are noise") {
     val s = spark

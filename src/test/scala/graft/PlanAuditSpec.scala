@@ -1085,4 +1085,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p219.contains("CartesianProduct")
       && !p219.contains("SortMergeJoin"), p219.take(2000))
   }
+
+  test("q220: the coefficient table scores the stream as a broadcast") {
+    val p = plan("q220_residual_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("Window"), "no per-row window in the scoring path")
+  }
 }
