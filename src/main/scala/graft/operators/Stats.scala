@@ -800,17 +800,24 @@ object Stats {
     * stream); the merged sketch is depth·width rows — broadcast to
     * both the estimate join and the N scalar. The corpus never joins
     * or sorts. */
+  /** The CMS hash kernel: fan a token out to its (depth, bucket) cells —
+    * bucket_d = first 8 md5 hex digits of "d|token" as an integer,
+    * mod width; one struct per depth so each md5 evaluates exactly
+    * once. Shared by the batch sketch ([[cmsHeavyHitters]]) and any
+    * streaming maintainer (cell counts are additive, so a streaming
+    * groupBy over this fan-out IS the mergeable sketch — the
+    * StreamingSpec differential pins that equivalence). */
+  def cmsDepthBuckets(token: Column, depth: Int, width: Int): Column =
+    explode(array((0 until depth).map(d =>
+      struct(lit(d).as("depth"),
+        pmod(conv(substring(md5(concat(lit(s"$d|"), token)), 1, 8), 16, 10)
+          .cast("long"), lit(width.toLong)).as("bucket"))): _*))
+
   def cmsHeavyHitters(toks: DataFrame, tokenCol: String, batchCol: String,
                       depth: Int, width: Int, minShare: Double,
                       mat: Materializer = Materializer.Local): DataFrame = {
     require(depth >= 1 && width >= 2 && minShare > 0)
-    // first 8 md5 hex digits of "d|token" → value in [0, 16^8) → % width,
-    // one struct array per token so each md5 evaluates exactly once
-    def depthBuckets(t: Column): Column =
-      explode(array((0 until depth).map(d =>
-        struct(lit(d).as("depth"),
-          pmod(conv(substring(md5(concat(lit(s"$d|"), t)), 1, 8), 16, 10)
-            .cast("long"), lit(width.toLong)).as("bucket"))): _*))
+    def depthBuckets(t: Column): Column = cmsDepthBuckets(t, depth, width)
     // (batch, token) counts feed the sketch cells, the N scalar AND the
     // candidate estimates — pinned once, the corpus scans exactly once
     val tc = mat(toks.groupBy(col(batchCol).as("batch"),

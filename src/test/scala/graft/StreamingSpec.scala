@@ -541,6 +541,38 @@ class StreamingSpec extends SparkSpec {
     assert(static == Seq((100L, 900L), (101L, 901L)))
   }
 
+  test("streaming count-min cells == the batch sketch (cell-wise " +
+    "additive merge)") {
+    // q215's mergeability contract end-to-end: the sketch a stream
+    // maintains incrementally (groupBy over the shared cmsDepthBuckets
+    // kernel, complete mode) must equal the batch sketch over the same
+    // corpus cell for cell — CMS cells are additive counts, so
+    // microbatch arrival order cannot matter
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, "a b a c"), (1L, "b c d"), (2L, "a d e f g"),
+      (3L, "c c c"), (4L, "h a b")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-cms-stream").toString
+    df.write.mode("overwrite").parquet(dir)
+    def cells(src: org.apache.spark.sql.DataFrame) = src
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text")))
+        .as("token"))
+      .select(graft.operators.Stats.cmsDepthBuckets(col("token"), 3, 32)
+        .as("db"))
+      .select(col("db.depth").as("depth"), col("db.bucket").as("bucket"))
+      .groupBy(col("depth"), col("bucket")).count()
+    val h = cells(spark.readStream.schema(df.schema).parquet(dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out").start()
+    h.processAllAvailable(); h.stop()
+    val streamed = spark.table("cms_out").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = cells(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    assert(batch.values.sum == 3L * 18L, "3 depths x 18 tokens")
+  }
+
   test("streaming DAU/WAU == batch activeUsers (complete-mode aggregate)") {
     // the q160 engagement series maintained over a stream: the same
     // map-side day fan-out (explode to the covered days) feeds a
