@@ -161,10 +161,14 @@ object Bench {
     // File-backed twin of the stdout line: the driver's capture has
     // truncated the tail of long JSON lines before (round 4 lost the
     // graded sf0.1 map), so the complete record always lands on disk too.
+    // FILTERED runs (per-query probes during perf work) must not clobber
+    // the definitive full-suite record — they write a scratch twin.
     try {
       val dir = new java.io.File(".bench")
       dir.mkdirs()
-      val w = new java.io.PrintWriter(new java.io.File(dir, "last_run.json"))
+      val fname =
+        if (filter.isEmpty) "last_run.json" else "last_filtered_run.json"
+      val w = new java.io.PrintWriter(new java.io.File(dir, fname))
       try w.println(line) finally w.close()
     } catch { case _: Throwable => () } // never fail the bench over the copy
     spark.stop()
