@@ -411,4 +411,48 @@ class TransformPropertySpec extends SparkSpec {
       }
     }, minSuccessful = 30)
   }
+
+  test("CMS estimates never undercount and are batching-invariant") {
+    val s = spark
+    import s.implicits._
+    // width 4 / depth 2 forces real collisions; the two CMS laws under
+    // stress: est >= exact always, and the merged sketch (hence every
+    // estimate) is independent of how the stream was batched
+    val gen = for {
+      toks <- Gen.nonEmptyListOf(
+        Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+      nb <- Gen.choose(1, 4)
+    } yield (toks, nb)
+    check(Prop.forAll(gen) { case (toks, nb) =>
+      def run(rows: Seq[(Long, String)]) = graft.operators.Stats
+        .cmsHeavyHitters(rows.toDF("batch", "token"), "token", "batch",
+          depth = 2, width = 4, minShare = 1e-9)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val split = run(toks.zipWithIndex
+        .map { case (t, i) => ((i % nb).toLong, t) })
+      val one = run(toks.map(t => (0L, t)))
+      split.forall { case (_, (exact, est)) => est >= exact } &&
+        split == one
+    }, minSuccessful = 8)
+  }
+
+  test("ksDrift equals the sequential CDF scan and sits in [0, 1]") {
+    val s = spark
+    import s.implicits._
+    val gen = for {
+      a <- Gen.nonEmptyListOf(Gen.choose(0L, 10L))
+      b <- Gen.nonEmptyListOf(Gen.choose(0L, 10L))
+    } yield (a, b)
+    check(Prop.forAll(gen) { case (a, b) =>
+      val r = graft.operators.Stats
+        .ksDrift(a.toDF("v"), b.toDF("v"), "v").collect()(0)
+      val ks = r.getDouble(2)
+      val expected = (a ++ b).distinct.map { v =>
+        math.abs(a.count(_ <= v).toDouble / a.size
+          - b.count(_ <= v).toDouble / b.size)
+      }.max
+      ks >= 0.0 && ks <= 1.0 && math.abs(ks - expected) < 1e-6
+    }, minSuccessful = 10)
+  }
 }
