@@ -3595,6 +3595,25 @@ object SparkEntry {
       operators.Stats.olsResidualOutliers(d, "source", "toks", "n_chars",
           keepCols = Seq("doc_id"), kSigma = 2.0)
         .orderBy(col("doc_id"))
+    }),
+
+    "q221_ks_by_segment" -> ((s, dir) => {
+      // q217's KS drift per SEGMENT: one statistic per event type
+      // between the month's first half and the rest — the monitor
+      // readout that names which segment's value distribution moved.
+      // Same single histogram exchange, but the CDF walk is a window
+      // PARTITIONED BY the group (parallel across segments, no global
+      // sort); the per-group argmax joins back as a broadcast.
+      val ev = t(s, dir, "events")
+      val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      val scaled = ev.select(col("event_type"),
+        floor(col("value") * lit(100)).cast("long").as("sv"), col("ts"))
+      operators.Stats.ksDriftByGroup(
+        scaled.filter(col("ts") < cutoff)
+          .select(col("event_type"), col("sv")),
+        scaled.filter(col("ts") >= cutoff)
+          .select(col("event_type"), col("sv")),
+        "event_type", "sv")
     })
   )
 
@@ -8652,7 +8671,35 @@ object SparkEntry {
          |SELECT doc_id, grp, toks, n_chars, round(resid, 6) AS resid,
          |  round(abs(resid) / rmse, 6) AS z
          |FROM scored WHERE abs(resid) > 2.0 * rmse
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q221_ks_by_segment" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END AS is_ref
+        |  FROM events
+        |), h AS MATERIALIZED (
+        |  SELECT g, v, CAST(SUM(is_ref) AS BIGINT) AS ca,
+        |    CAST(SUM(1 - is_ref) AS BIGINT) AS cb
+        |  FROM e GROUP BY 1, 2
+        |), d AS MATERIALIZED (
+        |  SELECT g, v,
+        |    CAST(SUM(ca) OVER (PARTITION BY g) AS BIGINT) AS n_ref,
+        |    CAST(SUM(cb) OVER (PARTITION BY g) AS BIGINT) AS n_cur,
+        |    round(abs(
+        |      CAST(SUM(ca) OVER (PARTITION BY g ORDER BY v) AS DOUBLE)
+        |        / CAST(SUM(ca) OVER (PARTITION BY g) AS DOUBLE)
+        |      - CAST(SUM(cb) OVER (PARTITION BY g ORDER BY v) AS DOUBLE)
+        |        / CAST(SUM(cb) OVER (PARTITION BY g) AS DOUBLE)), 9) AS dd
+        |  FROM h
+        |), df AS (
+        |  SELECT * FROM d WHERE n_ref > 0 AND n_cur > 0
+        |), m AS (SELECT g, MAX(dd) AS ks FROM df GROUP BY 1)
+        |SELECT df.g, n_ref, n_cur, ks, CAST(MIN(v) AS BIGINT) AS ks_at
+        |FROM df JOIN m ON m.g = df.g AND df.dd = m.ks
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY df.g""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

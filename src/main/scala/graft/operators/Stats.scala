@@ -987,4 +987,48 @@ object Stats {
       .agg(min(col("v")).as("ks_at"))
       .select(col("n_ref"), col("n_cur"), col("ks"), col("ks_at"))
   }
+
+  /** [[ksDrift]] per group — the operational drift monitor: ONE KS
+    * statistic per segment (event type, source, language) between a
+    * reference and a current slice, so the readout names WHICH segment
+    * drifted. Groups present in only one slice are omitted (their KS is
+    * undefined). Returns (g, n_ref, n_cur, ks, ks_at) ordered by g.
+    *
+    * Scale shape: the same single union-aggregate histogram exchange as
+    * [[ksDrift]], but keyed (g, v) — and the CDF walk becomes a window
+    * PARTITIONED BY GROUP over the bounded histogram (parallel across
+    * groups, never a global sort); the per-group argmax joins the
+    * group-table-sized max back as a broadcast. */
+  def ksDriftByGroup(ref: DataFrame, cur: DataFrame, groupCol: String,
+                     valCol: String,
+                     mat: Materializer = Materializer.Local): DataFrame = {
+    val tagged = ref.select(col(groupCol).as("g"),
+        col(valCol).cast("long").as("v"), lit(1L).as("is_ref"))
+      .unionAll(cur.select(col(groupCol).as("g"),
+        col(valCol).cast("long").as("v"), lit(0L).as("is_ref")))
+    val hist = mat(tagged.groupBy(col("g"), col("v"))
+      .agg(sum(col("is_ref")).as("ca"),
+        sum(lit(1L) - col("is_ref")).as("cb")))
+    val wc = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("g"))
+    val diffs = hist
+      .withColumn("cum_a", sum(col("ca")).over(wc))
+      .withColumn("cum_b", sum(col("cb")).over(wc))
+      .withColumn("n_ref", sum(col("ca")).over(wt))
+      .withColumn("n_cur", sum(col("cb")).over(wt))
+      .filter(col("n_ref") > lit(0L) && col("n_cur") > lit(0L))
+      .select(col("g"), col("v"), col("n_ref"), col("n_cur"),
+        round(abs(col("cum_a").cast("double") / col("n_ref").cast("double")
+          - col("cum_b").cast("double") / col("n_cur").cast("double")), 9)
+          .as("d"))
+    val mx = diffs.groupBy(col("g")).agg(max(col("d")).as("ks"))
+    diffs.join(broadcast(mx), Seq("g"))
+      .filter(col("d") === col("ks"))
+      .groupBy(col("g"), col("n_ref"), col("n_cur"), col("ks"))
+      .agg(min(col("v")).as("ks_at"))
+      .select(col("g"), col("n_ref"), col("n_cur"), col("ks"),
+        col("ks_at"))
+      .orderBy(col("g"))
+  }
 }

@@ -3410,6 +3410,24 @@ class OperatorsSpec extends SparkSpec {
     // by the single-row result above
   }
 
+  test("ksDriftByGroup: per-segment statistics match the single-sample " +
+    "operator; one-sided groups are omitted") {
+    val s = spark
+    import s.implicits._
+    // g1 drifts (disjoint supports -> KS 1.0 at the ref max), g2 is
+    // identical across slices, g3 exists only in ref -> omitted
+    val ref = Seq(("g1", 1L), ("g1", 2L), ("g2", 5L), ("g2", 6L),
+      ("g3", 9L)).toDF("g", "v")
+    val cur = Seq(("g1", 10L), ("g1", 11L), ("g2", 5L), ("g2", 6L))
+      .toDF("g", "v")
+    val got = graft.operators.Stats.ksDriftByGroup(ref, cur, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got.keySet == Set("g1", "g2"))
+    assert(got("g1") == ((2L, 2L, 1.0, 2L)))
+    assert(got("g2") == ((2L, 2L, 0.0, 5L)))
+  }
+
   test("gridDensityClusters: adjacent dense cells merge, isolated dense " +
     "cell self-labels, sparse cells are noise") {
     val s = spark

@@ -1093,4 +1093,15 @@ class PlanAuditSpec extends SparkSpec {
       && !p.contains("SortMergeJoin"), p.take(2000))
     assert(!p.contains("Window"), "no per-row window in the scoring path")
   }
+
+  test("q221: the per-segment CDF walk partitions by group — no global " +
+    "sort, argmax joins back broadcast") {
+    val p = plan("q221_ks_by_segment")
+    assert(p.contains("Window"), "the CDF window must exist")
+    assert(!p.contains("SinglePartition"),
+      "partitioned by group, never a global window\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("SortMergeJoin"), p.take(2000))
+  }
 }
