@@ -3614,6 +3614,48 @@ object SparkEntry {
         scaled.filter(col("ts") >= cutoff)
           .select(col("event_type"), col("sv")),
         "event_type", "sv")
+    }),
+
+    "q222_embedding_drift" -> ((s, dir) => {
+      // embedding-distribution drift between ingest batches — the third
+      // modality in the drift family (tokens: q117 KL; values:
+      // q156/q217/q221; embeddings: HERE): per-batch mean vector from
+      // ONE (batch, dim) decimal-exact aggregate, consecutive-batch
+      // cosine with DECIMAL-accumulated products so aggregation order
+      // can't flip a bit. The corpus exchanges batches×dims partial
+      // sums; everything after is cell-table-sized. On real corpora the
+      // batch mean is dominated by the corpus mean (cosine ≈ 1, drops
+      // under drift); these synthetic random batches read as near-zero
+      // noise cosines — the pinned readout either way.
+      val cells = t(s, dir, "embeddings")
+        .select((col("vec_id") % 4).as("batch"),
+          posexplode(col("embedding")))
+        .select(col("batch"), col("pos").as("dim"),
+          round(col("col").cast("double"), 6).cast("decimal(15,6)")
+            .as("v"))
+        .groupBy(col("batch"), col("dim"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .select(col("batch"), col("dim"),
+          (col("sv").cast("double") / col("n").cast("double")).as("md"),
+          col("n"))
+      val a = cells.select(col("batch").as("bf"), col("dim"),
+        col("md").as("ma"), col("n").as("n_from"))
+      val b = cells.select((col("batch") - 1).as("bf"), col("dim"),
+        col("md").as("mb"), col("n").as("n_to"))
+      def dec(c: Column) = round(c, 15).cast("decimal(20,15)")
+      a.join(broadcast(b), Seq("bf", "dim"))
+        .groupBy(col("bf"))
+        .agg(max(col("n_from")).as("n_from"), max(col("n_to")).as("n_to"),
+          sum(dec(col("ma") * col("mb"))).as("dot"),
+          sum(dec(col("ma") * col("ma"))).as("na"),
+          sum(dec(col("mb") * col("mb"))).as("nb"))
+        .select(col("bf").as("batch_from"),
+          (col("bf") + lit(1L)).as("batch_to"),
+          col("n_from"), col("n_to"),
+          round(col("dot").cast("double")
+            / (sqrt(col("na").cast("double"))
+              * sqrt(col("nb").cast("double"))), 6).as("cosine"))
+        .orderBy(col("batch_from"))
     })
   )
 
@@ -8699,7 +8741,40 @@ object SparkEntry {
         |SELECT df.g, n_ref, n_cur, ks, CAST(MIN(v) AS BIGINT) AS ks_at
         |FROM df JOIN m ON m.g = df.g AND df.dd = m.ks
         |GROUP BY 1, 2, 3, 4
-        |ORDER BY df.g""".stripMargin
+        |ORDER BY df.g""".stripMargin,
+
+    "q222_embedding_drift" ->
+      """WITH x AS (
+        |  SELECT vec_id % 4 AS batch,
+        |    unnest(range(0, len(embedding))) AS dim, embedding AS e
+        |  FROM embeddings
+        |), x2 AS (
+        |  SELECT batch, dim,
+        |    CAST(round(CAST(e[CAST(dim + 1 AS INT)] AS DOUBLE), 6)
+        |      AS DECIMAL(15,6)) AS v
+        |  FROM x
+        |), cells AS (
+        |  SELECT batch, dim,
+        |    CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS md,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM x2 GROUP BY 1, 2
+        |), j AS (
+        |  SELECT a.batch AS bf, a.dim, a.md AS ma, b.md AS mb,
+        |    a.n AS n_from, b.n AS n_to
+        |  FROM cells a JOIN cells b
+        |    ON b.dim = a.dim AND b.batch = a.batch + 1
+        |), agg AS (
+        |  SELECT bf, MAX(n_from) AS n_from, MAX(n_to) AS n_to,
+        |    SUM(CAST(round(ma * mb, 15) AS DECIMAL(20,15))) AS dot,
+        |    SUM(CAST(round(ma * ma, 15) AS DECIMAL(20,15))) AS na,
+        |    SUM(CAST(round(mb * mb, 15) AS DECIMAL(20,15))) AS nb
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT bf AS batch_from, bf + 1 AS batch_to, n_from, n_to,
+        |  round(CAST(dot AS DOUBLE)
+        |    / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+        |    AS cosine
+        |FROM agg ORDER BY batch_from""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

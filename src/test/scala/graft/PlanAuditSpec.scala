@@ -1104,4 +1104,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct")
       && !p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("q222: the batch-mean cells join as a broadcast; no window, no " +
+    "cartesian") {
+    val p = plan("q222_embedding_drift")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("SortMergeJoin") && !p.contains("Window"),
+      p.take(2000))
+  }
 }
