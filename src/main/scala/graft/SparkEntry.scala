@@ -3656,6 +3656,116 @@ object SparkEntry {
             / (sqrt(col("na").cast("double"))
               * sqrt(col("nb").cast("double"))), 6).as("cosine"))
         .orderBy(col("batch_from"))
+    }),
+
+    "q226_modularity" -> ((s, dir) => {
+      // community-quality gate over q154's label-prop communities on the
+      // support>=2 co-purchase graph: Newman per-community modularity —
+      // is each brand community denser than a degree-preserving random
+      // rewiring would make it? Edge-set-only algebra: one edge pass for
+      // m/degrees, two keyed joins for intra-edges, a 1-row broadcast
+      // for m; contributions are exact-integer until one pinned double.
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2)
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      val seeds = t(s, dir, "part")
+        .filter(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey").as("node"), col("p_brand").as("label"))
+      val labels = operators.Graph.labelPropagation(edges, seeds,
+        rounds = 3)
+      operators.Graph.modularityByCommunity(edges, labels)
+        .orderBy(col("community"))
+    }),
+
+    "q229_unseen_vocab" -> ((s, dir) => {
+      // how much vocabulary has each source NOT shown yet — the corpus
+      // coverage readout that says whether more crawling of a feed will
+      // surface new tokens: Good–Turing missing mass p0 = N1/N (Gale &
+      // Sampson 1995) and the bias-corrected Chao1 richness estimate
+      // V + N1*(N1-1)/(2*(N2+1)) (Chao 1984) from the
+      // frequency-of-frequencies. Species = trigram word shingles (the
+      // q71 span algebra — token vocab is too small on this corpus to
+      // have a tail; span space has a real hapax mass). ONE
+      // (source, shingle) partial-combined exchange; everything after
+      // is source-sized. Exact integer counts; the two derived values
+      // are single pinned double divisions + round(6).
+      GraftFunctions.register(s)
+      val tk = t(s, dir, "documents").select(col("source"),
+        explode(operators.TextAnalysis.shingles(col("text"), 3))
+          .as("term"))
+      tk.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("vocab"),
+          sum(col("c")).cast("long").as("n_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long")
+            .as("n1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).cast("long")
+            .as("n2"))
+        .select(col("source"), col("vocab"), col("n_tokens"),
+          col("n1"), col("n2"),
+          round(col("n1").cast("double")
+            / col("n_tokens").cast("double"), 6).as("missing_mass"),
+          round(col("vocab").cast("double")
+            + (col("n1") * (col("n1") - lit(1L))).cast("double")
+              / ((col("n2") + lit(1L)) * lit(2L)).cast("double"), 6)
+            .as("chao1"))
+        .orderBy(col("source"))
+    }),
+
+    "q227_woe_iv" -> ((s, dir) => {
+      // weight-of-evidence / information-value feature screening (the
+      // credit-scoring standard, Siddiqi 2006): how strongly do cheap
+      // engine-computable features (length bin, chars-per-token bin)
+      // separate English from non-English docs. Map-side binning, one
+      // (feature, bin) partial-combined count, per-feature totals and IV
+      // join back on the bounded bin table. Laplace 0.5 smoothing keeps
+      // empty cells finite; shares/ln are pinned-op-order doubles; the
+      // IV sum accumulates round(9) DECIMALs so partial-agg order can't
+      // flip a bit.
+      val docs = t(s, dir, "documents")
+      val base = docs
+        .withColumn("toks",
+          operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+        .select((col("lang") === "en").as("good"),
+          expr("CAST(least(n_chars DIV 100, 5) AS BIGINT)")
+            .as("len_bin"),
+          expr("CAST(least(greatest((n_chars * 10)" +
+            " DIV greatest(toks, 1) - 50, 0), 9) AS BIGINT)")
+            .as("wordlen_bin"))
+      val rows = base.select(lit("len_bin").as("feature"),
+          col("len_bin").as("bin"), col("good"))
+        .unionAll(base.select(lit("wordlen_bin").as("feature"),
+          col("wordlen_bin").as("bin"), col("good")))
+      val cnt = rows.groupBy(col("feature"), col("bin"))
+        .agg(sum(when(col("good"), 1L).otherwise(0L)).cast("long")
+            .as("n_good"),
+          sum(when(col("good"), 0L).otherwise(1L)).cast("long")
+            .as("n_bad"))
+      val tot = cnt.groupBy(col("feature"))
+        .agg(sum(col("n_good")).cast("long").as("tg"),
+          sum(col("n_bad")).cast("long").as("tb"))
+      val gs = (col("n_good").cast("double") + lit(0.5)) /
+        (col("tg").cast("double") + lit(0.5))
+      val bs = (col("n_bad").cast("double") + lit(0.5)) /
+        (col("tb").cast("double") + lit(0.5))
+      val scored = cnt.join(tot, Seq("feature"))
+        .select(col("feature"), col("bin"), col("n_good"), col("n_bad"),
+          round(log(gs / bs), 6).as("woe"),
+          round((gs - bs) * log(gs / bs), 9).cast("decimal(38,9)")
+            .as("term"))
+      val iv = scored.groupBy(col("feature"))
+        .agg(round(sum(col("term")).cast("double"), 6).as("iv"))
+      scored.join(iv, Seq("feature"))
+        .select(col("feature"), col("bin"), col("n_good"), col("n_bad"),
+          col("woe"), col("iv"))
+        .orderBy(col("feature"), col("bin"))
     })
   )
 
@@ -8774,7 +8884,113 @@ object SparkEntry {
         |  round(CAST(dot AS DOUBLE)
         |    / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
         |    AS cosine
-        |FROM agg ORDER BY batch_from""".stripMargin
+        |FROM agg ORDER BY batch_from""".stripMargin,
+
+    // replays q154's label-prop chain, then the modularity algebra over
+    // the same canonical edge set (e0 is already u<v, deduped)
+    "q226_modularity" -> (labelPropBodySql(rounds = 3) + """,
+      |labs AS MATERIALIZED (
+      |  SELECT node, lab AS label FROM l3 WHERE lab IS NOT NULL
+      |), mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0
+      |), deg AS (
+      |  SELECT n AS node, CAST(count(*) AS BIGINT) AS d
+      |  FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+      |  GROUP BY 1
+      |), com AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+      |    CAST(sum(d) AS BIGINT) AS degree_sum
+      |  FROM labs JOIN deg USING (node) GROUP BY 1
+      |), intra AS (
+      |  SELECT la.label, CAST(count(*) AS BIGINT) AS ie
+      |  FROM e0 e JOIN labs la ON e.u = la.node
+      |  JOIN labs lb ON e.v = lb.node
+      |  WHERE la.label = lb.label GROUP BY 1
+      |)
+      |SELECT c.label AS community, c.n_nodes,
+      |  CAST(coalesce(i.ie, 0) AS BIGINT) AS intra_edges, c.degree_sum,
+      |  round(CAST(coalesce(i.ie, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+      |    - (CAST(c.degree_sum AS DOUBLE) / CAST(m.m * 2 AS DOUBLE))
+      |      * (CAST(c.degree_sum AS DOUBLE) / CAST(m.m * 2 AS DOUBLE)),
+      |    6) AS contribution
+      |FROM com c LEFT JOIN intra i USING (label), mm m
+      |ORDER BY community""".stripMargin),
+
+    "q229_unseen_vocab" ->
+      """WITH raw AS (
+        |  SELECT source,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS raw
+        |  FROM documents
+        |), tk AS (
+        |  SELECT source, unnest(CASE WHEN len(raw) < 3
+        |    THEN [array_to_string(raw, ' ')]
+        |    ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |          for i in range(0, len(raw) - 2)] END) AS term
+        |  FROM raw
+        |), tc AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2
+        |), ff AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM tc GROUP BY source
+        |)
+        |SELECT source, vocab, n_tokens, n1, n2,
+        |  round(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+        |    AS missing_mass,
+        |  round(CAST(vocab AS DOUBLE)
+        |    + CAST(n1 * (n1 - 1) AS DOUBLE)
+        |      / CAST((n2 + 1) * 2 AS DOUBLE), 6) AS chao1
+        |FROM ff ORDER BY source""".stripMargin,
+
+    "q227_woe_iv" ->
+      """WITH base AS (
+        |  SELECT (lang = 'en') AS good,
+        |    least(n_chars // 100, 5) AS len_bin,
+        |    least(greatest((n_chars * 10)
+        |      // greatest(len(list_filter(regexp_split_to_array(text,
+        |            '\s+'), x -> x <> '')), 1) - 50, 0), 9) AS wordlen_bin
+        |  FROM documents
+        |), rows_ AS (
+        |  SELECT 'len_bin' AS feature, len_bin AS bin, good FROM base
+        |  UNION ALL
+        |  SELECT 'wordlen_bin', wordlen_bin, good FROM base
+        |), cnt AS (
+        |  SELECT feature, CAST(bin AS BIGINT) AS bin,
+        |    CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_good,
+        |    CAST(sum(CASE WHEN good THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_bad
+        |  FROM rows_ GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT feature, CAST(sum(n_good) AS BIGINT) AS tg,
+        |    CAST(sum(n_bad) AS BIGINT) AS tb
+        |  FROM cnt GROUP BY 1
+        |), scored AS (
+        |  SELECT feature, bin, n_good, n_bad,
+        |    round(ln(((CAST(n_good AS DOUBLE) + 0.5)
+        |        / (CAST(tg AS DOUBLE) + 0.5))
+        |      / ((CAST(n_bad AS DOUBLE) + 0.5)
+        |        / (CAST(tb AS DOUBLE) + 0.5))), 6) AS woe,
+        |    CAST(round((((CAST(n_good AS DOUBLE) + 0.5)
+        |        / (CAST(tg AS DOUBLE) + 0.5))
+        |      - ((CAST(n_bad AS DOUBLE) + 0.5)
+        |        / (CAST(tb AS DOUBLE) + 0.5)))
+        |      * ln(((CAST(n_good AS DOUBLE) + 0.5)
+        |        / (CAST(tg AS DOUBLE) + 0.5))
+        |      / ((CAST(n_bad AS DOUBLE) + 0.5)
+        |        / (CAST(tb AS DOUBLE) + 0.5))), 9) AS DECIMAL(38,9))
+        |      AS term
+        |  FROM cnt JOIN tot USING (feature)
+        |), iv AS (
+        |  SELECT feature, round(CAST(sum(term) AS DOUBLE), 6) AS iv
+        |  FROM scored GROUP BY 1
+        |)
+        |SELECT feature, bin, n_good, n_bad, woe, iv
+        |FROM scored JOIN iv USING (feature)
+        |ORDER BY feature, bin""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2
@@ -8962,7 +9178,7 @@ object SparkEntry {
     * support>=2 co-purchase graph with 20%-of-parts brand seeds:
     * `rounds` unrolled majority-vote rounds (MATERIALIZED — the same
     * inlining-blowup guard as [[kcoreSql]]). */
-  private def labelPropSql(rounds: Int): String = {
+  private def labelPropBodySql(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH e0 AS MATERIALIZED (
              |  SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -9007,11 +9223,13 @@ object SparkEntry {
                 |  FROM l$i l LEFT JOIN w${i + 1} w USING (node)
                 |)""".stripMargin
     }
-    sb ++= s"""
-              |SELECT node, lab AS label FROM l$rounds
-              |WHERE lab IS NOT NULL ORDER BY node""".stripMargin
     sb.toString
   }
+
+  private def labelPropSql(rounds: Int): String =
+    labelPropBodySql(rounds) + s"""
+       |SELECT node, lab AS label FROM l$rounds
+       |WHERE lab IS NOT NULL ORDER BY node""".stripMargin
 
   /** DuckDB replay of [[operators.Graph.kCore]] over the support>=2
     * co-purchase part graph: `rounds` unrolled peel rounds (degree CTE,

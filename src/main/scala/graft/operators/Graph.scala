@@ -464,4 +464,59 @@ object Graph {
     }
     dist
   }
+
+  /** Newman modularity per community (Newman & Girvan 2004): for each
+    * community c over an undirected simple graph,
+    * `Q_c = e_c/m - (d_c/2m)^2` — intra-edge share minus the share a
+    * degree-preserving random rewiring would produce. The standard
+    * "are these communities real structure or just density" gate over
+    * any partition this engine emits ([[labelPropagation]] communities,
+    * [[Dedup.nearDupClusters]] cluster labels).
+    *
+    * Scale shape: `m` and the degree table come from one pass over the
+    * canonical edge set; intra-edge counting is two keyed equi-joins of
+    * edges to the (node, label) table — the edge set never widens and
+    * nothing is quadratic in community size. The per-community output is
+    * partition-sized. Only nodes present in `labels` contribute rows;
+    * `m` counts ALL edges, so contributions are comparable across
+    * partial labelings. Exact integer counts; the one double expression
+    * has a pinned op order + round(6) so the oracle replays bit-exact.
+    *
+    * `edges`: (src, dst) — canonicalized and deduplicated here.
+    * `labels`: (node, label).
+    */
+  def modularityByCommunity(edges: DataFrame, labels: DataFrame)
+      : DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val mRow = e.agg(count(lit(1)).cast("long").as("m"))
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).cast("long").as("d"))
+    val com = labels.join(deg, Seq("node"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        sum(col("d")).cast("long").as("degree_sum"))
+    val intra = e
+      .join(labels.select(col("node").as("u"), col("label").as("la")),
+        Seq("u"))
+      .join(labels.select(col("node").as("v"), col("label").as("lb")),
+        Seq("v"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).cast("long").as("intra_edges"))
+    com.join(intra, Seq("label"), "left")
+      .crossJoin(broadcast(mRow))
+      .withColumn("ie", coalesce(col("intra_edges"), lit(0L)).cast("long"))
+      .select(col("label").as("community"), col("n_nodes"),
+        col("ie").as("intra_edges"), col("degree_sum"),
+        round(col("ie").cast("double") / col("m").cast("double")
+          - (col("degree_sum").cast("double")
+              / (col("m") * lit(2L)).cast("double"))
+            * (col("degree_sum").cast("double")
+              / (col("m") * lit(2L)).cast("double")), 6)
+          .as("contribution"))
+  }
 }

@@ -3481,4 +3481,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == 7L)
     assert(got.values.map(_._2).sum == 3L)
   }
+
+  test("modularityByCommunity: hand-computed triangle + pendant pair; " +
+    "unlabeled nodes thin degree sums but never intra edges") {
+    val s = spark
+    import s.implicits._
+    // triangle {1,2,3} + edge {4,5} + bridge 3-4: m = 5
+    // deg: 1->2 2->2 3->3 4->2 5->1
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (3L, 4L))
+      .toDF("src", "dst")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"))
+      .toDF("node", "label")
+    val got = graft.operators.Graph.modularityByCommunity(edges, labels)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // A: e=3, d=7 -> 3/5 - (7/10)^2 = 0.11 ; B: e=1, d=3 -> 1/5 - 0.09
+    assert(got("A") == ((3L, 3L, 7L, 0.11)))
+    assert(got("B") == ((2L, 1L, 3L, 0.11)))
+    // drop 5's label: B loses its intra edge (4-5 is now cross), and
+    // only 4's degree counts toward B
+    val part = graft.operators.Graph.modularityByCommunity(edges,
+        labels.filter($"node" =!= 5L))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(part("B") == ((1L, 0L, 2L)))
+    assert(part("A") == ((3L, 3L, 7L)))
+  }
 }
