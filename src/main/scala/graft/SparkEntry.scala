@@ -3766,7 +3766,46 @@ object SparkEntry {
         .select(col("feature"), col("bin"), col("n_good"), col("n_bad"),
           col("woe"), col("iv"))
         .orderBy(col("feature"), col("bin"))
-    })
+    }),
+
+    "q223_shapley_attribution" -> ((s, dir) => {
+      // exact Shapley-value channel attribution (the data-driven
+      // attribution model): journeys = user-days, channels = the four
+      // non-purchase event types, v(S) = observed conversion rate of
+      // exact-set-S journeys. ONE corpus aggregate collapses events to
+      // the <=2^4-row journey-set table; the subset game is a driver
+      // constant + two broadcast lookups — nothing after the first
+      // exchange scales with data. Completes the attribution family:
+      // q103 last-touch, q212 time-decay, HERE the cooperative-game
+      // credit.
+      val ev = t(s, dir, "events")
+      val j = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(concat_ws(",", array_sort(collect_set(
+            when(col("event_type") =!= "purchase", col("event_type")))))
+            .as("set_key"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+      // touchless journeys (purchase-only days) are excluded: they exist
+      // only BECAUSE they converted, so v(empty) would be a
+      // selection-biased 1.0 baseline dragging every marginal negative;
+      // with them out, v(empty)=0 — the standard simplified-game default
+      val js = j.filter(col("set_key") =!= "")
+        .groupBy(col("set_key"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("conv"))
+      operators.Stats.shapleyAttribution(js,
+        Seq("click", "error", "signup", "view"))
+    }),
+
+    "q225_reshard_audit" -> ((s, dir) =>
+      // the data-motion bill of growing 8 -> 9 shards, BEFORE committing
+      // the reshard: mod-N reshuffles ~8/9 of the corpus; rendezvous
+      // hashing moves only keys whose argmax lands on the new node
+      // (~1/9) — the minimal-disruption argument, measured on this
+      // corpus's real keys. Both assignments are map-side md5
+      // projections; one aggregate; 2-row output.
+      operators.Sharding.reshardAudit(t(s, dir, "documents"), "doc_id",
+          n0 = 8, n1 = 9)
+        .orderBy(col("scheme")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -8990,7 +9029,82 @@ object SparkEntry {
         |)
         |SELECT feature, bin, n_good, n_bad, woe, iv
         |FROM scored JOIN iv USING (feature)
-        |ORDER BY feature, bin""".stripMargin
+        |ORDER BY feature, bin""".stripMargin,
+
+    // the subset/weight constant table is emitted by the SAME
+    // enumeration the Spark side joins against (Stats.shapleySubsets)
+    "q223_shapley_attribution" -> {
+      val values = operators.Stats
+        .shapleySubsets(Seq("click", "error", "signup", "view"))
+        .map { case (ch, sk, tk, w) => s"('$ch', '$sk', '$tk', $w)" }
+        .mkString(",\n  ")
+      s"""WITH j AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day,
+         |    coalesce(array_to_string(list_sort(list_distinct(
+         |      list(event_type) FILTER (WHERE event_type <> 'purchase'))),
+         |      ','), '') AS set_key,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS conv
+         |  FROM events GROUP BY 1, 2
+         |), js AS (
+         |  SELECT set_key, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(conv) AS BIGINT) AS c
+         |  FROM j WHERE set_key <> '' GROUP BY 1
+         |), sub(channel, s_key, t_key, w_num) AS (VALUES
+         |  $values
+         |), sv AS (
+         |  SELECT channel, w_num, s.n AS ns, s.c AS cs, t.n AS nt,
+         |    t.c AS ct
+         |  FROM sub LEFT JOIN js s ON s.set_key = sub.s_key
+         |  LEFT JOIN js t ON t.set_key = sub.t_key
+         |), terms AS (
+         |  SELECT channel, coalesce(ns, 0) AS nsz, coalesce(cs, 0) AS csz,
+         |    CAST(round((CAST(w_num AS DOUBLE) *
+         |      ((CASE WHEN ns IS NULL THEN 0.0
+         |         ELSE CAST(cs AS DOUBLE) / CAST(ns AS DOUBLE) END)
+         |       - (CASE WHEN nt IS NULL THEN 0.0
+         |         ELSE CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE) END)))
+         |      / 24.0, 9) AS DECIMAL(38,9)) AS term
+         |  FROM sv
+         |)
+         |SELECT channel, CAST(sum(nsz) AS BIGINT) AS n_journeys,
+         |  CAST(sum(csz) AS BIGINT) AS n_conversions,
+         |  round(CAST(sum(term) AS DOUBLE), 6) AS shapley
+         |FROM terms GROUP BY 1 ORDER BY channel""".stripMargin
+    },
+
+    "q225_reshard_audit" ->
+      """WITH k AS (
+        |  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS k FROM documents
+        |), h AS (
+        |  SELECT k,
+        |    list_sum([CAST(round(pow(16, 7 - j)) AS BIGINT) *
+        |      (strpos('0123456789abcdef', substr(md5(k), j + 1, 1)) - 1)
+        |      for j in range(0, 8)]) AS bucket,
+        |    CAST(substr(list_max([md5('n' || CAST(i AS VARCHAR) || ':'
+        |        || k) || '#' || lpad(CAST(i AS VARCHAR), 2, '0')
+        |      for i in range(0, 8)]), 34, 2) AS INT) AS h0,
+        |    CAST(substr(list_max([md5('n' || CAST(i AS VARCHAR) || ':'
+        |        || k) || '#' || lpad(CAST(i AS VARCHAR), 2, '0')
+        |      for i in range(0, 9)]), 34, 2) AS INT) AS h1
+        |  FROM k
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(CASE WHEN bucket % 8 <> bucket % 9 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS mod_m,
+        |    CAST(sum(CASE WHEN h0 <> h1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hrw_m
+        |  FROM h
+        |)
+        |SELECT 'hrw' AS scheme, n_keys, hrw_m AS n_moved,
+        |  round(CAST(hrw_m AS DOUBLE) / CAST(n_keys AS DOUBLE), 6)
+        |    AS moved_share
+        |FROM a
+        |UNION ALL
+        |SELECT 'mod', n_keys, mod_m,
+        |  round(CAST(mod_m AS DOUBLE) / CAST(n_keys AS DOUBLE), 6)
+        |FROM a
+        |ORDER BY scheme""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

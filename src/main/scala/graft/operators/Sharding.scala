@@ -66,4 +66,51 @@ object Sharding {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("shard_key"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  /** Rendezvous / highest-random-weight node assignment (Thaler &
+    * Ravishankar 1996): the key goes to the node with the largest
+    * md5("n<i>:<key>") weight. Ties (astronomically unlikely but the
+    * contract must be total) break to the larger node id via the
+    * "#<node>" suffix inside one fixed-width max-string reduction —
+    * a pure map-side projection, `nNodes` hashes per key. */
+  def hrwNode(idCol: String, nNodes: Int): Column = {
+    require(nNodes > 0 && nNodes < 100)
+    val tagged = transform(sequence(lit(0), lit(nNodes - 1)),
+      i => concat(
+        md5(concat(lit("n"), i.cast("string"), lit(":"),
+          col(idCol).cast("string"))),
+        lit("#"), lpad(i.cast("string"), 2, "0")))
+    substring(array_max(tagged), 34, 2).cast("int")
+  }
+
+  /** Reshard-movement audit: when the shard count grows `n0 -> n1`,
+    * what fraction of keys MOVE under (a) the mod-N assignment
+    * ([[shardOf]] — nearly every key reshuffles, ~1-1/n1 of the corpus
+    * in motion) vs (b) rendezvous hashing ([[hrwNode]] — only keys whose
+    * argmax lands on a NEW node move, ~(n1-n0)/n1, the minimal-disruption
+    * bound). The scout a 100 TB layout owner runs BEFORE committing a
+    * reshard: the answer is the data-motion bill. Both assignments are
+    * map-side md5 projections over the distinct key table; one
+    * partial-combined aggregate; 2-row output. */
+  def reshardAudit(df: DataFrame, idCol: String, n0: Int, n1: Int)
+      : DataFrame = {
+    val keys = df.select(col(idCol).cast("string").as("k")).distinct()
+    val agg1 = keys.select(
+        (shardOf("k", n0) =!= shardOf("k", n1)).as("mod_moved"),
+        (hrwNode("k", n0) =!= hrwNode("k", n1)).as("hrw_moved"))
+      .agg(count(lit(1)).cast("long").as("n_keys"),
+        sum(when(col("mod_moved"), 1L).otherwise(0L)).cast("long")
+          .as("mod_m"),
+        sum(when(col("hrw_moved"), 1L).otherwise(0L)).cast("long")
+          .as("hrw_m"))
+    agg1.select(explode(array(
+        struct(lit("hrw").as("scheme"), col("n_keys"),
+          col("hrw_m").as("n_moved")),
+        struct(lit("mod").as("scheme"), col("n_keys"),
+          col("mod_m").as("n_moved")))).as("r"))
+      .select(col("r.scheme").as("scheme"), col("r.n_keys").as("n_keys"),
+        col("r.n_moved").as("n_moved"),
+        round(col("r.n_moved").cast("double")
+          / col("r.n_keys").cast("double"), 6).as("moved_share"))
+  }
 }

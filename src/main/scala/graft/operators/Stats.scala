@@ -1031,4 +1031,77 @@ object Stats {
         col("ks_at"))
       .orderBy(col("g"))
   }
+
+  /** The (channel, S, T, weight-numerator) enumeration behind
+    * [[shapleyAttribution]]: for each channel i and each coalition
+    * `T ⊆ channels\{i}`, the ordering-count numerator
+    * `|T|! * (n-1-|T|)!` (denominator `n!`). Set keys are the
+    * sorted-comma-join canonical form. Public so the DuckDB oracle can
+    * emit the identical constant table. */
+  def shapleySubsets(channels: Seq[String])
+      : Seq[(String, String, String, Long)] = {
+    val chs = channels.sorted
+    val n = chs.length
+    require(n >= 1 && n <= 10, "driver-side 2^(n-1) enumeration")
+    def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+    for {
+      i <- chs.indices
+      rest = chs.patch(i, Nil, 1)
+      mask <- 0 until (1 << (n - 1))
+    } yield {
+      val t = rest.zipWithIndex.collect {
+        case (c, j) if (mask & (1 << j)) != 0 => c
+      }
+      ((chs(i), (t :+ chs(i)).sorted.mkString(","), t.mkString(","),
+        fact(t.size) * fact(n - 1 - t.size)))
+    }
+  }
+
+  /** Exact Shapley-value channel attribution (Shapley 1953; the
+    * data-driven attribution standard, Zhao et al. 2018): the
+    * characteristic function is the observed conversion rate per EXACT
+    * touch-type set, `v(S) = conv(S)/journeys(S)` (unobserved coalitions
+    * contribute 0 — the standard simplified game), and each channel's
+    * credit is `φ_i = Σ_{T⊆C\{i}} |T|!(n-1-|T|)!/n! · [v(T∪{i})-v(T)]`.
+    *
+    * Scale shape: the corpus collapses to the journey-set table in one
+    * partial-combined aggregate upstream (`journeys` arrives as
+    * (set_key, n, conv) — at most 2^n rows); the subset enumeration is a
+    * driver constant (n·2^(n-1) rows) and both v-lookups are broadcast
+    * joins against the bounded set table. Nothing downstream of the one
+    * corpus aggregate scales with data. The marginal terms accumulate as
+    * round(9) DECIMALs so partial-agg order cannot flip a bit.
+    *
+    * `journeys`: (set_key, n, conv) — set_key the sorted-comma-join of
+    * the journey's distinct channels ("" allowed: the touchless
+    * baseline), n journey count, conv converted-journey count.
+    */
+  def shapleyAttribution(journeys: DataFrame, channels: Seq[String])
+      : DataFrame = {
+    val spark = journeys.sparkSession
+    import spark.implicits._
+    val den = (1 to channels.length).foldLeft(1L)(_ * _)
+    val sub = shapleySubsets(channels)
+      .toDF("channel", "s_key", "t_key", "w_num")
+    val js = journeys.select(col("set_key"),
+      col("n").cast("long").as("n"), col("conv").cast("long").as("c"))
+    def v(nc: String, cc: String): Column =
+      when(col(nc).isNull, lit(0.0))
+        .otherwise(col(cc).cast("double") / col(nc).cast("double"))
+    sub
+      .join(broadcast(js.select(col("set_key").as("s_key"),
+        col("n").as("ns"), col("c").as("cs"))), Seq("s_key"), "left")
+      .join(broadcast(js.select(col("set_key").as("t_key"),
+        col("n").as("nt"), col("c").as("ct"))), Seq("t_key"), "left")
+      .select(col("channel"),
+        coalesce(col("ns"), lit(0L)).as("nsz"),
+        coalesce(col("cs"), lit(0L)).as("csz"),
+        round((col("w_num").cast("double") * (v("ns", "cs") - v("nt", "ct")))
+          / lit(den.toDouble), 9).cast("decimal(38,9)").as("term"))
+      .groupBy(col("channel"))
+      .agg(sum(col("nsz")).cast("long").as("n_journeys"),
+        sum(col("csz")).cast("long").as("n_conversions"),
+        round(sum(col("term")).cast("double"), 6).as("shapley"))
+      .orderBy(col("channel"))
+  }
 }

@@ -3507,4 +3507,51 @@ class OperatorsSpec extends SparkSpec {
     assert(part("B") == ((1L, 0L, 2L)))
     assert(part("A") == ((3L, 3L, 7L)))
   }
+
+  test("shapleyAttribution: hand-computed 2-channel game; credits sum " +
+    "to v(full) when v(empty)=0") {
+    val s = spark
+    import s.implicits._
+    // v(a)=1/2, v(b)=0, v(a,b)=1, v(empty) unobserved -> 0
+    // phi_a = 1/2*(v(a)-0) + 1/2*(v(ab)-v(b)) = 0.25 + 0.5 = 0.75
+    // phi_b = 1/2*(v(b)-0) + 1/2*(v(ab)-v(a)) = 0   + 0.25 = 0.25
+    val js = Seq(("a", 2L, 1L), ("b", 2L, 0L), ("a,b", 2L, 2L))
+      .toDF("set_key", "n", "conv")
+    val got = graft.operators.Stats.shapleyAttribution(js, Seq("b", "a"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("a") == ((4L, 3L, 0.75)))
+    assert(got("b") == ((4L, 2L, 0.25)))
+    // subsets enumerate over SORTED channels regardless of input order
+    val sub = graft.operators.Stats.shapleySubsets(Seq("b", "a"))
+    assert(sub.size == 4 && sub.forall { case (ch, sk, tk, w) =>
+      val union = (tk.split(",").filter(_.nonEmpty) :+ ch).sorted
+      sk == union.mkString(",") && w == 1L
+    })
+  }
+
+  test("hrwNode: matches a Scala md5 argmax replay; reshard 8->9 only " +
+    "moves keys onto the new node") {
+    val s = spark
+    import s.implicits._
+    val keys = (1L to 200L).map(_.toString)
+    def hrw(k: String, n: Int): Int = (0 until n).map { i =>
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"n$i:$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (hex + "#" + f"$i%02d", i)
+    }.max._2
+    val df = keys.toDF("k")
+    val got = df.select($"k",
+        graft.operators.Sharding.hrwNode("k", 8).as("h8"),
+        graft.operators.Sharding.hrwNode("k", 9).as("h9"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2)))
+      .toMap
+    for (k <- keys) assert(got(k) == ((hrw(k, 8), hrw(k, 9))), s"key $k")
+    // minimal disruption: a key moves iff the NEW node wins it
+    for ((k, (h8, h9)) <- got if h8 != h9) assert(h9 == 8, s"key $k")
+    val audit = graft.operators.Sharding.reshardAudit(df, "k", 8, 9)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(audit("hrw") == got.count { case (_, (a, b)) => a != b })
+  }
 }
