@@ -3805,7 +3805,92 @@ object SparkEntry {
       // projections; one aggregate; 2-row output.
       operators.Sharding.reshardAudit(t(s, dir, "documents"), "doc_id",
           n0 = 8, n1 = 9)
-        .orderBy(col("scheme")))
+        .orderBy(col("scheme"))),
+
+    "q224_winnowing_pairs" -> ((s, dir) => {
+      // MOSS-style plagiarism pairs: winnowing fingerprints (k=4-token
+      // shingles, w=4 windows — any shared >=7-token run leaves a shared
+      // fingerprint) selected map-side, stop-fingerprints (df > 100, the
+      // boilerplate guard) dropped on the bounded fingerprint table, then
+      // pair candidates form on a fingerprint EQUI-JOIN — never all
+      // pairs. Where q37's MinHash answers "how similar are these sets",
+      // the winnowing join answers "do they share a literal local run" —
+      // at a ~2/(w+1) sampling rate the corpus never pays full-text
+      // comparison for.
+      GraftFunctions.register(s)
+      val fps = operators.TextAnalysis.winnowingFingerprints(
+        t(s, dir, "documents"), "doc_id", "text", k = 4, w = 4)
+      val fpd = fps.select(col("id"), col("h")).distinct()
+      val keep = fpd.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100)
+      val f2 = fpd.join(keep.select(col("h")), Seq("h"))
+      val nf = f2.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      val pr = f2.select(col("h"), col("id").as("doc_a"))
+        .join(f2.select(col("h"), col("id").as("doc_b")), Seq("h"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+      pr.join(nf.select(col("id").as("doc_a"), col("n").as("n_a")),
+          Seq("doc_a"))
+        .join(nf.select(col("id").as("doc_b"), col("n").as("n_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          col("n_a"), col("n_b"),
+          round(col("n_shared").cast("double")
+            / least(col("n_a"), col("n_b")).cast("double"), 6)
+            .as("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "q228_ann_recall_sweep" -> ((s, dir) => {
+      // the ANN operating curve: recall@10 vs nprobe over the SAME
+      // persisted IVF-PQ index q77 searches — the in-engine readout an
+      // operator consults before picking the probe budget (the q209
+      // pattern: the engine certifies its own approximate structure
+      // against in-job exact ground truth). One brute-force pass pinned
+      // once; each probe level re-joins the code table only — per-query
+      // work stays probed-cells-only. Gates, not raw floats, cross the
+      // oracle: exact result counts, per-level recall floors, and the
+      // near-monotone ordering with a 10-hit slack (growing the probed
+      // candidate set CAN displace a true neighbor under ADC error, so
+      // exact monotonicity is not a theorem; observed 70/94/101 of 300
+      // at sf0.01, 52/54/59 at sf0.1).
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 30)
+      val cb = pqCodebookFor(s, dir, emb)
+      val seeds = emb.filter(col("vec_id") < 8)
+      val idxDir = new java.io.File(
+        s".bench/q77_index_${corpusKey(dir)}").getAbsolutePath
+      val idxPath = ensurePersistedIndex(idxDir, emb.count()) {
+        Similarity.ivfPqIndex(emb, seeds, cb)
+      }
+      val idx = s.read.parquet(idxPath)
+      val exact = operators.Materializer.Local(
+        Similarity.bruteForceTopK(emb, qs, k = 10)
+          .select(col("query_id"), col("neighbor_id")))
+      val per = Seq(1, 2, 4).map { np =>
+        val pq = operators.Materializer.Local(
+          Similarity.ivfPqSearch(idx, qs, seeds, cb, k = 10, nprobe = np)
+            .select(col("query_id"), col("neighbor_id")))
+        val nr = pq.agg(count(lit(1)).cast("long").as("n_results"))
+        val th = pq.join(exact, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).cast("long").as("n_hits"))
+        nr.crossJoin(broadcast(th))
+          .select(lit(np).as("nprobe"), col("n_results"), col("n_hits"))
+      }
+      val u = per.reduce(_ unionAll _)
+      val nq = qs.agg(count(lit(1)).cast("long").as("n_queries"))
+      val h1 = per.head.select(col("n_hits").as("th1"))
+      u.crossJoin(broadcast(nq)).crossJoin(broadcast(h1))
+        .select(col("nprobe"), col("n_queries"), col("n_results"),
+          (col("n_hits") >= when(col("nprobe") === 1, 30L)
+            .when(col("nprobe") === 2, 35L).otherwise(40L))
+            .as("recall_floor_ok"),
+          (col("n_hits") + lit(10L) >= col("th1")).as("monotone_ok"))
+        .orderBy(col("nprobe"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -9104,7 +9189,70 @@ object SparkEntry {
         |SELECT 'mod', n_keys, mod_m,
         |  round(CAST(mod_m AS DOUBLE) / CAST(n_keys AS DOUBLE), 6)
         |FROM a
-        |ORDER BY scheme""".stripMargin
+        |ORDER BY scheme""".stripMargin,
+
+    // replays winnowing selection with a window-min + rightmost-tie
+    // argmax — the operator's aggregate-HOF fold has identical
+    // semantics (<= keeps the last minimum scanning left->right)
+    "q224_winnowing_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS raw
+        |  FROM documents
+        |), hsl AS (
+        |  SELECT doc_id, CASE WHEN len(raw) < 4
+        |    THEN [substr(md5(array_to_string(raw, ' ')), 1, 8)]
+        |    ELSE [substr(md5(array_to_string(raw[j+1:j+4], ' ')), 1, 8)
+        |          for j in range(0, len(raw) - 3)] END AS hs
+        |  FROM tk
+        |), ex AS (
+        |  SELECT doc_id, unnest(range(0, len(hs))) AS j, len(hs) AS m,
+        |    hs
+        |  FROM hsl
+        |), ex2 AS (
+        |  SELECT doc_id, j, m, hs[CAST(j + 1 AS INT)] AS h FROM ex
+        |), wm AS (
+        |  SELECT doc_id, j AS i, m,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY j
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM ex2
+        |), starts AS (SELECT * FROM wm WHERE i <= greatest(m - 4, 0)
+        |), sel AS (
+        |  SELECT s.doc_id, s.i, max(e.j) AS p
+        |  FROM starts s JOIN ex2 e ON e.doc_id = s.doc_id
+        |    AND e.j >= s.i AND e.j <= s.i + 3 AND e.h = s.wmin
+        |  GROUP BY 1, 2
+        |), fpd AS (
+        |  SELECT DISTINCT e.doc_id, e.h
+        |  FROM (SELECT DISTINCT doc_id, p FROM sel) q
+        |  JOIN ex2 e ON e.doc_id = q.doc_id AND e.j = q.p
+        |), keep AS (SELECT h FROM fpd GROUP BY h HAVING count(*) <= 100
+        |), f2 AS (SELECT doc_id, h FROM fpd JOIN keep USING (h)
+        |), nf AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM f2 GROUP BY 1
+        |), pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM f2 a JOIN f2 b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT doc_a, doc_b, n_shared, na.n AS n_a, nb.n AS n_b,
+        |  round(CAST(n_shared AS DOUBLE)
+        |    / CAST(least(na.n, nb.n) AS DOUBLE), 6) AS containment
+        |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
+        |JOIN nf nb ON nb.doc_id = pr.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the q77/q72 gate pattern: exact counts + boolean floors — the
+    // probabilistic structure itself is certified in-job vs brute force
+    "q228_ann_recall_sweep" ->
+      """SELECT CAST(nprobe AS INT) AS nprobe,
+        |  CAST(30 AS BIGINT) AS n_queries,
+        |  CAST(300 AS BIGINT) AS n_results,
+        |  TRUE AS recall_floor_ok, TRUE AS monotone_ok
+        |FROM (VALUES (1), (2), (4)) v(nprobe)
+        |ORDER BY nprobe""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

@@ -507,7 +507,7 @@ object Graph {
       .filter(col("la") === col("lb"))
       .groupBy(col("la").as("label"))
       .agg(count(lit(1)).cast("long").as("intra_edges"))
-    com.join(intra, Seq("label"), "left")
+    com.join(broadcast(intra), Seq("label"), "left")
       .crossJoin(broadcast(mRow))
       .withColumn("ie", coalesce(col("intra_edges"), lit(0L)).cast("long"))
       .select(col("label").as("community"), col("n_nodes"),

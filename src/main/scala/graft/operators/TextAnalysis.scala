@@ -1201,4 +1201,52 @@ object TextAnalysis {
             / col("occ_2").cast("double"), 6)).as("distinct_2"))
       .orderBy(col("grp"))
   }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003
+    * — the MOSS local fingerprinting algorithm): hash every k-token
+    * shingle, slide a w-hash window, keep each window's minimum hash
+    * (ties to the RIGHTMOST position — the paper's rule, which makes
+    * selection robust to where a match starts). Guarantee: any shared
+    * run of at least w+k-1 tokens yields at least one shared
+    * fingerprint, and ~2/(w+1) of hashes are kept — position-localized
+    * overlap detection at a fixed sampling rate, where [[fingerprint]]'s
+    * whole-doc hash can only say "identical".
+    *
+    * Scale shape: hashing and window selection are per-row array ops —
+    * zero shuffle; the output is the exploded (id, pos, hash) table,
+    * ~2/(w+1) of the corpus token mass. Hashes are the first-8-hex-chars
+    * md5 form (lexicographic == numeric for fixed-width lowercase hex,
+    * engine-portable). The hash array is materialized first (`mat`) so
+    * Catalyst's projection collapse cannot inline the md5 transform into
+    * every window comparison (the documented nested-HOF re-evaluation
+    * trap). Docs with fewer than k tokens contribute their whole text as
+    * the single shingle ([[shingles]]' contract), hence one fingerprint
+    * at pos 0.
+    */
+  def winnowingFingerprints(docs: DataFrame, idCol: String,
+                            textCol: String, k: Int = 4, w: Int = 4,
+                            mat: Materializer = Materializer.Local)
+      : DataFrame = {
+    require(k >= 1 && w >= 1)
+    val hashed = mat(docs.select(col(idCol).as("id"),
+      transform(shingles(col(textCol), k),
+        g => substring(md5(g), 1, 8)).as("hs")))
+    val m = size(col("hs"))
+    // per window start i: argmin hash over positions i..min(i+w-1, m-1),
+    // <= keeps the LAST minimum seen scanning left->right = rightmost tie
+    val sel = transform(sequence(lit(0), greatest(m - w, lit(0))),
+      i => aggregate(
+        sequence(lit(0), least(lit(w - 1), m - 1 - i)),
+        struct(lit("~").as("h"), lit(-1).as("p")),
+        (acc, o) => {
+          val p = i + o
+          val h = element_at(col("hs"), p + 1)
+          when(h <= acc.getField("h"),
+            struct(h.as("h"), p.as("p"))).otherwise(acc)
+        }).getField("p"))
+    hashed.select(col("id"), col("hs"),
+        explode(array_distinct(sel)).as("p"))
+      .select(col("id"), col("p").cast("long").as("pos"),
+        element_at(col("hs"), col("p") + 1).as("h"))
+  }
 }

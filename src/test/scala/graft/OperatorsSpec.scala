@@ -3554,4 +3554,50 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(audit("hrw") == got.count { case (_, (a, b)) => a != b })
   }
+
+  test("winnowingFingerprints: exact Scala replay (rightmost-min ties); " +
+    "a shared w+k-1 token run guarantees a shared fingerprint") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    def words(n: Int, tag: String) =
+      (0 until n).map(_ => tag + rnd.nextInt(40)).mkString(" ")
+    val shared = "alpha beta gamma delta epsilon zeta eta" // 7 = w+k-1
+    val docs = Seq(
+      (1L, words(30, "a") + " " + shared + " " + words(25, "b")),
+      (2L, words(18, "c") + " " + shared + " " + words(33, "d")),
+      (3L, words(40, "e")),
+      (4L, "tiny doc"), // < k tokens -> whole-text fallback
+      (5L, words(3, "f"))
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .winnowingFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    def md5hex8(x: String) = MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    def replay(id: Long, text: String) = {
+      val tk = text.split("\\s+").filter(_.nonEmpty)
+      val hs = if (tk.length < 4) Array(md5hex8(tk.mkString(" ")))
+        else tk.sliding(4).map(g => md5hex8(g.mkString(" "))).toArray
+      val starts = 0 to math.max(hs.length - 4, 0)
+      starts.map { i =>
+        val win = (i until math.min(i + 4, hs.length))
+        val mn = win.map(hs).min
+        val p = win.filter(hs(_) == mn).max // rightmost tie
+        (id, p.toLong, hs(p))
+      }.toSet
+    }
+    // replay every doc from the same source rows
+    val src = docs.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val full = src.flatMap { case (id, tx) => replay(id, tx) }.toSet
+    assert(got == full)
+    // guarantee: docs 1 and 2 share at least one fingerprint hash
+    val h1 = got.collect { case (1L, _, h) => h }
+    val h2 = got.collect { case (2L, _, h) => h }
+    assert(h1.intersect(h2).nonEmpty)
+    // the whole-text fallback emits exactly one fingerprint at pos 0
+    assert(got.collect { case (4L, p, _) => p } == Set(0L))
+  }
 }

@@ -1113,4 +1113,33 @@ class PlanAuditSpec extends SparkSpec {
       && !p.contains("SortMergeJoin") && !p.contains("Window"),
       p.take(2000))
   }
+
+  test("q223: everything after the journey aggregate is broadcast over " +
+    "the bounded set table — no window, no cartesian") {
+    val p = plan("q223_shapley_attribution")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("SortMergeJoin") && !p.contains("Window"),
+      p.take(2000))
+  }
+
+  test("q224: winnowing pair candidates form on a fingerprint equi-join " +
+    "— never all pairs, no per-doc window") {
+    val p = plan("q224_winnowing_pairs")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("Window"), p.take(3000))
+  }
+
+  test("q226/q227: the bounded community/IV rollups join back broadcast " +
+    "(node-scale label joins may SMJ); WOE has no window") {
+    val p6 = plan("q226_modularity")
+    assert(!p6.contains("CartesianProduct"), p6.take(3000))
+    // the per-community intra/degree rollup join must be broadcast
+    assert(p6.contains("BroadcastHashJoin"), p6.take(3000))
+    val p7 = plan("q227_woe_iv")
+    assert(!p7.contains("CartesianProduct")
+      && !p7.contains("SortMergeJoin") && !p7.contains("Window"),
+      p7.take(3000))
+  }
 }
