@@ -3890,7 +3890,28 @@ object SparkEntry {
             .as("recall_floor_ok"),
           (col("n_hits") + lit(10L) >= col("th1")).as("monotone_ok"))
         .orderBy(col("nprobe"))
-    })
+    }),
+
+    "q230_quantile_norm" -> ((s, dir) =>
+      // cross-source batch-effect removal: every source's n_chars
+      // distribution is mapped onto the POOLED distribution (quantile
+      // normalization) so downstream length features compare content,
+      // not ingest formatting. Two histogram exchanges + one bounded
+      // window walk on exact-integer quantile keys — the corpus never
+      // sorts globally and no float rank exists anywhere.
+      operators.Stats.quantileNormalize(t(s, dir, "documents"),
+        "source", "n_chars")),
+
+    "q231_target_encoding" -> ((s, dir) =>
+      // leakage-free categorical feature for the quality/routing models:
+      // source -> leave-one-out smoothed mean doc length (m=10 toward
+      // the global prior). One dimension-scale aggregate broadcasts
+      // back; the encode is map-side; exact-integer cross products until
+      // one pinned division.
+      operators.Stats.targetEncodeLoo(t(s, dir, "documents"),
+          "source", "n_chars", m = 10L, keepCols = Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("y"), col("loo_enc"))
+        .orderBy(col("doc_id")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -9252,7 +9273,63 @@ object SparkEntry {
         |  CAST(300 AS BIGINT) AS n_results,
         |  TRUE AS recall_floor_ok, TRUE AS monotone_ok
         |FROM (VALUES (1), (2), (4)) v(nprobe)
-        |ORDER BY nprobe""".stripMargin
+        |ORDER BY nprobe""".stripMargin,
+
+    // identical merged-CDF walk: exact-integer quantile keys, pooled
+    // rows first on ties, carry-min of pooled values
+    "q230_quantile_norm" ->
+      """WITH h AS (
+        |  SELECT source AS g, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2
+        |), src AS (
+        |  SELECT g, v, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n_g
+        |  FROM h
+        |), hp AS (
+        |  SELECT n_chars AS pv, CAST(count(*) AS BIGINT) AS pc
+        |  FROM documents GROUP BY 1
+        |), pool AS (
+        |  SELECT pv,
+        |    sum(pc) OVER (ORDER BY pv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pcum,
+        |    (SELECT sum(pc) FROM hp) AS n_pool
+        |  FROM hp
+        |), rep AS (
+        |  SELECT g2.g, 0 AS tag, pcum * g2.n_g AS ukey, pv,
+        |    CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS c
+        |  FROM pool, (SELECT DISTINCT g, n_g FROM src) g2
+        |  UNION ALL
+        |  SELECT g, 1, cum * (SELECT n_pool FROM pool LIMIT 1), NULL,
+        |    v, c
+        |  FROM src
+        |), walk AS (
+        |  SELECT g, tag, v, c,
+        |    min(CASE WHEN tag = 0 THEN pv END) OVER (PARTITION BY g
+        |      ORDER BY ukey DESC, tag ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS qnorm_v
+        |  FROM rep
+        |)
+        |SELECT g AS source, v, c AS n_rows, qnorm_v
+        |FROM walk WHERE tag = 1 ORDER BY source, v""".stripMargin,
+
+    "q231_target_encoding" ->
+      """WITH g AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(n_chars) AS BIGINT) AS ts,
+        |    CAST(count(*) AS BIGINT) AS tn
+        |  FROM documents
+        |)
+        |SELECT doc_id, d.source, n_chars AS y,
+        |  round(CAST((g.s - d.n_chars) * t.tn + 10 * t.ts AS DOUBLE)
+        |    / CAST((g.n - 1 + 10) * t.tn AS DOUBLE), 6) AS loo_enc
+        |FROM documents d JOIN g USING (source), t
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

@@ -1032,6 +1032,42 @@ object Stats {
       .orderBy(col("g"))
   }
 
+  /** Leave-one-out target encoding with additive smoothing
+    * (Micci-Barreca 2001; the CatBoost-style leakage-free categorical
+    * feature): each row's category is encoded as the category's target
+    * mean EXCLUDING the row itself, shrunk toward the global prior by
+    * pseudo-count `m` —
+    * `enc_i = (S_cat - y_i + m*prior) / (n_cat - 1 + m)`. Excluding the
+    * row is what stops the encoding from leaking its own label into
+    * training; the shrinkage keeps rare categories near the prior
+    * (a singleton category encodes exactly to the prior).
+    *
+    * Scale shape: ONE partial-combined aggregate builds the per-category
+    * (sum, count) table (dimension-scale — source/domain/lang style
+    * categories), which broadcasts back with the 1-row global total; the
+    * encode itself is a map-side projection. Arithmetic is exact-integer
+    * cross products (prior never materializes as a float):
+    * `((S_cat - y_i)*N + m*S) / ((n_cat - 1 + m)*N)`, one pinned double
+    * division + round(6) at the end.
+    */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
+                      m: Long, keepCols: Seq[String]): DataFrame = {
+    require(m > 0, "m = 0 breaks singleton categories (0/0)")
+    val base = df.select((keepCols.map(col) :+ col(catCol) :+
+      col(targetCol).cast("long").as("y")): _*)
+    val g = base.groupBy(col(catCol))
+      .agg(sum(col("y")).cast("long").as("s_cat"),
+        count(lit(1)).cast("long").as("n_cat"))
+    val tot = base.agg(sum(col("y")).cast("long").as("ts"),
+      count(lit(1)).cast("long").as("tn"))
+    base.join(broadcast(g), Seq(catCol)).crossJoin(broadcast(tot))
+      .select((keepCols.map(col) :+ col(catCol) :+ col("y") :+
+        round(((col("s_cat") - col("y")) * col("tn")
+            + lit(m) * col("ts")).cast("double")
+          / ((col("n_cat") - lit(1L) + lit(m)) * col("tn")).cast("double"),
+          6).as("loo_enc")): _*)
+  }
+
   /** The (channel, S, T, weight-numerator) enumeration behind
     * [[shapleyAttribution]]: for each channel i and each coalition
     * `T ⊆ channels\{i}`, the ordering-count numerator
@@ -1055,6 +1091,65 @@ object Stats {
       ((chs(i), (t :+ chs(i)).sorted.mkString(","), t.mkString(","),
         fact(t.size) * fact(n - 1 - t.size)))
     }
+  }
+
+  /** Quantile normalization of an integer-valued feature across groups
+    * (the preprocessCore / batch-effect-removal standard, Bolstad et al.
+    * 2003): each group's value is replaced by the POOLED value at the
+    * same quantile, `qnorm(v) = min { v' : F_pool(v') >= F_g(v) }` —
+    * after which every group has the pooled distribution and
+    * cross-source comparisons stop measuring ingest artifacts.
+    *
+    * Scale shape: the corpus collapses to per-group and pooled
+    * distinct-value histograms in two partial-combined exchanges (the
+    * q177 bounded-table contract — CDFs only step at observed values);
+    * the inverse-CDF lookup is NOT an inequality join but one window
+    * walk over the merged bounded table, ordered by the exact-integer
+    * quantile key `cum_g * n_pool` vs `cum_pool * n_g` (cross-products,
+    * never a float rank) descending, carrying the min pooled value seen
+    * — so the mapping is exact integer end-to-end. Pooled rows replicate
+    * once per group (bounded x bounded).
+    *
+    * Output: (group, v, n_rows, qnorm_v), one row per observed
+    * (group, value).
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val h = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("g"))
+    val src = h.withColumn("cum", sum(col("c")).over(wg))
+      .withColumn("n_g", sum(col("c")).over(wt))
+    val hp = df.select(col(valueCol).cast("long").as("pv"))
+      .groupBy(col("pv")).agg(count(lit(1)).as("pc"))
+    val wp = Window.orderBy(col("pv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val npool = hp.agg(sum(col("pc")).cast("long").as("n_pool"))
+    val pool = hp.withColumn("pcum", sum(col("pc")).over(wp))
+      .crossJoin(broadcast(npool))
+    val groups = src.select(col("g"), col("n_g")).distinct()
+    val poolRep = pool.crossJoin(broadcast(groups))
+      .select(col("g"), lit(0).as("tag"),
+        (col("pcum") * col("n_g")).as("ukey"),
+        col("pv"), lit(null).cast("long").as("v"),
+        lit(null).cast("long").as("c"))
+    val srcRows = src.crossJoin(broadcast(npool))
+      .select(col("g"), lit(1).as("tag"),
+        (col("cum") * col("n_pool")).as("ukey"),
+        lit(null).cast("long").as("pv"), col("v"), col("c"))
+    val wWalk = Window.partitionBy(col("g"))
+      .orderBy(col("ukey").desc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    poolRep.unionAll(srcRows)
+      .withColumn("qnorm_v",
+        min(when(col("tag") === 0, col("pv"))).over(wWalk))
+      .filter(col("tag") === 1)
+      .select(col("g").as(groupCol), col("v"), col("c").as("n_rows"),
+        col("qnorm_v"))
+      .orderBy(col(groupCol), col("v"))
   }
 
   /** Exact Shapley-value channel attribution (Shapley 1953; the

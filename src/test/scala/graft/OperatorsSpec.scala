@@ -3600,4 +3600,33 @@ class OperatorsSpec extends SparkSpec {
     // the whole-text fallback emits exactly one fingerprint at pos 0
     assert(got.collect { case (4L, p, _) => p } == Set(0L))
   }
+
+  test("quantileNormalize: shifted groups land on the pooled quantiles " +
+    "(hand-computed inverse-CDF steps)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 4L),
+      ("B", 11L), ("B", 12L), ("B", 13L), ("B", 14L)).toDF("g", "x")
+    val got = graft.operators.Stats.quantileNormalize(df, "g", "x")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    // pooled CDF steps at 1..4,11..14 in 1/8 increments; each group
+    // quantile k/4 maps to the pooled value at cum 2k/8
+    assert(got == Map(("A", 1L) -> 2L, ("A", 2L) -> 4L,
+      ("A", 3L) -> 12L, ("A", 4L) -> 14L, ("B", 11L) -> 2L,
+      ("B", 12L) -> 4L, ("B", 13L) -> 12L, ("B", 14L) -> 14L))
+  }
+
+  test("targetEncodeLoo: hand-computed leave-one-out means; singleton " +
+    "category encodes to the prior") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("id", "cat", "y")
+    val got = graft.operators.Stats
+      .targetEncodeLoo(df, "cat", "y", m = 1L, keepCols = Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // prior = 20; a/10 -> (20*3+60)/(2*3) = 20; a/20 -> 90/6 = 15
+    assert(got == Map(1L -> 20.0, 2L -> 15.0, 3L -> 20.0))
+  }
 }

@@ -1142,4 +1142,13 @@ class PlanAuditSpec extends SparkSpec {
       && !p7.contains("SortMergeJoin") && !p7.contains("Window"),
       p7.take(3000))
   }
+
+  test("q231: the category table broadcasts back; map-side encode, " +
+    "no window, no shuffle join") {
+    val p = plan("q231_target_encoding")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("SortMergeJoin") && !p.contains("Window"),
+      p.take(2000))
+  }
 }
