@@ -3911,7 +3911,95 @@ object SparkEntry {
       operators.Stats.targetEncodeLoo(t(s, dir, "documents"),
           "source", "n_chars", m = 10L, keepCols = Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("y"), col("loo_enc"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    "q232_heldout_xent" -> ((s, dir) =>
+      // the CCNet-style LM quality filter, engine-exact: an add-1 bigram
+      // model trained on the q63 75% train slice scores the HELD-OUT 25%
+      // by cross-entropy per bigram — the model never sees the docs it
+      // scores, so memorized duplicates can't rate themselves fluent.
+      // Token-keyed scoring joins (AQE Zipf-head), DECIMAL ln-sums,
+      // one driver scalar (train vocab).
+      operators.TextAnalysis.bigramCrossEntropy(t(s, dir, "documents"),
+          "doc_id", "text",
+          isTrain = substring(md5(col("doc_id").cast("string")), 1, 1)
+            < lit("c"), alpha = 1.0)
+        .orderBy(col("doc_id"))),
+
+    "q233_simpson_audit" -> ((s, dir) => {
+      // Simpson's-paradox audit: per-segment value~hour OLS slope vs the
+      // pooled slope, flagging segments whose trend REVERSES under
+      // aggregation — the classic warning that a pooled dashboard metric
+      // is confounded by segment mix. Two runs of q216's
+      // sufficient-statistics aggregate (no iteration), pooled row joins
+      // back as a 1-row broadcast; sign tests compare the round(6)
+      // slopes both engines agree on bit-exactly.
+      val ev = t(s, dir, "events").select(col("event_type"),
+        hour(col("ts")).cast("long").as("x"),
+        floor(col("value") * 100).cast("long").as("y"))
+      val per = operators.Stats.groupOls(ev, "event_type", "x", "y")
+        .select(col("grp"), col("n"), col("slope").as("slope_seg"))
+      val pooled = operators.Stats
+        .groupOls(ev.withColumn("all", lit("all")), "all", "x", "y")
+        .select(col("slope").as("slope_pool"))
+      per.crossJoin(broadcast(pooled))
+        .select(col("grp").as("segment"), col("n"),
+          col("slope_seg"), col("slope_pool"),
+          (col("slope_seg") * col("slope_pool") < 0).as("sign_flip"),
+          round(col("slope_seg") - col("slope_pool"), 6)
+            .as("slope_delta"))
+        .orderBy(col("segment"))
+    }),
+
+    "q234_burrows_delta" -> ((s, dir) => {
+      // Burrows' Delta stylometry (Burrows 2002): pairwise style
+      // distance between sources over the 30 corpus-wide marker tokens —
+      // mean |z-score difference| of relative marker frequencies, the
+      // classic authorship / same-upstream-generator detector for feed
+      // forensics. One (source, token) exchange; the z-table and every
+      // join after it are marker x source bounded; z = (n·f - Σf)/√(n·Σf²
+      // - (Σf)²) keeps the numerator decimal-exact (f pre-rounded to 9)
+      // with one sqrt + one division of pinned-order doubles; pair
+      // deltas accumulate round(9) decimals.
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("source"),
+        explode(operators.TextAnalysis.tokens(col("text"))).as("w"))
+      val top = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(30).select(col("w"))
+      val ns = tok.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("nt"))
+      val cnt = tok.join(broadcast(top), Seq("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).cast("long").as("cw"))
+      val dense = ns.crossJoin(broadcast(top))
+        .join(cnt, Seq("source", "w"), "left")
+        .select(col("source"), col("w"),
+          round(coalesce(col("cw"), lit(0L)).cast("double")
+            / col("nt").cast("double"), 9).cast("decimal(18,9)")
+            .as("f9"))
+      val st = dense.groupBy(col("w")).agg(
+        count(lit(1)).cast("long").as("nsrc"),
+        sum(col("f9")).as("s1"),
+        sum((col("f9") * col("f9")).cast("decimal(38,18)")).as("s2"))
+      val z = dense.join(broadcast(st), Seq("w"))
+        .withColumn("nd", col("nsrc").cast("double"))
+        .withColumn("num", col("nd") * col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double"))
+        .filter(col("num") > 0)
+        .withColumn("z", (col("nd") * col("f9").cast("double")
+          - col("s1").cast("double")) / sqrt(col("num")))
+      val za = z.select(col("w"), col("source").as("source_a"),
+        col("z").as("za"))
+      val zb = z.select(col("w"), col("source").as("source_b"),
+        col("z").as("zb"))
+      za.join(zb, Seq("w")).filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).cast("long").as("n_markers"),
+          round(sum(round(abs(col("za") - col("zb")), 9)
+              .cast("decimal(38,9)")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("delta"))
+        .orderBy(col("source_a"), col("source_b"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -9329,7 +9417,145 @@ object SparkEntry {
         |  round(CAST((g.s - d.n_chars) * t.tn + 10 * t.ts AS DOUBLE)
         |    / CAST((g.n - 1 + 10) * t.tn AS DOUBLE), 6) AS loo_enc
         |FROM documents d JOIN g USING (source), t
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q232_heldout_xent" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS tk,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' AS is_train
+         |  FROM documents
+         |), tr AS (SELECT doc_id, tk FROM base WHERE is_train
+         |), te AS (SELECT doc_id, tk FROM base WHERE NOT is_train
+         |), bit AS (
+         |  SELECT doc_id, tk[CAST(i + 1 AS INT)] AS w1,
+         |    tk[CAST(i + 2 AS INT)] AS w2
+         |  FROM (SELECT doc_id, tk,
+         |          unnest(range(0, greatest(len(tk) - 1, 0))) AS i
+         |        FROM tr)
+         |), tft AS (
+         |  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM bit GROUP BY 1, 2, 3
+         |), c2 AS (
+         |  SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2
+         |  FROM tft GROUP BY 1, 2
+         |), c1 AS (
+         |  SELECT w1, CAST(SUM(tf) AS BIGINT) AS c1 FROM tft GROUP BY 1
+         |), v AS (
+         |  SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vs
+         |  FROM (SELECT unnest(tk) AS t FROM tr)
+         |), bie AS (
+         |  SELECT doc_id, tk[CAST(i + 1 AS INT)] AS w1,
+         |    tk[CAST(i + 2 AS INT)] AS w2
+         |  FROM (SELECT doc_id, tk,
+         |          unnest(range(0, greatest(len(tk) - 1, 0))) AS i
+         |        FROM te)
+         |), tfe AS (
+         |  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM bie GROUP BY 1, 2, 3
+         |), sc AS (
+         |  SELECT doc_id, tf,
+         |    ln((CAST(coalesce(c2, 0) AS DOUBLE) + 1.0)
+         |      / (CAST(coalesce(c1, 0) AS DOUBLE) + 1.0 * vs)) AS lp
+         |  FROM tfe LEFT JOIN c2 USING (w1, w2)
+         |  LEFT JOIN c1 USING (w1), v
+         |), agg AS (
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+         |    round(-CAST(SUM(CAST(CAST(tf AS DOUBLE) * lp
+         |        AS DECIMAL(38,6))) AS DOUBLE)
+         |      / CAST(SUM(tf) AS DOUBLE), 6) AS cross_entropy
+         |  FROM sc GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+         |  COALESCE(a.cross_entropy, 0.0) AS cross_entropy
+         |FROM te d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q233_simpson_audit" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+        |    CAST(floor(value * 100) AS BIGINT) AS y
+        |  FROM events
+        |), one AS (
+        |  SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS DECIMAL(19,6))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(19,6))) AS sy,
+        |    SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+        |      AS sxx,
+        |    SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+        |      AS sxy
+        |  FROM e GROUP BY 1
+        |), seg AS (
+        |  SELECT grp, n,
+        |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |      AS slope_seg
+        |  FROM one
+        |), onep AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS DECIMAL(19,6))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(19,6))) AS sy,
+        |    SUM(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+        |      AS sxx,
+        |    SUM(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+        |      AS sxy
+        |  FROM e
+        |), pool AS (
+        |  SELECT round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |      AS slope_pool
+        |  FROM onep
+        |)
+        |SELECT grp AS segment, n, slope_seg, slope_pool,
+        |  (slope_seg * slope_pool < 0) AS sign_flip,
+        |  round(slope_seg - slope_pool, 6) AS slope_delta
+        |FROM seg, pool ORDER BY segment""".stripMargin,
+
+    "q234_burrows_delta" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest($toksSql) AS w
+         |  FROM documents
+         |), top AS (
+         |  SELECT w FROM tok GROUP BY w
+         |  ORDER BY count(*) DESC, w LIMIT 30
+         |), ns AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS nt
+         |  FROM tok GROUP BY 1
+         |), cnt AS (
+         |  SELECT source, w, CAST(count(*) AS BIGINT) AS cw
+         |  FROM tok JOIN top USING (w) GROUP BY 1, 2
+         |), grid AS (
+         |  SELECT ns.source, ns.nt, top.w FROM ns, top
+         |), dense AS (
+         |  SELECT g.source, g.w,
+         |    CAST(round(CAST(coalesce(cnt.cw, 0) AS DOUBLE)
+         |      / CAST(g.nt AS DOUBLE), 9) AS DECIMAL(18,9)) AS f9
+         |  FROM grid g LEFT JOIN cnt USING (source, w)
+         |), st AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS nsrc,
+         |    SUM(f9) AS s1,
+         |    SUM(CAST(f9 * f9 AS DECIMAL(38,18))) AS s2
+         |  FROM dense GROUP BY 1
+         |), z AS (
+         |  SELECT d.source, d.w,
+         |    (CAST(nsrc AS DOUBLE) * CAST(f9 AS DOUBLE)
+         |      - CAST(s1 AS DOUBLE))
+         |      / sqrt(CAST(nsrc AS DOUBLE) * CAST(s2 AS DOUBLE)
+         |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) AS z
+         |  FROM dense d JOIN st USING (w)
+         |  WHERE CAST(nsrc AS DOUBLE) * CAST(s2 AS DOUBLE)
+         |    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0
+         |)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_markers,
+         |  round(CAST(SUM(CAST(round(abs(a.z - b.z), 9)
+         |      AS DECIMAL(38,9))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS delta
+         |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

@@ -1202,6 +1202,66 @@ object TextAnalysis {
       .orderBy(col("grp"))
   }
 
+  /** Held-out bigram-LM cross-entropy (the CCNet perplexity quality
+    * filter, Wenzek et al. 2019, made engine-exact): train an add-alpha
+    * bigram model on the TRAIN slice of a deterministic hash split,
+    * score held-out docs by mean negative log-likelihood per bigram —
+    * where [[bigramSurprisal]] scores fluency against the doc's own
+    * corpus, this is the real filter shape: the model never sees the
+    * docs it scores, so memorized duplicates can't score themselves
+    * fluent. Unseen contexts/bigrams back off to the smoothing floor via
+    * LEFT joins (coalesce 0) — out-of-vocabulary text scores high, which
+    * is the filter's point.
+    *
+    * Scale shape: one (w1,w2) partial-combined exchange per slice; the
+    * scoring join is token-keyed (AQE handles the Zipf head, the q73
+    * pattern); per-doc ln-sums accumulate as DECIMAL(38,6) so
+    * partial-agg order can't flip a bit (q87's convention). The vocab
+    * size is the one driver scalar.
+    */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+                         isTrain: Column, alpha: Double = 1.0,
+                         mat: Materializer = Materializer.Local)
+      : DataFrame = {
+    val base = mat(docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("tk"), isTrain.as("is_train")))
+    def bigrams(df: DataFrame) = df.select(col("doc_id"),
+        explode(when(size(col("tk")) >= 2,
+          zip_with(
+            slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(1))),
+            slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(1))),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("bg"))
+      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val trainTf = mat(bigrams(base.filter(col("is_train"))))
+    val c2 = trainTf.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("tf")).cast("long").as("c2"))
+    val c1 = trainTf.groupBy(col("w1"))
+      .agg(sum(col("tf")).cast("long").as("c1"))
+    val vocabSize: Double = base.filter(col("is_train"))
+      .select(explode(col("tk")).as("t")).agg(countDistinct(col("t")))
+      .collect()(0).getLong(0).toDouble
+    val scored = bigrams(base.filter(!col("is_train")))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .withColumn("lp",
+        log((coalesce(col("c2"), lit(0L)).cast("double") + lit(alpha))
+          / (coalesce(col("c1"), lit(0L)).cast("double")
+            + lit(alpha * vocabSize))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        round(-sum((col("tf").cast("double") * col("lp"))
+            .cast("decimal(38,6)")).cast("double")
+          / sum(col("tf")).cast("double"), 6).as("cross_entropy"))
+    base.filter(!col("is_train")).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("cross_entropy"), lit(0.0)).as("cross_entropy"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003
     * — the MOSS local fingerprinting algorithm): hash every k-token
     * shingle, slide a w-hash window, keep each window's minimum hash

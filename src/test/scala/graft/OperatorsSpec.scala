@@ -3629,4 +3629,25 @@ class OperatorsSpec extends SparkSpec {
     // prior = 20; a/10 -> (20*3+60)/(2*3) = 20; a/20 -> 90/6 = 15
     assert(got == Map(1L -> 20.0, 2L -> 15.0, 3L -> 20.0))
   }
+
+  test("bigramCrossEntropy: hand-computed held-out scores; unseen " +
+    "bigrams hit the smoothing floor; train docs never scored") {
+    val s = spark
+    import s.implicits._
+    // train "a b a b": c2(a,b)=2 c2(b,a)=1 c1(a)=2 c1(b)=1, V=2
+    val df = Seq((1L, "a b a b", true), (2L, "a b c", false),
+      (3L, "a a", false), (4L, "z", false)).toDF("doc_id", "text", "tr")
+    val got = graft.operators.TextAnalysis
+      .bigramCrossEntropy(df, "doc_id", "text", isTrain = $"tr",
+        alpha = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(!got.contains(1L), "train docs are not scored")
+    // doc 2: -[ln(3/4) + ln(1/3)]/2 = ln(4)/2 = ln 2
+    assert(got(2L) == ((2L, 0.693147)))
+    // doc 3: unseen bigram with seen context -> -ln(1/4)
+    assert(got(3L) == ((1L, 1.386294)))
+    // doc 4: no bigrams -> (0, 0.0) surfaced, not dropped
+    assert(got(4L) == ((0L, 0.0)))
+  }
 }
