@@ -3999,6 +3999,64 @@ object SparkEntry {
               .cast("decimal(38,9)")).cast("double")
             / count(lit(1)).cast("double"), 6).as("delta"))
         .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    "q235_emd_drift" -> ((s, dir) => {
+      // exact 1-D earth-mover (Wasserstein-1) drift per segment, same
+      // ref/current split as q217/q221 — the drift family's metric in
+      // VALUE units (how far mass actually moved) where KS is unit-free
+      // (largest CDF gap): EMD = Σ |F_ref - F_cur|·Δv over the union
+      // histogram support. Same single histogram exchange + bounded
+      // per-group window walk; each term is the exact integer
+      // |cum_a·n_b - cum_b·n_a|·Δv lifted through DECIMAL(38,0), ONE
+      // double division at the end.
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      val e = ev.select(col("event_type").as("g"),
+        floor(col("value") * 100).cast("long").as("v"),
+        when(col("ts") < cutoff, 1L).otherwise(0L).as("is_ref"))
+      val h = e.groupBy(col("g"), col("v"))
+        .agg(sum(col("is_ref")).as("ca"),
+          sum(lit(1L) - col("is_ref")).as("cb"))
+      val wc = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("g"))
+      val wl = Window.partitionBy(col("g")).orderBy(col("v"))
+      h.withColumn("cuma", sum(col("ca")).over(wc))
+        .withColumn("cumb", sum(col("cb")).over(wc))
+        .withColumn("na", sum(col("ca")).over(wt))
+        .withColumn("nb", sum(col("cb")).over(wt))
+        .withColumn("nv", lead(col("v"), 1).over(wl))
+        .filter(col("nv").isNotNull && col("na") > 0 && col("nb") > 0)
+        .select(col("g"), col("na"), col("nb"),
+          (abs(col("cuma") * col("nb") - col("cumb") * col("na"))
+            * (col("nv") - col("v"))).cast("decimal(38,0)").as("term"))
+        .groupBy(col("g"), col("na"), col("nb"))
+        .agg(round(sum(col("term")).cast("double")
+          / (col("na") * col("nb") * lit(100L)).cast("double"), 6)
+          .as("emd"))
+        .select(col("g"), col("na").cast("long").as("n_ref"),
+          col("nb").cast("long").as("n_cur"), col("emd"))
+        .orderBy(col("g"))
+    }),
+
+    "q236_assortativity" -> ((s, dir) => {
+      // degree assortativity of the support>=2 co-purchase graph
+      // (Newman 2002): do hub parts co-purchase with other hubs
+      // (assortative, community shape) or with leaves (disassortative,
+      // star/spam shape)? Exchangeable symmetrized ends collapse r to
+      // one variance ratio — exact integer sums, one division, no sqrt.
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2)
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      operators.Graph.degreeAssortativity(edges)
     })
   )
 
@@ -9555,7 +9613,75 @@ object SparkEntry {
          |      AS DECIMAL(38,9))) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE), 6) AS delta
          |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
-         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
+    "q235_emd_drift" ->
+      """WITH e AS (
+        |  SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END AS is_ref
+        |  FROM events
+        |), h AS MATERIALIZED (
+        |  SELECT g, v, CAST(SUM(is_ref) AS BIGINT) AS ca,
+        |    CAST(SUM(1 - is_ref) AS BIGINT) AS cb
+        |  FROM e GROUP BY 1, 2
+        |), w AS (
+        |  SELECT g, v, ca, cb,
+        |    SUM(ca) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    SUM(cb) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    SUM(ca) OVER (PARTITION BY g) AS na,
+        |    SUM(cb) OVER (PARTITION BY g) AS nb,
+        |    lead(v) OVER (PARTITION BY g ORDER BY v) AS nv
+        |  FROM h
+        |), terms AS (
+        |  SELECT g, na, nb,
+        |    abs(cuma * nb - cumb * na) * (nv - v) AS term
+        |  FROM w
+        |  WHERE nv IS NOT NULL AND na > 0 AND nb > 0
+        |)
+        |SELECT g, CAST(na AS BIGINT) AS n_ref, CAST(nb AS BIGINT) AS n_cur,
+        |  round(CAST(SUM(term) AS DOUBLE)
+        |    / CAST(na * nb * 100 AS DOUBLE), 6) AS emd
+        |FROM terms GROUP BY g, na, nb ORDER BY g""".stripMargin,
+
+    "q236_assortativity" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), deg AS (
+        |  SELECT n AS node, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY 1
+        |), ends AS (
+        |  SELECT du.d AS du, dv.d AS dv
+        |  FROM e0 JOIN deg du ON e0.u = du.node
+        |  JOIN deg dv ON e0.v = dv.node
+        |), sym AS (
+        |  SELECT du AS x, dv AS y FROM ends
+        |  UNION ALL SELECT dv, du FROM ends
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_ends,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+        |    SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+        |  FROM sym
+        |)
+        |SELECT CAST(n_ends // 2 AS BIGINT) AS n_edges,
+        |  round(CAST(sx AS DOUBLE) / CAST(n_ends AS DOUBLE), 6)
+        |    AS mean_end_degree,
+        |  CASE WHEN CAST(n_ends AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0 THEN NULL
+        |    ELSE round((CAST(n_ends AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / (CAST(n_ends AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END
+        |    AS assortativity
+        |FROM agg""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

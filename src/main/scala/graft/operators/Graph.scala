@@ -465,6 +465,48 @@ object Graph {
     dist
   }
 
+  /** Degree assortativity coefficient (Newman 2002): the Pearson
+    * correlation of end-point degrees over the symmetrized edge list —
+    * positive = hubs link hubs (social/citation shape), negative = hubs
+    * link leaves (star/spam shape). Because the symmetrized ends make x
+    * and y exchangeable, r collapses to `(n·Σxy − (Σx)²)/(n·Σx² − (Σx)²)`
+    * — exact integers (lifted through DECIMAL(38,0) so partial-agg order
+    * is irrelevant) until ONE pinned double division, no sqrt at all.
+    *
+    * Scale shape: one edge pass for degrees, two keyed joins to attach
+    * end degrees, one partial-combined aggregate. 1-row output. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).cast("long").as("d"))
+    val ends = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+    val sym = ends.select(col("du").as("x"), col("dv").as("y"))
+      .unionAll(ends.select(col("dv").as("x"), col("du").as("y")))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    sym.agg(count(lit(1)).cast("long").as("n_ends"),
+        sum(dec(col("x"))).as("sx"),
+        sum(dec(col("x") * col("x"))).as("sxx"),
+        sum(dec(col("x") * col("y"))).as("sxy"))
+      .select((col("n_ends") / lit(2L)).cast("long").as("n_edges"),
+        round(col("sx").cast("double") / col("n_ends").cast("double"), 6)
+          .as("mean_end_degree"),
+        when(col("n_ends").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")
+            === lit(0.0), lit(null).cast("double"))
+          .otherwise(
+            round((col("n_ends").cast("double") * col("sxy").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              / (col("n_ends").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double")), 6))
+          .as("assortativity"))
+  }
+
   /** Newman modularity per community (Newman & Girvan 2004): for each
     * community c over an undirected simple graph,
     * `Q_c = e_c/m - (d_c/2m)^2` — intra-edge share minus the share a

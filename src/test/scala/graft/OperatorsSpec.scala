@@ -3650,4 +3650,17 @@ class OperatorsSpec extends SparkSpec {
     // doc 4: no bigrams -> (0, 0.0) surfaced, not dropped
     assert(got(4L) == ((0L, 0.0)))
   }
+
+  test("degreeAssortativity: a star is exactly -1; a regular graph has " +
+    "no degree variance (NULL)") {
+    val s = spark
+    import s.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r1 = graft.operators.Graph.degreeAssortativity(star).collect()(0)
+    assert(r1.getLong(0) == 3L && r1.getDouble(2) == -1.0)
+    // 4-cycle: every degree 2 -> zero variance -> guarded NULL
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r2 = graft.operators.Graph.degreeAssortativity(cyc).collect()(0)
+    assert(r2.getLong(0) == 4L && r2.isNullAt(2))
+  }
 }
