@@ -3962,15 +3962,21 @@ object SparkEntry {
       // with one sqrt + one division of pinned-order doubles; pair
       // deltas accumulate round(9) decimals.
       val docs = t(s, dir, "documents")
-      val tok = docs.select(col("source"),
-        explode(operators.TextAnalysis.tokens(col("text"))).as("w"))
-      val top = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("w").asc).limit(30).select(col("w"))
-      val ns = tok.groupBy(col("source"))
-        .agg(count(lit(1)).cast("long").as("nt"))
-      val cnt = tok.join(broadcast(top), Seq("w"))
+      // ONE corpus tokenize pass: every downstream table (marker list,
+      // per-source totals, marker counts) derives from the pinned
+      // (source, token) rollup — three consumers, so an unpinned plan
+      // would re-explode the corpus per consumer (the q98/q213 trap)
+      val sw = operators.Materializer.Local(docs
+        .select(col("source"),
+          explode(operators.TextAnalysis.tokens(col("text"))).as("w"))
         .groupBy(col("source"), col("w"))
-        .agg(count(lit(1)).cast("long").as("cw"))
+        .agg(count(lit(1)).cast("long").as("cw")))
+      val top = sw.groupBy(col("w")).agg(sum(col("cw")).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(30).select(col("w"))
+      val ns = sw.groupBy(col("source"))
+        .agg(sum(col("cw")).cast("long").as("nt"))
+      val cnt = sw.join(broadcast(top), Seq("w"))
+        .select(col("source"), col("w"), col("cw"))
       val dense = ns.crossJoin(broadcast(top))
         .join(cnt, Seq("source", "w"), "left")
         .select(col("source"), col("w"),
@@ -4057,6 +4063,93 @@ object SparkEntry {
         .filter(col("m") >= 2)
         .select(col("pa").as("src"), col("pb").as("dst"))
       operators.Graph.degreeAssortativity(edges)
+    }),
+
+    "q237_mmr_rerank" -> ((s, dir) => {
+      // MMR diversity re-rank (Carbonell & Goldstein 1998) over q138's
+      // BM25 candidates: greedily pick 5 of 20, each maximizing
+      // 0.7·relevance − 0.3·max-Jaccard-to-picked — the retrieval stack's
+      // redundancy guard (near-dup hits waste result slots). Relevance
+      // and the candidate-pair shingle-Jaccard matrix are computed
+      // distributed (the pair table is 20×20 bounded); the greedy itself
+      // is bounded driver work over collected constants (the
+      // q199/q204 precedent), BigDecimal HALF_UP mirroring Column.round.
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val cand = operators.Materializer.Local(
+        operators.Retrieval.bm25(docs, "doc_id", "text",
+          Seq("spark", "join", "window"), k1 = 1.2, b = 0.75, topN = 20))
+      val sh = operators.Materializer.Local(
+        docs.join(broadcast(cand.select(col("doc_id"))), Seq("doc_id"))
+          .select(col("doc_id"), array_distinct(
+            operators.TextAnalysis.shingles(col("text"), 3)).as("sh")))
+      val e = sh.select(col("doc_id"), explode(col("sh")).as("s1"))
+      val inter = e.select(col("s1"), col("doc_id").as("a"))
+        .join(e.select(col("s1"), col("doc_id").as("b")), Seq("s1"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).cast("long").as("i"))
+      val szs = sh.select(col("doc_id"), size(col("sh")).cast("long")
+        .as("n"))
+      val sims = inter
+        .join(szs.select(col("doc_id").as("a"), col("n").as("na")),
+          Seq("a"))
+        .join(szs.select(col("doc_id").as("b"), col("n").as("nb")),
+          Seq("b"))
+        .select(col("a"), col("b"),
+          round(col("i").cast("double")
+            / (col("na") + col("nb") - col("i")).cast("double"), 9)
+            .as("sim"))
+      val cands = cand.select(col("doc_id"), col("score")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+      val simMap = sims.collect()
+        .flatMap(r => Seq((r.getLong(0), r.getLong(1)) -> r.getDouble(2),
+          (r.getLong(1), r.getLong(0)) -> r.getDouble(2))).toMap
+      def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      import s.implicits._
+      operators.Retrieval.mmrSelect(cands, simMap, k = 5, lambda = 0.7)
+        .map { case (rk, id, rel, ms, m) => (rk, id, rel, r6(ms), r6(m)) }
+        .toDF("rk", "doc_id", "score", "max_sim", "mmr")
+        .orderBy(col("rk"))
+    }),
+
+    "q238_markov_eval" -> ((s, dir) => {
+      // the q124 transition matrix turned into an EVALUATED next-event
+      // predictor: argmax transitions trained on the 75% user hash-split,
+      // accuracy measured on held-out users' transitions — whether the
+      // "what happens next" model carries signal or just class priors.
+      // One user-partitioned lead window (entity-bounded state), two
+      // bounded rollups, the 5-row predictor broadcast back; the argmax
+      // is the two-step max-then-min-label pattern, never max_by.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val steps = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e1"),
+          (substring(md5(col("user_id").cast("string")), 1, 1) < "c")
+            .as("tr"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .filter(col("e2").isNotNull)
+      val cnt = steps.filter(col("tr")).groupBy(col("e1"), col("e2"))
+        .agg(count(lit(1)).as("c"))
+      val mx = cnt.groupBy(col("e1")).agg(max(col("c")).as("mc"))
+      val pred = cnt.join(mx, Seq("e1")).filter(col("c") === col("mc"))
+        .groupBy(col("e1")).agg(min(col("e2")).as("predicted"))
+      steps.filter(!col("tr")).groupBy(col("e1"), col("e2"))
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(pred), Seq("e1"), "left")
+        .groupBy(col("e1"),
+          coalesce(col("predicted"), lit("none")).as("predicted"))
+        .agg(sum(col("n")).cast("long").as("n_eval"),
+          sum(when(col("e2") === col("predicted"), col("n"))
+            .otherwise(0L)).cast("long").as("n_correct"))
+        .select(col("e1"), col("predicted"), col("n_eval"),
+          col("n_correct"),
+          round(col("n_correct").cast("double")
+            / col("n_eval").cast("double"), 6).as("accuracy"))
+        .orderBy(col("e1"))
     })
   )
 
@@ -9681,7 +9774,97 @@ object SparkEntry {
         |      / (CAST(n_ends AS DOUBLE) * CAST(sxx AS DOUBLE)
         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END
         |    AS assortativity
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // unrolled 5-round greedy (the q199 pattern): each round excludes
+    // the picked set and scores max-sim against it via the symmetric
+    // bounded pair table
+    "q237_mmr_rerank" -> {
+      val rounds = (2 to 5).map { i =>
+        s""", s$i AS (
+           |  SELECT c.doc_id, c.score,
+           |    coalesce((SELECT max(sim) FROM sims2 s
+           |      WHERE s.a = c.doc_id
+           |        AND s.b IN (SELECT doc_id FROM pk${i - 1})), 0.0) AS ms
+           |  FROM cand c
+           |  WHERE c.doc_id NOT IN (SELECT doc_id FROM pk${i - 1})
+           |), p$i AS (
+           |  SELECT doc_id, score, ms, 0.7 * score - 0.3 * ms AS mmr
+           |  FROM s$i ORDER BY mmr DESC, doc_id LIMIT 1
+           |), pk$i AS (
+           |  SELECT doc_id FROM pk${i - 1}
+           |  UNION ALL SELECT doc_id FROM p$i
+           |)""".stripMargin
+      }.mkString
+      val out = (1 to 5).map { i =>
+        s"""SELECT $i AS rk, doc_id, score, round(ms, 6) AS max_sim,
+           |  round(mmr, 6) AS mmr FROM p$i""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "\n")
+      s"""WITH cand AS MATERIALIZED (
+         |${bm25Sql("'spark', 'join', 'window'", 20)}
+         |), shd AS (
+         |  SELECT d.doc_id,
+         |    list_distinct(CASE WHEN len(list_filter(
+         |        regexp_split_to_array(d.text, '\\s+'), x -> x <> '')) < 3
+         |      THEN [array_to_string(list_filter(
+         |        regexp_split_to_array(d.text, '\\s+'), x -> x <> ''), ' ')]
+         |      ELSE [array_to_string(list_filter(
+         |          regexp_split_to_array(d.text, '\\s+'),
+         |          x -> x <> '')[i+1:i+3], ' ')
+         |        for i in range(0, len(list_filter(
+         |          regexp_split_to_array(d.text, '\\s+'),
+         |          x -> x <> '')) - 2)] END) AS sh
+         |  FROM documents d JOIN cand USING (doc_id)
+         |), ex AS (SELECT doc_id, unnest(sh) AS s1 FROM shd
+         |), inter AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b,
+         |    CAST(count(*) AS BIGINT) AS i
+         |  FROM ex a JOIN ex b ON a.s1 = b.s1 AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), szs AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM shd
+         |), sims AS (
+         |  SELECT a, b, round(CAST(i AS DOUBLE)
+         |    / CAST(na.n + nb.n - i AS DOUBLE), 9) AS sim
+         |  FROM inter JOIN szs na ON na.doc_id = a
+         |  JOIN szs nb ON nb.doc_id = b
+         |), sims2 AS MATERIALIZED (
+         |  SELECT a, b, sim FROM sims
+         |  UNION ALL SELECT b, a, sim FROM sims
+         |), p1 AS (
+         |  SELECT doc_id, score, 0.0 AS ms,
+         |    0.7 * score - 0.3 * 0.0 AS mmr
+         |  FROM cand ORDER BY mmr DESC, doc_id LIMIT 1
+         |), pk1 AS (SELECT doc_id FROM p1)$rounds
+         |SELECT * FROM ($out) ORDER BY rk""".stripMargin
+    },
+
+    "q238_markov_eval" ->
+      """WITH st AS (
+        |  SELECT event_type AS e1,
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < 'c' AS tr,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e2
+        |  FROM events
+        |), s2 AS (SELECT * FROM st WHERE e2 IS NOT NULL
+        |), cnt AS (
+        |  SELECT e1, e2, count(*) AS c FROM s2 WHERE tr GROUP BY 1, 2
+        |), mx AS (SELECT e1, max(c) AS mc FROM cnt GROUP BY 1
+        |), pred AS (
+        |  SELECT e1, min(e2) AS predicted FROM cnt JOIN mx USING (e1)
+        |  WHERE c = mc GROUP BY 1
+        |), ev AS (
+        |  SELECT e1, e2, CAST(count(*) AS BIGINT) AS n
+        |  FROM s2 WHERE NOT tr GROUP BY 1, 2
+        |)
+        |SELECT ev.e1, coalesce(pred.predicted, 'none') AS predicted,
+        |  CAST(sum(n) AS BIGINT) AS n_eval,
+        |  CAST(sum(CASE WHEN ev.e2 = pred.predicted THEN n ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  round(CAST(sum(CASE WHEN ev.e2 = pred.predicted
+        |      THEN n ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(n) AS DOUBLE), 6) AS accuracy
+        |FROM ev LEFT JOIN pred USING (e1)
+        |GROUP BY 1, 2 ORDER BY e1""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

@@ -293,4 +293,33 @@ object Retrieval {
       .collect().map(_.getString(0)).toSeq
     baseQuery ++ exp
   }
+
+  /** The MMR greedy (Carbonell & Goldstein 1998): pick `k` of the
+    * candidates, each maximizing `lambda·rel − (1−lambda)·maxSimToPicked`
+    * (ties to the lowest id; the first pick sees maxSim 0). Pure bounded
+    * driver arithmetic over an already-collected candidate set — the
+    * distributed work (relevance scoring, the pairwise similarity
+    * matrix) happens upstream; this is the q199-style bounded tail.
+    * `sims` must contain both orientations of each pair; missing pairs
+    * read as similarity 0. Returns (rk, id, rel, maxSim, mmr),
+    * unrounded. */
+  def mmrSelect(cands: Seq[(Long, Double)],
+                sims: Map[(Long, Long), Double], k: Int, lambda: Double)
+      : Seq[(Int, Long, Double, Double, Double)] = {
+    require(k >= 1 && lambda >= 0 && lambda <= 1)
+    var picked = Vector.empty[(Long, Double, Double, Double)]
+    var rest = cands.toVector
+    for (_ <- 0 until math.min(k, cands.size)) {
+      val scored = rest.map { case (id, rel) =>
+        val ms = if (picked.isEmpty) 0.0
+          else picked.map(p => sims.getOrElse((id, p._1), 0.0)).max
+        (id, rel, ms, lambda * rel - (1.0 - lambda) * ms)
+      }
+      val best = scored.minBy { case (id, _, _, m) => (-m, id) }
+      picked = picked :+ best
+      rest = rest.filterNot(_._1 == best._1)
+    }
+    picked.zipWithIndex.map { case ((id, rel, ms, m), i) =>
+      (i + 1, id, rel, ms, m) }
+  }
 }

@@ -3663,4 +3663,19 @@ class OperatorsSpec extends SparkSpec {
     val r2 = graft.operators.Graph.degreeAssortativity(cyc).collect()(0)
     assert(r2.getLong(0) == 4L && r2.isNullAt(2))
   }
+
+  test("mmrSelect: the diversity penalty flips the second pick away " +
+    "from the near-duplicate of the first") {
+    val cands = Seq(1L -> 1.0, 2L -> 0.8, 3L -> 0.5)
+    val sims = Map((1L, 2L) -> 0.95, (2L, 1L) -> 0.95)
+    val got = graft.operators.Retrieval.mmrSelect(cands, sims, k = 3,
+      lambda = 0.7)
+    // pick1 = 1 (mmr 0.7); then 2 scores .56-.285=.275 < 3's .35 ->
+    // the redundant high-rel doc loses to the diverse one
+    assert(got.map(_._2) == Seq(1L, 3L, 2L))
+    assert(got(1)._5 == 0.35 && got(2)._4 == 0.95)
+    // lambda=1 degenerates to pure relevance order
+    val rel = graft.operators.Retrieval.mmrSelect(cands, sims, 3, 1.0)
+    assert(rel.map(_._2) == Seq(1L, 2L, 3L))
+  }
 }
