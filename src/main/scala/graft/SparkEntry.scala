@@ -4150,6 +4150,58 @@ object SparkEntry {
           round(col("n_correct").cast("double")
             / col("n_eval").cast("double"), 6).as("accuracy"))
         .orderBy(col("e1"))
+    }),
+
+    "q239_mutual_info" -> ((s, dir) => {
+      // mutual information / information-gain feature screening — the
+      // entropy-based complement of q227's WOE/IV over the SAME bins:
+      // MI(bin; is_en) = Σ p(b,c)·ln(N·n_bc/(n_b·n_c)), plus the label
+      // entropy and the normalized gain ratio. Exact integer ratios
+      // inside every ln (zero cells never materialize — 0·ln0 = 0 by
+      // construction), terms accumulate as round(9) decimals; one
+      // (feature, bin, label) exchange, bounded rollups after.
+      val docs = t(s, dir, "documents")
+      val base = docs
+        .withColumn("toks",
+          operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+        .select((col("lang") === "en").as("good"),
+          expr("CAST(least(n_chars DIV 100, 5) AS BIGINT)")
+            .as("len_bin"),
+          expr("CAST(least(greatest((n_chars * 10)" +
+            " DIV greatest(toks, 1) - 50, 0), 9) AS BIGINT)")
+            .as("wordlen_bin"))
+      val rows = base.select(lit("len_bin").as("feature"),
+          col("len_bin").as("bin"), col("good"))
+        .unionAll(base.select(lit("wordlen_bin").as("feature"),
+          col("wordlen_bin").as("bin"), col("good")))
+      val c3 = rows.groupBy(col("feature"), col("bin"), col("good"))
+        .agg(count(lit(1)).cast("long").as("nbc"))
+      val nb = c3.groupBy(col("feature"), col("bin"))
+        .agg(sum(col("nbc")).cast("long").as("nb"))
+      val nc = c3.groupBy(col("feature"), col("good"))
+        .agg(sum(col("nbc")).cast("long").as("nc"))
+      val nt = c3.groupBy(col("feature"))
+        .agg(sum(col("nbc")).cast("long").as("nt"))
+      val mi = c3.join(nb, Seq("feature", "bin"))
+        .join(nc, Seq("feature", "good")).join(nt, Seq("feature"))
+        .select(col("feature"),
+          round((col("nbc").cast("double") / col("nt").cast("double"))
+            * log((col("nt") * col("nbc")).cast("double")
+              / (col("nb") * col("nc")).cast("double")), 9)
+            .cast("decimal(38,9)").as("term"))
+        .groupBy(col("feature"))
+        .agg(round(sum(col("term")).cast("double"), 6).as("mi"))
+      val hl = nc.join(nt, Seq("feature"))
+        .select(col("feature"),
+          round((col("nc").cast("double") / col("nt").cast("double"))
+            * log(col("nc").cast("double") / col("nt").cast("double")),
+            9).cast("decimal(38,9)").as("term"))
+        .groupBy(col("feature"))
+        .agg(round(-sum(col("term")).cast("double"), 6).as("h_label"))
+      mi.join(hl, Seq("feature"))
+        .select(col("feature"), col("mi"), col("h_label"),
+          round(col("mi") / col("h_label"), 6).as("ig_ratio"))
+        .orderBy(col("feature"))
     })
   )
 
@@ -9864,7 +9916,53 @@ object SparkEntry {
         |      THEN n ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(n) AS DOUBLE), 6) AS accuracy
         |FROM ev LEFT JOIN pred USING (e1)
-        |GROUP BY 1, 2 ORDER BY e1""".stripMargin
+        |GROUP BY 1, 2 ORDER BY e1""".stripMargin,
+
+    "q239_mutual_info" ->
+      """WITH base AS (
+        |  SELECT (lang = 'en') AS good,
+        |    least(n_chars // 100, 5) AS len_bin,
+        |    least(greatest((n_chars * 10)
+        |      // greatest(len(list_filter(regexp_split_to_array(text,
+        |            '\s+'), x -> x <> '')), 1) - 50, 0), 9) AS wordlen_bin
+        |  FROM documents
+        |), rows_ AS (
+        |  SELECT 'len_bin' AS feature, len_bin AS bin, good FROM base
+        |  UNION ALL
+        |  SELECT 'wordlen_bin', wordlen_bin, good FROM base
+        |), c3 AS (
+        |  SELECT feature, bin, good, CAST(count(*) AS BIGINT) AS nbc
+        |  FROM rows_ GROUP BY 1, 2, 3
+        |), nb AS (
+        |  SELECT feature, bin, CAST(sum(nbc) AS BIGINT) AS nb
+        |  FROM c3 GROUP BY 1, 2
+        |), nc AS (
+        |  SELECT feature, good, CAST(sum(nbc) AS BIGINT) AS nc
+        |  FROM c3 GROUP BY 1, 2
+        |), nt AS (
+        |  SELECT feature, CAST(sum(nbc) AS BIGINT) AS nt
+        |  FROM c3 GROUP BY 1
+        |), mi AS (
+        |  SELECT feature,
+        |    round(CAST(sum(CAST(round(
+        |      (CAST(nbc AS DOUBLE) / CAST(nt AS DOUBLE))
+        |        * ln(CAST(nt * nbc AS DOUBLE)
+        |          / CAST(nb * nc AS DOUBLE)), 9) AS DECIMAL(38,9)))
+        |      AS DOUBLE), 6) AS mi
+        |  FROM c3 JOIN nb USING (feature, bin)
+        |  JOIN nc USING (feature, good) JOIN nt USING (feature)
+        |  GROUP BY 1
+        |), hl AS (
+        |  SELECT feature,
+        |    round(-CAST(sum(CAST(round(
+        |      (CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE))
+        |        * ln(CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE)), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE), 6) AS h_label
+        |  FROM nc JOIN nt USING (feature) GROUP BY 1
+        |)
+        |SELECT feature, mi, h_label, round(mi / h_label, 6) AS ig_ratio
+        |FROM mi JOIN hl USING (feature)
+        |ORDER BY feature""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2
