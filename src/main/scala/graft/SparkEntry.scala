@@ -4202,6 +4202,158 @@ object SparkEntry {
         .select(col("feature"), col("mi"), col("h_label"),
           round(col("mi") / col("h_label"), 6).as("ig_ratio"))
         .orderBy(col("feature"))
+    }),
+
+    "q240_cuped" -> ((s, dir) => {
+      // CUPED variance reduction (Deng et al., WSDM 2013) on the q147
+      // experiment: per-user pre-period spend (first half of the time
+      // range) is the covariate for post-period spend — the adjustment
+      // every experimentation platform applies before reading a revenue
+      // metric, because it shrinks variance without touching the mean
+      // difference. The time midpoint is one scalar aggregate broadcast
+      // back (epoch-microsecond integer math — nothing float crosses
+      // engines); units form in ONE conditional user-keyed aggregate;
+      // Stats.cuped does the rest from decimal sufficient sums.
+      val ev = t(s, dir, "events")
+      val b = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx"))
+        .select(expr("(mn + mx) DIV 2").as("mid"))
+      val units = ev.crossJoin(broadcast(b))
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(unix_micros(col("ts")) < col("mid"),
+              col("value").cast("decimal(19,6)"))),
+            lit(0).cast("decimal(19,6)")).cast("double").as("x"),
+          coalesce(sum(when(unix_micros(col("ts")) >= col("mid"),
+              col("value").cast("decimal(19,6)"))),
+            lit(0).cast("decimal(19,6)")).cast("double").as("y"))
+        .withColumn("arm",
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+            lit("A")).otherwise(lit("B")))
+      operators.Stats.cuped(units, "arm", "x", "y")
+    }),
+
+    "q241_did" -> ((s, dir) => {
+      // difference-in-differences per event type (Card & Krueger 1994
+      // form): arm = the q147 deterministic user split, period = the
+      // pre/post epoch-midpoint split, DiD = (T̄post − T̄pre) −
+      // (C̄post − C̄pre) of mean event value — the causal readout when
+      // a change ships to one arm mid-window and secular drift must be
+      // netted out. ONE conditional event-type-keyed aggregate (4 cell
+      // sums + 4 cell counts as exact decimals/longs); the 5-row output
+      // derives every mean with one pinned double op order.
+      val ev = t(s, dir, "events")
+      val b = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx"))
+        .select(expr("(mn + mx) DIV 2").as("mid"))
+      val base = ev.crossJoin(broadcast(b)).select(col("event_type"),
+        (substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+          .as("tr"),
+        (unix_micros(col("ts")) >= col("mid")).as("post"),
+        col("value").cast("decimal(19,6)").as("v"))
+      val cells = base.groupBy(col("event_type")).agg(
+        sum(when(col("tr") && !col("post"), col("v"))).as("s_t_pre"),
+        sum(when(col("tr") && !col("post"), 1L).otherwise(0L))
+          .as("n_t_pre"),
+        sum(when(col("tr") && col("post"), col("v"))).as("s_t_post"),
+        sum(when(col("tr") && col("post"), 1L).otherwise(0L))
+          .as("n_t_post"),
+        sum(when(!col("tr") && !col("post"), col("v"))).as("s_c_pre"),
+        sum(when(!col("tr") && !col("post"), 1L).otherwise(0L))
+          .as("n_c_pre"),
+        sum(when(!col("tr") && col("post"), col("v"))).as("s_c_post"),
+        sum(when(!col("tr") && col("post"), 1L).otherwise(0L))
+          .as("n_c_post"))
+      def mean(sfx: String) = col(s"s_$sfx").cast("double") /
+        col(s"n_$sfx").cast("double")
+      cells.select(col("event_type"),
+          col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+          col("n_c_post"),
+          round(mean("t_pre"), 6).as("m_t_pre"),
+          round(mean("t_post"), 6).as("m_t_post"),
+          round(mean("c_pre"), 6).as("m_c_pre"),
+          round(mean("c_post"), 6).as("m_c_post"),
+          round((mean("t_post") - mean("t_pre"))
+            - (mean("c_post") - mean("c_pre")), 6).as("did"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q242_cem" -> ((s, dir) => {
+      // coarsened exact matching ATT (Iacus, King & Porro 2012): users
+      // are coarsened on PRE-period behavior (event-count bin × spend
+      // bin), treated/control compare only inside strata where BOTH
+      // arms appear, and the ATT is the treated-weighted mean of
+      // within-stratum conversion differences — the observational
+      // answer when assignment isn't randomized and raw means are
+      // confounded by activity. One user-keyed conditional aggregate
+      // forms units; strata are a bounded (6×6) rollup; the ATT scalar
+      // re-broadcasts onto the per-stratum readout. Bins use integer
+      // floor-division only, so no float ever picks a bucket.
+      val ev = t(s, dir, "events")
+      val b = ev.agg(min(unix_micros(col("ts"))).as("mn"),
+          max(unix_micros(col("ts"))).as("mx"))
+        .select(expr("(mn + mx) DIV 2").as("mid"))
+      val units = ev.crossJoin(broadcast(b))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(unix_micros(col("ts")) < col("mid"), 1L)
+            .otherwise(0L)).as("n_pre"),
+          coalesce(sum(when(unix_micros(col("ts")) < col("mid"),
+              col("value").cast("decimal(19,6)"))),
+            lit(0).cast("decimal(19,6)")).as("v_pre"),
+          max(when(unix_micros(col("ts")) >= col("mid")
+              && col("event_type") === "purchase"
+              && col("value") >= 200, 1).otherwise(0)).as("y"))
+        .select(
+          (substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+            .as("treated"),
+          expr("CAST(least(n_pre DIV 10, 5) AS BIGINT)").as("bin_n"),
+          expr("CAST(least(CAST(floor(v_pre) AS BIGINT) DIV 500, 5)" +
+            " AS BIGINT)").as("bin_v"),
+          col("y"))
+      val cells = units.groupBy(col("bin_n"), col("bin_v")).agg(
+        sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("treated"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("treated"), col("y").cast("long")).otherwise(0L))
+          .as("c_t"),
+        sum(when(!col("treated"), col("y").cast("long")).otherwise(0L))
+          .as("c_c"))
+      val matched = col("n_t") > 0 && col("n_c") > 0
+      val diff = col("c_t").cast("double") / col("n_t").cast("double") -
+        col("c_c").cast("double") / col("n_c").cast("double")
+      val att = cells.filter(matched)
+        .select(col("n_t"),
+          round(col("n_t").cast("double") * diff, 9)
+            .cast("decimal(38,9)").as("term"))
+        .agg((sum(col("term")).cast("double")
+          / sum(col("n_t")).cast("double")).as("att_raw"))
+      cells.crossJoin(broadcast(att))
+        .select(col("bin_n"), col("bin_v"), col("n_t"), col("n_c"),
+          when(col("n_t") > 0, round(col("c_t").cast("double")
+            / col("n_t").cast("double"), 6)).as("mean_t"),
+          when(col("n_c") > 0, round(col("c_c").cast("double")
+            / col("n_c").cast("double"), 6)).as("mean_c"),
+          when(matched, round(diff, 6)).as("diff"),
+          matched.as("matched"),
+          round(col("att_raw"), 6).as("att"))
+        .orderBy(col("bin_n"), col("bin_v"))
+    }),
+
+    "q243_jackknife" -> ((s, dir) => {
+      // delete-a-bucket jackknife CI for average order value — the
+      // ratio-of-sums metric (Σ purchase revenue / Σ purchases) whose
+      // naive per-row SE is wrong because users contribute correlated
+      // rows to both sides; 32 md5 buckets at USER grain keep each
+      // user's rows together (the clustering the jackknife exists to
+      // respect). One purchase-filtered user rollup, then
+      // Stats.jackknifeRatio runs entirely on the 32-row bucket table.
+      val units = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(19,6)")).as("rev"),
+          count(lit(1)).as("cnt"))
+      operators.Stats.jackknifeRatio(units, "user_id", "rev", "cnt",
+        b = 32)
     })
   )
 
@@ -9962,7 +10114,213 @@ object SparkEntry {
         |)
         |SELECT feature, mi, h_label, round(mi / h_label, 6) AS ig_ratio
         |FROM mi JOIN hl USING (feature)
-        |ORDER BY feature""".stripMargin
+        |ORDER BY feature""".stripMargin,
+
+    "q240_cuped" ->
+      """WITH b AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        |  FROM events
+        |), units AS (
+        |  SELECT user_id,
+        |    CAST(coalesce(sum(CASE WHEN epoch_us(ts) < mid
+        |        THEN CAST(value AS DECIMAL(19,6)) END),
+        |      CAST(0 AS DECIMAL(19,6))) AS DOUBLE) AS x,
+        |    CAST(coalesce(sum(CASE WHEN epoch_us(ts) >= mid
+        |        THEN CAST(value AS DECIMAL(19,6)) END),
+        |      CAST(0 AS DECIMAL(19,6))) AS DOUBLE) AS y
+        |  FROM events, b GROUP BY user_id
+        |), u2 AS (
+        |  SELECT x, y,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm
+        |  FROM units
+        |), pa AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS DECIMAL(19,6))) AS sx,
+        |    sum(CAST(y AS DECIMAL(19,6))) AS sy,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+        |      AS sxx,
+        |    sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+        |      AS syy,
+        |    sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+        |      AS sxy
+        |  FROM u2 GROUP BY 1
+        |), g AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) AS gn,
+        |    CAST(sum(sx) AS DOUBLE) AS gsx,
+        |    CAST(sum(sy) AS DOUBLE) AS gsy,
+        |    CAST(sum(sxx) AS DOUBLE) AS gsxx,
+        |    CAST(sum(sxy) AS DOUBLE) AS gsxy
+        |  FROM pa
+        |), k AS (
+        |  SELECT arm, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+        |    CAST(sxy AS DOUBLE) AS sxyd,
+        |    (gn * gsxy - gsx * gsy) / (gn * gsxx - gsx * gsx) AS theta,
+        |    gsx / gn AS xbar
+        |  FROM pa, g
+        |), r AS (
+        |  SELECT arm, n, theta, xbar,
+        |    syd / nd AS mean_y, sxd / nd AS mean_x,
+        |    (nd * syyd - syd * syd) / (nd * (nd - 1.0)) AS var_y,
+        |    (nd * sxxd - sxd * sxd) / (nd * (nd - 1.0)) AS var_x,
+        |    (nd * sxyd - sxd * syd) / (nd * (nd - 1.0)) AS cov_xy
+        |  FROM k
+        |)
+        |SELECT arm, n, round(mean_y, 6) AS mean_y,
+        |  round(mean_y - theta * (mean_x - xbar), 6) AS mean_cuped,
+        |  round(var_y, 6) AS var_y,
+        |  round(var_y - 2.0 * theta * cov_xy + theta * theta * var_x, 6)
+        |    AS var_cuped,
+        |  round(theta, 6) AS theta,
+        |  round(1.0 - (var_y - 2.0 * theta * cov_xy
+        |      + theta * theta * var_x) / var_y, 6) AS var_reduction
+        |FROM r ORDER BY arm""".stripMargin,
+
+    "q241_did" ->
+      """WITH b AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        |  FROM events
+        |), base AS (
+        |  SELECT event_type,
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS tr,
+        |    epoch_us(ts) >= mid AS post,
+        |    CAST(value AS DECIMAL(19,6)) AS v
+        |  FROM events, b
+        |), cells AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN tr AND NOT post THEN v END) AS s_t_pre,
+        |    CAST(sum(CASE WHEN tr AND NOT post THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_t_pre,
+        |    sum(CASE WHEN tr AND post THEN v END) AS s_t_post,
+        |    CAST(sum(CASE WHEN tr AND post THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_t_post,
+        |    sum(CASE WHEN NOT tr AND NOT post THEN v END) AS s_c_pre,
+        |    CAST(sum(CASE WHEN NOT tr AND NOT post THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_c_pre,
+        |    sum(CASE WHEN NOT tr AND post THEN v END) AS s_c_post,
+        |    CAST(sum(CASE WHEN NOT tr AND post THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_c_post
+        |  FROM base GROUP BY 1
+        |)
+        |SELECT event_type, n_t_pre, n_t_post, n_c_pre, n_c_post,
+        |  round(CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE), 6)
+        |    AS m_t_pre,
+        |  round(CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE), 6)
+        |    AS m_t_post,
+        |  round(CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE), 6)
+        |    AS m_c_pre,
+        |  round(CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE), 6)
+        |    AS m_c_post,
+        |  round((CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+        |      - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+        |    - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+        |      - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)), 6)
+        |    AS did
+        |FROM cells ORDER BY event_type""".stripMargin,
+
+    "q242_cem" ->
+      """WITH b AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        |  FROM events
+        |), units AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pre,
+        |    coalesce(sum(CASE WHEN epoch_us(ts) < mid
+        |        THEN CAST(value AS DECIMAL(19,6)) END),
+        |      CAST(0 AS DECIMAL(19,6))) AS v_pre,
+        |    max(CASE WHEN epoch_us(ts) >= mid
+        |        AND event_type = 'purchase' AND value >= 200
+        |      THEN 1 ELSE 0 END) AS y
+        |  FROM events, b GROUP BY 1
+        |), u2 AS (
+        |  SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      AS treated,
+        |    CAST(least(n_pre // 10, 5) AS BIGINT) AS bin_n,
+        |    CAST(least(CAST(floor(v_pre) AS BIGINT) // 500, 5)
+        |      AS BIGINT) AS bin_v,
+        |    y
+        |  FROM units
+        |), cells AS (
+        |  SELECT bin_n, bin_v,
+        |    CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_t,
+        |    CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_c,
+        |    CAST(sum(CASE WHEN treated THEN y ELSE 0 END) AS BIGINT)
+        |      AS c_t,
+        |    CAST(sum(CASE WHEN NOT treated THEN y ELSE 0 END) AS BIGINT)
+        |      AS c_c
+        |  FROM u2 GROUP BY 1, 2
+        |), att AS (
+        |  SELECT CAST(sum(CAST(round(CAST(n_t AS DOUBLE)
+        |        * (CAST(c_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |          - CAST(c_c AS DOUBLE) / CAST(n_c AS DOUBLE)), 9)
+        |      AS DECIMAL(38,9))) AS DOUBLE)
+        |    / CAST(sum(n_t) AS DOUBLE) AS att_raw
+        |  FROM cells WHERE n_t > 0 AND n_c > 0
+        |)
+        |SELECT bin_n, bin_v, n_t, n_c,
+        |  CASE WHEN n_t > 0 THEN round(CAST(c_t AS DOUBLE)
+        |    / CAST(n_t AS DOUBLE), 6) END AS mean_t,
+        |  CASE WHEN n_c > 0 THEN round(CAST(c_c AS DOUBLE)
+        |    / CAST(n_c AS DOUBLE), 6) END AS mean_c,
+        |  CASE WHEN n_t > 0 AND n_c > 0
+        |    THEN round(CAST(c_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |      - CAST(c_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+        |    END AS diff,
+        |  (n_t > 0 AND n_c > 0) AS matched,
+        |  round(att_raw, 6) AS att
+        |FROM cells, att ORDER BY bin_n, bin_v""".stripMargin,
+
+    "q243_jackknife" ->
+      """WITH units AS (
+        |  SELECT user_id, sum(CAST(value AS DECIMAL(19,6))) AS rev,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), per AS (
+        |  SELECT list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+        |      (strpos('0123456789abcdef',
+        |        substr(md5(CAST(user_id AS VARCHAR)), i + 1, 1)) - 1)
+        |      for i in range(0, 8)]) % 32 AS bucket,
+        |    sum(CAST(rev AS DECIMAL(19,6))) AS nv,
+        |    sum(CAST(cnt AS DECIMAL(19,6))) AS dv
+        |  FROM units GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(nv) AS tn, sum(dv) AS td,
+        |    CAST(count(*) AS BIGINT) AS nb
+        |  FROM per
+        |), loo AS (
+        |  SELECT nb, tn, td,
+        |    CAST(round(CAST(tn - nv AS DOUBLE)
+        |        / CAST(td - dv AS DOUBLE), 9) AS DECIMAL(38,9)) AS loo
+        |  FROM per, tot
+        |), m AS (
+        |  SELECT nb, tn, td, sum(loo) AS sl FROM loo GROUP BY 1, 2, 3
+        |), sq AS (
+        |  SELECT l.nb, l.tn, l.td,
+        |    sum(CAST(round((CAST(l.loo AS DOUBLE)
+        |          - CAST(m.sl AS DOUBLE) / CAST(l.nb AS DOUBLE))
+        |        * (CAST(l.loo AS DOUBLE)
+        |          - CAST(m.sl AS DOUBLE) / CAST(l.nb AS DOUBLE)), 12)
+        |      AS DECIMAL(38,12))) AS sq
+        |  FROM loo l JOIN m ON m.nb = l.nb GROUP BY 1, 2, 3
+        |)
+        |SELECT CAST(nb AS BIGINT) AS b,
+        |  round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE), 6) AS theta,
+        |  round(sqrt(((CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE))
+        |    * CAST(sq AS DOUBLE)), 6) AS se_jack,
+        |  round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE)
+        |    - 1.96 * sqrt(((CAST(nb AS DOUBLE) - 1.0)
+        |        / CAST(nb AS DOUBLE)) * CAST(sq AS DOUBLE)), 6)
+        |    AS ci_lo,
+        |  round(CAST(tn AS DOUBLE) / CAST(td AS DOUBLE)
+        |    + 1.96 * sqrt(((CAST(nb AS DOUBLE) - 1.0)
+        |        / CAST(nb AS DOUBLE)) * CAST(sq AS DOUBLE)), 6)
+        |    AS ci_hi
+        |FROM sq""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

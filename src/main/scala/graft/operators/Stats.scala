@@ -1199,4 +1199,113 @@ object Stats {
         round(sum(col("term")).cast("double"), 6).as("shapley"))
       .orderBy(col("channel"))
   }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013,
+    * "Improving the Sensitivity of Online Controlled Experiments by
+    * Utilizing Pre-Experiment Data"): the industry-standard regression
+    * adjustment Y′ = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) estimated
+    * POOLED across arms (the pre-period covariate is independent of
+    * assignment, so pooling is unbiased and maximizes θ precision).
+    * Input is one row per experiment unit (arm, x = pre-period
+    * covariate, y = outcome); output is one row per arm carrying the
+    * outcome mean before/after adjustment, both variances, the shared
+    * θ, and the per-arm variance reduction 1 − var(Y′)/var(Y) — the
+    * "how much experiment runtime did CUPED buy" readout.
+    *
+    * Scale shape: ONE arm-keyed partial-combined aggregate of
+    * DECIMAL(19,6)-lifted sufficient sums (n, Σx, Σy, Σx², Σy², Σxy);
+    * the pooled-θ row is the arm table re-aggregated and broadcast
+    * back, so the unit table is scanned once and nothing shuffles but
+    * a dozen numbers — the only shape that survives a billion-unit
+    * experiment. Variances are sample (n−1) variances; every double
+    * derives from the exact decimal sums with one pinned op order,
+    * round(6), so a DuckDB replay lands identical bits. */
+  def cuped(units: DataFrame, armCol: String, xCol: String,
+            yCol: String): DataFrame = {
+    def d(c: String) = col(c).cast("decimal(19,6)")
+    val perArm = units.groupBy(col(armCol).as("arm")).agg(
+      count(lit(1)).as("n"),
+      sum(d(xCol)).as("sx"), sum(d(yCol)).as("sy"),
+      sum(d(xCol) * d(xCol)).as("sxx"),
+      sum(d(yCol) * d(yCol)).as("syy"),
+      sum(d(xCol) * d(yCol)).as("sxy"))
+    val glob = perArm.agg(
+      sum(col("n")).as("gn"), sum(col("sx")).as("gsx"),
+      sum(col("sy")).as("gsy"), sum(col("sxx")).as("gsxx"),
+      sum(col("sxy")).as("gsxy"))
+    def v(name: String) = col(name).cast("double")
+    val gn = v("gn")
+    val theta = (gn * v("gsxy") - v("gsx") * v("gsy")) /
+      (gn * v("gsxx") - v("gsx") * v("gsx"))
+    val xbar = v("gsx") / gn
+    val nd = col("n").cast("double")
+    val meanY = v("sy") / nd
+    val meanX = v("sx") / nd
+    val varY = (nd * v("syy") - v("sy") * v("sy")) / (nd * (nd - 1.0))
+    val varX = (nd * v("sxx") - v("sx") * v("sx")) / (nd * (nd - 1.0))
+    val covXY = (nd * v("sxy") - v("sx") * v("sy")) / (nd * (nd - 1.0))
+    val varC = varY - lit(2.0) * theta * covXY + theta * theta * varX
+    perArm.crossJoin(broadcast(glob))
+      .select(col("arm"), col("n"),
+        round(meanY, 6).as("mean_y"),
+        round(meanY - theta * (meanX - xbar), 6).as("mean_cuped"),
+        round(varY, 6).as("var_y"),
+        round(varC, 6).as("var_cuped"),
+        round(theta, 6).as("theta"),
+        round(lit(1.0) - varC / varY, 6).as("var_reduction"))
+      .orderBy(col("arm"))
+  }
+
+  /** Delete-a-group jackknife for a ratio-of-sums metric (Efron 1981;
+    * the "delete-a-bucket" standard error every large experimentation
+    * platform publishes for ratio metrics, where the naive iid SE is
+    * wrong because numerator and denominator are both random): units
+    * hash into `b` deterministic buckets (the portable md5 idiom — a
+    * re-run or another engine lands identical buckets), θ̂ = ΣN/ΣD,
+    * and the b leave-one-bucket-out estimates θ̂₍ᵢ₎ = (ΣN−nᵢ)/(ΣD−dᵢ)
+    * give SE² = (b−1)/b · Σᵢ(θ̂₍ᵢ₎ − θ̄)². Output is ONE row
+    * (b, theta, se_jack, ci_lo, ci_hi) with the 95% normal interval.
+    *
+    * Scale shape: one bucket-keyed partial-combined DECIMAL aggregate
+    * (b rows); the whole jackknife then runs on the bounded b-row
+    * table — the corpus shuffles b partial states, nothing else. The
+    * leave-one-out estimates are round(9)-pinned decimals before the
+    * variance sum and the squared deviations round(12), so aggregation
+    * order can't flip a bit. Buckets that drew no units simply don't
+    * exist; the jackknife runs over the observed bucket count (a
+    * deterministic function of the data on every engine). Assumes no
+    * single bucket holds the entire denominator (b ≥ 2 non-degenerate
+    * buckets), the normal regime the estimator is built for. */
+  def jackknifeRatio(units: DataFrame, keyCol: String, numCol: String,
+                     denCol: String, b: Int = 32): DataFrame = {
+    def d(c: String) = col(c).cast("decimal(19,6)")
+    val bkt = pmod(conv(substring(md5(col(keyCol).cast("string")), 1, 8),
+      16, 10).cast("long"), lit(b.toLong))
+    val per = units.groupBy(bkt.as("bucket")).agg(
+      sum(d(numCol)).as("nv"), sum(d(denCol)).as("dv"))
+    val tot = per.agg(sum(col("nv")).as("tn"), sum(col("dv")).as("td"),
+      count(lit(1)).as("nb"))
+    val loo = per.crossJoin(broadcast(tot))
+      .select(col("nb"), col("tn"), col("td"),
+        round((col("tn") - col("nv")).cast("double")
+            / (col("td") - col("dv")).cast("double"), 9)
+          .cast("decimal(38,9)").as("loo"))
+    val m = loo.groupBy(col("nb"), col("tn"), col("td"))
+      .agg(sum(col("loo")).as("sl"))
+    val nbD = col("nb").cast("double")
+    val dev = col("loo").cast("double") -
+      col("sl").cast("double") / nbD
+    val sq = loo.join(broadcast(m), Seq("nb", "tn", "td"))
+      .select(col("nb"), col("tn"), col("td"),
+        round(dev * dev, 12).cast("decimal(38,12)").as("t2"))
+      .groupBy(col("nb"), col("tn"), col("td"))
+      .agg(sum(col("t2")).as("sq"))
+    val theta = col("tn").cast("double") / col("td").cast("double")
+    val se = sqrt(((nbD - 1.0) / nbD) * col("sq").cast("double"))
+    sq.select(col("nb").cast("long").as("b"),
+      round(theta, 6).as("theta"),
+      round(se, 6).as("se_jack"),
+      round(theta - lit(1.96) * se, 6).as("ci_lo"),
+      round(theta + lit(1.96) * se, 6).as("ci_hi"))
+  }
 }

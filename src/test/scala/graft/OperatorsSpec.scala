@@ -3678,4 +3678,58 @@ class OperatorsSpec extends SparkSpec {
     val rel = graft.operators.Retrieval.mmrSelect(cands, sims, 3, 1.0)
     assert(rel.map(_._2) == Seq(1L, 2L, 3L))
   }
+
+  test("cuped: perfect pre/post correlation gives theta=1, drives the " +
+    "adjusted variance to zero, and lands both arms on the pooled mean") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("A", 1.0, 1.0), ("A", 2.0, 2.0), ("A", 3.0, 3.0),
+      ("B", 4.0, 4.0), ("B", 5.0, 5.0), ("B", 6.0, 6.0))
+      .toDF("arm", "x", "y")
+    val got = graft.operators.Stats.cuped(df, "arm", "x", "y").collect()
+    val a = got(0); val b = got(1)
+    assert(a.getString(0) == "A" && a.getLong(1) == 3L)
+    assert(a.getDouble(2) == 2.0 && a.getDouble(3) == 3.5)
+    assert(a.getDouble(4) == 1.0 && a.getDouble(5) == 0.0)
+    assert(a.getDouble(6) == 1.0 && a.getDouble(7) == 1.0)
+    // Y==X means the "treatment difference" was pure pre-period
+    // imbalance: both arms adjust onto the same pooled mean
+    assert(b.getString(0) == "B" && b.getDouble(3) == 3.5)
+  }
+
+  test("jackknifeRatio: matches a Scala replay of the md5-bucket " +
+    "leave-one-out algebra on a 20-unit fixture") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 20).map(i => (i.toLong, i.toDouble, 1.0))
+      .toDF("id", "numv", "denv")
+    val got = graft.operators.Stats
+      .jackknifeRatio(df, "id", "numv", "denv", b = 4).collect()(0)
+    def bucket(k: String): Long = {
+      val h = MessageDigest.getInstance("MD5").digest(k.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(h, 16) % 4
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val per = (1 to 20).groupBy(i => bucket(i.toString))
+      .map { case (_, is) => (is.map(_.toDouble).sum, is.size.toDouble) }
+      .toSeq
+    val (tn, td) = (per.map(_._1).sum, per.map(_._2).sum)
+    val nb = per.size.toDouble
+    val looBD = per.map { case (nv, dv) =>
+      BigDecimal((tn - nv) / (td - dv))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP) }
+    val mean = looBD.sum.toDouble / nb
+    val sq = looBD.map { l =>
+      val d = l.toDouble - mean
+      BigDecimal(d * d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val se = math.sqrt((nb - 1.0) / nb * sq)
+    assert(got.getLong(0) == per.size.toLong)
+    assert(got.getDouble(1) == r6(tn / td))
+    assert(got.getDouble(2) == r6(se))
+    assert(got.getDouble(3) == r6(tn / td - 1.96 * se))
+    assert(got.getDouble(4) == r6(tn / td + 1.96 * se))
+  }
 }
