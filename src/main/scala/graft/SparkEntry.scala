@@ -4354,6 +4354,201 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
       operators.Stats.jackknifeRatio(units, "user_id", "rev", "cnt",
         b = 32)
+    }),
+
+    "q244_fdr_bh" -> ((s, dir) => {
+      // Benjamini–Hochberg FDR control (B&H 1995) across the 30
+      // (event_type × 4-hour bucket) segment experiments: each segment
+      // runs the q147 two-proportion z-test between the deterministic
+      // arms, the p-value comes from the Abramowitz–Stegun 26.2.17
+      // normal-tail polynomial (identical op order on both engines,
+      // round(9) before any comparison), and the step-up rule rejects
+      // the largest prefix of the p-sorted segments with
+      // p_(i) ≤ i·q/m — the multiple-testing discipline that keeps a
+      // wide segment sweep from crying wolf on q·100% of healthy
+      // segments. One conditional segment-keyed corpus aggregate;
+      // ranks and thresholds live on the bounded m-row table (global
+      // window over ~30 rows — the q177 bounded-table contract).
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val cells = ev.select(col("event_type"),
+          expr("CAST(hour(ts) DIV 4 AS BIGINT)").as("hb"),
+          (substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+            .as("a"),
+          (col("value") >= 100).as("hit"))
+        .groupBy(col("event_type"), col("hb"))
+        .agg(sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("a") && col("hit"), 1L).otherwise(0L)).as("x_a"),
+          sum(when(!col("a") && col("hit"), 1L).otherwise(0L)).as("x_b"))
+      val pa = col("x_a").cast("double") / col("n_a").cast("double")
+      val pb = col("x_b").cast("double") / col("n_b").cast("double")
+      val pp = (col("x_a") + col("x_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      val z = (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a").cast("double")
+          + lit(1.0) / col("n_b").cast("double")))
+      val az = abs(z)
+      val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+      val poly = tt * (lit(0.319381530) + tt * (lit(-0.356563782) +
+        tt * (lit(1.781477937) + tt * (lit(-1.821255978) +
+          tt * lit(1.330274429)))))
+      val p = lit(2.0) * (lit(0.3989422804014327) *
+        exp(lit(-0.5) * az * az)) * poly
+      val tested = cells.filter(col("n_a") > 0 && col("n_b") > 0
+          && col("x_a") + col("x_b") > 0
+          && col("x_a") + col("x_b") < col("n_a") + col("n_b"))
+        .select(col("event_type"), col("hb"), col("n_a"), col("n_b"),
+          col("x_a"), col("x_b"), round(z, 6).as("z"),
+          round(p, 9).as("p_value"))
+      val wr = Window.orderBy(col("p_value"), col("event_type"),
+        col("hb"))
+      val ranked = operators.Materializer.Local(
+        tested.withColumn("rank", row_number().over(wr).cast("int")))
+      val m = ranked.agg(count(lit(1)).as("m"))
+      val flagged = ranked.crossJoin(broadcast(m))
+        .withColumn("flag", col("p_value") <=
+          col("rank").cast("double") * lit(0.1) / col("m").cast("double"))
+      val kdf = flagged.agg(max(when(col("flag"), col("rank"))).as("k"))
+      flagged.crossJoin(broadcast(kdf))
+        .select(col("event_type"), col("hb"), col("n_a"), col("n_b"),
+          col("x_a"), col("x_b"), col("z"), col("p_value"), col("rank"),
+          (col("rank") <= coalesce(col("k"), lit(0))).as("rejected"))
+        .orderBy(col("rank"))
+    }),
+
+    "q245_conformal" -> ((s, dir) => {
+      // split-conformal prediction intervals per event type
+      // (Papadopoulos et al. 2002; Lei et al. 2018): predictor = the
+      // train-split mean (integer half-up cents), score = |value−pred|,
+      // q̂ = the EXACT ceil(0.9·(n_cal+1)) order statistic of
+      // calibration scores, coverage audited on the held-out test
+      // split — the distribution-free "this interval covers 90%"
+      // guarantee a serving pipeline publishes next to every point
+      // prediction. ONE corpus exchange builds the (type, split, cents)
+      // histogram: value lives on a cents grid, so the histogram —
+      // and therefore every order statistic downstream — is
+      // grid-bounded at ANY corpus size; no corpus-scale sort exists.
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val hist = operators.Materializer.Local(ev.select(col("event_type"),
+          substring(md5(col("event_id").cast("string")), 1, 1).as("c"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+        .withColumn("split", when(col("c") < "6", "train")
+          .when(col("c") < "b", "cal").otherwise("test"))
+        .groupBy(col("event_type"), col("split"), col("vc"))
+        .agg(count(lit(1)).as("cnt")))
+      val pred = hist.filter(col("split") === "train")
+        .groupBy(col("event_type"))
+        .agg(sum(col("vc") * col("cnt")).as("sv"),
+          sum(col("cnt")).as("nt"))
+        .select(col("event_type"),
+          expr("CAST((2 * sv + nt) DIV (2 * nt) AS BIGINT)")
+            .as("pred_c"),
+          col("nt").as("n_train"))
+      val cal = hist.filter(col("split") === "cal")
+        .join(broadcast(pred), Seq("event_type"))
+        .select(col("event_type"),
+          abs(col("vc") - col("pred_c")).as("r"), col("cnt"))
+        .groupBy(col("event_type"), col("r"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val ncal = cal.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n_cal"))
+        .select(col("event_type"), col("n_cal"),
+          expr("CAST((9 * n_cal + 18) DIV 10 AS BIGINT)").as("k"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("r"))
+      val qhat = cal.withColumn("cum", sum(col("cnt")).over(wc))
+        .join(broadcast(ncal), Seq("event_type"))
+        .filter(col("cum") >= col("k"))
+        .groupBy(col("event_type"), col("n_cal"))
+        .agg(min(col("r")).as("qhat_c"))
+      hist.filter(col("split") === "test")
+        .join(broadcast(pred), Seq("event_type"))
+        .join(broadcast(qhat), Seq("event_type"))
+        .groupBy(col("event_type"), col("n_train"), col("n_cal"),
+          col("pred_c"), col("qhat_c"))
+        .agg(sum(col("cnt")).as("n_test"),
+          sum(when(abs(col("vc") - col("pred_c")) <= col("qhat_c"),
+            col("cnt")).otherwise(0L)).as("n_covered"))
+        .select(col("event_type"), col("n_train"), col("n_cal"),
+          col("n_test"),
+          (col("pred_c").cast("double") / 100.0).as("pred"),
+          (col("qhat_c").cast("double") / 100.0).as("qhat"),
+          col("n_covered"),
+          round(col("n_covered").cast("double")
+            / col("n_test").cast("double"), 6).as("coverage"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q246_isotonic" -> ((s, dir) => {
+      // isotonic calibration curve (Ayer et al. 1955 minimax ≡ PAV) of
+      // the "longer documents are likelier English" signal: 20 length
+      // bins, monotone non-decreasing fit — the shape-constrained
+      // calibration a ranking/quality pipeline applies when it knows
+      // the direction of an effect but not its form. The corpus pays
+      // one bin-keyed aggregate; Stats.isotonicCalibration runs the
+      // B² minimax entirely on the bounded 20-row bin table.
+      val docs = t(s, dir, "documents")
+      val bins = docs.select(
+          expr("CAST(least(n_chars DIV 50, 19) AS BIGINT)").as("bin"),
+          (col("lang") === "en").cast("long").as("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      operators.Stats.isotonicCalibration(bins, "bin", "n", "pos")
+    }),
+
+    "q247_spearman" -> ((s, dir) => {
+      // exact tie-corrected Spearman rank correlation between event
+      // value and hour-of-day, per event type — the monotone-trend
+      // readout that is robust to the heavy right tail where Pearson
+      // (q186) is not. Ranks are AVERAGE ranks derived from marginal
+      // histograms, carried as exact integers (2·rank = 2·cum_before
+      // + count + 1, so tie halves never touch a float); value lives
+      // on a cents grid, so the (type, cents, hour) cell table — ONE
+      // corpus exchange — is grid-bounded at any corpus size, and all
+      // rank algebra runs on bounded tables broadcast back onto cells.
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val cells = operators.Materializer.Local(ev.select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("vc"),
+          expr("CAST(hour(ts) AS BIGINT)").as("hr"))
+        .groupBy(col("event_type"), col("vc"), col("hr"))
+        .agg(count(lit(1)).as("cnt")))
+      val wx = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+      val xh = cells.groupBy(col("event_type"), col("vc"))
+        .agg(sum(col("cnt")).as("cx"))
+        .withColumn("r2x", lit(2L) * (sum(col("cx")).over(wx)
+          - col("cx")) + col("cx") + lit(1L))
+      val wy = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      val yh = cells.groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("cnt")).as("cy"))
+        .withColumn("r2y", lit(2L) * (sum(col("cy")).over(wy)
+          - col("cy")) + col("cy") + lit(1L))
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val sums = cells
+        .join(broadcast(xh.select(col("event_type"), col("vc"),
+          col("r2x"))), Seq("event_type", "vc"))
+        .join(broadcast(yh.select(col("event_type"), col("hr"),
+          col("r2y"))), Seq("event_type", "hr"))
+        .groupBy(col("event_type")).agg(
+          sum(col("cnt")).as("n"),
+          sum(dec(col("cnt")) * dec(col("r2x"))).as("sx"),
+          sum(dec(col("cnt")) * dec(col("r2y"))).as("sy"),
+          sum(dec(col("cnt")) * dec(col("r2x")) * dec(col("r2x")))
+            .as("sxx"),
+          sum(dec(col("cnt")) * dec(col("r2y")) * dec(col("r2y")))
+            .as("syy"),
+          sum(dec(col("cnt")) * dec(col("r2x")) * dec(col("r2y")))
+            .as("sxy"))
+      def v(name: String) = col(name).cast("double")
+      val nD = v("n")
+      val varX = nD * v("sxx") - v("sx") * v("sx")
+      val varY = nD * v("syy") - v("sy") * v("sy")
+      sums.select(col("event_type"), col("n"),
+          when(varX === 0.0 || varY === 0.0, lit(null).cast("double"))
+            .otherwise(round((nD * v("sxy") - v("sx") * v("sy"))
+              / sqrt(varX * varY), 6)).as("rho"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -10320,7 +10515,185 @@ object SparkEntry {
         |    + 1.96 * sqrt(((CAST(nb AS DOUBLE) - 1.0)
         |        / CAST(nb AS DOUBLE)) * CAST(sq AS DOUBLE)), 6)
         |    AS ci_hi
-        |FROM sq""".stripMargin
+        |FROM sq""".stripMargin,
+
+    "q244_fdr_bh" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(hour(ts) // 4 AS BIGINT) AS hb,
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS a,
+        |    value >= 100 AS hit
+        |  FROM events
+        |), cells AS (
+        |  SELECT event_type, hb,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN a AND hit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x_a,
+        |    CAST(sum(CASE WHEN NOT a AND hit THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x_b
+        |  FROM base GROUP BY 1, 2
+        |), tested AS (
+        |  SELECT event_type, hb, n_a, n_b, x_a, x_b,
+        |    (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt(CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |      * (1.0 - CAST(x_a + x_b AS DOUBLE)
+        |        / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |      AS zr
+        |  FROM cells
+        |  WHERE n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+        |    AND x_a + x_b < n_a + n_b
+        |), pv0 AS (
+        |  SELECT *, abs(zr) AS az,
+        |    1.0 / (1.0 + 0.2316419 * abs(zr)) AS tt
+        |  FROM tested
+        |), pv AS (
+        |  SELECT event_type, hb, n_a, n_b, x_a, x_b, round(zr, 6) AS z,
+        |    round(2.0 * (0.3989422804014327 * exp(-0.5 * az * az))
+        |      * (tt * (0.319381530 + tt * (-0.356563782
+        |        + tt * (1.781477937 + tt * (-1.821255978
+        |          + tt * 1.330274429))))), 9) AS p_value
+        |  FROM pv0
+        |), ranked AS (
+        |  SELECT *, CAST(row_number()
+        |    OVER (ORDER BY p_value, event_type, hb) AS INTEGER) AS rank
+        |  FROM pv
+        |), mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ranked
+        |), fl AS (
+        |  SELECT r.*, (p_value <= CAST(rank AS DOUBLE) * 0.1
+        |    / CAST(m AS DOUBLE)) AS flag
+        |  FROM ranked r, mm
+        |), kk AS (SELECT max(CASE WHEN flag THEN rank END) AS k FROM fl)
+        |SELECT event_type, hb, n_a, n_b, x_a, x_b, z, p_value, rank,
+        |  rank <= coalesce(k, 0) AS rejected
+        |FROM fl, kk ORDER BY rank""".stripMargin,
+
+    "q245_conformal" ->
+      """WITH hist AS (
+        |  SELECT event_type,
+        |    CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '6'
+        |      THEN 'train'
+        |      WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < 'b'
+        |      THEN 'cal' ELSE 'test' END AS split,
+        |    CAST(round(value * 100) AS BIGINT) AS vc,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2, 3
+        |), pred AS (
+        |  SELECT event_type,
+        |    (2 * sum(vc * cnt) + sum(cnt)) // (2 * sum(cnt)) AS pred_c,
+        |    CAST(sum(cnt) AS BIGINT) AS n_train
+        |  FROM hist WHERE split = 'train' GROUP BY 1
+        |), cal AS (
+        |  SELECT h.event_type, abs(vc - pred_c) AS r,
+        |    CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM hist h JOIN pred USING (event_type) WHERE split = 'cal'
+        |  GROUP BY 1, 2
+        |), ncal AS (
+        |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_cal,
+        |    (9 * sum(cnt) + 18) // 10 AS k
+        |  FROM cal GROUP BY 1
+        |), qh AS (
+        |  SELECT c.event_type, n_cal, min(r) AS qhat_c
+        |  FROM (SELECT event_type, r, sum(cnt)
+        |      OVER (PARTITION BY event_type ORDER BY r) AS cum
+        |    FROM cal) c
+        |  JOIN ncal USING (event_type)
+        |  WHERE cum >= k GROUP BY 1, 2
+        |), res AS (
+        |  SELECT h.event_type, n_train, n_cal, pred_c, qhat_c,
+        |    CAST(sum(cnt) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN abs(vc - pred_c) <= qhat_c
+        |      THEN cnt ELSE 0 END) AS BIGINT) AS n_covered
+        |  FROM hist h JOIN pred USING (event_type)
+        |  JOIN qh USING (event_type)
+        |  WHERE split = 'test' GROUP BY 1, 2, 3, 4, 5
+        |)
+        |SELECT event_type, n_train, n_cal, n_test,
+        |  CAST(pred_c AS DOUBLE) / 100.0 AS pred,
+        |  CAST(qhat_c AS DOUBLE) / 100.0 AS qhat,
+        |  n_covered,
+        |  round(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+        |    AS coverage
+        |FROM res ORDER BY event_type""".stripMargin,
+
+    "q246_isotonic" ->
+      """WITH bins AS (
+        |  SELECT CAST(least(n_chars // 50, 19) AS BIGINT) AS b,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS p
+        |  FROM documents GROUP BY 1
+        |), pre AS (
+        |  SELECT b, n, p,
+        |    sum(n) OVER (ORDER BY b) AS cn,
+        |    sum(p) OVER (ORDER BY b) AS cp
+        |  FROM bins
+        |), segs AS (
+        |  SELECT i.b AS i, round(CAST(j.cp - (i.cp - i.p) AS DOUBLE)
+        |      / CAST(j.cn - (i.cn - i.n) AS DOUBLE), 9) AS avg
+        |  FROM pre i JOIN pre j ON i.b <= j.b
+        |), mins AS (SELECT i, min(avg) AS mi FROM segs GROUP BY 1
+        |), iso AS (
+        |  SELECT p2.b, max(m.mi) AS iso_raw
+        |  FROM pre p2 JOIN mins m ON m.i <= p2.b GROUP BY 1
+        |)
+        |SELECT pre.b AS bin, pre.n, pre.p AS pos,
+        |  round(CAST(pre.p AS DOUBLE) / CAST(pre.n AS DOUBLE), 6)
+        |    AS rate,
+        |  round(iso_raw, 6) AS iso
+        |FROM pre JOIN iso USING (b) ORDER BY bin""".stripMargin,
+
+    "q247_spearman" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc,
+        |    CAST(hour(ts) AS BIGINT) AS hr,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2, 3
+        |), xh AS (
+        |  SELECT event_type, vc,
+        |    2 * (sum(cx) OVER (PARTITION BY event_type ORDER BY vc)
+        |      - cx) + cx + 1 AS r2x
+        |  FROM (SELECT event_type, vc, CAST(sum(cnt) AS BIGINT) AS cx
+        |        FROM cells GROUP BY 1, 2)
+        |), yh AS (
+        |  SELECT event_type, hr,
+        |    2 * (sum(cy) OVER (PARTITION BY event_type ORDER BY hr)
+        |      - cy) + cy + 1 AS r2y
+        |  FROM (SELECT event_type, hr, CAST(sum(cnt) AS BIGINT) AS cy
+        |        FROM cells GROUP BY 1, 2)
+        |), j AS (
+        |  SELECT c.event_type, c.cnt, x.r2x, y.r2y
+        |  FROM cells c
+        |  JOIN xh x ON x.event_type = c.event_type AND x.vc = c.vc
+        |  JOIN yh y ON y.event_type = c.event_type AND y.hr = c.hr
+        |), sums AS (
+        |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+        |    sum(CAST(cnt AS HUGEINT) * CAST(r2x AS HUGEINT)) AS sx,
+        |    sum(CAST(cnt AS HUGEINT) * CAST(r2y AS HUGEINT)) AS sy,
+        |    sum(CAST(cnt AS HUGEINT) * CAST(r2x AS HUGEINT)
+        |      * CAST(r2x AS HUGEINT)) AS sxx,
+        |    sum(CAST(cnt AS HUGEINT) * CAST(r2y AS HUGEINT)
+        |      * CAST(r2y AS HUGEINT)) AS syy,
+        |    sum(CAST(cnt AS HUGEINT) * CAST(r2x AS HUGEINT)
+        |      * CAST(r2y AS HUGEINT)) AS sxy
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT event_type, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0.0
+        |    OR (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0.0
+        |    THEN NULL
+        |    ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    END AS rho
+        |FROM sums ORDER BY event_type""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

@@ -1256,6 +1256,50 @@ object Stats {
       .orderBy(col("arm"))
   }
 
+  /** Exact isotonic (monotone non-decreasing) calibration of binned
+    * event rates via the minimax identity iso(b) = max_{i≤b} min_{j≥i}
+    * mean(i..j) (Ayer, Brunk, Ewing, Reid & Silverman 1955 — the same
+    * fit pool-adjacent-violators converges to, but expressed as pure
+    * bounded-table algebra instead of a data-dependent pooling loop,
+    * so it replays identically on any engine): input is one row per
+    * score bin with total/positive counts, output adds the raw rate
+    * and the monotone fit. The corpus-scale work is whatever aggregate
+    * PRODUCED the bins; the calibration itself is B² segment means on
+    * the bounded B-row table (inequality joins on broadcast sides —
+    * BNLJ, never a shuffle). Segment means are exact-integer ratios in
+    * one pinned double op order, round(9); the fit is round(6). The
+    * bin table is materialized once (`mat`) because three joins
+    * reference it — unpinned, the upstream corpus aggregate would
+    * re-execute per reference. */
+  def isotonicCalibration(bins: DataFrame, binCol: String, nCol: String,
+                          posCol: String,
+                          mat: Materializer = Materializer.Local)
+      : DataFrame = {
+    val w = Window.orderBy(col("b")) // bounded bin table: global OK
+    val pre = mat(bins.select(col(binCol).as("b"),
+        col(nCol).cast("long").as("n"), col(posCol).cast("long").as("p"))
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("cp", sum(col("p")).over(w)))
+    val segs = pre.select(col("b").as("i"),
+        (col("cn") - col("n")).as("cni0"),
+        (col("cp") - col("p")).as("cpi0"))
+      .join(broadcast(pre.select(col("b").as("j"), col("cn").as("cnj"),
+        col("cp").as("cpj"))), col("i") <= col("j"))
+      .select(col("i"),
+        round((col("cpj") - col("cpi0")).cast("double")
+          / (col("cnj") - col("cni0")).cast("double"), 9).as("avg"))
+    val mins = segs.groupBy(col("i")).agg(min(col("avg")).as("mi"))
+    val iso = pre.select(col("b"))
+      .join(broadcast(mins), col("i") <= col("b"))
+      .groupBy(col("b")).agg(max(col("mi")).as("iso_raw"))
+    pre.join(broadcast(iso), Seq("b"))
+      .select(col("b").as(binCol), col("n"), col("p").as("pos"),
+        round(col("p").cast("double") / col("n").cast("double"), 6)
+          .as("rate"),
+        round(col("iso_raw"), 6).as("iso"))
+      .orderBy(col(binCol))
+  }
+
   /** Delete-a-group jackknife for a ratio-of-sums metric (Efron 1981;
     * the "delete-a-bucket" standard error every large experimentation
     * platform publishes for ratio metrics, where the naive iid SE is

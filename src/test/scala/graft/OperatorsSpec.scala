@@ -3732,4 +3732,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got.getDouble(3) == r6(tn / td - 1.96 * se))
     assert(got.getDouble(4) == r6(tn / td + 1.96 * se))
   }
+
+  test("isotonicCalibration: the minimax fit equals pool-adjacent-" +
+    "violators on a fixture with violations; monotone input unchanged") {
+    val s = spark
+    import s.implicits._
+    // rates .1 .5 .3 .2 .8 -> PAV pools bins 1-3 to 10/30
+    val bins = Seq((0L, 10L, 1L), (1L, 10L, 5L), (2L, 10L, 3L),
+      (3L, 10L, 2L), (4L, 10L, 8L)).toDF("bin", "n", "pos")
+    val got = graft.operators.Stats
+      .isotonicCalibration(bins, "bin", "n", "pos")
+      .collect().map(r => (r.getLong(0), r.getDouble(4)))
+    assert(got.toSeq == Seq(0L -> 0.1, 1L -> 0.333333, 2L -> 0.333333,
+      3L -> 0.333333, 4L -> 0.8))
+    assert(got.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+    // already-monotone input: iso == raw rate everywhere
+    val mono = Seq((0L, 10L, 1L), (1L, 10L, 4L), (2L, 10L, 9L))
+      .toDF("bin", "n", "pos")
+    val g2 = graft.operators.Stats
+      .isotonicCalibration(mono, "bin", "n", "pos")
+      .collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(g2.forall(p => p._1 == p._2))
+  }
 }

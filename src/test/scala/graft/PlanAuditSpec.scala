@@ -1151,4 +1151,40 @@ class PlanAuditSpec extends SparkSpec {
       && !p.contains("SortMergeJoin") && !p.contains("Window"),
       p.take(2000))
   }
+
+  test("q240/q241/q242/q243: causal readouts are one corpus aggregate " +
+    "plus broadcast scalars — no shuffle join, no window, no cartesian") {
+    for (q <- Seq("q240_cuped", "q241_did", "q242_cem",
+        "q243_jackknife")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("SortMergeJoin") && !p.contains("Window"),
+        s"$q:\n" + p.take(3000))
+    }
+  }
+
+  test("q244/q246: BH ranks and the isotonic minimax run on bounded " +
+    "tables (window/BNLJ allowed there); never a shuffle join or " +
+    "cartesian") {
+    for (q <- Seq("q244_fdr_bh", "q246_isotonic")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("SortMergeJoin"), s"$q:\n" + p.take(3000))
+    }
+  }
+
+  test("q245/q247: order statistics and ranks ride grid-bounded " +
+    "histograms — windows partition by type, models join back " +
+    "broadcast, no shuffle join") {
+    for (q <- Seq("q245_conformal", "q247_spearman")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n" + p.take(3000))
+      assert(!p.contains("CartesianProduct")
+        && !p.contains("SortMergeJoin"), s"$q:\n" + p.take(3000))
+      // the CDF/rank windows must be keyed by event_type, never global
+      // (a global window would demand an Exchange SinglePartition)
+      assert(p.contains("Window") && !p.contains("SinglePartition"),
+        s"$q windows must partition by event_type:\n" + p.take(3000))
+    }
+  }
 }
