@@ -4549,8 +4549,193 @@ object SparkEntry {
             .otherwise(round((nD * v("sxy") - v("sx") * v("sy"))
               / sqrt(varX * varY), 6)).as("rho"))
         .orderBy(col("event_type"))
+    }),
+
+    "q248_hits" -> ((s, dir) => {
+      // HITS hubs & authorities (Kleinberg 1999) on the DIRECTED
+      // customer→supplier purchase graph — the two-sided centrality a
+      // bipartite behavior graph wants, where q107's PageRank conflates
+      // "buys from many" with "sells to many": customers score as hubs,
+      // suppliers as authorities, 4 fixed mutually-recursive rounds.
+      // Per half-step one edge equi-join against the broadcast score
+      // table + one DECIMAL(38,20) partial-combined sum + one scalar L1
+      // norm — the edge table never shuffles (q107's entity-graph
+      // contract).
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      operators.Graph.hits(base, iters = 4)
+    }),
+
+    "q249_t_closeness" -> ((s, dir) => {
+      // t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+      // the release gate k-anonymity (q130) and l-diversity (q197)
+      // miss: a QI group can be large AND diverse yet still leak if its
+      // SENSITIVE-value distribution sits far from the global one.
+      // Distance = exact 1-D earth-mover on the ordered cents support
+      // (the numeric-attribute EMD the paper prescribes), normalized by
+      // the attribute range. ONE corpus exchange builds the
+      // (qi, cents) histogram; the global support walk and every
+      // per-group cumulative ride grid-bounded tables; products lift
+      // through DECIMAL/HUGEINT so no count ever overflows.
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val h = operators.Materializer.Local(ev.select(col("event_type"),
+          hour(col("ts")).as("hb"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("event_type"), col("hb"), col("v"))
+        .agg(count(lit(1)).as("cg")))
+      val wv = Window.orderBy(col("v")) // grid-bounded support
+      val gl = h.groupBy(col("v")).agg(sum(col("cg")).as("call"))
+      val glw = gl
+        .withColumn("cumall", sum(col("call")).over(wv))
+        .withColumn("nv", lead(col("v"), 1).over(wv))
+      val groups = h.groupBy(col("event_type"), col("hb"))
+        .agg(sum(col("cg")).as("ng"))
+      val tot = gl.agg(sum(col("call")).as("ntot"),
+        (max(col("v")) - min(col("v"))).as("rng"))
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      val wg = Window.partitionBy(col("event_type"), col("hb"))
+        .orderBy(col("v"))
+      val terms = glw.crossJoin(broadcast(groups))
+        .join(broadcast(h), Seq("event_type", "hb", "v"), "left")
+        .na.fill(0L, Seq("cg"))
+        .withColumn("cumg", sum(col("cg")).over(wg))
+        .filter(col("nv").isNotNull)
+        .crossJoin(broadcast(tot))
+        .select(col("event_type"), col("hb"), col("ng"), col("ntot"),
+          col("rng"),
+          (abs(d19(col("cumg")) * d19(col("ntot"))
+            - d19(col("cumall")) * d19(col("ng")))
+            * d19(col("nv") - col("v"))).as("term"))
+      terms.groupBy(col("event_type"), col("hb"), col("ng"),
+          col("ntot"), col("rng"))
+        .agg(sum(col("term")).as("st"))
+        .select(col("event_type"), col("hb"), col("ng").as("n"),
+          round(col("st").cast("double") / (col("ng").cast("double")
+            * col("ntot").cast("double") * lit(100.0)), 6).as("emd"),
+          round(col("st").cast("double") / (col("ng").cast("double")
+              * col("ntot").cast("double"))
+            / col("rng").cast("double"), 6).as("emd_norm"))
+        .withColumn("t_violation", col("emd_norm") > 0.02)
+        .orderBy(col("event_type"), col("hb"))
+    }),
+
+    "q250_jl_distortion" -> ((s, dir) => {
+      // Johnson–Lindenstrauss distance-preservation audit (Achlioptas
+      // 2003 ±1 projections): project the 64-d embeddings to 16-d
+      // through the deterministic md5 sign matrix (shared VERBATIM
+      // with the oracle's VALUES table — the shapleySubsets contract)
+      // and histogram the projected/original distance ratio over the
+      // 250 consecutive-id pairs — the "how much does a 4× cheaper
+      // index distort" readout before committing to a projected ANN
+      // layout. Explode + broadcast sign join + DECIMAL(38,20)
+      // partial-combined sums (no nested HOFs, no order sensitivity);
+      // at 100 TB this audit runs on exactly such a bounded pair
+      // sample.
+      import s.implicits._
+      val signs = broadcast(jlSigns.zipWithIndex.flatMap {
+        case (row, k) => row.zipWithIndex.map {
+          case (v, j) => (j, k, v) } }.toSeq.toDF("j", "k", "sv"))
+      val emb = t(s, dir, "embeddings")
+      val pairs = emb.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("pid"), col("embedding").as("ea"))
+        .join(emb.select((col("vec_id") - 1).as("pid"),
+          col("embedding").as("eb")), Seq("pid"))
+      val dd = operators.Materializer.Local(pairs
+        .select(col("pid"), posexplode(arrays_zip(col("ea"), col("eb"))))
+        .select(col("pid"), col("pos").as("j"),
+          (col("col.ea").cast("double") - col("col.eb").cast("double"))
+            .as("d")))
+      val orig = dd.groupBy(col("pid"))
+        .agg(sum((col("d") * col("d")).cast("decimal(38,20)"))
+          .as("origsq"))
+      val proj = dd.join(signs, Seq("j"))
+        .groupBy(col("pid"), col("k"))
+        .agg(sum((col("d") * col("sv")).cast("decimal(38,20)")).as("p"))
+      val psq = proj.select(col("pid"),
+          (col("p").cast("double") * col("p").cast("double"))
+            .cast("decimal(38,20)").as("p2"))
+        .groupBy(col("pid")).agg(sum(col("p2")).as("projsq"))
+      orig.join(psq, Seq("pid"))
+        .filter(col("origsq").cast("double") > 0.0)
+        .select(sqrt(col("projsq").cast("double")
+          / (lit(16.0) * col("origsq").cast("double"))).as("ratio"))
+        .select(expr("CAST(least(floor(ratio * 10), 19) AS BIGINT)")
+          .as("ratio_bin"), col("ratio"))
+        .groupBy(col("ratio_bin"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(min(col("ratio")), 6).as("min_ratio"),
+          round(max(col("ratio")), 6).as("max_ratio"))
+        .orderBy(col("ratio_bin"))
+    }),
+
+    "q251_acf" -> ((s, dir) => {
+      // autocorrelation function (lags 1..24) + cumulative Ljung–Box Q
+      // (Ljung & Box 1978) of the gap-filled hourly event-count series
+      // — the seasonality/whiteness readout behind q158/q169: a daily
+      // cycle surfaces as an r₂₄ spike, and Q says whether the series
+      // is distinguishable from noise at all. One corpus exchange to
+      // hourly counts; the gap-filled grid, the lag self-join and the
+      // Q walk all ride the bounded hours table. Deviations are exact
+      // integers (n·y − Σy), products lift through DECIMAL/HUGEINT,
+      // one double division per lag.
+      import org.apache.spark.sql.expressions.Window
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      val ev = t(s, dir, "events")
+      val hc = ev.select(expr("unix_micros(ts) DIV 3600000000").as("hi"))
+        .groupBy(col("hi")).agg(count(lit(1)).as("y"))
+      val bounds = hc.agg(min(col("hi")).as("mn"), max(col("hi")).as("mx"))
+      val grid0 = bounds
+        .select(explode(sequence(col("mn"), col("mx"))).as("hi"))
+        .join(hc, Seq("hi"), "left").na.fill(0L, Seq("y"))
+      val tot = grid0.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      val grid = operators.Materializer.Local(
+        grid0.crossJoin(broadcast(tot))
+          .select(col("hi"), col("n"),
+            (col("n") * col("y") - col("sy")).as("dev")))
+      val den = grid.agg(sum(d19(col("dev")) * d19(col("dev")))
+        .as("den"), max(col("n")).as("n2"))
+      val lags = s.range(1, 25).select(col("id").as("lag"))
+      val nums = grid.select(col("hi"), col("dev"))
+        .crossJoin(broadcast(lags))
+        .join(broadcast(grid.select(col("hi").as("hi2"),
+          col("dev").as("dev2"))), col("hi2") === col("hi") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(sum(d19(col("dev")) * d19(col("dev2"))).as("num"))
+      val wl = Window.orderBy(col("lag")) // bounded 24-row table
+      nums.crossJoin(broadcast(den))
+        .select(col("lag"), col("n2").cast("double").as("nD"),
+          round(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("r"),
+          round(col("num").cast("double") / col("den").cast("double"), 9)
+            .as("r9"))
+        .withColumn("term", round((col("r9") * col("r9"))
+            / (col("nD") - col("lag").cast("double")), 12)
+          .cast("decimal(38,12)"))
+        .withColumn("cum", sum(col("term")).over(wl))
+        .select(col("lag"), col("r"),
+          round(col("nD") * (col("nD") + 2.0)
+            * col("cum").cast("double"), 6).as("q_lb"))
+        .orderBy(col("lag"))
     })
   )
+
+  /** JL ±1 sign matrix (Achlioptas 2003) shared VERBATIM between the
+    * q250 Spark projection and its oracle's VALUES table: sign(k)(j)
+    * for target dim k < 16, source dim j < 64, + iff the first hex
+    * char of md5("jl|k|j") is below '8'. */
+  private lazy val jlSigns: Array[Array[Double]] =
+    Array.tabulate(16, 64) { (k, j) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl|$k|$j".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    }
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -10693,7 +10878,170 @@ object SparkEntry {
         |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         |    END AS rho
-        |FROM sums ORDER BY event_type""".stripMargin
+        |FROM sums ORDER BY event_type""".stripMargin,
+
+    "q248_hits" -> {
+      val iter = (k: Int) =>
+        s"""ar$k AS MATERIALIZED (
+           |  SELECT e.dst, SUM(CAST(h.h AS DECIMAL(38,20))) AS c
+           |  FROM edges e JOIN h${k - 1} h ON h.node = e.src
+           |  GROUP BY 1),
+           |an$k AS (SELECT SUM(c) AS s FROM ar$k),
+           |av$k AS MATERIALIZED (
+           |  SELECT dst AS node,
+           |    round(CAST(c AS DOUBLE) / CAST(s AS DOUBLE), 12) AS a
+           |  FROM ar$k, an$k),
+           |hr$k AS MATERIALIZED (
+           |  SELECT e.src, SUM(CAST(a.a AS DECIMAL(38,20))) AS c
+           |  FROM edges e JOIN av$k a ON a.node = e.dst
+           |  GROUP BY 1),
+           |hn$k AS (SELECT SUM(c) AS s FROM hr$k),
+           |h$k AS MATERIALIZED (
+           |  SELECT src AS node,
+           |    round(CAST(c AS DOUBLE) / CAST(s AS DOUBLE), 12) AS h
+           |  FROM hr$k, hn$k)""".stripMargin
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |h0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS h
+         |  FROM edges),
+         |${(1 to 4).map(iter).mkString(",\n")}
+         |SELECT node, h AS score, 'hub' AS role FROM h4
+         |UNION ALL
+         |SELECT node, a AS score, 'authority' AS role FROM av4
+         |ORDER BY role, node""".stripMargin
+    },
+
+    "q249_t_closeness" ->
+      """WITH h AS (
+        |  SELECT event_type, hour(ts) AS hb,
+        |    CAST(floor(value * 100) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cg
+        |  FROM events GROUP BY 1, 2, 3
+        |), gl AS (
+        |  SELECT v, CAST(sum(cg) AS BIGINT) AS call FROM h GROUP BY 1
+        |), glw AS (
+        |  SELECT v, call,
+        |    sum(call) OVER (ORDER BY v) AS cumall,
+        |    lead(v) OVER (ORDER BY v) AS nv
+        |  FROM gl
+        |), grp AS (
+        |  SELECT event_type, hb, CAST(sum(cg) AS BIGINT) AS ng
+        |  FROM h GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT CAST(sum(call) AS BIGINT) AS ntot,
+        |    max(v) - min(v) AS rng FROM gl
+        |), grid AS (
+        |  SELECT g.event_type, g.hb, g.ng, w.v, w.cumall, w.nv,
+        |    coalesce(h.cg, 0) AS cg
+        |  FROM glw w CROSS JOIN grp g
+        |  LEFT JOIN h ON h.event_type = g.event_type AND h.hb = g.hb
+        |    AND h.v = w.v
+        |), terms AS (
+        |  SELECT event_type, hb, ng,
+        |    abs(CAST(sum(cg) OVER (PARTITION BY event_type, hb
+        |          ORDER BY v) AS HUGEINT) * CAST(ntot AS HUGEINT)
+        |        - CAST(cumall AS HUGEINT) * CAST(ng AS HUGEINT))
+        |      * CAST(nv - v AS HUGEINT) AS term,
+        |    ntot, rng
+        |  FROM grid, tot WHERE nv IS NOT NULL
+        |), agg AS (
+        |  SELECT event_type, hb, ng, ntot, rng, sum(term) AS st
+        |  FROM terms GROUP BY 1, 2, 3, 4, 5
+        |)
+        |SELECT event_type, hb, ng AS n,
+        |  round(CAST(st AS DOUBLE) / (CAST(ng AS DOUBLE)
+        |    * CAST(ntot AS DOUBLE) * 100.0), 6) AS emd,
+        |  round(CAST(st AS DOUBLE) / (CAST(ng AS DOUBLE)
+        |      * CAST(ntot AS DOUBLE)) / CAST(rng AS DOUBLE), 6)
+        |    AS emd_norm,
+        |  round(CAST(st AS DOUBLE) / (CAST(ng AS DOUBLE)
+        |      * CAST(ntot AS DOUBLE)) / CAST(rng AS DOUBLE), 6) > 0.02
+        |    AS t_violation
+        |FROM agg ORDER BY event_type, hb""".stripMargin,
+
+    "q250_jl_distortion" -> {
+      val values = jlSigns.zipWithIndex.flatMap { case (row, k) =>
+        row.zipWithIndex.map { case (v, j) => s"($j, $k, $v)" }
+      }.mkString(", ")
+      s"""WITH signs(j, k, s) AS (VALUES $values
+         |), pairs AS (
+         |  SELECT a.vec_id AS pid, a.embedding AS ea, b.embedding AS eb
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         |  WHERE a.vec_id % 2 = 0
+         |), el AS (
+         |  SELECT pid, generate_subscripts(ea, 1) - 1 AS j,
+         |    unnest(ea) AS xa, unnest(eb) AS xb
+         |  FROM pairs
+         |), dd AS (
+         |  SELECT pid, j, CAST(xa AS DOUBLE) - CAST(xb AS DOUBLE) AS d
+         |  FROM el
+         |), orig AS (
+         |  SELECT pid, sum(CAST(d * d AS DECIMAL(38,20))) AS origsq
+         |  FROM dd GROUP BY 1
+         |), proj AS (
+         |  SELECT pid, k, sum(CAST(d * s AS DECIMAL(38,20))) AS p
+         |  FROM dd JOIN signs USING (j) GROUP BY 1, 2
+         |), psq AS (
+         |  SELECT pid, sum(CAST(CAST(p AS DOUBLE) * CAST(p AS DOUBLE)
+         |    AS DECIMAL(38,20))) AS projsq
+         |  FROM proj GROUP BY 1
+         |), rat AS (
+         |  SELECT o.pid, sqrt(CAST(projsq AS DOUBLE)
+         |    / (16.0 * CAST(origsq AS DOUBLE))) AS ratio
+         |  FROM orig o JOIN psq USING (pid)
+         |  WHERE CAST(origsq AS DOUBLE) > 0.0
+         |)
+         |SELECT CAST(least(floor(ratio * 10), 19) AS BIGINT)
+         |    AS ratio_bin,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(min(ratio), 6) AS min_ratio,
+         |  round(max(ratio), 6) AS max_ratio
+         |FROM rat GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q251_acf" ->
+      """WITH hc AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hi,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1
+        |), bounds AS (SELECT min(hi) AS mn, max(hi) AS mx FROM hc
+        |), grid0 AS (
+        |  SELECT g.hi, coalesce(y, 0) AS y
+        |  FROM (SELECT unnest(range(mn, mx + 1)) AS hi FROM bounds) g
+        |  LEFT JOIN hc ON hc.hi = g.hi
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy
+        |  FROM grid0
+        |), grid AS (
+        |  SELECT hi, n, n * y - sy AS dev FROM grid0, tot
+        |), den AS (
+        |  SELECT sum(CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT))
+        |    AS den, max(n) AS n2
+        |  FROM grid
+        |), lags AS (SELECT unnest(range(1, 25)) AS lag
+        |), nums AS (
+        |  SELECT lag, sum(CAST(g1.dev AS HUGEINT)
+        |    * CAST(g2.dev AS HUGEINT)) AS num
+        |  FROM grid g1 CROSS JOIN lags
+        |  JOIN grid g2 ON g2.hi = g1.hi + lag
+        |  GROUP BY 1
+        |), rdf AS (
+        |  SELECT lag, CAST(n2 AS DOUBLE) AS nD,
+        |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS r,
+        |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9) AS r9
+        |  FROM nums, den
+        |), t2 AS (
+        |  SELECT lag, nD, r,
+        |    CAST(round((r9 * r9) / (nD - CAST(lag AS DOUBLE)), 12)
+        |      AS DECIMAL(38,12)) AS term
+        |  FROM rdf
+        |)
+        |SELECT CAST(lag AS BIGINT) AS lag, r,
+        |  round(nD * (nD + 2.0) * CAST(sum(term)
+        |    OVER (ORDER BY lag) AS DOUBLE), 6) AS q_lb
+        |FROM t2 ORDER BY lag""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

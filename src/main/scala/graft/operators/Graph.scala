@@ -561,4 +561,54 @@ object Graph {
               / (col("m") * lit(2L)).cast("double")), 6)
           .as("contribution"))
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over a directed
+    * edge list: auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v),
+    * L1-normalized each half-step so scores are a distribution —
+    * the two-sided centrality for BIPARTITE behavior graphs
+    * (customers↔suppliers, queries↔documents) where PageRank's single
+    * score conflates "links a lot" with "is linked a lot". Fixed
+    * iteration count for a deterministic, replayable result.
+    *
+    * Per half-step: one equi-join of edges to the current score table,
+    * one partial-combined DECIMAL(38,20) sum (aggregation order can't
+    * flip a bit), one scalar L1 norm broadcast back, scores
+    * re-quantized round(12) — the [[pageRank]] bit-pinning contract,
+    * so an unrolled SQL replay lands on identical bits by induction.
+    * `broadcastRanks`: score tables are node-scale (dimension-scale on
+    * entity graphs even at 100 TB) and broadcast; the edge table never
+    * shuffles. Returns (node, score, role∈{hub,authority}); every src
+    * gets a hub score, every dst an authority score. */
+  def hits(edges: DataFrame, iters: Int,
+           broadcastRanks: Boolean = true): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    def side(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
+    val e = edges.select(col("src"), col("dst"))
+    var hubs = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1.0))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = e.join(side(hubs), col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("h").cast("decimal(38,20)")).as("c"))
+      val an = araw.agg(sum(col("c")).as("s"))
+      auths = araw.crossJoin(broadcast(an))
+        .select(col("dst").as("node"),
+          round(col("c").cast("double") / col("s").cast("double"), 12)
+            .as("a"))
+      val hraw = e.join(side(auths), col("dst") === col("node"))
+        .groupBy(col("src"))
+        .agg(sum(col("a").cast("decimal(38,20)")).as("c"))
+      val hn = hraw.agg(sum(col("c")).as("s"))
+      hubs = hraw.crossJoin(broadcast(hn))
+        .select(col("src").as("node"),
+          round(col("c").cast("double") / col("s").cast("double"), 12)
+            .as("h"))
+    }
+    hubs.select(col("node"), col("h").as("score"),
+        lit("hub").as("role"))
+      .unionByName(auths.select(col("node"), col("a").as("score"),
+        lit("authority").as("role")))
+      .orderBy(col("role"), col("node"))
+  }
 }

@@ -3754,4 +3754,29 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getDouble(3), r.getDouble(4)))
     assert(g2.forall(p => p._1 == p._2))
   }
+
+  test("hits: hand-computed one-iteration scores on a tiny bipartite " +
+    "graph; L1 normalization per role; hub ranking follows coverage") {
+    val s = spark
+    import s.implicits._
+    // h1 -> {a1, a2}, h2 -> {a1}: a1 collects both hubs, h1 covers both
+    val edges = Seq(("h1", "a1"), ("h2", "a1"), ("h1", "a2"))
+      .toDF("src", "dst")
+    val one = graft.operators.Graph.hits(edges, iters = 1)
+      .collect().map(r => (r.getString(0), r.getString(2)) ->
+        r.getDouble(1)).toMap
+    // auth: raw (2,1)/3; hub: raw (a1+a2, a1) = (1.0, 2/3)/(5/3)
+    assert(math.abs(one(("a1", "authority")) - 2.0 / 3) < 1e-9)
+    assert(math.abs(one(("a2", "authority")) - 1.0 / 3) < 1e-9)
+    assert(math.abs(one(("h1", "hub")) - 0.6) < 1e-9)
+    assert(math.abs(one(("h2", "hub")) - 0.4) < 1e-9)
+    val four = graft.operators.Graph.hits(edges, iters = 4).collect()
+    val hubs = four.filter(_.getString(2) == "hub")
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val auths = four.filter(_.getString(2) == "authority")
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(hubs("h1") > hubs("h2") && auths("a1") > auths("a2"))
+    assert(math.abs(hubs.values.sum - 1.0) < 1e-9)
+    assert(math.abs(auths.values.sum - 1.0) < 1e-9)
+  }
 }

@@ -1187,4 +1187,22 @@ class PlanAuditSpec extends SparkSpec {
         s"$q windows must partition by event_type:\n" + p.take(3000))
     }
   }
+
+  test("q248: HITS score tables broadcast every round — the edge table " +
+    "never shuffle-joins") {
+    val p = plan("q248_hits")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q249/q250/q251: EMD grids, JL signs and lag tables join " +
+    "broadcast; no cartesian anywhere") {
+    for (q <- Seq("q249_t_closeness", "q250_jl_distortion",
+        "q251_acf")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n" + p.take(3000))
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(3000))
+    }
+  }
 }
