@@ -4723,6 +4723,140 @@ object SparkEntry {
           round(col("nD") * (col("nD") + 2.0)
             * col("cum").cast("double"), 6).as("q_lb"))
         .orderBy(col("lag"))
+    }),
+
+    "q252_fellegi_sunter" -> ((s, dir) => {
+      // Fellegi–Sunter probabilistic record linkage (1969) with the
+      // Winkler EM fit, unsupervised: same-customer order pairs
+      // (the blocking join — linkage never goes all-pairs) reduce to a
+      // 3-bit agreement pattern (priority, status, price-within-10%),
+      // and 5 EM rounds on the 8-row pattern table estimate match
+      // prevalence and per-field m/u rates — the weights a dedup/MDM
+      // pipeline thresholds when no labeled matches exist. The corpus
+      // pays one blocked self-join + one pattern count; EM is bounded.
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("ck"), col("o_orderpriority").as("pr"),
+        col("o_orderstatus").as("st"), col("o_totalprice").as("tp"))
+      val pat = o.join(o.select(col("k").as("k2"), col("ck").as("ck2"),
+            col("pr").as("pr2"), col("st").as("st2"),
+            col("tp").as("tp2")),
+          col("ck") === col("ck2") && col("k") < col("k2"))
+        .select((col("pr") === col("pr2")).as("same_priority"),
+          (col("st") === col("st2")).as("same_status"),
+          (abs(col("tp") - col("tp2"))
+            < lit(0.1) * greatest(col("tp"), col("tp2")))
+            .as("close_price"))
+        .groupBy(col("same_priority"), col("same_status"),
+          col("close_price"))
+        .agg(count(lit(1)).as("n"))
+      operators.Stats.fellegiSunterEm(pat,
+        Seq("same_priority", "same_status", "close_price"), "n",
+        rounds = 5)
+    }),
+
+    "q253_changepoint" -> ((s, dir) => {
+      // exact single-changepoint localization on the gap-filled hourly
+      // event series (the binary-segmentation step behind every
+      // changepoint tree; cf. Scott & Knott 1974): the split s
+      // maximizing the between-segment SSE reduction
+      // (n·S₁ − s·S)² / (n·s·(n−s)) — where did the level actually
+      // shift, where q159's CUSUM only says that it drifted. One
+      // corpus exchange to hourly counts; prefix sums, the split scan
+      // and the argmax all ride the bounded hours table; the reduction
+      // numerator squares in DECIMAL so no count overflows.
+      import org.apache.spark.sql.expressions.Window
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      val ev = t(s, dir, "events")
+      val hc = ev.select(expr("unix_micros(ts) DIV 3600000000").as("hi"))
+        .groupBy(col("hi")).agg(count(lit(1)).as("y"))
+      val bounds = hc.agg(min(col("hi")).as("mn"),
+        max(col("hi")).as("mx"))
+      val grid0 = bounds
+        .select(explode(sequence(col("mn"), col("mx"))).as("hi"))
+        .join(hc, Seq("hi"), "left").na.fill(0L, Seq("y"))
+      val tot = grid0.agg(count(lit(1)).as("n"), sum(col("y")).as("st"))
+      val wv = Window.orderBy(col("hi")) // bounded hours table
+      val num = col("n") * col("s1") - col("srow") * col("st")
+      // materialized: the bounded scored table feeds both the argmax
+      // aggregate and the winner filter — and under ANSI mode the
+      // winner predicate must NOT combine with srow < n and evaluate
+      // the division on the srow = n row (divide-by-zero)
+      val scored = operators.Materializer.Local(grid0
+        .withColumn("srow", row_number().over(wv).cast("long"))
+        .withColumn("s1", sum(col("y")).over(wv))
+        .crossJoin(broadcast(tot))
+        .filter(col("srow") < col("n"))
+        .select(col("hi"), col("srow"), col("n"), col("st"), col("s1"),
+          round((d19(num) * d19(num)).cast("double")
+            / (col("n").cast("double") * col("srow").cast("double")
+              * (col("n") - col("srow")).cast("double")), 9).as("red9")))
+      val mx = scored.agg(max(col("red9")).as("mr"))
+      scored.crossJoin(broadcast(mx)).filter(col("red9") === col("mr"))
+        .orderBy(col("srow")).limit(1)
+        .select(col("hi").as("split_hi"), col("srow").as("s_pts"),
+          col("n"),
+          round(col("s1").cast("double") / col("srow").cast("double"),
+            6).as("mean1"),
+          round((col("st") - col("s1")).cast("double")
+            / (col("n") - col("srow")).cast("double"), 6).as("mean2"),
+          round(col("red9"), 6).as("reduction"))
+    }),
+
+    "q254_msprt" -> ((s, dir) => {
+      // always-valid sequential testing (the mixture SPRT of Robbins
+      // 1970 as productionized in Johari, Koomen, Pekelis & Walsh,
+      // KDD 2017 "Peeking at A/B Tests"): per DAY, the cumulative
+      // two-sample mean-difference mixture likelihood Λ and the
+      // running always-valid p = min over prefixes of 1/Λ — the
+      // monitor that lets an experimenter look every day WITHOUT
+      // inflating false positives, where q147's fixed-horizon z-test
+      // silently breaks under peeking. One day-keyed corpus rollup of
+      // decimal sufficient sums; every cumulative and the running min
+      // ride the bounded days table (τ² = 100 in value² units).
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val daily = ev.select(
+          expr("unix_micros(ts) DIV 86400000000").as("dy"),
+          (substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+            .as("a"),
+          col("value").cast("decimal(19,6)").as("v"))
+        .groupBy(col("dy"))
+        .agg(sum(when(col("a"), 1L).otherwise(0L)).as("na_d"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("nb_d"),
+          coalesce(sum(when(col("a"), col("v"))),
+            lit(0).cast("decimal(19,6)")).as("sa_d"),
+          coalesce(sum(when(!col("a"), col("v"))),
+            lit(0).cast("decimal(19,6)")).as("sb_d"),
+          sum((col("v") * col("v")).cast("decimal(38,12)")).as("svv_d"))
+      val wd = Window.orderBy(col("dy"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = daily.select(col("dy"),
+        sum(col("na_d")).over(wd).as("na"),
+        sum(col("nb_d")).over(wd).as("nb"),
+        sum(col("sa_d")).over(wd).as("sa"),
+        sum(col("sb_d")).over(wd).as("sb"),
+        sum(col("svv_d")).over(wd).as("svv"))
+      val naD = col("na").cast("double")
+      val nbD = col("nb").cast("double")
+      val nD = (col("na") + col("nb")).cast("double")
+      val svD = (col("sa") + col("sb")).cast("double")
+      val varP = (nD * col("svv").cast("double") - svD * svD) /
+        (nD * (nD - 1.0))
+      val theta = col("sa").cast("double") / naD -
+        col("sb").cast("double") / nbD
+      val vN = varP * (lit(1.0) / naD + lit(1.0) / nbD)
+      val lam = sqrt(vN / (vN + lit(100.0))) *
+        exp(theta * theta * lit(100.0)
+          / (lit(2.0) * vN * (vN + lit(100.0))))
+      val base = cum.filter(col("na") > 0 && col("nb") > 0)
+        .select(col("dy"), col("na"), col("nb"),
+          round(theta, 6).as("theta"), round(lam, 6).as("lambda"),
+          round(least(lit(1.0), lit(1.0) / lam), 9).as("p_day"))
+      base.withColumn("p_always",
+          round(min(col("p_day")).over(wd), 6))
+        .select(col("dy"), col("na"), col("nb"), col("theta"),
+          col("lambda"), col("p_always"))
+        .orderBy(col("dy"))
     })
   )
 
@@ -11041,7 +11175,145 @@ object SparkEntry {
         |SELECT CAST(lag AS BIGINT) AS lag, r,
         |  round(nD * (nD + 2.0) * CAST(sum(term)
         |    OVER (ORDER BY lag) AS DOUBLE), 6) AS q_lb
-        |FROM t2 ORDER BY lag""".stripMargin
+        |FROM t2 ORDER BY lag""".stripMargin,
+
+    "q252_fellegi_sunter" -> {
+      val bits = 0 until 3
+      def prod(pref: String) = bits.map(i =>
+        s"(CASE WHEN b$i THEN $pref$i ELSE 1.0 - $pref$i END)")
+        .mkString(" * ")
+      val nw = "CAST(n AS DECIMAL(18,0)) * CAST(w AS DECIMAL(14,12))"
+      val nnw =
+        "CAST(n AS DECIMAL(18,0)) * CAST(1.0 - w AS DECIMAL(14,12))"
+      val iter = (k: Int) => {
+        val mStep = bits.map { i =>
+          s"""    round(CAST(sum(CASE WHEN b$i THEN $nw
+             |      ELSE CAST(0 AS DECIMAL(33,12)) END) AS DOUBLE)
+             |      / CAST(sum($nw) AS DOUBLE), 12) AS m$i,
+             |    round(CAST(sum(CASE WHEN b$i THEN $nnw
+             |      ELSE CAST(0 AS DECIMAL(33,12)) END) AS DOUBLE)
+             |      / CAST(sum(CAST(n AS DECIMAL(18,0)))
+             |        - sum($nw) AS DOUBLE), 12) AS u$i""".stripMargin
+        }.mkString(",\n")
+        s"""w$k AS (
+           |  SELECT pat.*, round(p * (${prod("m")})
+           |    / (p * (${prod("m")}) + (1.0 - p) * (${prod("u")})), 12)
+           |    AS w
+           |  FROM pat, s${k - 1}
+           |), s$k AS (
+           |  SELECT round(CAST(sum($nw) AS DOUBLE)
+           |      / CAST(sum(CAST(n AS DECIMAL(18,0))) AS DOUBLE), 12)
+           |      AS p,
+           |$mStep
+           |  FROM w$k
+           |)""".stripMargin
+      }
+      s"""WITH pat AS MATERIALIZED (
+         |  SELECT a.o_orderpriority = b.o_orderpriority AS b0,
+         |    a.o_orderstatus = b.o_orderstatus AS b1,
+         |    abs(a.o_totalprice - b.o_totalprice)
+         |      < 0.1 * greatest(a.o_totalprice, b.o_totalprice) AS b2,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+         |    AND a.o_orderkey < b.o_orderkey
+         |  GROUP BY 1, 2, 3
+         |), s0 AS (SELECT 0.1 AS p, 0.9 AS m0, 0.1 AS u0, 0.9 AS m1,
+         |  0.1 AS u1, 0.9 AS m2, 0.1 AS u2),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT b0, b1, b2, n, round(p, 6) AS p_match,
+         |  round(p * (${prod("m")}) / (p * (${prod("m")})
+         |    + (1.0 - p) * (${prod("u")})), 6) AS w,
+         |  round(ln((${prod("m")}) / (${prod("u")})), 6) AS llr
+         |FROM pat, s5 ORDER BY b0, b1, b2""".stripMargin
+    },
+
+    "q253_changepoint" ->
+      """WITH hc AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hi,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1
+        |), bounds AS (SELECT min(hi) AS mn, max(hi) AS mx FROM hc
+        |), grid0 AS (
+        |  SELECT g.hi, coalesce(y, 0) AS y
+        |  FROM (SELECT unnest(range(mn, mx + 1)) AS hi FROM bounds) g
+        |  LEFT JOIN hc ON hc.hi = g.hi
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS st
+        |  FROM grid0
+        |), pre AS (
+        |  SELECT hi,
+        |    CAST(row_number() OVER (ORDER BY hi) AS BIGINT) AS srow,
+        |    sum(y) OVER (ORDER BY hi) AS s1
+        |  FROM grid0
+        |), scored AS (
+        |  SELECT hi, srow, n, st, s1,
+        |    round(CAST(CAST(n * s1 - srow * st AS HUGEINT)
+        |        * CAST(n * s1 - srow * st AS HUGEINT) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(srow AS DOUBLE)
+        |        * CAST(n - srow AS DOUBLE)), 9) AS red9
+        |  FROM pre, tot WHERE srow < n
+        |), mx AS (SELECT max(red9) AS mr FROM scored)
+        |SELECT hi AS split_hi, srow AS s_pts, n,
+        |  round(CAST(s1 AS DOUBLE) / CAST(srow AS DOUBLE), 6) AS mean1,
+        |  round(CAST(st - s1 AS DOUBLE) / CAST(n - srow AS DOUBLE), 6)
+        |    AS mean2,
+        |  round(red9, 6) AS reduction
+        |FROM scored, mx WHERE red9 = mr
+        |ORDER BY srow LIMIT 1""".stripMargin,
+
+    "q254_msprt" ->
+      """WITH base AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS dy,
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS a,
+        |    CAST(value AS DECIMAL(19,6)) AS v
+        |  FROM events
+        |), daily AS (
+        |  SELECT dy,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na_d,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb_d,
+        |    coalesce(sum(CASE WHEN a THEN v END),
+        |      CAST(0 AS DECIMAL(19,6))) AS sa_d,
+        |    coalesce(sum(CASE WHEN NOT a THEN v END),
+        |      CAST(0 AS DECIMAL(19,6))) AS sb_d,
+        |    sum(CAST(v * v AS DECIMAL(38,12))) AS svv_d
+        |  FROM base GROUP BY 1
+        |), cum AS (
+        |  SELECT dy,
+        |    sum(na_d) OVER w AS na, sum(nb_d) OVER w AS nb,
+        |    sum(sa_d) OVER w AS sa, sum(sb_d) OVER w AS sb,
+        |    sum(svv_d) OVER w AS svv
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY dy
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), calc AS (
+        |  SELECT dy, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS theta,
+        |    ((CAST(na + nb AS DOUBLE) * CAST(svv AS DOUBLE)
+        |      - CAST(sa + sb AS DOUBLE) * CAST(sa + sb AS DOUBLE))
+        |     / (CAST(na + nb AS DOUBLE)
+        |       * (CAST(na + nb AS DOUBLE) - 1.0)))
+        |     * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))
+        |     AS vn
+        |  FROM cum WHERE na > 0 AND nb > 0
+        |), lamt AS (
+        |  SELECT dy, na, nb, theta,
+        |    sqrt(vn / (vn + 100.0)) * exp(theta * theta * 100.0
+        |      / (2.0 * vn * (vn + 100.0))) AS lam
+        |  FROM calc
+        |), pd AS (
+        |  SELECT dy, na, nb, round(theta, 6) AS theta,
+        |    round(lam, 6) AS lambda,
+        |    round(least(1.0, 1.0 / lam), 9) AS p_day
+        |  FROM lamt
+        |)
+        |SELECT dy, na, nb, theta, lambda,
+        |  round(min(p_day) OVER (ORDER BY dy
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS p_always
+        |FROM pd ORDER BY dy""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

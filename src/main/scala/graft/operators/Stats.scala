@@ -1300,6 +1300,72 @@ object Stats {
       .orderBy(col(binCol))
   }
 
+  /** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter,
+    * JASA 1969) with the Winkler EM fit: candidate pairs reduce to an
+    * agreement PATTERN over `bitCols` (the γ vector), and EM estimates
+    * the match prevalence p and the per-field match/unmatch agreement
+    * rates m_i/u_i from pattern counts alone — unsupervised linkage
+    * weights, no labeled pairs. Returns one row per observed pattern:
+    * the bits, its pair count, the converged match prevalence
+    * `p_match`, the posterior match probability `w` of a pair showing
+    * that pattern, and the field-weight log-likelihood ratio `llr`
+    * (the score a linkage pipeline thresholds).
+    *
+    * Scale shape: the corpus-scale work is whatever blocked join
+    * produced the pattern counts (≤ 2^k rows); EM itself runs `rounds`
+    * fixed iterations entirely on the bounded pattern table — per
+    * round one broadcast of the 1-row state, one aggregate. Numeric
+    * portability: posteriors re-quantize round(12) each round and the
+    * weighted sums lift through DECIMAL(18,0)×DECIMAL(14,12) exact
+    * products, so an unrolled SQL replay lands identical bits by
+    * induction (the pageRank contract). Fixed rounds, not a
+    * convergence race — replayability over the last ulp of fit. */
+  def fellegiSunterEm(patterns: DataFrame, bitCols: Seq[String],
+                      nCol: String, rounds: Int, p0: Double = 0.1,
+                      m0: Double = 0.9, u0: Double = 0.1): DataFrame = {
+    require(bitCols.nonEmpty && rounds >= 1)
+    val pat = patterns.select(col(nCol).cast("long").as("n") +:
+      bitCols.zipWithIndex.map { case (c, i) => col(c).as(s"b$i") }: _*)
+    var state = patterns.sparkSession.range(1).select(
+      lit(p0).as("p") +: bitCols.indices.flatMap { i =>
+        Seq(lit(m0).as(s"m$i"), lit(u0).as(s"u$i")) }: _*)
+    def dn = col("n").cast("decimal(18,0)")
+    def dw(c: Column) = c.cast("decimal(14,12)")
+    def prodOf(pref: String) = bitCols.indices.map(i =>
+      when(col(s"b$i"), col(s"$pref$i"))
+        .otherwise(lit(1.0) - col(s"$pref$i"))).reduce(_ * _)
+    for (_ <- 1 to rounds) {
+      val pm = prodOf("m"); val pu = prodOf("u")
+      val scored = pat.crossJoin(broadcast(state))
+        .withColumn("w", round(col("p") * pm
+          / (col("p") * pm + (lit(1.0) - col("p")) * pu), 12))
+      val aggCols = Seq(
+        sum(dn * dw(col("w"))).as("sw"), sum(dn).as("sn")) ++
+        bitCols.indices.flatMap { i => Seq(
+          sum(when(col(s"b$i"), dn * dw(col("w")))
+            .otherwise(lit(0).cast("decimal(33,12)"))).as(s"swb$i"),
+          sum(when(col(s"b$i"), dn * dw(lit(1.0) - col("w")))
+            .otherwise(lit(0).cast("decimal(33,12)"))).as(s"swn$i")) }
+      val sums = scored.agg(aggCols.head, aggCols.tail: _*)
+      state = sums.select(
+        round(col("sw").cast("double") / col("sn").cast("double"), 12)
+          .as("p") +: bitCols.indices.flatMap { i => Seq(
+          round(col(s"swb$i").cast("double")
+            / col("sw").cast("double"), 12).as(s"m$i"),
+          round(col(s"swn$i").cast("double")
+            / (col("sn") - col("sw")).cast("double"), 12)
+            .as(s"u$i")) }: _*)
+    }
+    val pmF = prodOf("m"); val puF = prodOf("u")
+    pat.crossJoin(broadcast(state))
+      .select(bitCols.indices.map(i => col(s"b$i")) ++ Seq(col("n"),
+        round(col("p"), 6).as("p_match"),
+        round(col("p") * pmF / (col("p") * pmF
+          + (lit(1.0) - col("p")) * puF), 6).as("w"),
+        round(log(pmF / puF), 6).as("llr")): _*)
+      .orderBy(bitCols.indices.map(i => col(s"b$i")): _*)
+  }
+
   /** Delete-a-group jackknife for a ratio-of-sums metric (Efron 1981;
     * the "delete-a-bucket" standard error every large experimentation
     * platform publishes for ratio metrics, where the naive iid SE is

@@ -3779,4 +3779,59 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(hubs.values.sum - 1.0) < 1e-9)
     assert(math.abs(auths.values.sum - 1.0) < 1e-9)
   }
+
+  test("fellegiSunterEm: matches an exact Scala replay of the rounded " +
+    "EM rounds; full-agreement patterns score highest") {
+    val s = spark
+    import s.implicits._
+    val pats = Seq((Seq(true, true), 10L), (Seq(false, false), 90L),
+      (Seq(true, false), 40L), (Seq(false, true), 20L))
+    val df = pats.map { case (b, n) => (b(0), b(1), n) }
+      .toDF("g0", "g1", "n")
+    val got = graft.operators.Stats
+      .fellegiSunterEm(df, Seq("g0", "g1"), "n", rounds = 5)
+      .collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    def rd(x: Double, sc: Int) = BigDecimal(x)
+      .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var p = 0.1; var m = Array(0.9, 0.9); var u = Array(0.1, 0.1)
+    for (_ <- 1 to 5) {
+      val scored = pats.map { case (bits, n) =>
+        val pm = bits.zipWithIndex
+          .map { case (b, i) => if (b) m(i) else 1.0 - m(i) }
+          .reduce(_ * _)
+        val pu = bits.zipWithIndex
+          .map { case (b, i) => if (b) u(i) else 1.0 - u(i) }
+          .reduce(_ * _)
+        (bits, n, rd(p * pm / (p * pm + (1.0 - p) * pu), 12))
+      }
+      def bd(x: Double) = BigDecimal(x)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val sw = scored.map { case (_, n, w) => BigDecimal(n) * bd(w) }.sum
+      val sn = BigDecimal(pats.map(_._2).sum)
+      p = rd(sw.toDouble / sn.toDouble, 12)
+      m = Array.tabulate(2) { i =>
+        val swb = scored.filter(_._1(i))
+          .map { case (_, n, w) => BigDecimal(n) * bd(w) }.sum
+        rd(swb.toDouble / sw.toDouble, 12) }
+      u = Array.tabulate(2) { i =>
+        val swn = scored.filter(_._1(i))
+          .map { case (_, n, w) => BigDecimal(n) * bd(1.0 - w) }.sum
+        rd(swn.toDouble / (sn - sw).toDouble, 12) }
+    }
+    pats.foreach { case (bits, _) =>
+      val pm = bits.zipWithIndex
+        .map { case (b, i) => if (b) m(i) else 1.0 - m(i) }.reduce(_ * _)
+      val pu = bits.zipWithIndex
+        .map { case (b, i) => if (b) u(i) else 1.0 - u(i) }.reduce(_ * _)
+      val exp = (rd(p, 6), rd(p * pm / (p * pm + (1.0 - p) * pu), 6),
+        rd(math.log(pm / pu), 6))
+      assert(got((bits(0), bits(1))) == exp, s"pattern $bits")
+    }
+    val w = got.map { case (k, v) => k -> v._2 }
+    assert(w((true, true)) > w((true, false))
+      && w((true, true)) > w((false, true))
+      && w((false, false)) < w((false, true)))
+  }
 }

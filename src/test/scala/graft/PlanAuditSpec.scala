@@ -1205,4 +1205,16 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(3000))
     }
   }
+
+  test("q252/q253/q254: linkage pairs form on the blocked equi-join; " +
+    "EM/changepoint/SPRT tails ride bounded tables, no cartesian") {
+    for (q <- Seq("q252_fellegi_sunter", "q253_changepoint",
+        "q254_msprt")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(3000))
+    }
+    // the mSPRT monitor is one rollup + bounded windows: no join at all
+    val p4 = plan("q254_msprt")
+    assert(!p4.contains("SortMergeJoin"), p4.take(3000))
+  }
 }
