@@ -4857,6 +4857,147 @@ object SparkEntry {
         .select(col("dy"), col("na"), col("nb"), col("theta"),
           col("lambda"), col("p_always"))
         .orderBy(col("dy"))
+    }),
+
+    "q255_doremi" -> ((s, dir) => {
+      // DoReMi one-step mixture reweighting (Xie et al., NeurIPS 2023,
+      // simplified to its published update rule): each source's new
+      // mixture weight ∝ token-share · exp(η · excess loss), where the
+      // loss is the per-token unigram surprisal (q76's measure rolled
+      // up by source) and the excess is over the pooled corpus — the
+      // domain-reweighting step that upweights sources the current
+      // model finds "hard", the core pretraining-mixture optimization.
+      // ONE (source, term) rollup exchange (the q234 collapse rule);
+      // vocab joins back on the term key; the mirror-descent update and
+      // its normalization ride the bounded source table as round(9)
+      // decimals.
+      val docs = t(s, dir, "documents")
+      val tf = operators.Materializer.Local(docs
+        .select(col("source"),
+          explode(operators.TextAnalysis.tokens(col("text")))
+            .as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+      val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+      val tot = tf.agg(sum(col("tf")).as("nt"))
+      val perSrc = tf.join(cnt, Seq("term")).crossJoin(broadcast(tot))
+        .groupBy(col("source"))
+        .agg(sum(col("tf")).cast("long").as("n_tokens"),
+          sum((col("tf").cast("double")
+            * log(col("nt").cast("double") / col("cnt").cast("double")))
+            .cast("decimal(38,6)")).as("ssum"),
+          max(col("nt")).as("nt"))
+      val pooled = perSrc.agg(sum(col("ssum")).as("gsum"),
+        sum(col("n_tokens")).as("gn"))
+      val scored = operators.Materializer.Local(perSrc
+        .crossJoin(broadcast(pooled))
+        .select(col("source"), col("n_tokens"),
+          round(col("n_tokens").cast("double")
+            / col("nt").cast("double"), 6).as("w0"),
+          round(col("ssum").cast("double")
+            / col("n_tokens").cast("double"), 6).as("loss"),
+          round(col("ssum").cast("double")
+              / col("n_tokens").cast("double")
+            - col("gsum").cast("double") / col("gn").cast("double"), 6)
+            .as("excess"))
+        .withColumn("e",
+          round(col("w0") * exp(lit(0.5) * col("excess")), 9)
+            .cast("decimal(19,9)")))
+      val norm = scored.agg(sum(col("e")).as("z"))
+      scored.crossJoin(broadcast(norm))
+        .select(col("source"), col("n_tokens"), col("w0"), col("loss"),
+          col("excess"),
+          round(col("e").cast("double") / col("z").cast("double"), 6)
+            .as("w_new"))
+        .orderBy(col("source"))
+    }),
+
+    "q256_sax_motifs" -> ((s, dir) => {
+      // SAX motif discovery (Lin, Keogh, Lonardi & Chiu 2003): the
+      // gap-filled hourly series is z-normalized, PAA-averaged into
+      // 4-hour segments, discretized into 4 symbols at the standard
+      // Gaussian breakpoints (±0.6745, 0), and every 3-segment word is
+      // counted — "which 12-hour load shapes recur, and how often",
+      // the symbolic complement of q251's ACF. One corpus exchange to
+      // hourly counts; normalization scalars broadcast; PAA, words and
+      // counts all ride the bounded segment table (round(9)-pinned
+      // averages so the symbol comparisons are bit-identical).
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val hc = ev.select(expr("unix_micros(ts) DIV 3600000000").as("hi"))
+        .groupBy(col("hi")).agg(count(lit(1)).as("y"))
+      val bounds = hc.agg(min(col("hi")).as("mn"),
+        max(col("hi")).as("mx"))
+      val grid0 = bounds
+        .select(explode(sequence(col("mn"), col("mx"))).as("hi"))
+        .join(hc, Seq("hi"), "left").na.fill(0L, Seq("y"))
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      val tot = grid0.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(d19(col("y")) * d19(col("y"))).as("syy"))
+      val wv = Window.orderBy(col("hi")) // bounded hours table
+      val nD = col("n").cast("double")
+      val sd = sqrt((nD * col("syy").cast("double")
+        - col("sy").cast("double") * col("sy").cast("double"))
+        / (nD * (nD - 1.0)))
+      val z = (col("y").cast("double")
+        - col("sy").cast("double") / nD) / sd
+      val seg = grid0.crossJoin(broadcast(tot))
+        .withColumn("srow", row_number().over(wv).cast("long"))
+        .select(expr("(srow - 1) DIV 4").as("sg"),
+          round(z, 9).cast("decimal(19,9)").as("zq"))
+        .groupBy(col("sg"))
+        .agg(round(sum(col("zq")).cast("double")
+          / count(lit(1)).cast("double"), 9).as("paa"))
+      val sym = when(col("paa") < -0.6744897501960817, "a")
+        .when(col("paa") < 0.0, "b")
+        .when(col("paa") < 0.6744897501960817, "c").otherwise("d")
+      val ws = Window.orderBy(col("sg")) // bounded segment table
+      seg.select(col("sg"), sym.as("s1"))
+        .withColumn("s2", lead(col("s1"), 1).over(ws))
+        .withColumn("s3", lead(col("s1"), 2).over(ws))
+        .filter(col("s3").isNotNull)
+        .select(col("sg"), concat(col("s1"), col("s2"), col("s3"))
+          .as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"), min(col("sg")).as("first_seg"))
+        .orderBy(col("n").desc, col("word"))
+    }),
+
+    "q257_dp_mean" -> ((s, dir) => {
+      // differentially-private mean release per event type (Dwork,
+      // McSherry, Nissim & Smith 2006): clip to [0, C], add
+      // Laplace(C/(n·ε)) noise via the inverse CDF — the numeric
+      // companion to q195's histogram release, carrying the two real
+      // costs a DP release pays: the clipping bias (raw vs clipped
+      // mean) and the noise scale. The "noise" draw is the q195
+      // convention — a deterministic md5 uniform per released cell, so
+      // the release (and the oracle) replays bit-identically; a
+      // production release swaps ONLY the uniform for a secure draw.
+      // One conditional corpus aggregate; everything after is per-type
+      // scalar algebra.
+      val cc = 300.0
+      val ev = t(s, dir, "events")
+      val agg = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(19,6)")).as("sraw"),
+        sum(least(greatest(col("value"), lit(0.0)), lit(cc))
+          .cast("decimal(19,6)")).as("sclip"))
+      val u = (conv(substring(md5(concat(lit("dp|"),
+          col("event_type"))), 1, 8), 16, 10).cast("double")
+        + lit(0.5)) / lit(4294967296.0)
+      val b = lit(cc) / (col("n").cast("double") * lit(1.0))
+      val lap = -b * signum(u - lit(0.5)) *
+        log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+      agg.select(col("event_type"), col("n"),
+          round(col("sraw").cast("double") / col("n").cast("double"), 6)
+            .as("raw_mean"),
+          round(col("sclip").cast("double") / col("n").cast("double"),
+            6).as("clipped_mean"),
+          round(col("sclip").cast("double") / col("n").cast("double")
+            + lap, 6).as("released_mean"),
+          round(b, 9).as("noise_scale"),
+          lit(1.0).as("epsilon"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -11313,7 +11454,117 @@ object SparkEntry {
         |  round(min(p_day) OVER (ORDER BY dy
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
         |    AS p_always
-        |FROM pd ORDER BY dy""".stripMargin
+        |FROM pd ORDER BY dy""".stripMargin,
+
+    "q255_doremi" ->
+      s"""WITH tf AS (
+         |  SELECT source, t AS term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT source, unnest($toksSql) AS t FROM documents)
+         |  GROUP BY 1, 2
+         |), cnt AS (
+         |  SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+         |), tot AS (SELECT CAST(sum(tf) AS BIGINT) AS nt FROM tf
+         |), per AS (
+         |  SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |    sum(CAST(CAST(tf AS DOUBLE) * ln(CAST(nt AS DOUBLE)
+         |      / CAST(cnt AS DOUBLE)) AS DECIMAL(38,6))) AS ssum,
+         |    max(nt) AS nt
+         |  FROM tf JOIN cnt USING (term), tot
+         |  GROUP BY 1
+         |), pooled AS (
+         |  SELECT sum(ssum) AS gsum, CAST(sum(n_tokens) AS BIGINT) AS gn
+         |  FROM per
+         |), scored AS (
+         |  SELECT source, n_tokens,
+         |    round(CAST(n_tokens AS DOUBLE) / CAST(nt AS DOUBLE), 6)
+         |      AS w0,
+         |    round(CAST(ssum AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |      AS loss,
+         |    round(CAST(ssum AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |      - CAST(gsum AS DOUBLE) / CAST(gn AS DOUBLE), 6) AS excess
+         |  FROM per, pooled
+         |), e AS (
+         |  SELECT *, CAST(round(w0 * exp(0.5 * excess), 9)
+         |    AS DECIMAL(19,9)) AS e
+         |  FROM scored
+         |), norm AS (SELECT sum(e) AS z FROM e)
+         |SELECT source, n_tokens, w0, loss, excess,
+         |  round(CAST(e AS DOUBLE) / CAST(z AS DOUBLE), 6) AS w_new
+         |FROM e, norm ORDER BY source""".stripMargin,
+
+    "q256_sax_motifs" ->
+      """WITH hc AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hi,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1
+        |), bounds AS (SELECT min(hi) AS mn, max(hi) AS mx FROM hc
+        |), grid0 AS (
+        |  SELECT g.hi, coalesce(y, 0) AS y
+        |  FROM (SELECT unnest(range(mn, mx + 1)) AS hi FROM bounds) g
+        |  LEFT JOIN hc ON hc.hi = g.hi
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        |  FROM grid0
+        |), seg0 AS (
+        |  SELECT (CAST(row_number() OVER (ORDER BY hi) AS BIGINT) - 1)
+        |      // 4 AS sg,
+        |    CAST(round((CAST(y AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 9)
+        |      AS DECIMAL(19,9)) AS zq
+        |  FROM grid0, tot
+        |), seg AS (
+        |  SELECT sg, round(CAST(sum(zq) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 9) AS paa
+        |  FROM seg0 GROUP BY 1
+        |), symd AS (
+        |  SELECT sg, CASE WHEN paa < -0.6744897501960817 THEN 'a'
+        |    WHEN paa < 0.0 THEN 'b'
+        |    WHEN paa < 0.6744897501960817 THEN 'c' ELSE 'd' END AS s1
+        |  FROM seg
+        |), words AS (
+        |  SELECT sg, s1,
+        |    lead(s1, 1) OVER (ORDER BY sg) AS s2,
+        |    lead(s1, 2) OVER (ORDER BY sg) AS s3
+        |  FROM symd
+        |)
+        |SELECT s1 || s2 || s3 AS word, CAST(count(*) AS BIGINT) AS n,
+        |  min(sg) AS first_seg
+        |FROM words WHERE s3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, word""".stripMargin,
+
+    "q257_dp_mean" ->
+      """WITH agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(19,6))) AS sraw,
+        |    sum(CAST(least(greatest(value, 0.0), 300.0)
+        |      AS DECIMAL(19,6))) AS sclip
+        |  FROM events GROUP BY 1
+        |), calc AS (
+        |  SELECT event_type, n, sraw, sclip,
+        |    (CAST(list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+        |      (strpos('0123456789abcdef',
+        |        substr(md5('dp|' || event_type), i + 1, 1)) - 1)
+        |      for i in range(0, 8)]) AS DOUBLE) + 0.5) / 4294967296.0
+        |      AS u,
+        |    300.0 / (CAST(n AS DOUBLE) * 1.0) AS b
+        |  FROM agg
+        |)
+        |SELECT event_type, n,
+        |  round(CAST(sraw AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS raw_mean,
+        |  round(CAST(sclip AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS clipped_mean,
+        |  round(CAST(sclip AS DOUBLE) / CAST(n AS DOUBLE)
+        |    + -b * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+        |    AS released_mean,
+        |  round(b, 9) AS noise_scale,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM calc ORDER BY event_type""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

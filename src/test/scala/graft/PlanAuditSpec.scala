@@ -1217,4 +1217,16 @@ class PlanAuditSpec extends SparkSpec {
     val p4 = plan("q254_msprt")
     assert(!p4.contains("SortMergeJoin"), p4.take(3000))
   }
+
+  test("q255/q256/q257: mixture step, SAX and DP release are one " +
+    "corpus exchange plus bounded tails; no cartesian") {
+    for (q <- Seq("q255_doremi", "q256_sax_motifs", "q257_dp_mean")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(3000))
+    }
+    // the DP release is a single conditional aggregate: no join at all
+    val p7 = plan("q257_dp_mean")
+    assert(!p7.contains("SortMergeJoin")
+      && !p7.contains("BroadcastHashJoin"), p7.take(3000))
+  }
 }
