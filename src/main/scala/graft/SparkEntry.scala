@@ -4998,6 +4998,99 @@ object SparkEntry {
           round(b, 9).as("noise_scale"),
           lit(1.0).as("epsilon"))
         .orderBy(col("event_type"))
+    }),
+
+    "q258_hill_tail" -> ((s, dir) => {
+      // Hill tail-index estimate (Hill 1975, peaks-over-threshold
+      // form) per event type: u = the exact 99th-percentile value from
+      // the cents-grid histogram, α̂ = n_tail / Σ ln(x/u) over x > u —
+      // "is this metric heavy-tailed enough that means/winsorizing
+      // (q121) lie", the tail diagnostic behind capping decisions.
+      // ONE corpus exchange to the (type, cents) histogram; the
+      // order statistic and the tail sum ride the grid-bounded table
+      // with round(9) decimal log terms.
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val h = operators.Materializer.Local(ev.select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+        .groupBy(col("event_type"), col("vc"))
+        .agg(count(lit(1)).as("cnt")))
+      val nt = h.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+        .select(col("event_type"), col("n"),
+          expr("CAST((99 * n + 99) DIV 100 AS BIGINT)").as("k"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("vc"))
+      val u = h.withColumn("cum", sum(col("cnt")).over(wc))
+        .join(broadcast(nt), Seq("event_type"))
+        .filter(col("cum") >= col("k"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(min(col("vc")).as("uc"))
+      val tail = h.join(broadcast(u), Seq("event_type"))
+        .filter(col("vc") > col("uc"))
+        .groupBy(col("event_type"), col("n"), col("uc"))
+        .agg(sum(col("cnt")).as("n_tail"),
+          sum((col("cnt").cast("double")
+            * log(col("vc").cast("double") / col("uc").cast("double")))
+            .cast("decimal(38,9)")).as("slog"))
+      tail.select(col("event_type"), col("n"),
+          (col("uc").cast("double") / 100.0).as("u"),
+          col("n_tail"),
+          round(col("n_tail").cast("double")
+            / col("slog").cast("double"), 6).as("alpha"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q259_power_mde" -> ((s, dir) => {
+      // experiment power analysis per event type (Cohen 1988): the
+      // minimum detectable effect of a 50/50 split at α=5%, power=80%
+      // from the observed outcome variance — the "how long must this
+      // test run" calculator that pairs with q147/q240/q254: an
+      // experimenter sizes the test BEFORE burning two weeks of
+      // traffic. One decimal sufficient-sums aggregate, scalar algebra
+      // after (z constants shared verbatim with the oracle).
+      def d(c: Column) = c.cast("decimal(19,6)")
+      val za = 1.959963984540054; val zb = 0.8416212335729143
+      val agg = t(s, dir, "events").groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(d(col("value"))).as("sv"),
+        sum(d(col("value")) * d(col("value"))).as("svv"))
+      val nD = col("n").cast("double")
+      val mean = col("sv").cast("double") / nD
+      val varS = (nD * col("svv").cast("double")
+        - col("sv").cast("double") * col("sv").cast("double")) /
+        (nD * (nD - 1.0))
+      val mde = lit(za + zb) * sqrt(varS * (lit(2.0) / (nD / 2.0)))
+      agg.select(col("event_type"), col("n"),
+          round(mean, 6).as("mean"), round(varS, 6).as("variance"),
+          round(mde, 6).as("mde_abs"),
+          round(mde / mean, 6).as("mde_rel"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q260_seq_patterns" -> ((s, dir) => {
+      // frequent sequential patterns (GSP, Srikant & Agrawal 1996):
+      // every user's consecutive event-type TRIGRAM, with support
+      // counted in USERS (a user voting once per pattern, the GSP
+      // sequence-support definition) next to raw occurrences — the
+      // "what do journeys actually look like" complement of q205's
+      // unordered baskets and q124's one-step Markov chain. One
+      // entity-bounded user window (two leads), one pattern rollup;
+      // the pattern space is bounded (|types|³).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e1"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .withColumn("e3", lead(col("e1"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(col("user_id"),
+          concat(col("e1"), lit(">"), col("e2"), lit(">"), col("e3"))
+            .as("pattern"))
+        .groupBy(col("pattern"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_users").desc, col("pattern"))
     })
   )
 
@@ -11564,7 +11657,76 @@ object SparkEntry {
         |    AS released_mean,
         |  round(b, 9) AS noise_scale,
         |  CAST(1.0 AS DOUBLE) AS epsilon
-        |FROM calc ORDER BY event_type""".stripMargin
+        |FROM calc ORDER BY event_type""".stripMargin,
+
+    "q258_hill_tail" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), nt AS (
+        |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+        |    (99 * sum(cnt) + 99) // 100 AS k
+        |  FROM h GROUP BY 1
+        |), u AS (
+        |  SELECT c.event_type, n, min(vc) AS uc
+        |  FROM (SELECT event_type, vc, sum(cnt)
+        |      OVER (PARTITION BY event_type ORDER BY vc) AS cum
+        |    FROM h) c
+        |  JOIN nt USING (event_type)
+        |  WHERE cum >= k GROUP BY 1, 2
+        |), tail AS (
+        |  SELECT h.event_type, n, uc,
+        |    CAST(sum(cnt) AS BIGINT) AS n_tail,
+        |    sum(CAST(CAST(cnt AS DOUBLE) * ln(CAST(vc AS DOUBLE)
+        |      / CAST(uc AS DOUBLE)) AS DECIMAL(38,9))) AS slog
+        |  FROM h JOIN u USING (event_type)
+        |  WHERE vc > uc GROUP BY 1, 2, 3
+        |)
+        |SELECT event_type, n, CAST(uc AS DOUBLE) / 100.0 AS u, n_tail,
+        |  round(CAST(n_tail AS DOUBLE) / CAST(slog AS DOUBLE), 6)
+        |    AS alpha
+        |FROM tail ORDER BY event_type""".stripMargin,
+
+    "q259_power_mde" ->
+      """WITH agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(19,6))) AS sv,
+        |    sum(CAST(value AS DECIMAL(19,6))
+        |      * CAST(value AS DECIMAL(19,6))) AS svv
+        |  FROM events GROUP BY 1
+        |), calc AS (
+        |  SELECT event_type, n,
+        |    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+        |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+        |     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vars
+        |  FROM agg
+        |), m AS (
+        |  SELECT event_type, n, mean, vars,
+        |    (1.959963984540054 + 0.8416212335729143)
+        |      * sqrt(vars * (2.0 / (CAST(n AS DOUBLE) / 2.0))) AS mde
+        |  FROM calc
+        |)
+        |SELECT event_type, n, round(mean, 6) AS mean,
+        |  round(vars, 6) AS variance, round(mde, 6) AS mde_abs,
+        |  round(mde / mean, 6) AS mde_rel
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q260_seq_patterns" ->
+      """WITH st AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e3
+        |  FROM events
+        |)
+        |SELECT e1 || '>' || e2 || '>' || e3 AS pattern,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM st WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n_users DESC, pattern""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

@@ -1229,4 +1229,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p7.contains("SortMergeJoin")
       && !p7.contains("BroadcastHashJoin"), p7.take(3000))
   }
+
+  test("q258/q259/q260: tail index rides the grid histogram with " +
+    "broadcast thresholds; MDE is one aggregate; patterns use an " +
+    "entity window — no cartesian, no shuffle join") {
+    val p8 = plan("q258_hill_tail")
+    assert(p8.contains("BroadcastHashJoin")
+      && !p8.contains("CartesianProduct")
+      && !p8.contains("SortMergeJoin"), p8.take(3000))
+    val p9 = plan("q259_power_mde")
+    assert(!p9.contains("CartesianProduct")
+      && !p9.contains("SortMergeJoin")
+      && !p9.contains("BroadcastHashJoin"), p9.take(3000))
+    val p0 = plan("q260_seq_patterns")
+    assert(!p0.contains("CartesianProduct")
+      && !p0.contains("SortMergeJoin")
+      && !p0.contains("SinglePartition"), p0.take(3000))
+  }
 }
