@@ -5091,8 +5091,264 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_occurrences"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("n_users").desc, col("pattern"))
+    }),
+
+    "q261_mann_kendall" -> ((s, dir) => {
+      // Mann–Kendall trend test + Kendall's tau-b (Mann 1945, Kendall
+      // 1975): S = Σ sign(y_j − y_i) over ordered day pairs of the
+      // daily revenue series, tie-corrected variance, the
+      // continuity-corrected z, and tau-b — the nonparametric "is this
+      // metric trending" gate that complements q157's Theil–Sen slope
+      // (which estimates HOW MUCH, not WHETHER). One day-keyed corpus
+      // rollup; the O(days²) pair scan and the tie table ride the
+      // bounded days table (broadcast inequality join).
+      val ev = t(s, dir, "events")
+      val daily = operators.Materializer.Local(ev
+        .select(expr("unix_micros(ts) DIV 86400000000").as("dy"),
+          col("value").cast("decimal(19,6)").as("v"))
+        .groupBy(col("dy")).agg(sum(col("v")).as("y")))
+      val pairs = daily.select(col("dy").as("d1"), col("y").as("y1"))
+        .join(broadcast(daily.select(col("dy").as("d2"),
+          col("y").as("y2"))), col("d1") < col("d2"))
+        .agg(sum(when(col("y2") > col("y1"), 1L)
+          .when(col("y2") < col("y1"), -1L).otherwise(0L)).as("s"))
+      val ties = daily.groupBy(col("y")).agg(count(lit(1)).as("t"))
+        .agg(count(lit(1)).as("ng"),
+          sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tc"),
+          sum(col("t") * (col("t") - 1)).as("t2"),
+          sum(col("t")).as("n"))
+      val nD = col("n").cast("double")
+      val varS = (nD * (nD - 1.0) * (lit(2.0) * nD + 5.0)
+        - col("tc").cast("double")) / 18.0
+      val sD = col("s").cast("double")
+      val z = when(col("s") > 0, (sD - 1.0) / sqrt(varS))
+        .when(col("s") < 0, (sD + 1.0) / sqrt(varS)).otherwise(lit(0.0))
+      val n0 = nD * (nD - 1.0) / 2.0
+      val tau = sD / sqrt(n0 * (n0 - col("t2").cast("double") / 2.0))
+      pairs.crossJoin(broadcast(ties))
+        .select(col("n").cast("long").as("n"), col("s"),
+          round(varS, 6).as("var_s"), round(z, 6).as("z"),
+          round(tau, 6).as("tau_b"))
+    }),
+
+    "q262_mcnemar" -> ((s, dir) => {
+      // McNemar's paired test with Edwards' continuity correction
+      // (McNemar 1947): are two English-detectors — a length rule and
+      // a chars-per-token rule — SCORED ON THE SAME DOCUMENTS
+      // significantly different? χ² = (|b01−b10|−1)²/(b01+b10) on the
+      // discordant counts, the paired-comparison primitive every
+      // "classifier B beats classifier A" claim needs (independent-
+      // sample tests on shared eval sets overstate significance).
+      // One conditional corpus aggregate, scalar algebra after.
+      val docs = t(s, dir, "documents")
+      val base = docs.select((col("lang") === "en").as("truth"),
+        (col("n_chars") >= 200).as("pa"),
+        (col("n_chars") <= operators.TextAnalysis.tokenCount(col("text"))
+          .cast("long") * 6).as("pb"))
+      val agg = base.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pa") === col("truth"), 1L).otherwise(0L))
+          .as("acc_a_n"),
+        sum(when(col("pb") === col("truth"), 1L).otherwise(0L))
+          .as("acc_b_n"),
+        sum(when(col("pa") === col("truth")
+          && col("pb") =!= col("truth"), 1L).otherwise(0L)).as("b01"),
+        sum(when(col("pb") === col("truth")
+          && col("pa") =!= col("truth"), 1L).otherwise(0L)).as("b10"))
+      val chi = (abs(col("b01") - col("b10")).cast("double") - 1.0) *
+        (abs(col("b01") - col("b10")).cast("double") - 1.0) /
+        (col("b01") + col("b10")).cast("double")
+      agg.select(col("n"), col("b01"), col("b10"),
+        round(col("acc_a_n").cast("double") / col("n").cast("double"),
+          6).as("acc_a"),
+        round(col("acc_b_n").cast("double") / col("n").cast("double"),
+          6).as("acc_b"),
+        when(col("b01") + col("b10") > 0, round(chi, 6)).as("chi2"),
+        (when(col("b01") + col("b10") > 0, chi).otherwise(lit(0.0))
+          > 3.841458820694124).as("significant"))
+    }),
+
+    "q263_lof" -> ((s, dir) => {
+      // Local Outlier Factor (Breunig, Kriegel, Ng & Sander, SIGMOD
+      // 2000) over the embedding set with cosine distance — the
+      // DENSITY-relative outlier score that catches points q142's
+      // global centroid distance misses (a point can sit near the
+      // centroid yet in a locally sparse pocket). kNN comes from the
+      // oracle-bitwise exact top-k (bounded query set broadcast, one
+      // corpus stream — at 100 TB this audit runs on exactly such a
+      // bounded sample, or swaps in the IVF/PQ candidate generator);
+      // k-distances, reachability, lrd and LOF are all joins on the
+      // bounded kNN table with DECIMAL(9,6)-exact distance sums.
+      // ≥k duplicate points make lrd infinite in the paper's
+      // definition — guarded to NULL here, identically in the oracle.
+      GraftFunctions.register(s)
+      val k = 10
+      val emb = t(s, dir, "embeddings")
+      val knn = operators.Materializer.Local(
+        operators.Similarity.bruteForceTopK(emb, emb, k = k,
+            exact = true)
+          .select(col("query_id"), col("neighbor_id"),
+            (lit(1.0) - col("sim")).as("d"), col("rk")))
+      val kdist = knn.filter(col("rk") === k)
+        .select(col("query_id").as("neighbor_id"),
+          col("d").as("kdist"))
+      val reach = knn.join(broadcast(kdist), Seq("neighbor_id"))
+        .select(col("query_id"),
+          greatest(col("d"), col("kdist")).cast("decimal(9,6)")
+            .as("reach"))
+      val lrd = operators.Materializer.Local(reach
+        .groupBy(col("query_id"))
+        .agg(sum(col("reach")).as("sreach"))
+        .select(col("query_id"),
+          when(col("sreach").cast("double") > 0.0,
+            round(lit(k.toDouble) / col("sreach").cast("double"), 9))
+            .as("lrd")))
+      val nblrd = knn.join(broadcast(lrd
+          .select(col("query_id").as("neighbor_id"),
+            col("lrd").as("lrd_b"))), Seq("neighbor_id"))
+        .groupBy(col("query_id"))
+        .agg(sum(col("lrd_b").cast("decimal(19,9)")).as("slrd"),
+          count(col("lrd_b")).as("nb"))
+      lrd.join(broadcast(nblrd), Seq("query_id"))
+        .join(broadcast(kdist.select(col("neighbor_id")
+          .as("query_id"), col("kdist"))), Seq("query_id"))
+        .select(col("query_id").as("vec_id"),
+          round(col("kdist"), 6).as("kdist"), col("lrd"),
+          when(col("lrd").isNotNull && col("nb") === k,
+            round(col("slrd").cast("double")
+              / (lit(k.toDouble) * col("lrd")), 6)).as("lof"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "q264_data_shapley" -> ((s, dir) => {
+      // data valuation by EXACT Shapley over source groups (Ghorbani &
+      // Zou, ICML 2019) with a coverage utility: v(S) = how many
+      // held-out eval shingles the coalition's training docs cover —
+      // "which slice of the corpus is actually worth its storage" with
+      // the fair-division guarantee (Σφ = v(full)). The additive
+      // structure does the scale work: every shingle carries a 4-bit
+      // membership MASK (bit_or over training groups), so ALL 2⁴
+      // coalition values read off ONE ≤16-row mask histogram — never
+      // 16 corpus passes. The subset/weight enumeration is a Scala
+      // constant shared VERBATIM with the oracle's VALUES (the
+      // shapleySubsets contract).
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val base = docs.select(
+        expr("CAST(substring(source, 4, 10) AS INT) % 4").as("g"),
+        (substring(md5(col("doc_id").cast("string")), 1, 1) >= "c")
+          .as("ev"),
+        explode(operators.TextAnalysis.shingles(col("text"), 3))
+          .as("sh"))
+      val evalSh = base.filter(col("ev")).select(col("sh")).distinct()
+      val masks = base.filter(!col("ev"))
+        .join(evalSh, Seq("sh"), "left_semi")
+        .groupBy(col("sh"))
+        .agg(expr("bit_or(CAST(pow(2, g) AS INT))").as("mask"))
+      val hist = operators.Materializer.Local(
+        masks.groupBy(col("mask")).agg(count(lit(1)).as("cnt")))
+      import s.implicits._
+      val subsets = broadcast((0 until 16).map(m => m).toDF("smask"))
+      val vtab = operators.Materializer.Local(subsets
+        .join(broadcast(hist),
+          expr("(smask & mask) <> 0"), "left")
+        .groupBy(col("smask"))
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("v")))
+      val terms = broadcast(shapleyCoalitions.toDF(
+        "g", "s_without", "s_with", "w"))
+      val nTrain = docs.select(
+          expr("CAST(substring(source, 4, 10) AS INT) % 4").as("g"),
+          (substring(md5(col("doc_id").cast("string")), 1, 1) >= "c")
+            .as("ev"))
+        .filter(!col("ev")).groupBy(col("g"))
+        .agg(count(lit(1)).as("n_train_docs"))
+      val phi = terms
+        .join(broadcast(vtab.select(col("smask").as("s_without"),
+          col("v").as("v0"))), Seq("s_without"))
+        .join(broadcast(vtab.select(col("smask").as("s_with"),
+          col("v").as("v1"))), Seq("s_with"))
+        .select(col("g"),
+          round(col("w") * (col("v1") - col("v0")).cast("double"), 9)
+            .cast("decimal(19,9)").as("term"))
+        .groupBy(col("g"))
+        .agg(round(sum(col("term")).cast("double"), 6).as("shapley"))
+      val vfull = vtab.filter(col("smask") === 15)
+        .select(col("v").as("v_full"))
+      phi.join(broadcast(nTrain), Seq("g"))
+        .crossJoin(broadcast(vfull))
+        .select(col("g"), col("n_train_docs"), col("shapley"),
+          round(col("shapley") / col("v_full").cast("double"), 6)
+            .as("share"))
+        .orderBy(col("g"))
+    }),
+
+    "q265_ks_pvalue" -> ((s, dir) => {
+      // two-sample KS test WITH the asymptotic p-value per event type —
+      // q217/q221 report the statistic; this closes the loop with the
+      // Kolmogorov distribution tail (5-term alternating series, the
+      // textbook asymptotic with the small-sample correction factor
+      // √nₑ + 0.12 + 0.11/√nₑ) so a drift monitor can threshold on a
+      // probability, not a unit-free distance. D is exact integer
+      // algebra (max |cumA·nB − cumB·nA|) on the grid-bounded cents
+      // histogram; the series is pinned double op order, identical on
+      // both engines.
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      val e = ev.select(col("event_type").as("g"),
+        floor(col("value") * 100).cast("long").as("v"),
+        when(col("ts") < cutoff, 1L).otherwise(0L).as("is_ref"))
+      val h = e.groupBy(col("g"), col("v"))
+        .agg(sum(col("is_ref")).as("ca"),
+          sum(lit(1L) - col("is_ref")).as("cb"))
+      val wc = Window.partitionBy(col("g")).orderBy(col("v"))
+      val wt = Window.partitionBy(col("g"))
+      val stats = h.withColumn("cuma", sum(col("ca")).over(wc))
+        .withColumn("cumb", sum(col("cb")).over(wc))
+        .withColumn("na", sum(col("ca")).over(wt))
+        .withColumn("nb", sum(col("cb")).over(wt))
+        .filter(col("na") > 0 && col("nb") > 0)
+        .groupBy(col("g"), col("na"), col("nb"))
+        .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+          .as("mx"))
+      val naD = col("na").cast("double")
+      val nbD = col("nb").cast("double")
+      val d = col("mx").cast("double") / (naD * nbD)
+      val ne = naD * nbD / (naD + nbD)
+      val lam = (sqrt(ne) + lit(0.12) + lit(0.11) / sqrt(ne)) * d
+      val l2 = lam * lam
+      val p = lit(2.0) * (exp(lit(-2.0) * l2) - exp(lit(-8.0) * l2)
+        + exp(lit(-18.0) * l2) - exp(lit(-32.0) * l2)
+        + exp(lit(-50.0) * l2))
+      val pc = least(lit(1.0), greatest(lit(0.0), p))
+      stats.select(col("g").as("event_type"),
+          col("na").cast("long").as("n_ref"),
+          col("nb").cast("long").as("n_cur"),
+          round(d, 6).as("d"), round(lam, 6).as("lambda"),
+          round(pc, 9).as("p_value"),
+          (round(pc, 9) < 0.05).as("reject"))
+        .orderBy(col("event_type"))
     })
   )
+
+  /** Exact Shapley coalition enumeration for 4 players shared VERBATIM
+    * with the q264 oracle's VALUES table: (player g, coalition without
+    * g as bitmask, coalition with g, weight |S|!(3−|S|)!/4!). */
+  private lazy val shapleyCoalitions: Seq[(Int, Int, Int, Double)] = {
+    def fact(x: Int): Long = (1 to x).foldLeft(1L)(_ * _)
+    for {
+      g <- 0 until 4
+      s <- 0 until 16
+      if (s & (1 << g)) == 0
+    } yield {
+      val size = Integer.bitCount(s)
+      (g, s, s | (1 << g),
+        fact(size) * fact(3 - size) / 24.0)
+    }
+  }
+
+  /** Test-only accessor for the q264 coalition enumeration. */
+  private[graft] def shapleyCoalitionsForTest = shapleyCoalitions
 
   /** JL ±1 sign matrix (Achlioptas 2003) shared VERBATIM between the
     * q250 Spark projection and its oracle's VALUES table: sign(k)(j)
@@ -11726,7 +11982,219 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_occurrences,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM st WHERE e3 IS NOT NULL
-        |GROUP BY 1 ORDER BY n_users DESC, pattern""".stripMargin
+        |GROUP BY 1 ORDER BY n_users DESC, pattern""".stripMargin,
+
+    "q261_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS dy,
+        |    sum(CAST(value AS DECIMAL(19,6))) AS y
+        |  FROM events GROUP BY 1
+        |), pr AS (
+        |  SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+        |    WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM daily a JOIN daily b ON a.dy < b.dy
+        |), ties AS (
+        |  SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tc,
+        |    CAST(sum(t * (t - 1)) AS BIGINT) AS t2,
+        |    CAST(sum(t) AS BIGINT) AS n
+        |  FROM (SELECT y, CAST(count(*) AS BIGINT) AS t FROM daily
+        |        GROUP BY 1)
+        |)
+        |SELECT n, s,
+        |  round((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |    * (2.0 * CAST(n AS DOUBLE) + 5.0) - CAST(tc AS DOUBLE))
+        |    / 18.0, 6) AS var_s,
+        |  round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+        |      / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |        * (2.0 * CAST(n AS DOUBLE) + 5.0) - CAST(tc AS DOUBLE))
+        |        / 18.0)
+        |    WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+        |      / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |        * (2.0 * CAST(n AS DOUBLE) + 5.0) - CAST(tc AS DOUBLE))
+        |        / 18.0)
+        |    ELSE 0.0 END, 6) AS z,
+        |  round(CAST(s AS DOUBLE)
+        |    / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)
+        |      * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+        |        - CAST(t2 AS DOUBLE) / 2.0)), 6) AS tau_b
+        |FROM pr, ties""".stripMargin,
+
+    "q262_mcnemar" ->
+      s"""WITH base AS (
+         |  SELECT (lang = 'en') AS truth,
+         |    n_chars >= 200 AS pa,
+         |    n_chars <= CAST(len($toksSql) AS BIGINT) * 6 AS pb
+         |  FROM documents
+         |), agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN pa = truth THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS acc_a_n,
+         |    CAST(sum(CASE WHEN pb = truth THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS acc_b_n,
+         |    CAST(sum(CASE WHEN pa = truth AND pb <> truth
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS b01,
+         |    CAST(sum(CASE WHEN pb = truth AND pa <> truth
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS b10
+         |  FROM base
+         |)
+         |SELECT n, b01, b10,
+         |  round(CAST(acc_a_n AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         |    AS acc_a,
+         |  round(CAST(acc_b_n AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         |    AS acc_b,
+         |  CASE WHEN b01 + b10 > 0 THEN
+         |    round((CAST(abs(b01 - b10) AS DOUBLE) - 1.0)
+         |      * (CAST(abs(b01 - b10) AS DOUBLE) - 1.0)
+         |      / CAST(b01 + b10 AS DOUBLE), 6) END AS chi2,
+         |  (CASE WHEN b01 + b10 > 0 THEN
+         |    (CAST(abs(b01 - b10) AS DOUBLE) - 1.0)
+         |      * (CAST(abs(b01 - b10) AS DOUBLE) - 1.0)
+         |      / CAST(b01 + b10 AS DOUBLE) ELSE 0.0 END)
+         |    > 3.841458820694124 AS significant
+         |FROM agg""".stripMargin,
+
+    "q263_lof" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings
+         |), c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |), p AS (
+         |  SELECT qid, cid,
+         |    ${dotSql("qv", "cv")} AS dot,
+         |    ${normSql("qv")} AS nq,
+         |    ${normSql("cv")} AS nc
+         |  FROM q, c WHERE qid <> cid
+         |), scored AS (
+         |  SELECT qid AS query_id, cid AS neighbor_id,
+         |    round($cosSql, 6) AS sim
+         |  FROM p
+         |), knn AS (
+         |  SELECT query_id, neighbor_id, 1.0 - sim AS d, rk
+         |  FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS INT) AS rk
+         |    FROM scored)
+         |  WHERE rk <= 10
+         |), kd AS (
+         |  SELECT query_id AS neighbor_id, d AS kdist FROM knn
+         |  WHERE rk = 10
+         |), reach AS (
+         |  SELECT k.query_id,
+         |    CAST(greatest(k.d, kd.kdist) AS DECIMAL(9,6)) AS reach
+         |  FROM knn k JOIN kd USING (neighbor_id)
+         |), lrd AS (
+         |  SELECT query_id,
+         |    CASE WHEN CAST(sum(reach) AS DOUBLE) > 0.0
+         |      THEN round(10.0 / CAST(sum(reach) AS DOUBLE), 9) END
+         |      AS lrd
+         |  FROM reach GROUP BY 1
+         |), nb AS (
+         |  SELECT k.query_id, sum(CAST(l.lrd AS DECIMAL(19,9))) AS slrd,
+         |    CAST(count(l.lrd) AS BIGINT) AS nbc
+         |  FROM knn k JOIN lrd l ON l.query_id = k.neighbor_id
+         |  GROUP BY 1
+         |)
+         |SELECT l.query_id AS vec_id, round(kd2.kdist, 6) AS kdist,
+         |  l.lrd,
+         |  CASE WHEN l.lrd IS NOT NULL AND nbc = 10
+         |    THEN round(CAST(slrd AS DOUBLE) / (10.0 * l.lrd), 6) END
+         |    AS lof
+         |FROM lrd l JOIN nb USING (query_id)
+         |JOIN kd kd2 ON kd2.neighbor_id = l.query_id
+         |ORDER BY vec_id""".stripMargin,
+
+    "q264_data_shapley" -> {
+      val values = shapleyCoalitions.map { case (g, s0, s1, w) =>
+        s"($g, $s0, $s1, $w)" }.mkString(", ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, source,
+         |    $toksSql AS raw
+         |  FROM documents
+         |), base AS (
+         |  SELECT CAST(substr(source, 4) AS INTEGER) % 4 AS g,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c' AS ev,
+         |    unnest(CASE WHEN len(raw) < 3
+         |      THEN [array_to_string(raw, ' ')]
+         |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+         |            for i in range(0, len(raw) - 2)] END) AS sh
+         |  FROM tk
+         |), evsh AS (SELECT DISTINCT sh FROM base WHERE ev
+         |), masks AS (
+         |  SELECT sh, bit_or(CAST(pow(2, g) AS INTEGER)) AS mask
+         |  FROM base WHERE NOT ev AND sh IN (SELECT sh FROM evsh)
+         |  GROUP BY 1
+         |), hist AS (
+         |  SELECT mask, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM masks GROUP BY 1
+         |), subsets AS (SELECT unnest(range(0, 16)) AS smask
+         |), vtab AS (
+         |  SELECT smask, coalesce(CAST(sum(cnt) AS BIGINT), 0) AS v
+         |  FROM subsets LEFT JOIN hist ON (smask & mask) <> 0
+         |  GROUP BY 1
+         |), terms(g, s_without, s_with, w) AS (VALUES $values
+         |), phi AS (
+         |  SELECT g, round(CAST(sum(CAST(round(
+         |      w * CAST(v1.v - v0.v AS DOUBLE), 9) AS DECIMAL(19,9)))
+         |      AS DOUBLE), 6) AS shapley
+         |  FROM terms JOIN vtab v0 ON v0.smask = s_without
+         |  JOIN vtab v1 ON v1.smask = s_with
+         |  GROUP BY 1
+         |), ntr AS (
+         |  SELECT CAST(substr(source, 4) AS INTEGER) % 4 AS g,
+         |    CAST(count(*) AS BIGINT) AS n_train_docs
+         |  FROM documents
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+         |  GROUP BY 1
+         |), vf AS (SELECT v AS v_full FROM vtab WHERE smask = 15)
+         |SELECT phi.g, n_train_docs, shapley,
+         |  round(shapley / CAST(v_full AS DOUBLE), 6) AS share
+         |FROM phi JOIN ntr USING (g), vf ORDER BY g""".stripMargin
+    },
+
+    "q265_ks_pvalue" ->
+      """WITH e AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END AS is_ref
+        |  FROM events
+        |), h AS (
+        |  SELECT g, v, CAST(sum(is_ref) AS BIGINT) AS ca,
+        |    CAST(sum(1 - is_ref) AS BIGINT) AS cb
+        |  FROM e GROUP BY 1, 2
+        |), cw AS (
+        |  SELECT g, v, ca, cb,
+        |    sum(ca) OVER (PARTITION BY g ORDER BY v) AS cuma,
+        |    sum(cb) OVER (PARTITION BY g ORDER BY v) AS cumb,
+        |    sum(ca) OVER (PARTITION BY g) AS na,
+        |    sum(cb) OVER (PARTITION BY g) AS nb
+        |  FROM h
+        |), st AS (
+        |  SELECT g, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |    CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS mx
+        |  FROM cw WHERE na > 0 AND nb > 0
+        |  GROUP BY 1, 2, 3
+        |), calc AS (
+        |  SELECT g, na, nb,
+        |    CAST(mx AS DOUBLE)
+        |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS d,
+        |    (sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |        / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) + 0.12
+        |      + 0.11 / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |        / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))))
+        |      * (CAST(mx AS DOUBLE)
+        |        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS lam
+        |  FROM st
+        |), pv AS (
+        |  SELECT g, na, nb, d, lam,
+        |    least(1.0, greatest(0.0, 2.0 * (exp(-2.0 * (lam * lam))
+        |      - exp(-8.0 * (lam * lam)) + exp(-18.0 * (lam * lam))
+        |      - exp(-32.0 * (lam * lam))
+        |      + exp(-50.0 * (lam * lam))))) AS pc
+        |  FROM calc
+        |)
+        |SELECT g AS event_type, na AS n_ref, nb AS n_cur,
+        |  round(d, 6) AS d, round(lam, 6) AS lambda,
+        |  round(pc, 9) AS p_value, round(pc, 9) < 0.05 AS reject
+        |FROM pv ORDER BY event_type""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

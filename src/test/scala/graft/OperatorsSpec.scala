@@ -3834,4 +3834,17 @@ class OperatorsSpec extends SparkSpec {
       && w((true, true)) > w((false, true))
       && w((false, false)) < w((false, true)))
   }
+
+  test("shapleyCoalitions (q264): 8 coalitions per player, weights sum " +
+    "to 1 per player, with-mask = without-mask | player bit") {
+    val cs = SparkEntry.shapleyCoalitionsForTest
+    assert(cs.size == 32)
+    for (g <- 0 until 4) {
+      val mine = cs.filter(_._1 == g)
+      assert(mine.size == 8)
+      assert(math.abs(mine.map(_._4).sum - 1.0) < 1e-12)
+      assert(mine.forall { case (_, s0, s1, _) =>
+        (s0 & (1 << g)) == 0 && s1 == (s0 | (1 << g)) })
+    }
+  }
 }

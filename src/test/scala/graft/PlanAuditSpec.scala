@@ -1246,4 +1246,32 @@ class PlanAuditSpec extends SparkSpec {
       && !p0.contains("SortMergeJoin")
       && !p0.contains("SinglePartition"), p0.take(3000))
   }
+
+  test("q261/q262/q263: trend pairs ride the bounded days table; " +
+    "McNemar is one aggregate; LOF joins stay broadcast over the " +
+    "bounded kNN table — no cartesian, no shuffle join") {
+    val p1 = plan("q261_mann_kendall")
+    assert(!p1.contains("CartesianProduct")
+      && !p1.contains("SortMergeJoin"), p1.take(3000))
+    val p2 = plan("q262_mcnemar")
+    assert(!p2.contains("CartesianProduct")
+      && !p2.contains("SortMergeJoin")
+      && !p2.contains("BroadcastHashJoin"), p2.take(3000))
+    val p3 = plan("q263_lof")
+    assert(p3.contains("BroadcastHashJoin")
+      && !p3.contains("CartesianProduct")
+      && !p3.contains("SortMergeJoin"), p3.take(3000))
+  }
+
+  test("q264/q265: coalition values ride the 16-row mask histogram; " +
+    "the KS p-value walk partitions by type — no cartesian, no " +
+    "shuffle join") {
+    val p4 = plan("q264_data_shapley")
+    assert(!p4.contains("CartesianProduct")
+      && !p4.contains("SortMergeJoin"), p4.take(3000))
+    val p5 = plan("q265_ks_pvalue")
+    assert(!p5.contains("CartesianProduct")
+      && !p5.contains("SortMergeJoin")
+      && !p5.contains("SinglePartition"), p5.take(3000))
+  }
 }
