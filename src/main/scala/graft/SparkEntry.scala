@@ -5328,6 +5328,198 @@ object SparkEntry {
           round(pc, 9).as("p_value"),
           (round(pc, 9) < 0.05).as("reject"))
         .orderBy(col("event_type"))
+    }),
+
+    "q266_mann_whitney" -> ((s, dir) => {
+      // Mann–Whitney U / Wilcoxon rank-sum per event type between the
+      // reference and current periods (Mann & Whitney 1947) with the
+      // tie-corrected normal approximation — the median-shift
+      // complement to q265's KS (which is shape-sensitive; the
+      // rank-sum is the more powerful test when the alternative is a
+      // location shift). All rank algebra is EXACT integers on the
+      // grid-bounded cents histogram: 2·avgrank = 2·cumBefore + t + 1,
+      // so rank sums never touch a float until the final z; the tie
+      // term Σ(t³−t) lifts through DECIMAL(38,0); p is the A&S
+      // 26.2.17 two-sided tail in pinned op order.
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      def d38(c: Column) = c.cast("decimal(38,0)")
+      val h = ev.select(col("event_type").as("g"),
+          floor(col("value") * 100).cast("long").as("v"),
+          when(col("ts") < cutoff, 1L).otherwise(0L).as("is_ref"))
+        .groupBy(col("g"), col("v"))
+        .agg(sum(col("is_ref")).as("ca"),
+          sum(lit(1L) - col("is_ref")).as("cb"))
+      val wc = Window.partitionBy(col("g")).orderBy(col("v"))
+      val st = h.withColumn("tt", col("ca") + col("cb"))
+        .withColumn("cum", sum(col("tt")).over(wc))
+        .withColumn("ar2",
+          (col("cum") - col("tt")) * 2 + col("tt") + 1)
+        .groupBy(col("g"))
+        .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+          sum(col("ca") * col("ar2")).as("r2a"),
+          sum(d38(col("tt")) * d38(col("tt")) * d38(col("tt"))
+            - d38(col("tt"))).as("ties"))
+        .filter(col("na") > 0 && col("nb") > 0)
+      val nD = (col("na") + col("nb")).cast("double")
+      val varU = col("na").cast("double") * col("nb").cast("double") /
+        12.0 * ((nD + 1.0)
+          - col("ties").cast("double") / (nD * (nD - 1.0)))
+      val z = (col("r2a") - col("na") * (col("na") + 1)
+        - col("na") * col("nb")).cast("double") / 2.0 / sqrt(varU)
+      val az = abs(z)
+      val ttp = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+      val poly = ttp * (lit(0.319381530) + ttp * (lit(-0.356563782) +
+        ttp * (lit(1.781477937) + ttp * (lit(-1.821255978) +
+          ttp * lit(1.330274429)))))
+      val p = lit(2.0) * (lit(0.3989422804014327) *
+        exp(lit(-0.5) * az * az)) * poly
+      st.select(col("g").as("event_type"),
+          col("na").cast("long").as("n_ref"),
+          col("nb").cast("long").as("n_cur"),
+          round((col("r2a") - col("na") * (col("na") + 1))
+            .cast("double") / 2.0, 1).as("u_a"),
+          round(z, 6).as("z"), round(p, 9).as("p_value"),
+          (round(p, 9) < 0.05).as("reject"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q267_kruskal_wallis" -> ((s, dir) => {
+      // Kruskal–Wallis H (1952): does the value distribution differ
+      // across ALL event types at once — the k-group generalization of
+      // q266 that replaces k·(k−1)/2 pairwise tests (and their
+      // multiplicity problem) with one omnibus rank test. Rank sums
+      // are exact integers on the pooled cents histogram (global
+      // window over the bounded grid — the q177 contract); the
+      // tie-corrected H maps to a p-value through the Wilson–Hilferty
+      // cube-root χ² normal approximation, A&S tail, both in pinned
+      // op order. One (type, cents) corpus exchange total.
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      def d38(c: Column) = c.cast("decimal(38,0)")
+      val hg = operators.Materializer.Local(
+        ev.select(col("event_type").as("g"),
+            floor(col("value") * 100).cast("long").as("v"))
+          .groupBy(col("g"), col("v"))
+          .agg(count(lit(1)).as("cnt")))
+      val pooled = operators.Materializer.Local(
+        hg.groupBy(col("v")).agg(sum(col("cnt")).as("tt")))
+      val wv = Window.orderBy(col("v"))
+      val pr = pooled.withColumn("cum", sum(col("tt")).over(wv))
+        .select(col("v"),
+          ((col("cum") - col("tt")) * 2 + col("tt") + 1).as("ar2"))
+      val perg = hg.join(broadcast(pr), Seq("v"))
+        .groupBy(col("g"))
+        .agg(sum(col("cnt")).as("ng"),
+          sum(col("cnt") * col("ar2")).as("r2g"))
+      val gstats = perg.agg(count(lit(1)).as("k"),
+        sum(col("ng")).as("n"),
+        sum(round((col("r2g").cast("double") / 2.0)
+            * (col("r2g").cast("double") / 2.0)
+            / col("ng").cast("double"), 6).cast("decimal(38,6)"))
+          .as("sr"))
+      val ties = pooled.agg(
+        sum(d38(col("tt")) * d38(col("tt")) * d38(col("tt"))
+          - d38(col("tt"))).as("ties"))
+      val nD = col("n").cast("double")
+      val hUnc = lit(12.0) / (nD * (nD + 1.0)) *
+        col("sr").cast("double") - lit(3.0) * (nD + 1.0)
+      val corr = lit(1.0) - col("ties").cast("double") /
+        (nD * nD * nD - nD)
+      val hStat = hUnc / corr
+      val df = col("k").cast("double") - 1.0
+      val r = hStat / df
+      val zwh = (cbrt(r) - (lit(1.0) - lit(2.0) / (lit(9.0) * df))) /
+        sqrt(lit(2.0) / (lit(9.0) * df))
+      val az = abs(zwh)
+      val ttp = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+      val poly = ttp * (lit(0.319381530) + ttp * (lit(-0.356563782) +
+        ttp * (lit(1.781477937) + ttp * (lit(-1.821255978) +
+          ttp * lit(1.330274429)))))
+      val tail = lit(0.3989422804014327) * exp(lit(-0.5) * az * az) *
+        poly
+      val p = when(zwh >= 0, tail).otherwise(lit(1.0) - tail)
+      gstats.crossJoin(broadcast(ties))
+        .select(col("k").cast("long").as("k"),
+          col("n").cast("long").as("n"),
+          round(hStat, 6).as("h"), round(zwh, 6).as("z_wh"),
+          round(p, 9).as("p_value"),
+          (round(p, 9) < 0.05).as("reject"))
+    }),
+
+    "q268_quality_logreg" -> ((s, dir) => {
+      // corpus quality classifier trained IN the engine: full-batch
+      // gradient-descent logistic regression (the GPT-3 §2.2 /
+      // CCNet-style shape — heuristic label, cheap features, corpus-
+      // scale scoring) predicting lang='en' from two layout features
+      // (log chars, chars-per-token), both z-scored. The corpus pays
+      // ONE exchange to build the bounded feature-grid histogram;
+      // moments, standardization and every GD round are algebra on
+      // that table via Stats.logisticGdHist — 10 rounds cost zero
+      // extra corpus passes, the property that makes iterative
+      // training viable at 100 TB.
+      val docs = t(s, dir, "documents")
+      val ntok = greatest(
+        operators.TextAnalysis.tokenCount(col("text")).cast("long"),
+        lit(1L))
+      val hist = operators.Materializer.Local(docs.select(
+          round(log(col("n_chars").cast("double") + 1.0), 2).as("u"),
+          round(col("n_chars").cast("double") / ntok.cast("double"), 1)
+            .as("v"),
+          (col("lang") === "en").as("y"))
+        .groupBy(col("u"), col("v"), col("y"))
+        .agg(count(lit(1)).as("n")))
+      def pin6(c: Column) = round(c, 6).cast("decimal(29,6)")
+      val mom = hist.agg(sum(col("n")).as("nt"),
+        sum(pin6(col("u") * col("n"))).as("su"),
+        sum(pin6(col("u") * col("u") * col("n"))).as("suu"),
+        sum(pin6(col("v") * col("n"))).as("sv"),
+        sum(pin6(col("v") * col("v") * col("n"))).as("svv"))
+      val nD = col("nt").cast("double")
+      val mu = col("su").cast("double") / nD
+      val mv = col("sv").cast("double") / nD
+      val sdu = sqrt(col("suu").cast("double") / nD - mu * mu)
+      val sdv = sqrt(col("svv").cast("double") / nD - mv * mv)
+      val feats = hist.crossJoin(broadcast(mom))
+        .select(round((col("u") - mu) / sdu, 6).as("x1"),
+          round((col("v") - mv) / sdv, 6).as("x2"),
+          col("y"), col("n"))
+      operators.Stats.logisticGdHist(feats, Seq("x1", "x2"), "y", "n",
+        rounds = 10, lr = 2.0)
+    }),
+
+    "q269_cox_purchase" -> ((s, dir) => {
+      // Cox proportional-hazards time-to-conversion model (Cox 1972,
+      // Breslow ties): does signing up on day one change the hazard
+      // of a first purchase? Subjects are users from their first
+      // active day; event = first purchase within a fixed 5-day
+      // follow-up window, administratively censored at day 5
+      // otherwise — the standard fixed-horizon design, so the
+      // censoring path is genuinely exercised. Covariate = signup on
+      // the origin day (pure min-algebra — no argmin tie-break, so
+      // every engine derives the same cohort). This is the REGRESSION
+      // complement of q168's Kaplan–Meier curves: one β with a
+      // standard error instead of two curves to eyeball. One
+      // user-keyed corpus rollup; risk sets, Newton rounds and the
+      // Wald test all ride the bounded duration grid in
+      // Stats.coxNewtonBinary.
+      val ev = t(s, dir, "events")
+      val day = expr("unix_micros(ts) DIV 86400000000")
+      val byUser = ev.groupBy(col("user_id")).agg(
+        min(day).as("d0"),
+        min(when(col("event_type") === "purchase", day)).as("dp"),
+        min(when(col("event_type") === "signup", day)).as("ds"))
+      val death = col("dp").isNotNull && col("dp") - col("d0") <= 5
+      val subj = byUser.select(
+        when(death, col("dp") - col("d0")).otherwise(lit(5L)).as("t"),
+        coalesce(col("ds") === col("d0"), lit(false)).as("x"),
+        death.as("death"))
+      val hist = subj.groupBy(col("t"), col("x")).agg(
+        sum(when(col("death"), 1L).otherwise(0L)).as("deaths"),
+        count(lit(1)).as("total"))
+      operators.Stats.coxNewtonBinary(hist, "t", "x", "deaths",
+        "total", rounds = 4)
     })
   )
 
@@ -12194,7 +12386,267 @@ object SparkEntry {
         |SELECT g AS event_type, na AS n_ref, nb AS n_cur,
         |  round(d, 6) AS d, round(lam, 6) AS lambda,
         |  round(pc, 9) AS p_value, round(pc, 9) < 0.05 AS reject
-        |FROM pv ORDER BY event_type""".stripMargin
+        |FROM pv ORDER BY event_type""".stripMargin,
+
+    "q266_mann_whitney" ->
+      """WITH h AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN 1 ELSE 0 END AS is_ref
+        |  FROM events
+        |), hh AS (
+        |  SELECT g, v, CAST(sum(is_ref) AS BIGINT) AS ca,
+        |    CAST(sum(1 - is_ref) AS BIGINT) AS cb
+        |  FROM h GROUP BY 1, 2
+        |), r AS (
+        |  SELECT g, ca, cb, ca + cb AS tt,
+        |    sum(ca + cb) OVER (PARTITION BY g ORDER BY v) AS cum
+        |  FROM hh
+        |), st AS (
+        |  SELECT g, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(sum(ca * ((cum - tt) * 2 + tt + 1)) AS BIGINT) AS r2a,
+        |    CAST(sum(CAST(tt AS HUGEINT) * tt * tt - tt) AS DOUBLE)
+        |      AS ties
+        |  FROM r GROUP BY 1
+        |  HAVING sum(ca) > 0 AND sum(cb) > 0
+        |), calc AS (
+        |  SELECT g, na, nb, r2a,
+        |    CAST(r2a - na * (na + 1) - na * nb AS DOUBLE) / 2.0
+        |      / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+        |        * ((CAST(na + nb AS DOUBLE) + 1.0)
+        |          - ties / (CAST(na + nb AS DOUBLE)
+        |            * (CAST(na + nb AS DOUBLE) - 1.0)))) AS zr
+        |  FROM st
+        |), pv0 AS (
+        |  SELECT *, abs(zr) AS az,
+        |    1.0 / (1.0 + 0.2316419 * abs(zr)) AS tt
+        |  FROM calc
+        |)
+        |SELECT g AS event_type, na AS n_ref, nb AS n_cur,
+        |  round(CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0, 1) AS u_a,
+        |  round(zr, 6) AS z,
+        |  round(2.0 * (0.3989422804014327 * exp(-0.5 * az * az))
+        |    * (tt * (0.319381530 + tt * (-0.356563782
+        |      + tt * (1.781477937 + tt * (-1.821255978
+        |        + tt * 1.330274429))))), 9) AS p_value,
+        |  round(2.0 * (0.3989422804014327 * exp(-0.5 * az * az))
+        |    * (tt * (0.319381530 + tt * (-0.356563782
+        |      + tt * (1.781477937 + tt * (-1.821255978
+        |        + tt * 1.330274429))))), 9) < 0.05 AS reject
+        |FROM pv0 ORDER BY event_type""".stripMargin,
+
+    "q267_kruskal_wallis" ->
+      """WITH hg AS MATERIALIZED (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), pooled AS MATERIALIZED (
+        |  SELECT v, CAST(sum(cnt) AS BIGINT) AS tt FROM hg GROUP BY 1
+        |), pr AS (
+        |  SELECT v, (cum - tt) * 2 + tt + 1 AS ar2
+        |  FROM (SELECT v, tt, sum(tt) OVER (ORDER BY v) AS cum
+        |        FROM pooled)
+        |), perg AS (
+        |  SELECT g, CAST(sum(cnt) AS BIGINT) AS ng,
+        |    CAST(sum(cnt * ar2) AS BIGINT) AS r2g
+        |  FROM hg JOIN pr USING (v) GROUP BY 1
+        |), gs AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round((CAST(r2g AS DOUBLE) / 2.0)
+        |      * (CAST(r2g AS DOUBLE) / 2.0) / CAST(ng AS DOUBLE), 6)
+        |      AS DECIMAL(38,6))) AS DOUBLE) AS sr
+        |  FROM perg
+        |), tsum AS (
+        |  SELECT CAST(sum(CAST(tt AS HUGEINT) * tt * tt - tt)
+        |    AS DOUBLE) AS ties
+        |  FROM pooled
+        |), calc AS (
+        |  SELECT k, n,
+        |    (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |        * sr - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+        |      / (1.0 - ties / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) AS h,
+        |    CAST(k AS DOUBLE) - 1.0 AS df
+        |  FROM gs, tsum
+        |), zc AS (
+        |  SELECT k, n, h,
+        |    (cbrt(h / df) - (1.0 - 2.0 / (9.0 * df)))
+        |      / sqrt(2.0 / (9.0 * df)) AS zwh
+        |  FROM calc
+        |), pv0 AS (
+        |  SELECT k, n, h, zwh, abs(zwh) AS az,
+        |    1.0 / (1.0 + 0.2316419 * abs(zwh)) AS tt
+        |  FROM zc
+        |), pv AS (
+        |  SELECT k, n, h, zwh,
+        |    CASE WHEN zwh >= 0
+        |      THEN 0.3989422804014327 * exp(-0.5 * az * az)
+        |        * (tt * (0.319381530 + tt * (-0.356563782
+        |          + tt * (1.781477937 + tt * (-1.821255978
+        |            + tt * 1.330274429)))))
+        |      ELSE 1.0 - 0.3989422804014327 * exp(-0.5 * az * az)
+        |        * (tt * (0.319381530 + tt * (-0.356563782
+        |          + tt * (1.781477937 + tt * (-1.821255978
+        |            + tt * 1.330274429))))) END AS p
+        |  FROM pv0
+        |)
+        |SELECT k, n, round(h, 6) AS h, round(zwh, 6) AS z_wh,
+        |  round(p, 9) AS p_value, round(p, 9) < 0.05 AS reject
+        |FROM pv""".stripMargin,
+
+    "q268_quality_logreg" -> {
+      val prob = "1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2)))"
+      val yd = "(CASE WHEN y THEN 1.0 ELSE 0.0 END)"
+      val resid = s"CAST(n AS DOUBLE) * ($yd - $prob)"
+      def gsum(e: String) =
+        s"CAST(sum(CAST(round($e, 9) AS DECIMAL(29,9))) AS DOUBLE)"
+      val iter = (k: Int) =>
+        s"""g$k AS (
+           |  SELECT ${gsum(resid)} AS g0,
+           |    ${gsum(s"$resid * x1")} AS g1,
+           |    ${gsum(s"$resid * x2")} AS g2
+           |  FROM feats, s${k - 1}
+           |), s$k AS (
+           |  SELECT round(w0 + 2.0 * g0 / CAST(nt AS DOUBLE), 12) AS w0,
+           |    round(w1 + 2.0 * g1 / CAST(nt AS DOUBLE), 12) AS w1,
+           |    round(w2 + 2.0 * g2 / CAST(nt AS DOUBLE), 12) AS w2
+           |  FROM g$k, s${k - 1}, momc
+           |)""".stripMargin
+      s"""WITH tk AS (
+         |  SELECT n_chars, lang,
+         |    greatest(CAST(len($toksSql) AS BIGINT), 1) AS ntok
+         |  FROM documents
+         |), hist AS MATERIALIZED (
+         |  SELECT round(ln(CAST(n_chars AS DOUBLE) + 1.0), 2) AS u,
+         |    round(CAST(n_chars AS DOUBLE) / CAST(ntok AS DOUBLE), 1)
+         |      AS v,
+         |    lang = 'en' AS y, CAST(count(*) AS BIGINT) AS n
+         |  FROM tk GROUP BY 1, 2, 3
+         |), mom AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |    sum(CAST(round(u * n, 6) AS DECIMAL(29,6))) AS su,
+         |    sum(CAST(round(u * u * n, 6) AS DECIMAL(29,6))) AS suu,
+         |    sum(CAST(round(v * n, 6) AS DECIMAL(29,6))) AS sv,
+         |    sum(CAST(round(v * v * n, 6) AS DECIMAL(29,6))) AS svv
+         |  FROM hist
+         |), momc AS (
+         |  SELECT nt,
+         |    CAST(su AS DOUBLE) / CAST(nt AS DOUBLE) AS mu,
+         |    CAST(sv AS DOUBLE) / CAST(nt AS DOUBLE) AS mv,
+         |    sqrt(CAST(suu AS DOUBLE) / CAST(nt AS DOUBLE)
+         |      - (CAST(su AS DOUBLE) / CAST(nt AS DOUBLE))
+         |        * (CAST(su AS DOUBLE) / CAST(nt AS DOUBLE))) AS sdu,
+         |    sqrt(CAST(svv AS DOUBLE) / CAST(nt AS DOUBLE)
+         |      - (CAST(sv AS DOUBLE) / CAST(nt AS DOUBLE))
+         |        * (CAST(sv AS DOUBLE) / CAST(nt AS DOUBLE))) AS sdv
+         |  FROM mom
+         |), feats AS MATERIALIZED (
+         |  SELECT round((u - mu) / sdu, 6) AS x1,
+         |    round((v - mv) / sdv, 6) AS x2, y, n
+         |  FROM hist, momc
+         |), s0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0,
+         |  CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2),
+         |${(1 to 10).map(iter).mkString(",\n")},
+         |acc AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN ($prob >= 0.5) = y THEN n ELSE 0 END)
+         |      AS BIGINT) AS n_correct,
+         |    CAST(sum(CAST(round(CAST(n AS DOUBLE)
+         |      * (-($yd * ln($prob) + (1.0 - $yd)
+         |        * ln(1.0 - $prob))), 9) AS DECIMAL(29,9)))
+         |      AS DOUBLE) AS nll
+         |  FROM feats, s10
+         |)
+         |SELECT n, round(w0, 6) AS w0, round(w1, 6) AS w1,
+         |  round(w2, 6) AS w2,
+         |  round(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         |    AS accuracy,
+         |  round(nll / CAST(n AS DOUBLE), 6) AS log_loss
+         |FROM acc, s10""".stripMargin
+    },
+
+    "q269_cox_purchase" -> {
+      val mu = "CAST(n1r AS DOUBLE) * exp(beta) / (CAST(n0r AS DOUBLE)" +
+        " + CAST(n1r AS DOUBLE) * exp(beta))"
+      def pinSum(e: String) =
+        s"CAST(sum(CAST(round($e, 9) AS DECIMAL(29,9))) AS DOUBLE)"
+      val iter = (k: Int) =>
+        s"""i$k AS (
+           |  SELECT ${pinSum(s"CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE) * $mu")} AS g,
+           |    ${pinSum(s"CAST(d AS DOUBLE) * $mu * (1.0 - $mu)")} AS info
+           |  FROM et, s${k - 1}
+           |), s$k AS (
+           |  SELECT round(beta + g / info, 12) AS beta
+           |  FROM i$k, s${k - 1}
+           |)""".stripMargin
+      s"""WITH byu AS (
+         |  SELECT user_id,
+         |    min(epoch_us(ts) // 86400000000) AS d0,
+         |    min(CASE WHEN event_type = 'purchase'
+         |      THEN epoch_us(ts) // 86400000000 END) AS dp,
+         |    min(CASE WHEN event_type = 'signup'
+         |      THEN epoch_us(ts) // 86400000000 END) AS ds
+         |  FROM events GROUP BY 1
+         |), subj AS (
+         |  SELECT CASE WHEN dp IS NOT NULL AND dp - d0 <= 5
+         |      THEN dp - d0 ELSE 5 END AS t,
+         |    coalesce(ds = d0, false) AS x,
+         |    dp IS NOT NULL AND dp - d0 <= 5 AS death
+         |  FROM byu
+         |), hist AS MATERIALIZED (
+         |  SELECT t, x,
+         |    CAST(sum(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS d,
+         |    CAST(count(*) AS BIGINT) AS tot
+         |  FROM subj GROUP BY 1, 2
+         |), grid AS (
+         |  SELECT ts0.t, xs.x, coalesce(h.d, 0) AS d,
+         |    coalesce(h.tot, 0) AS tot
+         |  FROM (SELECT DISTINCT t FROM hist) ts0
+         |  CROSS JOIN (SELECT unnest([false, true]) AS x) xs
+         |  LEFT JOIN hist h ON h.t = ts0.t AND h.x = xs.x
+         |), risk AS (
+         |  SELECT t, x, d, tot,
+         |    sum(tot) OVER (PARTITION BY x ORDER BY t DESC) AS atrisk
+         |  FROM grid
+         |), et AS MATERIALIZED (
+         |  SELECT t, CAST(sum(d) AS BIGINT) AS d,
+         |    CAST(sum(CASE WHEN x THEN d ELSE 0 END) AS BIGINT) AS d1,
+         |    CAST(sum(CASE WHEN x THEN atrisk ELSE 0 END) AS BIGINT)
+         |      AS n1r,
+         |    CAST(sum(CASE WHEN NOT x THEN atrisk ELSE 0 END)
+         |      AS BIGINT) AS n0r
+         |  FROM risk GROUP BY 1 HAVING sum(d) > 0
+         |), tots AS (
+         |  SELECT CAST(sum(tot) AS BIGINT) AS n_subjects,
+         |    CAST(sum(d) AS BIGINT) AS n_events
+         |  FROM hist
+         |), s0 AS (SELECT CAST(0.0 AS DOUBLE) AS beta),
+         |${(1 to 4).map(iter).mkString(",\n")},
+         |fin AS (
+         |  SELECT ${pinSum(s"CAST(d AS DOUBLE) * $mu * (1.0 - $mu)")} AS info
+         |  FROM et, s4
+         |), pv0 AS (
+         |  SELECT n_subjects, n_events, beta, info,
+         |    abs(beta / (1.0 / sqrt(info))) AS az,
+         |    1.0 / (1.0 + 0.2316419
+         |      * abs(beta / (1.0 / sqrt(info)))) AS tt
+         |  FROM fin, s4, tots
+         |)
+         |SELECT n_subjects, n_events, round(beta, 6) AS beta,
+         |  round(exp(beta), 6) AS hazard_ratio,
+         |  round(1.0 / sqrt(info), 6) AS se,
+         |  round(beta / (1.0 / sqrt(info)), 6) AS z,
+         |  round(2.0 * (0.3989422804014327 * exp(-0.5 * az * az))
+         |    * (tt * (0.319381530 + tt * (-0.356563782
+         |      + tt * (1.781477937 + tt * (-1.821255978
+         |        + tt * 1.330274429))))), 9) AS p_value
+         |FROM pv0""".stripMargin
+    }
   )
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2

@@ -1418,4 +1418,162 @@ object Stats {
       round(theta - lit(1.96) * se, 6).as("ci_lo"),
       round(theta + lit(1.96) * se, 6).as("ci_hi"))
   }
+
+  /** Distributed logistic regression by full-batch gradient descent
+    * over a pre-aggregated feature-grid histogram — the quality
+    * classifier every pretraining pipeline trains on heuristic labels
+    * (Brown et al. 2020 §2.2 trains exactly this shape against a
+    * curated-reference label). Input is a BOUNDED histogram: one row
+    * per distinct (feature-vector, label) combination with its corpus
+    * count — the corpus pays ONE partial-combined exchange to build
+    * it, and every GD round is then algebra on the bounded table (the
+    * q177 bounded-table contract), never a second corpus pass.
+    *
+    * Determinism: per-row gradient contributions are round(9)-pinned
+    * DECIMAL(29,9) before summation (decimal addition is
+    * order-independent, so partial-agg order can't flip a bit) and the
+    * weight vector is requantized round(12) each round — an unrolled
+    * SQL replay with the same op order is bit-identical by induction.
+    * Features should be standardized (z-scored) upstream; with
+    * mean-normalized gradients the logistic Hessian spectral norm is
+    * ≤ 0.25·E[‖x‖²], so lr ≤ 2 is safely inside the stable region.
+    *
+    * Output: ONE row (n, w0, w1.., accuracy, log_loss) — intercept +
+    * per-feature weights round(6), training accuracy at the 0.5
+    * threshold and mean negative log-likelihood round(6). */
+  def logisticGdHist(hist: DataFrame, xCols: Seq[String], yCol: String,
+                     nCol: String, rounds: Int = 10, lr: Double = 2.0)
+      : DataFrame = {
+    require(xCols.nonEmpty && rounds >= 1)
+    val feats = hist.select(col(nCol).cast("long").as("n") +:
+      col(yCol).cast("boolean").as("y") +:
+      xCols.zipWithIndex.map { case (c, i) =>
+        col(c).cast("double").as(s"x$i") }: _*)
+    val idx = xCols.indices
+    // state carries the weight vector AND the corpus count; each round
+    // references the previous state exactly ONCE (weights ride through
+    // the gradient aggregate as max of a constant) — a second
+    // reference would double the logical plan per round and make
+    // analysis time exponential in `rounds`
+    var state = feats.agg(sum(col("n")).as("nt")).select(
+      lit(0.0).as("w0") +: idx.map(i => lit(0.0).as(s"w${i + 1}")) :+
+        col("nt"): _*)
+    def z = idx.foldLeft(col("w0")) { (acc, i) =>
+      acc + col(s"w${i + 1}") * col(s"x$i") }
+    def prob = lit(1.0) / (lit(1.0) + exp(-z))
+    def yD = when(col("y"), 1.0).otherwise(0.0)
+    def pin(c: Column) = round(c, 9).cast("decimal(29,9)")
+    for (_ <- 1 to rounds) {
+      val resid = col("n").cast("double") * (yD - prob)
+      val scored = feats.crossJoin(broadcast(state))
+      val grads = scored.agg(
+        sum(pin(resid)).as("g0"),
+        idx.map(i => sum(pin(resid * col(s"x$i"))).as(s"g${i + 1}")) ++
+          (0 to idx.size).map(i => max(col(s"w$i")).as(s"pw$i")) :+
+          max(col("nt")).as("nt"): _*)
+      state = grads.select((0 to idx.size).map { i =>
+        round(col(s"pw$i") + lit(lr) * col(s"g$i").cast("double")
+          / col("nt").cast("double"), 12).as(s"w$i") } :+ col("nt"): _*)
+    }
+    val scoredF = feats.crossJoin(broadcast(state))
+    val acc = scoredF.agg(
+      sum(col("n")).as("n"),
+      sum(when((prob >= 0.5) === col("y"), col("n")).otherwise(0L))
+        .as("n_correct") +:
+        sum(pin(col("n").cast("double") *
+          -(yD * log(prob) + (lit(1.0) - yD) * log(lit(1.0) - prob))))
+          .as("nll") +:
+        (0 to idx.size).map(i => max(col(s"w$i")).as(s"w$i")): _*)
+    acc.select(col("n").cast("long").as("n") +:
+      (0 to idx.size).map(i => round(col(s"w$i"), 6).as(s"w$i")) :+
+      round(col("n_correct").cast("double")
+        / col("n").cast("double"), 6).as("accuracy") :+
+      round(col("nll").cast("double")
+        / col("n").cast("double"), 6).as("log_loss"): _*)
+  }
+
+  /** Cox proportional-hazards fit for ONE binary covariate by Newton
+    * ascent on the Breslow partial likelihood (Cox 1972; Breslow 1974)
+    * over a duration-grid histogram: input is one row per
+    * (duration t, covariate x, deaths, total) — subjects whose
+    * observation ended at t, split by whether they died (event) or
+    * were censored there. The corpus pays the subject rollup upstream;
+    * the risk sets are reverse-cumulative window sums on the BOUNDED
+    * grid table, and each Newton round is algebra on the event-time
+    * rows (round(9)-pinned DECIMAL contributions, β requantized
+    * round(12) — the unrolled-SQL-replay contract).
+    *
+    * At each event time t: n1(t)=at-risk with x=1, S1/S0 = n1·e^β /
+    * (n0 + n1·e^β); gradient Σ_t d1 − d·S1/S0, information
+    * Σ_t d·(S1/S0)(1−S1/S0). Output ONE row (n_subjects, n_events,
+    * beta, hazard_ratio, se, z, p_value) — β is the log hazard ratio
+    * of x=true vs false; p is the A&S 26.2.17 two-sided normal tail. */
+  def coxNewtonBinary(durHist: DataFrame, tCol: String, xCol: String,
+                      deathCol: String, totalCol: String,
+                      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1)
+    val h = durHist.select(col(tCol).cast("long").as("t"),
+      col(xCol).cast("boolean").as("x"),
+      col(deathCol).cast("long").as("d"),
+      col(totalCol).cast("long").as("tot"))
+      .groupBy(col("t"), col("x"))
+      .agg(sum(col("d")).as("d"), sum(col("tot")).as("tot"))
+    val wrev = Window.partitionBy(col("x")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // densify to the full (t × x) grid first: the at-risk count for a
+    // stratum must accumulate THROUGH times where no subject of that
+    // stratum ends (a missing (t,x) row would otherwise read as 0 at
+    // risk), then one row per event time with the Newton statistics
+    val xs = durHist.sparkSession.range(2)
+      .select((col("id") === 1).as("x"))
+    val grid = h.select(col("t")).distinct().crossJoin(broadcast(xs))
+      .join(h, Seq("t", "x"), "left")
+      .na.fill(0L, Seq("d", "tot"))
+    val risk = grid.withColumn("atrisk", sum(col("tot")).over(wrev))
+    val et = Materializer.Local(risk
+      .groupBy(col("t"))
+      .agg(sum(col("d")).as("d"),
+        sum(when(col("x"), col("d")).otherwise(0L)).as("d1"),
+        sum(when(col("x"), col("atrisk")).otherwise(0L)).as("n1r"),
+        sum(when(!col("x"), col("atrisk")).otherwise(0L)).as("n0r"))
+      .filter(col("d") > 0))
+    def pin(c: Column) = round(c, 9).cast("decimal(29,9)")
+    var state = durHist.sparkSession.range(1).select(lit(0.0).as("beta"))
+    def mu = {
+      val s1 = col("n1r").cast("double") * exp(col("beta"))
+      s1 / (col("n0r").cast("double") + s1)
+    }
+    for (_ <- 1 to rounds) {
+      // single state reference per round (beta rides through the
+      // aggregate as max of a constant) — see logisticGdHist
+      val sums = et.crossJoin(broadcast(state)).agg(
+        sum(pin(col("d1").cast("double") - col("d").cast("double") * mu))
+          .as("g"),
+        sum(pin(col("d").cast("double") * mu * (lit(1.0) - mu)))
+          .as("info"), max(col("beta")).as("pb"))
+      state = sums.select(round(col("pb") + col("g").cast("double")
+        / col("info").cast("double"), 12).as("beta"))
+    }
+    val tot = h.agg(sum(col("tot")).as("n_subjects"),
+      sum(col("d")).as("n_events"))
+    val fin = et.crossJoin(broadcast(state)).agg(
+      sum(pin(col("d").cast("double") * mu * (lit(1.0) - mu)))
+        .as("info"), max(col("beta")).as("beta"))
+    val se = lit(1.0) / sqrt(col("info").cast("double"))
+    val zv = col("beta") / se
+    val az = abs(zv)
+    val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = tt * (lit(0.319381530) + tt * (lit(-0.356563782) +
+      tt * (lit(1.781477937) + tt * (lit(-1.821255978) +
+        tt * lit(1.330274429)))))
+    val p = lit(2.0) * (lit(0.3989422804014327) *
+      exp(lit(-0.5) * az * az)) * poly
+    fin.crossJoin(broadcast(tot))
+      .select(col("n_subjects").cast("long").as("n_subjects"),
+        col("n_events").cast("long").as("n_events"),
+        round(col("beta"), 6).as("beta"),
+        round(exp(col("beta")), 6).as("hazard_ratio"),
+        round(se, 6).as("se"), round(zv, 6).as("z"),
+        round(p, 9).as("p_value"))
+  }
 }

@@ -3835,6 +3835,83 @@ class OperatorsSpec extends SparkSpec {
       && w((false, false)) < w((false, true)))
   }
 
+  test("logisticGdHist: matches an exact Scala replay of the pinned GD " +
+    "rounds; learns a separable toy (positive weight, high accuracy)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((-1.0, false, 50L), (1.0, true, 50L),
+      (-1.0, true, 5L), (1.0, false, 5L))
+    val df = rows.toDF("x1", "y", "n")
+    val got = graft.operators.Stats
+      .logisticGdHist(df, Seq("x1"), "y", "n", rounds = 10, lr = 2.0)
+      .collect().head
+    def rd(x: Double, sc: Int) = BigDecimal(x)
+      .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nTot = rows.map(_._3).sum.toDouble
+    var w0 = 0.0; var w1 = 0.0
+    for (_ <- 1 to 10) {
+      def p(x: Double) = 1.0 / (1.0 + math.exp(-(w0 + w1 * x)))
+      val g0 = rows.map { case (x, y, n) =>
+        BigDecimal(rd(n.toDouble * ((if (y) 1.0 else 0.0) - p(x)), 9))
+      }.sum.toDouble
+      val g1 = rows.map { case (x, y, n) =>
+        BigDecimal(rd(n.toDouble * ((if (y) 1.0 else 0.0) - p(x)) * x,
+          9))
+      }.sum.toDouble
+      val nw0 = rd(w0 + 2.0 * g0 / nTot, 12)
+      val nw1 = rd(w1 + 2.0 * g1 / nTot, 12)
+      w0 = nw0; w1 = nw1
+    }
+    assert(got.getLong(0) == 110L)
+    assert(got.getDouble(1) == rd(w0, 6), "intercept replay")
+    assert(got.getDouble(2) == rd(w1, 6), "weight replay")
+    assert(got.getDouble(2) > 0.5, "separable toy learns sign")
+    assert(got.getDouble(3) > 0.9, "accuracy on the separable toy")
+    assert(got.getDouble(4) < 0.69, "log-loss beats the w=0 ln2")
+  }
+
+  test("coxNewtonBinary: dense-grid risk sets (a stratum absent at an " +
+    "event time is still at risk) and an exact Newton replay") {
+    val s = spark
+    import s.implicits._
+    // subjects: C(x=1,t=1,death) B(x=0,t=2,death) A(x=1,t=3,death)
+    // D(x=0,t=3,censored). At t=2 no x=1 row exists in the histogram,
+    // but A is still at risk — the dense grid must see n1r=1 there.
+    val hist = Seq((1L, true, 1L, 1L), (2L, false, 1L, 1L),
+      (3L, true, 1L, 1L), (3L, false, 0L, 1L))
+      .toDF("t", "x", "deaths", "total")
+    val got = graft.operators.Stats
+      .coxNewtonBinary(hist, "t", "x", "deaths", "total", rounds = 4)
+      .collect().head
+    def rd(x: Double, sc: Int) = BigDecimal(x)
+      .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // event times with (d, d1, n1r, n0r) after densifying
+    val et = Seq((1L, 1.0, 1.0, 2.0, 2.0), (2L, 1.0, 0.0, 1.0, 2.0),
+      (3L, 1.0, 1.0, 1.0, 1.0))
+    var beta = 0.0
+    var info = 0.0
+    for (_ <- 1 to 4) {
+      def mu(n1r: Double, n0r: Double) = {
+        val s1 = n1r * math.exp(beta); s1 / (n0r + s1)
+      }
+      val g = et.map { case (_, d, d1, n1r, n0r) =>
+        BigDecimal(rd(d1 - d * mu(n1r, n0r), 9)) }.sum.toDouble
+      info = et.map { case (_, d, _, n1r, n0r) =>
+        BigDecimal(rd(d * mu(n1r, n0r) * (1.0 - mu(n1r, n0r)), 9))
+      }.sum.toDouble
+      beta = rd(beta + g / info, 12)
+    }
+    val finInfo = et.map { case (_, d, _, n1r, n0r) =>
+      val s1 = n1r * math.exp(beta)
+      val m = s1 / (n0r + s1)
+      BigDecimal(rd(d * m * (1.0 - m), 9)) }.sum.toDouble
+    assert(got.getLong(0) == 4L && got.getLong(1) == 3L)
+    assert(got.getDouble(2) == rd(beta, 6), "beta replay")
+    assert(got.getDouble(3) == rd(math.exp(beta), 6), "hr replay")
+    assert(got.getDouble(4) == rd(1.0 / math.sqrt(finInfo), 6),
+      "se replay")
+  }
+
   test("shapleyCoalitions (q264): 8 coalitions per player, weights sum " +
     "to 1 per player, with-mask = without-mask | player bit") {
     val cs = SparkEntry.shapleyCoalitionsForTest

@@ -1274,4 +1274,24 @@ class PlanAuditSpec extends SparkSpec {
       && !p5.contains("SortMergeJoin")
       && !p5.contains("SinglePartition"), p5.take(3000))
   }
+
+  test("q266-q269: rank tests ride grid histograms and the GD/Newton " +
+    "loops ride bounded tables — no cartesian, no shuffle join") {
+    val p1 = plan("q266_mann_whitney")
+    assert(!p1.contains("CartesianProduct")
+      && !p1.contains("SortMergeJoin")
+      && !p1.contains("SinglePartition"), p1.take(3000))
+    // q267's global window runs over the bounded pooled cents grid
+    // (the q177 contract), so SinglePartition there is accepted
+    val p2 = plan("q267_kruskal_wallis")
+    assert(!p2.contains("CartesianProduct")
+      && !p2.contains("SortMergeJoin")
+      && p2.contains("BroadcastHashJoin"), p2.take(3000))
+    val p3 = plan("q268_quality_logreg")
+    assert(!p3.contains("CartesianProduct")
+      && !p3.contains("SortMergeJoin"), p3.take(3000))
+    val p4 = plan("q269_cox_purchase")
+    assert(!p4.contains("CartesianProduct")
+      && !p4.contains("SortMergeJoin"), p4.take(3000))
+  }
 }
