@@ -5520,6 +5520,173 @@ object SparkEntry {
         count(lit(1)).as("total"))
       operators.Stats.coxNewtonBinary(hist, "t", "x", "deaths",
         "total", rounds = 4)
+    }),
+
+    "q270_item_cf" -> ((s, dir) => {
+      // item-item collaborative filtering (Sarwar et al., WWW 2001;
+      // the Amazon item-to-item shape, Linden et al. 2003): top-5
+      // nearest items by co-occurrence cosine over order baskets —
+      // the "users who bought X also bought" neighbor lists a
+      // retrieval or recommendation pipeline precomputes offline.
+      // Candidate pairs come ONLY from the within-basket self-join
+      // (bounded basket width keeps pairs ≈ orders·w², never
+      // items²); item margins broadcast back; the per-item top-k is
+      // a window partitioned by item — never a global sort. co≥2
+      // prunes the accidental-pair tail before the shuffle.
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+      val baskets = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pk")).distinct()
+      val n = baskets.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+      val pairs = baskets
+        .join(baskets.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 2)
+      val sym = pairs
+        .select(col("pk").as("a"), col("pk2").as("b"), col("co"))
+        .unionByName(pairs
+          .select(col("pk2").as("a"), col("pk").as("b"), col("co")))
+      val scored = sym
+        .join(broadcast(n.select(col("pk").as("a"),
+          col("cnt").as("na"))), Seq("a"))
+        .join(broadcast(n.select(col("pk").as("b"),
+          col("cnt").as("nb"))), Seq("b"))
+        .select(col("a"), col("b"), col("co"),
+          round(col("co").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")),
+            9).as("cos"))
+      val w = Window.partitionBy(col("a"))
+        .orderBy(col("cos").desc, col("b").asc)
+      scored.withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 5)
+        .select(col("a").as("item"), col("b").as("neighbor"),
+          col("co"), round(col("cos"), 6).as("cosine"), col("rk"))
+        .orderBy(col("item"), col("rk"))
+    }),
+
+    "q271_uplift_qini" -> ((s, dir) => {
+      // uplift by segment with the Qini curve (Radcliffe 2007): per
+      // user-segment, the treated-vs-control conversion lift, segments
+      // ranked by estimated uplift, and the cumulative incremental
+      // gains curve with its Qini AUC — the standard readout for
+      // "WHERE does the treatment work", one level deeper than q147's
+      // single overall z. Arms are the deterministic md5 coin
+      // (q147/q244 precedent), so the true uplift is null and the
+      // curve should hug the random-targeting diagonal — the honest
+      // calibration check for the estimator itself. One user rollup +
+      // one segment rollup; ranking, curve and AUC ride the bounded
+      // 8-row segment table (global window — the q177 contract).
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val users = ev.groupBy(col("user_id")).agg(
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(19,6)"))
+          .otherwise(lit(0).cast("decimal(19,6)"))).as("rev"))
+      val unit = users.select(pmod(col("user_id"), lit(8L)).as("segment"),
+        (substring(md5(col("user_id").cast("string")), 1, 1) < "8")
+          .as("treated"),
+        (col("rev") >= 600).as("conv"))
+      // a segment without both arms has no defined uplift (and would
+      // divide by zero under ANSI) — excluded from the curve, and the
+      // totals are over the TESTED segments so the curve endpoint is
+      // consistent
+      val seg = operators.Materializer.Local(
+        unit.groupBy(col("segment")).agg(
+          sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
+          sum(when(!col("treated"), 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("treated") && col("conv"), 1L).otherwise(0L))
+            .as("y_t"),
+          sum(when(!col("treated") && col("conv"), 1L).otherwise(0L))
+            .as("y_c"))
+          .filter(col("n_t") > 0 && col("n_c") > 0))
+      val up = seg.withColumn("uplift",
+        round(col("y_t").cast("double") / col("n_t").cast("double")
+          - col("y_c").cast("double") / col("n_c").cast("double"), 6))
+      val wr = Window.orderBy(col("uplift").desc, col("segment").asc)
+      val wcum = wr.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      val tot = seg.agg(sum(col("n_t")).as("tn_t"),
+        sum(col("n_c")).as("tn_c"), sum(col("y_t")).as("ty_t"),
+        sum(col("y_c")).as("ty_c"))
+      val ranked = operators.Materializer.Local(up
+        .withColumn("rank", row_number().over(wr).cast("int"))
+        .withColumn("cn_t", sum(col("n_t")).over(wcum))
+        .withColumn("cn_c", sum(col("n_c")).over(wcum))
+        .withColumn("cy_t", sum(col("y_t")).over(wcum))
+        .withColumn("cy_c", sum(col("y_c")).over(wcum))
+        .crossJoin(broadcast(tot))
+        .withColumn("frac_pop",
+          round((col("cn_t") + col("cn_c")).cast("double") /
+            (col("tn_t") + col("tn_c")).cast("double"), 6))
+        .withColumn("cum_gain",
+          when(col("cn_c") > 0,
+            round(col("cy_t").cast("double") - col("cy_c").cast("double")
+              * (col("cn_t").cast("double") / col("cn_c").cast("double")),
+              6))))
+      val wl = Window.orderBy(col("rank"))
+      val auc = ranked
+        .withColumn("pf", lag(col("frac_pop"), 1, 0.0).over(wl))
+        .withColumn("pg", lag(col("cum_gain"), 1, 0.0).over(wl))
+        .select(round((col("frac_pop") - col("pf"))
+          * (col("cum_gain") + col("pg")) / 2.0, 9)
+          .cast("decimal(19,9)").as("term"))
+        .agg(sum(col("term")).as("auc"))
+      ranked.crossJoin(broadcast(auc))
+        .select(col("segment"), col("n_t"), col("n_c"), col("y_t"),
+          col("y_c"), col("uplift"), col("rank"), col("frac_pop"),
+          col("cum_gain"),
+          round(col("auc").cast("double")
+            - (col("ty_t").cast("double") - col("ty_c").cast("double")
+              * (col("tn_t").cast("double") / col("tn_c").cast("double")))
+              / 2.0, 6).as("qini"))
+        .orderBy(col("rank"))
+    }),
+
+    "q272_ipf_raking" -> ((s, dir) => {
+      // iterative proportional fitting / raking (Deming & Stephan
+      // 1940 — the same alternating-normalization kernel as Sinkhorn
+      // scaling): reweight the (source × lang) corpus cells so both
+      // margins match uniform targets — the survey-calibration /
+      // mixture-balancing move a corpus curator applies when one
+      // source over-represents a language. The corpus pays ONE cell
+      // rollup; all 6 IPF rounds are margin-scaling algebra on the
+      // bounded cell table, each half-round localCheckpointed so
+      // lineage stays flat (round(12) requantization + DECIMAL margin
+      // sums = the unrolled-SQL-replay contract). Cells absent from
+      // the corpus stay absent (raking fits over observed support).
+      val docs = t(s, dir, "documents")
+      val cells0 = operators.Materializer.Local(docs
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n")).withColumn("w", lit(1.0)))
+      val dims = cells0.agg(sum(col("n")).as("nt"),
+        countDistinct(col("source")).as("ks"),
+        countDistinct(col("lang")).as("kl"))
+      var cells = cells0.crossJoin(broadcast(dims))
+      for (_ <- 1 to 6) {
+        val rs = cells.groupBy(col("source")).agg(
+          sum(round(col("n") * col("w"), 6).cast("decimal(29,6)"))
+            .as("msum"))
+        cells = operators.Materializer.Local(
+          cells.join(broadcast(rs), Seq("source"))
+            .withColumn("w", round(col("w")
+              * ((col("nt").cast("double") / col("ks").cast("double"))
+                / col("msum").cast("double")), 12))
+            .drop("msum"))
+        val cs = cells.groupBy(col("lang")).agg(
+          sum(round(col("n") * col("w"), 6).cast("decimal(29,6)"))
+            .as("msum"))
+        cells = operators.Materializer.Local(
+          cells.join(broadcast(cs), Seq("lang"))
+            .withColumn("w", round(col("w")
+              * ((col("nt").cast("double") / col("kl").cast("double"))
+                / col("msum").cast("double")), 12))
+            .drop("msum"))
+      }
+      cells.select(col("source"), col("lang"), col("n"),
+          round(col("w"), 6).as("weight"),
+          round(col("n").cast("double") * col("w"), 6).as("fitted"))
+        .orderBy(col("source"), col("lang"))
     })
   )
 
@@ -12646,6 +12813,139 @@ object SparkEntry {
          |      + tt * (1.781477937 + tt * (-1.821255978
          |        + tt * 1.330274429))))), 9) AS p_value
          |FROM pv0""".stripMargin
+    },
+
+    "q270_item_cf" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem
+        |), nc AS (
+        |  SELECT pk, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM baskets GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.pk, b.pk2, CAST(count(*) AS BIGINT) AS co
+        |  FROM baskets a
+        |  JOIN (SELECT ok, pk AS pk2 FROM baskets) b USING (ok)
+        |  WHERE a.pk < b.pk2
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sym AS (
+        |  SELECT pk AS a, pk2 AS b, co FROM pairs
+        |  UNION ALL
+        |  SELECT pk2 AS a, pk AS b, co FROM pairs
+        |), scored AS (
+        |  SELECT a, b, co,
+        |    round(CAST(co AS DOUBLE) / sqrt(CAST(na.cnt AS DOUBLE)
+        |      * CAST(nb.cnt AS DOUBLE)), 9) AS cs
+        |  FROM sym JOIN nc na ON na.pk = a JOIN nc nb ON nb.pk = b
+        |)
+        |SELECT a AS item, b AS neighbor, co, round(cs, 6) AS cosine, rk
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY a
+        |    ORDER BY cs DESC, b) AS INTEGER) AS rk FROM scored)
+        |WHERE rk <= 5 ORDER BY item, rk""".stripMargin,
+
+    "q271_uplift_qini" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(19,6))
+        |      ELSE CAST(0 AS DECIMAL(19,6)) END) AS rev
+        |  FROM events GROUP BY 1
+        |), unitt AS (
+        |  SELECT user_id % 8 AS segment,
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      AS treated,
+        |    rev >= 600 AS conv
+        |  FROM users
+        |), seg AS MATERIALIZED (
+        |  SELECT segment,
+        |    CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_t,
+        |    CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN treated AND conv THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y_t,
+        |    CAST(sum(CASE WHEN NOT treated AND conv THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y_c
+        |  FROM unitt GROUP BY 1
+        |  HAVING sum(CASE WHEN treated THEN 1 ELSE 0 END) > 0
+        |    AND sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) > 0
+        |), up AS (
+        |  SELECT *, round(CAST(y_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |    - CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS uplift
+        |  FROM seg
+        |), ranked AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER ord AS INTEGER) AS rank,
+        |    sum(n_t) OVER cum AS cn_t, sum(n_c) OVER cum AS cn_c,
+        |    sum(y_t) OVER cum AS cy_t, sum(y_c) OVER cum AS cy_c
+        |  FROM up
+        |  WINDOW ord AS (ORDER BY uplift DESC, segment),
+        |    cum AS (ORDER BY uplift DESC, segment
+        |      ROWS UNBOUNDED PRECEDING)
+        |), tot AS (
+        |  SELECT CAST(sum(n_t) AS BIGINT) AS tn_t,
+        |    CAST(sum(n_c) AS BIGINT) AS tn_c,
+        |    CAST(sum(y_t) AS BIGINT) AS ty_t,
+        |    CAST(sum(y_c) AS BIGINT) AS ty_c
+        |  FROM seg
+        |), curve AS (
+        |  SELECT r.*, tn_t, tn_c, ty_t, ty_c,
+        |    round(CAST(cn_t + cn_c AS DOUBLE)
+        |      / CAST(tn_t + tn_c AS DOUBLE), 6) AS frac_pop,
+        |    CASE WHEN cn_c > 0 THEN round(CAST(cy_t AS DOUBLE)
+        |      - CAST(cy_c AS DOUBLE) * (CAST(cn_t AS DOUBLE)
+        |        / CAST(cn_c AS DOUBLE)), 6) END AS cum_gain
+        |  FROM ranked r, tot
+        |), terms AS (
+        |  SELECT *,
+        |    CASE WHEN rank = 1 THEN 0.0
+        |      ELSE lag(frac_pop) OVER (ORDER BY rank) END AS pf,
+        |    CASE WHEN rank = 1 THEN 0.0
+        |      ELSE lag(cum_gain) OVER (ORDER BY rank) END AS pg
+        |  FROM curve
+        |), auc AS (
+        |  SELECT sum(CAST(round((frac_pop - pf) * (cum_gain + pg)
+        |    / 2.0, 9) AS DECIMAL(19,9))) AS auc
+        |  FROM terms
+        |)
+        |SELECT segment, n_t, n_c, y_t, y_c, uplift, rank, frac_pop,
+        |  cum_gain,
+        |  round(CAST(auc AS DOUBLE) - (CAST(ty_t AS DOUBLE)
+        |    - CAST(ty_c AS DOUBLE) * (CAST(tn_t AS DOUBLE)
+        |      / CAST(tn_c AS DOUBLE))) / 2.0, 6) AS qini
+        |FROM curve, auc ORDER BY rank""".stripMargin,
+
+    "q272_ipf_raking" -> {
+      val half = (k: Int, key: String, kdim: String) =>
+        s"""m$k AS (
+           |  SELECT $key AS mk,
+           |    sum(CAST(round(n * w, 6) AS DECIMAL(29,6))) AS msum
+           |  FROM c${k - 1} GROUP BY 1
+           |), c$k AS (
+           |  SELECT source, lang, n,
+           |    round(w * ((CAST(nt AS DOUBLE) / CAST($kdim AS DOUBLE))
+           |      / CAST(msum AS DOUBLE)), 12) AS w
+           |  FROM c${k - 1} JOIN m$k ON $key = mk, dims
+           |)""".stripMargin
+      val rounds = (1 to 12).map(k => if (k % 2 == 1)
+        half(k, "source", "ks") else half(k, "lang", "kl"))
+        .mkString(",\n")
+      s"""WITH cells0 AS MATERIALIZED (
+         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2
+         |), dims AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS ks,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS kl
+         |  FROM cells0
+         |), c0 AS (
+         |  SELECT source, lang, n, CAST(1.0 AS DOUBLE) AS w
+         |  FROM cells0
+         |),
+         |$rounds
+         |SELECT source, lang, n, round(w, 6) AS weight,
+         |  round(CAST(n AS DOUBLE) * w, 6) AS fitted
+         |FROM c12 ORDER BY source, lang""".stripMargin
     }
   )
 

@@ -1294,4 +1294,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p4.contains("CartesianProduct")
       && !p4.contains("SortMergeJoin"), p4.take(3000))
   }
+
+  test("q270-q272: item-CF pairs come only from the within-basket " +
+    "equi-join with broadcast margins; uplift and IPF ride bounded " +
+    "tables — no cartesian") {
+    // q270's basket self-join is a legitimate corpus shuffle join on
+    // the order key; the margin joins must stay broadcast
+    val p1 = plan("q270_item_cf")
+    assert(!p1.contains("CartesianProduct")
+      && p1.contains("BroadcastHashJoin")
+      && !p1.contains("SinglePartition"), p1.take(3000))
+    val p2 = plan("q271_uplift_qini")
+    assert(!p2.contains("CartesianProduct")
+      && !p2.contains("SortMergeJoin"), p2.take(3000))
+    val p3 = plan("q272_ipf_raking")
+    assert(!p3.contains("CartesianProduct")
+      && !p3.contains("SortMergeJoin"), p3.take(3000))
+  }
 }
