@@ -5687,6 +5687,77 @@ object SparkEntry {
           round(col("w"), 6).as("weight"),
           round(col("n").cast("double") * col("w"), 6).as("fitted"))
         .orderBy(col("source"), col("lang"))
+    }),
+
+    "q273_betweenness" -> ((s, dir) => {
+      // sampled-source betweenness centrality over the support>=2
+      // co-purchase graph (Brandes 2001 / Brandes-Pich 2007 pivots):
+      // which items sit ON the shortest paths between others — the
+      // bridge/broker score that PageRank (q107), HITS (q248) and
+      // k-core (q153) all miss, and the classic "cut vertex" signal
+      // for catalog or knowledge-graph curation. Seeds are the
+      // deterministic %251 pivots; all pivots BFS simultaneously
+      // (state keyed (seed,node)), depth-bounded at 4 — see
+      // Graph.betweennessSampled for the per-layer shuffle shape.
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cm"))
+        .filter(col("cm") >= 2)
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      val nodes = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node"))).distinct()
+      operators.Graph.betweennessSampled(edges,
+        nodes.filter(col("node") % 251 === 0), maxDepth = 4)
+    }),
+
+    "q274_forecast_backtest" -> ((s, dir) => {
+      // seasonal-naive forecast backtest with MASE (Hyndman &
+      // Koehler 2006): forecast each day's revenue as the value 7
+      // days earlier, then score MAE / RMSE / sMAPE and MASE (MAE
+      // scaled by the one-step naive MAE over the same window —
+      // MASE < 1 means the weekly pattern genuinely helps). The
+      // model-eval loop every forecasting pipeline runs before
+      // promoting a model; here the "model" is the baseline every
+      // candidate must beat. One day-keyed corpus rollup; lags and
+      // error sums ride the bounded daily table with exact DECIMAL
+      // errors (sMAPE's per-row ratio round(9)-pinned).
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val daily = operators.Materializer.Local(ev
+        .select(expr("unix_micros(ts) DIV 86400000000").as("dy"),
+          col("value").cast("decimal(19,6)").as("v"))
+        .groupBy(col("dy")).agg(sum(col("v")).as("y")))
+      val wv = Window.orderBy(col("dy"))
+      val lagged = daily
+        .withColumn("f7", lag(col("y"), 7).over(wv))
+        .withColumn("p1", lag(col("y"), 1).over(wv))
+      val evald = lagged.filter(col("f7").isNotNull
+        && col("p1").isNotNull)
+      val err = abs(col("y") - col("f7"))
+      val errD = err.cast("double")
+      val den = abs(col("y")).cast("double") +
+        abs(col("f7")).cast("double")
+      val agg = evald.agg(count(lit(1)).as("n_eval"),
+        sum(err).as("sae"),
+        sum(round(errD * errD, 6).cast("decimal(29,6)")).as("sse"),
+        sum(abs(col("y") - col("p1"))).as("sae1"),
+        sum(round(when(abs(col("y")) + abs(col("f7")) > 0,
+            errD * 2.0 / den).otherwise(lit(0.0)), 9)
+          .cast("decimal(19,9)")).as("ssm"))
+      val nD = col("n_eval").cast("double")
+      val totald = daily.agg(count(lit(1)).as("n_days"))
+      agg.crossJoin(broadcast(totald))
+        .select(col("n_days").cast("long").as("n_days"),
+          col("n_eval").cast("long").as("n_eval"),
+          round(col("sae").cast("double") / nD, 6).as("mae"),
+          round(sqrt(col("sse").cast("double") / nD), 6).as("rmse"),
+          round(col("ssm").cast("double") / nD, 6).as("smape"),
+          round(col("sae").cast("double")
+            / col("sae1").cast("double"), 6).as("mase"))
     })
   )
 
@@ -12946,8 +13017,114 @@ object SparkEntry {
          |SELECT source, lang, n, round(w, 6) AS weight,
          |  round(CAST(n AS DOUBLE) * w, 6) AS fitted
          |FROM c12 ORDER BY source, lang""".stripMargin
-    }
+    },
+
+    "q273_betweenness" -> betweennessSql(4),
+
+    "q274_forecast_backtest" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT epoch_us(ts) // 86400000000 AS dy,
+        |    sum(CAST(value AS DECIMAL(19,6))) AS y
+        |  FROM events GROUP BY 1
+        |), lagged AS (
+        |  SELECT dy, y, lag(y, 7) OVER (ORDER BY dy) AS f7,
+        |    lag(y, 1) OVER (ORDER BY dy) AS p1
+        |  FROM daily
+        |), ev AS (
+        |  SELECT * FROM lagged WHERE f7 IS NOT NULL AND p1 IS NOT NULL
+        |), agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+        |    sum(abs(y - f7)) AS sae,
+        |    sum(CAST(round(CAST(abs(y - f7) AS DOUBLE)
+        |      * CAST(abs(y - f7) AS DOUBLE), 6) AS DECIMAL(29,6)))
+        |      AS sse,
+        |    sum(abs(y - p1)) AS sae1,
+        |    sum(CAST(round(CASE WHEN abs(y) + abs(f7) > 0
+        |      THEN CAST(abs(y - f7) AS DOUBLE) * 2.0
+        |        / (CAST(abs(y) AS DOUBLE) + CAST(abs(f7) AS DOUBLE))
+        |      ELSE 0.0 END, 9) AS DECIMAL(19,9))) AS ssm
+        |  FROM ev
+        |), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+        |SELECT n_days, n_eval,
+        |  round(CAST(sae AS DOUBLE) / CAST(n_eval AS DOUBLE), 6)
+        |    AS mae,
+        |  round(sqrt(CAST(sse AS DOUBLE) / CAST(n_eval AS DOUBLE)), 6)
+        |    AS rmse,
+        |  round(CAST(ssm AS DOUBLE) / CAST(n_eval AS DOUBLE), 6)
+        |    AS smape,
+        |  round(CAST(sae AS DOUBLE) / CAST(sae1 AS DOUBLE), 6) AS mase
+        |FROM agg, nd""".stripMargin
   )
+
+  /** DuckDB replay of [[operators.Graph.betweennessSampled]] over the
+    * support>=2 co-purchase graph with the %251 pivots: unrolled
+    * forward layers (σ as exact BIGINT sums, left-anti visited set)
+    * then unrolled backward dependency layers with the same
+    * round(9)-pinned DECIMAL accumulation. */
+  private def betweennessSql(depth: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e0 AS MATERIALIZED (
+             |  SELECT a.l_partkey AS u, b.l_partkey AS v
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 2
+             |),
+             |sym AS MATERIALIZED (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT u AS src, v AS dst FROM e0
+             |    UNION ALL SELECT v, u FROM e0)
+             |  WHERE src <> dst
+             |),
+             |l0 AS MATERIALIZED (
+             |  SELECT DISTINCT src AS seed, src AS node,
+             |    CAST(1 AS BIGINT) AS sigma
+             |  FROM sym WHERE src % 251 = 0
+             |),
+             |v0 AS (SELECT seed, node FROM l0)""".stripMargin
+    for (h <- 1 to depth)
+      sb ++= s""",
+               |l$h AS MATERIALIZED (
+               |  SELECT g.seed, g.node, g.sigma FROM (
+               |    SELECT p.seed, e.dst AS node,
+               |      CAST(sum(p.sigma) AS BIGINT) AS sigma
+               |    FROM l${h - 1} p JOIN sym e ON e.src = p.node
+               |    GROUP BY 1, 2) g
+               |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} x
+               |    WHERE x.seed = g.seed AND x.node = g.node)
+               |),
+               |v$h AS (SELECT seed, node FROM v${h - 1}
+               |  UNION ALL SELECT seed, node FROM l$h)""".stripMargin
+    sb ++= s""",
+              |b$depth AS (SELECT seed, node, sigma,
+              |  CAST(0.0 AS DOUBLE) AS d FROM l$depth)""".stripMargin
+    for (h <- (depth - 1) to 0 by -1)
+      sb ++= s""",
+               |b$h AS MATERIALIZED (
+               |  SELECT l.seed, l.node, l.sigma,
+               |    round(coalesce(CAST(sum(CAST(round(
+               |      CAST(l.sigma AS DOUBLE) / CAST(c.sw AS DOUBLE)
+               |      * (1.0 + c.dw), 9) AS DECIMAL(29,9))) AS DOUBLE),
+               |      0.0), 9) AS d
+               |  FROM l$h l LEFT JOIN (
+               |    SELECT p.seed, e.dst AS node, p.sigma AS sw,
+               |      p.d AS dw
+               |    FROM b${h + 1} p JOIN sym e ON e.src = p.node) c
+               |    ON c.seed = l.seed AND c.node = l.node
+               |  GROUP BY 1, 2, 3
+               |)""".stripMargin
+    val accs = (0 to depth).map(h => s"SELECT seed, node, d FROM b$h")
+      .mkString("\n    UNION ALL ")
+    sb ++= s"""
+              |SELECT node,
+              |  round(CAST(sum(CAST(round(d, 9) AS DECIMAL(29,9)))
+              |    AS DOUBLE), 6) AS bc
+              |FROM ($accs) WHERE seed <> node
+              |GROUP BY 1
+              |HAVING sum(CAST(round(d, 9) AS DECIMAL(29,9))) > 0
+              |ORDER BY node""".stripMargin
+    sb.toString
+  }
 
   /** DuckDB replay of [[operators.Graph.bfsHops]] over the support>=2
     * co-purchase graph, seeds = nodes with key % 101 == 0: `rounds`

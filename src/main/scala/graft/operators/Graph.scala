@@ -611,4 +611,84 @@ object Graph {
         lit("authority").as("role")))
       .orderBy(col("role"), col("node"))
   }
+
+  /** Sampled-source betweenness centrality (Brandes 2001; pivot
+    * sampling per Brandes & Pich 2007) over an UNDIRECTED edge list,
+    * depth-bounded: all sampled sources run SIMULTANEOUSLY — the BFS
+    * state is keyed (seed, node), so k sources cost the same number of
+    * shuffle rounds as one. Forward pass: per depth, one edge-keyed
+    * join + one partial-combined sum builds shortest-path counts σ
+    * (exact longs) and a left-anti against the visited set keeps the
+    * frontier minimal. Backward pass (deepest layer first): the
+    * dependency δ(v) = Σ_{w∈succ(v)} σ_v/σ_w · (1+δ(w)) accumulates
+    * per layer with round(9)-pinned DECIMAL sums (order-independent,
+    * so an unrolled SQL replay is bit-identical), and the reported
+    * score is the per-node sum of dependencies over all sampled
+    * sources (unnormalized — the Brandes-Pich estimator up to the
+    * constant n/k). Paths longer than `maxDepth` are ignored —
+    * distance-bounded betweenness, the standard large-graph variant.
+    *
+    * Output: (node, bc) for every non-seed node with bc > 0, bc
+    * round(6), ordered by node. Scale shape: every join is edge- or
+    * state-keyed (never all-pairs); state is (k · reachable-nodes)
+    * rows; lineage cut per layer via the [[Materializer]]. */
+  def betweennessSampled(edges: DataFrame, seeds: DataFrame,
+                         maxDepth: Int,
+                         materialize: Materializer = Materializer.Local)
+      : DataFrame = {
+    require(maxDepth >= 1)
+    val e0 = edges.select(col("src"), col("dst"))
+    val sym = materialize(
+      e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
+    var level = materialize(seeds.select(col("node")).distinct()
+      .select(col("node").as("seed"), col("node"),
+        lit(0).as("hops"), lit(1L).as("sigma")))
+    var visited = level
+    val layers = scala.collection.mutable.ArrayBuffer(level)
+    for (h <- 1 to maxDepth) {
+      val next = materialize(level
+        .join(sym.withColumnRenamed("src", "node"), Seq("node"))
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(visited.select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_anti")
+        .withColumn("hops", lit(h)))
+      visited = materialize(visited.select(col("seed"), col("node"))
+        .unionByName(next.select(col("seed"), col("node"))))
+      layers += next
+      level = next
+    }
+    // backward accumulation: δ of the deepest layer is 0; each shallower
+    // layer sums the pinned per-successor contributions
+    def pin(c: org.apache.spark.sql.Column) =
+      round(c, 9).cast("decimal(29,9)")
+    var delta = materialize(layers(maxDepth)
+      .select(col("seed"), col("node"), col("sigma"),
+        lit(0.0).as("d")))
+    var acc = delta
+    for (h <- (maxDepth - 1) to 0 by -1) {
+      val contrib = delta
+        .join(sym.withColumnRenamed("src", "node"), Seq("node"))
+        .select(col("seed"), col("dst").as("node"),
+          col("sigma").as("sw"), col("d").as("dw"))
+      val cur = materialize(layers(h)
+        .join(contrib, Seq("seed", "node"), "left")
+        .groupBy(col("seed"), col("node"), col("sigma"))
+        .agg(sum(pin(col("sigma").cast("double")
+          / col("sw").cast("double") * (lit(1.0) + col("dw"))))
+          .as("dsum"))
+        .select(col("seed"), col("node"), col("sigma"),
+          round(coalesce(col("dsum").cast("double"), lit(0.0)), 9)
+            .as("d")))
+      acc = materialize(acc.unionByName(cur))
+      delta = cur
+    }
+    acc.filter(col("seed") =!= col("node"))
+      .groupBy(col("node"))
+      .agg(sum(pin(col("d"))).as("bc"))
+      .filter(col("bc") > 0)
+      .select(col("node"), round(col("bc").cast("double"), 6).as("bc"))
+      .orderBy(col("node"))
+  }
 }

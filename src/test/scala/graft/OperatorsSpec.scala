@@ -3912,6 +3912,36 @@ class OperatorsSpec extends SparkSpec {
       "se replay")
   }
 
+  test("betweennessSampled: Brandes dependencies on a path graph, " +
+    "multi-seed accumulation, and depth bounding") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    // single seed 1 on the path 1-2-3-4: delta(2)=2, delta(3)=1,
+    // delta(4)=0 (dropped by bc>0)
+    val one = graft.operators.Graph
+      .betweennessSampled(edges, Seq(1L).toDF("node"), maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one == Map(2L -> 2.0, 3L -> 1.0))
+    // seeds at both ends: node 2 gets 2 (from 1) + 1 (from 4) and
+    // symmetrically node 3
+    val both = graft.operators.Graph
+      .betweennessSampled(edges, Seq(1L, 4L).toDF("node"), maxDepth = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(both == Map(2L -> 3.0, 3L -> 3.0))
+    // depth 1: no intermediate vertex lies on a length<=1 path
+    val shallow = graft.operators.Graph
+      .betweennessSampled(edges, Seq(1L).toDF("node"), maxDepth = 1)
+      .collect()
+    assert(shallow.isEmpty)
+    // star center carries every pairwise path from a leaf seed
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val c = graft.operators.Graph
+      .betweennessSampled(star, Seq(1L).toDF("node"), maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(c == Map(0L -> 2.0))
+  }
+
   test("shapleyCoalitions (q264): 8 coalitions per player, weights sum " +
     "to 1 per player, with-mask = without-mask | player bit") {
     val cs = SparkEntry.shapleyCoalitionsForTest

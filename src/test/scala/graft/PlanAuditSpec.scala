@@ -1311,4 +1311,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p3.contains("CartesianProduct")
       && !p3.contains("SortMergeJoin"), p3.take(3000))
   }
+
+  test("q273/q274: betweenness shuffles only edge-keyed state; the " +
+    "backtest rides the bounded daily table — no cartesian") {
+    val p1 = plan("q273_betweenness")
+    assert(!p1.contains("CartesianProduct"), p1.take(3000))
+    val p2 = plan("q274_forecast_backtest")
+    assert(!p2.contains("CartesianProduct")
+      && !p2.contains("SortMergeJoin"), p2.take(3000))
+  }
 }
