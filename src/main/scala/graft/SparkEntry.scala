@@ -5758,6 +5758,150 @@ object SparkEntry {
           round(col("ssm").cast("double") / nD, 6).as("smape"),
           round(col("sae").cast("double")
             / col("sae1").cast("double"), 6).as("mase"))
+    }),
+
+    "q275_wilcoxon_signed" -> ((s, dir) => {
+      // Wilcoxon signed-rank test (Wilcoxon 1945) on PAIRED per-user
+      // purchase revenue, reference vs current period: each user is
+      // their own control, so user-level variance cancels — the
+      // nonparametric paired complement to q266's unpaired rank-sum
+      // (and the continuous sibling of q262's binary McNemar). Zero
+      // differences drop (Wilcoxon's rule), ranks of |d| use the
+      // tie-averaged 2·rank integer algebra on the cents-exact
+      // difference histogram (differences of cents sums are integers,
+      // so the histogram is bounded by the cents RANGE, not the user
+      // count), and the tie-corrected normal z maps to the A&S
+      // two-sided p in pinned op order.
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      def d38(c: Column) = c.cast("decimal(38,0)")
+      val perUser = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("vc"),
+          when(col("ts") < cutoff, 1L).otherwise(0L).as("is_ref"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("is_ref") === 1L, col("vc")).otherwise(0L))
+          .as("before"),
+          sum(when(col("is_ref") === 0L, col("vc")).otherwise(0L))
+            .as("after"))
+      val nz = perUser.select((col("after") - col("before")).as("d"))
+      val zeros = nz.agg(sum(when(col("d") === 0L, 1L).otherwise(0L))
+        .as("n_zero"))
+      val h = nz.filter(col("d") =!= 0L)
+        .groupBy(abs(col("d")).as("ad"))
+        .agg(sum(when(col("d") > 0, 1L).otherwise(0L)).as("pos"),
+          count(lit(1)).as("tt"))
+      val wc = Window.orderBy(col("ad"))
+      val st = h.withColumn("cum", sum(col("tt")).over(wc))
+        .withColumn("ar2",
+          (col("cum") - col("tt")) * 2 + col("tt") + 1)
+        .agg(sum(col("tt")).as("n"),
+          sum(col("pos") * col("ar2")).as("w2"),
+          sum(d38(col("tt")) * d38(col("tt")) * d38(col("tt"))
+            - d38(col("tt"))).as("ties"))
+      // 48·Var = 2n(n+1)(2n+1) − Σ(t³−t), and the centered statistic
+      // 4·(W+ − μ) = 2·W2 − n(n+1): exact integers until the final z
+      val var48 = d38(lit(2)) * d38(col("n")) * d38(col("n") + 1) *
+        d38(col("n") * 2 + 1) - col("ties")
+      val z = (col("w2") * 2 - col("n") * (col("n") + 1))
+        .cast("double") / 4.0 / sqrt(var48.cast("double") / 48.0)
+      val az = abs(z)
+      val ttp = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+      val poly = ttp * (lit(0.319381530) + ttp * (lit(-0.356563782) +
+        ttp * (lit(1.781477937) + ttp * (lit(-1.821255978) +
+          ttp * lit(1.330274429)))))
+      val p = lit(2.0) * (lit(0.3989422804014327) *
+        exp(lit(-0.5) * az * az)) * poly
+      st.crossJoin(broadcast(zeros))
+        .select(col("n").cast("long").as("n_pairs"),
+          col("n_zero").cast("long").as("n_zero"),
+          round(col("w2").cast("double") / 2.0, 1).as("w_plus"),
+          round(z, 6).as("z"), round(p, 9).as("p_value"),
+          (round(p, 9) < 0.05).as("reject"))
+    }),
+
+    "q276_ipw_ate" -> ((s, dir) => {
+      // inverse-propensity-weighted ATE with an IN-ENGINE logistic
+      // propensity model (Rosenbaum & Rubin 1983; Hájek-normalized,
+      // Horvitz-Thompson family): does urgent order priority shift
+      // order value once customer balance and season are adjusted
+      // for? The whole estimator rides ONE bounded histogram: the
+      // corpus pays a single orders⋈customer join + rollup into
+      // (balance-grid, month, treated) cells carrying counts AND
+      // outcome sums; the propensity fit (Stats.logisticGdHist, 8
+      // GD rounds), the cell-level p̂ scores, the [0.01,0.99]
+      // trimming (Crump et al. 2009) and the weighted means are all
+      // algebra on those cells — treatment modeling with zero extra
+      // corpus passes. The md5-coin designs (q147/q271) randomize
+      // and so never need this; IPW is the estimator for OBSERVED
+      // treatments.
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val joined = o.join(broadcast(c),
+        col("o_custkey") === col("c_custkey"))
+      val hist = operators.Materializer.Local(joined.select(
+          round(col("c_acctbal") / 1000.0, 1).as("u"),
+          month(col("o_orderdate")).cast("double").as("v"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("tr"),
+          col("o_totalprice").cast("decimal(19,6)").as("y"))
+        .groupBy(col("u"), col("v"), col("tr"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sumy")))
+      def pin6(cc: Column) = round(cc, 6).cast("decimal(29,6)")
+      val mom = hist.agg(sum(col("n")).as("nt"),
+        sum(pin6(col("u") * col("n"))).as("su"),
+        sum(pin6(col("u") * col("u") * col("n"))).as("suu"),
+        sum(pin6(col("v") * col("n"))).as("sv"),
+        sum(pin6(col("v") * col("v") * col("n"))).as("svv"))
+      val nD = col("nt").cast("double")
+      val mu = col("su").cast("double") / nD
+      val mv = col("sv").cast("double") / nD
+      val sdu = sqrt(col("suu").cast("double") / nD - mu * mu)
+      val sdv = sqrt(col("svv").cast("double") / nD - mv * mv)
+      val feats = operators.Materializer.Local(
+        hist.crossJoin(broadcast(mom))
+          .select(round((col("u") - mu) / sdu, 6).as("x1"),
+            round((col("v") - mv) / sdv, 6).as("x2"),
+            col("tr"), col("n"), col("sumy")))
+      val fit = operators.Stats.logisticGdHist(feats,
+        Seq("x1", "x2"), "tr", "n", rounds = 8, lr = 2.0)
+      val phat = least(lit(0.99), greatest(lit(0.01),
+        lit(1.0) / (lit(1.0) + exp(-(col("w0") + col("w1") * col("x1")
+          + col("w2") * col("x2"))))))
+      val scored = feats.crossJoin(broadcast(
+        fit.select(col("w0"), col("w1"), col("w2"))))
+      def pin9(cc: Column) = round(cc, 6).cast("decimal(29,6)")
+      val sums = scored.agg(
+        sum(col("n")).as("n"),
+        sum(when(col("tr"), col("n")).otherwise(0L)).as("n_t"),
+        sum(when(col("tr"), col("sumy"))
+          .otherwise(lit(0).cast("decimal(29,6)"))).as("y_t_raw"),
+        sum(when(!col("tr"), col("sumy"))
+          .otherwise(lit(0).cast("decimal(29,6)"))).as("y_c_raw"),
+        sum(when(col("tr"),
+          pin9(col("sumy").cast("double") / phat))
+          .otherwise(lit(0).cast("decimal(29,6)"))).as("wy_t"),
+        sum(when(col("tr"), pin9(col("n").cast("double") / phat))
+          .otherwise(lit(0).cast("decimal(29,6)"))).as("wn_t"),
+        sum(when(!col("tr"),
+          pin9(col("sumy").cast("double") / (lit(1.0) - phat)))
+          .otherwise(lit(0).cast("decimal(29,6)"))).as("wy_c"),
+        sum(when(!col("tr"),
+          pin9(col("n").cast("double") / (lit(1.0) - phat)))
+          .otherwise(lit(0).cast("decimal(29,6)"))).as("wn_c"),
+        max(col("w0")).as("w0"), max(col("w1")).as("w1"),
+        max(col("w2")).as("w2"))
+      sums.select(col("n").cast("long").as("n"),
+        col("n_t").cast("long").as("n_t"),
+        col("w0"), col("w1"), col("w2"),
+        round(col("y_t_raw").cast("double")
+            / col("n_t").cast("double")
+          - col("y_c_raw").cast("double")
+            / (col("n") - col("n_t")).cast("double"), 6)
+          .as("naive_diff"),
+        round(col("wy_t").cast("double") / col("wn_t").cast("double")
+          - col("wy_c").cast("double") / col("wn_c").cast("double"), 6)
+          .as("ate_ipw"))
     })
   )
 
@@ -13020,6 +13164,149 @@ object SparkEntry {
     },
 
     "q273_betweenness" -> betweennessSql(4),
+
+    "q275_wilcoxon_signed" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS bfr,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS aft
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), dd AS (SELECT aft - bfr AS d FROM pu
+        |), zs AS (
+        |  SELECT CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_zero
+        |  FROM dd
+        |), h AS (
+        |  SELECT abs(d) AS ad,
+        |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pos,
+        |    CAST(count(*) AS BIGINT) AS tt
+        |  FROM dd WHERE d <> 0 GROUP BY 1
+        |), r AS (
+        |  SELECT pos, tt,
+        |    sum(tt) OVER (ORDER BY ad) AS cum
+        |  FROM h
+        |), st AS (
+        |  SELECT CAST(sum(tt) AS BIGINT) AS n,
+        |    CAST(sum(pos * ((cum - tt) * 2 + tt + 1)) AS BIGINT) AS w2,
+        |    sum(CAST(tt AS HUGEINT) * tt * tt - tt) AS ties
+        |  FROM r
+        |), calc AS (
+        |  SELECT n, w2,
+        |    CAST(w2 * 2 - n * (n + 1) AS DOUBLE) / 4.0
+        |      / sqrt(CAST(CAST(2 AS HUGEINT) * n * (n + 1)
+        |        * (n * 2 + 1) - ties AS DOUBLE) / 48.0) AS zr
+        |  FROM st
+        |), pv0 AS (
+        |  SELECT *, abs(zr) AS az,
+        |    1.0 / (1.0 + 0.2316419 * abs(zr)) AS tt
+        |  FROM calc
+        |)
+        |SELECT n AS n_pairs, n_zero,
+        |  round(CAST(w2 AS DOUBLE) / 2.0, 1) AS w_plus,
+        |  round(zr, 6) AS z,
+        |  round(2.0 * (0.3989422804014327 * exp(-0.5 * az * az))
+        |    * (tt * (0.319381530 + tt * (-0.356563782
+        |      + tt * (1.781477937 + tt * (-1.821255978
+        |        + tt * 1.330274429))))), 9) AS p_value,
+        |  round(2.0 * (0.3989422804014327 * exp(-0.5 * az * az))
+        |    * (tt * (0.319381530 + tt * (-0.356563782
+        |      + tt * (1.781477937 + tt * (-1.821255978
+        |        + tt * 1.330274429))))), 9) < 0.05 AS reject
+        |FROM pv0, zs""".stripMargin,
+
+    "q276_ipw_ate" -> {
+      val prob = "1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2)))"
+      val yd = "(CASE WHEN tr THEN 1.0 ELSE 0.0 END)"
+      val resid = s"CAST(n AS DOUBLE) * ($yd - $prob)"
+      def gsum(e: String) =
+        s"CAST(sum(CAST(round($e, 9) AS DECIMAL(29,9))) AS DOUBLE)"
+      val iter = (k: Int) =>
+        s"""g$k AS (
+           |  SELECT ${gsum(resid)} AS g0,
+           |    ${gsum(s"$resid * x1")} AS g1,
+           |    ${gsum(s"$resid * x2")} AS g2
+           |  FROM feats, s${k - 1}
+           |), s$k AS (
+           |  SELECT round(w0 + 2.0 * g0 / CAST(nt AS DOUBLE), 12) AS w0,
+           |    round(w1 + 2.0 * g1 / CAST(nt AS DOUBLE), 12) AS w1,
+           |    round(w2 + 2.0 * g2 / CAST(nt AS DOUBLE), 12) AS w2
+           |  FROM g$k, s${k - 1}, momc
+           |)""".stripMargin
+      val phat = "least(0.99, greatest(0.01, 1.0 / (1.0 + " +
+        "exp(-(fw0 + fw1 * x1 + fw2 * x2)))))"
+      def pinW(e: String) = s"CAST(round($e, 6) AS DECIMAL(29,6))"
+      s"""WITH hist AS MATERIALIZED (
+         |  SELECT round(c_acctbal / 1000.0, 1) AS u,
+         |    CAST(month(o_orderdate) AS DOUBLE) AS v,
+         |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS tr,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(o_totalprice AS DECIMAL(19,6))) AS sumy
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2, 3
+         |), mom AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |    sum(CAST(round(u * n, 6) AS DECIMAL(29,6))) AS su,
+         |    sum(CAST(round(u * u * n, 6) AS DECIMAL(29,6))) AS suu,
+         |    sum(CAST(round(v * n, 6) AS DECIMAL(29,6))) AS sv,
+         |    sum(CAST(round(v * v * n, 6) AS DECIMAL(29,6))) AS svv
+         |  FROM hist
+         |), momc AS (
+         |  SELECT nt,
+         |    CAST(su AS DOUBLE) / CAST(nt AS DOUBLE) AS mu,
+         |    CAST(sv AS DOUBLE) / CAST(nt AS DOUBLE) AS mv,
+         |    sqrt(CAST(suu AS DOUBLE) / CAST(nt AS DOUBLE)
+         |      - (CAST(su AS DOUBLE) / CAST(nt AS DOUBLE))
+         |        * (CAST(su AS DOUBLE) / CAST(nt AS DOUBLE))) AS sdu,
+         |    sqrt(CAST(svv AS DOUBLE) / CAST(nt AS DOUBLE)
+         |      - (CAST(sv AS DOUBLE) / CAST(nt AS DOUBLE))
+         |        * (CAST(sv AS DOUBLE) / CAST(nt AS DOUBLE))) AS sdv
+         |  FROM mom
+         |), feats AS MATERIALIZED (
+         |  SELECT round((u - mu) / sdu, 6) AS x1,
+         |    round((v - mv) / sdv, 6) AS x2, tr, n, sumy
+         |  FROM hist, momc
+         |), s0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0,
+         |  CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2),
+         |${(1 to 8).map(iter).mkString(",\n")},
+         |fitw AS (SELECT round(w0, 6) AS fw0, round(w1, 6) AS fw1,
+         |  round(w2, 6) AS fw2 FROM s8),
+         |sums AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN tr THEN n ELSE 0 END) AS BIGINT)
+         |      AS n_t,
+         |    sum(CASE WHEN tr THEN sumy
+         |      ELSE CAST(0 AS DECIMAL(29,6)) END) AS y_t_raw,
+         |    sum(CASE WHEN NOT tr THEN sumy
+         |      ELSE CAST(0 AS DECIMAL(29,6)) END) AS y_c_raw,
+         |    sum(CASE WHEN tr
+         |      THEN ${pinW(s"CAST(sumy AS DOUBLE) / $phat")}
+         |      ELSE CAST(0 AS DECIMAL(29,6)) END) AS wy_t,
+         |    sum(CASE WHEN tr
+         |      THEN ${pinW(s"CAST(n AS DOUBLE) / $phat")}
+         |      ELSE CAST(0 AS DECIMAL(29,6)) END) AS wn_t,
+         |    sum(CASE WHEN NOT tr
+         |      THEN ${pinW(s"CAST(sumy AS DOUBLE) / (1.0 - $phat)")}
+         |      ELSE CAST(0 AS DECIMAL(29,6)) END) AS wy_c,
+         |    sum(CASE WHEN NOT tr
+         |      THEN ${pinW(s"CAST(n AS DOUBLE) / (1.0 - $phat)")}
+         |      ELSE CAST(0 AS DECIMAL(29,6)) END) AS wn_c,
+         |    max(fw0) AS w0, max(fw1) AS w1, max(fw2) AS w2
+         |  FROM feats, fitw
+         |)
+         |SELECT n, n_t, w0, w1, w2,
+         |  round(CAST(y_t_raw AS DOUBLE) / CAST(n_t AS DOUBLE)
+         |    - CAST(y_c_raw AS DOUBLE) / CAST(n - n_t AS DOUBLE), 6)
+         |    AS naive_diff,
+         |  round(CAST(wy_t AS DOUBLE) / CAST(wn_t AS DOUBLE)
+         |    - CAST(wy_c AS DOUBLE) / CAST(wn_c AS DOUBLE), 6)
+         |    AS ate_ipw
+         |FROM sums""".stripMargin
+    },
 
     "q274_forecast_backtest" ->
       """WITH daily AS MATERIALIZED (

@@ -1320,4 +1320,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct")
       && !p2.contains("SortMergeJoin"), p2.take(3000))
   }
+
+  test("q275/q276: the signed-rank walk rides the difference " +
+    "histogram; IPW joins the customer dim broadcast and fits on the " +
+    "bounded cell table — no cartesian, no shuffle join") {
+    val p1 = plan("q275_wilcoxon_signed")
+    assert(!p1.contains("CartesianProduct")
+      && !p1.contains("SortMergeJoin"), p1.take(3000))
+    // the orders⋈customer broadcast join sits above the feats
+    // checkpoint, so the audited (post-checkpoint) plan shows only the
+    // bounded-table scoring aggregate
+    val p2 = plan("q276_ipw_ate")
+    assert(!p2.contains("CartesianProduct")
+      && !p2.contains("SortMergeJoin"), p2.take(3000))
+  }
 }
