@@ -5902,6 +5902,269 @@ object SparkEntry {
         round(col("wy_t").cast("double") / col("wn_t").cast("double")
           - col("wy_c").cast("double") / col("wn_c").cast("double"), 6)
           .as("ate_ipw"))
+    }),
+
+    "q277_poisson_bootstrap" -> ((s, dir) => {
+      // Poisson-bootstrap standard error for revenue-per-order at
+      // CUSTOMER grain (Chamandy, Muralidharan, Najmi & Naidu 2012 —
+      // the bootstrap that actually runs at 100 TB): a multinomial
+      // resample needs the global n before any row can draw its count,
+      // but Binomial(n, 1/n) → Poisson(1), so each unit draws B=64
+      // independent multiplicities map-side from the deterministic
+      // md5-uniform (q195/q257 convention) — replayable, coordination-
+      // free, one shuffle. The corpus pays ONE rollup to per-customer
+      // (orders, revenue); the ×64 explode and the resample aggregate
+      // ride that bounded unit table; resampling at the unit grain
+      // keeps each customer's correlated orders together (the same
+      // reason q243's jackknife buckets by user). Output: the point
+      // estimate, bootstrap mean/SE, and the exact 2nd/63rd
+      // order-statistic percentile CI.
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+      val units = operators.Materializer.Local(
+        o.groupBy(col("o_custkey")).agg(
+          count(lit(1)).as("n_ord"),
+          sum(col("o_totalprice").cast("decimal(19,6)")).as("sumy")))
+      val fullT = units.agg(count(lit(1)).as("n_units"),
+        round(sum(col("sumy")).cast("double")
+          / sum(col("n_ord")).cast("double"), 9).as("theta_hat"))
+      val u = (conv(substring(md5(concat(lit("pb|"),
+          col("o_custkey").cast("string"), lit("|"),
+          col("b").cast("string"))), 1, 8), 16, 10).cast("double")
+        + lit(0.5)) / lit(4294967296.0)
+      val boot = operators.Materializer.Local(units
+        .select(col("o_custkey"), col("n_ord"), col("sumy"),
+          explode(sequence(lit(0), lit(63))).as("b"))
+        .select(col("b"), operators.Stats.poissonWeight(u).as("w"),
+          col("n_ord"), col("sumy"))
+        .groupBy(col("b"))
+        .agg(round(
+          sum(col("w").cast("decimal(2,0)") * col("sumy"))
+            .cast("double")
+          / sum(col("w") * col("n_ord")).cast("double"), 9)
+          .as("theta_b")))
+      val ss = boot.agg(
+        sum(round(col("theta_b"), 9).cast("decimal(29,9)")).as("st"),
+        sum(round(col("theta_b") * col("theta_b"), 6)
+          .cast("decimal(29,6)")).as("stt"))
+      val ranked = boot.select(col("theta_b"), row_number()
+        .over(Window.orderBy(col("theta_b"), col("b"))).as("rn"))
+      val lo = ranked.filter(col("rn") === 2)
+        .select(round(col("theta_b"), 6).as("ci_lo"))
+      val hi = ranked.filter(col("rn") === 63)
+        .select(round(col("theta_b"), 6).as("ci_hi"))
+      fullT.crossJoin(broadcast(ss))
+        .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(col("n_units"), lit(64).as("b_count"),
+          col("theta_hat"),
+          round(col("st").cast("double") / lit(64.0), 6)
+            .as("boot_mean"),
+          round(sqrt((col("stt").cast("double")
+            - col("st").cast("double") * col("st").cast("double")
+              / lit(64.0)) / lit(63.0)), 6).as("boot_se"),
+          col("ci_lo"), col("ci_hi"))
+    }),
+
+    "q278_signflip_test" -> ((s, dir) => {
+      // paired sign-flip randomization test (Fisher 1935; the exact
+      // finite-sample test a parametric paired t approximates): did
+      // per-user mean event value shift between the first and second
+      // half of the observation window? Under H0 each user's paired
+      // difference is symmetric, so its sign is exchangeable — flip
+      // signs by the deterministic md5 bit per (user, permutation),
+      // P=128 replayable permutations, p = (1 + #{|T_p| ≥ |T|})/(P+1)
+      // (the add-one rule that keeps the test exact, Phipson & Smyth
+      // 2010). ONE corpus exchange to (user, half) cells; the pair
+      // table is user-bounded and the ×128 flip explode rides it
+      // map-side. The readout on this corpus is an honest null
+      // (p ≈ 0.8) — the q238 "no signal" convention.
+      val ev = t(s, dir, "events")
+      val bounds = ev.agg(expr(
+        "(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2")
+        .as("mid"))
+      val halves = operators.Materializer.Local(
+        ev.crossJoin(broadcast(bounds))
+          .select(col("user_id"),
+            (unix_micros(col("ts")) >= col("mid")).as("h2"),
+            col("value"))
+          .groupBy(col("user_id"), col("h2"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(19,6)")).as("sv")))
+      val a = halves.filter(!col("h2"))
+        .select(col("user_id"), col("n").as("na"), col("sv").as("sa"))
+      val b2 = halves.filter(col("h2"))
+        .select(col("user_id").as("u2"), col("n").as("nb"),
+          col("sv").as("sb"))
+      val pairs = operators.Materializer.Local(
+        a.join(broadcast(b2), col("user_id") === col("u2"))
+          .select(col("user_id"),
+            round(col("sa").cast("double") / col("na").cast("double")
+              - col("sb").cast("double") / col("nb").cast("double"), 9)
+              .as("d")))
+      val obs = pairs.agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("d").cast("decimal(29,9)")).cast("double")
+          / count(lit(1)).cast("double"), 9).as("t_obs"))
+      val flip = when(substring(md5(concat(lit("sf|"),
+          col("user_id").cast("string"), lit("|"),
+          col("p").cast("string"))), 1, 1) < lit("8"),
+        col("d")).otherwise(-col("d"))
+      val flips = pairs
+        .select(col("user_id"), col("d"),
+          explode(sequence(lit(0), lit(127))).as("p"))
+        .groupBy(col("p"))
+        .agg(round(sum(round(flip, 9).cast("decimal(29,9)"))
+            .cast("double") / count(lit(1)).cast("double"), 9)
+          .as("t_p"))
+      val cnt = flips.crossJoin(broadcast(obs))
+        .filter(abs(col("t_p")) >= abs(col("t_obs")))
+        .agg(count(lit(1)).as("n_ge"))
+      obs.crossJoin(broadcast(cnt))
+        .select(col("n_pairs"), col("t_obs"), col("n_ge"),
+          round((lit(1.0) + col("n_ge").cast("double")) / lit(129.0),
+            6).as("p_value"))
+    }),
+
+    "q279_aipw_ate" -> ((s, dir) => {
+      // doubly-robust AIPW ATE (Robins, Rotnitzky & Zhao 1994; the
+      // augmented estimator that stays consistent if EITHER the
+      // propensity model or the outcome model is right): q276's
+      // logistic propensity on (balance, season) PLUS per-arm linear
+      // outcome models m₁/m₀ fit closed-form by Cramer's rule on the
+      // 3×3 normal equations (Stats.ols2Beta) — ψ̂ = mean[m₁−m₀ +
+      // T(Y−m₁)/ê − (1−T)(Y−m₀)/(1−ê)]. Everything after the single
+      // orders⋈customer rollup is algebra on the SAME bounded
+      // (balance-grid, month, arm) cell table q276 builds: the corpus
+      // pays no extra pass for the second model — that is the point of
+      // sufficient-statistic modeling at 100 TB.
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val joined = o.join(broadcast(c),
+        col("o_custkey") === col("c_custkey"))
+      val hist = operators.Materializer.Local(joined.select(
+          round(col("c_acctbal") / 1000.0, 1).as("u"),
+          month(col("o_orderdate")).cast("double").as("v"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("tr"),
+          col("o_totalprice").cast("decimal(19,6)").as("y"))
+        .groupBy(col("u"), col("v"), col("tr"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sumy")))
+      def pin6(cc: Column) = round(cc, 6).cast("decimal(29,6)")
+      val mom = hist.agg(sum(col("n")).as("nt"),
+        sum(pin6(col("u") * col("n"))).as("su"),
+        sum(pin6(col("u") * col("u") * col("n"))).as("suu"),
+        sum(pin6(col("v") * col("n"))).as("sv"),
+        sum(pin6(col("v") * col("v") * col("n"))).as("svv"))
+      val nD = col("nt").cast("double")
+      val mu = col("su").cast("double") / nD
+      val mv = col("sv").cast("double") / nD
+      val sdu = sqrt(col("suu").cast("double") / nD - mu * mu)
+      val sdv = sqrt(col("svv").cast("double") / nD - mv * mv)
+      val feats = operators.Materializer.Local(
+        hist.crossJoin(broadcast(mom))
+          .select(round((col("u") - mu) / sdu, 6).as("x1"),
+            round((col("v") - mv) / sdv, 6).as("x2"),
+            col("tr"), col("n"), col("sumy")))
+      val fit = operators.Stats.logisticGdHist(feats,
+        Seq("x1", "x2"), "tr", "n", rounds = 8, lr = 2.0)
+      val osums = feats.groupBy(col("tr")).agg(
+        sum(col("n")).as("n"),
+        sum(pin6(col("x1") * col("n"))).as("sx1"),
+        sum(pin6(col("x2") * col("n"))).as("sx2"),
+        sum(pin6(col("x1") * col("x1") * col("n"))).as("sx11"),
+        sum(pin6(col("x1") * col("x2") * col("n"))).as("sx12"),
+        sum(pin6(col("x2") * col("x2") * col("n"))).as("sx22"),
+        sum(col("sumy")).as("sy"),
+        sum(pin6(col("x1") * col("sumy").cast("double"))).as("sx1y"),
+        sum(pin6(col("x2") * col("sumy").cast("double"))).as("sx2y"))
+      val beta = operators.Stats.ols2Beta(osums, Seq("tr"))
+      val bt = beta.filter(col("tr")).select(col("b0").as("b0_t"),
+        col("b1").as("b1_t"), col("b2").as("b2_t"))
+      val bc = beta.filter(!col("tr")).select(col("b0").as("b0_c"),
+        col("b1").as("b1_c"), col("b2").as("b2_c"))
+      val phat = least(lit(0.99), greatest(lit(0.01),
+        lit(1.0) / (lit(1.0) + exp(-(col("w0") + col("w1") * col("x1")
+          + col("w2") * col("x2"))))))
+      val m1 = round(col("b0_t") + col("b1_t") * col("x1")
+        + col("b2_t") * col("x2"), 6)
+      val m0 = round(col("b0_c") + col("b1_c") * col("x1")
+        + col("b2_c") * col("x2"), 6)
+      val cells = feats
+        .crossJoin(broadcast(
+          fit.select(col("w0"), col("w1"), col("w2"))))
+        .crossJoin(broadcast(bt)).crossJoin(broadcast(bc))
+        .select(col("n"), col("sumy"), col("tr"), col("b0_t"),
+          col("b0_c"), m1.as("m1"), m0.as("m0"), phat.as("e"))
+      val comb = cells.agg(sum(col("n")).as("nn"),
+        sum(when(col("tr"), col("n")).otherwise(0L)).as("n_t"),
+        sum(round(col("n").cast("double") * (col("m1") - col("m0"))
+          + when(col("tr"),
+            (col("sumy").cast("double")
+              - col("n").cast("double") * col("m1")) / col("e"))
+            .otherwise(-(col("sumy").cast("double")
+              - col("n").cast("double") * col("m0"))
+              / (lit(1.0) - col("e"))), 6).cast("decimal(29,6)"))
+          .as("psi"),
+        max(col("b0_t")).as("b0_t"), max(col("b0_c")).as("b0_c"))
+      comb.select(col("nn").cast("long").as("n"),
+        col("n_t").cast("long").as("n_t"),
+        col("b0_t"), col("b0_c"),
+        round(col("psi").cast("double") / col("nn").cast("double"), 6)
+          .as("ate_aipw"))
+    }),
+
+    "q280_rdd" -> ((s, dir) => {
+      // sharp regression-discontinuity estimate at the zero-balance
+      // cutoff (Thistlethwaite & Campbell 1960; Imbens & Lemieux 2008):
+      // local-linear fits of order value on account balance on each
+      // side of 0 within a ±1000 bandwidth, τ = the intercept gap at
+      // the cutoff, plus the McCrary-style density ratio in a ±250
+      // window (bunching at the cutoff invalidates the design). The
+      // balance filter pushes to the customer scan; one conditional
+      // sufficient-sums aggregate per side; the two 1-var OLS solves
+      // are scalar algebra. On this synthetic corpus τ ≈ 0 relative to
+      // the ~250k intercepts — the honest no-discontinuity readout.
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+        .filter(col("c_acctbal") > -1000.0 && col("c_acctbal") < 1000.0)
+      val j = operators.Materializer.Local(
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .select(col("c_acctbal").cast("double").as("x"),
+            col("o_totalprice").cast("decimal(19,6)").as("y"),
+            (col("c_acctbal") >= 0).as("rt")))
+      val sums = j.groupBy(col("rt")).agg(
+        count(lit(1)).as("n"),
+        sum(round(col("x"), 2).cast("decimal(19,6)")).as("sx"),
+        sum(round(col("x") * col("x"), 4).cast("decimal(29,6)"))
+          .as("sxx"),
+        sum(col("y")).as("sy"),
+        sum(round(col("x") * col("y").cast("double"), 4)
+          .cast("decimal(29,6)")).as("sxy"))
+      val slope = round((col("n").cast("double")
+          * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+        / (col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")), 9)
+      val fit = sums.select(col("rt"), col("n"), slope.as("slope"),
+          col("sx"), col("sy"))
+        .select(col("rt"), col("n"), col("slope"),
+          round((col("sy").cast("double")
+            - col("slope") * col("sx").cast("double"))
+            / col("n").cast("double"), 6).as("icpt"))
+      val l = fit.filter(!col("rt")).select(col("n").as("n_l"),
+        col("icpt").as("icpt_l"), col("slope").as("slope_l"))
+      val r = fit.filter(col("rt")).select(col("n").as("n_r"),
+        col("icpt").as("icpt_r"), col("slope").as("slope_r"))
+      val dens = j.agg(
+        sum(when(!col("rt") && col("x") >= -250.0, 1L).otherwise(0L))
+          .as("d_l"),
+        sum(when(col("rt") && col("x") < 250.0, 1L).otherwise(0L))
+          .as("d_r"))
+      l.crossJoin(broadcast(r)).crossJoin(broadcast(dens))
+        .select(col("n_l"), col("n_r"), col("icpt_l"), col("icpt_r"),
+          col("slope_l"), col("slope_r"),
+          round(col("icpt_r") - col("icpt_l"), 6).as("tau"),
+          col("d_l"), col("d_r"),
+          round(col("d_r").cast("double") / col("d_l").cast("double"),
+            6).as("density_ratio"))
     })
   )
 
@@ -13340,7 +13603,263 @@ object SparkEntry {
         |  round(CAST(ssm AS DOUBLE) / CAST(n_eval AS DOUBLE), 6)
         |    AS smape,
         |  round(CAST(sae AS DOUBLE) / CAST(sae1 AS DOUBLE), 6) AS mase
-        |FROM agg, nd""".stripMargin
+        |FROM agg, nd""".stripMargin,
+
+    "q277_poisson_bootstrap" -> {
+      // the Poisson(1) inverse-CDF CASE chain is generated from the
+      // SAME threshold list the Spark side folds over
+      val wCase = "CASE " + operators.Stats.poissonCdf1.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }
+        .mkString(" ") + " ELSE 8 END"
+      s"""WITH units AS MATERIALIZED (
+         |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord,
+         |    sum(CAST(o_totalprice AS DECIMAL(19,6))) AS sumy
+         |  FROM orders GROUP BY 1
+         |), full_t AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_units,
+         |    round(CAST(sum(sumy) AS DOUBLE)
+         |      / CAST(sum(n_ord) AS DOUBLE), 9) AS theta_hat
+         |  FROM units
+         |), drawn AS (
+         |  SELECT b, n_ord, sumy,
+         |    (CAST(list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+         |      (strpos('0123456789abcdef',
+         |        substr(md5('pb|' || CAST(o_custkey AS VARCHAR) || '|'
+         |          || CAST(b AS VARCHAR)), i + 1, 1)) - 1)
+         |      for i in range(0, 8)]) AS DOUBLE) + 0.5) / 4294967296.0
+         |      AS u
+         |  FROM units, range(64) t(b)
+         |), weighted AS (
+         |  SELECT b, $wCase AS w, n_ord, sumy FROM drawn
+         |), boot AS MATERIALIZED (
+         |  SELECT b,
+         |    round(CAST(sum(CAST(w AS DECIMAL(2,0)) * sumy) AS DOUBLE)
+         |      / CAST(sum(w * n_ord) AS DOUBLE), 9) AS theta_b
+         |  FROM weighted GROUP BY 1
+         |), ss AS (
+         |  SELECT sum(CAST(round(theta_b, 9) AS DECIMAL(29,9))) AS st,
+         |    sum(CAST(round(theta_b * theta_b, 6) AS DECIMAL(29,6)))
+         |      AS stt
+         |  FROM boot
+         |), ranked AS (
+         |  SELECT theta_b, row_number() OVER (ORDER BY theta_b, b)
+         |    AS rn
+         |  FROM boot
+         |)
+         |SELECT n_units, 64 AS b_count, theta_hat,
+         |  round(CAST(st AS DOUBLE) / 64.0, 6) AS boot_mean,
+         |  round(sqrt((CAST(stt AS DOUBLE)
+         |    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / 64.0)
+         |    / 63.0), 6) AS boot_se,
+         |  (SELECT round(theta_b, 6) FROM ranked WHERE rn = 2)
+         |    AS ci_lo,
+         |  (SELECT round(theta_b, 6) FROM ranked WHERE rn = 63)
+         |    AS ci_hi
+         |FROM full_t, ss""".stripMargin
+    },
+
+    "q278_signflip_test" ->
+      """WITH bounds AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        |  FROM events
+        |), halves AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(ts) >= mid AS h2,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(19,6))) AS sv
+        |  FROM events, bounds GROUP BY 1, 2
+        |), pairs AS MATERIALIZED (
+        |  SELECT a.user_id,
+        |    round(CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |      - CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE), 9) AS d
+        |  FROM halves a JOIN halves b USING (user_id)
+        |  WHERE NOT a.h2 AND b.h2
+        |), obs AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    round(CAST(sum(CAST(d AS DECIMAL(29,9))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE), 9) AS t_obs
+        |  FROM pairs
+        |), flips AS (
+        |  SELECT p,
+        |    round(CAST(sum(CAST(round(CASE WHEN
+        |        strpos('0123456789abcdef',
+        |          substr(md5('sf|' || CAST(user_id AS VARCHAR) || '|'
+        |            || CAST(p AS VARCHAR)), 1, 1)) - 1 < 8
+        |      THEN d ELSE -d END, 9) AS DECIMAL(29,9))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE), 9) AS t_p
+        |  FROM pairs, range(128) t(p) GROUP BY 1
+        |), cnt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_ge
+        |  FROM flips, obs WHERE abs(t_p) >= abs(t_obs)
+        |)
+        |SELECT n_pairs, t_obs, n_ge,
+        |  round((1.0 + CAST(n_ge AS DOUBLE)) / 129.0, 6) AS p_value
+        |FROM obs, cnt""".stripMargin,
+
+    "q279_aipw_ate" -> {
+      // shares q276's hist/mom/feats/GD-iteration prefix verbatim,
+      // then adds the per-arm OLS outcome models (Cramer's rule — the
+      // same term order as Stats.ols2Beta) and the AIPW combine
+      val prob = "1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2)))"
+      val yd = "(CASE WHEN tr THEN 1.0 ELSE 0.0 END)"
+      val resid = s"CAST(n AS DOUBLE) * ($yd - $prob)"
+      def gsum(e: String) =
+        s"CAST(sum(CAST(round($e, 9) AS DECIMAL(29,9))) AS DOUBLE)"
+      val iter = (k: Int) =>
+        s"""g$k AS (
+           |  SELECT ${gsum(resid)} AS g0,
+           |    ${gsum(s"$resid * x1")} AS g1,
+           |    ${gsum(s"$resid * x2")} AS g2
+           |  FROM feats, s${k - 1}
+           |), s$k AS (
+           |  SELECT round(w0 + 2.0 * g0 / CAST(nt AS DOUBLE), 12) AS w0,
+           |    round(w1 + 2.0 * g1 / CAST(nt AS DOUBLE), 12) AS w1,
+           |    round(w2 + 2.0 * g2 / CAST(nt AS DOUBLE), 12) AS w2
+           |  FROM g$k, s${k - 1}, momc
+           |)""".stripMargin
+      val phat = "least(0.99, greatest(0.01, 1.0 / (1.0 + " +
+        "exp(-(fw0 + fw1 * x1 + fw2 * x2)))))"
+      def dd(c: String) = s"CAST($c AS DOUBLE)"
+      def det3(a: Seq[String]): String = {
+        val Seq(a11, a12, a13, a21, a22, a23, a31, a32, a33) =
+          a.map(dd)
+        s"($a11 * ($a22 * $a33 - $a23 * $a32) " +
+          s"- $a12 * ($a21 * $a33 - $a23 * $a31) " +
+          s"+ $a13 * ($a21 * $a32 - $a22 * $a31))"
+      }
+      val det = det3(Seq("n", "sx1", "sx2", "sx1", "sx11", "sx12",
+        "sx2", "sx12", "sx22"))
+      val b0 = det3(Seq("sy", "sx1", "sx2", "sx1y", "sx11", "sx12",
+        "sx2y", "sx12", "sx22"))
+      val b1 = det3(Seq("n", "sy", "sx2", "sx1", "sx1y", "sx12",
+        "sx2", "sx2y", "sx22"))
+      val b2 = det3(Seq("n", "sx1", "sy", "sx1", "sx11", "sx1y",
+        "sx2", "sx12", "sx2y"))
+      s"""WITH hist AS MATERIALIZED (
+         |  SELECT round(c_acctbal / 1000.0, 1) AS u,
+         |    CAST(month(o_orderdate) AS DOUBLE) AS v,
+         |    o_orderpriority IN ('1-URGENT', '2-HIGH') AS tr,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(o_totalprice AS DECIMAL(19,6))) AS sumy
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2, 3
+         |), mom AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |    sum(CAST(round(u * n, 6) AS DECIMAL(29,6))) AS su,
+         |    sum(CAST(round(u * u * n, 6) AS DECIMAL(29,6))) AS suu,
+         |    sum(CAST(round(v * n, 6) AS DECIMAL(29,6))) AS sv,
+         |    sum(CAST(round(v * v * n, 6) AS DECIMAL(29,6))) AS svv
+         |  FROM hist
+         |), momc AS (
+         |  SELECT nt,
+         |    CAST(su AS DOUBLE) / CAST(nt AS DOUBLE) AS mu,
+         |    CAST(sv AS DOUBLE) / CAST(nt AS DOUBLE) AS mv,
+         |    sqrt(CAST(suu AS DOUBLE) / CAST(nt AS DOUBLE)
+         |      - (CAST(su AS DOUBLE) / CAST(nt AS DOUBLE))
+         |        * (CAST(su AS DOUBLE) / CAST(nt AS DOUBLE))) AS sdu,
+         |    sqrt(CAST(svv AS DOUBLE) / CAST(nt AS DOUBLE)
+         |      - (CAST(sv AS DOUBLE) / CAST(nt AS DOUBLE))
+         |        * (CAST(sv AS DOUBLE) / CAST(nt AS DOUBLE))) AS sdv
+         |  FROM mom
+         |), feats AS MATERIALIZED (
+         |  SELECT round((u - mu) / sdu, 6) AS x1,
+         |    round((v - mv) / sdv, 6) AS x2, tr, n, sumy
+         |  FROM hist, momc
+         |), s0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0,
+         |  CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2),
+         |${(1 to 8).map(iter).mkString(",\n")},
+         |fitw AS (SELECT round(w0, 6) AS fw0, round(w1, 6) AS fw1,
+         |  round(w2, 6) AS fw2 FROM s8),
+         |osums AS (
+         |  SELECT tr, CAST(sum(n) AS BIGINT) AS n,
+         |    sum(CAST(round(x1 * n, 6) AS DECIMAL(29,6))) AS sx1,
+         |    sum(CAST(round(x2 * n, 6) AS DECIMAL(29,6))) AS sx2,
+         |    sum(CAST(round(x1 * x1 * n, 6) AS DECIMAL(29,6)))
+         |      AS sx11,
+         |    sum(CAST(round(x1 * x2 * n, 6) AS DECIMAL(29,6)))
+         |      AS sx12,
+         |    sum(CAST(round(x2 * x2 * n, 6) AS DECIMAL(29,6)))
+         |      AS sx22,
+         |    sum(sumy) AS sy,
+         |    sum(CAST(round(x1 * CAST(sumy AS DOUBLE), 6)
+         |      AS DECIMAL(29,6))) AS sx1y,
+         |    sum(CAST(round(x2 * CAST(sumy AS DOUBLE), 6)
+         |      AS DECIMAL(29,6))) AS sx2y
+         |  FROM feats GROUP BY 1
+         |), beta AS (
+         |  SELECT tr, round($b0 / $det, 9) AS b0,
+         |    round($b1 / $det, 9) AS b1,
+         |    round($b2 / $det, 9) AS b2
+         |  FROM osums
+         |), bt AS (SELECT b0 AS b0_t, b1 AS b1_t, b2 AS b2_t
+         |  FROM beta WHERE tr),
+         |bc AS (SELECT b0 AS b0_c, b1 AS b1_c, b2 AS b2_c
+         |  FROM beta WHERE NOT tr),
+         |cells AS (
+         |  SELECT n, sumy, tr,
+         |    round(b0_t + b1_t * x1 + b2_t * x2, 6) AS m1,
+         |    round(b0_c + b1_c * x1 + b2_c * x2, 6) AS m0,
+         |    $phat AS e, b0_t, b0_c
+         |  FROM feats, fitw, bt, bc
+         |), comb AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |    CAST(sum(CASE WHEN tr THEN n ELSE 0 END) AS BIGINT)
+         |      AS n_t,
+         |    sum(CAST(round(CAST(n AS DOUBLE) * (m1 - m0)
+         |      + CASE WHEN tr
+         |        THEN (CAST(sumy AS DOUBLE)
+         |          - CAST(n AS DOUBLE) * m1) / e
+         |        ELSE -(CAST(sumy AS DOUBLE)
+         |          - CAST(n AS DOUBLE) * m0) / (1.0 - e) END, 6)
+         |      AS DECIMAL(29,6))) AS psi,
+         |    max(b0_t) AS b0_t, max(b0_c) AS b0_c
+         |  FROM cells
+         |)
+         |SELECT nn AS n, n_t, b0_t, b0_c,
+         |  round(CAST(psi AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+         |    AS ate_aipw
+         |FROM comb""".stripMargin
+    },
+
+    "q280_rdd" ->
+      """WITH j AS MATERIALIZED (
+        |  SELECT CAST(c_acctbal AS DOUBLE) AS x,
+        |    CAST(o_totalprice AS DECIMAL(19,6)) AS y,
+        |    c_acctbal >= 0 AS rt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_acctbal > -1000.0 AND c_acctbal < 1000.0
+        |), s AS (
+        |  SELECT rt, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(round(x, 2) AS DECIMAL(19,6))) AS sx,
+        |    sum(CAST(round(x * x, 4) AS DECIMAL(29,6))) AS sxx,
+        |    sum(y) AS sy,
+        |    sum(CAST(round(x * CAST(y AS DOUBLE), 4)
+        |      AS DECIMAL(29,6))) AS sxy
+        |  FROM j GROUP BY 1
+        |), fit AS (
+        |  SELECT rt, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS slope
+        |  FROM s
+        |), fit2 AS (
+        |  SELECT s.rt, s.n AS n, fit.slope AS slope,
+        |    round((CAST(sy AS DOUBLE) - fit.slope
+        |      * CAST(sx AS DOUBLE)) / CAST(s.n AS DOUBLE), 6) AS icpt
+        |  FROM s JOIN fit ON s.rt = fit.rt
+        |), dens AS (
+        |  SELECT CAST(sum(CASE WHEN NOT rt AND x >= -250.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d_l,
+        |    CAST(sum(CASE WHEN rt AND x < 250.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d_r
+        |  FROM j
+        |)
+        |SELECT l.n AS n_l, r.n AS n_r, l.icpt AS icpt_l,
+        |  r.icpt AS icpt_r, l.slope AS slope_l, r.slope AS slope_r,
+        |  round(r.icpt - l.icpt, 6) AS tau, d_l, d_r,
+        |  round(CAST(d_r AS DOUBLE) / CAST(d_l AS DOUBLE), 6)
+        |    AS density_ratio
+        |FROM (SELECT * FROM fit2 WHERE NOT rt) l,
+        |  (SELECT * FROM fit2 WHERE rt) r, dens""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.betweennessSampled]] over the

@@ -1576,4 +1576,58 @@ object Stats {
         round(se, 6).as("se"), round(zv, 6).as("z"),
         round(p, 9).as("p_value"))
   }
+
+  /** Poisson(1) CDF thresholds P(X <= k) for k = 0..7, shared VERBATIM
+    * between the Spark inverse-CDF weight and any SQL replay: a uniform
+    * below `poissonCdf1(k)` (and not below `poissonCdf1(k-1)`) draws
+    * weight k; above all eight, weight 8 (P ≈ 1e-5 — the cap keeps the
+    * per-unit replication factor bounded). */
+  val poissonCdf1: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253)
+
+  /** Poisson(1) resample weight from a deterministic uniform — the
+    * Poisson-bootstrap kernel (Chamandy et al. 2012; Oza 2001 online
+    * bagging): at stream/100 TB scale a classic multinomial resample
+    * needs the global n, but Binomial(n, 1/n) → Poisson(1), so each
+    * unit draws its per-resample multiplicity INDEPENDENTLY — one
+    * map-side expression, no coordination. Replayable by construction
+    * when `u` is the md5-uniform convention (q195/q257). */
+  def poissonWeight(u: Column): Column =
+    poissonCdf1.zipWithIndex.foldRight(lit(8)) { case ((t, k), rest) =>
+      when(u < lit(t), lit(k)).otherwise(rest)
+    }
+
+  /** Closed-form 2-feature weighted OLS via Cramer's rule on the 3x3
+    * normal equations — the outcome-model half of a doubly-robust
+    * estimator. Input: one row per group carrying the pinned
+    * sufficient sums (n, sx1, sx2, sx11, sx12, sx22, sy, sx1y, sx2y);
+    * output: the same `keep` columns plus round(9) (b0, b1, b2). Pure
+    * per-row algebra on an already-bounded table — the corpus never
+    * sees the solve; SQL replays it term-for-term (doubles, one fixed
+    * op order, IEEE-deterministic). */
+  def ols2Beta(sums: DataFrame, keep: Seq[String]): DataFrame = {
+    def v(c: String) = col(c).cast("double")
+    def det3(a11: Column, a12: Column, a13: Column,
+             a21: Column, a22: Column, a23: Column,
+             a31: Column, a32: Column, a33: Column): Column =
+      a11 * (a22 * a33 - a23 * a32) -
+        a12 * (a21 * a33 - a23 * a31) +
+        a13 * (a21 * a32 - a22 * a31)
+    val det = det3(v("n"), v("sx1"), v("sx2"),
+      v("sx1"), v("sx11"), v("sx12"),
+      v("sx2"), v("sx12"), v("sx22"))
+    val b0 = det3(v("sy"), v("sx1"), v("sx2"),
+      v("sx1y"), v("sx11"), v("sx12"),
+      v("sx2y"), v("sx12"), v("sx22")) / det
+    val b1 = det3(v("n"), v("sy"), v("sx2"),
+      v("sx1"), v("sx1y"), v("sx12"),
+      v("sx2"), v("sx2y"), v("sx22")) / det
+    val b2 = det3(v("n"), v("sx1"), v("sy"),
+      v("sx1"), v("sx11"), v("sx1y"),
+      v("sx2"), v("sx12"), v("sx2y")) / det
+    sums.select(keep.map(col) ++ Seq(round(b0, 9).as("b0"),
+      round(b1, 9).as("b1"), round(b2, 9).as("b2")): _*)
+  }
 }

