@@ -6165,6 +6165,159 @@ object SparkEntry {
           col("d_l"), col("d_r"),
           round(col("d_r").cast("double") / col("d_l").cast("double"),
             6).as("density_ratio"))
+    }),
+
+    "q281_kneser_ney" -> ((s, dir) => {
+      // interpolated Kneser–Ney bigram cross-entropy on the held-out
+      // 25% (Kneser & Ney 1995; Chen & Goodman 1998) — the smoothing
+      // behind the KenLM quality filters (CCNet), upgrading q232's
+      // add-1 baseline: absolute-discount mass backs off to the
+      // CONTINUATION count N1+(·,w), so context-locked tokens stop
+      // soaking up backoff probability. Same q63/q232 hash split; one
+      // (w1,w2) exchange builds every model table; scoring is
+      // vocab-keyed equi-joins. On this corpus OOV = 0 (small closed
+      // vocabulary) and xent_kn ≈ 3.42 nats vs q232's add-1 readout —
+      // the model-quality gap KN exists to close.
+      operators.TextAnalysis.kneserNeyXent(t(s, dir, "documents"),
+        "doc_id", "text",
+        substring(md5(col("doc_id").cast("string")), 1, 1) < lit("c"))
+    }),
+
+    "q282_qlm_retrieval" -> ((s, dir) => {
+      // Dirichlet-smoothed query-likelihood ranking (Ponte & Croft
+      // 1998; Zhai & Lafferty 2001) for the same 3-term query as
+      // q138's BM25 — the language-modeling side of the classic
+      // lexical-ranking rivalry. Every document scores every term via
+      // the background model, but the score DECOMPOSES (matched-term
+      // adjustments + a 1-row scalar + per-doc length norm), so the
+      // plan is exactly BM25's: broadcast-trimmed postings, one
+      // bounded (doc,term) exchange, TakeOrdered — the |q|·N cross
+      // product never materializes.
+      operators.Retrieval.queryLikelihood(t(s, dir, "documents"),
+          "doc_id", "text", Seq("spark", "join", "window"),
+          mu = 100.0, topN = 20)
+        .orderBy(col("rk"))
+    }),
+
+    "q283_filter_ablation" -> ((s, dir) => {
+      // quality-filter ablation grid: document and token survival
+      // under every subset of three cheap quality gates (length ≥ 200
+      // chars, ≥ 60% alphabetic, ≥ 30 tokens) in ONE pass via CUBE —
+      // the pipeline-planning readout ("what does each filter cost,
+      // alone and stacked") that would otherwise take 2³ corpus
+      // passes. Flags are map-side integer compares (ratio as a
+      // cross-multiplication — no division, no ANSI zero-divide
+      // exposure); CUBE's Expand feeds one partial-combined aggregate.
+      val d = t(s, dir, "documents")
+      val tk = operators.TextAnalysis.tokens(col("text"))
+      val flagged = d.select(
+        (length(col("text")) >= 200).as("f_len"),
+        when(length(col("text")) > 0,
+          length(regexp_replace(col("text"), "[^A-Za-z]", "")) * 10
+            >= length(col("text")) * 6).otherwise(false).as("f_alpha"),
+        (size(tk) >= 30).as("f_tok"),
+        length(col("text")).cast("long").as("nc"),
+        size(tk).cast("long").as("ntk"))
+      val total = d.agg(count(lit(1)).as("tot"))
+      // cube keys surfaced as strings ('all' = the rolled-up margin):
+      // a null boolean round-trips differently through the two engines'
+      // parquet/pandas paths, a string key is bit-stable
+      flagged.cube(col("f_len"), col("f_alpha"), col("f_tok"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+          sum(col("ntk")).as("n_tokens"))
+        .crossJoin(broadcast(total))
+        .select(
+          coalesce(col("f_len").cast("string"), lit("all")).as("f_len"),
+          coalesce(col("f_alpha").cast("string"), lit("all"))
+            .as("f_alpha"),
+          coalesce(col("f_tok").cast("string"), lit("all")).as("f_tok"),
+          col("n_docs"), col("n_chars"), col("n_tokens"),
+          round(col("n_docs").cast("double")
+            / col("tot").cast("double"), 6).as("share"))
+        .orderBy(col("f_len"), col("f_alpha"), col("f_tok"))
+    }),
+
+    "q284_ope_snips" -> ((s, dir) => {
+      // off-policy evaluation of a greedy contextual policy (Horvitz &
+      // Thompson 1952 IPS; Swaminathan & Joachims 2015 SNIPS): train a
+      // per-context (6-hour bucket) greedy action on 75% of users,
+      // then estimate its value on held-out users' LOGGED traffic —
+      // IPS reweights matching rows by 1/p̂_log(a|ctx), SNIPS
+      // self-normalizes (trades a little bias for much less variance),
+      // DM reads the trained outcome table, and the on-policy held-out
+      // mean sits alongside as the sanity anchor. ESS says how many
+      // effective samples the weights left. ONE corpus rollup to
+      // (ctx, action, split) cells; policy, propensities, matching and
+      // every estimator are algebra on that ≤40-row table — the whole
+      // evaluation costs one exchange at any corpus size.
+      val ev = t(s, dir, "events")
+      val base = operators.Materializer.Local(ev.select(
+          expr("CAST(hour(ts) AS BIGINT) DIV 6").as("ctx"),
+          col("event_type").as("a"),
+          (substring(md5(concat(lit("ope|"),
+            col("user_id").cast("string"))), 1, 1) < lit("c"))
+            .as("is_train"),
+          col("value"))
+        .groupBy(col("ctx"), col("a"), col("is_train"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(19,6)")).as("sv")))
+      val tr = operators.Materializer.Local(base.filter(col("is_train"))
+        .select(col("ctx"), col("a"), col("n"),
+          round(col("sv").cast("double") / col("n").cast("double"), 9)
+            .as("mt")))
+      val trc = tr.groupBy(col("ctx")).agg(sum(col("n")).as("nc"))
+      val plog = tr.join(broadcast(trc), Seq("ctx"))
+        .select(col("ctx"), col("a"),
+          round(col("n").cast("double") / col("nc").cast("double"), 9)
+            .as("pl"))
+      val mx = tr.groupBy(col("ctx")).agg(max(col("mt")).as("mmax"))
+        .withColumnRenamed("ctx", "mctx")
+      // tr/held/plog/pol all descend from `base`, so `ctx` keeps ONE
+      // exprId through localCheckpoint — every join below renames its
+      // right side before joining instead of dataset-qualifying
+      val pol = tr.join(broadcast(mx),
+          col("ctx") === col("mctx") && col("mt") === col("mmax"))
+        .groupBy(col("ctx")).agg(min(col("a")).as("pi_a"))
+        .select(col("ctx").as("pctx"), col("pi_a"))
+      val held = base.filter(!col("is_train"))
+      val htot = held.agg(sum(col("n")).as("nh"), sum(col("sv"))
+        .as("svh"))
+      val ttot = base.filter(col("is_train"))
+        .agg(sum(col("n")).as("n_train"))
+      val w = round(lit(1.0) / col("pl"), 9)
+      val plogR = plog.select(col("ctx").as("lctx"), col("a").as("la"),
+        col("pl"))
+      val m = held.join(broadcast(pol),
+          col("ctx") === col("pctx") && col("a") === col("pi_a"))
+        .join(broadcast(plogR),
+          col("ctx") === col("lctx") && col("a") === col("la"))
+      def pinc(cc: Column) = round(cc, 6).cast("decimal(29,6)")
+      val ips = m.agg(
+        sum(pinc(col("sv").cast("double") * w)).as("swr"),
+        sum(pinc(col("n").cast("double") * w)).as("swn"),
+        sum(pinc(col("n").cast("double") * w * w)).as("swn2"))
+      val hc = held.groupBy(col("ctx")).agg(sum(col("n")).as("nhc"))
+      val trR = tr.select(col("ctx").as("tctx"), col("a").as("ta"),
+        col("mt"))
+      val dm = hc.join(broadcast(pol), col("ctx") === col("pctx"))
+        .join(broadcast(trR),
+          col("ctx") === col("tctx") && col("pi_a") === col("ta"))
+        .agg(sum(pinc(col("nhc").cast("double") * col("mt")))
+          .as("sdm"))
+      ips.crossJoin(broadcast(dm)).crossJoin(broadcast(htot))
+        .crossJoin(broadcast(ttot))
+        .select(col("n_train").cast("long").as("n_train"),
+          col("nh").cast("long").as("n_held"),
+          round(col("svh").cast("double") / col("nh").cast("double"),
+            6).as("value_onpolicy"),
+          round(col("sdm").cast("double") / col("nh").cast("double"),
+            6).as("value_dm"),
+          round(col("swr").cast("double") / col("nh").cast("double"),
+            6).as("value_ips"),
+          round(col("swr").cast("double") / col("swn").cast("double"),
+            6).as("value_snips"),
+          round(col("swn").cast("double") * col("swn").cast("double")
+            / col("swn2").cast("double"), 6).as("ess"))
     })
   )
 
@@ -13859,7 +14012,204 @@ object SparkEntry {
         |  round(CAST(d_r AS DOUBLE) / CAST(d_l AS DOUBLE), 6)
         |    AS density_ratio
         |FROM (SELECT * FROM fit2 WHERE NOT rt) l,
-        |  (SELECT * FROM fit2 WHERE rt) r, dens""".stripMargin
+        |  (SELECT * FROM fit2 WHERE rt) r, dens""".stripMargin,
+
+    "q281_kneser_ney" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS tk,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+         |      AS is_train
+         |  FROM documents
+         |), bit AS (
+         |  SELECT tk[CAST(i + 1 AS INT)] AS w1,
+         |    tk[CAST(i + 2 AS INT)] AS w2
+         |  FROM (SELECT tk, unnest(range(0, greatest(len(tk) - 1, 0)))
+         |          AS i
+         |        FROM base WHERE is_train)
+         |), c2t AS MATERIALIZED (
+         |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+         |  FROM bit GROUP BY 1, 2
+         |), ctx AS (
+         |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+         |    CAST(COUNT(*) AS BIGINT) AS n1f
+         |  FROM c2t GROUP BY 1
+         |), cont AS (
+         |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM c2t
+         |  GROUP BY 1
+         |), btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bb FROM c2t),
+         |bie AS (
+         |  SELECT tk[CAST(i + 1 AS INT)] AS w1,
+         |    tk[CAST(i + 2 AS INT)] AS w2
+         |  FROM (SELECT tk, unnest(range(0, greatest(len(tk) - 1, 0)))
+         |          AS i
+         |        FROM base WHERE NOT is_train)
+         |), held AS (
+         |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM bie GROUP BY 1, 2
+         |), sc AS (
+         |  SELECT tf, n1b,
+         |    CASE WHEN c1 IS NULL
+         |      THEN CAST(n1b AS DOUBLE) / CAST(bb AS DOUBLE)
+         |      ELSE greatest(CAST(coalesce(c2, 0) AS DOUBLE) - 0.75,
+         |            0.0) / CAST(c1 AS DOUBLE)
+         |        + 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
+         |          * (CAST(n1b AS DOUBLE) / CAST(bb AS DOUBLE))
+         |      END AS p
+         |  FROM held LEFT JOIN c2t USING (w1, w2)
+         |  LEFT JOIN ctx USING (w1) LEFT JOIN cont USING (w2), btot
+         |), agg AS (
+         |  SELECT CAST(SUM(tf) AS BIGINT) AS n_held_bigrams,
+         |    CAST(SUM(CASE WHEN n1b IS NOT NULL THEN tf ELSE 0 END)
+         |      AS BIGINT) AS n_scored,
+         |    CAST(SUM(CASE WHEN n1b IS NULL THEN tf ELSE 0 END)
+         |      AS BIGINT) AS n_oov,
+         |    SUM(CASE WHEN n1b IS NOT NULL
+         |      THEN CAST(round(CAST(tf AS DOUBLE) * ln(p), 9)
+         |        AS DECIMAL(38,9))
+         |      ELSE CAST(0 AS DECIMAL(38,9)) END) AS sl
+         |  FROM sc
+         |)
+         |SELECT n_held_bigrams, n_scored, n_oov,
+         |  round(CAST(n_oov AS DOUBLE) / CAST(n_held_bigrams AS DOUBLE),
+         |    6) AS oov_rate,
+         |  round(-CAST(sl AS DOUBLE) / CAST(n_scored AS DOUBLE), 6)
+         |    AS xent_kn,
+         |  round(exp(-CAST(sl AS DOUBLE) / CAST(n_scored AS DOUBLE)), 6)
+         |    AS ppl_kn
+         |FROM agg""".stripMargin,
+
+    "q282_qlm_retrieval" ->
+      s"""WITH dl AS MATERIALIZED (
+         |  SELECT doc_id, len($toksSql) AS dl FROM documents
+         |), tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS tt FROM dl),
+         |q(t) AS (VALUES ('spark'), ('join'), ('window')),
+         |tfm AS (
+         |  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)
+         |  WHERE t IN (SELECT t FROM q) GROUP BY 1, 2
+         |), cfp AS MATERIALIZED (
+         |  SELECT t, round(CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE)
+         |    / CAST(tt AS DOUBLE), 12) AS pw
+         |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |    tot
+         |  WHERE t IN (SELECT t FROM q) GROUP BY t, tt
+         |), cs AS (
+         |  SELECT SUM(CAST(round(ln(100.0 * pw), 9) AS DECIMAL(38,9)))
+         |      AS c0,
+         |    CAST(COUNT(*) AS INTEGER) AS nq
+         |  FROM cfp
+         |), adj AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_match,
+         |    SUM(CAST(round(ln(tf + 100.0 * pw) - ln(100.0 * pw), 9)
+         |      AS DECIMAL(38,9))) AS adj
+         |  FROM tfm JOIN cfp USING (t) GROUP BY 1
+         |), scored AS (
+         |  SELECT dl.doc_id, coalesce(n_match, 0) AS n_match,
+         |    round(CAST(c0 AS DOUBLE)
+         |      + CAST(coalesce(adj, CAST(0 AS DECIMAL(38,9)))
+         |          AS DOUBLE)
+         |      - CAST(nq AS DOUBLE) * ln(CAST(dl AS DOUBLE) + 100.0),
+         |      6) AS score
+         |  FROM dl LEFT JOIN adj USING (doc_id), cs
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |    AS INTEGER) AS rk, doc_id, n_match, score
+         |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q283_filter_ablation" ->
+      s"""WITH f AS (
+         |  SELECT length(text) >= 200 AS f_len,
+         |    CASE WHEN length(text) > 0
+         |      THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |          * 10
+         |        >= length(text) * 6
+         |      ELSE false END AS f_alpha,
+         |    len($toksSql) >= 30 AS f_tok,
+         |    CAST(length(text) AS BIGINT) AS nc,
+         |    CAST(len($toksSql) AS BIGINT) AS ntk
+         |  FROM documents
+         |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM f),
+         |cub AS (
+         |  SELECT coalesce(CAST(f_len AS VARCHAR), 'all') AS f_len,
+         |    coalesce(CAST(f_alpha AS VARCHAR), 'all') AS f_alpha,
+         |    coalesce(CAST(f_tok AS VARCHAR), 'all') AS f_tok,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(nc) AS BIGINT) AS n_chars,
+         |    CAST(SUM(ntk) AS BIGINT) AS n_tokens,
+         |    round(CAST(COUNT(*) AS DOUBLE) / CAST(max(tot) AS DOUBLE),
+         |      6) AS share
+         |  FROM f, tot
+         |  GROUP BY CUBE (f_len, f_alpha, f_tok)
+         |)
+         |SELECT * FROM cub ORDER BY f_len, f_alpha, f_tok""".stripMargin,
+
+    "q284_ope_snips" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT CAST(hour(ts) AS BIGINT) // 6 AS ctx,
+        |    event_type AS a,
+        |    substr(md5('ope|' || CAST(user_id AS VARCHAR)), 1, 1) < 'c'
+        |      AS is_train,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(value AS DECIMAL(19,6))) AS sv
+        |  FROM events GROUP BY 1, 2, 3
+        |), tr AS (
+        |  SELECT ctx, a, n,
+        |    round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mt
+        |  FROM base WHERE is_train
+        |), trc AS (
+        |  SELECT ctx, CAST(SUM(n) AS BIGINT) AS nc FROM tr GROUP BY 1
+        |), plog AS (
+        |  SELECT tr.ctx, a, mt,
+        |    round(CAST(n AS DOUBLE) / CAST(nc AS DOUBLE), 9) AS pl
+        |  FROM tr JOIN trc ON tr.ctx = trc.ctx
+        |), mx AS (
+        |  SELECT ctx, max(mt) AS mmax FROM tr GROUP BY 1
+        |), pol AS (
+        |  SELECT tr.ctx, min(a) AS pi_a
+        |  FROM tr JOIN mx ON tr.ctx = mx.ctx AND tr.mt = mx.mmax
+        |  GROUP BY 1
+        |), held AS (
+        |  SELECT ctx, a, n, sv FROM base WHERE NOT is_train
+        |), htot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nh, SUM(sv) AS svh FROM held
+        |), ttot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_train FROM base
+        |  WHERE is_train
+        |), m AS (
+        |  SELECT held.ctx, held.n, held.sv, plog.pl
+        |  FROM held JOIN pol ON held.ctx = pol.ctx
+        |    AND held.a = pol.pi_a
+        |  JOIN plog ON held.ctx = plog.ctx AND held.a = plog.a
+        |), ips AS (
+        |  SELECT
+        |    SUM(CAST(round(CAST(sv AS DOUBLE) * round(1.0 / pl, 9), 6)
+        |      AS DECIMAL(29,6))) AS swr,
+        |    SUM(CAST(round(CAST(n AS DOUBLE) * round(1.0 / pl, 9), 6)
+        |      AS DECIMAL(29,6))) AS swn,
+        |    SUM(CAST(round(CAST(n AS DOUBLE) * round(1.0 / pl, 9)
+        |      * round(1.0 / pl, 9), 6) AS DECIMAL(29,6))) AS swn2
+        |  FROM m
+        |), hc AS (
+        |  SELECT ctx, CAST(SUM(n) AS BIGINT) AS nhc FROM held
+        |  GROUP BY 1
+        |), dm AS (
+        |  SELECT SUM(CAST(round(CAST(nhc AS DOUBLE) * tr.mt, 6)
+        |    AS DECIMAL(29,6))) AS sdm
+        |  FROM hc JOIN pol ON hc.ctx = pol.ctx
+        |  JOIN tr ON tr.ctx = pol.ctx AND tr.a = pol.pi_a
+        |)
+        |SELECT n_train, nh AS n_held,
+        |  round(CAST(svh AS DOUBLE) / CAST(nh AS DOUBLE), 6)
+        |    AS value_onpolicy,
+        |  round(CAST(sdm AS DOUBLE) / CAST(nh AS DOUBLE), 6)
+        |    AS value_dm,
+        |  round(CAST(swr AS DOUBLE) / CAST(nh AS DOUBLE), 6)
+        |    AS value_ips,
+        |  round(CAST(swr AS DOUBLE) / CAST(swn AS DOUBLE), 6)
+        |    AS value_snips,
+        |  round(CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
+        |    / CAST(swn2 AS DOUBLE), 6) AS ess
+        |FROM ips, dm, htot, ttot""".stripMargin
   )
 
   /** DuckDB replay of [[operators.Graph.betweennessSampled]] over the

@@ -74,6 +74,76 @@ object Retrieval {
       .select(col("rk"), col("doc_id"), col("n_terms"), col("score"))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft 1998;
+    * Zhai & Lafferty 2001 — the language-modeling ranking function,
+    * BM25's main rival): score(q,d) = Σ_w ln((tf(w,d) + μ·P(w|C)) /
+    * (|d| + μ)). Unlike BM25 every document scores every query term —
+    * the background model P(w|C) = cf(w)/|C| supplies the mass for
+    * absent terms — so the naive plan touches |q|·N rows.
+    *
+    * Scale shape: the sum DECOMPOSES — score = C + Σ_{matched}
+    * [ln(tf + μp_w) − ln(μp_w)] − |q|·ln(|d| + μ), where
+    * C = Σ_w ln(μp_w) is a 1-row scalar — so the corpus pays exactly
+    * the BM25 plan: a map-side trim of the token stream to the
+    * broadcast query set, one bounded (doc, term) exchange for matched
+    * postings, per-doc length-norm algebra, a bounded TakeOrdered. The
+    * |q|·N cross product never materializes. Matched-term adjustments
+    * accumulate as round(9) DECIMAL(38,9); C's three ln terms likewise;
+    * one pinned final op order. */
+  def queryLikelihood(docs: DataFrame, idCol: String, textCol: String,
+                      queryTerms: Seq[String], mu: Double = 100.0,
+                      topN: Int = 20,
+                      mat: Materializer = Materializer.Local)
+      : DataFrame = {
+    require(queryTerms.nonEmpty && topN > 0 && mu > 0)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val dl = mat(docs.select(col(idCol).as("doc_id"),
+      size(toks).as("dl"),
+      explode_outer(filter(toks, t => t.isInCollection(queryTerms)))
+        .as("t")))
+    val docLen = dl.groupBy(col("doc_id"))
+      .agg(first(col("dl")).as("dl"))
+    // collection stats: total token mass and per-query-term collection
+    // frequency (cf > 0 required — a term absent from the collection
+    // has no Dirichlet mass and is dropped from the query, the
+    // standard convention)
+    val totT = docLen.agg(sum(col("dl")).cast("long").as("tt"))
+    val cf = dl.filter(col("t").isNotNull).groupBy(col("t"))
+      .agg(count(lit(1)).cast("long").as("cf"))
+    val pw = round(col("cf").cast("double") / col("tt").cast("double"),
+      12)
+    val cfp = mat(cf.crossJoin(broadcast(totT))
+      .select(col("t"), pw.as("pw")))
+    val cScalar = cfp.agg(
+      sum(round(log(lit(mu) * col("pw")), 9).cast("decimal(38,9)"))
+        .as("c0"),
+      count(lit(1)).cast("int").as("nq"))
+    val tf = dl.filter(col("t").isNotNull)
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val adj = tf.join(broadcast(cfp), Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_match"),
+        sum(round(log(col("tf") + lit(mu) * col("pw"))
+            - log(lit(mu) * col("pw")), 9).cast("decimal(38,9)"))
+          .as("adj"))
+    docLen.join(adj, Seq("doc_id"), "left")
+      .crossJoin(broadcast(cScalar))
+      .select(col("doc_id"),
+        coalesce(col("n_match"), lit(0)).as("n_match"),
+        round(col("c0").cast("double")
+          + coalesce(col("adj"), lit(0).cast("decimal(38,9)"))
+            .cast("double")
+          - col("nq").cast("double")
+            * log(col("dl").cast("double") + lit(mu)), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topN)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+      .select(col("rk"), col("doc_id"), col("n_match"), col("score"))
+  }
+
   /** All-pairs document cosine similarity over L2-normalized TF vectors,
     * computed through the inverted index (the Elsayed/Lin/Oard MapReduce
     * pairwise-similarity shape, a.k.a. DISCO): per-term partial products

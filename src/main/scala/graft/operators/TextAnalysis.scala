@@ -1262,6 +1262,81 @@ object TextAnalysis {
         coalesce(col("cross_entropy"), lit(0.0)).as("cross_entropy"))
   }
 
+  /** Interpolated Kneser–Ney bigram cross-entropy on a held-out slice
+    * (Kneser & Ney 1995; Chen & Goodman 1998 — the smoothing the KenLM
+    * models behind CCNet-style quality filtering actually use, where
+    * [[bigramCrossEntropy]] is the add-α baseline): absolute discount
+    * D from every seen bigram, the freed mass backed off to the
+    * CONTINUATION unigram P_cont(w) = N1+(·,w)/N1+(··) — "how many
+    * distinct contexts does w follow" — which is what stops
+    * high-frequency-but-context-locked tokens (the "San Francisco"
+    * effect) from soaking up backoff mass. An unseen context backs off
+    * to P_cont entirely; a held-out second token never seen as a
+    * continuation in training is OOV (counted, excluded — the <unk>
+    * convention).
+    *
+    * Scale shape: ONE (w1,w2) partial-combined exchange builds every
+    * model table (c(v,w); c(v) and N1+(v,·) by one more rollup of it;
+    * N1+(·,w) likewise); scoring is vocab-keyed equi-joins — the q73
+    * df-join-back shape — never a corpus self-join. Probabilities are
+    * per-row algebra in one pinned op order; ln terms accumulate as
+    * round(9) DECIMAL(38,9). Returns ONE row: (n_held_bigrams,
+    * n_scored, n_oov, oov_rate, xent_kn, ppl_kn). */
+  def kneserNeyXent(docs: DataFrame, idCol: String, textCol: String,
+                    isTrain: Column, discount: Double = 0.75,
+                    mat: Materializer = Materializer.Local)
+      : DataFrame = {
+    val base = mat(docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("tk"), isTrain.as("is_train")))
+    def bigrams(df: DataFrame) = df.select(
+        explode(when(size(col("tk")) >= 2,
+          zip_with(
+            slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(1))),
+            slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(1))),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val trainBg = mat(bigrams(base.filter(col("is_train")))
+      .withColumnRenamed("cnt", "c2"))
+    val ctx = trainBg.groupBy(col("w1")).agg(
+      sum(col("c2")).cast("long").as("c1"), count(lit(1)).as("n1f"))
+    val cont = trainBg.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1b"))
+    val bTot = trainBg.agg(count(lit(1)).as("bb"))
+    val held = bigrams(base.filter(!col("is_train")))
+      .withColumnRenamed("cnt", "tf")
+    val sc = held.join(trainBg, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(bTot))
+    val pcont = col("n1b").cast("double") / col("bb").cast("double")
+    val p = when(col("c1").isNull, pcont)
+      .otherwise(
+        greatest(coalesce(col("c2"), lit(0L)).cast("double")
+          - lit(discount), lit(0.0)) / col("c1").cast("double")
+        + lit(discount) * col("n1f").cast("double")
+          / col("c1").cast("double") * pcont)
+    val scoreable = col("n1b").isNotNull
+    val agg = sc.agg(
+      sum(col("tf")).cast("long").as("n_held_bigrams"),
+      sum(when(scoreable, col("tf")).otherwise(0L)).cast("long")
+        .as("n_scored"),
+      sum(when(!scoreable, col("tf")).otherwise(0L)).cast("long")
+        .as("n_oov"),
+      sum(when(scoreable,
+        round(col("tf").cast("double") * log(p), 9)
+          .cast("decimal(38,9)"))
+        .otherwise(lit(0).cast("decimal(38,9)"))).as("sl"))
+    val raw = -col("sl").cast("double") / col("n_scored").cast("double")
+    agg.select(col("n_held_bigrams"), col("n_scored"), col("n_oov"),
+      round(col("n_oov").cast("double")
+        / col("n_held_bigrams").cast("double"), 6).as("oov_rate"),
+      round(raw, 6).as("xent_kn"),
+      round(exp(raw), 6).as("ppl_kn"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003
     * — the MOSS local fingerprinting algorithm): hash every k-token
     * shingle, slide a w-hash window, keep each window's minimum hash

@@ -3651,6 +3651,59 @@ class OperatorsSpec extends SparkSpec {
     assert(got(4L) == ((0L, 0.0)))
   }
 
+  test("kneserNeyXent: hand-computed discount/continuation algebra; " +
+    "unseen context backs off to P_cont; OOV continuation excluded") {
+    val s = spark
+    import s.implicits._
+    // train: "a b a b" -> (a,b)x2 (b,a)x1; "b c" -> (b,c)x1
+    // model: c2t {(a,b):2,(b,a):1,(b,c):1}, bb=3 types
+    //        ctx a:(c1=2,n1f=1) b:(c1=2,n1f=2); cont a/b/c: n1b=1
+    val df = Seq((1L, "a b a b", true), (2L, "b c", true),
+      (3L, "a b", false), (4L, "c a", false), (5L, "a z", false))
+      .toDF("doc_id", "text", "tr")
+    val r = graft.operators.TextAnalysis
+      .kneserNeyXent(df, "doc_id", "text", isTrain = $"tr")
+      .collect()(0)
+    // (a,b): (2-.75)/2 + .75*1/2*(1/3) = 0.75
+    // (c,a): context c unseen -> P_cont(a) = 1/3
+    // (a,z): z never a continuation -> OOV, excluded from xent
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 0.333333)
+    // xent = -[ln .75 + ln(1/3)]/2 = ln(2) -> ppl exactly 2
+    assert(r.getDouble(4) == 0.693147 && r.getDouble(5) == 2.0)
+  }
+
+  test("queryLikelihood: matches a hand replay of the decomposed " +
+    "Dirichlet score; zero-match docs still ranked; collection-absent " +
+    "query terms dropped") {
+    val s = spark
+    import s.implicits._
+    // corpus: dl = 3,2,1; |C|=6; cf(x)=3 cf(y)=1; 'nope' absent -> dropped
+    val df = Seq((1L, "x x y"), (2L, "x z"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Retrieval
+      .queryLikelihood(df, "doc_id", "text", Seq("x", "y", "nope"),
+        mu = 2.0, topN = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSeq
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (pwx, pwy) = (r12(3.0 / 6.0), r12(1.0 / 6.0))
+    val c0 = r9(math.log(2.0 * pwx)) + r9(math.log(2.0 * pwy))
+    def adj(tf: Double, pw: Double) =
+      r9(math.log(tf + 2.0 * pw) - math.log(2.0 * pw))
+    def score(a: BigDecimal, dl: Double, nq: Double) =
+      r6((c0 + a).toDouble - nq * math.log(dl + 2.0))
+    val s1 = score(adj(2.0, pwx) + adj(1.0, pwy), 3.0, 2.0)
+    val s2 = score(adj(1.0, pwx), 2.0, 2.0)
+    val s3 = score(BigDecimal(0), 1.0, 2.0)
+    assert(got == Seq((1, 1L, 2, s1), (2, 2L, 1, s2), (3, 3L, 0, s3)))
+  }
+
   test("degreeAssortativity: a star is exactly -1; a regular graph has " +
     "no degree variance (NULL)") {
     val s = spark
