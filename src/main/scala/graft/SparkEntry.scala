@@ -6318,8 +6318,133 @@ object SparkEntry {
             6).as("value_snips"),
           round(col("swn").cast("double") * col("swn").cast("double")
             / col("swn2").cast("double"), 6).as("ess"))
+    }),
+
+    "q285_bradley_terry" -> ((s, dir) => {
+      // Bradley–Terry paired-comparison strengths (Bradley & Terry 1952)
+      // fitted by Hunter's (2004) MM iterations — the model behind
+      // pairwise preference data (RLHF reward datasets, ranker evals).
+      // Comparisons: within each (user, day), every pair of event types
+      // the user touched "plays"; the higher summed value wins (exact
+      // DECIMAL compare, ties discarded). ONE corpus exchange to
+      // (user, day, type) cells; the pair join runs inside
+      // entity-bounded user-day groups (≤|types| rows each), and the MM
+      // loop is pure broadcast algebra on the ≤|types|² pair table —
+      // three rounds cost three ≤25-row joins at any corpus size. Each
+      // MM term requantizes to DECIMAL(19,9) before its sum, so
+      // partial-agg order can never flip a bit vs the oracle's unrolled
+      // replay.
+      val ev = t(s, dir, "events")
+      val ud = ev.select(col("user_id"),
+          date_trunc("day", col("ts")).as("d"),
+          col("event_type"), col("value"))
+        .groupBy(col("user_id"), col("d"), col("event_type"))
+        .agg(sum(col("value").cast("decimal(19,6)")).as("sv"))
+      val pa = ud.select(col("user_id"), col("d"),
+        col("event_type").as("i"), col("sv").as("sva"))
+      val pb = ud.select(col("user_id"), col("d"),
+        col("event_type").as("j"), col("sv").as("svb"))
+      val pair = pa.join(pb, Seq("user_id", "d"))
+        .filter(col("i") < col("j") && col("sva") =!= col("svb"))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("sva") > col("svb"), 1L).otherwise(0L)).as("wi"),
+          sum(when(col("svb") > col("sva"), 1L).otherwise(0L)).as("wj"))
+      operators.Stats.bradleyTerry(pair, rounds = 3)
+        .withColumnRenamed("i", "event_type")
+        .orderBy(col("strength").desc, col("event_type"))
+    }),
+
+    "q288_feature_hash_audit" -> ((s, dir) => {
+      // feature-hashing collision audit (Weinberger et al., ICML 2009):
+      // the hashing trick maps an unbounded vocabulary into d buckets;
+      // this measures what that costs on THIS corpus at d = 256 and
+      // d = 4096 — terms colliding, buckets occupied, and the share of
+      // total token MASS sitting in collided buckets (the quantity that
+      // actually hurts a downstream linear model). ONE (term) exchange
+      // builds the vocab frequency table; each d is then a groupBy on
+      // that vocab-scale table (vocab grows Heaps-sublinearly at
+      // 100 TB). Bucket = the portable md5-hex-prefix integer, the
+      // engine-shared hash convention.
+      val tf = operators.Materializer.Local(t(s, dir, "documents")
+        .select(explode(operators.TextAnalysis.tokens(col("text")))
+          .as("tk"))
+        .groupBy(col("tk")).agg(count(lit(1)).as("freq")))
+      def audit(d: Int): DataFrame = {
+        val bkt = pmod(conv(substring(md5(col("tk")), 1, 8), 16, 10)
+          .cast("long"), lit(d.toLong))
+        tf.groupBy(bkt.as("bucket"))
+          .agg(count(lit(1)).as("nt"), sum(col("freq")).as("bf"))
+          .agg(sum(col("nt")).cast("long").as("n_terms"),
+            count(lit(1)).cast("long").as("buckets_used"),
+            sum(when(col("nt") >= 2, col("nt")).otherwise(0L))
+              .cast("long").as("collided_terms"),
+            max(col("nt")).cast("long").as("max_bucket_terms"),
+            round(sum(when(col("nt") >= 2, col("bf")).otherwise(0L))
+                .cast("double") / sum(col("bf")).cast("double"), 6)
+              .as("collision_mass"))
+          .select(lit(d.toLong).as("dims"), col("n_terms"),
+            col("buckets_used"), col("collided_terms"),
+            col("max_bucket_terms"), col("collision_mass"))
+      }
+      audit(256).unionAll(audit(4096)).orderBy(col("dims"))
+    }),
+
+    "q290_rbo_rankers" -> ((s, dir) => {
+      // rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
+      // the BM25 (q138) and Dirichlet-QLM (q282) top-10 rankings for
+      // three queries — the standard top-weighted agreement measure for
+      // indefinite rankings, here the "do my two retrievers see the
+      // same corpus" monitor. Truncated RBO@10 decomposes per SHARED
+      // doc: a doc first covered at depth m = max(rank_a, rank_b)
+      // contributes c(m) = (1-p)·Σ_{d=m..10} p^(d-1)/d, so the whole
+      // measure is one broadcast join against the 10-row c(m) constant
+      // table (decimal strings shared VERBATIM with the oracle) plus an
+      // exact DECIMAL sum over ≤10 matched rows per query. The rankings
+      // themselves reuse the bounded-postings BM25/QLM plans.
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val sets = Seq(("q1", Seq("spark", "join", "window")),
+        ("q2", Seq("merge", "sort", "hash")),
+        ("q3", Seq("scan", "filter", "batch")))
+      val a = sets.map { case (label, terms) =>
+        operators.Retrieval.bm25(docs, "doc_id", "text", terms,
+            k1 = 1.2, b = 0.75, topN = 10)
+          .select(lit(label).as("q"), col("doc_id"), col("rk").as("ra"))
+      }.reduce(_ unionAll _)
+      val b = sets.map { case (label, terms) =>
+        operators.Retrieval.queryLikelihood(docs, "doc_id", "text", terms,
+            mu = 100.0, topN = 10)
+          .select(lit(label).as("q"), col("doc_id"), col("rk").as("rb"))
+      }.reduce(_ unionAll _)
+      val w = rboWeights.toDF("m", "c")
+      a.join(b, Seq("q", "doc_id"))
+        .select(col("q"), greatest(col("ra"), col("rb")).as("m"))
+        .join(broadcast(w), Seq("m"))
+        .groupBy(col("q"))
+        .agg(count(lit(1)).cast("long").as("n_common"),
+          round(sum(col("c").cast("decimal(14,12)")).cast("double"), 6)
+            .as("rbo"))
+        .orderBy(col("q"))
     })
   )
+
+  /** Truncated rank-biased-overlap contribution table (Webber et al.
+    * 2010), p = 0.9, depth 10: c(m) = (1-p)·Σ_{d=m..10} p^(d-1)/d is
+    * what ONE shared doc first covered at depth m adds to RBO@10. Exact
+    * decimal strings (12 places, HALF_UP at the division only — p^(d-1)
+    * is exact), shared VERBATIM with the q290 oracle's VALUES table. */
+  private[graft] lazy val rboWeights: Seq[(Int, String)] = {
+    val p = BigDecimal("0.9")
+    (1 to 10).map { m =>
+      val tail = (m to 10).map { d =>
+        (p.pow(d - 1) / BigDecimal(d))
+          .setScale(14, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      m -> ((BigDecimal(1) - p) * tail)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toString
+    }
+  }
 
   /** Exact Shapley coalition enumeration for 4 players shared VERBATIM
     * with the q264 oracle's VALUES table: (player g, coalition without
@@ -14079,42 +14204,7 @@ object SparkEntry {
          |FROM agg""".stripMargin,
 
     "q282_qlm_retrieval" ->
-      s"""WITH dl AS MATERIALIZED (
-         |  SELECT doc_id, len($toksSql) AS dl FROM documents
-         |), tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS tt FROM dl),
-         |q(t) AS (VALUES ('spark'), ('join'), ('window')),
-         |tfm AS (
-         |  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
-         |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)
-         |  WHERE t IN (SELECT t FROM q) GROUP BY 1, 2
-         |), cfp AS MATERIALIZED (
-         |  SELECT t, round(CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE)
-         |    / CAST(tt AS DOUBLE), 12) AS pw
-         |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents),
-         |    tot
-         |  WHERE t IN (SELECT t FROM q) GROUP BY t, tt
-         |), cs AS (
-         |  SELECT SUM(CAST(round(ln(100.0 * pw), 9) AS DECIMAL(38,9)))
-         |      AS c0,
-         |    CAST(COUNT(*) AS INTEGER) AS nq
-         |  FROM cfp
-         |), adj AS (
-         |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_match,
-         |    SUM(CAST(round(ln(tf + 100.0 * pw) - ln(100.0 * pw), 9)
-         |      AS DECIMAL(38,9))) AS adj
-         |  FROM tfm JOIN cfp USING (t) GROUP BY 1
-         |), scored AS (
-         |  SELECT dl.doc_id, coalesce(n_match, 0) AS n_match,
-         |    round(CAST(c0 AS DOUBLE)
-         |      + CAST(coalesce(adj, CAST(0 AS DECIMAL(38,9)))
-         |          AS DOUBLE)
-         |      - CAST(nq AS DOUBLE) * ln(CAST(dl AS DOUBLE) + 100.0),
-         |      6) AS score
-         |  FROM dl LEFT JOIN adj USING (doc_id), cs
-         |)
-         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
-         |    AS INTEGER) AS rk, doc_id, n_match, score
-         |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+      qlmSql("('spark'), ('join'), ('window')", 20),
 
     "q283_filter_ablation" ->
       s"""WITH f AS (
@@ -14209,7 +14299,124 @@ object SparkEntry {
         |    AS value_snips,
         |  round(CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
         |    / CAST(swn2 AS DOUBLE), 6) AS ess
-        |FROM ips, dm, htot, ttot""".stripMargin
+        |FROM ips, dm, htot, ttot""".stripMargin,
+
+    "q285_bradley_terry" -> {
+      // unrolled 3-round Hunter-MM replay; each round's terms round(9)
+      // to DECIMAL(19,9) before summing, exactly as the Spark loop
+      val rounds = (1 to 3).map { r =>
+        val prev = s"s${r - 1}"
+        s"""d$r AS (
+           |  SELECT sym.i,
+           |    SUM(CAST(round(CAST(n AS DOUBLE) / (si.st + sj.st), 9)
+           |      AS DECIMAL(19,9))) AS dn
+           |  FROM sym JOIN $prev si ON sym.i = si.i
+           |    JOIN $prev sj ON sym.j = sj.i
+           |  GROUP BY 1
+           |), r$r AS (
+           |  SELECT d$r.i,
+           |    round(CAST(wins AS DOUBLE) / CAST(dn AS DOUBLE), 9) AS sr
+           |  FROM d$r JOIN wt ON d$r.i = wt.i
+           |), t$r AS (
+           |  SELECT SUM(CAST(sr AS DECIMAL(19,9))) AS tot FROM r$r
+           |), s$r AS (
+           |  SELECT i, round(sr * nt / CAST(tot AS DOUBLE), 9) AS st
+           |  FROM r$r, t$r, ntc
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH ud AS (
+         |  SELECT user_id, date_trunc('day', ts) AS d, event_type,
+         |    sum(CAST(value AS DECIMAL(19,6))) AS sv
+         |  FROM events GROUP BY 1, 2, 3
+         |), pair AS MATERIALIZED (
+         |  SELECT a.event_type AS i, b.event_type AS j,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a.sv > b.sv THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS wi,
+         |    CAST(sum(CASE WHEN b.sv > a.sv THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS wj
+         |  FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.d = b.d
+         |    AND a.event_type < b.event_type
+         |  WHERE a.sv <> b.sv GROUP BY 1, 2
+         |), sym AS MATERIALIZED (
+         |  SELECT i, j, n, wi AS w FROM pair
+         |  UNION ALL SELECT j, i, n, wj FROM pair
+         |), wt AS MATERIALIZED (
+         |  SELECT i, CAST(SUM(w) AS BIGINT) AS wins,
+         |    CAST(SUM(n) AS BIGINT) AS comparisons
+         |  FROM sym GROUP BY 1
+         |), ntc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM wt),
+         |s0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS st FROM wt),
+         |$rounds
+         |SELECT wt.i AS event_type, wins, comparisons,
+         |  round(st, 6) AS strength
+         |FROM wt JOIN s3 ON wt.i = s3.i
+         |ORDER BY strength DESC, event_type""".stripMargin
+    },
+
+    "q288_feature_hash_audit" -> {
+      def audit(d: Int): String =
+        s"""  SELECT CAST($d AS BIGINT) AS dims,
+           |    CAST(SUM(nt) AS BIGINT) AS n_terms,
+           |    CAST(COUNT(*) AS BIGINT) AS buckets_used,
+           |    CAST(SUM(CASE WHEN nt >= 2 THEN nt ELSE 0 END) AS BIGINT)
+           |      AS collided_terms,
+           |    CAST(MAX(nt) AS BIGINT) AS max_bucket_terms,
+           |    round(CAST(SUM(CASE WHEN nt >= 2 THEN bf ELSE 0 END)
+           |        AS DOUBLE) / CAST(SUM(bf) AS DOUBLE), 6)
+           |      AS collision_mass
+           |  FROM (
+           |    SELECT (list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+           |        (strpos('0123456789abcdef',
+           |          substr(md5(tk), i + 1, 1)) - 1)
+           |        for i in range(0, 8)]) % $d) AS bucket,
+           |      CAST(count(*) AS BIGINT) AS nt,
+           |      CAST(sum(freq) AS BIGINT) AS bf
+           |    FROM tf GROUP BY 1)""".stripMargin
+      s"""WITH tf AS MATERIALIZED (
+         |  SELECT t AS tk, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($toksSql) AS t FROM documents)
+         |  GROUP BY 1
+         |), a1 AS (
+         |${audit(256)}
+         |), a2 AS (
+         |${audit(4096)}
+         |)
+         |SELECT * FROM a1 UNION ALL SELECT * FROM a2 ORDER BY dims""".stripMargin
+    },
+
+    "q290_rbo_rankers" -> {
+      val wvals = rboWeights.map { case (m, c) => s"($m, $c)" }
+        .mkString(", ")
+      val sets = Seq(
+        ("q1", "'spark', 'join', 'window'",
+          "('spark'), ('join'), ('window')"),
+        ("q2", "'merge', 'sort', 'hash'", "('merge'), ('sort'), ('hash')"),
+        ("q3", "'scan', 'filter', 'batch'",
+          "('scan'), ('filter'), ('batch')"))
+      val aSql = sets.map { case (label, inList, _) =>
+        s"""  SELECT '$label' AS q, doc_id, rk AS ra
+           |  FROM (${bm25Sql(inList, 10)})""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      val bSql = sets.map { case (label, _, valuesList) =>
+        s"""  SELECT '$label' AS q, doc_id, rk AS rb
+           |  FROM (${qlmSql(valuesList, 10)})""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH a AS MATERIALIZED (
+         |$aSql
+         |), b AS MATERIALIZED (
+         |$bSql
+         |), w(m, c) AS (VALUES $wvals),
+         |mm AS (
+         |  SELECT a.q, greatest(ra, rb) AS m
+         |  FROM a JOIN b ON a.q = b.q AND a.doc_id = b.doc_id
+         |)
+         |SELECT q, CAST(count(*) AS BIGINT) AS n_common,
+         |  round(CAST(SUM(CAST(c AS DECIMAL(14,12))) AS DOUBLE), 6)
+         |    AS rbo
+         |FROM mm JOIN w ON mm.m = w.m
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 
   /** DuckDB replay of [[operators.Graph.betweennessSampled]] over the
@@ -14561,6 +14768,47 @@ object SparkEntry {
   /** DuckDB BM25 (Lucene k1=1.2/b=0.75 formulation) over `documents` for a
     * literal term list — the exact algebra of [[operators.Retrieval.bm25]]
     * (same op order; ln ulps absorbed by round(6)). */
+  /** DuckDB replay of [[operators.Retrieval.queryLikelihood]] (Dirichlet
+    * mu=100): `termsValues` is the VALUES list for the query-term table,
+    * e.g. "('spark'), ('join'), ('window')". Nestable as a subquery. */
+  private def qlmSql(termsValues: String, topN: Int): String =
+    s"""WITH dl AS MATERIALIZED (
+       |  SELECT doc_id, len($toksSql) AS dl FROM documents
+       |), tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS tt FROM dl),
+       |q(t) AS (VALUES $termsValues),
+       |tfm AS (
+       |  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)
+       |  WHERE t IN (SELECT t FROM q) GROUP BY 1, 2
+       |), cfp AS MATERIALIZED (
+       |  SELECT t, round(CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE)
+       |    / CAST(tt AS DOUBLE), 12) AS pw
+       |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+       |    tot
+       |  WHERE t IN (SELECT t FROM q) GROUP BY t, tt
+       |), cs AS (
+       |  SELECT SUM(CAST(round(ln(100.0 * pw), 9) AS DECIMAL(38,9)))
+       |      AS c0,
+       |    CAST(COUNT(*) AS INTEGER) AS nq
+       |  FROM cfp
+       |), adj AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_match,
+       |    SUM(CAST(round(ln(tf + 100.0 * pw) - ln(100.0 * pw), 9)
+       |      AS DECIMAL(38,9))) AS adj
+       |  FROM tfm JOIN cfp USING (t) GROUP BY 1
+       |), scored AS (
+       |  SELECT dl.doc_id, coalesce(n_match, 0) AS n_match,
+       |    round(CAST(c0 AS DOUBLE)
+       |      + CAST(coalesce(adj, CAST(0 AS DECIMAL(38,9)))
+       |          AS DOUBLE)
+       |      - CAST(nq AS DOUBLE) * ln(CAST(dl AS DOUBLE) + 100.0),
+       |      6) AS score
+       |  FROM dl LEFT JOIN adj USING (doc_id), cs
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+       |    AS INTEGER) AS rk, doc_id, n_match, score
+       |FROM scored ORDER BY score DESC, doc_id LIMIT $topN""".stripMargin
+
   private def bm25Sql(termsInList: String, topN: Int): String =
     s"""WITH dl AS (
        |  SELECT doc_id,

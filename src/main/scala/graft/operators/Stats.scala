@@ -1630,4 +1630,53 @@ object Stats {
     sums.select(keep.map(col) ++ Seq(round(b0, 9).as("b0"),
       round(b1, 9).as("b1"), round(b2, 9).as("b2")): _*)
   }
+
+  /** Bradley–Terry paired-comparison strengths (Bradley & Terry 1952)
+    * fitted by Hunter's (2004) MM iterations over an ORDERED-pair
+    * tournament table `pair(i, j, n, wi, wj)` (i < j; n comparisons, wi
+    * wins for i, wj for j) — bounded at |items|², so every round is
+    * broadcast algebra that costs the same at any corpus size.
+    * s_i ← W_i / Σ_j n_ij/(s_i+s_j), renormalized to mean 1 each round;
+    * each term requantizes round(9)→DECIMAL(19,9) before its sum so an
+    * unrolled SQL replay is bit-identical. Returns
+    * (i, wins, comparisons, strength round(6)). Items with zero wins
+    * converge to strength 0; items in no pair are absent (they played
+    * no game). */
+  def bradleyTerry(pairTab: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1)
+    val pair = Materializer.Local(pairTab)
+    val sym = Materializer.Local(
+      pair.select(col("i"), col("j"), col("n"), col("wi").as("w"))
+        .unionAll(pair.select(col("j").as("i"), col("i").as("j"),
+          col("n"), col("wj").as("w"))))
+    val wt = Materializer.Local(sym.groupBy(col("i"))
+      .agg(sum(col("w")).as("wins"), sum(col("n")).as("comparisons")))
+    // |items| — a bounded-table scalar, the normalization target (mean
+    // strength 1.0), shared with the oracle's COUNT(*) subquery
+    val nt = wt.count().toDouble
+    var sTab = wt.select(col("i"), lit(1.0).as("st"))
+    for (_ <- 1 to rounds) {
+      val si = sTab.select(col("i").as("di"), col("st").as("sst"))
+      val sj = sTab.select(col("i").as("dj"), col("st").as("sjt"))
+      val den = sym
+        .join(broadcast(si), col("i") === col("di"))
+        .join(broadcast(sj), col("j") === col("dj"))
+        .groupBy(col("i"))
+        .agg(sum(round(col("n").cast("double")
+            / (col("sst") + col("sjt")), 9)
+          .cast("decimal(19,9)")).as("dn"))
+      val raw = den.join(broadcast(wt), Seq("i"))
+        .select(col("i"),
+          round(col("wins").cast("double") / col("dn").cast("double"),
+            9).as("sr"))
+      val tot = raw.agg(sum(col("sr").cast("decimal(19,9)")).as("tot"))
+      sTab = Materializer.Local(raw.crossJoin(broadcast(tot))
+        .select(col("i"),
+          round(col("sr") * lit(nt) / col("tot").cast("double"), 9)
+            .as("st")))
+    }
+    wt.join(broadcast(sTab), Seq("i"))
+      .select(col("i"), col("wins"), col("comparisons"),
+        round(col("st"), 6).as("strength"))
+  }
 }

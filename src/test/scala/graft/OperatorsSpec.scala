@@ -4049,6 +4049,39 @@ class OperatorsSpec extends SparkSpec {
       beta.getDouble(3) == -1.0, s"exact plane: $beta")
   }
 
+  test("bradleyTerry (q285): two-player game hits the closed form in " +
+    "one MM round; a transitive sweep orders strengths; zero-win items " +
+    "converge to 0") {
+    val s = spark
+    import s.implicits._
+    // A beats B 7-3: BT closed form s_A/(s_A+s_B)=0.7, mean-1 norm →
+    // (1.4, 0.6), a fixed point of the MM update (round 2+ must not move)
+    val g2 = Seq(("A", "B", 10L, 7L, 3L)).toDF("i", "j", "n", "wi", "wj")
+    val r2 = graft.operators.Stats.bradleyTerry(g2, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(r2("A") == 1.4 && r2("B") == 0.6, s"closed form: $r2")
+    // transitive sweep A>B>C with C winless: strengths order, C → 0
+    val g3 = Seq(("A", "B", 2L, 2L, 0L), ("B", "C", 2L, 2L, 0L),
+      ("A", "C", 2L, 2L, 0L)).toDF("i", "j", "n", "wi", "wj")
+    val r3 = graft.operators.Stats.bradleyTerry(g3, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(r3("A") > r3("B") && r3("B") > r3("C"), s"order: $r3")
+    assert(r3("C") == 0.0, s"winless floor: $r3")
+  }
+
+  test("rboWeights (q290): identical top-10 lists sum to 1 - p^10; " +
+    "weights strictly decrease in first-covered depth") {
+    val w = SparkEntry.rboWeights.map { case (m, c) => m -> c.toDouble }
+    assert(w.map(_._1) == (1 to 10))
+    val full = w.map(_._2).sum
+    assert(math.abs(full - (1.0 - math.pow(0.9, 10))) < 1e-9,
+      s"identical-list RBO: $full")
+    assert(w.map(_._2).sliding(2).forall(p => p(0) > p(1)),
+      "earlier-covered docs must weigh more")
+    // the deepest weight is exactly (1-p)·p^9/10 (single-term tail)
+    assert(math.abs(w.last._2 - 0.1 * math.pow(0.9, 9) / 10) < 1e-12)
+  }
+
   test("shapleyCoalitions (q264): 8 coalitions per player, weights sum " +
     "to 1 per player, with-mask = without-mask | player bit") {
     val cs = SparkEntry.shapleyCoalitionsForTest

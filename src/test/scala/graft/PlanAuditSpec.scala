@@ -1334,4 +1334,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct")
       && !p2.contains("SortMergeJoin"), p2.take(3000))
   }
+
+  test("q285/q288/q290: BT's MM loop is broadcast algebra on the " +
+    "checkpointed pair table; the hash audit and RBO never form a " +
+    "cartesian or shuffle join") {
+    // q285's audited (post-checkpoint) plan is the final strength join:
+    // broadcast only — the corpus exchange happened below the checkpoint
+    val p1 = plan("q285_bradley_terry")
+    assert(!p1.contains("CartesianProduct")
+      && !p1.contains("SortMergeJoin"), p1.take(3000))
+    assert(p1.contains("BroadcastHashJoin"), p1.take(3000))
+    val p2 = plan("q288_feature_hash_audit")
+    assert(!p2.contains("CartesianProduct")
+      && !p2.contains("SortMergeJoin"), p2.take(3000))
+    // q290 inherits the rankers' plans (their 1-row scalar cross joins
+    // surface as BNLJ and the doc-length LEFT join may SMJ) — the RBO
+    // layer itself must add only broadcast joins and no cartesian
+    val p3 = plan("q290_rbo_rankers")
+    assert(!p3.contains("CartesianProduct"), p3.take(3000))
+    assert(p3.contains("BroadcastHashJoin"), p3.take(3000))
+  }
 }
