@@ -6426,6 +6426,35 @@ object SparkEntry {
           round(sum(col("c").cast("decimal(14,12)")).cast("double"), 6)
             .as("rbo"))
         .orderBy(col("q"))
+    }),
+
+    "q287_mink_membership" -> ((s, dir) => {
+      // Min-K% membership / memorization audit (Shi et al., ICLR 2024)
+      // over the corpus add-1 bigram LM: score = mean surprisal of each
+      // doc's 20% least-probable bigram types. Text the model finds
+      // likely even at its WORST tokens reads as a training-set member /
+      // memorized duplicate; novel text keeps the fat high-surprisal
+      // tail the plain mean (returned alongside) averages away. Same
+      // plan as the surprisal family: one (doc, bigram) exchange,
+      // token-keyed model joins, per-doc entity-bounded window.
+      operators.TextAnalysis.minKSurprisal(t(s, dir, "documents"),
+          "doc_id", "text", alpha = 0.5, kFrac = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q289_facility_location" -> ((s, dir) => {
+      // facility-location greedy data selection (Lin & Bilmes 2011):
+      // 5 exemplar docs from a 30-doc hash-order candidate pool
+      // maximizing total best-representative Jaccard coverage — the
+      // submodular "small set that looks like the corpus" selection
+      // (1-1/e of optimal). The n×30 sparse sim matrix forms once via a
+      // broadcast shingle equi-join and checkpoints; each greedy round
+      // is ONE marginal-gain aggregate + a 1-row broadcast coverage
+      // update, exact DECIMAL end to end.
+      GraftFunctions.register(s)
+      operators.Sampling.facilityLocationSelect(t(s, dir, "documents"),
+          "doc_id", "text", nCand = 30, k = 5, shingleN = 3)
+        .orderBy(col("rk"))
     })
   )
 
@@ -14416,6 +14445,113 @@ object SparkEntry {
          |    AS rbo
          |FROM mm JOIN w ON mm.m = w.m
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q287_mink_membership" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents
+         |), bi AS (
+         |  SELECT doc_id, tk[CAST(i + 1 AS INT)] AS w1,
+         |    tk[CAST(i + 2 AS INT)] AS w2
+         |  FROM (SELECT doc_id, tk,
+         |          unnest(range(0, greatest(len(tk) - 1, 0))) AS i
+         |        FROM base)
+         |), tf AS (
+         |  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM bi GROUP BY 1, 2, 3
+         |), c2 AS (SELECT w1, w2, SUM(tf) AS c2 FROM tf GROUP BY 1, 2),
+         |c1 AS (SELECT w1, SUM(tf) AS c1 FROM tf GROUP BY 1),
+         |v AS (
+         |  SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vs
+         |  FROM (SELECT unnest(tk) AS t FROM base)
+         |), sc AS (
+         |  SELECT doc_id, w1, w2,
+         |    round(ln((CAST(c2 AS DOUBLE) + 0.5)
+         |      / (CAST(c1 AS DOUBLE) + 0.5 * vs)), 9) AS lp
+         |  FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+         |), rkd AS (
+         |  SELECT doc_id, lp,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY lp, w1, w2) AS BIGINT) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
+         |      AS n_types
+         |  FROM sc
+         |), agg AS (
+         |  SELECT doc_id, n_types, (n_types + 4) // 5 AS k_used,
+         |    round(-CAST(SUM(CASE WHEN rk <= (n_types + 4) // 5
+         |        THEN CAST(lp AS DECIMAL(19,9))
+         |        ELSE CAST(0.0 AS DECIMAL(19,9)) END) AS DOUBLE)
+         |      / CAST((n_types + 4) // 5 AS DOUBLE), 6)
+         |      AS mink_surprisal,
+         |    round(-CAST(SUM(CAST(lp AS DECIMAL(19,9))) AS DOUBLE)
+         |      / CAST(n_types AS DOUBLE), 6) AS mean_surprisal
+         |  FROM rkd GROUP BY 1, 2
+         |)
+         |SELECT d.doc_id, COALESCE(n_types, 0) AS n_types,
+         |  COALESCE(k_used, 0) AS k_used,
+         |  COALESCE(mink_surprisal, 0.0) AS mink_surprisal,
+         |  COALESCE(mean_surprisal, 0.0) AS mean_surprisal
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q289_facility_location" -> {
+      // unrolled 5-round greedy replay: each round re-derives marginal
+      // gains from the checkpointed sim matrix and the coverage vector,
+      // exactly as the Spark loop — all-DECIMAL, so bit-identical
+      val rounds = (1 to 5).map { r =>
+        val bp = s"b${r - 1}"
+        s"""g$r AS (
+           |  SELECT cid, SUM(sim - best) AS g
+           |  FROM m JOIN $bp USING (did)
+           |  WHERE sim > best GROUP BY 1
+           |), p$r AS (
+           |  SELECT cid, g FROM g$r ORDER BY g DESC, cid LIMIT 1
+           |), b$r AS (
+           |  SELECT did,
+           |    greatest(best, coalesce(mp.sim, CAST(0 AS DECIMAL(19,9))))
+           |      AS best
+           |  FROM $bp LEFT JOIN
+           |    (SELECT did, sim FROM m JOIN p$r USING (cid)) mp
+           |    USING (did)
+           |)""".stripMargin
+      }.mkString(", ")
+      val picksSql = (1 to 5).map(r =>
+        s"  SELECT CAST($r AS INTEGER) AS rk, cid AS doc_id, g FROM p$r")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '\\s+'),
+         |      x -> x <> '') AS raw
+         |  FROM documents
+         |), sh0 AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(raw) < 3
+         |      THEN [array_to_string(raw, ' ')]
+         |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+         |            for i in range(0, len(raw) - 2)] END) AS sgs
+         |  FROM tk
+         |), cand AS MATERIALIZED (
+         |  SELECT doc_id AS cid, sgs AS csgs FROM sh0
+         |  ORDER BY md5('fl|' || CAST(doc_id AS VARCHAR)), doc_id
+         |  LIMIT 30
+         |), m AS MATERIALIZED (
+         |  SELECT a.doc_id AS did, cand.cid,
+         |    CAST(round(CAST(len(list_intersect(a.sgs, csgs)) AS DOUBLE)
+         |        / CAST(len(a.sgs) + len(csgs)
+         |          - len(list_intersect(a.sgs, csgs)) AS DOUBLE), 9)
+         |      AS DECIMAL(19,9)) AS sim
+         |  FROM sh0 a, cand
+         |  WHERE len(list_intersect(a.sgs, csgs)) > 0
+         |), b0 AS (
+         |  SELECT DISTINCT did, CAST(0 AS DECIMAL(19,9)) AS best FROM m
+         |), $rounds,
+         |picks AS (
+         |$picksSql
+         |)
+         |SELECT rk, doc_id, round(CAST(g AS DOUBLE), 6) AS gain,
+         |  round(CAST(SUM(g) OVER (ORDER BY rk
+         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS objective
+         |FROM picks ORDER BY rk""".stripMargin
     }
   )
 

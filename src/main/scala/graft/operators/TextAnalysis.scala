@@ -828,6 +828,73 @@ object TextAnalysis {
         coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
   }
 
+  /** Min-K% membership / memorization audit (Shi et al., ICLR 2024
+    * "Detecting Pretraining Data from Large Language Models", adapted to
+    * the in-engine add-1 bigram LM of [[bigramSurprisal]] and scored
+    * over bigram TYPES rather than token positions): a document's score
+    * is the mean surprisal of its ceil(n/kFrac) LEAST-probable bigram
+    * types under the corpus model. Text the model finds likely even at
+    * its WORST tokens (low mink_surprisal, near the corpus-wide mean)
+    * ranks as a probable training-set member / memorized duplicate;
+    * genuinely novel text keeps a fat high-surprisal tail that the
+    * plain mean (also returned) averages away — that contrast is the
+    * published detector.
+    *
+    * Scale shape: identical to the surprisal family — one
+    * (doc, w1, w2) exchange, model counts join back on token keys, and
+    * the top-k% selection is a per-doc (entity-bounded) window. lp
+    * requantizes round(9) BEFORE ranking and summing, and k is exact
+    * integer ceil, so the oracle replay is bit-identical. */
+  def minKSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                    alpha: Double = 0.5, kFrac: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kFrac >= 1)
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("tk"))
+    val vocabSize: Double = base
+      .select(explode(col("tk")).as("t")).agg(countDistinct(col("t")))
+      .collect()(0).getLong(0).toDouble
+    val tf = base
+      .select(col("doc_id"),
+        explode(when(size(col("tk")) >= 2,
+          zip_with(
+            slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(1))),
+            slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(1))),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("bg"))
+      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val c2 = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
+    val c1 = tf.groupBy(col("w1")).agg(sum(col("tf")).as("c1"))
+    val sc = tf.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("lp",
+        round(log((col("c2").cast("double") + lit(alpha)) /
+          (col("c1").cast("double") + lit(alpha * vocabSize))), 9))
+    val rnk = Window.partitionBy(col("doc_id"))
+      .orderBy(col("lp").asc, col("w1").asc, col("w2").asc)
+    val per = Window.partitionBy(col("doc_id"))
+    val scored = sc
+      .withColumn("rk", row_number().over(rnk))
+      .withColumn("n_types", count(lit(1)).over(per))
+      .withColumn("k_used",
+        floor((col("n_types") + lit(kFrac - 1)) / lit(kFrac)))
+      .groupBy(col("doc_id"), col("n_types"), col("k_used"))
+      .agg(
+        round(-sum(when(col("rk") <= col("k_used"), col("lp"))
+              .otherwise(lit(0.0)).cast("decimal(19,9)")).cast("double")
+            / col("k_used").cast("double"), 6).as("mink_surprisal"),
+        round(-sum(col("lp").cast("decimal(19,9)")).cast("double")
+            / col("n_types").cast("double"), 6).as("mean_surprisal"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("k_used"), lit(0L)).as("k_used"),
+        coalesce(col("mink_surprisal"), lit(0.0)).as("mink_surprisal"),
+        coalesce(col("mean_surprisal"), lit(0.0)).as("mean_surprisal"))
+  }
+
   /** Content-defined chunking (the storage-dedup primitive — the
     * LBFS/FastCDC cut-point idea): chunk boundaries derive from the
     * CONTENT, so an insertion shifts only the chunks around the edit

@@ -4049,6 +4049,53 @@ class OperatorsSpec extends SparkSpec {
       beta.getDouble(3) == -1.0, s"exact plane: $beta")
   }
 
+  test("minKSurprisal (q287): worst-k mean dominates the plain mean; " +
+    "duplicated text scores as a member; k is exact integer ceil") {
+    val s = spark
+    import s.implicits._
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = Seq((0L, dup), (1L, dup), (2L, dup),
+      (3L, "zeta xylo qumquat verdant echoes murmur beneath glacial"),
+      (4L, dup)).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis
+      .minKSurprisal(rows, "doc_id", "text", alpha = 0.5, kFrac = 5)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4))))
+      .toMap
+    // Min-K takes the HIGHEST-surprisal types, so mink >= mean always
+    assert(r.values.forall { case (_, _, mink, mean) => mink >= mean })
+    // k = ceil(n_types / 5): the dup doc has 11 distinct bigrams -> 3
+    assert(r(0)._1 == 11L && r(0)._2 == 3L, s"k math: ${r(0)}")
+    // the 4x-duplicated doc's worst bigrams are still corpus-frequent;
+    // the novel doc's worst bigrams are singletons -> member signal
+    assert(r(0)._3 < r(3)._3,
+      s"member ${r(0)._3} must score below novel ${r(3)._3}")
+    // duplicates of the same text score identically
+    assert(r(0) == r(1) && r(1) == r(4))
+  }
+
+  test("facilityLocationSelect (q289): greedy picks cluster exemplars " +
+    "by size with id tie-break; gains shrink, objective accumulates") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(spark)
+    val rows = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five"),
+      (4L, "one two three four five"),
+      (5L, "solo unique words entirely here")).toDF("doc_id", "text")
+    val got = graft.operators.Sampling
+      .facilityLocationSelect(rows, "doc_id", "text", nCand = 6, k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    // round 1: any of docs 0/1/2 covers 3 docs (gain 3.0) — tie-break
+    // picks cid 0; round 2: the 2-doc cluster (gain 2.0, cid 3)
+    assert(got.toSeq == Seq((1, 0L, 3.0, 3.0), (2, 3L, 2.0, 5.0)),
+      got.mkString(", "))
+  }
+
   test("bradleyTerry (q285): two-player game hits the closed form in " +
     "one MM round; a transitive sweep orders strengths; zero-win items " +
     "converge to 0") {

@@ -1354,4 +1354,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p3.contains("CartesianProduct"), p3.take(3000))
     assert(p3.contains("BroadcastHashJoin"), p3.take(3000))
   }
+
+  test("q287/q289: min-k windows partition on doc_id (no global " +
+    "window); the greedy's audited plan is coverage algebra over the " +
+    "checkpointed sim matrix — no cartesian") {
+    val p1 = plan("q287_mink_membership")
+    assert(!p1.contains("CartesianProduct"), p1.take(3000))
+    assert(p1.contains("windowspecdefinition")
+      && !p1.contains("Exchange SinglePartition"), p1.take(3000))
+    // q289's only global window is the k-row (bounded) objective sum —
+    // everything corpus-scale sits below the sim-matrix checkpoint
+    val p2 = plan("q289_facility_location")
+    assert(!p2.contains("CartesianProduct"), p2.take(3000))
+  }
 }
