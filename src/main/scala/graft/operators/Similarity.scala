@@ -1019,4 +1019,85 @@ object Similarity {
     withCell.join(broadcast(denseLab), Seq("cx", "cy"), "left")
       .select(col("pid"), col("cx"), col("cy"), col("ck"))
   }
+
+  /** NN-descent k-NN-graph construction (Dong, Charikar & Li, WWW
+    * 2011) — the graph-ANN family's build step (the HNSW/NSG
+    * ingredient), and a different trade than the LSH/IVF/PQ indexes:
+    * no model, no codebook, just "my neighbors' neighbors are probably
+    * my neighbors" iterated to a fixpoint. Init: each vector's k
+    * nearest within its buckets across `spaces` INDEPENDENT md5-random
+    * bucketings (⌈n/bucketTarget⌉ buckets each) — the deterministic,
+    * engine-portable stand-in for the paper's global random init.
+    * Independent spaces matter: one bucketing alone yields disjoint
+    * cliques that 2-hop expansion can never leave (measured: recall
+    * froze at the init level); cross-cutting buckets make the start
+    * graph connected, which is what the paper's random k-sample gives.
+    * Each round, candidates = neighbors-of-neighbors over the
+    * UNDIRECTED current graph unioned with the current edges,
+    * re-scored and cut back to top-k.
+    *
+    * Scoring is the q40 two-phase contract: the codegen'd double
+    * kernel prunes each v's ≤k+k² candidates to k+margin (FP error
+    * < 1e-12 can't push a true top-k member below the margin), the
+    * decimal-exact cosine then ranks survivors bit-identically to the
+    * oracle. Scale shape: every stage is an equi-join on vector ids or
+    * bucket keys — candidate fanout is bounded by (2k)² per vector and
+    * the vector table joins in by id (never broadcast, never
+    * crossed). The paper's ρ-sampling drops fanout further at 100 TB;
+    * this is the faithful full-join variant with small k. Returns the
+    * final directed edge list (v, u, sim, rk). */
+  def nnDescentGraph(emb: DataFrame, k: Int = 10, rounds: Int = 3,
+                     spaces: Int = 3, bucketTarget: Int = 16,
+                     margin: Int = 15, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && rounds >= 0 && spaces >= 1 && bucketTarget >= 1 &&
+      margin >= 0)
+    val pts = Materializer.Local(
+      emb.select(col(idCol).as("pid"), col(vecCol).as("pvec")))
+    // bucket count — a corpus-size scalar, shared with the oracle's
+    // ceil(count/target) subquery
+    val b = math.max(1L,
+      math.ceil(pts.count().toDouble / bucketTarget).toLong)
+    val init = (0 until spaces).map { r =>
+      val withB = pts.select(col("pid"),
+        pmod(conv(substring(md5(concat(lit(s"nnd$r|"),
+          col("pid").cast("string"))), 1, 8), 16, 10).cast("long"),
+          lit(b)).as("bk"))
+      withB.select(col("bk"), col("pid").as("v"))
+        .join(withB.select(col("bk"), col("pid").as("u")), Seq("bk"))
+        .filter(col("v") =!= col("u"))
+        .select(col("v"), col("u"))
+    }.reduce(_ unionAll _).distinct()
+    val pv = pts.select(col("pid").as("v"), col("pvec").as("qv"))
+    val pu = pts.select(col("pid").as("u"), col("pvec").as("cv"))
+    def topK(cand: DataFrame): DataFrame = {
+      val w1 = Window.partitionBy(col("v"))
+        .orderBy(col("fsim").desc, col("u").asc)
+      val w2 = Window.partitionBy(col("v"))
+        .orderBy(col("sim").desc, col("u").asc)
+      cand.join(pv, Seq("v")).join(pu, Seq("u"))
+        .withColumn("fsim",
+          graft.functions.GraftFunctions.cosine_sim(col("qv"), col("cv")))
+        .withColumn("prk", row_number().over(w1))
+        .filter(col("prk") <= k + margin)
+        .withColumn("sim", round(cosineExact(col("qv"), col("cv")), 6))
+        .withColumn("rk", row_number().over(w2))
+        .filter(col("rk") <= k)
+        .select(col("v"), col("u"), col("sim"),
+          col("rk").cast("int").as("rk"))
+    }
+    var edges = Materializer.Local(topK(init))
+    for (_ <- 1 to rounds) {
+      val und = Materializer.Local(edges.select(col("v"), col("u"))
+        .unionAll(edges.select(col("u").as("v"), col("v").as("u")))
+        .distinct())
+      val nn2 = und.select(col("v"), col("u").as("a"))
+        .join(und.select(col("v").as("a"), col("u")), Seq("a"))
+        .filter(col("v") =!= col("u"))
+        .select(col("v"), col("u"))
+      val cand = nn2.unionAll(edges.select(col("v"), col("u"))).distinct()
+      edges = Materializer.Local(topK(cand))
+    }
+    edges
+  }
 }

@@ -4049,6 +4049,43 @@ class OperatorsSpec extends SparkSpec {
       beta.getDouble(3) == -1.0, s"exact plane: $beta")
   }
 
+  test("nnDescentGraph (q286): on clustered vectors the converged " +
+    "graph is all in-cluster; edges carry exact round-6 sims and " +
+    "dense ranks") {
+    val s = spark
+    import s.implicits._
+    GraftFunctions.register(spark)
+    // two well-separated clusters in 8-dim: cluster = axis direction
+    // with a small deterministic per-point wobble on a second axis
+    val pts = (0L until 40L).map { i =>
+      val cl = (i % 2).toInt              // even ids -> cluster 0
+      val base = Array.fill(8)(0.0f)
+      base(cl) = 1.0f
+      base(cl + 2) = 0.01f * ((i % 7).toInt + 1)  // wobble, keeps ties away
+      (i, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val g = graft.operators.Similarity
+      .nnDescentGraph(pts, k = 5, rounds = 2, spaces = 3,
+        bucketTarget = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(g.nonEmpty)
+    // cosine(cluster0, cluster1) ~ 0 << in-cluster ~ 1: a converged
+    // graph never keeps a cross-cluster edge
+    assert(g.forall { case (v, u, _, _) => v % 2 == u % 2 },
+      g.filter { case (v, u, _, _) => v % 2 != u % 2 }.take(5).mkString)
+    // per-vector ranks are 1..k over distinct neighbors
+    g.groupBy(_._1).foreach { case (_, es) =>
+      assert(es.map(_._4).sorted.toSeq == (1 to es.length))
+      assert(es.map(_._2).distinct.length == es.length)
+    }
+    // sims are round-6 quantized and sorted consistently with rank
+    g.groupBy(_._1).foreach { case (_, es) =>
+      val byRk = es.sortBy(_._4).map(_._3)
+      assert(byRk.zip(byRk.tail).forall(p => p._1 >= p._2))
+    }
+  }
+
   test("minKSurprisal (q287): worst-k mean dominates the plain mean; " +
     "duplicated text scores as a member; k is exact integer ceil") {
     val s = spark

@@ -1367,4 +1367,10 @@ class PlanAuditSpec extends SparkSpec {
     val p2 = plan("q289_facility_location")
     assert(!p2.contains("CartesianProduct"), p2.take(3000))
   }
+
+  test("q286: NN-descent's audited plan joins the truth by id keys " +
+    "only — no cartesian; the graph rounds live below checkpoints") {
+    val p = plan("q286_nn_descent")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
