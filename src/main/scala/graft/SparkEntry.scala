@@ -6470,6 +6470,171 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q291_cf_eval" -> ((s, dir) => {
+      // leave-last-basket-out evaluation of q270's item-item CF
+      // (the Cremonesi/Koren/Turrin RecSys 2010 eval shape): hold out
+      // each multi-order customer's LAST order, train co-occurrence
+      // cosine neighbors on the prefix orders only (no leakage),
+      // recommend top-10 by profile-summed cosine with owned items
+      // excluded, and read out hit-rate@10 — the offline number a
+      // recommender ships or doesn't ship on. Every stage is a keyed
+      // join or an entity-bounded window (per-customer order rank,
+      // per-item neighbor rank, per-customer rec rank); scores are
+      // sums of round(9) DECIMAL cosines, so ranking never sits on a
+      // float ulp.
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(col("cust"))
+        .orderBy(col("o_orderdate").desc, col("ok").desc)
+      val ranked = t(s, dir, "orders")
+        .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
+          col("o_orderdate"))
+        .withColumn("ork", row_number().over(wOrd))
+        .withColumn("n_orders",
+          count(lit(1)).over(Window.partitionBy(col("cust"))))
+        .filter(col("n_orders") >= 2)
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val trainB = operators.Materializer.Local(
+        ranked.filter(col("ork") > 1).select(col("cust"), col("ok"))
+          .join(items, Seq("ok")).select(col("cust"), col("ok"),
+            col("pk")))
+      val testI = ranked.filter(col("ork") === 1)
+        .select(col("cust"), col("ok"))
+        .join(items, Seq("ok")).select(col("cust"), col("pk")).distinct()
+      val baskets = trainB.select(col("ok"), col("pk")).distinct()
+      val nI = baskets.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+      val pairs = baskets
+        .join(baskets.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 2)
+      val sym = pairs
+        .select(col("pk").as("a"), col("pk2").as("b"), col("co"))
+        .unionByName(pairs
+          .select(col("pk2").as("a"), col("pk").as("b"), col("co")))
+      val wN = Window.partitionBy(col("a"))
+        .orderBy(col("cos").desc, col("b").asc)
+      val nbrs = sym
+        .join(broadcast(nI.select(col("pk").as("a"), col("cnt").as("na"))),
+          Seq("a"))
+        .join(broadcast(nI.select(col("pk").as("b"), col("cnt").as("nb"))),
+          Seq("b"))
+        .select(col("a"), col("b"),
+          round(col("co").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")),
+            9).as("cos"))
+        .withColumn("nrk", row_number().over(wN))
+        .filter(col("nrk") <= 5)
+      val prof = trainB.select(col("cust"), col("pk")).distinct()
+      val wR = Window.partitionBy(col("cust"))
+        .orderBy(col("score").desc, col("rec").asc)
+      val top = prof
+        .join(nbrs.select(col("a").as("pk"), col("b").as("rec"),
+          col("cos")), Seq("pk"))
+        .groupBy(col("cust"), col("rec"))
+        .agg(sum(col("cos").cast("decimal(19,9)")).as("score"))
+        .join(prof.select(col("cust"), col("pk").as("rec")),
+          Seq("cust", "rec"), "left_anti")
+        .withColumn("rrk", row_number().over(wR))
+        .filter(col("rrk") <= 10)
+      val hits = top
+        .join(testI.select(col("cust"), col("pk").as("rec"),
+          lit(1L).as("hit")), Seq("cust", "rec"), "left")
+        .groupBy(col("cust"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      hits.agg(count(lit(1)).as("users_eval"),
+          sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("users_hit"),
+          sum(col("n_hits")).as("total_hits"))
+        .select(col("users_eval").cast("long").as("users_eval"),
+          col("users_hit").cast("long").as("users_hit"),
+          round(col("users_hit").cast("double")
+            / col("users_eval").cast("double"), 6).as("hit_rate"),
+          round(col("total_hits").cast("double")
+            / col("users_eval").cast("double"), 6).as("mean_hits"))
+    }),
+
+    "q292_index_bits" -> ((s, dir) => {
+      // inverted-index compression estimate (Elias 1975 gamma/delta
+      // gap codes; the Witten–Moffat–Bell "Managing Gigabytes"
+      // accounting): posting lists as sorted doc-id gaps, code lengths
+      // as EXACT integer binary-digit counts (both engines render the
+      // same minimal binary string), rolled up by df bucket — the
+      // "how big will this index be, and which terms dominate it"
+      // readout that prices a retrieval deployment. ONE (term, doc)
+      // exchange; the gap window partitions per term (the Zipf head's
+      // long posting list in one partition is the same skew a real
+      // index build pays).
+      import org.apache.spark.sql.expressions.Window
+      val wt = Window.partitionBy(col("tk")).orderBy(col("doc_id").asc)
+      val post = t(s, dir, "documents")
+        .select(explode(operators.TextAnalysis.tokens(col("text")))
+          .as("tk"), col("doc_id"))
+        .distinct()
+      val gaps = post
+        .withColumn("gap", coalesce(
+          col("doc_id") - lag(col("doc_id"), 1).over(wt),
+          col("doc_id") + lit(1L)))
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("tk"))))
+      val lb = length(conv(col("gap"), 10, 2)).cast("long")
+      val lbl = length(conv(lb, 10, 2)).cast("long")
+      val bucket = when(col("df") <= 1, "df=1")
+        .when(col("df") <= 10, "df=2-10")
+        .when(col("df") <= 100, "df=11-100")
+        .otherwise("df>100")
+      gaps.select(bucket.as("df_bucket"), col("tk"),
+          (lb * 2 - 1).as("gb"), (lb + lbl * 2 - 2).as("db"))
+        .groupBy(col("df_bucket"))
+        .agg(countDistinct(col("tk")).as("n_terms"),
+          count(lit(1)).as("n_postings"),
+          sum(col("gb")).as("gamma_bits"),
+          sum(col("db")).as("delta_bits"))
+        .select(col("df_bucket"), col("n_terms"), col("n_postings"),
+          col("gamma_bits"), col("delta_bits"),
+          round(col("gamma_bits").cast("double")
+            / (col("n_postings") * 32).cast("double"), 6)
+            .as("gamma_vs_fixed32"))
+        .orderBy(col("df_bucket"))
+    }),
+
+    "q293_cluster_stability" -> ((s, dir) => {
+      // community stability audit: q154's label-prop communities
+      // recomputed on two md5-disjoint EDGE halves of the co-purchase
+      // graph, agreement scored by Adjusted Rand Index (Hubert &
+      // Arabie 1985) over nodes labeled in both halves — the "are
+      // these clusters real structure or sampling noise" gate that
+      // complements q226's modularity (strength) with robustness.
+      // Doubled pair counts keep the ARI algebra exact-integer until
+      // one pinned double expression; the contingency table is
+      // bounded at |labels|².
+      val li = t(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("m"))
+        .filter(col("m") >= 2)
+        .select(col("pa").as("src"), col("pb").as("dst"),
+          (substring(md5(concat(lit("ari|"),
+            col("pa").cast("string"), lit("|"),
+            col("pb").cast("string"))), 1, 1) < lit("8")).as("half_a"))
+      val seeds = t(s, dir, "part")
+        .filter(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey").as("node"), col("p_brand").as("label"))
+      val la = operators.Graph.labelPropagation(
+        edges.filter(col("half_a")).select(col("src"), col("dst")),
+        seeds, rounds = 3)
+      val lb2 = operators.Graph.labelPropagation(
+        edges.filter(!col("half_a")).select(col("src"), col("dst")),
+        seeds, rounds = 3)
+      val both = la.select(col("node"), col("label").as("la"))
+        .join(lb2.select(col("node"), col("label").as("lb")),
+          Seq("node"))
+      operators.Stats.adjustedRandIndex(both, "la", "lb")
+    }),
+
     "q289_facility_location" -> ((s, dir) => {
       // facility-location greedy data selection (Lin & Bilmes 2011):
       // 5 exemplar docs from a 30-doc hash-order candidate pool
@@ -14476,6 +14641,197 @@ object SparkEntry {
     },
 
     "q286_nn_descent" -> nnDescentSql(10, 3, 3, 16, 5),
+
+    "q291_cf_eval" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey AS cust, o_orderkey AS ok,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS BIGINT)
+        |      AS ork,
+        |    CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+        |      AS n_orders
+        |  FROM orders
+        |), mult AS (SELECT * FROM ranked WHERE n_orders >= 2),
+        |items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem
+        |), trainb AS MATERIALIZED (
+        |  SELECT cust, ok, pk FROM mult JOIN items USING (ok)
+        |  WHERE ork > 1
+        |), testi AS (
+        |  SELECT DISTINCT cust, pk FROM mult JOIN items USING (ok)
+        |  WHERE ork = 1
+        |), baskets AS (SELECT DISTINCT ok, pk FROM trainb),
+        |ni AS (
+        |  SELECT pk, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM baskets GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.pk, b.pk2, CAST(count(*) AS BIGINT) AS co
+        |  FROM baskets a
+        |  JOIN (SELECT ok, pk AS pk2 FROM baskets) b USING (ok)
+        |  WHERE a.pk < b.pk2
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), sym AS (
+        |  SELECT pk AS a, pk2 AS b, co FROM pairs
+        |  UNION ALL SELECT pk2 AS a, pk AS b, co FROM pairs
+        |), nbrs AS MATERIALIZED (
+        |  SELECT a, b, cs FROM (
+        |    SELECT a, b, cs, row_number() OVER (PARTITION BY a
+        |      ORDER BY cs DESC, b) AS nrk
+        |    FROM (
+        |      SELECT a, b, round(CAST(co AS DOUBLE)
+        |        / sqrt(CAST(na.cnt AS DOUBLE) * CAST(nb.cnt AS DOUBLE)),
+        |        9) AS cs
+        |      FROM sym JOIN ni na ON na.pk = a JOIN ni nb ON nb.pk = b))
+        |  WHERE nrk <= 5
+        |), prof AS MATERIALIZED (SELECT DISTINCT cust, pk FROM trainb),
+        |scores AS (
+        |  SELECT cust, b AS rec, SUM(CAST(cs AS DECIMAL(19,9)))
+        |    AS score
+        |  FROM prof JOIN nbrs ON prof.pk = nbrs.a
+        |  GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT s.cust, s.rec, s.score FROM scores s
+        |  LEFT JOIN prof p ON s.cust = p.cust AND s.rec = p.pk
+        |  WHERE p.pk IS NULL
+        |), top AS (
+        |  SELECT cust, rec FROM (
+        |    SELECT cust, rec, row_number() OVER (PARTITION BY cust
+        |      ORDER BY score DESC, rec) AS rrk FROM cand)
+        |  WHERE rrk <= 10
+        |), hits AS (
+        |  SELECT t.cust,
+        |    CAST(SUM(CASE WHEN ti.pk IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_hits
+        |  FROM top t LEFT JOIN testi ti
+        |    ON t.cust = ti.cust AND t.rec = ti.pk
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS users_eval,
+        |  CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS users_hit,
+        |  round(CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS hit_rate,
+        |  round(CAST(SUM(n_hits) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+        |    6) AS mean_hits
+        |FROM hits""".stripMargin,
+
+    "q292_index_bits" ->
+      s"""WITH post AS MATERIALIZED (
+         |  SELECT DISTINCT t AS tk, doc_id
+         |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)
+         |), gaps AS (
+         |  SELECT tk,
+         |    coalesce(doc_id - lag(doc_id) OVER (PARTITION BY tk
+         |      ORDER BY doc_id), doc_id + 1) AS gap,
+         |    CAST(count(*) OVER (PARTITION BY tk) AS BIGINT) AS df
+         |  FROM post
+         |), bits AS (
+         |  SELECT CASE WHEN df <= 1 THEN 'df=1'
+         |      WHEN df <= 10 THEN 'df=2-10'
+         |      WHEN df <= 100 THEN 'df=11-100'
+         |      ELSE 'df>100' END AS df_bucket,
+         |    tk,
+         |    CAST(length(printf('%b', gap)) AS BIGINT) AS lb,
+         |    CAST(length(printf('%b',
+         |      CAST(length(printf('%b', gap)) AS BIGINT))) AS BIGINT)
+         |      AS lbl
+         |  FROM gaps
+         |)
+         |SELECT df_bucket,
+         |  CAST(COUNT(DISTINCT tk) AS BIGINT) AS n_terms,
+         |  CAST(count(*) AS BIGINT) AS n_postings,
+         |  CAST(SUM(lb * 2 - 1) AS BIGINT) AS gamma_bits,
+         |  CAST(SUM(lb + lbl * 2 - 2) AS BIGINT) AS delta_bits,
+         |  round(CAST(SUM(lb * 2 - 1) AS DOUBLE)
+         |    / CAST(count(*) * 32 AS DOUBLE), 6) AS gamma_vs_fixed32
+         |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q293_cluster_stability" -> {
+      // two full label-prop chains (the q154/q226 replay) on
+      // md5-disjoint edge halves, then exact-integer ARI algebra
+      def chain(sfx: String, cond: String): String = {
+        val sb = new StringBuilder
+        sb ++= s"""e$sfx AS MATERIALIZED (
+           |  SELECT a.l_partkey AS u, b.l_partkey AS v
+           |  FROM lineitem a JOIN lineitem b
+           |    ON a.l_orderkey = b.l_orderkey
+           |    AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2
+           |  HAVING count(*) >= 2 AND $cond
+           |),
+           |sym$sfx AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT u AS src, v AS dst FROM e$sfx
+           |    UNION ALL SELECT v, u FROM e$sfx)
+           |  WHERE src <> dst
+           |),
+           |l${sfx}0 AS MATERIALIZED (
+           |  SELECT n.node, s.seed, s.seed AS lab
+           |  FROM (SELECT DISTINCT src AS node FROM sym$sfx) n
+           |  LEFT JOIN seeds s USING (node)
+           |)""".stripMargin
+        for (i <- 0 until 3) {
+          sb ++= s""",
+             |c$sfx${i + 1} AS (
+             |  SELECT s.dst AS node, l.lab, count(*) AS c
+             |  FROM sym$sfx s JOIN l$sfx$i l ON s.src = l.node
+             |  WHERE l.lab IS NOT NULL GROUP BY 1, 2
+             |),
+             |w$sfx${i + 1} AS (
+             |  SELECT node, lab FROM (
+             |    SELECT node, lab, row_number() OVER (
+             |      PARTITION BY node ORDER BY c DESC, lab) AS rk
+             |    FROM c$sfx${i + 1})
+             |  WHERE rk = 1
+             |),
+             |l$sfx${i + 1} AS MATERIALIZED (
+             |  SELECT l.node, l.seed,
+             |    CASE WHEN l.seed IS NOT NULL THEN l.seed
+             |         ELSE coalesce(w.lab, l.lab) END AS lab
+             |  FROM l$sfx$i l LEFT JOIN w$sfx${i + 1} w USING (node)
+             |)""".stripMargin
+        }
+        sb.toString
+      }
+      def cond(op: String) =
+        s"substr(md5('ari|' || CAST(u AS VARCHAR) || '|' || " +
+          s"CAST(v AS VARCHAR)), 1, 1) $op '8'"
+      val e = s"""CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)
+         |      / CAST(n * (n - 1) AS DOUBLE)""".stripMargin
+      s"""WITH seeds AS (
+         |  SELECT p_partkey AS node, p_brand AS seed FROM part
+         |  WHERE p_partkey % 5 = 0
+         |), ${chain("a", cond("<"))}, ${chain("b", cond(">="))},
+         |bth AS (
+         |  SELECT a.node, a.lab AS la, b.lab AS lb
+         |  FROM la3 a JOIN lb3 b USING (node)
+         |  WHERE a.lab IS NOT NULL AND b.lab IS NOT NULL
+         |), ct AS MATERIALIZED (
+         |  SELECT la, lb, CAST(count(*) AS BIGINT) AS nij
+         |  FROM bth GROUP BY 1, 2
+         |), sij AS (
+         |  SELECT CAST(SUM(nij * (nij - 1)) AS BIGINT) AS tij,
+         |    CAST(SUM(nij) AS BIGINT) AS n FROM ct
+         |), sca AS (
+         |  SELECT CAST(SUM(ai * (ai - 1)) AS BIGINT) AS ta,
+         |    CAST(count(*) AS BIGINT) AS ka
+         |  FROM (SELECT la, CAST(SUM(nij) AS BIGINT) AS ai
+         |        FROM ct GROUP BY 1)
+         |), scb AS (
+         |  SELECT CAST(SUM(bj * (bj - 1)) AS BIGINT) AS tb,
+         |    CAST(count(*) AS BIGINT) AS kb
+         |  FROM (SELECT lb, CAST(SUM(nij) AS BIGINT) AS bj
+         |        FROM ct GROUP BY 1)
+         |)
+         |SELECT n AS n_common, ka AS clusters_a, kb AS clusters_b,
+         |  CASE WHEN (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)) / 2.0
+         |      - $e = 0.0 THEN 1.0
+         |    ELSE round((CAST(tij AS DOUBLE) - $e)
+         |      / ((CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)) / 2.0
+         |        - $e), 6) END AS ari
+         |FROM sij, sca, scb""".stripMargin
+    },
 
     "q287_mink_membership" ->
       s"""WITH base AS (

@@ -1679,4 +1679,37 @@ object Stats {
       .select(col("i"), col("wins"), col("comparisons"),
         round(col("st"), 6).as("strength"))
   }
+
+  /** Adjusted Rand Index (Hubert & Arabie 1985) between two labelings
+    * of the same items: `labeled` has one row per item with its label
+    * under partition A (`aCol`) and partition B (`bCol`). Pair counts
+    * are carried DOUBLED (t = k(k−1), never /2) so everything stays
+    * exact integer algebra until the single pinned double expression —
+    * ARI is invariant to the doubling. One (la, lb) contingency
+    * exchange; the margins and the final scalar ride the bounded
+    * label² table. Returns (n_common, clusters_a, clusters_b, ari);
+    * identical partitions → exactly 1.0, denominator-degenerate input
+    * (one all-in-one cluster on both sides) → 1.0 by convention. */
+  def adjustedRandIndex(labeled: DataFrame, aCol: String,
+                        bCol: String): DataFrame = {
+    val ct = Materializer.Local(labeled
+      .groupBy(col(aCol).as("la"), col(bCol).as("lb"))
+      .agg(count(lit(1)).as("nij")))
+    def t2(c: Column) = c * (c - lit(1L))
+    val sij = ct.agg(sum(t2(col("nij"))).as("tij"),
+      sum(col("nij")).as("n"))
+    val sa = ct.groupBy(col("la")).agg(sum(col("nij")).as("ai"))
+      .agg(sum(t2(col("ai"))).as("ta"), count(lit(1)).as("ka"))
+    val sb = ct.groupBy(col("lb")).agg(sum(col("nij")).as("bj"))
+      .agg(sum(t2(col("bj"))).as("tb"), count(lit(1)).as("kb"))
+    def d(c: Column) = c.cast("double")
+    val e = d(col("ta")) * d(col("tb")) / d(t2(col("n")))
+    val den = (d(col("ta")) + d(col("tb"))) / lit(2.0) - e
+    sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .select(col("n").cast("long").as("n_common"),
+        col("ka").cast("long").as("clusters_a"),
+        col("kb").cast("long").as("clusters_b"),
+        when(den === 0.0, lit(1.0))
+          .otherwise(round((d(col("tij")) - e) / den, 6)).as("ari"))
+  }
 }

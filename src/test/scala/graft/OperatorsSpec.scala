@@ -4049,6 +4049,43 @@ class OperatorsSpec extends SparkSpec {
       beta.getDouble(3) == -1.0, s"exact plane: $beta")
   }
 
+  test("adjustedRandIndex (q293): identical partitions score exactly " +
+    "1.0; the orthogonal 2x2 split scores exactly -0.5") {
+    val s = spark
+    import s.implicits._
+    val same = Seq((1L, "x", "p"), (2L, "x", "p"), (3L, "y", "q"),
+      (4L, "y", "q")).toDF("id", "la", "lb")
+    val r1 = graft.operators.Stats.adjustedRandIndex(same, "la", "lb")
+      .collect()(0)
+    assert(r1.getLong(0) == 4 && r1.getLong(1) == 2 && r1.getLong(2) == 2)
+    assert(r1.getDouble(3) == 1.0, s"identical: $r1")
+    // A = {1,2}{3,4}, B = {1,3}{2,4}: every contingency cell is a
+    // singleton -> tij = 0, ta = tb = 4, tn = 12, ARI = -0.5 by hand
+    val orth = Seq((1L, "x", "p"), (2L, "x", "q"), (3L, "y", "p"),
+      (4L, "y", "q")).toDF("id", "la", "lb")
+    val r2 = graft.operators.Stats.adjustedRandIndex(orth, "la", "lb")
+      .collect()(0)
+    assert(r2.getDouble(3) == -0.5, s"orthogonal: $r2")
+  }
+
+  test("Elias gamma/delta bit formulas (q292): binary-digit-count " +
+    "algebra matches the hand-coded lengths for gaps 1..8") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{length => slen}
+    val lb = slen(conv(col("g"), 10, 2)).cast("long")
+    val lbl = slen(conv(lb, 10, 2)).cast("long")
+    val got = (1L to 8L).toDF("g")
+      .select(col("g"), (lb * 2 - 1).as("gamma"),
+        (lb + lbl * 2 - 2).as("delta"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // gamma(g) = 2*floor(log2 g)+1; delta(g) = gamma(L)+L-1, L=|bin(g)|
+    val want = Seq((1L, 1L, 1L), (2L, 3L, 4L), (3L, 3L, 4L),
+      (4L, 5L, 5L), (5L, 5L, 5L), (6L, 5L, 5L), (7L, 5L, 5L),
+      (8L, 7L, 8L))
+    assert(got.toSeq == want, got.mkString(", "))
+  }
+
   test("nnDescentGraph (q286): on clustered vectors the converged " +
     "graph is all in-cluster; edges carry exact round-6 sims and " +
     "dense ranks") {

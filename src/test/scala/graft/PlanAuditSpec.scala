@@ -1373,4 +1373,21 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q286_nn_descent")
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q291/q292/q293: CF-eval and posting-gap windows partition on " +
+    "their entities (no global window); ARI is broadcast algebra on " +
+    "the contingency checkpoint — no cartesian anywhere") {
+    // q291 ends in a 1-row summary: its SinglePartition exchange is the
+    // partial-combined scalar aggregate (fine), so pin windows instead —
+    // every row_number must partition on an entity key
+    val p1 = plan("q291_cf_eval")
+    assert(!p1.contains("CartesianProduct"), p1.take(3000))
+    assert(!p1.contains("windowspecdefinition(specifiedwindowframe"),
+      p1.take(3000)) // no partition-less window spec
+    val p2 = plan("q292_index_bits")
+    assert(!p2.contains("CartesianProduct")
+      && !p2.contains("Exchange SinglePartition"), p2.take(3000))
+    val p3 = plan("q293_cluster_stability")
+    assert(!p3.contains("CartesianProduct"), p3.take(3000))
+  }
 }
