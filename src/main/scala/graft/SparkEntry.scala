@@ -6635,6 +6635,50 @@ object SparkEntry {
       operators.Stats.adjustedRandIndex(both, "la", "lb")
     }),
 
+    "q294_dedup_agreement" -> ((s, dir) => {
+      // near-dup detector agreement: the three TEXT pair generators —
+      // minhash-LSH (q37, Jaccard≥0.5), banded SimHash (q58,
+      // hamming≤3), winnowing fingerprints (q224, ≥2 shared) — run on
+      // the same corpus and their pair sets Venn'd by bitmask. The
+      // "do my detectors see the same duplicates, and which family do
+      // I ship" meta-audit: set-similarity, bit-similarity and
+      // literal-run detectors genuinely disagree on borderline pairs,
+      // and this query prices that disagreement. Each generator keeps
+      // its own bounded equi-join plan; the Venn adds one (a, b)
+      // exchange over the unioned pair sets.
+      GraftFunctions.register(s)
+      val d = t(s, dir, "documents")
+      val mh = Dedup.minhashLshPairs(d, "doc_id", "text", k = 16,
+          bands = 4, shingleN = 3, threshold = 0.5, fast = false)
+        .select(col("a_id").as("a"), col("b_id").as("b"),
+          lit(1L).as("bit"))
+      val sh = Dedup.simhashNearDupPairs(d, "doc_id", "text",
+          maxHamming = 3)
+        .select(col("a_id").as("a"), col("b_id").as("b"),
+          lit(2L).as("bit"))
+      val fpd = operators.TextAnalysis.winnowingFingerprints(d,
+          "doc_id", "text", k = 4, w = 4)
+        .select(col("id"), col("h")).distinct()
+      val keep = fpd.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100)
+      val f2 = fpd.join(keep.select(col("h")), Seq("h"))
+      val wn = f2.select(col("h"), col("id").as("a"))
+        .join(f2.select(col("h"), col("id").as("b")), Seq("h"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .select(col("a"), col("b"), lit(4L).as("bit"))
+      mh.unionAll(sh).unionAll(wn)
+        .groupBy(col("a"), col("b")).agg(sum(col("bit")).as("mask"))
+        .groupBy(col("mask")).agg(count(lit(1)).as("n_pairs"))
+        .select(col("mask").cast("long").as("mask"),
+          (col("mask").bitwiseAND(lit(1L)) > 0).as("in_minhash"),
+          (col("mask").bitwiseAND(lit(2L)) > 0).as("in_simhash"),
+          (col("mask").bitwiseAND(lit(4L)) > 0).as("in_winnowing"),
+          col("n_pairs").cast("long").as("n_pairs"))
+        .orderBy(col("mask"))
+    }),
+
     "q289_facility_location" -> ((s, dir) => {
       // facility-location greedy data selection (Lin & Bilmes 2011):
       // 5 exemplar docs from a 30-doc hash-order candidate pool
@@ -7117,44 +7161,7 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY a_id""".stripMargin,
 
-    "q37_dedup_minhash_lsh" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id, raw,
-        |    CASE WHEN len(raw) < 3 THEN [array_to_string(raw, ' ')]
-        |      ELSE [array_to_string(raw[i+1:i+3], ' ')
-        |            for i in range(0, len(raw) - 2)] END AS shingles
-        |  FROM tk
-        |), sig AS (
-        |  SELECT doc_id, raw, shingles,
-        |    [list_min([md5(CAST(i AS VARCHAR) || '|' || s) for s in shingles])
-        |     for i in range(0, 16)] AS mh
-        |  FROM sh
-        |), banded AS (
-        |  SELECT doc_id, raw, shingles,
-        |    unnest([CAST(b AS VARCHAR) || '_'
-        |            || array_to_string(mh[b*4+1:b*4+4], '|')
-        |            for b in range(0, 4)]) AS bandkey
-        |  FROM sig
-        |), pairs AS (
-        |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
-        |    l.shingles AS a_sh, r.shingles AS b_sh
-        |  FROM banded l JOIN banded r ON l.bandkey = r.bandkey
-        |  WHERE l.doc_id < r.doc_id
-        |), verified AS (
-        |  SELECT a_id, b_id,
-        |    round(CASE WHEN len(list_distinct(list_concat(a_sh, b_sh))) = 0
-        |      THEN 0.0
-        |      ELSE CAST(len(list_intersect(list_distinct(a_sh),
-        |            list_distinct(b_sh))) AS DOUBLE)
-        |        / CAST(len(list_distinct(list_concat(a_sh, b_sh))) AS DOUBLE)
-        |      END, 6) AS sim
-        |  FROM pairs)
-        |SELECT a_id, b_id, sim FROM verified WHERE sim >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin,
+    "q37_dedup_minhash_lsh" -> minhashPairsSql,
 
     "q68_decontaminate" ->
       """WITH sh AS (
@@ -8155,34 +8162,7 @@ object SparkEntry {
     // guaranteed recall at that threshold (pigeonhole), and the exact
     // verify removes any extra candidates — the sets are equal by
     // construction, so the oracle needs no banding replication
-    "q58_simhash_pairs" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |    list_transform(list_filter(regexp_split_to_array(text, '\s+'),
-        |      x -> x <> ''), t -> md5(t)) AS hashes
-        |  FROM documents
-        |), sig AS (
-        |  SELECT doc_id,
-        |  array_to_string([
-        |    substr('0123456789abcdef', 1 + list_sum([
-        |      CASE WHEN list_sum([
-        |        CASE WHEN ((strpos('0123456789abcdef',
-        |            substr(h, jj + 1, 1)) - 1) >> b) & 1 = 1
-        |          THEN 1 ELSE -1 END
-        |        for h in hashes]) > 0 THEN (1 << b) ELSE 0 END
-        |      for b in range(0, 4)])::INT, 1)
-        |    for jj in range(0, 16)], '') AS simhash
-        |  FROM tk
-        |), pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    CAST(list_sum([bit_count(xor(
-        |      strpos('0123456789abcdef', substr(a.simhash, i + 1, 1)) - 1,
-        |      strpos('0123456789abcdef', substr(b.simhash, i + 1, 1)) - 1))
-        |      for i in range(0, 16)]) AS BIGINT) AS hamming
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |)
-        |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
-        |ORDER BY a_id, b_id""".stripMargin,
+    "q58_simhash_pairs" -> simhashPairsSql,
 
     "q57_vec_quantize" ->
       """WITH m AS (
@@ -11999,55 +11979,7 @@ object SparkEntry {
     // replays winnowing selection with a window-min + rightmost-tie
     // argmax — the operator's aggregate-HOF fold has identical
     // semantics (<= keeps the last minimum scanning left->right)
-    "q224_winnowing_pairs" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
-        |      AS raw
-        |  FROM documents
-        |), hsl AS (
-        |  SELECT doc_id, CASE WHEN len(raw) < 4
-        |    THEN [substr(md5(array_to_string(raw, ' ')), 1, 8)]
-        |    ELSE [substr(md5(array_to_string(raw[j+1:j+4], ' ')), 1, 8)
-        |          for j in range(0, len(raw) - 3)] END AS hs
-        |  FROM tk
-        |), ex AS (
-        |  SELECT doc_id, unnest(range(0, len(hs))) AS j, len(hs) AS m,
-        |    hs
-        |  FROM hsl
-        |), ex2 AS (
-        |  SELECT doc_id, j, m, hs[CAST(j + 1 AS INT)] AS h FROM ex
-        |), wm AS (
-        |  SELECT doc_id, j AS i, m,
-        |    min(h) OVER (PARTITION BY doc_id ORDER BY j
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
-        |  FROM ex2
-        |), starts AS (SELECT * FROM wm WHERE i <= greatest(m - 4, 0)
-        |), sel AS (
-        |  SELECT s.doc_id, s.i, max(e.j) AS p
-        |  FROM starts s JOIN ex2 e ON e.doc_id = s.doc_id
-        |    AND e.j >= s.i AND e.j <= s.i + 3 AND e.h = s.wmin
-        |  GROUP BY 1, 2
-        |), fpd AS (
-        |  SELECT DISTINCT e.doc_id, e.h
-        |  FROM (SELECT DISTINCT doc_id, p FROM sel) q
-        |  JOIN ex2 e ON e.doc_id = q.doc_id AND e.j = q.p
-        |), keep AS (SELECT h FROM fpd GROUP BY h HAVING count(*) <= 100
-        |), f2 AS (SELECT doc_id, h FROM fpd JOIN keep USING (h)
-        |), nf AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM f2 GROUP BY 1
-        |), pr AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(count(*) AS BIGINT) AS n_shared
-        |  FROM f2 a JOIN f2 b ON a.h = b.h AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2 HAVING count(*) >= 2
-        |)
-        |SELECT doc_a, doc_b, n_shared, na.n AS n_a, nb.n AS n_b,
-        |  round(CAST(n_shared AS DOUBLE)
-        |    / CAST(least(na.n, nb.n) AS DOUBLE), 6) AS containment
-        |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
-        |JOIN nf nb ON nb.doc_id = pr.doc_b
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q224_winnowing_pairs" -> winnowingPairsSql,
 
     // the q77/q72 gate pattern: exact counts + boolean floors — the
     // probabilistic structure itself is certified in-job vs brute force
@@ -14747,6 +14679,33 @@ object SparkEntry {
          |    / CAST(count(*) * 32 AS DOUBLE), 6) AS gamma_vs_fixed32
          |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q294_dedup_agreement" ->
+      // the shell strips its margins BEFORE the three ranker SQLs
+      // substitute in: an interpolated query may itself contain a line
+      // starting with '||' (string concat) that stripMargin would eat
+      """WITH mh AS MATERIALIZED (
+        |  SELECT a_id AS a, b_id AS b FROM (@MH@)
+        |), sh AS MATERIALIZED (
+        |  SELECT a_id AS a, b_id AS b FROM (@SH@)
+        |), wn AS MATERIALIZED (
+        |  SELECT doc_a AS a, doc_b AS b FROM (@WN@)
+        |), u AS (
+         |  SELECT a, b, CAST(1 AS BIGINT) AS bit FROM mh
+         |  UNION ALL SELECT a, b, CAST(2 AS BIGINT) AS bit FROM sh
+         |  UNION ALL SELECT a, b, CAST(4 AS BIGINT) AS bit FROM wn
+         |), mk AS (
+         |  SELECT a, b, CAST(SUM(bit) AS BIGINT) AS mask
+         |  FROM u GROUP BY 1, 2
+         |)
+         |SELECT mask, (mask & 1) > 0 AS in_minhash,
+         |  (mask & 2) > 0 AS in_simhash,
+         |  (mask & 4) > 0 AS in_winnowing,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM mk GROUP BY 1 ORDER BY 1""".stripMargin
+        .replace("@MH@", minhashPairsSql)
+        .replace("@SH@", simhashPairsSql)
+        .replace("@WN@", winnowingPairsSql),
+
     "q293_cluster_stability" -> {
       // two full label-prop chains (the q154/q226 replay) on
       // md5-disjoint edge halves, then exact-integer ARI algebra
@@ -15290,6 +15249,124 @@ object SparkEntry {
   /** DuckDB BM25 (Lucene k1=1.2/b=0.75 formulation) over `documents` for a
     * literal term list — the exact algebra of [[operators.Retrieval.bm25]]
     * (same op order; ln ulps absorbed by round(6)). */
+  private lazy val minhashPairsSql: String =
+    """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, raw,
+        |    CASE WHEN len(raw) < 3 THEN [array_to_string(raw, ' ')]
+        |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |            for i in range(0, len(raw) - 2)] END AS shingles
+        |  FROM tk
+        |), sig AS (
+        |  SELECT doc_id, raw, shingles,
+        |    [list_min([md5(CAST(i AS VARCHAR) || '|' || s) for s in shingles])
+        |     for i in range(0, 16)] AS mh
+        |  FROM sh
+        |), banded AS (
+        |  SELECT doc_id, raw, shingles,
+        |    unnest([CAST(b AS VARCHAR) || '_'
+        |            || array_to_string(mh[b*4+1:b*4+4], '|')
+        |            for b in range(0, 4)]) AS bandkey
+        |  FROM sig
+        |), pairs AS (
+        |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+        |    l.shingles AS a_sh, r.shingles AS b_sh
+        |  FROM banded l JOIN banded r ON l.bandkey = r.bandkey
+        |  WHERE l.doc_id < r.doc_id
+        |), verified AS (
+        |  SELECT a_id, b_id,
+        |    round(CASE WHEN len(list_distinct(list_concat(a_sh, b_sh))) = 0
+        |      THEN 0.0
+        |      ELSE CAST(len(list_intersect(list_distinct(a_sh),
+        |            list_distinct(b_sh))) AS DOUBLE)
+        |        / CAST(len(list_distinct(list_concat(a_sh, b_sh))) AS DOUBLE)
+        |      END, 6) AS sim
+        |  FROM pairs)
+        |SELECT a_id, b_id, sim FROM verified WHERE sim >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin
+
+  private lazy val simhashPairsSql: String =
+    """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_transform(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> ''), t -> md5(t)) AS hashes
+        |  FROM documents
+        |), sig AS (
+        |  SELECT doc_id,
+        |  array_to_string([
+        |    substr('0123456789abcdef', 1 + list_sum([
+        |      CASE WHEN list_sum([
+        |        CASE WHEN ((strpos('0123456789abcdef',
+        |            substr(h, jj + 1, 1)) - 1) >> b) & 1 = 1
+        |          THEN 1 ELSE -1 END
+        |        for h in hashes]) > 0 THEN (1 << b) ELSE 0 END
+        |      for b in range(0, 4)])::INT, 1)
+        |    for jj in range(0, 16)], '') AS simhash
+        |  FROM tk
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(list_sum([bit_count(xor(
+        |      strpos('0123456789abcdef', substr(a.simhash, i + 1, 1)) - 1,
+        |      strpos('0123456789abcdef', substr(b.simhash, i + 1, 1)) - 1))
+        |      for i in range(0, 16)]) AS BIGINT) AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |)
+        |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY a_id, b_id""".stripMargin
+
+  private lazy val winnowingPairsSql: String =
+    """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS raw
+        |  FROM documents
+        |), hsl AS (
+        |  SELECT doc_id, CASE WHEN len(raw) < 4
+        |    THEN [substr(md5(array_to_string(raw, ' ')), 1, 8)]
+        |    ELSE [substr(md5(array_to_string(raw[j+1:j+4], ' ')), 1, 8)
+        |          for j in range(0, len(raw) - 3)] END AS hs
+        |  FROM tk
+        |), ex AS (
+        |  SELECT doc_id, unnest(range(0, len(hs))) AS j, len(hs) AS m,
+        |    hs
+        |  FROM hsl
+        |), ex2 AS (
+        |  SELECT doc_id, j, m, hs[CAST(j + 1 AS INT)] AS h FROM ex
+        |), wm AS (
+        |  SELECT doc_id, j AS i, m,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY j
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM ex2
+        |), starts AS (SELECT * FROM wm WHERE i <= greatest(m - 4, 0)
+        |), sel AS (
+        |  SELECT s.doc_id, s.i, max(e.j) AS p
+        |  FROM starts s JOIN ex2 e ON e.doc_id = s.doc_id
+        |    AND e.j >= s.i AND e.j <= s.i + 3 AND e.h = s.wmin
+        |  GROUP BY 1, 2
+        |), fpd AS (
+        |  SELECT DISTINCT e.doc_id, e.h
+        |  FROM (SELECT DISTINCT doc_id, p FROM sel) q
+        |  JOIN ex2 e ON e.doc_id = q.doc_id AND e.j = q.p
+        |), keep AS (SELECT h FROM fpd GROUP BY h HAVING count(*) <= 100
+        |), f2 AS (SELECT doc_id, h FROM fpd JOIN keep USING (h)
+        |), nf AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM f2 GROUP BY 1
+        |), pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM f2 a JOIN f2 b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT doc_a, doc_b, n_shared, na.n AS n_a, nb.n AS n_b,
+        |  round(CAST(n_shared AS DOUBLE)
+        |    / CAST(least(na.n, nb.n) AS DOUBLE), 6) AS containment
+        |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
+        |JOIN nf nb ON nb.doc_id = pr.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin
+
   /** DuckDB replay of [[operators.Similarity.nnDescentGraph]]
     * (bucketTarget=32) plus the q40-style exact-truth recall readout
     * for vec_id < 30: md5-bucket init, `rounds` unrolled

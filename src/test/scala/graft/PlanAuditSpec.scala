@@ -1389,5 +1389,10 @@ class PlanAuditSpec extends SparkSpec {
       && !p2.contains("Exchange SinglePartition"), p2.take(3000))
     val p3 = plan("q293_cluster_stability")
     assert(!p3.contains("CartesianProduct"), p3.take(3000))
+    // q294 unions three pair generators, each its own equi-join plan —
+    // nothing in the composition may introduce a cartesian
+    val p4 = plan("q294_dedup_agreement")
+    assert(!p4.contains("CartesianProduct")
+      && !p4.contains("BroadcastNestedLoopJoin"), p4.take(3000))
   }
 }
