@@ -6407,16 +6407,15 @@ object SparkEntry {
       val sets = Seq(("q1", Seq("spark", "join", "window")),
         ("q2", Seq("merge", "sort", "hash")),
         ("q3", Seq("scan", "filter", "batch")))
-      val a = sets.map { case (label, terms) =>
-        operators.Retrieval.bm25(docs, "doc_id", "text", terms,
-            k1 = 1.2, b = 0.75, topN = 10)
-          .select(lit(label).as("q"), col("doc_id"), col("rk").as("ra"))
-      }.reduce(_ unionAll _)
-      val b = sets.map { case (label, terms) =>
-        operators.Retrieval.queryLikelihood(docs, "doc_id", "text", terms,
-            mu = 100.0, topN = 10)
-          .select(lit(label).as("q"), col("doc_id"), col("rk").as("rb"))
-      }.reduce(_ unionAll _)
+      // batch rankers: one postings pass each for all three labels,
+      // bit-identical per label to the single-query operators (q138's
+      // and q282's oracles pin those; RBO's oracle replays per label)
+      val a = operators.Retrieval.bm25Batch(docs, "doc_id", "text",
+          sets, k1 = 1.2, b = 0.75, topN = 10)
+        .select(col("q"), col("doc_id"), col("rk").as("ra"))
+      val b = operators.Retrieval.queryLikelihoodBatch(docs, "doc_id",
+          "text", sets, mu = 100.0, topN = 10)
+        .select(col("q"), col("doc_id"), col("rk").as("rb"))
       val w = rboWeights.toDF("m", "c")
       a.join(b, Seq("q", "doc_id"))
         .select(col("q"), greatest(col("ra"), col("rb")).as("m"))

@@ -74,6 +74,127 @@ object Retrieval {
       .select(col("rk"), col("doc_id"), col("n_terms"), col("score"))
   }
 
+  /** Multi-query BM25: every label's top-N in ONE postings pass over
+    * the UNION of all query sets — the batch-retrieval shape (score
+    * q queries per index scan, not one): the corpus is tokenized and
+    * trimmed once, df/dl/avgdl are computed once, and each label's
+    * score is the same per-term algebra grouped by (label, doc), so
+    * results are BIT-IDENTICAL to calling [[bm25]] per label (the same
+    * decimal-sum requantization; sums are order-independent). The
+    * per-label rank is a label-partitioned window — the one place the
+    * batch pays more than the single query's TakeOrdered; a bounded
+    * per-group heap is the drop-in at extreme corpus sizes. */
+  def bm25Batch(docs: DataFrame, idCol: String, textCol: String,
+                queries: Seq[(String, Seq[String])], k1: Double = 1.2,
+                b: Double = 0.75, topN: Int = 10,
+                mat: Materializer = Materializer.Local): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty) && topN > 0)
+    val allTerms = queries.flatMap(_._2).distinct
+    val toks = TextAnalysis.tokens(col(textCol))
+    val dl = mat(docs.select(col(idCol).as("doc_id"),
+      size(toks).as("dl"),
+      explode_outer(filter(toks, t => t.isInCollection(allTerms)))
+        .as("t")))
+    val stats = dl.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+          .as("avgdl"))
+    val tf = dl.filter(col("t").isNotNull)
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("df"))
+    val sp0 = docs.sparkSession
+    import sp0.implicits._
+    val lbl = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("q", "t")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+      / (col("df") + lit(0.5)))
+    val tfn = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b)
+        + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(broadcast(lbl), Seq("t"))
+      .join(broadcast(df), Seq("t"))
+      .crossJoin(broadcast(stats))
+      .select(col("q"), col("doc_id"), (idf * tfn).as("s"))
+      .groupBy(col("q"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        round(sum(col("s").cast("decimal(38,6)")).cast("double"), 6)
+          .as("score"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= topN)
+      .select(col("q"), col("rk"), col("doc_id"), col("n_terms"),
+        col("score"))
+  }
+
+  /** Multi-query Dirichlet QLM: the batch analog of
+    * [[queryLikelihood]], one trimmed postings pass for all labels,
+    * per-label (c0, nq) scalars broadcast as a bounded table, every
+    * (label, doc) scored map-side off the doc-length table — results
+    * bit-identical to per-label calls (same round(9) DECIMAL(38,9)
+    * accumulations, order-independent). */
+  def queryLikelihoodBatch(docs: DataFrame, idCol: String,
+                           textCol: String,
+                           queries: Seq[(String, Seq[String])],
+                           mu: Double = 100.0, topN: Int = 20,
+                           mat: Materializer = Materializer.Local)
+      : DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty) &&
+      topN > 0 && mu > 0)
+    val allTerms = queries.flatMap(_._2).distinct
+    val toks = TextAnalysis.tokens(col(textCol))
+    val dl = mat(docs.select(col(idCol).as("doc_id"),
+      size(toks).as("dl"),
+      explode_outer(filter(toks, t => t.isInCollection(allTerms)))
+        .as("t")))
+    val docLen = dl.groupBy(col("doc_id"))
+      .agg(first(col("dl")).as("dl"))
+    val totT = docLen.agg(sum(col("dl")).cast("long").as("tt"))
+    val cf = dl.filter(col("t").isNotNull).groupBy(col("t"))
+      .agg(count(lit(1)).cast("long").as("cf"))
+    val pw = round(col("cf").cast("double") / col("tt").cast("double"),
+      12)
+    val cfp = mat(cf.crossJoin(broadcast(totT))
+      .select(col("t"), pw.as("pw")))
+    val sp0 = docs.sparkSession
+    import sp0.implicits._
+    val lbl = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("q", "t")
+    // per-label scalars on the bounded (label, term) table
+    val cScalar = cfp.join(broadcast(lbl), Seq("t"))
+      .groupBy(col("q"))
+      .agg(sum(round(log(lit(mu) * col("pw")), 9).cast("decimal(38,9)"))
+          .as("c0"),
+        count(lit(1)).cast("int").as("nq"))
+    val tf = dl.filter(col("t").isNotNull)
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val adj = tf.join(broadcast(cfp), Seq("t"))
+      .join(broadcast(lbl), Seq("t"))
+      .groupBy(col("q").as("aq"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_match"),
+        sum(round(log(col("tf") + lit(mu) * col("pw"))
+            - log(lit(mu) * col("pw")), 9).cast("decimal(38,9)"))
+          .as("adj"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    docLen.crossJoin(broadcast(cScalar))
+      .join(adj, col("q") === col("aq")
+        && docLen("doc_id") === adj("doc_id"), "left")
+      .select(col("q"), docLen("doc_id").as("doc_id"),
+        coalesce(col("n_match"), lit(0)).as("n_match"),
+        round(col("c0").cast("double")
+          + coalesce(col("adj"), lit(0).cast("decimal(38,9)"))
+            .cast("double")
+          - col("nq").cast("double")
+            * log(col("dl").cast("double") + lit(mu)), 6).as("score"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= topN)
+      .select(col("q"), col("rk"), col("doc_id"), col("n_match"),
+        col("score"))
+  }
+
   /** Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft 1998;
     * Zhai & Lafferty 2001 — the language-modeling ranking function,
     * BM25's main rival): score(q,d) = Σ_w ln((tf(w,d) + μ·P(w|C)) /
