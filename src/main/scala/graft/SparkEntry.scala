@@ -6634,6 +6634,42 @@ object SparkEntry {
       operators.Stats.adjustedRandIndex(both, "la", "lb")
     }),
 
+    "q295_nn_graph_append" -> ((s, dir) => {
+      // incremental graph-ANN insert — the graph member of the
+      // incremental-index family (q65/q70 minhash, q128 IVF-PQ): the
+      // base corpus's NN-descent graph is a PERSISTED parquet artifact
+      // (built once, row-count sidecar guards staleness); the arriving
+      // batch (vec_id < 50) attaches via bucket mates + one hop through
+      // the stored edges, never touching old-vs-old pairs. Readout:
+      // exact-truth recall@5 of the inserted nodes' edges — 0.69 mean
+      // at sf0.01: one hop through the CONVERGED graph buys most of
+      // what the from-scratch build's 3 descent rounds reach (0.79)
+      // at a fraction of the work, vs ~0.32 for a bucket-only probe
+      // (q286's round-0 level).
+      GraftFunctions.register(s)
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") >= 50)
+      val fresh = emb.filter(col("vec_id") < 50)
+      val idxDir = s".bench/q295_graph_${corpusKey(dir)}"
+      val idxPath = ensurePersistedIndex(idxDir, base.count()) {
+        Similarity.nnDescentGraph(base, k = 10, rounds = 3)
+      }
+      val g = s.read.parquet(idxPath)
+      val ins = Similarity.nnGraphInsert(g, base, fresh, k = 10)
+      val truth = Similarity.bruteForceTopK(base, fresh, k = 5,
+          exact = true)
+        .select(col("query_id"), col("neighbor_id"))
+      truth
+        .join(ins.select(col("v").as("query_id"),
+            col("u").as("neighbor_id"), lit(1L).as("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("found"))
+        .select(col("query_id"), col("found"),
+          round(col("found").cast("double") / lit(5.0), 6).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     "q294_dedup_agreement" -> ((s, dir) => {
       // near-dup detector agreement: the three TEXT pair generators —
       // minhash-LSH (q37, Jaccard≥0.5), banded SimHash (q58,
@@ -14573,6 +14609,8 @@ object SparkEntry {
 
     "q286_nn_descent" -> nnDescentSql(10, 3, 3, 16, 5),
 
+    "q295_nn_graph_append" -> nnInsertSql(10, 3, 3, 16, 5),
+
     "q291_cf_eval" ->
       """WITH ranked AS (
         |  SELECT o_custkey AS cust, o_orderkey AS ok,
@@ -15454,6 +15492,114 @@ object SparkEntry {
        |  round(CAST(COUNT(e.v) AS DOUBLE) / $kTruth.0, 6) AS recall
        |FROM truth t LEFT JOIN e$rounds e
        |  ON e.v = t.query_id AND e.u = t.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** DuckDB replay of [[operators.Similarity.nnGraphInsert]] over the
+    * persisted q295 base graph (base = vec_id >= 50 rebuilt from
+    * scratch — equal to the on-disk artifact by construction) plus the
+    * insert expansion for vec_id < 50 and the exact-truth recall
+    * readout. Bucket geometry (nb.b) comes from the BASE count, exactly
+    * as the operator replays the stored index's layout. */
+  private def nnInsertSql(k: Int, rounds: Int, spaces: Int,
+                          bucketTarget: Int, kTruth: Int): String = {
+    def topk(cand: String, out: String, qSrc: String,
+             cSrc: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT v, u, sim, rk FROM (
+         |    SELECT v, u, sim,
+         |      CAST(row_number() OVER (PARTITION BY v
+         |        ORDER BY sim DESC, u) AS INT) AS rk
+         |    FROM (
+         |      SELECT v, u, round($cosSql, 6) AS sim FROM (
+         |        SELECT v, u,
+         |          ${dotSql("qv", "cv")} AS dot,
+         |          ${normSql("qv")} AS nq,
+         |          ${normSql("cv")} AS nc
+         |        FROM (
+         |          SELECT c.v, c.u, pq.pvec AS qv, pc.pvec AS cv
+         |          FROM $cand c JOIN $qSrc pq ON c.v = pq.pid
+         |            JOIN $cSrc pc ON c.u = pc.pid))))
+         |  WHERE rk <= $k
+         |)""".stripMargin
+    def wbCte(name: String, src: String, r: Int): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT pid, (list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+         |      (strpos('0123456789abcdef',
+         |        substr(md5('nnd$r|' || CAST(pid AS VARCHAR)), i + 1, 1))
+         |        - 1)
+         |      for i in range(0, 8)]) % b) AS bk
+         |  FROM $src, nb
+         |)""".stripMargin
+    val wbCtes = (0 until spaces)
+      .map(r => wbCte(s"wb$r", "pts", r)).mkString(", ")
+    val nwbCtes = (0 until spaces)
+      .map(r => wbCte(s"nwb$r", "npts", r)).mkString(", ")
+    val initUnion = (0 until spaces).map { r =>
+      s"""    SELECT a.pid AS v, c.pid AS u
+         |    FROM wb$r a JOIN wb$r c ON a.bk = c.bk AND a.pid <> c.pid"""
+        .stripMargin
+    }.mkString("\n    UNION ALL\n")
+    val insUnion = (0 until spaces).map { r =>
+      s"""    SELECT n.pid AS v, c.pid AS u
+         |    FROM nwb$r n JOIN wb$r c ON n.bk = c.bk""".stripMargin
+    }.mkString("\n    UNION ALL\n")
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"e${r - 1}"
+      s"""und$r AS (
+         |  SELECT DISTINCT v, u FROM (
+         |    SELECT v, u FROM $prev
+         |    UNION ALL SELECT u AS v, v AS u FROM $prev)
+         |), cand$r AS (
+         |  SELECT DISTINCT v, u FROM (
+         |    SELECT a.v, c.u FROM und$r a JOIN und$r c ON a.u = c.v
+         |    WHERE c.u <> a.v
+         |    UNION ALL SELECT v, u FROM $prev)
+         |), ${topk(s"cand$r", s"e$r", "pts", "pts")}""".stripMargin
+    }.mkString(", ")
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT vec_id AS pid, embedding AS pvec FROM embeddings
+       |  WHERE vec_id >= 50
+       |), nb AS (
+       |  SELECT greatest(CAST(ceil(CAST(COUNT(*) AS DOUBLE)
+       |    / $bucketTarget.0) AS BIGINT), 1) AS b FROM pts
+       |), npts AS MATERIALIZED (
+       |  SELECT vec_id AS pid, embedding AS pvec FROM embeddings
+       |  WHERE vec_id < 50
+       |), $wbCtes, $nwbCtes, cand0 AS (
+       |  SELECT DISTINCT v, u FROM (
+       |$initUnion)
+       |), ${topk("cand0", "e0", "pts", "pts")}, $roundCtes,
+       |ic0 AS (
+       |  SELECT DISTINCT v, u FROM (
+       |$insUnion)
+       |), hop AS (
+       |  SELECT DISTINCT i.v, e.u FROM ic0 i JOIN e$rounds e
+       |  ON i.u = e.v
+       |), icand AS (
+       |  SELECT DISTINCT v, u FROM (
+       |    SELECT v, u FROM ic0 UNION ALL SELECT v, u FROM hop)
+       |), ${topk("icand", "ins", "npts", "pts")},
+       |tp AS (
+       |  SELECT n.pid AS qid, c.pid AS cid,
+       |    ${dotSql("qv", "cv")} AS dot,
+       |    ${normSql("qv")} AS nq,
+       |    ${normSql("cv")} AS nc
+       |  FROM (SELECT pid, pvec AS qv FROM npts) n,
+       |    (SELECT pid, pvec AS cv FROM pts) c
+       |  WHERE n.pid <> c.pid
+       |), truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT qid AS query_id, cid AS neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY qid
+       |        ORDER BY round($cosSql, 6) DESC, cid) AS INT) AS rk
+       |    FROM tp)
+       |  WHERE rk <= $kTruth
+       |)
+       |SELECT t.query_id, CAST(COUNT(i.v) AS BIGINT) AS found,
+       |  round(CAST(COUNT(i.v) AS DOUBLE) / $kTruth.0, 6) AS recall
+       |FROM truth t LEFT JOIN ins i
+       |  ON i.v = t.query_id AND i.u = t.neighbor_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 

@@ -1100,4 +1100,62 @@ object Similarity {
     }
     edges
   }
+
+  /** Incremental insert into an [[nnDescentGraph]] k-NN graph — the
+    * graph-ANN member of the q70/q128 incremental-index family: attach
+    * a batch of NEW vectors to an EXISTING (persisted) graph without
+    * recomputing it. Candidates for each new vector are its md5-bucket
+    * mates in the base corpus (same `spaces` hash spaces and bucket
+    * geometry as the stored graph) plus THEIR stored neighbors — one
+    * hop through the index, the HNSW-style "navigate via existing
+    * links" step flattened to a single expansion — re-scored with the
+    * q40 two-phase contract. Old-vs-old pairs never form; base vectors
+    * and edges are read, never re-signatured. Ids of `newEmb` must be
+    * disjoint from the base. Returns (v, u, sim, rk) for new v only. */
+  def nnGraphInsert(baseGraph: DataFrame, baseEmb: DataFrame,
+                    newEmb: DataFrame, k: Int = 10, spaces: Int = 3,
+                    bucketTarget: Int = 16, margin: Int = 15,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && spaces >= 1 && bucketTarget >= 1 && margin >= 0)
+    val bpts = Materializer.Local(
+      baseEmb.select(col(idCol).as("pid"), col(vecCol).as("pvec")))
+    val npts = Materializer.Local(
+      newEmb.select(col(idCol).as("pid"), col(vecCol).as("pvec")))
+    // bucket geometry comes from the BASE corpus — the stored index's
+    // layout, exactly as the oracle's base-count subquery replays it
+    val b = math.max(1L,
+      math.ceil(bpts.count().toDouble / bucketTarget).toLong)
+    def wb(pts: DataFrame, r: Int) = pts.select(col("pid"),
+      pmod(conv(substring(md5(concat(lit(s"nnd$r|"),
+        col("pid").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(b)).as("bk"))
+    val cand0 = (0 until spaces).map { r =>
+      wb(npts, r).select(col("bk"), col("pid").as("v"))
+        .join(wb(bpts, r).select(col("bk"), col("pid").as("u")),
+          Seq("bk"))
+        .select(col("v"), col("u"))
+    }.reduce(_ unionAll _).distinct()
+    val hop = cand0
+      .join(baseGraph.select(col("v").as("u"), col("u").as("w")),
+        Seq("u"))
+      .select(col("v"), col("w").as("u"))
+    val cand = cand0.unionAll(hop).distinct()
+    val pv = npts.select(col("pid").as("v"), col("pvec").as("qv"))
+    val pu = bpts.select(col("pid").as("u"), col("pvec").as("cv"))
+    val w1 = Window.partitionBy(col("v"))
+      .orderBy(col("fsim").desc, col("u").asc)
+    val w2 = Window.partitionBy(col("v"))
+      .orderBy(col("sim").desc, col("u").asc)
+    cand.join(pv, Seq("v")).join(pu, Seq("u"))
+      .withColumn("fsim",
+        graft.functions.GraftFunctions.cosine_sim(col("qv"), col("cv")))
+      .withColumn("prk", row_number().over(w1))
+      .filter(col("prk") <= k + margin)
+      .withColumn("sim", round(cosineExact(col("qv"), col("cv")), 6))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= k)
+      .select(col("v"), col("u"), col("sim"),
+        col("rk").cast("int").as("rk"))
+  }
 }

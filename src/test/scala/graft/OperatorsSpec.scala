@@ -4049,6 +4049,39 @@ class OperatorsSpec extends SparkSpec {
       beta.getDouble(3) == -1.0, s"exact plane: $beta")
   }
 
+  test("nnGraphInsert (q295): a fresh session attaches a batch via the " +
+    "persisted graph parquet — new-vs-base edges only, matching the " +
+    "in-memory insert exactly") {
+    GraftFunctions.register(spark)
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") >= 10)
+    val fresh = emb.filter(col("vec_id") < 10)
+    val g = graft.operators.Similarity.nnDescentGraph(base, k = 5,
+      rounds = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nng").toString
+    graft.operators.Materializer.Persisted(tmp)(g)
+    def toSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val inMem = toSet(graft.operators.Similarity.nnGraphInsert(
+      g, base, fresh, k = 5))
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2)
+    val emb2 = s2.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val fromDisk = graft.operators.Similarity.nnGraphInsert(
+      s2.read.parquet(s"$tmp/mat_0"), emb2.filter(col("vec_id") >= 10),
+      emb2.filter(col("vec_id") < 10), k = 5)
+    val p = fromDisk.queryExecution.executedPlan.toString
+    assert(p.contains("Scan parquet"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val got = toSet(fromDisk)
+    assert(got.nonEmpty && got == inMem)
+    // the incremental contract: inserted edges go new -> base only
+    assert(got.forall { case (v, u, _, _) => v < 10 && u >= 10 })
+  }
+
   test("adjustedRandIndex (q293): identical partitions score exactly " +
     "1.0; the orthogonal 2x2 split scores exactly -0.5") {
     val s = spark
