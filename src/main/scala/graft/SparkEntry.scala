@@ -6634,6 +6634,58 @@ object SparkEntry {
       operators.Stats.adjustedRandIndex(both, "la", "lb")
     }),
 
+    "q296_merkle_antientropy" -> ((s, dir) => {
+      // Merkle-tree anti-entropy (the Dynamo/Cassandra replica-repair
+      // primitive; Merkle 1987): two corpus snapshots — the original
+      // and a deterministically-edited replica (~1/8 of docs get a
+      // suffix edit, md5-gated) — hashed into a 3-level range tree
+      // (64 docs/leaf, fanout 16). The per-level diff counts ARE the
+      // sync bill: a synchronizer descends only into differing nodes,
+      // so rows(level k) bound the comparisons needed to locate every
+      // divergent range without shipping either corpus. Level hashes
+      // are md5 over the SORTED child-hash concatenation (order-free
+      // of partitioning); everything is exact string algebra — no
+      // float anywhere. One (bucket) exchange per level per snapshot,
+      // each 16x smaller than the last.
+      val d = t(s, dir, "documents")
+      val edited = d.select(col("doc_id"),
+        when(substring(md5(concat(lit("edit|"),
+            col("doc_id").cast("string"))), 1, 1) < lit("2"),
+          concat(col("text"), lit(" EDITED")))
+          .otherwise(col("text")).as("text"))
+      def rows(snap: DataFrame) = snap.select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit("|"), col("text")))
+          .as("h"),
+        floor(col("doc_id") / lit(64)).cast("long").as("b"))
+      def level(prev: DataFrame): DataFrame = prev
+        .groupBy(floor(col("b") / lit(16)).cast("long").as("b"))
+        .agg(md5(array_join(array_sort(collect_list(col("h"))), ""))
+          .as("h"))
+      val ra = rows(d)
+      val rb = rows(edited)
+      def diff(a: DataFrame, bDf: DataFrame, key: String, lvl: Int) =
+        a.select(col(key).as("k"), col("h").as("ha"))
+          .join(bDf.select(col(key).as("k"), col("h").as("hb")),
+            Seq("k"))
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(when(col("ha") =!= col("hb"), 1L).otherwise(0L))
+              .as("n_diff"))
+          .select(lit(lvl).as("level"), col("n_nodes"), col("n_diff"))
+      var la = ra.groupBy(col("b"))
+        .agg(md5(array_join(array_sort(collect_list(col("h"))), ""))
+          .as("h"))
+      var lb = rb.groupBy(col("b"))
+        .agg(md5(array_join(array_sort(collect_list(col("h"))), ""))
+          .as("h"))
+      var out = diff(ra, rb, "doc_id", 0)
+        .unionAll(diff(la, lb, "b", 1))
+      for (lvl <- 2 to 3) {
+        la = level(la); lb = level(lb)
+        out = out.unionAll(diff(la, lb, "b", lvl))
+      }
+      out.orderBy(col("level"))
+    }),
+
     "q295_nn_graph_append" -> ((s, dir) => {
       // incremental graph-ANN insert — the graph member of the
       // incremental-index family (q65/q70 minhash, q128 IVF-PQ): the
@@ -14610,6 +14662,51 @@ object SparkEntry {
     "q286_nn_descent" -> nnDescentSql(10, 3, 3, 16, 5),
 
     "q295_nn_graph_append" -> nnInsertSql(10, 3, 3, 16, 5),
+
+    "q296_merkle_antientropy" -> {
+      def lvlCte(src: String, out: String, rekey: Boolean): String = {
+        val key = if (rekey) "b // 16" else "b"
+        s"""$out AS MATERIALIZED (
+           |  SELECT $key AS b,
+           |    md5(array_to_string(list_sort(list(h)), '')) AS h
+           |  FROM $src GROUP BY 1
+           |)""".stripMargin
+      }
+      def diffSql(a: String, b: String, key: String, lvl: Int): String =
+        s"""  SELECT CAST($lvl AS INTEGER) AS level,
+           |    CAST(count(*) AS BIGINT) AS n_nodes,
+           |    CAST(SUM(CASE WHEN x.h <> y.h THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_diff
+           |  FROM $a x JOIN $b y ON x.$key = y.$key""".stripMargin
+      s"""WITH ed AS (
+         |  SELECT doc_id,
+         |    CASE WHEN substr(md5('edit|' || CAST(doc_id AS VARCHAR)),
+         |        1, 1) < '2'
+         |      THEN text || ' EDITED' ELSE text END AS text
+         |  FROM documents
+         |), ra AS MATERIALIZED (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|' || text)
+         |    AS h, doc_id // 64 AS b
+         |  FROM documents
+         |), rb AS MATERIALIZED (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|' || text)
+         |    AS h, doc_id // 64 AS b
+         |  FROM ed
+         |), ${lvlCte("ra", "la1", rekey = false)},
+         |${lvlCte("rb", "lb1", rekey = false)},
+         |${lvlCte("la1", "la2", rekey = true)},
+         |${lvlCte("lb1", "lb2", rekey = true)},
+         |${lvlCte("la2", "la3", rekey = true)},
+         |${lvlCte("lb2", "lb3", rekey = true)}
+         |${diffSql("ra", "rb", "doc_id", 0)}
+         |UNION ALL
+         |${diffSql("la1", "lb1", "b", 1)}
+         |UNION ALL
+         |${diffSql("la2", "lb2", "b", 2)}
+         |UNION ALL
+         |${diffSql("la3", "lb3", "b", 3)}
+         |ORDER BY level""".stripMargin
+    },
 
     "q291_cf_eval" ->
       """WITH ranked AS (

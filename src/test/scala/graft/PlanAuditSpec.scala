@@ -1395,4 +1395,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p4.contains("CartesianProduct")
       && !p4.contains("BroadcastNestedLoopJoin"), p4.take(3000))
   }
+
+  test("q295/q296: the graph insert and the merkle tree stay keyed " +
+    "equi-joins and bucket aggregates — no cartesian, no window") {
+    val p1 = plan("q295_nn_graph_append")
+    assert(!p1.contains("CartesianProduct"), p1.take(3000))
+    val p2 = plan("q296_merkle_antientropy")
+    assert(!p2.contains("CartesianProduct"), p2.take(3000))
+    assert(!p2.contains("Window"), p2.take(3000))
+  }
 }
