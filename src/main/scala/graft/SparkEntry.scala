@@ -6634,6 +6634,45 @@ object SparkEntry {
       operators.Stats.adjustedRandIndex(both, "la", "lb")
     }),
 
+    "q297_voptimal_hist" -> ((s, dir) => {
+      // V-optimal histogram over order totals — the optimizer-ANALYZE
+      // bucketing (Jagadish et al., VLDB 1998) that q152's equi-width
+      // and q51's equi-depth approximate: value domain compresses to a
+      // 32-point equi-rank grid (exact integer rank thresholds off the
+      // cents histogram — the standard two-level construction), then
+      // Stats.vOptimalDp partitions the grid frequency sequence into
+      // k=4 buckets minimizing within-bucket SSE. The corpus pays one
+      // value-histogram exchange; grid selection, the DP and the
+      // backtrack are all bounded-table algebra.
+      import org.apache.spark.sql.expressions.Window
+      val vals = t(s, dir, "orders")
+        .select((col("o_totalprice") * 100).cast("long").as("v"))
+      val hist = operators.Materializer.Local(
+        vals.groupBy(col("v")).agg(count(lit(1)).as("c")))
+      val wCum = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("c")).over(wCum))
+      val tot = hist.agg(sum(col("c")).as("n"))
+      import s.implicits._
+      val ts = (1 to 32).toDF("t")
+      val thr = floor((col("t") * col("n") + lit(31L)) / lit(32L))
+      val grid = operators.Materializer.Local(ts
+        .crossJoin(broadcast(tot))
+        .join(cum, col("cum") >= thr)
+        .groupBy(col("t")).agg(min(col("v")).as("gv")))
+      val seg = hist.join(broadcast(grid), col("v") <= col("gv"))
+        .groupBy(col("v"), col("c")).agg(min(col("t")).as("t"))
+      val freqs = seg.groupBy(col("t")).agg(sum(col("c")).as("f"))
+      operators.Stats.vOptimalDp(freqs, g = 32, k = 4)
+        .join(broadcast(grid.select(col("t").as("seg_hi"),
+          col("gv").as("v_hi"))), Seq("seg_hi"))
+        .select(col("bucket").cast("long").as("bucket"),
+          col("seg_lo").cast("long").as("seg_lo"),
+          col("seg_hi").cast("long").as("seg_hi"),
+          col("v_hi"), col("n_rows"), col("sse"))
+        .orderBy(col("bucket"))
+    }),
+
     "q296_merkle_antientropy" -> ((s, dir) => {
       // Merkle-tree anti-entropy (the Dynamo/Cassandra replica-repair
       // primitive; Merkle 1987): two corpus snapshots — the original
@@ -14662,6 +14701,81 @@ object SparkEntry {
     "q286_nn_descent" -> nnDescentSql(10, 3, 3, 16, 5),
 
     "q295_nn_graph_append" -> nnInsertSql(10, 3, 3, 16, 5),
+
+    "q297_voptimal_hist" -> {
+      // unrolled DP replay: round j's argmin window repeats the rounded
+      // cost expression (the same round(9) the Spark loop pins)
+      val dpRounds = (2 to 4).map { j =>
+        val prev = s"b${j - 1}"
+        s"""b$j AS MATERIALIZED (
+           |  SELECT i, cost, argm FROM (
+           |    SELECT s.b AS i, $prev.i AS argm,
+           |      round($prev.cost + s.sse, 9) AS cost,
+           |      row_number() OVER (PARTITION BY s.b
+           |        ORDER BY round($prev.cost + s.sse, 9), $prev.i)
+           |        AS rk
+           |    FROM $prev JOIN sse s ON s.a = $prev.i + 1)
+           |  WHERE rk = 1
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH vals AS (
+         |  SELECT CAST(o_totalprice * 100 AS BIGINT) AS v FROM orders
+         |), hist AS MATERIALIZED (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY 1
+         |), cum AS MATERIALIZED (
+         |  SELECT v, c, CAST(SUM(c) OVER (ORDER BY v
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM hist
+         |), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+         |ts AS (SELECT unnest(range(1, 33)) AS t),
+         |grid AS MATERIALIZED (
+         |  SELECT t, MIN(v) AS gv FROM ts, tot, cum
+         |  WHERE cum >= (t * n + 31) // 32 GROUP BY 1
+         |), seg AS (
+         |  SELECT v, c, MIN(t) AS t FROM hist JOIN grid ON v <= gv
+         |  GROUP BY 1, 2
+         |), freqs AS (SELECT t, CAST(SUM(c) AS BIGINT) AS f FROM seg
+         |  GROUP BY 1),
+         |dense AS (
+         |  SELECT ts.t, coalesce(f, 0) AS f FROM ts
+         |  LEFT JOIN freqs USING (t)
+         |), pre AS MATERIALIZED (
+         |  SELECT t, CAST(SUM(f) OVER (ORDER BY t
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+         |    CAST(SUM(f * f) OVER (ORDER BY t
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p2
+         |  FROM dense
+         |  UNION ALL SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |), sse AS MATERIALIZED (
+         |  SELECT lo.t + 1 AS a, hi.t AS b,
+         |    round(CAST(hi.p2 - lo.p2 AS DOUBLE)
+         |      - CAST(hi.p - lo.p AS DOUBLE)
+         |        * CAST(hi.p - lo.p AS DOUBLE)
+         |        / CAST(hi.t - lo.t AS DOUBLE), 9) AS sse
+         |  FROM pre hi JOIN pre lo ON lo.t < hi.t WHERE hi.t >= 1
+         |), b1 AS MATERIALIZED (
+         |  SELECT b AS i, sse AS cost, 0 AS argm FROM sse WHERE a = 1
+         |), $dpRounds,
+         |m3 AS (SELECT argm AS m FROM b4 WHERE i = 32),
+         |m2 AS (SELECT b3.argm AS m FROM b3, m3 WHERE b3.i = m3.m),
+         |m1 AS (SELECT b2.argm AS m FROM b2, m2 WHERE b2.i = m2.m),
+         |bounds AS (
+         |  SELECT 1 AS bucket, 1 AS seg_lo, m1.m AS seg_hi FROM m1
+         |  UNION ALL SELECT 2, m1.m + 1, m2.m FROM m1, m2
+         |  UNION ALL SELECT 3, m2.m + 1, m3.m FROM m2, m3
+         |  UNION ALL SELECT 4, m3.m + 1, 32 FROM m3
+         |)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(seg_lo AS BIGINT) AS seg_lo,
+         |  CAST(seg_hi AS BIGINT) AS seg_hi,
+         |  gv AS v_hi, CAST(ph.p - pl.p AS BIGINT) AS n_rows,
+         |  round(s.sse, 6) AS sse
+         |FROM bounds JOIN sse s ON s.a = seg_lo AND s.b = seg_hi
+         |JOIN pre ph ON ph.t = seg_hi
+         |JOIN pre pl ON pl.t = seg_lo - 1
+         |JOIN grid ON grid.t = seg_hi
+         |ORDER BY bucket""".stripMargin
+    },
 
     "q296_merkle_antientropy" -> {
       def lvlCte(src: String, out: String, rekey: Boolean): String = {

@@ -1680,6 +1680,89 @@ object Stats {
         round(col("st"), 6).as("strength"))
   }
 
+  /** V-optimal histogram DP (Jagadish, Koudas, Muthukrishnan et al.,
+    * VLDB 1998 — the optimizer-statistics bucketing that minimizes the
+    * frequency sequence's within-bucket SSE, what an engine's ANALYZE
+    * builds where equi-width (q152) and equi-depth (q51) are the cheap
+    * approximations). Input `freqs` is the (t = 1..g, f) frequency
+    * sequence over a BOUNDED pre-quantized grid (the caller compresses
+    * the raw value domain first — the standard two-level construction);
+    * everything here is g²·k algebra on broadcast-bounded tables.
+    * Costs carry as round(9) doubles from exact integer prefix sums
+    * (d² ≤ n² is exact in a double for any realistic n); ties in the
+    * DP argmin break to the SMALLEST split, so the oracle's unrolled
+    * replay is bit-identical. Returns one row per bucket:
+    * (bucket, seg_lo, seg_hi, n_rows, sse). */
+  def vOptimalDp(freqs: DataFrame, g: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(g >= k && k >= 2)
+    // dense 1..g with zero-fill, plus the t=0 sentinel for prefix diffs
+    val sp0 = freqs.sparkSession
+    import sp0.implicits._
+    val dense = (1 to g).toDF("t")
+      .join(freqs.select(col("t"), col("f")), Seq("t"), "left")
+      .select(col("t"), coalesce(col("f"), lit(0L)).as("f"))
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = Materializer.Local(dense
+      .withColumn("p", sum(col("f")).over(wCum))
+      .withColumn("p2", sum(col("f") * col("f")).over(wCum))
+      .select(col("t"), col("p"), col("p2"))
+      .unionAll(Seq((0, 0L, 0L)).toDF("t", "p", "p2")))
+    val hi = pre.select(col("t").as("b"), col("p").as("pb"),
+      col("p2").as("p2b")).filter(col("b") >= 1)
+    val lo = pre.select(col("t").as("a0"), col("p").as("pa"),
+      col("p2").as("p2a"))
+    val d = (col("pb") - col("pa")).cast("double")
+    val d2 = (col("p2b") - col("p2a")).cast("double")
+    val len = (col("b") - col("a0")).cast("double")
+    val sseTab = Materializer.Local(hi
+      .join(broadcast(lo), col("a0") < col("b"))
+      .select((col("a0") + 1).as("a"), col("b"),
+        round(d2 - d * d / len, 9).as("sse")))
+    // DP: bestJ(i) = min_m best{J-1}(m) + sse(m+1, i); argmin tie -> m
+    var bests = List(Materializer.Local(sseTab.filter(col("a") === 1)
+      .select(col("b").as("i"), col("sse").as("cost"),
+        lit(0).as("argm"))))
+    for (_ <- 2 to k) {
+      val prev = bests.head.select(col("i").as("m"),
+        col("cost").as("pcost"))
+      val wMin = Window.partitionBy(col("i"))
+        .orderBy(col("cost").asc, col("m").asc)
+      bests ::= Materializer.Local(prev
+        .join(broadcast(sseTab), col("a") === col("m") + 1)
+        .select(col("b").as("i"), col("m"),
+          round(col("pcost") + col("sse"), 9).as("cost"))
+        .withColumn("rk", row_number().over(wMin))
+        .filter(col("rk") === 1)
+        .select(col("i"), col("cost"), col("m").as("argm")))
+    }
+    // backtrack from (i = g, j = k) through the per-round argmins
+    val byRound = bests.reverse.toArray // byRound(j-1) = best for j buckets
+    var bounds = List(g)
+    var cur = g
+    for (j <- k to 2 by -1) {
+      val m = byRound(j - 1).filter(col("i") === cur)
+        .collect()(0).getInt(2) // bounded 1-row read per level
+      bounds ::= m
+      cur = m
+    }
+    val segs = (0 until k).map { idx =>
+      val sl = if (idx == 0) 1 else bounds(idx - 1) + 1
+      (idx + 1, sl, bounds(idx))
+    }.toDF("bucket", "seg_lo", "seg_hi")
+    segs
+      .join(broadcast(sseTab.select(col("a").as("seg_lo"),
+        col("b").as("seg_hi"), col("sse"))), Seq("seg_lo", "seg_hi"))
+      .join(broadcast(pre.select(col("t").as("seg_hi"),
+        col("p").as("phi"))), Seq("seg_hi"))
+      .join(broadcast(pre.select((col("t") + 1).as("seg_lo"),
+        col("p").as("plo"))), Seq("seg_lo"))
+      .select(col("bucket"), col("seg_lo"), col("seg_hi"),
+        (col("phi") - col("plo")).cast("long").as("n_rows"),
+        round(col("sse"), 6).as("sse"))
+  }
+
   /** Adjusted Rand Index (Hubert & Arabie 1985) between two labelings
     * of the same items: `labeled` has one row per item with its label
     * under partition A (`aCol`) and partition B (`bCol`). Pair counts

@@ -4082,6 +4082,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got.forall { case (v, u, _, _) => v < 10 && u >= 10 })
   }
 
+  test("vOptimalDp (q297): finds the zero-SSE split on a two-plateau " +
+    "frequency sequence; bucket rows/SSE exact") {
+    val s = spark
+    import s.implicits._
+    // [10,10,10,1,1,1] with k=2: the only zero-SSE split is after t=3
+    val freqs = Seq((1, 10L), (2, 10L), (3, 10L), (4, 1L), (5, 1L),
+      (6, 1L)).toDF("t", "f")
+    val got = graft.operators.Stats.vOptimalDp(freqs, g = 6, k = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1)
+    assert(got.toSeq == Seq((1, 1, 3, 30L, 0.0), (2, 4, 6, 3L, 0.0)),
+      got.mkString(", "))
+    // k=3 on the same input must keep total SSE at 0 (splitting a
+    // plateau costs nothing) and partition 1..6 contiguously
+    val g3 = graft.operators.Stats.vOptimalDp(freqs, g = 6, k = 3)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(g3.map(_._3).sum == 0.0, g3.mkString(", "))
+    assert(g3.head._1 == 1 && g3.last._2 == 6 &&
+      g3.sliding(2).forall(p => p(1)._1 == p(0)._2 + 1))
+  }
+
   test("adjustedRandIndex (q293): identical partitions score exactly " +
     "1.0; the orthogonal 2x2 split scores exactly -0.5") {
     val s = spark

@@ -1404,4 +1404,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct"), p2.take(3000))
     assert(!p2.contains("Window"), p2.take(3000))
   }
+
+  test("q297: the corpus pays one value-histogram exchange; the DP is " +
+    "bounded-table algebra above the checkpoints") {
+    val p = plan("q297_voptimal_hist")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
 }
