@@ -209,6 +209,36 @@ object SparkEntry {
     idxPath
   }
 
+  /** Spark twin of the oracle's `orderGridCtes`: the synopsis family's
+    * shared input — order totals in cents, value histogram (ONE corpus
+    * exchange), 32-point equi-rank grid via exact integer rank
+    * thresholds, dense (t, f) frequency sequence. Returns
+    * (grid (t, gv), freqs (t, f)); both bounded, both checkpointed. */
+  private[graft] def orderGridFreqs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = t(s, dir, "orders")
+      .select((col("o_totalprice") * 100).cast("long").as("v"))
+    val hist = operators.Materializer.Local(
+      vals.groupBy(col("v")).agg(count(lit(1)).as("c")))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(wCum))
+    val tot = hist.agg(sum(col("c")).as("n"))
+    import s.implicits._
+    val ts = (1 to 32).toDF("t")
+    val thr = floor((col("t") * col("n") + lit(31L)) / lit(32L))
+    val grid = operators.Materializer.Local(ts
+      .crossJoin(broadcast(tot))
+      .join(cum, col("cum") >= thr)
+      .groupBy(col("t")).agg(min(col("v")).as("gv")))
+    val seg = hist.join(broadcast(grid), col("v") <= col("gv"))
+      .groupBy(col("v"), col("c")).agg(min(col("t")).as("t"))
+    val freqs = operators.Materializer.Local(
+      seg.groupBy(col("t")).agg(sum(col("c")).as("f")))
+    (grid, freqs)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Region revenue rollup: 4-table join with broadcast dims. */
   def entry(spark: SparkSession): DataFrame =
@@ -6644,25 +6674,7 @@ object SparkEntry {
       // k=4 buckets minimizing within-bucket SSE. The corpus pays one
       // value-histogram exchange; grid selection, the DP and the
       // backtrack are all bounded-table algebra.
-      import org.apache.spark.sql.expressions.Window
-      val vals = t(s, dir, "orders")
-        .select((col("o_totalprice") * 100).cast("long").as("v"))
-      val hist = operators.Materializer.Local(
-        vals.groupBy(col("v")).agg(count(lit(1)).as("c")))
-      val wCum = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = hist.withColumn("cum", sum(col("c")).over(wCum))
-      val tot = hist.agg(sum(col("c")).as("n"))
-      import s.implicits._
-      val ts = (1 to 32).toDF("t")
-      val thr = floor((col("t") * col("n") + lit(31L)) / lit(32L))
-      val grid = operators.Materializer.Local(ts
-        .crossJoin(broadcast(tot))
-        .join(cum, col("cum") >= thr)
-        .groupBy(col("t")).agg(min(col("v")).as("gv")))
-      val seg = hist.join(broadcast(grid), col("v") <= col("gv"))
-        .groupBy(col("v"), col("c")).agg(min(col("t")).as("t"))
-      val freqs = seg.groupBy(col("t")).agg(sum(col("c")).as("f"))
+      val (grid, freqs) = orderGridFreqs(s, dir)
       operators.Stats.vOptimalDp(freqs, g = 32, k = 4)
         .join(broadcast(grid.select(col("t").as("seg_hi"),
           col("gv").as("v_hi"))), Seq("seg_hi"))
@@ -6671,6 +6683,110 @@ object SparkEntry {
           col("seg_hi").cast("long").as("seg_hi"),
           col("v_hi"), col("n_rows"), col("sse"))
         .orderBy(col("bucket"))
+    }),
+
+    "q298_wavelet_synopsis" -> ((s, dir) => {
+      // Haar-wavelet synopsis (Matias, Vitter & Wang, SIGMOD 1998) of
+      // the same 32-point grid frequency sequence q297 buckets — the
+      // OTHER classic DB synopsis: 5 unrolled pairwise levels build
+      // the transform IN INTEGERS (detail D = left-sum − right-sum;
+      // true coefficient d = D/2^lvl), the top-8 details by |d| are
+      // kept (exact integer sort key |D|·2^(5−lvl)), and the dropped
+      // energy — the synopsis's reconstruction SSE,
+      // Σ D²·2^(5−lvl)/32 — stays exact until one final division.
+      // The corpus pays the family's single histogram exchange; the
+      // transform is bounded-table algebra.
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val (_, freqs) = orderGridFreqs(s, dir)
+      val dense = (1 to 32).toDF("t")
+        .join(freqs, Seq("t"), "left")
+        .select(col("t").cast("long").as("t"),
+          coalesce(col("f"), lit(0L)).as("x"))
+      var lvlTab = operators.Materializer.Local(dense)
+      var details: DataFrame = null
+      for (j <- 1 to 5) {
+        val agg = lvlTab
+          .groupBy(floor((col("t") + lit(1)) / lit(2)).cast("long")
+            .as("t"))
+          .agg(sum(col("x")).as("x"),
+            sum(when(pmod(col("t"), lit(2)) === 1, col("x"))
+              .otherwise(-col("x"))).as("d"))
+        val det = agg.select(lit(j).as("lvl"), col("t").as("pos"),
+          col("d").as("dd"), lit(1L << (5 - j)).as("w"),
+          lit(1L << j).as("den"))
+        details = if (details == null) det else details.unionAll(det)
+        lvlTab = operators.Materializer.Local(
+          agg.select(col("t"), col("x")))
+      }
+      val wSel = Window.orderBy((abs(col("dd")) * col("w")).desc,
+        col("lvl").asc, col("pos").asc)
+      val ranked = operators.Materializer.Local(
+        details.withColumn("rk", row_number().over(wSel).cast("long")))
+      val dc = lvlTab.select(lit(0L).as("rk"), lit(0).as("lvl"),
+        lit(1L).as("pos"),
+        round(col("x").cast("double") / lit(32.0), 6).as("coef"))
+      val kept = ranked.filter(col("rk") <= 8)
+        .select(col("rk"), col("lvl"), col("pos"),
+          round(col("dd").cast("double") / col("den").cast("double"), 6)
+            .as("coef"))
+      val sse = ranked.filter(col("rk") > 8)
+        .agg(coalesce(sum(col("dd") * col("dd") * col("w")), lit(0L))
+          .as("num"))
+        .select(round(col("num").cast("double") / lit(32.0), 6)
+          .as("dropped_sse"))
+      dc.unionAll(kept).crossJoin(broadcast(sse)).orderBy(col("rk"))
+    }),
+
+    "q299_hist_selectivity" -> ((s, dir) => {
+      // selectivity estimation from the q297 V-optimal histogram vs
+      // ground truth — the synopsis's actual consumer (Selinger et al.
+      // 1979 meets Jagadish et al. 1998): P(v > X) by continuous
+      // interpolation inside the bucket containing X, audited against
+      // the exact count at three mid-grid thresholds. The histogram is
+      // bounded and broadcasts; the only corpus-scale work is the
+      // exact-count aggregate the audit itself requires.
+      val (grid, freqs) = orderGridFreqs(s, dir)
+      val buckets = operators.Stats.vOptimalDp(freqs, g = 32, k = 4)
+      val gmin = t(s, dir, "orders")
+        .select((col("o_totalprice") * 100).cast("long").as("v"))
+        .agg(min(col("v")).as("gm"))
+      val bkt = buckets
+        .join(broadcast(grid.select(col("t").as("seg_hi"),
+          col("gv").as("hi"))), Seq("seg_hi"))
+        .join(broadcast(grid.select((col("t") + 1).as("seg_lo"),
+          col("gv").as("glo"))), Seq("seg_lo"), "left")
+        .crossJoin(broadcast(gmin))
+        .select(col("bucket"), col("n_rows"), col("hi"),
+          when(col("seg_lo") === 1, col("gm") - 1)
+            .otherwise(col("glo")).as("lo"))
+      import s.implicits._
+      val thr = grid.select(col("t"), col("gv"))
+        .join(Seq((8, 9), (16, 17), (24, 25)).toDF("ta", "tb"),
+          col("t") === col("ta") || col("t") === col("tb"))
+        .groupBy(col("ta"))
+        .agg(floor(sum(col("gv")).cast("double") / lit(2.0)).cast("long")
+          .as("x"))
+        .select(col("x"))
+      val raw = (col("hi") - col("x")).cast("double") /
+        (col("hi") - col("lo")).cast("double")
+      val fr = round(greatest(least(raw, lit(1.0)), lit(0.0)), 9)
+      val est = bkt.crossJoin(broadcast(thr))
+        .select(col("x"),
+          round(col("n_rows").cast("double") * fr, 6)
+            .cast("decimal(19,6)").as("contrib"))
+        .groupBy(col("x")).agg(sum(col("contrib")).as("est"))
+      val vals = t(s, dir, "orders")
+        .select((col("o_totalprice") * 100).cast("long").as("v"))
+      val act = vals.join(broadcast(thr), col("v") > col("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("actual"))
+      est.join(broadcast(act), Seq("x"))
+        .select(col("x"),
+          round(col("est").cast("double"), 6).as("est"),
+          col("actual"),
+          round((col("est").cast("double") - col("actual").cast("double"))
+            / col("actual").cast("double"), 6).as("rel_err"))
+        .orderBy(col("x"))
     }),
 
     "q296_merkle_antientropy" -> ((s, dir) => {
@@ -14702,69 +14818,8 @@ object SparkEntry {
 
     "q295_nn_graph_append" -> nnInsertSql(10, 3, 3, 16, 5),
 
-    "q297_voptimal_hist" -> {
-      // unrolled DP replay: round j's argmin window repeats the rounded
-      // cost expression (the same round(9) the Spark loop pins)
-      val dpRounds = (2 to 4).map { j =>
-        val prev = s"b${j - 1}"
-        s"""b$j AS MATERIALIZED (
-           |  SELECT i, cost, argm FROM (
-           |    SELECT s.b AS i, $prev.i AS argm,
-           |      round($prev.cost + s.sse, 9) AS cost,
-           |      row_number() OVER (PARTITION BY s.b
-           |        ORDER BY round($prev.cost + s.sse, 9), $prev.i)
-           |        AS rk
-           |    FROM $prev JOIN sse s ON s.a = $prev.i + 1)
-           |  WHERE rk = 1
-           |)""".stripMargin
-      }.mkString(", ")
-      s"""WITH vals AS (
-         |  SELECT CAST(o_totalprice * 100 AS BIGINT) AS v FROM orders
-         |), hist AS MATERIALIZED (
-         |  SELECT v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY 1
-         |), cum AS MATERIALIZED (
-         |  SELECT v, c, CAST(SUM(c) OVER (ORDER BY v
-         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-         |  FROM hist
-         |), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
-         |ts AS (SELECT unnest(range(1, 33)) AS t),
-         |grid AS MATERIALIZED (
-         |  SELECT t, MIN(v) AS gv FROM ts, tot, cum
-         |  WHERE cum >= (t * n + 31) // 32 GROUP BY 1
-         |), seg AS (
-         |  SELECT v, c, MIN(t) AS t FROM hist JOIN grid ON v <= gv
-         |  GROUP BY 1, 2
-         |), freqs AS (SELECT t, CAST(SUM(c) AS BIGINT) AS f FROM seg
-         |  GROUP BY 1),
-         |dense AS (
-         |  SELECT ts.t, coalesce(f, 0) AS f FROM ts
-         |  LEFT JOIN freqs USING (t)
-         |), pre AS MATERIALIZED (
-         |  SELECT t, CAST(SUM(f) OVER (ORDER BY t
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
-         |    CAST(SUM(f * f) OVER (ORDER BY t
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p2
-         |  FROM dense
-         |  UNION ALL SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-         |), sse AS MATERIALIZED (
-         |  SELECT lo.t + 1 AS a, hi.t AS b,
-         |    round(CAST(hi.p2 - lo.p2 AS DOUBLE)
-         |      - CAST(hi.p - lo.p AS DOUBLE)
-         |        * CAST(hi.p - lo.p AS DOUBLE)
-         |        / CAST(hi.t - lo.t AS DOUBLE), 9) AS sse
-         |  FROM pre hi JOIN pre lo ON lo.t < hi.t WHERE hi.t >= 1
-         |), b1 AS MATERIALIZED (
-         |  SELECT b AS i, sse AS cost, 0 AS argm FROM sse WHERE a = 1
-         |), $dpRounds,
-         |m3 AS (SELECT argm AS m FROM b4 WHERE i = 32),
-         |m2 AS (SELECT b3.argm AS m FROM b3, m3 WHERE b3.i = m3.m),
-         |m1 AS (SELECT b2.argm AS m FROM b2, m2 WHERE b2.i = m2.m),
-         |bounds AS (
-         |  SELECT 1 AS bucket, 1 AS seg_lo, m1.m AS seg_hi FROM m1
-         |  UNION ALL SELECT 2, m1.m + 1, m2.m FROM m1, m2
-         |  UNION ALL SELECT 3, m2.m + 1, m3.m FROM m2, m3
-         |  UNION ALL SELECT 4, m3.m + 1, 32 FROM m3
-         |)
+    "q297_voptimal_hist" ->
+      s"""WITH $orderGridCtes, $vOptDpCtes
          |SELECT CAST(bucket AS BIGINT) AS bucket,
          |  CAST(seg_lo AS BIGINT) AS seg_lo,
          |  CAST(seg_hi AS BIGINT) AS seg_hi,
@@ -14774,8 +14829,84 @@ object SparkEntry {
          |JOIN pre ph ON ph.t = seg_hi
          |JOIN pre pl ON pl.t = seg_lo - 1
          |JOIN grid ON grid.t = seg_hi
-         |ORDER BY bucket""".stripMargin
+         |ORDER BY bucket""".stripMargin,
+
+    "q298_wavelet_synopsis" -> {
+      val lvls = (1 to 5).map { j =>
+        val src = if (j == 1) "l0" else s"lv${j - 1}"
+        s"""lv$j AS MATERIALIZED (
+           |  SELECT (t + 1) // 2 AS t, CAST(SUM(x) AS BIGINT) AS x,
+           |    CAST(SUM(CASE WHEN t % 2 = 1 THEN x ELSE -x END)
+           |      AS BIGINT) AS d
+           |  FROM $src GROUP BY 1
+           |)""".stripMargin
+      }.mkString(", ")
+      val dets = (1 to 5).map { j =>
+        s"""  SELECT $j AS lvl, t AS pos, d AS dd,
+           |    CAST(${1L << (5 - j)} AS BIGINT) AS w,
+           |    CAST(${1L << j} AS BIGINT) AS den
+           |  FROM lv$j""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH $orderGridCtes,
+         |l0 AS (SELECT t, f AS x FROM dense),
+         |$lvls,
+         |details AS (
+         |$dets
+         |), ranked AS MATERIALIZED (
+         |  SELECT lvl, pos, dd, w, den,
+         |    CAST(row_number() OVER (ORDER BY abs(dd) * w DESC,
+         |      lvl, pos) AS BIGINT) AS rk
+         |  FROM details
+         |), dsse AS (
+         |  SELECT round(CAST(coalesce(SUM(dd * dd * w), 0) AS DOUBLE)
+         |    / 32.0, 6) AS dropped_sse
+         |  FROM ranked WHERE rk > 8
+         |), outp AS (
+         |  SELECT CAST(0 AS BIGINT) AS rk, 0 AS lvl,
+         |    CAST(1 AS BIGINT) AS pos,
+         |    round(CAST(x AS DOUBLE) / 32.0, 6) AS coef
+         |  FROM lv5
+         |  UNION ALL
+         |  SELECT rk, lvl, pos,
+         |    round(CAST(dd AS DOUBLE) / CAST(den AS DOUBLE), 6)
+         |  FROM ranked WHERE rk <= 8
+         |)
+         |SELECT rk, lvl, pos, coef, dropped_sse
+         |FROM outp, dsse ORDER BY rk""".stripMargin
     },
+
+    "q299_hist_selectivity" ->
+      s"""WITH $orderGridCtes, $vOptDpCtes,
+         |gmin AS (SELECT MIN(v) AS gm FROM hist),
+         |bkt AS (
+         |  SELECT bounds.bucket, CAST(ph.p - pl.p AS BIGINT) AS n,
+         |    ghi.gv AS hi,
+         |    CASE WHEN seg_lo = 1 THEN gm - 1 ELSE glo.gv END AS lo
+         |  FROM bounds
+         |  JOIN pre ph ON ph.t = seg_hi
+         |  JOIN pre pl ON pl.t = seg_lo - 1
+         |  JOIN grid ghi ON ghi.t = seg_hi
+         |  LEFT JOIN grid glo ON glo.t = seg_lo - 1, gmin
+         |), thr AS (
+         |  SELECT CAST(floor(CAST(a.gv + b.gv AS DOUBLE) / 2.0)
+         |    AS BIGINT) AS x
+         |  FROM grid a, grid b
+         |  WHERE (a.t = 8 AND b.t = 9) OR (a.t = 16 AND b.t = 17)
+         |    OR (a.t = 24 AND b.t = 25)
+         |), est AS (
+         |  SELECT x, SUM(CAST(round(CAST(n AS DOUBLE)
+         |      * round(greatest(least(CAST(hi - x AS DOUBLE)
+         |          / CAST(hi - lo AS DOUBLE), 1.0), 0.0), 9), 6)
+         |    AS DECIMAL(19,6))) AS est
+         |  FROM bkt, thr GROUP BY 1
+         |), act AS (
+         |  SELECT x, CAST(count(*) AS BIGINT) AS actual
+         |  FROM vals, thr WHERE v > x GROUP BY 1
+         |)
+         |SELECT est.x, round(CAST(est AS DOUBLE), 6) AS est, actual,
+         |  round((CAST(est AS DOUBLE) - CAST(actual AS DOUBLE))
+         |    / CAST(actual AS DOUBLE), 6) AS rel_err
+         |FROM est JOIN act USING (x) ORDER BY x""".stripMargin,
 
     "q296_merkle_antientropy" -> {
       def lvlCte(src: String, out: String, rekey: Boolean): String = {
@@ -15614,6 +15745,78 @@ object SparkEntry {
         |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
         |JOIN nf nb ON nb.doc_id = pr.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Shared DuckDB CTE chain for the V-optimal DP (q297/q299): dense
+    * prefix sums -> SSE table -> 4 unrolled argmin rounds -> backtrack
+    * -> `bounds` (bucket, seg_lo, seg_hi). Follows `orderGridCtes`. */
+  private lazy val vOptDpCtes: String = {
+    val dpRounds = (2 to 4).map { j =>
+      val prev = s"b${j - 1}"
+      s"""b$j AS MATERIALIZED (
+         |  SELECT i, cost, argm FROM (
+         |    SELECT s.b AS i, $prev.i AS argm,
+         |      round($prev.cost + s.sse, 9) AS cost,
+         |      row_number() OVER (PARTITION BY s.b
+         |        ORDER BY round($prev.cost + s.sse, 9), $prev.i)
+         |        AS rk
+         |    FROM $prev JOIN sse s ON s.a = $prev.i + 1)
+         |  WHERE rk = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""pre AS MATERIALIZED (
+       |  SELECT t, CAST(SUM(f) OVER (ORDER BY t
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+       |    CAST(SUM(f * f) OVER (ORDER BY t
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p2
+       |  FROM dense
+       |  UNION ALL SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |), sse AS MATERIALIZED (
+       |  SELECT lo.t + 1 AS a, hi.t AS b,
+       |    round(CAST(hi.p2 - lo.p2 AS DOUBLE)
+       |      - CAST(hi.p - lo.p AS DOUBLE)
+       |        * CAST(hi.p - lo.p AS DOUBLE)
+       |        / CAST(hi.t - lo.t AS DOUBLE), 9) AS sse
+       |  FROM pre hi JOIN pre lo ON lo.t < hi.t WHERE hi.t >= 1
+       |), b1 AS MATERIALIZED (
+       |  SELECT b AS i, sse AS cost, 0 AS argm FROM sse WHERE a = 1
+       |), $dpRounds,
+       |m3 AS (SELECT argm AS m FROM b4 WHERE i = 32),
+       |m2 AS (SELECT b3.argm AS m FROM b3, m3 WHERE b3.i = m3.m),
+       |m1 AS (SELECT b2.argm AS m FROM b2, m2 WHERE b2.i = m2.m),
+       |bounds AS (
+       |  SELECT 1 AS bucket, 1 AS seg_lo, m1.m AS seg_hi FROM m1
+       |  UNION ALL SELECT 2, m1.m + 1, m2.m FROM m1, m2
+       |  UNION ALL SELECT 3, m2.m + 1, m3.m FROM m2, m3
+       |  UNION ALL SELECT 4, m3.m + 1, 32 FROM m3
+       |)""".stripMargin
+  }
+
+  /** Shared DuckDB CTE prefix for the q297/q298/q299 synopsis family:
+    * order totals in cents -> value histogram -> 32-point equi-rank
+    * grid -> dense (t = 1..32, f) frequency sequence. */
+  private lazy val orderGridCtes: String =
+    """vals AS (
+      |  SELECT CAST(o_totalprice * 100 AS BIGINT) AS v FROM orders
+      |), hist AS MATERIALIZED (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY 1
+      |), cum AS MATERIALIZED (
+      |  SELECT v, c, CAST(SUM(c) OVER (ORDER BY v
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM hist
+      |), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+      |ts AS (SELECT unnest(range(1, 33)) AS t),
+      |grid AS MATERIALIZED (
+      |  SELECT t, MIN(v) AS gv FROM ts, tot, cum
+      |  WHERE cum >= (t * n + 31) // 32 GROUP BY 1
+      |), seg AS (
+      |  SELECT v, c, MIN(t) AS t FROM hist JOIN grid ON v <= gv
+      |  GROUP BY 1, 2
+      |), freqs AS (SELECT t, CAST(SUM(c) AS BIGINT) AS f FROM seg
+      |  GROUP BY 1),
+      |dense AS (
+      |  SELECT ts.t, coalesce(f, 0) AS f FROM ts
+      |  LEFT JOIN freqs USING (t)
+      |)""".stripMargin
 
   /** DuckDB replay of [[operators.Similarity.nnDescentGraph]]
     * (bucketTarget=32) plus the q40-style exact-truth recall readout

@@ -4082,6 +4082,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got.forall { case (v, u, _, _) => v < 10 && u >= 10 })
   }
 
+  test("q298 wavelet synopsis satisfies Parseval: grid energy equals " +
+    "DC + kept + dropped coefficient energy") {
+    val dir = "/root/testdata/sf0.001"
+    val (_, freqs) = SparkEntry.orderGridFreqs(spark, dir)
+    val fs = freqs.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sumF2 = (1 to 32).map(t => { val f = fs.getOrElse(t, 0L).toDouble
+      f * f }).sum
+    val out = SparkEntry.queries("q298_wavelet_synopsis")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3),
+        r.getDouble(4)))
+    val dc = out.find(_._1 == 0L).get
+    val keptEnergy = out.filter(_._1 > 0).map { case (_, lvl, c, _) =>
+      c * c * (1L << lvl) }.sum
+    val total = 32.0 * dc._3 * dc._3 + keptEnergy + dc._4
+    assert(math.abs(total - sumF2) <= 1e-4 * math.max(sumF2, 1.0),
+      s"Parseval: $total vs $sumF2")
+  }
+
   test("vOptimalDp (q297): finds the zero-SSE split on a two-plateau " +
     "frequency sequence; bucket rows/SSE exact") {
     val s = spark

@@ -1411,4 +1411,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
+
+  test("q298/q299: the synopsis transform and the selectivity audit " +
+    "ride bounded tables; the only corpus work is the shared histogram " +
+    "and the exact-count aggregate") {
+    val p1 = plan("q298_wavelet_synopsis")
+    assert(!p1.contains("CartesianProduct")
+      && !p1.contains("SortMergeJoin"), p1.take(3000))
+    val p2 = plan("q299_hist_selectivity")
+    assert(!p2.contains("CartesianProduct")
+      && !p2.contains("SortMergeJoin"), p2.take(3000))
+  }
 }
