@@ -870,6 +870,7 @@ object SparkEntry {
       // shingles shared with the "eval set" (doc_id < 10 here) — the
       // pre-training overlap check. Eval shingles broadcast; the corpus
       // side is map-side explode + broadcast join + partial count
+      GraftFunctions.register(s)
       val docs = t(s, dir, "documents")
       TextAnalysis.contaminationOverlap(docs,
           docs.filter(col("doc_id") < 10), "doc_id", "text", n = 5)
@@ -6685,6 +6686,81 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    "q300_pipeline_funnel" -> ((s, dir) => {
+      // the full pretraining-data pipeline as ONE funnel: raw → cheap
+      // quality gates (q283's three) → exact dedup (q34's keep-min) →
+      // minhash near-dup drop (q37's pairs, larger id drops) →
+      // benchmark decontamination (q68's overlap, eval docs excluded)
+      // → language filter (q32's n-gram langid) → quality floor
+      // (q31's score ≥ 0.3) — per-stage doc/token survival, the
+      // pipeline-planning readout q283 gives for gate SUBSETS, here
+      // for the production stage ORDER. Stage flags are computed once
+      // per doc on the full corpus and survival is their cumulative
+      // AND: the funnel costs the union of its stages' plans plus one
+      // conditional aggregate — never seven passes.
+      GraftFunctions.register(s)
+      val d = t(s, dir, "documents")
+      val tk = operators.TextAnalysis.tokens(col("text"))
+      val flags0 = d.select(col("doc_id"),
+        (length(col("text")) >= 200 &&
+          when(length(col("text")) > 0,
+            length(regexp_replace(col("text"), "[^A-Za-z]", "")) * 10
+              >= length(col("text")) * 6).otherwise(false) &&
+          size(tk) >= 30).as("f_gates"),
+        size(tk).cast("long").as("ntk"),
+        (operators.TextAnalysis.langId(col("text")) === "en")
+          .as("f_lang"),
+        (round(operators.TextAnalysis.qualityScore(col("text")), 6)
+          >= 0.3).as("f_qual"),
+        md5(col("text")).as("k"))
+      val wk = d.groupBy(md5(col("text")).as("k"))
+        .agg(min(col("doc_id")).as("keep"))
+      val nd = Dedup.minhashLshPairs(d, "doc_id", "text", k = 16,
+          bands = 4, shingleN = 3, threshold = 0.5, fast = false)
+        .select(col("b_id")).distinct()
+      val ov = TextAnalysis.contaminationOverlap(d,
+          d.filter(col("doc_id") < 10), "doc_id", "text", n = 5)
+        .select(col("id").as("doc_id"), col("n_overlap"))
+      val cum = flags0.join(wk, Seq("k"))
+        .join(nd, col("doc_id") === col("b_id"), "left")
+        .join(ov, Seq("doc_id"), "left")
+        .select(col("ntk"),
+          lit(true).as("c1"),
+          col("f_gates").as("c2"),
+          (col("f_gates") && col("doc_id") === col("keep")).as("c3"),
+          (col("f_gates") && col("doc_id") === col("keep")
+            && col("b_id").isNull).as("c4"),
+          (col("f_gates") && col("doc_id") === col("keep")
+            && col("b_id").isNull && col("doc_id") >= 10
+            && coalesce(col("n_overlap"), lit(0L)) === 0).as("c5"),
+          (col("f_gates") && col("doc_id") === col("keep")
+            && col("b_id").isNull && col("doc_id") >= 10
+            && coalesce(col("n_overlap"), lit(0L)) === 0
+            && col("f_lang")).as("c6"),
+          (col("f_gates") && col("doc_id") === col("keep")
+            && col("b_id").isNull && col("doc_id") >= 10
+            && coalesce(col("n_overlap"), lit(0L)) === 0
+            && col("f_lang") && col("f_qual")).as("c7"))
+      val aggr = operators.Materializer.Local(cum.agg(
+        (1 to 7).flatMap(i => Seq(
+          sum(when(col(s"c$i"), 1L).otherwise(0L)).as(s"d$i"),
+          sum(when(col(s"c$i"), col("ntk")).otherwise(0L))
+            .as(s"t$i"))).head,
+        (1 to 7).flatMap(i => Seq(
+          sum(when(col(s"c$i"), 1L).otherwise(0L)).as(s"d$i"),
+          sum(when(col(s"c$i"), col("ntk")).otherwise(0L))
+            .as(s"t$i"))).tail: _*))
+      val names = Seq("raw", "gates", "exact_dedup", "near_dup",
+        "decontaminate", "lang_en", "quality")
+      names.zipWithIndex.map { case (nm, idx) =>
+        val i = idx + 1
+        aggr.select(lit(i.toLong).as("stage"), lit(nm).as("name"),
+          col(s"d$i").as("docs"), col(s"t$i").as("tokens"),
+          round(col(s"d$i").cast("double") / col("d1").cast("double"),
+            6).as("doc_share"))
+      }.reduce(_ unionAll _).orderBy(col("stage"))
+    }),
+
     "q298_wavelet_synopsis" -> ((s, dir) => {
       // Haar-wavelet synopsis (Matias, Vitter & Wang, SIGMOD 1998) of
       // the same 32-point grid frequency sequence q297 buckets — the
@@ -7311,48 +7387,9 @@ object SparkEntry {
          |  length(text) AS n_chars_actual
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q31_doc_quality" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, text, $toksSql AS tk FROM documents
-         |), stats AS (
-         |  SELECT doc_id, text, len(tk) AS n_words,
-         |    CASE WHEN len(tk) = 0 THEN 0.0
-         |      ELSE CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
-         |        / CAST(len(tk) AS DOUBLE) END AS mean_word_len,
-         |    CASE WHEN len(tk) = 0 THEN 0.0
-         |      ELSE CAST(len(list_filter(tk,
-         |          t -> list_contains($stopwordsSql, lower(t)))) AS DOUBLE)
-         |        / CAST(len(tk) AS DOUBLE) END AS stopword_ratio,
-         |    CASE WHEN length(text) = 0 THEN 0.0
-         |      ELSE CAST(length(regexp_replace(text,
-         |          '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
-         |        / CAST(length(text) AS DOUBLE) END AS punct_ratio
-         |  FROM base)
-         |SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
-         |  round(stopword_ratio, 6) AS stopword_ratio,
-         |  round(punct_ratio, 6) AS punct_ratio,
-         |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-         |    * (1.0 - punct_ratio) * (0.5 + stopword_ratio / 2.0), 6) AS quality
-         |FROM stats ORDER BY doc_id""".stripMargin,
+    "q31_doc_quality" -> docQualitySql,
 
-    "q32_doc_langid" -> {
-      val profiles = TextAnalysis.langProfiles
-      val scoreCols = profiles.map { case (lang, words) =>
-        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"len(list_filter(tk, t -> list_contains($lst, lower(t)))) AS s_$lang"
-      }.mkString(",\n    ")
-      s"""WITH base AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |scored AS (SELECT doc_id,
-         |    $scoreCols
-         |  FROM base)
-         |SELECT doc_id,
-         |  CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
-         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-         |    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-         |    WHEN s_es >= s_fr THEN 'es'
-         |    ELSE 'fr' END AS lang_pred
-         |FROM scored ORDER BY doc_id""".stripMargin
-    },
+    "q32_doc_langid" -> langIdSql,
 
     "q33_doc_fingerprint" ->
       s"""SELECT doc_id,
@@ -7405,28 +7442,7 @@ object SparkEntry {
 
     "q37_dedup_minhash_lsh" -> minhashPairsSql,
 
-    "q68_decontaminate" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE
-        |      WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
-        |        x -> x <> '')) < 5
-        |      THEN [array_to_string(list_filter(
-        |        regexp_split_to_array(text, '\s+'), x -> x <> ''), ' ')]
-        |      ELSE [array_to_string(list_filter(
-        |          regexp_split_to_array(text, '\s+'), x -> x <> '')[i+1:i+5],
-        |          ' ')
-        |        for i in range(0, len(list_filter(
-        |          regexp_split_to_array(text, '\s+'), x -> x <> '')) - 4)]
-        |      END) AS shingles
-        |  FROM documents
-        |), ev AS (
-        |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 10
-        |), corpus AS (
-        |  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id >= 10)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
-        |FROM corpus JOIN ev USING (s)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q68_decontaminate" -> deconSql,
 
     "q72_ann_pq" ->
       """SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
@@ -14831,6 +14847,77 @@ object SparkEntry {
          |JOIN grid ON grid.t = seg_hi
          |ORDER BY bucket""".stripMargin,
 
+    "q300_pipeline_funnel" -> {
+      val conds = Seq(
+        "TRUE",
+        "f_gates",
+        "f_gates AND f.doc_id = keep",
+        "f_gates AND f.doc_id = keep AND b_id IS NULL",
+        "f_gates AND f.doc_id = keep AND b_id IS NULL" +
+          " AND f.doc_id >= 10 AND coalesce(n_overlap, 0) = 0",
+        "f_gates AND f.doc_id = keep AND b_id IS NULL" +
+          " AND f.doc_id >= 10 AND coalesce(n_overlap, 0) = 0" +
+          " AND lang_pred = 'en'",
+        "f_gates AND f.doc_id = keep AND b_id IS NULL" +
+          " AND f.doc_id >= 10 AND coalesce(n_overlap, 0) = 0" +
+          " AND lang_pred = 'en' AND quality >= 0.3")
+      val cumCols = conds.zipWithIndex
+        .map { case (c, i) => s"    $c AS c${i + 1}" }.mkString(",\n")
+      val aggCols = (1 to 7).map(i =>
+        s"""    SUM(CASE WHEN c$i THEN 1 ELSE 0 END) AS d$i,
+           |    SUM(CASE WHEN c$i THEN ntk ELSE 0 END) AS t$i"""
+          .stripMargin).mkString(",\n")
+      val names = Seq("raw", "gates", "exact_dedup", "near_dup",
+        "decontaminate", "lang_en", "quality")
+      val rows = names.zipWithIndex.map { case (nm, idx) =>
+        val i = idx + 1
+        s"""  SELECT CAST($i AS BIGINT) AS stage, '$nm' AS name,
+           |    CAST(d$i AS BIGINT) AS docs, CAST(t$i AS BIGINT)
+           |      AS tokens,
+           |    round(CAST(d$i AS DOUBLE) / CAST(d1 AS DOUBLE), 6)
+           |      AS doc_share
+           |  FROM a""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH flags0 AS (
+         |  SELECT doc_id,
+         |    length(text) >= 200
+         |      AND (CASE WHEN length(text) > 0
+         |        THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |            * 10
+         |          >= length(text) * 6
+         |        ELSE false END)
+         |      AND len($toksSql) >= 30 AS f_gates,
+         |    CAST(len($toksSql) AS BIGINT) AS ntk,
+         |    md5(text) AS k
+         |  FROM documents
+         |), wk AS (
+         |  SELECT md5(text) AS k, MIN(doc_id) AS keep
+         |  FROM documents GROUP BY 1
+         |), nd AS (SELECT DISTINCT b_id FROM (@MH@)),
+         |dc AS (SELECT doc_id, n_overlap FROM (@DECON@)),
+         |lg AS (SELECT doc_id, lang_pred FROM (@LANG@)),
+         |qs AS (SELECT doc_id, quality FROM (@QUAL@)),
+         |cum AS (
+         |  SELECT f.doc_id, ntk,
+         |$cumCols
+         |  FROM flags0 f JOIN wk USING (k)
+         |  LEFT JOIN nd ON f.doc_id = nd.b_id
+         |  LEFT JOIN dc USING (doc_id)
+         |  JOIN lg USING (doc_id) JOIN qs USING (doc_id)
+         |), a AS (
+         |  SELECT
+         |$aggCols
+         |  FROM cum
+         |)
+         |SELECT * FROM (
+         |$rows
+         |) ORDER BY stage""".stripMargin
+        .replace("@MH@", minhashPairsSql)
+        .replace("@DECON@", deconSql)
+        .replace("@LANG@", langIdSql)
+        .replace("@QUAL@", docQualitySql)
+    },
+
     "q298_wavelet_synopsis" -> {
       val lvls = (1 to 5).map { j =>
         val src = if (j == 1) "l0" else s"lv${j - 1}"
@@ -15745,6 +15832,72 @@ object SparkEntry {
         |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
         |JOIN nf nb ON nb.doc_id = pr.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin
+
+  private lazy val docQualitySql: String =
+    s"""WITH base AS (
+         |  SELECT doc_id, text, $toksSql AS tk FROM documents
+         |), stats AS (
+         |  SELECT doc_id, text, len(tk) AS n_words,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |      ELSE CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+         |        / CAST(len(tk) AS DOUBLE) END AS mean_word_len,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(tk,
+         |          t -> list_contains($stopwordsSql, lower(t)))) AS DOUBLE)
+         |        / CAST(len(tk) AS DOUBLE) END AS stopword_ratio,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(text,
+         |          '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) END AS punct_ratio
+         |  FROM base)
+         |SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+         |  round(stopword_ratio, 6) AS stopword_ratio,
+         |  round(punct_ratio, 6) AS punct_ratio,
+         |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         |    * (1.0 - punct_ratio) * (0.5 + stopword_ratio / 2.0), 6) AS quality
+         |FROM stats ORDER BY doc_id""".stripMargin
+
+  private lazy val langIdSql: String = {
+      val profiles = TextAnalysis.langProfiles
+      val scoreCols = profiles.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(tk, t -> list_contains($lst, lower(t)))) AS s_$lang"
+      }.mkString(",\n    ")
+      s"""WITH base AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |scored AS (SELECT doc_id,
+         |    $scoreCols
+         |  FROM base)
+         |SELECT doc_id,
+         |  CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+         |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |    WHEN s_es >= s_fr THEN 'es'
+         |    ELSE 'fr' END AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin
+    }
+
+  private lazy val deconSql: String =
+    """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE
+        |      WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
+        |        x -> x <> '')) < 5
+        |      THEN [array_to_string(list_filter(
+        |        regexp_split_to_array(text, '\s+'), x -> x <> ''), ' ')]
+        |      ELSE [array_to_string(list_filter(
+        |          regexp_split_to_array(text, '\s+'), x -> x <> '')[i+1:i+5],
+        |          ' ')
+        |        for i in range(0, len(list_filter(
+        |          regexp_split_to_array(text, '\s+'), x -> x <> '')) - 4)]
+        |      END) AS shingles
+        |  FROM documents
+        |), ev AS (
+        |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < 10
+        |), corpus AS (
+        |  SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id >= 10)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |FROM corpus JOIN ev USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Shared DuckDB CTE chain for the V-optimal DP (q297/q299): dense
     * prefix sums -> SSE table -> 4 unrolled argmin rounds -> backtrack

@@ -1422,4 +1422,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct")
       && !p2.contains("SortMergeJoin"), p2.take(3000))
   }
+
+  test("q300: the whole funnel is one conditional aggregate over " +
+    "unioned stage plans — no cartesian, no re-pass per stage") {
+    val p = plan("q300_pipeline_funnel")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // one flags aggregate feeds all seven stage rows (the union reads
+    // the checkpointed 1-row aggregate, not the corpus, per stage)
+    assert(p.contains("Union"), p.take(3000))
+  }
 }
