@@ -580,25 +580,31 @@ object Graph {
     * shuffles. Returns (node, score, role∈{hub,authority}); every src
     * gets a hub score, every dst an authority score. */
   def hits(edges: DataFrame, iters: Int,
-           broadcastRanks: Boolean = true): DataFrame = {
+           broadcastRanks: Boolean = true,
+           mat: Materializer = Materializer.Local): DataFrame = {
     require(iters >= 1, "hits needs at least one iteration")
     def side(df: DataFrame) = if (broadcastRanks) broadcast(df) else df
-    val e = edges.select(col("src"), col("dst"))
+    val e = mat(edges.select(col("src"), col("dst")))
     var hubs = e.select(col("src").as("node")).distinct()
       .withColumn("h", lit(1.0))
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
-      val araw = e.join(side(hubs), col("src") === col("node"))
+      // each contribution table is referenced TWICE (its norm scalar and
+      // the renormalized scores) and feeds the next half-step: without a
+      // checkpoint the lazy plan doubles per half-step — 2^(2·iters)
+      // re-executions of the whole chain (measured: q248 at 87 s for a
+      // sub-second workload before this cut)
+      val araw = mat(e.join(side(hubs), col("src") === col("node"))
         .groupBy(col("dst"))
-        .agg(sum(col("h").cast("decimal(38,20)")).as("c"))
+        .agg(sum(col("h").cast("decimal(38,20)")).as("c")))
       val an = araw.agg(sum(col("c")).as("s"))
       auths = araw.crossJoin(broadcast(an))
         .select(col("dst").as("node"),
           round(col("c").cast("double") / col("s").cast("double"), 12)
             .as("a"))
-      val hraw = e.join(side(auths), col("dst") === col("node"))
+      val hraw = mat(e.join(side(auths), col("dst") === col("node"))
         .groupBy(col("src"))
-        .agg(sum(col("a").cast("decimal(38,20)")).as("c"))
+        .agg(sum(col("a").cast("decimal(38,20)")).as("c")))
       val hn = hraw.agg(sum(col("c")).as("s"))
       hubs = hraw.crossJoin(broadcast(hn))
         .select(col("src").as("node"),

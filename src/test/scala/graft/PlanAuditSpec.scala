@@ -1190,7 +1190,24 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q248: HITS score tables broadcast every round — the edge table " +
     "never shuffle-joins") {
-    val p = plan("q248_hits")
+    // hits now checkpoints each contribution table (the 2^(2·iters)
+    // plan-explosion fix), which hides the round plans from the query's
+    // executed plan — audit the operator itself in Passthrough mode,
+    // the materializer documented for exactly this
+    import org.apache.spark.sql.functions._
+    val edges = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(spark.read
+          .parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val p = graft.operators.Graph.hits(edges, iters = 2,
+        mat = graft.operators.Materializer.Passthrough)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct")
       && !p.contains("SortMergeJoin"), p.take(3000))
