@@ -4261,6 +4261,12 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(r3("A") > r3("B") && r3("B") > r3("C"), s"order: $r3")
     assert(r3("C") == 0.0, s"winless floor: $r3")
+    // BT is a ratio model: tripling every count leaves strengths fixed
+    val g2x3 = Seq(("A", "B", 30L, 21L, 9L)).toDF("i", "j", "n", "wi",
+      "wj")
+    val rScaled = graft.operators.Stats.bradleyTerry(g2x3, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rScaled == r2, s"scale invariance: $rScaled vs $r2")
   }
 
   test("rboWeights (q290): identical top-10 lists sum to 1 - p^10; " +
