@@ -6686,6 +6686,87 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    "q301_dup_transitivity" -> ((s, dir) => {
+      // near-dup transitivity audit: triangle census of the minhash
+      // pair GRAPH itself (q37's edges through q145's degree-ordered
+      // triangle machinery) — the "are my duplicate pairs cliques or
+      // chains" gate that decides whether connected-components
+      // clustering (q54) is safe: a high clustering coefficient means
+      // components are tight duplicate groups; a low one means drift
+      // chains, where transitive closure over-merges and q75's
+      // keep-best needs a similarity re-check. Pair edges are already
+      // the bounded equi-join output; the census adds the oriented
+      // wedge join only.
+      GraftFunctions.register(s)
+      val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"),
+          "doc_id", "text", k = 16, bands = 4, shingleN = 3,
+          threshold = 0.5, fast = false)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      operators.Graph.triangleStats(pairs)
+    }),
+
+    "q302_bm25_sweep" -> ((s, dir) => {
+      // BM25 hyperparameter sweep as ONE query: 6 (k1, b) configs
+      // score the same 3-term query from a single postings pass (the
+      // config grid is a 6-row broadcast over the shared tf/df/stats
+      // tables — grid search never re-reads the corpus), and each
+      // config's top-10 is compared to the default (1.2, 0.75) by
+      // RBO@10 — the "how sensitive is my ranking to k1/b" tuning
+      // readout. The default's own row lands exactly at 1 − 0.9^10,
+      // the identical-ranking RBO — a built-in self-check.
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("spark", "join", "window")
+      val toks = operators.TextAnalysis.tokens(col("text"))
+      val dl = operators.Materializer.Local(t(s, dir, "documents")
+        .select(col("doc_id"), size(toks).as("dl"),
+          explode_outer(filter(toks, t => t.isInCollection(terms)))
+            .as("t")))
+      val stats = dl.groupBy(col("doc_id"))
+        .agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).cast("double").as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+            .as("avgdl"))
+      val tf = dl.filter(col("t").isNotNull)
+        .groupBy(col("doc_id"), col("dl"), col("t"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy(col("t"))
+        .agg(count(lit(1)).cast("double").as("df"))
+      val cfgs = Seq(0.6, 1.2, 2.0).flatMap(k1 =>
+        Seq(0.25, 0.75).map(b => (k1, b))).toDF("k1", "bb")
+      val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+        / (col("df") + lit(0.5)))
+      val tfn = col("tf") * (col("k1") + lit(1.0)) /
+        (col("tf") + col("k1") * (lit(1.0) - col("bb")
+          + col("bb") * col("dl").cast("double") / col("avgdl")))
+      val wR = Window.partitionBy(col("k1"), col("bb"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val ranked = operators.Materializer.Local(tf
+        .join(broadcast(df), Seq("t"))
+        .crossJoin(broadcast(stats))
+        .crossJoin(broadcast(cfgs))
+        .select(col("k1"), col("bb"), col("doc_id"),
+          (idf * tfn).as("s"))
+        .groupBy(col("k1"), col("bb"), col("doc_id"))
+        .agg(round(sum(col("s").cast("decimal(38,6)")).cast("double"),
+          6).as("score"))
+        .withColumn("rk", row_number().over(wR).cast("int"))
+        .filter(col("rk") <= 10))
+      val base = ranked.filter(col("k1") === 1.2 && col("bb") === 0.75)
+        .select(col("doc_id"), col("rk").as("rb"))
+      val w = rboWeights.toDF("m", "c")
+      ranked
+        .join(broadcast(base), Seq("doc_id"))
+        .select(col("k1"), col("bb"),
+          greatest(col("rk"), col("rb")).as("m"))
+        .join(broadcast(w), Seq("m"))
+        .groupBy(col("k1"), col("bb"))
+        .agg(count(lit(1)).cast("long").as("n_common"),
+          round(sum(col("c").cast("decimal(14,12)")).cast("double"), 6)
+            .as("rbo_vs_default"))
+        .orderBy(col("k1"), col("bb"))
+    }),
+
     "q300_pipeline_funnel" -> ((s, dir) => {
       // the full pretraining-data pipeline as ONE funnel: raw → cheap
       // quality gates (q283's three) → exact dedup (q34's keep-min) →
@@ -14846,6 +14927,79 @@ object SparkEntry {
          |JOIN pre pl ON pl.t = seg_lo - 1
          |JOIN grid ON grid.t = seg_hi
          |ORDER BY bucket""".stripMargin,
+
+    "q301_dup_transitivity" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT a_id AS u, b_id AS v FROM (@MH@)
+        |), deg AS (
+        |  SELECT n, count(*) AS d
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        |  GROUP BY 1
+        |), tri AS (
+        |  SELECT count(*) AS t
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |    JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+        |    CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        |  FROM deg
+        |)
+        |SELECT n_nodes, n_edges, n_wedges,
+        |  CAST(t AS BIGINT) AS n_triangles,
+        |  round(3.0 * CAST(t AS DOUBLE) / CAST(n_wedges AS DOUBLE), 6)
+        |    AS global_cc
+        |FROM s, tri""".stripMargin
+        .replace("@MH@", minhashPairsSql),
+
+    "q302_bm25_sweep" -> {
+      val wvals = rboWeights.map { case (m, c) => s"($m, $c)" }
+        .mkString(", ")
+      s"""WITH dl AS MATERIALIZED (
+         |  SELECT doc_id, len($toksSql) AS dl FROM documents
+         |), stats AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |      AS avgdl
+         |  FROM dl
+         |), tfm AS (
+         |  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)
+         |  WHERE t IN ('spark', 'join', 'window') GROUP BY 1, 2
+         |), dfc AS (
+         |  SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tfm GROUP BY 1
+         |), cfgs(k1, bb) AS (VALUES (0.6, 0.25), (0.6, 0.75),
+         |  (1.2, 0.25), (1.2, 0.75), (2.0, 0.25), (2.0, 0.75)),
+         |scored AS (
+         |  SELECT k1, bb, tfm.doc_id,
+         |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - bb
+         |        + bb * CAST(dl.dl AS DOUBLE) / avgdl))) AS s
+         |  FROM tfm JOIN dfc USING (t) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats CROSS JOIN cfgs
+         |), agg AS (
+         |  SELECT k1, bb, doc_id,
+         |    round(CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE), 6)
+         |      AS score
+         |  FROM scored GROUP BY 1, 2, 3
+         |), ranked AS MATERIALIZED (
+         |  SELECT k1, bb, doc_id, rk FROM (
+         |    SELECT k1, bb, doc_id,
+         |      CAST(row_number() OVER (PARTITION BY k1, bb
+         |        ORDER BY score DESC, doc_id) AS INT) AS rk
+         |    FROM agg)
+         |  WHERE rk <= 10
+         |), base AS (
+         |  SELECT doc_id, rk AS rb FROM ranked
+         |  WHERE k1 = 1.2 AND bb = 0.75
+         |), w(m, c) AS (VALUES $wvals)
+         |SELECT r.k1, r.bb, CAST(count(*) AS BIGINT) AS n_common,
+         |  round(CAST(SUM(CAST(c AS DECIMAL(14,12))) AS DOUBLE), 6)
+         |    AS rbo_vs_default
+         |FROM ranked r JOIN base USING (doc_id)
+         |JOIN w ON w.m = greatest(r.rk, rb)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "q300_pipeline_funnel" -> {
       val conds = Seq(

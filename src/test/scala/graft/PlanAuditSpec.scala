@@ -1440,6 +1440,17 @@ class PlanAuditSpec extends SparkSpec {
       && !p2.contains("SortMergeJoin"), p2.take(3000))
   }
 
+  test("q301/q302: the dup-graph census and the config sweep add only " +
+    "bounded joins over checkpointed bases — no cartesian; the sweep's " +
+    "config grid broadcasts") {
+    val p1 = plan("q301_dup_transitivity")
+    assert(!p1.contains("CartesianProduct"), p1.take(3000))
+    val p2 = plan("q302_bm25_sweep")
+    assert(!p2.contains("CartesianProduct")
+      && !p2.contains("SortMergeJoin"), p2.take(3000))
+    assert(p2.contains("BroadcastHashJoin"), p2.take(3000))
+  }
+
   test("q300: the whole funnel is one conditional aggregate over " +
     "unioned stage plans — no cartesian, no re-pass per stage") {
     val p = plan("q300_pipeline_funnel")
