@@ -209,6 +209,57 @@ object SparkEntry {
     idxPath
   }
 
+  /** Shared builder of the q300/q303 funnel survivorship table:
+    * (doc_id, ntk, c1..c7) — c_k = survived stages 1..k (gates, exact
+    * dedup keep-min, near-dup drop, decontamination, langid, quality).
+    * Stage flags are computed once per doc on the full corpus. */
+  private def funnelCum(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val d = t(s, dir, "documents")
+    val tk = operators.TextAnalysis.tokens(col("text"))
+    val flags0 = d.select(col("doc_id"),
+      (length(col("text")) >= 200 &&
+        when(length(col("text")) > 0,
+          length(regexp_replace(col("text"), "[^A-Za-z]", "")) * 10
+            >= length(col("text")) * 6).otherwise(false) &&
+        size(tk) >= 30).as("f_gates"),
+      size(tk).cast("long").as("ntk"),
+      (operators.TextAnalysis.langId(col("text")) === "en")
+        .as("f_lang"),
+      (round(operators.TextAnalysis.qualityScore(col("text")), 6)
+        >= 0.3).as("f_qual"),
+      md5(col("text")).as("k"))
+    val wk = d.groupBy(md5(col("text")).as("k"))
+      .agg(min(col("doc_id")).as("keep"))
+    val nd = Dedup.minhashLshPairs(d, "doc_id", "text", k = 16,
+        bands = 4, shingleN = 3, threshold = 0.5, fast = false)
+      .select(col("b_id")).distinct()
+    val ov = TextAnalysis.contaminationOverlap(d,
+        d.filter(col("doc_id") < 10), "doc_id", "text", n = 5)
+      .select(col("id").as("doc_id"), col("n_overlap"))
+    val cum = flags0.join(wk, Seq("k"))
+      .join(nd, col("doc_id") === col("b_id"), "left")
+      .join(ov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ntk"),
+        lit(true).as("c1"),
+        col("f_gates").as("c2"),
+        (col("f_gates") && col("doc_id") === col("keep")).as("c3"),
+        (col("f_gates") && col("doc_id") === col("keep")
+          && col("b_id").isNull).as("c4"),
+        (col("f_gates") && col("doc_id") === col("keep")
+          && col("b_id").isNull && col("doc_id") >= 10
+          && coalesce(col("n_overlap"), lit(0L)) === 0).as("c5"),
+        (col("f_gates") && col("doc_id") === col("keep")
+          && col("b_id").isNull && col("doc_id") >= 10
+          && coalesce(col("n_overlap"), lit(0L)) === 0
+          && col("f_lang")).as("c6"),
+        (col("f_gates") && col("doc_id") === col("keep")
+          && col("b_id").isNull && col("doc_id") >= 10
+          && coalesce(col("n_overlap"), lit(0L)) === 0
+          && col("f_lang") && col("f_qual")).as("c7"))
+    cum
+  }
+
   /** Spark twin of the oracle's `orderGridCtes`: the synopsis family's
     * shared input — order totals in cents, value histogram (ONE corpus
     * exchange), 32-point equi-rank grid via exact integer rank
@@ -6686,6 +6737,72 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    "q303_curation_ablation" -> ((s, dir) => {
+      // does the q300 funnel BUY anything? — the in-engine curation
+      // ablation: two add-1 bigram LMs, one trained on the raw 75%
+      // hash-split, one on that split ∩ funnel survivors (stage 7),
+      // both scored on the SAME fixed held-out set (the 25% split's
+      // gates-passing docs), corpus-level cross-entropy per model —
+      // the experiment that justifies (or kills) each pipeline stage
+      // before anyone trains a real model. Survivorship comes from one
+      // shared funnel pass; each model is the q232 chain over its
+      // train slice; eval bigrams are computed once and re-scored per
+      // model via token-keyed LEFT joins.
+      val cum = funnelCum(s, dir)
+      val isTrain = substring(md5(concat(lit("cur|"),
+        col("doc_id").cast("string"))), 1, 1) < lit("c")
+      val base = operators.Materializer.Local(t(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.TextAnalysis.tokens(col("text")).as("tk"),
+          isTrain.as("is_train"))
+        .join(cum.select(col("doc_id"), col("c2"), col("c7")),
+          Seq("doc_id")))
+      def bigrams(df: DataFrame) = df.select(col("doc_id"),
+          explode(when(size(col("tk")) >= 2,
+            zip_with(
+              slice(col("tk"), lit(1),
+                greatest(size(col("tk")) - 1, lit(1))),
+              slice(col("tk"), lit(2),
+                greatest(size(col("tk")) - 1, lit(1))),
+              (a, b) => struct(a.as("w1"), b.as("w2"))))
+            .otherwise(array()
+              .cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+        .groupBy(col("doc_id"), col("bg.w1").as("w1"),
+          col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("tf"))
+      val evalBg = operators.Materializer.Local(
+        bigrams(base.filter(!col("is_train") && col("c2"))))
+      def model(name: String, train: DataFrame): DataFrame = {
+        val trBg = operators.Materializer.Local(bigrams(train))
+        val c2m = trBg.groupBy(col("w1"), col("w2"))
+          .agg(sum(col("tf")).cast("long").as("c2m"))
+        val c1m = trBg.groupBy(col("w1"))
+          .agg(sum(col("tf")).cast("long").as("c1m"))
+        val v = train.select(explode(col("tk")).as("tok"))
+          .agg(countDistinct(col("tok"))).collect()(0).getLong(0)
+          .toDouble
+        val nTrain = train.count()
+        val lp = log((coalesce(col("c2m"), lit(0L)).cast("double")
+            + lit(1.0))
+          / (coalesce(col("c1m"), lit(0L)).cast("double") + lit(v)))
+        evalBg
+          .join(c2m, Seq("w1", "w2"), "left")
+          .join(c1m, Seq("w1"), "left")
+          .agg(countDistinct(col("doc_id")).as("n_eval_docs"),
+            sum(col("tf")).cast("long").as("n_eval_bigrams"),
+            round(-sum((col("tf").cast("double") * lp)
+                .cast("decimal(38,6)")).cast("double")
+              / sum(col("tf")).cast("double"), 6).as("cross_entropy"))
+          .select(lit(name).as("model"),
+            lit(nTrain).as("n_train_docs"),
+            col("n_eval_docs").cast("long").as("n_eval_docs"),
+            col("n_eval_bigrams"), col("cross_entropy"))
+      }
+      model("curated", base.filter(col("is_train") && col("c7")))
+        .unionAll(model("raw", base.filter(col("is_train"))))
+        .orderBy(col("model"))
+    }),
+
     "q301_dup_transitivity" -> ((s, dir) => {
       // near-dup transitivity audit: triangle census of the minhash
       // pair GRAPH itself (q37's edges through q145's degree-ordered
@@ -6779,49 +6896,7 @@ object SparkEntry {
       // per doc on the full corpus and survival is their cumulative
       // AND: the funnel costs the union of its stages' plans plus one
       // conditional aggregate — never seven passes.
-      GraftFunctions.register(s)
-      val d = t(s, dir, "documents")
-      val tk = operators.TextAnalysis.tokens(col("text"))
-      val flags0 = d.select(col("doc_id"),
-        (length(col("text")) >= 200 &&
-          when(length(col("text")) > 0,
-            length(regexp_replace(col("text"), "[^A-Za-z]", "")) * 10
-              >= length(col("text")) * 6).otherwise(false) &&
-          size(tk) >= 30).as("f_gates"),
-        size(tk).cast("long").as("ntk"),
-        (operators.TextAnalysis.langId(col("text")) === "en")
-          .as("f_lang"),
-        (round(operators.TextAnalysis.qualityScore(col("text")), 6)
-          >= 0.3).as("f_qual"),
-        md5(col("text")).as("k"))
-      val wk = d.groupBy(md5(col("text")).as("k"))
-        .agg(min(col("doc_id")).as("keep"))
-      val nd = Dedup.minhashLshPairs(d, "doc_id", "text", k = 16,
-          bands = 4, shingleN = 3, threshold = 0.5, fast = false)
-        .select(col("b_id")).distinct()
-      val ov = TextAnalysis.contaminationOverlap(d,
-          d.filter(col("doc_id") < 10), "doc_id", "text", n = 5)
-        .select(col("id").as("doc_id"), col("n_overlap"))
-      val cum = flags0.join(wk, Seq("k"))
-        .join(nd, col("doc_id") === col("b_id"), "left")
-        .join(ov, Seq("doc_id"), "left")
-        .select(col("ntk"),
-          lit(true).as("c1"),
-          col("f_gates").as("c2"),
-          (col("f_gates") && col("doc_id") === col("keep")).as("c3"),
-          (col("f_gates") && col("doc_id") === col("keep")
-            && col("b_id").isNull).as("c4"),
-          (col("f_gates") && col("doc_id") === col("keep")
-            && col("b_id").isNull && col("doc_id") >= 10
-            && coalesce(col("n_overlap"), lit(0L)) === 0).as("c5"),
-          (col("f_gates") && col("doc_id") === col("keep")
-            && col("b_id").isNull && col("doc_id") >= 10
-            && coalesce(col("n_overlap"), lit(0L)) === 0
-            && col("f_lang")).as("c6"),
-          (col("f_gates") && col("doc_id") === col("keep")
-            && col("b_id").isNull && col("doc_id") >= 10
-            && coalesce(col("n_overlap"), lit(0L)) === 0
-            && col("f_lang") && col("f_qual")).as("c7"))
+      val cum = funnelCum(s, dir)
       val aggr = operators.Materializer.Local(cum.agg(
         (1 to 7).flatMap(i => Seq(
           sum(when(col(s"c$i"), 1L).otherwise(0L)).as(s"d$i"),
@@ -14928,6 +15003,65 @@ object SparkEntry {
          |JOIN grid ON grid.t = seg_hi
          |ORDER BY bucket""".stripMargin,
 
+    "q303_curation_ablation" -> {
+      def modelSql(name: String, cond: String): String =
+        s"""tr_$name AS (
+           |  SELECT doc_id FROM base WHERE $cond
+           |), c2_$name AS (
+           |  SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2m
+           |  FROM tfb JOIN tr_$name USING (doc_id) GROUP BY 1, 2
+           |), c1_$name AS (
+           |  SELECT w1, CAST(SUM(tf) AS BIGINT) AS c1m
+           |  FROM tfb JOIN tr_$name USING (doc_id) GROUP BY 1
+           |), v_$name AS (
+           |  SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vs
+           |  FROM (SELECT unnest(tk) AS tok
+           |        FROM base JOIN tr_$name USING (doc_id))
+           |), nt_$name AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM tr_$name
+           |), sc_$name AS (
+           |  SELECT '$name' AS model, MAX(n_train) AS n_train_docs,
+           |    CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs,
+           |    CAST(SUM(tf) AS BIGINT) AS n_eval_bigrams,
+           |    round(-CAST(SUM(CAST(CAST(tf AS DOUBLE)
+           |        * ln((CAST(coalesce(c2m, 0) AS DOUBLE) + 1.0)
+           |          / (CAST(coalesce(c1m, 0) AS DOUBLE) + vs))
+           |      AS DECIMAL(38,6))) AS DOUBLE)
+           |      / CAST(SUM(tf) AS DOUBLE), 6) AS cross_entropy
+           |  FROM evb e LEFT JOIN c2_$name USING (w1, w2)
+           |  LEFT JOIN c1_$name USING (w1), v_$name, nt_$name
+           |)""".stripMargin
+      s"""WITH @CUM@,
+         |spl AS (
+         |  SELECT doc_id,
+         |    substr(md5('cur|' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+         |      AS is_train
+         |  FROM documents
+         |), base AS MATERIALIZED (
+         |  SELECT doc_id, $toksSql AS tk, is_train, c2, c7
+         |  FROM documents JOIN spl USING (doc_id)
+         |  JOIN cum USING (doc_id)
+         |), bi AS (
+         |  SELECT doc_id, tk[CAST(i + 1 AS INT)] AS w1,
+         |    tk[CAST(i + 2 AS INT)] AS w2
+         |  FROM (SELECT doc_id, tk,
+         |          unnest(range(0, greatest(len(tk) - 1, 0))) AS i
+         |        FROM base)
+         |), tfb AS MATERIALIZED (
+         |  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM bi GROUP BY 1, 2, 3
+         |), evb AS MATERIALIZED (
+         |  SELECT t.doc_id, w1, w2, tf
+         |  FROM tfb t JOIN base b USING (doc_id)
+         |  WHERE NOT b.is_train AND b.c2
+         |), ${modelSql("curated", "is_train AND c7")},
+         |${modelSql("raw", "is_train")}
+         |SELECT * FROM (
+         |  SELECT * FROM sc_curated UNION ALL SELECT * FROM sc_raw
+         |) ORDER BY model""".stripMargin
+        .replace("@CUM@", funnelCumSql)
+    },
+
     "q301_dup_transitivity" ->
       """WITH e AS MATERIALIZED (
         |  SELECT a_id AS u, b_id AS v FROM (@MH@)
@@ -15002,21 +15136,6 @@ object SparkEntry {
     },
 
     "q300_pipeline_funnel" -> {
-      val conds = Seq(
-        "TRUE",
-        "f_gates",
-        "f_gates AND f.doc_id = keep",
-        "f_gates AND f.doc_id = keep AND b_id IS NULL",
-        "f_gates AND f.doc_id = keep AND b_id IS NULL" +
-          " AND f.doc_id >= 10 AND coalesce(n_overlap, 0) = 0",
-        "f_gates AND f.doc_id = keep AND b_id IS NULL" +
-          " AND f.doc_id >= 10 AND coalesce(n_overlap, 0) = 0" +
-          " AND lang_pred = 'en'",
-        "f_gates AND f.doc_id = keep AND b_id IS NULL" +
-          " AND f.doc_id >= 10 AND coalesce(n_overlap, 0) = 0" +
-          " AND lang_pred = 'en' AND quality >= 0.3")
-      val cumCols = conds.zipWithIndex
-        .map { case (c, i) => s"    $c AS c${i + 1}" }.mkString(",\n")
       val aggCols = (1 to 7).map(i =>
         s"""    SUM(CASE WHEN c$i THEN 1 ELSE 0 END) AS d$i,
            |    SUM(CASE WHEN c$i THEN ntk ELSE 0 END) AS t$i"""
@@ -15032,33 +15151,7 @@ object SparkEntry {
            |      AS doc_share
            |  FROM a""".stripMargin
       }.mkString("\n  UNION ALL\n")
-      s"""WITH flags0 AS (
-         |  SELECT doc_id,
-         |    length(text) >= 200
-         |      AND (CASE WHEN length(text) > 0
-         |        THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-         |            * 10
-         |          >= length(text) * 6
-         |        ELSE false END)
-         |      AND len($toksSql) >= 30 AS f_gates,
-         |    CAST(len($toksSql) AS BIGINT) AS ntk,
-         |    md5(text) AS k
-         |  FROM documents
-         |), wk AS (
-         |  SELECT md5(text) AS k, MIN(doc_id) AS keep
-         |  FROM documents GROUP BY 1
-         |), nd AS (SELECT DISTINCT b_id FROM (@MH@)),
-         |dc AS (SELECT doc_id, n_overlap FROM (@DECON@)),
-         |lg AS (SELECT doc_id, lang_pred FROM (@LANG@)),
-         |qs AS (SELECT doc_id, quality FROM (@QUAL@)),
-         |cum AS (
-         |  SELECT f.doc_id, ntk,
-         |$cumCols
-         |  FROM flags0 f JOIN wk USING (k)
-         |  LEFT JOIN nd ON f.doc_id = nd.b_id
-         |  LEFT JOIN dc USING (doc_id)
-         |  JOIN lg USING (doc_id) JOIN qs USING (doc_id)
-         |), a AS (
+      s"""WITH @CUM@, a AS (
          |  SELECT
          |$aggCols
          |  FROM cum
@@ -15066,10 +15159,7 @@ object SparkEntry {
          |SELECT * FROM (
          |$rows
          |) ORDER BY stage""".stripMargin
-        .replace("@MH@", minhashPairsSql)
-        .replace("@DECON@", deconSql)
-        .replace("@LANG@", langIdSql)
-        .replace("@QUAL@", docQualitySql)
+        .replace("@CUM@", funnelCumSql)
     },
 
     "q298_wavelet_synopsis" -> {
@@ -15986,6 +16076,58 @@ object SparkEntry {
         |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
         |JOIN nf nb ON nb.doc_id = pr.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Shared q300/q303 oracle prefix: the funnel survivorship chain
+    * flags0..cum (c1..c7 per doc), with the q37/q68/q32/q31 replays
+    * substituted in. Usable as the head of a WITH clause. */
+  private lazy val funnelCumSql: String = {
+    val conds = Seq(
+      "TRUE",
+      "f_gates",
+      "f_gates AND f.doc_id = keep",
+      "f_gates AND f.doc_id = keep AND b_id IS NULL",
+      "f_gates AND f.doc_id = keep AND b_id IS NULL" +
+        " AND f.doc_id >= 10 AND coalesce(n_overlap, 0) = 0",
+      "f_gates AND f.doc_id = keep AND b_id IS NULL" +
+        " AND f.doc_id >= 10 AND coalesce(n_overlap, 0) = 0" +
+        " AND lang_pred = 'en'",
+      "f_gates AND f.doc_id = keep AND b_id IS NULL" +
+        " AND f.doc_id >= 10 AND coalesce(n_overlap, 0) = 0" +
+        " AND lang_pred = 'en' AND quality >= 0.3")
+    val cumCols = conds.zipWithIndex
+      .map { case (c, i) => s"    $c AS c${i + 1}" }.mkString(",\n")
+    s"""flags0 AS (
+       |  SELECT doc_id,
+       |    length(text) >= 200
+       |      AND (CASE WHEN length(text) > 0
+       |        THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+       |            * 10
+       |          >= length(text) * 6
+       |        ELSE false END)
+       |      AND len($toksSql) >= 30 AS f_gates,
+       |    CAST(len($toksSql) AS BIGINT) AS ntk,
+       |    md5(text) AS k
+       |  FROM documents
+       |), wk AS (
+       |  SELECT md5(text) AS k, MIN(doc_id) AS keep
+       |  FROM documents GROUP BY 1
+       |), nd AS (SELECT DISTINCT b_id FROM (@MH@)),
+       |dc AS (SELECT doc_id, n_overlap FROM (@DECON@)),
+       |lg AS (SELECT doc_id, lang_pred FROM (@LANG@)),
+       |qs AS (SELECT doc_id, quality FROM (@QUAL@)),
+       |cum AS MATERIALIZED (
+       |  SELECT f.doc_id, ntk,
+       |$cumCols
+       |  FROM flags0 f JOIN wk USING (k)
+       |  LEFT JOIN nd ON f.doc_id = nd.b_id
+       |  LEFT JOIN dc USING (doc_id)
+       |  JOIN lg USING (doc_id) JOIN qs USING (doc_id)
+       |)""".stripMargin
+      .replace("@MH@", minhashPairsSql)
+      .replace("@DECON@", deconSql)
+      .replace("@LANG@", langIdSql)
+      .replace("@QUAL@", docQualitySql)
+  }
 
   private lazy val docQualitySql: String =
     s"""WITH base AS (

@@ -1459,4 +1459,10 @@ class PlanAuditSpec extends SparkSpec {
     // the checkpointed 1-row aggregate, not the corpus, per stage)
     assert(p.contains("Union"), p.take(3000))
   }
+
+  test("q303: both models re-score the one checkpointed eval-bigram " +
+    "table via token-keyed joins — no cartesian") {
+    val p = plan("q303_curation_ablation")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
