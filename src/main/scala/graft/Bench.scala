@@ -1,7 +1,123 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+/** Benchmark main. One JSON line on stdout (and a file-backed twin at
+  * `.bench/last_run.json`): best-of-N per-query seconds at the graded sf
+  * dir, a 10x-row scale probe, and — when a ScaleUp output exists — an
+  * sf1-class pass.
+  *
+  * Round-6 postmortem hardening:
+  *  - A FAILED query pass records NOTHING into the per-query min. When a
+  *    driver timeout shut the SparkContext down mid-pass, every remaining
+  *    query "ran" in ~5 ms as an instant failure and min-of-N preferred
+  *    that over the real pass-1 time — 177/299 large entries were
+  *    garbage. Failures now land in an `errors` map instead, and the
+  *    suite loop aborts outright once the context is stopped.
+  *  - The whole run self-budgets (SPARK_GRAFT_BENCH_BUDGET_S, default
+  *    1500 s of JVM time): pass 1 at the graded sf dir always runs to
+  *    completion and is checkpointed to the twin file IMMEDIATELY, so a
+  *    kill can never cost the graded map again; every later section
+  *    (second graded pass, large pass) starts only if its projected cost
+  *    fits, and the large pass carries a hard deadline that stops it
+  *    between queries, recording only real entries plus a
+  *    `large_complete`/`large_skipped` readout.
+  *  - Defaults dropped to 2 graded passes + 1 large pass (the suite grew
+  *    4x in round 6 and 3+2 passes = ~1,500 query executions overran the
+  *    driver window; the JVM is warm after pass 1, and the large
+  *    section's one-time index builds are warmed untimed instead of
+  *    amortized by a second pass).
+  */
 object Bench {
+
+  /** Run `nRuns` interleaved passes of `names` against `dir`, folding each
+    * SUCCESSFUL pass's wall-clock into the per-query min in `acc`. A
+    * failed pass is not a measurement: it records the error message into
+    * `errors` and leaves `acc` untouched. Returns false (abandoning the
+    * remaining work) when the SparkContext has been stopped or
+    * `deadlineNanos` has passed — per-query entries already recorded stay
+    * valid either way. */
+  def runSuite(spark: SparkSession, dir: String, names: Seq[String],
+               queries: Map[String, (SparkSession, String) => DataFrame],
+               nRuns: Int,
+               acc: mutable.Map[String, Double],
+               errors: mutable.Map[String, String],
+               deadlineNanos: Long = Long.MaxValue,
+               verbose: Boolean = false,
+               label: String = "suite"): Boolean = {
+    for (pass <- 1 to nRuns; name <- names) {
+      if (spark.sparkContext.isStopped) {
+        System.err.println(s"[bench] ABORT $label: SparkContext stopped")
+        return false
+      }
+      if (System.nanoTime() >= deadlineNanos) {
+        System.err.println(s"[bench] ABORT $label: budget deadline reached")
+        return false
+      }
+      val t0 = System.nanoTime()
+      val ok =
+        try { queries(name)(spark, dir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
+            errors(name) =
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+            false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (verbose)
+        System.err.println(f"[bench] $dir pass=$pass $name%-24s $dt%.3f" +
+          (if (ok) "" else " FAILED"))
+      if (ok) acc(name) = math.min(acc.getOrElse(name, Double.MaxValue), dt)
+      // drop the executor-storage blocks (localCheckpoint'd dedup/ANN
+      // indexes) the finished query pinned: queries are independent, and
+      // letting dead blocks pile up makes later queries absorb the GC /
+      // eviction pressure in suite mode (untimed, like a real pipeline's
+      // end-of-job unpersist). BLOCKING: async eviction overlapped the
+      // NEXT query's timed window and polluted cheap queries' numbers
+      // (the r5 q67 anomaly); the eviction cost belongs outside every
+      // timed region.
+      if (!spark.sparkContext.isStopped)
+        try spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        catch { case _: Throwable => () }
+    }
+    true
+  }
+
+  /** JSON string literal with the characters that could break the
+    * one-line protocol stripped. */
+  private def jstr(s: String): String =
+    "\"" + s.replaceAll("[\"\\\\]|\\p{Cntrl}", " ").take(160) + "\""
+
+  private def qmap(m: collection.Map[String, Double],
+                   names: Seq[String]): String =
+    names.flatMap(n => m.get(n).map(v => s"\"" + n + "\":" + v))
+      .mkString("{", ",", "}")
+
+  private def emap(m: collection.Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + jstr(v) }
+      .mkString("{", ",", "}")
+
+  /** File-backed twin of the stdout line: the driver's capture has
+    * truncated the tail of long JSON lines before (round 4 lost the
+    * graded sf0.1 map), and round 6's timeout killed the JVM before the
+    * line printed at all — so the record lands on disk BOTH at the
+    * sf0.1-section checkpoint and at the end. FILTERED runs (per-query
+    * probes during perf work) write a scratch twin instead. */
+  private def writeTwin(line: String, filtered: Boolean): Unit =
+    try {
+      val dir = new java.io.File(".bench")
+      dir.mkdirs()
+      val fname =
+        if (!filtered) "last_run.json" else "last_filtered_run.json"
+      val w = new java.io.PrintWriter(new java.io.File(dir, fname))
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () } // never fail the bench over the copy
+
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - tStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -13,52 +129,64 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // best-of-N (default 3) with INTERLEAVED passes: all queries run once,
-    // then all again, min per query. The first pass pays codegen/JIT/page-
-    // cache warm-up; interleaving keeps a bursty noisy-neighbor window from
-    // hitting every attempt of the same query (observed host noise here is
-    // +-25% per pass — three passes bound the min much tighter).
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    // optional regex subset (local iteration: time one query without the
-    // rest of the suite's JVM state in play)
+    // Self-imposed wall-clock budget for the WHOLE run. The driver wraps
+    // the bench in its own hard timeout (round 6 hit it: rc=124, no JSON
+    // at all); finishing under a conservative internal budget is what
+    // guarantees an rc=0 artifact with both maps.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500")
+      .toDouble
+    val deadlineNanos = tStart + (budgetS * 1e9).toLong
+    // graded passes: best-of-N INTERLEAVED (all queries once, then again)
+    // so a bursty noisy-neighbor window can't hit every attempt of the
+    // same query. Pass 1 pays codegen/JIT/page-cache warm-up; default
+    // N=2 — the round-6 suite is ~300 queries and a third pass buys
+    // little once the JVM is warm but costs ~7 min of budget.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => filter.forall(f => n.matches(f)))
-    val times = scala.collection.mutable.Map[String, Double]()
     val verbose = sys.env.getOrElse("SPARK_GRAFT_BENCH_VERBOSE", "0") == "1"
-    def runSuite(dir: String, nRuns: Int,
-                 acc: scala.collection.mutable.Map[String, Double]): Unit =
-      for (pass <- 1 to nRuns; name <- names) {
-        val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        // a failed query must be loud: its wall-clock would otherwise read
-        // as a suspiciously fast pass
-        try { fn(spark, dir).count() } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (verbose)
-          System.err.println(f"[bench] $dir pass=$pass $name%-24s $dt%.3f")
-        acc(name) = math.min(acc.getOrElse(name, Double.MaxValue), dt)
-        // drop the executor-storage blocks (localCheckpoint'd dedup/ANN
-        // indexes) the finished query pinned: queries are independent, and
-        // letting dead blocks pile up makes later queries absorb the GC /
-        // eviction pressure in suite mode (untimed, like a real pipeline's
-        // end-of-job unpersist). BLOCKING: async eviction overlapped the
-        // NEXT query's timed window and polluted cheap queries' numbers
-        // (the r5 q67 anomaly — 2.3 s in-suite vs 0.7 s isolated); the
-        // eviction cost belongs outside every timed region.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-      }
-    runSuite(sfDir, runs, times)
-    val results = names.map(n => n -> times(n)).toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // 10x-row scale probe: the same aggregation/join shapes over a 10x
-    // unionAll of the inputs, so regressions that sf0.1 hides (skew,
+    val times = mutable.Map[String, Double]()
+    val errors = mutable.Map[String, String]()
+
+    // ---- graded section. Pass 1 is sacred: no deadline — if even one
+    // pass can't finish, there is no useful artifact to protect.
+    runSuite(spark, sfDir, names, SparkEntry.queries, 1, times, errors,
+      verbose = verbose, label = "graded pass 1")
+    val pass1S = elapsedS
+    def gradedLine(extra: String): String = {
+      val total = times.values.sum
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"""" +
+        s""","budget_s":$budgetS,"elapsed_s":$elapsedS""" +
+        (if (errors.nonEmpty) s""","errors":${emap(errors)}""" else "") +
+        extra + s""","queries":${qmap(times, names)}}"""
+    }
+    writeTwin(gradedLine(s""","partial":true"""), filter.nonEmpty)
+
+    // the sf1-class pass is worth more than a tighter graded min: start
+    // pass 2 only if ONE more graded pass plus the projected large pass
+    // still fit the budget (large ≈ largeFactor x pass-1; measured ~2-3x
+    // at 10x rows on a warm JVM with the exact-audit tier in place).
+    val largeDir = sys.env.getOrElse("SPARK_GRAFT_SF_LARGE_DIR",
+      new java.io.File(".bench/sf1").getAbsolutePath)
+    val largeRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_LARGE_RUNS", "1")
+      .toInt
+    val haveLarge = largeRuns >= 1 &&
+      new java.io.File(s"$largeDir/lineitem.parquet").exists()
+    val largeFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_LARGE_FACTOR",
+      "2.5").toDouble
+    var gradedPasses = 1
+    while (gradedPasses < runs &&
+        elapsedS + pass1S * (1.0 + (if (haveLarge) largeFactor else 0.0))
+          <= budgetS) {
+      runSuite(spark, sfDir, names, SparkEntry.queries, 1, times, errors,
+        deadlineNanos, verbose, s"graded pass ${gradedPasses + 1}")
+      gradedPasses += 1
+      writeTwin(gradedLine(s""","partial":true"""), filter.nonEmpty)
+    }
+
+    // ---- 10x-row scale probe: the same aggregation/join shapes over a
+    // 10x unionAll of the inputs, so regressions that sf0.1 hides (skew,
     // spill, partial-agg breakdown) show up as a ratio far above ~10x.
     val probe =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") == "0") ""
@@ -124,53 +252,61 @@ object Bench {
         }
         s""","scale_probe_10x":{"lineitem_agg":$tAgg,"lineitem_join":$tJoin,"lineitem_join_bucketed":$tJoinBkt,"events_hourly":$tEvt}"""
       } catch { case _: Throwable => "" } // never lose the main JSON line
-    // Large-scale pass: when a ScaleUp output exists (default
-    // .bench/sf1 — a 10x fact-scaled copy of sf0.1, see graft.ScaleUp),
-    // run the full suite against it and append its numbers — the
-    // sf1-class run that catches constant-factor cliffs the unionAll
-    // probe's three shapes miss. One timed pass by default: the JVM is
-    // already warm from the sf0.1 passes, and the one-time bucketed
-    // table write for the large dir is warmed untimed first. Guarded so
-    // a large-pass failure can never lose the main JSON line.
-    val largeDir = sys.env.getOrElse("SPARK_GRAFT_SF_LARGE_DIR",
-      new java.io.File(".bench/sf1").getAbsolutePath)
-    // min-of-2 by default: single-pass large numbers carry the observed
-    // +-25% host noise, which round-4 showed can disagree 1.6x with a
-    // same-day rerun. Two interleaved passes bound the min well enough
-    // to certify per-query sf1-class numbers.
-    val largeRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_LARGE_RUNS", "2").toInt
+
+    // ---- sf1-class pass over the ScaleUp output (default .bench/sf1, a
+    // 10x fact-scaled copy — see graft.ScaleUp). One timed pass: the JVM
+    // is warm, and the warm-up below runs the one-time artifact builds
+    // (bucketed tables, persisted indexes/codebooks) untimed so the timed
+    // body of the incremental family measures its operating cost, which
+    // is exactly what a second pass's min used to give. The exact-audit
+    // ceilings run their documented bench tier (SparkEntry.largeBenchTier,
+    // identical plan over a hash-sampled slice). Deadline-guarded: an
+    // abort keeps every entry already recorded and reports
+    // large_complete=false plus the skipped names.
     val large =
-      if (largeRuns < 1 ||
-          !new java.io.File(s"$largeDir/lineitem.parquet").exists()) ""
+      if (!haveLarge) ""
       else try {
-        // untimed warm-up: writes the large dir's bucketed tables once
-        try SparkEntry.queries("q52_join_bucketed")(spark, largeDir).count()
-        catch { case _: Throwable => () }
-        val lt = scala.collection.mutable.Map[String, Double]()
-        runSuite(largeDir, largeRuns, lt)
-        val lqs = names.map(n => s"\"" + n + "\":" + lt(n))
-          .mkString("{", ",", "}")
-        s""","sf_large":"$largeDir","total_large":${lt.values.sum},"queries_large":$lqs"""
+        // untimed warm-up, deadline-aware: bucketed fact tables first,
+        // then the persisted-index builders
+        for (w <- "q52_join_bucketed" +: SparkEntry.largeIndexWarm
+             if System.nanoTime() < deadlineNanos &&
+               !spark.sparkContext.isStopped)
+          try SparkEntry.queries(w)(spark, largeDir).count()
+          catch { case _: Throwable => () }
+        val lt = mutable.Map[String, Double]()
+        val lerrors = mutable.Map[String, String]()
+        val tier = SparkEntry.largeBenchTier
+        val lq = names.map(n =>
+          n -> tier.getOrElse(n, SparkEntry.queries(n))).toMap
+        val tLarge0 = System.nanoTime()
+        var complete = runSuite(spark, largeDir, names, lq, 1, lt, lerrors,
+          deadlineNanos, verbose, "large pass 1")
+        val largePass1S = (System.nanoTime() - tLarge0) / 1e9
+        if (complete && largeRuns >= 2 &&
+            elapsedS + largePass1S <= budgetS)
+          complete = runSuite(spark, largeDir, names, lq, 1, lt, lerrors,
+            deadlineNanos, verbose, "large pass 2")
+        val skipped = names.filter(n => !lt.contains(n))
+        val tiered = names.filter(tier.contains)
+        s""","sf_large":"$largeDir","total_large":${lt.values.sum}""" +
+          s""","large_complete":${complete && lerrors.isEmpty}""" +
+          (if (skipped.nonEmpty)
+            skipped.map(jstr).mkString(""","large_skipped":[""", ",", "]")
+          else "") +
+          (if (tiered.nonEmpty)
+            tiered.map(jstr).mkString(""","large_tiered":[""", ",", "]")
+          else "") +
+          (if (lerrors.nonEmpty) s""","errors_large":${emap(lerrors)}"""
+          else "") +
+          s""","queries_large":${qmap(lt, names)}"""
       } catch { case _: Throwable => "" }
-    // the graded sf0.1 `queries` map goes LAST: the driver captures the
-    // output tail, and with the map first a truncated capture kept the
+
+    // the graded `queries` map goes LAST: the driver captures the output
+    // tail, and with the map first a truncated capture kept the
     // large-suite numbers and lost the graded ones (rounds 4 and 5)
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"$probe$large,"queries":$qs}"""
+    val line = gradedLine(probe + large)
     println(line)
-    // File-backed twin of the stdout line: the driver's capture has
-    // truncated the tail of long JSON lines before (round 4 lost the
-    // graded sf0.1 map), so the complete record always lands on disk too.
-    // FILTERED runs (per-query probes during perf work) must not clobber
-    // the definitive full-suite record — they write a scratch twin.
-    try {
-      val dir = new java.io.File(".bench")
-      dir.mkdirs()
-      val fname =
-        if (filter.isEmpty) "last_run.json" else "last_filtered_run.json"
-      val w = new java.io.PrintWriter(new java.io.File(dir, fname))
-      try w.println(line) finally w.close()
-    } catch { case _: Throwable => () } // never fail the bench over the copy
+    writeTwin(line, filter.nonEmpty)
     spark.stop()
   }
 }

@@ -290,6 +290,116 @@ object SparkEntry {
     (grid, freqs)
   }
 
+  /** Deterministic hash-sample: keep rows whose key xxhash64 lands in
+    * residue 0 of `mod` — the engine-portable corpus slice the sf1-class
+    * bench tier uses for the super-linear exact-audit queries. */
+  private def hashSample(df: DataFrame, keyCol: String, mod: Int): DataFrame =
+    df.filter(pmod(xxhash64(col(keyCol)), lit(mod)) === 0)
+
+  /** q201's body over an arbitrary documents frame (shared by the query
+    * and its bench tier): exact all-pairs Jaccard join via the PPJoin
+    * prefix filter, J >= 1/2, recall 1.0 guaranteed. */
+  private def setJoinExactBody(s: SparkSession, docs: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, thetaNum = 1, thetaDen = 2)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** q209's body over an arbitrary documents frame (shared by the query
+    * and its bench tier): MinHash-LSH precision/recall against the exact
+    * prefix-filter join as ground truth. */
+  private def lshRecallBody(s: SparkSession, docs: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val exact = operators.Materializer.Local(
+      Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, thetaNum = 1, thetaDen = 2)
+        .select(col("a_id"), col("b_id")))
+    val lsh = operators.Materializer.Local(
+      Dedup.minhashLshPairs(docs, "doc_id", "text", k = 16, bands = 4,
+        shingleN = 3, threshold = 0.5, fast = false)
+        .select(col("a_id"), col("b_id")))
+    val common = exact.join(lsh, Seq("a_id", "b_id"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+      .crossJoin(broadcast(common.agg(count(lit(1)).as("n_common"))))
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        round(col("n_common").cast("double")
+          / col("n_lsh").cast("double"), 6).as("precision"),
+        round(col("n_common").cast("double")
+          / col("n_exact").cast("double"), 6).as("recall"))
+  }
+
+  /** q263's body over an arbitrary embeddings frame (shared by the query
+    * and its bench tier): LOF (Breunig et al. 2000) with cosine distance,
+    * kNN from the exact n² top-k audit path. */
+  private def lofBody(s: SparkSession, emb: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val k = 10
+    val knn = operators.Materializer.Local(
+      operators.Similarity.bruteForceTopK(emb, emb, k = k,
+          exact = true)
+        .select(col("query_id"), col("neighbor_id"),
+          (lit(1.0) - col("sim")).as("d"), col("rk")))
+    val kdist = knn.filter(col("rk") === k)
+      .select(col("query_id").as("neighbor_id"),
+        col("d").as("kdist"))
+    val reach = knn.join(broadcast(kdist), Seq("neighbor_id"))
+      .select(col("query_id"),
+        greatest(col("d"), col("kdist")).cast("decimal(9,6)")
+          .as("reach"))
+    val lrd = operators.Materializer.Local(reach
+      .groupBy(col("query_id"))
+      .agg(sum(col("reach")).as("sreach"))
+      .select(col("query_id"),
+        when(col("sreach").cast("double") > 0.0,
+          round(lit(k.toDouble) / col("sreach").cast("double"), 9))
+          .as("lrd")))
+    val nblrd = knn.join(broadcast(lrd
+        .select(col("query_id").as("neighbor_id"),
+          col("lrd").as("lrd_b"))), Seq("neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("lrd_b").cast("decimal(19,9)")).as("slrd"),
+        count(col("lrd_b")).as("nb"))
+    lrd.join(broadcast(nblrd), Seq("query_id"))
+      .join(broadcast(kdist.select(col("neighbor_id")
+        .as("query_id"), col("kdist"))), Seq("query_id"))
+      .select(col("query_id").as("vec_id"),
+        round(col("kdist"), 6).as("kdist"), col("lrd"),
+        when(col("lrd").isNotNull && col("nb") === k,
+          round(col("slrd").cast("double")
+            / (lit(k.toDouble) * col("lrd")), 6)).as("lof"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Bench-tier variants for the sf1-class suite ONLY — never used by
+    * Verify or the correctness gate. The three exact-audit ceilings whose
+    * cost is super-linear BY DESIGN (q201/q209 exact all-pairs set joins,
+    * q263 exact n² kNN) run the IDENTICAL plan over a deterministic
+    * xxhash64 corpus slice, so the large pass prices the plan shape
+    * without the quadratic payload blowup (ScaleUp's verbatim-clone
+    * duplication grows their pair output ~100-1000×, and q201 alone was
+    * ~1/3 of round-6's large-suite wall-clock). Tiered names are reported
+    * in the bench JSON (`large_tiered`) and documented in COVERAGE.md. */
+  def largeBenchTier: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_setjoin_exact" -> ((s, dir) =>
+      setJoinExactBody(s, hashSample(t(s, dir, "documents"), "doc_id", 4))),
+    "q209_lsh_recall_cert" -> ((s, dir) =>
+      lshRecallBody(s, hashSample(t(s, dir, "documents"), "doc_id", 4))),
+    "q263_lof" -> ((s, dir) =>
+      lofBody(s, hashSample(t(s, dir, "embeddings"), "vec_id", 8))))
+
+  /** Queries whose FIRST run against a corpus dir builds a persisted
+    * index/model artifact (ensurePersistedIndex / pqCodebookFor): in a
+    * single-pass large bench these run once UNTIMED first, so the timed
+    * pass measures the daily incremental cost (the operating mode the
+    * incremental family exists for), not the one-time build — exactly
+    * what min-of-2 passes gave when the budget allowed two. */
+  def largeIndexWarm: Seq[String] = Seq(
+    "q70_dedup_incr_fast", "q72_ann_pq", "q77_ann_ivfpq",
+    "q82_image_neardup_incr", "q108_clusters_incr", "q128_ivfpq_append",
+    "q228_ann_recall_sweep", "q295_nn_graph_append")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Region revenue rollup: 4-table join with broadcast dims. */
   def entry(spark: SparkSession): DataFrame =
@@ -3301,10 +3411,8 @@ object SparkEntry {
       // for speed). Candidates form only where two docs share one of
       // their rarest shingles; the oracle BRUTE-FORCES the n² space, so
       // this is a genuine recall differential, not a blocking replay.
-      GraftFunctions.register(s)
-      Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"), "doc_id",
-          "text", shingleN = 3, thetaNum = 1, thetaDen = 2)
-        .orderBy(col("a_id"), col("b_id"))
+      // Body shared with the sf1-class bench tier ([[largeBenchTier]]).
+      setJoinExactBody(s, t(s, dir, "documents"))
     }),
 
     "q202_weighted_paths" -> ((s, dir) => {
@@ -3424,25 +3532,8 @@ object SparkEntry {
       // precision/recall of the probabilistic dedup path computed
       // in-engine on real data (the offline gate an LSH config change
       // must pass). Both pair sets are bounded; the rollup is 3 scalars.
-      GraftFunctions.register(s)
-      val docs = t(s, dir, "documents")
-      val exact = operators.Materializer.Local(
-        Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
-          shingleN = 3, thetaNum = 1, thetaDen = 2)
-          .select(col("a_id"), col("b_id")))
-      val lsh = operators.Materializer.Local(
-        Dedup.minhashLshPairs(docs, "doc_id", "text", k = 16, bands = 4,
-          shingleN = 3, threshold = 0.5, fast = false)
-          .select(col("a_id"), col("b_id")))
-      val common = exact.join(lsh, Seq("a_id", "b_id"), "left_semi")
-      exact.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
-        .crossJoin(broadcast(common.agg(count(lit(1)).as("n_common"))))
-        .select(col("n_exact"), col("n_lsh"), col("n_common"),
-          round(col("n_common").cast("double")
-            / col("n_lsh").cast("double"), 6).as("precision"),
-          round(col("n_common").cast("double")
-            / col("n_exact").cast("double"), 6).as("recall"))
+      // Body shared with the sf1-class bench tier ([[largeBenchTier]]).
+      lshRecallBody(s, t(s, dir, "documents"))
     }),
 
     "q210_card_incremental" -> ((s, dir) => {
@@ -5263,43 +5354,8 @@ object SparkEntry {
       // bounded kNN table with DECIMAL(9,6)-exact distance sums.
       // ≥k duplicate points make lrd infinite in the paper's
       // definition — guarded to NULL here, identically in the oracle.
-      GraftFunctions.register(s)
-      val k = 10
-      val emb = t(s, dir, "embeddings")
-      val knn = operators.Materializer.Local(
-        operators.Similarity.bruteForceTopK(emb, emb, k = k,
-            exact = true)
-          .select(col("query_id"), col("neighbor_id"),
-            (lit(1.0) - col("sim")).as("d"), col("rk")))
-      val kdist = knn.filter(col("rk") === k)
-        .select(col("query_id").as("neighbor_id"),
-          col("d").as("kdist"))
-      val reach = knn.join(broadcast(kdist), Seq("neighbor_id"))
-        .select(col("query_id"),
-          greatest(col("d"), col("kdist")).cast("decimal(9,6)")
-            .as("reach"))
-      val lrd = operators.Materializer.Local(reach
-        .groupBy(col("query_id"))
-        .agg(sum(col("reach")).as("sreach"))
-        .select(col("query_id"),
-          when(col("sreach").cast("double") > 0.0,
-            round(lit(k.toDouble) / col("sreach").cast("double"), 9))
-            .as("lrd")))
-      val nblrd = knn.join(broadcast(lrd
-          .select(col("query_id").as("neighbor_id"),
-            col("lrd").as("lrd_b"))), Seq("neighbor_id"))
-        .groupBy(col("query_id"))
-        .agg(sum(col("lrd_b").cast("decimal(19,9)")).as("slrd"),
-          count(col("lrd_b")).as("nb"))
-      lrd.join(broadcast(nblrd), Seq("query_id"))
-        .join(broadcast(kdist.select(col("neighbor_id")
-          .as("query_id"), col("kdist"))), Seq("query_id"))
-        .select(col("query_id").as("vec_id"),
-          round(col("kdist"), 6).as("kdist"), col("lrd"),
-          when(col("lrd").isNotNull && col("nb") === k,
-            round(col("slrd").cast("double")
-              / (lit(k.toDouble) * col("lrd")), 6)).as("lof"))
-        .orderBy(col("vec_id"))
+      // Body shared with the sf1-class bench tier ([[largeBenchTier]]).
+      lofBody(s, t(s, dir, "embeddings"))
     }),
 
     "q264_data_shapley" -> ((s, dir) => {
@@ -6539,7 +6595,7 @@ object SparkEntry {
 
     "q287_mink_membership" -> ((s, dir) => {
       // Min-K% membership / memorization audit (Shi et al., ICLR 2024)
-      // over the corpus add-1 bigram LM: score = mean surprisal of each
+      // over the corpus add-α (α=0.5) bigram LM: score = mean surprisal of each
       // doc's 20% least-probable bigram types. Text the model finds
       // likely even at its WORST tokens reads as a training-set member /
       // memorized duplicate; novel text keeps the fat high-surprisal
@@ -6801,6 +6857,22 @@ object SparkEntry {
       model("curated", base.filter(col("is_train") && col("c7")))
         .unionAll(model("raw", base.filter(col("is_train"))))
         .orderBy(col("model"))
+    }),
+
+    "q304_weighted_neardup" -> ((s, dir) => {
+      // tf-WEIGHTED near-dup pairs via Ioffe consistent sampling
+      // (weighted MinHash, ICDM 2010) — the round-6 backlog item: where
+      // q37's set MinHash sees a 50×-repeated term once, the CWS sampler
+      // collides with probability Σmin(w)/Σmax(w), so repetition-heavy
+      // near-dups rank by their true weighted overlap. k=8 samples in 4
+      // LSH bands generate candidates; the verify is exact integer
+      // weighted Jaccard ≥ 3/5. The md5-seeded Gamma(2,1)/Uniform draws
+      // are salted-md5 functions of (term, seed), so DuckDB replays the
+      // sampler draw-for-draw (round(9) requantization after every libm
+      // call, arg-min tie-break on term asc).
+      Dedup.weightedMinhashPairs(t(s, dir, "documents"), "doc_id",
+          "text", k = 8, bands = 4, thetaNum = 3, thetaDen = 5)
+        .orderBy(col("a_id"), col("b_id"))
     }),
 
     "q301_dup_transitivity" -> ((s, dir) => {
@@ -15062,6 +15134,91 @@ object SparkEntry {
         .replace("@CUM@", funnelCumSql)
     },
 
+    // Ioffe CWS replay: the same salted-md5 uniforms, Gamma(2,1) algebra
+    // (r = −ln u1 − ln u2), t/ln-a quantization and arg-min tie-break as
+    // Dedup.weightedMinhashSignatures — every libm output round(9)'d
+    // before comparison, so both engines draw identical samples.
+    "q304_weighted_neardup" ->
+      """WITH tf AS MATERIALIZED (
+        |  SELECT id, t, CAST(count(*) AS BIGINT) AS w
+        |  FROM (SELECT doc_id AS id,
+        |          unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |            x -> x <> '')) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), seeded AS (
+        |  SELECT id, t, w, seed,
+        |    md5(CAST(seed AS VARCHAR) || '|' || t || '|wmh') AS h1,
+        |    md5('wmhb|' || CAST(seed AS VARCHAR) || '|' || t) AS h2
+        |  FROM tf CROSS JOIN (SELECT unnest(range(0, 8)) AS seed)
+        |), us AS (
+        |  SELECT id, t, w, seed,
+        |    (CAST(list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+        |      (strpos('0123456789abcdef', substr(h1, 1 + i, 1)) - 1)
+        |      for i in range(0, 8)]) AS DOUBLE) + 0.5) / 4294967296.0 AS u1,
+        |    (CAST(list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+        |      (strpos('0123456789abcdef', substr(h1, 9 + i, 1)) - 1)
+        |      for i in range(0, 8)]) AS DOUBLE) + 0.5) / 4294967296.0 AS u2,
+        |    (CAST(list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+        |      (strpos('0123456789abcdef', substr(h1, 17 + i, 1)) - 1)
+        |      for i in range(0, 8)]) AS DOUBLE) + 0.5) / 4294967296.0 AS u3,
+        |    (CAST(list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+        |      (strpos('0123456789abcdef', substr(h1, 25 + i, 1)) - 1)
+        |      for i in range(0, 8)]) AS DOUBLE) + 0.5) / 4294967296.0 AS u4,
+        |    (CAST(list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+        |      (strpos('0123456789abcdef', substr(h2, 1 + i, 1)) - 1)
+        |      for i in range(0, 8)]) AS DOUBLE) + 0.5) / 4294967296.0 AS beta
+        |  FROM seeded
+        |), cws AS (
+        |  SELECT id, t, seed,
+        |    round(-ln(u1) - ln(u2), 9) AS r,
+        |    round(ln(-ln(u3) - ln(u4)), 9) AS lnc,
+        |    beta,
+        |    round(ln(CAST(w AS DOUBLE)), 9) AS lnw
+        |  FROM us
+        |), tq AS (
+        |  SELECT id, t, seed, r, lnc, beta,
+        |    CAST(floor(round(lnw / r + beta, 9)) AS BIGINT) AS tq
+        |  FROM cws
+        |), pick AS (
+        |  SELECT id, seed, t, tq,
+        |    row_number() OVER (PARTITION BY id, seed ORDER BY
+        |      round(lnc - r * (CAST(tq AS DOUBLE) + 1.0 - beta), 9), t)
+        |      AS rn
+        |  FROM tq
+        |), sig AS (
+        |  SELECT id, seed, t || '|' || CAST(tq AS VARCHAR) AS skey
+        |  FROM pick WHERE rn = 1
+        |), keyed AS (
+        |  SELECT id, CAST(CAST(seed // 2 AS INT) AS VARCHAR) || '#'
+        |      || max(CASE WHEN seed % 2 = 0 THEN skey END) || '#'
+        |      || max(CASE WHEN seed % 2 = 1 THEN skey END) AS bk
+        |  FROM sig GROUP BY id, seed // 2
+        |), cands AS (
+        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+        |  FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.id < b.id
+        |), sums AS (
+        |  SELECT id, CAST(sum(w) AS BIGINT) AS sw FROM tf GROUP BY 1
+        |), sm AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(sum(least(ta.w, tb.w)) AS BIGINT) AS smin
+        |  FROM cands c
+        |  JOIN tf ta ON ta.id = c.a_id
+        |  JOIN tf tb ON tb.id = c.b_id AND tb.t = ta.t
+        |  GROUP BY 1, 2
+        |), outp AS (
+        |  SELECT c.a_id, c.b_id, COALESCE(s.smin, 0) AS smin,
+        |    sa.sw + sb.sw - COALESCE(s.smin, 0) AS smax
+        |  FROM cands c
+        |  LEFT JOIN sm s ON s.a_id = c.a_id AND s.b_id = c.b_id
+        |  JOIN sums sa ON sa.id = c.a_id
+        |  JOIN sums sb ON sb.id = c.b_id
+        |)
+        |SELECT a_id, b_id,
+        |  round(CAST(smin AS DOUBLE) / CAST(smax AS DOUBLE), 6) AS jw
+        |FROM outp WHERE smin * 5 >= 3 * smax
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "q301_dup_transitivity" ->
       """WITH e AS MATERIALIZED (
         |  SELECT a_id AS u, b_id AS v FROM (@MH@)
@@ -16268,7 +16425,8 @@ object SparkEntry {
       |)""".stripMargin
 
   /** DuckDB replay of [[operators.Similarity.nnDescentGraph]]
-    * (bucketTarget=32) plus the q40-style exact-truth recall readout
+    * (bucketTarget=16, the operator default q286/q295 use) plus the
+    * q40-style exact-truth recall readout
     * for vec_id < 30: md5-bucket init, `rounds` unrolled
     * neighbors-of-neighbors expansions, each cut to top-k by the
     * decimal-exact cosine. The oracle skips the Spark side's

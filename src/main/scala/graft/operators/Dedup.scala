@@ -778,4 +778,136 @@ object Dedup {
       round(col("inter").cast("double") / col("uni").cast("double"), 6)
         .as("jaccard"))
   }
+
+  /** (0,1) uniform from 8 hex chars of an md5 column, the engine-portable
+    * RNG idiom (q63/q143): `u = (hex8 + 0.5) / 2^32`, never exactly 0 or
+    * 1 so `ln(u)` is always finite. */
+  private def hexU(h: Column, start: Int): Column =
+    (conv(substring(h, start, 8), 16, 10).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+
+  /** Weighted MinHash signatures by Ioffe's improved consistent sampling
+    * (Ioffe, ICDM 2010 "Improved Consistent Sampling, Weighted Minhash
+    * and L1 Sketching") — the tf-WEIGHTED near-dup path: collision
+    * probability of two docs' seed-k samples equals their weighted
+    * Jaccard Σ_t min(w_a, w_b) / Σ_t max(w_a, w_b), so a term occurring
+    * 50 times finally counts 50× in near-dup policy where plain MinHash
+    * (q37) sees only the binary shingle set.
+    *
+    * Per (doc, term, seed): the CWS draws r, c ~ Gamma(2,1) and
+    * β ~ U(0,1) as pure functions of (term, seed) via the salted-md5
+    * uniform (identical across replicas/engines — what makes the sampler
+    * oracle-REPLAYABLE), then
+    *   t   = ⌊ln w / r + β⌋
+    *   ln a = ln c − r·(t + 1 − β)
+    * and the signature element for the seed is the (term, t) pair of the
+    * arg-min ln a. Every ln/exp output is round(9)-requantized before it
+    * feeds a comparison (the libm-ulp absorption contract), and the
+    * arg-min tie-breaks on term asc, so Spark and DuckDB pick identical
+    * samples bit-for-bit.
+    *
+    * Returns (id, seed, skey) — skey = "term|t". Scale shape: one
+    * (doc, term) tf exchange, a seed explode, all CWS algebra map-side
+    * (md5 + ln projections, no joins), and ONE entity-bounded window
+    * (partition (doc, seed), the doc's own vocab) for the arg-min. At
+    * 100 TB the (term, seed) CWS draws could instead build a vocab-keyed
+    * model table joined in — same algebra, one extra narrow shuffle —
+    * if recomputing 2 md5 per (doc, term, seed) ever dominates. */
+  def weightedMinhashSignatures(docs: DataFrame, idCol: String,
+                                textCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val tf = docs.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("w"))
+    val seeded = tf.select(col("id"), col("t"), col("w"),
+      explode(sequence(lit(0), lit(k - 1))).as("seed"))
+    val h1 = md5(concat_ws("|", col("seed"), col("t"), lit("wmh")))
+    val h2 = md5(concat_ws("|", lit("wmhb"), col("seed"), col("t")))
+    val scored = seeded
+      .withColumn("h1", h1).withColumn("h2", h2)
+      .withColumn("r",
+        round(-log(hexU(col("h1"), 1)) - log(hexU(col("h1"), 9)), 9))
+      .withColumn("lnc",
+        round(log(-log(hexU(col("h1"), 17)) - log(hexU(col("h1"), 25))), 9))
+      .withColumn("beta", hexU(col("h2"), 1))
+      .withColumn("lnw", round(log(col("w").cast("double")), 9))
+      .withColumn("tq",
+        floor(round(col("lnw") / col("r") + col("beta"), 9)).cast("long"))
+      .withColumn("lna",
+        round(col("lnc") - col("r")
+          * (col("tq").cast("double") + lit(1.0) - col("beta")), 9))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"), col("seed"))
+      .orderBy(col("lna"), col("t"))
+    scored
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("seed"),
+        concat_ws("|", col("t"), col("tq")).as("skey"))
+  }
+
+  /** Weighted near-duplicate pairs: [[weightedMinhashSignatures]] banded
+    * into `bands` LSH buckets (k/bands consistent samples per band key —
+    * equal key ⇒ candidate), then EXACT weighted Jaccard verification on
+    * candidates only, via the identity Σmax = Σw_a + Σw_b − Σmin so the
+    * verify needs one common-term join plus two per-doc scalar weights —
+    * all integer arithmetic until the one rounded output division.
+    * Output (a_id, b_id, jw) with jw = Σmin/Σmax ≥ thetaNum/thetaDen,
+    * a_id < b_id.
+    *
+    * Scale shape: band keys are an equi-join (never a cross product);
+    * the verify is candidate-bounded; per-doc weight sums partial-combine
+    * on the tf exchange already paid by the signatures. */
+  def weightedMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, bands: Int = 4,
+                           thetaNum: Int = 2, thetaDen: Int = 5,
+                           mat: Materializer = Materializer.Local)
+      : DataFrame = {
+    require(k % bands == 0 && thetaNum >= 0 && thetaDen > 0)
+    val rpb = k / bands
+    val tf = mat(docs.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("w")))
+    val sig = weightedMinhashSignatures(docs, idCol, textCol, k)
+    // band key: the band's rpb samples concatenated in seed order —
+    // seed = band*rpb + j, so position j = seed % rpb is unique per band
+    // and max(CASE) assembles the key without an order-unstable
+    // collect_list
+    val posCols = (0 until rpb).map(j =>
+      max(when(col("seed") % rpb === j, col("skey"))).as(s"s$j"))
+    val banded = sig
+      .withColumn("band", (col("seed") / rpb).cast("int"))
+      .groupBy(col("id"), col("band"))
+      .agg(posCols.head, posCols.tail: _*)
+    val bandkey = concat_ws("#",
+      col("band").cast("string") +: (0 until rpb).map(j => col(s"s$j")): _*)
+    val keyed = banded.select(col("id"), bandkey.as("bk"))
+    val cands = keyed.select(col("id").as("a_id"), col("bk"))
+      .join(keyed.select(col("id").as("b_id"), col("bk")), Seq("bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val sums = tf.groupBy(col("id")).agg(sum(col("w")).as("sw"))
+    val smin = cands
+      .join(tf.select(col("id").as("a_id"), col("t"),
+        col("w").as("wa")), Seq("a_id"))
+      .join(tf.select(col("id").as("b_id"), col("t"),
+        col("w").as("wb")), Seq("b_id", "t"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(least(col("wa"), col("wb"))).as("smin"))
+    cands
+      .join(smin, Seq("a_id", "b_id"), "left")
+      .join(sums.select(col("id").as("a_id"), col("sw").as("sa")),
+        Seq("a_id"))
+      .join(sums.select(col("id").as("b_id"), col("sw").as("sb")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("smin"), lit(0L)).as("smin"),
+        (col("sa") + col("sb") - coalesce(col("smin"), lit(0L)))
+          .as("smax"))
+      .filter(col("smin") * lit(thetaDen.toLong)
+        >= lit(thetaNum.toLong) * col("smax"))
+      .select(col("a_id"), col("b_id"),
+        round(col("smin").cast("double") / col("smax").cast("double"), 6)
+          .as("jw"))
+  }
 }

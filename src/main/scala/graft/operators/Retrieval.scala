@@ -133,7 +133,10 @@ object Retrieval {
     * per-label (c0, nq) scalars broadcast as a bounded table, every
     * (label, doc) scored map-side off the doc-length table — results
     * bit-identical to per-label calls (same round(9) DECIMAL(38,9)
-    * accumulations, order-independent). */
+    * accumulations, order-independent), INCLUDING the all-absent edge: a
+    * label none of whose terms occur in the corpus keeps its rows via a
+    * left join into the scalar table ((c0 NULL, nq 0) — exactly the
+    * single-query path's empty aggregate). */
   def queryLikelihoodBatch(docs: DataFrame, idCol: String,
                            textCol: String,
                            queries: Seq[(String, Seq[String])],
@@ -161,12 +164,21 @@ object Retrieval {
     import sp0.implicits._
     val lbl = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("q", "t")
-    // per-label scalars on the bounded (label, term) table
-    val cScalar = cfp.join(broadcast(lbl), Seq("t"))
-      .groupBy(col("q"))
-      .agg(sum(round(log(lit(mu) * col("pw")), 9).cast("decimal(38,9)"))
-          .as("c0"),
-        count(lit(1)).cast("int").as("nq"))
+    // per-label scalars on the bounded (label, term) table. Labels are
+    // LEFT-joined back in so a query whose terms are ALL absent from the
+    // corpus still scores every document — (c0 NULL, nq 0), which is
+    // byte-for-byte what the single-query path's empty aggregate yields
+    // (NULL score, n_match 0, rows ranked by doc_id) — instead of
+    // silently vanishing from the result.
+    val cScalar = queries.map(_._1).distinct.toDF("q")
+      .join(cfp.join(broadcast(lbl), Seq("t"))
+        .groupBy(col("q"))
+        .agg(sum(round(log(lit(mu) * col("pw")), 9).cast("decimal(38,9)"))
+            .as("c0"),
+          count(lit(1)).cast("int").as("nq")),
+        Seq("q"), "left")
+      .select(col("q"), col("c0"),
+        coalesce(col("nq"), lit(0).cast("int")).as("nq"))
     val tf = dl.filter(col("t").isNotNull)
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).cast("double").as("tf"))

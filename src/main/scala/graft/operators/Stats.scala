@@ -699,8 +699,12 @@ object Stats {
     * corpus-scale input; pair counts partial-combine on basket-bounded
     * fanout (the q163 contract); candidate generation runs over the
     * frequent-pair table (tiny by minCount construction) and broadcasts
-    * back as a semi-join filter. Returns (i1, i2, i3, support),
-    * (support desc, items asc), topN. */
+    * back as a semi-join filter. The support-verify enumeration is
+    * TRANSACTION-TRIMMED before any self-join (baskets keep only
+    * frequent-pair items, and the (i1, i2) stream is semi-joined against
+    * the frequent pairs before i3 joins), so one mega-basket costs
+    * (candidate items present)², never |basket|³. Returns
+    * (i1, i2, i3, support), (support desc, items asc), topN. */
   def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
                       minCount: Long, topN: Int,
                       mat: Materializer = Materializer.Local): DataFrame = {
@@ -719,10 +723,27 @@ object Stats {
       .filter(col("i2") < col("i3"))
       .join(fp.select(col("i1").as("i2"), col("i2").as("i3")),
         Seq("i2", "i3"), "left_semi")
-    val t = bi.select(col("bk"), col("it").as("i1"))
-      .join(bi.select(col("bk"), col("it").as("i2")), Seq("bk"))
-      .join(bi.select(col("bk"), col("it").as("i3")), Seq("bk"))
-      .filter(col("i1") < col("i2") && col("i2") < col("i3"))
+    // TRANSACTION TRIMMING (Agrawal & Srikant §2.1.1's AprioriTid idea in
+    // join form): the verify enumeration is Σ|basket|³ if run on raw
+    // baskets — a per-key cubic cliff on one mega-basket (a crawler
+    // session, a bot user). Both trims are Apriori-SOUND, so the result
+    // is unchanged: (a) a basket item not in any frequent pair can't be
+    // in a frequent triple — semi-join the (basket, item) table against
+    // the frequent-pair item set (tiny by minCount construction,
+    // broadcast) BEFORE any self-join; (b) a triple's (i1, i2) must
+    // itself be a frequent pair — semi-join the basket pair stream
+    // against fp before i3 ever joins, so the three-way enumeration base
+    // is (frequent pairs present in the basket) x (candidate items), not
+    // items³.
+    val fpItems = fp.select(col("i1").as("it"))
+      .unionAll(fp.select(col("i2").as("it"))).distinct()
+    val biT = bi.join(broadcast(fpItems), Seq("it"), "left_semi")
+    val t = biT.select(col("bk"), col("it").as("i1"))
+      .join(biT.select(col("bk"), col("it").as("i2")), Seq("bk"))
+      .filter(col("i1") < col("i2"))
+      .join(broadcast(fp), Seq("i1", "i2"), "left_semi")
+      .join(biT.select(col("bk"), col("it").as("i3")), Seq("bk"))
+      .filter(col("i2") < col("i3"))
       .join(broadcast(cands), Seq("i1", "i2", "i3"), "left_semi")
       .groupBy(col("i1"), col("i2"), col("i3"))
       .agg(count(lit(1)).as("support"))

@@ -830,7 +830,8 @@ object TextAnalysis {
 
   /** Min-K% membership / memorization audit (Shi et al., ICLR 2024
     * "Detecting Pretraining Data from Large Language Models", adapted to
-    * the in-engine add-1 bigram LM of [[bigramSurprisal]] and scored
+    * the in-engine add-α (α=0.5 by default, matching q287) bigram LM of
+    * [[bigramSurprisal]] and scored
     * over bigram TYPES rather than token positions): a document's score
     * is the mean surprisal of its ceil(n/kFrac) LEAST-probable bigram
     * types under the corpus model. Text the model finds likely even at

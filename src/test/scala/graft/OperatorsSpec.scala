@@ -4294,4 +4294,149 @@ class OperatorsSpec extends SparkSpec {
         (s0 & (1 << g)) == 0 && s1 == (s0 | (1 << g)) })
     }
   }
+
+  test("weighted MinHash (Ioffe CWS): collision rate tracks weighted " +
+    "Jaccard, identical docs collide everywhere, tf actually matters") {
+    val s = spark
+    import s.implicits._
+    def sigMap(docs: org.apache.spark.sql.DataFrame, k: Int) =
+      Dedup.weightedMinhashSignatures(docs, "doc_id", "text", k)
+        .collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Int]("seed")) ->
+          r.getAs[String]("skey")).toMap
+    def matchFrac(a: String, b: String, k: Int): Double = {
+      val m = sigMap(Seq((1L, a), (2L, b)).toDF("doc_id", "text"), k)
+      (0 until k).count(i => m((1L, i)) == m((2L, i))).toDouble / k
+    }
+    // identical weighted sets -> identical signature at every seed, and
+    // the pairs operator verifies exact jw = 1.0
+    assert(matchFrac("x x y z", "x x y z", 32) == 1.0)
+    val ident = Dedup.weightedMinhashPairs(
+      Seq((1L, "x x y z"), (2L, "x x y z")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 8, bands = 4, thetaNum = 3, thetaDen = 5)
+      .collect()
+    assert(ident.length == 1 && ident(0).getDouble(2) == 1.0)
+    // CWS unbiasedness: P[collision] = Jw. A={x:4,y:4}, B={x:4,z:4} has
+    // Jw = 4/12 = 1/3; k=128 draws give sigma ~0.042, tolerance 0.2 ~ 5σ
+    val jwThird = matchFrac("x x x x y y y y", "x x x x z z z z", 128)
+    assert(math.abs(jwThird - 1.0 / 3.0) < 0.2, s"got $jwThird")
+    // tf-weighting is the point: C={x:1,y:1} vs D={x:9,y:1} have SET
+    // Jaccard 1.0 but weighted Jaccard (1+1)/(9+1) = 0.2 — the sampler
+    // must disagree on most seeds where set MinHash would always agree
+    val jwSkew = matchFrac("x y", "x x x x x x x x x y", 128)
+    assert(jwSkew < 0.45 && jwSkew > 0.0, s"got $jwSkew")
+    // and the exact verify arithmetic: pin the integer Σmin/Σmax on a
+    // pair with Jw = 5/7 ({x:3,y:2,z:1} vs {x:3,y:2,w:1} — smin 5,
+    // smax 6+6−5 = 7). 32 bands of 2 make a full candidacy miss
+    // P ≈ (1 − (5/7)²)³² ≈ 1e-10; threshold 3/5 keeps the pair, and jw
+    // must be exactly round(5/7, 6)
+    val p = Dedup.weightedMinhashPairs(
+      Seq((1L, "x x x y y z"), (2L, "x x x y y w")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 64, bands = 32, thetaNum = 3, thetaDen = 5)
+      .collect()
+    assert(p.length == 1 && p(0).getDouble(2) == 0.714286)
+  }
+
+  test("queryLikelihoodBatch: a label whose terms are ALL absent from " +
+    "the corpus keeps its rows, identical to the single-query path") {
+    // the round-6 advice edge: cScalar's inner join produced no row for
+    // an all-absent label, so the label silently vanished from the batch
+    // result while the single-query path still emitted topN rows (NULL
+    // score, n_match 0). The left-join fix makes batch == single here too.
+    val s = spark
+    import s.implicits._
+    import graft.operators.Retrieval
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha delta"),
+      (3L, "beta beta beta")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("rk"), col("doc_id"), col("n_match"), col("score"))
+        .collect().map(r => (r.getInt(0), r.getLong(1),
+          r.getInt(2), Option(r.get(3)).map(_.toString))).toSeq
+    val batch = Retrieval.queryLikelihoodBatch(docs, "doc_id", "text",
+      Seq("hit" -> Seq("alpha"), "ghost" -> Seq("zzz_not_a_word")),
+      mu = 100.0, topN = 3)
+    val ghost = rows(batch.filter(col("q") === "ghost"))
+    val singleGhost = rows(Retrieval.queryLikelihood(docs, "doc_id",
+      "text", Seq("zzz_not_a_word"), mu = 100.0, topN = 3))
+    assert(ghost.size == 3 && ghost == singleGhost)
+    assert(ghost.forall { case (_, _, nm, sc) => nm == 0 && sc.isEmpty })
+    val hit = rows(batch.filter(col("q") === "hit"))
+    val singleHit = rows(Retrieval.queryLikelihood(docs, "doc_id", "text",
+      Seq("alpha"), mu = 100.0, topN = 3))
+    assert(hit == singleHit)
+  }
+
+  test("incremental clustering (q108): a fresh session merges new pairs " +
+    "into ON-DISK labels via the on-disk index == full recompute") {
+    // the last member of the incremental-index family to get the q70
+    // fresh-session contract: yesterday's run persisted BOTH artifacts —
+    // the minhash band index AND the cluster-label table; today's run is
+    // a DIFFERENT session that knows only the two parquet paths. The
+    // merged labels must equal the from-scratch clustering of the full
+    // corpus (incremental == full recompute, the q108 oracle invariant).
+    GraftFunctions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val idxTmp = java.nio.file.Files.createTempDirectory("graft_q108i").toString
+    val labTmp = java.nio.file.Files.createTempDirectory("graft_q108l").toString
+    graft.operators.Materializer.Persisted(idxTmp)(
+      Dedup.minhashIndex(evens, "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, fast = true))
+    graft.operators.Materializer.Persisted(labTmp)(
+      Dedup.nearDupClusters(Dedup.minhashLshPairs(evens, "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, threshold = 0.5, fast = true)))
+    def labSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSet
+    val full = labSet(Dedup.nearDupClusters(
+      Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 16, bands = 4, shingleN = 3, threshold = 0.5, fast = true)))
+    // fresh session: separate registry/catalog/conf, same cluster
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2)
+    val docs2 = s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val newPairs = Dedup.minhashLshPairsIncremental(
+      Dedup.minhashIndex(docs2.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", k = 16, bands = 4, shingleN = 3, fast = true),
+      s2.read.parquet(s"$idxTmp/mat_0"), threshold = 0.5)
+    val merged = labSet(Dedup.nearDupClustersIncremental(
+      s2.read.parquet(s"$labTmp/mat_0"), newPairs))
+    assert(merged.nonEmpty && merged == full)
+  }
+
+  test("IVF-PQ append (q128): a fresh session appends to the ON-DISK " +
+    "index — union == full rebuild, search-identical, no re-encode of " +
+    "history") {
+    // the q128 invariant upgraded to the fresh-session contract: the
+    // append side is a DIFFERENT session that knows only the parquet
+    // path and the frozen codebook; history is never re-scanned, yet the
+    // unioned index is row-identical to a from-scratch rebuild
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seeds = emb.filter(col("vec_id") < 4)
+    val cb = Similarity.trainPqCodebooks(emb, m = 8, ksub = 16, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q128f").toString
+    graft.operators.Materializer.Persisted(tmp)(
+      Similarity.ivfPqIndex(emb.filter(col("vec_id") % 10 =!= 9), seeds, cb))
+    def idxSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    val full = idxSet(Similarity.ivfPqIndex(emb, seeds, cb))
+    val s2 = spark.newSession()
+    GraftFunctions.register(s2)
+    val emb2 = s2.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val appended = s2.read.parquet(s"$tmp/mat_0")
+      .unionByName(Similarity.ivfPqIndex(
+        emb2.filter(col("vec_id") % 10 === 9),
+        emb2.filter(col("vec_id") < 4), cb))
+    assert(idxSet(appended) == full)
+    def res(s: org.apache.spark.sql.SparkSession,
+            idx: org.apache.spark.sql.DataFrame,
+            e: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqSearch(idx, e.filter(col("vec_id") < 6),
+          e.filter(col("vec_id") < 4), cb, k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val fromDisk = res(s2, appended, emb2)
+    assert(fromDisk.nonEmpty &&
+      fromDisk == res(spark, Similarity.ivfPqIndex(emb, seeds, cb), emb))
+  }
 }

@@ -1465,4 +1465,19 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q303_curation_ablation")
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q205: the triple verify is transaction-trimmed — broadcast " +
+    "semi-joins prune baskets and the pair stream BEFORE the three-way " +
+    "self-join (no raw |basket|^3 enumeration)") {
+    val p = plan("q205_freq_triples")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // four LeftSemi stages: the candidate closure's (b,c) prune, the
+    // basket item trim against frequent-pair items, the (i1,i2)
+    // frequent-pair prune ahead of the i3 join, and the final candidate
+    // filter — the round-6 shape had only two (closure + final), leaving
+    // the enumeration base at items³ per basket
+    val semis = "LeftSemi".r.findAllIn(p).size
+    assert(semis >= 4, s"expected >=4 LeftSemi trims, got $semis:\n" +
+      p.take(3000))
+  }
 }
