@@ -387,7 +387,16 @@ object SparkEntry {
     "q209_lsh_recall_cert" -> ((s, dir) =>
       lshRecallBody(s, hashSample(t(s, dir, "documents"), "doc_id", 4))),
     "q263_lof" -> ((s, dir) =>
-      lofBody(s, hashSample(t(s, dir, "embeddings"), "vec_id", 8))))
+      lofBody(s, hashSample(t(s, dir, "embeddings"), "vec_id", 8))),
+    // q304 is exact-verify set similarity like q201: ScaleUp's verbatim
+    // clones make every candidate bucket quadratic in the clone factor
+    // (the sf1 pair output grows ~100x), so the large tier prices the
+    // identical plan on a 1/4 doc slice
+    "q304_weighted_neardup" -> ((s, dir) =>
+      Dedup.weightedMinhashPairs(
+        hashSample(t(s, dir, "documents"), "doc_id", 4), "doc_id",
+        "text", k = 8, bands = 4, thetaNum = 3, thetaDen = 5)
+        .orderBy(col("a_id"), col("b_id"))))
 
   /** Queries whose FIRST run against a corpus dir builds a persisted
     * index/model artifact (ensurePersistedIndex / pqCodebookFor): in a

@@ -1466,6 +1466,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q304: CWS model broadcast-joins into the tf stream; band " +
+    "candidates are an equi-join, arg-min is an aggregate (no window, " +
+    "no cartesian)") {
+    val p = plan("q304_weighted_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000)) // vocab model
+    assert(!p.contains("Window"), p.take(3000)) // struct-min aggregate
+  }
+
   test("q205: the triple verify is transaction-trimmed — broadcast " +
     "semi-joins prune baskets and the pair stream BEFORE the three-way " +
     "self-join (no raw |basket|^3 enumeration)") {
