@@ -133,7 +133,12 @@ object Bench {
     // the bench in its own hard timeout (round 6 hit it: rc=124, no JSON
     // at all); finishing under a conservative internal budget is what
     // guarantees an rc=0 artifact with both maps.
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500")
+    // 1650 s: measured round-7 footprint is ~500 s graded pass + ~85 s
+    // probe/warm + ~970 s tiered large pass ≈ 1555 s; the driver window
+    // (inferred from the round-6 kill point) is ≥ ~1800 s including sbt
+    // startup, so 1650 + ~60 s sbt stays inside it with margin while
+    // letting the large map complete.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1650")
       .toDouble
     val deadlineNanos = tStart + (budgetS * 1e9).toLong
     // graded passes: best-of-N INTERLEAVED (all queries once, then again)
