@@ -814,11 +814,20 @@ object Dedup {
     * arg-min is a partial-combining groupBy min(struct(lna, term)) —
     * map-side combine on the doc's own vocab, never a window sort. */
   def weightedMinhashSignatures(docs: DataFrame, idCol: String,
-                                textCol: String, k: Int): DataFrame = {
+                                textCol: String, k: Int): DataFrame =
+    weightedMinhashSignaturesFromTf(
+      docs.select(col(idCol).as("id"),
+          explode(TextAnalysis.tokens(col(textCol))).as("t"))
+        .groupBy(col("id"), col("t")).agg(count(lit(1)).as("w")),
+      k)
+
+  /** [[weightedMinhashSignatures]] over a pre-built (id, t, w) term-
+    * frequency frame, so a caller that already paid the corpus
+    * tokenize+exchange ([[weightedMinhashPairs]] materializes tf for its
+    * verify stage) reuses it instead of tokenizing the corpus twice. */
+  private[graft] def weightedMinhashSignaturesFromTf(tf: DataFrame,
+                                                     k: Int): DataFrame = {
     require(k >= 1)
-    val tf = docs.select(col(idCol).as("id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("w"))
     // vocab×k CWS model: the expensive md5/ln algebra runs once per
     // (term, seed) — the 100 TB shape (a model table, like a codebook)
     val h1 = md5(concat_ws("|", col("seed"), col("t"), lit("wmh")))
@@ -879,7 +888,9 @@ object Dedup {
     val tf = mat(docs.select(col(idCol).as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .groupBy(col("id"), col("t")).agg(count(lit(1)).as("w")))
-    val sig = weightedMinhashSignatures(docs, idCol, textCol, k)
+    // the signatures reuse the materialized tf: tokenizing the corpus is
+    // the dominant scan and used to be paid twice per call
+    val sig = weightedMinhashSignaturesFromTf(tf, k)
     // band key: the band's rpb samples concatenated in seed order —
     // seed = band*rpb + j, so position j = seed % rpb is unique per band
     // and max(CASE) assembles the key without an order-unstable

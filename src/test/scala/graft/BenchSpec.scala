@@ -16,14 +16,21 @@ class BenchSpec extends SparkSpec {
   private val bad: (SparkSession, String) => DataFrame =
     (_, _) => throw new RuntimeException("boom: injected failure")
   // fails only while the flag is set — models a query that dies in pass 1
-  // (context shutting down) but would succeed in a later healthy pass
+  // (context shutting down) but would succeed in a later healthy pass.
+  // The SUCCESSFUL run sleeps a fixed floor so the spec can prove
+  // structurally (lower bound, never flaky) which run the recorded min
+  // came from: a recorded failure time would be far below the floor.
   private object Flaky {
     @volatile var failing = true
+    val successFloorS = 0.2
   }
   private val flaky: (SparkSession, String) => DataFrame =
     (s, _) =>
       if (Flaky.failing) throw new RuntimeException("boom: transient")
-      else s.range(5).toDF("v")
+      else {
+        Thread.sleep((Flaky.successFloorS * 1000).toLong)
+        s.range(5).toDF("v")
+      }
 
   test("a failed pass records NO per-query min — only an errors entry") {
     val acc = mutable.Map[String, Double]()
@@ -48,14 +55,13 @@ class BenchSpec extends SparkSpec {
     Bench.runSuite(spark, "/unused", Seq("aflaky", "zflip"),
       Map("aflaky" -> flaky, "zflip" -> flip), nRuns = 2, acc, errors)
     // pass-2 success is the ONLY recorded time; the instant pass-1
-    // failure must not have seeded a ~0 ms min
+    // failure must not have seeded a ~0 ms min. Structural proof: the
+    // success path sleeps a fixed floor, so any recorded value below it
+    // can only be the pass-1 failure's wall-clock.
     assert(acc.contains("aflaky"))
-    val healthy = {
-      val t0 = System.nanoTime(); good(spark, "").count()
-      (System.nanoTime() - t0) / 1e9
-    }
-    assert(acc("aflaky") > healthy / 50.0,
-      s"min ${acc("aflaky")} looks like a recorded failure time")
+    assert(acc("aflaky") >= Flaky.successFloorS,
+      s"min ${acc("aflaky")} is below the success path's sleep floor — " +
+        "it must be a recorded failure time")
     assert(errors.contains("aflaky")) // the pass-1 failure stays visible
   }
 
@@ -81,5 +87,70 @@ class BenchSpec extends SparkSpec {
     Bench.runSuite(spark, "/unused", Seq("ok"), Map("ok" -> good),
       nRuns = 3, acc, errors)
     assert(acc("ok") > 0.0 && errors.isEmpty)
+  }
+
+  // ---- round-8 hardening: projected-cost gate, GC annotation,
+  // least-recently-certified ordering, certification history
+
+  test("a query whose projected cost exceeds the deadline is SKIPPED, " +
+      "not run; the queries behind it still get entries") {
+    val acc = mutable.Map[String, Double]()
+    val errors = mutable.Map[String, String]()
+    val ran = mutable.Set[String]()
+    val observed: String => (SparkSession, String) => DataFrame =
+      n => (s, _) => { ran += n; s.range(3).toDF("v") }
+    // ~30 s headroom; "huge" projects 1e6 s and must be gated out while
+    // "cheap" (no estimate) still runs AFTER it in sequence
+    val completed = Bench.runSuite(spark, "/unused",
+      Seq("huge", "cheap"),
+      Map("huge" -> observed("huge"), "cheap" -> observed("cheap")),
+      nRuns = 1, acc, errors,
+      deadlineNanos = System.nanoTime() + 30L * 1000 * 1000 * 1000,
+      estimate = n => if (n == "huge") 1e6 else 0.0)
+    assert(!completed, "a projected-cost skip means the suite is incomplete")
+    assert(!ran.contains("huge") && !acc.contains("huge"),
+      "the over-budget query must not execute at all")
+    assert(ran.contains("cheap") && acc.contains("cheap"),
+      "queries after a projected skip must still run")
+    assert(errors.isEmpty, "a projected skip is not an error")
+  }
+
+  test("successful runs record a GC fraction in [0,1]") {
+    val acc = mutable.Map[String, Double]()
+    val errors = mutable.Map[String, String]()
+    val gcf = mutable.Map[String, Double]()
+    Bench.runSuite(spark, "/unused", Seq("ok", "fail"),
+      Map("ok" -> good, "fail" -> bad), nRuns = 1, acc, errors, gcf = gcf)
+    assert(gcf.contains("ok") && gcf("ok") >= 0.0 && gcf("ok") <= 1.0)
+    assert(!gcf.contains("fail"), "failures must not record a GC fraction")
+  }
+
+  test("largeOrder: never-certified first, then stalest certification, " +
+      "cheapest-first within a recency group") {
+    val hist = Map(
+      "q_old_cheap" -> Bench.Cert(1.0, 3),
+      "q_old_dear" -> Bench.Cert(50.0, 3),
+      "q_stale" -> Bench.Cert(9.0, 1))
+    val est = Map("q_new_a" -> 5.0, "q_new_b" -> 2.0,
+      "q_old_cheap" -> 1.0, "q_old_dear" -> 50.0, "q_stale" -> 9.0)
+    val order = Bench.largeOrder(
+      Seq("q_old_dear", "q_new_a", "q_stale", "q_old_cheap", "q_new_b"),
+      hist, est)
+    assert(order == Seq(
+      "q_new_b", "q_new_a", // never certified: first, cheap before dear
+      "q_stale",            // certified longest ago
+      "q_old_cheap", "q_old_dear")) // freshest last, cheap before dear
+  }
+
+  test("certification history round-trips through the TSV file") {
+    val f = java.io.File.createTempFile("cert_history", ".tsv")
+    f.deleteOnExit()
+    val hist = Map("qa" -> Bench.Cert(1.25, 2), "qb" -> Bench.Cert(0.5, 7))
+    Bench.writeHistory(7, hist, f)
+    val (run, back) = Bench.readHistory(f)
+    assert(run == 7 && back == hist)
+    // a missing file reads as an empty, run-0 history
+    val (r0, h0) = Bench.readHistory(new java.io.File("/nonexistent/x.tsv"))
+    assert(r0 == 0 && h0.isEmpty)
   }
 }
