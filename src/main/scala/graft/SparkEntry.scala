@@ -266,29 +266,12 @@ object SparkEntry {
     * thresholds, dense (t, f) frequency sequence. Returns
     * (grid (t, gv), freqs (t, f)); both bounded, both checkpointed. */
   private[graft] def orderGridFreqs(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val vals = t(s, dir, "orders")
-      .select((col("o_totalprice") * 100).cast("long").as("v"))
-    val hist = operators.Materializer.Local(
-      vals.groupBy(col("v")).agg(count(lit(1)).as("c")))
-    val wCum = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum(col("c")).over(wCum))
-    val tot = hist.agg(sum(col("c")).as("n"))
-    import s.implicits._
-    val ts = (1 to 32).toDF("t")
-    val thr = floor((col("t") * col("n") + lit(31L)) / lit(32L))
-    val grid = operators.Materializer.Local(ts
-      .crossJoin(broadcast(tot))
-      .join(cum, col("cum") >= thr)
-      .groupBy(col("t")).agg(min(col("v")).as("gv")))
-    val seg = hist.join(broadcast(grid), col("v") <= col("gv"))
-      .groupBy(col("v"), col("c")).agg(min(col("t")).as("t"))
-    val freqs = operators.Materializer.Local(
-      seg.groupBy(col("t")).agg(sum(col("c")).as("f")))
-    (grid, freqs)
-  }
+      : (DataFrame, DataFrame) =
+    operators.Stats.equiRankGridFreqs(
+      t(s, dir, "orders")
+        .select((col("o_totalprice") * 100).cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c")),
+      g = 32)
 
   /** Deterministic hash-sample: keep rows whose key xxhash64 lands in
     * residue 0 of `mod` — the engine-portable corpus slice the sf1-class
@@ -6920,6 +6903,52 @@ object SparkEntry {
       Dedup.weightedMinhashPairs(t(s, dir, "documents"), "doc_id",
           "text", k = 8, bands = 4, thetaNum = 3, thetaDen = 5)
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    "q305_voptimal_merge" -> ((s, dir) => {
+      // distributed ANALYZE (q297's extension, the round-7 backlog
+      // item): the corpus is row-sharded 4 ways (deterministic md5 on
+      // the order key — the q95 idiom), each shard ships its EXACT
+      // quantized value histogram (the mergeable synopsis: level-1
+      // cents quantization bounds the per-shard state at the domain
+      // size, never rows), the coordinator merges with one associative
+      // Σc-by-v aggregation, and the 32-point equi-rank grid + k=4 SSE
+      // DP re-run on the merged histogram (Stats.vOptimalMerged). The
+      // output certifies bucket-for-bucket equality against the direct
+      // single-pass construction — the property that makes per-shard
+      // histograms the RIGHT distributed synopsis where merged
+      // per-shard GRIDS would lose within-cell mass.
+      val vals = t(s, dir, "orders").select(
+        operators.Sharding.shardOf("o_orderkey", 4).as("shard"),
+        (col("o_totalprice") * 100).cast("long").as("v"))
+      val shardHists = vals.groupBy(col("shard"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val merged = operators.Stats.vOptimalMerged(shardHists, g = 32,
+        k = 4)
+      val (grid, freqs) = orderGridFreqs(s, dir)
+      val direct = operators.Stats.vOptimalDp(freqs, g = 32, k = 4)
+        .join(broadcast(grid.select(col("t").as("seg_hi"),
+          col("gv").as("v_hi"))), Seq("seg_hi"))
+        .select(col("bucket"), col("seg_lo"), col("seg_hi"),
+          col("v_hi"), col("n_rows"), col("sse"))
+      direct
+        .join(merged.select(col("bucket"),
+          col("seg_lo").as("m_seg_lo"), col("seg_hi").as("m_seg_hi"),
+          col("v_hi").as("m_v_hi"), col("n_rows").as("m_n_rows"),
+          col("sse").as("m_sse")), Seq("bucket"), "full")
+        .select(col("bucket").cast("long").as("bucket"),
+          col("seg_lo").cast("long").as("seg_lo"),
+          col("seg_hi").cast("long").as("seg_hi"),
+          col("v_hi"), col("n_rows"), col("sse"),
+          col("m_seg_lo").cast("long").as("m_seg_lo"),
+          col("m_seg_hi").cast("long").as("m_seg_hi"),
+          col("m_v_hi"), col("m_n_rows"), col("m_sse"),
+          ((col("seg_lo") <=> col("m_seg_lo")) &&
+            (col("seg_hi") <=> col("m_seg_hi")) &&
+            (col("v_hi") <=> col("m_v_hi")) &&
+            (col("n_rows") <=> col("m_n_rows")) &&
+            (col("sse") <=> col("m_sse"))).as("merge_exact"))
+        .orderBy(col("bucket"))
     }),
 
     "q301_dup_transitivity" -> ((s, dir) => {
@@ -15122,6 +15151,51 @@ object SparkEntry {
          |JOIN grid ON grid.t = seg_hi
          |ORDER BY bucket""".stripMargin,
 
+    "q305_voptimal_merge" ->
+      s"""WITH $orderGridCtes, $vOptDpCtes,
+         |svals AS (
+         |  SELECT CAST(list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+         |      (strpos('0123456789abcdef',
+         |        substr(md5(CAST(o_orderkey AS VARCHAR)), i + 1, 1)) - 1)
+         |      for i in range(0, 8)]) AS BIGINT) % 4 AS shard,
+         |    CAST(o_totalprice * 100 AS BIGINT) AS v
+         |  FROM orders
+         |), shard_hist AS MATERIALIZED (
+         |  SELECT shard, v, CAST(count(*) AS BIGINT) AS c FROM svals
+         |  GROUP BY 1, 2
+         |), hist_m AS MATERIALIZED (
+         |  SELECT v, CAST(SUM(c) AS BIGINT) AS c FROM shard_hist
+         |  GROUP BY 1
+         |), ${gridCtes("_m")}, ${dpCtes("_m")},
+         |res AS (
+         |  SELECT bucket, CAST(seg_lo AS BIGINT) AS seg_lo,
+         |    CAST(seg_hi AS BIGINT) AS seg_hi, gv AS v_hi,
+         |    CAST(ph.p - pl.p AS BIGINT) AS n_rows,
+         |    round(s.sse, 6) AS sse
+         |  FROM bounds JOIN sse s ON s.a = seg_lo AND s.b = seg_hi
+         |  JOIN pre ph ON ph.t = seg_hi
+         |  JOIN pre pl ON pl.t = seg_lo - 1
+         |  JOIN grid ON grid.t = seg_hi
+         |), res_m AS (
+         |  SELECT bucket, CAST(seg_lo AS BIGINT) AS m_seg_lo,
+         |    CAST(seg_hi AS BIGINT) AS m_seg_hi, gv AS m_v_hi,
+         |    CAST(ph.p - pl.p AS BIGINT) AS m_n_rows,
+         |    round(s.sse, 6) AS m_sse
+         |  FROM bounds_m JOIN sse_m s ON s.a = seg_lo AND s.b = seg_hi
+         |  JOIN pre_m ph ON ph.t = seg_hi
+         |  JOIN pre_m pl ON pl.t = seg_lo - 1
+         |  JOIN grid_m ON grid_m.t = seg_hi
+         |)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, seg_lo, seg_hi, v_hi,
+         |  n_rows, sse, m_seg_lo, m_seg_hi, m_v_hi, m_n_rows, m_sse,
+         |  (seg_lo IS NOT DISTINCT FROM m_seg_lo
+         |    AND seg_hi IS NOT DISTINCT FROM m_seg_hi
+         |    AND v_hi IS NOT DISTINCT FROM m_v_hi
+         |    AND n_rows IS NOT DISTINCT FROM m_n_rows
+         |    AND sse IS NOT DISTINCT FROM m_sse) AS merge_exact
+         |FROM res FULL JOIN res_m USING (bucket)
+         |ORDER BY bucket""".stripMargin,
+
     "q303_curation_ablation" -> {
       def modelSql(name: String, cond: String): String =
         s"""tr_$name AS (
@@ -16399,50 +16473,80 @@ object SparkEntry {
         |FROM corpus JOIN ev USING (s)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** Shared DuckDB CTE chain for the V-optimal DP (q297/q299): dense
+  /** DuckDB CTE chain for the V-optimal DP over `dense$sfx`: dense
     * prefix sums -> SSE table -> 4 unrolled argmin rounds -> backtrack
-    * -> `bounds` (bucket, seg_lo, seg_hi). Follows `orderGridCtes`. */
-  private lazy val vOptDpCtes: String = {
+    * -> `bounds$sfx` (bucket, seg_lo, seg_hi). Follows [[gridCtes]].
+    * Every table name carries `sfx` so two constructions (q305: direct
+    * vs distributed-merge) coexist in one statement. */
+  private def dpCtes(sfx: String): String = {
     val dpRounds = (2 to 4).map { j =>
-      val prev = s"b${j - 1}"
-      s"""b$j AS MATERIALIZED (
+      val prev = s"b${j - 1}$sfx"
+      s"""b$j$sfx AS MATERIALIZED (
          |  SELECT i, cost, argm FROM (
          |    SELECT s.b AS i, $prev.i AS argm,
          |      round($prev.cost + s.sse, 9) AS cost,
          |      row_number() OVER (PARTITION BY s.b
          |        ORDER BY round($prev.cost + s.sse, 9), $prev.i)
          |        AS rk
-         |    FROM $prev JOIN sse s ON s.a = $prev.i + 1)
+         |    FROM $prev JOIN sse$sfx s ON s.a = $prev.i + 1)
          |  WHERE rk = 1
          |)""".stripMargin
     }.mkString(", ")
-    s"""pre AS MATERIALIZED (
+    s"""pre$sfx AS MATERIALIZED (
        |  SELECT t, CAST(SUM(f) OVER (ORDER BY t
        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
        |    CAST(SUM(f * f) OVER (ORDER BY t
        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p2
-       |  FROM dense
+       |  FROM dense$sfx
        |  UNION ALL SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-       |), sse AS MATERIALIZED (
+       |), sse$sfx AS MATERIALIZED (
        |  SELECT lo.t + 1 AS a, hi.t AS b,
        |    round(CAST(hi.p2 - lo.p2 AS DOUBLE)
        |      - CAST(hi.p - lo.p AS DOUBLE)
        |        * CAST(hi.p - lo.p AS DOUBLE)
        |        / CAST(hi.t - lo.t AS DOUBLE), 9) AS sse
-       |  FROM pre hi JOIN pre lo ON lo.t < hi.t WHERE hi.t >= 1
-       |), b1 AS MATERIALIZED (
-       |  SELECT b AS i, sse AS cost, 0 AS argm FROM sse WHERE a = 1
+       |  FROM pre$sfx hi JOIN pre$sfx lo ON lo.t < hi.t WHERE hi.t >= 1
+       |), b1$sfx AS MATERIALIZED (
+       |  SELECT b AS i, sse AS cost, 0 AS argm FROM sse$sfx WHERE a = 1
        |), $dpRounds,
-       |m3 AS (SELECT argm AS m FROM b4 WHERE i = 32),
-       |m2 AS (SELECT b3.argm AS m FROM b3, m3 WHERE b3.i = m3.m),
-       |m1 AS (SELECT b2.argm AS m FROM b2, m2 WHERE b2.i = m2.m),
-       |bounds AS (
-       |  SELECT 1 AS bucket, 1 AS seg_lo, m1.m AS seg_hi FROM m1
-       |  UNION ALL SELECT 2, m1.m + 1, m2.m FROM m1, m2
-       |  UNION ALL SELECT 3, m2.m + 1, m3.m FROM m2, m3
-       |  UNION ALL SELECT 4, m3.m + 1, 32 FROM m3
+       |m3$sfx AS (SELECT argm AS m FROM b4$sfx WHERE i = 32),
+       |m2$sfx AS (SELECT b3$sfx.argm AS m FROM b3$sfx, m3$sfx
+       |  WHERE b3$sfx.i = m3$sfx.m),
+       |m1$sfx AS (SELECT b2$sfx.argm AS m FROM b2$sfx, m2$sfx
+       |  WHERE b2$sfx.i = m2$sfx.m),
+       |bounds$sfx AS (
+       |  SELECT 1 AS bucket, 1 AS seg_lo, m1$sfx.m AS seg_hi FROM m1$sfx
+       |  UNION ALL SELECT 2, m1$sfx.m + 1, m2$sfx.m FROM m1$sfx, m2$sfx
+       |  UNION ALL SELECT 3, m2$sfx.m + 1, m3$sfx.m FROM m2$sfx, m3$sfx
+       |  UNION ALL SELECT 4, m3$sfx.m + 1, 32 FROM m3$sfx
        |)""".stripMargin
   }
+
+  /** Shared DuckDB CTE chain for the V-optimal DP (q297/q299) with
+    * unsuffixed table names. Follows `orderGridCtes`. */
+  private lazy val vOptDpCtes: String = dpCtes("")
+
+  /** Equi-rank grid chain from `hist$sfx` (v, c) — plus the shared `ts`
+    * tally — to `dense$sfx` (t = 1..32, f): the DuckDB twin of
+    * [[operators.Stats.equiRankGridFreqs]], suffixed like [[dpCtes]]. */
+  private def gridCtes(sfx: String): String =
+    s"""cum$sfx AS MATERIALIZED (
+       |  SELECT v, c, CAST(SUM(c) OVER (ORDER BY v
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM hist$sfx
+       |), tot$sfx AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist$sfx),
+       |grid$sfx AS MATERIALIZED (
+       |  SELECT t, MIN(v) AS gv FROM ts, tot$sfx, cum$sfx
+       |  WHERE cum >= (t * n + 31) // 32 GROUP BY 1
+       |), seg$sfx AS (
+       |  SELECT v, c, MIN(t) AS t FROM hist$sfx JOIN grid$sfx ON v <= gv
+       |  GROUP BY 1, 2
+       |), freqs$sfx AS (SELECT t, CAST(SUM(c) AS BIGINT) AS f
+       |  FROM seg$sfx GROUP BY 1),
+       |dense$sfx AS (
+       |  SELECT ts.t, coalesce(f, 0) AS f FROM ts
+       |  LEFT JOIN freqs$sfx USING (t)
+       |)""".stripMargin
 
   /** Shared DuckDB CTE prefix for the q297/q298/q299 synopsis family:
     * order totals in cents -> value histogram -> 32-point equi-rank
@@ -16452,24 +16556,8 @@ object SparkEntry {
       |  SELECT CAST(o_totalprice * 100 AS BIGINT) AS v FROM orders
       |), hist AS MATERIALIZED (
       |  SELECT v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY 1
-      |), cum AS MATERIALIZED (
-      |  SELECT v, c, CAST(SUM(c) OVER (ORDER BY v
-      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-      |  FROM hist
-      |), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
-      |ts AS (SELECT unnest(range(1, 33)) AS t),
-      |grid AS MATERIALIZED (
-      |  SELECT t, MIN(v) AS gv FROM ts, tot, cum
-      |  WHERE cum >= (t * n + 31) // 32 GROUP BY 1
-      |), seg AS (
-      |  SELECT v, c, MIN(t) AS t FROM hist JOIN grid ON v <= gv
-      |  GROUP BY 1, 2
-      |), freqs AS (SELECT t, CAST(SUM(c) AS BIGINT) AS f FROM seg
-      |  GROUP BY 1),
-      |dense AS (
-      |  SELECT ts.t, coalesce(f, 0) AS f FROM ts
-      |  LEFT JOIN freqs USING (t)
-      |)""".stripMargin
+      |), ts AS (SELECT unnest(range(1, 33)) AS t),
+      |""".stripMargin + gridCtes("")
 
   /** DuckDB replay of [[operators.Similarity.nnDescentGraph]]
     * (bucketTarget=16, the operator default q286/q295 use) plus the

@@ -1784,6 +1784,69 @@ object Stats {
         round(col("sse"), 6).as("sse"))
   }
 
+  /** Equi-rank grid + frequency sequence from an exact value histogram
+    * `hist(v, c)` — level 1 of the two-level V-optimal construction
+    * (Jagadish et al., VLDB 1998) shared by the direct (q297) and
+    * distributed-merge (q305) paths: grid point t is the smallest value
+    * whose cumulative count reaches ⌈t·n/g⌉ (exact integer rank
+    * thresholds), and f_t is the total count of values in grid cell t.
+    * Returns (grid (t, gv), freqs (t, f)); both bounded at g rows, both
+    * checkpointed. The histogram itself is the caller's one corpus
+    * exchange. */
+  def equiRankGridFreqs(hist0: DataFrame, g: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    require(g >= 1)
+    val sp0 = hist0.sparkSession
+    import sp0.implicits._
+    val hist = Materializer.Local(hist0.select(col("v"), col("c")))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(wCum))
+    val tot = hist.agg(sum(col("c")).as("n"))
+    val ts = (1 to g).toDF("t")
+    val thr = floor((col("t") * col("n") + lit((g - 1).toLong))
+      / lit(g.toLong))
+    val grid = Materializer.Local(ts
+      .crossJoin(broadcast(tot))
+      .join(cum, col("cum") >= thr)
+      .groupBy(col("t")).agg(min(col("v")).as("gv")))
+    val seg = hist.join(broadcast(grid), col("v") <= col("gv"))
+      .groupBy(col("v"), col("c")).agg(min(col("t")).as("t"))
+    val freqs = Materializer.Local(
+      seg.groupBy(col("t")).agg(sum(col("c")).as("f")))
+    (grid, freqs)
+  }
+
+  /** Distributed V-optimal construction — the 100 TB ANALYZE shape
+    * (q297's extension): each shard of a row-partitioned corpus computes
+    * its EXACT quantized value histogram (the mergeable synopsis — level-1
+    * quantization bounds the domain, so the per-shard state is a bounded
+    * (v, c) table, never raw rows), the coordinator merges them with one
+    * associative Σc-by-v aggregation, and the equi-rank grid + SSE DP
+    * re-run on the merged histogram. Because the quantized histogram is
+    * an EXACT mergeable statistic (unlike a per-shard equi-rank grid,
+    * whose merge loses within-cell mass), the merged construction equals
+    * the direct single-pass construction bucket-for-bucket — which is the
+    * property this operator's consumer (q305) certifies against the
+    * direct path.
+    *
+    * `shardHists` is (shard, v, c) — per-shard exact histograms over the
+    * shared quantization. Returns the merged-path V-optimal buckets
+    * (bucket, seg_lo, seg_hi, v_hi, n_rows, sse), identical in shape to
+    * [[vOptimalDp]]'s output joined with its grid. */
+  def vOptimalMerged(shardHists: DataFrame, g: Int, k: Int): DataFrame = {
+    // the distributed ANALYZE merge: associative, commutative, one
+    // bounded exchange on the quantized domain
+    val merged = shardHists.groupBy(col("v"))
+      .agg(sum(col("c")).as("c"))
+    val (grid, freqs) = equiRankGridFreqs(merged, g)
+    vOptimalDp(freqs, g, k)
+      .join(broadcast(grid.select(col("t").as("seg_hi"),
+        col("gv").as("v_hi"))), Seq("seg_hi"))
+      .select(col("bucket"), col("seg_lo"), col("seg_hi"), col("v_hi"),
+        col("n_rows"), col("sse"))
+  }
+
   /** Adjusted Rand Index (Hubert & Arabie 1985) between two labelings
     * of the same items: `labeled` has one row per item with its label
     * under partition A (`aCol`) and partition B (`bCol`). Pair counts

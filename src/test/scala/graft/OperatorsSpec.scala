@@ -4122,6 +4122,54 @@ class OperatorsSpec extends SparkSpec {
       g3.sliding(2).forall(p => p(1)._1 == p(0)._2 + 1))
   }
 
+  test("vOptimalMerged (q305): per-shard exact histograms merged then " +
+    "re-DP'd equal the direct single-pass construction bucket-for-bucket") {
+    val s = spark
+    import s.implicits._
+    // skewed value stream split across 3 shards with values REPEATED
+    // across shards (the row-partitioned worst case for any grid-level
+    // merge: no shard sees a value's full count)
+    val rows = (1 to 300).map { i =>
+      val v = if (i % 7 == 0) 100L else if (i % 3 == 0) 5L + (i % 4) else 1L
+      (i % 3, v) // shard by row index, NOT value
+    }
+    val vals = rows.toDF("shard", "v")
+    val shardHists = vals.groupBy($"shard", $"v")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+    val merged = graft.operators.Stats
+      .vOptimalMerged(shardHists, g = 8, k = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    // direct path: one global histogram -> same grid -> same DP
+    val hist = vals.groupBy($"v")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+    val (grid, freqs) = graft.operators.Stats.equiRankGridFreqs(hist, 8)
+    val gv = grid.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val direct = graft.operators.Stats.vOptimalDp(freqs, g = 8, k = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        gv(r.getInt(2)), r.getLong(3), r.getDouble(4))).sortBy(_._1)
+    assert(merged.toSeq == direct.toSeq,
+      s"merged=${merged.mkString(", ")} direct=${direct.mkString(", ")}")
+    // the buckets cover all 300 rows contiguously
+    assert(merged.map(_._5).sum == 300L)
+  }
+
+  test("equiRankGridFreqs: grid values ascend, cell frequencies " +
+    "reconstruct the histogram total, last grid point is the max value") {
+    val s = spark
+    import s.implicits._
+    val hist = Seq((2L, 5L), (7L, 1L), (9L, 10L), (30L, 4L))
+      .toDF("v", "c")
+    val (grid, freqs) = graft.operators.Stats.equiRankGridFreqs(hist, 4)
+    val g = grid.collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(g.map(_._2).toSeq == g.map(_._2).sorted.toSeq, g.mkString(","))
+    assert(g.last._2 == 30L, g.mkString(","))
+    assert(freqs.collect().map(_.getLong(1)).sum == 20L)
+  }
+
   test("adjustedRandIndex (q293): identical partitions score exactly " +
     "1.0; the orthogonal 2x2 split scores exactly -0.5") {
     val s = spark

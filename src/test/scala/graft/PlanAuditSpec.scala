@@ -1429,6 +1429,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("q305: the distributed-merge path adds one shard-histogram " +
+    "exchange; both DP paths stay bounded-table algebra — no cartesian; " +
+    "the only SMJ is the k-row full-outer bucket compare (full outer " +
+    "cannot broadcast)") {
+    val p = plan("q305_voptimal_merge")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    val smjs = "SortMergeJoin".r.findAllIn(p).size
+    assert(smjs <= 1, s"$smjs SMJs: ${p.take(3000)}")
+    if (smjs == 1)
+      assert(p.contains("FullOuter"),
+        "the one allowed SMJ must be the bounded bucket compare: " +
+          p.take(3000))
+  }
+
   test("q298/q299: the synopsis transform and the selectivity audit " +
     "ride bounded tables; the only corpus work is the shared histogram " +
     "and the exact-count aggregate") {
