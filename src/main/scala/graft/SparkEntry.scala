@@ -374,10 +374,12 @@ object SparkEntry {
     // q304 is exact-verify set similarity like q201: ScaleUp's verbatim
     // clones make every candidate bucket quadratic in the clone factor
     // (the sf1 pair output grows ~100x), so the large tier prices the
-    // identical plan on a 1/4 doc slice
+    // identical plan on a 1/8 doc slice (1/4 through round 7; dropped a
+    // notch to pay for the restored second graded pass — candidate
+    // volume is quadratic in the slice, so 1/8 costs ~1/4 of 1/4)
     "q304_weighted_neardup" -> ((s, dir) =>
       Dedup.weightedMinhashPairs(
-        hashSample(t(s, dir, "documents"), "doc_id", 4), "doc_id",
+        hashSample(t(s, dir, "documents"), "doc_id", 8), "doc_id",
         "text", k = 8, bands = 4, thetaNum = 3, thetaDen = 5)
         .orderBy(col("a_id"), col("b_id"))),
     // the two remaining audit ceilings: Brandes–Pich betweenness prices
