@@ -455,4 +455,36 @@ class TransformPropertySpec extends SparkSpec {
       ks >= 0.0 && ks <= 1.0 && math.abs(ks - expected) < 1e-6
     }, minSuccessful = 10)
   }
+
+  test("vOptimalMerged equals the direct construction for ARBITRARY " +
+    "histograms and shard splits (q305's exact-merge claim)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // values from a small domain, each row randomly assigned to one of
+    // 3 shards — so shards see arbitrary partial counts of every value
+    val gen = for {
+      n <- Gen.choose(20, 80)
+      vs <- Gen.listOfN(n, Gen.choose(1L, 15L))
+      sh <- Gen.listOfN(n, Gen.choose(0, 2))
+    } yield vs.zip(sh)
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.toDF("v", "shard")
+      val shardHists = df.groupBy(col("shard"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val merged = graft.operators.Stats
+        .vOptimalMerged(shardHists, g = 6, k = 3)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).sortBy(_._1).toSeq
+      val hist = df.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val (grid, freqs) = graft.operators.Stats.equiRankGridFreqs(hist, 6)
+      val gv = grid.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val direct = graft.operators.Stats.vOptimalDp(freqs, g = 6, k = 3)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+          gv(r.getInt(2)), r.getLong(3), r.getDouble(4))).sortBy(_._1)
+        .toSeq
+      merged == direct &&
+        merged.map(_._5).sum == rows.size.toLong
+    }, minSuccessful = 10)
+  }
 }
