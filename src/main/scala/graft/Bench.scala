@@ -222,6 +222,23 @@ object Bench {
       .map { case (k, v) => s""""$k":${math.rint(v * 1000) / 1000}""" }
       .mkString("{", ",", "}")
 
+  /** The <500-byte summary object printed AFTER the full record: a
+    * capture that only keeps the stdout tail (round 7's BENCH artifact
+    * had parsed:null) still gets one complete JSON line; the full
+    * per-query maps live in the main line and the twin file. */
+  def summaryLine(gradedTotal: Double, sfDir: String, gradedPasses: Int,
+                  queriesN: Int, errorsN: Int,
+                  large: Option[(Double, Int, Int)],
+                  budgetS: Double, elapsedS: Double): String =
+    s"""{"metric":"total","value":$gradedTotal,"unit":"sec"""" +
+      s""","sf":"$sfDir","summary":true,"graded_passes":$gradedPasses""" +
+      s""","queries_n":$queriesN,"errors_n":$errorsN""" +
+      large.map { case (t, n, sk) =>
+        s""","total_large":$t,"large_n":$n,"large_skipped_n":$sk"""
+      }.getOrElse("") +
+      s""","budget_s":$budgetS,"elapsed_s":$elapsedS""" +
+      s""","full":".bench/last_run.json"}"""
+
   /** File-backed twin of the stdout line: the driver's capture has
     * truncated the tail of long JSON lines before (round 4 lost the
     * graded sf0.1 map), and round 6's timeout killed the JVM before the
@@ -484,22 +501,12 @@ object Bench {
     val line = gradedLine(probe + large)
     println(line)
     writeTwin(line, filter.nonEmpty)
-    // <500-byte summary line AFTER the full record: a capture that only
-    // keeps the stdout tail (round 7's BENCH artifact had parsed:null)
-    // still gets one complete JSON object; the full per-query maps live
-    // in the line above and in the twin file.
-    val largeSkippedN =
-      if (large.isEmpty) 0 else names.count(n => !lt.contains(n))
-    println(
-      s"""{"metric":"total","value":${times.values.sum},"unit":"sec"""" +
-        s""","sf":"$sfDir","summary":true,"graded_passes":$gradedPasses""" +
-        s""","queries_n":${times.size},"errors_n":${errors.size}""" +
-        (if (large.nonEmpty)
-          s""","total_large":${lt.values.sum},"large_n":${lt.size}""" +
-            s""","large_skipped_n":$largeSkippedN"""
-        else "") +
-        s""","budget_s":$budgetS,"elapsed_s":$elapsedS""" +
-        s""","full":".bench/last_run.json"}""")
+    println(summaryLine(times.values.sum, sfDir, gradedPasses,
+      times.size, errors.size,
+      if (large.isEmpty) None
+      else Some((lt.values.sum, lt.size,
+        names.count(n => !lt.contains(n)))),
+      budgetS, elapsedS))
     spark.stop()
   }
 }

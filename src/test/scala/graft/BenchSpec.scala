@@ -142,6 +142,24 @@ class BenchSpec extends SparkSpec {
       "q_old_cheap", "q_old_dear")) // freshest last, cheap before dear
   }
 
+  test("the summary line is one parseable JSON object under 500 bytes " +
+      "with the metric/value/unit contract keys") {
+    for (large <- Seq(None, Some((618.437261234, 301, 0)))) {
+      val line = Bench.summaryLine(407.334987162, "/root/testdata/sf0.1",
+        2, 301, 0, large, 1650.0, 1582.21)
+      assert(line.length < 500, s"${line.length} bytes: $line")
+      // parse with Spark's bundled JSON mapper — what any driver-side
+      // json.load would accept
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(line)
+      assert(node.get("metric").asText == "total")
+      assert(node.get("unit").asText == "sec")
+      assert(node.get("value").asDouble > 0)
+      assert(node.get("summary").asBoolean)
+      assert(node.has("total_large") == large.nonEmpty)
+    }
+  }
+
   test("certification history round-trips through the TSV file") {
     val f = java.io.File.createTempFile("cert_history", ".tsv")
     f.deleteOnExit()
