@@ -6953,6 +6953,64 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    "q306_grid_merge_audit" -> ((s, dir) => {
+      // the LOSSY companion to q305: when even the quantized domain is
+      // too wide to ship, each shard sends only its g-point equi-rank
+      // grid (O(g) state) and the coordinator merges by uniform
+      // within-cell interpolation over the union boundaries
+      // (Stats.mergedGridIntervals). This query prices that loss: the
+      // selectivity P(v > X) read off the merged synopsis vs the exact
+      // corpus count, at the three mid-grid thresholds of the direct
+      // construction (t = 8, 16, 24) — the q299-style consumer audit,
+      // now for the distributed-merge estimator. The only corpus work
+      // is the shard histogram and the audit's own exact count.
+      val vals = t(s, dir, "orders").select(
+        operators.Sharding.shardOf("o_orderkey", 4).as("shard"),
+        (col("o_totalprice") * 100).cast("long").as("v"))
+      val shardHists = vals.groupBy(col("shard"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val iv = operators.Materializer.Local(
+        operators.Stats.mergedGridIntervals(shardHists, 32))
+      val (grid, _) = orderGridFreqs(s, dir)
+      val thr3 = grid.filter(col("t").isin(8, 16, 24))
+        .select(col("t").as("t_ref"), col("gv").as("x"))
+      val hist = operators.Materializer.Local(
+        vals.groupBy(col("v")).agg(count(lit(1)).as("c")))
+      val nTot = hist.agg(sum(col("c")).as("n"))
+      val exact = thr3.join(hist, col("v") > col("x"), "left")
+        .groupBy(col("t_ref"), col("x"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("egt"))
+      // merged-side numerator: full intervals above X contribute their
+      // whole mass, the one straddling interval contributes its uniform
+      // slice — every term requantized round(9) -> DECIMAL(19,9) before
+      // the sum (order-independent, oracle-replayable)
+      val contrib = when(col("a") >= col("x"),
+          col("mass").cast("decimal(19,9)"))
+        .when(col("b") > col("x"),
+          round(col("mass") * (col("b") - col("x")).cast("double")
+            / (col("b") - col("a")).cast("double"), 9)
+            .cast("decimal(19,9)"))
+        .otherwise(lit(0).cast("decimal(19,9)"))
+      val merged = thr3.crossJoin(iv)
+        .groupBy(col("t_ref"), col("x"))
+        .agg(sum(contrib).as("mgt"))
+      val nm = iv.agg(sum(col("mass").cast("decimal(19,9)")).as("nmass"))
+      exact.join(merged, Seq("t_ref", "x"))
+        .crossJoin(broadcast(nTot)).crossJoin(broadcast(nm))
+        .select(col("t_ref").cast("long").as("t_ref"),
+          col("x").as("threshold_v"),
+          round(col("egt").cast("double") / col("n").cast("double"), 6)
+            .as("exact_gt_frac"),
+          round(col("mgt").cast("double") / col("nmass").cast("double"),
+            6).as("merged_gt_frac"),
+          round(abs(col("mgt").cast("double")
+              / col("nmass").cast("double")
+            - col("egt").cast("double") / col("n").cast("double"))
+            / (col("egt").cast("double") / col("n").cast("double")), 6)
+            .as("rel_err"))
+        .orderBy(col("t_ref"))
+    }),
+
     "q301_dup_transitivity" -> ((s, dir) => {
       // near-dup transitivity audit: triangle census of the minhash
       // pair GRAPH itself (q37's edges through q145's degree-ordered
@@ -15197,6 +15255,83 @@ object SparkEntry {
          |    AND sse IS NOT DISTINCT FROM m_sse) AS merge_exact
          |FROM res FULL JOIN res_m USING (bucket)
          |ORDER BY bucket""".stripMargin,
+
+    "q306_grid_merge_audit" ->
+      s"""WITH $orderGridCtes,
+         |svals AS (
+         |  SELECT CAST(list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+         |      (strpos('0123456789abcdef',
+         |        substr(md5(CAST(o_orderkey AS VARCHAR)), i + 1, 1)) - 1)
+         |      for i in range(0, 8)]) AS BIGINT) % 4 AS shard,
+         |    CAST(o_totalprice * 100 AS BIGINT) AS v
+         |  FROM orders
+         |), shist AS MATERIALIZED (
+         |  SELECT shard, v, CAST(count(*) AS BIGINT) AS c FROM svals
+         |  GROUP BY 1, 2
+         |), scum AS MATERIALIZED (
+         |  SELECT shard, v, c, CAST(SUM(c) OVER (PARTITION BY shard
+         |    ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM shist
+         |), stot AS (
+         |  SELECT shard, CAST(SUM(c) AS BIGINT) AS n, MIN(v) - 1 AS fl
+         |  FROM shist GROUP BY 1
+         |), sgrid AS MATERIALIZED (
+         |  SELECT st.shard, t, MIN(v) AS gv
+         |  FROM ts, stot st, scum sc
+         |  WHERE sc.shard = st.shard AND sc.cum >= (t * st.n + 31) // 32
+         |  GROUP BY 1, 2
+         |), cellsraw AS (
+         |  SELECT g.shard,
+         |    coalesce(lag(gv) OVER (PARTITION BY g.shard ORDER BY g.t),
+         |      fl) AS lo,
+         |    gv AS hi,
+         |    cumhi - coalesce(lag(cumhi) OVER (PARTITION BY g.shard
+         |      ORDER BY g.t), 0) AS f
+         |  FROM (SELECT sg.shard, sg.t, sg.gv, sc.cum AS cumhi
+         |        FROM sgrid sg JOIN scum sc
+         |        ON sc.shard = sg.shard AND sc.v = sg.gv) g
+         |  JOIN stot ON stot.shard = g.shard
+         |), cells AS (SELECT * FROM cellsraw WHERE f > 0 AND hi > lo),
+         |bnds AS (
+         |  SELECT DISTINCT b FROM (
+         |    SELECT lo AS b FROM cells
+         |    UNION ALL SELECT hi FROM cells) u
+         |), iv AS (
+         |  SELECT a, b FROM (
+         |    SELECT lag(b) OVER (ORDER BY b) AS a, b FROM bnds) q
+         |  WHERE a IS NOT NULL
+         |), contribs AS (
+         |  SELECT a, b, CAST(round((CAST(f AS DOUBLE)
+         |      * CAST(b - a AS DOUBLE)) / CAST(hi - lo AS DOUBLE), 9)
+         |    AS DECIMAL(19,9)) AS m
+         |  FROM cells JOIN iv ON a >= lo AND b <= hi
+         |), masses AS MATERIALIZED (
+         |  SELECT a, b, CAST(SUM(m) AS DOUBLE) AS mass FROM contribs
+         |  GROUP BY 1, 2
+         |), thr3 AS (SELECT t AS t_ref, gv AS x FROM grid
+         |  WHERE t IN (8, 16, 24)),
+         |ntot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+         |nm AS (SELECT CAST(SUM(CAST(mass AS DECIMAL(19,9))) AS DOUBLE)
+         |  AS nmass FROM masses),
+         |ex AS (
+         |  SELECT t_ref, x, CAST(coalesce(SUM(c), 0) AS BIGINT) AS egt
+         |  FROM thr3 LEFT JOIN hist ON v > x GROUP BY 1, 2
+         |), mg AS (
+         |  SELECT t_ref, x, CAST(SUM(
+         |    CASE WHEN a >= x THEN CAST(mass AS DECIMAL(19,9))
+         |      WHEN b > x THEN CAST(round((mass * CAST(b - x AS DOUBLE))
+         |        / CAST(b - a AS DOUBLE), 9) AS DECIMAL(19,9))
+         |      ELSE CAST(0 AS DECIMAL(19,9)) END) AS DOUBLE) AS mgt
+         |  FROM thr3, masses GROUP BY 1, 2
+         |)
+         |SELECT CAST(t_ref AS BIGINT) AS t_ref, x AS threshold_v,
+         |  round(CAST(egt AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         |    AS exact_gt_frac,
+         |  round(mgt / nmass, 6) AS merged_gt_frac,
+         |  round(abs(mgt / nmass - CAST(egt AS DOUBLE) / CAST(n AS DOUBLE))
+         |    / (CAST(egt AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS rel_err
+         |FROM ex JOIN mg USING (t_ref, x), ntot, nm
+         |ORDER BY t_ref""".stripMargin,
 
     "q303_curation_ablation" -> {
       def modelSql(name: String, cond: String): String =

@@ -1847,6 +1847,92 @@ object Stats {
         col("n_rows"), col("sse"))
   }
 
+  /** Lossy distributed grid merge — the synopsis path a distributed
+    * ANALYZE takes when even the quantized value domain is too wide to
+    * ship ([[vOptimalMerged]]'s exact histogram merge needs O(|domain|)
+    * state per shard; this needs O(g)): each shard compresses its value
+    * histogram to its own g-point equi-rank grid (cells (lo, hi] with
+    * exact in-cell counts but no within-cell distribution), the
+    * coordinator takes the UNION of all shards' cell boundaries, and
+    * every shard cell's mass is split over the union intervals it spans
+    * under the within-cell UNIFORM assumption — the continuous-values
+    * interpolation Selinger et al. (SIGMOD 1979) read histograms with,
+    * applied as the merge rule (equi-depth cells per Piatetsky-Shapiro &
+    * Connell 1984 / Poosala et al. SIGMOD 1996). Because the union
+    * boundary set
+    * contains every shard's own boundaries, each union interval nests
+    * inside exactly one cell per shard, so the split fractions are plain
+    * width ratios.
+    *
+    * Replay contract: each (cell × interval) contribution is
+    * `round(f · (b−a)/(hi−lo), 9)` requantized to DECIMAL(19,9) before
+    * any sum, so interval masses are exact order-independent decimal
+    * sums an oracle reproduces bit-for-bit.
+    *
+    * `shardHists` is (shard, v, c). Returns the merged interval
+    * histogram (a, b, mass): mass estimated on (a, b], boundaries exact
+    * shard-grid values. Everything below the per-shard histogram is
+    * bounded-table algebra (≤ shards·(g+1) boundaries). The accuracy
+    * COST of this merge relative to the exact path is what q306
+    * certifies. */
+  def mergedGridIntervals(shardHists: DataFrame, g: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(g >= 1)
+    val sp0 = shardHists.sparkSession
+    import sp0.implicits._
+    val hist = Materializer.Local(
+      shardHists.select(col("shard"), col("v"), col("c")))
+    val wCum = Window.partitionBy(col("shard")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = Materializer.Local(hist
+      .withColumn("cum", sum(col("c")).over(wCum)))
+    val tot = hist.groupBy(col("shard"))
+      .agg(sum(col("c")).as("n"), (min(col("v")) - lit(1L)).as("fl"))
+    val ts = (1 to g).toDF("t")
+    // per-shard equi-rank grid: same exact integer rank thresholds as
+    // the direct construction, partitioned by shard
+    val base = ts.crossJoin(broadcast(tot))
+    val grid = Materializer.Local(base
+      .join(cum.select(col("shard").as("cs"), col("v"), col("cum")),
+        col("shard") === col("cs") &&
+          col("cum") >= floor((col("t") * col("n")
+            + lit((g - 1).toLong)) / lit(g.toLong)))
+      .groupBy(col("shard"), col("t")).agg(min(col("v")).as("gv")))
+    // cells (shard, lo, hi, f): f from the cumulative at the boundary
+    // value (grid points are actual histogram values); lo of the first
+    // cell is the shard's min − 1 so the first cell spans its real range
+    val wShard = Window.partitionBy(col("shard")).orderBy(col("t"))
+    val cells = Materializer.Local(grid
+      .join(cum.select(col("shard"), col("v").as("gv"),
+        col("cum").as("cumhi")), Seq("shard", "gv"))
+      .join(broadcast(tot.select(col("shard"), col("fl"))), Seq("shard"))
+      .select(col("shard"), col("t"),
+        coalesce(lag(col("gv"), 1).over(wShard), col("fl")).as("lo"),
+        col("gv").as("hi"),
+        (col("cumhi") - coalesce(lag(col("cumhi"), 1).over(wShard),
+          lit(0L))).as("f"))
+      .filter(col("f") > 0 && col("hi") > col("lo")))
+    // union boundary set -> nested intervals (bounded; global window on
+    // <= shards·(g+1) rows)
+    val bnds = cells.select(col("lo").as("b"))
+      .unionAll(cells.select(col("hi").as("b"))).distinct()
+    val iv = Materializer.Local(bnds
+      .withColumn("a", lag(col("b"), 1).over(Window.orderBy(col("b"))))
+      .filter(col("a").isNotNull))
+    // uniform split: every interval nests in exactly one cell per shard
+    cells
+      .join(broadcast(iv),
+        col("a") >= col("lo") && col("b") <= col("hi"))
+      .select(col("a"), col("b"),
+        round(col("f").cast("double")
+          * (col("b") - col("a")).cast("double")
+          / (col("hi") - col("lo")).cast("double"), 9)
+          .cast("decimal(19,9)").as("m"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("m")).as("massd"))
+      .select(col("a"), col("b"), col("massd").cast("double").as("mass"))
+  }
+
   /** Adjusted Rand Index (Hubert & Arabie 1985) between two labelings
     * of the same items: `labeled` has one row per item with its label
     * under partition A (`aCol`) and partition B (`bCol`). Pair counts

@@ -4156,6 +4156,40 @@ class OperatorsSpec extends SparkSpec {
     assert(merged.map(_._5).sum == 300L)
   }
 
+  test("mergedGridIntervals (q306): single shard reproduces its own " +
+    "cells exactly; multi-shard merge conserves total mass and tiles " +
+    "the value range contiguously") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // single shard: union boundaries == its own boundaries, so every
+    // interval is a cell and the uniform split is the identity
+    val one = Seq.tabulate(60)(i => (0, (i % 6 + 1).toLong))
+      .toDF("shard", "v")
+      .groupBy(col("shard"), col("v")).agg(count(lit(1)).as("c"))
+    val ivOne = graft.operators.Stats.mergedGridIntervals(one, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(ivOne.map(_._3).sum == 60.0, ivOne.mkString(", "))
+    assert(ivOne.forall { case (a, b, m) => b > a && m > 0 })
+    // g=3 equi-rank on values 1..6 (10 rows each): cells end at 2, 4, 6
+    assert(ivOne.map(_._2).toSeq == Seq(2L, 4L, 6L), ivOne.mkString(", "))
+    // two shards with DIFFERENT boundaries: mass conserved to the
+    // round(9) contract, intervals contiguous and sorted
+    val rows = (1 to 200).map { i =>
+      (i % 2, if (i % 2 == 0) (i % 10 + 1).toLong else (i % 7 + 3).toLong)
+    }
+    val two = rows.toDF("shard", "v")
+      .groupBy(col("shard"), col("v")).agg(count(lit(1)).as("c"))
+    val iv2 = graft.operators.Stats.mergedGridIntervals(two, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(math.abs(iv2.map(_._3).sum - 200.0) < 1e-6,
+      s"mass not conserved: ${iv2.map(_._3).sum}")
+    assert(iv2.sliding(2).forall(p =>
+      p.length < 2 || p(1)._1 == p(0)._2), iv2.mkString(", "))
+  }
+
   test("equiRankGridFreqs: grid values ascend, cell frequencies " +
     "reconstruct the histogram total, last grid point is the max value") {
     val s = spark

@@ -1443,6 +1443,18 @@ class PlanAuditSpec extends SparkSpec {
           p.take(3000))
   }
 
+  test("q306: the lossy grid merge is bounded synopsis algebra — the " +
+    "only cartesian is the 3-threshold x interval audit product and the " +
+    "only SMJ joins the 3 audit rows on t_ref") {
+    val p = plan("q306_grid_merge_audit")
+    assert("CartesianProduct".r.findAllIn(p).size <= 1, p.take(3000))
+    val smjLines = p.linesIterator.filter(_.contains("SortMergeJoin"))
+      .toSeq
+    assert(smjLines.size <= 1, smjLines.mkString("\n"))
+    smjLines.foreach(l => assert(l.contains("t_ref"),
+      s"unexpected SMJ (must be the bounded audit join): $l"))
+  }
+
   test("q298/q299: the synopsis transform and the selectivity audit " +
     "ride bounded tables; the only corpus work is the shared histogram " +
     "and the exact-count aggregate") {
