@@ -216,6 +216,59 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == full)
   }
 
+  test("streaming ANALYZE refresh: per-batch value histograms folded " +
+      "into a persisted synopsis give the batch V-optimal construction") {
+    // the q305 merge's streaming face: each micro-batch ships only its
+    // quantized value histogram (the associative synopsis), foreachBatch
+    // folds it into the persisted histogram, and the V-optimal grid+DP
+    // re-run over the refreshed synopsis must equal the construction
+    // over all data seen so far — statistics maintenance without ever
+    // rescanning the corpus, exact BECAUSE the histogram merge is exact.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum => fsum}
+    val batch1 = (1 to 40).map(i => (i.toLong, (i % 5 + 1).toLong * 100))
+    val batch2 = (41 to 90).map(i => (i.toLong, (i % 9 + 3).toLong * 100))
+    val root = Files.createTempDirectory("graft-analyze-stream")
+    val srcDir = root.resolve("src").toString
+    val synDir = root.resolve("synopsis").toString
+    batch1.toDF("id", "v").coalesce(1).write.mode("append").parquet(srcDir)
+    batch2.toDF("id", "v").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = batch1.toDF("id", "v").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val bh = batch.groupBy(col("v")).agg(count(lit(1)).as("c"))
+          val merged =
+            if (new java.io.File(synDir).exists)
+              spark.read.parquet(synDir).unionAll(bh)
+                .groupBy(col("v")).agg(fsum(col("c")).as("c"))
+            else bh
+          // rewrite-then-swap would be the production move; overwrite
+          // into a fresh subdir keeps the test simple
+          val out = synDir + "_next"
+          merged.write.mode("overwrite").parquet(out)
+          spark.read.parquet(out).write.mode("overwrite").parquet(synDir)
+          ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    def buckets(hist: org.apache.spark.sql.DataFrame) = {
+      val (grid, freqs) =
+        graft.operators.Stats.equiRankGridFreqs(hist, 8)
+      val gv = grid.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      graft.operators.Stats.vOptimalDp(freqs, g = 8, k = 3)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+          gv(r.getInt(2)), r.getLong(3), r.getDouble(4))).sortBy(_._1)
+        .toSeq
+    }
+    val streamed = buckets(spark.read.parquet(synDir))
+    val direct = buckets((batch1 ++ batch2).toDF("id", "v")
+      .groupBy(col("v")).agg(count(lit(1)).as("c")))
+    assert(streamed.nonEmpty && streamed == direct)
+    assert(streamed.map(_._5).sum == 90L) // every row accounted for
+  }
+
   test("crawl cleaning gate (URL canonical dedup + Gopher rules) composes over a stream") {
     // the canonicalizer and every Gopher rule are stateless codegen'd
     // projections, so they run on a streaming frame unchanged; canonical-
