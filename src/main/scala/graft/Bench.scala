@@ -170,6 +170,23 @@ object Bench {
     names.sortBy(n =>
       (hist.get(n).map(_.lastRun).getOrElse(-1), estimate(n), n))
 
+  /** Projected sf1-class cost of one query: the history time (+15%
+    * drift allowance) capped at 8× the query's own graded time — history
+    * can carry old noise (round 7's single-pass numbers were up to 94×
+    * inflated, and a stale 77.7 s estimate gated out a query that really
+    * costs 0.6 s) while the large dir is ~10× rows and anything scaling
+    * worse is tiered; without history, graded × largeFactor. A rare
+    * underestimate can overrun the deadline by at most that one query,
+    * which the run reserve absorbs. */
+  def largeEstimate(hist: Map[String, Cert], graded: String => Option[Double],
+                    largeFactor: Double)(n: String): Double = {
+    val g = graded(n).getOrElse(1.0)
+    val fallback = g * largeFactor
+    hist.get(n)
+      .map(c => math.min(c.seconds * 1.15, math.max(g * 8.0, fallback)))
+      .getOrElse(fallback)
+  }
+
   private val histFile = new java.io.File(".bench/large_cert_history.tsv")
 
   /** (last run id, name -> Cert) from the history TSV; (0, empty) when
@@ -432,19 +449,7 @@ object Bench {
       if (!haveLarge) ""
       else try {
         val (histRun, hist) = readHistory()
-        // history times can carry old noise (round 7's single-pass
-        // numbers were up to 94x inflated), so cap the projection at 8x
-        // the query's own graded time — the large dir is ~10x rows and
-        // anything scaling worse is tiered; a rare underestimate can
-        // overrun the deadline by at most that one query, which the
-        // reserve absorbs
-        def largeEst(n: String): Double = {
-          val fallback = times.getOrElse(n, 1.0) * largeFactor
-          hist.get(n)
-            .map(c => math.min(c.seconds * 1.15,
-              math.max(times.getOrElse(n, 1.0) * 8.0, fallback)))
-            .getOrElse(fallback)
-        }
+        val largeEst = largeEstimate(hist, times.get, largeFactor) _
         val ordered = largeOrder(names, hist, largeEst)
         // untimed warm-up, deadline-aware: bucketed fact tables first,
         // then the persisted-index builders

@@ -160,6 +160,22 @@ class BenchSpec extends SparkSpec {
     }
   }
 
+  test("largeEstimate: noisy history is capped at 8x the graded time; " +
+      "clean history wins over the graded fallback; no history falls " +
+      "back to graded x factor") {
+    val hist = Map(
+      "q_noisy" -> Bench.Cert(77.7, 1), // r7-style inflated recording
+      "q_clean" -> Bench.Cert(12.0, 1))
+    val graded = Map("q_noisy" -> 0.6, "q_clean" -> 4.0, "q_new" -> 2.0)
+    val est = Bench.largeEstimate(hist, graded.get, largeFactor = 2.5) _
+    // 77.7*1.15 vs max(0.6*8, 0.6*2.5) -> capped at 4.8
+    assert(math.abs(est("q_noisy") - 4.8) < 1e-9, est("q_noisy"))
+    // 12*1.15 = 13.8 < max(32, 10) -> history (with drift) wins
+    assert(math.abs(est("q_clean") - 13.8) < 1e-9, est("q_clean"))
+    // no history: graded x factor
+    assert(math.abs(est("q_new") - 5.0) < 1e-9, est("q_new"))
+  }
+
   test("certification history round-trips through the TSV file") {
     val f = java.io.File.createTempFile("cert_history", ".tsv")
     f.deleteOnExit()
