@@ -116,8 +116,14 @@ object Bench {
             catch {
               case e: Throwable =>
                 System.err.println(s"[bench] FAILED $name: ${e.getMessage}")
-                errors(name) =
-                  Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+                // queries/errors stay DISJOINT: a query with a recorded
+                // min is certified — a later failed attempt (GC retry,
+                // pass 2) must not also list it in `errors`, or a reader
+                // applying the round-6 rule "failures land in errors"
+                // misreads a certified entry as failed
+                if (!acc.contains(name))
+                  errors(name) =
+                    Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
                 false
             }
           val dt = (System.nanoTime() - t0) / 1e9
@@ -131,6 +137,7 @@ object Bench {
             acc(name) = dt
             gcf(name) = gcFrac
           }
+          if (ok) errors.remove(name) // a success supersedes older failures
           // retry only a successful, non-trivial, GC-polluted run —
           // and only while retrying HELPS (>=20% faster than the last
           // attempt): a query whose own allocation keeps its GC fraction
@@ -175,33 +182,49 @@ object Bench {
     * can carry old noise (round 7's single-pass numbers were up to 94×
     * inflated, and a stale 77.7 s estimate gated out a query that really
     * costs 0.6 s) while the large dir is ~10× rows and anything scaling
-    * worse is tiered; without history, graded × largeFactor. A rare
+    * worse is tiered; without history, graded × largeFactor.
+    *
+    * The cap exists only to heal stale-history NOISE against a trusted
+    * graded signal. A query with NO graded time (it failed or was
+    * skipped at the graded tier this run) has no such signal: its
+    * history time is trusted uncapped, and with neither signal a
+    * deliberately conservative default applies — an optimistic default
+    * would let a genuinely expensive query through the projected-cost
+    * gate and overrun the deadline by more than the run reserve. A rare
     * underestimate can overrun the deadline by at most that one query,
-    * which the run reserve absorbs. */
+    * which the reserve absorbs. */
   def largeEstimate(hist: Map[String, Cert], graded: String => Option[Double],
-                    largeFactor: Double)(n: String): Double = {
-    val g = graded(n).getOrElse(1.0)
-    val fallback = g * largeFactor
-    hist.get(n)
-      .map(c => math.min(c.seconds * 1.15, math.max(g * 8.0, fallback)))
-      .getOrElse(fallback)
-  }
+                    largeFactor: Double)(n: String): Double =
+    graded(n) match {
+      case Some(g) =>
+        val fallback = g * largeFactor
+        hist.get(n)
+          .map(c => math.min(c.seconds * 1.15, math.max(g * 8.0, fallback)))
+          .getOrElse(fallback)
+      case None =>
+        hist.get(n).map(_.seconds * 1.15).getOrElse(30.0)
+    }
 
   private val histFile = new java.io.File(".bench/large_cert_history.tsv")
 
   /** (last run id, name -> Cert) from the history TSV; (0, empty) when
-    * absent or unreadable. */
+    * absent or unreadable. Malformed LINES are tolerated individually —
+    * one corrupt numeric field must not reset the run id and drop every
+    * certification stamp (the subsequent writeHistory would then
+    * overwrite the file with only this run's entries, silently losing
+    * the least-recently-certified rotation state). */
   def readHistory(f: java.io.File = histFile): (Int, Map[String, Cert]) =
     try {
       val lines = scala.io.Source.fromFile(f)
       try {
         var runId = 0
         val m = Map.newBuilder[String, Cert]
-        for (l <- lines.getLines()) l.split('\t') match {
-          case Array(h, r) if h == "#run" => runId = r.trim.toInt
-          case Array(n, s, r) => m += n -> Cert(s.toDouble, r.toInt)
-          case _ => ()
-        }
+        for (l <- lines.getLines())
+          scala.util.Try(l.split('\t') match {
+            case Array(h, r) if h == "#run" => runId = r.trim.toInt
+            case Array(n, s, r) => m += n -> Cert(s.toDouble, r.toInt)
+            case _ => ()
+          }) // a bad row is skipped, the rest of the file still counts
         (runId, m.result())
       } finally lines.close()
     } catch { case _: Throwable => (0, Map.empty) }
@@ -246,7 +269,8 @@ object Bench {
   def summaryLine(gradedTotal: Double, sfDir: String, gradedPasses: Int,
                   queriesN: Int, errorsN: Int,
                   large: Option[(Double, Int, Int)],
-                  budgetS: Double, elapsedS: Double): String =
+                  budgetS: Double, elapsedS: Double,
+                  filtered: Boolean = false): String =
     s"""{"metric":"total","value":$gradedTotal,"unit":"sec"""" +
       s""","sf":"$sfDir","summary":true,"graded_passes":$gradedPasses""" +
       s""","queries_n":$queriesN,"errors_n":$errorsN""" +
@@ -254,7 +278,7 @@ object Bench {
         s""","total_large":$t,"large_n":$n,"large_skipped_n":$sk"""
       }.getOrElse("") +
       s""","budget_s":$budgetS,"elapsed_s":$elapsedS""" +
-      s""","full":".bench/last_run.json"}"""
+      s""","full":".bench/last${if (filtered) "_filtered" else ""}_run.json"}"""
 
   /** File-backed twin of the stdout line: the driver's capture has
     * truncated the tail of long JSON lines before (round 4 lost the
@@ -511,7 +535,7 @@ object Bench {
       if (large.isEmpty) None
       else Some((lt.values.sum, lt.size,
         names.count(n => !lt.contains(n)))),
-      budgetS, elapsedS))
+      budgetS, elapsedS, filtered = filter.nonEmpty))
     spark.stop()
   }
 }

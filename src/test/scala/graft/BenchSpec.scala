@@ -62,7 +62,31 @@ class BenchSpec extends SparkSpec {
     assert(acc("aflaky") >= Flaky.successFloorS,
       s"min ${acc("aflaky")} is below the success path's sleep floor — " +
         "it must be a recorded failure time")
-    assert(errors.contains("aflaky")) // the pass-1 failure stays visible
+    // queries/errors are DISJOINT (round-9 rule): once a successful
+    // attempt lands, the transient pass-1 failure is superseded — a
+    // reader applying "failures land in errors" must not misread a
+    // certified entry as failed
+    assert(!errors.contains("aflaky"),
+      "a certified query must not also be listed in errors")
+  }
+
+  test("a failure AFTER a recorded success never re-enters errors: the " +
+      "queries and errors maps stay disjoint") {
+    val acc = mutable.Map[String, Double]()
+    val errors = mutable.Map[String, String]()
+    Flaky.failing = false
+    // pass 1 succeeds (records the min), the observer then flips the
+    // flag so pass 2 fails — the GC-retry/pass-2 shape the round-8
+    // protocol made likely
+    val flip: (SparkSession, String) => DataFrame =
+      (s, _) => { Flaky.failing = true; s.range(1).toDF("v") }
+    Bench.runSuite(spark, "/unused", Seq("aflaky", "zflip"),
+      Map("aflaky" -> flaky, "zflip" -> flip), nRuns = 2, acc, errors)
+    assert(acc.contains("aflaky") &&
+      acc("aflaky") >= Flaky.successFloorS)
+    assert(!errors.contains("aflaky"),
+      "a pass-2 failure of an already-certified query is not an error " +
+        "entry — the artifact's queries/errors maps must stay disjoint")
   }
 
   test("an expired deadline aborts between queries, keeping prior entries") {
@@ -174,6 +198,45 @@ class BenchSpec extends SparkSpec {
     assert(math.abs(est("q_clean") - 13.8) < 1e-9, est("q_clean"))
     // no history: graded x factor
     assert(math.abs(est("q_new") - 5.0) < 1e-9, est("q_new"))
+  }
+
+  test("largeEstimate without a graded signal trusts history UNCAPPED; " +
+      "with neither signal it is conservative, not 1 s") {
+    // a query absent from the graded map (failed or skipped at the
+    // graded tier) has no trusted signal to cap against: capping its
+    // history at 8x a fabricated g=1.0 let a genuinely expensive query
+    // through the projected-cost gate and past the 60 s reserve
+    val hist = Map("q_dear" -> Bench.Cert(120.0, 1))
+    val est = Bench.largeEstimate(hist, _ => None, largeFactor = 2.5) _
+    assert(math.abs(est("q_dear") - 138.0) < 1e-9, est("q_dear")) // 120*1.15
+    assert(est("q_unknown") >= 10.0,
+      s"${est("q_unknown")}: a query with neither signal needs a " +
+        "conservative default — an optimistic one overruns the deadline")
+  }
+
+  test("readHistory tolerates a corrupt row without dropping the file") {
+    val f = java.io.File.createTempFile("cert_history_bad", ".tsv")
+    f.deleteOnExit()
+    val w = new java.io.PrintWriter(f)
+    w.println("#run\t5")
+    w.println("qa\t1.25\t2")
+    w.println("qb\tnot_a_number\t7") // the corrupt row
+    w.println("qc\t0.5\t4")
+    w.close()
+    val (run, hist) = Bench.readHistory(f)
+    assert(run == 5, "one bad row must not reset the run id")
+    assert(hist == Map("qa" -> Bench.Cert(1.25, 2),
+      "qc" -> Bench.Cert(0.5, 4)),
+      "rows around the corrupt one must survive")
+  }
+
+  test("the filtered-mode summary names the filtered twin file") {
+    val full = Bench.summaryLine(10.0, "sf", 1, 5, 0, None, 100.0, 50.0)
+    val filt = Bench.summaryLine(10.0, "sf", 1, 5, 0, None, 100.0, 50.0,
+      filtered = true)
+    assert(full.contains("\".bench/last_run.json\""))
+    assert(filt.contains("\".bench/last_filtered_run.json\""),
+      filt)
   }
 
   test("certification history round-trips through the TSV file") {
