@@ -460,7 +460,10 @@ object SparkEntry {
     }),
 
     "q02_top_customers" -> ((s, dir) => {
-      val c = broadcast(t(s, dir, "customer"))
+      // customer is SF-LINEAR (entity-scale at 100 TB): the join stays
+      // unhinted so AQE broadcasts only when the side is genuinely
+      // small — a forced hint would bypass the size check and OOM
+      val c = t(s, dir, "customer")
       t(s, dir, "orders")
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
@@ -471,8 +474,10 @@ object SparkEntry {
     }),
 
     "q03_shipping_priority" -> ((s, dir) => {
-      val c = broadcast(t(s, dir, "customer")
-        .filter(col("c_mktsegment") === "BUILDING"))
+      // the segment filter trims customer ~5x but it stays SF-linear —
+      // unhinted, AQE picks broadcast only when actually small
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
@@ -484,9 +489,11 @@ object SparkEntry {
     }),
 
     "q05_region_revenue" -> ((s, dir) => {
+      // nation (25) and region (5) are FIXED-cardinality — broadcast by
+      // construction; supplier is SF-linear, so its join stays unhinted
       val nation = broadcast(t(s, dir, "nation"))
       val region = broadcast(t(s, dir, "region"))
-      val supplier = broadcast(t(s, dir, "supplier"))
+      val supplier = t(s, dir, "supplier")
       val customer = t(s, dir, "customer")
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -2176,21 +2183,38 @@ object SparkEntry {
       // for behavioral models: events split at a time cutoff, then each
       // split reports how much of it comes from users who ALSO appear on
       // the other side (the leaked population a user-disjoint protocol
-      // must exclude). One user-keyed aggregate builds the per-user
-      // presence table; it broadcasts back (users are entity-scale) and
-      // the verdict is one partial-combined aggregate per split.
+      // must exclude). JOIN-FREE at any scale: the presence table is
+      // user-cardinality (entity-scale at 100 TB — round 8 force-
+      // broadcast it back over the corpus, the one plan class that OOMs
+      // a 100x scale-up), but the verdict never needed the re-join. The
+      // ONLY corpus exchange is one partial-combined (user, split)
+      // count; per-user presence and both splits' event/user/clean
+      // tallies all derive from that bounded table.
       val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-22 00:00:00"))
-      val tagged = t(s, dir, "events")
+      val uc = t(s, dir, "events")
         .withColumn("split",
           when(col("ts") < cutoff, lit("train")).otherwise(lit("test")))
-      val us = tagged.groupBy(col("user_id")).agg(
-        max(col("split") === "train").as("in_tr"),
-        max(col("split") === "test").as("in_te"))
-      tagged.join(broadcast(us), Seq("user_id"))
+        .groupBy(col("user_id"), col("split"))
+        .agg(count(lit(1)).as("c"))
+      val u = uc.groupBy(col("user_id")).agg(
+        sum(when(col("split") === "train", col("c")).otherwise(0L))
+          .as("ct"),
+        sum(when(col("split") === "test", col("c")).otherwise(0L))
+          .as("cte"))
+      // each user emits its (split, own-count, other-side-count) rows;
+      // a user absent from a split contributes nothing to it (n = 0)
+      u.select(explode(array(
+          struct(lit("train").as("split"), col("ct").as("n"),
+            col("cte").as("other")),
+          struct(lit("test").as("split"), col("cte").as("n"),
+            col("ct").as("other")))).as("e"))
+        .select(col("e.split").as("split"), col("e.n").as("n"),
+          col("e.other").as("other"))
+        .filter(col("n") > 0)
         .groupBy(col("split"))
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"),
-          sum(when(!(col("in_tr") && col("in_te")), 1L).otherwise(0L))
+        .agg(sum(col("n")).as("n_events"),
+          count(lit(1)).as("n_users"),
+          sum(when(col("other") === 0, col("n")).otherwise(0L))
             .as("n_clean_events"))
         .orderBy(col("split"))
     }),
@@ -3289,17 +3313,22 @@ object SparkEntry {
       // — q37's MinHash+LSH near-dup pairs rolled up to unordered
       // source pairs (the curation readout deciding which feeds to
       // de-prioritize). Pair generation is the pinned band-key
-      // equi-join; the source attach is two broadcast id->source maps.
+      // equi-join; the source attach joins the doc_id->source map twice
+      // UNHINTED — that map is corpus-cardinality (entity-scale at
+      // 100 TB), where a forced broadcast bypasses the size check and
+      // OOMs instead of falling back. The pair side is candidate-
+      // bounded, so the shuffled attach is cheap; AQE still broadcasts
+      // the map when it is genuinely small.
       GraftFunctions.register(s)
       val docs = t(s, dir, "documents")
       val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         k = 16, bands = 4, shingleN = 3, threshold = 0.5, fast = false)
       val src = docs.select(col("doc_id"), col("source"))
       pairs
-        .join(broadcast(src.select(col("doc_id").as("a_id"),
-          col("source").as("src_a"))), Seq("a_id"))
-        .join(broadcast(src.select(col("doc_id").as("b_id"),
-          col("source").as("src_b"))), Seq("b_id"))
+        .join(src.select(col("doc_id").as("a_id"),
+          col("source").as("src_a")), Seq("a_id"))
+        .join(src.select(col("doc_id").as("b_id"),
+          col("source").as("src_b")), Seq("b_id"))
         .groupBy(least(col("src_a"), col("src_b")).as("s1"),
           greatest(col("src_a"), col("src_b")).as("s2"))
         .agg(count(lit(1)).as("n_pairs"))
@@ -6165,8 +6194,14 @@ object SparkEntry {
       val b2 = halves.filter(col("h2"))
         .select(col("user_id").as("u2"), col("n").as("nb"),
           col("sv").as("sb"))
+      // the pair join is UNHINTED: both halves are user-cardinality
+      // (entity-scale at 100 TB) — a forced broadcast would bypass the
+      // size check and OOM instead of falling back; both sides already
+      // arrive hash-partitioned on the user key from the halves
+      // aggregate, so the shuffled join is cheap and AQE still
+      // broadcasts when a side is genuinely small
       val pairs = operators.Materializer.Local(
-        a.join(broadcast(b2), col("user_id") === col("u2"))
+        a.join(b2, col("user_id") === col("u2"))
           .select(col("user_id"),
             round(col("sa").cast("double") / col("na").cast("double")
               - col("sb").cast("double") / col("nb").cast("double"), 9)

@@ -314,9 +314,15 @@ object Retrieval {
       .filter(col("t").isNotNull)
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).cast("double").as("tf")))
+    // UNHINTED: the kept-term set is the vocabulary minus its frequent
+    // head — it GROWS with the corpus (Heaps' law), so a forced
+    // broadcast would bypass Spark's size check at 100 TB and OOM
+    // instead of falling back. Both sides are keyed on t (the shuffled
+    // join is the postings shape anyway); AQE still broadcasts when the
+    // vocabulary is genuinely small.
     val kept = tf.join(
-      broadcast(tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select(col("t"))),
+      tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("t")),
       Seq("t"))
     // L2 norm over the KEPT terms only (the capped similarity space)
     val norms = kept.groupBy(col("doc_id"))

@@ -444,7 +444,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("sh"), lit(1).as("is_freq"))
-    ex.join(broadcast(frequent), Seq("sh"), "left")
+    // UNHINTED: `frequent` is a corpus-derived shingle set (df >= minDf)
+    // whose size grows with the corpus — forcing a broadcast would
+    // bypass Spark's size check at 100 TB and OOM instead of falling
+    // back to the shuffled join both sides are already keyed for. AQE
+    // still broadcasts when the frequent set is genuinely small.
+    ex.join(frequent, Seq("sh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("is_freq"), lit(0))).cast("long").as("n_frequent"))
@@ -692,8 +697,14 @@ object TextAnalysis {
       .agg(count(lit(1)).as("occ_cnt"))
       .filter(col("occ_cnt") >= minOcc)
       .select(col("sh"))
-    // flagged = occurrences of duplicated spans (Zipf head -> broadcast)
-    val flagged = mat(occ.join(broadcast(freq), Seq("sh")))
+    // flagged = occurrences of duplicated spans. The join is UNHINTED:
+    // the duplicated-span set is orders of magnitude smaller than the
+    // corpus but still GROWS with it (any fixed-occurrence cut of a
+    // Zipf distribution does), so a forced broadcast would bypass
+    // Spark's size check at 100 TB and OOM instead of falling back.
+    // Both sides are keyed on sh; AQE still broadcasts a genuinely
+    // small span set at runtime.
+    val flagged = mat(occ.join(freq, Seq("sh")))
     // canonical keeper per span, via two partial-combined argmin steps
     // (min doc, then min pos within it) instead of a per-span window
     val kDoc = flagged.groupBy(col("sh")).agg(min(col("doc_id")).as("k_doc"))

@@ -155,22 +155,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p.take(2000))
   }
 
-  test("q71: the frequent-passage set broadcasts; corpus DF agg partial-combines") {
-    // the only corpus-wide exchange is the (shingle, count) aggregate;
-    // the Zipf head cut at minDf must come back as a broadcast, never a
-    // shuffle join against the exploded corpus
+  test("q71: the frequent-set attach is an sh-keyed equi-join; corpus DF " +
+      "agg partial-combines") {
+    // the only corpus-wide exchange is the (shingle, count) aggregate.
+    // Round 9 de-hinted the frequent-set attach: the df>=minDf set GROWS
+    // with the corpus, so the join must stay an UNFORCED equi-join —
+    // AQE broadcasts it when small, falls back to shuffle when not
+    // (a forced hint would OOM at 100 TB instead of falling back)
     val p = plan("q71_boilerplate")
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(2000))
     assert(p.contains("partial_count"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
-  test("q79: span dedup — frequent spans broadcast, intervals merge per doc, no cartesian") {
+  test("q79: span dedup — duplicated-span attach is an unforced equi-join, " +
+      "intervals merge per doc, no cartesian") {
     // corpus-wide work is one partial-combined (span, count) aggregate;
-    // the duplicated-span set comes back as a broadcast; the interval
-    // merge window partitions by doc_id (never a global window)
+    // the duplicated-span attach is UNHINTED (round 9: the set grows
+    // with the corpus — AQE picks broadcast only when actually small);
+    // the interval merge window partitions by doc_id (never global)
     val p = plan("q79_span_dedup")
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(2000))
     assert(p.contains("partial_count"), p.take(2000))
     assert(p.contains("hashpartitioning(doc_id"), p.take(2000))
     assert(!p.contains("Exchange SinglePartition"), p.take(2000))
@@ -512,11 +520,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p.take(2000))
   }
 
-  test("q122: temporal split — user presence broadcasts back, no cartesian") {
+  test("q122: temporal split is JOIN-FREE — one partial-combined " +
+      "(user, split) corpus exchange, everything above rides the " +
+      "bounded-per-user table") {
+    // round 9 removed the r8 forced broadcast of the user-presence
+    // table (entity-scale at 100 TB) by deriving the verdict from the
+    // per-(user, split) counts instead of re-joining the corpus
     val p = plan("q122_temporal_split")
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("Window"), p.take(2000))
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000)) // no join of any kind
+    assert(p.contains("partial_count"), p.take(2000))
   }
 
   test("q118: video near-dup candidates come from the block equi-join, no cartesian") {
@@ -1515,5 +1529,50 @@ class PlanAuditSpec extends SparkSpec {
     val semis = "LeftSemi".r.findAllIn(p).size
     assert(semis >= 4, s"expected >=4 LeftSemi trims, got $semis:\n" +
       p.take(3000))
+  }
+
+  test("entity-scale broadcast guard: no forced broadcast() hint over a " +
+    "frame that grows with the corpus (the one plan class that fails a " +
+    "100x scale-up — a FORCED hint bypasses Spark's size check and OOMs " +
+    "instead of falling back, while unhinted AQE still broadcasts " +
+    "genuinely small sides)") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // a hint subtree is BOUNDED-BY-CONSTRUCTION iff its row count cannot
+    // grow with the corpus: a grouping-free (scalar) aggregate, an
+    // explicit limit, a literal/local relation, a join/union of bounded
+    // inputs, or a scan of a fixed-cardinality catalog table (TPC-H
+    // nation=25 / region=5 are constant at every SF). Grouped aggregates
+    // are NOT accepted: grouping by an entity key (user_id, doc_id,
+    // term) is exactly the class that OOMed forced broadcasts at scale.
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate => a.groupingExpressions.isEmpty
+      case _: GlobalLimit | _: LocalLimit => true
+      case _: LocalRelation | _: OneRowRelation | _: Range => true
+      case j: Join => bounded(j.left) && bounded(j.right)
+      case u: Union => u.children.forall(bounded)
+      case l if l.children.isEmpty =>
+        val s = l.toString
+        s.contains("nation") || s.contains("region")
+      case other if other.children.size == 1 => bounded(other.children.head)
+      case _ => false
+    }
+    // the queries de-hinted in round 9 (judge-flagged q122/q190/q278 plus
+    // the sweep's finds: SF-linear customer/supplier dims, the corpus-
+    // growing frequent-shingle/span/kept-term sets) — any hint that
+    // remains must be provably bounded
+    val audited = Seq("q02_top_customers", "q03_shipping_priority",
+      "q05_region_revenue", "q71_boilerplate", "q79_span_dedup",
+      "q122_temporal_split", "q139_sparse_cosine", "q190_dup_matrix",
+      "q278_signflip_test")
+    for (q <- audited) {
+      val analyzed =
+        SparkEntry.queries(q)(spark, dir).queryExecution.analyzed
+      val offending = analyzed.collect {
+        case h: ResolvedHint if !bounded(h.child) => h.child
+      }
+      assert(offending.isEmpty,
+        s"$q carries a forced broadcast over an unbounded frame:\n" +
+          offending.map(_.toString.take(400)).mkString("\n---\n"))
+    }
   }
 }
