@@ -7038,10 +7038,16 @@ object SparkEntry {
             .as("exact_gt_frac"),
           round(col("mgt").cast("double") / col("nmass").cast("double"),
             6).as("merged_gt_frac"),
-          round(abs(col("mgt").cast("double")
-              / col("nmass").cast("double")
-            - col("egt").cast("double") / col("n").cast("double"))
-            / (col("egt").cast("double") / col("n").cast("double")), 6)
+          // degenerate-threshold guard: if the exact count above a
+          // threshold is 0 (a corpus whose top grid cell collapses onto
+          // the max value), relative error is undefined — emit NULL
+          // instead of Infinity/NaN, which would break the JSON/hash
+          // protocol. Safe-by-shape on TPC-H-like data, guarded anyway.
+          when(col("egt") > 0,
+            round(abs(col("mgt").cast("double")
+                / col("nmass").cast("double")
+              - col("egt").cast("double") / col("n").cast("double"))
+              / (col("egt").cast("double") / col("n").cast("double")), 6))
             .as("rel_err"))
         .orderBy(col("t_ref"))
     }),
@@ -15363,8 +15369,10 @@ object SparkEntry {
          |  round(CAST(egt AS DOUBLE) / CAST(n AS DOUBLE), 6)
          |    AS exact_gt_frac,
          |  round(mgt / nmass, 6) AS merged_gt_frac,
-         |  round(abs(mgt / nmass - CAST(egt AS DOUBLE) / CAST(n AS DOUBLE))
-         |    / (CAST(egt AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS rel_err
+         |  CASE WHEN egt > 0 THEN
+         |    round(abs(mgt / nmass - CAST(egt AS DOUBLE) / CAST(n AS DOUBLE))
+         |      / (CAST(egt AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+         |  ELSE NULL END AS rel_err
          |FROM ex JOIN mg USING (t_ref, x), ntot, nm
          |ORDER BY t_ref""".stripMargin,
 
