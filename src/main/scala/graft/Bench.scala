@@ -205,6 +205,10 @@ object Bench {
         hist.get(n).map(_.seconds * 1.15).getOrElse(30.0)
     }
 
+  // GIT-TRACKED (the one non-ignored file under .bench/): every round
+  // starts from a fresh clone, so an ignored history file silently reset
+  // the least-recently-certified rotation each round — exactly the state
+  // the rotation exists to carry across runs
   private val histFile = new java.io.File(".bench/large_cert_history.tsv")
 
   /** (last run id, name -> Cert) from the history TSV; (0, empty) when

@@ -367,8 +367,15 @@ object SparkEntry {
   def largeBenchTier: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_setjoin_exact" -> ((s, dir) =>
       setJoinExactBody(s, hashSample(t(s, dir, "documents"), "doc_id", 4))),
+    // q209 runs BOTH the LSH path and the exact PPJoin ground truth by
+    // definition (it is the recall-certification gate), which made it the
+    // single largest line in the round-8 large budget (54.7 s at the 1/4
+    // slice). Candidate volume is quadratic in the slice, so the 1/8
+    // notch costs ~1/4 of the 1/4 tier and frees ~25 s of budget for the
+    // certification rotation; the plan is identical and the full-size
+    // recall number stays certified at the graded sf dir.
     "q209_lsh_recall_cert" -> ((s, dir) =>
-      lshRecallBody(s, hashSample(t(s, dir, "documents"), "doc_id", 4))),
+      lshRecallBody(s, hashSample(t(s, dir, "documents"), "doc_id", 8))),
     "q263_lof" -> ((s, dir) =>
       lofBody(s, hashSample(t(s, dir, "embeddings"), "vec_id", 8))),
     // q304 is exact-verify set similarity like q201: ScaleUp's verbatim

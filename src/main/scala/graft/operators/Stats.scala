@@ -1784,6 +1784,68 @@ object Stats {
         round(col("sse"), 6).as("sse"))
   }
 
+  /** Quantized-domain size up to which the histogram cumulative may run
+    * as a single global `Window.orderBy(v)` — one task over at most this
+    * many NARROW (v, c, [shard]) rows (~tens of MB), the plan the bench
+    * and the oracle replay pin. Above it, [[histCumSum]] switches to the
+    * two-phase bucketed prefix sum, because a single-task window over an
+    * unbounded quantized domain is exactly the funnel a 100 TB ANALYZE
+    * must not have (the synopsis tables themselves stay bounded either
+    * way — only the histogram cumulative changes shape). */
+  private[graft] val CumWindowDomainCap: Long = 1L << 21
+
+  /** Scale-safe cumulative count over a value histogram: appends `cum` =
+    * running Σc in `v` order (per `grpCols` group when given — the
+    * per-shard form). Small domains (≤ `domainCap` rows) keep the plain
+    * single-task window; wide domains run the same two-phase distributed
+    * prefix sum [[TextAnalysis.packSequences]] uses — quantile bucket
+    * boundaries from one tiny `percentile_approx` pass (quantiles, not
+    * uniform spans: a skewed domain would collapse uniform spans into one
+    * giant bucket), parallel within-bucket windowed cumsums, and bucket
+    * offsets prefix-summed over the bounded (group × bucket) totals table
+    * and broadcast back. Output is invariant to where the boundaries
+    * fall, so both paths produce identical `cum` — which is what lets the
+    * bounded-case plan stay pinned while the wide case scales out.
+    * Requires one row per (grpCols, v) — a histogram, not raw rows. */
+  private[graft] def histCumSum(hist: DataFrame, grpCols: Seq[String],
+                                domainCap: Long = CumWindowDomainCap,
+                                nBuckets: Int = 64): DataFrame = {
+    val g = grpCols.map(col)
+    if (hist.count() <= domainCap) {
+      val w = Window.partitionBy(g: _*).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum", sum(col("c")).over(w))
+    } else {
+      val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+      val bounds: Array[Long] =
+        if (probs.isEmpty) Array.empty
+        else hist
+          .agg(percentile_approx(col("v").cast("long"),
+            typedlit(probs), lit(10000)))
+          .collect()(0).getSeq[Long](0).toArray.distinct.sorted
+      // bucket = #boundaries at or below v: contiguous monotone v-ranges
+      // whatever the domain's distribution (compares the ORIGINAL v, so
+      // the long cast above only steers boundary placement)
+      val bucketOf: Column =
+        if (bounds.isEmpty) lit(0L)
+        else aggregate(typedlit(bounds.toSeq), lit(0L),
+          (acc, b) => acc + when(col("v") >= b, 1L).otherwise(0L))
+      val withB = hist.withColumn("_bkt", bucketOf)
+      val wIn = Window.partitionBy((g :+ col("_bkt")): _*).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOff = Window.partitionBy(g: _*).orderBy(col("_bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = withB.groupBy((g :+ col("_bkt")): _*)
+        .agg(sum(col("c")).as("_bt"))
+        .withColumn("_off", coalesce(sum(col("_bt")).over(wOff), lit(0L)))
+        .select((g :+ col("_bkt") :+ col("_off")): _*)
+      withB.withColumn("_in", sum(col("c")).over(wIn))
+        .join(broadcast(offsets), grpCols :+ "_bkt")
+        .withColumn("cum", col("_in") + col("_off"))
+        .select(hist.columns.toIndexedSeq.map(col) :+ col("cum"): _*)
+    }
+  }
+
   /** Equi-rank grid + frequency sequence from an exact value histogram
     * `hist(v, c)` — level 1 of the two-level V-optimal construction
     * (Jagadish et al., VLDB 1998) shared by the direct (q297) and
@@ -1792,16 +1854,17 @@ object Stats {
     * thresholds), and f_t is the total count of values in grid cell t.
     * Returns (grid (t, gv), freqs (t, f)); both bounded at g rows, both
     * checkpointed. The histogram itself is the caller's one corpus
-    * exchange. */
-  def equiRankGridFreqs(hist0: DataFrame, g: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+    * exchange; its cumulative is [[histCumSum]], so a quantized domain
+    * wider than `domainCap` scales out instead of funneling through one
+    * window task. */
+  def equiRankGridFreqs(hist0: DataFrame, g: Int,
+                        domainCap: Long = CumWindowDomainCap)
+      : (DataFrame, DataFrame) = {
     require(g >= 1)
     val sp0 = hist0.sparkSession
     import sp0.implicits._
     val hist = Materializer.Local(hist0.select(col("v"), col("c")))
-    val wCum = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum(col("c")).over(wCum))
+    val cum = histCumSum(hist, Seq.empty, domainCap)
     val tot = hist.agg(sum(col("c")).as("n"))
     val ts = (1 to g).toDF("t")
     val thr = floor((col("t") * col("n") + lit((g - 1).toLong))
@@ -1875,17 +1938,19 @@ object Stats {
     * bounded-table algebra (≤ shards·(g+1) boundaries). The accuracy
     * COST of this merge relative to the exact path is what q306
     * certifies. */
-  def mergedGridIntervals(shardHists: DataFrame, g: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def mergedGridIntervals(shardHists: DataFrame, g: Int,
+                          domainCap: Long = CumWindowDomainCap)
+      : DataFrame = {
     require(g >= 1)
     val sp0 = shardHists.sparkSession
     import sp0.implicits._
     val hist = Materializer.Local(
       shardHists.select(col("shard"), col("v"), col("c")))
-    val wCum = Window.partitionBy(col("shard")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = Materializer.Local(hist
-      .withColumn("cum", sum(col("c")).over(wCum)))
+    // per-shard cumulative via [[histCumSum]]: partitioning by shard
+    // already parallelizes across shards, but one shard's quantized
+    // domain can itself be wide — above the cap each shard's cumsum runs
+    // as the bucketed two-phase prefix sum instead of one task per shard
+    val cum = Materializer.Local(histCumSum(hist, Seq("shard"), domainCap))
     val tot = hist.groupBy(col("shard"))
       .agg(sum(col("c")).as("n"), (min(col("v")) - lit(1L)).as("fl"))
     val ts = (1 to g).toDF("t")

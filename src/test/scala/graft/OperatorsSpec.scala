@@ -4204,6 +4204,47 @@ class OperatorsSpec extends SparkSpec {
     assert(freqs.collect().map(_.getLong(1)).sum == 20L)
   }
 
+  test("histCumSum: the bucketed two-phase prefix sum equals the " +
+    "single-task window exactly on a wide skewed domain — global and " +
+    "per-shard — and the synopsis operators are invariant to the cap") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum => fsum}
+    // wide skewed domain: most distinct values clustered in a narrow
+    // band plus a sparse heavy tail — uniform bucket spans would
+    // collapse into one giant bucket; the quantile boundaries must not
+    val vals = (1 to 20000).map { i =>
+      val v = if (i % 5 == 0) 1000000L + i else (i % 997).toLong * 3
+      (i % 4, v)
+    }
+    val hist = vals.toDF("shard", "v")
+      .groupBy(col("shard"), col("v")).agg(count(lit(1)).as("c"))
+    // per-shard form: cap 1 forces the bucketed path on every shard
+    val byWindow = graft.operators.Stats.histCumSum(hist, Seq("shard"),
+      domainCap = Long.MaxValue)
+    val byBuckets = graft.operators.Stats.histCumSum(hist, Seq("shard"),
+      domainCap = 1L, nBuckets = 16)
+    assert(byWindow.exceptAll(byBuckets).isEmpty &&
+      byBuckets.exceptAll(byWindow).isEmpty,
+      "bucketed per-shard cumulative diverged from the window path")
+    // global form through equiRankGridFreqs: identical (grid, freqs)
+    val ghist = hist.groupBy(col("v")).agg(fsum(col("c")).as("c"))
+    def gf(cap: Long) = {
+      val (g, f) = graft.operators.Stats.equiRankGridFreqs(ghist, 16, cap)
+      (g.collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq,
+        f.collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq)
+    }
+    assert(gf(Long.MaxValue) == gf(1L),
+      "equiRankGridFreqs changed under the bucketed cumulative")
+    // per-shard form through mergedGridIntervals: identical intervals
+    def iv(cap: Long) = graft.operators.Stats
+      .mergedGridIntervals(hist, 8, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(iv(Long.MaxValue) == iv(1L),
+      "mergedGridIntervals changed under the bucketed cumulative")
+  }
+
   test("adjustedRandIndex (q293): identical partitions score exactly " +
     "1.0; the orthogonal 2x2 split scores exactly -0.5") {
     val s = spark

@@ -216,6 +216,79 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == full)
   }
 
+  test("NearDupStream: two batches plus a kill-and-restart reproduce " +
+      "the q65 incremental pair set exactly, and a crash-replayed batch " +
+      "rewrites itself without duplicating") {
+    // the first-class streaming front door for incremental near-dup
+    // (T1-T5 lifecycle): the historical corpus (even doc_ids, q65's
+    // "persisted index" side) arrives through the same stream, then
+    // today's odd ids arrive split across two drops with the query
+    // RESTARTED from its checkpoint between them — the union of the odd
+    // batches' pair outputs must equal the q65 batch oracle, and
+    // re-running the last batch (a crash replay of an uncommitted
+    // commit) must leave both the pair log and the index unchanged.
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    import graft.streaming.NearDupStream
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft-neardup-stream")
+    val dropDir = root.resolve("drop").toString
+    val idxDir = root.resolve("index").toString
+    val pairsDir = root.resolve("pairs").toString
+    val ckpt = root.resolve("ckpt").toString
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = root.resolve(s"tmp_$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      new java.io.File(dropDir).mkdirs()
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(dropDir, s"$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val q = NearDupStream.runAvailableNow(
+        NearDupStream.readDocs(spark, dropDir, docs.schema),
+        "doc_id", "text", idxDir, pairsDir, ckpt, fast = false)
+      q.awaitTermination(120000)
+    }
+    // run 1: the historical corpus through the same front door (batch 0)
+    drop(docs.filter(col("doc_id") % 2 === 0), "b0")
+    runOnce()
+    // run 2 (restart): first half of today's batch (batch 1)
+    drop(docs.filter(col("doc_id") % 4 === 1), "b1")
+    runOnce()
+    // run 3 (the kill-and-restart): a FRESH query from the same
+    // checkpoint picks up only the second half (batch 2)
+    drop(docs.filter(col("doc_id") % 4 === 3), "b2")
+    runOnce()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    val newPairs = pairSet(spark.read.parquet(pairsDir)
+      .filter(col("batch_id").cast("long") >= 1L)
+      .select(col("a_id"), col("b_id"), col("sim")))
+    val expected = pairSet(
+      SparkEntry.queries("q65_dedup_incremental")(spark, dir))
+    assert(newPairs.nonEmpty && newPairs == expected,
+      s"streamed=${newPairs.size} expected=${expected.size}")
+    // crash replay: re-run the LAST batch with the same batch id — the
+    // dynamic partition overwrite must rewrite identical content, and
+    // the historical filter must exclude the batch's own index rows
+    val beforePairs = pairSet(NearDupStream.confirmedPairs(spark, pairsDir))
+    val beforeIdxRows = spark.read.parquet(idxDir).count()
+    val lastId = spark.read.parquet(idxDir)
+      .agg(max(col("batch_id").cast("long"))).collect()(0).getLong(0)
+    NearDupStream.processBatch(docs.filter(col("doc_id") % 4 === 3),
+      lastId, "doc_id", "text", idxDir, pairsDir, fast = false)
+    assert(pairSet(NearDupStream.confirmedPairs(spark, pairsDir))
+      == beforePairs, "replay changed the pair log")
+    assert(spark.read.parquet(idxDir).count() == beforeIdxRows,
+      "replay changed the index")
+  }
+
   test("streaming ANALYZE refresh: per-batch value histograms folded " +
       "into a persisted synopsis give the batch V-optimal construction") {
     // the q305 merge's streaming face: each micro-batch ships only its
