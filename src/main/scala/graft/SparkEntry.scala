@@ -7059,6 +7059,47 @@ object SparkEntry {
         .orderBy(col("t_ref"))
     }),
 
+    "q307_leakage_safe_split" -> ((s, dir) => {
+      // leakage-safe train/test split: every document inherits its
+      // near-dup CLUSTER's hash split (Dedup.clusterAwareSplit), so a
+      // confirmed near-dup pair can never straddle train and test — the
+      // eval-contamination mode q63's per-doc hash split cannot prevent
+      // (a test doc with a near-verbatim twin in train leaks even after
+      // exact dedup). The audit prices it: straddling-pair counts under
+      // the cluster-blind assignment vs the cluster-aware one (0 by
+      // construction — pair endpoints share a component). Pairs from the
+      // fast-FNV LSH path, whose confirmed set equals ground truth on
+      // this corpus (q39); straddle counts are two id-keyed equi-joins
+      // of the bounded pair set against the assignment table, and the
+      // only broadcasts are 1-row aggregates.
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val pairs = operators.Materializer.Local(
+        Dedup.minhashLshPairs(docs, "doc_id", "text", k = 16, bands = 4,
+          shingleN = 3, threshold = 0.5, fast = true)
+          .select(col("a_id"), col("b_id")))
+      val asg = operators.Materializer.Local(
+        Dedup.clusterAwareSplit(docs, pairs, "doc_id"))
+      def audit(splitCol: String, m: String) = {
+        val sa = asg.select(col("doc_id").as("a_id"), col(splitCol).as("sa"))
+        val sb = asg.select(col("doc_id").as("b_id"), col(splitCol).as("sb"))
+        val strad = pairs.join(sa, Seq("a_id")).join(sb, Seq("b_id"))
+          .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_straddle"))
+        asg.agg(
+            sum(when(col(splitCol) === "train", 1L).otherwise(0L))
+              .as("n_train"),
+            sum(when(col(splitCol) === "test", 1L).otherwise(0L))
+              .as("n_test"))
+          .crossJoin(broadcast(strad))
+          .select(lit(m).as("method"), col("n_train"), col("n_test"),
+            col("n_straddle"))
+      }
+      audit("naive_split", "naive_by_doc")
+        .unionByName(audit("split", "by_cluster"))
+        .orderBy(col("method"))
+    }),
+
     "q301_dup_transitivity" -> ((s, dir) => {
       // near-dup transitivity audit: triangle census of the minhash
       // pair GRAPH itself (q37's edges through q145's degree-ordered
@@ -15382,6 +15423,68 @@ object SparkEntry {
          |  ELSE NULL END AS rel_err
          |FROM ex JOIN mg USING (t_ref, x), ntot, nm
          |ORDER BY t_ref""".stripMargin,
+
+    // q54's recursive-CTE component replay plus the two md5-bucket split
+    // assignments; pairs are the exact all-pairs >= 0.5 set, which the
+    // fast LSH path's confirmed pairs equal on this corpus (q39)
+    "q307_leakage_safe_split" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(raw) < 3
+        |      THEN [array_to_string(raw, ' ')]
+        |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |            for i in range(0, len(raw) - 2)] END) AS shingles
+        |  FROM tk
+        |), prs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+        |          AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM prs
+        |  UNION SELECT b_id, a_id FROM prs
+        |), reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+        |), clu AS (
+        |  SELECT s AS doc_id, least(s, min(d)) AS cl FROM reach GROUP BY s
+        |), asg AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) < 'c'
+        |      THEN 'train' ELSE 'test' END AS naive_split,
+        |    CASE WHEN substring(md5(CAST(COALESCE(c.cl, d.doc_id)
+        |        AS VARCHAR)), 1, 1) < 'c'
+        |      THEN 'train' ELSE 'test' END AS safe_split
+        |  FROM documents d LEFT JOIN clu c USING (doc_id)
+        |)
+        |SELECT 'by_cluster' AS method,
+        |  CAST(SUM(CASE WHEN safe_split = 'train' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_train,
+        |  CAST(SUM(CASE WHEN safe_split = 'test' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_test,
+        |  CAST(COALESCE((SELECT SUM(CASE WHEN sa.safe_split <> sb.safe_split
+        |      THEN 1 ELSE 0 END)
+        |    FROM prs p JOIN asg sa ON p.a_id = sa.doc_id
+        |    JOIN asg sb ON p.b_id = sb.doc_id), 0) AS BIGINT) AS n_straddle
+        |FROM asg
+        |UNION ALL
+        |SELECT 'naive_by_doc',
+        |  CAST(SUM(CASE WHEN naive_split = 'train' THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(SUM(CASE WHEN naive_split = 'test' THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(COALESCE((SELECT SUM(CASE WHEN sa.naive_split
+        |      <> sb.naive_split THEN 1 ELSE 0 END)
+        |    FROM prs p JOIN asg sa ON p.a_id = sa.doc_id
+        |    JOIN asg sb ON p.b_id = sb.doc_id), 0) AS BIGINT)
+        |FROM asg
+        |ORDER BY method""".stripMargin,
 
     "q303_curation_ablation" -> {
       def modelSql(name: String, cond: String): String =

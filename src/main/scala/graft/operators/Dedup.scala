@@ -425,6 +425,43 @@ object Dedup {
         col("best_q"))
   }
 
+  /** Leakage-safe train/test assignment: every document inherits its
+    * near-dup CLUSTER's hash split, so no confirmed near-dup pair can
+    * straddle train and test — the contamination mode a per-doc hash
+    * split cannot prevent (a test document with a near-verbatim twin in
+    * train is an eval leak even after exact dedup; Lee et al. 2022 §6).
+    * Assignment hashes the cluster representative's id with the same
+    * md5-bucket idiom as the per-doc split (first hex char <
+    * `trainHexCutoff`, default 'c' = 12/16 = 75% train expected), so the
+    * split stays deterministic, engine-portable (no rand()), and stable
+    * under re-sharding; because pair endpoints are by definition in one
+    * component, the cluster-keyed split straddles zero pairs by
+    * construction.
+    *
+    * Returns (doc_id, cluster_id, naive_split, split): `naive_split` is
+    * the per-doc-id hash split a cluster-blind pipeline would produce —
+    * kept so an audit can price exactly the leakage the cluster-aware
+    * assignment removes. Plan shape: the CC labels ride
+    * [[nearDupClusters]] (pair-graph-sized, never corpus-wide), one
+    * id-keyed left join attaches them, both splits are map-side
+    * projections. */
+  def clusterAwareSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+                        trainHexCutoff: String = "c",
+                        materialize: Materializer = Materializer.Local)
+      : DataFrame = {
+    def splitOf(c: Column): Column =
+      when(substring(md5(c.cast("string")), 1, 1) < lit(trainHexCutoff),
+        lit("train")).otherwise(lit("test"))
+    val clusters = nearDupClusters(pairs, materialize)
+      .withColumnRenamed("doc_id", "cs_id")
+    docs.join(clusters, col(idCol) === col("cs_id"), "left")
+      .select(col(idCol).as("doc_id"),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        splitOf(col("doc_id")).as("naive_split"),
+        splitOf(col("cluster_id")).as("split"))
+  }
+
   /** Portable 64-bit SimHash as a hex string (md5 token hashes, per-bit
     * majority vote) — oracle-checkable; see
     * [[graft.functions.SimHashMd5]]. Requires GraftFunctions.register. */

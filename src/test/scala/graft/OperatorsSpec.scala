@@ -4204,6 +4204,28 @@ class OperatorsSpec extends SparkSpec {
     assert(freqs.collect().map(_.getLong(1)).sum == 20L)
   }
 
+  test("clusterAwareSplit (q307): every cluster lands wholly in one " +
+    "split, the split is the representative's own hash split, and no " +
+    "pair straddles under the cluster-aware assignment") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 10L).toDF("doc_id")
+    val pairEdges = Seq((1L, 2L), (2L, 3L), (5L, 6L))
+    val pairs = pairEdges.toDF("a_id", "b_id")
+    val asg = graft.operators.Dedup.clusterAwareSplit(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    // components: {1,2,3} rep 1, {5,6} rep 5; everything else singleton
+    assert(asg(2L)._1 == 1L && asg(3L)._1 == 1L && asg(6L)._1 == 5L)
+    assert(asg(4L)._1 == 4L && asg(10L)._1 == 10L)
+    // each member's cluster-aware split equals its representative's own
+    // per-doc hash split (the rep's naive_split IS md5(cluster_id))
+    for ((id, (cl, _, split)) <- asg)
+      assert(split == asg(cl)._2, s"doc $id (cluster $cl)")
+    // the property the operator exists for: zero straddling pairs
+    for ((a, b) <- pairEdges) assert(asg(a)._3 == asg(b)._3, s"($a,$b)")
+  }
+
   test("histCumSum: the bucketed two-phase prefix sum equals the " +
     "single-task window exactly on a wide skewed domain — global and " +
     "per-shard — and the synopsis operators are invariant to the cap") {

@@ -1469,6 +1469,23 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected SMJ (must be the bounded audit join): $l"))
   }
 
+  test("q307: the leakage-safe split audit is pair-graph algebra — no " +
+    "cartesian, no global window, and straddle counts ride id-keyed " +
+    "equi-joins of the bounded pair set") {
+    val p = plan("q307_leakage_safe_split")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the only nested-loop joins are the two 1-row straddle-count
+    // attaches (crossJoin of a broadcast scalar aggregate — the repo's
+    // bounded idiom); anything else nested-loop would be a real product
+    val bnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.size <= 2 && bnlj.forall(_.contains("Cross")),
+      bnlj.mkString("\n") + "\n" + p.take(2000))
+    // the split assignment is a map-side projection over an id-keyed
+    // attach; no per-cluster window anywhere
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("q298/q299: the synopsis transform and the selectivity audit " +
     "ride bounded tables; the only corpus work is the shared histogram " +
     "and the exact-count aggregate") {
