@@ -449,9 +449,11 @@ object Dedup {
                         trainHexCutoff: String = "c",
                         materialize: Materializer = Materializer.Local)
       : DataFrame = {
+    // the ONE md5-bucket split rule (shared with NaiveBayes/q63), so the
+    // per-doc and per-cluster assignments can never drift apart
     def splitOf(c: Column): Column =
-      when(substring(md5(c.cast("string")), 1, 1) < lit(trainHexCutoff),
-        lit("train")).otherwise(lit("test"))
+      when(NaiveBayes.isTrain(c, trainHexCutoff), lit("train"))
+        .otherwise(lit("test"))
     val clusters = nearDupClusters(pairs, materialize)
       .withColumnRenamed("doc_id", "cs_id")
     docs.join(clusters, col(idCol) === col("cs_id"), "left")

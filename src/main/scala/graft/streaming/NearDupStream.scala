@@ -74,19 +74,36 @@ object NearDupStream {
                    k: Int = 16, bands: Int = 4, shingleN: Int = 3,
                    threshold: Double = 0.5, fast: Boolean = true): Unit = {
     val spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val newIdx = Dedup.minhashIndex(batch, idCol, textCol,
-      k, bands, shingleN, fast)
+    // pinned HERE so the CPU-dominant signature pass runs once per batch
+    // and serves both the pair join and the index write (the join's own
+    // re-pin of an already-checkpointed frame is a cheap copy, not a
+    // recompute)
+    val newIdx = graft.operators.Materializer.Local(
+      Dedup.minhashIndex(batch, idCol, textCol, k, bands, shingleN, fast))
     val hist =
-      if (new java.io.File(indexDir).exists)
+      if (dirExists(spark, indexDir))
         spark.read.parquet(indexDir)
           .filter(col("batch_id") < batchId).drop("batch_id")
       else newIdx.limit(0)
+    // DYNAMIC overwrite as a WRITER option, not a session conf: the
+    // setting must scope to these two writes only (a session-wide
+    // conf.set would silently change overwrite semantics for every
+    // later static-overwrite write in the same session)
     Dedup.minhashLshPairsIncremental(newIdx, hist, threshold)
       .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(pairsDir)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(pairsDir)
     newIdx.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(indexDir)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(indexDir)
+  }
+
+  /** Filesystem-agnostic directory existence (java.io.File would
+    * silently report absent on HDFS/S3 — the 100 TB deployment shape —
+    * and every cross-batch pair would go missing without an error). */
+  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Drain every pending file and stop (the AvailableNow lifecycle —
@@ -110,8 +127,27 @@ object NearDupStream {
 
   /** The confirmed-pair log accumulated so far (pairs are emitted in
     * exactly one batch — the one where the later member arrived — so
-    * the log needs no dedup). */
-  def confirmedPairs(spark: SparkSession, pairsDir: String): DataFrame =
-    spark.read.parquet(pairsDir)
-      .select(col("a_id"), col("b_id"), col("sim"))
+    * the log needs no dedup). `pairSchema` is the non-partition part of
+    * the log's schema: passing it explicitly means a log whose batches
+    * produced no pair yet (data-file-less dir, or no dir at all) reads
+    * as an EMPTY frame instead of failing parquet schema inference. */
+  def confirmedPairs(spark: SparkSession, pairsDir: String,
+                     pairSchema: StructType = defaultPairSchema): DataFrame =
+    if (!dirExists(spark, pairsDir))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairSchema)
+    else
+      spark.read.schema(pairSchema.add("batch_id", "long"))
+        .parquet(pairsDir)
+        .select(col("a_id"), col("b_id"), col("sim"))
+
+  /** (a_id, b_id, sim) for the engine's numeric doc ids. */
+  def defaultPairSchema: StructType =
+    StructType(Seq(
+      org.apache.spark.sql.types.StructField("a_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sim",
+        org.apache.spark.sql.types.DoubleType)))
 }

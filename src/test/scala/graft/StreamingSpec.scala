@@ -254,6 +254,9 @@ class StreamingSpec extends SparkSpec {
         "doc_id", "text", idxDir, pairsDir, ckpt, fast = false)
       q.awaitTermination(120000)
     }
+    // a log with no batches yet reads as an EMPTY frame (explicit
+    // schema), not a parquet schema-inference failure
+    assert(NearDupStream.confirmedPairs(spark, pairsDir).isEmpty)
     // run 1: the historical corpus through the same front door (batch 0)
     drop(docs.filter(col("doc_id") % 2 === 0), "b0")
     runOnce()
