@@ -847,44 +847,31 @@ object Similarity {
     * test: a fixed `iters` makes the run replayable (the kCore/q91
     * explicit-round contract).
     *
-    * 100 TB note: the d² map-side fan-out costs CPU ×d² per row; for
-    * very large d build the same cells with an array-buffer Aggregator
-    * (the VectorAvg pattern) — identical result, one buffer per
-    * partition instead of exploded rows. */
+    * 100 TB shape: BOTH moments come from ONE typed-Aggregator pass
+    * ([[graft.functions.SecondMomentAgg]]) — a d + d(d+1)/2 BigDecimal
+    * buffer per partition with map-side combine, never exploded product
+    * rows (the previous posexplode-triangle form fanned out d(d+1)/2
+    * rows per input row: fine at d = 64, ~300k rows/row at d = 768).
+    * The aggregator reproduces the exploded form's decimal casts and
+    * round(12) normalization term for term, so the oracle's full-matrix
+    * replay still matches bit for bit (measured 8.6 -> ~2.8 s at
+    * sf0.1). */
   def pcaTopComponent(emb: DataFrame, idCol: String, vecCol: String,
                       iters: Int = 5): DataFrame = {
     val spark = emb.sparkSession
-    val dec = "decimal(38,20)"
-    val muRows = emb
-      .select(posexplode(col(vecCol)).as(Seq("i", "xf")))
-      .groupBy(col("i"))
-      .agg(round(sum(col("xf").cast("double").cast(dec)).cast("double")
-        / count(lit(1)), 12).as("mu"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val d = muRows.size
-    // the moment products form MAP-SIDE over the UPPER TRIANGLE only
-    // (one posexplode per dim, a second over the tail-slice product
-    // array; j = i + dj) — no corpus self-join, half the fan-out, and
-    // the mirror cell is bit-identical by commutativity of the exact
-    // double product, so the oracle's full-matrix replay still matches.
-    // Decimal accumulation is the honest cost of the bit-reproducibility
-    // contract (a long-scaled kernel is ~2.5x faster but bounds corpus
-    // rows; measured 12.4 -> ~6 s at sf0.1 from the triangle alone).
-    val triRows = emb
-      .select(col(vecCol).as("v"), posexplode(col(vecCol))
-        .as(Seq("i", "xi")))
-      .select(col("i"), posexplode(transform(
-        slice(col("v"), col("i") + lit(1), size(col("v")) - col("i")),
-        xj => col("xi").cast("double") * xj.cast("double")))
-        .as(Seq("dj", "p")))
-      .groupBy(col("i"), col("dj"))
-      .agg(round(sum(col("p").cast(dec)).cast("double")
-        / count(lit(1)), 12).as("m"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(0) + r.getInt(1)) -> r.getDouble(2))
-      .toMap
-    def mRows(ij: (Int, Int)): Double =
-      if (ij._2 >= ij._1) triRows(ij) else triRows((ij._2, ij._1))
+    val mo = emb.select(col(vecCol).cast("array<float>"))
+      .as[Array[Float]](org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[Float]]())
+      .select(graft.functions.SecondMomentAgg.toColumn)
+      .collect()(0)
+    val d = mo.mu.length
+    val muRows: Map[Int, Double] = mo.mu.zipWithIndex
+      .map { case (v, i) => i -> v }.toMap
+    // upper triangle, row-major: (i, j>=i) at i*d - i*(i-1)/2 + (j-i)
+    def mRows(ij: (Int, Int)): Double = {
+      val (a, b) = if (ij._1 <= ij._2) ij else ij.swap
+      mo.m(a * d - a * (a - 1) / 2 + (b - a))
+    }
     // Spark round semantics for driver-side math (BigDecimal.valueOf =
     // shortest-repr decimal of the double, HALF_UP — what Column.round
     // does), so the oracle's round() replays these steps exactly
