@@ -7100,6 +7100,47 @@ object SparkEntry {
         .orderBy(col("method"))
     }),
 
+    "q308_split_stratification" -> ((s, dir) => {
+      // the q307 follow-up a curation pipeline asks next: cluster-keyed
+      // hashing moves WHOLE near-dup groups between splits, so if
+      // clusters correlate with a stratum the leakage-safe split can
+      // skew the mixture. Per source: train share under the naive and
+      // cluster-aware assignments plus each share's absolute deviation
+      // from its method's corpus-wide share — the stratification audit
+      // that says whether leakage safety cost mixture fidelity. One
+      // pair+CC pass (the shared clusterAwareSplit operator), two
+      // partial-combined aggregates; the overall shares ride a 1-row
+      // broadcast.
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 16,
+          bands = 4, shingleN = 3, threshold = 0.5, fast = true)
+        .select(col("a_id"), col("b_id"))
+      val asg = operators.Materializer.Local(
+        Dedup.clusterAwareSplit(docs, pairs, "doc_id")
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")))
+      def tr(c: String) = sum(when(col(c) === "train", 1L).otherwise(0L))
+      val per = asg.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        round(tr("naive_split").cast("double") / count(lit(1)), 6)
+          .as("train_frac_naive"),
+        round(tr("split").cast("double") / count(lit(1)), 6)
+          .as("train_frac_cluster"))
+      val overall = asg.agg(
+        round(tr("naive_split").cast("double") / count(lit(1)), 6)
+          .as("o_naive"),
+        round(tr("split").cast("double") / count(lit(1)), 6)
+          .as("o_cluster"))
+      per.crossJoin(broadcast(overall))
+        .select(col("source"), col("n_docs"),
+          col("train_frac_naive"), col("train_frac_cluster"),
+          round(abs(col("train_frac_naive") - col("o_naive")), 6)
+            .as("dev_naive"),
+          round(abs(col("train_frac_cluster") - col("o_cluster")), 6)
+            .as("dev_cluster"))
+        .orderBy(col("source"))
+    }),
+
     "q301_dup_transitivity" -> ((s, dir) => {
       // near-dup transitivity audit: triangle census of the minhash
       // pair GRAPH itself (q37's edges through q145's degree-ordered
@@ -15485,6 +15526,63 @@ object SparkEntry {
         |    JOIN asg sb ON p.b_id = sb.doc_id), 0) AS BIGINT)
         |FROM asg
         |ORDER BY method""".stripMargin,
+
+    // q307's component replay, read per source: train shares under both
+    // assignments and their deviation from each method's overall share
+    "q308_split_stratification" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(raw) < 3
+        |      THEN [array_to_string(raw, ' ')]
+        |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+        |            for i in range(0, len(raw) - 2)] END) AS shingles
+        |  FROM tk
+        |), prs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+        |          AS DOUBLE) >= 0.5
+        |), edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM prs
+        |  UNION SELECT b_id, a_id FROM prs
+        |), reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+        |), clu AS (
+        |  SELECT s AS doc_id, least(s, min(d)) AS cl FROM reach GROUP BY s
+        |), asg AS (
+        |  SELECT d.doc_id, d.source,
+        |    CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) < 'c'
+        |      THEN 'train' ELSE 'test' END AS naive_split,
+        |    CASE WHEN substring(md5(CAST(COALESCE(c.cl, d.doc_id)
+        |        AS VARCHAR)), 1, 1) < 'c'
+        |      THEN 'train' ELSE 'test' END AS safe_split
+        |  FROM documents d LEFT JOIN clu c USING (doc_id)
+        |), per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    round(CAST(SUM(CASE WHEN naive_split = 'train' THEN 1 ELSE 0
+        |      END) AS DOUBLE) / COUNT(*), 6) AS train_frac_naive,
+        |    round(CAST(SUM(CASE WHEN safe_split = 'train' THEN 1 ELSE 0
+        |      END) AS DOUBLE) / COUNT(*), 6) AS train_frac_cluster
+        |  FROM asg GROUP BY 1
+        |), o AS (
+        |  SELECT
+        |    round(CAST(SUM(CASE WHEN naive_split = 'train' THEN 1 ELSE 0
+        |      END) AS DOUBLE) / COUNT(*), 6) AS o_naive,
+        |    round(CAST(SUM(CASE WHEN safe_split = 'train' THEN 1 ELSE 0
+        |      END) AS DOUBLE) / COUNT(*), 6) AS o_cluster
+        |  FROM asg
+        |)
+        |SELECT source, n_docs, train_frac_naive, train_frac_cluster,
+        |  round(abs(train_frac_naive - o_naive), 6) AS dev_naive,
+        |  round(abs(train_frac_cluster - o_cluster), 6) AS dev_cluster
+        |FROM per, o ORDER BY source""".stripMargin,
 
     "q303_curation_ablation" -> {
       def modelSql(name: String, cond: String): String =

@@ -1484,6 +1484,17 @@ class PlanAuditSpec extends SparkSpec {
     // the split assignment is a map-side projection over an id-keyed
     // attach; no per-cluster window anywhere
     assert(!p.contains("Window"), p.take(3000))
+    // q308 reads the same assignment per stratum: two partial-combined
+    // aggregates and a single 1-row overall-share attach
+    val p8 = plan("q308_split_stratification")
+    assert(!p8.contains("CartesianProduct"), p8.take(3000))
+    val bnlj8 = p8.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj8.size <= 1 && bnlj8.forall(_.contains("Cross")),
+      bnlj8.mkString("\n"))
+    assert(!p8.contains("Window"), p8.take(3000))
+    assert(p8.contains("partial_count") || p8.contains("partial_sum"),
+      p8.take(3000))
   }
 
   test("q298/q299: the synopsis transform and the selectivity audit " +
