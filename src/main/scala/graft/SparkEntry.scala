@@ -7141,6 +7141,56 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q309_heavyhitter_merge" -> ((s, dir) => {
+      // mergeable frequent-items summaries — the O(k)-per-shard ANALYZE
+      // regime for an UNBOUNDED item domain (Agarwal et al., PODS 2012:
+      // merged top-k-with-threshold summaries keep a deterministic error
+      // bound), completing the two-regime synopsis story next to
+      // quantiles (q305 exact / q306 lossy): each shard keeps its k most
+      // frequent tokens (count desc, token asc — deterministic) plus
+      // err_s = the largest DROPPED count; a shard's true count for any
+      // item is exact if kept, else <= err_s, so the merged summary
+      // brackets every item's corpus count in [Σ kept, Σ kept-or-err]
+      // while shipping only k+1 numbers per shard. The audit reads the
+      // bracket for the exact global top-10 tokens, certifies
+      // containment, and prices the worst relative bracket width. The
+      // per-shard rank window partitions by shard — parallel across
+      // shards, and in the sharded-ANALYZE deployment each shard's
+      // (tok, c) histogram is machine-local by construction.
+      import org.apache.spark.sql.expressions.Window
+      GraftFunctions.register(s)
+      val kTop = 32
+      val toks = t(s, dir, "documents").select(
+        operators.Sharding.shardOf("doc_id", 4).as("shard"),
+        explode(operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      val shardCounts = operators.Materializer.Local(
+        toks.groupBy(col("shard"), col("tok")).agg(count(lit(1)).as("c")))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("c").desc, col("tok").asc)
+      val ranked = operators.Materializer.Local(
+        shardCounts.withColumn("rk", row_number().over(w)))
+      val kept = ranked.filter(col("rk") <= kTop)
+        .select(col("shard"), col("tok"), col("c"))
+      val errAll = ranked.select(col("shard")).distinct()
+        .join(ranked.filter(col("rk") > kTop).groupBy(col("shard"))
+          .agg(max(col("c")).as("err0")), Seq("shard"), "left")
+        .select(col("shard"), coalesce(col("err0"), lit(0L)).as("err"))
+      val exact = shardCounts.groupBy(col("tok")).agg(sum(col("c")).as("n"))
+      val top10 = exact.orderBy(col("n").desc, col("tok").asc).limit(10)
+      top10.crossJoin(broadcast(errAll)) // 10 x n_shards, bounded
+        .join(kept, Seq("shard", "tok"), "left")
+        .groupBy(col("tok"), col("n"))
+        .agg(sum(coalesce(col("c"), lit(0L))).as("est_lo"),
+          sum(coalesce(col("c"), col("err"))).as("est_hi"))
+        .select(col("tok"), col("n").as("exact_n"), col("est_lo"),
+          col("est_hi"),
+          (col("est_lo") <= col("n") && col("n") <= col("est_hi"))
+            .as("bracketed"),
+          round((col("est_hi") - col("est_lo")).cast("double")
+            / col("n").cast("double"), 6).as("rel_width"))
+        .orderBy(col("exact_n").desc, col("tok").asc)
+    }),
+
     "q301_dup_transitivity" -> ((s, dir) => {
       // near-dup transitivity audit: triangle census of the minhash
       // pair GRAPH itself (q37's edges through q145's degree-ordered
@@ -15583,6 +15633,53 @@ object SparkEntry {
         |  round(abs(train_frac_naive - o_naive), 6) AS dev_naive,
         |  round(abs(train_frac_cluster - o_cluster), 6) AS dev_cluster
         |FROM per, o ORDER BY source""".stripMargin,
+
+    // per-shard top-k-with-threshold summaries merged; the q305 oracle's
+    // md5 shard replay, then the bracket per exact global top-10 token
+    "q309_heavyhitter_merge" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
+        |  FROM documents
+        |), toks AS (
+        |  SELECT CAST(list_sum([CAST(round(pow(16, 7 - i)) AS BIGINT) *
+        |      (strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), i + 1, 1)) - 1)
+        |      for i in range(0, 8)]) AS BIGINT) % 4 AS shard,
+        |    unnest(raw) AS tok
+        |  FROM tk
+        |), sc AS MATERIALIZED (
+        |  SELECT shard, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2
+        |), rk AS MATERIALIZED (
+        |  SELECT shard, tok, c,
+        |    row_number() OVER (PARTITION BY shard
+        |      ORDER BY c DESC, tok ASC) AS rk
+        |  FROM sc
+        |), kept AS (
+        |  SELECT shard, tok, c FROM rk WHERE rk <= 32
+        |), errall AS (
+        |  SELECT s.shard, COALESCE(e.err, 0) AS err
+        |  FROM (SELECT DISTINCT shard FROM rk) s
+        |  LEFT JOIN (SELECT shard, MAX(c) AS err FROM rk
+        |    WHERE rk > 32 GROUP BY 1) e USING (shard)
+        |), exact AS (
+        |  SELECT tok, CAST(SUM(c) AS BIGINT) AS n FROM sc GROUP BY 1
+        |), top10 AS (
+        |  SELECT tok, n FROM exact ORDER BY n DESC, tok ASC LIMIT 10
+        |)
+        |SELECT t.tok, t.n AS exact_n,
+        |  CAST(SUM(COALESCE(k.c, 0)) AS BIGINT) AS est_lo,
+        |  CAST(SUM(COALESCE(k.c, e.err)) AS BIGINT) AS est_hi,
+        |  (CAST(SUM(COALESCE(k.c, 0)) AS BIGINT) <= t.n
+        |    AND t.n <= CAST(SUM(COALESCE(k.c, e.err)) AS BIGINT))
+        |    AS bracketed,
+        |  round(CAST(SUM(COALESCE(k.c, e.err)) - SUM(COALESCE(k.c, 0))
+        |      AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS rel_width
+        |FROM top10 t CROSS JOIN errall e
+        |LEFT JOIN kept k ON k.shard = e.shard AND k.tok = t.tok
+        |GROUP BY t.tok, t.n
+        |ORDER BY exact_n DESC, t.tok ASC""".stripMargin,
 
     "q303_curation_ablation" -> {
       def modelSql(name: String, cond: String): String =

@@ -1497,6 +1497,20 @@ class PlanAuditSpec extends SparkSpec {
       p8.take(3000))
   }
 
+  test("q309: the heavy-hitter merge ships k+1 numbers per shard — the " +
+    "rank window partitions by shard, the only nested-loop join is the " +
+    "bounded top10 x shards bracket attach") {
+    val p = plan("q309_heavyhitter_merge")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    val bnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.size <= 1 && bnlj.forall(_.contains("Cross")),
+      bnlj.mkString("\n"))
+    assert(p.contains("hashpartitioning(shard"), p.take(3000))
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      p.take(3000))
+  }
+
   test("q298/q299: the synopsis transform and the selectivity audit " +
     "ride bounded tables; the only corpus work is the shared histogram " +
     "and the exact-count aggregate") {
