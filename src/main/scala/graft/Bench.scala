@@ -70,7 +70,12 @@ object Bench {
     * projected against the deadline) — tenured garbage from a PRECEDING
     * query collected inside this query's timed window is noise, and the
     * retry prices the query once that debt is paid. `gcf` receives the GC
-    * fraction of the attempt that provided each recorded min. */
+    * fraction of the attempt that provided each recorded min.
+    * `onRecorded` fires after each query whose min was created or
+    * improved (outside every timed window) — the checkpoint hook that
+    * lets a caller persist partial results so an EXTERNAL kill (the
+    * driver's hard timeout, round 6's rc=124) cannot erase a pass's
+    * recorded entries or the certification stamps they carry. */
   def runSuite(spark: SparkSession, dir: String, names: Seq[String],
                queries: Map[String, (SparkSession, String) => DataFrame],
                nRuns: Int,
@@ -81,7 +86,8 @@ object Bench {
                label: String = "suite",
                gcf: mutable.Map[String, Double] = mutable.Map(),
                estimate: String => Double = _ => 0.0,
-               gcRetryFrac: Double = 1.0): Boolean = {
+               gcRetryFrac: Double = 1.0,
+               onRecorded: String => Unit = _ => ()): Boolean = {
     var skippedProjected = false
     for (pass <- 1 to nRuns; name <- names) {
       if (spark.sparkContext.isStopped) {
@@ -102,6 +108,7 @@ object Bench {
           System.err.println(f"[bench] $label $name%-24s " +
             f"SKIP projected ${estS}%.1f s past deadline")
       } else {
+        val minBefore = acc.get(name)
         var attempts = 0
         var lastDt = 0.0
         var retry = true
@@ -159,6 +166,8 @@ object Bench {
           try spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))
           catch { case _: Throwable => () }
+        // checkpoint hook: outside every timed window, after eviction
+        if (acc.get(name) != minBefore) onRecorded(name)
       }
     }
     !skippedProjected
@@ -491,13 +500,30 @@ object Bench {
         val tier = SparkEntry.largeBenchTier
         val lq = names.map(n =>
           n -> tier.getOrElse(n, SparkEntry.queries(n))).toMap
+        // checkpoint every 10 recorded entries: persist the history
+        // stamps AND a partial twin, so an external kill mid-pass (the
+        // driver's hard timeout — round 6 lost 177 entries to one)
+        // cannot erase what this pass already certified
+        var recorded = 0
+        val checkpointLarge: String => Unit = { _ =>
+          recorded += 1
+          if (filter.isEmpty && recorded % 10 == 0) {
+            writeHistory(histRun + 1,
+              hist ++ lt.map { case (n, s) => n -> Cert(s, histRun + 1) })
+            writeTwin(gradedLine(
+              s""","partial":true,"sf_large":"$largeDir"""" +
+                s""","total_large":${lt.values.sum}""" +
+                s""","queries_large":${qmap(lt, names)}"""),
+              filtered = false)
+          }
+        }
         var complete = runSuite(spark, largeDir, ordered, lq, 1, lt,
           lerrors, deadlineNanos, verbose, "large pass 1", gcfLarge,
-          largeEst, gcRetryFrac)
+          largeEst, gcRetryFrac, checkpointLarge)
         if (complete && largeRuns >= 2)
           complete = runSuite(spark, largeDir, ordered, lq, 1, lt,
             lerrors, deadlineNanos, verbose, "large pass 2", gcfLarge,
-            largeEst, gcRetryFrac)
+            largeEst, gcRetryFrac, checkpointLarge)
         // certification history: entries recorded THIS run stamp the new
         // run id; skipped queries keep their old stamp (and sort first
         // next round). Filtered probes never touch the history.

@@ -32,6 +32,22 @@ class BenchSpec extends SparkSpec {
         s.range(5).toDF("v")
       }
 
+  test("onRecorded fires once per created-or-improved min, never for a " +
+    "failure — the mid-pass checkpoint hook an external kill depends on") {
+    val acc = mutable.Map[String, Double]()
+    val errors = mutable.Map[String, String]()
+    val fired = mutable.ArrayBuffer[String]()
+    Bench.runSuite(spark, "/unused", Seq("ok", "fail"),
+      Map("ok" -> good, "fail" -> bad), nRuns = 2, acc, errors,
+      onRecorded = fired += _)
+    // "ok" fires on pass 1 (min created) and only fires again on pass 2
+    // if pass 2 actually improved the min; "fail" never records, never
+    // fires — a checkpoint of a failure would persist garbage stamps
+    assert(fired.count(_ == "ok") >= 1 && fired.count(_ == "ok") <= 2,
+      fired.mkString(", "))
+    assert(!fired.contains("fail"), fired.mkString(", "))
+  }
+
   test("a failed pass records NO per-query min — only an errors entry") {
     val acc = mutable.Map[String, Double]()
     val errors = mutable.Map[String, String]()
