@@ -46,6 +46,13 @@ object SecondMomentAgg
       b.s1 = Array.fill(d)(java.math.BigDecimal.ZERO)
       b.s2 = Array.fill(d * (d + 1) / 2)(java.math.BigDecimal.ZERO)
     }
+    // a ragged corpus (truncated/corrupt vector, mixed embedding
+    // versions) must FAIL LOUDLY: the triangle layout is keyed to one d,
+    // and a shorter row would silently land its products in the wrong
+    // cells — corrupt loadings with no error
+    require(a.length == b.s1.length,
+      s"SecondMomentAgg: vector of length ${a.length} in a " +
+        s"${b.s1.length}-dimensional corpus")
     var i = 0
     var idx = 0
     while (i < d) {
@@ -66,6 +73,9 @@ object SecondMomentAgg
   override def merge(x: MomentBuf, y: MomentBuf): MomentBuf = {
     if (x.s1.isEmpty) return y
     if (y.s1.isEmpty) return x
+    require(x.s1.length == y.s1.length,
+      s"SecondMomentAgg: merging ${x.s1.length}- and ${y.s1.length}-" +
+        "dimensional partitions (ragged corpus)")
     var i = 0
     while (i < x.s1.length) { x.s1(i) = x.s1(i).add(y.s1(i)); i += 1 }
     i = 0

@@ -865,8 +865,7 @@ object Similarity {
       .select(graft.functions.SecondMomentAgg.toColumn)
       .collect()(0)
     val d = mo.mu.length
-    val muRows: Map[Int, Double] = mo.mu.zipWithIndex
-      .map { case (v, i) => i -> v }.toMap
+    def muRows(i: Int): Double = mo.mu(i)
     // upper triangle, row-major: (i, j>=i) at i*d - i*(i-1)/2 + (j-i)
     def mRows(ij: (Int, Int)): Double = {
       val (a, b) = if (ij._1 <= ij._2) ij else ij.swap

@@ -74,15 +74,23 @@ object NearDupStream {
                    k: Int = 16, bands: Int = 4, shingleN: Int = 3,
                    threshold: Double = 0.5, fast: Boolean = true): Unit = {
     val spark = batch.sparkSession
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    try {
     // pinned HERE so the CPU-dominant signature pass runs once per batch
     // and serves both the pair join and the index write (the join's own
     // re-pin of an already-checkpointed frame is a cheap copy, not a
     // recompute)
     val newIdx = graft.operators.Materializer.Local(
       Dedup.minhashIndex(batch, idCol, textCol, k, bands, shingleN, fast))
+    // explicit schema (the new batch's own index schema + the partition
+    // column): an index dir whose batches were all empty has no data
+    // files, and schema inference would throw — permanently, since every
+    // checkpoint replay re-hits it — where an explicit schema reads an
+    // empty frame and the stream progresses
     val hist =
       if (dirExists(spark, indexDir))
-        spark.read.parquet(indexDir)
+        spark.read.schema(newIdx.schema.add("batch_id", "long"))
+          .parquet(indexDir)
           .filter(col("batch_id") < batchId).drop("batch_id")
       else newIdx.limit(0)
     // DYNAMIC overwrite as a WRITER option, not a session conf: the
@@ -96,6 +104,18 @@ object NearDupStream {
     newIdx.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(indexDir)
+    } finally {
+      // release ONLY the blocks this batch pinned (newIdx plus the
+      // incremental join's internal checkpoints): a long-lived stream
+      // would otherwise accumulate executor storage for the session's
+      // life, and the delta filter keeps a shared session's own pins
+      // untouched
+      val after = spark.sparkContext.getPersistentRDDs
+      (after.keySet -- pinnedBefore).foreach(id =>
+        after.get(id).foreach(r =>
+          try r.unpersist(blocking = false)
+          catch { case _: Throwable => () }))
+    }
   }
 
   /** Filesystem-agnostic directory existence (java.io.File would
