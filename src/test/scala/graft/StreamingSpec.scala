@@ -292,6 +292,65 @@ class StreamingSpec extends SparkSpec {
       "replay changed the index")
   }
 
+  test("SynopsisStream: per-batch histogram partials across a " +
+      "checkpoint restart give the batch V-optimal construction, and a " +
+      "crash-replayed batch rewrites only itself") {
+    // the first-class exactly-once face of the ANALYZE refresh below:
+    // each batch ships only its own partial into a batch_id partition,
+    // the synopsis is merged on read (associative Σc-by-v — no
+    // read-modify-write state to race with), and the checkpoint makes a
+    // killed-and-restarted drain process only the new file.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    import graft.streaming.SynopsisStream
+    val batch1 = (1 to 40).map(i => (i.toLong, (i % 5 + 1).toLong * 100))
+    val batch2 = (41 to 90).map(i => (i.toLong, (i % 9 + 3).toLong * 100))
+    val root = Files.createTempDirectory("graft-synopsis-stream")
+    val srcDir = root.resolve("src").toString
+    val synDir = root.resolve("synopsis").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = batch1.toDF("id", "v").schema
+    // an empty store reads as an empty histogram, never an inference
+    // failure
+    assert(SynopsisStream.histogram(spark, synDir).isEmpty)
+    def runOnce(): Unit = {
+      val q = SynopsisStream.runAvailableNow(
+        SynopsisStream.readValues(spark, srcDir, schema), "v", synDir,
+        ckpt)
+      q.awaitTermination(60000)
+    }
+    batch1.toDF("id", "v").coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    // kill-and-restart: a FRESH query from the same checkpoint sees
+    // only the second file
+    batch2.toDF("id", "v").coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    def buckets(hist: org.apache.spark.sql.DataFrame) = {
+      val (grid, freqs) =
+        graft.operators.Stats.equiRankGridFreqs(hist, 8)
+      val gv = grid.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      graft.operators.Stats.vOptimalDp(freqs, g = 8, k = 3)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+          gv(r.getInt(2)), r.getLong(3), r.getDouble(4))).sortBy(_._1)
+        .toSeq
+    }
+    val streamed = buckets(SynopsisStream.histogram(spark, synDir))
+    val direct = buckets((batch1 ++ batch2).toDF("id", "v")
+      .groupBy(col("v")).agg(count(lit(1)).as("c")))
+    assert(streamed.nonEmpty && streamed == direct)
+    // crash replay of the LAST batch: its partition is rewritten with
+    // identical content, the merged histogram is unchanged
+    def histSet() = SynopsisStream.histogram(spark, synDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = histSet()
+    val lastId = spark.read.parquet(synDir)
+      .agg(max(col("batch_id").cast("long"))).collect()(0).getLong(0)
+    SynopsisStream.processBatch(batch2.toDF("id", "v"), lastId, "v",
+      synDir)
+    assert(histSet() == before, "replay changed the merged synopsis")
+  }
+
   test("streaming ANALYZE refresh: per-batch value histograms folded " +
       "into a persisted synopsis give the batch V-optimal construction") {
     // the q305 merge's streaming face: each micro-batch ships only its
