@@ -249,6 +249,16 @@ object Bench {
       val w = new java.io.PrintWriter(f)
       try {
         w.println(s"#run\t$runId")
+        // provenance convention, re-emitted on every write (readHistory
+        // skips '#'-prefixed lines): timings at seeded run ids come from
+        // an in-session dry run (tools/stamp_history.py stamps them so
+        // the driver's recorded pass targets stale names first) and are
+        // NOT driver-recorded certifications; a timing is recorded
+        // exactly when its run id postdates the seeding round's stamps.
+        w.println("# run ids <= 2: seeded stamps, timings from the " +
+          "round-9 in-session dry run (not certifications)")
+        w.println("# run ids >= 3: driver-recorded certifications from " +
+          "unfiltered Bench runs")
         for ((n, c) <- hist.toSeq.sortBy(_._1))
           w.println(s"$n\t${c.seconds}\t${c.lastRun}")
       } finally w.close()
@@ -538,7 +548,11 @@ object Bench {
             skipped.map(jstr).mkString(""","large_skipped":[""", ",", "]")
           else "") +
           (if (tiered.nonEmpty)
-            tiered.map(jstr).mkString(""","large_tiered":[""", ",", "]")
+            // {name: slice denominator} so round-over-round total_large
+            // stays normalizable when a tier notches (e.g. 1/4 -> 1/8)
+            tiered.map(n =>
+                s"${jstr(n)}:${SparkEntry.largeBenchTierSlice.getOrElse(n, 1)}")
+              .mkString(""","large_tiered":{""", ",", "}")
           else "") +
           (if (lerrors.nonEmpty) s""","errors_large":${emap(lerrors)}"""
           else "") +

@@ -223,7 +223,7 @@ object NaiveBayes {
       .groupBy(col("actual"), col("predicted"))
       .agg(count(lit(1)).as("n"))
     val tot = cm.groupBy(col("actual")).agg(sum(col("n")).as("n_actual"))
-    cm.join(broadcast(tot), Seq("actual"))
+    cm.join(Hints.boundedBroadcast(tot, "label_domain"), Seq("actual"))
       .select(col("actual"), col("predicted"), col("n"),
         round(col("n").cast("double") / col("n_actual").cast("double"), 6)
           .as("share"))

@@ -456,7 +456,12 @@ object Dedup {
         .otherwise(lit("test"))
     val clusters = nearDupClusters(pairs, materialize)
       .withColumnRenamed("doc_id", "cs_id")
-    docs.join(clusters, col(idCol) === col("cs_id"), "left")
+    // project docs down to the id BEFORE the join: assignment needs
+    // nothing else, the exchange carries one column, and a caller whose
+    // docs already contains a cluster_id/cs_id column can't make the
+    // post-join references ambiguous
+    docs.select(col(idCol))
+      .join(clusters, col(idCol) === col("cs_id"), "left")
       .select(col(idCol).as("doc_id"),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
       .select(col("doc_id"), col("cluster_id"),
@@ -697,7 +702,9 @@ object Dedup {
     val e = evalSet.select(col(idCol).as("e_id"), col(vecCol).as("e_vec"))
     val fast = graft.functions.GraftFunctions.cosine_sim(col("vec"),
       col("e_vec"))
-    val joined = c.join(broadcast(e), col("id") =!= col("e_id"))
+    val joined = c.join(
+      Hints.boundedBroadcast(e, "eval_set_contract"),
+      col("id") =!= col("e_id"))
     val scored =
       if (!exact) joined.withColumn("sim", round(fast, 6))
       else joined.withColumn("fsim", fast)
@@ -849,7 +856,10 @@ object Dedup {
     * (doc, term) tf exchange; the CWS draws (r, ln c, β) are functions
     * of (term, seed) ONLY, so they're computed ONCE on a vocab×k MODEL
     * table (md5 count = |vocab|·k, not |corpus tf|·k — measured 26 s →
-    * ~4 s at sf0.1) that broadcast-joins back into the tf stream; the
+    * ~4 s at sf0.1) that joins back into the tf stream UNHINTED: vocab
+    * grows with the corpus (Heaps' law), so a forced broadcast is the
+    * 100 TB OOM class — both sides key on the term, and AQE still
+    * broadcasts when the vocab is genuinely small; the
     * arg-min is a partial-combining groupBy min(struct(lna, term)) —
     * map-side combine on the doc's own vocab, never a window sort. */
   def weightedMinhashSignatures(docs: DataFrame, idCol: String,
@@ -882,7 +892,7 @@ object Dedup {
         hexU(col("h2"), 1).as("beta"))
     val scored = tf
       .withColumn("lnw", round(log(col("w").cast("double")), 9))
-      .join(broadcast(model), Seq("t"))
+      .join(model, Seq("t"))
       .withColumn("tq",
         floor(round(col("lnw") / col("r") + col("beta"), 9)).cast("long"))
       .withColumn("lna",

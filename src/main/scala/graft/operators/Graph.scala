@@ -549,7 +549,10 @@ object Graph {
       .filter(col("la") === col("lb"))
       .groupBy(col("la").as("label"))
       .agg(count(lit(1)).cast("long").as("intra_edges"))
-    com.join(broadcast(intra), Seq("label"), "left")
+    // per-community rollups unhinted: community count is O(labels) and
+    // can approach O(nodes) on a fragmented graph — both sides key on
+    // the label, AQE broadcasts when the community set is genuinely small
+    com.join(intra, Seq("label"), "left")
       .crossJoin(broadcast(mRow))
       .withColumn("ie", coalesce(col("intra_edges"), lit(0L)).cast("long"))
       .select(col("label").as("community"), col("n_nodes"),

@@ -59,7 +59,7 @@ object Retrieval {
     val tfn = col("tf") * lit(k1 + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0 - b)
         + lit(b) * col("dl").cast("double") / col("avgdl")))
-    tf.join(broadcast(df), Seq("t"))
+    tf.join(Hints.boundedBroadcast(df, "query_term_set"), Seq("t"))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), (idf * tfn).as("s"))
       .groupBy(col("doc_id"))
@@ -114,8 +114,8 @@ object Retrieval {
         + lit(b) * col("dl").cast("double") / col("avgdl")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    tf.join(broadcast(lbl), Seq("t"))
-      .join(broadcast(df), Seq("t"))
+    tf.join(Hints.boundedBroadcast(lbl, "query_term_set"), Seq("t"))
+      .join(Hints.boundedBroadcast(df, "query_term_set"), Seq("t"))
       .crossJoin(broadcast(stats))
       .select(col("q"), col("doc_id"), (idf * tfn).as("s"))
       .groupBy(col("q"), col("doc_id"))
@@ -171,7 +171,7 @@ object Retrieval {
     // (NULL score, n_match 0, rows ranked by doc_id) — instead of
     // silently vanishing from the result.
     val cScalar = queries.map(_._1).distinct.toDF("q")
-      .join(cfp.join(broadcast(lbl), Seq("t"))
+      .join(cfp.join(Hints.boundedBroadcast(lbl, "query_term_set"), Seq("t"))
         .groupBy(col("q"))
         .agg(sum(round(log(lit(mu) * col("pw")), 9).cast("decimal(38,9)"))
             .as("c0"),
@@ -182,8 +182,8 @@ object Retrieval {
     val tf = dl.filter(col("t").isNotNull)
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val adj = tf.join(broadcast(cfp), Seq("t"))
-      .join(broadcast(lbl), Seq("t"))
+    val adj = tf.join(Hints.boundedBroadcast(cfp, "query_term_set"), Seq("t"))
+      .join(Hints.boundedBroadcast(lbl, "query_term_set"), Seq("t"))
       .groupBy(col("q").as("aq"), col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_match"),
         sum(round(log(col("tf") + lit(mu) * col("pw"))
@@ -191,7 +191,7 @@ object Retrieval {
           .as("adj"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    docLen.crossJoin(broadcast(cScalar))
+    docLen.crossJoin(Hints.boundedBroadcast(cScalar, "query_term_set"))
       .join(adj, col("q") === col("aq")
         && docLen("doc_id") === adj("doc_id"), "left")
       .select(col("q"), docLen("doc_id").as("doc_id"),
@@ -254,7 +254,7 @@ object Retrieval {
     val tf = dl.filter(col("t").isNotNull)
       .groupBy(col("doc_id"), col("t"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val adj = tf.join(broadcast(cfp), Seq("t"))
+    val adj = tf.join(Hints.boundedBroadcast(cfp, "query_term_set"), Seq("t"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_match"),
         sum(round(log(col("tf") + lit(mu) * col("pw"))
@@ -436,9 +436,13 @@ object Retrieval {
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(
           TextAnalysis.shingles(col(textCol), shingleN))).as("t")))
+    // the kept-shingle set (df <= maxDf) is the Heaps-growing RARE tail
+    // of the vocabulary — unhinted, like the round-9 q139 kept-term
+    // de-hint: both sides key on the shingle, AQE broadcasts only when
+    // the set is genuinely small
     val kept = sh.join(
-      broadcast(sh.groupBy(col("t")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select(col("t"))),
+      sh.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("t")),
       Seq("t"))
     // |A| over the KEPT shingles (the capped similarity space — the
     // denominator must live in the same space as the intersection)

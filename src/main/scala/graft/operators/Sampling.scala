@@ -103,7 +103,7 @@ object Sampling {
     * Scale shape: per-doc term tf partial-combines once
     * ([[Materializer]]-pinned; the two LM count tables and the join-back
     * all share it); both LMs are aggregates of that table (the target LM
-    * filters it by the broadcast target-id set — the corpus is NOT
+    * filters it by an id-keyed semi-join — the corpus is NOT
     * re-tokenized); the join-back keys on the term (Zipf head → AQE
     * skew-join). The per-doc weight sum accumulates in DECIMAL(38,6)
     * so partial-agg order can never flip a bit, and the final top-n is
@@ -121,7 +121,11 @@ object Sampling {
         explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf")))
     val targetIds = target.select(col(idCol).as("id"))
-    val tgtTf = tf.join(broadcast(targetIds), Seq("id"))
+    // id-keyed SEMI join, unhinted: the target slice can be an
+    // SF-linear selection (q88 keys it by source), so a forced
+    // broadcast is the 100x-scale OOM class — AQE still broadcasts
+    // a genuinely small target, and the semi join never widens rows
+    val tgtTf = tf.join(targetIds, Seq("id"), "left_semi")
     val rawLm = tf.groupBy(col("t")).agg(sum(col("tf")).as("c_raw"))
     val tgtLm = tgtTf.groupBy(col("t")).agg(sum(col("tf")).as("c_tgt"))
     def scalars(lm: DataFrame, c: String): (Double, Double) = {

@@ -89,7 +89,8 @@ object Similarity {
       // one corpus pass; the partial top-k aggregate bounds the shuffle to
       // ≤k rows per (partition, query) — the heap order (rounded sim desc,
       // id asc) IS the output order, so no rank window at all
-      val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      val scored = c.join(Hints.boundedBroadcast(q, "query_set_contract"),
+        col("query_id") =!= col("neighbor_id"))
         .withColumn("sim",
           round(GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")), 6))
       partialTopK(scored, col("sim"), k)
@@ -108,11 +109,14 @@ object Similarity {
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id").asc)
       val scored = c
-        .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .join(Hints.boundedBroadcast(q, "query_set_contract"),
+          col("query_id") =!= col("neighbor_id"))
         .withColumn("fsim", GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")))
-      c.join(broadcast(partialTopK(scored, col("fsim"), margin)),
+      c.join(Hints.boundedBroadcast(
+          partialTopK(scored, col("fsim"), margin), "topk_capped"),
           Seq("neighbor_id"))
-        .join(broadcast(q), Seq("query_id"))
+        .join(Hints.boundedBroadcast(q, "query_set_contract"),
+          Seq("query_id"))
         .withColumn("sim", round(cosineExact(col("q_vec"), col("c_vec")), 6))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k)
@@ -172,7 +176,8 @@ object Similarity {
     val joinCond = col("query_id") =!= col("neighbor_id") &&
       !(col("q_label") <=> col("c_label"))
     if (!exact) {
-      val scored = c.join(broadcast(q), joinCond)
+      val scored = c.join(
+        Hints.boundedBroadcast(q, "query_set_contract"), joinCond)
         .withColumn("sim",
           round(GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")), 6))
       partialTopK(scored, col("sim"), k)
@@ -184,11 +189,14 @@ object Similarity {
       val margin = k + 15
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id").asc)
-      val scored = c.join(broadcast(q), joinCond)
+      val scored = c.join(
+        Hints.boundedBroadcast(q, "query_set_contract"), joinCond)
         .withColumn("fsim", GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")))
-      c.join(broadcast(partialTopK(scored, col("fsim"), margin)),
+      c.join(Hints.boundedBroadcast(
+          partialTopK(scored, col("fsim"), margin), "topk_capped"),
           Seq("neighbor_id"))
-        .join(broadcast(q), Seq("query_id"))
+        .join(Hints.boundedBroadcast(q, "query_set_contract"),
+          Seq("query_id"))
         .withColumn("sim", round(cosineExact(col("q_vec"), col("c_vec")), 6))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k)
@@ -239,7 +247,8 @@ object Similarity {
           / count(lit(1))).as("ex2"))
       .select(col("pos"), col("mean"),
         sqrt(col("ex2") - col("mean") * col("mean")).as("std"))
-    el.join(broadcast(stats), Seq("pos"))
+    el.join(Hints.boundedBroadcast(stats, "vector_dim_domain"),
+      Seq("pos"))
       .select(col(idCol), col("pos"),
         when(col("std") === 0, lit(0.0))
           .otherwise(round((col("x") - col("mean")) / col("std"), 9))
@@ -271,7 +280,7 @@ object Similarity {
     def inorm(codes: Column) = sqrt(aggregate(
       transform(codes, x => (x * x).cast("long")),
       lit(0L), (acc, v) => acc + v).cast("double"))
-    val scored = c.join(broadcast(q),
+    val scored = c.join(Hints.boundedBroadcast(q, "query_set_contract"),
         col("query_id") =!= col("neighbor_id"))
       .withColumn("fsim",
         when(inorm(col("q_codes")) === 0 || inorm(col("c_codes")) === 0,
@@ -280,9 +289,11 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .join(broadcast(partialTopK(scored, col("fsim"), k + margin)),
+      .join(Hints.boundedBroadcast(
+        partialTopK(scored, col("fsim"), k + margin), "topk_capped"),
         Seq("neighbor_id"))
-      .join(broadcast(q.select(col("query_id"), col("q_vec"))),
+      .join(Hints.boundedBroadcast(
+        q.select(col("query_id"), col("q_vec")), "query_set_contract"),
         Seq("query_id"))
       .withColumn("sim",
         round(GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")), 6))
@@ -370,7 +381,8 @@ object Similarity {
     }
     val c = assign(corpus, "neighbor_id", "c_vec", probes = 1)
     val q = assign(queries, "query_id", "q_vec", probes = nprobe)
-    val candidates = c.join(broadcast(q), Seq("cell_id"))
+    val candidates = c.join(
+      Hints.boundedBroadcast(q, "query_set_contract"), Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("fsim",
         GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")))
@@ -387,11 +399,13 @@ object Similarity {
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id").asc)
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-        .join(broadcast(partialTopK(candidates, col("fsim"), k + 15)),
+        .join(Hints.boundedBroadcast(
+          partialTopK(candidates, col("fsim"), k + 15), "topk_capped"),
           Seq("neighbor_id"))
         // one row per query even under nprobe > 1 probed cells
-        .join(broadcast(q.select(col("query_id"), col("q_vec"))
-          .dropDuplicates("query_id")), Seq("query_id"))
+        .join(Hints.boundedBroadcast(q.select(col("query_id"), col("q_vec"))
+          .dropDuplicates("query_id"), "query_set_contract"),
+          Seq("query_id"))
         .withColumn("sim", round(cosineExact(col("q_vec"), col("c_vec")), 6))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= k)
@@ -508,7 +522,8 @@ object Similarity {
     // formulation ([[adcCosineHof]]) re-evaluates the 8-argmax encode child
     // once per subspace element after projection collapse — quadratic in m
     // on the hottest scan (measured 10× on the sf0.1 bench)
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val scored = c.join(Hints.boundedBroadcast(q, "query_set_contract"),
+        col("query_id") =!= col("neighbor_id"))
       .withColumn("fsim", GraftFunctions.pq_adc(col("codes"), col("luts"),
         col("qnorm"), nsqLit))
     partialTopK(scored, col("fsim"), k)
@@ -571,7 +586,8 @@ object Similarity {
       .select(col("query_id"), col("luts"), col("qnorm"),
         explode_outer(GraftFunctions.nearest_cells(col("q_vec"), centLit,
           probes = nprobe, exact = false)).as("cell_id"))
-    val scored = index.join(broadcast(q), Seq("cell_id"))
+    val scored = index.join(
+      Hints.boundedBroadcast(q, "query_set_contract"), Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("fsim", GraftFunctions.pq_adc(col("codes"), col("luts"),
         col("qnorm"), pqNsqLit(codebooks)))
@@ -610,8 +626,8 @@ object Similarity {
     val scored = adc.select(col("query_id"), col("neighbor_id"))
       .join(corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).as("c_vec")), Seq("neighbor_id"))
-      .join(broadcast(queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("q_vec"))), Seq("query_id"))
+      .join(Hints.boundedBroadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec")), "query_set_contract"), Seq("query_id"))
       .withColumn("sim",
         round(GraftFunctions.cosine_sim(col("q_vec"), col("c_vec")), 6))
     partialTopK(scored, col("sim"), k)
@@ -669,7 +685,8 @@ object Similarity {
       lshBuckets(col(vecCol), planes).as("bucket"))
     val simCol = if (exact) cosineExact(col("q_vec"), col("c_vec"))
                  else GraftFunctions.cosine_sim(col("q_vec"), col("c_vec"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val scored = c.join(
+      Hints.boundedBroadcast(q, "query_set_contract"), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(simCol, 6))
     partialTopK(scored, col("sim"), k)
@@ -702,7 +719,8 @@ object Similarity {
     val centroid = el.groupBy(col("pos"))
       .agg(round(sum(col("x").cast("decimal(38,20)")).cast("double")
         / count(lit(1)), 9).as("c"))
-    val dist = el.join(broadcast(centroid), Seq("pos"))
+    val dist = el.join(
+      Hints.boundedBroadcast(centroid, "vector_dim_domain"), Seq("pos"))
       .groupBy(col(idCol))
       .agg(round(sqrt(sum(((col("x") - col("c")) * (col("x") - col("c")))
         .cast("decimal(38,20)")).cast("double")), 6).as("dist"))
@@ -802,7 +820,8 @@ object Similarity {
         sum(col("x") * col("x")).as("ss_c")))
     val dim = cell.groupBy(col("pos"))
       .agg(sum(col("n_c")).as("n_t"), sum(col("s_c")).as("s_t"))
-    val scat = cell.join(broadcast(dim), Seq("pos"))
+    val scat = cell.join(
+      Hints.boundedBroadcast(dim, "vector_dim_domain"), Seq("pos"))
       .select(
         round(col("n_c").cast("double")
           * (col("s_c").cast("double") / col("n_c").cast("double")
@@ -999,10 +1018,12 @@ object Similarity {
     // both sides are density-bounded; the checkpointed label table has
     // no stats, so pick the broadcast explicitly
     val denseLab = dense
-      .join(broadcast(cc.withColumnRenamed("doc_id", "k")), Seq("k"), "left")
+      .join(Hints.boundedBroadcast(cc.withColumnRenamed("doc_id", "k"),
+        "grid_cells"), Seq("k"), "left")
       .select(col("cx"), col("cy"),
         coalesce(col("cluster_id"), col("k")).as("ck"))
-    withCell.join(broadcast(denseLab), Seq("cx", "cy"), "left")
+    withCell.join(Hints.boundedBroadcast(denseLab, "grid_cells"),
+      Seq("cx", "cy"), "left")
       .select(col("pid"), col("cx"), col("cy"), col("ck"))
   }
 

@@ -280,11 +280,14 @@ object Stats {
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
+    // margins unhinted: items is one row per distinct item (SF-linear),
+    // the q270-class OOM frame — the joins are item-keyed equi-joins and
+    // AQE still broadcasts when the item set is genuinely small
     val scored = pairs
-      .join(broadcast(items.select(col("it").as("item_a"),
-        col("n_item").as("n_a"))), Seq("item_a"))
-      .join(broadcast(items.select(col("it").as("item_b"),
-        col("n_item").as("n_b"))), Seq("item_b"))
+      .join(items.select(col("it").as("item_a"),
+        col("n_item").as("n_a")), Seq("item_a"))
+      .join(items.select(col("it").as("item_b"),
+        col("n_item").as("n_b")), Seq("item_b"))
       .crossJoin(broadcast(n))
       .select(col("item_a"), col("item_b"), col("n_ab"),
         round(col("n_ab").cast("double")
@@ -455,7 +458,8 @@ object Stats {
       .crossJoin(mb.agg(count(lit(1)).as("kb")))
       .select(((col("ka") - 1) * (col("kb") - 1)).as("dof"))
     val cells = ct
-      .join(broadcast(ma), Seq("a")).join(broadcast(mb), Seq("b"))
+      .join(Hints.boundedBroadcast(ma, "label_domain"), Seq("a"))
+      .join(Hints.boundedBroadcast(mb, "label_domain"), Seq("b"))
       .crossJoin(broadcast(tot))
       .withColumn("e",
         (col("ra").cast("decimal(19,0)") * col("cb").cast("decimal(19,0)"))
@@ -737,14 +741,18 @@ object Stats {
     // items³.
     val fpItems = fp.select(col("i1").as("it"))
       .unionAll(fp.select(col("i2").as("it"))).distinct()
-    val biT = bi.join(broadcast(fpItems), Seq("it"), "left_semi")
+    // prune lists unhinted: at a fixed absolute minsup the frequent
+    // item/pair/candidate sets grow with corpus volume (Heaps/Zipf), so
+    // a forced broadcast is the 100x-scale OOM class — the semi joins
+    // stay semi joins, AQE broadcasts genuinely small lists
+    val biT = bi.join(fpItems, Seq("it"), "left_semi")
     val t = biT.select(col("bk"), col("it").as("i1"))
       .join(biT.select(col("bk"), col("it").as("i2")), Seq("bk"))
       .filter(col("i1") < col("i2"))
-      .join(broadcast(fp), Seq("i1", "i2"), "left_semi")
+      .join(fp, Seq("i1", "i2"), "left_semi")
       .join(biT.select(col("bk"), col("it").as("i3")), Seq("bk"))
       .filter(col("i2") < col("i3"))
-      .join(broadcast(cands), Seq("i1", "i2", "i3"), "left_semi")
+      .join(cands, Seq("i1", "i2", "i3"), "left_semi")
       .groupBy(col("i1"), col("i2"), col("i3"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minCount)
@@ -858,7 +866,8 @@ object Stats {
         depthBuckets(col("token")).as("db"))
       .select(col("token"), col("exact_cnt"), col("db.depth").as("depth"),
         col("db.bucket").as("bucket"))
-      .join(broadcast(merged), Seq("depth", "bucket"))
+      .join(Hints.boundedBroadcast(merged, "sketch_cells"),
+      Seq("depth", "bucket"))
       .groupBy(col("token"))
       .agg(max(col("exact_cnt")).as("exact_cnt"),
         min(col("cell")).as("cms_est"))
@@ -956,7 +965,8 @@ object Stats {
           (v("syy") - icept * v("sy") - slope * v("sxy")) / nd))
           .as("rmse"))
       .filter(col("rmse") > lit(0.0))
-    base.join(broadcast(coef), Seq("grp"))
+    base.join(Hints.boundedBroadcast(coef, "group_domain_contract"),
+      Seq("grp"))
       .withColumn("resid", col(yCol).cast("double")
         - (col("a") + col("b") * col(xCol).cast("double")))
       .filter(abs(col("resid")) > lit(kSigma) * col("rmse"))
@@ -1044,7 +1054,8 @@ object Stats {
           - col("cum_b").cast("double") / col("n_cur").cast("double")), 9)
           .as("d"))
     val mx = diffs.groupBy(col("g")).agg(max(col("d")).as("ks"))
-    diffs.join(broadcast(mx), Seq("g"))
+    diffs.join(Hints.boundedBroadcast(mx, "group_domain_contract"),
+      Seq("g"))
       .filter(col("d") === col("ks"))
       .groupBy(col("g"), col("n_ref"), col("n_cur"), col("ks"))
       .agg(min(col("v")).as("ks_at"))
@@ -1081,7 +1092,9 @@ object Stats {
         count(lit(1)).cast("long").as("n_cat"))
     val tot = base.agg(sum(col("y")).cast("long").as("ts"),
       count(lit(1)).cast("long").as("tn"))
-    base.join(broadcast(g), Seq(catCol)).crossJoin(broadcast(tot))
+    base.join(Hints.boundedBroadcast(g, "category_domain_contract"),
+        Seq(catCol))
+      .crossJoin(broadcast(tot))
       .select((keepCols.map(col) :+ col(catCol) :+ col("y") :+
         round(((col("s_cat") - col("y")) * col("tn")
             + lit(m) * col("ts")).cast("double")
@@ -1152,7 +1165,8 @@ object Stats {
     val pool = hp.withColumn("pcum", sum(col("pc")).over(wp))
       .crossJoin(broadcast(npool))
     val groups = src.select(col("g"), col("n_g")).distinct()
-    val poolRep = pool.crossJoin(broadcast(groups))
+    val poolRep = pool.crossJoin(
+      Hints.boundedBroadcast(groups, "group_domain_contract"))
       .select(col("g"), lit(0).as("tag"),
         (col("pcum") * col("n_g")).as("ukey"),
         col("pv"), lit(null).cast("long").as("v"),
@@ -1205,10 +1219,12 @@ object Stats {
       when(col(nc).isNull, lit(0.0))
         .otherwise(col(cc).cast("double") / col(nc).cast("double"))
     sub
-      .join(broadcast(js.select(col("set_key").as("s_key"),
-        col("n").as("ns"), col("c").as("cs"))), Seq("s_key"), "left")
-      .join(broadcast(js.select(col("set_key").as("t_key"),
-        col("n").as("nt"), col("c").as("ct"))), Seq("t_key"), "left")
+      .join(Hints.boundedBroadcast(js.select(col("set_key").as("s_key"),
+        col("n").as("ns"), col("c").as("cs")), "channel_subsets"),
+        Seq("s_key"), "left")
+      .join(Hints.boundedBroadcast(js.select(col("set_key").as("t_key"),
+        col("n").as("nt"), col("c").as("ct")), "channel_subsets"),
+        Seq("t_key"), "left")
       .select(col("channel"),
         coalesce(col("ns"), lit(0L)).as("nsz"),
         coalesce(col("cs"), lit(0L)).as("csz"),
@@ -1304,16 +1320,19 @@ object Stats {
     val segs = pre.select(col("b").as("i"),
         (col("cn") - col("n")).as("cni0"),
         (col("cp") - col("p")).as("cpi0"))
-      .join(broadcast(pre.select(col("b").as("j"), col("cn").as("cnj"),
-        col("cp").as("cpj"))), col("i") <= col("j"))
+      .join(Hints.boundedBroadcast(
+        pre.select(col("b").as("j"), col("cn").as("cnj"),
+          col("cp").as("cpj")), "calibration_bins"),
+        col("i") <= col("j"))
       .select(col("i"),
         round((col("cpj") - col("cpi0")).cast("double")
           / (col("cnj") - col("cni0")).cast("double"), 9).as("avg"))
     val mins = segs.groupBy(col("i")).agg(min(col("avg")).as("mi"))
     val iso = pre.select(col("b"))
-      .join(broadcast(mins), col("i") <= col("b"))
+      .join(Hints.boundedBroadcast(mins, "calibration_bins"),
+        col("i") <= col("b"))
       .groupBy(col("b")).agg(max(col("mi")).as("iso_raw"))
-    pre.join(broadcast(iso), Seq("b"))
+    pre.join(Hints.boundedBroadcast(iso, "calibration_bins"), Seq("b"))
       .select(col("b").as(binCol), col("n"), col("p").as("pos"),
         round(col("p").cast("double") / col("n").cast("double"), 6)
           .as("rate"),
@@ -1426,7 +1445,8 @@ object Stats {
     val nbD = col("nb").cast("double")
     val dev = col("loo").cast("double") -
       col("sl").cast("double") / nbD
-    val sq = loo.join(broadcast(m), Seq("nb", "tn", "td"))
+    val sq = loo.join(Hints.boundedBroadcast(m, "fold_buckets"),
+      Seq("nb", "tn", "td"))
       .select(col("nb"), col("tn"), col("td"),
         round(dev * dev, 12).cast("decimal(38,12)").as("t2"))
       .groupBy(col("nb"), col("tn"), col("td"))
@@ -1680,13 +1700,16 @@ object Stats {
       val si = sTab.select(col("i").as("di"), col("st").as("sst"))
       val sj = sTab.select(col("i").as("dj"), col("st").as("sjt"))
       val den = sym
-        .join(broadcast(si), col("i") === col("di"))
-        .join(broadcast(sj), col("j") === col("dj"))
+        .join(Hints.boundedBroadcast(si, "bt_item_panel"),
+          col("i") === col("di"))
+        .join(Hints.boundedBroadcast(sj, "bt_item_panel"),
+          col("j") === col("dj"))
         .groupBy(col("i"))
         .agg(sum(round(col("n").cast("double")
             / (col("sst") + col("sjt")), 9)
           .cast("decimal(19,9)")).as("dn"))
-      val raw = den.join(broadcast(wt), Seq("i"))
+      val raw = den.join(Hints.boundedBroadcast(wt, "bt_item_panel"),
+        Seq("i"))
         .select(col("i"),
           round(col("wins").cast("double") / col("dn").cast("double"),
             9).as("sr"))
@@ -1696,7 +1719,7 @@ object Stats {
           round(col("sr") * lit(nt) / col("tot").cast("double"), 9)
             .as("st")))
     }
-    wt.join(broadcast(sTab), Seq("i"))
+    wt.join(Hints.boundedBroadcast(sTab, "bt_item_panel"), Seq("i"))
       .select(col("i"), col("wins"), col("comparisons"),
         round(col("st"), 6).as("strength"))
   }
@@ -1738,7 +1761,7 @@ object Stats {
     val d2 = (col("p2b") - col("p2a")).cast("double")
     val len = (col("b") - col("a0")).cast("double")
     val sseTab = Materializer.Local(hi
-      .join(broadcast(lo), col("a0") < col("b"))
+      .join(Hints.boundedBroadcast(lo, "grid_g_rows"), col("a0") < col("b"))
       .select((col("a0") + 1).as("a"), col("b"),
         round(d2 - d * d / len, 9).as("sse")))
     // DP: bestJ(i) = min_m best{J-1}(m) + sse(m+1, i); argmin tie -> m
@@ -1751,7 +1774,8 @@ object Stats {
       val wMin = Window.partitionBy(col("i"))
         .orderBy(col("cost").asc, col("m").asc)
       bests ::= Materializer.Local(prev
-        .join(broadcast(sseTab), col("a") === col("m") + 1)
+        .join(Hints.boundedBroadcast(sseTab, "grid_g_rows"),
+          col("a") === col("m") + 1)
         .select(col("b").as("i"), col("m"),
           round(col("pcost") + col("sse"), 9).as("cost"))
         .withColumn("rk", row_number().over(wMin))
@@ -1773,12 +1797,13 @@ object Stats {
       (idx + 1, sl, bounds(idx))
     }.toDF("bucket", "seg_lo", "seg_hi")
     segs
-      .join(broadcast(sseTab.select(col("a").as("seg_lo"),
-        col("b").as("seg_hi"), col("sse"))), Seq("seg_lo", "seg_hi"))
-      .join(broadcast(pre.select(col("t").as("seg_hi"),
-        col("p").as("phi"))), Seq("seg_hi"))
-      .join(broadcast(pre.select((col("t") + 1).as("seg_lo"),
-        col("p").as("plo"))), Seq("seg_lo"))
+      .join(Hints.boundedBroadcast(sseTab.select(col("a").as("seg_lo"),
+        col("b").as("seg_hi"), col("sse")), "grid_g_rows"),
+        Seq("seg_lo", "seg_hi"))
+      .join(Hints.boundedBroadcast(pre.select(col("t").as("seg_hi"),
+        col("p").as("phi")), "grid_g_rows"), Seq("seg_hi"))
+      .join(Hints.boundedBroadcast(pre.select((col("t") + 1).as("seg_lo"),
+        col("p").as("plo")), "grid_g_rows"), Seq("seg_lo"))
       .select(col("bucket"), col("seg_lo"), col("seg_hi"),
         (col("phi") - col("plo")).cast("long").as("n_rows"),
         round(col("sse"), 6).as("sse"))
@@ -1873,7 +1898,8 @@ object Stats {
       .crossJoin(broadcast(tot))
       .join(cum, col("cum") >= thr)
       .groupBy(col("t")).agg(min(col("v")).as("gv")))
-    val seg = hist.join(broadcast(grid), col("v") <= col("gv"))
+    val seg = hist.join(Hints.boundedBroadcast(grid, "grid_g_rows"),
+      col("v") <= col("gv"))
       .groupBy(col("v"), col("c")).agg(min(col("t")).as("t"))
     val freqs = Materializer.Local(
       seg.groupBy(col("t")).agg(sum(col("c")).as("f")))
@@ -1904,8 +1930,8 @@ object Stats {
       .agg(sum(col("c")).as("c"))
     val (grid, freqs) = equiRankGridFreqs(merged, g)
     vOptimalDp(freqs, g, k)
-      .join(broadcast(grid.select(col("t").as("seg_hi"),
-        col("gv").as("v_hi"))), Seq("seg_hi"))
+      .join(Hints.boundedBroadcast(grid.select(col("t").as("seg_hi"),
+        col("gv").as("v_hi")), "grid_g_rows"), Seq("seg_hi"))
       .select(col("bucket"), col("seg_lo"), col("seg_hi"), col("v_hi"),
         col("n_rows"), col("sse"))
   }
@@ -1986,7 +2012,7 @@ object Stats {
       .filter(col("a").isNotNull))
     // uniform split: every interval nests in exactly one cell per shard
     cells
-      .join(broadcast(iv),
+      .join(Hints.boundedBroadcast(iv, "grid_g_rows"),
         col("a") >= col("lo") && col("b") <= col("hi"))
       .select(col("a"), col("b"),
         round(col("f").cast("double")
@@ -1996,6 +2022,58 @@ object Stats {
       .groupBy(col("a"), col("b"))
       .agg(sum(col("m")).as("massd"))
       .select(col("a"), col("b"), col("massd").cast("double").as("mass"))
+  }
+
+  /** Merged heavy-hitter bracket over a `(shard, tok, c)` counts frame —
+    * the q309 readout, factored so the batch query and the streaming
+    * maintenance face ([[graft.streaming.FreqItemsStream]]) are
+    * bit-identical by construction. Per shard: the `kTop` most frequent
+    * tokens (count desc, token asc — deterministic) plus
+    * `err_s` = the largest DROPPED count (Agarwal et al., PODS 2012
+    * mergeable summaries); a shard's true count for any item is exact if
+    * kept, else <= err_s, so the merged summary brackets every item's
+    * corpus count in [Σ kept, Σ kept-or-err] while shipping only k+1
+    * numbers per shard. The audit reads the bracket for the exact global
+    * top-10 tokens, certifies containment, and prices the worst relative
+    * bracket width.
+    *
+    * Scale shape: the rank window partitions by shard (parallel across
+    * shards; in the sharded-ANALYZE deployment each shard's histogram is
+    * machine-local by construction); the bracket attach is a
+    * 10 x n_shards cross join — n_shards is a deployment parameter, not
+    * a corpus-growing count, so the broadcast is adjudicated bounded. */
+  def heavyHitterBracket(shardCounts0: DataFrame, kTop: Int,
+                         materialize: Materializer = Materializer.Local)
+      : DataFrame = {
+    val shardCounts = materialize(shardCounts0
+      .select(col("shard"), col("tok"), col("c")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("c").desc, col("tok").asc)
+    val ranked = materialize(
+      shardCounts.withColumn("rk", row_number().over(w)))
+    val kept = ranked.filter(col("rk") <= kTop)
+      .select(col("shard"), col("tok"), col("c"))
+    val errAll = ranked.select(col("shard")).distinct()
+      .join(ranked.filter(col("rk") > kTop).groupBy(col("shard"))
+        .agg(max(col("c")).as("err0")), Seq("shard"), "left")
+      .select(col("shard"), coalesce(col("err0"), lit(0L)).as("err"))
+    val exact = shardCounts.groupBy(col("tok")).agg(sum(col("c")).as("n"))
+    val top10 = exact.orderBy(col("n").desc, col("tok").asc).limit(10)
+    // one row per (top-10 token, shard): n_shards is a deployment
+    // constant (the summary is k+1 numbers PER SHARD by design), so the
+    // attach side is 10 x n_shards rows regardless of corpus size
+    top10.crossJoin(Hints.boundedBroadcast(errAll, "per_shard_rows"))
+      .join(kept, Seq("shard", "tok"), "left")
+      .groupBy(col("tok"), col("n"))
+      .agg(sum(coalesce(col("c"), lit(0L))).as("est_lo"),
+        sum(coalesce(col("c"), col("err"))).as("est_hi"))
+      .select(col("tok"), col("n").as("exact_n"), col("est_lo"),
+        col("est_hi"),
+        (col("est_lo") <= col("n") && col("n") <= col("est_hi"))
+          .as("bracketed"),
+        round((col("est_hi") - col("est_lo")).cast("double")
+          / col("n").cast("double"), 6).as("rel_width"))
+      .orderBy(col("exact_n").desc, col("tok").asc)
   }
 
   /** Adjusted Rand Index (Hubert & Arabie 1985) between two labelings

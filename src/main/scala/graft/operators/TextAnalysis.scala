@@ -191,7 +191,8 @@ object TextAnalysis {
       .join(evalDocs.select(col(idCol)), Seq(idCol), "left_anti")
       .select(col(idCol).as("id"),
         explode_outer(array_distinct(shingles(col(textCol), n))).as("sh"))
-      .join(broadcast(evalShingles), Seq("sh"))
+      .join(Hints.boundedBroadcast(evalShingles, "eval_set_contract"),
+        Seq("sh"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_overlap"))
   }
@@ -344,11 +345,13 @@ object TextAnalysis {
     * (id, n_sh, n_known, novelty) for every non-reference doc,
     * novelty = 1 − n_known/n_sh round(6).
     *
-    * Scale shape: same as [[contaminationOverlap]] — reference shingles
-    * distinct + broadcast, corpus side explode → LEFT broadcast join →
-    * one per-doc partial-combined count; swap the broadcast for the
-    * [[contaminationOverlapBloom]] prefilter when the reference slice
-    * outgrows broadcast. */
+    * Scale shape: same as [[contaminationOverlap]] except the reference
+    * side is a corpus SLICE, not a small eval set — its distinct
+    * shingles grow with the slice (Heaps' law), so the shingle-keyed
+    * left join is UNHINTED (AQE broadcasts a genuinely small reference,
+    * a shuffle join carries a big one); swap in the
+    * [[contaminationOverlapBloom]] prefilter when even the shuffle is
+    * too wide. */
   def noveltyVsReference(corpus: DataFrame, ref: DataFrame,
                          idCol: String, textCol: String, n: Int)
       : DataFrame = {
@@ -360,7 +363,7 @@ object TextAnalysis {
     corpus
       .select(col(idCol).as("id"),
         explode_outer(array_distinct(shingles(col(textCol), n))).as("sh"))
-      .join(broadcast(refShingles), Seq("sh"), "left")
+      .join(refShingles, Seq("sh"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_sh"),
         sum(coalesce(col("known"), lit(0L))).as("n_known"))

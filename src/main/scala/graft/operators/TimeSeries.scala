@@ -120,8 +120,8 @@ object TimeSeries {
     // the level AT THE START, not at epoch 0 (all downstream references
     // are cheap projections over the pinned hourly table)
     val base = abs0
-      .join(broadcast(abs0.groupBy(col("key"))
-        .agg(min(col("xa")).as("x0"))), Seq("key"))
+      .join(Hints.boundedBroadcast(abs0.groupBy(col("key"))
+        .agg(min(col("xa")).as("x0")), "series_key_domain"), Seq("key"))
       .select(col("key"), (col("xa") - col("x0")).as("x"), col("y"))
     val a = base.select(col("key"), col("x").as("x1"), col("y").as("y1"))
     val b = base.select(col("key"), col("x").as("x2"), col("y").as("y2"))
@@ -131,7 +131,8 @@ object TimeSeries {
           / (col("x2") - col("x1")).cast("double"), 9).as("m"))
     val slope = slopes.groupBy(col("key"))
       .agg(round(expr("percentile(m, 0.5)"), 6).as("slope"))
-    base.join(broadcast(slope), Seq("key"))
+    base.join(Hints.boundedBroadcast(slope, "series_key_domain"),
+      Seq("key"))
       .groupBy(col("key"))
       .agg(count(lit(1)).cast("long").as("n_hours"),
         first(col("slope")).as("slope"),
@@ -172,7 +173,8 @@ object TimeSeries {
             - col("s").cast("double") * col("s").cast("double")
               / col("cnt").cast("double"))
             / col("cnt").cast("double")), 6).as("sd_n"))
-    base.join(broadcast(prof), Seq("key", "hod"))
+    base.join(Hints.boundedBroadcast(prof, "series_key_domain"),
+      Seq("key", "hod"))
       .filter(col("sd_n") > 0 &&
         abs(col("n").cast("double") - col("mean_n"))
           > lit(z) * col("sd_n"))
@@ -227,7 +229,8 @@ object TimeSeries {
     val w = Window.partitionBy(col("key")).orderBy(col("hour"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val k = lit(slack).cast("decimal(38,6)")
-    val scored = base.join(broadcast(prof), Seq("key"))
+    val scored = base.join(
+      Hints.boundedBroadcast(prof, "series_key_domain"), Seq("key"))
       .filter(col("sd_n") > 0)
       .withColumn("z",
         round((col("n").cast("double") - col("mean_n")) / col("sd_n"), 6)
@@ -425,7 +428,8 @@ object TimeSeries {
     val seas = detr.groupBy(col("key"), col("hod"))
       .agg(round(sum(col("detr").cast("decimal(38,6)")).cast("double")
         / count(lit(1)).cast("double"), 6).as("seasonal"))
-    detr.join(broadcast(seas), Seq("key", "hod"))
+    detr.join(Hints.boundedBroadcast(seas, "series_key_domain"),
+      Seq("key", "hod"))
       .select(col("key"), col("hour"), col("n"), col("trend"),
         col("seasonal"),
         round(col("n").cast("double") - col("trend") - col("seasonal"), 6)

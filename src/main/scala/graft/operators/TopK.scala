@@ -58,7 +58,7 @@ object TopK {
       .withColumn("mgt", max(col("my")).over(wgt))
       .withColumn("mge", max(col("my")).over(wge))
       .select(col("x"), col("mgt"), col("mge"))
-    pts.join(broadcast(dom), Seq("x"))
+    pts.join(Hints.boundedBroadcast(dom, "value_grid"), Seq("x"))
       .filter(!(coalesce(col("mgt") >= col("y"), lit(false))
         || col("mge") > col("y")))
       .select(col(idCol), col("x"), col("y"))

@@ -111,7 +111,7 @@ object NearDupStream {
       // life, and the delta filter keeps a shared session's own pins
       // untouched
       val after = spark.sparkContext.getPersistentRDDs
-      (after.keySet -- pinnedBefore).foreach(id =>
+      after.keySet.filterNot(pinnedBefore.contains).foreach(id =>
         after.get(id).foreach(r =>
           try r.unpersist(blocking = false)
           catch { case _: Throwable => () }))
@@ -150,15 +150,21 @@ object NearDupStream {
     * the log needs no dedup). `pairSchema` is the non-partition part of
     * the log's schema: passing it explicitly means a log whose batches
     * produced no pair yet (data-file-less dir, or no dir at all) reads
-    * as an EMPTY frame instead of failing parquet schema inference. */
+    * as an EMPTY frame instead of failing parquet schema inference.
+    * Pass the stream's `checkpointDir` to read only COMMITTED batches —
+    * without it the read is exact only after the AvailableNow drain
+    * terminates (a concurrent read can transiently observe a batch
+    * whose checkpoint commit has not landed; see [[Commits]]). */
   def confirmedPairs(spark: SparkSession, pairsDir: String,
-                     pairSchema: StructType = defaultPairSchema): DataFrame =
+                     pairSchema: StructType = defaultPairSchema,
+                     checkpointDir: Option[String] = None): DataFrame =
     if (!dirExists(spark, pairsDir))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairSchema)
     else
-      spark.read.schema(pairSchema.add("batch_id", "long"))
-        .parquet(pairsDir)
+      Commits.committedOnly(spark,
+          spark.read.schema(pairSchema.add("batch_id", "long"))
+            .parquet(pairsDir), checkpointDir)
         .select(col("a_id"), col("b_id"), col("sim"))
 
   /** (a_id, b_id, sim) for the engine's numeric doc ids. */

@@ -60,9 +60,14 @@ object SynopsisStream {
   /** The merged histogram over everything ingested so far: one
     * associative Σc-by-v over the per-batch partials. Explicit schema,
     * so a synopsis with no batches yet (or only empty ones) reads as an
-    * EMPTY histogram instead of failing parquet inference. */
+    * EMPTY histogram instead of failing parquet inference. Pass the
+    * stream's `checkpointDir` to read only COMMITTED batches — without
+    * it the read is exact only after the AvailableNow drain terminates
+    * (a concurrent read can transiently observe a batch whose
+    * checkpoint commit has not landed; see [[Commits]]). */
   def histogram(spark: SparkSession, synDir: String,
-                valueType: DataType = LongType): DataFrame = {
+                valueType: DataType = LongType,
+                checkpointDir: Option[String] = None): DataFrame = {
     val schema = StructType(Seq(StructField("v", valueType),
       StructField("c", LongType), StructField("batch_id", LongType)))
     val p = new org.apache.hadoop.fs.Path(synDir)
@@ -71,7 +76,8 @@ object SynopsisStream {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(schema.dropRight(1)))
     else
-      spark.read.schema(schema).parquet(synDir)
+      Commits.committedOnly(spark,
+          spark.read.schema(schema).parquet(synDir), checkpointDir)
         .groupBy(col("v")).agg(sum(col("c")).as("c"))
   }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** Ad-hoc sweep runner for the entity-scale broadcast guard: walks every
+  * query's analyzed plan with the SAME bounded() logic as PlanAuditSpec
+  * and dumps each offending hint subtree to a file for adjudication.
+  * Tooling only — the enforcement lives in PlanAuditSpec. */
+object GuardSweep {
+
+  def bounded(p: LogicalPlan): Boolean = p match {
+    case s: SubqueryAlias if s.alias.startsWith("bounded_") => true
+    case a: Aggregate =>
+      a.groupingExpressions.isEmpty || bounded(a.child)
+    case _: GlobalLimit | _: LocalLimit => true
+    case _: LocalRelation | _: OneRowRelation | _: Range => true
+    case j: Join => j.joinType match {
+      case org.apache.spark.sql.catalyst.plans.LeftSemi |
+           org.apache.spark.sql.catalyst.plans.LeftAnti =>
+        bounded(j.left)
+      case _ => bounded(j.left) && bounded(j.right)
+    }
+    case u: Union => u.children.forall(bounded)
+    case l if l.children.isEmpty =>
+      val s = l.toString
+      s.contains("nation") || s.contains("region")
+    case other if other.children.size == 1 => bounded(other.children.head)
+    case _ => false
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val out = new java.io.PrintWriter("/tmp/guard_offenders.txt")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("guard-sweep")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("guard-ckpt").toString)
+    for ((q, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try {
+        val analyzed = fn(spark, dir).queryExecution.analyzed
+        val offending = analyzed.collect {
+          case h: ResolvedHint
+              if h.hints.strategy.contains(BROADCAST) &&
+                !bounded(h.child) => h.child
+        }
+        for (o <- offending) {
+          out.println(s"### $q")
+          out.println(o.toString.linesIterator.take(8).mkString("\n"))
+          out.println()
+        }
+      } catch {
+        case e: Throwable => out.println(s"### $q ERR ${e.getMessage}")
+      }
+      out.flush()
+    }
+    out.close()
+    spark.stop()
+  }
+}

@@ -4224,6 +4224,17 @@ class OperatorsSpec extends SparkSpec {
       assert(split == asg(cl)._2, s"doc $id (cluster $cl)")
     // the property the operator exists for: zero straddling pairs
     for ((a, b) <- pairEdges) assert(asg(a)._3 == asg(b)._3, s"($a,$b)")
+    // a caller whose docs already carries cluster_id/cs_id columns must
+    // not hit an ambiguous-reference analysis error: the operator
+    // projects docs down to the id before the join
+    val noisy = docs.withColumn("cluster_id",
+        org.apache.spark.sql.functions.lit(99L))
+      .withColumn("cs_id", org.apache.spark.sql.functions.lit(-1L))
+    val asg2 = graft.operators.Dedup
+      .clusterAwareSplit(noisy, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asg2 == asg.map { case (k, v) => k -> v._1 },
+      "pre-existing cluster_id/cs_id columns changed the assignment")
   }
 
   test("histCumSum: the bucketed two-phase prefix sum equals the " +

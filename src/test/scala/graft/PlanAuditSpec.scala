@@ -1279,8 +1279,9 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q261/q262/q263: trend pairs ride the bounded days table; " +
-    "McNemar is one aggregate; LOF joins stay broadcast over the " +
-    "bounded kNN table — no cartesian, no shuffle join") {
+    "McNemar is one aggregate; LOF's per-point kdist/lrd joins are " +
+    "UNHINTED equi-joins (round-10 de-hint: the frames are SF-linear, " +
+    "AQE picks the strategy) — no cartesian anywhere") {
     val p1 = plan("q261_mann_kendall")
     assert(!p1.contains("CartesianProduct")
       && !p1.contains("SortMergeJoin"), p1.take(3000))
@@ -1288,10 +1289,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct")
       && !p2.contains("SortMergeJoin")
       && !p2.contains("BroadcastHashJoin"), p2.take(3000))
+    // the kNN/kdist/lrd attach joins must stay keyed equi-joins —
+    // broadcast or shuffle is AQE's call now that the hints are gone
     val p3 = plan("q263_lof")
-    assert(p3.contains("BroadcastHashJoin")
-      && !p3.contains("CartesianProduct")
-      && !p3.contains("SortMergeJoin"), p3.take(3000))
+    assert(!p3.contains("CartesianProduct")
+      && !p3.contains("BroadcastNestedLoopJoin"), p3.take(3000))
+    assert(p3.contains("BroadcastHashJoin") || p3.contains("SortMergeJoin")
+      || p3.contains("ShuffledHashJoin"), p3.take(3000))
   }
 
   test("q264/q265: coalition values ride the 16-row mask histogram; " +
@@ -1548,13 +1552,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
-  test("q304: CWS model broadcast-joins into the tf stream; band " +
+  test("q304: CWS model equi-joins into the tf stream UNHINTED (vocab " +
+    "grows by Heaps' law — AQE picks the strategy by real size); band " +
     "candidates are an equi-join, arg-min is an aggregate (no window, " +
     "no cartesian)") {
     val p = plan("q304_weighted_neardup")
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
-    assert(p.contains("BroadcastHashJoin"), p.take(3000)) // vocab model
+    // the (term)-keyed model join must be a hash/sort-merge equi-join
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p.take(3000))
     assert(!p.contains("Window"), p.take(3000)) // struct-min aggregate
   }
 
@@ -1573,24 +1580,41 @@ class PlanAuditSpec extends SparkSpec {
       p.take(3000))
   }
 
-  test("entity-scale broadcast guard: no forced broadcast() hint over a " +
-    "frame that grows with the corpus (the one plan class that fails a " +
-    "100x scale-up — a FORCED hint bypasses Spark's size check and OOMs " +
-    "instead of falling back, while unhinted AQE still broadcasts " +
-    "genuinely small sides)") {
+  test("entity-scale broadcast guard over ALL queries: no forced " +
+    "broadcast() hint over a frame that grows with the corpus (the one " +
+    "plan class that fails a 100x scale-up — a FORCED hint bypasses " +
+    "Spark's size check and OOMs instead of falling back, while " +
+    "unhinted AQE still broadcasts genuinely small sides)") {
     import org.apache.spark.sql.catalyst.plans.logical._
     // a hint subtree is BOUNDED-BY-CONSTRUCTION iff its row count cannot
     // grow with the corpus: a grouping-free (scalar) aggregate, an
     // explicit limit, a literal/local relation, a join/union of bounded
     // inputs, or a scan of a fixed-cardinality catalog table (TPC-H
-    // nation=25 / region=5 are constant at every SF). Grouped aggregates
-    // are NOT accepted: grouping by an entity key (user_id, doc_id,
-    // term) is exactly the class that OOMed forced broadcasts at scale.
+    // nation=25 / region=5 are constant at every SF). Additionally:
+    //   - a GROUPED aggregate over a bounded input is bounded (its row
+    //     count is at most the input's) — but grouping an entity key
+    //     (user_id, doc_id, term) out of the CORPUS is exactly the class
+    //     that OOMed forced broadcasts at scale, and stays rejected;
+    //   - a semi/anti join is bounded iff its LEFT side is (the output
+    //     never exceeds the left);
+    //   - a subtree stamped `bounded_<why>` by Hints.boundedBroadcast is
+    //     an explicit human adjudication that construction guarantees
+    //     boundedness in a way this structural walker cannot see (e.g.
+    //     an operator contract that makes the frame the small "queries"
+    //     side, or a per-key top-k over contract-bounded keys). Every
+    //     stamp site carries a written rationale and is greppable.
     def bounded(p: LogicalPlan): Boolean = p match {
-      case a: Aggregate => a.groupingExpressions.isEmpty
+      case s: SubqueryAlias if s.alias.startsWith("bounded_") => true
+      case a: Aggregate =>
+        a.groupingExpressions.isEmpty || bounded(a.child)
       case _: GlobalLimit | _: LocalLimit => true
       case _: LocalRelation | _: OneRowRelation | _: Range => true
-      case j: Join => bounded(j.left) && bounded(j.right)
+      case j: Join => j.joinType match {
+        case org.apache.spark.sql.catalyst.plans.LeftSemi |
+             org.apache.spark.sql.catalyst.plans.LeftAnti =>
+          bounded(j.left)
+        case _ => bounded(j.left) && bounded(j.right)
+      }
       case u: Union => u.children.forall(bounded)
       case l if l.children.isEmpty =>
         val s = l.toString
@@ -1598,23 +1622,28 @@ class PlanAuditSpec extends SparkSpec {
       case other if other.children.size == 1 => bounded(other.children.head)
       case _ => false
     }
-    // the queries de-hinted in round 9 (judge-flagged q122/q190/q278 plus
-    // the sweep's finds: SF-linear customer/supplier dims, the corpus-
-    // growing frequent-shingle/span/kept-term sets) — any hint that
-    // remains must be provably bounded
-    val audited = Seq("q02_top_customers", "q03_shipping_priority",
-      "q05_region_revenue", "q71_boilerplate", "q79_span_dedup",
-      "q122_temporal_split", "q139_sparse_cosine", "q190_dup_matrix",
-      "q278_signflip_test")
-    for (q <- audited) {
-      val analyzed =
-        SparkEntry.queries(q)(spark, dir).queryExecution.analyzed
+    val failures = scala.collection.mutable.Buffer[String]()
+    for ((q, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val analyzed = fn(spark, dir).queryExecution.analyzed
       val offending = analyzed.collect {
-        case h: ResolvedHint if !bounded(h.child) => h.child
+        // only BROADCAST-strategy hints can OOM at scale; a merge/
+        // shuffle-hash hint over a corpus frame shuffles and is fine
+        case h: ResolvedHint
+            if h.hints.strategy.contains(
+                org.apache.spark.sql.catalyst.plans.logical.BROADCAST)
+              && !bounded(h.child) => h.child
       }
-      assert(offending.isEmpty,
-        s"$q carries a forced broadcast over an unbounded frame:\n" +
+      if (offending.nonEmpty) {
+        failures += q
+        // full subtrees per offender to stderr — the aggregate assert
+        // message gets truncated by the runner when the list is long
+        System.err.println(s"[guard] $q carries a forced broadcast " +
+          "over an unbounded frame:\n" +
           offending.map(_.toString.take(400)).mkString("\n---\n"))
+      }
     }
+    assert(failures.isEmpty,
+      s"${failures.size} queries fail the guard: " +
+        failures.mkString(", "))
   }
 }

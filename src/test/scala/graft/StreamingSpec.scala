@@ -351,6 +351,83 @@ class StreamingSpec extends SparkSpec {
     assert(histSet() == before, "replay changed the merged synopsis")
   }
 
+  test("FreqItemsStream: heavy-hitter partials across a kill-and-restart " +
+      "reproduce the q309 bracket exactly, a crash-replayed batch " +
+      "rewrites only itself, and a committed-only read excludes an " +
+      "in-flight batch") {
+    // the streaming maintenance face of the frequent-items synopsis
+    // regime (q309): per batch only the new documents are tokenized into
+    // a (shard, tok, c) partial; the merge-on-read is the exact
+    // associative Σc fold, and the k-with-threshold summary is the SAME
+    // Stats.heavyHitterBracket the batch query runs — so three drops
+    // with a restart in between must match the batch oracle bit-for-bit.
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    import graft.streaming.FreqItemsStream
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft-freqitems-stream")
+    val dropDir = root.resolve("drop").toString
+    val countsDir = root.resolve("counts").toString
+    val ckpt = root.resolve("ckpt").toString
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = root.resolve(s"tmp_$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      new java.io.File(dropDir).mkdirs()
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(dropDir, s"$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val q = FreqItemsStream.runAvailableNow(
+        FreqItemsStream.readDocs(spark, dropDir, docs.schema),
+        "doc_id", "text", nShards = 4, countsDir, ckpt)
+      q.awaitTermination(120000)
+    }
+    // an empty store reads as an empty frame, never an inference failure
+    assert(FreqItemsStream.mergedCounts(spark, countsDir).isEmpty)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getDouble(5))).toSeq
+    drop(docs.filter(col("doc_id") % 3 === 0), "b0")
+    runOnce()
+    drop(docs.filter(col("doc_id") % 3 === 1), "b1")
+    runOnce()
+    // the kill-and-restart: a FRESH query from the same checkpoint
+    // picks up only the third file
+    drop(docs.filter(col("doc_id") % 3 === 2), "b2")
+    runOnce()
+    val streamed = rows(FreqItemsStream.summary(spark, countsDir))
+    val oracle = rows(SparkEntry.queries("q309_heavyhitter_merge")(
+      spark, dir))
+    assert(streamed.nonEmpty && streamed == oracle,
+      s"streamed=${streamed.take(3)} oracle=${oracle.take(3)}")
+    // crash replay of the LAST batch: its partition is rewritten with
+    // identical content, the merged summary is unchanged
+    val lastId = spark.read.parquet(countsDir)
+      .agg(max(col("batch_id").cast("long"))).collect()(0).getLong(0)
+    FreqItemsStream.processBatch(docs.filter(col("doc_id") % 3 === 2),
+      lastId, "doc_id", "text", nShards = 4, countsDir)
+    assert(rows(FreqItemsStream.summary(spark, countsDir)) == oracle,
+      "replay changed the merged summary")
+    // committed-only visibility (the read-during-drain contract): an
+    // in-flight batch — written but not yet in the checkpoint's commit
+    // log — is visible to the raw read and EXCLUDED from the
+    // checkpoint-filtered one
+    val commits = graft.streaming.Commits.lastCommitted(spark, ckpt)
+    assert(commits.contains(lastId), s"commit log says $commits")
+    FreqItemsStream.processBatch(docs.filter(col("doc_id") % 3 === 2),
+      lastId + 5, "doc_id", "text", nShards = 4, countsDir)
+    assert(rows(FreqItemsStream.summary(spark, countsDir,
+        checkpointDir = Some(ckpt))) == oracle,
+      "committed-only read saw the uncommitted batch")
+    assert(rows(FreqItemsStream.summary(spark, countsDir)) != oracle,
+      "raw read should see the uncommitted batch (documented mode)")
+  }
+
   test("streaming ANALYZE refresh: per-batch value histograms folded " +
       "into a persisted synopsis give the batch V-optimal construction") {
     // the q305 merge's streaming face: each micro-batch ships only its

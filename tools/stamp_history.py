@@ -4,15 +4,27 @@ targets the round-8 skip set first.
 
 The round-8 RECORDED bench artifact (BENCH_r08.json) certified a known
 subset of queries at the sf1-class tier: all of q30..q99, q52/q53,
-q209, and q304-q306 (per VERDICT.md round 8). The rest of this round's
-history entries come from the in-session dry run. Stamping the
-known-r8-recorded names one run NEWER makes Bench.largeOrder run the
-complement — i.e. the r8 recorded run's skip list — first, so the
-union of recorded rounds converges on full coverage.
+q209, and q304-q306 (per VERDICT.md round 8). History entries seeded
+from an in-session dry run get stamped one run OLDER than the
+known-r8-recorded names, so Bench.largeOrder runs the complement —
+i.e. the r8 recorded run's skip list — first, and the union of
+recorded rounds converges on full coverage.
+
+Run-id conventions this tool respects:
+  - run 0 is the "never certified, run FIRST" seed for brand-new
+    queries (names added after the r8 seeding, e.g. q307-q309 in
+    round 9 — seeded at 0 by hand so they lead the next recorded
+    pass). This tool cannot produce run-0 rows; it PRESERVES them.
+  - names outside the hard-coded r8 set whose existing run id is
+    neither 1 nor 2 keep their id unchanged (idempotence over files
+    the driver has since re-stamped: a recorded run id must never be
+    demoted back into the seeded range).
+  - '#'-prefixed lines are comments (provenance notes); they are
+    dropped here because Bench.writeHistory re-emits the canonical
+    provenance block on its next write.
 
 Usage: python3 tools/stamp_history.py [path-to-tsv]
-Idempotent: reads the file, rewrites it with #run 2, stale names at
-run 1, r8-recorded names at run 2.
+Idempotent: re-running produces the identical file.
 """
 import re
 import sys
@@ -37,16 +49,29 @@ def main() -> None:
     with open(path) as f:
         for line in f:
             parts = line.rstrip("\n").split("\t")
-            if len(parts) == 3:
-                entries[parts[0]] = float(parts[1])
+            if len(parts) == 3 and not parts[0].startswith("#"):
+                entries[parts[0]] = (float(parts[1]), int(parts[2]))
+    # the header must stay >= every stamp in the file, or the next
+    # recorded run's id (header + 1) collides with a preserved stamp
+    head = max([2] + [r for _, r in entries.values() if r not in (1, 2)])
     with open(path, "w") as f:
-        f.write("#run\t2\n")
+        f.write(f"#run\t{head}\n")
         for name in sorted(entries):
-            run = 2 if r8_recorded(name) else 1
-            f.write(f"{name}\t{entries[name]}\t{run}\n")
+            secs, old_run = entries[name]
+            if r8_recorded(name):
+                run = 2
+            elif old_run in (1, 2):
+                run = 1
+            else:
+                # preserve run-0 seeds and any already-recorded stamps
+                run = old_run
+            f.write(f"{name}\t{secs}\t{run}\n")
     n2 = sum(1 for n in entries if r8_recorded(n))
+    kept = sum(1 for n, (_, r) in entries.items()
+               if not r8_recorded(n) and r not in (1, 2))
     print(f"stamped {len(entries)} entries: {n2} at run 2 (r8-recorded), "
-          f"{len(entries) - n2} at run 1 (r8 skips, run first next round)")
+          f"{len(entries) - n2 - kept} at run 1 (r8 skips, run first), "
+          f"{kept} preserved (run-0 seeds / recorded stamps)")
 
 
 if __name__ == "__main__":
