@@ -409,6 +409,19 @@ object SparkEntry {
         .select(col("a_id").as("src"), col("b_id").as("dst"))
       operators.Graph.triangleStats(pairs)
     }),
+    // q310 runs the same exact (fast=false) pair generation as
+    // q201/q301 at the LOOSEST sweep threshold — clone-quadratic pair
+    // volume on the sf1 corpus (18.1 s dry-run untiered) — so it gets
+    // the same plan-identical 1/4 slice.
+    "q310_dedup_threshold_sweep" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val pairs = Dedup.minhashLshPairs(
+        hashSample(t(s, dir, "documents"), "doc_id", 4),
+        "doc_id", "text", k = 16, bands = 4, shingleN = 3,
+        threshold = 0.3, fast = false)
+      Dedup.dedupThresholdSweep(pairs,
+        Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8))
+    }),
     // the two remaining audit ceilings: Brandes–Pich betweenness prices
     // per PIVOT (sampling pivots IS the published estimator's knob —
     // %1009 ≈ a quarter of the full-size %251 pivot set), and the
@@ -462,6 +475,7 @@ object SparkEntry {
     "q263_lof" -> 8,
     "q304_weighted_neardup" -> 8,
     "q301_dup_transitivity" -> 4,
+    "q310_dedup_threshold_sweep" -> 4,
     "q273_betweenness" -> 4,
     "q286_nn_descent" -> 2)
 
@@ -7232,6 +7246,39 @@ object SparkEntry {
       val shardCounts =
         toks.groupBy(col("shard"), col("tok")).agg(count(lit(1)).as("c"))
       operators.Stats.heavyHitterBracket(shardCounts, kTop = 32)
+    }),
+
+    "q310_dedup_threshold_sweep" -> ((s, dir) => {
+      // dedup cutoff governance: the pair generation (banded join +
+      // exact verify — the expensive part) runs ONCE at the loosest
+      // candidate threshold, and every stricter cutoff is priced from
+      // the same pair stream: surviving pairs, documents touched, mean
+      // survivor similarity per θ. The readout a pipeline reads BEFORE
+      // committing to a Jaccard cutoff (q37 picks 0.5 by fiat; this
+      // query shows what 0.3–0.8 would each have done). Banding recall
+      // below the design threshold is part of the pinned semantics —
+      // the oracle replays the identical signature/band/verify pipeline.
+      GraftFunctions.register(s)
+      val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"),
+        "doc_id", "text", k = 16, bands = 4, shingleN = 3,
+        threshold = 0.3, fast = false)
+      Dedup.dedupThresholdSweep(pairs,
+        Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8))
+    }),
+
+    "q311_data_recipe" -> ((s, dir) => {
+      // token-budget mixture plan (the "data recipe"): per source, the
+      // sampling rate / epoch count that hits a uniform target share of
+      // a 2M-token budget, and the share actually achievable once
+      // repeats cap at 4 epochs — the provisioning readout a
+      // pretraining run is configured from, surfacing WHERE the recipe
+      // falls short instead of silently over-repeating a small source.
+      // Exact integer algebra (integer div/ceil/min); one
+      // (source, Σtokens) exchange.
+      operators.Sampling.mixturePlan(
+        t(s, dir, "documents").select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).as("toks")),
+        "source", col("toks"), budget = 2000000L, maxEpochs = 4)
     }),
 
     "q301_dup_transitivity" -> ((s, dir) => {
@@ -15725,6 +15772,34 @@ object SparkEntry {
         |GROUP BY t.tok, t.n
         |ORDER BY exact_n DESC, t.tok ASC""".stripMargin,
 
+    "q310_dedup_threshold_sweep" -> dedupSweepSql,
+
+    "q311_data_recipe" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> ''))) AS BIGINT) AS tokens_avail
+        |  FROM documents GROUP BY source
+        |), g AS (SELECT COUNT(*) AS n_groups FROM per
+        |), plan AS (
+        |  SELECT source, n_docs, tokens_avail,
+        |    CAST(2000000 // n_groups AS BIGINT) AS target_tokens
+        |  FROM per CROSS JOIN g
+        |), ep AS (
+        |  SELECT *, LEAST((target_tokens + tokens_avail - 1)
+        |      // tokens_avail, 4) AS epochs
+        |  FROM plan)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, tokens_avail,
+        |  target_tokens,
+        |  round(CAST(target_tokens AS DOUBLE)
+        |    / CAST(tokens_avail AS DOUBLE), 6) AS sampling_rate,
+        |  CAST(epochs AS BIGINT) AS epochs,
+        |  CAST(LEAST(target_tokens, tokens_avail * epochs) AS BIGINT)
+        |    AS capped_tokens,
+        |  round(CAST(LEAST(target_tokens, tokens_avail * epochs)
+        |    AS DOUBLE) / 2000000.0, 6) AS achievable_share
+        |FROM ep ORDER BY source""".stripMargin,
+
     "q303_curation_ablation" -> {
       def modelSql(name: String, cond: String): String =
         s"""tr_$name AS (
@@ -16766,7 +16841,11 @@ object SparkEntry {
   /** DuckDB BM25 (Lucene k1=1.2/b=0.75 formulation) over `documents` for a
     * literal term list — the exact algebra of [[operators.Retrieval.bm25]]
     * (same op order; ln ulps absorbed by round(6)). */
-  private lazy val minhashPairsSql: String =
+  /** Shared md5-MinHash banded-pair CTE chain ending in `verified`
+    * (a_id, b_id, sim) — the exact replay of minhashLshPairs(fast=false)
+    * BEFORE any threshold filter; q37 selects at 0.5, q310 sweeps a
+    * threshold grid over the same stream. */
+  private lazy val minhashVerifiedCte: String =
     """WITH tk AS (
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
@@ -16801,9 +16880,38 @@ object SparkEntry {
         |            list_distinct(b_sh))) AS DOUBLE)
         |        / CAST(len(list_distinct(list_concat(a_sh, b_sh))) AS DOUBLE)
         |      END, 6) AS sim
-        |  FROM pairs)
+        |  FROM pairs)""".stripMargin
+
+  private lazy val minhashPairsSql: String =
+    minhashVerifiedCte +
+      """
         |SELECT a_id, b_id, sim FROM verified WHERE sim >= 0.5
         |ORDER BY a_id, b_id""".stripMargin
+
+  private lazy val dedupSweepSql: String =
+    minhashVerifiedCte +
+      """, thr AS (
+        |  SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8]) AS DOUBLE)
+        |    AS theta
+        |), hit AS (
+        |  SELECT thr.theta, v.a_id, v.b_id, v.sim
+        |  FROM verified v JOIN thr ON v.sim >= thr.theta
+        |), perpair AS (
+        |  SELECT theta, COUNT(*) AS n_pairs,
+        |    round(CAST(SUM(CAST(sim AS DECIMAL(38,6))) AS DOUBLE)
+        |      / COUNT(*), 6) AS mean_sim
+        |  FROM hit GROUP BY theta
+        |), perdoc AS (
+        |  SELECT theta, COUNT(DISTINCT d) AS n_docs
+        |  FROM (SELECT theta, unnest([a_id, b_id]) AS d FROM hit)
+        |  GROUP BY theta)
+        |SELECT thr.theta,
+        |  CAST(COALESCE(perpair.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(perdoc.n_docs, 0) AS BIGINT) AS n_docs,
+        |  perpair.mean_sim
+        |FROM thr LEFT JOIN perpair USING (theta)
+        |LEFT JOIN perdoc USING (theta)
+        |ORDER BY theta""".stripMargin
 
   private lazy val simhashPairsSql: String =
     """WITH tk AS (

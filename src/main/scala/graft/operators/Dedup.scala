@@ -393,6 +393,53 @@ object Dedup {
     oldRelabeled.unionByName(newLabeled)
   }
 
+  /** Dedup threshold governance: how much would each candidate Jaccard
+    * cutoff actually remove? From ONE verified pair table (built once at
+    * the LOOSEST threshold under consideration), report per threshold θ:
+    * the surviving pair count, the number of distinct documents touched
+    * by at least one surviving pair (an upper bound on removable docs —
+    * keep-one-per-pair removes at most half), and the mean similarity of
+    * survivors. This is the knob-setting readout a curation pipeline
+    * reads BEFORE committing to a cutoff: the pair generation (the
+    * expensive banded join + verify) runs once, and the sweep is pure
+    * algebra on the pair stream — never one pass per θ.
+    *
+    * Scale shape: `pairs` is the bounded candidate-verify output; the θ
+    * grid is a literal table (broadcast-bounded by construction); both
+    * rollups partial-combine on θ. The affected-doc count is a distinct
+    * over (θ, doc) — exchanged at pair-stream size, never corpus size.
+    * `pairs.sim` must already be rounded (the generators round(6)), so
+    * `sim >= θ` compares identical IEEE values on every engine.
+    * Returns (theta, n_pairs, n_docs, mean_sim) ordered by theta. */
+  def dedupThresholdSweep(pairs: DataFrame, thresholds: Seq[Double],
+                          materialize: Materializer = Materializer.Local)
+      : DataFrame = {
+    require(thresholds.nonEmpty)
+    val p = materialize(pairs.select(col("a_id"), col("b_id"), col("sim")))
+    val sp = p.sparkSession
+    import sp.implicits._
+    val thr = thresholds.sorted.toDF("theta")
+    val hit = p.crossJoin(broadcast(thr)).filter(col("sim") >= col("theta"))
+    val perPair = hit.groupBy(col("theta"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("sim").cast("decimal(38,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_sim"))
+    val perDoc = hit
+      .select(col("theta"), explode(array(col("a_id"), col("b_id")))
+        .as("d"))
+      .groupBy(col("theta"))
+      .agg(count_distinct(col("d")).as("n_docs"))
+    // left join from the full grid so a θ with zero survivors still
+    // reports (0, 0, null) instead of vanishing from the readout
+    thr.join(perPair, Seq("theta"), "left")
+      .join(perDoc, Seq("theta"), "left")
+      .select(col("theta"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        col("mean_sim"))
+      .orderBy(col("theta"))
+  }
+
   /** The SELECTION step a dedup pipeline ends with: per near-dup cluster
     * keep the best member by `score` (ties: lowest id); documents in no
     * pair cluster as themselves. Returns one row per cluster:

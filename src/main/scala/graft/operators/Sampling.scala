@@ -269,6 +269,56 @@ object Sampling {
     * bucket runs a local (k, id) window, and the driver prefix-sums
     * nBuckets totals. No single-partition window, no global sort.
     * Returns per-doc (id, w, s, selected). */
+  /** Token-budget mixture plan — the "data recipe" calculation a
+    * pretraining run is provisioned with: given per-group available
+    * token mass (one corpus pass), a UNIFORM target mixture over the
+    * groups and a total training-token budget, report per group the
+    * sampling rate that hits its target share, the epoch count an
+    * over-asked group must repeat (up-sampling), and the share actually
+    * achievable once repeats are capped at `maxEpochs` (the standard
+    * repetition guard — data repeated too often stops helping, so the
+    * planner must surface WHERE the recipe falls short rather than
+    * silently over-repeating).
+    *
+    * Exact integer algebra end to end: targets are integer divisions of
+    * the budget, caps are integer min/max, and only the published rate
+    * and share are pinned round(6) doubles — so the plan replays
+    * bit-identically on any engine. One partial-combined
+    * (group, Σtokens) exchange; everything after is group-count-sized.
+    * Returns (group, n_docs, tokens_avail, target_tokens,
+    * sampling_rate, epochs, capped_tokens, achievable_share) ordered by
+    * group. */
+  def mixturePlan(docs: DataFrame, groupCol: String, tokens: Column,
+                  budget: Long, maxEpochs: Int = 4): DataFrame = {
+    require(budget > 0 && maxEpochs >= 1)
+    val per = docs
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokens.cast("long")).as("tokens_avail"))
+    val nGrp = per.agg(count(lit(1)).as("n_groups"))
+    // uniform target: every group owes budget / n_groups tokens (integer
+    // division — the remainder is deliberately left unassigned rather
+    // than invented); an over-asked group repeats ceil(target/avail)
+    // epochs, capped at maxEpochs
+    per.crossJoin(broadcast(nGrp))
+      .withColumn("target_tokens",
+        expr(s"CAST($budget AS BIGINT) div n_groups"))
+      .withColumn("sampling_rate",
+        round(col("target_tokens").cast("double")
+          / col("tokens_avail").cast("double"), 6))
+      .withColumn("epochs",
+        least(expr("(target_tokens + tokens_avail - 1) div tokens_avail"),
+          lit(maxEpochs.toLong)))
+      .withColumn("capped_tokens",
+        least(col("target_tokens"), col("tokens_avail") * col("epochs")))
+      .select(col("grp").as(groupCol), col("n_docs"),
+        col("tokens_avail"), col("target_tokens"), col("sampling_rate"),
+        col("epochs"), col("capped_tokens"),
+        round(col("capped_tokens").cast("double") / lit(budget.toDouble),
+          6).as("achievable_share"))
+      .orderBy(col(groupCol))
+  }
+
   def budgetSelect(docs: DataFrame, idCol: String, weight: Column,
                    score: Column, budget: Long, nBuckets: Int = 64,
                    mat: Materializer = Materializer.Local): DataFrame = {

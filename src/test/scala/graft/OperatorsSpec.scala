@@ -4204,6 +4204,45 @@ class OperatorsSpec extends SparkSpec {
     assert(freqs.collect().map(_.getLong(1)).sum == 20L)
   }
 
+  test("dedupThresholdSweep (q310): per-theta counts from one pair " +
+    "table, zero-survivor thetas report (0, 0, null)") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(
+      (1L, 2L, 0.35), (2L, 3L, 0.55), (4L, 5L, 0.55), (6L, 7L, 0.80))
+      .toDF("a_id", "b_id", "sim")
+    val out = graft.operators.Dedup
+      .dedupThresholdSweep(pairs, Seq(0.3, 0.5, 0.9))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(out == Seq(
+      (0.3, 4L, 7L, Some(0.5625)),   // four pairs; doc 2 is in two of
+                                     // them, so 7 distinct docs
+      (0.5, 3L, 6L, Some(0.633333)), // the 0.35 pair drops
+      (0.9, 0L, 0L, None)))          // empty theta still reports a row
+  }
+
+  test("mixturePlan (q311): integer-exact targets, epoch cap surfaces " +
+    "the unachievable share instead of over-repeating") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // src_a has plenty (600 tokens), src_b is tiny (40 tokens): at a
+    // 1000-token budget each owes 500; src_b can reach only 40*4=160
+    // under the 4-epoch cap
+    val docs = (Seq.fill(6)(("src_a", 100L)) ++ Seq.fill(4)(("src_b", 10L)))
+      .toDF("source", "toks")
+    val out = graft.operators.Sampling
+      .mixturePlan(docs, "source", col("toks"), budget = 1000L,
+        maxEpochs = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7))).toSeq
+    assert(out == Seq(
+      ("src_a", 6L, 600L, 500L, 0.833333, 1L, 500L, 0.5),
+      ("src_b", 4L, 40L, 500L, 12.5, 4L, 160L, 0.16)))
+  }
+
   test("clusterAwareSplit (q307): every cluster lands wholly in one " +
     "split, the split is the representative's own hash split, and no " +
     "pair straddles under the cluster-aware assignment") {

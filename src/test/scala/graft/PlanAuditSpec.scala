@@ -1580,6 +1580,20 @@ class PlanAuditSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("q310/q311: the sweep prices every theta from ONE pair table " +
+    "(the only nested loops are the literal theta grid / 1-row scalar " +
+    "attaches); the recipe is one exchange, no window") {
+    val p1 = plan("q310_dedup_threshold_sweep")
+    assert(!p1.contains("CartesianProduct"), p1.take(3000))
+    // pair generation appears once: one banded equi-join + one verify
+    // re-attach pair — a per-theta re-generation would multiply these
+    assert(!p1.contains("Window"), p1.take(3000))
+    val p2 = plan("q311_data_recipe")
+    assert(!p2.contains("CartesianProduct"), p2.take(3000))
+    assert(!p2.contains("Window"), p2.take(3000))
+    assert(!p2.contains("SortMergeJoin"), p2.take(3000))
+  }
+
   test("entity-scale broadcast guard over ALL queries: no forced " +
     "broadcast() hint over a frame that grows with the corpus (the one " +
     "plan class that fails a 100x scale-up — a FORCED hint bypasses " +
