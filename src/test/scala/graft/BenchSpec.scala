@@ -11,6 +11,19 @@ import scala.collection.mutable
   * make that class of artifact impossible to re-record. */
 class BenchSpec extends SparkSpec {
 
+  test("bench tier consistency: every tier overrides a real query and " +
+    "every tier has a recorded slice denominator") {
+    val qs = SparkEntry.queries.keySet
+    val tier = SparkEntry.largeBenchTier.keySet
+    assert(tier.subsetOf(qs), (tier -- qs).toString)
+    assert(SparkEntry.largeBenchTierSlice.keySet == tier,
+      s"slice map drifted: only-in-slice=" +
+        s"${SparkEntry.largeBenchTierSlice.keySet -- tier} " +
+        s"only-in-tier=${tier -- SparkEntry.largeBenchTierSlice.keySet}")
+    assert(SparkEntry.largeBenchTierSlice.values.forall(_ >= 2),
+      "a 1/1 'tier' would be a silent no-op")
+  }
+
   private val good: (SparkSession, String) => DataFrame =
     (s, _) => s.range(10).toDF("v")
   private val bad: (SparkSession, String) => DataFrame =

@@ -4243,6 +4243,58 @@ class OperatorsSpec extends SparkSpec {
       ("src_b", 4L, 40L, 500L, 12.5, 4L, 160L, 0.16)))
   }
 
+  test("dedupThresholdSweep: randomized cross-check against a scala " +
+    "brute force, and counts are non-increasing in theta") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(310)
+    val pairs = (1 to 200).map { _ =>
+      val a = rnd.nextInt(60).toLong
+      val b = a + 1 + rnd.nextInt(20)
+      (a, b, math.rint(rnd.nextDouble() * 1e6) / 1e6)
+    }.distinct
+    val thetas = Seq(0.1, 0.35, 0.6, 0.85)
+    val out = graft.operators.Dedup
+      .dedupThresholdSweep(pairs.toDF("a_id", "b_id", "sim"), thetas)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val brute = thetas.map { th =>
+      val hit = pairs.filter(_._3 >= th)
+      (th, hit.size.toLong,
+        hit.flatMap(p => Seq(p._1, p._2)).distinct.size.toLong)
+    }
+    assert(out == brute)
+    assert(out.map(_._2) == out.map(_._2).sorted.reverse, "pairs rose")
+    assert(out.map(_._3) == out.map(_._3).sorted.reverse, "docs rose")
+  }
+
+  test("mixturePlan invariants: capped <= target, capped <= avail x " +
+    "epochs, epochs <= cap, achievable <= target share") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(311)
+    val docs = (1 to 300).map(_ =>
+      (s"src${rnd.nextInt(7)}", (1 + rnd.nextInt(500)).toLong))
+      .toDF("source", "toks")
+    val rows = graft.operators.Sampling
+      .mixturePlan(docs, "source", col("toks"), budget = 50000L,
+        maxEpochs = 3)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (avail, target, epochs, capped) =
+        (r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6))
+      assert(capped <= target, r.toString)
+      assert(capped <= avail * epochs, r.toString)
+      assert(epochs >= 1 && epochs <= 3, r.toString)
+      assert(r.getDouble(7) <= target.toDouble / 50000.0 + 1e-9,
+        r.toString)
+      // a source that can cover its target must fully cover it
+      if (avail * epochs >= target) assert(capped == target, r.toString)
+    }
+  }
+
   test("clusterAwareSplit (q307): every cluster lands wholly in one " +
     "split, the split is the representative's own hash split, and no " +
     "pair straddles under the cluster-aware assignment") {
