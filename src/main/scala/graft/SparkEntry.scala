@@ -7281,6 +7281,39 @@ object SparkEntry {
         "source", col("toks"), budget = 2000000L, maxEpochs = 4)
     }),
 
+    "q312_recipe_after_dedup" -> ((s, dir) => {
+      // pipeline composition: the q311 recipe RE-PLANNED on the
+      // deduplicated corpus — dedup shrinks sources unevenly (a
+      // boilerplate-heavy feed loses most of its mass), so the honest
+      // provisioning readout prices targets against KEPT tokens, with
+      // each source's raw mass and duplicate-token fraction attached.
+      // Composition of the q75 keep-best selection (LSH pairs -> CC ->
+      // quality argmax) and the q311 integer recipe; the kept-id semi
+      // join is UNHINTED (kept ids are SF-linear — one per cluster).
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 16,
+        bands = 4, shingleN = 3, threshold = 0.5, fast = true)
+      val kept = Dedup.keepBest(docs, pairs, "doc_id",
+          TextAnalysis.qualityScore(col("text")))
+        .select(col("kept_id").as("doc_id"))
+      val toks = docs.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).as("toks"))
+      val plan = operators.Sampling.mixturePlan(
+        toks.join(kept, Seq("doc_id"), "left_semi"),
+        "source", col("toks"), budget = 2000000L, maxEpochs = 4)
+      val raw = toks.groupBy(col("source"))
+        .agg(sum(col("toks").cast("long")).as("tokens_raw"))
+      plan.join(raw, Seq("source"))
+        .select(col("source"), col("n_docs"), col("tokens_avail"),
+          col("target_tokens"), col("sampling_rate"), col("epochs"),
+          col("capped_tokens"), col("achievable_share"),
+          col("tokens_raw"),
+          round(lit(1.0) - col("tokens_avail").cast("double")
+            / col("tokens_raw").cast("double"), 6).as("dup_token_frac"))
+        .orderBy(col("source"))
+    }),
+
     "q301_dup_transitivity" -> ((s, dir) => {
       // near-dup transitivity audit: triangle census of the minhash
       // pair GRAPH itself (q37's edges through q145's degree-ordered
@@ -8890,62 +8923,54 @@ object SparkEntry {
         |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
         |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
 
-    "q75_dedup_keep_best" ->
-      s"""WITH RECURSIVE tk AS (
-         |  SELECT doc_id,
-         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
-         |      AS raw
-         |  FROM documents
-         |), sh AS (
-         |  SELECT doc_id,
-         |    list_distinct(CASE WHEN len(raw) < 3
-         |      THEN [array_to_string(raw, ' ')]
-         |      ELSE [array_to_string(raw[i+1:i+3], ' ')
-         |            for i in range(0, len(raw) - 2)] END) AS shingles
-         |  FROM tk
-         |), prs AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-         |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
-         |          AS DOUBLE) >= 0.5
-         |), edges AS (
-         |  SELECT a_id AS s, b_id AS d FROM prs
-         |  UNION SELECT b_id, a_id FROM prs
-         |), reach(s, d) AS (
-         |  SELECT s, d FROM edges
-         |  UNION
-         |  SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
-         |), clu AS (
-         |  SELECT s AS doc_id, least(s, min(d)) AS cl
-         |  FROM reach GROUP BY s
-         |), qual AS (
-         |  SELECT d.doc_id, round(
-         |    least(CAST(length(d.text) AS DOUBLE) / 500.0, 1.0)
-         |    * (1.0 - CASE WHEN length(d.text) = 0 THEN 0.0
-         |        ELSE CAST(length(regexp_replace(d.text,
-         |            '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
-         |          / CAST(length(d.text) AS DOUBLE) END)
-         |    * (0.5 + (CASE WHEN len(t.raw) = 0 THEN 0.0
-         |        ELSE CAST(len(list_filter(t.raw,
-         |            t2 -> list_contains($stopwordsSql, lower(t2)))) AS DOUBLE)
-         |          / CAST(len(t.raw) AS DOUBLE) END) / 2.0), 6) AS q
-         |  FROM documents d JOIN tk t USING (doc_id)
-         |), lab AS (
-         |  SELECT d.doc_id, COALESCE(c.cl, d.doc_id) AS cluster_id, qu.q
-         |  FROM documents d LEFT JOIN clu c USING (doc_id)
-         |  JOIN qual qu USING (doc_id)
-         |), best AS (
-         |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
-         |    MAX(q) AS best_q
-         |  FROM lab GROUP BY cluster_id
-         |)
-         |SELECT b.cluster_id, MIN(l.doc_id) AS kept_id, b.n_members,
-         |  b.best_q
-         |FROM lab l JOIN best b
-         |  ON l.cluster_id = b.cluster_id AND l.q = b.best_q
-         |GROUP BY b.cluster_id, b.n_members, b.best_q
-         |ORDER BY b.cluster_id""".stripMargin,
+    "q75_dedup_keep_best" -> (keepBestLabSql +
+      """
+        |SELECT b.cluster_id, MIN(l.doc_id) AS kept_id, b.n_members,
+        |  b.best_q
+        |FROM lab l JOIN best b
+        |  ON l.cluster_id = b.cluster_id AND l.q = b.best_q
+        |GROUP BY b.cluster_id, b.n_members, b.best_q
+        |ORDER BY b.cluster_id""".stripMargin),
+
+    "q312_recipe_after_dedup" -> (keepBestLabSql +
+      """, keptid AS (
+        |  SELECT MIN(l.doc_id) AS doc_id
+        |  FROM lab l JOIN best b
+        |    ON l.cluster_id = b.cluster_id AND l.q = b.best_q
+        |  GROUP BY b.cluster_id
+        |), perraw AS (
+        |  SELECT d.source, CAST(SUM(len(t.raw)) AS BIGINT) AS tokens_raw
+        |  FROM documents d JOIN tk t USING (doc_id) GROUP BY d.source
+        |), perk AS (
+        |  SELECT d.source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(t.raw)) AS BIGINT) AS tokens_avail
+        |  FROM documents d JOIN tk t USING (doc_id)
+        |  JOIN keptid k USING (doc_id)
+        |  GROUP BY d.source
+        |), g AS (SELECT COUNT(*) AS n_groups FROM perk
+        |), recipe AS (
+        |  SELECT source, n_docs, tokens_avail,
+        |    CAST(2000000 // n_groups AS BIGINT) AS target_tokens
+        |  FROM perk CROSS JOIN g
+        |), ep AS (
+        |  SELECT *, LEAST((target_tokens + tokens_avail - 1)
+        |      // tokens_avail, 4) AS epochs
+        |  FROM recipe)
+        |SELECT ep.source, CAST(ep.n_docs AS BIGINT) AS n_docs,
+        |  ep.tokens_avail, ep.target_tokens,
+        |  round(CAST(ep.target_tokens AS DOUBLE)
+        |    / CAST(ep.tokens_avail AS DOUBLE), 6) AS sampling_rate,
+        |  CAST(ep.epochs AS BIGINT) AS epochs,
+        |  CAST(LEAST(ep.target_tokens, ep.tokens_avail * ep.epochs)
+        |    AS BIGINT) AS capped_tokens,
+        |  round(CAST(LEAST(ep.target_tokens, ep.tokens_avail * ep.epochs)
+        |    AS DOUBLE) / 2000000.0, 6) AS achievable_share,
+        |  r.tokens_raw,
+        |  round(1.0 - CAST(ep.tokens_avail AS DOUBLE)
+        |    / CAST(r.tokens_raw AS DOUBLE), 6) AS dup_token_frac
+        |FROM ep JOIN perraw r USING (source)
+        |ORDER BY ep.source""".stripMargin),
+
 
     "q55_pii_redact" ->
       """WITH withpii AS (
@@ -16841,6 +16866,63 @@ object SparkEntry {
   /** DuckDB BM25 (Lucene k1=1.2/b=0.75 formulation) over `documents` for a
     * literal term list — the exact algebra of [[operators.Retrieval.bm25]]
     * (same op order; ln ulps absorbed by round(6)). */
+  /** Shared keep-best dedup CTE chain ending in `lab` (doc_id,
+    * cluster_id, q) and `best` (cluster_id, n_members, best_q) —
+    * the exact q75 replay (all-pairs Jaccard >= 0.5 ground truth,
+    * transitive closure, quality argmax); q75 selects the kept row
+    * per cluster, q312 re-plans the token recipe over the kept
+    * corpus. */
+  private lazy val keepBestLabSql: String =
+    s"""WITH RECURSIVE tk AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+         |      AS raw
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(raw) < 3
+         |      THEN [array_to_string(raw, ' ')]
+         |      ELSE [array_to_string(raw[i+1:i+3], ' ')
+         |            for i in range(0, len(raw) - 2)] END) AS shingles
+         |  FROM tk
+         |), prs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+         |          AS DOUBLE) >= 0.5
+         |), edges AS (
+         |  SELECT a_id AS s, b_id AS d FROM prs
+         |  UNION SELECT b_id, a_id FROM prs
+         |), reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+         |), clu AS (
+         |  SELECT s AS doc_id, least(s, min(d)) AS cl
+         |  FROM reach GROUP BY s
+         |), qual AS (
+         |  SELECT d.doc_id, round(
+         |    least(CAST(length(d.text) AS DOUBLE) / 500.0, 1.0)
+         |    * (1.0 - CASE WHEN length(d.text) = 0 THEN 0.0
+         |        ELSE CAST(length(regexp_replace(d.text,
+         |            '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+         |          / CAST(length(d.text) AS DOUBLE) END)
+         |    * (0.5 + (CASE WHEN len(t.raw) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(t.raw,
+         |            t2 -> list_contains($stopwordsSql, lower(t2)))) AS DOUBLE)
+         |          / CAST(len(t.raw) AS DOUBLE) END) / 2.0), 6) AS q
+         |  FROM documents d JOIN tk t USING (doc_id)
+         |), lab AS (
+         |  SELECT d.doc_id, COALESCE(c.cl, d.doc_id) AS cluster_id, qu.q
+         |  FROM documents d LEFT JOIN clu c USING (doc_id)
+         |  JOIN qual qu USING (doc_id)
+         |), best AS (
+         |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    MAX(q) AS best_q
+         |  FROM lab GROUP BY cluster_id
+         |)""".stripMargin
+
   /** Shared md5-MinHash banded-pair CTE chain ending in `verified`
     * (a_id, b_id, sim) — the exact replay of minhashLshPairs(fast=false)
     * BEFORE any threshold filter; q37 selects at 0.5, q310 sweeps a

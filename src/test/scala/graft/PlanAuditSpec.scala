@@ -1594,6 +1594,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("SortMergeJoin"), p2.take(3000))
   }
 
+  test("q312: the kept-id trim is an unhinted semi join; keep-best " +
+    "stays window-free (aggregate argmax), no cartesian") {
+    val p = plan("q312_recipe_after_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
   test("entity-scale broadcast guard over ALL queries: no forced " +
     "broadcast() hint over a frame that grows with the corpus (the one " +
     "plan class that fails a 100x scale-up — a FORCED hint bypasses " +
