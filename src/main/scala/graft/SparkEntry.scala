@@ -5820,12 +5820,17 @@ object SparkEntry {
           .select(col("pk2").as("a"), col("pk").as("b"), col("co")))
       // margins join unhinted: n is one row per part (SF-linear), so a
       // forced broadcast is the 100x-scale OOM class — both sides key on
-      // the part id, and AQE still broadcasts when n is genuinely small
+      // the part id, and AQE still broadcasts when n is genuinely small.
+      // JOIN ORDER is b-margin FIRST, a-margin LAST: the unhinted joins
+      // are shuffle joins, and ending on the a-key leaves the pair
+      // stream hash-partitioned by a — exactly the rank window's
+      // partitioning — so the window reuses the join exchange instead
+      // of adding a fourth shuffle of the pair stream
       val scored = sym
-        .join(n.select(col("pk").as("a"),
-          col("cnt").as("na")), Seq("a"))
         .join(n.select(col("pk").as("b"),
           col("cnt").as("nb")), Seq("b"))
+        .join(n.select(col("pk").as("a"),
+          col("cnt").as("na")), Seq("a"))
         .select(col("a"), col("b"), col("co"),
           round(col("co").cast("double") /
             sqrt(col("na").cast("double") * col("nb").cast("double")),
@@ -6805,11 +6810,13 @@ object SparkEntry {
         .orderBy(col("cos").desc, col("b").asc)
       val nbrs = sym
         // unhinted like q270: nI is per-part (SF-linear); equi-keyed on
-        // the part id, AQE broadcasts only when genuinely small
-        .join(nI.select(col("pk").as("a"), col("cnt").as("na")),
-          Seq("a"))
+        // the part id, AQE broadcasts only when genuinely small. b-margin
+        // first, a-margin last, so the rank window (partitioned by a)
+        // reuses the final join exchange (see q270)
         .join(nI.select(col("pk").as("b"), col("cnt").as("nb")),
           Seq("b"))
+        .join(nI.select(col("pk").as("a"), col("cnt").as("na")),
+          Seq("a"))
         .select(col("a"), col("b"),
           round(col("co").cast("double") /
             sqrt(col("na").cast("double") * col("nb").cast("double")),
