@@ -418,7 +418,7 @@ object Dedup {
     val p = materialize(pairs.select(col("a_id"), col("b_id"), col("sim")))
     val sp = p.sparkSession
     import sp.implicits._
-    val thr = thresholds.sorted.toDF("theta")
+    val thr = thresholds.distinct.sorted.toDF("theta")
     val hit = p.crossJoin(broadcast(thr)).filter(col("sim") >= col("theta"))
     val perPair = hit.groupBy(col("theta"))
       .agg(count(lit(1)).as("n_pairs"),

@@ -300,17 +300,24 @@ object Sampling {
     // division — the remainder is deliberately left unassigned rather
     // than invented); an over-asked group repeats ceil(target/avail)
     // epochs, capped at maxEpochs
+    // total over empty groups too: a source whose docs are all empty
+    // (tokens_avail = 0) reports (rate null, 1 epoch, 0 tokens, share 0)
+    // instead of dividing by zero — dropping the row would silently hide
+    // exactly the recipe shortfall the planner exists to surface
+    val hasTok = col("tokens_avail") > 0L
     per.crossJoin(broadcast(nGrp))
       .withColumn("target_tokens",
         expr(s"CAST($budget AS BIGINT) div n_groups"))
       .withColumn("sampling_rate",
-        round(col("target_tokens").cast("double")
-          / col("tokens_avail").cast("double"), 6))
+        when(hasTok, round(col("target_tokens").cast("double")
+          / col("tokens_avail").cast("double"), 6)))
       .withColumn("epochs",
-        least(expr("(target_tokens + tokens_avail - 1) div tokens_avail"),
-          lit(maxEpochs.toLong)))
+        when(hasTok, least(
+          expr("(target_tokens + tokens_avail - 1) div tokens_avail"),
+          lit(maxEpochs.toLong))).otherwise(lit(1L)))
       .withColumn("capped_tokens",
-        least(col("target_tokens"), col("tokens_avail") * col("epochs")))
+        when(hasTok, least(col("target_tokens"),
+          col("tokens_avail") * col("epochs"))).otherwise(lit(0L)))
       .select(col("grp").as(groupCol), col("n_docs"),
         col("tokens_avail"), col("target_tokens"), col("sampling_rate"),
         col("epochs"), col("capped_tokens"),

@@ -4230,17 +4230,23 @@ class OperatorsSpec extends SparkSpec {
     // src_a has plenty (600 tokens), src_b is tiny (40 tokens): at a
     // 1000-token budget each owes 500; src_b can reach only 40*4=160
     // under the 4-epoch cap
-    val docs = (Seq.fill(6)(("src_a", 100L)) ++ Seq.fill(4)(("src_b", 10L)))
+    val docs = (Seq.fill(6)(("src_a", 100L)) ++ Seq.fill(4)(("src_b", 10L))
+      ++ Seq(("src_c", 0L)))
       .toDF("source", "toks")
     val out = graft.operators.Sampling
-      .mixturePlan(docs, "source", col("toks"), budget = 1000L,
+      .mixturePlan(docs, "source", col("toks"), budget = 999L,
         maxEpochs = 4)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6),
-        r.getDouble(7))).toSeq
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getLong(5), r.getLong(6), r.getDouble(7))).toSeq
+    // 999 div 3 groups = 333 target each (integer division, remainder
+    // deliberately unassigned); the zero-token source reports
+    // (rate null, 1 epoch, 0 tokens, share 0) instead of dividing by 0
     assert(out == Seq(
-      ("src_a", 6L, 600L, 500L, 0.833333, 1L, 500L, 0.5),
-      ("src_b", 4L, 40L, 500L, 12.5, 4L, 160L, 0.16)))
+      ("src_a", 6L, 600L, 333L, Some(0.555), 1L, 333L, 0.333333),
+      ("src_b", 4L, 40L, 333L, Some(8.325), 4L, 160L, 0.16016),
+      ("src_c", 1L, 0L, 333L, None, 1L, 0L, 0.0)))
   }
 
   test("dedupThresholdSweep: randomized cross-check against a scala " +
