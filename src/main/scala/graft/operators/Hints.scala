@@ -28,13 +28,43 @@ object Hints {
 
   /** `broadcast(df)` plus a machine-checkable adjudication stamp.
     *
-    * `why` names the boundedness argument (e.g. `query_set_contract`
-    * when an operator's API contract makes the frame the small "query"
-    * side, or `topk_capped` when the frame is a per-key top-k whose
-    * row count is k x |keys| with bounded keys). The stamp is a
+    * `why` names the boundedness argument. The stamp is a
     * `SubqueryAlias("bounded_<why>", ...)` in the analyzed plan;
     * PlanAuditSpec's guard accepts exactly that prefix, so each use is
-    * visible both in the plan and via `grep boundedBroadcast`. */
+    * visible both in the plan and via `grep boundedBroadcast`.
+    *
+    * Canonical tag glossary (the reviewable registry — a call site
+    * either uses one of these, whose argument is given HERE once, or
+    * carries its own justifying comment):
+    *   - `query_set_contract` / `eval_set_contract` — the frame is the
+    *     "queries"/"eval set" side of an operator whose documented API
+    *     contract makes it the small side (ANN query batches,
+    *     decontamination eval sets); the corpus is always the other
+    *     side.
+    *   - `query_term_set` — per-term tables trimmed to the query's own
+    *     terms upstream (isInCollection prefilter): <= |query| rows.
+    *   - `topk_capped` — a per-key partial top-k: <= k x |keys| rows
+    *     with contract-bounded keys.
+    *   - `event_type_domain` / `label_domain` / `lang_domain` /
+    *     `category_domain(_contract)` / `group_domain_contract` /
+    *     `ctx_domain` / `arm_domain` / `series_key_domain` /
+    *     `fold_domain` / `fold_buckets` — group keys drawn from a
+    *     bounded categorical domain (event types, class labels,
+    *     languages, data sources, experiment arms, monitored series,
+    *     fixed fold counts), not from an entity id space.
+    *   - `value_grid` / `time_grid` / `batch_dim_grid` /
+    *     `vector_dim_domain` / `grid_cells` — one row per cell of a
+    *     quantized/integral grid (value cents, calendar hours/days,
+    *     batch x dimension, embedding positions, 2D density cells):
+    *     bounded by the grid resolution, not the corpus.
+    *   - `grid_g_rows` / `calibration_bins` / `sketch_cells` /
+    *     `probe_points` / `replicate_set` / `subset_masks` /
+    *     `channel_subsets` /
+    *     `per_shard_rows` — synopsis/DP internals sized by an operator
+    *     parameter (g <= 64 equi-rank points, bin/cell counts,
+    *     bootstrap replicates, 2^|channels| masks, shard counts).
+    *   - `bt_item_panel` / `marker_panel` / `single_literal_group` —
+    *     comparison panels and literal-keyed one-row groups. */
   def boundedBroadcast(df: DataFrame, why: String): DataFrame = {
     require(why.nonEmpty && why.forall(c =>
       c.isLower && c.isLetter || c.isDigit || c == '_'),

@@ -1621,10 +1621,10 @@ class PlanAuditSpec extends SparkSpec {
     //     never exceeds the left);
     //   - a subtree stamped `bounded_<why>` by Hints.boundedBroadcast is
     //     an explicit human adjudication that construction guarantees
-    //     boundedness in a way this structural walker cannot see (e.g.
-    //     an operator contract that makes the frame the small "queries"
-    //     side, or a per-key top-k over contract-bounded keys). Every
-    //     stamp site carries a written rationale and is greppable.
+    //     boundedness in a way this structural walker cannot see. Every
+    //     tag's argument is registered once in the Hints.boundedBroadcast
+    //     scaladoc glossary (operators/Hints.scala) and every stamp is
+    //     greppable — the review surface is the glossary + the sites.
     def bounded(p: LogicalPlan): Boolean = p match {
       case s: SubqueryAlias if s.alias.startsWith("bounded_") => true
       case a: Aggregate =>
@@ -1644,9 +1644,31 @@ class PlanAuditSpec extends SparkSpec {
       case other if other.children.size == 1 => bounded(other.children.head)
       case _ => false
     }
+    // the registered tag set — the Hints.boundedBroadcast glossary; a
+    // stamp with an unregistered tag fails the guard, so the glossary
+    // can never silently drift from the call sites
+    val registeredTags = Set(
+      "query_set_contract", "eval_set_contract", "query_term_set",
+      "topk_capped",
+      "event_type_domain", "label_domain", "lang_domain",
+      "category_domain", "category_domain_contract",
+      "group_domain_contract", "ctx_domain", "arm_domain",
+      "series_key_domain", "fold_domain", "fold_buckets",
+      "value_grid", "time_grid", "batch_dim_grid", "vector_dim_domain",
+      "grid_cells",
+      "grid_g_rows", "calibration_bins", "sketch_cells", "probe_points",
+      "replicate_set", "subset_masks", "channel_subsets", "per_shard_rows",
+      "bt_item_panel", "marker_panel", "single_literal_group")
+    val unknownTags = scala.collection.mutable.Set[String]()
     val failures = scala.collection.mutable.Buffer[String]()
     for ((q, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val analyzed = fn(spark, dir).queryExecution.analyzed
+      analyzed.foreach {
+        case s: SubqueryAlias if s.alias.startsWith("bounded_")
+            && !registeredTags.contains(s.alias.stripPrefix("bounded_")) =>
+          unknownTags += s"$q: ${s.alias}"
+        case _ => ()
+      }
       val offending = analyzed.collect {
         // only BROADCAST-strategy hints can OOM at scale; a merge/
         // shuffle-hash hint over a corpus frame shuffles and is fine
@@ -1667,5 +1689,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"${failures.size} queries fail the guard: " +
         failures.mkString(", "))
+    assert(unknownTags.isEmpty,
+      "stamps with tags missing from the Hints glossary: " +
+        unknownTags.toSeq.sorted.mkString(", "))
   }
 }

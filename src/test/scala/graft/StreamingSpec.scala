@@ -290,6 +290,18 @@ class StreamingSpec extends SparkSpec {
       == beforePairs, "replay changed the pair log")
     assert(spark.read.parquet(idxDir).count() == beforeIdxRows,
       "replay changed the index")
+    // composition: connected components over the streamed pair log equal
+    // the q54 batch clustering — dedup CLUSTERS need no separate
+    // streaming state or read-modify-write label store, because labels
+    // are a pure function of the (append-only, exactly-once) pair log
+    val streamedClusters = graft.operators.Dedup
+      .nearDupClusters(NearDupStream.confirmedPairs(spark, pairsDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchClusters = SparkEntry
+      .queries("q54_dedup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedClusters == batchClusters,
+      s"streamed=${streamedClusters.size} batch=${batchClusters.size}")
   }
 
   test("SynopsisStream: per-batch histogram partials across a " +
