@@ -11,6 +11,15 @@ import scala.collection.mutable
   * make that class of artifact impossible to re-record. */
 class BenchSpec extends SparkSpec {
 
+  test("query/oracle key symmetry: every query has an oracle and every " +
+    "oracle names a query (the driver's correctness gate contract)") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(qs == os,
+      s"only-in-queries=${(qs -- os).toSeq.sorted} " +
+        s"only-in-oracle=${(os -- qs).toSeq.sorted}")
+  }
+
   test("bench tier consistency: every tier overrides a real query and " +
     "every tier has a recorded slice denominator") {
     val qs = SparkEntry.queries.keySet
