@@ -3,10 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.logical._
 
-/** Ad-hoc sweep runner for the entity-scale broadcast guard: walks every
-  * query's analyzed plan with the SAME bounded() logic as PlanAuditSpec
-  * and dumps each offending hint subtree to a file for adjudication.
-  * Tooling only — the enforcement lives in PlanAuditSpec. */
+/** The entity-scale boundedness walker (enforced by PlanAuditSpec's
+  * all-queries guard, which calls [[bounded]]) plus an ad-hoc sweep
+  * runner that dumps each offending hint subtree to a file for
+  * adjudication. A hint subtree is BOUNDED-BY-CONSTRUCTION iff its row
+  * count cannot grow with the corpus — see the guard test for the full
+  * argument and operators/Hints.scala for the stamp glossary. */
 object GuardSweep {
 
   def bounded(p: LogicalPlan): Boolean = p match {

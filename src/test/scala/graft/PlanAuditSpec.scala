@@ -1625,25 +1625,9 @@ class PlanAuditSpec extends SparkSpec {
     //     tag's argument is registered once in the Hints.boundedBroadcast
     //     scaladoc glossary (operators/Hints.scala) and every stamp is
     //     greppable — the review surface is the glossary + the sites.
-    def bounded(p: LogicalPlan): Boolean = p match {
-      case s: SubqueryAlias if s.alias.startsWith("bounded_") => true
-      case a: Aggregate =>
-        a.groupingExpressions.isEmpty || bounded(a.child)
-      case _: GlobalLimit | _: LocalLimit => true
-      case _: LocalRelation | _: OneRowRelation | _: Range => true
-      case j: Join => j.joinType match {
-        case org.apache.spark.sql.catalyst.plans.LeftSemi |
-             org.apache.spark.sql.catalyst.plans.LeftAnti =>
-          bounded(j.left)
-        case _ => bounded(j.left) && bounded(j.right)
-      }
-      case u: Union => u.children.forall(bounded)
-      case l if l.children.isEmpty =>
-        val s = l.toString
-        s.contains("nation") || s.contains("region")
-      case other if other.children.size == 1 => bounded(other.children.head)
-      case _ => false
-    }
+    // the ONE walker, shared with the GuardSweep dump tooling so the
+    // enforcement and the adjudication dump can never drift
+    def bounded(p: LogicalPlan): Boolean = GuardSweep.bounded(p)
     // the registered tag set — the Hints.boundedBroadcast glossary; a
     // stamp with an unregistered tag fails the guard, so the glossary
     // can never silently drift from the call sites
