@@ -440,6 +440,72 @@ class StreamingSpec extends SparkSpec {
       "raw read should see the uncommitted batch (documented mode)")
   }
 
+  test("AnnIndexStream: per-batch IVF-PQ index rows across a " +
+      "kill-and-restart search bit-identically to the batch-built " +
+      "index, and a crash-replayed batch rewrites only itself") {
+    // the retrieval-index T1-T5 front door: ivfPqIndex is a pure
+    // map-side projection against FIXED seeds/codebooks, so per-batch
+    // partitions union into exactly the batch-built index — no merge
+    // step, no read-modify-write state
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    import graft.streaming.AnnIndexStream
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val seeds = emb.filter(col("vec_id") < 8)
+    val codebooks = graft.operators.Similarity
+      .trainPqCodebooks(emb, m = 8, ksub = 32, iters = 3)
+    val queries = emb.filter(col("vec_id") < 20)
+    val root = Files.createTempDirectory("graft-annindex-stream")
+    val dropDir = root.resolve("drop").toString
+    val idxDir = root.resolve("index").toString
+    val ckpt = root.resolve("ckpt").toString
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = root.resolve(s"tmp_$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      new java.io.File(dropDir).mkdirs()
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(dropDir, s"$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val q = AnnIndexStream.runAvailableNow(
+        AnnIndexStream.readVectors(spark, dropDir, emb.schema),
+        seeds, codebooks, idxDir, ckpt)
+      q.awaitTermination(120000)
+    }
+    // an empty store reads as an empty index, never an inference failure
+    assert(AnnIndexStream.index(spark, idxDir).isEmpty)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    drop(emb.filter(col("vec_id") % 3 === 0), "b0")
+    runOnce()
+    drop(emb.filter(col("vec_id") % 3 === 1), "b1")
+    runOnce()
+    // the kill-and-restart: a FRESH query from the same checkpoint
+    // picks up only the third file
+    drop(emb.filter(col("vec_id") % 3 === 2), "b2")
+    runOnce()
+    val streamed = hits(AnnIndexStream.search(spark, idxDir, queries,
+      seeds, codebooks, k = 5, nprobe = 2))
+    val batch = hits(graft.operators.Similarity.ivfPqSearch(
+      graft.operators.Similarity.ivfPqIndex(emb, seeds, codebooks),
+      queries, seeds, codebooks, k = 5, nprobe = 2))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}")
+    // crash replay of the LAST batch: identical rewrite, search unchanged
+    val lastId = spark.read.parquet(idxDir)
+      .agg(max(col("batch_id").cast("long"))).collect()(0).getLong(0)
+    AnnIndexStream.processBatch(emb.filter(col("vec_id") % 3 === 2),
+      lastId, seeds, codebooks, idxDir)
+    assert(hits(AnnIndexStream.search(spark, idxDir, queries, seeds,
+      codebooks, k = 5, nprobe = 2)) == batch,
+      "replay changed the search results")
+  }
+
   test("streaming ANALYZE refresh: per-batch value histograms folded " +
       "into a persisted synopsis give the batch V-optimal construction") {
     // the q305 merge's streaming face: each micro-batch ships only its
