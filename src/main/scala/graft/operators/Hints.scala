@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions.broadcast
   *     construction guarantees boundedness in a way the structural
   *     walker cannot see. Those sites use [[boundedBroadcast]], which
   *     stamps the hint subtree with a greppable `bounded_<why>` alias
-  *     the guard accepts — every stamp is a reviewable claim, and the
-  *     call site must carry a comment justifying it.
+  *     the guard accepts — every stamp is a reviewable claim, whose
+  *     boundedness argument lives once in the tag glossary below (the
+  *     guard rejects tags missing from the registry), with call-site
+  *     comments where the claim needs local context.
   */
 object Hints {
 

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions.col
 
 /** Committed-batch visibility for the append-shaped streaming stores
   * ([[NearDupStream]] pairs/index, [[SynopsisStream]] histogram
-  * partials, [[FreqItemsStream]] count partials).
+  * partials, [[FreqItemsStream]] count partials, [[AnnIndexStream]]
+  * index rows).
   *
   * Each store writes a batch's output into its `batch_id=<id>`
   * partition BEFORE the stream checkpoint records the batch as

@@ -58,17 +58,19 @@ def main() -> None:
         f.write(f"#run\t{head}\n")
         for name in sorted(entries):
             secs, old_run = entries[name]
-            if r8_recorded(name):
-                run = 2
-            elif old_run in (1, 2):
-                run = 1
-            else:
-                # preserve run-0 seeds and any already-recorded stamps
+            if old_run not in (1, 2):
+                # preserve run-0 seeds and already-recorded stamps for
+                # EVERY name — an r8-set name whose stamp has since been
+                # recorded must not be demoted back into the seeded range
                 run = old_run
+            elif r8_recorded(name):
+                run = 2
+            else:
+                run = 1
             f.write(f"{name}\t{secs}\t{run}\n")
-    n2 = sum(1 for n in entries if r8_recorded(n))
-    kept = sum(1 for n, (_, r) in entries.items()
-               if not r8_recorded(n) and r not in (1, 2))
+    kept = sum(1 for _, (_, r) in entries.items() if r not in (1, 2))
+    n2 = sum(1 for n, (_, r) in entries.items()
+             if r in (1, 2) and r8_recorded(n))
     print(f"stamped {len(entries)} entries: {n2} at run 2 (r8-recorded), "
           f"{len(entries) - n2 - kept} at run 1 (r8 skips, run first), "
           f"{kept} preserved (run-0 seeds / recorded stamps)")
