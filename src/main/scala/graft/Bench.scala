@@ -298,7 +298,14 @@ object Bench {
       s""","sf":"$sfDir","summary":true,"graded_passes":$gradedPasses""" +
       s""","queries_n":$queriesN,"errors_n":$errorsN""" +
       large.map { case (t, n, sk) =>
-        s""","total_large":$t,"large_n":$n,"large_skipped_n":$sk"""
+        // tier slices ride the SUMMARY too: the driver's artifact is a
+        // stdout tail, and a cross-round dashboard reading only summaries
+        // must still be able to normalize total_large by tier denominator
+        val tiers = SparkEntry.largeBenchTierSlice.toSeq.sorted
+          .map { case (nm, d) => s""""$nm":$d""" }
+          .mkString("{", ",", "}")
+        s""","total_large":$t,"large_n":$n,"large_skipped_n":$sk""" +
+          s""","large_tiered":$tiers"""
       }.getOrElse("") +
       s""","budget_s":$budgetS,"elapsed_s":$elapsedS""" +
       s""","full":".bench/last${if (filtered) "_filtered" else ""}_run.json"}"""
