@@ -7288,6 +7288,43 @@ object SparkEntry {
         "source", col("toks"), budget = 2000000L, maxEpochs = 4)
     }),
 
+    "q313_image_thumbnails" -> ((s, dir) => {
+      // REAL thumbnail pipeline, end to end: every document's PNG is
+      // decoded (javax.imageio), integer AREA-AVERAGED onto a 4x4 grid
+      // (the dHash box rule — deterministic, no float kernel),
+      // re-encoded as lossless PNG, and the RESIZED payload is decoded
+      // AGAIN by the shared feature pass — so the oracle's prediction
+      // (solid fixtures keep their exact colour under box averaging;
+      // dims become 4x4) certifies the whole decode→resize→encode→
+      // decode chain, not a metadata projection. Map-side only.
+      import s.implicits._
+      val media = Multimodal.imageMediaFromDocuments(
+        t(s, dir, "documents"))
+      Multimodal.extractFeatures(
+          Multimodal.resizeImages(media, targetW = 4, targetH = 4))
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("mean_red"),
+          col("decoded"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q314_video_frame_sample" -> ((s, dir) => {
+      // frame sampling over REAL AVI payloads: every 2nd stream-order
+      // frame of each video document with its integer mean red — the
+      // "pick representative frames before the expensive per-frame
+      // model" step of a video curation pipeline. The RIFF walk and
+      // per-frame DIB reads are real; the fixture's frame colours are a
+      // doc_id formula, so the oracle predicts every sampled frame
+      // exactly. Map-side flatMap; nothing shuffles but the readout.
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+      Multimodal.sampleVideoFrames(media, everyK = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("red_mean"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     "q312_recipe_after_dedup" -> ((s, dir) => {
       // pipeline composition: the q311 recipe RE-PLANNED on the
       // deduplicated corpus — dedup shrinks sources unevenly (a
@@ -15805,6 +15842,22 @@ object SparkEntry {
         |ORDER BY exact_n DESC, t.tok ASC""".stripMargin,
 
     "q310_dedup_threshold_sweep" -> dedupSweepSql,
+
+    "q313_image_thumbnails" ->
+      """SELECT doc_id, CAST(4 AS BIGINT) AS width,
+        |  CAST(4 AS BIGINT) AS height,
+        |  CAST(doc_id % 256 AS BIGINT) AS mean_red, TRUE AS decoded
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q314_video_frame_sample" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(doc_id % 16 + 2 AS BIGINT) AS width,
+        |  CAST(doc_id % 12 + 2 AS BIGINT) AS height,
+        |  CAST((doc_id * 31 + f * 17) % 256 AS BIGINT) AS red_mean
+        |FROM documents,
+        |  unnest(range(0, CAST(doc_id % 12 + 1 AS BIGINT), 2)) AS t(f)
+        |WHERE doc_id % 3 = 2
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q311_data_recipe" ->
       """WITH per AS (

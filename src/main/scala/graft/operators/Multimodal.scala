@@ -69,6 +69,48 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Integer area-average resize + lossless PNG re-encode: target
+      * pixel (x, y) is the per-channel integer mean of the source box
+      * `[x·w/tw, max(x·w/tw + 1, (x+1)·w/tw)) x [y·h/th, ...)` — the
+      * dHash grid rule, so down- AND up-scaling are both defined, a
+      * solid-colour source keeps its exact colour, and the result is
+      * bit-identical across JVMs (no float resampling kernel). */
+    def encodeResizedPng(img: BufferedImage, tw: Int, th: Int)
+        : Array[Byte] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < th) {
+        val y0 = y * h / th
+        val y1 = math.max(y0 + 1, (y + 1) * h / th)
+        var x = 0
+        while (x < tw) {
+          val x0 = x * w / tw
+          val x1 = math.max(x0 + 1, (x + 1) * w / tw)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var yy = y0
+          while (yy < y1) {
+            var xx = x0
+            while (xx < x1) {
+              val p = img.getRGB(xx, yy)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              xx += 1
+            }
+            yy += 1
+          }
+          val n = (x1 - x0).toLong * (y1 - y0)
+          out.setRGB(x, y, (((sr / n).toInt & 0xff) << 16)
+            | (((sg / n).toInt & 0xff) << 8) | ((sb / n).toInt & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream(256)
+      ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
     /** The raw `BufferedImage` for a payload; None when the bytes are not
       * a decodable image (corrupt row, wrong modality). */
     def readImage(payload: Array[Byte]): Option[BufferedImage] =
@@ -818,6 +860,65 @@ object Multimodal {
         if (r.doc_id % 100 == 99) r
         else r.copy(payload = gradientPngFor(r.doc_id, ng))
       })
+  }
+
+  /** One sampled video frame's features: stream-order frame index plus
+    * the frame's integer mean red (the q43/q118 feature convention). */
+  case class FrameSample(doc_id: Long, frame_idx: Int, width: Int,
+                         height: Int, red_mean: Long)
+
+  /** REAL thumbnail resize — the brief's missing multimodal verb next to
+    * decode / feature-extract / frame-sample: each image payload is
+    * decoded (`javax.imageio`), AREA-AVERAGED onto the target grid with
+    * integer box sums per channel (the same deterministic integer
+    * averaging as [[dHashHex]]'s 9x8 grid — no float resampling, so the
+    * result is bit-identical across JVMs), and re-encoded as a lossless
+    * PNG. Non-image rows and undecodable payloads pass through
+    * untouched, so the operator composes with the corrupt-row flagging
+    * downstream (`decoded = false` at the next feature pass). Map-side
+    * per-partition work, the `mapInPandas` batch-UDF shape: nothing
+    * shuffles, payload bytes shrink to ~targetW x targetH. */
+  def resizeImages(media: Dataset[MediaRow], targetW: Int,
+                   targetH: Int): Dataset[MediaRow] = {
+    require(targetW > 0 && targetH > 0)
+    implicit val enc = Encoders.product[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.modality != "image") r
+        else ImageCodec.readImage(r.payload) match {
+          case Some(img) =>
+            r.copy(payload = ImageCodec.encodeResizedPng(img, targetW,
+              targetH))
+          case None => r
+        }
+      }
+    }
+  }
+
+  /** Frame sampling over real video payloads: every `everyK`-th frame
+    * (stream order, starting at frame 0) of each decodable AVI, with the
+    * frame's integer mean red — the "pick representative frames before
+    * the expensive per-frame model" step of a video curation pipeline.
+    * Decode is the same standards-conformant RIFF walk as
+    * [[VideoCodec.decode]]; undecodable payloads yield no rows (the
+    * corrupt-row policy of the hash extractors). Map-side only. */
+  def sampleVideoFrames(media: Dataset[MediaRow], everyK: Int)
+      : Dataset[FrameSample] = {
+    require(everyK >= 1)
+    implicit val enc = Encoders.product[FrameSample]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.modality != "video") Iterator.empty
+        else VideoCodec.decodeFrames(r.payload) match {
+          case Some((w, h, reds)) =>
+            reds.iterator.zipWithIndex.collect {
+              case (red, f) if f % everyK == 0 =>
+                FrameSample(r.doc_id, f, w, h, red)
+            }
+          case None => Iterator.empty
+        }
+      }
+    }
   }
 
   /** Mean |amplitude| per window over a decoded audio payload, with

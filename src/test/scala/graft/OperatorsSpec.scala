@@ -4204,6 +4204,65 @@ class OperatorsSpec extends SparkSpec {
     assert(freqs.collect().map(_.getLong(1)).sum == 20L)
   }
 
+  test("resizeImages: integer box averaging on a NON-uniform image " +
+    "(the solid-colour oracle cannot distinguish a broken kernel), " +
+    "non-image and corrupt rows pass through") {
+    import java.awt.image.BufferedImage
+    val s = spark
+    import s.implicits._
+    // 2x2 with distinct reds: (10, 30 / 50, 70) -> 1x1 mean red = 40;
+    // greens/blues constant so only the red path is under test
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (10 << 16) | (5 << 8) | 1)
+    img.setRGB(1, 0, (30 << 16) | (5 << 8) | 1)
+    img.setRGB(0, 1, (50 << 16) | (5 << 8) | 1)
+    img.setRGB(1, 1, (70 << 16) | (5 << 8) | 1)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rows = Seq(
+      graft.operators.Multimodal.MediaRow(1L, "image", bos.toByteArray),
+      graft.operators.Multimodal.MediaRow(2L, "audio", Array[Byte](1, 2)),
+      graft.operators.Multimodal.MediaRow(3L, "image", Array[Byte](9)))
+    val ds = s.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[
+        graft.operators.Multimodal.MediaRow])
+    val out = graft.operators.Multimodal.resizeImages(ds, 1, 1)
+      .collect().map(r => r.doc_id -> r).toMap
+    val feat = graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.resizeImages(ds, 1, 1))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feat(1L).width == 1 && feat(1L).height == 1)
+    assert(feat(1L).mean_red == 40L, s"box average broke: ${feat(1L)}")
+    // 2x1 downscale: columns average vertically -> reds (30, 50)
+    val half = graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.resizeImages(ds.filter(_.doc_id == 1L),
+          2, 1)).collect().head
+    assert(half.width == 2 && half.height == 1 && half.mean_red == 40L)
+    // pass-through: audio untouched, corrupt image untouched
+    assert(out(2L).payload.toSeq == Seq[Byte](1, 2))
+    assert(out(3L).payload.toSeq == Seq[Byte](9))
+  }
+
+  test("sampleVideoFrames: every-k sampling keeps stream order and " +
+    "exact per-frame means; undecodable payloads yield no rows") {
+    val s = spark
+    // 5 frames, reds 0,17,34,51,68 (the aviFor formula with doc-part 0)
+    val colours = Array.tabulate(5)(f => ((f * 17) % 256) << 16)
+    val avi = graft.operators.Multimodal.VideoCodec
+      .encodeAvi(4, 3, colours)
+    val rows = Seq(
+      graft.operators.Multimodal.MediaRow(7L, "video", avi),
+      graft.operators.Multimodal.MediaRow(8L, "video", Array[Byte](1)))
+    val ds = s.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[
+        graft.operators.Multimodal.MediaRow])
+    val out = graft.operators.Multimodal.sampleVideoFrames(ds, 2)
+      .collect().sortBy(_.frame_idx)
+      .map(f => (f.doc_id, f.frame_idx, f.width, f.height, f.red_mean))
+    assert(out.toSeq == Seq((7L, 0, 4, 3, 0L), (7L, 2, 4, 3, 34L),
+      (7L, 4, 4, 3, 68L)))
+  }
+
   test("dedupThresholdSweep (q310): per-theta counts from one pair " +
     "table, zero-survivor thetas report (0, 0, null)") {
     val s = spark

@@ -1594,6 +1594,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("SortMergeJoin"), p2.take(3000))
   }
 
+  test("q313/q314: the multimodal resize/frame-sample pipelines are " +
+    "map-side — no join, no window, no aggregate exchange") {
+    for (q <- Seq("q313_image_thumbnails", "q314_video_frame_sample")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), q + ": " + p.take(2000))
+      assert(!p.contains("Window"), q + ": " + p.take(2000))
+      assert(!p.contains("HashAggregate"), q + ": " + p.take(2000))
+    }
+  }
+
   test("q312: the kept-id trim is an unhinted semi join; keep-best " +
     "stays window-free (aggregate argmax), no cartesian") {
     val p = plan("q312_recipe_after_dedup")
