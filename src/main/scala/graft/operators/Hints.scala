@@ -66,7 +66,12 @@ object Hints {
     *     parameter (g <= 64 equi-rank points, bin/cell counts,
     *     bootstrap replicates, 2^|channels| masks, shard counts).
     *   - `bt_item_panel` / `marker_panel` / `single_literal_group` —
-    *     comparison panels and literal-keyed one-row groups. */
+    *     comparison panels and literal-keyed one-row groups.
+    *   - `cluster_domain_payload` — a scalar collect whose PAYLOAD is
+    *     bounded: <= |cluster/label domain| x dim values (the walker
+    *     rejects collect_list/collect_set under an otherwise-bounded
+    *     verdict because a corpus-keyed collect is byte-unbounded; this
+    *     tag asserts the collected input is itself domain-bounded). */
   def boundedBroadcast(df: DataFrame, why: String): DataFrame = {
     require(why.nonEmpty && why.forall(c =>
       c.isLower && c.isLetter || c.isDigit || c == '_'),

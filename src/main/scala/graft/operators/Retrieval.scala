@@ -191,7 +191,9 @@ object Retrieval {
           .as("adj"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    docLen.crossJoin(Hints.boundedBroadcast(cScalar, "query_term_set"))
+    // cScalar is ONE row per query (a per-query scalar), not a per-term
+    // table — the query-set contract is the bound, not term trimming
+    docLen.crossJoin(Hints.boundedBroadcast(cScalar, "query_set_contract"))
       .join(adj, col("q") === col("aq")
         && docLen("doc_id") === adj("doc_id"), "left")
       .select(col("q"), docLen("doc_id").as("doc_id"),

@@ -254,21 +254,6 @@ object Sampling {
         (col("pos") + 1).cast("int").as("rk"))
   }
 
-  /** Token-budget greedy selection — "fill an N-token training budget
-    * with the best-scored documents": docs rank by (score desc, id asc)
-    * and the selected set is the maximal prefix whose PRECEDING
-    * cumulative weight stays under `budget` (so the doc that crosses
-    * the line is included — the usual knapsack-relaxation greedy, which
-    * is optimal for this fractional objective up to one document).
-    *
-    * The global prefix sum is the q66 two-phase shape generalized to a
-    * score order: approximate score-quantile boundaries bucket the
-    * corpus into contiguous ranges of the order (boundaries affect
-    * PARTITIONING only — the per-bucket offsets re-align the exact
-    * cumulative, so estimator noise can never change the result), each
-    * bucket runs a local (k, id) window, and the driver prefix-sums
-    * nBuckets totals. No single-partition window, no global sort.
-    * Returns per-doc (id, w, s, selected). */
   /** Token-budget mixture plan — the "data recipe" calculation a
     * pretraining run is provisioned with: given per-group available
     * token mass (one corpus pass), a UNIFORM target mixture over the
@@ -326,6 +311,21 @@ object Sampling {
       .orderBy(col(groupCol))
   }
 
+  /** Token-budget greedy selection — "fill an N-token training budget
+    * with the best-scored documents": docs rank by (score desc, id asc)
+    * and the selected set is the maximal prefix whose PRECEDING
+    * cumulative weight stays under `budget` (so the doc that crosses
+    * the line is included — the usual knapsack-relaxation greedy, which
+    * is optimal for this fractional objective up to one document).
+    *
+    * The global prefix sum is the q66 two-phase shape generalized to a
+    * score order: approximate score-quantile boundaries bucket the
+    * corpus into contiguous ranges of the order (boundaries affect
+    * PARTITIONING only — the per-bucket offsets re-align the exact
+    * cumulative, so estimator noise can never change the result), each
+    * bucket runs a local (k, id) window, and the driver prefix-sums
+    * nBuckets totals. No single-partition window, no global sort.
+    * Returns per-doc (id, w, s, selected). */
   def budgetSelect(docs: DataFrame, idCol: String, weight: Column,
                    score: Column, budget: Long, nBuckets: Int = 64,
                    mat: Materializer = Materializer.Local): DataFrame = {

@@ -769,7 +769,12 @@ object Similarity {
           .cast(dec)),
         lit(0).cast(dec), (acc, x) => (acc + x).cast(dec))
         .cast("double")), 6)
-    val dists = emb.crossJoin(broadcast(all))
+    // `all` is ONE row whose payload is <= |label domain| x dim centroid
+    // values — bounded by the cluster-domain contract, not by the walker
+    // (a scalar collect_list over corpus rows would be byte-unbounded,
+    // which is exactly what the guard rejects without this stamp)
+    val dists = emb.crossJoin(
+      Hints.boundedBroadcast(all, "cluster_domain_payload"))
       .select(col(idCol), col(labelCol).as("plabel"),
         transform(col("cents"), ct =>
           struct(ct.getField("clabel").as("clabel"),

@@ -68,13 +68,25 @@ object AnnIndexStream {
       }
       .start()
 
-  /** The queryable index over everything ingested so far (explicit
-    * schema, so an index with no batches yet reads as EMPTY instead of
-    * failing parquet inference). Pass the stream's `checkpointDir` to
-    * read only COMMITTED batches during a live drain (see
-    * [[Commits]]). */
+  /** The queryable index over everything ingested so far, restricted to
+    * the stream checkpoint's COMMITTED batch prefix — exact even while
+    * a drain is running (see [[Commits]]); the front door defaults to
+    * exact-during-drain rather than opting in. Explicit schema, so an
+    * index with no batches yet reads as EMPTY instead of failing
+    * parquet inference. */
   def index(spark: SparkSession, indexDir: String,
-            checkpointDir: Option[String] = None): DataFrame = {
+            checkpointDir: String): DataFrame =
+    indexRead(spark, indexDir, Some(checkpointDir))
+
+  /** [[index]] WITHOUT commit-log filtering — for a store read away
+    * from its stream. Exact only after the AvailableNow drain
+    * terminates (a concurrent read can transiently observe a batch
+    * whose checkpoint commit has not landed). */
+  def indexUncommitted(spark: SparkSession, indexDir: String): DataFrame =
+    indexRead(spark, indexDir, None)
+
+  private def indexRead(spark: SparkSession, indexDir: String,
+                        checkpointDir: Option[String]): DataFrame = {
     val schema = StructType(Seq(
       StructField("neighbor_id", LongType),
       StructField("cell_id", LongType),
@@ -92,13 +104,26 @@ object AnnIndexStream {
   }
 
   /** ADC search over the streamed store — exactly
-    * [[Similarity.ivfPqSearch]] on the merged index, so results are
-    * bit-identical to a batch-built index of the same corpus. */
-  def search(spark: SparkSession, indexDir: String, queries: DataFrame,
+    * [[Similarity.ivfPqSearch]] on the merged COMMITTED index, so
+    * results are bit-identical to a batch-built index of the same
+    * committed corpus. */
+  def search(spark: SparkSession, indexDir: String,
+             checkpointDir: String, queries: DataFrame,
              seeds: DataFrame, codebooks: Array[Array[Array[Float]]],
              k: Int, nprobe: Int = 1,
-             idCol: String = "vec_id", vecCol: String = "embedding",
-             checkpointDir: Option[String] = None): DataFrame =
+             idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame =
     Similarity.ivfPqSearch(index(spark, indexDir, checkpointDir),
+      queries, seeds, codebooks, k, nprobe, idCol, vecCol)
+
+  /** [[search]] over the unfiltered store — see [[indexUncommitted]]
+    * for when that is exact. */
+  def searchUncommitted(spark: SparkSession, indexDir: String,
+                        queries: DataFrame, seeds: DataFrame,
+                        codebooks: Array[Array[Array[Float]]],
+                        k: Int, nprobe: Int = 1,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame =
+    Similarity.ivfPqSearch(indexUncommitted(spark, indexDir),
       queries, seeds, codebooks, k, nprobe, idCol, vecCol)
 }

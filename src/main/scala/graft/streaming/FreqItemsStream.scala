@@ -70,14 +70,26 @@ object FreqItemsStream {
       .start()
 
   /** The exact merged `(shard, tok, c)` counts over everything ingested
-    * so far. Explicit schema, so a store with no batches yet reads as
-    * an EMPTY frame instead of failing parquet inference. Pass the
-    * stream's `checkpointDir` to read only COMMITTED batches — without
-    * it, a read concurrent with a running drain can transiently observe
-    * a batch whose checkpoint commit has not landed yet (replay rewrites
-    * identical content, so state still converges; see [[Commits]]). */
+    * so far, restricted to the stream checkpoint's COMMITTED batch
+    * prefix — exact even while a drain is running (see [[Commits]]);
+    * the front door defaults to exact-during-drain rather than opting
+    * in. Explicit schema, so a store with no batches yet reads as an
+    * EMPTY frame instead of failing parquet inference. */
   def mergedCounts(spark: SparkSession, countsDir: String,
-                   checkpointDir: Option[String] = None): DataFrame = {
+                   checkpointDir: String): DataFrame =
+    mergedCountsRead(spark, countsDir, Some(checkpointDir))
+
+  /** [[mergedCounts]] WITHOUT commit-log filtering — for a store read
+    * away from its stream. Exact only after the AvailableNow drain
+    * terminates: concurrent with a drain it can transiently observe a
+    * batch whose checkpoint commit has not landed yet (replay rewrites
+    * identical content, so state still converges). */
+  def mergedCountsUncommitted(spark: SparkSession, countsDir: String)
+      : DataFrame =
+    mergedCountsRead(spark, countsDir, None)
+
+  private def mergedCountsRead(spark: SparkSession, countsDir: String,
+                               checkpointDir: Option[String]): DataFrame = {
     val schema = StructType(Seq(StructField("shard", IntegerType),
       StructField("tok", StringType), StructField("c", LongType),
       StructField("batch_id", LongType)))
@@ -93,10 +105,20 @@ object FreqItemsStream {
   }
 
   /** The q309 heavy-hitter bracket over everything ingested so far —
-    * merged counts through the shared [[Stats.heavyHitterBracket]]. */
-  def summary(spark: SparkSession, countsDir: String, kTop: Int = 32,
-              checkpointDir: Option[String] = None,
+    * COMMITTED merged counts through the shared
+    * [[Stats.heavyHitterBracket]]. */
+  def summary(spark: SparkSession, countsDir: String,
+              checkpointDir: String, kTop: Int = 32,
               materialize: Materializer = Materializer.Local): DataFrame =
     Stats.heavyHitterBracket(
       mergedCounts(spark, countsDir, checkpointDir), kTop, materialize)
+
+  /** [[summary]] over the unfiltered store — see
+    * [[mergedCountsUncommitted]] for when that is exact. */
+  def summaryUncommitted(spark: SparkSession, countsDir: String,
+                         kTop: Int = 32,
+                         materialize: Materializer = Materializer.Local)
+      : DataFrame =
+    Stats.heavyHitterBracket(
+      mergedCountsUncommitted(spark, countsDir), kTop, materialize)
 }

@@ -147,17 +147,31 @@ object NearDupStream {
 
   /** The confirmed-pair log accumulated so far (pairs are emitted in
     * exactly one batch — the one where the later member arrived — so
-    * the log needs no dedup). `pairSchema` is the non-partition part of
-    * the log's schema: passing it explicitly means a log whose batches
-    * produced no pair yet (data-file-less dir, or no dir at all) reads
-    * as an EMPTY frame instead of failing parquet schema inference.
-    * Pass the stream's `checkpointDir` to read only COMMITTED batches —
-    * without it the read is exact only after the AvailableNow drain
-    * terminates (a concurrent read can transiently observe a batch
-    * whose checkpoint commit has not landed; see [[Commits]]). */
+    * the log needs no dedup), restricted to the stream checkpoint's
+    * COMMITTED batch prefix — exact even while a drain is running (see
+    * [[Commits]]); this is the front door, so exact-during-drain is the
+    * default rather than an opt-in. `pairSchema` is the non-partition
+    * part of the log's schema: passing it explicitly means a log whose
+    * batches produced no pair yet (data-file-less dir, or no dir at
+    * all) reads as an EMPTY frame instead of failing parquet schema
+    * inference. */
   def confirmedPairs(spark: SparkSession, pairsDir: String,
-                     pairSchema: StructType = defaultPairSchema,
-                     checkpointDir: Option[String] = None): DataFrame =
+                     checkpointDir: String,
+                     pairSchema: StructType = defaultPairSchema): DataFrame =
+    confirmedPairsRead(spark, pairsDir, pairSchema, Some(checkpointDir))
+
+  /** [[confirmedPairs]] WITHOUT commit-log filtering — for a store read
+    * away from its stream (the checkpoint dir unreachable). Exact only
+    * after the AvailableNow drain terminates: concurrent with a drain
+    * it can transiently observe a batch whose commit has not landed. */
+  def confirmedPairsUncommitted(spark: SparkSession, pairsDir: String,
+                                pairSchema: StructType = defaultPairSchema)
+      : DataFrame =
+    confirmedPairsRead(spark, pairsDir, pairSchema, None)
+
+  private def confirmedPairsRead(spark: SparkSession, pairsDir: String,
+                                 pairSchema: StructType,
+                                 checkpointDir: Option[String]): DataFrame =
     if (!dirExists(spark, pairsDir))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairSchema)

@@ -58,16 +58,28 @@ object SynopsisStream {
       .start()
 
   /** The merged histogram over everything ingested so far: one
-    * associative Σc-by-v over the per-batch partials. Explicit schema,
-    * so a synopsis with no batches yet (or only empty ones) reads as an
-    * EMPTY histogram instead of failing parquet inference. Pass the
-    * stream's `checkpointDir` to read only COMMITTED batches — without
-    * it the read is exact only after the AvailableNow drain terminates
-    * (a concurrent read can transiently observe a batch whose
-    * checkpoint commit has not landed; see [[Commits]]). */
+    * associative Σc-by-v over the per-batch partials, restricted to the
+    * stream checkpoint's COMMITTED batch prefix — exact even while a
+    * drain is running (see [[Commits]]); the front door defaults to
+    * exact-during-drain rather than opting in. Explicit schema, so a
+    * synopsis with no batches yet (or only empty ones) reads as an
+    * EMPTY histogram instead of failing parquet inference. */
   def histogram(spark: SparkSession, synDir: String,
-                valueType: DataType = LongType,
-                checkpointDir: Option[String] = None): DataFrame = {
+                checkpointDir: String,
+                valueType: DataType = LongType): DataFrame =
+    histogramRead(spark, synDir, valueType, Some(checkpointDir))
+
+  /** [[histogram]] WITHOUT commit-log filtering — for a store read away
+    * from its stream. Exact only after the AvailableNow drain
+    * terminates (a concurrent read can transiently observe a batch
+    * whose checkpoint commit has not landed). */
+  def histogramUncommitted(spark: SparkSession, synDir: String,
+                           valueType: DataType = LongType): DataFrame =
+    histogramRead(spark, synDir, valueType, None)
+
+  private def histogramRead(spark: SparkSession, synDir: String,
+                            valueType: DataType,
+                            checkpointDir: Option[String]): DataFrame = {
     val schema = StructType(Seq(StructField("v", valueType),
       StructField("c", LongType), StructField("batch_id", LongType)))
     val p = new org.apache.hadoop.fs.Path(synDir)

@@ -268,6 +268,32 @@ class BenchSpec extends SparkSpec {
       "rows around the corrupt one must survive")
   }
 
+  test("the summary's large_tiered map carries only the slices that were " +
+      "actually applied in the pass, not the static registry") {
+    // a pass that skipped (or ran full-size) a tiered query must not
+    // publish that query's denominator: a dashboard normalizing
+    // total_large by it would divide work that was never sliced
+    val applied = Seq("q209_lsh_recall_cert", "q301_dup_transitivity")
+    val line = Bench.summaryLine(100.0, "sf", 2, 310, 0,
+      Some((500.0, 200, 110)), 1650.0, 1600.0, tierApplied = applied)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(line)
+    val tiers = node.get("large_tiered")
+    assert(tiers.size == 2, tiers.toString)
+    applied.foreach { n =>
+      assert(tiers.get(n).asInt ==
+        SparkEntry.largeBenchTierSlice(n), tiers.toString)
+    }
+    // a registered-but-unapplied tier (e.g. q273 skipped this pass)
+    // must be absent
+    assert(!tiers.has("q273_betweenness"), tiers.toString)
+    // and an empty applied set yields an empty map, not the registry
+    val none = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.summaryLine(100.0, "sf", 2, 310, 0,
+        Some((500.0, 200, 110)), 1650.0, 1600.0))
+    assert(none.get("large_tiered").size == 0, none.toString)
+  }
+
   test("the filtered-mode summary names the filtered twin file") {
     val full = Bench.summaryLine(10.0, "sf", 1, 5, 0, None, 100.0, 50.0)
     val filt = Bench.summaryLine(10.0, "sf", 1, 5, 0, None, 100.0, 50.0,

@@ -14,9 +14,27 @@ object GuardSweep {
   def bounded(p: LogicalPlan): Boolean = p match {
     case s: SubqueryAlias if s.alias.startsWith("bounded_") => true
     case a: Aggregate =>
-      a.groupingExpressions.isEmpty || bounded(a.child)
+      // ROW count: a grouping-free aggregate is 1 row, a grouped one at
+      // most its child's. BYTE growth hides in collect_list/collect_set
+      // payloads — a scalar collect over the corpus is 1 row of
+      // corpus-sized bytes, exactly as broadcast-fatal as corpus rows —
+      // so a collect is accepted only when the collected INPUT is
+      // itself bounded (or the site carries a stamp naming the payload
+      // bound).
+      val collects = a.aggregateExpressions.exists(_.find {
+        case _: org.apache.spark.sql.catalyst.expressions.aggregate
+          .CollectList => true
+        case _: org.apache.spark.sql.catalyst.expressions.aggregate
+          .CollectSet => true
+        case _ => false
+      }.isDefined)
+      (a.groupingExpressions.isEmpty && !collects) || bounded(a.child)
     case _: GlobalLimit | _: LocalLimit => true
     case _: LocalRelation | _: OneRowRelation | _: Range => true
+    // row-MULTIPLYING unary node: exploding a bounded frame's arrays can
+    // emit corpus-many rows (e.g. a collect_list payload) — never
+    // boundedness-preserving; adjudicate real sites with a stamp
+    case _: Generate => false
     case j: Join => j.joinType match {
       case org.apache.spark.sql.catalyst.plans.LeftSemi |
            org.apache.spark.sql.catalyst.plans.LeftAnti =>
@@ -24,9 +42,22 @@ object GuardSweep {
       case _ => bounded(j.left) && bounded(j.right)
     }
     case u: Union => u.children.forall(bounded)
-    case l if l.children.isEmpty =>
-      val s = l.toString
-      s.contains("nation") || s.contains("region")
+    // fixed-cardinality catalog tables (TPC-H nation=25 / region=5 are
+    // constant at every SF), matched by the SCANNED FILE identity — a
+    // toString substring match would bless any leaf whose path merely
+    // mentions the word
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      lr.relation match {
+        case h: org.apache.spark.sql.execution.datasources
+          .HadoopFsRelation =>
+          h.location.rootPaths.nonEmpty &&
+            h.location.rootPaths.forall { rp =>
+              val n = rp.getName
+              n == "nation.parquet" || n == "region.parquet"
+            }
+        case _ => false
+      }
+    case l if l.children.isEmpty => false
     case other if other.children.size == 1 => bounded(other.children.head)
     case _ => false
   }

@@ -1652,7 +1652,8 @@ class PlanAuditSpec extends SparkSpec {
       "grid_cells",
       "grid_g_rows", "calibration_bins", "sketch_cells", "probe_points",
       "replicate_set", "subset_masks", "channel_subsets", "per_shard_rows",
-      "bt_item_panel", "marker_panel", "single_literal_group")
+      "bt_item_panel", "marker_panel", "single_literal_group",
+      "cluster_domain_payload")
     val unknownTags = scala.collection.mutable.Set[String]()
     val failures = scala.collection.mutable.Buffer[String]()
     for ((q, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -256,7 +256,7 @@ class StreamingSpec extends SparkSpec {
     }
     // a log with no batches yet reads as an EMPTY frame (explicit
     // schema), not a parquet schema-inference failure
-    assert(NearDupStream.confirmedPairs(spark, pairsDir).isEmpty)
+    assert(NearDupStream.confirmedPairs(spark, pairsDir, ckpt).isEmpty)
     // run 1: the historical corpus through the same front door (batch 0)
     drop(docs.filter(col("doc_id") % 2 === 0), "b0")
     runOnce()
@@ -280,13 +280,14 @@ class StreamingSpec extends SparkSpec {
     // crash replay: re-run the LAST batch with the same batch id — the
     // dynamic partition overwrite must rewrite identical content, and
     // the historical filter must exclude the batch's own index rows
-    val beforePairs = pairSet(NearDupStream.confirmedPairs(spark, pairsDir))
+    val beforePairs = pairSet(
+      NearDupStream.confirmedPairs(spark, pairsDir, ckpt))
     val beforeIdxRows = spark.read.parquet(idxDir).count()
     val lastId = spark.read.parquet(idxDir)
       .agg(max(col("batch_id").cast("long"))).collect()(0).getLong(0)
     NearDupStream.processBatch(docs.filter(col("doc_id") % 4 === 3),
       lastId, "doc_id", "text", idxDir, pairsDir, fast = false)
-    assert(pairSet(NearDupStream.confirmedPairs(spark, pairsDir))
+    assert(pairSet(NearDupStream.confirmedPairs(spark, pairsDir, ckpt))
       == beforePairs, "replay changed the pair log")
     assert(spark.read.parquet(idxDir).count() == beforeIdxRows,
       "replay changed the index")
@@ -295,13 +296,29 @@ class StreamingSpec extends SparkSpec {
     // streaming state or read-modify-write label store, because labels
     // are a pure function of the (append-only, exactly-once) pair log
     val streamedClusters = graft.operators.Dedup
-      .nearDupClusters(NearDupStream.confirmedPairs(spark, pairsDir))
+      .nearDupClusters(NearDupStream.confirmedPairs(spark, pairsDir,
+        ckpt))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val batchClusters = SparkEntry
       .queries("q54_dedup_clusters")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamedClusters == batchClusters,
       s"streamed=${streamedClusters.size} batch=${batchClusters.size}")
+    // committed-only visibility (the read-DURING-drain contract): an
+    // in-flight batch — written, but not yet in the checkpoint's commit
+    // log — is EXCLUDED from the front-door read and visible only to
+    // the explicit Uncommitted escape
+    NearDupStream.processBatch(docs.filter(col("doc_id") % 2 === 1),
+      lastId + 5, "doc_id", "text", idxDir, pairsDir, fast = false)
+    val inflight = spark.read.parquet(pairsDir)
+      .filter(col("batch_id").cast("long") === lastId + 5).count()
+    assert(inflight > 0, "the in-flight batch must emit pairs")
+    assert(pairSet(NearDupStream.confirmedPairs(spark, pairsDir, ckpt))
+      == beforePairs, "front door saw the in-flight batch")
+    assert(NearDupStream.confirmedPairsUncommitted(spark, pairsDir).count()
+      == NearDupStream.confirmedPairs(spark, pairsDir, ckpt).count()
+        + inflight,
+      "the uncommitted escape must see exactly the in-flight rows")
   }
 
   test("SynopsisStream: per-batch histogram partials across a " +
@@ -325,7 +342,7 @@ class StreamingSpec extends SparkSpec {
     val schema = batch1.toDF("id", "v").schema
     // an empty store reads as an empty histogram, never an inference
     // failure
-    assert(SynopsisStream.histogram(spark, synDir).isEmpty)
+    assert(SynopsisStream.histogram(spark, synDir, ckpt).isEmpty)
     def runOnce(): Unit = {
       val q = SynopsisStream.runAvailableNow(
         SynopsisStream.readValues(spark, srcDir, schema), "v", synDir,
@@ -347,20 +364,30 @@ class StreamingSpec extends SparkSpec {
           gv(r.getInt(2)), r.getLong(3), r.getDouble(4))).sortBy(_._1)
         .toSeq
     }
-    val streamed = buckets(SynopsisStream.histogram(spark, synDir))
+    val streamed = buckets(SynopsisStream.histogram(spark, synDir,
+      ckpt))
     val direct = buckets((batch1 ++ batch2).toDF("id", "v")
       .groupBy(col("v")).agg(count(lit(1)).as("c")))
     assert(streamed.nonEmpty && streamed == direct)
     // crash replay of the LAST batch: its partition is rewritten with
     // identical content, the merged histogram is unchanged
-    def histSet() = SynopsisStream.histogram(spark, synDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def histSet() = SynopsisStream.histogram(spark, synDir, ckpt)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val before = histSet()
     val lastId = spark.read.parquet(synDir)
       .agg(max(col("batch_id").cast("long"))).collect()(0).getLong(0)
     SynopsisStream.processBatch(batch2.toDF("id", "v"), lastId, "v",
       synDir)
     assert(histSet() == before, "replay changed the merged synopsis")
+    // committed-only visibility: an in-flight partial (written, not in
+    // the commit log yet) is excluded from the front door and visible
+    // only to the explicit Uncommitted escape
+    SynopsisStream.processBatch(batch2.toDF("id", "v"), lastId + 5, "v",
+      synDir)
+    assert(histSet() == before, "front door saw the in-flight batch")
+    assert(SynopsisStream.histogramUncommitted(spark, synDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet != before,
+      "the uncommitted escape must see the in-flight partial")
   }
 
   test("FreqItemsStream: heavy-hitter partials across a kill-and-restart " +
@@ -400,7 +427,7 @@ class StreamingSpec extends SparkSpec {
       q.awaitTermination(120000)
     }
     // an empty store reads as an empty frame, never an inference failure
-    assert(FreqItemsStream.mergedCounts(spark, countsDir).isEmpty)
+    assert(FreqItemsStream.mergedCounts(spark, countsDir, ckpt).isEmpty)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getBoolean(4), r.getDouble(5))).toSeq
@@ -412,7 +439,7 @@ class StreamingSpec extends SparkSpec {
     // picks up only the third file
     drop(docs.filter(col("doc_id") % 3 === 2), "b2")
     runOnce()
-    val streamed = rows(FreqItemsStream.summary(spark, countsDir))
+    val streamed = rows(FreqItemsStream.summary(spark, countsDir, ckpt))
     val oracle = rows(SparkEntry.queries("q309_heavyhitter_merge")(
       spark, dir))
     assert(streamed.nonEmpty && streamed == oracle,
@@ -423,8 +450,8 @@ class StreamingSpec extends SparkSpec {
       .agg(max(col("batch_id").cast("long"))).collect()(0).getLong(0)
     FreqItemsStream.processBatch(docs.filter(col("doc_id") % 3 === 2),
       lastId, "doc_id", "text", nShards = 4, countsDir)
-    assert(rows(FreqItemsStream.summary(spark, countsDir)) == oracle,
-      "replay changed the merged summary")
+    assert(rows(FreqItemsStream.summary(spark, countsDir, ckpt))
+      == oracle, "replay changed the merged summary")
     // committed-only visibility (the read-during-drain contract): an
     // in-flight batch — written but not yet in the checkpoint's commit
     // log — is visible to the raw read and EXCLUDED from the
@@ -433,11 +460,11 @@ class StreamingSpec extends SparkSpec {
     assert(commits.contains(lastId), s"commit log says $commits")
     FreqItemsStream.processBatch(docs.filter(col("doc_id") % 3 === 2),
       lastId + 5, "doc_id", "text", nShards = 4, countsDir)
-    assert(rows(FreqItemsStream.summary(spark, countsDir,
-        checkpointDir = Some(ckpt))) == oracle,
-      "committed-only read saw the uncommitted batch")
-    assert(rows(FreqItemsStream.summary(spark, countsDir)) != oracle,
-      "raw read should see the uncommitted batch (documented mode)")
+    assert(rows(FreqItemsStream.summary(spark, countsDir, ckpt))
+      == oracle, "committed-only read saw the uncommitted batch")
+    assert(rows(FreqItemsStream.summaryUncommitted(spark, countsDir))
+      != oracle,
+      "the uncommitted escape should see the in-flight batch")
   }
 
   test("AnnIndexStream: per-batch IVF-PQ index rows across a " +
@@ -477,7 +504,7 @@ class StreamingSpec extends SparkSpec {
       q.awaitTermination(120000)
     }
     // an empty store reads as an empty index, never an inference failure
-    assert(AnnIndexStream.index(spark, idxDir).isEmpty)
+    assert(AnnIndexStream.index(spark, idxDir, ckpt).isEmpty)
     def hits(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1),
         r.getDouble(2), r.getInt(3))).toSet
@@ -489,8 +516,8 @@ class StreamingSpec extends SparkSpec {
     // picks up only the third file
     drop(emb.filter(col("vec_id") % 3 === 2), "b2")
     runOnce()
-    val streamed = hits(AnnIndexStream.search(spark, idxDir, queries,
-      seeds, codebooks, k = 5, nprobe = 2))
+    val streamed = hits(AnnIndexStream.search(spark, idxDir, ckpt,
+      queries, seeds, codebooks, k = 5, nprobe = 2))
     val batch = hits(graft.operators.Similarity.ivfPqSearch(
       graft.operators.Similarity.ivfPqIndex(emb, seeds, codebooks),
       queries, seeds, codebooks, k = 5, nprobe = 2))
@@ -501,9 +528,20 @@ class StreamingSpec extends SparkSpec {
       .agg(max(col("batch_id").cast("long"))).collect()(0).getLong(0)
     AnnIndexStream.processBatch(emb.filter(col("vec_id") % 3 === 2),
       lastId, seeds, codebooks, idxDir)
-    assert(hits(AnnIndexStream.search(spark, idxDir, queries, seeds,
-      codebooks, k = 5, nprobe = 2)) == batch,
+    assert(hits(AnnIndexStream.search(spark, idxDir, ckpt, queries,
+      seeds, codebooks, k = 5, nprobe = 2)) == batch,
       "replay changed the search results")
+    // committed-only visibility: an in-flight index partition is
+    // excluded from the front-door search and visible only to the
+    // explicit Uncommitted escape
+    AnnIndexStream.processBatch(emb.filter(col("vec_id") % 3 === 2),
+      lastId + 5, seeds, codebooks, idxDir)
+    assert(hits(AnnIndexStream.search(spark, idxDir, ckpt, queries,
+      seeds, codebooks, k = 5, nprobe = 2)) == batch,
+      "front door saw the in-flight batch")
+    assert(AnnIndexStream.indexUncommitted(spark, idxDir).count()
+      > AnnIndexStream.index(spark, idxDir, ckpt).count(),
+      "the uncommitted escape must see the in-flight rows")
   }
 
   test("streaming ANALYZE refresh: per-batch value histograms folded " +
