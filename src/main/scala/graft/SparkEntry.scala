@@ -279,6 +279,15 @@ object SparkEntry {
   private def hashSample(df: DataFrame, keyCol: String, mod: Int): DataFrame =
     df.filter(pmod(xxhash64(col(keyCol)), lit(mod)) === 0)
 
+  /** q315's blocklist — lowercase phrases over the corpus vocabulary,
+    * including two ABSENT ones (exact zeros are part of the contract)
+    * and a nested pair ("fast" / "fast fast") that exercises the
+    * automaton's suffix-output links. Shared by the query and the
+    * oracle's VALUES list. */
+  private val blocklistPatterns: Seq[String] = Seq(
+    "big big", "buy now", "click here", "fast", "fast fast",
+    "slow scan", "table", "table table")
+
   /** The support>=2 co-purchase part graph q273 walks: one edge per part
     * pair that co-occurs in >= 2 orders. */
   private def copurchaseEdges(li: DataFrame): DataFrame = {
@@ -7329,6 +7338,76 @@ object SparkEntry {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("red_mean"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    "q315_blocklist_scan" -> ((s, dir) => {
+      // C4-style banned-phrase scan: per (source, pattern), how many
+      // docs carry the pattern and its total occurrence count — ONE
+      // Aho-Corasick automaton walk per document for the WHOLE
+      // blocklist (functions.BlocklistHits, codegen'd native
+      // expression; a LIKE-per-pattern plan re-reads each doc once per
+      // pattern, a 20-entry blocklist = 20 corpus scans). The list
+      // includes absent phrases (zero rows must be exact, not dropped)
+      // and a nested pattern pair ("fast" inside "fast fast") that
+      // exercises the automaton's suffix-output links. Counting is
+      // greedy leftmost non-overlapping per pattern = the replace()-
+      // count every SQL engine replays.
+      GraftFunctions.register(s)
+      TextAnalysis.blocklistScan(t(s, dir, "documents"),
+        "source", "text", blocklistPatterns)
+    }),
+
+    "q316_encoding_audit" -> ((s, dir) => {
+      // CCNet/C4-class encoding-health gate: per source, docs carrying
+      // U+FFFD replacement chars, C0 control junk, or the
+      // UTF-8-as-Latin-1 mojibake digraph — and the clean rate. The
+      // corpus is synthetic-clean, so (the q55 PII pattern) the fixture
+      // INJECTS deterministic doc_id-keyed noise identically in both
+      // engines first; the audit itself (TextAnalysis.encodingAudit) is
+      // plain map-side predicates + one source-keyed aggregate.
+      val noisy = t(s, dir, "documents").select(col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" caf\u00C3\u00A9"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" \uFFFD"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("\u0007"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.encodingAudit(noisy, "source", "text")
+    }),
+
+    "q317_curriculum_plan" -> ((s, dir) => {
+      // staged "clean data first" curriculum: quality quartile tiers
+      // (the shared q31 quality score, quantized least(floor(q*4),3)),
+      // stage s trains on tiers >= 4-s with budget share s/10 - the
+      // provisioning readout a staged pretraining run is planned with,
+      // priced by the same integer mixture algebra as q311 (epoch cap,
+      // achievable share, zero-token branch for an empty top tier).
+      // ONE corpus rollup; the stage x tier range join is bounded
+      // nested-loop algebra (see Sampling.curriculumPlan).
+      val perDoc = t(s, dir, "documents").select(
+        least(floor(TextAnalysis.qualityScore(col("text")) * 4), lit(3))
+          .cast("int").as("tier"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+      operators.Sampling.curriculumPlan(perDoc, col("tier"),
+        col("toks"), budget = 2000000L, nTiers = 4, maxEpochs = 4)
+    }),
+
+    "q318_entropy_gate" -> ((s, dir) => {
+      // compressibility-proxy junk gate: per source, the DECIMAL-mean
+      // character entropy and how many docs fall below 3.5 bits/char
+      // (loops/repeated-character spam score near log2 of their tiny
+      // alphabet; natural text ~4.1-4.5). The corpus is clean, so the
+      // fixture REPLACES every 13th doc with degenerate repeat text
+      // identically in both engines; per-doc entropy is one
+      // native-expression pass (functions.CharEntropy, 9-decimal-
+      // pinned, order-independent), replayed by the oracle from a
+      // per-character GROUP BY.
+      GraftFunctions.register(s)
+      val noisy = t(s, dir, "documents").select(col("source"),
+        when(col("doc_id") % 13 === 0, lit("spam " * 40))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.entropyGate(noisy, "source", "text", lowBits = 3.5)
     }),
 
     "q312_recipe_after_dedup" -> ((s, dir) => {
@@ -15871,6 +15950,149 @@ object SparkEntry {
         |  unnest(range(0, CAST(doc_id % 12 + 1 AS BIGINT), 2)) AS t(f)
         |WHERE doc_id % 3 = 2
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // greedy leftmost non-overlapping occurrence counting IS what a
+    // replace()-based count computes — the oracle replays the automaton
+    // one pattern at a time
+    "q315_blocklist_scan" ->
+      (s"""WITH pats AS (SELECT * FROM (VALUES """ +
+        blocklistPatterns.map(p => s"('$p')").mkString(", ") +
+        s""") p(pattern)),
+        |per AS (
+        |  SELECT d.source, p.pattern,
+        |    CAST((length(lower(d.text))
+        |        - length(replace(lower(d.text), p.pattern, '')))
+        |      // length(p.pattern) AS BIGINT) AS h
+        |  FROM documents d CROSS JOIN pats p
+        |)
+        |SELECT source, pattern,
+        |  CAST(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_hit,
+        |  CAST(SUM(h) AS BIGINT) AS hits
+        |FROM per GROUP BY 1, 2 ORDER BY 1, 2""").stripMargin,
+
+    // same doc_id-keyed noise injection as the Spark side (chr() code
+    // points == the Scala \u escapes), then the same three detectors
+    "q316_encoding_audit" ->
+      """WITH noisy AS (
+        |  SELECT source, text
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ' caf' || chr(195) || chr(169) ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' ' || chr(65533) ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN chr(7) ELSE '' END AS t
+        |  FROM documents
+        |), flags AS (
+        |  SELECT source,
+        |    CASE WHEN strpos(t, chr(65533)) > 0 THEN 1 ELSE 0 END AS r,
+        |    CASE WHEN regexp_matches(t,
+        |        '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END AS c,
+        |    CASE WHEN regexp_matches(t, chr(195) || '[' || chr(160)
+        |        || '-' || chr(191) || ']') THEN 1 ELSE 0 END AS m
+        |  FROM noisy
+        |), agg AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(r) AS BIGINT) AS repl_docs,
+        |    CAST(SUM(c) AS BIGINT) AS ctrl_docs,
+        |    CAST(SUM(m) AS BIGINT) AS moji_docs,
+        |    CAST(SUM(CASE WHEN r = 0 AND c = 0 AND m = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS clean_docs
+        |  FROM flags GROUP BY source)
+        |SELECT source, n_docs, repl_docs, ctrl_docs, moji_docs,
+        |  clean_docs,
+        |  round(CAST(clean_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS clean_rate
+        |FROM agg ORDER BY source""".stripMargin,
+
+    // the q31 quality formula, quartile-quantized, then the q311
+    // integer mixture algebra per cumulative stage pool
+    "q317_curriculum_plan" ->
+      s"""WITH base AS (
+        |  SELECT CAST(len($toksSql) AS BIGINT) AS toks,
+        |    round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      * (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+        |          ELSE CAST(length(regexp_replace(text,
+        |              '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+        |            / CAST(length(text) AS DOUBLE) END)
+        |      * (0.5 + (CASE WHEN len($toksSql) = 0 THEN 0.0
+        |          ELSE CAST(len(list_filter($toksSql,
+        |              t -> list_contains($stopwordsSql, lower(t))))
+        |              AS DOUBLE)
+        |            / CAST(len($toksSql) AS DOUBLE) END) / 2.0), 6) AS q
+        |  FROM documents
+        |), tiers AS (
+        |  SELECT LEAST(CAST(floor(q * 4) AS INT), 3) AS tier, toks
+        |  FROM base
+        |), per AS (
+        |  SELECT tier, CAST(COUNT(*) AS BIGINT) AS td,
+        |    CAST(SUM(toks) AS BIGINT) AS tt
+        |  FROM tiers GROUP BY tier
+        |), stg AS (
+        |  SELECT CAST(st AS INT) AS stage, CAST(4 - st AS INT)
+        |    AS min_tier
+        |  FROM unnest([1, 2, 3, 4]) t(st)
+        |), pool AS (
+        |  SELECT stage, min_tier,
+        |    CAST(COUNT(p.tier) AS BIGINT) AS n_tiers,
+        |    CAST(coalesce(SUM(p.td), 0) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(SUM(p.tt), 0) AS BIGINT) AS tokens_avail
+        |  FROM stg LEFT JOIN per p ON p.tier >= stg.min_tier
+        |  GROUP BY 1, 2
+        |), plan0 AS (
+        |  SELECT *, CAST(2000000 * stage // 10 AS BIGINT)
+        |    AS stage_budget
+        |  FROM pool
+        |), ep AS (
+        |  SELECT *, CASE WHEN tokens_avail > 0
+        |      THEN LEAST((stage_budget + tokens_avail - 1)
+        |        // tokens_avail, 4)
+        |      ELSE 1 END AS epochs
+        |  FROM plan0)
+        |SELECT stage, min_tier, n_tiers, n_docs, tokens_avail,
+        |  stage_budget,
+        |  CASE WHEN tokens_avail > 0
+        |    THEN round(CAST(stage_budget AS DOUBLE)
+        |      / CAST(tokens_avail AS DOUBLE), 6) END AS sampling_rate,
+        |  CAST(epochs AS BIGINT) AS epochs,
+        |  CAST(CASE WHEN tokens_avail > 0
+        |    THEN LEAST(stage_budget, tokens_avail * epochs)
+        |    ELSE 0 END AS BIGINT) AS capped_tokens,
+        |  round(CAST(CASE WHEN tokens_avail > 0
+        |    THEN LEAST(stage_budget, tokens_avail * epochs)
+        |    ELSE 0 END AS DOUBLE) / 2000000.0, 6) AS achievable_share
+        |FROM ep ORDER BY stage""".stripMargin,
+
+    // per-character GROUP BY replay of functions.CharEntropy: round(9)
+    // DECIMAL terms sum exactly (order-independent), round(6) publish
+    "q318_entropy_gate" ->
+      """WITH noisy AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 13 = 0 THEN repeat('spam ', 40)
+        |      ELSE text END AS t
+        |  FROM documents
+        |), chars AS (
+        |  SELECT doc_id, substring(t, CAST(i AS INT), 1) AS ch
+        |  FROM noisy, unnest(range(1, length(t) + 1)) u(i)
+        |), hist AS (
+        |  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM chars GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY 1
+        |), ent AS (
+        |  SELECT h.doc_id, round(CAST(SUM(CAST(round(
+        |      (CAST(c AS DOUBLE) / n) * log2(CAST(n AS DOUBLE) / c), 9)
+        |      AS DECIMAL(19,9))) AS DOUBLE), 6) AS h
+        |  FROM hist h JOIN tot USING (doc_id) GROUP BY 1
+        |), perdoc AS (
+        |  SELECT d.source, coalesce(e.h, 0.0) AS h
+        |  FROM noisy d LEFT JOIN ent e USING (doc_id)
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  round(CAST(SUM(CAST(h AS DECIMAL(38,6))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_entropy,
+        |  CAST(SUM(CASE WHEN h < 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS low_docs
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
 
     "q311_data_recipe" ->
       """WITH per AS (

@@ -44,6 +44,11 @@ object GraftFunctions {
       "bpe_encode", exprs => BpeEncode(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "cdc_pairs", exprs => CdcPairs(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "blocklist_hits", exprs => BlocklistHits(exprs(0), exprs(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "char_entropy", exprs => CharEntropy(exprs(0)), "built-in")
     // Spark's OWN runtime-filter bloom expressions (catalyst internal,
     // not exposed as SQL functions): registered here so the 100 TB
     // decontamination path can build an eval-set bloom DISTRIBUTEDLY

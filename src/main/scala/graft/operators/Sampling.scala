@@ -445,4 +445,73 @@ object Sampling {
       .select(col("rk"), col("doc_id"),
         round(col("g").cast("double"), 6).as("gain"), col("objective"))
   }
+
+  /** Quality-curriculum schedule (q317) — the staged "clean data first"
+    * training plan: docs are bucketed into `nTiers` quality tiers, and
+    * stage s (1-based) trains on the pool of tiers >= nTiers - s — the
+    * top tier alone first, each later stage ADDING the next tier down —
+    * with a budget share proportional to the stage index (later stages
+    * see more data and take more tokens: stage_budget = budget * s /
+    * Σ(1..nTiers), integer division, remainder deliberately
+    * unassigned). Per stage the [[mixturePlan]] algebra prices the
+    * plan: sampling rate against the pool, epochs an over-asked stage
+    * must repeat (capped at `maxEpochs`), and the achievable share once
+    * capped — including the zero-token branch (an EMPTY pool — e.g. no
+    * doc reaches the top tier — reports rate NULL, 1 epoch, 0 tokens,
+    * share 0 rather than vanishing: surfacing the shortfall is the
+    * point of the plan).
+    *
+    * Scale shape: ONE corpus rollup (tier-keyed partial-combined
+    * aggregate, <= nTiers rows); the stage x tier range join is a
+    * broadcast nested-loop over two tier-count-sized frames — the
+    * per-tier side is stamped `value_grid` (tiers are cells of the
+    * quantized quality grid, bounded by construction of the tier
+    * expression, which the structural walker cannot see through the
+    * grouped aggregate). Everything downstream is integer algebra.
+    * Returns (stage, min_tier, n_tiers, n_docs, tokens_avail,
+    * stage_budget, sampling_rate, epochs, capped_tokens,
+    * achievable_share) ordered by stage. */
+  def curriculumPlan(docs: DataFrame, tier: Column, tokens: Column,
+                     budget: Long, nTiers: Int = 4, maxEpochs: Int = 4)
+      : DataFrame = {
+    require(budget > 0 && nTiers >= 1 && maxEpochs >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perTier = docs
+      .groupBy(tier.cast("int").as("tier"))
+      .agg(count(lit(1)).as("td"), sum(tokens.cast("long")).as("tt"))
+    val stages = (1 to nTiers).map(st => (st, nTiers - st))
+      .toDF("stage", "min_tier")
+    val weightSum = nTiers * (nTiers + 1) / 2
+    val pool = stages
+      // tier domain is <= nTiers cells of the quality grid: bounded by
+      // the tier expression's construction, not visible to the walker
+      .join(Hints.boundedBroadcast(perTier, "value_grid"),
+        col("tier") >= col("min_tier"), "left")
+      .groupBy(col("stage"), col("min_tier"))
+      .agg(count(col("tier")).cast("long").as("n_tiers"),
+        coalesce(sum(col("td")), lit(0L)).cast("long").as("n_docs"),
+        coalesce(sum(col("tt")), lit(0L)).cast("long")
+          .as("tokens_avail"))
+      .withColumn("stage_budget",
+        expr(s"CAST($budget AS BIGINT) * stage div $weightSum"))
+    val hasTok = col("tokens_avail") > 0L
+    pool
+      .withColumn("sampling_rate",
+        when(hasTok, round(col("stage_budget").cast("double")
+          / col("tokens_avail").cast("double"), 6)))
+      .withColumn("epochs",
+        when(hasTok, least(
+          expr("(stage_budget + tokens_avail - 1) div tokens_avail"),
+          lit(maxEpochs.toLong))).otherwise(lit(1L)))
+      .withColumn("capped_tokens",
+        when(hasTok, least(col("stage_budget"),
+          col("tokens_avail") * col("epochs"))).otherwise(lit(0L)))
+      .select(col("stage"), col("min_tier"), col("n_tiers"),
+        col("n_docs"), col("tokens_avail"), col("stage_budget"),
+        col("sampling_rate"), col("epochs"), col("capped_tokens"),
+        round(col("capped_tokens").cast("double")
+          / lit(budget.toDouble), 6).as("achievable_share"))
+      .orderBy(col("stage"))
+  }
 }

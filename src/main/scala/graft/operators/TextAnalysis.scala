@@ -1466,4 +1466,89 @@ object TextAnalysis {
       .select(col("id"), col("p").cast("long").as("pos"),
         element_at(col("hs"), col("p") + 1).as("h"))
   }
+
+  /** Encoding-health audit (q316) — the CCNet/C4-class cleaning gate a
+    * web-scale corpus runs before any content filter: per group, how
+    * many docs carry (a) U+FFFD replacement characters (a decoder
+    * already gave up once), (b) C0 control characters other than
+    * tab/newline/CR (binary junk in a "text" field), (c) the classic
+    * UTF-8-bytes-decoded-as-Latin-1 mojibake signature (U+00C3 followed
+    * by U+00A0..U+00BF — every 2-byte UTF-8 sequence for U+00E0..U+00FF
+    * misread as Latin-1 produces exactly that digraph), and how many are
+    * clean of all three. Pure map-side predicates + one
+    * group-domain-keyed partial-combined aggregate; detectors are plain
+    * regex/contains so any SQL engine replays them verbatim. */
+  def encodingAudit(docs: DataFrame, groupCol: String, textCol: String)
+      : DataFrame = {
+    val t = col(textCol)
+    val repl = t.contains(lit("\uFFFD"))
+    val ctrl = t.rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    val moji = t.rlike("\u00C3[\u00A0-\u00BF]")
+    def n(c: Column) = sum(when(c, 1L).otherwise(0L)).cast("long")
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        n(repl).as("repl_docs"),
+        n(ctrl).as("ctrl_docs"),
+        n(moji).as("moji_docs"),
+        n(!repl && !ctrl && !moji).as("clean_docs"))
+      .withColumn("clean_rate",
+        round(col("clean_docs").cast("double")
+          / col("n_docs").cast("double"), 6))
+      .orderBy(col(groupCol))
+  }
+
+  /** Character-entropy gate (q318) — the compressibility-proxy junk
+    * filter (repeated-character/loop text scores near 0 bits/char,
+    * natural English ~4.1-4.5): per group, doc count, the DECIMAL-mean
+    * of per-doc entropy, and how many docs fall below `lowBits`.
+    * Per-doc entropy is ONE native-expression pass
+    * ([[graft.functions.CharEntropy]], 9-decimal-pinned and
+    * order-independent, so any SQL engine replays it from a
+    * per-character GROUP BY); the rollup is a group-keyed
+    * partial-combined aggregate. */
+  def entropyGate(docs: DataFrame, groupCol: String, textCol: String,
+                  lowBits: Double = 3.5): DataFrame = {
+    val h = round(call_function("char_entropy", col(textCol)), 6)
+    docs.select(col(groupCol).as("grp"), h.as("h"))
+      .groupBy(col("grp").as(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        round(sum(col("h").cast("decimal(38,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_entropy"),
+        sum(when(col("h") < lowBits, 1L).otherwise(0L)).cast("long")
+          .as("low_docs"))
+      .orderBy(col(groupCol))
+  }
+
+  /** C4-style blocklist scan (q315): per (group, pattern) — how many
+    * docs contain the pattern and its total occurrence count — over a
+    * literal blocklist, in ONE automaton pass per document
+    * ([[graft.functions.BlocklistHits]], Aho–Corasick 1975; a
+    * LIKE-per-pattern plan re-reads every document once per pattern).
+    * Counting is greedy leftmost non-overlapping per pattern — exactly
+    * the `replace()`-based count any SQL engine replays, which is what
+    * makes the operator oracle-checkable. Text is lowercased first;
+    * patterns are expected lowercase.
+    *
+    * Scale shape: the blocklist is a plan literal (no join, no
+    * broadcast), the scan is map-side, the explode fans out a FIXED
+    * |patterns| rows per doc, and the only exchange is the final
+    * (group, pattern)-keyed partial-combined aggregate — bounded by
+    * |groups| x |patterns|, not the corpus. */
+  def blocklistScan(docs: DataFrame, groupCol: String, textCol: String,
+                    patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty))
+    val lit_ = typedlit(patterns)
+    docs
+      .select(col(groupCol).as("grp"),
+        call_function("blocklist_hits", lower(col(textCol)), lit_)
+          .as("h"))
+      .select(col("grp"), posexplode(col("h")).as(Seq("pidx", "hits")))
+      .select(col("grp"), element_at(lit_, col("pidx") + 1).as("pattern"),
+        col("hits"))
+      .groupBy(col("grp").as(groupCol), col("pattern"))
+      .agg(sum(when(col("hits") > 0, 1L).otherwise(0L)).cast("long")
+          .as("docs_hit"),
+        sum(col("hits")).cast("long").as("hits"))
+      .orderBy(col(groupCol), col("pattern"))
+  }
 }

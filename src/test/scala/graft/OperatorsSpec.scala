@@ -4751,4 +4751,155 @@ class OperatorsSpec extends SparkSpec {
     assert(fromDisk.nonEmpty &&
       fromDisk == res(spark, Similarity.ivfPqIndex(emb, seeds, cb), emb))
   }
+
+  test("blocklistScan (q315): the Aho-Corasick native expression counts " +
+    "greedy leftmost non-overlapping occurrences per pattern — " +
+    "differential vs a replace()-based brute force on randomized text, " +
+    "plus the overlap and suffix-output edges") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, call_function, typedlit}
+    graft.functions.GraftFunctions.register(spark)
+    def hits(text: String, pats: Seq[String]): Seq[Long] =
+      Seq(text).toDF("t")
+        .select(call_function("blocklist_hits", col("t"), typedlit(pats)))
+        .collect()(0).getSeq[Long](0)
+    // replace-based brute force: exactly what the DuckDB oracle computes
+    def brute(text: String, pats: Seq[String]): Seq[Long] =
+      pats.map(p =>
+        ((text.length - text.replace(p, "").length) / p.length).toLong)
+    // self-overlap: "aaa" has TWO 'aa' occurrences but greedy counts one
+    assert(hits("aaa", Seq("aa")) == Seq(1L))
+    assert(hits("aaaa", Seq("aa")) == Seq(2L))
+    // nested patterns: "fast" fires inside "fast fast" via suffix links
+    assert(hits("fast fast x", Seq("fast", "fast fast"))
+      == Seq(2L, 1L))
+    // absent pattern -> exact zero; empty text -> all zeros
+    assert(hits("table scan", Seq("buy now", "table")) == Seq(0L, 1L))
+    assert(hits("", Seq("a", "bb")) == Seq(0L, 0L))
+    // multi-byte UTF-8 pattern: byte-level matching equals char matching
+    assert(hits("caf\u00e9 au lait caf\u00e9", Seq("caf\u00e9"))
+      == Seq(2L))
+    // randomized differential over a small alphabet (dense matches,
+    // overlapping pattern set including prefixes/suffixes of each other)
+    val pats = Seq("ab", "aba", "ba", "bab", "aa", "abab")
+    val rnd = new scala.util.Random(315)
+    for (_ <- 1 to 60) {
+      val t = (1 to (rnd.nextInt(40) + 1))
+        .map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString
+      assert(hits(t, pats) == brute(t, pats), s"text=$t")
+    }
+    // the operator rollup over a tiny corpus
+    val docs = Seq(
+      (1L, "srcA", "fast fast table"),
+      (2L, "srcA", "slow scan slow scan"),
+      (3L, "srcB", "nothing here")).toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis
+      .blocklistScan(docs, "source", "text",
+        Seq("fast", "slow scan", "table"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq(
+      ("srcA", "fast", 1L, 2L),
+      ("srcA", "slow scan", 1L, 2L),
+      ("srcA", "table", 1L, 1L),
+      ("srcB", "fast", 0L, 0L),
+      ("srcB", "slow scan", 0L, 0L),
+      ("srcB", "table", 0L, 0L)))
+  }
+
+  test("encodingAudit (q316): replacement/control/mojibake detectors " +
+    "fire exactly, tab/newline/CR stay clean, and a legit accented " +
+    "digraph outside the mojibake range stays clean") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("g", "perfectly clean text"),
+      ("g", "tabs\tand\nnewlines\rare fine"),
+      ("g", "decoder gave up \uFFFD here"),
+      ("g", "binary junk\u0001inside"),
+      ("g", "mojibake caf\u00C3\u00A9 classic"),
+      ("g", "\u00C3x is NOT the mojibake digraph"))
+      .toDF("src", "text")
+    val out = graft.operators.TextAnalysis
+      .encodingAudit(docs, "src", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    // 6 docs: 1 repl, 1 ctrl, 1 moji, 3 clean (incl. tab/newline and
+    // the non-mojibake accent)
+    assert(out == Seq(("g", 6L, 1L, 1L, 1L, 3L, 0.5)))
+  }
+
+  test("curriculumPlan (q317): cumulative tier pools, proportional " +
+    "stage budgets, epoch cap, and the empty-top-tier zero-token " +
+    "branch") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // tier 3 EMPTY; tier 2: 2x100 toks; tier 1: 1x50; tier 0: 1x1000
+    val docs = Seq((2, 100L), (2, 100L), (1, 50L), (0, 1000L))
+      .toDF("tier", "toks")
+    val out = graft.operators.Sampling
+      .curriculumPlan(docs, col("tier"), col("toks"), budget = 1000L,
+        nTiers = 4, maxEpochs = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+        r.getLong(7), r.getLong(8), r.getDouble(9))).toSeq
+    assert(out == Seq(
+      // stage 1 = top tier only, which is EMPTY: rate null, 1 epoch,
+      // 0 capped, share 0 — the shortfall must surface, not vanish
+      (1, 3, 0L, 0L, 0L, 100L, None, 1L, 0L, 0.0),
+      // stage 2 adds tier 2: 200 avail vs 200 budget -> exactly 1 epoch
+      (2, 2, 1L, 2L, 200L, 200L, Some(1.0), 1L, 200L, 0.2),
+      // stage 3 adds tier 1: 250 avail vs 300 budget -> 2 epochs,
+      // capped at the budget itself
+      (3, 1, 2L, 3L, 250L, 300L, Some(1.2), 2L, 300L, 0.3),
+      // stage 4 = everything: under-asked, 1 epoch
+      (4, 0, 3L, 4L, 1250L, 400L, Some(0.32), 1L, 400L, 0.4)))
+  }
+
+  test("entropyGate (q318): the native char-entropy expression matches " +
+    "a decimal-pinned brute force on randomized strings, known-entropy " +
+    "fixtures land exactly, and the rollup flags degenerate docs") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, call_function, round}
+    graft.functions.GraftFunctions.register(spark)
+    def h(text: String): Double =
+      Seq(text).toDF("t")
+        .select(round(call_function("char_entropy", col("t")), 6))
+        .collect()(0).getDouble(0)
+    def brute(text: String): Double = {
+      val counts = text.groupBy(identity).view.mapValues(_.length)
+      val n = text.length.toDouble
+      val acc = counts.values.map { c =>
+        new java.math.BigDecimal(
+          (c / n) * (math.log(n / c) / math.log(2.0)))
+          .setScale(9, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+      }.sum
+      math.rint(acc / 1e9 * 1e6) / 1e6
+    }
+    assert(h("") == 0.0)
+    assert(h("aaaa") == 0.0)          // single symbol: zero bits
+    assert(h("abab") == 1.0)          // two symbols uniform: exactly 1
+    assert(h("spam " * 40) == brute("spam " * 40))
+    // 5 uniform symbols: log2(5) = 2.321928...
+    assert(math.abs(h("spam " * 40) - 2.321928) < 1e-9)
+    val rnd = new scala.util.Random(318)
+    for (_ <- 1 to 40) {
+      val t = (1 to (rnd.nextInt(60) + 1))
+        .map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+      assert(h(t) == brute(t), s"text=$t")
+    }
+    // rollup: the degenerate doc is flagged, natural text is not
+    val docs = Seq(
+      ("g", "the quick brown fox jumps over the lazy dog"),
+      ("g", "aa aa aa aa aa aa aa aa")).toDF("src", "text")
+    val out = graft.operators.TextAnalysis
+      .entropyGate(docs, "src", "text", lowBits = 3.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq(("g", 2L, 1L)))
+  }
 }

@@ -1612,6 +1612,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("q315: the blocklist is a plan literal — no join of any kind, " +
+    "no window; the only exchange is the (source, pattern) aggregate") {
+    val p = plan("q315_blocklist_scan")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    // fixed fan-out generate + partial-combined aggregate: exactly one
+    // shuffle, keyed by the bounded (source, pattern) domain
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.take(3000))
+  }
+
+  test("q316/q317: the encoding audit is map-side predicates + one " +
+    "source-keyed aggregate; the curriculum's stage x tier range join " +
+    "is broadcast nested-loop over tier-count-sized frames — no " +
+    "cartesian, no shuffle join, no window anywhere") {
+    val p1 = plan("q316_encoding_audit")
+    assert(!p1.contains("Join"), p1.take(3000))
+    assert(!p1.contains("Window"), p1.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p1).size == 1,
+      p1.take(3000))
+    val p2 = plan("q317_curriculum_plan")
+    assert(!p2.contains("CartesianProduct"), p2.take(3000))
+    assert(!p2.contains("SortMergeJoin"), p2.take(3000))
+    assert(!p2.contains("Window"), p2.take(3000))
+    assert(p2.contains("BroadcastNestedLoopJoin"), p2.take(3000))
+  }
+
+  test("q318: the entropy gate is one native-expression pass + one " +
+    "source-keyed aggregate — no join, no window") {
+    val p = plan("q318_entropy_gate")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.take(3000))
+  }
+
   test("entity-scale broadcast guard over ALL queries: no forced " +
     "broadcast() hint over a frame that grows with the corpus (the one " +
     "plan class that fails a 100x scale-up — a FORCED hint bypasses " +
