@@ -294,6 +294,21 @@ class BenchSpec extends SparkSpec {
     assert(none.get("large_tiered").size == 0, none.toString)
   }
 
+  test("affordsWarmPass: pass 2 is gated only on its own projected " +
+      "cost, never on large-section slack (the round-10 cold-headline " +
+      "failure)") {
+    // round 10's actual numbers: pass 1 took 743 s on a contended host,
+    // elapsed ~800 s, budget 1650/reserve 60. The old gate demanded
+    // 350 s of large-section slack on top and skipped pass 2; the new
+    // gate affords it
+    assert(Bench.affordsWarmPass(800.0, 743.0, 1650.0, 60.0))
+    assert(!Bench.affordsWarmPass(800.0, 743.0 + 412.0, 1650.0, 60.0),
+      "a pass too big to fit before the reserve must still be refused")
+    // boundary: elapsed + 0.85*pass1 exactly at budget-reserve -> runs
+    assert(Bench.affordsWarmPass(1000.0, 400.0, 1400.0, 60.0))
+    assert(!Bench.affordsWarmPass(1000.1, 400.0, 1400.0, 60.0))
+  }
+
   test("the filtered-mode summary names the filtered twin file") {
     val full = Bench.summaryLine(10.0, "sf", 1, 5, 0, None, 100.0, 50.0)
     val filt = Bench.summaryLine(10.0, "sf", 1, 5, 0, None, 100.0, 50.0,
