@@ -7410,6 +7410,18 @@ object SparkEntry {
       TextAnalysis.entropyGate(noisy, "source", "text", lowBits = 3.5)
     }),
 
+    "q319_seqlen_sweep" -> ((s, dir) => {
+      // max-sequence-length selection: the exact truncation-loss /
+      // padding-waste / utilization / packing-lower-bound curve over a
+      // candidate cap grid, all priced from ONE corpus pass (per-doc
+      // token counts cross the broadcast grid literal; partial agg
+      // collapses to |grid| rows before the single exchange). The
+      // decision readout a pretraining run uses to pick max_len.
+      TextAnalysis.seqLenSweep(t(s, dir, "documents"),
+        TextAnalysis.tokenCount(col("text")),
+        Seq(8L, 16L, 32L, 64L, 128L))
+    }),
+
     "q312_recipe_after_dedup" -> ((s, dir) => {
       // pipeline composition: the q311 recipe RE-PLANNED on the
       // deduplicated corpus — dedup shrinks sources unevenly (a
@@ -16093,6 +16105,34 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN h < 3.5 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS low_docs
         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
+
+    // exact integer algebra on per-doc token counts x the L grid
+    "q319_seqlen_sweep" ->
+      s"""WITH lens AS (
+        |  SELECT CAST(len($toksSql) AS BIGINT) AS l FROM documents
+        |), grid AS (
+        |  SELECT CAST(g AS BIGINT) AS max_len
+        |  FROM unnest([8, 16, 32, 64, 128]) t(g)
+        |), per AS (
+        |  SELECT max_len,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN l > max_len THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_truncated,
+        |    CAST(SUM(LEAST(l, max_len)) AS BIGINT) AS tokens_kept,
+        |    CAST(SUM(GREATEST(l - max_len, 0)) AS BIGINT)
+        |      AS tokens_lost,
+        |    CAST(SUM(max_len - LEAST(l, max_len)) AS BIGINT)
+        |      AS pad_waste
+        |  FROM grid CROSS JOIN lens
+        |  GROUP BY 1)
+        |SELECT max_len, n_docs, n_truncated, tokens_kept, tokens_lost,
+        |  pad_waste,
+        |  round(CAST(tokens_kept AS DOUBLE)
+        |    / CAST(tokens_kept + pad_waste AS DOUBLE), 6)
+        |    AS utilization,
+        |  CAST((tokens_kept + max_len - 1) // max_len AS BIGINT)
+        |    AS min_sequences
+        |FROM per ORDER BY max_len""".stripMargin,
 
     "q311_data_recipe" ->
       """WITH per AS (

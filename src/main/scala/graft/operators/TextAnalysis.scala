@@ -1497,6 +1497,44 @@ object TextAnalysis {
       .orderBy(col(groupCol))
   }
 
+  /** Sequence-length sweep (q319) — "what max_len should training use":
+    * for every candidate cap L in a literal grid, the exact truncation
+    * loss (docs cut, tokens lost past L), the single-doc-per-sequence
+    * padding waste (L - kept per doc), the utilization kept/(kept+pad),
+    * and the perfect-packing sequence lower bound ceil(kept/L). The
+    * whole curve is priced from ONE corpus pass: per doc the token
+    * count crosses the broadcast L-grid literal (fixed fan-out x|grid|)
+    * and partial aggregation collapses to <= |grid| rows per partition
+    * before the single |grid|-keyed exchange — the q310 sweep
+    * philosophy (pay the corpus once, every candidate is algebra).
+    * Exact integer token algebra; only utilization is a round(6)
+    * double. */
+  def seqLenSweep(docs: DataFrame, tokens: Column, grid: Seq[Long])
+      : DataFrame = {
+    require(grid.nonEmpty && grid.forall(_ > 0))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val kept = least(col("l"), col("max_len"))
+    docs.select(tokens.cast("long").as("l"))
+      .crossJoin(broadcast(grid.toDF("max_len")))
+      .groupBy(col("max_len"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("l") > col("max_len"), 1L).otherwise(0L))
+          .cast("long").as("n_truncated"),
+        sum(kept).cast("long").as("tokens_kept"),
+        sum(greatest(col("l") - col("max_len"), lit(0L))).cast("long")
+          .as("tokens_lost"),
+        sum(col("max_len") - kept).cast("long").as("pad_waste"))
+      .select(col("max_len"), col("n_docs"), col("n_truncated"),
+        col("tokens_kept"), col("tokens_lost"), col("pad_waste"),
+        round(col("tokens_kept").cast("double")
+          / (col("tokens_kept") + col("pad_waste")).cast("double"), 6)
+          .as("utilization"),
+        expr("CAST((tokens_kept + max_len - 1) div max_len AS BIGINT)")
+          .as("min_sequences"))
+      .orderBy(col("max_len"))
+  }
+
   /** Character-entropy gate (q318) — the compressibility-proxy junk
     * filter (repeated-character/loop text scores near 0 bits/char,
     * natural English ~4.1-4.5): per group, doc count, the DECIMAL-mean

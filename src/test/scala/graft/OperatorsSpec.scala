@@ -4902,4 +4902,24 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
     assert(out.toSeq == Seq(("g", 2L, 1L)))
   }
+
+  test("seqLenSweep (q319): exact truncation/padding/utilization " +
+    "algebra per candidate cap, computed from one corpus pass") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // doc token counts 3, 10, 10, 20 against caps 8 and 16
+    val docs = Seq(3L, 10L, 10L, 20L).toDF("toks")
+    val out = graft.operators.TextAnalysis
+      .seqLenSweep(docs, col("toks"), Seq(8L, 16L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+        r.getLong(7))).toSeq
+    assert(out == Seq(
+      // L=8: kept 3+8+8+8=27, lost 2+2+12=16, pad 5, util 27/32,
+      // perfect packing needs ceil(27/8)=4 sequences
+      (8L, 4L, 3L, 27L, 16L, 5L, 0.84375, 4L),
+      // L=16: kept 3+10+10+16=39, lost 4, pad 13+6+6=25, util 39/64
+      (16L, 4L, 1L, 39L, 4L, 25L, 0.609375, 3L)))
+  }
 }

@@ -1648,6 +1648,17 @@ class PlanAuditSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("q319: the L-grid crosses as a broadcast literal; partial " +
+    "aggregation collapses before the single grid-keyed exchange — " +
+    "no shuffle join, no window") {
+    val p = plan("q319_seqlen_sweep")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.take(3000))
+  }
+
   test("entity-scale broadcast guard over ALL queries: no forced " +
     "broadcast() hint over a frame that grows with the corpus (the one " +
     "plan class that fails a 100x scale-up — a FORCED hint bypasses " +
