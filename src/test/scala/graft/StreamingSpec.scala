@@ -388,6 +388,14 @@ class StreamingSpec extends SparkSpec {
     assert(SynopsisStream.histogramUncommitted(spark, synDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet != before,
       "the uncommitted escape must see the in-flight partial")
+    // the committed-prefix cut must be PARTITION PRUNING, not a
+    // post-scan filter: batch_id is the store's partition column, so at
+    // scale the reader opens only committed partitions' files — an
+    // uncommitted (or compaction-pending) batch costs zero I/O
+    val phys = SynopsisStream.histogram(spark, synDir, ckpt)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*batch_id".r.findFirstIn(phys)
+      .nonEmpty, phys.take(2000))
   }
 
   test("FreqItemsStream: heavy-hitter partials across a kill-and-restart " +
