@@ -15968,7 +15968,10 @@ object SparkEntry {
     // one pattern at a time
     "q315_blocklist_scan" ->
       (s"""WITH pats AS (SELECT * FROM (VALUES """ +
-        blocklistPatterns.map(p => s"('$p')").mkString(", ") +
+        // '' escaping so a future pattern with an apostrophe breaks the
+        // verify pass at the edit site, not with a DuckDB parse error
+        blocklistPatterns.map(p =>
+          s"('${p.replace("'", "''")}')").mkString(", ") +
         s""") p(pattern)),
         |per AS (
         |  SELECT d.source, p.pattern,
@@ -16091,8 +16094,13 @@ object SparkEntry {
         |), tot AS (
         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY 1
         |), ent AS (
+        |  -- ln(x)/ln(2.0), NOT native log2: functions.CharEntropy
+        |  -- computes Math.log(x)/Math.log(2.0), and the pre-round(9)
+        |  -- doubles must come from the SAME formula or a term within
+        |  -- an ulp of a .5e-9 boundary could round apart across engines
         |  SELECT h.doc_id, round(CAST(SUM(CAST(round(
-        |      (CAST(c AS DOUBLE) / n) * log2(CAST(n AS DOUBLE) / c), 9)
+        |      (CAST(c AS DOUBLE) / n)
+        |        * (ln(CAST(n AS DOUBLE) / c) / ln(2.0)), 9)
         |      AS DECIMAL(19,9))) AS DOUBLE), 6) AS h
         |  FROM hist h JOIN tot USING (doc_id) GROUP BY 1
         |), perdoc AS (

@@ -1480,7 +1480,9 @@ object TextAnalysis {
     * regex/contains so any SQL engine replays them verbatim. */
   def encodingAudit(docs: DataFrame, groupCol: String, textCol: String)
       : DataFrame = {
-    val t = col(textCol)
+    // NULL text counts as a clean doc, exactly like the SQL replay
+    // (CASE over NULL predicates folds every detector to 0)
+    val t = coalesce(col(textCol), lit(""))
     val repl = t.contains(lit("\uFFFD"))
     val ctrl = t.rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
     val moji = t.rlike("\u00C3[\u00A0-\u00BF]")
@@ -1577,9 +1579,12 @@ object TextAnalysis {
     require(patterns.nonEmpty && patterns.forall(_.nonEmpty))
     val lit_ = typedlit(patterns)
     docs
+      // NULL text is a zero-hit doc (the SQL replay's SUM/CASE over a
+      // NULL count treats it the same), not a dropped one: a null array
+      // under posexplode would silently delete the doc from n_docs
       .select(col(groupCol).as("grp"),
-        call_function("blocklist_hits", lower(col(textCol)), lit_)
-          .as("h"))
+        call_function("blocklist_hits",
+          lower(coalesce(col(textCol), lit(""))), lit_).as("h"))
       .select(col("grp"), posexplode(col("h")).as(Seq("pidx", "hits")))
       .select(col("grp"), element_at(lit_, col("pidx") + 1).as("pattern"),
         col("hits"))

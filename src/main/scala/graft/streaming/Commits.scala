@@ -42,14 +42,30 @@ private[graft] object Commits {
     * committed prefix of `checkpointDir`'s log; the store unchanged
     * when no checkpoint is supplied (the documented read-uncommitted
     * mode — exact only after the drain terminates); EMPTY when a
-    * checkpoint is supplied but nothing has committed yet. */
+    * checkpoint is supplied but nothing has committed yet.
+    *
+    * A checkpoint ROOT that does not exist while the store HAS data is
+    * a misconfiguration (wrong path, relocated or cleaned-up
+    * checkpoint), not a brand-new stream — the front doors only reach
+    * this call once the store dir exists, so silently reading the full
+    * log as EMPTY would make a typo'd path indistinguishable from an
+    * empty corpus (e.g. a dedup pass concluding "no duplicates"). That
+    * case throws; `<cp>/commits` merely absent-or-empty under an
+    * existing root is the legitimate nothing-committed-yet state. */
   def committedOnly(spark: SparkSession, store: DataFrame,
                     checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case None => store
-      case Some(cp) => lastCommitted(spark, cp) match {
-        case None => store.limit(0)
-        case Some(last) => store.filter(col("batch_id") <= last)
-      }
+      case Some(cp) =>
+        val root = new org.apache.hadoop.fs.Path(cp)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(root),
+          s"checkpoint dir '$cp' not found but the store has data — " +
+            "wrong path? For a store read away from its stream use the " +
+            "*Uncommitted reader instead.")
+        lastCommitted(spark, cp) match {
+          case None => store.limit(0)
+          case Some(last) => store.filter(col("batch_id") <= last)
+        }
     }
 }

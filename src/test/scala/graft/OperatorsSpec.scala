@@ -4806,6 +4806,16 @@ class OperatorsSpec extends SparkSpec {
       ("srcB", "fast", 0L, 0L),
       ("srcB", "slow scan", 0L, 0L),
       ("srcB", "table", 0L, 0L)))
+    // NULL text is a zero-hit doc, not a dropped one (the oracle's
+    // CROSS JOIN keeps it; a null hits array under posexplode would
+    // silently delete it from the rollup)
+    val withNull = Seq((1L, "srcN", "fast lane"), (2L, "srcN", null))
+      .toDF("doc_id", "src", "text")
+    val nOut = graft.operators.TextAnalysis
+      .blocklistScan(withNull, "src", "text", Seq("fast"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(nOut == Seq(("srcN", "fast", 1L, 1L)))
   }
 
   test("encodingAudit (q316): replacement/control/mojibake detectors " +
@@ -4828,6 +4838,15 @@ class OperatorsSpec extends SparkSpec {
     // 6 docs: 1 repl, 1 ctrl, 1 moji, 3 clean (incl. tab/newline and
     // the non-mojibake accent)
     assert(out == Seq(("g", 6L, 1L, 1L, 1L, 3L, 0.5)))
+    // NULL text counts as a clean doc (the oracle's CASE chain folds
+    // every NULL predicate to 0), not as neither-flagged-nor-clean
+    val withNull2 = Seq(("n", "ok text"), ("n", null))
+      .toDF("src", "text")
+    val nOut2 = graft.operators.TextAnalysis
+      .encodingAudit(withNull2, "src", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(5),
+        r.getDouble(6))).toSeq
+    assert(nOut2 == Seq(("n", 2L, 2L, 1.0)))
   }
 
   test("curriculumPlan (q317): cumulative tier pools, proportional " +
