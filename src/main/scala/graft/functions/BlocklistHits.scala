@@ -46,10 +46,13 @@ case class BlocklistHits(text: Expression, patternsE: Expression)
 
   // ---- Aho-Corasick automaton in DFA form (goto completed with fail
   // transitions during the BFS): node count = Σ pattern bytes + 1, tiny
-  // for any real blocklist, so a dense 256-wide transition row per node
-  // buys O(1) steps per input byte.
-  @transient private lazy val (dfa, outs, patLen)
-      : (Array[Array[Int]], Array[Array[Int]], Array[Int]) = {
+  // for any real blocklist. The transition table is FLATTENED to one
+  // int array indexed (state << 8) | byte — a single load per input
+  // byte — and match states carry their pattern lists in a parallel
+  // array (null for the overwhelmingly common no-output state, so the
+  // hot loop pays one null check, not a collection walk).
+  @transient private lazy val (dfaFlat, outs, patLen)
+      : (Array[Int], Array[Array[Int]], Array[Int]) = {
     require(pats.nonEmpty && pats.forall(_.nonEmpty),
       "blocklist_hits: patterns must be non-empty strings")
     val maxNodes = pats.map(_.length).sum + 1
@@ -86,7 +89,14 @@ case class BlocklistHits(text: Expression, patternsE: Expression)
         c += 1
       }
     }
-    (next.take(nNodes), out.take(nNodes).map(_.toArray),
+    val flat = new Array[Int](nNodes << 8)
+    var st = 0
+    while (st < nNodes) {
+      System.arraycopy(next(st), 0, flat, st << 8, 256)
+      st += 1
+    }
+    (flat,
+      out.take(nNodes).map(o => if (o.isEmpty) null else o.toArray),
       pats.map(_.length))
   }
 
@@ -115,29 +125,37 @@ case class BlocklistHits(text: Expression, patternsE: Expression)
   }
 
   /** Whole per-row kernel behind one monomorphic entry point — generated
-    * code calls it directly on the unboxed child UTF8String. */
+    * code calls it directly on the unboxed child UTF8String. One flat
+    * transition load + one null check per input byte; match bookkeeping
+    * only on (rare) output states; the result rides an UnsafeArrayData
+    * over the primitive counts (no per-element boxing). */
   def kernel(s: UTF8String): ArrayData = {
     val counts = new Array[Long](pats.length)
     val lastEnd = new Array[Int](pats.length)
+    val dfa = dfaFlat
+    val o = outs
     var state = 0
     val n = s.numBytes()
     var i = 0
     while (i < n) {
-      state = dfa(state)(s.getByte(i) & 0xff)
-      val o = outs(state)
-      var j = 0
-      while (j < o.length) {
-        val p = o(j)
-        // end-exclusive position i+1; greedy non-overlap per pattern
-        if (i + 1 - patLen(p) >= lastEnd(p)) {
-          counts(p) += 1
-          lastEnd(p) = i + 1
+      state = dfa((state << 8) | (s.getByte(i) & 0xff))
+      val hits = o(state)
+      if (hits != null) {
+        var j = 0
+        while (j < hits.length) {
+          val p = hits(j)
+          // end-exclusive position i+1; greedy non-overlap per pattern
+          if (i + 1 - patLen(p) >= lastEnd(p)) {
+            counts(p) += 1
+            lastEnd(p) = i + 1
+          }
+          j += 1
         }
-        j += 1
       }
       i += 1
     }
-    new GenericArrayData(counts)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(counts)
   }
 
   override protected def doGenCode(ctx: CodegenContext,
