@@ -75,7 +75,18 @@ object Bench {
     * improved (outside every timed window) — the checkpoint hook that
     * lets a caller persist partial results so an EXTERNAL kill (the
     * driver's hard timeout, round 6's rc=124) cannot erase a pass's
-    * recorded entries or the certification stamps they carry. */
+    * recorded entries or the certification stamps they carry.
+    * `minAttempts` > 1 makes every query a back-to-back min-of-N — the
+    * round-11 postmortem fix for the sf1 section: with graded pass 2
+    * (correctly) running first, the single-pass large section landed on
+    * the contended end of the budget and stamped COLD numbers into the
+    * git-tracked rotation history (q307 recorded 54.4 s vs 11.2 s
+    * isolated warm min-of-2) — exactly the pollution the graded map was
+    * cured of a round earlier. Attempt 2 re-runs warm immediately, so a
+    * stamp is a warm min, not a cold draw; the projected-cost gate
+    * prices the query at minAttempts × estimate so a query whose TWO
+    * runs don't fit is skipped whole (a one-attempt cold stamp is the
+    * disease, not a fallback). */
   def runSuite(spark: SparkSession, dir: String, names: Seq[String],
                queries: Map[String, (SparkSession, String) => DataFrame],
                nRuns: Int,
@@ -87,7 +98,8 @@ object Bench {
                gcf: mutable.Map[String, Double] = mutable.Map(),
                estimate: String => Double = _ => 0.0,
                gcRetryFrac: Double = 1.0,
-               onRecorded: String => Unit = _ => ()): Boolean = {
+               onRecorded: String => Unit = _ => (),
+               minAttempts: Int = 1): Boolean = {
     var skippedProjected = false
     for (pass <- 1 to nRuns; name <- names) {
       if (spark.sparkContext.isStopped) {
@@ -101,7 +113,8 @@ object Bench {
       // projected-cost gate: run only queries that fit before the
       // deadline, so one expensive query can neither overrun the budget
       // nor starve the cheap queries behind it
-      val estS = math.max(estimate(name), acc.getOrElse(name, 0.0))
+      val estS = math.max(estimate(name), acc.getOrElse(name, 0.0)) *
+        minAttempts
       if (System.nanoTime() + (estS * 1e9).toLong > deadlineNanos) {
         skippedProjected = true
         if (verbose)
@@ -112,7 +125,7 @@ object Bench {
         var attempts = 0
         var lastDt = 0.0
         var retry = true
-        while (retry && attempts < 3 &&
+        while (retry && attempts < math.max(3, minAttempts + 1) &&
             !spark.sparkContext.isStopped &&
             System.nanoTime() + (lastDt * 1e9).toLong <= deadlineNanos) {
           attempts += 1
@@ -145,13 +158,15 @@ object Bench {
             gcf(name) = gcFrac
           }
           if (ok) errors.remove(name) // a success supersedes older failures
-          // retry only a successful, non-trivial, GC-polluted run —
-          // and only while retrying HELPS (>=20% faster than the last
-          // attempt): a query whose own allocation keeps its GC fraction
-          // high is intrinsically GC-bound, and re-running it just
-          // re-prices the same work
-          retry = ok && dt > 1.0 && gcFrac > gcRetryFrac &&
-            (attempts == 1 || dt < 0.8 * lastDt)
+          // below minAttempts, a success always re-runs (the warm min);
+          // past it, retry only a successful, non-trivial, GC-polluted
+          // run — and only while retrying HELPS (>=20% faster than the
+          // last attempt): a query whose own allocation keeps its GC
+          // fraction high is intrinsically GC-bound, and re-running it
+          // just re-prices the same work
+          retry = ok && (attempts < minAttempts ||
+            (dt > 1.0 && gcFrac > gcRetryFrac &&
+              (attempts == 1 || dt < 0.8 * lastDt)))
           lastDt = dt
         }
         // drop the executor-storage blocks (localCheckpoint'd dedup/ANN
@@ -173,8 +188,41 @@ object Bench {
     !skippedProjected
   }
 
-  /** Certification-history entry for one query of the sf1-class pass. */
-  final case class Cert(seconds: Double, lastRun: Int)
+  /** Certification-history entry for one query of the sf1-class pass.
+    * `ratio` is the SCALING certificate recorded with the stamp:
+    * sf1-recorded seconds / same-run graded (sf0.1, warm min) seconds —
+    * ~10x the fact rows, so a healthy query sits well under ~10 and a
+    * superlinear shape shows up as an outsized ratio IN THE BUILD
+    * (BenchSpec pins [[scalingViolations]] empty) instead of waiting
+    * for a human to diff stamps across rounds, which is how q273's
+    * quadratic pivot rule survived until round 11. -1 = not recorded
+    * (pre-round-12 stamps, or no graded time in the stamping run). */
+  final case class Cert(seconds: Double, lastRun: Int,
+                        ratio: Double = -1.0)
+
+  /** The scaling-cert gate: names whose recorded sf1/graded ratio
+    * exceeds `ceiling`. Tiered queries ([[SparkEntry.largeBenchTier]])
+    * are structurally exempt — their sf1 number prices a documented
+    * hash-sampled slice, so the ratio is a slice artifact, not a
+    * scaling certificate. `exempt` carries the adjudicated
+    * OUTPUT-growth-bound family: queries whose result itself grows
+    * faster than the input under fact scaling (clone-pair emitters —
+    * more clones means quadratically more TRUE near-dup pairs to
+    * return), where a big ratio is the correct answer, not a defect. */
+  def scalingViolations(hist: Map[String, Cert], ceiling: Double,
+                        exempt: Set[String]): Seq[String] =
+    hist.toSeq.collect {
+      case (n, c) if c.ratio > ceiling && !exempt.contains(n) &&
+        !SparkEntry.largeBenchTier.contains(n) => n
+    }.sorted
+
+  /** Adjudicated output-growth-bound exemptions for the scaling pin
+    * (see [[scalingViolations]]): the near-dup PAIR/cluster emitters,
+    * whose sf1 output is itself superlinear in the fact scale because
+    * ScaleUp's clone families grow quadratically many true pairs. */
+  val scalingExempt: Set[String] = Set(
+    "q37_dedup_minhash_lsh", "q39_dedup_minhash_fast",
+    "q54_dedup_clusters", "q75_dedup_keep_best", "q108_clusters_incr")
 
   /** Execution order for the sf1-class pass: least-recently-certified
     * first (never-certified queries lead), projected-cheapest first
@@ -236,6 +284,8 @@ object Bench {
           scala.util.Try(l.split('\t') match {
             case Array(h, r) if h == "#run" => runId = r.trim.toInt
             case Array(n, s, r) => m += n -> Cert(s.toDouble, r.toInt)
+            case Array(n, s, r, q) =>
+              m += n -> Cert(s.toDouble, r.toInt, q.toDouble)
             case _ => ()
           }) // a bad row is skipped, the rest of the file still counts
         (runId, m.result())
@@ -255,12 +305,16 @@ object Bench {
         // the driver's recorded pass targets stale names first) and are
         // NOT driver-recorded certifications; a timing is recorded
         // exactly when its run id postdates the seeding round's stamps.
-        w.println("# run ids <= 2: seeded stamps, timings from the " +
-          "round-9 in-session dry run (not certifications)")
+        w.println("# run ids <= 2: seeded stamps, timings from an " +
+          "in-session dry run (not certifications)")
         w.println("# run ids >= 3: driver-recorded certifications from " +
-          "unfiltered Bench runs")
+          "unfiltered Bench runs (warm min-of-2 per entry since run 6)")
+        w.println("# col 4 (when present): scaling cert = sf1 seconds / " +
+          "same-run graded warm seconds; BenchSpec pins a ceiling on it")
         for ((n, c) <- hist.toSeq.sortBy(_._1))
-          w.println(s"$n\t${c.seconds}\t${c.lastRun}")
+          w.println(s"$n\t${c.seconds}\t${c.lastRun}" +
+            (if (c.ratio > 0) s"\t${math.rint(c.ratio * 100) / 100}"
+            else ""))
       } finally w.close()
     } catch { case _: Throwable => () }
 
@@ -543,6 +597,21 @@ object Bench {
         val tier = SparkEntry.largeBenchTier
         val lq = names.map(n =>
           n -> tier.getOrElse(n, SparkEntry.queries(n))).toMap
+        // every RECORDED entry is a warm back-to-back min-of-2: these
+        // stamps steer future tier/notch decisions from the git-tracked
+        // history, and round 11 proved a single pass at the contended
+        // end of the budget stamps up to 4.9x inflation (q307: 54.4 s
+        // recorded vs 11.2 s isolated warm min-of-2). Fewer names
+        // certify per round; the rotation rolls the residue.
+        val largeMin = sys.env
+          .getOrElse("SPARK_GRAFT_BENCH_LARGE_MIN", "2").toInt
+        // a stamp carries its scaling cert: sf1 seconds over the SAME
+        // run's graded warm seconds (see Cert.ratio / scalingViolations)
+        def stamped(runId: Int): Map[String, Cert] =
+          hist ++ lt.map { case (n, s) =>
+            n -> Cert(s, runId,
+              times.get(n).filter(_ > 0).map(s / _).getOrElse(-1.0))
+          }
         // checkpoint every 10 recorded entries: persist the history
         // stamps AND a partial twin, so an external kill mid-pass (the
         // driver's hard timeout — round 6 lost 177 entries to one)
@@ -551,8 +620,7 @@ object Bench {
         val checkpointLarge: String => Unit = { _ =>
           recorded += 1
           if (filter.isEmpty && recorded % 10 == 0) {
-            writeHistory(histRun + 1,
-              hist ++ lt.map { case (n, s) => n -> Cert(s, histRun + 1) })
+            writeHistory(histRun + 1, stamped(histRun + 1))
             writeTwin(gradedLine(
               s""","partial":true,"sf_large":"$largeDir"""" +
                 s""","total_large":${lt.values.sum}""" +
@@ -562,17 +630,16 @@ object Bench {
         }
         var complete = runSuite(spark, largeDir, ordered, lq, 1, lt,
           lerrors, deadlineNanos, verbose, "large pass 1", gcfLarge,
-          largeEst, gcRetryFrac, checkpointLarge)
+          largeEst, gcRetryFrac, checkpointLarge, largeMin)
         if (complete && largeRuns >= 2)
           complete = runSuite(spark, largeDir, ordered, lq, 1, lt,
             lerrors, deadlineNanos, verbose, "large pass 2", gcfLarge,
-            largeEst, gcRetryFrac, checkpointLarge)
+            largeEst, gcRetryFrac, checkpointLarge, largeMin)
         // certification history: entries recorded THIS run stamp the new
         // run id; skipped queries keep their old stamp (and sort first
         // next round). Filtered probes never touch the history.
         if (filter.isEmpty)
-          writeHistory(histRun + 1,
-            hist ++ lt.map { case (n, s) => n -> Cert(s, histRun + 1) })
+          writeHistory(histRun + 1, stamped(histRun + 1))
         val skipped = names.filter(n => !lt.contains(n))
         // only tiers genuinely applied (query recorded this pass): a
         // skipped tiered query's denominator must not ride the record

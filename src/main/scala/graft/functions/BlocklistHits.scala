@@ -44,60 +44,31 @@ case class BlocklistHits(text: Expression, patternsE: Expression)
       .toObjectArray(StringType)
       .map(_.asInstanceOf[UTF8String].getBytes)
 
-  // ---- Aho-Corasick automaton in DFA form (goto completed with fail
-  // transitions during the BFS): node count = Σ pattern bytes + 1, tiny
-  // for any real blocklist. The transition table is FLATTENED to one
-  // int array indexed (state << 8) | byte — a single load per input
-  // byte — and match states carry their pattern lists in a parallel
-  // array (null for the overwhelmingly common no-output state, so the
-  // hot loop pays one null check, not a collection walk).
-  @transient private lazy val (dfaFlat, outs, patLen)
-      : (Array[Int], Array[Array[Int]], Array[Int]) = {
+  // ---- Aho-Corasick automaton, node count = Σ pattern bytes + 1. Two
+  // representations behind the same walk semantics, picked by node
+  // count:
+  //  * DENSE (node count <= denseNodeLimit): goto completed with fail
+  //    transitions during the BFS, FLATTENED to one int array indexed
+  //    (state << 8) | byte — a single load per input byte. The measured
+  //    win for phrase-scale blocklists (4.4x vs a replace-chain at 512
+  //    patterns, COVERAGE.md), but it costs 1 KB of table per pattern
+  //    byte — a 10k-entry PII dictionary (~100 KB of patterns) would
+  //    allocate ~100 MB PER EXPRESSION INSTANCE per executor.
+  //  * SPARSE (above the limit): the classic goto+fail form in CSR
+  //    layout — per-node sorted byte keys + targets, walked with the
+  //    fail chain (amortized O(1) per input byte: each fail hop
+  //    shortens the live suffix). Memory scales with TRIE EDGES
+  //    (~12 bytes per pattern byte), not nodes×256, so dictionary-scale
+  //    blocklists stay a few MB.
+  // Match states carry their pattern lists in a parallel array (null
+  // for the overwhelmingly common no-output state, so the hot loop pays
+  // one null check, not a collection walk). The trie itself is built
+  // SPARSELY in both cases (one LongMap keyed (state<<8)|byte) so even
+  // the build never allocates a nodes×256 table above the limit.
+  @transient private lazy val automaton: BlocklistHits.Automaton = {
     require(pats.nonEmpty && pats.forall(_.nonEmpty),
       "blocklist_hits: patterns must be non-empty strings")
-    val maxNodes = pats.map(_.length).sum + 1
-    val next = Array.fill(maxNodes, 256)(-1)
-    val out = Array.fill(maxNodes)(
-      scala.collection.mutable.ArrayBuffer.empty[Int])
-    var nNodes = 1
-    for ((p, pi) <- pats.zipWithIndex) {
-      var cur = 0
-      for (b <- p) {
-        val c = b & 0xff
-        if (next(cur)(c) == -1) { next(cur)(c) = nNodes; nNodes += 1 }
-        cur = next(cur)(c)
-      }
-      out(cur) += pi
-    }
-    // BFS: fail links, inherited outputs, goto completion
-    val fail = new Array[Int](nNodes)
-    val queue = scala.collection.mutable.Queue.empty[Int]
-    var c = 0
-    while (c < 256) {
-      if (next(0)(c) == -1) next(0)(c) = 0
-      else { fail(next(0)(c)) = 0; queue += next(0)(c) }
-      c += 1
-    }
-    while (queue.nonEmpty) {
-      val u = queue.dequeue()
-      out(u) ++= out(fail(u))
-      c = 0
-      while (c < 256) {
-        val v = next(u)(c)
-        if (v == -1) next(u)(c) = next(fail(u))(c)
-        else { fail(v) = next(fail(u))(c); queue += v }
-        c += 1
-      }
-    }
-    val flat = new Array[Int](nNodes << 8)
-    var st = 0
-    while (st < nNodes) {
-      System.arraycopy(next(st), 0, flat, st << 8, 256)
-      st += 1
-    }
-    (flat,
-      out.take(nNodes).map(o => if (o.isEmpty) null else o.toArray),
-      pats.map(_.length))
+    BlocklistHits.build(pats)
   }
 
   override def children: Seq[Expression] = Seq(text, patternsE)
@@ -124,35 +95,87 @@ case class BlocklistHits(text: Expression, patternsE: Expression)
     kernel(t.asInstanceOf[UTF8String])
   }
 
+  /** (node count, transition ints stored, dense?) — the memory-shape
+    * pin BlocklistSpec asserts: a dictionary-scale blocklist must store
+    * O(trie edges) transition entries, not nodes×256. */
+  private[graft] def automatonShape: (Int, Long, Boolean) = {
+    val a = automaton
+    if (a.dense) (a.nNodes, a.dfaFlat.length.toLong, true)
+    else (a.nNodes, a.csrNext.length.toLong, false)
+  }
+
   /** Whole per-row kernel behind one monomorphic entry point — generated
-    * code calls it directly on the unboxed child UTF8String. One flat
-    * transition load + one null check per input byte; match bookkeeping
-    * only on (rare) output states; the result rides an UnsafeArrayData
-    * over the primitive counts (no per-element boxing). */
+    * code calls it directly on the unboxed child UTF8String. Dense path:
+    * one flat transition load + one null check per input byte. Sparse
+    * path: binary search over the node's sorted byte keys, fail-chain on
+    * a miss (amortized O(1) per byte — each fail hop strictly shortens
+    * the live suffix). Match bookkeeping only on (rare) output states;
+    * the result rides an UnsafeArrayData over the primitive counts (no
+    * per-element boxing). */
   def kernel(s: UTF8String): ArrayData = {
+    val a = automaton
     val counts = new Array[Long](pats.length)
     val lastEnd = new Array[Int](pats.length)
-    val dfa = dfaFlat
-    val o = outs
+    val o = a.outs
+    val pl = a.patLen
     var state = 0
     val n = s.numBytes()
     var i = 0
-    while (i < n) {
-      state = dfa((state << 8) | (s.getByte(i) & 0xff))
-      val hits = o(state)
-      if (hits != null) {
-        var j = 0
-        while (j < hits.length) {
-          val p = hits(j)
-          // end-exclusive position i+1; greedy non-overlap per pattern
-          if (i + 1 - patLen(p) >= lastEnd(p)) {
-            counts(p) += 1
-            lastEnd(p) = i + 1
+    if (a.dense) {
+      val dfa = a.dfaFlat
+      while (i < n) {
+        state = dfa((state << 8) | (s.getByte(i) & 0xff))
+        val hits = o(state)
+        if (hits != null) {
+          var j = 0
+          while (j < hits.length) {
+            val p = hits(j)
+            // end-exclusive position i+1; greedy non-overlap per pattern
+            if (i + 1 - pl(p) >= lastEnd(p)) {
+              counts(p) += 1
+              lastEnd(p) = i + 1
+            }
+            j += 1
           }
-          j += 1
         }
+        i += 1
       }
-      i += 1
+    } else {
+      val off = a.csrOff; val keys = a.csrKeys
+      val nxt = a.csrNext; val fl = a.fail
+      while (i < n) {
+        val c = s.getByte(i) & 0xff
+        var t = -1
+        var st = state
+        while (t == -1) {
+          var lo = off(st); var hi = off(st + 1) - 1
+          var found = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            val k = keys(mid) & 0xff
+            if (k == c) { found = nxt(mid); lo = hi + 1 }
+            else if (k < c) lo = mid + 1
+            else hi = mid - 1
+          }
+          if (found != -1) t = found
+          else if (st == 0) t = 0 // missing at root: stay (DFA parity)
+          else st = fl(st)
+        }
+        state = t
+        val hits = o(state)
+        if (hits != null) {
+          var j = 0
+          while (j < hits.length) {
+            val p = hits(j)
+            if (i + 1 - pl(p) >= lastEnd(p)) {
+              counts(p) += 1
+              lastEnd(p) = i + 1
+            }
+            j += 1
+          }
+        }
+        i += 1
+      }
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(counts)
@@ -177,4 +200,137 @@ case class BlocklistHits(text: Expression, patternsE: Expression)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(text = newChildren(0), patternsE = newChildren(1))
+}
+
+object BlocklistHits {
+
+  /** Representation cutoff: at or below this many trie nodes the
+    * automaton is completed to the flat DFA (nodes×256 ints — 8 MB at
+    * the limit, the measured fast path for phrase-scale blocklists);
+    * above it, the sparse CSR goto+fail form keeps memory proportional
+    * to trie edges (~12 bytes per pattern byte), so a 10k-entry PII
+    * dictionary costs a few MB instead of ~100 MB per instance. */
+  private[graft] val denseNodeLimit: Int = 1 << 13
+
+  /** One built automaton. `dfaFlat` is non-null exactly when dense; the
+    * CSR triple + `fail` are non-null exactly when sparse. `outs(state)`
+    * is the inherited output set (null when empty); `patLen(p)` the
+    * pattern's byte length (for the greedy non-overlap cursor). */
+  final class Automaton(
+      val nNodes: Int,
+      val dfaFlat: Array[Int],
+      val csrOff: Array[Int],
+      val csrKeys: Array[Byte],
+      val csrNext: Array[Int],
+      val fail: Array[Int],
+      val outs: Array[Array[Int]],
+      val patLen: Array[Int]) extends Serializable {
+    def dense: Boolean = dfaFlat != null
+  }
+
+  /** Build the automaton SPARSELY (one LongMap keyed (state<<8)|byte —
+    * never a nodes×256 table), then densify only under the node limit.
+    * Children are packed (byte.toLong<<32)|node so a plain Long sort
+    * yields byte-ascending CSR rows. */
+  private[graft] def build(pats: Array[Array[Byte]]): Automaton = {
+    import scala.collection.mutable
+    val goto = mutable.LongMap.empty[Int]
+    val children = mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Long])
+    val out = mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Int])
+    var nNodes = 1
+    for ((p, pi) <- pats.zipWithIndex) {
+      var cur = 0
+      for (b <- p) {
+        val c = b & 0xff
+        val key = (cur.toLong << 8) | c
+        goto.get(key) match {
+          case Some(v) => cur = v
+          case None =>
+            goto(key) = nNodes
+            children(cur) += (c.toLong << 32) | nNodes
+            children += mutable.ArrayBuffer.empty[Long]
+            out += mutable.ArrayBuffer.empty[Int]
+            cur = nNodes
+            nNodes += 1
+        }
+      }
+      out(cur) += pi
+    }
+    // BFS: fail links + inherited outputs. The queue array doubles as
+    // the BFS order (fail(u) always precedes u), reused by both the
+    // dense completion and nothing else.
+    val fail = new Array[Int](nNodes)
+    val queue = new Array[Int](nNodes)
+    var qh = 0
+    var qt = 0
+    for (e <- children(0)) {
+      val v = (e & 0xffffffffL).toInt
+      fail(v) = 0
+      queue(qt) = v; qt += 1
+    }
+    while (qh < qt) {
+      val u = queue(qh); qh += 1
+      out(u) ++= out(fail(u))
+      for (e <- children(u)) {
+        val c = (e >>> 32).toInt
+        val v = (e & 0xffffffffL).toInt
+        // deepest proper-suffix state with a c-transition; fail-chain
+        // nodes all sit strictly shallower than u, so the target can
+        // never be v itself
+        var f = fail(u)
+        var fv = -1
+        while (fv == -1)
+          goto.get((f.toLong << 8) | c) match {
+            case Some(t) => fv = t
+            case None => if (f == 0) fv = 0 else f = fail(f)
+          }
+        fail(v) = fv
+        queue(qt) = v; qt += 1
+      }
+    }
+    val outsArr =
+      out.map(o => if (o.isEmpty) null else o.toArray).toArray
+    val patLen = pats.map(_.length)
+    if (nNodes <= denseNodeLimit) {
+      // complete to DFA in BFS order: next(u)(c) = child else
+      // next(fail(u))(c); root row first (missing byte stays at root)
+      val flat = new Array[Int](nNodes << 8)
+      var c = 0
+      while (c < 256) {
+        flat(c) = goto.getOrElse(c.toLong, 0)
+        c += 1
+      }
+      var qi = 0
+      while (qi < qt) {
+        val u = queue(qi); qi += 1
+        val base = u << 8
+        val fbase = fail(u) << 8
+        c = 0
+        while (c < 256) {
+          flat(base + c) =
+            goto.getOrElse((u.toLong << 8) | c, flat(fbase + c))
+          c += 1
+        }
+      }
+      new Automaton(nNodes, flat, null, null, null, null, outsArr, patLen)
+    } else {
+      // CSR: per-node sorted (byte, next) runs; |edges| = nNodes - 1
+      val off = new Array[Int](nNodes + 1)
+      val keys = new Array[Byte](nNodes - 1)
+      val nxt = new Array[Int](nNodes - 1)
+      var pos = 0
+      var u = 0
+      while (u < nNodes) {
+        off(u) = pos
+        for (e <- children(u).sorted) {
+          keys(pos) = ((e >>> 32) & 0xff).toByte
+          nxt(pos) = (e & 0xffffffffL).toInt
+          pos += 1
+        }
+        u += 1
+      }
+      off(nNodes) = pos
+      new Automaton(nNodes, null, off, keys, nxt, fail, outsArr, patLen)
+    }
+  }
 }

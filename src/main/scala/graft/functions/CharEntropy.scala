@@ -60,8 +60,12 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
       val c = it.next()(0).toDouble
       val term = (c / nD) * (Math.log(nD / c) / Math.log(2.0))
       // decimal-exact HALF_UP at 9 places on the double's value — the
-      // same rounding Spark's round() and DuckDB's round() apply, unlike
-      // Math.round(term * 1e9), whose multiply re-rounds first
+      // same rounding Spark's round() applies, unlike
+      // Math.round(term * 1e9), whose multiply re-rounds first. DuckDB's
+      // round() multiplies by 10^9 BEFORE rounding, so a term within
+      // ~1 ulp of a .5e-9 boundary could in principle round apart from
+      // this kernel even on bit-identical doubles; the caller's outer
+      // round(·, 6) absorbs that residual 1e-9 disagreement
       acc += new java.math.BigDecimal(term)
         .setScale(9, java.math.RoundingMode.HALF_UP)
         .unscaledValue().longValueExact()

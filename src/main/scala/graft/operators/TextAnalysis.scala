@@ -1548,7 +1548,13 @@ object TextAnalysis {
     * partial-combined aggregate. */
   def entropyGate(docs: DataFrame, groupCol: String, textCol: String,
                   lowBits: Double = 3.5): DataFrame = {
-    val h = round(call_function("char_entropy", col(textCol)), 6)
+    // NULL text scores 0.0 (an empty doc is maximally junk), exactly like
+    // the SQL replay's LEFT JOIN + COALESCE(h, 0.0): without the coalesce
+    // char_entropy(NULL) is NULL, which silently drops the doc from
+    // low_docs while the oracle counts it below every threshold —
+    // blocklistScan and encodingAudit apply the same normalization
+    val h = round(call_function("char_entropy",
+      coalesce(col(textCol), lit(""))), 6)
     docs.select(col(groupCol).as("grp"), h.as("h"))
       .groupBy(col("grp").as(groupCol))
       .agg(count(lit(1)).cast("long").as("n_docs"),
@@ -1574,6 +1580,167 @@ object TextAnalysis {
     * |patterns| rows per doc, and the only exchange is the final
     * (group, pattern)-keyed partial-combined aggregate — bounded by
     * |groups| x |patterns|, not the corpus. */
+  /** Lowercase diacritic fold map for [[normalizeForDedup]] — a fixed
+    * public table (Latin-1/Latin Extended vowels + n/c), applied via
+    * `translate` so any SQL engine replays it verbatim. */
+  val diacritics: String = "áàâäãå" +
+    "éèêëíìîï" +
+    "óòôöõúùûü" +
+    "ýÿñç"
+  val diacriticsFolded: String = "aaaaaa" + "eeee" + "iiii" + "ooooo" +
+    "uuuu" + "yy" + "n" + "c"
+
+  /** Cross-variant dedup normalization (q320): lowercase, fold
+    * diacritics through the fixed [[diacritics]] table, squash every
+    * non-alphanumeric to a space, collapse runs, trim — so accented /
+    * uppercased / re-punctuated surface variants of the same underlying
+    * text normalize to ONE canonical string before shingling, and
+    * MinHash-LSH dedups ACROSS the variants (transliteration-normalized
+    * near-dup, the cross-lingual corpus-cleaning step). Pure map-side
+    * string algebra: `lower`/`translate`/`regexp_replace` are all
+    * codegen'd built-ins, and every step replays verbatim in SQL
+    * (DuckDB needs the 'g' flag on both regexp_replace calls — Spark
+    * replaces globally by default). */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      translate(lower(text), diacritics, diacriticsFolded),
+      "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Repeated n-gram SPAN REMOVAL audit (q321) — the rewrite step after
+    * q56-style detection: a token n-gram occurring in >= `minDocs`
+    * distinct documents is corpus boilerplate (banners, footers, license
+    * blurbs), and every token position covered by an occurrence of any
+    * heavy n-gram is removed from its document. Per group: docs, docs
+    * touched, tokens before, tokens removed, removal rate.
+    *
+    * Scale shape: tokenization + position explode are map-side; the
+    * n-gram window partitions by DOCUMENT (never global); heavy-gram
+    * discovery is one gram-keyed partial-combined aggregate; occurrence
+    * marking is an unhinted semi join on the gram key (AQE broadcasts
+    * when the heavy set is genuinely small); coverage expands each hit
+    * to a FIXED n positions and dedups per (doc, position) — bounded
+    * fan-out, all equi-keyed exchanges, no all-pairs anywhere. */
+  def repeatedSpanScrub(docs: DataFrame, groupCol: String,
+                        textCol: String, idCol: String = "doc_id",
+                        n: Int = 3, minDocs: Long = 10L): DataFrame = {
+    require(n >= 2 && minDocs >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        tokens(coalesce(col(textCol), lit(""))).as("raw"))
+      .withColumn("m", size(col("raw")))
+    val pos = base.select(col("id"), col("m"),
+      posexplode(col("raw")).as(Seq("i", "tok")))
+    val w = Window.partitionBy("id").orderBy("i")
+    val grams = pos
+      .withColumn("gram",
+        when(col("i") <= col("m") - n,
+          concat_ws(" ", (0 until n).map(d =>
+            if (d == 0) col("tok") else lead(col("tok"), d).over(w)): _*)))
+      .where(col("gram").isNotNull)
+      .select(col("id"), col("i"), col("gram"))
+    val heavy = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("gram"))
+    val covered = grams.join(heavy, Seq("gram"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("removed"))
+    base.select(col("id"), col("grp"), col("m"))
+      .join(covered, Seq("id"), "left")
+      .na.fill(0L, Seq("removed"))
+      .groupBy(col("grp").as(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("removed") > 0, 1L).otherwise(0L)).cast("long")
+          .as("docs_touched"),
+        sum(col("m")).cast("long").as("toks_before"),
+        sum(col("removed")).cast("long").as("toks_removed"))
+      .withColumn("removal_rate",
+        round(col("toks_removed").cast("double")
+          / greatest(col("toks_before"), lit(1L)).cast("double"), 6))
+      .orderBy(col(groupCol))
+  }
+
+  /** Per-document tokenizer-fertility partial (q322 /
+    * [[graft.streaming.FertilityStream]]): (lang, source, whitespace
+    * tokens, characters) — the associative integer facts the drift
+    * bracket aggregates. Map-side projection; NULL text contributes
+    * (0, 0) like the SQL replay's COALESCE. */
+  def fertilityPartials(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("lang"), col("source"),
+      tokenCount(coalesce(col(textCol), lit(""))).cast("long").as("toks"),
+      length(coalesce(col(textCol), lit(""))).cast("long").as("chars"))
+
+  /** Tokenizer-fertility drift bracket (q322): per (lang, source), the
+    * chars-per-token fertility vs the language-wide reference, the
+    * ratio, and a drift flag at `tol`. The monitoring readout a
+    * tokenizer rollout watches — a source whose fertility drifts from
+    * its language's norm signals content-mix or encoding change.
+    * Input is any associative partial stream from
+    * [[fertilityPartials]] (one batch or many); sums are exact integer
+    * algebra, so batch and streaming faces are bit-identical by
+    * construction. Zero-token groups take the explicit 0.0 branch in
+    * BOTH engines (the q311 oracle lesson). Two group-keyed
+    * partial-combined aggregates + one lang-keyed join of two
+    * lang-bounded frames — nothing here scales past |langs x sources|
+    * after the first exchange. */
+  def fertilityBracket(partials: DataFrame, tol: Double = 0.02)
+      : DataFrame = {
+    val per = partials.groupBy(col("lang"), col("source"))
+      .agg(sum(col("toks")).cast("long").as("toks"),
+        sum(col("chars")).cast("long").as("chars"))
+    val ref = per.groupBy(col("lang"))
+      .agg(when(sum(col("toks")) > 0,
+          round(sum(col("chars")).cast("double")
+            / sum(col("toks")).cast("double"), 6))
+        .otherwise(0.0).as("ref_fertility"))
+    val fert = when(col("toks") > 0,
+      round(col("chars").cast("double") / col("toks").cast("double"), 6))
+      .otherwise(0.0)
+    val ratio = when(col("ref_fertility") > 0,
+      round(col("fertility") / col("ref_fertility"), 6)).otherwise(0.0)
+    per.join(ref, Seq("lang"))
+      .withColumn("fertility", fert)
+      .withColumn("ratio", ratio)
+      .withColumn("drifted", abs(col("ratio") - 1.0) > tol)
+      .select(col("lang"), col("source"), col("toks"), col("chars"),
+        col("fertility"), col("ref_fertility"), col("ratio"),
+        col("drifted"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Template-prefix audit (q324): per group, the top-`topK` duplicated
+    * `prefixLen`-char lowercased document prefixes with doc counts and
+    * share — the boilerplate-template detector (a source where one
+    * prefix covers a large share of docs is serving templated pages).
+    * One (group, prefix)-keyed aggregate collapses the corpus BEFORE
+    * the per-group rank window (partitioned by group, never global;
+    * ties broken by prefix so the readout is total-ordered), then an
+    * unhinted join attaches the group totals. */
+  def templatePrefixes(docs: DataFrame, groupCol: String,
+                       textCol: String, prefixLen: Int = 24,
+                       topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pre = docs.select(col(groupCol).as("grp"),
+      substring(lower(coalesce(col(textCol), lit(""))), 1, prefixLen)
+        .as("prefix"))
+    val counts = pre.groupBy(col("grp"), col("prefix"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val tot = pre.groupBy(col("grp"))
+      .agg(count(lit(1)).cast("long").as("total"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("n_docs").desc, col("prefix").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .join(tot, Seq("grp"))
+      .select(col("grp").as(groupCol), col("rank"), col("prefix"),
+        col("n_docs"),
+        round(col("n_docs").cast("double")
+          / col("total").cast("double"), 6).as("share"))
+      .orderBy(col(groupCol), col("rank"))
+  }
+
   def blocklistScan(docs: DataFrame, groupCol: String, textCol: String,
                     patterns: Seq[String]): DataFrame = {
     require(patterns.nonEmpty && patterns.forall(_.nonEmpty))

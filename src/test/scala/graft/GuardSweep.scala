@@ -11,6 +11,36 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * argument and operators/Hints.scala for the stamp glossary. */
 object GuardSweep {
 
+  /** True when `e` carries a collect_list/collect_set anywhere. */
+  private def hasCollect(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Boolean =
+    es.exists(_.find {
+      case _: org.apache.spark.sql.catalyst.expressions.aggregate
+        .CollectList => true
+      case _: org.apache.spark.sql.catalyst.expressions.aggregate
+        .CollectSet => true
+      case _ => false
+    }.isDefined)
+
+  /** BYTE growth that survives a row bound: a collect_list/collect_set
+    * whose collected input is NOT itself bounded packs corpus-sized
+    * bytes into however few rows the plan above keeps — a Limit or a
+    * grouping-free aggregate over it is still broadcast-fatal. Scans
+    * the subtree for Aggregate/Window collects over unbounded children;
+    * a `bounded_` stamp beneath shields its subtree as usual (the
+    * stamped site owns the payload-bound argument). */
+  private def collectsUnbounded(p: LogicalPlan): Boolean = p match {
+    case s: SubqueryAlias if s.alias.startsWith("bounded_") => false
+    case a: Aggregate =>
+      (hasCollect(a.aggregateExpressions) && !bounded(a.child)) ||
+        collectsUnbounded(a.child)
+    case w: Window =>
+      (hasCollect(w.windowExpressions) && !bounded(w.child)) ||
+        collectsUnbounded(w.child)
+    case other => other.children.exists(collectsUnbounded)
+  }
+
   def bounded(p: LogicalPlan): Boolean = p match {
     case s: SubqueryAlias if s.alias.startsWith("bounded_") => true
     case a: Aggregate =>
@@ -29,8 +59,20 @@ object GuardSweep {
         case _ => false
       }.isDefined)
       (a.groupingExpressions.isEmpty && !collects) || bounded(a.child)
-    case _: GlobalLimit | _: LocalLimit => true
+    // a limit bounds ROWS, but a collect_list/collect_set beneath it can
+    // still carry corpus BYTES per kept row (Limit(Window(collect over
+    // corpus)) is 10 rows of corpus-sized arrays) — the byte-growth
+    // class the Aggregate rule rejects, checked under the row bound too
+    case l @ (_: GlobalLimit | _: LocalLimit) => !collectsUnbounded(l)
     case _: LocalRelation | _: OneRowRelation | _: Range => true
+    // row-PRESERVING but byte-growing when a collect rides the window
+    // payload: the collected partition is the child's rows, so the
+    // payload is bounded exactly when the child is — stated explicitly
+    // (same verdict as the catch-all) so the collect byte-growth rule
+    // has a named owner for Window, mirroring Aggregate
+    case w: Window =>
+      !(hasCollect(w.windowExpressions) && !bounded(w.child)) &&
+        bounded(w.child)
     // row-MULTIPLYING unary node: exploding a bounded frame's arrays can
     // emit corpus-many rows (e.g. a collect_list payload) — never
     // boundedness-preserving; adjudicate real sites with a stamp

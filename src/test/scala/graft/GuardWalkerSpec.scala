@@ -42,6 +42,44 @@ class GuardWalkerSpec extends SparkSpec {
         .select(explode(split(col("text"), " ")).as("tok")))))
   }
 
+  test("a Limit bounds rows but NOT collect byte-growth beneath it: " +
+    "Limit(Window(collect_list over corpus)) is 10 rows of corpus-sized " +
+    "arrays and must fail the walker; the same shapes over a bounded " +
+    "child (or with scalar window payloads) pass") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val part = W.partitionBy(lit(1))
+    // 10 rows out, corpus bytes per row — the byte-growth class the
+    // Aggregate rule rejects, now checked under the row bound too
+    assert(!GuardSweep.bounded(analyzed(
+      docs.withColumn("all", collect_list(col("text")).over(part))
+        .limit(10))))
+    assert(!GuardSweep.bounded(analyzed(
+      docs.groupBy(col("source"))
+        .agg(collect_set(col("text")).as("all")).limit(10))))
+    // a scalar window payload under a limit stays bounded
+    assert(GuardSweep.bounded(analyzed(
+      docs.withColumn("r", row_number().over(part.orderBy(col("doc_id"))))
+        .limit(10))))
+    // a collect over a BOUNDED child is bounded bytes: fine under limit
+    assert(GuardSweep.bounded(analyzed(
+      docs.limit(50)
+        .withColumn("all", collect_list(col("text")).over(part))
+        .limit(10))))
+    // the explicit Window rule mirrors the catch-all verdict: bounded
+    // iff the child is, and a corpus collect payload never launders
+    assert(!GuardSweep.bounded(analyzed(
+      docs.withColumn("all", collect_list(col("text")).over(part)))))
+    assert(GuardSweep.bounded(analyzed(
+      docs.limit(50)
+        .withColumn("all", collect_list(col("text")).over(part)))))
+    // a bounded_ stamp beneath the limit still shields its subtree
+    assert(GuardSweep.bounded(analyzed(
+      operators.Hints.boundedBroadcast(
+        docs.agg(collect_list(col("doc_id")).as("ids")),
+        "cluster_domain_payload").limit(10))))
+  }
+
   test("the catalog-table leaf rule matches the scanned file identity, " +
     "not a toString substring: nation/region parquet scans are bounded, " +
     "a corpus table whose PATH mentions the word is not") {

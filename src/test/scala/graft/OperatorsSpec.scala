@@ -4818,6 +4818,58 @@ class OperatorsSpec extends SparkSpec {
     assert(nOut == Seq(("srcN", "fast", 1L, 1L)))
   }
 
+  test("BlocklistHits: a dictionary-scale blocklist switches to the " +
+    "sparse CSR automaton — transition memory scales with trie edges, " +
+    "not nodes*256 — and the sparse walk is differentially equal to " +
+    "the replace() brute force across the representation threshold") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, call_function, typedlit}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(323)
+    def word(n: Int): String =
+      (1 to n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    // ~2000 distinct 6-12 byte patterns -> ~17k trie nodes, well past
+    // the dense limit (the flat DFA would be nodes*256 ints = ~17 MB)
+    val big = (1 to 2000).map(_ => word(6 + rnd.nextInt(7))).distinct
+    val textLit = Literal(UTF8String.fromString("x"), StringType)
+    def patsLit(ps: Seq[String]) = Literal.create(ps,
+      org.apache.spark.sql.types.ArrayType(StringType))
+    val bigShape = graft.functions
+      .BlocklistHits(textLit, patsLit(big)).automatonShape
+    assert(!bigShape._3, "dictionary-scale blocklist must go sparse")
+    assert(bigShape._1 > graft.functions.BlocklistHits.denseNodeLimit)
+    // memory-shape pin: exactly one stored transition per trie edge
+    // (= nNodes - 1), bounded by total pattern bytes — NOT nodes*256
+    assert(bigShape._2 == bigShape._1 - 1L)
+    assert(bigShape._2 <= big.map(_.length).sum.toLong)
+    // a phrase-scale blocklist keeps the measured flat-DFA fast path
+    val smallShape = graft.functions
+      .BlocklistHits(textLit, patsLit(big.take(64))).automatonShape
+    assert(smallShape._3, "small blocklist must stay on the flat DFA")
+    assert(smallShape._2 == smallShape._1.toLong * 256)
+    // randomized differential THROUGH the full Spark eval path: texts
+    // woven from dictionary entries + filler so matches (and junction
+    // overlaps) actually occur; replace() brute force is the semantic
+    // oracle on both sides of the threshold
+    def brute(text: String, pats: Seq[String]): Seq[Long] =
+      pats.map(p =>
+        ((text.length - text.replace(p, "").length) / p.length).toLong)
+    val texts = (1 to 12).map(_ =>
+      (1 to 30).map(_ =>
+        if (rnd.nextBoolean()) big(rnd.nextInt(big.size))
+        else word(rnd.nextInt(5) + 1)).mkString)
+    val got = texts.toDF("t")
+      .select(col("t"),
+        call_function("blocklist_hits", col("t"), typedlit(big)))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    for (t <- texts)
+      assert(got(t) == brute(t, big), s"sparse mismatch on text=$t")
+  }
+
   test("encodingAudit (q316): replacement/control/mojibake detectors " +
     "fire exactly, tab/newline/CR stay clean, and a legit accented " +
     "digraph outside the mojibake range stays clean") {
@@ -4912,14 +4964,17 @@ class OperatorsSpec extends SparkSpec {
         .map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
       assert(h(t) == brute(t), s"text=$t")
     }
-    // rollup: the degenerate doc is flagged, natural text is not
-    val docs = Seq(
+    // rollup: the degenerate doc is flagged, natural text is not, and a
+    // NULL-text doc scores 0.0 (coalesced, like the oracle's LEFT JOIN
+    // + COALESCE replay) — counted in n_docs AND below every threshold
+    val docs = Seq[(String, String)](
       ("g", "the quick brown fox jumps over the lazy dog"),
-      ("g", "aa aa aa aa aa aa aa aa")).toDF("src", "text")
+      ("g", "aa aa aa aa aa aa aa aa"),
+      ("g", null)).toDF("src", "text")
     val out = graft.operators.TextAnalysis
       .entropyGate(docs, "src", "text", lowBits = 3.5)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
-    assert(out.toSeq == Seq(("g", 2L, 1L)))
+    assert(out.toSeq == Seq(("g", 3L, 2L)))
   }
 
   test("seqLenSweep (q319): exact truncation/padding/utilization " +
