@@ -288,6 +288,31 @@ object SparkEntry {
     "big big", "buy now", "click here", "fast", "fast fast",
     "slow scan", "table", "table table")
 
+  /** q323's dictionary-scale blocklist: every trigram phrase over a
+    * fixed 15-word vocabulary (15^3 = 3375 patterns, ~18k trie nodes) —
+    * large enough to force [[graft.functions.BlocklistHits]] onto its
+    * sparse CSR representation, small enough for the oracle's
+    * replace()-per-(doc, pattern) replay to stay cheap. */
+  private[graft] val dictBlocklistVocab: Seq[String] = Seq(
+    "join", "hash", "row", "batch", "scan", "customer", "column",
+    "filter", "small", "slow", "merge", "order", "vector", "line",
+    "data")
+  private[graft] lazy val dictBlocklistPatterns: Seq[String] =
+    for {
+      a <- dictBlocklistVocab
+      b <- dictBlocklistVocab
+      c <- dictBlocklistVocab
+    } yield s"$a $b $c"
+
+  /** Oracle-side fragments shared with the Spark operators: q320's
+    * diacritic fold table (must be the identical character mapping on
+    * both sides) and q323's dictionary vocabulary as a DuckDB list
+    * literal. */
+  private lazy val translitDia = TextAnalysis.diacritics
+  private lazy val translitFold = TextAnalysis.diacriticsFolded
+  private lazy val dictVocabSql =
+    dictBlocklistVocab.map(w => s"'$w'").mkString("[", ", ", "]")
+
   /** The support>=2 co-purchase part graph q273 walks: one edge per part
     * pair that co-occurs in >= 2 orders. */
   private def copurchaseEdges(li: DataFrame): DataFrame = {
@@ -7420,6 +7445,95 @@ object SparkEntry {
       TextAnalysis.seqLenSweep(t(s, dir, "documents"),
         TextAnalysis.tokenCount(col("text")),
         Seq(8L, 16L, 32L, 64L, 128L))
+    }),
+
+    "q320_translit_neardup" -> ((s, dir) => {
+      // cross-variant (transliteration-normalized) near-dup: the corpus
+      // is scrambled into three surface variants per residue class —
+      // accented (a/e/o -> diacritics), uppercased, re-punctuated
+      // (space -> ", ") — identically in both engines; normalization
+      // (lower + diacritic fold + punct squash + space collapse,
+      // TextAnalysis.normalizeForDedup) makes all three variants
+      // canonical again, so MinHash-LSH over the NORMALIZED text
+      // recovers exactly the clean-corpus pair set that raw shingling
+      // would miss across variant classes. Map-side normalization in
+      // front of the standard banded pipeline — the scale shape is
+      // q37's unchanged.
+      GraftFunctions.register(s)
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+            translate(col("text"), "aeo", "áéö"))
+          .when(col("doc_id") % 3 === 1, upper(col("text")))
+          .otherwise(expr("replace(text, ' ', ', ')")).as("text"))
+      val norm = injected.select(col("doc_id"),
+        TextAnalysis.normalizeForDedup(col("text")).as("text"))
+      Dedup.minhashLshPairs(norm, "doc_id", "text",
+          k = 16, bands = 4, shingleN = 3, threshold = 0.5, fast = false)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    "q321_span_scrub" -> ((s, dir) => {
+      // repeated n-gram SPAN REMOVAL (the rewrite q56's detector only
+      // reports): trigrams in >= 10 distinct docs are corpus
+      // boilerplate, and every covered token position is scrubbed. The
+      // fixture plants a banner on doc_id%7 docs and a footer on
+      // doc_id%9 docs (keys coprime with the source assignment so the
+      // injection spreads across groups) — the audit reports per-source
+      // tokens before/removed and the organic heavy trigrams fire too.
+      TextAnalysis.repeatedSpanScrub(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          concat(
+            when(col("doc_id") % 7 === 0,
+                lit("subscribe to our newsletter now for updates "))
+              .otherwise(lit("")),
+            coalesce(col("text"), lit("")),
+            when(col("doc_id") % 9 === 0,
+                lit(" all rights reserved worldwide"))
+              .otherwise(lit(""))).as("text")),
+        "source", "text", n = 3, minDocs = 10L)
+    }),
+
+    "q322_fertility_drift" -> ((s, dir) => {
+      // tokenizer-fertility drift monitor: per (lang, source),
+      // chars-per-token fertility vs the language-wide reference, with
+      // a 2% drift flag — the rollout readout that catches a source
+      // whose content mix (or encoding) shifted under a tokenizer. The
+      // same associative (toks, chars) partials feed the streaming face
+      // (streaming.FertilityStream), so batch and stream are
+      // bit-identical by construction.
+      TextAnalysis.fertilityBracket(
+        TextAnalysis.fertilityPartials(t(s, dir, "documents"), "text"))
+    }),
+
+    "q323_dict_blocklist" -> ((s, dir) => {
+      // DICTIONARY-scale blocklist (3375 phrase patterns = the full
+      // trigram grid over a 15-word vocabulary, ~18k automaton nodes):
+      // exercises BlocklistHits' sparse CSR representation — one
+      // automaton walk per doc whatever the dictionary size, memory
+      // O(trie edges) — where a LIKE-per-pattern plan would re-scan
+      // every document 3375 times. Only (source, pattern) rows with
+      // hits survive; zero-hit patterns are dropped in both engines.
+      GraftFunctions.register(s)
+      TextAnalysis.blocklistScan(t(s, dir, "documents"),
+        "source", "text", dictBlocklistPatterns, dropZeroHits = true)
+    }),
+
+    "q324_template_prefixes" -> ((s, dir) => {
+      // template/boilerplate prefix audit: top-3 duplicated 24-char
+      // lowercased prefixes per source with doc share — the "is this
+      // source serving templated pages" detector. The fixture plants a
+      // banner prefix on doc_id%7 docs (coprime with the source
+      // assignment); organic prefixes are singletons, so the banner
+      // dominates rank 1 wherever it lands and ties break on the
+      // prefix text for a total order.
+      TextAnalysis.templatePrefixes(
+        t(s, dir, "documents").select(col("source"),
+          concat(
+            when(col("doc_id") % 7 === 0,
+                lit("breaking news update now live "))
+              .otherwise(lit("")),
+            coalesce(col("text"), lit(""))).as("text")),
+        "source", "text", prefixLen = 24, topK = 3)
     }),
 
     "q312_recipe_after_dedup" -> ((s, dir) => {
@@ -16142,6 +16256,157 @@ object SparkEntry {
         |    AS min_sequences
         |FROM per ORDER BY max_len""".stripMargin,
 
+    // the scramble (accent/upper/re-punctuate by residue class), the
+    // normalization (lower + diacritic fold + punct squash + collapse),
+    // and then the standard md5-MinHash banded replay over the
+    // NORMALIZED relation — DuckDB regexp_replace needs the explicit
+    // 'g' flag where Spark's replaces globally by default
+    "q320_translit_neardup" ->
+      (minhashVerifiedCteFrom(s"""(
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |      translate(lower(
+        |        CASE WHEN doc_id % 3 = 0
+        |          THEN translate(text, 'aeo', 'áéö')
+        |        WHEN doc_id % 3 = 1 THEN upper(text)
+        |        ELSE replace(text, ' ', ', ') END),
+        |      '$translitDia', '$translitFold'),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text
+        |  FROM documents)""".stripMargin) +
+        """
+        |SELECT a_id, b_id, sim FROM verified WHERE sim >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    "q321_span_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN 'subscribe to our newsletter now for updates '
+        |      ELSE '' END
+        |    || coalesce(text, '')
+        |    || CASE WHEN doc_id % 9 = 0
+        |      THEN ' all rights reserved worldwide' ELSE '' END AS text
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS raw
+        |  FROM aug
+        |), pos AS (
+        |  SELECT doc_id, len(raw) AS m, raw,
+        |    unnest(range(0, len(raw))) AS i
+        |  FROM tk
+        |), grams AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(raw[CAST(i + 1 AS INT):CAST(i + 3 AS INT)],
+        |      ' ') AS gram
+        |  FROM pos WHERE i <= m - 3
+        |), heavy AS (
+        |  SELECT gram FROM grams
+        |  GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 10
+        |), cov AS (
+        |  SELECT DISTINCT g.doc_id, g.i + d.d AS p
+        |  FROM grams g JOIN heavy USING (gram)
+        |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS d) d
+        |), per AS (
+        |  SELECT t.doc_id, t.source, len(t.raw) AS m,
+        |    COALESCE(c.removed, 0) AS removed
+        |  FROM tk t LEFT JOIN
+        |    (SELECT doc_id, COUNT(*) AS removed FROM cov GROUP BY 1) c
+        |    USING (doc_id)
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_touched,
+        |  CAST(SUM(m) AS BIGINT) AS toks_before,
+        |  CAST(SUM(removed) AS BIGINT) AS toks_removed,
+        |  round(CAST(SUM(removed) AS DOUBLE)
+        |    / greatest(CAST(SUM(m) AS DOUBLE), 1.0), 6) AS removal_rate
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
+
+    // integer (toks, chars) sums per (lang, source); the zero-token
+    // branches are explicit in BOTH engines (the q311 oracle lesson)
+    "q322_fertility_drift" ->
+      """WITH per AS (
+        |  SELECT lang, source,
+        |    CAST(SUM(len(list_filter(regexp_split_to_array(
+        |      coalesce(text, ''), '\s+'), x -> x <> ''))) AS BIGINT)
+        |      AS toks,
+        |    CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS chars
+        |  FROM documents GROUP BY 1, 2
+        |), ref AS (
+        |  SELECT lang, CASE WHEN SUM(toks) > 0
+        |    THEN round(CAST(SUM(chars) AS DOUBLE)
+        |      / CAST(SUM(toks) AS DOUBLE), 6)
+        |    ELSE 0.0 END AS ref_fertility
+        |  FROM per GROUP BY 1
+        |), f AS (
+        |  SELECT p.lang, p.source, p.toks, p.chars,
+        |    CASE WHEN p.toks > 0
+        |      THEN round(CAST(p.chars AS DOUBLE)
+        |        / CAST(p.toks AS DOUBLE), 6)
+        |      ELSE 0.0 END AS fertility,
+        |    r.ref_fertility
+        |  FROM per p JOIN ref r USING (lang)
+        |)
+        |SELECT lang, source, toks, chars, fertility, ref_fertility,
+        |  CASE WHEN ref_fertility > 0
+        |    THEN round(fertility / ref_fertility, 6) ELSE 0.0 END
+        |    AS ratio,
+        |  (abs(CASE WHEN ref_fertility > 0
+        |    THEN round(fertility / ref_fertility, 6) ELSE 0.0 END
+        |    - 1.0) > 0.02) AS drifted
+        |FROM f ORDER BY lang, source""".stripMargin,
+
+    // the replace()-count replay per (doc, pattern) over the full
+    // 15^3 trigram dictionary; '//' is DuckDB integer division
+    "q323_dict_blocklist" ->
+      s"""WITH pats AS (
+        |  SELECT a.w || ' ' || b.w || ' ' || c.w AS pattern
+        |  FROM (SELECT unnest($dictVocabSql) AS w) a,
+        |       (SELECT unnest($dictVocabSql) AS w) b,
+        |       (SELECT unnest($dictVocabSql) AS w) c
+        |), d AS (
+        |  SELECT source, lower(coalesce(text, '')) AS t FROM documents
+        |), h AS (
+        |  SELECT d.source, p.pattern,
+        |    (length(d.t) - length(replace(d.t, p.pattern, '')))
+        |      // length(p.pattern) AS h
+        |  FROM d CROSS JOIN pats p
+        |)
+        |SELECT source, pattern,
+        |  CAST(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_hit,
+        |  CAST(SUM(h) AS BIGINT) AS hits
+        |FROM h GROUP BY 1, 2 HAVING SUM(h) > 0
+        |ORDER BY source, pattern""".stripMargin,
+
+    "q324_template_prefixes" ->
+      """WITH aug AS (
+        |  SELECT source, CASE WHEN doc_id % 7 = 0
+        |      THEN 'breaking news update now live ' ELSE '' END
+        |    || coalesce(text, '') AS text
+        |  FROM documents
+        |), pre AS (
+        |  SELECT source, substring(lower(text), 1, 24) AS prefix
+        |  FROM aug
+        |), counts AS (
+        |  SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM pre GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS total
+        |  FROM pre GROUP BY 1
+        |), ranked AS (
+        |  SELECT source, prefix, n_docs,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_docs DESC, prefix ASC) AS BIGINT) AS rank
+        |  FROM counts
+        |)
+        |SELECT r.source, r.rank, r.prefix, r.n_docs,
+        |  round(CAST(r.n_docs AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+        |    AS share
+        |FROM ranked r JOIN tot t USING (source)
+        |WHERE r.rank <= 3 ORDER BY r.source, r.rank""".stripMargin,
+
     "q311_data_recipe" ->
       """WITH per AS (
         |  SELECT source, COUNT(*) AS n_docs,
@@ -17281,12 +17546,18 @@ object SparkEntry {
   /** Shared md5-MinHash banded-pair CTE chain ending in `verified`
     * (a_id, b_id, sim) — the exact replay of minhashLshPairs(fast=false)
     * BEFORE any threshold filter; q37 selects at 0.5, q310 sweeps a
-    * threshold grid over the same stream. */
+    * threshold grid over the same stream, q320 runs it over a
+    * normalized relation instead of the raw table. */
   private lazy val minhashVerifiedCte: String =
-    """WITH tk AS (
+    minhashVerifiedCteFrom("documents")
+
+  /** [[minhashVerifiedCte]] parameterized on the (doc_id, text) source
+    * relation. */
+  private def minhashVerifiedCteFrom(rel: String): String =
+    s"""WITH tk AS (
         |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS raw
-        |  FROM documents
+        |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS raw
+        |  FROM $rel
         |), sh AS (
         |  SELECT doc_id, raw,
         |    CASE WHEN len(raw) < 3 THEN [array_to_string(raw, ' ')]

