@@ -123,6 +123,7 @@ object Bench {
       } else {
         val minBefore = acc.get(name)
         var attempts = 0
+        var okAttempts = 0
         var lastDt = 0.0
         var retry = true
         while (retry && attempts < math.max(3, minAttempts + 1) &&
@@ -157,7 +158,7 @@ object Bench {
             acc(name) = dt
             gcf(name) = gcFrac
           }
-          if (ok) errors.remove(name) // a success supersedes older failures
+          if (ok) { okAttempts += 1; errors.remove(name) } // success supersedes older failures
           // below minAttempts, a success always re-runs (the warm min);
           // past it, retry only a successful, non-trivial, GC-polluted
           // run — and only while retrying HELPS (>=20% faster than the
@@ -168,6 +169,24 @@ object Bench {
             (dt > 1.0 && gcFrac > gcRetryFrac &&
               (attempts == 1 || dt < 0.8 * lastDt)))
           lastDt = dt
+        }
+        // RECORD-TIME enforcement of the min-of-N invariant (the
+        // estimate gate alone is not enough: a cold attempt 1 can run
+        // 4.9x its estimate, the deadline then cuts attempt 2, and the
+        // cold time would stamp as a "warm min" — the exact pollution
+        // minAttempts exists to prevent). An under-attempted query
+        // ROLLS BACK to its prior state and counts as a skip; the
+        // rotation re-targets it next round.
+        if (okAttempts > 0 && okAttempts < minAttempts) {
+          minBefore match {
+            case Some(v) => acc(name) = v
+            case None => acc.remove(name); gcf.remove(name)
+          }
+          skippedProjected = true
+          if (verbose)
+            System.err.println(s"[bench] $label $name DROPPED: only " +
+              s"$okAttempts/$minAttempts attempts fit — not stamping " +
+              "a cold single run")
         }
         // drop the executor-storage blocks (localCheckpoint'd dedup/ANN
         // indexes) the finished query pinned: queries are independent, and
@@ -210,11 +229,13 @@ object Bench {
     * more clones means quadratically more TRUE near-dup pairs to
     * return), where a big ratio is the correct answer, not a defect. */
   def scalingViolations(hist: Map[String, Cert], ceiling: Double,
-                        exempt: Set[String]): Seq[String] =
+                        exempt: Set[String]): Seq[String] = {
+    val tiered = SparkEntry.largeBenchTier.keySet // built once, not per entry
     hist.toSeq.collect {
       case (n, c) if c.ratio > ceiling && !exempt.contains(n) &&
-        !SparkEntry.largeBenchTier.contains(n) => n
+        !tiered.contains(n) => n
     }.sorted
+  }
 
   /** Adjudicated output-growth-bound exemptions for the scaling pin
     * (see [[scalingViolations]]): the near-dup PAIR/cluster emitters,
@@ -606,11 +627,17 @@ object Bench {
         val largeMin = sys.env
           .getOrElse("SPARK_GRAFT_BENCH_LARGE_MIN", "2").toInt
         // a stamp carries its scaling cert: sf1 seconds over the SAME
-        // run's graded warm seconds (see Cert.ratio / scalingViolations)
+        // run's graded warm seconds (see Cert.ratio / scalingViolations).
+        // Only when the graded map really is warm min-of-2: a cold
+        // single-pass denominator (up to ~6x inflated, round-10
+        // measurement) would UNDERSTATE the ratio and let a superlinear
+        // shape slip under the ceiling — no ratio beats a wrong one.
         def stamped(runId: Int): Map[String, Cert] =
           hist ++ lt.map { case (n, s) =>
             n -> Cert(s, runId,
-              times.get(n).filter(_ > 0).map(s / _).getOrElse(-1.0))
+              if (gradedPasses >= 2)
+                times.get(n).filter(_ > 0).map(s / _).getOrElse(-1.0)
+              else -1.0)
           }
         // checkpoint every 10 recorded entries: persist the history
         // stamps AND a partial twin, so an external kill mid-pass (the

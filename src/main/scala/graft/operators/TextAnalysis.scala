@@ -1565,21 +1565,6 @@ object TextAnalysis {
       .orderBy(col(groupCol))
   }
 
-  /** C4-style blocklist scan (q315): per (group, pattern) — how many
-    * docs contain the pattern and its total occurrence count — over a
-    * literal blocklist, in ONE automaton pass per document
-    * ([[graft.functions.BlocklistHits]], Aho–Corasick 1975; a
-    * LIKE-per-pattern plan re-reads every document once per pattern).
-    * Counting is greedy leftmost non-overlapping per pattern — exactly
-    * the `replace()`-based count any SQL engine replays, which is what
-    * makes the operator oracle-checkable. Text is lowercased first;
-    * patterns are expected lowercase.
-    *
-    * Scale shape: the blocklist is a plan literal (no join, no
-    * broadcast), the scan is map-side, the explode fans out a FIXED
-    * |patterns| rows per doc, and the only exchange is the final
-    * (group, pattern)-keyed partial-combined aggregate — bounded by
-    * |groups| x |patterns|, not the corpus. */
   /** Lowercase diacritic fold map for [[normalizeForDedup]] — a fixed
     * public table (Latin-1/Latin Extended vowels + n/c), applied via
     * `translate` so any SQL engine replays it verbatim. */
@@ -1727,8 +1712,11 @@ object TextAnalysis {
         .as("prefix"))
     val counts = pre.groupBy(col("grp"), col("prefix"))
       .agg(count(lit(1)).cast("long").as("n_docs"))
-    val tot = pre.groupBy(col("grp"))
-      .agg(count(lit(1)).cast("long").as("total"))
+    // group totals fold from the ALREADY-COLLAPSED counts (Σ n_docs per
+    // group) — a second groupBy over `pre` would re-scan and re-project
+    // the whole corpus for numbers the bounded frame already carries
+    val tot = counts.groupBy(col("grp"))
+      .agg(sum(col("n_docs")).cast("long").as("total"))
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("n_docs").desc, col("prefix").asc)
     counts.withColumn("rank", row_number().over(w).cast("long"))
@@ -1741,6 +1729,27 @@ object TextAnalysis {
       .orderBy(col(groupCol), col("rank"))
   }
 
+  /** C4-style blocklist scan (q315): per (group, pattern) — how many
+    * docs contain the pattern and its total occurrence count — over a
+    * literal blocklist, in ONE automaton pass per document
+    * ([[graft.functions.BlocklistHits]], Aho–Corasick 1975; a
+    * LIKE-per-pattern plan re-reads every document once per pattern).
+    * Counting is greedy leftmost non-overlapping per pattern — exactly
+    * the `replace()`-based count any SQL engine replays, which is what
+    * makes the operator oracle-checkable. Text is lowercased first;
+    * patterns are expected lowercase.
+    *
+    * Scale shape: the blocklist is a plan literal (no join, no
+    * broadcast), the scan is map-side, the explode fans out a FIXED
+    * |patterns| rows per doc, and the only exchange is the final
+    * (group, pattern)-keyed partial-combined aggregate — bounded by
+    * |groups| x |patterns|, not the corpus.
+    *
+    * `dropZeroHits` (q323's dictionary-scale mode) filters zero-hit
+    * rows BEFORE partial aggregation — all-zero (group, pattern)
+    * groups then vanish from the output, which is exactly the
+    * HAVING-SUM>0 readout. The phrase-scale default keeps them: q315's
+    * contract is that absent patterns report exact zero rows. */
   def blocklistScan(docs: DataFrame, groupCol: String, textCol: String,
                     patterns: Seq[String],
                     dropZeroHits: Boolean = false): DataFrame = {

@@ -376,6 +376,29 @@ class BenchSpec extends SparkSpec {
       "6 s fits once in the 9 s window but not twice -> skip whole")
   }
 
+  test("minAttempts is enforced at RECORD time, not just by the " +
+    "estimate gate: a query whose cold attempt 1 eats the window rolls " +
+    "back instead of stamping a single cold run as a warm min") {
+    // the estimate gate prices 2x the ESTIMATE, but a cold attempt can
+    // run far past it (round 11 measured 4.9x) — if the deadline then
+    // cuts attempt 2, recording attempt 1 would re-introduce the exact
+    // pollution minAttempts exists to prevent
+    val acc = mutable.Map[String, Double]()
+    val errors = mutable.Map[String, String]()
+    val calls = mutable.Map[String, Int]().withDefaultValue(0)
+    val slow: (SparkSession, String) => DataFrame =
+      (s, _) => { calls("q") += 1; Thread.sleep(2000); s.range(3).toDF("v") }
+    val deadline = System.nanoTime() + (2500L * 1000 * 1000)
+    val done = Bench.runSuite(spark, "/unused", Seq("q"),
+      Map("q" -> slow), nRuns = 1, acc, errors,
+      deadlineNanos = deadline, estimate = _ => 0.0, minAttempts = 2)
+    assert(calls("q") == 1,
+      s"attempt 2 cannot fit the 0.5 s left; saw ${calls("q")} calls")
+    assert(!acc.contains("q"),
+      "a 1-of-2-attempt result must roll back, not stamp")
+    assert(!done, "an under-attempted query counts as a skip")
+  }
+
   test("scalingViolations: the sf1/graded ratio ceiling flags " +
     "superlinear shapes, skips ratio-less stamps, and honors both the " +
     "output-growth exemption list and the tier registry") {

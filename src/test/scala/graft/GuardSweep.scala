@@ -51,28 +51,23 @@ object GuardSweep {
       // so a collect is accepted only when the collected INPUT is
       // itself bounded (or the site carries a stamp naming the payload
       // bound).
-      val collects = a.aggregateExpressions.exists(_.find {
-        case _: org.apache.spark.sql.catalyst.expressions.aggregate
-          .CollectList => true
-        case _: org.apache.spark.sql.catalyst.expressions.aggregate
-          .CollectSet => true
-        case _ => false
-      }.isDefined)
-      (a.groupingExpressions.isEmpty && !collects) || bounded(a.child)
+      (a.groupingExpressions.isEmpty &&
+        !hasCollect(a.aggregateExpressions)) || bounded(a.child)
     // a limit bounds ROWS, but a collect_list/collect_set beneath it can
     // still carry corpus BYTES per kept row (Limit(Window(collect over
     // corpus)) is 10 rows of corpus-sized arrays) — the byte-growth
     // class the Aggregate rule rejects, checked under the row bound too
     case l @ (_: GlobalLimit | _: LocalLimit) => !collectsUnbounded(l)
     case _: LocalRelation | _: OneRowRelation | _: Range => true
-    // row-PRESERVING but byte-growing when a collect rides the window
-    // payload: the collected partition is the child's rows, so the
-    // payload is bounded exactly when the child is — stated explicitly
-    // (same verdict as the catch-all) so the collect byte-growth rule
-    // has a named owner for Window, mirroring Aggregate
-    case w: Window =>
-      !(hasCollect(w.windowExpressions) && !bounded(w.child)) &&
-        bounded(w.child)
+    // Window is row-preserving, so its verdict is its child's — the
+    // same answer the single-child catch-all gives, stated as a named
+    // case for symmetry with Aggregate. Window's collect-payload
+    // BYTE-growth enforcement does NOT live here (a collect over a
+    // bounded child is bounded bytes; over an unbounded child the
+    // child verdict already fails) — it lives in `collectsUnbounded`,
+    // which the Limit rule consults so a row bound ABOVE the window
+    // cannot launder a corpus-sized payload
+    case w: Window => bounded(w.child)
     // row-MULTIPLYING unary node: exploding a bounded frame's arrays can
     // emit corpus-many rows (e.g. a collect_list payload) — never
     // boundedness-preserving; adjudicate real sites with a stamp
