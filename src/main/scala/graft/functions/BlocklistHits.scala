@@ -105,78 +105,14 @@ case class BlocklistHits(text: Expression, patternsE: Expression)
   }
 
   /** Whole per-row kernel behind one monomorphic entry point — generated
-    * code calls it directly on the unboxed child UTF8String. Dense path:
-    * one flat transition load + one null check per input byte. Sparse
-    * path: binary search over the node's sorted byte keys, fail-chain on
-    * a miss (amortized O(1) per byte — each fail hop strictly shortens
-    * the live suffix). Match bookkeeping only on (rare) output states;
-    * the result rides an UnsafeArrayData over the primitive counts (no
-    * per-element boxing). */
+    * code calls it directly on the unboxed child UTF8String; the walk
+    * itself lives on [[BlocklistHits.Automaton.run]] (shared with the
+    * representation benchmark). The result rides an UnsafeArrayData
+    * over the primitive counts (no per-element boxing). */
   def kernel(s: UTF8String): ArrayData = {
-    val a = automaton
     val counts = new Array[Long](pats.length)
     val lastEnd = new Array[Int](pats.length)
-    val o = a.outs
-    val pl = a.patLen
-    var state = 0
-    val n = s.numBytes()
-    var i = 0
-    if (a.dense) {
-      val dfa = a.dfaFlat
-      while (i < n) {
-        state = dfa((state << 8) | (s.getByte(i) & 0xff))
-        val hits = o(state)
-        if (hits != null) {
-          var j = 0
-          while (j < hits.length) {
-            val p = hits(j)
-            // end-exclusive position i+1; greedy non-overlap per pattern
-            if (i + 1 - pl(p) >= lastEnd(p)) {
-              counts(p) += 1
-              lastEnd(p) = i + 1
-            }
-            j += 1
-          }
-        }
-        i += 1
-      }
-    } else {
-      val off = a.csrOff; val keys = a.csrKeys
-      val nxt = a.csrNext; val fl = a.fail
-      while (i < n) {
-        val c = s.getByte(i) & 0xff
-        var t = -1
-        var st = state
-        while (t == -1) {
-          var lo = off(st); var hi = off(st + 1) - 1
-          var found = -1
-          while (lo <= hi) {
-            val mid = (lo + hi) >>> 1
-            val k = keys(mid) & 0xff
-            if (k == c) { found = nxt(mid); lo = hi + 1 }
-            else if (k < c) lo = mid + 1
-            else hi = mid - 1
-          }
-          if (found != -1) t = found
-          else if (st == 0) t = 0 // missing at root: stay (DFA parity)
-          else st = fl(st)
-        }
-        state = t
-        val hits = o(state)
-        if (hits != null) {
-          var j = 0
-          while (j < hits.length) {
-            val p = hits(j)
-            if (i + 1 - pl(p) >= lastEnd(p)) {
-              counts(p) += 1
-              lastEnd(p) = i + 1
-            }
-            j += 1
-          }
-        }
-        i += 1
-      }
-    }
+    automaton.run(s, counts, lastEnd)
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(counts)
   }
@@ -226,13 +162,91 @@ object BlocklistHits {
       val outs: Array[Array[Int]],
       val patLen: Array[Int]) extends Serializable {
     def dense: Boolean = dfaFlat != null
+
+    /** One document walk, accumulating greedy leftmost non-overlapping
+      * per-pattern counts into `counts` (with `lastEnd` as the
+      * per-pattern non-overlap cursor; both length = pattern count,
+      * zero-initialized by the caller). Dense path: one flat transition
+      * load per input byte. Sparse path: binary search over the node's
+      * sorted byte keys, fail-chain on a miss (amortized O(1) per byte
+      * — each fail hop strictly shortens the live suffix). Match
+      * bookkeeping only on (rare) output states. */
+    def run(s: UTF8String, counts: Array[Long],
+            lastEnd: Array[Int]): Unit = {
+      val o = outs
+      val pl = patLen
+      var state = 0
+      val n = s.numBytes()
+      var i = 0
+      if (dense) {
+        val dfa = dfaFlat
+        while (i < n) {
+          state = dfa((state << 8) | (s.getByte(i) & 0xff))
+          val hits = o(state)
+          if (hits != null) {
+            var j = 0
+            while (j < hits.length) {
+              val p = hits(j)
+              // end-exclusive position i+1; greedy non-overlap/pattern
+              if (i + 1 - pl(p) >= lastEnd(p)) {
+                counts(p) += 1
+                lastEnd(p) = i + 1
+              }
+              j += 1
+            }
+          }
+          i += 1
+        }
+      } else {
+        val off = csrOff; val keys = csrKeys
+        val nxt = csrNext; val fl = fail
+        while (i < n) {
+          val c = s.getByte(i) & 0xff
+          var t = -1
+          var st = state
+          while (t == -1) {
+            var lo = off(st); var hi = off(st + 1) - 1
+            var found = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              val k = keys(mid) & 0xff
+              if (k == c) { found = nxt(mid); lo = hi + 1 }
+              else if (k < c) lo = mid + 1
+              else hi = mid - 1
+            }
+            if (found != -1) t = found
+            else if (st == 0) t = 0 // missing at root: stay (DFA parity)
+            else st = fl(st)
+          }
+          state = t
+          val hits = o(state)
+          if (hits != null) {
+            var j = 0
+            while (j < hits.length) {
+              val p = hits(j)
+              if (i + 1 - pl(p) >= lastEnd(p)) {
+                counts(p) += 1
+                lastEnd(p) = i + 1
+              }
+              j += 1
+            }
+          }
+          i += 1
+        }
+      }
+    }
   }
 
   /** Build the automaton SPARSELY (one LongMap keyed (state<<8)|byte —
     * never a nodes×256 table), then densify only under the node limit.
     * Children are packed (byte.toLong<<32)|node so a plain Long sort
-    * yields byte-ascending CSR rows. */
-  private[graft] def build(pats: Array[Array[Byte]]): Automaton = {
+    * yields byte-ascending CSR rows. `denseLimit` is overridable so the
+    * representation benchmark (and differential tests) can force either
+    * form on the SAME pattern set; production callers use the policy
+    * default. */
+  private[graft] def build(pats: Array[Array[Byte]],
+                           denseLimit: Int = denseNodeLimit)
+      : Automaton = {
     import scala.collection.mutable
     val goto = mutable.LongMap.empty[Int]
     val children = mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Long])
@@ -291,7 +305,7 @@ object BlocklistHits {
     val outsArr =
       out.map(o => if (o.isEmpty) null else o.toArray).toArray
     val patLen = pats.map(_.length)
-    if (nNodes <= denseNodeLimit) {
+    if (nNodes <= denseLimit) {
       // complete to DFA in BFS order: next(u)(c) = child else
       // next(fail(u))(c); root row first (missing byte stays at root)
       val flat = new Array[Int](nNodes << 8)
