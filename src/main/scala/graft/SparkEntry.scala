@@ -304,6 +304,13 @@ object SparkEntry {
       c <- dictBlocklistVocab
     } yield s"$a $b $c"
 
+  /** q325's funnel blocklist: multi-word phrases only (every doc of the
+    * word-soup corpus contains single common words, which would zero
+    * the funnel's tail). */
+  private val funnelBlocklist: Seq[String] = Seq(
+    "big big", "buy now", "click here", "fast fast", "slow scan",
+    "table table")
+
   /** Oracle-side fragments shared with the Spark operators: q320's
     * diacritic fold table (must be the identical character mapping on
     * both sides) and q323's dictionary vocabulary as a DuckDB list
@@ -7534,6 +7541,58 @@ object SparkEntry {
               .otherwise(lit("")),
             coalesce(col("text"), lit(""))).as("text")),
         "source", "text", prefixLen = 24, topK = 3)
+    }),
+
+    "q325_content_funnel" -> ((s, dir) => {
+      // the CONTENT-gate cleaning funnel: q110's cascade report rebuilt
+      // from the native content gates (token count, the q316 encoding
+      // detectors, the q318 char-entropy expression, the q315 blocklist
+      // automaton as a boolean) — per-stage survivor/drop counts in ONE
+      // corpus scan, each gate a conditional-sum column of a single
+      // partial-combined aggregate. The fixture plants spam (%13
+      // replacement) and encoding noise (%7/%9/%11 suffixes — keys
+      // coprime with the source assignment) identically in both
+      // engines so every stage has real attrition.
+      GraftFunctions.register(s)
+      val base = when(col("doc_id") % 13 === 0, expr("repeat('spam ', 40)"))
+        .otherwise(coalesce(col("text"), lit("")))
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(base,
+          when(col("doc_id") % 7 === 0, lit(" caf\u00C3\u00A9"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 9 === 0, lit("\u0007"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" \uFFFD"))
+            .otherwise(lit(""))).as("text"))
+      val repl = col("text").contains(lit("\uFFFD"))
+      val ctrl = col("text").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+      val moji = col("text").rlike("\u00C3[\u00A0-\u00BF]")
+      // zero greedy-count sum == no pattern occurs at all, so the
+      // automaton doubles as a multi-phrase boolean gate in one walk
+      val hitsum = aggregate(
+        call_function("blocklist_hits", lower(col("text")),
+          typedlit(funnelBlocklist)),
+        lit(0L), (a, x) => a + x)
+      operators.Sampling.filterFunnel(injected, Seq(
+        "min_tokens" -> (TextAnalysis.tokenCount(col("text")) >= 20),
+        "encoding_clean" -> (!repl && !ctrl && !moji),
+        "entropy" ->
+          (round(call_function("char_entropy", col("text")), 6) >= 3.0),
+        "blocklist_clean" -> (hitsum === 0L)))
+        .orderBy(col("stage_id"))
+    }),
+
+    "q326_temperature_mix" -> ((s, dir) => {
+      // sampling-temperature sweep over the source mixture: natural
+      // share, T-flattened sampled share, and the boost per source for
+      // T in {1, 1/2, 1/4} — the table a pretraining run picks its
+      // sampling temperature from. The grid is dyadic so p^T is a
+      // sqrt chain (IEEE-correctly-rounded in EVERY engine; pow's last
+      // ulp is libm-specific), and the per-T normalizer sums through
+      // DECIMAL(38,20) — cross-engine bit-exact with no pow anywhere.
+      operators.Sampling.temperatureMixture(
+        t(s, dir, "documents"), "source",
+        TextAnalysis.tokenCount(col("text")), sqrtLevels = Seq(0, 1, 2))
     }),
 
     "q312_recipe_after_dedup" -> ((s, dir) => {
@@ -16406,6 +16465,108 @@ object SparkEntry {
         |    AS share
         |FROM ranked r JOIN tot t USING (source)
         |WHERE r.rank <= 3 ORDER BY r.source, r.rank""".stripMargin,
+
+    // the content-gate funnel: spam/noise fixture, then the four gate
+    // predicates replayed (token count; the q316 detectors; the q318
+    // per-char entropy chain; multi-phrase containment = the zero-hit
+    // automaton boolean), cascaded with FILTER counts
+    "q325_content_funnel" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN repeat('spam ', 40)
+        |      ELSE coalesce(text, '') END
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' caf' || chr(195) || chr(169) ELSE '' END
+        |    || CASE WHEN doc_id % 9 = 0 THEN chr(7) ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ' ' || chr(65533) ELSE '' END AS t
+        |  FROM documents
+        |), chars AS (
+        |  SELECT doc_id, substring(t, CAST(i AS INT), 1) AS ch
+        |  FROM aug, unnest(range(1, length(t) + 1)) u(i)
+        |), hist AS (
+        |  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM chars GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY 1
+        |), ent AS (
+        |  SELECT h.doc_id, round(CAST(SUM(CAST(round(
+        |      (CAST(c AS DOUBLE) / n)
+        |        * (ln(CAST(n AS DOUBLE) / c) / ln(2.0)), 9)
+        |      AS DECIMAL(19,9))) AS DOUBLE), 6) AS h
+        |  FROM hist h JOIN tot USING (doc_id) GROUP BY 1
+        |), b AS (
+        |  SELECT
+        |    (len(list_filter(regexp_split_to_array(a.t, '\s+'),
+        |      x -> x <> '')) >= 20) AS b1,
+        |    (NOT (strpos(a.t, chr(65533)) > 0
+        |       OR regexp_matches(a.t, '[\x00-\x08\x0B\x0C\x0E-\x1F]')
+        |       OR regexp_matches(a.t, chr(195) || '[' || chr(160)
+        |            || '-' || chr(191) || ']'))) AS b2,
+        |    (COALESCE(e.h, 0.0) >= 3.0) AS b3,
+        |    (NOT (contains(lower(a.t), 'big big')
+        |       OR contains(lower(a.t), 'buy now')
+        |       OR contains(lower(a.t), 'click here')
+        |       OR contains(lower(a.t), 'fast fast')
+        |       OR contains(lower(a.t), 'slow scan')
+        |       OR contains(lower(a.t), 'table table'))) AS b4
+        |  FROM aug a LEFT JOIN ent e USING (doc_id)
+        |), c AS (
+        |  SELECT count(*) AS s0,
+        |    count(*) FILTER (b1) AS s1,
+        |    count(*) FILTER (b1 AND b2) AS s2,
+        |    count(*) FILTER (b1 AND b2 AND b3) AS s3,
+        |    count(*) FILTER (b1 AND b2 AND b3 AND b4) AS s4
+        |  FROM b
+        |)
+        |SELECT * FROM (
+        |  SELECT 0 AS stage_id, 'total' AS stage, s0 AS surviving,
+        |    CAST(0 AS BIGINT) AS dropped FROM c
+        |  UNION ALL SELECT 1, 'min_tokens', s1, s0 - s1 FROM c
+        |  UNION ALL SELECT 2, 'encoding_clean', s2, s1 - s2 FROM c
+        |  UNION ALL SELECT 3, 'entropy', s3, s2 - s3 FROM c
+        |  UNION ALL SELECT 4, 'blocklist_clean', s4, s3 - s4 FROM c)
+        |ORDER BY stage_id""".stripMargin,
+
+    // dyadic temperature grid: p^T via sqrt chains (IEEE-correctly-
+    // rounded in both engines — deliberately NO pow, whose last ulp is
+    // libm-specific); per-T normalizer summed through DECIMAL(38,20)
+    "q326_temperature_mix" ->
+      s"""WITH base AS (
+        |  SELECT source, CAST(SUM(len($toksSql)) AS BIGINT) AS toks
+        |  FROM documents GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(toks) AS BIGINT) AS total_toks FROM base
+        |), grid AS (
+        |  SELECT k, CAST(t AS DOUBLE) AS t
+        |  FROM (VALUES (0, 1.0), (1, 0.5), (2, 0.25)) g(k, t)
+        |), pw AS (
+        |  SELECT g.k, g.t, b.source, b.toks,
+        |    CAST(b.toks AS DOUBLE) / CAST(tt.total_toks AS DOUBLE) AS p,
+        |    CASE g.k
+        |      WHEN 0 THEN CAST(b.toks AS DOUBLE)
+        |        / CAST(tt.total_toks AS DOUBLE)
+        |      WHEN 1 THEN sqrt(CAST(b.toks AS DOUBLE)
+        |        / CAST(tt.total_toks AS DOUBLE))
+        |      ELSE sqrt(sqrt(CAST(b.toks AS DOUBLE)
+        |        / CAST(tt.total_toks AS DOUBLE)))
+        |    END AS w
+        |  FROM base b CROSS JOIN tot tt CROSS JOIN grid g
+        |), sw AS (
+        |  SELECT k, CAST(SUM(CAST(w AS DECIMAL(38,20))) AS DOUBLE) AS sw
+        |  FROM pw GROUP BY 1
+        |), f AS (
+        |  SELECT pw.t, pw.source, pw.toks,
+        |    round(pw.p, 6) AS share_natural,
+        |    CASE WHEN sw.sw > 0 THEN round(pw.w / sw.sw, 6)
+        |      ELSE 0.0 END AS share_sampled
+        |  FROM pw JOIN sw USING (k)
+        |)
+        |SELECT t, source, toks, share_natural, share_sampled,
+        |  CASE WHEN share_natural > 0
+        |    THEN round(share_sampled / share_natural, 6)
+        |    ELSE 0.0 END AS boost
+        |FROM f ORDER BY t DESC, source""".stripMargin,
 
     "q311_data_recipe" ->
       """WITH per AS (

@@ -311,6 +311,70 @@ object Sampling {
       .orderBy(col(groupCol))
   }
 
+  /** Temperature-scaled mixture weights (q326) — the multilingual /
+    * multi-source sampling-temperature sweep: a source's natural share
+    * p_i = toks_i / Σtoks is flattened to w_i ∝ p_i^T, and the readout
+    * shows, for every temperature in the grid, each source's sampled
+    * share and its boost over natural — the table a pretraining run
+    * uses to pick T (T=1 is proportional sampling; lower T upweights
+    * small sources).
+    *
+    * The grid is DYADIC on purpose: temperatures are given as sqrt
+    * APPLICATIONS k (T = 2^-k: k=0 -> 1, k=1 -> 0.5, k=2 -> 0.25),
+    * because IEEE-754 requires sqrt to be correctly rounded in every
+    * engine while pow's last ulp is libm-specific — so p^T here is
+    * bit-exact across Spark and any SQL oracle, with no pow anywhere.
+    * The per-temperature normalizer Σw sums doubles through
+    * DECIMAL(38,20) (the q40 cosine idiom), so it is order-independent.
+    * Zero-share groups take an explicit 0.0 branch in both engines.
+    *
+    * Scale shape: ONE corpus scan — the (source, toks) aggregate —
+    * then pure algebra on the |sources| x |grid| frame: the token
+    * total and the per-T normalizers are WINDOW sums over that
+    * already-bounded frame (a DataFrame branch per scalar would
+    * re-execute the corpus scan once per reference), and the grid
+    * rides a broadcast literal cross. The global window is over
+    * |sources| rows, never the corpus. */
+  def temperatureMixture(docs: DataFrame, groupCol: String,
+                         tokens: Column, sqrtLevels: Seq[Int] = Seq(0, 1, 2))
+      : DataFrame = {
+    require(sqrtLevels.nonEmpty &&
+      sqrtLevels.forall(k => k >= 0 && k <= 6) &&
+      sqrtLevels.distinct.size == sqrtLevels.size)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def sqrtK(c: Column, k: Int): Column =
+      (1 to k).foldLeft(c)((x, _) => sqrt(x))
+    val base = docs.groupBy(col(groupCol).as("grp"))
+      .agg(sum(tokens.cast("long")).cast("long").as("toks"))
+    val grid = sqrtLevels.map(k => (k, math.pow(0.5, k)))
+      .toDF("k", "t") // 0.5^k is a power of two — exact in the literal
+    val w = sqrtLevels.tail.foldLeft(
+        when(col("k") === sqrtLevels.head, sqrtK(col("p"), sqrtLevels.head))
+      )((acc, k) => acc.when(col("k") === k, sqrtK(col("p"), k)))
+    base
+      .withColumn("total_toks",
+        sum(col("toks")).over(Window.partitionBy()))
+      .withColumn("p", col("toks").cast("double")
+        / col("total_toks").cast("double"))
+      .crossJoin(broadcast(grid))
+      .withColumn("w", w)
+      // per-T normalizer: exact decimal adds (the q40 idiom), so the
+      // window's accumulation order cannot flip a bit
+      .withColumn("sw", sum(col("w").cast("decimal(38,20)"))
+        .over(Window.partitionBy(col("k"))).cast("double"))
+      .select(col("t"), col("grp").as(groupCol), col("toks"),
+        round(col("p"), 6).as("share_natural"),
+        when(col("sw") > 0, round(col("w") / col("sw"), 6))
+          .otherwise(0.0).as("share_sampled"))
+      .withColumn("boost",
+        when(col("share_natural") > 0,
+          round(col("share_sampled") / col("share_natural"), 6))
+          .otherwise(0.0))
+      .orderBy(col("t").desc, col(groupCol))
+  }
+
   /** Token-budget greedy selection — "fill an N-token training budget
     * with the best-scored documents": docs rank by (score desc, id asc)
     * and the selected set is the maximal prefix whose PRECEDING

@@ -5117,6 +5117,79 @@ class OperatorsSpec extends SparkSpec {
       ("h", 1L, "solo doc", 1L, 1.0)))
   }
 
+  test("temperatureMixture (q326): the dyadic T grid is exact sqrt " +
+    "algebra — T=1 reproduces natural shares, lower T boosts small " +
+    "sources, every T's shares sum to ~1, and the zero branch holds") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq.fill(9)(("big", "a b c d e f g h i j")) ++
+      Seq(("small", "a b c d e f g h i j"))
+    val df = docs.toDF("source", "text")
+    val out = graft.operators.Sampling
+      .temperatureMixture(df, "source",
+        graft.operators.TextAnalysis.tokenCount(col("text")),
+        sqrtLevels = Seq(0, 1, 2))
+      .collect().map(r => (r.getDouble(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    // expected values computed with the SAME arithmetic (sqrt chains,
+    // round 6) the operator pins — p = 0.9 / 0.1
+    def rd(x: Double) = math.rint(x * 1e6) / 1e6
+    def row(t: Double, p: Double, other: Double) = {
+      val k = (math.log(1.0 / t) / math.log(2.0)).round.toInt
+      def sq(x: Double, n: Int): Double =
+        (1 to n).foldLeft(x)((a, _) => math.sqrt(a))
+      val w = sq(p, k); val sw = sq(p, k) + sq(other, k)
+      (rd(p), rd(w / sw), rd(rd(w / sw) / rd(p)))
+    }
+    for ((t, src, toks, natural, sampled, boost) <- out) {
+      val p = if (src == "big") 0.9 else 0.1
+      val (en, es, eb) = row(t, p, 1.0 - p)
+      assert(toks == (p * 100).round && natural == en
+        && sampled == es && boost == eb,
+        s"t=$t src=$src got ($natural, $sampled, $boost) want " +
+          s"($en, $es, $eb)")
+    }
+    // T=1 is proportional; flattening monotonically boosts the small
+    // source toward (but never past) parity
+    val smallBoosts = out.filter(_._2 == "small").sortBy(-_._1)
+      .map(_._6)
+    assert(smallBoosts.head == 1.0 && smallBoosts == smallBoosts.sorted
+      && smallBoosts.last < 5.0)
+    // per-T shares sum to 1 within rounding
+    for ((t, rows) <- out.groupBy(_._1))
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 2e-6, s"T=$t")
+  }
+
+  test("content funnel gates (q325): the automaton zero-hit sum is a " +
+    "multi-phrase boolean, and the cascade drops exactly the docs each " +
+    "gate condemns") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{aggregate => hofAgg, _}
+    graft.functions.GraftFunctions.register(spark)
+    val pats = Seq("buy now", "fast fast")
+    val docs = Seq(
+      "plenty of clean text in this document right here",
+      "buy now spam spam spam spam spam spam spam spam",
+      "short doc",
+      "fast fast duplicated phrase with enough other words here")
+      .toDF("text")
+    val hitsum = hofAgg(
+      call_function("blocklist_hits", lower(col("text")), typedlit(pats)),
+      lit(0L), (a, x) => a + x)
+    val out = graft.operators.Sampling.filterFunnel(docs, Seq(
+      "min_tokens" ->
+        (graft.operators.TextAnalysis.tokenCount(col("text")) >= 4),
+      "blocklist_clean" -> (hitsum === 0L)))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // 4 docs; "short doc" dies at min_tokens; the two phrase carriers
+    // die at the automaton gate; 1 survivor
+    assert(out == Seq((0, "total", 4L, 0L), (1, "min_tokens", 3L, 1L),
+      (2, "blocklist_clean", 1L, 2L)))
+  }
+
   test("seqLenSweep (q319): exact truncation/padding/utilization " +
     "algebra per candidate cap, computed from one corpus pass") {
     val s = spark

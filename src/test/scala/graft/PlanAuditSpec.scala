@@ -1709,6 +1709,29 @@ class PlanAuditSpec extends SparkSpec {
       && !p.contains("Exchange SinglePartition"), p.take(3000))
   }
 
+  test("q325: the content funnel is ONE corpus scan — every gate " +
+    "(token count, encoding detectors, native entropy, the blocklist " +
+    "automaton) is a conditional-sum column of a single aggregate; no " +
+    "join, no window") {
+    val p = plan("q325_content_funnel")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      "the funnel must not re-scan the corpus per stage: " + p.take(3000))
+  }
+
+  test("q326: the temperature sweep pays ONE corpus scan; the token " +
+    "total and per-T normalizers are window sums over the POST-" +
+    "AGGREGATE |sources| x |grid| frame (bounded — a branch per scalar " +
+    "would re-scan the corpus per reference), the grid is a broadcast " +
+    "literal cross — no cartesian, no shuffle join") {
+    val p = plan("q326_temperature_mix")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      "everything after (source, toks) is algebra: " + p.take(3000))
+  }
+
   test("entity-scale broadcast guard over ALL queries: no forced " +
     "broadcast() hint over a frame that grows with the corpus (the one " +
     "plan class that fails a 100x scale-up — a FORCED hint bypasses " +
