@@ -284,7 +284,7 @@ object SparkEntry {
     * and a nested pair ("fast" / "fast fast") that exercises the
     * automaton's suffix-output links. Shared by the query and the
     * oracle's VALUES list. */
-  private val blocklistPatterns: Seq[String] = Seq(
+  private[graft] val blocklistPatterns: Seq[String] = Seq(
     "big big", "buy now", "click here", "fast", "fast fast",
     "slow scan", "table", "table table")
 
@@ -310,6 +310,13 @@ object SparkEntry {
   private val funnelBlocklist: Seq[String] = Seq(
     "big big", "buy now", "click here", "fast fast", "slow scan",
     "table table")
+
+  /** The q325 oracle's containment OR-chain, generated from the SAME
+    * Seq the Spark automaton gate consumes — the two sides cannot
+    * drift. */
+  private lazy val funnelBlocklistSql: String =
+    funnelBlocklist.map(p => s"contains(lower(a.t), '$p')")
+      .mkString("\n       OR ")
 
   /** Oracle-side fragments shared with the Spark operators: q320's
     * diacritic fold table (must be the identical character mapping on
@@ -7564,9 +7571,11 @@ object SparkEntry {
             .otherwise(lit("")),
           when(col("doc_id") % 11 === 0, lit(" \uFFFD"))
             .otherwise(lit(""))).as("text"))
-      val repl = col("text").contains(lit("\uFFFD"))
-      val ctrl = col("text").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
-      val moji = col("text").rlike("\u00C3[\u00A0-\u00BF]")
+      // the SAME detector predicates q316 runs (shared helpers \u2014 the
+      // funnel's encoding gate cannot drift from encodingAudit)
+      val repl = TextAnalysis.hasReplacementChar(col("text"))
+      val ctrl = TextAnalysis.hasControlJunk(col("text"))
+      val moji = TextAnalysis.hasMojibake(col("text"))
       // zero greedy-count sum == no pattern occurs at all, so the
       // automaton doubles as a multi-phrase boolean gate in one walk
       val hitsum = aggregate(
@@ -16471,7 +16480,7 @@ object SparkEntry {
     // per-char entropy chain; multi-phrase containment = the zero-hit
     // automaton boolean), cascaded with FILTER counts
     "q325_content_funnel" ->
-      """WITH aug AS (
+      ("""WITH aug AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 13 = 0 THEN repeat('spam ', 40)
         |      ELSE coalesce(text, '') END
@@ -16504,12 +16513,7 @@ object SparkEntry {
         |       OR regexp_matches(a.t, chr(195) || '[' || chr(160)
         |            || '-' || chr(191) || ']'))) AS b2,
         |    (COALESCE(e.h, 0.0) >= 3.0) AS b3,
-        |    (NOT (contains(lower(a.t), 'big big')
-        |       OR contains(lower(a.t), 'buy now')
-        |       OR contains(lower(a.t), 'click here')
-        |       OR contains(lower(a.t), 'fast fast')
-        |       OR contains(lower(a.t), 'slow scan')
-        |       OR contains(lower(a.t), 'table table'))) AS b4
+        |    (NOT (""".stripMargin + funnelBlocklistSql + """)) AS b4
         |  FROM aug a LEFT JOIN ent e USING (doc_id)
         |), c AS (
         |  SELECT count(*) AS s0,
@@ -16526,7 +16530,7 @@ object SparkEntry {
         |  UNION ALL SELECT 2, 'encoding_clean', s2, s1 - s2 FROM c
         |  UNION ALL SELECT 3, 'entropy', s3, s2 - s3 FROM c
         |  UNION ALL SELECT 4, 'blocklist_clean', s4, s3 - s4 FROM c)
-        |ORDER BY stage_id""".stripMargin,
+        |ORDER BY stage_id""".stripMargin),
 
     // dyadic temperature grid: p^T via sqrt chains (IEEE-correctly-
     // rounded in both engines — deliberately NO pow, whose last ulp is
@@ -16540,18 +16544,20 @@ object SparkEntry {
         |), grid AS (
         |  SELECT k, CAST(t AS DOUBLE) AS t
         |  FROM (VALUES (0, 1.0), (1, 0.5), (2, 0.25)) g(k, t)
-        |), pw AS (
+        |), pp AS (
+        |  -- explicit zero branch: an all-empty corpus must take the
+        |  -- same 0.0 path as the Spark side (0/0 would be NaN there
+        |  -- and a NaN-to-DECIMAL cast error here)
         |  SELECT g.k, g.t, b.source, b.toks,
-        |    CAST(b.toks AS DOUBLE) / CAST(tt.total_toks AS DOUBLE) AS p,
-        |    CASE g.k
-        |      WHEN 0 THEN CAST(b.toks AS DOUBLE)
-        |        / CAST(tt.total_toks AS DOUBLE)
-        |      WHEN 1 THEN sqrt(CAST(b.toks AS DOUBLE)
-        |        / CAST(tt.total_toks AS DOUBLE))
-        |      ELSE sqrt(sqrt(CAST(b.toks AS DOUBLE)
-        |        / CAST(tt.total_toks AS DOUBLE)))
-        |    END AS w
+        |    CASE WHEN tt.total_toks > 0
+        |      THEN CAST(b.toks AS DOUBLE) / CAST(tt.total_toks AS DOUBLE)
+        |      ELSE 0.0 END AS p
         |  FROM base b CROSS JOIN tot tt CROSS JOIN grid g
+        |), pw AS (
+        |  SELECT k, t, source, toks, p,
+        |    CASE k WHEN 0 THEN p WHEN 1 THEN sqrt(p)
+        |      ELSE sqrt(sqrt(p)) END AS w
+        |  FROM pp
         |), sw AS (
         |  SELECT k, CAST(SUM(CAST(w AS DECIMAL(38,20))) AS DOUBLE) AS sw
         |  FROM pw GROUP BY 1

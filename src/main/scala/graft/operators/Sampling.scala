@@ -356,8 +356,12 @@ object Sampling {
     base
       .withColumn("total_toks",
         sum(col("toks")).over(Window.partitionBy()))
-      .withColumn("p", col("toks").cast("double")
-        / col("total_toks").cast("double"))
+      // explicit zero branch: an all-empty corpus gives total_toks = 0
+      // and 0/0 would be NaN here while the SQL replay's NaN-to-DECIMAL
+      // cast ERRORS — both engines must take the same 0.0 path
+      .withColumn("p", when(col("total_toks") > 0,
+        col("toks").cast("double") / col("total_toks").cast("double"))
+        .otherwise(0.0))
       .crossJoin(broadcast(grid))
       .withColumn("w", w)
       // per-T normalizer: exact decimal adds (the q40 idiom), so the

@@ -1478,14 +1478,25 @@ object TextAnalysis {
     * clean of all three. Pure map-side predicates + one
     * group-domain-keyed partial-combined aggregate; detectors are plain
     * regex/contains so any SQL engine replays them verbatim. */
+  /** The q316 encoding detectors as named predicates \u2014 shared by
+    * [[encodingAudit]] and the q325 content funnel so the two gates can
+    * never silently diverge: U+FFFD replacement chars (a decoder
+    * already gave up), C0 control junk other than tab/newline/CR, and
+    * the UTF-8-bytes-read-as-Latin-1 mojibake digraph. */
+  def hasReplacementChar(t: Column): Column = t.contains(lit("\uFFFD"))
+  def hasControlJunk(t: Column): Column =
+    t.rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+  def hasMojibake(t: Column): Column =
+    t.rlike("\u00C3[\u00A0-\u00BF]")
+
   def encodingAudit(docs: DataFrame, groupCol: String, textCol: String)
       : DataFrame = {
     // NULL text counts as a clean doc, exactly like the SQL replay
     // (CASE over NULL predicates folds every detector to 0)
     val t = coalesce(col(textCol), lit(""))
-    val repl = t.contains(lit("\uFFFD"))
-    val ctrl = t.rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
-    val moji = t.rlike("\u00C3[\u00A0-\u00BF]")
+    val repl = hasReplacementChar(t)
+    val ctrl = hasControlJunk(t)
+    val moji = hasMojibake(t)
     def n(c: Column) = sum(when(c, 1L).otherwise(0L)).cast("long")
     docs.groupBy(col(groupCol))
       .agg(count(lit(1)).cast("long").as("n_docs"),

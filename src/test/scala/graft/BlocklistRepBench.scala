@@ -35,9 +35,10 @@ object BlocklistRepBench {
     def word(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar)
       .mkString
     val sets: Seq[(String, Seq[String])] = Seq(
+      // referenced, not copied: the benchmark must price the pattern
+      // sets the production queries actually run
       "q315 phrase blocklist (8 pats)" ->
-        Seq("big big", "buy now", "click here", "fast", "fast fast",
-          "slow scan", "table", "table table"),
+        SparkEntry.blocklistPatterns,
       "q323 trigram dictionary (3375 pats)" ->
         SparkEntry.dictBlocklistPatterns,
       "synthetic PII dictionary (10k pats)" ->
@@ -75,9 +76,14 @@ object BlocklistRepBench {
       }
       val td = sweep(dense)
       val ts = sweep(sparse)
+      // transition-structure bytes only; `outs`/`patLen` exist
+      // identically in BOTH representations so they cancel out of the
+      // comparison. Sparse = keys(1B) + next(4B) per edge, plus the
+      // off (4B x nodes+1) and fail (4B x nodes) arrays.
       val denseMB = (dense.nNodes.toLong << 8) * 4 / 1e6
       val sparseMB = (sparse.csrNext.length.toLong * 5 +
-        sparse.fail.length.toLong * 4) / 1e6
+        (sparse.csrOff.length.toLong + sparse.fail.length.toLong) * 4
+        ) / 1e6
       println(f"$label: nodes=${dense.nNodes} " +
         f"dense ${td}%.3f s (${corpusBytes / td / 1e6}%.0f MB/s, " +
         f"table ${denseMB}%.1f MB) | " +
