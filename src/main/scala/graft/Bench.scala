@@ -122,9 +122,11 @@ object Bench {
             f"SKIP projected ${estS}%.1f s past deadline")
       } else {
         val minBefore = acc.get(name)
+        val gcfBefore = gcf.get(name)
         var attempts = 0
         var okAttempts = 0
         var lastDt = 0.0
+        var suppressedErr: String = null
         var retry = true
         while (retry && attempts < math.max(3, minAttempts + 1) &&
             !spark.sparkContext.isStopped &&
@@ -142,9 +144,15 @@ object Bench {
                 // pass 2) must not also list it in `errors`, or a reader
                 // applying the round-6 rule "failures land in errors"
                 // misreads a certified entry as failed
-                if (!acc.contains(name))
-                  errors(name) =
-                    Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+                val msg =
+                  Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+                if (!acc.contains(name)) errors(name) = msg
+                // a failure after a recorded min is suppressed from
+                // `errors` (certified entries stay disjoint from failed
+                // ones) — but keep it at hand: if the min-of-N rollback
+                // below discards that recorded min, the query would
+                // otherwise vanish from BOTH maps for the run
+                else suppressedErr = msg
                 false
             }
           val dt = (System.nanoTime() - t0) / 1e9
@@ -179,8 +187,22 @@ object Bench {
         // rotation re-targets it next round.
         if (okAttempts > 0 && okAttempts < minAttempts) {
           minBefore match {
-            case Some(v) => acc(name) = v
-            case None => acc.remove(name); gcf.remove(name)
+            case Some(v) =>
+              acc(name) = v
+              // restore the gc fraction too: the discarded attempt's
+              // gcf must not overwrite the value that belongs to the
+              // restored (prior) min
+              gcfBefore match {
+                case Some(g) => gcf(name) = g
+                case None => gcf.remove(name)
+              }
+            case None =>
+              acc.remove(name); gcf.remove(name)
+              // the under-attempt drop erased the only recorded entry;
+              // if an attempt genuinely FAILED (suppressed above while
+              // acc still held the name), surface that error instead
+              // of letting the query vanish from both maps
+              if (suppressedErr != null) errors(name) = suppressedErr
           }
           skippedProjected = true
           if (verbose)
@@ -243,7 +265,13 @@ object Bench {
     * ScaleUp's clone families grow quadratically many true pairs. */
   val scalingExempt: Set[String] = Set(
     "q37_dedup_minhash_lsh", "q39_dedup_minhash_fast",
-    "q54_dedup_clusters", "q75_dedup_keep_best", "q108_clusters_incr")
+    "q54_dedup_clusters", "q75_dedup_keep_best", "q108_clusters_incr",
+    // q320 = map-side translit normalization in FRONT of the q37 banded
+    // pipeline: its output is the same clone-family pair class as
+    // q37/q39 (quadratic true-pair growth under ScaleUp), so its honest
+    // sf1/graded ratio grows with SF — the r12 judge measured ~5.6 and
+    // adjudicated it into this output-growth-bound family
+    "q320_translit_neardup")
 
   /** Execution order for the sf1-class pass: least-recently-certified
     * first (never-certified queries lead), projected-cheapest first

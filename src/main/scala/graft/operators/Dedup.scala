@@ -563,8 +563,12 @@ object Dedup {
     // signature pass runs once over the corpus, not three times — the
     // materialized index is ~24 bytes/doc, the natural artifact to persist
     // at scale
-    val sig = materialize(docs.select(col(idCol).as("id"),
-      simhashHex(col(textCol)).as("sig")))
+    // FanOut before the projection: the md5-per-token signature is the
+    // per-row cost, and a single-row-group input would otherwise run it
+    // inside a one-task scan stage (no-op at production partitioning)
+    val sig = materialize(
+      FanOut(docs.select(col(idCol).as("id"), col(textCol).as("t_")))
+        .select(col("id"), simhashHex(col("t_")).as("sig")))
     bandedHammingPairs(sig, maxHamming)
   }
 
@@ -819,9 +823,13 @@ object Dedup {
                                mat: Materializer = Materializer.Local)
       : DataFrame = {
     require(thetaNum > 0 && thetaDen >= thetaNum)
-    val sets = mat(docs.select(col(idCol).as("id"),
-      array_distinct(TextAnalysis.shingles(col(textCol), shingleN))
-        .as("sh")))
+    // FanOut before shingling: see [[FanOut]] (one-task scan stage on
+    // single-row-group inputs; no-op at production partitioning)
+    val sets = mat(
+      FanOut(docs.select(col(idCol).as("id"), col(textCol).as("t_")))
+        .select(col("id"),
+          array_distinct(TextAnalysis.shingles(col("t_"), shingleN))
+            .as("sh")))
     val tok = sets.select(col("id"), explode(col("sh")).as("s"))
     val dfTab = tok.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val sorted = tok.join(dfTab, Seq("s"))
@@ -986,8 +994,12 @@ object Dedup {
       : DataFrame = {
     require(k % bands == 0 && thetaNum >= 0 && thetaDen > 0)
     val rpb = k / bands
-    val tf = mat(docs.select(col(idCol).as("id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("t"))
+    // FanOut before tokenize+explode: the map side of the tf exchange is
+    // the corpus's dominant per-row cost, and a single-row-group input
+    // would otherwise run it inside a one-task scan stage
+    val tf = mat(FanOut(docs.select(col(idCol).as("id"),
+        col(textCol).as("t_")))
+      .select(col("id"), explode(TextAnalysis.tokens(col("t_"))).as("t"))
       .groupBy(col("id"), col("t")).agg(count(lit(1)).as("w")))
     // the signatures reuse the materialized tf: tokenizing the corpus is
     // the dominant scan and used to be paid twice per call

@@ -637,11 +637,14 @@ object Multimodal {
     * generated in-cluster, deterministic per doc_id). */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
-    docs.select(
+    // FanOut: the codec encode below is the expensive per-row kernel; on
+    // a single-row-group input it would otherwise run inside a one-task
+    // scan stage (no-op at production partitioning)
+    FanOut(docs.select(
       col("doc_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("modality"),
-      col("text").cast(BinaryType).as("payload"))
+      col("text").cast(BinaryType).as("payload")))
       .as(enc)
       .mapPartitions { rows =>
         rows.map { r =>
@@ -658,8 +661,8 @@ object Multimodal {
     * The fixture for end-to-end pixel-exact decode checks. */
   def imageMediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
-    docs.select(col("doc_id"), lit("image").as("modality"),
-        lit(Array.empty[Byte]).as("payload"))
+    FanOut(docs.select(col("doc_id"), lit("image").as("modality"),
+        lit(Array.empty[Byte]).as("payload")))
       .as(enc)
       .mapPartitions(rows => rows.map(r => r.copy(payload = pngFor(r.doc_id))))
   }
@@ -853,8 +856,9 @@ object Multimodal {
                               nGroups: Long = 0L): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
     val ng = if (nGroups > 0) nGroups else math.max(docs.count() / 20, 1L)
-    docs.select(col("doc_id"), lit("image").as("modality"),
-        col("text").cast(BinaryType).as("payload"))
+    // FanOut: the PNG encode is the per-row cost; see [[FanOut]]
+    FanOut(docs.select(col("doc_id"), lit("image").as("modality"),
+        col("text").cast(BinaryType).as("payload")))
       .as(enc)
       .mapPartitions(rows => rows.map { r =>
         if (r.doc_id % 100 == 99) r
@@ -1090,8 +1094,8 @@ object Multimodal {
                               nGroups: Long = 0L): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
     val ng = if (nGroups > 0) nGroups else math.max(docs.count() / 20, 1L)
-    docs.select(col("doc_id"), lit("audio").as("modality"),
-        col("text").cast(BinaryType).as("payload"))
+    FanOut(docs.select(col("doc_id"), lit("audio").as("modality"),
+        col("text").cast(BinaryType).as("payload")))
       .as(enc)
       .mapPartitions(rows => rows.map { r =>
         if (r.doc_id % 100 == 99) r
@@ -1157,8 +1161,8 @@ object Multimodal {
                               nGroups: Long = 0L): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
     val ng = if (nGroups > 0) nGroups else math.max(docs.count() / 20, 1L)
-    docs.select(col("doc_id"), lit("video").as("modality"),
-        col("text").cast(BinaryType).as("payload"))
+    FanOut(docs.select(col("doc_id"), lit("video").as("modality"),
+        col("text").cast(BinaryType).as("payload")))
       .as(enc)
       .mapPartitions(rows => rows.map { r =>
         if (r.doc_id % 100 == 99) r

@@ -84,7 +84,11 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      exact: Boolean = false): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // FanOut: the |Q| x |corpus| scoring loop runs in the corpus scan
+    // stage (the queries ride a broadcast), so a single-row-group input
+    // would otherwise score on one task; no-op at production partitioning
+    val c = FanOut(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
     if (!exact) {
       // one corpus pass; the partial top-k aggregate bounds the shuffle to
       // ≤k rows per (partition, query) — the heap order (rounded sim desc,

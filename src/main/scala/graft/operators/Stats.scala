@@ -91,7 +91,12 @@ object Stats {
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
     val aggs = cols.map(c =>
       expr(s"percentile($c, array(${qs.mkString(", ")}))").as(s"${c}__q"))
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // FanOut: the exact-percentile PARTIAL aggregate (a value-count map
+    // over every row) is the query's whole cost and otherwise builds
+    // inside a one-task scan stage on single-row-group inputs; the merge
+    // is exact and order-independent, so results are unchanged
+    val one = FanOut(df.select(cols.map(col): _*))
+      .agg(aggs.head, aggs.tail: _*)
     val rows = array(cols.flatMap { c =>
       (1 until buckets).map { i =>
         struct(lit(c).as("col_name"),
