@@ -49,6 +49,8 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(
       "char_entropy", exprs => CharEntropy(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "map_min_sum", exprs => MapMinSum(exprs(0), exprs(1)), "built-in")
     // Spark's OWN runtime-filter bloom expressions (catalyst internal,
     // not exposed as SQL functions): registered here so the 100 TB
     // decontamination path can build an eval-set bloom DISTRIBUTEDLY
@@ -88,6 +90,11 @@ object GraftFunctions {
     * (see [[CosineExactDecimal]]). */
   def cosine_exact(a: Column, b: Column): Column =
     call_function("cosine_exact", a, b)
+
+  /** Σ min(a[t], b[t]) over two string→long tf maps as one native pass
+    * (see [[MapMinSum]]). */
+  def map_min_sum(a: Column, b: Column): Column =
+    call_function("map_min_sum", a, b)
 
   /** Portable 64-bit SimHash (hex string) over a token array. */
   def simhash_md5(tokens: Column): Column = call_function("simhash_md5", tokens)

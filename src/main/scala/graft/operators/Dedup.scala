@@ -1041,12 +1041,14 @@ object Dedup {
       .filter(lit(thetaDen.toLong) * least(col("sa"), col("sb"))
         >= lit(thetaNum.toLong) * greatest(col("sa"), col("sb")))
     // Σmin over the two tf maps, evaluated ON the pair row: exact
-    // integer arithmetic, a key absent from either side contributes 0
-    val sminCol = aggregate(
-      map_values(map_zip_with(col("ma"), col("mb"),
-        (_, va, vb) => when(va.isNull || vb.isNull, lit(0L))
-          .otherwise(least(va, vb)))),
-      lit(0L), (acc, x) => acc + x)
+    // integer arithmetic, a key absent from either side contributes 0.
+    // One native pass ([[graft.functions.MapMinSum]], differential spec
+    // vs the HOF formulation): the interpreted map_zip_with + aggregate
+    // chain allocated an intermediate map and boxed a lambda call per
+    // key for every candidate pair — the verify's dominant cost over a
+    // candidate set that is honestly millions of rows.
+    val sminCol = graft.functions.GraftFunctions.map_min_sum(
+      col("ma"), col("mb"))
     lenOk
       .select(col("a_id"), col("b_id"), col("sa"), col("sb"),
         sminCol.as("smin"))

@@ -1087,6 +1087,14 @@ object Similarity {
     val pv = pts.select(col("pid").as("v"), col("pvec").as("qv"))
     val pu = pts.select(col("pid").as("u"), col("pvec").as("cv"))
     def topK(cand: DataFrame): DataFrame = {
+      // NOTE (r13 measured experiment, kept as the window formulation):
+      // replacing the w1 margin cut with the TopKAgg heap + survivor
+      // vector re-attach (the bruteForceTopK shape) measured 3x SLOWER
+      // here — the candidate join on v already leaves the stream
+      // hashpartitioned by v, so the rank window reuses that exchange
+      // and costs only an in-partition sort, while the heap's typed
+      // aggregate (2k groups > the object-hash fallback threshold)
+      // degenerates to a sort-based aggregate PLUS two extra id joins.
       val w1 = Window.partitionBy(col("v"))
         .orderBy(col("fsim").desc, col("u").asc)
       val w2 = Window.partitionBy(col("v"))
@@ -1159,6 +1167,8 @@ object Similarity {
     val cand = cand0.unionAll(hop).distinct()
     val pv = npts.select(col("pid").as("v"), col("pvec").as("qv"))
     val pu = bpts.select(col("pid").as("u"), col("pvec").as("cv"))
+    // window formulation kept — see the measured note in
+    // [[nnDescentGraph]]'s topK (heap rework measured 3x slower)
     val w1 = Window.partitionBy(col("v"))
       .orderBy(col("fsim").desc, col("u").asc)
     val w2 = Window.partitionBy(col("v"))

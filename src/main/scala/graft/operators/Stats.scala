@@ -88,23 +88,57 @@ object Stats {
   def equiDepthHistogram(df: DataFrame, cols: Seq[String], buckets: Int)
       : DataFrame = {
     require(cols.nonEmpty && buckets >= 2 && 100 % buckets == 0)
-    val qs = (1 until buckets).map(i => i.toDouble / buckets)
-    val aggs = cols.map(c =>
-      expr(s"percentile($c, array(${qs.mkString(", ")}))").as(s"${c}__q"))
-    // FanOut: the exact-percentile PARTIAL aggregate (a value-count map
-    // over every row) is the query's whole cost and otherwise builds
-    // inside a one-task scan stage on single-row-group inputs; the merge
-    // is exact and order-independent, so results are unchanged
-    val one = FanOut(df.select(cols.map(col): _*))
-      .agg(aggs.head, aggs.tail: _*)
-    val rows = array(cols.flatMap { c =>
-      (1 until buckets).map { i =>
-        struct(lit(c).as("col_name"),
-          lit(i * 100 / buckets).as("pct"),
-          round(element_at(col(s"${c}__q"), i), 6).as("boundary"))
-      }
-    }: _*)
-    one.select(explode(rows).as("p")).select(col("p.*"))
+    import org.apache.spark.sql.expressions.Window
+    // Exact interpolated quantiles REPLAYING Spark's `percentile()`
+    // bit-for-bit — position p·(n−1), boundary (hi−pos)·v_lo +
+    // (pos−lo)·v_hi, with the integer-position and equal-key shortcuts —
+    // but over a per-column VALUE HISTOGRAM instead of the percentile
+    // aggregate. The aggregate buffers a value-count map per task and
+    // merges them in ONE final task, which dominated the consumer query
+    // (~4 s at sf0.1, almost all in the ~120k-distinct price column and
+    // invariant to input parallelism); this shape counts (col, value)
+    // pairs in a partial-combined exchange and sorts each column's
+    // DISTINCT values once. Output bit-identical: differential spec pins
+    // it against percentile() and the q152 oracle hash pins it against
+    // DuckDB quantile_cont.
+    val vals = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("cn"), col(c).cast("double").as("v"))): _*))
+        .as("e"))
+      .select(col("e.cn").as("cn"), col("e.v").as("v"))
+      .filter(col("v").isNotNull) // percentile() skips nulls
+    val hist = vals.groupBy(col("cn"), col("v")).agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy(col("cn")).orderBy(col("v"))
+    // pinned: both boundary lookups (lower and higher index) read it
+    val cum = Materializer.Local(hist.select(col("cn"), col("v"),
+      sum(col("c")).over(wc).as("cum")))
+    val tot = cum.groupBy(col("cn")).agg(max(col("cum")).as("n"))
+    val grid = tot
+      .select(col("cn"),
+        explode(array((1 until buckets).map(i =>
+          struct(lit(i * 100 / buckets).as("pct"),
+            (lit(i.toDouble / buckets)
+              * (col("n") - lit(1L)).cast("double")).as("pos"))): _*))
+          .as("g"))
+      .select(col("cn"), col("g.pct").as("pct"), col("g.pos").as("pos"),
+        floor(col("g.pos")).cast("long").as("ilo"),
+        ceil(col("g.pos")).cast("long").as("ihi"))
+    // value at 0-based sorted index k = min v with cum >= k+1
+    val lo = grid.join(cum, Seq("cn"))
+      .filter(col("cum") >= col("ilo") + lit(1L))
+      .groupBy(col("cn"), col("pct"), col("pos"), col("ilo"), col("ihi"))
+      .agg(min(col("v")).as("vlo"))
+    val hi = grid.select(col("cn"), col("pct"), col("ihi"))
+      .join(cum, Seq("cn"))
+      .filter(col("cum") >= col("ihi") + lit(1L))
+      .groupBy(col("cn"), col("pct")).agg(min(col("v")).as("vhi"))
+    lo.join(hi, Seq("cn", "pct"))
+      .select(col("cn").as("col_name"), col("pct"),
+        round(when(col("ihi") === col("ilo")
+            || col("vhi") === col("vlo"), col("vlo"))
+          .otherwise((col("ihi").cast("double") - col("pos")) * col("vlo")
+            + (col("pos") - col("ilo").cast("double")) * col("vhi")), 6)
+          .as("boundary"))
       .orderBy(col("col_name"), col("pct"))
   }
 
@@ -278,12 +312,12 @@ object Stats {
       .distinct())
     val n = bi.agg(count_distinct(col("bk")).as("n_baskets"))
     val items = bi.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
-    val a = bi.select(col("bk"), col("it").as("item_a"))
-    val b = bi.select(col("bk"), col("it").as("item_b"))
-    val pairs = a.join(b, Seq("bk"))
-      .filter(col("item_a") < col("item_b"))
-      .groupBy(col("item_a"), col("item_b"))
-      .agg(count(lit(1)).as("n_ab"))
+    // pair supports via the basket-aggregation shape (one exchange)
+    // instead of the bk-keyed self-join — identical pair multiset, see
+    // [[Baskets.basketPairCounts]]
+    val pairs = Baskets.basketPairCounts(bi, "bk", "it")
+      .select(col("pa").as("item_a"), col("pb").as("item_b"),
+        col("cm").as("n_ab"))
       .filter(col("n_ab") >= minCount)
     // margins unhinted: items is one row per distinct item (SF-linear),
     // the q270-class OOM frame — the joins are item-keyed equi-joins and
@@ -720,10 +754,11 @@ object Stats {
     require(minCount >= 1 && topN > 0)
     val bi = mat(df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .distinct())
-    val pairs = bi.select(col("bk"), col("it").as("i1"))
-      .join(bi.select(col("bk"), col("it").as("i2")), Seq("bk"))
-      .filter(col("i1") < col("i2"))
-      .groupBy(col("i1"), col("i2")).agg(count(lit(1)).as("n"))
+    // pair supports via the basket-aggregation shape (one exchange)
+    // instead of the bk-keyed self-join — identical pair multiset, see
+    // [[Baskets.basketPairCounts]]
+    val pairs = Baskets.basketPairCounts(bi, "bk", "it")
+      .select(col("pa").as("i1"), col("pb").as("i2"), col("cm").as("n"))
       .filter(col("n") >= minCount)
     val fp = mat(pairs.select(col("i1"), col("i2")))
     // extend (a,b) with (a,c), b < c; Apriori-close on (b,c)
@@ -750,10 +785,12 @@ object Stats {
     // item/pair/candidate sets grow with corpus volume (Heaps/Zipf), so
     // a forced broadcast is the 100x-scale OOM class — the semi joins
     // stay semi joins, AQE broadcasts genuinely small lists
-    val biT = bi.join(fpItems, Seq("it"), "left_semi")
-    val t = biT.select(col("bk"), col("it").as("i1"))
-      .join(biT.select(col("bk"), col("it").as("i2")), Seq("bk"))
-      .filter(col("i1") < col("i2"))
+    val biT = mat(bi.join(fpItems, Seq("it"), "left_semi"))
+    // the (bk, i1, i2) enumeration base comes from the same basket
+    // aggregation (one exchange, bounded per-basket fan-out) instead of
+    // a second bk-keyed self-join; everything after is unchanged
+    val t = Baskets.basketPairs(biT, "bk", "it")
+      .select(col("ok").as("bk"), col("pa").as("i1"), col("pb").as("i2"))
       .join(fp, Seq("i1", "i2"), "left_semi")
       .join(biT.select(col("bk"), col("it").as("i3")), Seq("bk"))
       .filter(col("i2") < col("i3"))

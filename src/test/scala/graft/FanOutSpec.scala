@@ -66,6 +66,56 @@ class FanOutSpec extends SparkSpec {
     assert(!basket.exists(t => t._1 == t._2)) // no self-pairs
   }
 
+  test("equiDepthHistogram == percentile() bit-for-bit (ties included)") {
+    // deterministic pseudo-random values WITH heavy ties, two columns —
+    // exercises the interpolation, the equal-key shortcut, and the
+    // integer-position shortcut (n = 101 makes p*(n-1) integral)
+    val df = (0 until 101).map { i =>
+      val a = ((i * 2654435761L) % 97).toDouble / 7.0
+      val b = ((i * 40503L) % 13).toDouble // many ties
+      (a, b)
+    }.toDF("a", "b")
+    val got = operators.Stats.equiDepthHistogram(df, Seq("a", "b"), 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val qs = (1 until 10).map(i => i.toDouble / 10)
+    // reference boundaries through Spark's own round(.,6) so the
+    // comparison replays the exact production rounding mode
+    val exp = df.agg(
+      expr(s"transform(percentile(a, array(${qs.mkString(",")})), " +
+        "x -> round(x, 6))").as("qa"),
+      expr(s"transform(percentile(b, array(${qs.mkString(",")})), " +
+        "x -> round(x, 6))").as("qb"))
+      .collect().head
+    val ref =
+      (1 until 10).map(i => ("a", i * 10, exp.getSeq[Double](0)(i - 1))) ++
+      (1 until 10).map(i => ("b", i * 10, exp.getSeq[Double](1)(i - 1)))
+    assert(got.toSeq.sortBy(t => (t._1, t._2)) ==
+      ref.sortBy(t => (t._1, t._2)))
+  }
+
+  test("map_min_sum == the HOF zip/aggregate formulation") {
+    // overlapping, disjoint, empty and asymmetric-size tf maps
+    val rows = Seq(
+      (Map("a" -> 3L, "b" -> 1L, "c" -> 7L), Map("b" -> 5L, "c" -> 2L)),
+      (Map("x" -> 2L), Map("y" -> 9L)),                   // disjoint -> 0
+      (Map.empty[String, Long], Map("a" -> 1L)),          // empty -> 0
+      (Map("a" -> 4L), Map("a" -> 4L)),                   // equal -> 4
+      ((1 to 40).map(i => s"t$i" -> i.toLong).toMap,
+        (20 to 60).map(i => s"t$i" -> (i * 2).toLong).toMap)
+    ).toDF("ma", "mb")
+    val hof = aggregate(
+      map_values(map_zip_with(col("ma"), col("mb"),
+        (_, va, vb) => when(va.isNull || vb.isNull, lit(0L))
+          .otherwise(least(va, vb)))),
+      lit(0L), (acc, x) => acc + x)
+    val got = rows.select(
+      functions.GraftFunctions.map_min_sum(col("ma"), col("mb"))
+        .as("native"), hof.as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    assert(got(0).getLong(0) == 3L) // min(1,5) + min(7,2) = 3... (b,c)
+  }
+
   test("copurchaseEdges keeps only support>=2 pairs, src < dst") {
     val li = Seq(
       (1L, 10L), (1L, 20L),

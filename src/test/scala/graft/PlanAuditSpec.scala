@@ -763,10 +763,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
   }
 
-  test("q152: histogram — one scan, one multi-percentile aggregate, no joins") {
+  test("q152: histogram — one scan; deciles read off a value histogram " +
+    "(grid-bounded joins only), no percentile aggregate") {
+    // r13 rewrite: the exact-percentile aggregate buffered a value-count
+    // map per task and merged it in ONE final task (invariant to input
+    // parallelism); the deciles now interpolate off a partial-combined
+    // (col, value) histogram — bit-identical boundaries (FanOutSpec
+    // differential + oracle pin). The joins below are 27-grid-row
+    // lookups against the histogram, not row-scale joins.
+    // the corpus subplan sits behind the cum-histogram checkpoint, so
+    // the executed plan shows the checkpoint scan; the pins that remain
+    // visible: grid lookups only (no cartesian), percentile gone
     val p = plan("q152_histogram")
-    assert(!p.contains("Join"), p.take(3000))
-    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("percentile"), p.take(3000))
   }
 
   test("q153: k-core peels with keyed joins only") {
@@ -1570,14 +1580,20 @@ class PlanAuditSpec extends SparkSpec {
     "self-join (no raw |basket|^3 enumeration)") {
     val p = plan("q205_freq_triples")
     assert(!p.contains("CartesianProduct"), p.take(3000))
-    // four LeftSemi stages: the candidate closure's (b,c) prune, the
-    // basket item trim against frequent-pair items, the (i1,i2)
-    // frequent-pair prune ahead of the i3 join, and the final candidate
-    // filter — the round-6 shape had only two (closure + final), leaving
-    // the enumeration base at items³ per basket
+    // three LeftSemi stages since the r13 basket rewrite: the candidate
+    // closure's (b,c) prune, the basket item trim against frequent-pair
+    // items, and the final candidate filter. The fourth trim of the
+    // round-11 shape — the (i1,i2) frequent-pair prune of the basket
+    // PAIR SELF-JOIN's output — moved with its producer: the (bk,i1,i2)
+    // base now comes from the bounded basket-aggregation explode
+    // (collect_list per basket, <=21 index pairs map-side) and still
+    // semi-joins fp before i3 ever joins, so the enumeration base stays
+    // (frequent pairs present in the basket) x (candidate items).
     val semis = "LeftSemi".r.findAllIn(p).size
-    assert(semis >= 4, s"expected >=4 LeftSemi trims, got $semis:\n" +
+    assert(semis >= 3, s"expected >=3 LeftSemi trims, got $semis:\n" +
       p.take(3000))
+    // the pair base is the basket aggregation, not an items-join
+    assert(p.contains("collect_list"), p.take(3000))
   }
 
   test("q310/q311: the sweep prices every theta from ONE pair table " +
