@@ -408,7 +408,7 @@ object SparkEntry {
     val k = 10
     val knn = operators.Materializer.Local(
       operators.Similarity.bruteForceTopK(emb, emb, k = k,
-          exact = true)
+          exact = true, fanOutCorpus = true)
         .select(col("query_id"), col("neighbor_id"),
           (lit(1.0) - col("sim")).as("d"), col("rk")))
     val kdist = knn.filter(col("rk") === k)
@@ -2049,17 +2049,19 @@ object SparkEntry {
       // flip a bit), ranks re-quantized with round(.,12) — so the DuckDB
       // oracle's unrolled 5-CTE replay (the q91 pattern) lands on
       // identical bits.
-      // materialized ONCE: both symmetrization arms reference `base`,
-      // and a lazy frame re-executes the orders⋈lineitem join + distinct
-      // per arm — the q273/q293 double-reference lesson
-      val base = operators.Materializer.Local(t(s, dir, "orders")
+      // NOT materialized (r13 measured): the two symmetrization arms are
+      // identical subtrees up to the projection, so runtime exchange
+      // reuse already covers the join+distinct; a localCheckpoint here
+      // measured +0.8 s of pure write cost (unlike q273/q293, whose
+      // consumers' differing filters defeat reuse)
+      val base = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, dir, "lineitem")
             .select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("c"),
           concat(lit("s"), col("l_suppkey")).as("p"))
-        .distinct())
+        .distinct()
       val edges = base.select(col("c").as("src"), col("p").as("dst"))
         .unionByName(base.select(col("p").as("src"), col("c").as("dst")))
       // broadcastRanks: this is an ENTITY graph — the node set is
@@ -3205,15 +3207,16 @@ object SparkEntry {
       // reads as proximity-to-seeds — the related-entity score. Same
       // DECIMAL(38,20)/round(12) bit discipline as q107; the oracle
       // replays 5 unrolled rounds.
-      // materialized ONCE — both union arms reference `base` (see q107)
-      val base = operators.Materializer.Local(t(s, dir, "orders")
+      // not materialized — runtime exchange reuse covers the identical
+      // union arms (see the q107 measured note)
+      val base = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, dir, "lineitem")
             .select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("c"),
           concat(lit("s"), col("l_suppkey")).as("p"))
-        .distinct())
+        .distinct()
       val edges = base.select(col("c").as("src"), col("p").as("dst"))
         .unionAll(base.select(col("p").as("src"), col("c").as("dst")))
       val seeds = t(s, dir, "customer")
@@ -6816,15 +6819,17 @@ object SparkEntry {
       val testI = ranked.filter(col("ork") === 1)
         .select(col("cust"), col("ok"))
         .join(items, Seq("ok")).select(col("cust"), col("pk")).distinct()
-      // materialized: referenced by the item-count aggregate AND the
-      // pair build; the pair build itself is the basket-aggregation
-      // shape (one exchange) instead of the ok-keyed self-join
-      val baskets = operators.Materializer.Local(
-        trainB.select(col("ok"), col("pk")).distinct())
+      // kept as the self-join formulation (r13 measured: the basket-
+      // aggregation rewrite + a baskets checkpoint REGRESSED this query
+      // ~+1.3 s — trainB is already materialized, so exchange reuse
+      // covers the references and the collect_list pass is pure cost
+      // here, unlike q163/q205 where it replaced un-reused self-joins)
+      val baskets = trainB.select(col("ok"), col("pk")).distinct()
       val nI = baskets.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
-      val pairs = basketPairCounts(baskets, "ok", "pk")
-        .select(col("pa").as("pk"), col("pb").as("pk2"),
-          col("cm").as("co"))
+      val pairs = baskets
+        .join(baskets.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("co"))
         .filter(col("co") >= 2)
       val sym = pairs
         .select(col("pk").as("a"), col("pk2").as("b"), col("co"))

@@ -82,13 +82,19 @@ object Similarity {
     * the final per-query top-k. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     exact: Boolean = false): DataFrame = {
+                     exact: Boolean = false,
+                     fanOutCorpus: Boolean = false): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    // FanOut: the |Q| x |corpus| scoring loop runs in the corpus scan
-    // stage (the queries ride a broadcast), so a single-row-group input
-    // would otherwise score on one task; no-op at production partitioning
-    val c = FanOut(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
+    // fanOutCorpus: the |Q| x |corpus| scoring loop runs in the corpus
+    // scan stage (the queries ride a broadcast), so a single-row-group
+    // input scores on ONE task. Callers whose query set is CORPUS-SCALE
+    // (the exact n^2 audits — q263's LOF kNN measured 9.5 -> 3.8 s) opt
+    // in; for fixed small query panels the exchange is pure overhead
+    // (q40/q72/q228 measured +0.4-0.7 s each with it always-on) and at
+    // production partitioning the guard no-ops either way.
+    val c0 = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"))
+    val c = if (fanOutCorpus) FanOut(c0) else c0
     if (!exact) {
       // one corpus pass; the partial top-k aggregate bounds the shuffle to
       // ≤k rows per (partition, query) — the heap order (rounded sim desc,
