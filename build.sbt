@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench's one-line JSON contract must reach stdout WITHOUT sbt's
+// "[info] " logger prefix: the driver's capture json-parses raw stdout
+// lines from a truncated tail, and a prefixed line never parses (every
+// BENCH_r*.json through r13 carried parsed:null partly for this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

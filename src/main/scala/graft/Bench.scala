@@ -731,6 +731,27 @@ object Bench {
     val line = gradedLine(probe + large)
     println(line)
     writeTwin(line, filter.nonEmpty)
+    // Chunked per-query record (round-14 bench-output contract fix): the
+    // driver's artifact keeps only a ~2000-char stdout TAIL, and the full
+    // contract line above is ~15 KB for 322 queries — so every
+    // BENCH_r*.json through r13 carried parsed:null and the per-query
+    // round-over-round comparison never happened. Each chunk below is a
+    // complete, independently parseable JSON object in the contract
+    // shape carrying a SLICE of the graded map (values rounded to 1 ms;
+    // full precision lives in the main line and .bench/last_run.json),
+    // so any suffix of the output still yields per-query data. The
+    // <500-byte totals summary stays the LAST line.
+    val chunkNames = names.filter(times.contains)
+    val chunkGroups = chunkNames.grouped(8).toSeq
+    val chunkTotal = times.values.sum
+    for ((grp, i) <- chunkGroups.zipWithIndex) {
+      val qs = grp.map(n =>
+          s""""$n":${math.rint(times(n) * 1000) / 1000}""")
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":$chunkTotal,"unit":"sec"""" +
+        s""","sf":"$sfDir","chunk":${i + 1},"chunks":${chunkGroups.size}""" +
+        s""","queries":$qs}""")
+    }
     println(summaryLine(times.values.sum, sfDir, gradedPasses,
       times.size, errors.size,
       if (large.isEmpty) None

@@ -6725,14 +6725,19 @@ object SparkEntry {
       val sets = Seq(("q1", Seq("spark", "join", "window")),
         ("q2", Seq("merge", "sort", "hash")),
         ("q3", Seq("scan", "filter", "batch")))
-      // batch rankers: one postings pass each for all three labels,
-      // bit-identical per label to the single-query operators (q138's
-      // and q282's oracles pin those; RBO's oracle replays per label)
+      // batch rankers: ONE shared postings pass for all three labels
+      // AND both rankers (r14: BM25 and QLM trim to the same term union
+      // over the same corpus, so the corpus is tokenized once, not
+      // twice), bit-identical per label to the single-query operators
+      // (q138's and q282's oracles pin those; RBO's oracle replays per
+      // label)
+      val shared = operators.Retrieval.trimmedPostings(docs, "doc_id",
+        "text", sets.flatMap(_._2).distinct)
       val a = operators.Retrieval.bm25Batch(docs, "doc_id", "text",
-          sets, k1 = 1.2, b = 0.75, topN = 10)
+          sets, k1 = 1.2, b = 0.75, topN = 10, postings = Some(shared))
         .select(col("q"), col("doc_id"), col("rk").as("ra"))
       val b = operators.Retrieval.queryLikelihoodBatch(docs, "doc_id",
-          "text", sets, mu = 100.0, topN = 10)
+          "text", sets, mu = 100.0, topN = 10, postings = Some(shared))
         .select(col("q"), col("doc_id"), col("rk").as("rb"))
       val w = rboWeights.toDF("m", "c")
       a.join(b, Seq("q", "doc_id"))
@@ -7001,7 +7006,17 @@ object SparkEntry {
           isTrain.as("is_train"))
         .join(cum.select(col("doc_id"), col("c2"), col("c7")),
           Seq("doc_id")))
-      def bigrams(df: DataFrame) = df.select(col("doc_id"),
+      // ONE corpus bigram pass with the slice flags carried through the
+      // per-doc grouping (r14, §2.4 fewer passes): bigrams are per-doc
+      // and every slice (eval, curated-train, raw-train) is a per-doc
+      // flag filter, so `bigrams(slice)` == `bigrams(all).filter(flags)`
+      // — this replaces the THREE per-slice tokenize+zip+explode+count
+      // passes the query used to pay. FanOut re-widens the checkpointed
+      // base (AQE sizes it by bytes; the explode+count below is the
+      // per-row-expensive consumer).
+      val bgAll = operators.Materializer.Local(
+        operators.FanOut(base).select(col("doc_id"), col("is_train"),
+          col("c2"), col("c7"),
           explode(when(size(col("tk")) >= 2,
             zip_with(
               slice(col("tk"), lit(1),
@@ -7011,21 +7026,26 @@ object SparkEntry {
               (a, b) => struct(a.as("w1"), b.as("w2"))))
             .otherwise(array()
               .cast("array<struct<w1:string,w2:string>>"))).as("bg"))
-        .groupBy(col("doc_id"), col("bg.w1").as("w1"),
-          col("bg.w2").as("w2"))
-        .agg(count(lit(1)).as("tf"))
-      val evalBg = operators.Materializer.Local(
-        bigrams(base.filter(!col("is_train") && col("c2"))))
-      def model(name: String, train: DataFrame): DataFrame = {
-        val trBg = operators.Materializer.Local(bigrams(train))
+        .groupBy(col("doc_id"), col("is_train"), col("c2"), col("c7"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("tf")))
+      val evalBg = bgAll.filter(!col("is_train") && col("c2"))
+      // both models' vocab sizes in ONE token pass (countDistinct skips
+      // the NULLs the when() assigns to out-of-slice tokens — identical
+      // to the former per-slice countDistinct)
+      val vRow = base.select(explode(col("tk")).as("tok"),
+          col("is_train"), col("c7"))
+        .agg(
+          countDistinct(when(col("is_train") && col("c7"), col("tok")))
+            .as("v_cur"),
+          countDistinct(when(col("is_train"), col("tok"))).as("v_raw"))
+        .collect()(0)
+      def model(name: String, trBg: DataFrame, v: Double,
+                nTrain: Long): DataFrame = {
         val c2m = trBg.groupBy(col("w1"), col("w2"))
           .agg(sum(col("tf")).cast("long").as("c2m"))
         val c1m = trBg.groupBy(col("w1"))
           .agg(sum(col("tf")).cast("long").as("c1m"))
-        val v = train.select(explode(col("tk")).as("tok"))
-          .agg(countDistinct(col("tok"))).collect()(0).getLong(0)
-          .toDouble
-        val nTrain = train.count()
         val lp = log((coalesce(col("c2m"), lit(0L)).cast("double")
             + lit(1.0))
           / (coalesce(col("c1m"), lit(0L)).cast("double") + lit(v)))
@@ -7042,8 +7062,14 @@ object SparkEntry {
             col("n_eval_docs").cast("long").as("n_eval_docs"),
             col("n_eval_bigrams"), col("cross_entropy"))
       }
-      model("curated", base.filter(col("is_train") && col("c7")))
-        .unionAll(model("raw", base.filter(col("is_train"))))
+      model("curated",
+          bgAll.filter(col("is_train") && col("c7")),
+          vRow.getLong(0).toDouble,
+          base.filter(col("is_train") && col("c7")).count())
+        .unionAll(model("raw",
+          bgAll.filter(col("is_train")),
+          vRow.getLong(1).toDouble,
+          base.filter(col("is_train")).count()))
         .orderBy(col("model"))
     }),
 

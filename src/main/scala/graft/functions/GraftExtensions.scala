@@ -50,5 +50,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("pq_adc", "pq_adc(codes, luts, qnorm, nsq) - PQ asymmetric-distance cosine"),
       (exprs: Seq[Expression]) =>
         AdcCosine(exprs(0), exprs(1), exprs(2), exprs(3))))
+    // The registry below keeps this path EQUIVALENT to
+    // GraftFunctions.register: operators call these unconditionally
+    // (weightedMinhashPairs -> map_min_sum, the decontamination path ->
+    // bloom_agg/bloom_might_contain, ...), so a session configured only
+    // via spark.sql.extensions must resolve them too.
+    e.injectFunction((FunctionIdentifier("bpe_encode"),
+      info("bpe_encode", "bpe_encode(tokens, merges) - one-pass BPE subword tokenization"),
+      (exprs: Seq[Expression]) => BpeEncode(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("cdc_pairs"),
+      info("cdc_pairs", "cdc_pairs(text, w) - content-defined chunk [start,end) pairs"),
+      (exprs: Seq[Expression]) => CdcPairs(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("blocklist_hits"),
+      info("blocklist_hits", "blocklist_hits(tokens, dict) - blocklist hit terms"),
+      (exprs: Seq[Expression]) => BlocklistHits(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("char_entropy"),
+      info("char_entropy", "char_entropy(text) - character-level Shannon entropy"),
+      (exprs: Seq[Expression]) => CharEntropy(exprs(0))))
+    e.injectFunction((FunctionIdentifier("map_min_sum"),
+      info("map_min_sum", "map_min_sum(a, b) - sum of min(a[t], b[t]) over two tf maps"),
+      (exprs: Seq[Expression]) => MapMinSum(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("bloom_agg"),
+      info("bloom_agg", "bloom_agg(hashed, items, bits) - distributed bloom-filter build"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+          .toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain", "bloom_might_contain(bloom, hashed) - map-side bloom probe"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

@@ -16,15 +16,23 @@ import org.apache.spark.sql.types.{DataType, LongType, MapType, StringType}
   * key) dominated the verify over the honestly-millions candidate set.
   * Semantics are IDENTICAL: map_zip_with iterates the key UNION with
   * nulls for one-sided keys and the lambda maps those to 0, so the sum
-  * equals the INTERSECTION sum computed here; tf maps are built by
-  * map_from_entries over a (id, t)-grouped aggregate, so keys are unique
-  * per map. A differential spec pins native == HOF on generated maps
-  * (overlapping, disjoint, empty, and duplicate-free by construction).
+  * equals the INTERSECTION sum computed here; a NULL map value also
+  * contributes 0 (the lambda's isNull branch). A differential spec pins
+  * native == HOF on generated maps (overlapping, disjoint, empty, and
+  * duplicate-free by construction).
   *
-  * The scan iterates the smaller map and probes the larger by linear
-  * UTF8String equality — per-doc tf maps are vocabulary-bounded small
-  * (tens of entries), so the quadratic probe on primitive arrays beats
-  * hashing's allocation cost at this size.
+  * Evaluation (r14, measured): when BOTH key arrays are strictly
+  * ascending — [[graft.operators.Dedup.weightedMinhashPairs]] builds its
+  * tf maps from `sort_array`'d entries for exactly this — one linear
+  * two-pointer merge computes the intersection in O(na+nb) compares.
+  * Sortedness is VERIFIED while scanning (every adjacent pair on both
+  * sides, including the unconsumed tails); any violation falls back to
+  * the quadratic probe, so the globally registered SQL function stays
+  * correct for arbitrary map<string,bigint> input. Maps with DUPLICATE
+  * keys are outside the contract (the quadratic path takes the first
+  * match; the merge path would sum every duplicate) — unreachable for
+  * maps, like the tf maps, built by map_from_entries over a grouped
+  * aggregate.
   */
 case class MapMinSum(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -47,6 +55,56 @@ case class MapMinSum(left: Expression, right: Expression)
   override def nullSafeEval(aAny: Any, bAny: Any): Any = {
     val ma = aAny.asInstanceOf[MapData]
     val mb = bAny.asInstanceOf[MapData]
+    val ak = ma.keyArray(); val av = ma.valueArray()
+    val bk = mb.keyArray(); val bv = mb.valueArray()
+    val na = ma.numElements(); val nb = mb.numElements()
+    // linear merge over strictly-ascending key arrays, verifying the
+    // ascending property for EVERY adjacent pair on both sides as it
+    // scans (a violation anywhere, consumed or not, invalidates the
+    // merge because an unconsumed out-of-order key could still match)
+    var i = 0
+    var j = 0
+    var sum = 0L
+    var sorted = true
+    var prevA: org.apache.spark.unsafe.types.UTF8String = null
+    var prevB: org.apache.spark.unsafe.types.UTF8String = null
+    while (sorted && i < na && j < nb) {
+      val ka = ak.getUTF8String(i)
+      val kb = bk.getUTF8String(j)
+      if ((prevA ne null) && (i > 0) && ka.compareTo(prevA) <= 0)
+        sorted = false
+      else if ((prevB ne null) && (j > 0) && kb.compareTo(prevB) <= 0)
+        sorted = false
+      else {
+        val c = ka.compareTo(kb)
+        if (c == 0) {
+          if (!av.isNullAt(i) && !bv.isNullAt(j))
+            sum += math.min(av.getLong(i), bv.getLong(j))
+          prevA = ka; prevB = kb
+          i += 1; j += 1
+        } else if (c < 0) { prevA = ka; i += 1 }
+        else { prevB = kb; j += 1 }
+      }
+    }
+    // verify the unconsumed tails' ordering too before trusting the merge
+    while (sorted && i < na) {
+      val ka = ak.getUTF8String(i)
+      if ((prevA ne null) && ka.compareTo(prevA) <= 0) sorted = false
+      else { prevA = ka; i += 1 }
+    }
+    while (sorted && j < nb) {
+      val kb = bk.getUTF8String(j)
+      if ((prevB ne null) && kb.compareTo(prevB) <= 0) sorted = false
+      else { prevB = kb; j += 1 }
+    }
+    if (sorted) sum else quadratic(ma, mb)
+  }
+
+  /** The order-agnostic path: iterate the smaller map, probe the larger
+    * by linear UTF8String equality — correct for ANY key order; per-doc
+    * tf maps are vocabulary-bounded small, so the quadratic probe on
+    * primitive arrays beats hashing's allocation cost at this size. */
+  private def quadratic(ma: MapData, mb: MapData): Long = {
     val (s, l) =
       if (ma.numElements() <= mb.numElements()) (ma, mb) else (mb, ma)
     val sk = s.keyArray(); val sv = s.valueArray()
@@ -55,16 +113,21 @@ case class MapMinSum(left: Expression, right: Expression)
     var sum = 0L
     var i = 0
     while (i < ns) {
-      val k = sk.getUTF8String(i)
-      var j = 0
-      var done = false
-      while (j < nl && !done) {
-        if (lk.getUTF8String(j).equals(k)) {
-          sum += math.min(sv.getLong(i), lv.getLong(j))
-          done = true // keys are unique within a map (map_from_entries
-                      // over a grouped aggregate)
+      // a NULL value contributes 0 — the HOF formulation's
+      // when(va.isNull, 0) branch
+      if (!sv.isNullAt(i)) {
+        val k = sk.getUTF8String(i)
+        var j = 0
+        var done = false
+        while (j < nl && !done) {
+          if (lk.getUTF8String(j).equals(k)) {
+            if (!lv.isNullAt(j))
+              sum += math.min(sv.getLong(i), lv.getLong(j))
+            done = true // first match wins: keys are unique within a map
+                        // for the internal tf maps
+          }
+          j += 1
         }
-        j += 1
       }
       i += 1
     }

@@ -823,10 +823,14 @@ object Dedup {
                                mat: Materializer = Materializer.Local)
       : DataFrame = {
     require(thetaNum > 0 && thetaDen >= thetaNum)
-    // FanOut before shingling: see [[FanOut]] (one-task scan stage on
-    // single-row-group inputs; no-op at production partitioning)
+    // r14 REVERT of the r13 shingling fan-out: the sf1 filtered A/B the
+    // r13 verdict asked for shows NO win there (fan-out ON
+    // q201 25.5 / q209 34.3 s vs OFF 22.6-30.5 / 30.5-32.0 s, warm
+    // min-of-2 at .bench/sf1) while r13's own sf0.1 numbers carried a
+    // small cost (q209 3.85 -> 4.54) — the shingling kernel is cheap
+    // enough per row that the exchange never pays for itself.
     val sets = mat(
-      FanOut(docs.select(col(idCol).as("id"), col(textCol).as("t_")))
+      (docs.select(col(idCol).as("id"), col(textCol).as("t_")))
         .select(col("id"),
           array_distinct(TextAnalysis.shingles(col("t_"), shingleN))
             .as("sh")))
@@ -996,11 +1000,17 @@ object Dedup {
     val rpb = k / bands
     // FanOut before tokenize+explode: the map side of the tf exchange is
     // the corpus's dominant per-row cost, and a single-row-group input
-    // would otherwise run it inside a one-task scan stage
-    val tf = mat(FanOut(docs.select(col(idCol).as("id"),
+    // would otherwise run it inside a one-task scan stage. The OUTER
+    // FanOut (r14, task-metrics-measured) re-widens the CHECKPOINTED tf:
+    // AQE coalesces the tf aggregate's output by BYTES (~2 MB at sf0.1 ->
+    // 1-2 partitions), and every downstream CPU-heavy stage — the CWS
+    // model algebra, the |tf|*k argmin partials, the tfMaps build —
+    // inherited that near-serial partitioning (the q304 signature stage
+    // ran ~5 s on ONE task). At production width both guards no-op.
+    val tf = FanOut(mat(FanOut(docs.select(col(idCol).as("id"),
         col(textCol).as("t_")))
       .select(col("id"), explode(TextAnalysis.tokens(col("t_"))).as("t"))
-      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("w")))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("w"))))
     // the signatures reuse the materialized tf: tokenizing the corpus is
     // the dominant scan and used to be paid twice per call
     val sig = weightedMinhashSignaturesFromTf(tf, k)
@@ -1017,15 +1027,30 @@ object Dedup {
     val bandkey = concat_ws("#",
       col("band").cast("string") +: (0 until rpb).map(j => col(s"s$j")): _*)
     val keyed = banded.select(col("id"), bandkey.as("bk"))
-    val cands = keyed.select(col("id").as("a_id"), col("bk"))
-      .join(keyed.select(col("id").as("b_id"), col("bk")), Seq("bk"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+    // materialized + fanned out before the verify (r14, measured): AQE
+    // sizes the post-distinct read by BYTES — a few dozen MB of narrow
+    // (a_id, b_id) pairs coalesce to a handful of tasks — but the
+    // verify's per-row cost is the native map-min-sum over two tf maps
+    // (§2.5's cheap-bytes / expensive-rows shape: the q304 verify ran
+    // 3.4M candidates on 1-2 cores). The FanOut guard makes this a
+    // structural no-op once the candidate set is genuinely wide
+    // (production partitioning).
+    val cands = FanOut(mat(
+      keyed.select(col("id").as("a_id"), col("bk"))
+        .join(keyed.select(col("id").as("b_id"), col("bk")), Seq("bk"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()))
     // per-doc verification payload: the tf as a bounded map plus Σw —
     // one row per doc, so attaching it to a candidate pair is a plain
     // id-keyed join, never a per-term explosion
+    // entries SORTED by term (r14): map_min_sum's linear two-pointer
+    // merge needs strictly-ascending key arrays on both sides — t is
+    // unique per id, so struct (t, w) order is strict; the sort is per
+    // bounded per-doc entry list, and an unsorted input merely falls
+    // back to map_min_sum's order-agnostic quadratic path
     val tfMaps = mat(tf.groupBy(col("id"))
-      .agg(map_from_entries(collect_list(struct(col("t"), col("w"))))
+      .agg(map_from_entries(
+          sort_array(collect_list(struct(col("t"), col("w")))))
         .as("m"),
         sum(col("w")).as("sw")))
     // LENGTH FILTER before the Σmin evaluation — sound because
@@ -1049,15 +1074,21 @@ object Dedup {
     // candidate set that is honestly millions of rows.
     val sminCol = graft.functions.GraftFunctions.map_min_sum(
       col("ma"), col("mb"))
+    // Threshold algebra with ONE smin occurrence (r14, measured): the
+    // optimizer collapses this filter into the join condition, where
+    // every occurrence of smin re-evaluates the map-min-sum per joined
+    // row — `smin·θd ≥ θn·(sa+sb−smin)` evaluated it twice. The
+    // equivalent `smin·(θd+θn) ≥ θn·(sa+sb)` (add θn·smin to both
+    // sides; exact long arithmetic, no division) evaluates it once.
+    // smax is only needed for the jw of the FINAL survivors.
     lenOk
       .select(col("a_id"), col("b_id"), col("sa"), col("sb"),
         sminCol.as("smin"))
-      .select(col("a_id"), col("b_id"), col("smin"),
-        (col("sa") + col("sb") - col("smin")).as("smax"))
-      .filter(col("smin") * lit(thetaDen.toLong)
-        >= lit(thetaNum.toLong) * col("smax"))
+      .filter(col("smin") * lit((thetaDen + thetaNum).toLong)
+        >= lit(thetaNum.toLong) * (col("sa") + col("sb")))
       .select(col("a_id"), col("b_id"),
-        round(col("smin").cast("double") / col("smax").cast("double"), 6)
+        round(col("smin").cast("double")
+          / (col("sa") + col("sb") - col("smin")).cast("double"), 6)
           .as("jw"))
   }
 }

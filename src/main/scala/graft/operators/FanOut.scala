@@ -27,11 +27,17 @@ import org.apache.spark.sql.DataFrame
   * struct-min/max instead of positional collect_list).
   */
 object FanOut {
+  /** CONTRACT: `df` must be an exchange-free BATCH frame (a scan plus
+    * narrow projections/filters — which is what every call site passes).
+    * The guard reads the partitioning via `.rdd`, which on a plain scan
+    * plan compiles the physical plan without running a job; on a
+    * shuffle-bearing frame under AQE, `AdaptiveSparkPlanExec.doExecute`
+    * would eagerly materialize upstream query stages at plan time (work
+    * discarded and re-run at execution), and `.rdd` throws on streaming
+    * frames — hence the require below. */
   def apply(df: DataFrame): DataFrame = {
+    require(!df.isStreaming, "FanOut is a batch-scan helper")
     val p = df.sparkSession.sparkContext.defaultParallelism
-    // .rdd compiles the frame's physical plan to read its partitioning;
-    // no job runs. Guarded so a wide input never pays a pointless
-    // full-corpus shuffle.
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 }

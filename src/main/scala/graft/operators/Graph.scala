@@ -49,10 +49,14 @@ object Graph {
     // table is the big operand — halving its joins halves the loop's
     // shuffle volume)
     val ed = materialize(e.join(deg, Seq("src")))
-    // every node has outdegree >= 1, so `deg` IS the node table
-    var ranks = materialize(
-      ed.select(col("src").as("node")).distinct()
-        .withColumn("r", lit(1.0)))
+    // every node has outdegree >= 1, so `deg` IS the node table.
+    // The node table is LOOP-INVARIANT: materialized once, it serves as
+    // every round's left-join base, so `ranks` is referenced exactly
+    // ONCE per round (in the contribution join) — which is what makes
+    // the checkpoint cadence below safe (r14)
+    val nodes = materialize(
+      ed.select(col("src").as("node")).distinct())
+    var ranks = nodes.withColumn("r", lit(1.0))
     // broadcastRanks: when the node set is dimension-scale (an entity
     // graph — customers x suppliers, domains x hosts) the rank table
     // broadcasts and the EDGE TABLE NEVER SHUFFLES: contributions
@@ -68,12 +72,18 @@ object Graph {
           (col("r") / col("d")).cast("decimal(38,20)").as("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("c"))
-      ranks = materialize(ranks.select(col("node"))
+      val next = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           round(lit(1.0 - damping) + lit(damping) *
-            coalesce(col("c"), lit(0)).cast("double"), 12).as("r")))
+            coalesce(col("c"), lit(0)).cast("double"), 12).as("r"))
       i += 1
+      // checkpoint every 2nd round (and the last): a skipped round's
+      // lineage is recomputed exactly once inside the next checkpoint
+      // (ranks has a single consumer per round), so the per-round job
+      // count halves at unchanged total compute — the sf0.1 floor was
+      // scheduling, not data (r14, measured)
+      ranks = if (i % 2 == 0 || i == iters) materialize(next) else next
     }
     ranks.select(col("node"), col("r").as("rank"))
   }
@@ -302,8 +312,8 @@ object Graph {
       .join(seeds.select(col("node")).distinct()
         .withColumn("s", lit(1)), Seq("node"), "left")
       .select(col("node"), coalesce(col("s"), lit(0)).as("seed")))
-    var ranks = materialize(
-      nodes.select(col("node"), col("seed").cast("double").as("r")))
+    var ranks: DataFrame =
+      nodes.select(col("node"), col("seed").cast("double").as("r"))
     // entity graphs (dimension-scale node sets): broadcast the rank
     // table each round so the EDGE TABLE NEVER SHUFFLES — the q107
     // trade, identical values either way
@@ -317,13 +327,16 @@ object Graph {
           (col("r") / col("d")).cast("decimal(38,20)").as("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("c"))
-      ranks = materialize(nodes
+      val next = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           round(lit(1.0 - damping) * col("seed").cast("double")
             + lit(damping) * coalesce(col("c"), lit(0)).cast("double"),
-            12).as("r")))
+            12).as("r"))
       i += 1
+      // same checkpoint cadence as [[pageRank]] (ranks has one consumer
+      // per round — `nodes` is the loop-invariant join base)
+      ranks = if (i % 2 == 0 || i == iters) materialize(next) else next
     }
     ranks.select(col("node"), col("r").as("rank"))
   }

@@ -17,6 +17,24 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** The trimmed-postings frame both batch rankers score from:
+    * (doc_id, dl, t) — one row per doc with its token count, exploded
+    * (outer, so zero/absent-term docs keep one NULL-t row) over the
+    * tokens that appear in `allTerms`. Exposed so a consumer running
+    * SEVERAL rankers over the SAME corpus and query sets (q290 runs
+    * BM25 + QLM) tokenizes the corpus ONCE and shares the materialized
+    * frame (r14, §2.4 fewer passes) — each batch ranker builds exactly
+    * this when not handed one. */
+  def trimmedPostings(docs: DataFrame, idCol: String, textCol: String,
+                      allTerms: Seq[String],
+                      mat: Materializer = Materializer.Local): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    mat(docs.select(col(idCol).as("doc_id"),
+      size(toks).as("dl"),
+      explode_outer(filter(toks, t => t.isInCollection(allTerms)))
+        .as("t")))
+  }
+
   /** BM25 document scores for one bag-of-terms query (Robertson et al.;
     * the Lucene `k1`/`b` formulation with the always-positive idf
     * `ln(1 + (N - df + 0.5)/(df + 0.5))`): the lexical ranking function
@@ -87,14 +105,15 @@ object Retrieval {
   def bm25Batch(docs: DataFrame, idCol: String, textCol: String,
                 queries: Seq[(String, Seq[String])], k1: Double = 1.2,
                 b: Double = 0.75, topN: Int = 10,
-                mat: Materializer = Materializer.Local): DataFrame = {
+                mat: Materializer = Materializer.Local,
+                postings: Option[DataFrame] = None): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty) && topN > 0)
     val allTerms = queries.flatMap(_._2).distinct
-    val toks = TextAnalysis.tokens(col(textCol))
-    val dl = mat(docs.select(col(idCol).as("doc_id"),
-      size(toks).as("dl"),
-      explode_outer(filter(toks, t => t.isInCollection(allTerms)))
-        .as("t")))
+    // `postings` (when given) must be [[trimmedPostings]] over the same
+    // docs and the union of these queries' terms — the caller-shared
+    // one-tokenize path
+    val dl = postings.getOrElse(
+      trimmedPostings(docs, idCol, textCol, allTerms, mat))
     val stats = dl.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).cast("double").as("n_docs"),
         (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
@@ -141,16 +160,15 @@ object Retrieval {
                            textCol: String,
                            queries: Seq[(String, Seq[String])],
                            mu: Double = 100.0, topN: Int = 20,
-                           mat: Materializer = Materializer.Local)
+                           mat: Materializer = Materializer.Local,
+                           postings: Option[DataFrame] = None)
       : DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty) &&
       topN > 0 && mu > 0)
     val allTerms = queries.flatMap(_._2).distinct
-    val toks = TextAnalysis.tokens(col(textCol))
-    val dl = mat(docs.select(col(idCol).as("doc_id"),
-      size(toks).as("dl"),
-      explode_outer(filter(toks, t => t.isInCollection(allTerms)))
-        .as("t")))
+    // caller-shared one-tokenize path — see [[bm25Batch]]
+    val dl = postings.getOrElse(
+      trimmedPostings(docs, idCol, textCol, allTerms, mat))
     val docLen = dl.groupBy(col("doc_id"))
       .agg(first(col("dl")).as("dl"))
     val totT = docLen.agg(sum(col("dl")).cast("long").as("tt"))

@@ -84,7 +84,15 @@ object Stats {
     * aggregate). Returns (col_name, pct, boundary) with pct the integer
     * percent rank and boundary round(6), ordered. At 100 TB swap the
     * exact percentile for approx_percentile — the documented estimator
-    * substitution. */
+    * substitution.
+    *
+    * Contract on degenerate input (differs from the percentile()
+    * formulation this replaced, r13): a column that is EMPTY or all-NULL
+    * contributes NO rows (the old always-one-row aggregate emitted
+    * (col, pct, NULL) boundary rows); values are compared as DOUBLE, so
+    * distinct integral values beyond 2^53 can merge. Both are outside
+    * every caller's domain (non-empty fact columns, price-cents scale),
+    * and the q152 oracle pins the non-degenerate behavior at two SFs. */
   def equiDepthHistogram(df: DataFrame, cols: Seq[String], buckets: Int)
       : DataFrame = {
     require(cols.nonEmpty && buckets >= 2 && 100 % buckets == 0)
@@ -1780,75 +1788,73 @@ object Stats {
     * replay is bit-identical. Returns one row per bucket:
     * (bucket, seg_lo, seg_hi, n_rows, sse). */
   def vOptimalDp(freqs: DataFrame, g: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(g >= k && k >= 2)
-    // dense 1..g with zero-fill, plus the t=0 sentinel for prefix diffs
     val sp0 = freqs.sparkSession
     import sp0.implicits._
-    val dense = (1 to g).toDF("t")
-      .join(freqs.select(col("t"), col("f")), Seq("t"), "left")
-      .select(col("t"), coalesce(col("f"), lit(0L)).as("f"))
-    val wCum = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pre = Materializer.Local(dense
-      .withColumn("p", sum(col("f")).over(wCum))
-      .withColumn("p2", sum(col("f") * col("f")).over(wCum))
-      .select(col("t"), col("p"), col("p2"))
-      .unionAll(Seq((0, 0L, 0L)).toDF("t", "p", "p2")))
-    val hi = pre.select(col("t").as("b"), col("p").as("pb"),
-      col("p2").as("p2b")).filter(col("b") >= 1)
-    val lo = pre.select(col("t").as("a0"), col("p").as("pa"),
-      col("p2").as("p2a"))
-    val d = (col("pb") - col("pa")).cast("double")
-    val d2 = (col("p2b") - col("p2a")).cast("double")
-    val len = (col("b") - col("a0")).cast("double")
-    val sseTab = Materializer.Local(hi
-      .join(Hints.boundedBroadcast(lo, "grid_g_rows"), col("a0") < col("b"))
-      .select((col("a0") + 1).as("a"), col("b"),
-        round(d2 - d * d / len, 9).as("sse")))
-    // DP: bestJ(i) = min_m best{J-1}(m) + sse(m+1, i); argmin tie -> m
-    var bests = List(Materializer.Local(sseTab.filter(col("a") === 1)
-      .select(col("b").as("i"), col("sse").as("cost"),
-        lit(0).as("argm"))))
-    for (_ <- 2 to k) {
-      val prev = bests.head.select(col("i").as("m"),
-        col("cost").as("pcost"))
-      val wMin = Window.partitionBy(col("i"))
-        .orderBy(col("cost").asc, col("m").asc)
-      bests ::= Materializer.Local(prev
-        .join(Hints.boundedBroadcast(sseTab, "grid_g_rows"),
-          col("a") === col("m") + 1)
-        .select(col("b").as("i"), col("m"),
-          round(col("pcost") + col("sse"), 9).as("cost"))
-        .withColumn("rk", row_number().over(wMin))
-        .filter(col("rk") === 1)
-        .select(col("i"), col("cost"), col("m").as("argm")))
+    // BOUNDED driver DP (r14, measured): the whole DP state is the g-row
+    // frequency sequence — g is an OPERATOR PARAMETER (≤ 64 equi-rank
+    // grid points, the `grid_g_rows` boundedness class), never a corpus
+    // dimension — and the former DataFrame formulation spent its time on
+    // pure scheduling: (k−1) materialize+window rounds over ≤g-row
+    // tables plus (k−1) one-row backtrack collects (~15 tiny jobs,
+    // ~1.2 s at sf0.1 per DP invocation, invariant to data size). One
+    // g-row collect and exact in-driver replay of the SAME algebra
+    // replaces all of it; this is a difference of degree, not kind, from
+    // the per-level collects the DP always did. Numeric identity with
+    // the former plan (and the oracle's unrolled replay) is
+    // differential-pinned in R14Spec: prefix sums are exact longs;
+    // sse/cost rounding replays catalyst's Round (HALF_UP via BigDecimal,
+    // the same scala.math.BigDecimal path); DP argmin ties break to the
+    // smallest split.
+    def r(x: Double, s: Int): Double =
+      if (x.isNaN || x.isInfinite) x
+      else BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val fMap = freqs.select(col("t").cast("int"), col("f").cast("long"))
+      .as[(Int, Long)].collect().toMap
+    val p = new Array[Long](g + 1)   // prefix sums, p(0) = 0 sentinel
+    val p2 = new Array[Long](g + 1)
+    for (t <- 1 to g) {
+      val f = fMap.getOrElse(t, 0L)
+      p(t) = p(t - 1) + f
+      p2(t) = p2(t - 1) + f * f
     }
-    // backtrack from (i = g, j = k) through the per-round argmins
-    val byRound = bests.reverse.toArray // byRound(j-1) = best for j buckets
+    // sse(a, b) over segment [a, b] (1-based, inclusive) — the same
+    // round(d2 − d·d/len, 9) expression as the former sseTab
+    def sse(a: Int, b: Int): Double = {
+      val d = (p(b) - p(a - 1)).toDouble
+      val d2 = (p2(b) - p2(a - 1)).toDouble
+      val len = (b - a + 1).toDouble
+      r(d2 - d * d / len, 9)
+    }
+    // DP: bestJ(i) = min_m best{J-1}(m) + sse(m+1, i); argmin tie -> m
+    val cost = Array.ofDim[Double](k + 1, g + 1)
+    val argm = Array.ofDim[Int](k + 1, g + 1)
+    for (i <- 1 to g) { cost(1)(i) = sse(1, i); argm(1)(i) = 0 }
+    for (j <- 2 to k; i <- 1 to g) {
+      var bestC = Double.PositiveInfinity
+      var bestM = -1
+      for (m <- 1 until i) {
+        val c = r(cost(j - 1)(m) + sse(m + 1, i), 9)
+        // strict < keeps the SMALLEST m on ties — the former
+        // row_number(cost asc, m asc) tie-break
+        if (bestM < 0 || c < bestC) { bestC = c; bestM = m }
+      }
+      cost(j)(i) = bestC; argm(j)(i) = bestM
+    }
     var bounds = List(g)
     var cur = g
     for (j <- k to 2 by -1) {
-      val m = byRound(j - 1).filter(col("i") === cur)
-        .collect()(0).getInt(2) // bounded 1-row read per level
+      val m = argm(j)(cur)
       bounds ::= m
       cur = m
     }
-    val segs = (0 until k).map { idx =>
+    val rows = (0 until k).map { idx =>
       val sl = if (idx == 0) 1 else bounds(idx - 1) + 1
-      (idx + 1, sl, bounds(idx))
-    }.toDF("bucket", "seg_lo", "seg_hi")
-    segs
-      .join(Hints.boundedBroadcast(sseTab.select(col("a").as("seg_lo"),
-        col("b").as("seg_hi"), col("sse")), "grid_g_rows"),
-        Seq("seg_lo", "seg_hi"))
-      .join(Hints.boundedBroadcast(pre.select(col("t").as("seg_hi"),
-        col("p").as("phi")), "grid_g_rows"), Seq("seg_hi"))
-      .join(Hints.boundedBroadcast(pre.select((col("t") + 1).as("seg_lo"),
-        col("p").as("plo")), "grid_g_rows"), Seq("seg_lo"))
-      .select(col("bucket"), col("seg_lo"), col("seg_hi"),
-        (col("phi") - col("plo")).cast("long").as("n_rows"),
-        round(col("sse"), 6).as("sse"))
+      val sh = bounds(idx)
+      (idx + 1, sl, sh, p(sh) - p(sl - 1), r(sse(sl, sh), 6))
+    }
+    rows.toDF("bucket", "seg_lo", "seg_hi", "n_rows", "sse")
   }
 
   /** Quantized-domain size up to which the histogram cumulative may run
